@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver test tables (TESTDATA.md / FIXTURES.md §1).
+  *
+  * The reference's data model is named relational tables in a star schema
+  * (reference: dags/cloudsql_to_bigquery.py:82-84, README.md:4-6); here a
+  * "table" is a parquet directory under the scale-factor dir. Reads go
+  * through Spark's vectorized parquet reader so Catalyst column pruning and
+  * predicate pushdown reach the scan — at 100 TB this is what keeps a
+  * 2-column projection from reading 16 columns.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast in joins at any realistic scale
+    * (dimension side of the reference's dim/fact model, README.md:4-6).
+    * `region`/`nation` are bounded by geography; at 100 TB they are still
+    * KB-sized and must never be the build side of a sort-merge join.
+    */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `events.ts` is TIMESTAMP(NANOS) parquet; with
+    // spark.sql.legacy.parquet.nanosAsLong (set in [[Engine.session]]) it
+    // arrives as LongType ns-since-epoch. Integer DIV (not double /) keeps
+    // µs exact — ns epochs exceed double's 2^53 mantissa.
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** Registers every test table as a temp view named after the table, so
+    * `spark.sql` surface (the reference's verbatim-SQL contract,
+    * dags/cloudsql_to_bigquery.py:66,110) works against the same dir.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The declared relational surface of the reference (SURVEY.md §2.B).
+  *
+  * The reference ships arbitrary SELECT strings verbatim to the source engine
+  * (`export_query`, reference dags/cloudsql_to_bigquery.py:66,110) and to the
+  * warehouse (`stage_final_query`, dags/cloudsql_to_bigquery.py:11,70); these
+  * twenty queries pin that contract, each re-expressed as a declarative
+  * DataFrame plan so Catalyst owns pushdown, pruning, join selection and AQE.
+  *
+  * Scale notes (100 TB honesty):
+  *   - dimension joins hint `broadcast` only for tables bounded by nature
+  *     (region/nation); larger dims are left to AQE's size-based selection so
+  *     the same plan survives a 1000× fact-table scale-up.
+  *   - every query ends in a total ORDER BY (determinism for the oracle) and
+  *     all floating aggregates are ROUNDed per SURVEY §2.B.
+  *   - no collect(), no UDFs — builtins only, whole-stage-codegen friendly.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q01 — scan + projection + limit (pushdown: ReadSchema is 4 columns). */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q02 — conjunctive predicates (>=, BETWEEN, IN); shape of the reference's
+    * catalog WHERE clause (dags/cloudsql_to_bigquery.py:141). All predicates
+    * push to the parquet scan.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_returnflag").isin("A", "R"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q03 — multi-aggregate hash aggregate (TPC-H Q1 shape): partial map-side
+    * combine then final merge; one shuffle on the 2 grouping keys.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sq"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+        round(avg("l_quantity"), 2).as("aq"),
+        count(lit(1)).as("c"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q04 — star join (fact → dims), the README's dim/fact model
+    * (reference README.md:4-6). region/nation broadcast by hint (bounded
+    * cardinality at any scale); customer/orders joins are left to AQE so the
+    * plan stays valid when the fact side is 100 TB.
+    */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val li  = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cus = t(s, dir, "customer")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cus, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q05 — semi join (EXISTS): left_semi keeps the probe side unduplicated,
+    * no payload from the build side crosses the shuffle.
+    */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val cus = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    cus.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q06 — anti join (NOT EXISTS) — the "new rows only" half of the
+    * reference's stage→final merge (A10, dags/cloudsql_to_bigquery.py:11,70).
+    */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val cus = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cus.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Q07 — left outer join + aggregate; COUNT(column) counts only matched
+    * (non-null) order keys, so customers without orders report 0.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val cus = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cus.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q08 — full-outer merge/upsert, the reference's declared step 3 ("join
+    * the stage table with the existing table and overwrite",
+    * dags/cloudsql_to_bigquery.py:11,58,70) made concrete: stage wins on
+    * conflict via COALESCE(stage, existing). See also [[Merge]].
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val existing = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("e_key"), col("o_orderstatus").as("e_st"))
+    val stage = ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("s_key"), col("o_orderstatus").as("s_st"))
+    existing.join(stage, col("e_key") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("e_key")).as("k"),
+        coalesce(col("s_st"), col("e_st")).as("st"))
+      .orderBy("k")
+  }
+
+  /** Q09 — equi + theta (range) join: the incremental-sync predicate shape
+    * ("use time/id in the sync select", reference README.md:8). The equi key
+    * keeps this a hash/sort-merge join with a residual range filter — never a
+    * nested-loop cross product.
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val li  = t(s, dir, "lineitem")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  /** Q10 — ranking window, top-k per group: single shuffle on o_custkey;
+    * deterministic tie-break on o_orderkey.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q11 — analytic window with an explicit running frame; the frame order is
+    * total (o_orderdate, o_orderkey) so the incremental sum is
+    * bit-reproducible across engines.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q12 — exact multi-column COUNT(DISTINCT): Catalyst plans the two
+    * distincts via Expand (one pass over the fact table). The 100 TB path for
+    * cardinality-only questions is approx_count_distinct (HLL) — see
+    * [[graft.operators.Dedup]]; this query pins the exact semantics.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("dp"),
+        countDistinct(col("l_suppkey")).as("ds"))
+
+  /** Q13 — ROLLUP + GROUPING(): subtotal lattice in one Expand+aggregate.
+    * Expressed in SQL: the DataFrame rollup+grouping+sort combination trips
+    * Spark's ambiguous-self-join detection on the expanded attributes; the
+    * SQL analyzer resolves the lattice cleanly and plans identically.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("g13_nation")
+    t(s, dir, "region").createOrReplaceTempView("g13_region")
+    s.sql("""
+      SELECT /*+ BROADCAST(g13_region) */ r_name, n_name,
+        CAST(GROUPING(r_name) AS INT) AS g1,
+        CAST(GROUPING(n_name) AS INT) AS g2,
+        COUNT(*) AS c
+      FROM g13_nation JOIN g13_region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""")
+  }
+
+  /** Q14 — string function family: the sanitization surface of the
+    * reference's schema codegen (`" "→"_"`, `"/"→"_and_"`,
+    * dags/cloudsql_to_bigquery.py:187) as row-level builtins.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("ul"),
+        regexp_replace(regexp_replace(col("source"), lit(" "), lit("_")),
+          lit("/"), lit("_and_")).as("s2"),
+        length(col("text")).cast("long").as("n"),
+        substring(col("text"), 1, 10).as("t10"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  /** Q15 — date/time extraction + group (A15's run-date family,
+    * dags/cloudsql_to_bigquery.py:109). ns-precision parquet timestamps are
+    * compared at ≥hour granularity (FIXTURES.md §1).
+    */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        col("ts").cast("date").as("d"),
+        year(col("ts")).cast("long").as("y"),
+        hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("d", "h")
+
+  /** Q16 — global top-k: compiles to TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows — no full sort at any scale).
+    */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))
+      .orderBy(col("p").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q17 — INTERSECT (DISTINCT) over the two nation-key domains. */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q17b — EXCEPT DISTINCT (customer nations with no supplier). */
+  def q17b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q17c — UNION ALL + aggregate over the merged domain. */
+  def q17c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  /** Q18 — JSON extraction from a string column (`events.props`): a single
+    * codegen'd path expression, no parse-to-struct materialization.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("json_k"))
+      .groupBy("event_type")
+      .agg(sum(col("json_k")).as("sk"))
+      .orderBy("event_type")
+
+  /** Q19 — cosine top-k similarity (SURVEY §2.B ²): the single probe vector
+    * is broadcast, the corpus is scanned once with a higher-order-function
+    * dot product, and TakeOrdered keeps k — O(n), never an n×n self-join.
+    * Products are computed in double (explicit cast) so the oracle matches
+    * bit-for-bit. See [[Similarity]] for the general k-NN / ANN operators.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probe = broadcast(
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("p_emb")))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    corpus.crossJoin(probe)
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("p_emb"), col("embedding")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Q20 — tumbling-window time aggregation, batch form (streaming form in
+    * [[graft.streaming.EventsStream]]): one shuffle on (user_id, hour).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("v"))
+      .orderBy("user_id", "w")
+}
+
+/** Array/vector helpers built from codegen'd higher-order functions —
+  * no UDF, no serialization boundary (SURVEY §2.B footnote 2).
+  */
+object VectorOps {
+  /** Dot product in double precision regardless of element type. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
