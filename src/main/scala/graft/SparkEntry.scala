@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Queries
+import graft.operators.{LlmQueries, PipelineQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,31 @@ object SparkEntry {
     "q18_json_extract"      -> (Queries.q18 _),
     "q19_cosine_topk"       -> (Queries.q19 _),
     "q20_time_bucket_agg"   -> (Queries.q20 _),
+    // pipeline operators (SURVEY §2.A), driven end-to-end
+    "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
+    "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
+    "a04_catalog_scan"      -> (PipelineQueries.a04CatalogScan _),
+    "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
+    "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
+    "a07_csv_roundtrip"     -> (PipelineQueries.a07CsvRoundtrip _),
+    "a08_chunk_roundtrip"   -> (PipelineQueries.a08ChunkRoundtrip _),
+    "a09_overwrite_snapshot"-> (PipelineQueries.a09OverwriteSnapshot _),
+    "a10_merge_helper"      -> (PipelineQueries.a10MergeHelper _),
+    "a11_sync_pipeline"     -> (PipelineQueries.a11SyncPipeline _),
+    "a15_run_date"          -> (PipelineQueries.a15RunDate _),
+    // LLM-data-pipeline operators (north-star extensions)
+    "dedup_exact"           -> (LlmQueries.dedupExact _),
+    "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
+    "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),
+    "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
+    "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
+    "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
+    "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
+    "text_tokens"           -> (LlmQueries.textTokens _),
+    "text_langid"           -> (LlmQueries.textLangId _),
+    "text_quality"          -> (LlmQueries.textQuality _),
+    "text_fingerprint"      -> (LlmQueries.textFingerprint _),
+    "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -172,5 +197,239 @@ object SparkEntry {
         |  COUNT(*) AS c, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY user_id, date_trunc('hour', ts)
         |ORDER BY user_id, w""".stripMargin,
+    // --- pipeline operators (A*): round-trip/merge outputs the oracle
+    // reproduces straight from the source tables ---
+    "a01_jdbc_pushdown" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    "a02_jdbc_partitioned" ->
+      """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a04_catalog_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('c_custkey', 'BIGINT', 'INTEGER', CAST(1 AS BIGINT)),
+        |  ('c_name', 'CLOB(2147483647)', 'STRING', 2),
+        |  ('c_nationkey', 'INTEGER', 'INTEGER', 3),
+        |  ('c_acctbal', 'DOUBLE', 'FLOAT', 4),
+        |  ('c_mktsegment', 'CLOB(2147483647)', 'STRING', 5)
+        |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
+    "a05_type_mapping" ->
+      """SELECT * FROM (VALUES
+        |  ('balance', 'decimal', 'balance', 'FLOAT', 'double'),
+        |  ('born', 'datetime', 'born', 'DATETIME', 'timestamp_ntz'),
+        |  ('either/or', 'varchar', 'either_and_or', 'STRING', 'string'),
+        |  ('full name', 'varchar', 'full_name', 'STRING', 'string'),
+        |  ('id', 'int', 'id', 'INTEGER', 'bigint'),
+        |  ('note', 'text', 'note', 'STRING', 'string'),
+        |  ('pt', 'point', 'pt', 'INTEGER', 'bigint'),
+        |  ('ratio', 'double', 'ratio', 'FLOAT', 'double'),
+        |  ('start_date', 'date', 'start_date', 'DATE', 'date'),
+        |  ('ts_col', 'timestamp', 'ts_col', 'DATETIME', 'timestamp_ntz')
+        |) AS t(raw_name, raw_type, col_name, bq_type, spark_type)
+        |ORDER BY raw_name""".stripMargin,
+    "a06_schema_json" ->
+      """SELECT '[{"name": "id", "type": "INTEGER", "mode": "NULLABLE"}, {"name": "full_name", "type": "STRING", "mode": "NULLABLE"}, {"name": "either_and_or", "type": "STRING", "mode": "NULLABLE"}, {"name": "born", "type": "DATETIME", "mode": "NULLABLE"}, {"name": "start_date", "type": "DATE", "mode": "NULLABLE"}, {"name": "balance", "type": "FLOAT", "mode": "NULLABLE"}, {"name": "ratio", "type": "FLOAT", "mode": "NULLABLE"}, {"name": "note", "type": "STRING", "mode": "NULLABLE"}, {"name": "ts_col", "type": "DATETIME", "mode": "NULLABLE"}, {"name": "pt", "type": "INTEGER", "mode": "NULLABLE"}]' AS schema_json""".stripMargin,
+    "a07_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "a08_chunk_roundtrip" ->
+      """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a09_overwrite_snapshot" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "a10_merge_helper" ->
+      """WITH existing AS (SELECT o_orderkey, o_orderstatus AS st,
+        |       ROUND(o_totalprice + 1000, 2) AS p FROM orders WHERE o_orderkey % 2 = 0),
+        |     stage AS (SELECT o_orderkey, o_orderstatus AS st,
+        |       ROUND(o_totalprice, 2) AS p FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,
+        |       COALESCE(s.st, e.st) AS st, COALESCE(s.p, e.p) AS p
+        |FROM existing e FULL OUTER JOIN stage s ON e.o_orderkey = s.o_orderkey
+        |ORDER BY k""".stripMargin,
+    "a11_sync_pipeline" ->
+      """WITH existing AS (SELECT o_orderkey, o_orderstatus,
+        |       ROUND(o_totalprice + 1000, 2) AS p FROM orders WHERE o_orderkey % 2 = 0),
+        |     stage AS (SELECT o_orderkey, o_orderstatus,
+        |       ROUND(o_totalprice, 2) AS p FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS o_orderkey,
+        |       COALESCE(s.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+        |       COALESCE(s.p, e.p) AS p
+        |FROM existing e FULL OUTER JOIN stage s ON e.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "a15_run_date" ->
+      """SELECT DISTINCT strftime(o_orderdate, '%Y%m%d') AS ds FROM orders
+        |ORDER BY ds LIMIT 100""".stripMargin,
+    // --- LLM-pipeline operators: ground-truth oracles (near-dup corpora
+    // constructed identically; the oracle computes all-pairs truth, so the
+    // engine's bucketed path is checked for RECALL, not just consistency) ---
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_hash
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT a, b, ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 4) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), sets AS (
+        |  SELECT doc_id, CAST(floor(len(shingles) / 50) AS INT) AS blk,
+        |         string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+        |           || ' ' || string_split(text, ' ')[3] AS pfx,
+        |         shingles
+        |  FROM sh JOIN corpus USING (doc_id)
+        |), ex AS (SELECT doc_id, blk, pfx, unnest(shingles) AS sg FROM sets),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.blk = r.blk AND l.pfx = r.pfx
+        |    AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sets)
+        |SELECT a, b, ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 4) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, g.i,
+        |         SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 32)) AS i) g GROUP BY doc_id, g.i
+        |)
+        |SELECT doc_id,
+        |       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000,
+        |         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * 1.01)
+        |  FROM embeddings
+        |)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  ROUND(list_dot_product(l.emb, r.emb)
+        |    / (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))), 4) AS cos
+        |FROM corpus l JOIN corpus r ON l.vec_id < r.vec_id
+        |WHERE list_dot_product(l.emb, r.emb)
+        |    / (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) >= 0.99
+        |ORDER BY a, b""".stripMargin,
+    "sim_knn_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id >= 10),
+        |     sc AS (SELECT probe_id, vec_id,
+        |              list_dot_product(pe, ce)
+        |                / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |            FROM p, c),
+        |     r AS (SELECT probe_id, vec_id, cos,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |               ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM sc)
+        |SELECT probe_id, vec_id AS neighbor_id, rn, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        |   FROM embeddings WHERE vec_id >= 10),
+        | p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        |   FROM embeddings WHERE vec_id < 10),
+        | j AS (SELECT probe_id, cand_id,
+        |         list_dot_product(pe, ce)
+        |           / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos,
+        |         COUNT(*) OVER (PARTITION BY probe_id) AS n_cands
+        |       FROM p JOIN c USING (bkt) WHERE cand_id <> probe_id),
+        | r AS (SELECT probe_id, cand_id, cos, n_cands,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |           ORDER BY cos DESC, cand_id) AS BIGINT) AS rn FROM j)
+        |SELECT probe_id, cand_id AS neighbor_id, rn, n_cands, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 1 ORDER BY probe_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS BIGINT) AS s_en,
+        |  CAST(len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS BIGINT) AS s_de,
+        |  CAST(len(list_intersect(toks, ['el','la','de','y','que','en','un'])) AS BIGINT) AS s_es,
+        |  CAST(len(list_intersect(toks, ['le','la','les','et','de','un','est'])) AS BIGINT) AS s_fr,
+        |  CAST(len(list_intersect(toks, ['的','是','了','在','我','有'])) AS BIGINT) AS s_zh
+        |FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |       ELSE 'und' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  ROUND((length(text) - length(replace(text, ' ', ''))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS space_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  ROUND(len(list_intersect(list_distinct(string_split(text, ' ')), ['the','a','of','and','to','in','is'])) / CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE), 4) AS stop_ratio,
+        |  ROUND(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_tok_len,
+        |  CAST(len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+        |    AND length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2
+        |    AND length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 15 AS INT) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declared queries for the LLM-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal) over the `documents` / `embeddings`
+  * test tables — each with a DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Near-dup operators are tested against a corpus WITH near-dups by
+  * construction: each doc unioned with a copy (id + 1000) missing its last
+  * token (text) or scaled by 1.01 (embeddings). The oracle computes the
+  * ground-truth all-pairs answer; the engine must reach the same pairs via
+  * its bucketed (LSH/blocked) path — i.e. the oracle checks RECALL of the
+  * scale-path algorithm, not just its internal consistency.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** documents ∪ (doc_id+1000, text minus last token). */
+  private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.select(
+      (col("doc_id") + 1000).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text")))
+  }
+
+  /** embeddings (as double) ∪ (vec_id+1000, embedding × 1.01). */
+  private def nearDupVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    e.unionByName(e.select(
+      (col("vec_id") + 1000).as("vec_id"),
+      expr("transform(emb, x -> x * 1.01D)").as("emb")))
+  }
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepMin(docs(s, dir).select(col("doc_id"), col("text")),
+        Seq("text"), "doc_id")
+      .select(col("doc_id").as("keep_id"), col("dup_count"),
+        md5(col("text")).as("text_hash"))
+      .orderBy("keep_id")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(nearDupDocs(s, dir), "doc_id", "text", 0.5)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(nearDupVecs(s, dir), "vec_id", "emb",
+      bits = 16, threshold = 0.99)
+
+  def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.cosineTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", bits = 4, k = 1)
+      .orderBy("probe_id")
+  }
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(s, docs(s, dir))
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column pattern: media as opaque `binary` payloads beside
+  * typed metadata, processed partition-wise.
+  *
+  * Schema contract (the piece that must be right at 100 TB):
+  *   `data BINARY, meta STRUCT<mime: STRING, n_bytes: BIGINT>` — payloads
+  *   stay byte-opaque through shuffles/storage; all pruning happens on the
+  *   metadata struct so a metadata-only query never deserializes payloads
+  *   (columnar parquet splits the struct fields from the blob pages).
+  *
+  * Decode is partition-wise over an iterator ([[decodeImages]]): one
+  * decoder context per partition, rows streamed — the Scala analog of a
+  * batched pandas-style UDF. The actual image decode is STUBBED
+  * deterministically (no media libraries in this environment, marked
+  * below); the Spark-side plumbing — schema, encoder, partitioning, batch
+  * iteration — is real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, data: Array[Byte], mime: String, n_bytes: Long)
+  case class DecodedRow(doc_id: Long, mime: String, n_bytes: Long,
+                        width: Int, height: Int, channels: Int)
+
+  /** Attach a binary payload column + metadata struct to a text corpus —
+    * the ingest shape (payload here is the UTF-8 bytes standing in for
+    * real media; the schema is the contract).
+    */
+  def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("data"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Partition-wise decode: iterator-in/iterator-out so one decoder context
+    * amortizes over the partition (the mapInPandas batch shape, typed).
+    *
+    * STUB: `decodeOne` fabricates deterministic dimensions from the byte
+    * length in place of a real image codec (none available here). Swap its
+    * body for an actual decoder; the signature and the distributed shape
+    * are the real contract.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one decoder context per partition would be initialized here
+      rows.map { r =>
+        val (w, h, c) = decodeOne(r.data)
+        DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, c)
+      }
+    }
+  }
+
+  /** Deterministic fake decode: dimensions derived from payload size. */
+  private def decodeOne(data: Array[Byte]): (Int, Int, Int) = {
+    val n = data.length
+    (n % 640 + 1, n % 480 + 1, 3)
+  }
+
+  /** Deterministic frame sampling over a byte payload: every `stride`-th
+    * byte starting at `offset` — the shape of video frame-sampling
+    * (seek + stride) without a codec. Each sample is a 1-byte BINARY
+    * (substring works byte-wise on binary).
+    */
+  def sampleBytes(media: DataFrame, stride: Int, offset: Int = 0): DataFrame =
+    media.withColumn("sampled",
+      expr(s"filter(transform(sequence(1, octet_length(data)), i -> CASE WHEN (i - 1 - $offset) % $stride = 0 AND i > $offset THEN substring(data, i, 1) END), x -> x IS NOT NULL)"))
+
+  /** End-to-end metadata extraction (the mm query surface): attach →
+    * metadata projection + portable content fingerprint. Payload bytes are
+    * NOT read by this plan — only the metadata struct and the original
+    * text column are touched.
+    */
+  def binaryMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    attachBinary(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Sync, TableConfig, ViewSource}
+import graft.schema.{SchemaCodec, TypeMapper}
+import graft.sources.{CsvIO, JdbcSource, JsonIO}
+
+/** Declared queries exercising the pipeline operators (SURVEY.md §2.A)
+  * end-to-end through real storage / a real JDBC database (embedded Derby),
+  * each with a DuckDB oracle. Round-trip queries prove format fidelity by
+  * producing output the oracle reproduces straight from the source table.
+  */
+object PipelineQueries {
+
+  /** In-memory Derby: a real relational source for the JDBC scan paths
+    * (A1/A2/A4). Memory-scoped per JVM — created on first use.
+    */
+  private val derbyUrl = "jdbc:derby:memory:graftdb;create=true"
+
+  private def ensureDerbyCustomer(s: SparkSession, dir: String): Unit =
+    JdbcSource.write(Tables.load(s, dir, "customer"), derbyUrl, "customer_jdbc")
+
+  /** A1 — server-side query pushdown: the WHERE executes inside Derby. */
+  def a01JdbcPushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureDerbyCustomer(s, dir)
+    // Spark's JDBC writer quotes column identifiers, so Derby stores them
+    // case-sensitive lowercase; the pushed query must quote them too.
+    JdbcSource.readQuery(s, derbyUrl,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer_jdbc WHERE "c_acctbal" > 5000""")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A2 — partitioned parallel read: 4 disjoint range cursors over the PK.
+    * Bounds don't filter (Spark semantics) so they can be loose.
+    */
+  def a02JdbcPartitioned(s: SparkSession, dir: String): DataFrame = {
+    ensureDerbyCustomer(s, dir)
+    JdbcSource.readPartitioned(s, derbyUrl, "customer_jdbc",
+        "c_custkey", 1L, 1000000L, 4)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** A4+A5+A6 — catalog scan with filter + sort, through the source's own
+    * system catalog, then the type map + name sanitizer applied to what the
+    * catalog said. Catalog rows are driver-side by nature (the reference
+    * does this in a PythonOperator, dags/cloudsql_to_bigquery.py:168-196);
+    * collect() here is metadata, never data.
+    */
+  def a04CatalogScan(s: SparkSession, dir: String): DataFrame = {
+    ensureDerbyCustomer(s, dir)
+    val cat = JdbcSource.readQuery(s, derbyUrl,
+      """SELECT c.COLUMNNAME AS "col_name", CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS "dt",
+        |       c.COLUMNNUMBER AS "pos"
+        |FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+        |WHERE t.TABLENAME = 'CUSTOMER_JDBC'""".stripMargin)
+      .collect().sortBy(_.getAs[Int]("pos"))
+    val rows = cat.map { r =>
+      val (n, dt) = (r.getAs[String]("col_name"), r.getAs[String]("dt"))
+      (TypeMapper.sanitizeName(n), dt, TypeMapper.toBqType(dt),
+        r.getAs[Int]("pos").toLong)
+    }.toSeq
+    s.createDataFrame(rows).toDF("col_name", "data_type", "bq_type", "pos")
+      .orderBy("pos")
+  }
+
+  /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
+  private[graft] val typeFixture: Seq[(String, String)] = Seq(
+    "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",
+    "born" -> "datetime", "start_date" -> "date", "balance" -> "decimal",
+    "ratio" -> "double", "note" -> "text", "ts_col" -> "timestamp",
+    "pt" -> "point")
+
+  /** A5+A6 — the ordered-substring type map + sanitizer on the fixture
+    * catalog (DATETIME-before-DATE trap, DECIMAL→FLOAT lossy rule,
+    * POINT→INTEGER faithful quirk, STRING fallback).
+    */
+  def a05TypeMapping(s: SparkSession, dir: String): DataFrame = {
+    val rows = typeFixture.map { case (n, t) =>
+      (n, t, TypeMapper.sanitizeName(n), TypeMapper.toBqType(t),
+        TypeMapper.toSparkType(t).simpleString)
+    }
+    s.createDataFrame(rows)
+      .toDF("raw_name", "raw_type", "col_name", "bq_type", "spark_type")
+      .orderBy("raw_name")
+  }
+
+  /** A6 — schema codegen: the warehouse-JSON schema doc for the fixture. */
+  def a06SchemaJson(s: SparkSession, dir: String): DataFrame = {
+    val schema = TypeMapper.schemaFromCatalogRows(typeFixture)
+    s.createDataFrame(Seq(Tuple1(SchemaCodec.toJson(schema)))).toDF("schema_json")
+  }
+
+  /** A7 — CSV exchange fidelity: write + read back through the pinned
+    * NULL/quote/escape options; output must equal the source rows exactly.
+    */
+  def a07CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    CsvIO.write(d, tmp)
+    CsvIO.read(s, tmp, d.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** A8 — chunked NDJSON export + glob read-back (v2 wire format). */
+  def a08ChunkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val tmp = Files.createTempDirectory("graft_ndjson").toString
+    JsonIO.write(c, tmp, chunks = 4)
+    JsonIO.read(s, tmp + "/part-*", c.schema)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** A9 — overwrite sink: two publishes to the same final path; readers
+    * see exactly the latest snapshot.
+    */
+  def a09OverwriteSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "nation")
+    val tmp = Files.createTempDirectory("graft_pub").toString + "/nation"
+    Sync.publishOverwrite(n.filter(col("n_regionkey") < 2), tmp)
+    Sync.publishOverwrite(n, tmp)
+    s.read.parquet(tmp).orderBy("n_nationkey")
+  }
+
+  /** A10 — the merge helper with observable stage-wins semantics: existing
+    * carries perturbed prices (+1000), stage original ones; conflicts must
+    * show stage values.
+    */
+  def a10MergeHelper(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") + 1000, 2).as("p"))
+    val stage = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice"), 2).as("p"))
+    Merge.upsert(existing, stage, Seq("o_orderkey"))
+      .withColumnRenamed("o_orderkey", "k")
+      .orderBy("k")
+  }
+
+  /** A11 (+A9+A10+A13+A15) — the whole sync pipeline twice: run 1 publishes
+    * a snapshot (even keys, perturbed prices); run 2 exports the %3 keys
+    * and merges via a stage_final_query over the `stage`/`existing` views.
+    * The returned final table is read back from published storage.
+    */
+  def a11SyncPipeline(s: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_staging").toString
+    val warehouse = Files.createTempDirectory("graft_warehouse").toString
+    val src = ViewSource(dir)
+    val run1 = TableConfig(
+      exportTable = "orders",
+      exportQuery = Some("""SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice + 1000, 2) AS p
+                           |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin))
+    val run2 = run1.copy(
+      exportQuery = Some("""SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS p
+                           |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin),
+      stageFinalQuery = Some(
+        """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS o_orderkey,
+          |       COALESCE(s.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+          |       COALESCE(s.p, e.p) AS p
+          |FROM existing e FULL OUTER JOIN stage s ON e.o_orderkey = s.o_orderkey""".stripMargin))
+    Sync.syncTable(s, run1, src, staging, warehouse, LocalDate.of(2020, 1, 1))
+    Sync.syncTable(s, run2, src, staging, warehouse, LocalDate.of(2020, 1, 2))
+      .orderBy("o_orderkey")
+  }
+
+  /** A15 — the run-date literal family (`ds_nodash` = yyyyMMdd). */
+  def a15RunDate(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyyMMdd").as("ds"))
+      .distinct()
+      .orderBy("ds")
+      .limit(100)
+}

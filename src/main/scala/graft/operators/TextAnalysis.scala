@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus — all builtin
+  * expressions, single scan, no shuffle until the caller aggregates.
+  * The per-doc outputs are deterministic and reproducible by an external
+  * SQL oracle (portable md5 fingerprints, plain regex/array ops).
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokens, distinct tokens, and a BPE-ish
+    * sub-word piece count (letter runs / digit runs / single other chars) —
+    * the cheap token-count estimator a data pipeline uses for budgeting.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"),
+      expr(s"CAST(size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("n_pieces"))
+
+  /** Stopword vocabularies for the n-gram language-ID heuristic. Tiny by
+    * design — language ID needs only the highest-frequency function words.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"),
+  )
+
+  /** Language ID: score = |distinct tokens ∩ stopwords(lang)|, prediction =
+    * argmax with a fixed tie-break order (en, de, es, fr, zh — first wins).
+    * A real corpus replaces the vocabularies; the operator shape (per-doc
+    * score vector + argmax, one scan) is what scales.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val toks = docs.withColumn("toks", array_distinct(split(col(textCol), " ")))
+    val scored = langs.foldLeft(toks) { (acc, l) =>
+      val lits = stopwords(l).map(w => s"'$w'").mkString(", ")
+      acc.withColumn(s"s_$l", expr(s"CAST(size(array_intersect(toks, array($lits))) AS BIGINT)"))
+    }
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { (l, other) =>
+      when(col(s"s_$l") === col("best") && col("best") > 0, lit(l)).otherwise(other)
+    }
+    scored.withColumn("best", best)
+      .withColumn("predicted", pred)
+      .select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
+  }
+
+  /** Quality scoring: length/punctuation/digit/stopword signals plus a
+    * binary keep flag — the pre-training filter shape (C4-style heuristics
+    * re-expressed as codegen'd column math).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enStops = stopwords("en").map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      expr(s"ROUND((length($textCol) - length(replace($textCol, ' ', ''))) / CAST(size(split($textCol, ' ')) AS DOUBLE), 4)").as("space_ratio"),
+      expr(s"CAST(length($textCol) - length(regexp_replace($textCol, '[0-9]', '')) AS BIGINT)").as("n_digits"),
+      expr(s"ROUND(size(array_intersect(array_distinct(split($textCol, ' ')), array($enStops))) / CAST(size(array_distinct(split($textCol, ' '))) AS DOUBLE), 4)").as("stop_ratio"),
+      expr(s"ROUND(length(replace($textCol, ' ', '')) / CAST(size(split($textCol, ' ')) AS DOUBLE), 4)").as("avg_tok_len"))
+      .withColumn("keep",
+        expr("CAST(n_tok >= 5 AND n_tok <= 100000 AND avg_tok_len >= 2 AND avg_tok_len <= 15 AS INT)"))
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — invariant to token order and repetition, the cheap
+    * near-canonicalization used before exact dedup.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(expr(s"array_join(array_sort(array_distinct(split($textCol, ' '))), ' ')")).as("fp"))
+}

@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.schema.TypeMapper
+
+/** One export source for a sync run — the slot the reference fills with
+  * Cloud SQL (reference dags/cloudsql_to_bigquery.py:100-127 server-side,
+  * dags/copy_cloudsql_to_bigquery_v2.py:82-95 cursor). The query is
+  * arbitrary source-dialect SELECT, shipped verbatim (A1/A3).
+  */
+trait SqlSource {
+  def read(spark: SparkSession, exportQuery: String): DataFrame
+}
+
+/** Source = the registered temp views of a test-table dir (parquet stands
+  * in for the relational source; the export query still executes as real
+  * SQL over it, preserving the verbatim-SELECT contract).
+  */
+final case class ViewSource(dir: String) extends SqlSource {
+  def read(spark: SparkSession, exportQuery: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(exportQuery)
+  }
+}
+
+/** Source = a live JDBC database; the query executes inside it (A1). */
+final case class JdbcSqlSource(url: String, props: Map[String, String] = Map.empty)
+    extends SqlSource {
+  def read(spark: SparkSession, exportQuery: String): DataFrame =
+    graft.sources.JdbcSource.readQuery(spark, url, exportQuery, props)
+}
+
+/** The sync pipeline: export → stage → merge → publish, per TableConfig —
+  * the reference's whole job re-expressed (reference
+  * dags/cloudsql_to_bigquery.py:273-287 wiring; §3.3 of SURVEY.md).
+  */
+object Sync {
+
+  /** A15 — the run-date literal (`{{ ds_nodash }}`) that keys every staging
+    * artifact (reference dags/cloudsql_to_bigquery.py:109,226-227).
+    */
+  def runDateLiteral(runDate: LocalDate): String =
+    runDate.format(DateTimeFormatter.ofPattern("yyyyMMdd"))
+
+  /** A13 — retry wrapper (reference default_args: retries=2, 60 s delay,
+    * dags/cloudsql_to_bigquery.py:29-30). Tasks stay idempotent because
+    * every sink overwrites.
+    */
+  def retry[T](retries: Int = 2, delayMs: Long = 60000L)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    var last: Throwable = null
+    while (out.isEmpty && attempt <= retries) {
+      try out = Some(body)
+      catch { case e: Throwable =>
+        last = e
+        attempt += 1
+        if (attempt <= retries && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    out.getOrElse(throw last)
+  }
+
+  def stagingPath(stagingRoot: String, table: String, ds: String): String =
+    s"$stagingRoot/$table/ds=$ds"
+
+  def finalPath(warehouseRoot: String, table: String): String =
+    s"$warehouseRoot/$table"
+
+  /** Sanitize all column names post-export (A6, reference :187). */
+  def sanitizeColumns(df: DataFrame): DataFrame = {
+    val renames = df.columns.map(c => c -> TypeMapper.sanitizeName(c))
+      .filter { case (a, b) => a != b }
+    renames.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(from, to) }
+  }
+
+  /** Publish a snapshot with stage-then-swap (the plain-Spark stand-in for
+    * `bq load --replace` / WRITE_TRUNCATE, reference :225-227 and
+    * dags/copy_cloudsql_to_bigquery_v2.py:108): write the full new snapshot
+    * to a `.tmp` sibling, then swap directories. Not transactional for
+    * concurrent readers (documented SURVEY §7 risk) but never leaves a
+    * half-written final on failure — the swap happens only after a
+    * complete write.
+    */
+  def publishOverwrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = new Path(path + ".tmp")
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Full sync of one table (the reference's 5-task chain collapsed to one
+    * lineage): export query → sanitized stage snapshot keyed by run date →
+    * optional stage-final merge SQL → published final table.
+    *
+    * The `stageFinalQuery` may reference two views: `stage` (this run's
+    * snapshot) and `existing` (the current final table, empty-schema'd from
+    * stage when the final doesn't exist yet — first run). The `{ds}`
+    * placeholder is replaced by the run-date literal (A15).
+    *
+    * Returns the published final DataFrame (read back from storage, so the
+    * caller sees exactly what readers see).
+    */
+  def syncTable(spark: SparkSession, cfg: TableConfig, source: SqlSource,
+                stagingRoot: String, warehouseRoot: String,
+                runDate: LocalDate = LocalDate.now(),
+                retries: Int = 2, retryDelayMs: Long = 0L): DataFrame = {
+    val ds = runDateLiteral(runDate)
+    val stagePathStr = stagingPath(stagingRoot, cfg.resolvedStageTable, ds)
+    val finalPathStr = finalPath(warehouseRoot, cfg.resolvedStageTable)
+
+    // 1-2. export (A1/A3) + sanitize (A6) + stage write (A8/A9/A15)
+    retry(retries, retryDelayMs) {
+      val exported = sanitizeColumns(source.read(spark, cfg.resolvedExportQuery))
+      exported.write.mode("overwrite").parquet(stagePathStr)
+    }
+    val stage = spark.read.parquet(stagePathStr)
+
+    // 3. stage→final merge (A10) or plain snapshot publish
+    val finalDf = cfg.stageFinalQuery match {
+      case Some(q) =>
+        stage.createOrReplaceTempView("stage")
+        val fs = new Path(finalPathStr)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new Path(finalPathStr))) spark.read.parquet(finalPathStr)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stage.schema)
+        existing.createOrReplaceTempView("existing")
+        spark.sql(q.replace("{ds}", ds))
+      case None => stage
+    }
+
+    // 4. publish (A9 overwrite semantics)
+    retry(retries, retryDelayMs) { publishOverwrite(finalDf, finalPathStr) }
+    spark.read.parquet(finalPathStr)
+  }
+
+  /** A11/A12 — loop the configs with bounded source parallelism. The
+    * reference serializes exports entirely (maxParallel=1,
+    * dags/cloudsql_to_bigquery.py:284-287); higher values run tables in a
+    * bounded pool, the engine-native form of "only one export at a time".
+    */
+  def syncAll(spark: SparkSession, cfgs: Seq[TableConfig], source: SqlSource,
+              stagingRoot: String, warehouseRoot: String,
+              runDate: LocalDate = LocalDate.now(),
+              maxParallel: Int = 1): Map[String, Long] = {
+    require(maxParallel >= 1)
+    if (maxParallel == 1) {
+      cfgs.map(c => c.resolvedStageTable ->
+        syncTable(spark, c, source, stagingRoot, warehouseRoot, runDate).count()).toMap
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallel)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = cfgs.map(c => Future(c.resolvedStageTable ->
+          syncTable(spark, c, source, stagingRoot, warehouseRoot, runDate).count()))
+        Await.result(Future.sequence(fs), Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Source-catalog → engine type mapping and schema codegen.
+  *
+  * Re-expresses the reference's `datatype_to_bq`
+  * (reference dags/cloudsql_to_bigquery.py:152-165): substring matching on
+  * the upper-cased source DATA_TYPE, checked IN ORDER — `DATETIME` must hit
+  * before `DATE`, and anything unmatched falls back to STRING ("you can fix
+  * it later", :155). Name sanitization per :187 (`" "→"_"`, `"/"→"_and_"`,
+  * `"` stripped); every column forced nullable per :189.
+  *
+  * Two output domains:
+  *   - [[toBqType]]: the reference's 5-type warehouse system (DATETIME,
+  *     DATE, INTEGER, FLOAT, STRING) — used by the BQ-JSON schema codec.
+  *   - [[toSparkType]]: the engine-native Catalyst type. DECIMAL→DOUBLE is
+  *     lossy BY DESIGN in the reference (:163-164); `lossyDecimal = false`
+  *     is the fidelity flag that keeps DecimalType(38,9) instead.
+  */
+object TypeMapper {
+
+  /** Ordered substring rules (first match wins). Order traps pinned by
+    * tests: DATETIME before DATE, TIMESTAMP before anything; INT would also
+    * catch POINT — preserved as reference-faithful behavior.
+    */
+  private val rules: Seq[(String, String)] = Seq(
+    "TIMESTAMP" -> "DATETIME",
+    "DATETIME"  -> "DATETIME",
+    "DATE"      -> "DATE",
+    "INT"       -> "INTEGER",
+    "FLOAT"     -> "FLOAT",
+    "DOUBLE"    -> "FLOAT",
+    "DECIMAL"   -> "FLOAT",
+  )
+
+  def toBqType(sourceType: String): String = {
+    val up = Option(sourceType).getOrElse("").toUpperCase
+    rules.collectFirst { case (pat, bq) if up.contains(pat) => bq }
+      .getOrElse("STRING")
+  }
+
+  def toSparkType(sourceType: String, lossyDecimal: Boolean = true): DataType = {
+    val up = Option(sourceType).getOrElse("").toUpperCase
+    toBqType(sourceType) match {
+      case "DATETIME" => TimestampNTZType // wall-clock, no zone (ref :157)
+      case "DATE"     => DateType
+      case "INTEGER"  => LongType         // all int widths widened to 64-bit
+      case "FLOAT" if up.contains("DECIMAL") && !lossyDecimal =>
+        DecimalType(38, 9)
+      case "FLOAT"    => DoubleType
+      case _          => StringType
+    }
+  }
+
+  /** Column-name sanitization (reference :187). */
+  def sanitizeName(name: String): String =
+    name.replace("\"", "").replace(" ", "_").replace("/", "_and_")
+
+  /** Schema inference from catalog rows `(COLUMN_NAME, DATA_TYPE)` in
+    * ordinal order — the shape of the reference's INFORMATION_SCHEMA query
+    * (reference dags/cloudsql_to_bigquery.py:141). All fields nullable.
+    */
+  def schemaFromCatalogRows(rows: Seq[(String, String)],
+                            lossyDecimal: Boolean = true): StructType =
+    StructType(rows.map { case (name, dt) =>
+      StructField(sanitizeName(name), toSparkType(dt, lossyDecimal), nullable = true)
+    })
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class MergeSpec extends SparkTestBase {
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  private lazy val existing = orders.filter(col("o_orderkey") % 2 === 0)
+    .withColumn("o_totalprice", col("o_totalprice") + 1000)
+  private lazy val stage = orders.filter(col("o_orderkey") % 3 === 0)
+
+  test("upsert: keys = union, no duplicates, stage wins") {
+    val merged = Merge.upsert(existing, stage, Seq("o_orderkey")).cache()
+    val eKeys = existing.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val sKeys = stage.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val mKeys = merged.select("o_orderkey").collect().map(_.getLong(0))
+    assert(mKeys.toSet == (eKeys ++ sKeys), "keys must be the union")
+    assert(mKeys.length == mKeys.toSet.size, "no duplicate keys")
+    // conflict rows (in both) must carry stage's (un-perturbed) price
+    val conflicts = merged.join(stage.select(col("o_orderkey"),
+        col("o_totalprice").as("sp")), "o_orderkey")
+    assert(conflicts.filter(col("o_totalprice") =!= col("sp")).count() == 0,
+      "stage wins on conflict")
+    // existing-only rows keep the perturbed price
+    val eOnly = merged.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 3 =!= 0)
+    val eVals = existing.select(col("o_orderkey"), col("o_totalprice").as("ep"))
+    assert(eOnly.join(eVals, "o_orderkey")
+      .filter(col("o_totalprice") =!= col("ep")).count() == 0)
+    merged.unpersist()
+  }
+
+  test("antiUnion equals upsert on key-unique inputs") {
+    val a = Merge.antiUnion(existing, stage, Seq("o_orderkey"))
+    val b = Merge.upsert(existing, stage, Seq("o_orderkey"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("upsert rejects mismatched schemas and empty keys") {
+    intercept[IllegalArgumentException] {
+      Merge.upsert(existing.drop("o_orderstatus"), stage, Seq("o_orderkey"))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.upsert(existing, stage, Nil)
+    }
+  }
+
+  test("merge with empty stage is identity; empty existing returns stage") {
+    val empty = stage.limit(0)
+    assert(Merge.upsert(existing, empty, Seq("o_orderkey")).count() == existing.count())
+    assert(Merge.upsert(empty, stage, Seq("o_orderkey")).count() == stage.count())
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("attachBinary produces the binary+metadata schema contract") {
+    val m = Multimodal.attachBinary(docs, "doc_id", "text")
+    val s = m.schema
+    assert(s("data").dataType.typeName == "binary")
+    assert(s("meta").dataType.typeName == "struct")
+    val row = m.filter(col("doc_id") === 0).head()
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") ==
+      row.getAs[Array[Byte]]("data").length.toLong)
+  }
+
+  test("decodeImages runs partition-wise and is deterministic") {
+    import spark.implicits._
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .repartition(4)
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(media).collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { d =>
+      assert(d.width == (d.n_bytes % 640 + 1).toInt)
+      assert(d.height == (d.n_bytes % 480 + 1).toInt)
+      assert(d.channels == 3)
+    }
+  }
+
+  test("byte sampling strides deterministically") {
+    val m = Multimodal.attachBinary(docs.limit(5), "doc_id", "text")
+    val out = Multimodal.sampleBytes(m, stride = 10).select("doc_id", "data", "sampled").collect()
+    out.foreach { r =>
+      val data = r.getAs[Array[Byte]]("data")
+      val sampled = r.getSeq[Array[Byte]](r.fieldIndex("sampled"))
+      assert(sampled.length == (data.length + 9) / 10)
+      assert(sampled.head.head == data(0))
+      sampled.zipWithIndex.foreach { case (b, i) => assert(b.head == data(i * 10)) }
+    }
+  }
+
+  test("metadata-only projection does not touch payload bytes") {
+    val m = Multimodal.attachBinary(docs, "doc_id", "text")
+    val metaOnly = m.select(col("doc_id"), col("meta.n_bytes"))
+    assert(metaOnly.count() == docs.count())
+  }
+}

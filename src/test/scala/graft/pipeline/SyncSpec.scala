@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SyncSpec extends SparkTestBase {
+
+  test("TableConfig defaulting rules (reference :66,:69,:72)") {
+    val c = TableConfig(exportTable = "DimAge")
+    assert(c.resolvedExportQuery == "SELECT * from DimAge")
+    assert(c.resolvedStageTable == "DimAge")
+    assert(c.resolvedLocation == "EU")
+    val c2 = TableConfig(exportTable = "t", exportQuery = Some("SELECT 1"),
+      stageTable = Some("s"), location = Some("US"))
+    assert(c2.resolvedExportQuery == "SELECT 1")
+    assert(c2.resolvedStageTable == "s")
+    assert(c2.resolvedLocation == "US")
+  }
+
+  test("run-date literal is ds_nodash (yyyyMMdd)") {
+    assert(Sync.runDateLiteral(LocalDate.of(2020, 3, 7)) == "20200307")
+  }
+
+  test("retry succeeds after transient failures, gives up past budget") {
+    var calls = 0
+    val out = Sync.retry(retries = 2, delayMs = 0) {
+      calls += 1
+      if (calls < 3) sys.error("transient") else "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Sync.retry(retries = 2, delayMs = 0) { calls2 += 1; sys.error("always") }
+    }
+    assert(calls2 == 3) // initial + 2 retries, like the reference
+  }
+
+  test("snapshot sync publishes the export; re-run overwrites") {
+    val staging = Files.createTempDirectory("sync_stg").toString
+    val warehouse = Files.createTempDirectory("sync_wh").toString
+    val src = ViewSource(sfDir)
+    val cfg = TableConfig(exportTable = "nation",
+      exportQuery = Some("SELECT * FROM nation WHERE n_regionkey < 2"))
+    val out1 = Sync.syncTable(spark, cfg, src, staging, warehouse,
+      LocalDate.of(2020, 1, 1))
+    assert(out1.count() == 10)
+    val out2 = Sync.syncTable(spark, cfg.copy(exportQuery = None), src,
+      staging, warehouse, LocalDate.of(2020, 1, 2))
+    assert(out2.count() == 25, "second run replaces the snapshot")
+    // both runs' staging snapshots exist, date-keyed (A15)
+    assert(new java.io.File(s"$staging/nation/ds=20200101").exists())
+    assert(new java.io.File(s"$staging/nation/ds=20200102").exists())
+  }
+
+  test("merge sync: stage_final_query joins stage with existing") {
+    val staging = Files.createTempDirectory("sync_stg2").toString
+    val warehouse = Files.createTempDirectory("sync_wh2").toString
+    val src = ViewSource(sfDir)
+    val base = TableConfig(exportTable = "orders",
+      exportQuery = Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0"))
+    Sync.syncTable(spark, base, src, staging, warehouse, LocalDate.of(2020, 1, 1))
+    val merged = Sync.syncTable(spark, base.copy(
+      exportQuery = Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0"),
+      stageFinalQuery = Some(
+        """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS o_orderkey,
+          |       COALESCE(s.o_orderstatus, e.o_orderstatus) AS o_orderstatus
+          |FROM existing e FULL OUTER JOIN stage s ON e.o_orderkey = s.o_orderkey""".stripMargin)),
+      src, staging, warehouse, LocalDate.of(2020, 1, 2))
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val expected = orders
+      .filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 3 === 0).count()
+    assert(merged.count() == expected)
+  }
+
+  test("column names are sanitized on export (A6)") {
+    val staging = Files.createTempDirectory("sync_stg3").toString
+    val warehouse = Files.createTempDirectory("sync_wh3").toString
+    val src = ViewSource(sfDir)
+    val cfg = TableConfig(exportTable = "region",
+      exportQuery = Some("SELECT r_regionkey AS `region key`, r_name AS `either/or` FROM region"))
+    val out = Sync.syncTable(spark, cfg, src, staging, warehouse,
+      LocalDate.of(2020, 1, 1))
+    assert(out.columns.toSeq == Seq("region_key", "either_and_or"))
+  }
+
+  test("syncAll runs every config (sequential and bounded-parallel)") {
+    val staging = Files.createTempDirectory("sync_stg4").toString
+    val warehouse = Files.createTempDirectory("sync_wh4").toString
+    val src = ViewSource(sfDir)
+    val cfgs = Seq(TableConfig("region"), TableConfig("nation"),
+      TableConfig(exportTable = "customer", isFact = true))
+    val counts = Sync.syncAll(spark, cfgs, src, staging, warehouse,
+      LocalDate.of(2020, 1, 1))
+    assert(counts == Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L))
+    val counts2 = Sync.syncAll(spark, cfgs, src, staging, warehouse,
+      LocalDate.of(2020, 1, 2), maxParallel = 3)
+    assert(counts2 == counts)
+  }
+}

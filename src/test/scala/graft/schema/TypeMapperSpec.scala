@@ -1,0 +1,74 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TypeMapperSpec extends AnyFunSuite {
+
+  // FIXTURES.md §2.1 table-driven expectations, incl. the ordering traps.
+  val cases: Seq[(String, String, DataType)] = Seq(
+    ("int", "INTEGER", LongType),
+    ("tinyint", "INTEGER", LongType),
+    ("bigint", "INTEGER", LongType),
+    ("datetime", "DATETIME", TimestampNTZType), // DATETIME before DATE
+    ("date", "DATE", DateType),
+    ("timestamp", "DATETIME", TimestampNTZType),
+    ("decimal", "FLOAT", DoubleType),           // lossy by design
+    ("double", "FLOAT", DoubleType),
+    ("float", "FLOAT", DoubleType),
+    ("varchar", "STRING", StringType),
+    ("text", "STRING", StringType),
+    ("blob", "STRING", StringType),             // fallback
+    ("point", "INTEGER", LongType),             // faithful quirk: *INT* catches POINT
+    ("", "STRING", StringType),
+  )
+
+  test("ordered substring rules (table-driven)") {
+    cases.foreach { case (src, bq, spark) =>
+      assert(TypeMapper.toBqType(src) == bq, s"bq($src)")
+      assert(TypeMapper.toSparkType(src) == spark, s"spark($src)")
+      // case-insensitive
+      assert(TypeMapper.toBqType(src.toUpperCase) == bq, s"BQ($src)")
+    }
+  }
+
+  test("DATETIME-before-DATE ordering trap") {
+    // 'datetime' contains 'date' as substring; rule order must win
+    assert(TypeMapper.toBqType("datetime") == "DATETIME")
+    assert(TypeMapper.toBqType("datetime(6)") == "DATETIME")
+  }
+
+  test("fidelity flag keeps decimals") {
+    assert(TypeMapper.toSparkType("decimal(10,2)", lossyDecimal = false) == DecimalType(38, 9))
+    assert(TypeMapper.toSparkType("double", lossyDecimal = false) == DoubleType)
+  }
+
+  test("name sanitization rules") {
+    assert(TypeMapper.sanitizeName("full name") == "full_name")
+    assert(TypeMapper.sanitizeName("either/or") == "either_and_or")
+    assert(TypeMapper.sanitizeName("a\"b") == "ab")
+    assert(TypeMapper.sanitizeName("both kinds/of bad") == "both_kinds_and_of_bad")
+  }
+
+  test("sanitization is idempotent (seeded random strings)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(20)).map(_ => rnd.nextPrintableChar()).mkString
+      val once = TypeMapper.sanitizeName(s)
+      assert(TypeMapper.sanitizeName(once) == once, s"input: $s")
+    }
+  }
+
+  test("schema inference from catalog rows (FIXTURES.md §2.1)") {
+    val schema = TypeMapper.schemaFromCatalogRows(Seq(
+      "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",
+      "born" -> "datetime", "start_date" -> "date", "balance" -> "decimal",
+      "ratio" -> "double", "note" -> "text"))
+    assert(schema.fieldNames.toSeq == Seq(
+      "id", "full_name", "either_and_or", "born", "start_date", "balance", "ratio", "note"))
+    assert(schema("born").dataType == TimestampNTZType)
+    assert(schema("start_date").dataType == DateType)
+    assert(schema("balance").dataType == DoubleType)
+    assert(schema.fields.forall(_.nullable))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class EventsStreamSpec extends SparkTestBase {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** File-stream sources need a directory; stage the single-file events
+    * table into one (the incremental-ingest layout: one file per arrival).
+    */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("es_src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events-000.parquet"))
+    d.toString
+  }
+
+  test("hourly windowed counts with watermark match the batch aggregation (closed windows)") {
+    val out = tmp("es_out")
+    val q = EventsStream.hourlyCounts(spark, eventsDir,
+      tmp("es_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+    // append mode only emits windows closed by the final watermark
+    // (max ts - 1 h); every emitted window must agree with batch.
+    assert(streamed.count() > 0, "closed windows must be emitted")
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.user_id") === col("b.user_id") && col("s.w") === col("b.w"))
+    assert(joined.count() == streamed.count(), "every streamed window exists in batch")
+    assert(joined.filter(col("s.c") =!= col("b.c") || col("s.v") =!= col("b.v"))
+      .count() == 0, "window aggregates must match batch")
+  }
+
+  test("stateful dedup within watermark keeps event_ids unique") {
+    val out = tmp("es_dd_out")
+    val q = EventsStream.dedupedEvents(spark, eventsDir,
+      tmp("es_dd_ckpt"), out)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("session windows close via watermark and never overlap per user") {
+    val out = tmp("es_sw_out")
+    val q = EventsStream.sessionCounts(spark, eventsDir,
+      tmp("es_sw_ckpt"), out)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    // sessions for one user must be disjoint: start of next >= end of prev
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("w_start")
+    val overlaps = got
+      .withColumn("prev_end", lag("w_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("w_start") < col("prev_end"))
+    assert(overlaps.count() == 0)
+  }
+}
