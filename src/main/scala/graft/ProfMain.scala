@@ -5,6 +5,21 @@ object ProfMain {
     val spark = Engine.session("prof", "8")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("dedup_ngram_jaccard")
+    if (names == Seq("dotbench")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.VectorOps
+      val e = Tables.load(spark, dir, "embeddings").select(col("embedding"))
+      val pairs = e.crossJoin(e.select(col("embedding").as("p"))).cache()
+      pairs.count()
+      for ((label, c) <- Seq(
+          "native" -> VectorOps.dot(col("p"), col("embedding")),
+          "hof" -> VectorOps.dotHof(col("p"), col("embedding"))); i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        pairs.select(sum(c)).head()
+        println(f"$label run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")

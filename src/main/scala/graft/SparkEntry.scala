@@ -69,6 +69,7 @@ object SparkEntry {
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
+    "udaf_centroid"         -> (LlmQueries.udafCentroid _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -431,5 +432,10 @@ object SparkEntry {
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "udaf_centroid" ->
+      """SELECT label, CAST(g.i AS BIGINT) AS i,
+        |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) AS v
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+        |GROUP BY label, g.i ORDER BY label, i""".stripMargin,
   )
 }

@@ -24,6 +24,7 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(spark) // idempotent; any session works
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` is TIMESTAMP(NANOS) parquet; with
     // spark.sql.legacy.parquet.nanosAsLong (set in [[Engine.session]]) it

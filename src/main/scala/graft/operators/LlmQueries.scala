@@ -92,4 +92,20 @@ object LlmQueries {
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
+
+  /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF
+    * coarse-quantizer training step; output exploded to (label, dim, value)
+    * rows so the oracle can reproduce it with plain SQL.
+    */
+  def udafCentroid(s: SparkSession, dir: String): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    embs(s, dir)
+      .select(col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .groupBy("label")
+      .agg(centroid(col("emb")).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("i"),
+        round(col("col"), 4).as("v"))
+      .orderBy("label", "i")
+  }
 }

@@ -304,15 +304,26 @@ object Queries {
       .orderBy("user_id", "w")
 }
 
-/** Array/vector helpers built from codegen'd higher-order functions —
-  * no UDF, no serialization boundary (SURVEY §2.B footnote 2).
+/** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
+  * footnote 2). Two tiers with identical double-precision semantics (same
+  * cast-to-double, same left-to-right summation — results bit-equal):
+  *
+  *   - [[dotHof]]: built-in higher-order functions only; portable to any
+  *     Spark session.
+  *   - [[dot]]: the native codegen'd [[graft.functions.DotProduct]]
+  *     expression (primitive loop, no intermediate array) registered by
+  *     [[graft.Engine.session]] — the hot-path default.
   */
 object VectorOps {
-  /** Dot product in double precision regardless of element type. */
-  def dot(a: Column, b: Column): Column =
+  /** HOF spelling: aggregate(zip_with(...)) — allocation per row. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product (ARRAY<FLOAT> implicitly cast). */
+  def dot(a: Column, b: Column): Column =
+    call_function("dot_native", a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

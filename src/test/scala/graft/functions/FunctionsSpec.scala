@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.VectorOps
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("native dot product equals the HOF spelling bit-for-bit") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val both = e.crossJoin(
+        Tables.load(spark, sfDir, "embeddings").limit(5)
+          .select(col("embedding").as("p")))
+      .select(
+        VectorOps.dot(col("p"), col("embedding")).as("native"),
+        VectorOps.dotHof(col("p"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dot_native stays inside whole-stage codegen") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = e.select(VectorOps.dot(col("embedding"), col("embedding")).as("d"))
+    // "*(n)" prefixes mark WholeStageCodegen spans in toString form
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [dot_native"), s"expected codegen span: $p")
+    assert(df.agg(min("d")).head().getDouble(0) > 0.0)
+  }
+
+  test("dot_native handles nulls and length mismatch") {
+    val r = spark.sql(
+      """SELECT dot_native(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0, 5.0) AS ARRAY<DOUBLE>)) AS a,
+        |       dot_native(CAST(NULL AS ARRAY<DOUBLE>), CAST(array(1.0) AS ARRAY<DOUBLE>)) AS b""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("centroid aggregator matches per-dimension averages") {
+    import spark.implicits._
+    val data = Seq(
+      (0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (1, Seq(10.0, 20.0)))
+      .toDF("label", "emb")
+    val c = udaf(CentroidAgg)
+    val got = data.groupBy("label").agg(c(col("emb")).as("c"))
+      .orderBy("label").collect()
+    assert(got(0).getSeq[Double](1) == Seq(2.0, 3.0))
+    assert(got(1).getSeq[Double](1) == Seq(10.0, 20.0))
+  }
+
+  test("centroid aggregator merges across partitions") {
+    import spark.implicits._
+    val big = spark.range(1000)
+      .select((col("id") % 4).cast("int").as("label"),
+        array(col("id").cast("double"), lit(1.0)).as("emb"))
+      .repartition(8)
+      .as[(Int, Seq[Double])].toDF("label", "emb")
+    val c = udaf(CentroidAgg)
+    val got = big.groupBy("label").agg(c(col("emb")).as("c")).orderBy("label").collect()
+    // label 0 holds ids 0,4,...,996: mean = 498
+    assert(math.abs(got(0).getSeq[Double](1).head - 498.0) < 1e-9)
+    assert(got(0).getSeq[Double](1)(1) == 1.0)
+  }
+}

@@ -87,6 +87,18 @@ class SyncSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("region_key", "either_and_or"))
   }
 
+  test("incremental sync pulls only rows past the high watermark") {
+    val src = ViewSource(sfDir)
+    val cfg = TableConfig(exportTable = "orders")
+    val full = src.read(spark, cfg.resolvedExportQuery)
+    val wm = Sync.latestWatermark(full.filter(col("o_orderkey") <= 750), "o_orderdate").get
+    val inc = src.read(spark,
+      Sync.incrementalQuery(cfg, "o_orderdate", s"TIMESTAMP '$wm'"))
+    val expected = full.filter(col("o_orderdate") > lit(wm).cast("timestamp")).count()
+    assert(inc.count() == expected)
+    assert(inc.count() < full.count(), "delta must be a strict subset")
+  }
+
   test("syncAll runs every config (sequential and bounded-parallel)") {
     val staging = Files.createTempDirectory("sync_stg4").toString
     val warehouse = Files.createTempDirectory("sync_wh4").toString
