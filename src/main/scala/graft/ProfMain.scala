@@ -5,6 +5,19 @@ object ProfMain {
     val spark = Engine.session("prof", "8")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("dedup_ngram_jaccard")
+    if (names == Seq("streamdemo")) {
+      val tmp = java.nio.file.Files.createTempDirectory("sd").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$tmp/events.parquet"))
+      val out = tmp + "/out"
+      graft.streaming.EventsStream.userTotals(spark, tmp, tmp + "/ckpt", out)
+        .awaitTermination()
+      val got = spark.read.parquet(out)
+      println(s"rows=${got.count()} users=${got.select("user_id").distinct().count()}")
+      got.orderBy(org.apache.spark.sql.functions.col("user_id")).show(5)
+      spark.stop(); return
+    }
     if (names == Seq("dotbench")) {
       import org.apache.spark.sql.functions._
       import graft.operators.VectorOps

@@ -73,6 +73,42 @@ object EventsStream {
       .option("path", outDir)
       .start()
 
+  /** Custom keyed state via flatMapGroupsWithState: per-user cumulative
+    * event count + running value total, emitted once per micro-batch — the
+    * fully-general stateful surface (§2.C) beyond what windows/dedup
+    * express. State is per-key constant size. NoTimeout here because
+    * `Trigger.AvailableNow` must run to completion (pending processing-time
+    * timers keep a query alive past the available data); a continuously
+    * deployed variant sets `GroupStateTimeout.EventTimeTimeout` + a
+    * watermark so idle users are evicted and state never grows unbounded
+    * at 100 TB/day.
+    */
+  def userTotals(spark: SparkSession, srcDir: String,
+                 checkpointDir: String, outDir: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = source(spark, srcDir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "n_events", "total_value")
+    updated.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Session windows (10-minute gap) per user — the §2.C extension the
     * reference has no analog for; state closes via watermark.
     */

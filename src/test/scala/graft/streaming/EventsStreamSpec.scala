@@ -49,6 +49,24 @@ class EventsStreamSpec extends SparkTestBase {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals matching batch") {
+    val out = tmp("es_st_out")
+    val q = EventsStream.userTotals(spark, eventsDir, tmp("es_st_ckpt"), out)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    // final emitted row per user equals the batch aggregate
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_value").as("v"))
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("bn"), sum("value").as("bv"))
+    val j = finalPerUser.join(batch, "user_id")
+    assert(j.count() == batch.count())
+    assert(j.filter(col("n") =!= col("bn") ||
+      abs(col("v") - col("bv")) > 1e-6).count() == 0)
+  }
+
   test("session windows close via watermark and never overlap per user") {
     val out = tmp("es_sw_out")
     val q = EventsStream.sessionCounts(spark, eventsDir,
