@@ -69,6 +69,7 @@ object SparkEntry {
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
+    "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
   )
 
@@ -432,6 +433,38 @@ object SparkEntry {
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
         |  md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1),
+        |j AS (SELECT p.vec_id AS probe_id, a.vec_id AS cand_id, p.cid,
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+        |      FROM pasg p JOIN casg a USING (cid)),
+        |r AS (SELECT probe_id, cand_id, cid, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn FROM j)
+        |SELECT probe_id, cand_id AS neighbor_id, cid, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "udaf_centroid" ->
       """SELECT label, CAST(g.i AS BIGINT) AS i,
         |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) AS v

@@ -93,6 +93,20 @@ object LlmQueries {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 
+  /** IVF ANN: per-label centroids trained on the corpus (vec_id ≥ 10)
+    * serve as the codebook; probes (vec_id < 10) search only their nearest
+    * centroid's inverted list.
+    */
+  def simIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val centroids = Similarity.trainCentroids(corpus, "label", "emb")
+    Similarity.ivfTopK(corpus.drop("label"), probes, centroids, "vec_id", "emb", k = 1)
+      .orderBy("probe_id")
+  }
+
   /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF
     * coarse-quantizer training step; output exploded to (label, dim, value)
     * rows so the oracle can reproduce it with plain SQL.

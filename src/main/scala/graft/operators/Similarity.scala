@@ -46,6 +46,50 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF coarse quantizer training: one centroid per label via the typed
+    * [[graft.functions.CentroidAgg]] UDAF (k-means' assignment step over a
+    * labeled corpus; swap the label for an iterated assignment to get full
+    * k-means — the operator shapes are identical).
+    */
+  def trainCentroids(vectors: DataFrame, labelCol: String, embCol: String): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    vectors.groupBy(col(labelCol).as("cid"))
+      .agg(centroid(col(embCol)).as("cemb"))
+  }
+
+  /** IVF assignment: nearest centroid by cosine (centroids broadcast —
+    * they are tiny by construction), deterministic tie-break on cid.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                idCol: String, embCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorOps.cosine(col(embCol), col("cemb")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col(embCol), col("cid"))
+  }
+
+  /** IVF ANN (nprobe = 1): probes search only the inverted list of their
+    * nearest centroid. At 100 TB the corpus shuffles once on cid (each
+    * inverted list is a partition-local scan); accuracy/cost trades via
+    * the codebook size and nprobe, exactly like the LSH `bits` dial.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+              idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = ivfAssign(corpus, centroids, idCol, embCol)
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("cid"))
+    val p = ivfAssign(probes, centroids, idCol, embCol)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("cid"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("cid"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"),
+        col("cid"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

@@ -11,5 +11,10 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkTestBase {
-  lazy val shared: SparkSession = Engine.session("graft-test", "4")
+  lazy val shared: SparkSession = {
+    // static conf — must precede session creation (bucketed-table specs)
+    System.setProperty("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    Engine.session("graft-test", "4")
+  }
 }

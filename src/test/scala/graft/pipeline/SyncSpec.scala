@@ -87,6 +87,17 @@ class SyncSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("region_key", "either_and_or"))
   }
 
+  test("daily schedule helper (A14): next fire + data interval") {
+    import java.time.{LocalDate, LocalDateTime}
+    import graft.pipeline.Schedule
+    val before = LocalDateTime.of(2020, 3, 7, 5, 30)
+    val after = LocalDateTime.of(2020, 3, 7, 6, 30)
+    assert(Schedule.nextDaily(6, before) == LocalDateTime.of(2020, 3, 7, 6, 0))
+    assert(Schedule.nextDaily(6, after) == LocalDateTime.of(2020, 3, 8, 6, 0))
+    assert(Schedule.dataDateFor(LocalDateTime.of(2020, 3, 8, 6, 0)) ==
+      LocalDate.of(2020, 3, 7))
+  }
+
   test("incremental sync pulls only rows past the high watermark") {
     val src = ViewSource(sfDir)
     val cfg = TableConfig(exportTable = "orders")
