@@ -47,6 +47,7 @@ object SparkEntry {
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
+    "a03_default_projection"-> (PipelineQueries.a03DefaultProjection _),
     "a04_catalog_scan"      -> (PipelineQueries.a04CatalogScan _),
     "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
     "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
@@ -55,6 +56,9 @@ object SparkEntry {
     "a09_overwrite_snapshot"-> (PipelineQueries.a09OverwriteSnapshot _),
     "a10_merge_helper"      -> (PipelineQueries.a10MergeHelper _),
     "a11_sync_pipeline"     -> (PipelineQueries.a11SyncPipeline _),
+    "a12_throttled_sync"    -> (PipelineQueries.a12ThrottledSync _),
+    "a13_retry_sync"        -> (PipelineQueries.a13RetrySync _),
+    "a14_schedule"          -> (PipelineQueries.a14Schedule _),
     "a15_run_date"          -> (PipelineQueries.a15RunDate _),
     // LLM-data-pipeline operators (north-star extensions)
     "dedup_exact"           -> (LlmQueries.dedupExact _),
@@ -207,6 +211,22 @@ object SparkEntry {
     "a02_jdbc_partitioned" ->
       """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a03_default_projection" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "a12_throttled_sync" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'region', COUNT(*) FROM region
+        |) AS t ORDER BY table_name""".stripMargin,
+    "a13_retry_sync" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "a14_schedule" ->
+      """SELECT * FROM (VALUES
+        |  ('2020-03-07T05:30', '2020-03-07T06:00', '2020-03-06'),
+        |  ('2020-03-07T06:00', '2020-03-08T06:00', '2020-03-07'),
+        |  ('2020-03-07T23:59', '2020-03-08T06:00', '2020-03-07')
+        |) AS t(probe, next_fire, data_date) ORDER BY probe""".stripMargin,
     "a04_catalog_scan" ->
       """SELECT * FROM (VALUES
         |  ('c_custkey', 'BIGINT', 'INTEGER', CAST(1 AS BIGINT)),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Sync, TableConfig, ViewSource}
+import graft.pipeline.{Schedule, SqlSource, Sync, TableConfig, ViewSource}
 import graft.schema.{SchemaCodec, TypeMapper}
 import graft.sources.{CsvIO, JdbcSource, JsonIO}
 
@@ -47,6 +47,15 @@ object PipelineQueries {
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
       .orderBy("c_nationkey")
+  }
+
+  /** A3 — the default projection: a TableConfig with no export query must
+    * resolve to `SELECT * from <table>` (reference :46-47,:66) and run it
+    * verbatim through the source.
+    */
+  def a03DefaultProjection(s: SparkSession, dir: String): DataFrame = {
+    val cfg = TableConfig(exportTable = "region")
+    ViewSource(dir).read(s, cfg.resolvedExportQuery).orderBy("r_regionkey")
   }
 
   /** A4+A5+A6 — catalog scan with filter + sort, through the source's own
@@ -174,6 +183,59 @@ object PipelineQueries {
     Sync.syncTable(s, run1, src, staging, warehouse, LocalDate.of(2020, 1, 1))
     Sync.syncTable(s, run2, src, staging, warehouse, LocalDate.of(2020, 1, 2))
       .orderBy("o_orderkey")
+  }
+
+  /** A12 — resource-throttled source parallelism: three tables synced
+    * through a bounded pool (maxParallel = 2 — the engine form of the
+    * reference's "only one export at a time" chain, :284-287); output is
+    * the published row count per table.
+    */
+  def a12ThrottledSync(s: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_thr_stg").toString
+    val warehouse = Files.createTempDirectory("graft_thr_wh").toString
+    val counts = Sync.syncAll(s,
+      Seq(TableConfig("region"), TableConfig("nation"), TableConfig("customer")),
+      ViewSource(dir), staging, warehouse, LocalDate.of(2020, 1, 1),
+      maxParallel = 2)
+    s.createDataFrame(counts.toSeq.sortBy(_._1)).toDF("table_name", "n_rows")
+      .orderBy("table_name")
+  }
+
+  /** A13 — retry/fault-tolerance: a source that fails transiently on its
+    * first attempt; the retry wrapper (reference default_args retries=2,
+    * :29-30) must deliver the successful result.
+    */
+  def a13RetrySync(s: SparkSession, dir: String): DataFrame = {
+    val flaky = new SqlSource {
+      private var calls = 0
+      def read(sess: SparkSession, q: String): DataFrame = {
+        calls += 1
+        if (calls == 1) sys.error("transient source failure (simulated)")
+        ViewSource(dir).read(sess, q)
+      }
+    }
+    val staging = Files.createTempDirectory("graft_rty_stg").toString
+    val warehouse = Files.createTempDirectory("graft_rty_wh").toString
+    Sync.syncTable(s, TableConfig("region"), flaky, staging, warehouse,
+        LocalDate.of(2020, 1, 1), retries = 2, retryDelayMs = 0L)
+      .orderBy("r_regionkey")
+  }
+
+  /** A14 — the daily 06:00 schedule contract as data: next fire time and
+    * Airflow-style data-interval date for fixed probe instants.
+    */
+  def a14Schedule(s: SparkSession, dir: String): DataFrame = {
+    import java.time.LocalDateTime
+    val probes = Seq(
+      LocalDateTime.of(2020, 3, 7, 5, 30),
+      LocalDateTime.of(2020, 3, 7, 6, 0),
+      LocalDateTime.of(2020, 3, 7, 23, 59))
+    val rows = probes.map { now =>
+      val fire = Schedule.nextDaily(6, now)
+      (now.toString, fire.toString, Schedule.dataDateFor(fire).toString)
+    }
+    s.createDataFrame(rows).toDF("probe", "next_fire", "data_date")
+      .orderBy("probe")
   }
 
   /** A15 — the run-date literal family (`ds_nodash` = yyyyMMdd). */
