@@ -5,6 +5,18 @@ object ProfMain {
     val spark = Engine.session("prof", "8")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("dedup_ngram_jaccard")
+    if (names == Seq("plans")) {
+      // dump formatted physical plans of the scale-critical queries
+      val targets = Seq("q02_filter_predicates", "q04_star_join",
+        "q10_window_topk", "q16_global_topk", "q19_cosine_topk",
+        "dedup_minhash_lsh", "dedup_embedding", "sim_ivf_ann")
+      for (n <- targets) {
+        println(s"\n===== $n =====")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      }
+      spark.stop(); return
+    }
     if (names == Seq("streamdemo")) {
       val tmp = java.nio.file.Files.createTempDirectory("sd").toString
       java.nio.file.Files.copy(

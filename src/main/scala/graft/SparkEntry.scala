@@ -35,6 +35,7 @@ object SparkEntry {
     "q11_window_running"    -> (Queries.q11 _),
     "q12_count_distinct"    -> (Queries.q12 _),
     "q13_rollup_grouping"   -> (Queries.q13 _),
+    "q13b_cube_grouping"    -> (Queries.q13b _),
     "q14_string_functions"  -> (Queries.q14 _),
     "q15_datetime"          -> (Queries.q15 _),
     "q16_global_topk"       -> (Queries.q16 _),
@@ -44,6 +45,8 @@ object SparkEntry {
     "q18_json_extract"      -> (Queries.q18 _),
     "q19_cosine_topk"       -> (Queries.q19 _),
     "q20_time_bucket_agg"   -> (Queries.q20 _),
+    "q21_window_analytics"  -> (Queries.q21 _),
+    "q22_percentiles"       -> (Queries.q22 _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -159,6 +162,14 @@ object SparkEntry {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q13b_cube_grouping" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS INT) AS g1,
+        |  CAST(GROUPING(n_name) AS INT) AS g2,
+        |  COUNT(*) AS c
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "q14_string_functions" ->
       """SELECT doc_id, UPPER(lang) AS ul,
         |  REPLACE(REPLACE(source, ' ', '_'), '/', '_and_') AS s2,
@@ -203,6 +214,20 @@ object SparkEntry {
         |  COUNT(*) AS c, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY user_id, date_trunc('hour', ts)
         |ORDER BY user_id, w""".stripMargin,
+    "q21_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(ROUND(o_totalprice, 2), 1) OVER w AS prev_p,
+        |  lead(ROUND(o_totalprice, 2), 1) OVER w AS next_p,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // --- pipeline operators (A*): round-trip/merge outputs the oracle
     // reproduces straight from the source tables ---
     "a01_jdbc_pushdown" ->

@@ -294,6 +294,49 @@ object Queries {
       .limit(10)
   }
 
+  /** Q21 — analytic window functions (lag/lead/ntile): one shuffle on the
+    * partition key, all three functions share a single window frame.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(round(col("o_totalprice"), 2), 1).over(w).as("prev_p"),
+        lead(round(col("o_totalprice"), 2), 1).over(w).as("next_p"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q22 — exact interpolated percentiles per group (DuckDB oracle:
+    * quantile_cont — same linear-interpolation definition).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Q13b — CUBE over the same lattice as Q13's ROLLUP (adds the
+    * nation-only subtotal stratum).
+    */
+  def q13b(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("g13b_nation")
+    t(s, dir, "region").createOrReplaceTempView("g13b_region")
+    s.sql("""
+      SELECT /*+ BROADCAST(g13b_region) */ r_name, n_name,
+        CAST(GROUPING(r_name) AS INT) AS g1,
+        CAST(GROUPING(n_name) AS INT) AS g2,
+        COUNT(*) AS c
+      FROM g13b_nation JOIN g13b_region ON n_regionkey = r_regionkey
+      GROUP BY CUBE(r_name, n_name)
+      ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""")
+  }
+
   /** Q20 — tumbling-window time aggregation, batch form (streaming form in
     * [[graft.streaming.EventsStream]]): one shuffle on (user_id, hour).
     */

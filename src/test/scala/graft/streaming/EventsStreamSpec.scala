@@ -49,6 +49,19 @@ class EventsStreamSpec extends SparkTestBase {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("checkpointed restart is exactly-once: re-run emits nothing new") {
+    val out = tmp("es_eo_out")
+    val ckpt = tmp("es_eo_ckpt")
+    EventsStream.hourlyCounts(spark, eventsDir, ckpt, out).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // same checkpoint, same source, no new files → a restarted query must
+    // recognize committed offsets and emit zero additional rows
+    EventsStream.hourlyCounts(spark, eventsDir, ckpt, out).awaitTermination()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals matching batch") {
     val out = tmp("es_st_out")
     val q = EventsStream.userTotals(spark, eventsDir, tmp("es_st_ckpt"), out)
