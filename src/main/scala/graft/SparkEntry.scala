@@ -47,6 +47,7 @@ object SparkEntry {
     "q20_time_bucket_agg"   -> (Queries.q20 _),
     "q21_window_analytics"  -> (Queries.q21 _),
     "q22_percentiles"       -> (Queries.q22 _),
+    "q23_correlated_scalar" -> (Queries.q23 _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -228,6 +229,12 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_correlated_scalar" ->
+      """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     // --- pipeline operators (A*): round-trip/merge outputs the oracle
     // reproduces straight from the source tables ---
     "a01_jdbc_pushdown" ->

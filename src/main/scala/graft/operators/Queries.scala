@@ -337,6 +337,21 @@ object Queries {
       ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""")
   }
 
+  /** Q23 — correlated scalar subquery (the `RewriteCorrelatedScalarSubquery`
+    * decorrelation path, SURVEY §4): customers above their own nation's
+    * average balance. Catalyst rewrites the per-row subquery into one
+    * aggregate + join — O(n) instead of O(n²) re-execution.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g23_customer")
+    s.sql("""
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+      FROM g23_customer c
+      WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM g23_customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   /** Q20 — tumbling-window time aggregation, batch form (streaming form in
     * [[graft.streaming.EventsStream]]): one shuffle on (user_id, hour).
     */
