@@ -65,6 +65,7 @@ object SparkEntry {
     "a14_schedule"          -> (PipelineQueries.a14Schedule _),
     "a15_run_date"          -> (PipelineQueries.a15RunDate _),
     // LLM-data-pipeline operators (north-star extensions)
+    "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
     "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),

@@ -93,6 +93,21 @@ object LlmQueries {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 
+  /** Approximate distinct counting (HLL sketch) next to the exact answer —
+    * the 100 TB path for cardinality-only dedup questions
+    * (`approx_count_distinct` merges tiny sketches instead of Expand'ing
+    * the fact table). No SQL oracle: sketch estimates are
+    * implementation-specific, so the driver records a rows-only check;
+    * the spec asserts the estimate lands within the HLL error bound.
+    */
+  def dedupApproxHll(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("text")).as("exact_distinct"),
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
+      .orderBy("lang")
+
   /** IVF ANN: per-label centroids trained on the corpus (vec_id ≥ 10)
     * serve as the codebook; probes (vec_id < 10) search only their nearest
     * centroid's inverted list.

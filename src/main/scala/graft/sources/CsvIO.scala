@@ -51,15 +51,31 @@ object CsvIO {
   * partitioned json output IS chunked-file export; a glob read restores it.
   */
 object JsonIO {
+  /** Writes chunked NDJSON plus — like the v2 operator's
+    * `schema_filename` side-file (reference
+    * dags/copy_cloudsql_to_bigquery_v2.py:89, consumed at :107) — a
+    * `_schema.json` doc emitted by [[graft.schema.SchemaCodec]], so a
+    * reader needs no inference.
+    */
   def write(df: DataFrame, path: String, chunks: Int = 0): Unit = {
     val out = if (chunks > 0) df.repartition(chunks) else df
     out.write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_schema.json"),
+      graft.schema.SchemaCodec.toJson(df.schema))
   }
 
   def read(spark: SparkSession, glob: String, schema: StructType): DataFrame =
     spark.read
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .schema(schema).json(glob)
+
+  /** Read back using the side-file schema (the v2 `schema_object` path). */
+  def readWithSidecar(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.schema.SchemaCodec.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "_schema.json")))
+    read(spark, dir + "/part-*", schema)
+  }
 }

@@ -56,6 +56,24 @@ object EventsStream {
       .option("path", outDir)
       .start()
 
+  /** Sliding windows (1 h window, 30 min slide): each event lands in two
+    * overlapping windows — the smoothing variant of [[hourlyCounts]].
+    */
+  def slidingCounts(spark: SparkSession, srcDir: String,
+                    checkpointDir: String, outDir: String): StreamingQuery =
+    source(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("c"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Stateful dedup on event_id bounded by the watermark — duplicate
     * events arriving within the 1-hour horizon are dropped; state is
     * evicted past it (the unbounded-state trap at 100 TB/day).

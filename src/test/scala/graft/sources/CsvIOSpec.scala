@@ -52,6 +52,28 @@ class CsvIOSpec extends SparkTestBase {
     assert(r1.getAs[String]("note") == null)
   }
 
+  test("NDJSON schema side-file round-trips without inference") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(trickyRows.take(3), 1), schema)
+    val tmp = Files.createTempDirectory("jsonschema").toString
+    JsonIO.write(df, tmp, chunks = 2)
+    assert(new java.io.File(tmp, "_schema.json").exists())
+    val back = JsonIO.readWithSidecar(spark, tmp)
+    assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(back.count() == 3)
+  }
+
+  test("HLL approximate distinct lands within its error bound") {
+    val got = graft.operators.LlmQueries.dedupApproxHll(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getAs[String]("lang")}: $approx vs $exact")
+    }
+  }
+
   test("NDJSON chunked write produces multiple part files, glob read restores") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(trickyRows, 1), schema)

@@ -80,6 +80,28 @@ class EventsStreamSpec extends SparkTestBase {
       abs(col("v") - col("bv")) > 1e-6).count() == 0)
   }
 
+  test("sliding windows emit overlapping strata consistent with tumbling") {
+    val out = tmp("es_sl_out")
+    EventsStream.slidingCounts(spark, eventsDir, tmp("es_sl_ckpt"), out)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    // every window is exactly 1 h wide, starts on a 30-min boundary
+    val bad = got.filter(
+      unix_timestamp(col("w_end")) - unix_timestamp(col("w_start")) =!= 3600 ||
+        unix_timestamp(col("w_start")) % 1800 =!= 0)
+    assert(bad.count() == 0)
+    // on-the-hour sliding windows must agree with the tumbling query's
+    // counts for the same closed hours (computed batch-side)
+    val batchHours = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("bc"))
+    val onHour = got.filter(unix_timestamp(col("w_start")) % 3600 === 0)
+    val j = onHour.join(batchHours, "w_start")
+    assert(j.count() == onHour.count())
+    assert(j.filter(col("c") =!= col("bc")).count() == 0)
+  }
+
   test("session windows close via watermark and never overlap per user") {
     val out = tmp("es_sw_out")
     val q = EventsStream.sessionCounts(spark, eventsDir,
