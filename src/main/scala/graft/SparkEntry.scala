@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_projection"   -> (Queries.q01 _),
     "q02_filter_predicates" -> (Queries.q02 _),
+    "q02b_like_null_regex"  -> (Queries.q02b _),
     "q03_hash_aggregate"    -> (Queries.q03 _),
     "q04_star_join"         -> (Queries.q04 _),
     "q05_semi_join"         -> (Queries.q05 _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q21_window_analytics"  -> (Queries.q21 _),
     "q22_percentiles"       -> (Queries.q22 _),
     "q23_correlated_scalar" -> (Queries.q23 _),
+    "q24_math_functions"    -> (Queries.q24 _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -97,6 +99,11 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_returnflag IN ('A', 'R')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02b_like_null_regex" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE source LIKE 'src1%' AND lang IS NOT NULL AND lang <> 'zh'
+        |  AND regexp_matches(text, '^[a-z]')
+        |ORDER BY doc_id""".stripMargin,
     "q03_hash_aggregate" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sq,
@@ -236,6 +243,17 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q24_math_functions" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(ABS(l_discount - 0.05)), 2) AS s_abs,
+        |  CAST(SUM(FLOOR(l_extendedprice / 1000)) AS BIGINT) AS s_floor,
+        |  CAST(SUM(CEIL(l_quantity / 7)) AS BIGINT) AS s_ceil,
+        |  ROUND(SUM(SQRT(l_quantity)), 2) AS s_sqrt,
+        |  ROUND(SUM(LN(l_extendedprice)), 2) AS s_ln,
+        |  ROUND(AVG(EXP(l_discount)), 4) AS a_exp,
+        |  ROUND(SUM(POWER(l_tax, 2)), 4) AS s_pow,
+        |  CAST(SUM(CAST(l_partkey AS BIGINT) % 97) AS BIGINT) AS s_mod
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // --- pipeline operators (A*): round-trip/merge outputs the oracle
     // reproduces straight from the source tables ---
     "a01_jdbc_pushdown" ->

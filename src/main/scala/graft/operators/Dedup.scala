@@ -54,13 +54,17 @@ object Dedup {
       .select(col(idCol), col("shingles"))
   }
 
-  /** MinHash signature columns mh0..mh{k-1}: one array scan per hash, all
-    * inside whole-stage codegen (xxhash64 seeds 0..k-1).
+  /** MinHash signature columns mh0..mh{k-1}. The shingle STRING is hashed
+    * once (`hs`); the k signature hashes re-hash the resulting 64-bit value
+    * with per-hash seeds — string hashing dominates the cost, so this is
+    * one string pass + k cheap long passes instead of k string passes.
     */
   def withMinhash(shingled: DataFrame, numHashes: Int = 8): DataFrame =
-    (0 until numHashes).foldLeft(shingled) { (acc, j) =>
-      acc.withColumn(s"mh$j", expr(s"array_min(transform(shingles, s -> xxhash64(s, $j)))"))
-    }
+    (0 until numHashes).foldLeft(
+      shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
+    ) { (acc, j) =>
+      acc.withColumn(s"mh$j", expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))"))
+    }.drop("hs")
 
   /** LSH banding: signatures split into bands of `rowsPerBand`; docs whose
     * band hashes collide become candidate pairs. The self-join shuffles on

@@ -49,6 +49,19 @@ object Queries {
         round(col("l_extendedprice"), 2).as("price"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Q02b — the rest of the predicate family: LIKE prefix (compiles to
+    * StartsWith — pushable), IS NOT NULL, <>, and a regexp match.
+    */
+  def q02b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(
+        col("source").like("src1%") &&
+        col("lang").isNotNull &&
+        col("lang") =!= "zh" &&
+        col("text").rlike("^[a-z]"))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
   /** Q03 — multi-aggregate hash aggregate (TPC-H Q1 shape): partial map-side
     * combine then final merge; one shuffle on the 2 grouping keys.
     */
@@ -352,6 +365,23 @@ object Queries {
       GROUP BY CUBE(r_name, n_name)
       ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST""")
   }
+
+  /** Q24 — math function family: abs/floor/ceil/sqrt/ln/exp/pmod/power,
+    * all codegen'd builtins, aggregated so the output stays bounded.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(abs(col("l_discount") - 0.05)), 2).as("s_abs"),
+        sum(floor(col("l_extendedprice") / 1000)).cast("long").as("s_floor"),
+        sum(ceil(col("l_quantity") / 7)).cast("long").as("s_ceil"),
+        round(sum(sqrt(col("l_quantity"))), 2).as("s_sqrt"),
+        round(sum(log(col("l_extendedprice"))), 2).as("s_ln"),
+        round(avg(exp(col("l_discount"))), 4).as("a_exp"),
+        round(sum(pow(col("l_tax"), 2)), 4).as("s_pow"),
+        sum(pmod(col("l_partkey"), lit(97))).cast("long").as("s_mod"))
+      .orderBy("l_returnflag")
 
   /** Q23 — correlated scalar subquery (the `RewriteCorrelatedScalarSubquery`
     * decorrelation path, SURVEY §4): customers above their own nation's
