@@ -67,6 +67,7 @@ object SparkEntry {
     "a14_schedule"          -> (PipelineQueries.a14Schedule _),
     "a15_run_date"          -> (PipelineQueries.a15RunDate _),
     // LLM-data-pipeline operators (north-star extensions)
+    "asof_join"             -> (LlmQueries.asofJoin _),
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
@@ -335,6 +336,13 @@ object SparkEntry {
     // --- LLM-pipeline operators: ground-truth oracles (near-dup corpora
     // constructed identically; the oracle computes all-pairs truth, so the
     // engine's bucketed path is checked for RECALL, not just consistency) ---
+    "asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_id,
+        |       ROUND(p.value, 2) AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_hash
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the canonical "operator Spark lacks" (time-series point
+  * lookup: for each left row, the latest right row with `r.ts <= l.ts` per
+  * key). Composed from existing operators per the preference order
+  * (SURVEY §4: compose before custom plans): tag both sides, UNION, one
+  * window pass carrying the last non-null right payload forward, keep left
+  * rows.
+  *
+  * Scale: ONE shuffle on (key) + a sort by (ts) — the same cost as any
+  * windowed aggregation. The naive alternative (range join
+  * `l.ts >= r.ts` + max-per-left) explodes to O(|L|·|R|) pairs per key
+  * before pruning; this formulation never materializes a pair.
+  *
+  * Tie semantics: right rows order BEFORE left rows at equal ts, giving
+  * `r.ts <= l.ts` (ASOF >=) semantics.
+  */
+object AsOf {
+
+  /** Left as-of join. `rightCols` are the right-side payload columns to
+    * carry; left rows with no preceding right row keep nulls.
+    */
+  def join(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val lTagged = left.select(
+      (col(key) +: col(tsCol) +: lit(1).as("g_is_left") +:
+        (leftCols.map(col(_)) ++ rightCols.map(c => lit(null).as(c)))): _*)
+    val rTagged = right.select(
+      (col(key) +: col(tsCol) +: lit(0).as("g_is_left") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(col(_)))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("g_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("g_is_left") === 1).drop("g_is_left")
+  }
+}

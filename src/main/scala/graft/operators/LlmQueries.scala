@@ -93,6 +93,22 @@ object LlmQueries {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 
+  /** As-of join over the event stream: each click matched to the user's
+    * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
+    * ASOF LEFT JOIN — an independent implementation of the semantics).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), round(col("value"), 2).as("p_value"))
+    AsOf.join(clicks, purchases, "user_id", "ts", Seq("p_id", "p_value"))
+      .select("event_id", "user_id", "p_id", "p_value")
+      .orderBy("event_id")
+  }
+
   /** Approximate distinct counting (HLL sketch) next to the exact answer —
     * the 100 TB path for cardinality-only dedup questions
     * (`approx_count_distinct` merges tiny sketches instead of Expand'ing
