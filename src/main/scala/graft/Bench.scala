@@ -33,9 +33,18 @@ object Bench {
           errs ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false
         }
+      // The timed run is guarded too: a query that warms up but fails on
+      // re-execution (flaky tmp-dir/Derby IO) must still leave the one
+      // JSON line the driver contract requires, as -1 with an error.
       val t0 = System.nanoTime()
-      if (ok) fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val timedOk = ok && {
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errs ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
+      }
+      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

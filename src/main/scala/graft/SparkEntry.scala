@@ -413,7 +413,8 @@ object SparkEntry {
         |  FROM h, (SELECT unnest(range(0, 32)) AS i) g GROUP BY doc_id, g.i
         |)
         |SELECT doc_id,
-        |       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH corpus AS (

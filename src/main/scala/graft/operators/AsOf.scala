@@ -23,23 +23,32 @@ object AsOf {
 
   /** Left as-of join. `rightCols` are the right-side payload columns to
     * carry; left rows with no preceding right row keep nulls.
+    *
+    * The payload travels as ONE struct column so all `rightCols` always
+    * come from the same right row, and the window ordering tie-breaks on
+    * that struct — duplicate right rows at the same (key, ts) resolve to
+    * the struct-greatest row deterministically instead of whichever row
+    * the sort happened to place last.
     */
   def join(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key) +: col(tsCol) +: lit(1).as("g_is_left") +:
-        (leftCols.map(col(_)) ++ rightCols.map(c => lit(null).as(c)))): _*)
+        (leftCols.map(col(_)) :+ lit(null).cast(payloadType).as("g_payload"))): _*)
     val rTagged = right.select(
       (col(key) +: col(tsCol) +: lit(0).as("g_is_left") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightCols.map(col(_)))): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightCols.map(col(_)): _*).as("g_payload"))): _*)
     val w = Window.partitionBy(key)
-      .orderBy(col(tsCol), col("g_is_left"))
+      .orderBy(col(tsCol), col("g_is_left"), col("g_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("g_is_left") === 1).drop("g_is_left")
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("g_payload", last(col("g_payload"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled) { (acc, c) =>
+      acc.withColumn(c, col(s"g_payload.$c"))
+    }.filter(col("g_is_left") === 1).drop("g_is_left", "g_payload")
   }
 }

@@ -124,18 +124,38 @@ object Sync {
     }
     val stage = spark.read.parquet(stagePathStr)
 
-    // 3. stage→final merge (A10) or plain snapshot publish
+    // 3. stage→final merge (A10) or plain snapshot publish.
+    //
+    // The contract exposes the views as `stage` and `existing`, but the
+    // session is shared: syncAll(maxParallel>1) runs syncTable concurrently,
+    // and two merge-mode configs registering a view literally named "stage"
+    // would overwrite each other between registration and execution. So the
+    // views are registered under per-run unique names and the reserved
+    // identifiers `stage`/`existing` (whole-word) are rewritten into them.
+    // (`stage`/`existing` are reserved words inside stageFinalQuery — a
+    // column of that name would need quoting anyway.)
     val finalDf = cfg.stageFinalQuery match {
       case Some(q) =>
-        stage.createOrReplaceTempView("stage")
+        val runTag = s"${cfg.resolvedStageTable}_$ds".replaceAll("[^A-Za-z0-9_]", "_")
+        val stageView = s"g_stage_$runTag"
+        val existingView = s"g_existing_$runTag"
+        stage.createOrReplaceTempView(stageView)
         val fs = new Path(finalPathStr)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
           if (fs.exists(new Path(finalPathStr))) spark.read.parquet(finalPathStr)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stage.schema)
-        existing.createOrReplaceTempView("existing")
-        spark.sql(q.replace("{ds}", ds))
+        existing.createOrReplaceTempView(existingView)
+        val sql = q.replace("{ds}", ds)
+          .replaceAll("\\bstage\\b", stageView)
+          .replaceAll("\\bexisting\\b", existingView)
+        // spark.sql analyzes eagerly (temp view plans are inlined), so the
+        // views can be dropped before the plan executes in step 4.
+        val merged = spark.sql(sql)
+        spark.catalog.dropTempView(stageView)
+        spark.catalog.dropTempView(existingView)
+        merged
       case None => stage
     }
 

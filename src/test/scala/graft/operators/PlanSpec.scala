@@ -51,14 +51,53 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("no collect() in any registered query body (all run lazily)") {
-    // building every DataFrame must not trigger a Spark job; catalog-only
-    // queries (a04) and pipeline queries (a07-a11) are exempt — they do
-    // bounded metadata/IO work by design.
+    // Building every DataFrame must not trigger a Spark job — a query body
+    // that calls collect()/count() isn't distributed-lazy. Pipeline queries
+    // are exempt: they do bounded metadata/IO work by design (Derby loads,
+    // file round-trips, sync runs, retries).
     val exempt = Set("a01_jdbc_pushdown", "a02_jdbc_partitioned", "a04_catalog_scan",
       "a05_type_mapping", "a06_schema_json", "a07_csv_roundtrip",
-      "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline")
-    SparkEntry.queries.filterNot(q => exempt(q._1)).foreach { case (name, fn) =>
-      fn(spark, sfDir) // must return without running an action
+      "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
+      "a12_throttled_sync", "a13_retry_sync")
+    // A QueryExecutionListener fires once per DataFrame ACTION
+    // (collect/count/write) — exactly what a lazy query body must not do.
+    // Plain job counting can't work here: every spark.read.parquet runs a
+    // Spark-internal footer-read job that would false-positive.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
     }
+    // The listener bus is async but FIFO: a sentinel count() posted after a
+    // query's construction is delivered after any construction-triggered
+    // action events. Wait for the sentinel, let the counter settle,
+    // subtract the sentinel itself.
+    def actionsSettled(): Int = {
+      val before = actions.get()
+      spark.range(1).count() // sentinel action
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (actions.get() <= before && System.nanoTime() < deadline) Thread.sleep(5)
+      var seen = actions.get()
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 200L * 1000 * 1000 &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        if (actions.get() != seen) { seen = actions.get(); stableSince = System.nanoTime() }
+      }
+      seen - before - 1
+    }
+    spark.listenerManager.register(listener)
+    try {
+      actionsSettled() // drain anything pending from earlier tests
+      SparkEntry.queries.filterNot(q => exempt(q._1)).foreach { case (name, fn) =>
+        fn(spark, sfDir)
+        val ran = actionsSettled()
+        assert(ran == 0, s"$name ran $ran Spark action(s) during construction")
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 }

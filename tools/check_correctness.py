@@ -21,7 +21,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return f"{v:.6g}"
+        # %.12g, not %.6g: values >= 1e6 (running sums, packed bit values)
+        # must keep their low digits or this gate is weaker than the
+        # driver's full-precision compare. Queries that want tolerance
+        # already ROUND explicitly on both sides.
+        return f"{v:.12g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -59,6 +63,19 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         eng_cols = [d[0] for d in con.description]
         try:
+            # DuckDB SUM(BIGINT) returns HUGEINT, which Arrow export turns
+            # into double — the driver's compare then sees floats against
+            # Spark's exact int64 and the hash diverges even though
+            # fetchall() (python ints) would agree. Treat HUGEINT oracle
+            # output as a failure so the oracle SQL gets an explicit CAST.
+            rel = con.sql(sql)
+            huge = [c for c, ty in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(ty)]
+            if huge:
+                print(f"FAIL {name}: oracle HUGEINT columns {huge} "
+                      "(add CAST(... AS BIGINT))")
+                n_fail += 1
+                continue
             ora = con.execute(sql).fetchall()
             ora_cols = [d[0] for d in con.description]
         except Exception as e:
