@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LlmQueries, PipelineQueries, Queries}
+import graft.operators.{Analytics, LlmQueries, PipelineQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,13 @@ object SparkEntry {
     "q22_percentiles"       -> (Queries.q22 _),
     "q23_correlated_scalar" -> (Queries.q23 _),
     "q24_math_functions"    -> (Queries.q24 _),
+    "q25_pivot"             -> (Analytics.pivotOrders _),
+    "q26_unpivot"           -> (Analytics.unpivotCustomer _),
+    "q27_sessionize"        -> (Analytics.sessionize _),
+    "q29_profile"           -> ((s, d) => Analytics.profile(s, d)),
+    "q30_hash_sample"       -> (Analytics.hashSample _),
+    "q31_bloom_semi_join"   -> (Analytics.bloomSemiJoin _),
+    "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -66,6 +73,7 @@ object SparkEntry {
     "a13_retry_sync"        -> (PipelineQueries.a13RetrySync _),
     "a14_schedule"          -> (PipelineQueries.a14Schedule _),
     "a15_run_date"          -> (PipelineQueries.a15RunDate _),
+    "a16_scd2_merge"        -> (PipelineQueries.a16Scd2Merge _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
@@ -83,6 +91,8 @@ object SparkEntry {
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
+    "text_tfidf"            -> (LlmQueries.textTfidf _),
+    "ml_kmeans"             -> (LlmQueries.mlKmeans _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -550,5 +560,195 @@ object SparkEntry {
         |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) AS v
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
         |GROUP BY label, g.i ORDER BY label, i""".stripMargin,
+    "q25_pivot" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS yr,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q26_unpivot" ->
+      """WITH w AS (
+        |  SELECT c_nationkey AS nation,
+        |         ROUND(CAST(COUNT(*) AS DOUBLE), 2) AS n_cust,
+        |         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+        |         ROUND(MAX(c_acctbal), 2) AS max_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT nation, 'avg_bal' AS metric, avg_bal AS value FROM w
+        |UNION ALL SELECT nation, 'max_bal', max_bal FROM w
+        |UNION ALL SELECT nation, 'n_cust', n_cust FROM w
+        |ORDER BY nation, metric""".stripMargin,
+    "q27_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sq AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq, MIN(ts) AS session_start,
+        |       COUNT(*) AS n_events,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        |FROM sq GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q29_profile" ->
+      """WITH p AS (
+        |  SELECT 'c_acctbal' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT c_acctbal) AS n_distinct,
+        |    ROUND(MIN(CAST(c_acctbal AS DOUBLE)), 2) AS min_v,
+        |    ROUND(MAX(CAST(c_acctbal AS DOUBLE)), 2) AS max_v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_custkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_custkey),
+        |    ROUND(MIN(CAST(c_custkey AS DOUBLE)), 2), ROUND(MAX(CAST(c_custkey AS DOUBLE)), 2)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_mktsegment),
+        |    ROUND(MIN(CAST(length(c_mktsegment) AS DOUBLE)), 2),
+        |    ROUND(MAX(CAST(length(c_mktsegment) AS DOUBLE)), 2)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_name),
+        |    ROUND(MIN(CAST(length(c_name) AS DOUBLE)), 2),
+        |    ROUND(MAX(CAST(length(c_name) AS DOUBLE)), 2)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_nationkey),
+        |    ROUND(MIN(CAST(c_nationkey AS DOUBLE)), 2), ROUND(MAX(CAST(c_nationkey AS DOUBLE)), 2)
+        |  FROM customer)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
+    "q30_hash_sample" ->
+      """SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS bal
+        |FROM customer
+        |WHERE (c_nationkey < 10
+        |       AND ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 < 2)
+        |   OR (c_nationkey >= 10
+        |       AND ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 < 1)
+        |ORDER BY c_custkey""".stripMargin,
+    "q31_bloom_semi_join" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines, ROUND(SUM(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l_orderkey AND o.o_totalprice > 400000.0)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q32_range_bucket_join" ->
+      """WITH w AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start
+        |  FROM events WHERE event_type = 'error')
+        |SELECT win_start, COUNT(*) AS n_events
+        |FROM events e JOIN w ON date_trunc('day', e.ts) = w.win_start
+        |  AND e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 1 DAY
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "a16_scd2_merge" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
+        |  FROM customer),
+        |cur AS (
+        |  SELECT key, bal, seg, '2024-01-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current
+        |  FROM c WHERE key <= 1200),
+        |closed AS (
+        |  SELECT key, ROUND(bal - 50, 2) AS bal, seg, '2023-01-01' AS valid_from,
+        |         '2024-01-01' AS valid_to, 0 AS is_current
+        |  FROM c WHERE key <= 1200 AND key % 100 = 0),
+        |stage AS (
+        |  SELECT key,
+        |         CASE WHEN key % 3 = 0 THEN ROUND(bal + 100, 2) ELSE bal END AS bal,
+        |         seg
+        |  FROM c WHERE key > 100),
+        |j AS (
+        |  SELECT e.key AS ekey, e.bal AS ebal, e.seg AS eseg,
+        |         e.valid_from AS evf, e.valid_to AS evt,
+        |         s.key AS skey, s.bal AS sbal, s.seg AS sseg
+        |  FROM cur e FULL OUTER JOIN stage s ON e.key = s.key),
+        |kept AS (
+        |  SELECT ekey AS key, ebal AS bal, eseg AS seg, evf AS valid_from,
+        |    CASE WHEN skey IS NOT NULL
+        |              AND (ebal IS DISTINCT FROM sbal OR eseg IS DISTINCT FROM sseg)
+        |         THEN '2024-06-01' ELSE evt END AS valid_to,
+        |    CASE WHEN skey IS NOT NULL
+        |              AND (ebal IS DISTINCT FROM sbal OR eseg IS DISTINCT FROM sseg)
+        |         THEN 0 ELSE 1 END AS is_current
+        |  FROM j WHERE ekey IS NOT NULL),
+        |opened AS (
+        |  SELECT skey AS key, sbal AS bal, sseg AS seg, '2024-06-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to, 1 AS is_current
+        |  FROM j WHERE ekey IS NULL
+        |     OR (skey IS NOT NULL
+        |         AND (ebal IS DISTINCT FROM sbal OR eseg IS DISTINCT FROM sseg)))
+        |SELECT * FROM closed
+        |UNION ALL SELECT * FROM kept
+        |UNION ALL SELECT * FROM opened
+        |ORDER BY key, valid_from, is_current""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |         ROUND(tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "ml_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM v WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, emb, cid FROM (
+        |    SELECT v.vec_id, v.emb, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (list_dot_product(v.emb, c.cemb)
+        |         / (sqrt(list_dot_product(v.emb, v.emb))
+        |            * sqrt(list_dot_product(c.cemb, c.cemb)))) DESC, c.cid) AS rn
+        |    FROM v, c0 c) z WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(av ORDER BY pos) AS cemb FROM (
+        |    SELECT cid, g.i AS pos, ROUND(AVG(emb[g.i]), 6) AS av
+        |    FROM a1, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY cid, g.i) z GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, emb, cid FROM (
+        |    SELECT v.vec_id, v.emb, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (list_dot_product(v.emb, c.cemb)
+        |         / (sqrt(list_dot_product(v.emb, v.emb))
+        |            * sqrt(list_dot_product(c.cemb, c.cemb)))) DESC, c.cid) AS rn
+        |    FROM v, c1 c) z WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(av ORDER BY pos) AS cemb FROM (
+        |    SELECT cid, g.i AS pos, ROUND(AVG(emb[g.i]), 6) AS av
+        |    FROM a2, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY cid, g.i) z GROUP BY cid)
+        |SELECT a.cid, COUNT(*) AS n_members,
+        |  ROUND(AVG(list_dot_product(a.emb, c.cemb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(c.cemb, c.cemb)))), 4) AS avg_cos
+        |FROM a2 a JOIN c2 c ON a.cid = c.cid
+        |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
   )
 }

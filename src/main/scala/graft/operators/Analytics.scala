@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Hashing.md5Long
+
+/** Wide-table reshaping, sessionization, profiling and sampling — the
+  * analytics layer a warehouse user of the reference's `export_query` /
+  * `stage_final_query` contract (reference dags/cloudsql_to_bigquery.py:66,
+  * 70,110) would run downstream of every sync.
+  *
+  * Scale notes (100 TB honesty):
+  *   - [[pivotOrders]] passes EXPLICIT pivot values — the two-pass
+  *     `pivot(col)` form runs a distinct-collect job over the fact table
+  *     first, which is a full extra scan at 100 TB.
+  *   - [[sessionize]] is one shuffle on user_id + an ordered window pass —
+  *     the batch twin of the streaming session_window (EventsStream).
+  *   - [[profile]] scans per column with column pruning, so each pass reads
+  *     one parquet column, not the table; profiling N columns costs N
+  *     pruned scans, never N full-table scans.
+  *   - [[hashSample]] is a deterministic hash-mod filter — row-local, no
+  *     shuffle, reproducible across engines and runs (TABLESAMPLE and
+  *     `DataFrame.sample` are seed-stable only within one engine).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q25 — pivot: order-year rows × order-status columns, revenue cells.
+    * Explicit status values (bounded domain) keep it single-pass.
+    */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy("yr")
+
+  /** Q26 — unpivot (melt): wide per-nation aggregate back to long
+    * (nation, metric, value) form. The inverse reshape of Q25.
+    */
+  def unpivotCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(
+        round(count(lit(1)).cast("double"), 2).as("n_cust"),
+        round(avg("c_acctbal"), 2).as("avg_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"))
+      .unpivot(Array(col("nation")), Array(col("n_cust"), col("avg_bal"), col("max_bal")),
+        "metric", "value")
+      .orderBy("nation", "metric")
+
+  /** Q27 — batch sessionization: a session breaks after a 30-minute silence
+    * per user (lag + cumulative flag sum). One shuffle on user_id; the
+    * window never re-partitions afterwards.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Q29 — per-column data profile of a table: one pruned scan per column
+    * (ReadSchema = that single column), long output so the schema is fixed
+    * no matter how wide the table is. Numeric min/max in value space;
+    * string columns profile length instead (keeps the output column typed
+    * DOUBLE, not a stringly union).
+    */
+  def profile(s: SparkSession, dir: String, table: String = "customer"): DataFrame = {
+    val df = t(s, dir, table)
+    val parts = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val isNum = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val v: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (isNum) identity else (x => length(x).cast("double"))
+      df.select(f.name).agg(
+        lit(f.name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(c).as("n_distinct"),
+        round(min(v(c).cast("double")), 2).as("min_v"),
+        round(max(v(c).cast("double")), 2).as("max_v"))
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+    }
+    parts.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
+  /** Q30 — deterministic stratified sample: systematic hash-mod per
+    * stratum, denser for small-key strata (nation < 10 keeps 1-in-5, rest
+    * 1-in-10). Pure row-local predicate — reproducible on any engine, no
+    * shuffle, no seed state; the scale-safe alternative to sample()/
+    * TABLESAMPLE whose row picks are engine-private.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("h", pmod(md5Long(col("c_custkey").cast("string")), lit(10)))
+      .filter(
+        (col("c_nationkey") < 10 && col("h") < 2) ||
+        (col("c_nationkey") >= 10 && col("h") < 1))
+      .select(col("c_custkey"), col("c_nationkey"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+
+  /** Q31 — Bloom-pruned semi join: build a Bloom filter over the (small,
+    * pre-filtered) key side, prune the probe side row-locally, then exact
+    * semi join only the survivors. The Bloom build is one bounded
+    * aggregation (driver sketch ~1.2 MB at 1M keys / 1% fpp); the win at
+    * 100 TB is that the probe side drops non-matching rows BEFORE the
+    * shuffle, which is exactly what Spark's runtime row-level bloom filter
+    * (spark.sql.optimizer.runtime.bloomFilter) automates — spelled out here
+    * as an explicit operator so the pruning is plan-visible and testable.
+    * False positives don't matter for correctness: the semi join re-checks.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    t(s, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey"))) // row-local pre-shuffle prune
+      .join(bigOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Q32 — bucketed range join: `fact.ts BETWEEN dim.start AND dim.end`
+    * re-expressed as an equi-join on overlapping time buckets + residual
+    * filter. A plain range join has no equi-key, so Spark must
+    * broadcast-nested-loop — O(|L|·|R|) comparisons; bucketing gives the
+    * shuffle an equi-key (bucket id), and each interval only replicates
+    * into the buckets it overlaps. Interval table here: per-day windows
+    * derived from orders dates (stand-in for a calendar/SCD dim).
+    */
+  def rangeBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    // Interval table: days on which at least one error event occurred,
+    // window [day, day+1) — a stand-in for a calendar/incident dim.
+    val windows = t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(date_trunc("DAY", col("ts")).as("win_start"))
+      .distinct()
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 1 DAY"))
+    // Both sides key on the day bucket (these intervals span exactly one
+    // bucket; a multi-bucket interval would `explode(sequence(...))` into
+    // each overlapped bucket — same join shape).
+    val facts = t(s, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("bucket", date_trunc("DAY", col("ts")))
+    facts.join(windows, col("bucket") === col("win_start") &&
+        col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start")
+  }
+}

@@ -138,6 +138,23 @@ object LlmQueries {
       .orderBy("probe_id")
   }
 
+  /** tf-idf top-3 characteristic terms per document (rank ties broken by
+    * term, scores rounded for cross-engine float stability).
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Full Lloyd k-means (k=4, 2 iterations, deterministic smallest-id
+    * init) over the embedding corpus; output = per-cluster size + mean
+    * within-cluster cosine.
+    */
+  def mlKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Clustering.kmeansSummary(e, "vec_id", "emb", k = 4, iters = 2)
+  }
+
   /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF
     * coarse-quantizer training step; output exploded to (label, dim, value)
     * rows so the oracle can reproduce it with plain SQL.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Stage→final merge — the reference's declared step 3: "run a query that
   * will join the stage table with the existing table and overwrite"
@@ -46,5 +46,51 @@ object Merge {
     val s = stage.as("s")
     val cond = keys.map(k => col(s"e.$k") === col(s"s.$k")).reduce(_ && _)
     e.join(s, cond, "left_anti").unionByName(stage)
+  }
+
+  /** SCD type-2 merge: history-preserving upsert. `existing` carries
+    * (key, tracked attrs, valid_from, valid_to, is_current); `stage` is
+    * this run's snapshot (key + attrs). For each key:
+    *
+    *   - attrs unchanged → current row passes through untouched;
+    *   - attrs changed   → current row closes (valid_to = ds, is_current
+    *     = 0) and a new version opens (valid_from = ds, valid_to = null);
+    *   - key only in stage → first version opens;
+    *   - key only in existing → passes through (no deletes, matching
+    *     [[upsert]]'s no-delete contract);
+    *   - already-closed history rows pass through untouched.
+    *
+    * One full-outer shuffle of current rows against stage on `key` (+ the
+    * pass-through union of closed rows — a pruned scan filtered on
+    * is_current, no shuffle). The reference's overwrite model
+    * (dags/copy_cloudsql_to_bigquery_v2.py:108) keeps no history; this is
+    * the standard warehouse extension of its stage→final merge step.
+    */
+  def scd2(existing: DataFrame, stage: DataFrame, key: String,
+           attrs: Seq[String], ds: String): DataFrame = {
+    val history = existing.filter(col("is_current") === 0)
+    val current = existing.filter(col("is_current") === 1)
+    val joined = current.as("e").join(stage.as("s"),
+      col(s"e.$key") === col(s"s.$key"), "full_outer")
+    val changed = attrs.map(a => !(col(s"e.$a") <=> col(s"s.$a"))).reduce(_ || _)
+    val eOnly = col(s"s.$key").isNull
+    val sOnly = col(s"e.$key").isNull
+    // surviving current-or-closed versions of matched/existing-only keys
+    val kept = joined.filter(!sOnly).select(
+      (col(s"e.$key").as(key) +:
+        attrs.map(a => col(s"e.$a").as(a))) ++ Seq(
+        col("e.valid_from").as("valid_from"),
+        when(!eOnly && changed, lit(ds)).otherwise(col("e.valid_to")).as("valid_to"),
+        when(!eOnly && changed, lit(0)).otherwise(lit(1)).as("is_current")): _*)
+    // newly-opened versions: changed keys + brand-new keys (guard with
+    // !eOnly: for existing-only keys `changed` is vacuously true against
+    // the null stage side and must not open a null-attr version)
+    val opened = joined.filter(sOnly || (!eOnly && changed)).select(
+      (col(s"s.$key").as(key) +:
+        attrs.map(a => col(s"s.$a").as(a))) ++ Seq(
+        lit(ds).as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(1).as("is_current")): _*)
+    history.unionByName(kept).unionByName(opened)
   }
 }

@@ -245,4 +245,35 @@ object PipelineQueries {
       .distinct()
       .orderBy("ds")
       .limit(100)
+
+  /** A16 — SCD type-2 merge ([[Merge.scd2]]) driven on a deterministic
+    * dim-table scenario built from `customer`:
+    *
+    *   - existing current rows: custkey ≤ 1200 (bal, seg; open since
+    *     2024-01-01), plus a CLOSED history version for custkey % 100 == 0
+    *     (bal 50 lower, 2023 window) that must pass through untouched;
+    *   - stage snapshot: custkey > 100 (keys ≤ 100 exist only in the dim —
+    *     no-delete pass-through; keys > 1200 are brand new), with bal
+    *     changed (+100) for custkey % 3 == 0.
+    */
+  def a16Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment").as("seg"))
+    val current = c.filter(col("key") <= 1200)
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(1))
+    val closed = c.filter(col("key") <= 1200 && col("key") % 100 === 0)
+      .withColumn("bal", round(col("bal") - 50, 2))
+      .withColumn("valid_from", lit("2023-01-01"))
+      .withColumn("valid_to", lit("2024-01-01"))
+      .withColumn("is_current", lit(0))
+    val stage = c.filter(col("key") > 100)
+      .withColumn("bal",
+        when(col("key") % 3 === 0, round(col("bal") + 100, 2)).otherwise(col("bal")))
+    Merge.scd2(current.unionByName(closed), stage, "key",
+        Seq("bal", "seg"), "2024-06-01")
+      .orderBy("key", "valid_from", "is_current")
+  }
 }

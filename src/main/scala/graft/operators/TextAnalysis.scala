@@ -79,4 +79,32 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(expr(s"array_join(array_sort(array_distinct(split($textCol, ' '))), ' ')")).as("fp"))
+
+  /** tf-idf: top-`k` most characteristic terms per document.
+    * tf = in-doc term count, df = docs containing the term,
+    * idf = ln((N+1)/(df+1)) (smoothed), tie-break (score desc, term asc).
+    *
+    * Scale: explode → two map-side-combined aggregations (doc-term, term)
+    * + a broadcast-size term-df join keyed on term, then a per-doc window
+    * top-k. The corpus shuffles on (doc, term) once; df is vocabulary-
+    * sized, not corpus-sized.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(count_distinct(col(idCol)).as("n_docs"))
+    val terms = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1).cast("double")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

