@@ -57,6 +57,7 @@ object SparkEntry {
     "q30_hash_sample"       -> (Analytics.hashSample _),
     "q31_bloom_semi_join"   -> (Analytics.bloomSemiJoin _),
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
+    "q33_gap_fill"          -> (Analytics.gapFill _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -89,7 +90,10 @@ object SparkEntry {
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
+    "mm_decode"             -> (LlmQueries.mmDecode _),
+    "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
+    "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
@@ -555,6 +559,38 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn FROM j)
         |SELECT probe_id, cand_id AS neighbor_id, cid, ROUND(cos, 4) AS cos
         |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    "sim_ivf_nprobe" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn <= 2),
+        |j AS (SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+        |      FROM pasg p JOIN casg a USING (cid)),
+        |r AS (SELECT probe_id, cand_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn FROM j)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
     "udaf_centroid" ->
       """SELECT label, CAST(g.i AS BIGINT) AS i,
         |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) AS v
@@ -657,6 +693,25 @@ object SparkEntry {
         |FROM events e JOIN w ON date_trunc('day', e.ts) = w.win_start
         |  AND e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 1 DAY
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q33_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |         ROUND(SUM(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx
+        |      FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        |  FROM b),
+        |j AS (
+        |  SELECT s.event_type, s.hr, h.v
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr)
+        |SELECT event_type, hr,
+        |  ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hr ROWS UNBOUNDED PRECEDING), 2) AS v_filled,
+        |  CAST(v IS NULL AS INT) AS was_gap
+        |FROM j ORDER BY event_type, hr""".stripMargin,
     "a16_scd2_merge" ->
       """WITH c AS (
         |  SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
@@ -698,6 +753,35 @@ object SparkEntry {
         |UNION ALL SELECT * FROM kept
         |UNION ALL SELECT * FROM opened
         |ORDER BY key, valid_from, is_current""".stripMargin,
+    "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, g.j,
+        |    SUM(CASE WHEN (g2.i - 1) % 4 = g.j
+        |        THEN ('0x' || substr(hex(data), 2 * g2.i - 1, 2))::BIGINT
+        |        ELSE 0 END) AS fv
+        |  FROM m, (SELECT unnest(range(0, 4)) AS j) g,
+        |       LATERAL (SELECT unnest(range(1, n + 1)) AS i) g2
+        |  GROUP BY doc_id, g.j)
+        |SELECT m.doc_id,
+        |  CAST(m.n % 640 + 1 AS INT) AS width,
+        |  CAST(m.n % 480 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  (SELECT list(CAST(fv AS BIGINT) ORDER BY j) FROM f
+        |   WHERE f.doc_id = m.doc_id) AS features
+        |FROM m ORDER BY m.doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor((n - 1) / 7) + 1 AS BIGINT) AS n_samples,
+        |  (SELECT string_agg(substr(hex(data), 2 * g.i - 1, 2), '' ORDER BY g.i)
+        |   FROM (SELECT unnest(range(1, n + 1)) AS i) g
+        |   WHERE (g.i - 1) % 7 = 0) AS sample_hex
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -141,6 +141,31 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** Q33 — time-series resample + gap fill: aggregate to an hourly grid,
+    * generate the missing hours from each key's own [min, max] span
+    * (`sequence` + `explode` — the spine is derived, never collected), and
+    * forward-fill each gap with the last seen value. One shuffle for the
+    * hourly aggregate, one for the spine join, one ordered window pass —
+    * the spine explode is per-key row-local. was_gap keeps the fill
+    * auditable.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(round(sum("value"), 2).as("v"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("v_filled", round(last("v", ignoreNulls = true).over(w), 2))
+      .withColumn("was_gap", col("v").isNull.cast("int"))
+      .select("event_type", "hr", "v_filled", "was_gap")
+      .orderBy("event_type", "hr")
+  }
+
   /** Q32 — bucketed range join: `fact.ts BETWEEN dim.start AND dim.end`
     * re-expressed as an equi-join on overlapping time buckets + residual
     * filter. A plain range join has no equi-key, so Spark must

@@ -93,6 +93,37 @@ object LlmQueries {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 
+  /** Partition-wise decode (typed mapPartitions, one decoder context per
+    * partition) + the deterministic feature-extract pass — the full
+    * media-pipeline plumbing driven end-to-end. The decode stub derives
+    * dimensions from payload size, so the oracle reproduces it in SQL.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+    val decoded = Multimodal.decodeImages(media.as[Multimodal.MediaRow])
+    val features = Multimodal.featurize(media, dims = 4)
+      .select(col("doc_id"), col("features"))
+    decoded.toDF().join(features, "doc_id")
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("features"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic frame sampling (seek + stride over the payload): every
+    * 7th byte, reported as the hex concatenation so an external oracle can
+    * reproduce the exact sampled bytes.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleBytes(
+        Multimodal.attachBinary(docs(s, dir), "doc_id", "text"), stride = 7)
+      .select(col("doc_id"),
+        size(col("sampled")).cast("long").as("n_samples"),
+        expr("array_join(transform(sampled, x -> hex(x)), '')").as("sample_hex"))
+      .orderBy("doc_id")
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).
@@ -153,6 +184,20 @@ object LlmQueries {
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     Clustering.kmeansSummary(e, "vec_id", "emb", k = 4, iters = 2)
+  }
+
+  /** IVF with nprobe=2: probes also scan their runner-up inverted list —
+    * the recall dial beyond [[simIvfAnn]]'s nprobe=1.
+    */
+  def simIvfNprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val centroids = Similarity.trainCentroids(corpus, "label", "emb")
+    Similarity.ivfTopKNprobe(corpus.drop("label"), probes, centroids,
+        "vec_id", "emb", k = 2, nprobe = 2)
+      .orderBy("probe_id", "rn")
   }
 
   /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF

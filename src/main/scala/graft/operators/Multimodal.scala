@@ -71,6 +71,34 @@ object Multimodal {
     media.withColumn("sampled",
       expr(s"filter(transform(sequence(1, octet_length(data)), i -> CASE WHEN (i - 1 - $offset) % $stride = 0 AND i > $offset THEN substring(data, i, 1) END), x -> x IS NOT NULL)"))
 
+  /** Deterministic per-payload feature vector: `dims` byte-sum features,
+    * f_j = Σ byte_i over positions with i % dims == j (1-based i, j from
+    * 0) — the feature-extract slot of the pipeline (swap for a real model
+    * embedding; the column shape `ARRAY<BIGINT>` with fixed arity and the
+    * single-scan plumbing is the contract). Stays in codegen: byte access
+    * via substring-on-binary + ascii, no UDF.
+    */
+  def featurize(media: DataFrame, dims: Int = 4): DataFrame =
+    media
+      // byte values via the hex codec — string ops only, so the math is
+      // reproducible on any engine (raw byte→int of a lone non-ASCII byte
+      // is codec-dependent; hex is not). ONE self-contained expression:
+      // hex+regexp split the payload into byte pairs, the indexed
+      // transform tags each with its position, and each dimension sums its
+      // stride. Deliberately NOT factored into helper columns — Catalyst's
+      // project-collapse would inline a helper into the per-element
+      // lambda and re-evaluate hex(data) per byte (O(n²)); inline like
+      // this the worst collapse is `dims` linear passes.
+      .withColumn("features",
+        expr(s"""transform(sequence(0, ${dims - 1}), j ->
+          |  aggregate(
+          |    filter(
+          |      transform(regexp_extract_all(hex(data), '..', 0),
+          |        (h, i) -> struct(i AS pos, CAST(conv(h, 16, 10) AS BIGINT) AS v)),
+          |      t -> t.pos % $dims = j),
+          |    CAST(0 AS BIGINT),
+          |    (acc, t) -> acc + t.v))""".stripMargin))
+
   /** End-to-end metadata extraction (the mm query surface): attach →
     * metadata projection + portable content fingerprint. Payload bytes are
     * NOT read by this plan — only the metadata struct and the original

@@ -90,6 +90,33 @@ object Similarity {
         col("cid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF ANN with multi-list probing (nprobe > 1): each probe searches the
+    * inverted lists of its `nprobe` nearest centroids — the standard
+    * recall-vs-cost dial (recall lost to a probe landing just outside its
+    * best list is recovered by also scanning the runner-up lists). The
+    * corpus is still assigned to exactly ONE list, so candidate sets from
+    * different lists are disjoint — no dedup pass needed; only the tiny
+    * probe side fans out nprobe-fold.
+    */
+  def ivfTopKNprobe(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+                    idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+    val c = ivfAssign(corpus, centroids, idCol, embCol)
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("cid"))
+    val wp = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+    val p = probes.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorOps.cosine(col(embCol), col("cemb")))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("cid"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("cid"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

@@ -91,6 +91,41 @@ object EventsStream {
       .option("path", outDir)
       .start()
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the preceding hour. BOTH sides carry watermarks and
+    * the join condition bounds the event-time distance — that pair is what
+    * lets Spark evict buffered rows (state stays O(watermark window), the
+    * difference between a runnable and an OOM-by-state join at 100 TB/day).
+    * Inner join → append mode emits as soon as both sides pass the
+    * watermark.
+    */
+  def clickPurchaseJoin(spark: SparkSession, srcDir: String,
+                        checkpointDir: String, outDir: String): StreamingQuery = {
+    val clicks = source(spark, srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "amount")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-user cumulative
     * event count + running value total, emitted once per micro-batch — the
     * fully-general stateful surface (§2.C) beyond what windows/dedup

@@ -39,6 +39,34 @@ class EventsStreamSpec extends SparkTestBase {
       .count() == 0, "window aggregates must match batch")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val out = tmp("es_ssj_out")
+    val q = EventsStream.clickPurchaseJoin(spark, eventsDir,
+      tmp("es_ssj_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "amount")
+    // inner stream-stream join with both sides watermarked: every emitted
+    // pair must exist in batch, and pairs whose BOTH sides are clear of
+    // the final watermark must all have been emitted
+    assert(streamed.count() > 0, "join must emit pairs")
+    assert(streamed.exceptAll(batch).isEmpty, "no pair absent from batch")
+    assert(batch.exceptAll(streamed).isEmpty,
+      "single-batch AvailableNow run must emit every pair")
+  }
+
   test("stateful dedup within watermark keeps event_ids unique") {
     val out = tmp("es_dd_out")
     val q = EventsStream.dedupedEvents(spark, eventsDir,
