@@ -77,6 +77,7 @@ object SparkEntry {
     "a16_scd2_merge"        -> (PipelineQueries.a16Scd2Merge _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
+    "asof_join_native"      -> (LlmQueries.asofJoinNative _),
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
@@ -351,6 +352,13 @@ object SparkEntry {
     // constructed identically; the oracle computes all-pairs truth, so the
     // engine's bucketed path is checked for RECALL, not just consistency) ---
     "asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_id,
+        |       ROUND(p.value, 2) AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_native" ->
       """SELECT c.event_id, c.user_id, p.event_id AS p_id,
         |       ROUND(p.value, 2) AS p_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -71,6 +71,9 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotNativeFunction)
+    // whole-operator extension: native as-of join (custom LogicalPlan →
+    // custom SparkPlan, SURVEY §4 preference (c))
+    ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
   }
 }
 

@@ -51,4 +51,19 @@ object AsOf {
       acc.withColumn(c, col(s"g_payload.$c"))
     }.filter(col("g_is_left") === 1).drop("g_is_left", "g_payload")
   }
+
+  /** Native-operator form of [[join]]: plans through
+    * [[graft.plans.AsOfJoinPlan]] into the custom
+    * [[graft.plans.AsOfJoinExec]] merge (one buffered payload row per key
+    * instead of the union+window materialization — same single shuffle,
+    * one fewer wide sort). Same semantics and tie-break; requires the
+    * session to carry `GraftExtensions` (any [[graft.Engine.session]]).
+    */
+  def joinNative(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                 rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.ofRows(left.sparkSession, graft.plans.AsOfJoinPlan(
+      PlanBridge.analyzed(left), PlanBridge.analyzed(right),
+      key, tsCol, rightCols))
+  }
 }

@@ -140,6 +140,22 @@ object LlmQueries {
       .orderBy("event_id")
   }
 
+  /** The same as-of join through the NATIVE operator path
+    * ([[graft.plans.AsOfJoinExec]] via the injected planner strategy) —
+    * checked against the same independent DuckDB ASOF oracle.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), round(col("value"), 2).as("p_value"))
+    AsOf.joinNative(clicks, purchases, "user_id", "ts", Seq("p_id", "p_value"))
+      .select("event_id", "user_id", "p_id", "p_value")
+      .orderBy("event_id")
+  }
+
   /** Approximate distinct counting (HLL sketch) next to the exact answer —
     * the 100 TB path for cardinality-only dedup questions
     * (`approx_count_distinct` merges tiny sketches instead of Expand'ing

@@ -1,3 +1,4 @@
+// (native-operator tests appended at the bottom of this suite)
 package graft.operators
 
 import java.sql.Timestamp
@@ -43,5 +44,63 @@ class AsOfSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly one key shuffle:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("native operator agrees with the composed form on every semantic case") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // no preceding right row
+      (3L, ts("2024-01-01 10:00:00"), "l4"), // equal-ts match
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "r1", 1.0),
+      (1L, ts("2024-01-01 11:00:00"), "r2", 2.0),
+      (2L, ts("2024-01-01 09:30:00"), "r3", 3.0),
+      (3L, ts("2024-01-01 10:00:00"), "r4", 4.0),
+    ).toDF("k", "t", "rv", "amt")
+    val composed = AsOf.join(left, right, "k", "t", Seq("rv", "amt"))
+    val native = AsOf.joinNative(left, right, "k", "t", Seq("rv", "amt"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() == left.count(), "left join: every left row survives")
+  }
+
+  test("native operator plans AsOfJoinExec with one exchange per side") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "r")).toDF("k", "t", "rv")
+    val p = AsOf.joinNative(left, right, "k", "t", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec node must plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"one co-partitioning exchange per side:\n$p")
+  }
+
+  test("native operator: duplicate (key, ts) right rows resolve to the " +
+       "payload-greatest row (deterministic tie-break)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "rA", 1.0),
+      (1L, ts("2024-01-01 09:00:00"), "rB", 2.0),
+    ).toDF("k", "t", "rv", "amt")
+    val native = AsOf.joinNative(left, right, "k", "t", Seq("rv", "amt")).collect()
+    val composed = AsOf.join(left, right, "k", "t", Seq("rv", "amt")).collect()
+    assert(native.head.getAs[String]("rv") == "rB")
+    assert(composed.head.getAs[String]("rv") == "rB")
+  }
+
+  test("native operator works when both sides share one source relation " +
+       "(exprId dedup)") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val out = AsOf.joinNative(clicks, purchases, "user_id", "ts", Seq("p_id"))
+    val expected = AsOf.join(clicks, purchases, "user_id", "ts", Seq("p_id"))
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
   }
 }
