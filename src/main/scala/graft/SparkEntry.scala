@@ -51,6 +51,7 @@ object SparkEntry {
     "q23_correlated_scalar" -> (Queries.q23 _),
     "q24_math_functions"    -> (Queries.q24 _),
     "q25_pivot"             -> (Analytics.pivotOrders _),
+    "q34_salted_join"       -> (Analytics.saltedJoinAgg _),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
     "q27_sessionize"        -> (Analytics.sessionize _),
     "q29_profile"           -> ((s, d) => Analytics.profile(s, d)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
+    "dedup_cluster"         -> (LlmQueries.dedupCluster _),
     "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
@@ -701,6 +703,46 @@ object SparkEntry {
         |FROM events e JOIN w ON date_trunc('day', e.ts) = w.win_start
         |  AND e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 1 DAY
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q34_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q33_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,

@@ -141,6 +141,25 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** Q34 — salted skew join driven end-to-end: lineitem joined to orders
+    * on the order key with the fact side salted ([[Skew.saltedJoin]], 8
+    * salts) and the dim side replicated — the explicit mitigation for a
+    * hot key AQE can't split. Result is provably identical to the
+    * unsalted join (the oracle runs the plain join), only the shuffle
+    * layout differs.
+    */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ords, "l_orderkey", "l_linenumber", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q33 — time-series resample + gap fill: aggregate to an hourly grid,
     * generate the missing hours from each key's own [min, max] span
     * (`sequence` + `explode` — the spine is derived, never collected), and

@@ -167,6 +167,55 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
 
+  /** Connected components over a near-dup pair list — the clustering step
+    * that turns pairwise `(a, b)` matches into dedup GROUPS (keep one doc
+    * per component). Iterative min-label propagation: every vertex starts
+    * as its own label; each round joins current labels across the edge
+    * list (both directions) and keeps the minimum seen; convergence is
+    * checked with a bounded driver-side count per round — the classic
+    * large-graph formulation (one shuffle per round, diameter-bounded
+    * rounds; near-dup components are tiny and shallow, so 3–5 rounds
+    * close almost any corpus).
+    *
+    * Output: (id, component) where component = min doc id in the
+    * component — deterministic, engine-independent.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint (NOT cache): `labels` appears twice in each round's
+    // plan, so the logical lineage doubles per iteration and analysis time
+    // grows exponentially — caching truncates neither analysis nor
+    // re-optimization. Checkpointing cuts the plan to the materialized
+    // partitions each round (the standard iterative-graph formulation).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor labels: for each id, the min comp among itself and its
+      // neighbors' current comps
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("comp").as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup pairs via sign-LSH bucketing: bucket = packed sign
     * bits of the first `bits` dimensions (deterministic — no random
     * hyperplanes to seed), exact cosine only within buckets.

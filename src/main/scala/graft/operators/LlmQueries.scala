@@ -58,6 +58,19 @@ object LlmQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Near-dup pairs → dedup GROUPS: connected components over the
+    * MinHash-LSH pair list ([[Dedup.connectedComponents]] min-label
+    * propagation), component id = min doc id. Covers every doc that
+    * appears in at least one pair.
+    */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(nearDupVecs(s, dir), "vec_id", "emb",
       bits = 16, threshold = 0.99)

@@ -60,7 +60,9 @@ class PlanSpec extends SparkTestBase {
       "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
       "a12_throttled_sync", "a13_retry_sync",
       // builds a driver-side Bloom sketch (bounded aggregation) by design
-      "q31_bloom_semi_join")
+      "q31_bloom_semi_join",
+      // iterative label propagation: bounded per-round convergence counts
+      "dedup_cluster")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
