@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_exact"           -> (LlmQueries.dedupExact _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
     "dedup_cluster"         -> (LlmQueries.dedupCluster _),
+    "pipeline_prep"         -> (LlmQueries.pipelinePrep _),
     "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
@@ -743,6 +744,54 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "pipeline_prep" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), quality AS (
+        |  SELECT doc_id FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+        |    AND length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 2
+        |    AND length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 15
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |), losers AS (
+        |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(r)
+        |)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(c.text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(c.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
+        |FROM corpus c
+        |JOIN quality q ON q.doc_id = c.doc_id
+        |LEFT JOIN losers l ON l.doc_id = c.doc_id
+        |WHERE l.doc_id IS NULL
+        |ORDER BY c.doc_id""".stripMargin,
     "q33_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,

@@ -215,6 +215,32 @@ object LlmQueries {
     Clustering.kmeansSummary(e, "vec_id", "emb", k = 4, iters = 2)
   }
 
+  /** End-to-end training-data prep — the operators composed as one
+    * pipeline over the near-dup corpus:
+    *
+    *   1. quality gate ([[TextAnalysis.quality]] keep flag);
+    *   2. near-dup removal: MinHash-LSH pairs → connected components →
+    *      keep the min doc id per component;
+    *   3. token statistics ([[TextAnalysis.tokenStats]]) for survivors.
+    *
+    * Each stage is the same operator the standalone queries check; this
+    * query pins that they compose (the oracle recomputes the whole
+    * pipeline independently).
+    */
+  def pipelinePrep(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupDocs(s, dir)
+    val keepQuality = TextAnalysis.quality(corpus, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id")
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    val dupLosers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val survivors = keepQuality.join(dupLosers, Seq("doc_id"), "left_anti")
+    TextAnalysis.tokenStats(corpus, "doc_id", "text")
+      .join(survivors, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** IVF with nprobe=2: probes also scan their runner-up inverted list —
     * the recall dial beyond [[simIvfAnn]]'s nprobe=1.
     */

@@ -62,7 +62,7 @@ class PlanSpec extends SparkTestBase {
       // builds a driver-side Bloom sketch (bounded aggregation) by design
       "q31_bloom_semi_join",
       // iterative label propagation: bounded per-round convergence counts
-      "dedup_cluster")
+      "dedup_cluster", "pipeline_prep")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
