@@ -181,17 +181,35 @@ object Dedup {
     * component — deterministic, engine-independent.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // The pair list is orders of magnitude smaller than the corpus that
+    // produced it (it's the LSH/blocking survivors), and the per-round
+    // checkpoint materialization doesn't get AQE partition coalescing —
+    // left at the session shuffle parallelism, every round pays full task
+    // overhead on near-empty partitions. Cache the pairs once (so sizing
+    // doesn't recompute the upstream LSH pipeline), then size the graph's
+    // parallelism to the edge count (~1M edges per partition, floor 1).
+    val p = pairs.cache()
+    val nParts = math.max(1, math.min(
+      p.sparkSession.sparkContext.defaultParallelism,
+      (p.count() / 1000000L).toInt + 1))
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(nParts, col("src"))
       .cache()
     // localCheckpoint (NOT cache): `labels` appears twice in each round's
     // plan, so the logical lineage doubles per iteration and analysis time
     // grows exponentially — caching truncates neither analysis nor
     // re-optimization. Checkpointing cuts the plan to the materialized
     // partitions each round (the standard iterative-graph formulation).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    //
+    // Init = min(id, min neighbor), not id: single-pair components (the
+    // dominant near-dup shape) converge at init, so most corpora finish
+    // after one confirming round instead of three.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("g_mn"))
+      .select(col("id"), least(col("id"), col("g_mn")).as("comp"))
+      .repartition(nParts, col("id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -205,6 +223,7 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .repartition(nParts, col("id"))
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).count()
@@ -213,6 +232,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
