@@ -52,6 +52,9 @@ object SparkEntry {
     "q24_math_functions"    -> (Queries.q24 _),
     "q25_pivot"             -> (Analytics.pivotOrders _),
     "q34_salted_join"       -> (Analytics.saltedJoinAgg _),
+    "q35_array_functions"   -> (Analytics.arrayFunctions _),
+    "q36_string_agg"        -> (Analytics.stringAgg _),
+    "dq_checks"             -> (Analytics.dqChecks _),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
     "q27_sessionize"        -> (Analytics.sessionize _),
     "q29_profile"           -> ((s, d) => Analytics.profile(s, d)),
@@ -704,6 +707,38 @@ object SparkEntry {
         |FROM events e JOIN w ON date_trunc('day', e.ts) = w.win_start
         |  AND e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 1 DAY
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "q35_array_functions" ->
+      """SELECT doc_id,
+        |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the,
+        |  string_split(text, ' ')[1] AS head_tok,
+        |  string_split(text, ' ')[-1] AS tail_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_string_agg" ->
+      """SELECT lang,
+        |  array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_name_null' AS rule, COUNT(*) AS violations
+        |  FROM customer WHERE c_name IS NULL
+        |  UNION ALL
+        |  SELECT 'order_price_nonpositive', COUNT(*)
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'order_customer_fk', COUNT(*)
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_dup', COUNT(*) FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'doc_token_floor', COUNT(*)
+        |  FROM documents WHERE len(string_split(text, ' ')) < 5
+        |) ORDER BY rule""".stripMargin,
     "q34_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice), 2) AS rev

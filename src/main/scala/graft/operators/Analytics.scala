@@ -141,6 +141,62 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** Q35 — array/higher-order function family over the token arrays:
+    * sort, distinct, slice, position, element_at — the list-manipulation
+    * surface a SQL user of the reference's verbatim-SELECT contract gets
+    * from the warehouse. All codegen'd builtins, one scan.
+    */
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_join(slice(array_sort(array_distinct(col("tk"))), 1, 5), ",")
+          .as("first5"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        array_position(col("tk"), "the").as("pos_the"),
+        element_at(col("tk"), 1).as("head_tok"),
+        element_at(col("tk"), -1).as("tail_tok"))
+      .orderBy("doc_id")
+
+  /** Q36 — ordered string aggregation (LISTAGG/STRING_AGG): deterministic
+    * via sort-before-join (collect_set order is engine-private, so the
+    * portable form sorts the distinct set). One map-side-combined shuffle.
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** DQ — declarative data-quality checks, one row per rule: nulls,
+    * value ranges, referential integrity, key uniqueness, token floor.
+    * The engine-native form of the reference's schema-check step — each
+    * rule is a pruned scan or one join, unioned into a fixed-schema
+    * report.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ords = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val docs = t(s, dir, "documents")
+    val rules = Seq(
+      cust.filter(col("c_name").isNull)
+        .agg(lit("customer_name_null").as("rule"), count(lit(1)).as("violations")),
+      ords.filter(col("o_totalprice") <= 0)
+        .agg(lit("order_price_nonpositive").as("rule"), count(lit(1)).as("violations")),
+      ords.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(lit("order_customer_fk").as("rule"), count(lit(1)).as("violations")),
+      li.groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1)
+        .agg(lit("lineitem_pk_dup").as("rule"), count(lit(1)).as("violations")),
+      docs.filter(size(split(col("text"), " ")) < 5)
+        .agg(lit("doc_token_floor").as("rule"), count(lit(1)).as("violations")))
+    rules.map(_.select("rule", "violations")).reduce(_.unionByName(_))
+      .orderBy("rule")
+  }
+
   /** Q34 — salted skew join driven end-to-end: lineitem joined to orders
     * on the order key with the fact side salted ([[Skew.saltedJoin]], 8
     * salts) and the dim side replicated — the explicit mitigation for a
