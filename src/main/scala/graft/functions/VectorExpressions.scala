@@ -74,6 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: native as-of join (custom LogicalPlan →
     // custom SparkPlan, SURVEY §4 preference (c))
     ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
+    // optimizer-rule extension: portable HOF dot-product spelling →
+    // codegen'd DotProduct, automatically
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }
 
