@@ -61,6 +61,7 @@ object SparkEntry {
     "q30_hash_sample"       -> (Analytics.hashSample _),
     "q31_bloom_semi_join"   -> (Analytics.bloomSemiJoin _),
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
+    "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
@@ -779,6 +780,14 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q32b_range_multibucket" ->
+      """WITH w AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start
+        |  FROM events WHERE event_type = 'error')
+        |SELECT win_start, COUNT(*) AS n_events
+        |FROM events e JOIN w
+        |  ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 3 DAY
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
     "pipeline_prep" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

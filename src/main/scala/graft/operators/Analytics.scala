@@ -269,4 +269,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("win_start")
   }
+
+  /** Q32b — the multi-bucket case of [[rangeBucketJoin]]: 3-day windows
+    * explode into each day bucket they overlap (`explode(sequence(...))`),
+    * so the equi-join on the bucket still carries the whole interval
+    * predicate; the residual range filter removes nothing here (full-day
+    * buckets ⊂ window) but stays for the general (partial-bucket) case.
+    * Intervals may overlap — an event lands in every window containing it.
+    */
+  def rangeBucketJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val windows = t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(date_trunc("DAY", col("ts")).as("win_start"))
+      .distinct()
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 3 DAY"))
+      .withColumn("bucket",
+        explode(expr("sequence(win_start, win_start + INTERVAL 2 DAY, INTERVAL 1 DAY)")))
+    val facts = t(s, dir, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("bucket", date_trunc("DAY", col("ts")))
+    facts.join(windows, Seq("bucket"))
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start")
+  }
 }
