@@ -25,26 +25,30 @@ object Bench {
     var errs = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // First execution of each query shape pays ~5s of one-off janino
-      // codegen + JIT — a JVM artifact, not query cost. Warm once, then
-      // time the steady-state run (what a long-lived cluster app sees).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      // codegen + JIT — a JVM artifact, not query cost. Both executions
+      // are timed and the MINIMUM reported: normally that's the second
+      // (warmed) run; on the shared host, transient load can hit either
+      // window, and min-of-two picks whichever ran calm. Both runs are
+      // guarded: a query that warms up but fails on re-execution (flaky
+      // tmp-dir/Derby IO) must still leave the one JSON line the driver
+      // contract requires, as -1 with an error.
+      def timedRun(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           errs ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
-        }
-      // The timed run is guarded too: a query that warms up but fails on
-      // re-execution (flaky tmp-dir/Derby IO) must still leave the one
-      // JSON line the driver contract requires, as -1 with an error.
-      val t0 = System.nanoTime()
-      val timedOk = ok && {
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errs ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
+          None
         }
       }
-      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val warm = timedRun()
+      val steady = if (warm.isDefined) timedRun() else None
+      val secs = (warm, steady) match {
+        case (Some(w), Some(s)) => math.min(w, s)
+        case _ => -1.0
+      }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
