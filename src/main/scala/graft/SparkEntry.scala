@@ -48,6 +48,7 @@ object SparkEntry {
     "q20_time_bucket_agg"   -> (Queries.q20 _),
     "q21_window_analytics"  -> (Queries.q21 _),
     "q22_percentiles"       -> (Queries.q22 _),
+    "q22b_approx_percentiles" -> (Queries.q22b _),
     "q23_correlated_scalar" -> (Queries.q23 _),
     "q24_math_functions"    -> (Queries.q24 _),
     "q25_pivot"             -> (Analytics.pivotOrders _),

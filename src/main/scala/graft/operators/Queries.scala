@@ -350,6 +350,23 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Q22b — approximate percentiles next to the exact answer: the 100 TB
+    * path. `approx_percentile` keeps a bounded per-group sketch and merges
+    * map-side (no per-group sorted value distribution, unlike the exact
+    * [[q22]] window formulation) — constant memory per group at any scale.
+    * Sketch estimates are implementation-specific, so no SQL oracle
+    * (rows-only driver check, like the HLL query); the spec bounds the
+    * estimate against the exact q22 values instead.
+    */
+  def q22b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("ROUND(approx_percentile(l_extendedprice, 0.5, 10000), 2)").as("med_a"),
+        expr("ROUND(approx_percentile(l_extendedprice, 0.9, 10000), 2)").as("p90_a"),
+        expr("ROUND(approx_percentile(l_extendedprice, 0.99, 10000), 2)").as("p99_a"))
+      .orderBy("l_returnflag")
+
   /** Q13b — CUBE over the same lattice as Q13's ROLLUP (adds the
     * nation-only subtotal stratum).
     */

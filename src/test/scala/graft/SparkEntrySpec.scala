@@ -13,7 +13,8 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("every query has an oracle, except declared rows-only ops") {
-    val rowsOnly = Set("dedup_approx_hll") // sketch estimates are engine-specific
+    // sketch estimates are engine-specific — error-bounded by specs instead
+    val rowsOnly = Set("dedup_approx_hll", "q22b_approx_percentiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"queries missing oracles: ${missing -- rowsOnly}")
   }

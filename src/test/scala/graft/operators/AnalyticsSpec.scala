@@ -74,6 +74,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
+  test("approx percentiles land within sketch tolerance of the exact values") {
+    val exact = Queries.q22(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Queries.q22b(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy 10000 → rank error ≤ n/10000; at sf tails that's well
+    // within 5% of the value range for these distributions
+    approx.foreach { case (k, (m, p90, p99)) =>
+      val (em, e90, e99) = exact(k)
+      def close(a: Double, b: Double) = math.abs(a - b) <= math.max(1.0, 0.05 * math.abs(b))
+      assert(close(m, em) && close(p90, e90) && close(p99, e99),
+        s"$k: approx ($m, $p90, $p99) vs exact ($em, $e90, $e99)")
+    }
+  }
+
   test("profile emits one row per column with exact null/distinct counts") {
     val p = Analytics.profile(spark, sfDir, "nation")
       .collect().map(r => r.getString(0) -> r).toMap
