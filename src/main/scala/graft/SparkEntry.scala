@@ -913,8 +913,8 @@ object SparkEntry {
         |  CAST(m.n % 640 + 1 AS INT) AS width,
         |  CAST(m.n % 480 + 1 AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
-        |  (SELECT list(CAST(fv AS BIGINT) ORDER BY j) FROM f
-        |   WHERE f.doc_id = m.doc_id) AS features
+        |  (SELECT string_agg(CAST(fv AS BIGINT), ',' ORDER BY j) FROM f
+        |   WHERE f.doc_id = m.doc_id) AS features_csv
         |FROM m ORDER BY m.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (

@@ -126,14 +126,24 @@ object Analytics {
     * (spark.sql.optimizer.runtime.bloomFilter) automates — spelled out here
     * as an explicit operator so the pruning is plan-visible and testable.
     * False positives don't matter for correctness: the semi join re-checks.
+    *
+    * The probe predicate is Spark's own codegen'd
+    * `BloomFilterMightContain` over the serialized sketch (the same
+    * expression the runtime filter injects) — a Scala UDF here would
+    * break whole-stage codegen on the hottest scan of the query.
     */
   def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.PlanBridge
     val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
     val bloom = bigOrders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val mightContain = PlanBridge.column(BloomFilterMightContain(
+      Literal(bytes.toByteArray, org.apache.spark.sql.types.BinaryType),
+      PlanBridge.expression(col("l_orderkey"))))
     t(s, dir, "lineitem")
-      .filter(mightContain(col("l_orderkey"))) // row-local pre-shuffle prune
+      .filter(mightContain) // row-local pre-shuffle prune, stays in codegen
       .join(bigOrders.select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_orderkey")

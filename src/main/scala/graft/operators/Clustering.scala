@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * cosine is the similarity — the same arithmetic the rest of the
   * similarity stack uses.
   *
-  * Scale: each iteration is one broadcast of k centroids (KBs) + one
-  * map-side-combined shuffle of k×dim partial sums — the fact table
-  * streams; nothing ever shuffles the corpus itself. Iterations multiply
-  * cost linearly; k never does (broadcast side).
+  * Scale: each iteration collects the k-row centroid codebook to the
+  * driver (KBs — the sanctioned bounded collect), inlines it as a
+  * literal, and re-assigns with a row-local argmax expression; the only
+  * thing that moves is the map-side-combined shuffle of k×dim partial
+  * sums in the centroid recompute — the corpus itself never shuffles
+  * (true as of round 4: the round-3 formulation's per-id window DID
+  * shuffle the corpus every pass). Iterations multiply cost linearly;
+  * k never does.
   */
 object Clustering {
 

@@ -54,17 +54,20 @@ object Dedup {
       .select(col(idCol), col("shingles"))
   }
 
-  /** MinHash signature columns mh0..mh{k-1}. The shingle STRING is hashed
-    * once (`hs`); the k signature hashes re-hash the resulting 64-bit value
-    * with per-hash seeds — string hashing dominates the cost, so this is
-    * one string pass + k cheap long passes instead of k string passes.
+  /** MinHash signature as ONE `mhs` array column, built in a single
+    * aggregate pass. The shingle STRING is hashed once per shingle; the k
+    * signature hashes re-hash the resulting 64-bit value with per-hash
+    * seeds, folded as k running minima — one traversal of the shingle set
+    * and one k-element accumulator per doc, instead of k separate
+    * `array_min(transform(...))` passes each allocating a full hash array
+    * (the round-3 GC hot spot on the 100 TB shingle path).
     */
   def withMinhash(shingled: DataFrame, numHashes: Int = 8): DataFrame =
-    (0 until numHashes).foldLeft(
-      shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
-    ) { (acc, j) =>
-      acc.withColumn(s"mh$j", expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))"))
-    }.drop("hs")
+    shingled.withColumn("mhs",
+      expr(s"""aggregate(
+         |  transform(shingles, s -> xxhash64(s)),
+         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $numHashes),
+         |  (acc, h) -> transform(acc, (m, j) -> least(m, xxhash64(h, j))))""".stripMargin))
 
   /** LSH banding: signatures split into bands of `rowsPerBand`; docs whose
     * band hashes collide become candidate pairs. The self-join shuffles on
@@ -76,7 +79,7 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val bands = numHashes / rowsPerBand
     val bandCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      val hs = (0 until rowsPerBand).map(r => s"element_at(mhs, ${b * rowsPerBand + r + 1})")
       struct(lit(b).as("band_id"), expr(s"xxhash64(${hs.mkString(", ")})").as("band_hash"))
     }
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
@@ -104,13 +107,24 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline. */
+  /** Full MinHash-LSH near-dup pipeline.
+    *
+    * The (id, shingles, mhs) frame is materialized ONCE (eager
+    * localCheckpoint): it feeds BOTH the band-bucket join and the exact
+    * Jaccard verify, and without materialization the shingle+minhash
+    * pipeline runs twice per query — worse, CollapseProject would inline
+    * the minhash aggregate into each of the band projections. Checkpoint,
+    * not cache: no shared-CacheManager entry (each run pays its own
+    * compute — honest benchmarks), and the blocks are released when the
+    * RDD is garbage-collected.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(docs, idCol, textCol, shingleN)
-    val cands = lshCandidates(withMinhash(shingled, numHashes), idCol, numHashes, rowsPerBand)
-    verifyJaccard(cands, shingled, idCol, threshold)
+    val sig = withMinhash(withShingles(docs, idCol, textCol, shingleN), numHashes)
+      .localCheckpoint(true)
+    val cands = lshCandidates(sig, idCol, numHashes, rowsPerBand)
+    verifyJaccard(cands, sig, idCol, threshold)
       .orderBy("a", "b")
   }
 
@@ -154,18 +168,28 @@ object Dedup {
   }
 
   /** 32-bit SimHash per doc over its distinct tokens, built from the
-    * portable [[Hashing.md5Long]] so external oracles reproduce it. Two
-    * aggregations: (doc, bit) majority vote, then bit-pack.
+    * portable [[Hashing.md5Long]] so external oracles reproduce it. ONE
+    * aggregation straight off the (doc, token-hash) rows: each bit's
+    * majority vote is a conditional ±1 sum over `h`, all `bits` votes
+    * computed side-by-side in the same map-side-combined aggregate, then
+    * bit-packed in the output projection. No row amplification — the
+    * round-3 formulation exploded (doc, h) × sequence(0,31), carrying 32
+    * shuffle rows per token.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val votes = (0 until bits).map { i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+    }
     docs
       .select(col(idCol), explode(expr(s"array_distinct(split($textCol, ' '))")).as("tok"))
       .select(col(idCol), Hashing.md5Long(col("tok")).as("h"))
-      .select(col(idCol), col("h"), explode(expr(s"sequence(0, ${bits - 1})")).as("i"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map { i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
 
   /** Connected components over a near-dup pair list — the clustering step
     * that turns pairwise `(a, b)` matches into dedup GROUPS (keep one doc
@@ -212,6 +236,7 @@ object Dedup {
       .repartition(nParts, col("id"))
       .localCheckpoint(true)
     var converged = false
+    var lastChanged = 0L
     var i = 0
     while (!converged && i < maxIter) {
       // neighbor labels: for each id, the min comp among itself and its
@@ -228,11 +253,21 @@ object Dedup {
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).count()
       labels = next
+      lastChanged = changed
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     p.unpersist()
+    // Non-convergence means the returned labels would SPLIT components
+    // whose diameter exceeds maxIter — silently wrong dedup groups. Fail
+    // loudly instead: the caller should raise maxIter for long-chain
+    // graphs (near-dup components are shallow; hitting this is a signal
+    // the pair list is not near-dup shaped).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($lastChanged labels still changing) — raise maxIter")
     labels
   }
 

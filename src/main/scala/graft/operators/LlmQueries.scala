@@ -121,7 +121,9 @@ object LlmQueries {
       .select(col("doc_id"), col("features"))
     decoded.toDF().join(features, "doc_id")
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
-        col("features"))
+        // serialized scalar, not ARRAY<BIGINT>: external compare harnesses
+        // sort/hash columns and cannot order array cells
+        array_join(col("features"), ",").as("features_csv"))
       .orderBy("doc_id")
   }
 

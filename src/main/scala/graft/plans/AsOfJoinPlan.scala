@@ -153,15 +153,26 @@ case class AsOfJoinExec(
         private var rRow: InternalRow = _
         private var rKeyV: Any = _
         private var rTsV: Any = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKeyV = rKeyEval.eval(rRow)
-            rTsV = rTsEval.eval(rRow)
-          } else rRow = null
+        // Null-key/null-ts right rows can never be the as-of match of any
+        // left row (the equi-key is null-rejecting, like the SQL ASOF
+        // oracle's ON equality): skip them while advancing rather than
+        // feed nulls into the interpreted orderings (which NPE). Ascending
+        // sort puts them first, so they are consumed before any real work.
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val cand = rIter.next()
+            val kv = rKeyEval.eval(cand)
+            val tv = rTsEval.eval(cand)
+            if (kv != null && tv != null) { rRow = cand; rKeyV = kv; rTsV = tv }
+          }
+        }
         advanceRight()
 
         private var lastPayload: UnsafeRow = _
+        // explicit presence flag — a null sentinel would conflate "no
+        // previous left key" with a genuine null key value
+        private var hasLastKey = false
         private var lastKey: Any = _
 
         override def hasNext: Boolean = lIter.hasNext
@@ -170,10 +181,16 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val k = lKeyEval.eval(l)
           val t = lTsEval.eval(l)
+          if (k == null || t == null) {
+            // null left key/ts matches nothing, by the same null-rejecting
+            // rule; the right cursor and buffer are left untouched
+            return outProj(joined(l, nullPayload))
+          }
           // new left key → buffered payload is stale
-          if (lastKey == null || keyOrd.compare(lastKey, k) != 0) {
+          if (!hasLastKey || keyOrd.compare(lastKey, k) != 0) {
             lastPayload = null
             lastKey = k
+            hasLastKey = true
           }
           // consume right rows up to (k, t]: skip earlier keys, record
           // same-key rows with ts <= t (later rows overwrite — the sort

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayExists, Cast, EqualTo, Expression, If, IsNull, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Not, Size, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -15,9 +15,18 @@ import graft.functions.DotProduct
   * into the codegen'd [[graft.functions.DotProduct]] native expression.
   * Users (and the oracle SQL) keep writing the engine-portable HOF form;
   * the optimizer gives them the primitive-loop implementation (~2.2×,
-  * measured in FunctionsSpec) automatically. Semantics are identical by
-  * construction: same cast-to-double, same left-to-right multiply-add
-  * order — FunctionsSpec pins bit-equality of the two paths.
+  * measured in FunctionsSpec) automatically.
+  *
+  * The HOF form is NULL whenever the arrays are ragged (zip_with pads the
+  * shorter with nulls) or carry a null element — cases DotProduct does not
+  * handle (min-length prefix, null slots read as garbage). The rewrite
+  * therefore GUARDS: `If(size(a) = size(b) [AND no null elements], dot,
+  * NULL)` — the else branch is exactly the HOF result in those cases, so
+  * semantics are preserved for every input, not just dense ones. The
+  * null-element probes are emitted only when the element type is nullable;
+  * statically dense arrays pay just the two size() calls. (The else branch
+  * being a literal — not the original aggregate — also keeps the rule
+  * fixpoint-stable in the optimizer's fixed-point batch.)
   *
   * Matching is deliberately strict (exact multiply lambda, exact add
   * lambda, literal 0.0 seed, double element types) — anything else keeps
@@ -28,6 +37,28 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
+  }
+
+  private def mayHaveNullElement(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  private def noNullElement(arr: Expression): Expression = {
+    val lv = NamedLambdaVariable("el", DoubleType, nullable = true)
+    Not(ArrayExists(arr, LambdaFunction(IsNull(lv), Seq(lv))))
+  }
+
+  /** The guarded rewrite: dot product when defined, NULL exactly where the
+    * HOF spelling is NULL (ragged lengths / null elements / null arrays —
+    * note If's condition evaluating to null also takes the else branch,
+    * which covers size(NULL_ARRAY) = ... being null).
+    */
+  private def guarded(a: Expression, b: Expression): Expression = {
+    val sameLen: Expression = EqualTo(Size(a), Size(b))
+    val cond = Seq(a, b).filter(mayHaveNullElement).map(noNullElement)
+      .foldLeft(sameLen)(And(_, _))
+    If(cond, DotProduct(a, b), Literal(null, DoubleType))
   }
 
   private object MultiplyLambda {
@@ -66,6 +97,6 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             AddLambda(),
             IdentityFinish())
           if isDoubleArray(a) && isDoubleArray(b) =>
-        DotProduct(a, b)
+        guarded(a, b)
     }
 }

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.classic.{Dataset => CDataset, ExpressionUtils, SparkSession => CSparkSession}
 
 /** Narrow access bridge into Spark's `private[sql]` plan constructors.
   *
@@ -23,4 +24,14 @@ object PlanBridge {
     */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[_]].queryExecution.analyzed
+
+  /** Wrap a hand-built catalyst Expression as a user-facing Column (the
+    * Spark 4 column-node API hides the direct constructor) — used for
+    * expressions Spark ships but does not register as SQL functions
+    * (e.g. `BloomFilterMightContain`).
+    */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

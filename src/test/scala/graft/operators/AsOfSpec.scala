@@ -91,6 +91,26 @@ class AsOfSpec extends SparkTestBase {
     assert(composed.head.getAs[String]("rv") == "rB")
   }
 
+  test("native operator: null keys/timestamps are null-rejecting, not a crash") {
+    import spark.implicits._
+    // null key and null ts rows on BOTH sides: right-side ones must be
+    // skipped (never a match), left-side ones survive with null payload —
+    // the SQL ASOF oracle's ON-equality semantics
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), "l1"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "lNullKey"),
+      (Option(1L), Option.empty[Timestamp], "lNullTs"),
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), "r1"),
+      (Option.empty[Long], Option(ts("2024-01-01 08:00:00")), "rNullKey"),
+      (Option(1L), Option.empty[Timestamp], "rNullTs"),
+    ).toDF("k", "t", "rv")
+    val out = AsOf.joinNative(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("rv")).toMap
+    assert(out == Map("l1" -> "r1", "lNullKey" -> null, "lNullTs" -> null))
+  }
+
   test("native operator works when both sides share one source relation " +
        "(exprId dedup)") {
     val ev = graft.Tables.load(spark, sfDir, "events")

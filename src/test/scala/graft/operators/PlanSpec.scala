@@ -62,7 +62,12 @@ class PlanSpec extends SparkTestBase {
       // builds a driver-side Bloom sketch (bounded aggregation) by design
       "q31_bloom_semi_join",
       // iterative label propagation: bounded per-round convergence counts
-      "dedup_cluster", "pipeline_prep")
+      "dedup_cluster", "pipeline_prep",
+      // materializes the shared (shingles, minhash) frame once — eager
+      // localCheckpoint by design (feeds both LSH banding and verify)
+      "dedup_minhash_lsh",
+      // collect the k-row centroid codebook (bounded, like the Bloom build)
+      "ml_kmeans", "sim_ivf_ann", "sim_ivf_nprobe")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
