@@ -81,6 +81,7 @@ object SparkEntry {
     "a14_schedule"          -> (PipelineQueries.a14Schedule _),
     "a15_run_date"          -> (PipelineQueries.a15RunDate _),
     "a16_scd2_merge"        -> (PipelineQueries.a16Scd2Merge _),
+    "a17_incremental_sync"  -> (PipelineQueries.a17IncrementalSync _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -897,6 +898,11 @@ object SparkEntry {
         |UNION ALL SELECT * FROM kept
         |UNION ALL SELECT * FROM opened
         |ORDER BY key, valid_from, is_current""".stripMargin,
+    // delta-sync ≡ full-sync: the published table after (snapshot run +
+    // high-watermark incremental run) must equal one full export
+    "a17_incremental_sync" ->
+      """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "mm_decode" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

@@ -78,26 +78,36 @@ object Multimodal {
     * single-scan plumbing is the contract). Stays in codegen: byte access
     * via substring-on-binary + ascii, no UDF.
     */
-  def featurize(media: DataFrame, dims: Int = 4): DataFrame =
-    media
-      // byte values via the hex codec — string ops only, so the math is
-      // reproducible on any engine (raw byte→int of a lone non-ASCII byte
-      // is codec-dependent; hex is not). ONE self-contained expression:
-      // hex+regexp split the payload into byte pairs, the indexed
-      // transform tags each with its position, and each dimension sums its
-      // stride. Deliberately NOT factored into helper columns — Catalyst's
-      // project-collapse would inline a helper into the per-element
-      // lambda and re-evaluate hex(data) per byte (O(n²)); inline like
-      // this the worst collapse is `dims` linear passes.
-      .withColumn("features",
-        expr(s"""transform(sequence(0, ${dims - 1}), j ->
-          |  aggregate(
-          |    filter(
-          |      transform(regexp_extract_all(hex(data), '..', 0),
-          |        (h, i) -> struct(i AS pos, CAST(conv(h, 16, 10) AS BIGINT) AS v)),
-          |      t -> t.pos % $dims = j),
-          |    CAST(0 AS BIGINT),
-          |    (acc, t) -> acc + t.v))""".stripMargin))
+  def featurize(media: DataFrame, dims: Int = 4): DataFrame = {
+    // byte values via the hex codec — string ops only, so the math is
+    // reproducible on any engine (raw byte→int of a lone non-ASCII byte
+    // is codec-dependent; hex is not). ONE self-contained expression AND
+    // one traversal: the aggregate walks the hex byte-pairs once, carrying
+    // (position, f0..f{dims-1}) in the accumulator struct and adding each
+    // byte to its stride's field — a CASE on position % dims keeps it to
+    // one conv() and one struct per byte. (The round-3 form ran `dims`
+    // full transform+filter+aggregate passes, each allocating per-element
+    // structs and filtered arrays — the 26 s GC hot spot of the r3 bench.)
+    // Deliberately NOT factored into helper columns — Catalyst's
+    // project-collapse would inline a helper into the per-element lambda
+    // and re-evaluate hex(data) per byte (O(n²)).
+    val zero = (0 until dims).map(j => s"'f$j', CAST(0 AS BIGINT)").mkString(", ")
+    val branches = (0 until dims).map { j =>
+      val fields = (0 until dims).map { d =>
+        if (d == j) s"'f$d', acc.f$d + CAST(conv(h, 16, 10) AS BIGINT)"
+        else s"'f$d', acc.f$d"
+      }.mkString(", ")
+      s"WHEN $j THEN named_struct('i', acc.i + 1, $fields)"
+    }.mkString(" ")
+    media.withColumn("features",
+      expr(s"""aggregate(
+        |  regexp_extract_all(hex(data), '..', 0),
+        |  named_struct('i', CAST(0 AS BIGINT), $zero),
+        |  (acc, h) -> CASE CAST(acc.i % $dims AS INT)
+        |    $branches
+        |  END,
+        |  acc -> array(${(0 until dims).map(j => s"acc.f$j").mkString(", ")}))""".stripMargin))
+  }
 
   /** End-to-end metadata extraction (the mm query surface): attach →
     * metadata projection + portable content fingerprint. Payload bytes are

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  test("connected components closes a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 500-link path — plain O(diameter) label propagation cannot close
+    // this inside any small round budget; the pointer-jumping shortcut
+    // must (O(log diameter) ≈ 10 rounds)
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain)
+    assert(labels.count() == 501)
+    assert(labels.select("comp").distinct().count() == 1, "one component")
+    assert(labels.agg(max("comp")).head().getLong(0) == 0L, "min-id label")
+  }
+
+  test("connected components keeps disjoint components apart") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components refuses to return split labels") {
+    import spark.implicits._
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("simhash: bit-packed signature matches a per-bit recomputation") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical docs → identical signatures; disjoint vocab → different
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    // recompute doc 1's signature directly from the definition
+    val hs = Seq("alpha", "beta", "gamma").map { t =>
+      docs.sparkSession.range(1)
+        .select(graft.operators.Hashing.md5Long(lit(t))).head().getLong(0)
+    }
+    val expected = (0 until 32).map { i =>
+      val vote = hs.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) 1L << i else 0L
+    }.sum
+    assert(got(1L) == expected)
+  }
+}

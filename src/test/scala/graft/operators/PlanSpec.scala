@@ -58,7 +58,7 @@ class PlanSpec extends SparkTestBase {
     val exempt = Set("a01_jdbc_pushdown", "a02_jdbc_partitioned", "a04_catalog_scan",
       "a05_type_mapping", "a06_schema_json", "a07_csv_roundtrip",
       "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
-      "a12_throttled_sync", "a13_retry_sync",
+      "a12_throttled_sync", "a13_retry_sync", "a17_incremental_sync",
       // builds a driver-side Bloom sketch (bounded aggregation) by design
       "q31_bloom_semi_join",
       // iterative label propagation: bounded per-round convergence counts

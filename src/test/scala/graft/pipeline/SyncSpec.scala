@@ -110,6 +110,63 @@ class SyncSpec extends SparkTestBase {
     assert(inc.count() < full.count(), "delta must be a strict subset")
   }
 
+  test("qualified table names: 3-part parsing + Derby schema round-trip") {
+    // the reference's database.dbo.thetable form (dags/mssql_to_bigquery.py:2):
+    // full name in the export SQL, base name for staging artifacts
+    val q = TableConfig(exportTable = "database.dbo.thetable")
+    assert(q.nameParts == Seq("database", "dbo", "thetable"))
+    assert(q.tableBaseName == "thetable")
+    assert(q.resolvedStageTable == "thetable", "stage under split('.')[-1]")
+    assert(q.resolvedDatabase == "database")
+    assert(q.resolvedExportQuery == "SELECT * from database.dbo.thetable")
+    val plain = TableConfig(exportTable = "orders")
+    assert(plain.resolvedStageTable == "orders")
+    assert(plain.resolvedDatabase == "db")
+    assert(TableConfig(exportTable = "dbo.t", database = "given")
+      .resolvedDatabase == "given", "explicit database wins")
+
+    // and a schema-qualified name drives the sync end-to-end through a
+    // real Derby schema (Derby auto-creates it on qualified CREATE TABLE)
+    val url = "jdbc:derby:memory:graftqual;create=true"
+    graft.sources.JdbcSource.write(
+      graft.Tables.load(spark, sfDir, "region"), url, "GRAFTS.region_q")
+    val staging = Files.createTempDirectory("sync_stg6").toString
+    val warehouse = Files.createTempDirectory("sync_wh6").toString
+    val out = Sync.syncTable(spark, TableConfig(exportTable = "GRAFTS.region_q"),
+      JdbcSqlSource(url), staging, warehouse, LocalDate.of(2020, 1, 1))
+    assert(out.count() == 5)
+    assert(new java.io.File(s"$staging/region_q/ds=20200101").exists(),
+      "staging artifacts keyed by the base name")
+  }
+
+  test("incremental two-run sync: delta-only export, snapshot+delta ≡ full") {
+    val staging = Files.createTempDirectory("sync_stg5").toString
+    val warehouse = Files.createTempDirectory("sync_wh5").toString
+    val src = ViewSource(sfDir)
+    val base = TableConfig(exportTable = "orders", stageTable = Some("o_inc"),
+      exportQuery = Some("SELECT o_orderkey FROM orders"))
+    val run1 = base.copy(exportQuery =
+      Some("SELECT o_orderkey FROM orders WHERE o_orderkey <= 750"))
+    val pub1 = Sync.syncTable(spark, run1, src, staging, warehouse,
+      LocalDate.of(2020, 1, 1))
+    val wm = Sync.latestWatermark(pub1, "o_orderkey").get
+    val run2 = base.copy(
+      exportQuery = Some(Sync.incrementalQuery(base, "o_orderkey", wm)),
+      stageFinalQuery = Some(
+        "SELECT o_orderkey FROM existing UNION ALL SELECT o_orderkey FROM stage"))
+    val pub2 = Sync.syncTable(spark, run2, src, staging, warehouse,
+      LocalDate.of(2020, 1, 2))
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    // run 2's staging snapshot holds ONLY the delta — the bounded export
+    // is the entire point of the watermark path
+    val stage2 = spark.read.parquet(s"$staging/o_inc/ds=20200102")
+    assert(stage2.count() ==
+      orders.filter(col("o_orderkey") > wm.toLong).count())
+    assert(stage2.count() < orders.count(), "delta must be a strict subset")
+    // and the published final equals one full export
+    assert(pub2.count() == orders.count())
+  }
+
   test("syncAll runs every config (sequential and bounded-parallel)") {
     val staging = Files.createTempDirectory("sync_stg4").toString
     val warehouse = Files.createTempDirectory("sync_wh4").toString
