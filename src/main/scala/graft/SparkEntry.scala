@@ -64,6 +64,7 @@ object SparkEntry {
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
+    "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -104,6 +105,8 @@ object SparkEntry {
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
+    "sim_recall"            -> (LlmQueries.simRecall _),
+    "prep_split"            -> (LlmQueries.prepSplit _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
@@ -898,6 +901,93 @@ object SparkEntry {
         |UNION ALL SELECT * FROM kept
         |UNION ALL SELECT * FROM opened
         |ORDER BY key, valid_from, is_current""".stripMargin,
+    "q37_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+        |SELECT event_id, user_id, es,
+        |  COUNT(*) OVER w AS n_1h,
+        |  ROUND(SUM(value) OVER w, 2) AS v_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "prep_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) - 1) % 10 AS slot
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "sim_recall" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |cosj AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(p.emb, c.emb)
+        |      / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+        |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id),
+        |troot AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |    SELECT probe_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+        |    FROM cosj) WHERE rn = 1),
+        |cb AS (SELECT vec_id, emb,
+        |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM c0),
+        |pb AS (SELECT vec_id, emb,
+        |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END) AS bkt FROM p0),
+        |lshnn AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.emb, c.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |        c.vec_id) AS rn
+        |    FROM pb p JOIN cb c USING (bkt) WHERE c.vec_id <> p.vec_id) WHERE rn = 1),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1),
+        |ivfnn AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+        |        a.vec_id) AS rn
+        |    FROM pasg p JOIN casg a USING (cid)) WHERE rn = 1),
+        |m AS (
+        |  SELECT 'ivf_nprobe1' AS method, COUNT(*) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM troot LEFT JOIN ivfnn USING (probe_id)
+        |  UNION ALL
+        |  SELECT 'lsh_bits4' AS method, COUNT(*) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM troot LEFT JOIN lshnn USING (probe_id))
+        |SELECT method, n_probes, hits, ROUND(hits / n_probes, 4) AS recall_at_1
+        |FROM m ORDER BY method""".stripMargin,
     // delta-sync ≡ full-sync: the published table after (snapshot run +
     // high-watermark incremental run) must equal one full export
     "a17_incremental_sync" ->

@@ -181,6 +181,27 @@ object Analytics {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Q37 — time-RANGE window frame: per user, the rolling count/sum of
+    * event values over the trailing hour (`RANGE BETWEEN 3600 PRECEDING
+    * AND CURRENT ROW` on epoch seconds). The RANGE frame is the piece
+    * ROWS frames can't express — peers at the same timestamp enter the
+    * frame together, and gaps shrink it. Epoch SECONDS as the ordering
+    * key on both engines (Spark's timestamp→long cast truncates to
+    * seconds; DuckDB mirrors with floor(epoch(ts))) so frame membership
+    * is bit-identical. One shuffle on user_id.
+    */
+  def rangeFrameWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("es"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h", round(sum(col("value")).over(w), 2))
+      .select("event_id", "user_id", "es", "n_1h", "v_1h")
+      .orderBy("event_id")
+  }
+
   /** DQ — declarative data-quality checks, one row per rule: nulls,
     * value ranges, referential integrity, key uniqueness, token floor.
     * The engine-native form of the reference's schema-check step — each

@@ -257,6 +257,45 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** Deterministic stratified train/val/test split over the corpus
+    * ([[Prep.trainValTestSplit]]): exact 10/10/80 per language stratum,
+    * rank-by-portable-hash so any engine reproduces the assignment.
+    */
+  def prepSplit(s: SparkSession, dir: String): DataFrame =
+    Prep.trainValTestSplit(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** ANN quality measured, not assumed: recall@1 of the bucketed LSH path
+    * and the IVF path against the brute-force ground truth, computed by
+    * the engine itself (the oracle recomputes all three sides
+    * independently). A probe whose bucket holds no candidate counts as a
+    * miss — recall accounting must include empty buckets.
+    */
+  def simRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val exact = Similarity.cosineTopK(corpus.drop("label"), probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      exact.join(ann, Seq("probe_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+        .select(lit(method).as("method"), col("n_probes"), col("hits"),
+          round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+    val lsh = Similarity.lshTopK(corpus.drop("label"), probes, "vec_id", "emb",
+        bits = 4, k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    val centroids = Similarity.trainCentroids(corpus, "label", "emb")
+    val ivf = Similarity.ivfTopK(corpus.drop("label"), probes, centroids,
+        "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    recallOf("ivf_nprobe1", ivf).unionByName(recallOf("lsh_bits4", lsh))
+      .orderBy("method")
+  }
+
   /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF
     * coarse-quantizer training step; output exploded to (label, dim, value)
     * rows so the oracle can reproduce it with plain SQL.

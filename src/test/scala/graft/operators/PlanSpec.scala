@@ -67,7 +67,7 @@ class PlanSpec extends SparkTestBase {
       // localCheckpoint by design (feeds both LSH banding and verify)
       "dedup_minhash_lsh",
       // collect the k-row centroid codebook (bounded, like the Bloom build)
-      "ml_kmeans", "sim_ivf_ann", "sim_ivf_nprobe")
+      "ml_kmeans", "sim_ivf_ann", "sim_ivf_nprobe", "sim_recall")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
