@@ -277,6 +277,41 @@ object PipelineQueries {
       .orderBy("key", "valid_from", "is_current")
   }
 
+  /** A18 — bucketed-table merge: both merge inputs are written
+    * `bucketBy(8, key) sortBy(key)` parquet tables, so the stage↔existing
+    * full-outer join co-locates by bucket and runs with ZERO exchanges
+    * (the merge hint pins SortMergeJoin; bucketed scans satisfy its
+    * distribution requirement directly). At 100 TB this is THE layout
+    * decision for a daily merge pipeline: the huge existing table is
+    * bucketed once and every subsequent merge avoids re-shuffling it —
+    * pre-partitioning carried across jobs through storage. Same
+    * stage-wins semantics (and the same oracle shape) as
+    * [[a10MergeHelper]]; PlanSpec pins the exchange-free join.
+    */
+  def a18BucketedMerge(s: SparkSession, dir: String): DataFrame = {
+    val loc = Files.createTempDirectory("graft_bkt_wh").toString
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
+    val o = Tables.load(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") + 1000, 2).as("p"))
+    val stage = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice"), 2).as("p"))
+    existing.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.existing_b")
+    stage.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.stage_b")
+    Merge.upsert(
+        s.table("graft_bkt.existing_b").hint("merge"),
+        s.table("graft_bkt.stage_b").hint("merge"),
+        Seq("o_orderkey"))
+      .withColumnRenamed("o_orderkey", "k")
+      .orderBy("k")
+  }
+
   /** A17 — incremental high-watermark sync, the reference's one advertised
     * improvement path ("use time/id in the sync select",
     * reference README.md:8), driven end-to-end as two runs:

@@ -50,6 +50,15 @@ class PlanSpec extends SparkTestBase {
       "bucketed join must be hash/sort-merge on the band key")
   }
 
+  test("a18 bucketed merge joins without any shuffle exchange") {
+    val p = plan("a18_bucketed_merge")
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$p")
+    // bucketed scans satisfy the join's distribution requirement: the ONLY
+    // exchange allowed is the final presentation orderBy (rangepartitioning)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-shuffle either side:\n$p")
+  }
+
   test("no collect() in any registered query body (all run lazily)") {
     // Building every DataFrame must not trigger a Spark job — a query body
     // that calls collect()/count() isn't distributed-lazy. Pipeline queries
@@ -59,6 +68,7 @@ class PlanSpec extends SparkTestBase {
       "a05_type_mapping", "a06_schema_json", "a07_csv_roundtrip",
       "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
       "a12_throttled_sync", "a13_retry_sync", "a17_incremental_sync",
+      "a18_bucketed_merge", // writes the bucketed tables it then merges
       // builds a driver-side Bloom sketch (bounded aggregation) by design
       "q31_bloom_semi_join",
       // iterative label propagation: bounded per-round convergence counts
