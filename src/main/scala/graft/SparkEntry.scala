@@ -928,7 +928,7 @@ object SparkEntry {
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM documents),
         |r AS (SELECT doc_id, lang,
-        |  (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) - 1) % 10 AS slot
+        |  (ROW_NUMBER() OVER (PARTITION BY lang, hv % 64 ORDER BY hv, doc_id) - 1) % 10 AS slot
         |  FROM h)
         |SELECT doc_id, lang,
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'

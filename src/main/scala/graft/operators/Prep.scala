@@ -14,22 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Prep {
 
-  /** Deterministic stratified train/val/test split with EXACT per-stratum
-    * proportions: rows are ranked inside their stratum by a content-free
-    * portable hash of the id (so the order is pseudorandom but
-    * reproducible anywhere), and the rank modulo 10 assigns
-    * 10% test / 10% val / 80% train — every stratum gets the exact
-    * ratios (±1 row), unlike plain hash-mod splits whose per-stratum
-    * proportions only concentrate with size.
+  /** Deterministic stratified train/val/test split with exact per-block
+    * proportions: rows are ranked inside (stratum, salt-block) by a
+    * content-free portable hash of the id (pseudorandom but reproducible
+    * anywhere), and the rank modulo 10 assigns 10% test / 10% val /
+    * 80% train. Every (stratum, salt) block gets the exact ratios (±1
+    * row), so each stratum is within ±`salts` rows of exact — far
+    * tighter than plain hash-mod splits, whose per-stratum proportions
+    * only concentrate with size.
     *
-    * Scale: one window shuffle on the stratum key. Skewed strata are fine
-    * (rank is a streaming window function); if a single stratum exceeds a
-    * partition, pre-salt the rank and re-rank per salt block.
+    * Scale: the window partitions on (stratum, salt), NOT the bare
+    * stratum — a bare-stratum rank is one task per stratum, which a
+    * 100 TB corpus with a handful of languages cannot run. The salt
+    * fans each stratum out `salts`-fold (size it to the cluster's
+    * parallelism); blocks are hash-uniform, so no skew.
     */
-  def trainValTestSplit(df: DataFrame, idCol: String,
-                        strataCol: String): DataFrame = {
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(Hashing.md5Long(col(idCol).cast("string")), col(idCol))
+  def trainValTestSplit(df: DataFrame, idCol: String, strataCol: String,
+                        salts: Int = 64): DataFrame = {
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol), pmod(h, lit(salts)))
+      .orderBy(h, col(idCol))
     val slot = (row_number().over(w) - 1) % 10
     df.select(col(idCol), col(strataCol),
       when(slot === 0, "test").when(slot === 1, "val")
