@@ -162,6 +162,62 @@ object EventsStream {
       .start()
   }
 
+  /** Streaming → warehouse bridge: the SURVEY §1 "incremental variant →
+    * Structured Streaming" path made concrete. Each micro-batch's per-user
+    * delta is MERGED into the published warehouse table through the same
+    * stage-then-swap publish the batch pipeline uses
+    * ([[graft.pipeline.Sync.publishOverwrite]]) — the streaming analog of
+    * the reference's daily full-copy, except only deltas flow.
+    *
+    * foreachBatch is at-least-once, so the publish is made IDEMPOTENT the
+    * standard way: the table carries the last merged batch id; a replayed
+    * batch (id ≤ stored) is skipped. Together with the atomic
+    * stage-then-swap this gives exactly-once table state end-to-end —
+    * the property a daily 100 TB merge cannot live without.
+    *
+    * Scale: per batch, one map-side-combined aggregate of the delta
+    * (batch-sized), one full-outer merge against the published table
+    * (key-partitioned), one publish. The published table is re-written
+    * per batch here (snapshot semantics, like the reference); a real
+    * 100 TB deployment points the same code at a format with merge
+    * support — the foreachBatch/idempotence/publish shape is unchanged.
+    */
+  def incrementalPublish(spark: SparkSession, srcDir: String,
+                         checkpointDir: String, finalPath: String): StreamingQuery =
+    source(spark, srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(finalPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(finalPath)))
+            Some(s.read.parquet(finalPath))
+          else None
+        val alreadyMerged = existing.exists(
+          _.agg(max("last_batch")).head().getLong(0) >= batchId)
+        if (!alreadyMerged) {
+          val delta = batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+          val merged = existing match {
+            case None => delta.withColumn("last_batch", lit(batchId))
+            case Some(e) =>
+              e.select("user_id", "n_events", "total_value").as("e")
+                .join(delta.as("d"), Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("e.n_events"), lit(0L)) +
+                    coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+                  (coalesce(col("e.total_value"), lit(0.0)) +
+                    coalesce(col("d.total_value"), lit(0.0))).as("total_value"),
+                  lit(batchId).as("last_batch"))
+          }
+          graft.pipeline.Sync.publishOverwrite(merged, finalPath)
+        }
+      }
+      .start()
+
   /** Session windows (10-minute gap) per user — the §2.C extension the
     * reference has no analog for; state closes via watermark.
     */

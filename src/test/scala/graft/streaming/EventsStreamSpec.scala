@@ -130,6 +130,38 @@ class EventsStreamSpec extends SparkTestBase {
     assert(j.filter(col("c") =!= col("bc")).count() == 0)
   }
 
+  test("incremental foreachBatch publish: multi-batch merge equals batch " +
+       "recomputation, and replays are idempotent") {
+    // two source files → two micro-batches (maxFilesPerTrigger=1): the
+    // second batch must MERGE into the published table, not replace it
+    val src = Files.createTempDirectory("es_ip_src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events-000.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      src.resolve("events-001.parquet"))
+    val ckpt = tmp("es_ip_ckpt")
+    val fin = tmp("es_ip_fin") + "/user_totals"
+    EventsStream.incrementalPublish(spark, src.toString, ckpt, fin)
+      .awaitTermination()
+    val got = spark.read.parquet(fin)
+    // ground truth: the same events counted twice (two identical files)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg((count(lit(1)) * 2).as("bn"), (sum("value") * 2).as("bv"))
+    val j = got.join(batch, "user_id")
+    assert(j.count() == got.count() && got.count() == batch.count())
+    assert(j.filter(col("n_events") =!= col("bn") ||
+      abs(col("total_value") - col("bv")) > 1e-6).count() == 0,
+      "published totals must equal the batch recomputation over both files")
+    // idempotence: re-running against the SAME checkpoint finds no new
+    // data and must leave the published table byte-identical
+    val before = got.orderBy("user_id").collect().toSeq
+    EventsStream.incrementalPublish(spark, src.toString, ckpt, fin)
+      .awaitTermination()
+    val after = spark.read.parquet(fin).orderBy("user_id").collect().toSeq
+    assert(after == before, "replay with no new data must be a no-op")
+  }
+
   test("session windows close via watermark and never overlap per user") {
     val out = tmp("es_sw_out")
     val q = EventsStream.sessionCounts(spark, eventsDir,
