@@ -990,10 +990,28 @@ object SparkEntry {
         |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
         |        a.vec_id) AS rn
         |    FROM pasg p JOIN casg a USING (cid)) WHERE rn = 1),
+        |pasg2 AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn <= 2),
+        |ivf2nn AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+        |        a.vec_id) AS rn
+        |    FROM pasg2 p JOIN casg a USING (cid)) WHERE rn = 1),
         |m AS (
         |  SELECT 'ivf_nprobe1' AS method, COUNT(*) AS n_probes,
         |    CAST(SUM(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
         |  FROM troot LEFT JOIN ivfnn USING (probe_id)
+        |  UNION ALL
+        |  SELECT 'ivf_nprobe2' AS method, COUNT(*) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM troot LEFT JOIN ivf2nn USING (probe_id)
         |  UNION ALL
         |  SELECT 'lsh_bits4' AS method, COUNT(*) AS n_probes,
         |    CAST(SUM(CASE WHEN ann_nn = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS hits

@@ -292,7 +292,13 @@ object LlmQueries {
     val ivf = Similarity.ivfTopK(corpus.drop("label"), probes, centroids,
         "vec_id", "emb", k = 1)
       .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
-    recallOf("ivf_nprobe1", ivf).unionByName(recallOf("lsh_bits4", lsh))
+    // nprobe=2 beside nprobe=1: the recall-vs-cost dial, measured
+    val ivf2 = Similarity.ivfTopKNprobe(corpus.drop("label"), probes, centroids,
+        "vec_id", "emb", k = 1, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    recallOf("ivf_nprobe1", ivf)
+      .unionByName(recallOf("ivf_nprobe2", ivf2))
+      .unionByName(recallOf("lsh_bits4", lsh))
       .orderBy("method")
   }
 
