@@ -29,6 +29,41 @@ class SkewSpec extends SparkTestBase {
     assert(salts > 4, s"expected the hot key spread over many salts, got $salts")
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    // one pathological hot key; thresholds lowered so the tiny test data
+    // crosses them — at real scale the defaults (256 MB) play this role.
+    // This is the runtime complement to Skew.saltedJoin: AQE re-plans the
+    // skewed partition into splits after seeing shuffle statistics.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption.flatMap(Option(_))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = spark.range(200000)
+        .select((col("id") % 100).as("noise"),
+          when(col("id") % 10 === 0, lit(42L)).otherwise(col("id")).as("k"))
+      val dim = spark.range(200000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = hot.join(dim, "k")
+      // materialize THIS dataframe's QueryExecution (count() would build
+      // its own), so the adaptive plan below is the final, executed one
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE must mark the skewed join:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val ord = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
     val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
