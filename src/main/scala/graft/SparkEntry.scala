@@ -65,6 +65,7 @@ object SparkEntry {
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
+    "q38_frame_stats"       -> (Analytics.windowFrameStats _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -923,6 +924,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q38_frame_stats" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+        |    / (COUNT(*) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) / 100.0 AS ma3,
+        |  ROUND(percent_rank() OVER w, 4) AS pr,
+        |  ROUND(cume_dist() OVER w, 4) AS cd
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "prep_split" ->
       """WITH h AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv

@@ -202,6 +202,33 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Q38 — centered ROWS frame + distribution ranks: 3-row moving average
+    * (`ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING` — a frame that looks
+    * FORWARD, unlike the running/trailing frames of q11/q37) beside
+    * percent_rank and cume_dist over the same ordering. One shuffle on
+    * the partition key; the ordering (date, key) is unique per partition
+    * so every rank is deterministic.
+    */
+  def windowFrameStats(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val centered = ord.rowsBetween(-1, 1)
+    t(s, dir, "orders")
+      // exact integer cents: a double moving SUM can differ from another
+      // engine's by one ulp, and cents/2 lands exactly on .xx5 where
+      // decimal-string rounding (Spark) and binary rounding (others)
+      // disagree — so sum exactly in integers and emit the RAW division
+      // result (bit-identical IEEE ops on both engines), no rounding
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(col("cents")).over(centered) /
+          count(lit(1)).over(centered) / 100.0).as("ma3"),
+        round(percent_rank().over(ord), 4).as("pr"),
+        round(cume_dist().over(ord), 4).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** DQ — declarative data-quality checks, one row per rule: nulls,
     * value ranges, referential integrity, key uniqueness, token floor.
     * The engine-native form of the reference's schema-check step — each
