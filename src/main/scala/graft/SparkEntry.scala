@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_cluster"         -> (LlmQueries.dedupCluster _),
     "pipeline_prep"         -> (LlmQueries.pipelinePrep _),
     "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),
+    "dedup_fuzzy"           -> (LlmQueries.dedupFuzzy _),
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
@@ -436,6 +437,24 @@ object SparkEntry {
         |SELECT a, b, ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 4) AS jaccard
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, substr(text, 1, 40) AS pfx,
+        |             string_split(text, ' ')[1] AS b1,
+        |             CAST(floor(length(text) / 20) AS INT) AS b2
+        |      FROM corpus)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |       CAST(levenshtein(l.pfx, r.pfx) AS BIGINT) AS dist
+        |FROM s l JOIN s r
+        |  ON l.b1 = r.b1 AND l.b2 = r.b2 AND l.doc_id < r.doc_id
+        |WHERE levenshtein(l.pfx, r.pfx) <= 5
         |ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (

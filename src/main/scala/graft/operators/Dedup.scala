@@ -167,6 +167,34 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Edit-distance near-dup pairs with (leading-token, length-bucket)
+    * blocking: Levenshtein runs only INSIDE blocks, so the quadratic
+    * string comparison is bounded by block size, never n². The prefix cap
+    * bounds each comparison at O(prefixLen²) regardless of document
+    * length — the fuzzy complement to set-based Jaccard (catches
+    * character-level edits that token shingles miss). Null-safe block
+    * keys (`<=>`) keep Catalyst from pushing the derived key expressions
+    * into a pre-shuffle re-evaluating Filter. At 100 TB a single hot
+    * leading token is the skew risk — widen the blocking key (more
+    * leading tokens / finer length buckets) the same way LSH widens
+    * bands.
+    */
+  def fuzzyBlockedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 5, prefixLen: Int = 40,
+                        lenBucket: Int = 20): DataFrame = {
+    val sets = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      element_at(split(col(textCol), " "), 1).as("b1"),
+      expr(s"CAST(floor(length($textCol) / $lenBucket) AS INT)").as("b2"))
+    sets.as("l").join(sets.as("r"),
+        col("l.b1") <=> col("r.b1") && col("l.b2") <=> col("r.b2") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("dist", levenshtein(col("l.pfx"), col("r.pfx")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"), col("dist"))
+      .orderBy("a", "b")
+  }
+
   /** 32-bit SimHash per doc over its distinct tokens, built from the
     * portable [[Hashing.md5Long]] so external oracles reproduce it. ONE
     * aggregation straight off the (doc, token-hash) rows: each bit's

@@ -58,6 +58,9 @@ object LlmQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyBlockedPairs(nearDupDocs(s, dir), "doc_id", "text")
+
   /** Near-dup pairs → dedup GROUPS: connected components over the
     * MinHash-LSH pair list ([[Dedup.connectedComponents]] min-label
     * propagation), component id = min doc id. Covers every doc that
