@@ -103,6 +103,7 @@ object SparkEntry {
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
+    "text_segments"         -> (LlmQueries.textSegments _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
@@ -546,6 +547,30 @@ object SparkEntry {
         |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
         |       ELSE 'und' END AS predicted
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+        |    array_to_string(list_slice(tk, g.i * 20 + 1, g.i * 20 + 20), ' ') AS seg_text
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor((len(tk) - 1) / 20) AS INT) + 1)) AS i) g),
+        |sc AS (SELECT doc_id, seg_idx,
+        |  list_distinct(string_split(seg_text, ' ')) AS toks FROM seg),
+        |s AS (SELECT doc_id, seg_idx,
+        |  CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS BIGINT) AS s_en,
+        |  CAST(len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS BIGINT) AS s_de,
+        |  CAST(len(list_intersect(toks, ['el','la','de','y','que','en','un'])) AS BIGINT) AS s_es,
+        |  CAST(len(list_intersect(toks, ['le','la','les','et','de','un','est'])) AS BIGINT) AS s_fr,
+        |  CAST(len(list_intersect(toks, ['的','是','了','在','我','有'])) AS BIGINT) AS s_zh
+        |FROM sc)
+        |SELECT doc_id, seg_idx, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |       ELSE 'und' END AS predicted
+        |FROM s ORDER BY doc_id, seg_idx""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

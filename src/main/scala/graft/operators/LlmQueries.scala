@@ -106,6 +106,10 @@ object LlmQueries {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def textSegments(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.segmentLangId(docs(s, dir), "doc_id", "text", segTokens = 20)
+      .orderBy("doc_id", "seg_idx")
+
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 

@@ -37,7 +37,13 @@ object TextAnalysis {
     * A real corpus replaces the vocabularies; the operator shape (per-doc
     * score vector + argmax, one scan) is what scales.
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    langIdKeyed(docs, Seq(idCol), textCol)
+
+  /** [[langId]] generalized to compound keys — the per-SEGMENT form needs
+    * (doc_id, seg_idx) to survive the projection.
+    */
+  def langIdKeyed(docs: DataFrame, keyCols: Seq[String], textCol: String): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "zh")
     val toks = docs.withColumn("toks", array_distinct(split(col(textCol), " ")))
     val scored = langs.foldLeft(toks) { (acc, l) =>
@@ -50,7 +56,26 @@ object TextAnalysis {
     }
     scored.withColumn("best", best)
       .withColumn("predicted", pred)
-      .select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
+      .select(keyCols.map(col) ++ langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
+  }
+
+  /** Doc-level language SEGMENTATION: fixed token windows, language-ID'd
+    * independently — the per-segment form of [[langId]] that catches
+    * mixed-language documents (a doc-level argmax smears them into one
+    * label). Row-local segment explode (no shuffle beyond the source
+    * scan); segments are `segTokens`-bounded so per-row work is constant.
+    */
+  def segmentLangId(docs: DataFrame, idCol: String, textCol: String,
+                    segTokens: Int = 20): DataFrame = {
+    val segs = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(floor((size(tk) - 1) / $segTokens) AS INT)),
+           |  i -> concat_ws(' ', slice(tk, i * $segTokens + 1, $segTokens)))""".stripMargin)))
+      .select(col(idCol), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg_text"))
+    langIdKeyed(segs, Seq(idCol, "seg_idx"), "seg_text")
   }
 
   /** Quality scoring: length/punctuation/digit/stopword signals plus a
