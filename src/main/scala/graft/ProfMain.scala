@@ -10,9 +10,10 @@ object ProfMain {
       val targets = Seq("q02_filter_predicates", "q04_star_join",
         "q10_window_topk", "q16_global_topk", "q19_cosine_topk",
         "dedup_minhash_lsh", "dedup_embedding", "dedup_simhash",
-        "sim_ivf_ann", "sim_ivf_nprobe", "mm_decode",
+        "dedup_fuzzy", "sim_ivf_ann", "sim_ivf_nprobe", "mm_decode",
         "q27_sessionize", "q31_bloom_semi_join", "q32_range_bucket_join",
-        "q33_gap_fill", "ml_kmeans", "text_tfidf")
+        "q33_gap_fill", "q37_range_frame", "q38_frame_stats",
+        "prep_split", "a18_bucketed_merge", "ml_kmeans", "text_tfidf")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
