@@ -66,6 +66,8 @@ object SparkEntry {
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
     "q38_frame_stats"       -> (Analytics.windowFrameStats _),
+    "q39_exists_subquery"   -> (Queries.q39 _),
+    "q13c_grouping_sets"    -> (Queries.q13c _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -968,6 +970,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q39_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+        |  COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q38_frame_stats" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -423,6 +423,45 @@ object Queries {
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("v"))
       .orderBy("user_id", "w")
+
+  /** Q39 — correlated EXISTS + NOT EXISTS: the predicate-subquery
+    * decorrelation path (`RewritePredicateSubquery`, distinct from q23's
+    * scalar rewrite) — Catalyst turns each into a semi / anti join, so
+    * the per-row subqueries become two bounded joins, never re-executed
+    * row-by-row. Customers with at least one urgent order and no
+    * high-value order.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g39_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g39_orders")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM g39_customer c
+      WHERE EXISTS (SELECT 1 FROM g39_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM g39_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey""")
+  }
+
+  /** Q13c — explicit GROUPING SETS (the general lattice ROLLUP/CUBE are
+    * sugar for): three hand-picked sets including the grand total, one
+    * Expand + one aggregate — no set is computed by re-scanning.
+    */
+  def q13c(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g13c_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+        COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS rev
+      FROM g13c_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
