@@ -87,6 +87,7 @@ object SparkEntry {
     "a16_scd2_merge"        -> (PipelineQueries.a16Scd2Merge _),
     "a17_incremental_sync"  -> (PipelineQueries.a17IncrementalSync _),
     "a18_bucketed_merge"    -> (PipelineQueries.a18BucketedMerge _),
+    "a19_schema_evolution"  -> (PipelineQueries.a19SchemaEvolution _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -949,6 +950,19 @@ object SparkEntry {
         |UNION ALL SELECT * FROM kept
         |UNION ALL SELECT * FROM opened
         |ORDER BY key, valid_from, is_current""".stripMargin,
+    // rows that predate the new `pri` column carry NULL for it
+    "a19_schema_evolution" ->
+      """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,
+        |       COALESCE(s.st, e.st) AS st, COALESCE(s.p, e.p) AS p,
+        |       s.pri AS pri
+        |FROM (SELECT o_orderkey, o_orderstatus AS st, ROUND(o_totalprice + 1000, 2) AS p
+        |      FROM orders WHERE o_orderkey % 2 = 0) e
+        |FULL OUTER JOIN
+        |     (SELECT o_orderkey, o_orderstatus AS st, ROUND(o_totalprice, 2) AS p,
+        |             o_orderpriority AS pri
+        |      FROM orders WHERE o_orderkey % 3 = 0) s
+        |  ON e.o_orderkey = s.o_orderkey
+        |ORDER BY k""".stripMargin,
     // same merge semantics as a10 — bucketed-layout execution, identical result
     "a18_bucketed_merge" ->
       """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,

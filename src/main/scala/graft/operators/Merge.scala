@@ -48,6 +48,26 @@ object Merge {
     e.join(s, cond, "left_anti").unionByName(stage)
   }
 
+  /** Schema-evolving upsert: the reference re-infers the source schema on
+    * EVERY run (reference dags/cloudsql_to_bigquery.py:141 — no persisted
+    * registry), so a merge pipeline must absorb drift. Columns present on
+    * only one side are added to the other as typed nulls (union of both
+    * schemas, existing's column order first, stage's additions appended),
+    * then the ordinary stage-wins [[upsert]] runs. Rows that predate a
+    * new column carry null for it — exactly BigQuery's additive
+    * schema-update semantics on load.
+    */
+  def upsertEvolve(existing: DataFrame, stage: DataFrame, keys: Seq[String]): DataFrame = {
+    val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      existing.schema.map(f => f.name -> f.dataType) ++
+        stage.schema.filterNot(f => existing.columns.contains(f.name))
+          .map(f => f.name -> f.dataType)
+    def align(df: DataFrame): DataFrame = df.select(allCols.map { case (c, t) =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
+    }: _*)
+    upsert(align(existing), align(stage), keys)
+  }
+
   /** SCD type-2 merge: history-preserving upsert. `existing` carries
     * (key, tracked attrs, valid_from, valid_to, is_current); `stage` is
     * this run's snapshot (key + attrs). For each key:

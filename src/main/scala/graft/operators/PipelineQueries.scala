@@ -312,6 +312,28 @@ object PipelineQueries {
       .orderBy("k")
   }
 
+  /** A19 — schema-evolving merge: the reference re-infers schema per run
+    * (no registry, SURVEY §1.3), so run N+1's export can carry columns
+    * run N never saw. Existing snapshot has (key, st, p); the new stage
+    * adds `pri`. [[Merge.upsertEvolve]] widens both sides to the union
+    * schema (typed nulls for the missing column) and merges stage-wins —
+    * rows only in the old snapshot surface `pri = NULL`, BigQuery's
+    * additive schema-update behavior.
+    */
+  def a19SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") + 1000, 2).as("p"))
+    val stage = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice"), 2).as("p"),
+      col("o_orderpriority").as("pri"))
+    Merge.upsertEvolve(existing, stage, Seq("o_orderkey"))
+      .withColumnRenamed("o_orderkey", "k")
+      .orderBy("k")
+  }
+
   /** A17 — incremental high-watermark sync, the reference's one advertised
     * improvement path ("use time/id in the sync select",
     * reference README.md:8), driven end-to-end as two runs:

@@ -52,4 +52,23 @@ class MergeSpec extends SparkTestBase {
     assert(Merge.upsert(existing, empty, Seq("o_orderkey")).count() == existing.count())
     assert(Merge.upsert(empty, stage, Seq("o_orderkey")).count() == stage.count())
   }
+
+  test("upsertEvolve absorbs schema drift: new column, typed nulls for old rows") {
+    import org.apache.spark.sql.functions._
+    val widened = stage.withColumn("pri", lit("HIGH"))
+    val out = Merge.upsertEvolve(existing, widened, Seq("o_orderkey"))
+    assert(out.columns.toSeq ==
+      existing.columns.toSeq :+ "pri", "union schema, additions appended")
+    // keys only in existing carry NULL pri; keys in stage carry the value
+    val eOnly = out.join(widened.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    assert(eOnly.filter(col("pri").isNotNull).count() == 0)
+    assert(out.join(widened.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .filter(col("pri") =!= "HIGH").count() == 0)
+    // DROPPED column on the stage side also survives (existing's value kept)
+    val narrowed = stage.drop("o_orderstatus")
+    val out2 = Merge.upsertEvolve(existing, narrowed, Seq("o_orderkey"))
+    assert(out2.columns.toSeq == existing.columns.toSeq)
+    assert(out2.count() ==
+      Merge.upsert(existing, stage, Seq("o_orderkey")).count())
+  }
 }
