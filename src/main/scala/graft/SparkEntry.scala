@@ -88,6 +88,7 @@ object SparkEntry {
     "a17_incremental_sync"  -> (PipelineQueries.a17IncrementalSync _),
     "a18_bucketed_merge"    -> (PipelineQueries.a18BucketedMerge _),
     "a19_schema_evolution"  -> (PipelineQueries.a19SchemaEvolution _),
+    "a20_partition_pruning" -> (PipelineQueries.a20PartitionPruning _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -950,6 +951,12 @@ object SparkEntry {
         |UNION ALL SELECT * FROM kept
         |UNION ALL SELECT * FROM opened
         |ORDER BY key, valid_from, is_current""".stripMargin,
+    // layout-invariant: the day aggregate from the raw (unpartitioned) table
+    "a20_partition_pruning" ->
+      """SELECT event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rows that predate the new `pri` column carry NULL for it
     "a19_schema_evolution" ->
       """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,

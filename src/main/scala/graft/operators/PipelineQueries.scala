@@ -312,6 +312,27 @@ object PipelineQueries {
       .orderBy("k")
   }
 
+  /** A20 — hive-layout partitioned publish + partition-pruned read: the
+    * warehouse table is written `partitionBy(event_date)` (the layout a
+    * date-keyed 100 TB fact table lives in), then a single-day query
+    * reads it back — the date predicate must resolve at the DIRECTORY
+    * level (`PartitionFilters` on the scan, one partition touched, zero
+    * data files from other days opened; PlanSpec pins this). The oracle
+    * recomputes the day from the unpartitioned source — layout changes
+    * results not at all, cost enormously.
+    */
+  def a20PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_part_wh").toString + "/events_by_day"
+    Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-02").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** A19 — schema-evolving merge: the reference re-infers schema per run
     * (no registry, SURVEY §1.3), so run N+1's export can carry columns
     * run N never saw. Existing snapshot has (key, st, p); the new stage

@@ -59,6 +59,16 @@ class PlanSpec extends SparkTestBase {
       s"bucketed join must not re-shuffle either side:\n$p")
   }
 
+  test("a20 date predicate prunes at the partition directory level") {
+    val p = plan("a20_partition_pruning")
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(_.contains("event_date")),
+      s"date filter must resolve to PartitionFilters, not a row filter:\n$p")
+    // and the row-level PushedFilters must NOT need the date anymore
+    assert(!"PushedFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      s"pruned column must not also be a data filter:\n$p")
+  }
+
   test("no collect() in any registered query body (all run lazily)") {
     // Building every DataFrame must not trigger a Spark job — a query body
     // that calls collect()/count() isn't distributed-lazy. Pipeline queries
@@ -69,6 +79,7 @@ class PlanSpec extends SparkTestBase {
       "a08_chunk_roundtrip", "a09_overwrite_snapshot", "a11_sync_pipeline",
       "a12_throttled_sync", "a13_retry_sync", "a17_incremental_sync",
       "a18_bucketed_merge", // writes the bucketed tables it then merges
+      "a20_partition_pruning", // writes the partitioned layout it then reads
       // builds a driver-side Bloom sketch (bounded aggregation) by design
       "q31_bloom_semi_join",
       // iterative label propagation: bounded per-round convergence counts
