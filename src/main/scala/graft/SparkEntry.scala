@@ -111,6 +111,7 @@ object SparkEntry {
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
+    "mm_resize"             -> (LlmQueries.mmResize _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
@@ -1144,6 +1145,18 @@ object SparkEntry {
         |  (SELECT string_agg(CAST(fv AS BIGINT), ',' ORDER BY j) FROM f
         |   WHERE f.doc_id = m.doc_id) AS features_csv
         |FROM m ORDER BY m.doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, CAST(n % 640 + 1 AS INT) AS width,
+        |             CAST(n % 480 + 1 AS INT) AS height FROM m)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width * 224 <= height * 256
+        |       THEN greatest(1, CAST(floor(width * 224 / height) AS INT))
+        |       ELSE 256 END AS rw,
+        |  CASE WHEN width * 224 <= height * 256
+        |       THEN 224
+        |       ELSE greatest(1, CAST(floor(height * 256 / width) AS INT)) END AS rh
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

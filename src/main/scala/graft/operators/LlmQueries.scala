@@ -134,6 +134,21 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Resize slot of the media pipeline: decode dims → aspect-preserving
+    * fit into a 256×224 box ([[Multimodal.resizeDims]] — exact integer
+    * math, the computation every real resize does before its pixel pass).
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+    val decoded = Multimodal.decodeImages(media.as[Multimodal.MediaRow]).toDF()
+    Multimodal.resizeDims(decoded, targetW = 256, targetH = 224)
+      .select("doc_id", "width", "height", "rw", "rh")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic frame sampling (seek + stride over the payload): every
     * 7th byte, reported as the hex concatenation so an external oracle can
     * reproduce the exact sampled bytes.

@@ -109,6 +109,27 @@ object Multimodal {
         |  acc -> array(${(0 until dims).map(j => s"acc.f$j").mkString(", ")}))""".stripMargin))
   }
 
+  /** Deterministic resize STUB: the (width, height) from the decode step
+    * scaled to fit a target box with aspect ratio preserved — the integer
+    * math every real resize does before touching pixels (the pixel pass
+    * itself would live in [[decodeImages]]' partition loop next to the
+    * codec; no image library in this environment). Pure column math, one
+    * scan, no shuffle.
+    */
+  def resizeDims(decoded: DataFrame, targetW: Int = 224, targetH: Int = 224): DataFrame =
+    decoded
+      // scale = min(tw/w, th/h) computed in exact integer cross-products:
+      // tw*h vs th*w avoids float scale values entirely; resized dims are
+      // floor(w*t/max) style integer ops — engine-portable bit-for-bit
+      .withColumn("rw",
+        when(col("width") * targetH <= col("height") * targetW,
+          greatest(lit(1), expr(s"CAST(floor(width * $targetH / height) AS INT)")))
+          .otherwise(lit(targetW)))
+      .withColumn("rh",
+        when(col("width") * targetH <= col("height") * targetW,
+          lit(targetH))
+          .otherwise(greatest(lit(1), expr(s"CAST(floor(height * $targetW / width) AS INT)"))))
+
   /** End-to-end metadata extraction (the mm query surface): attach →
     * metadata projection + portable content fingerprint. Payload bytes are
     * NOT read by this plan — only the metadata struct and the original
