@@ -21,6 +21,36 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("scalecheck")) {
+      // scaling evidence: the same dedup operators on 1x/2x/4x/8x unions
+      // of the documents table. Every token is prefixed with the copy
+      // index so copies share NO vocabulary: duplicate structure per copy
+      // stays identical instead of growing quadratically (n identical
+      // copies of a doc would otherwise add n² true near-dup pairs — an
+      // output-size artifact, not engine work). Near-linear wall-clock
+      // growth is the measured form of "no all-pairs join anywhere".
+      import org.apache.spark.sql.functions._
+      val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val corpus = (0 until n).map(k =>
+          base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", s"$$1c$k").as("text")))
+          .reduce(_ unionByName _)
+        for ((label, df) <- Seq(
+            "exact" -> graft.operators.Dedup.exactKeepMin(corpus, Seq("text"), "doc_id"),
+            "simhash" -> graft.operators.Dedup.simhash(corpus, "doc_id", "text"))) {
+          df.write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"scale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.nearDupPairs(corpus, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        println(f"scale minhash_lsh n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (names == Seq("streamdemo")) {
       val tmp = java.nio.file.Files.createTempDirectory("sd").toString
       java.nio.file.Files.copy(
