@@ -68,6 +68,7 @@ object SparkEntry {
     "q38_frame_stats"       -> (Analytics.windowFrameStats _),
     "q39_exists_subquery"   -> (Queries.q39 _),
     "q13c_grouping_sets"    -> (Queries.q13c _),
+    "q40_stats_agg"         -> (Analytics.statsSummary _),
     // pipeline operators (SURVEY §2.A), driven end-to-end
     "a01_jdbc_pushdown"     -> (PipelineQueries.a01JdbcPushdown _),
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "text_segments"         -> (LlmQueries.textSegments _),
+    "text_repetition"       -> (LlmQueries.textRepetition _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
@@ -592,6 +594,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk[gi.i] || ' ' || tk[gi.i + 1] AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i) gi
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(MAX(cnt) AS BIGINT) AS top_gram_n,
+        |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
+        |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1011,6 +1027,24 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderpriority), ())
         |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q40_stats_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+        |    ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+        |    ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        |    ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS mode_n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT s.l_returnflag, s.med_qty, m.mode_qty, m.mode_n,
+        |  s.sd_price, s.var_qty, s.corr_qty_price
+        |FROM s JOIN m ON s.l_returnflag = m.l_returnflag AND m.rn = 1
+        |ORDER BY s.l_returnflag""".stripMargin,
     "q38_frame_stats" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -352,4 +352,38 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("win_start")
   }
+
+  /** Q40 — ordered/statistical aggregate family: exact MEDIAN (interpolated
+    * at even counts), deterministic MODE (highest count, ties to the
+    * SMALLEST value — built from two grouped aggregates, not the built-in
+    * `mode()`, whose tie-break is unspecified), sample stddev/variance and
+    * Pearson correlation per group.
+    *
+    * Scale: median sorts within each group's partition (Spark's
+    * percentile is a sort-based aggregate — memory tracks group size, the
+    * known cost of EXACT medians; q22b's approx_percentile is the 100 TB
+    * escape hatch). Mode is two map-side-combined shuffles on
+    * (flag, qty)→(flag); moments (stddev/var/corr) are single-pass
+    * streaming aggregates. All three branches shuffle on the same
+    * l_returnflag key.
+    */
+  def statsSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val stats = li.groupBy("l_returnflag")
+      .agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+    val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+        col("m.cnt").as("mode_n"))
+    stats.join(mode, "l_returnflag")
+      .select(col("l_returnflag"), col("med_qty"), col("mode_qty"),
+        col("mode_n"), col("sd_price"), col("var_qty"), col("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -106,6 +106,10 @@ object LlmQueries {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
   def textSegments(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.segmentLangId(docs(s, dir), "doc_id", "text", segTokens = 20)
       .orderBy("doc_id", "seg_idx")

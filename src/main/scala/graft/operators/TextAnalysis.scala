@@ -96,6 +96,43 @@ object TextAnalysis {
         expr("CAST(n_tok >= 5 AND n_tok <= 100000 AND avg_tok_len >= 2 AND avg_tok_len <= 15 AS INT)"))
   }
 
+  /** Repetition signals per document (the Gopher/MassiveText-style
+    * repetition filters — Rae et al. 2021, Appendix A — re-expressed as a
+    * distributed aggregate): over the doc's word n-grams,
+    *
+    *   - `top_gram_frac`  — fraction of all n-gram occurrences taken by
+    *     the single most frequent n-gram (boilerplate/looping detector);
+    *   - `dup_gram_frac`  — fraction of n-gram occurrences that repeat an
+    *     already-counted n-gram (1 − distinct/total);
+    *
+    * plus the raw counts so downstream thresholds stay tunable.
+    *
+    * Scale shape: explode to (doc, gram) → two map-side-combined
+    * aggregations keyed on the SAME (doc[, gram]) hash — exactly the
+    * tf-idf shuffle profile. No window, no join, no per-doc collect; the
+    * per-doc gram multiset never materializes as an array (a 1 GB doc
+    * contributes rows, not one giant in-memory list).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(tk, i + $k)").mkString(", ")
+    val grams = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', $parts))")).as("gram"))
+    grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("cnt").as("top_gram_n"))
+      .select(col(idCol),
+        col("n_grams"), col("n_distinct_grams"), col("top_gram_n"),
+        round(col("top_gram_n") / col("n_grams").cast("double"), 4).as("top_gram_frac"),
+        round(lit(1.0) - col("n_distinct_grams") / col("n_grams").cast("double"), 4).as("dup_gram_frac"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap
     * near-canonicalization used before exact dedup.

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextStatsSpec extends SparkTestBase {
+
+  test("repetition: gram counts and fractions match hand computation") {
+    import spark.implicits._
+    // doc 1: "a b a b a" → bigrams [a b, b a, a b, b a] → 4 total,
+    //   2 distinct, top count 2 → top_frac 0.5, dup_frac 0.5
+    // doc 2: all-distinct bigrams → dup_frac 0, top_frac 1/3
+    // doc 3: one token → no bigram → dropped
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "w x y z"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((3L, 3L, 1L, 0.3333, 0.0)))
+  }
+
+  test("repetition: a looping doc scores far above a varied doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("buy now").mkString(" ")),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val frac = TextAnalysis.repetition(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(frac(1L) > 0.4, s"looping doc top_gram_frac ${frac(1L)}")
+    assert(frac(2L) < 0.05, s"varied doc top_gram_frac ${frac(2L)}")
+  }
+
+  test("statsSummary: median/mode/moments agree with direct computation") {
+    val got = Analytics.statsSummary(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val flag = got.head.getString(0)
+    val qtys = li.filter(col("l_returnflag") === flag)
+      .select("l_quantity").collect().map(_.getDouble(0)).sorted
+    // exact interpolated median
+    val n = qtys.length
+    val med = if (n % 2 == 1) qtys(n / 2) else (qtys(n / 2 - 1) + qtys(n / 2)) / 2
+    assert(math.abs(got.head.getDouble(1) - med) < 1e-9)
+    // deterministic mode: max count, ties to smallest value
+    val counts = qtys.groupBy(identity).view.mapValues(_.length).toMap
+    val best = counts.toSeq.map { case (v, c) => (c, -v) }.max
+    assert(got.head.getDouble(2) == -best._2)
+    assert(got.head.getLong(3) == best._1.toLong)
+    // sample variance of quantity
+    val mean = qtys.sum / n
+    val varS = qtys.map(q => (q - mean) * (q - mean)).sum / (n - 1)
+    assert(math.abs(got.head.getDouble(5) - varS) < 1e-2)
+  }
+}
