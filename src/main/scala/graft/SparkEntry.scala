@@ -110,6 +110,8 @@ object SparkEntry {
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "text_segments"         -> (LlmQueries.textSegments _),
     "text_repetition"       -> (LlmQueries.textRepetition _),
+    "text_contamination"    -> (LlmQueries.textContamination _),
+    "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
@@ -608,6 +610,30 @@ object SparkEntry {
         |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
         |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS gram
+        |  FROM t WHERE len(tk) >= 5),
+        |b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |d AS (SELECT doc_id, gram FROM g WHERE source != 'src0')
+        |SELECT d.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS hit_frac
+        |FROM d LEFT JOIN b ON d.gram = b.gram
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  ROUND(AVG(-ln(f.c / tot.n_total)), 4) AS avg_surprisal
+        |FROM tok JOIN f USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -106,6 +106,22 @@ object LlmQueries {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Decontamination sweep: docs from source `src0` act as the held-out
+    * benchmark; every OTHER doc is checked for 5-gram collisions with it.
+    */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
       .orderBy("doc_id")

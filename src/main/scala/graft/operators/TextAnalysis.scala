@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document corpus — all builtin
@@ -131,6 +131,60 @@ object TextAnalysis {
         col("n_grams"), col("n_distinct_grams"), col("top_gram_n"),
         round(col("top_gram_n") / col("n_grams").cast("double"), 4).as("top_gram_frac"),
         round(lit(1.0) - col("n_distinct_grams") / col("n_grams").cast("double"), 4).as("dup_gram_frac"))
+  }
+
+  /** Benchmark decontamination: per-document n-gram overlap against an
+    * evaluation set — the pre-training hygiene step that finds training
+    * documents leaking eval data (the GPT-3/PaLM-style 13-gram collision
+    * check, here parameterized by `n`). Output per doc: distinct n-gram
+    * count, how many collide with the benchmark's n-gram set, and the
+    * collision fraction (1.0 ⇒ the doc is contained in the benchmark).
+    *
+    * Scale shape: the benchmark gram set is DISTINCT n-grams of the eval
+    * corpus — eval sets are tiny next to training corpora, so the join
+    * broadcasts; the training corpus streams once as exploded
+    * (doc, gram) rows and aggregates back map-side-combined. No corpus
+    * self-join, no window.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(tk, i + $k)").mkString(", ")
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .select(cols :+ explode(expr(
+        s"array_distinct(transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', $parts)))")).as("gram"): _*)
+    val benchGrams = grams(benchmark).distinct()
+      .withColumn("hit", lit(1))
+    grams(docs, col(idCol))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams").cast("double"), 4).as("hit_frac"))
+  }
+
+  /** Unigram language-model score per document: corpus-wide token
+    * frequencies as the model, each doc scored by its mean token
+    * surprisal −ln p(tok) (the cheap stand-in for a KenLM-style quality
+    * perplexity filter — low = stereotypical text, high = rare-token
+    * soup; both tails get cut in a real pipeline).
+    *
+    * Scale: one vocabulary aggregate (map-side combined — vocabulary,
+    * not corpus, sized), the 1-row total broadcast, the frequency table
+    * broadcast-joined to the exploded corpus token stream, one final
+    * per-doc aggregate. The corpus shuffles once, on doc id.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n_total"))
+    toks.join(broadcast(freq), "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("c") / col("n_total").cast("double"))), 4).as("avg_surprisal"))
   }
 
   /** Canonical document fingerprint: md5 over the sorted distinct token

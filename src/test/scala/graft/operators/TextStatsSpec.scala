@@ -36,6 +36,32 @@ class TextStatsSpec extends SparkTestBase {
     assert(frac(2L) < 0.05, s"varied doc top_gram_frac ${frac(2L)}")
   }
 
+  test("contamination: 5-gram collisions against a benchmark set") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e x"), // grams: "a b c d e"(hit), "b c d e x"(miss)
+      (2L, "p q r s t"),   // one gram, no hit
+      (3L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+  }
+
+  test("unigramLogProb: mean surprisal from corpus-wide frequencies") {
+    import spark.implicits._
+    // corpus tokens: a×2, b×2 → p = 0.5 each → surprisal ln 2 everywhere
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, 0.6931)))
+    assert(got(2L) == ((1L, 0.6931)))
+  }
+
   test("statsSummary: median/mode/moments agree with direct computation") {
     val got = Analytics.statsSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
