@@ -120,6 +120,7 @@ object SparkEntry {
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
+    "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
@@ -1097,6 +1098,16 @@ object SparkEntry {
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+    "prep_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(cum - n_tok AS BIGINT) AS tok_start,
+        |  CAST(floor((cum - n_tok) / 1024) AS BIGINT) AS seq_first,
+        |  CAST(floor((cum - 1) / 1024) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

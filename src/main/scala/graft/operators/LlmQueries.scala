@@ -308,6 +308,16 @@ object LlmQueries {
         "doc_id", "lang")
       .orderBy("doc_id")
 
+  /** GPT-style sequence packing ([[Prep.packSequences]]): the corpus laid
+    * out as one concatenated token stream chunked into 1024-token
+    * training sequences, each doc mapped to its absolute offset and
+    * first/last sequence — via the scalable two-level prefix sum, never
+    * a global single-task window.
+    */
+  def prepPack(s: SparkSession, dir: String): DataFrame =
+    Prep.packSequences(docs(s, dir), "doc_id", "text", budget = 1024)
+      .orderBy("doc_id")
+
   /** ANN quality measured, not assumed: recall@1 of the bucketed LSH path
     * and the IVF path against the brute-force ground truth, computed by
     * the engine itself (the oracle recomputes all three sides

@@ -45,4 +45,49 @@ object Prep {
     assigned.groupBy(col(strataCol), col("split"))
       .agg(count(lit(1)).as("n"))
       .orderBy(strataCol, "split")
+
+  /** Sequence packing for pre-training: documents concatenated in id
+    * order into one token stream, chunked into fixed `budget`-token
+    * training sequences. Each doc gets its absolute token offset and the
+    * first/last sequence it lands in (a doc may straddle a chunk
+    * boundary — the standard concat-then-chunk layout, not padding).
+    *
+    * The token offset is a GLOBAL running sum — the naive spelling is a
+    * single unpartitioned window (`Window.orderBy(id)`), which funnels
+    * the whole corpus through ONE task. This implements the scalable
+    * two-level prefix sum instead:
+    *
+    *   1. per-block subtotal: docs bucket into ordered blocks
+    *      (`floor(id / blockSize)`); one map-side-combined aggregate
+    *      computes each block's token sum;
+    *   2. block offsets: running sum OVER BLOCKS — a window over the
+    *      block-count-sized subtotal table (millions of rows at 100 TB,
+    *      not billions — and broadcastable);
+    *   3. within-block running sum: `Window.partitionBy(block)` — full
+    *      parallelism, each task holds one block.
+    *
+    * offset(doc) = blockOffset(block) + withinBlockCumsum − n_tok.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, blockSize: Long = 4096L): DataFrame = {
+    val toks = docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("blk", floor(col(idCol) / blockSize))
+    val blockTotals = toks.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
+    // running sum over the (small) block table; `rangeBetween` up to the
+    // PREVIOUS block = this block's starting offset
+    val wb = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = blockTotals
+      .withColumn("blk_off", coalesce(sum("blk_tok").over(wb), lit(0L)))
+      .select("blk", "blk_off")
+    val ww = Window.partitionBy("blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(blockOffsets), "blk")
+      .withColumn("tok_start",
+        col("blk_off") + sum("n_tok").over(ww) - col("n_tok"))
+      .select(col(idCol), col("n_tok"), col("tok_start"),
+        floor(col("tok_start") / budget).cast("long").as("seq_first"),
+        floor((col("tok_start") + col("n_tok") - 1) / budget).cast("long").as("seq_last"))
+  }
 }

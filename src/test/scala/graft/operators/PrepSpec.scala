@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PrepSpec extends SparkTestBase {
+
+  test("packSequences: offsets and chunk spans match hand computation") {
+    import spark.implicits._
+    // token counts: [3, 2, 5, 1, 4], budget 4
+    val docs = Seq(
+      (0L, "a a a"), (1L, "b b"), (2L, "c c c c c"),
+      (3L, "d"), (4L, "e e e e")).toDF("doc_id", "text")
+    val got = Prep.packSequences(docs, "doc_id", "text",
+        budget = 4, blockSize = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(0L) == ((3L, 0L, 0L, 0L)))
+    assert(got(1L) == ((2L, 3L, 0L, 1L)))  // straddles the 4-token boundary
+    assert(got(2L) == ((5L, 5L, 1L, 2L)))
+    assert(got(3L) == ((1L, 10L, 2L, 2L)))
+    assert(got(4L) == ((4L, 11L, 2L, 3L)))
+  }
+
+  test("packSequences: two-level prefix sum equals the naive global window") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fast = Prep.packSequences(docs, "doc_id", "text",
+        budget = 16, blockSize = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_start"),
+        floor((col("cum") - col("n_tok")) / 16).cast("long").as("seq_first"),
+        floor((col("cum") - 1) / 16).cast("long").as("seq_last"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(fast.toSeq == naive.toSeq)
+  }
+}
