@@ -13,7 +13,9 @@ object ProfMain {
         "dedup_fuzzy", "sim_ivf_ann", "sim_ivf_nprobe", "mm_decode",
         "q27_sessionize", "q31_bloom_semi_join", "q32_range_bucket_join",
         "q33_gap_fill", "q37_range_frame", "q38_frame_stats",
-        "prep_split", "a18_bucketed_merge", "ml_kmeans", "text_tfidf")
+        "prep_split", "a18_bucketed_merge", "ml_kmeans", "text_tfidf",
+        "text_repetition", "text_contamination", "text_lm_score",
+        "prep_pack", "q40_stats_agg")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -72,7 +72,9 @@ object Prep {
                     budget: Int, blockSize: Long = 4096L): DataFrame = {
     val toks = docs.select(col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n_tok"))
-      .withColumn("blk", floor(col(idCol) / blockSize))
+      // coalesce: statically non-nullable join key, so not-null inference
+      // doesn't push an isnotnull(FLOOR(...)) filter onto the corpus scan
+      .withColumn("blk", coalesce(floor(col(idCol) / blockSize), lit(-1L)))
     val blockTotals = toks.groupBy("blk").agg(sum("n_tok").as("blk_tok"))
     // running sum over the (small) block table; `rangeBetween` up to the
     // PREVIOUS block = this block's starting offset
