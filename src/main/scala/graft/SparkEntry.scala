@@ -115,6 +115,7 @@ object SparkEntry {
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
+    "mm_audio_frames"       -> (LlmQueries.mmAudioFrames _),
     "mm_resize"             -> (LlmQueries.mmResize _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
@@ -1197,6 +1198,22 @@ object SparkEntry {
     "a17_incremental_sync" ->
       """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS p
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "mm_audio_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |fr AS (
+        |  SELECT doc_id, data,
+        |    unnest(range(0, CAST(floor((n - 64) / 32) AS INT) + 1)) AS fi
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, fi,
+        |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT AS bv
+        |  FROM fr, LATERAL (SELECT unnest(range(1, 65)) AS i) g)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(fi * 32 AS BIGINT) AS f_start,
+        |  CAST(SUM(bv) AS BIGINT) AS energy, CAST(MAX(bv) AS BIGINT) AS peak
+        |FROM b GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_decode" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

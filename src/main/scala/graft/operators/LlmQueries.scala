@@ -181,6 +181,16 @@ object LlmQueries {
         expr("array_join(transform(sampled, x -> hex(x)), '')").as("sample_hex"))
       .orderBy("doc_id")
 
+  /** Audio-leg framing over the binary payloads: 64-byte frames every 32
+    * bytes (50% overlap), per-frame energy + peak
+    * ([[Multimodal.frameEnergy]]).
+    */
+  def mmAudioFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameEnergy(
+        Multimodal.attachBinary(docs(s, dir), "doc_id", "text"),
+        frameLen = 64, hop = 32)
+      .orderBy("doc_id", "frame_idx")
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).

@@ -71,6 +71,33 @@ object Multimodal {
     media.withColumn("sampled",
       expr(s"filter(transform(sequence(1, octet_length(data)), i -> CASE WHEN (i - 1 - $offset) % $stride = 0 AND i > $offset THEN substring(data, i, 1) END), x -> x IS NOT NULL)"))
 
+  /** Audio-style framing: overlapping fixed-length byte windows
+    * (`frameLen` bytes every `hop` bytes — the STFT framing layout) with
+    * a per-frame energy (byte sum) and peak, standing in for the
+    * spectral stats a real audio featurizer computes per frame. Tail
+    * bytes that don't fill a frame are dropped (standard framing).
+    *
+    * Shape: the per-byte value array materializes ONCE per payload
+    * (before the Generate), frames explode as Generate OUTPUT arrays —
+    * so the per-frame stats read an attribute, never re-evaluate the
+    * hex decode (the project-collapse O(n²) trap [[featurize]]
+    * documents). Row-local throughout; no shuffle until the caller
+    * aggregates.
+    */
+  def frameEnergy(media: DataFrame, frameLen: Int, hop: Int): DataFrame =
+    media
+      .filter(octet_length(col("data")) >= frameLen)
+      .withColumn("bvals",
+        expr("transform(regexp_extract_all(hex(data), '..', 0), h -> CAST(conv(h, 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(floor((size(bvals) - $frameLen) / $hop) AS INT)),
+           |  i -> slice(bvals, i * $hop + 1, $frameLen))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        (col("pos") * hop).cast("long").as("f_start"),
+        expr("aggregate(col, CAST(0 AS BIGINT), (a, x) -> a + x)").as("energy"),
+        array_max(col("col")).as("peak"))
+
   /** Deterministic per-payload feature vector: `dims` byte-sum features,
     * f_j = Σ byte_i over positions with i % dims == j (1-based i, j from
     * 0) — the feature-extract slot of the pipeline (swap for a real model

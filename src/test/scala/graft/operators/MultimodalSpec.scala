@@ -47,6 +47,23 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("frameEnergy: overlapping frames with byte-sum energy and peak") {
+    import spark.implicits._
+    // "aaaabbbb" (8 bytes), frameLen 4, hop 2 → 3 frames:
+    //   [97,97,97,97]=388/97, [97,97,98,98]=390/98, [98,98,98,98]=392/98
+    val m = Multimodal.attachBinary(
+      Seq((1L, "aaaabbbb"), (2L, "xyz")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = Multimodal.frameEnergy(m, frameLen = 4, hop = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 2 is shorter than a frame → dropped entirely
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 388L, 97L),
+      (1L, 1L, 2L, 390L, 98L),
+      (1L, 2L, 4L, 392L, 98L)))
+  }
+
   test("metadata-only projection does not touch payload bytes") {
     val m = Multimodal.attachBinary(docs, "doc_id", "text")
     val metaOnly = m.select(col("doc_id"), col("meta.n_bytes"))
