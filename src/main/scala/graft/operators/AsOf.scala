@@ -38,7 +38,13 @@ object AsOf {
     val lTagged = left.select(
       (col(key) +: col(tsCol) +: lit(1).as("g_is_left") +:
         (leftCols.map(col(_)) :+ lit(null).cast(payloadType).as("g_payload"))): _*)
-    val rTagged = right.select(
+    // Null-rejecting like the SQL ASOF equi-key: a null-key right row must
+    // never match (window PARTITION BY groups null keys as EQUAL, so
+    // without this filter a null-key left row would pick up null-key right
+    // payloads), and a null-ts right row sorts NULLS FIRST and would be
+    // carried into every later row of its partition. Null-key/ts LEFT rows
+    // need no special casing: with right nulls gone, nothing precedes them.
+    val rTagged = right.filter(col(key).isNotNull && col(tsCol).isNotNull).select(
       (col(key) +: col(tsCol) +: lit(0).as("g_is_left") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(rightCols.map(col(_)): _*).as("g_payload"))): _*)
