@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Randomized invariants of the MinHash-LSH pipeline:
+  *
+  *   - RECALL floor: an exact duplicate has an identical shingle set,
+  *     hence an identical signature, hence collides in EVERY band — LSH
+  *     must always emit the pair (probabilistic recall only applies below
+  *     jaccard 1.0).
+  *   - SOUNDNESS: every emitted pair's jaccard must equal the true
+  *     set-jaccard of the two docs (recomputed in plain Scala) and clear
+  *     the threshold — the verify stage is exact, never sketch-valued.
+  *   - exactKeepMin: groups partition the corpus (dup counts sum to corpus
+  *     size) and the keeper is the minimum id of its group.
+  */
+class DedupPropertySpec extends SparkTestBase {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private val docGen = Gen.choose(6, 14)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    .map(_.mkString(" "))
+
+  private def shingles(text: String, n: Int = 3): Set[String] = {
+    val tk = text.split(" ")
+    if (tk.length < n) Set.empty
+    else tk.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("LSH always finds exact duplicates; emitted jaccard values are exact") {
+    import spark.implicits._
+    var seed = Seed(77L)
+    for (round <- 1 to 3) {
+      val texts = Gen.listOfN(30, docGen).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // ids 100+: exact copies of the first 10 docs
+      val corpus = base ++ base.take(10).map { case (i, t) => (i + 100L, t) }
+      val byId = corpus.toMap
+      val pairs = Dedup.nearDupPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+      // recall floor: every (i, i+100) exact-dup pair must be present —
+      // unless the doc's shingle set collides with nothing because the
+      // doc is shorter than the shingle width (impossible here: >= 6 toks)
+      val found = pairs.map(p => (p._1, p._2)).toSet
+      for (i <- 0L until 10L)
+        assert(found.contains((i, i + 100L)),
+          s"round $round: exact duplicate pair ($i, ${i + 100}) missed")
+
+      // soundness: emitted jaccard == true set jaccard, >= threshold
+      pairs.foreach { case (a, b, j) =>
+        val (sa, sb) = (shingles(byId(a)), shingles(byId(b)))
+        val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        assert(math.abs(j - math.rint(trueJ * 10000) / 10000) < 1e-9,
+          s"round $round: pair ($a,$b) emitted $j, true $trueJ")
+        assert(trueJ >= 0.5)
+      }
+    }
+  }
+
+  test("exactKeepMin partitions the corpus and keeps the min id") {
+    import spark.implicits._
+    val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(5L))
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val groups = Dedup.exactKeepMin(corpus.toDF("doc_id", "text"),
+        Seq("text"), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.map(_._3).sum == corpus.size)
+    val wantKeeper = corpus.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    groups.foreach { case (t, keep, _) => assert(keep == wantKeeper(t)) }
+  }
+}
