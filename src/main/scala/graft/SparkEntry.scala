@@ -56,6 +56,7 @@ object SparkEntry {
     "q35_array_functions"   -> (Analytics.arrayFunctions _),
     "q36_string_agg"        -> (Analytics.stringAgg _),
     "dq_checks"             -> (Analytics.dqChecks _),
+    "dq_outliers"           -> ((s, d) => Analytics.dqOutliers(s, d)),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
     "q27_sessionize"        -> (Analytics.sessionize _),
     "q29_profile"           -> ((s, d) => Analytics.profile(s, d)),
@@ -840,6 +841,18 @@ object SparkEntry {
         |  SELECT 'doc_token_floor', COUNT(*)
         |  FROM documents WHERE len(string_split(text, ' ')) < 5
         |) ORDER BY rule""".stripMargin,
+    "dq_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, CAST(s.n AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(SUM(CASE WHEN s.sd > 0 AND abs(e.value - s.mu) > 3 * s.sd
+        |       THEN 1 ELSE 0 END) / CAST(s.n AS DOUBLE), 6) AS outlier_frac
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type, s.n ORDER BY e.event_type""".stripMargin,
     "q34_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice), 2) AS rev

@@ -255,6 +255,31 @@ object Analytics {
       .orderBy("rule")
   }
 
+  /** Grouped z-score outlier detection — the statistical data-quality
+    * rule beside [[dqChecks]]' structural rules: per event type, values
+    * more than `z` sample standard deviations from the group mean are
+    * outliers. Two-pass by necessity (mean/stddev need the full group
+    * before any row can be scored): one map-side-combined stats
+    * aggregate, stats broadcast back onto the stream, one row-local flag
+    * + final count — the fact table shuffles once on the (tiny) group
+    * key and is never windowed per row.
+    */
+  def dqOutliers(s: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n"),
+        when(col("sd") > 0 && abs(col("value") - col("mu")) > col("sd") * z, 1L)
+          .otherwise(0L).as("is_out"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), sum("is_out").as("n_outliers"))
+      .select(col("event_type"), col("n"), col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 6).as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
   /** Q34 — salted skew join driven end-to-end: lineitem joined to orders
     * on the order key with the fact side salted ([[Skew.saltedJoin]], 8
     * salts) and the dim side replicated — the explicit mitigation for a

@@ -98,4 +98,15 @@ class AnalyticsSpec extends SparkTestBase {
     assert(p("n_nationkey").getLong(1) == n.count())
     assert(p("n_nationkey").getLong(3) == 25L) // 25 distinct nations
   }
+
+  test("dqOutliers covers every event group and flags only the tails") {
+    val out = Analytics.dqOutliers(spark, sfDir).collect()
+    val total = graft.Tables.load(spark, sfDir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total, "groups partition the table")
+    out.foreach { r =>
+      // 3-sigma tails: a handful of rows at most, never a broad sweep
+      assert(r.getDouble(3) <= 0.05, s"${r.getString(0)} frac ${r.getDouble(3)}")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
