@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> (LlmQueries.dedupNgramJaccard _),
     "dedup_fuzzy"           -> (LlmQueries.dedupFuzzy _),
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
+    "dedup_simhash_pairs"   -> (LlmQueries.dedupSimhashPairs _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -396,6 +397,33 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_hash
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+        |  FROM corpus
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, g.i,
+        |         SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 32)) AS i) g GROUP BY doc_id, g.i
+        |), sg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |              AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

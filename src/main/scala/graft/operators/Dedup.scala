@@ -219,6 +219,44 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Hamming-ball pair search over [[simhash]] signatures — the simhash
+    * counterpart of LSH banding (Manku, Jain & Sarma, WWW'07 multi-index):
+    * signatures split into `maxDist + 1` bit-bands; by pigeonhole, any two
+    * signatures within Hamming distance `maxDist` agree EXACTLY on at
+    * least one band, so the band-bucket self-join finds every such pair —
+    * this path is exact, not probabilistic. The bit_count verify on the
+    * candidate set removes band-collision false positives.
+    *
+    * Scale: one signature pass (checkpointed — reused by all bands), a
+    * self-join shuffling on (band_id, band_bits) buckets, and a codegen'd
+    * builtin bit_count verify. Never all-pairs; cost tracks bucket
+    * collisions exactly like [[lshCandidates]].
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    require(bits % nBands == 0, "bands must tile the signature")
+    val bandWidth = bits / nBands
+    val mask = (1L << bandWidth) - 1
+    val sigs = simhash(docs, idCol, textCol, bits).localCheckpoint(true)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        expr(s"shiftright(simhash, ${b * bandWidth}) & $mask").as("band_bits"))
+    }
+    val buckets = sigs
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("simhash"), col("bd.band_id"), col("bd.band_bits"))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a close pair collides in several bands
+      .orderBy("a", "b")
+  }
+
   /** Connected components over a near-dup pair list — the clustering step
     * that turns pairwise `(a, b)` matches into dedup GROUPS (keep one doc
     * per component). Iterative min-label propagation WITH pointer jumping:

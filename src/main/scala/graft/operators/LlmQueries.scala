@@ -58,6 +58,18 @@ object LlmQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Simhash Hamming-ball pairs over the near-dup corpus: the multi-index
+    * band join finds EVERY pair within the distance bound
+    * (pigeonhole-exact), so the oracle's brute-force all-pairs answer is
+    * the contract, not just a recall target. Bound 1 here: the synthetic
+    * corpus' tiny vocabulary makes signatures cluster, so wider balls
+    * measure output size, not engine work (dist ≤ 3 already holds 82k
+    * true pairs at sf0.01).
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(nearDupDocs(s, dir), "doc_id", "text",
+      bits = 32, maxDist = 1)
+
   def dedupFuzzy(s: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyBlockedPairs(nearDupDocs(s, dir), "doc_id", "text")
 

@@ -66,6 +66,26 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("simhashPairs equals the brute-force Hamming ball (pigeonhole exactness)") {
+    import spark.implicits._
+    val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(9L))
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // near-dups: copies with the last token dropped → few-bit signature flips
+    val corpus = base ++ base.take(15).map { case (i, t) =>
+      (i + 100L, t.split(" ").dropRight(1).mkString(" ")) }
+    val df = corpus.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashPairs(df, "doc_id", "text", bits = 32, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "test corpus must contain close pairs")
+  }
+
   test("exactKeepMin partitions the corpus and keeps the min id") {
     import spark.implicits._
     val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(5L))
