@@ -91,6 +91,7 @@ object SparkEntry {
     "a18_bucketed_merge"    -> (PipelineQueries.a18BucketedMerge _),
     "a19_schema_evolution"  -> (PipelineQueries.a19SchemaEvolution _),
     "a20_partition_pruning" -> (PipelineQueries.a20PartitionPruning _),
+    "a21_jdbc_publish"      -> (PipelineQueries.a21JdbcPublish _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -1043,6 +1044,10 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-02'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a21_jdbc_publish" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // rows that predate the new `pri` column carry NULL for it
     "a19_schema_evolution" ->
       """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,

@@ -397,4 +397,24 @@ object PipelineQueries {
     Sync.syncTable(s, run2, src, staging, warehouse, LocalDate.of(2020, 1, 2))
       .orderBy("o_orderkey")
   }
+
+  /** A21 — warehouse→operational write-back: the REVERSE leg of the
+    * reference's source→warehouse flow (serving an aggregate back to an
+    * operational store). The aggregate publishes to a real JDBC table
+    * (overwrite = the reference's WRITE_TRUNCATE contract,
+    * reference dags/cloudsql_to_bigquery.py:133) and the query output is
+    * the JDBC READ-BACK — a green row proves the round-trip is lossless,
+    * types included. Scale: the published aggregate is group-count-sized;
+    * JDBC batch inserts parallelize per partition, connections bounded by
+    * partition count (same dial as the A2 read side).
+    */
+  def a21JdbcPublish(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+    JdbcSource.write(agg, derbyUrl, "orders_pub")
+    JdbcSource.readQuery(s, derbyUrl,
+        """SELECT "o_orderstatus", "n", "rev" FROM orders_pub""")
+      .orderBy("o_orderstatus")
+  }
 }

@@ -69,6 +69,24 @@ class PlanSpec extends SparkTestBase {
       s"pruned column must not also be a data filter:\n$p")
   }
 
+  test("prep_pack: only the block-subtotal table passes a single partition") {
+    val p = plan("prep_pack")
+    // two-level prefix sum: exactly ONE SinglePartition exchange (the
+    // block-count-sized subtotal table); the corpus window partitions on blk
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one SinglePartition exchange:\n$p")
+    assert(p.contains("Exchange hashpartitioning(blk"),
+      "corpus running sum must partition on the block key")
+  }
+
+  test("text_contamination: benchmark grams broadcast, corpus never " +
+      "shuffles on gram") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), "eval-gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle on the gram key")
+  }
+
   test("no collect() in any registered query body (all run lazily)") {
     // Building every DataFrame must not trigger a Spark job — a query body
     // that calls collect()/count() isn't distributed-lazy. Pipeline queries
@@ -87,6 +105,10 @@ class PlanSpec extends SparkTestBase {
       // materializes the shared (shingles, minhash) frame once — eager
       // localCheckpoint by design (feeds both LSH banding and verify)
       "dedup_minhash_lsh",
+      // materializes the signature frame once (feeds every bit-band)
+      "dedup_simhash_pairs",
+      // publishes to the JDBC sink, then reads back — IO by design
+      "a21_jdbc_publish",
       // collect the k-row centroid codebook (bounded, like the Bloom build)
       "ml_kmeans", "sim_ivf_ann", "sim_ivf_nprobe", "sim_recall")
     // A QueryExecutionListener fires once per DataFrame ACTION
