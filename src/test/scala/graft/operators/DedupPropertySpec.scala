@@ -86,6 +86,32 @@ class DedupPropertySpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus must contain close pairs")
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))
+    var seed = Seed(13L)
+    for (round <- 1 to 3) {
+      val edges = Gen.listOfN(45, edgeGen).pureApply(Gen.Parameters.default, seed)
+        .filter { case (a, b) => a != b }
+      seed = seed.next
+      // reference: plain union-find with min-label normalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: labels diverged from union-find")
+    }
+  }
+
   test("exactKeepMin partitions the corpus and keeps the min id") {
     import spark.implicits._
     val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(5L))
