@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_fuzzy"           -> (LlmQueries.dedupFuzzy _),
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
     "dedup_simhash_pairs"   -> (LlmQueries.dedupSimhashPairs _),
+    "dedup_incremental"     -> (LlmQueries.dedupIncremental _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
     "text_segments"         -> (LlmQueries.textSegments _),
     "text_repetition"       -> (LlmQueries.textRepetition _),
+    "text_pmi"              -> (LlmQueries.textPmi _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -642,6 +644,34 @@ object SparkEntry {
         |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
         |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT u.w, COUNT(*) AS uc
+        |        FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY u.w),
+        |bi AS (
+        |  SELECT t[gi.i] AS w1, t[gi.i + 1] AS w2, COUNT(*) AS bc
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |nu AS (SELECT CAST(SUM(uc) AS DOUBLE) AS n_uni FROM uni),
+        |nb AS (SELECT CAST(SUM(len(t) - 1) AS DOUBLE) AS n_bi FROM tk
+        |       WHERE len(t) >= 2)
+        |SELECT w1, w2, CAST(bc AS BIGINT) AS bc,
+        |  CAST(u1.uc AS BIGINT) AS uc1, CAST(u2.uc AS BIGINT) AS uc2,
+        |  ROUND(ln((bc / n_bi) / ((u1.uc / n_uni) * (u2.uc / n_uni))), 4) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu, nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 5000 AS doc_id,
+        |    CASE WHEN doc_id % 40 = 0 THEN text
+        |         ELSE text || ' zz_novel' END AS text
+        |  FROM documents WHERE source = 'src0')
+        |SELECT b.doc_id, md5(b.text) AS fp
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE md5(h.text) = md5(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
     "text_contamination" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |g AS (

@@ -86,6 +86,22 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest dedup: a new batch (src0 docs re-ingested — half
+    * verbatim, half genuinely novel) deduped against the full
+    * historical corpus via the Bloom-prefiltered anti-join
+    * ([[Dedup.incrementalNew]] — result provably identical to the plain
+    * anti-join the oracle runs).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val history = docs(s, dir).select(col("doc_id"), col("text"))
+    val batch = docs(s, dir).filter(col("source") === "src0")
+      .select((col("doc_id") + 5000).as("doc_id"),
+        when(col("doc_id") % 40 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz_novel"))).as("text"))
+    Dedup.incrementalNew(batch, history, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(nearDupVecs(s, dir), "vec_id", "emb",
       bits = 16, threshold = 0.99)
@@ -133,6 +149,9 @@ object LlmQueries {
   def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  def textPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)

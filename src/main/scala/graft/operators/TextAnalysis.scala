@@ -187,6 +187,46 @@ object TextAnalysis {
         round(avg(-log(col("c") / col("n_total").cast("double"))), 4).as("avg_surprisal"))
   }
 
+  /** Collocation mining: top-`k` bigrams by pointwise mutual information,
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) with all probabilities over corpus
+    * totals — the phrase-detection step (Mikolov-style word2vec phrase
+    * harvesting uses exactly this score). `minCount` suppresses the
+    * low-frequency PMI explosion (a hapax pair scores arbitrarily high).
+    *
+    * Scale: bigram and unigram counts are two map-side-combined
+    * aggregates; both are VOCABULARY-sized, so the two unigram joins
+    * broadcast; the 1-row totals cross-join broadcasts; final global
+    * top-k is TakeOrdered. The corpus streams once per gram size, never
+    * shuffles on doc id.
+    */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 20, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("uc"))
+    val bi = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= minCount)
+    val nUni = uni.agg(sum("uc").as("n_uni"))
+    val nBi = toks.filter(size(col("tk")) >= 2)
+      .agg(sum(size(col("tk")) - 1).cast("long").as("n_bi"))
+    bi
+      .join(broadcast(uni.select(col("t").as("w1"), col("uc").as("uc1"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("uc").as("uc2"))), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(
+        log((col("bc") / col("n_bi").cast("double")) /
+          ((col("uc1") / col("n_uni").cast("double")) *
+           (col("uc2") / col("n_uni").cast("double")))), 4))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap
     * near-canonicalization used before exact dedup.
