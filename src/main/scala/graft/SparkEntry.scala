@@ -125,6 +125,7 @@ object SparkEntry {
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
+    "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
@@ -1185,6 +1186,59 @@ object SparkEntry {
         |  CAST(floor((cum - n_tok) / 1024) AS BIGINT) AS seq_first,
         |  CAST(floor((cum - 1) / 1024) AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    "sim_pq_ann" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, label, emb[1:32] AS s1, emb[33:64] AS s2
+        |       FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb[1:32] AS s1, emb[33:64] AS s2
+        |       FROM e WHERE vec_id < 10),
+        |cb1 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(s1[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |cb2 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(s2[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |d1 AS (SELECT c0.vec_id AS cand_id, cb1.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (c0.s1[i] - cb1.cemb[i]) * (c0.s1[i] - cb1.cemb[i]))) AS dist
+        |  FROM c0, cb1),
+        |e1 AS (SELECT cand_id, cid AS c1 FROM (
+        |    SELECT cand_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |d2 AS (SELECT c0.vec_id AS cand_id, cb2.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (c0.s2[i] - cb2.cemb[i]) * (c0.s2[i] - cb2.cemb[i]))) AS dist
+        |  FROM c0, cb2),
+        |e2 AS (SELECT cand_id, cid AS c2 FROM (
+        |    SELECT cand_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |pd1 AS (SELECT p0.vec_id AS probe_id, cb1.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (p0.s1[i] - cb1.cemb[i]) * (p0.s1[i] - cb1.cemb[i]))) AS pd
+        |  FROM p0, cb1),
+        |pd2 AS (SELECT p0.vec_id AS probe_id, cb2.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (p0.s2[i] - cb2.cemb[i]) * (p0.s2[i] - cb2.cemb[i]))) AS pd
+        |  FROM p0, cb2),
+        |adc AS (
+        |  SELECT pd1.probe_id, e1.cand_id, e1.c1, e2.c2, pd1.pd + pd2.pd AS adist
+        |  FROM e1 JOIN e2 USING (cand_id), pd1, pd2
+        |  WHERE pd1.cid = e1.c1 AND pd2.cid = e2.c2
+        |    AND pd2.probe_id = pd1.probe_id AND pd1.probe_id <> e1.cand_id),
+        |r AS (SELECT probe_id, cand_id, c1, c2, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rn
+        |  FROM adc)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |  ROUND(adist, 4) AS approx_dist
+        |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

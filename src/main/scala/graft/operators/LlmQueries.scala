@@ -283,6 +283,28 @@ object LlmQueries {
       .orderBy("probe_id")
   }
 
+  /** Product-quantization ANN: per-subspace codebooks from the labeled
+    * corpus halves, corpus encoded row-locally to 2 code ids, probes
+    * search by the two-lookup ADC distance ([[Similarity.pqTopK]]).
+    */
+  def simPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val half = "CAST(floor(size(emb) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      corpus.select(col("label"), expr(s"slice(emb, 1, $half)").as("emb")),
+      "label", "emb")
+    val cb2 = Similarity.trainCentroids(
+      corpus.select(col("label"),
+        expr(s"slice(emb, $half + 1, size(emb) - $half)").as("emb")),
+      "label", "emb")
+    Similarity.pqTopK(corpus.drop("label"), probes, cb1, cb2,
+        "vec_id", "emb", k = 2)
+      .orderBy("probe_id", "rn")
+  }
+
   /** tf-idf top-3 characteristic terms per document (rank ties broken by
     * term, scores rounded for cross-engine float stability).
     */

@@ -160,6 +160,61 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Squared L2 via the HOF spelling — index-ordered accumulation, so an
+    * external SQL oracle reproduces the float result bit-for-bit
+    * (`list_sum(list_transform(...))` sums in the same order).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Product quantization ANN (Jégou et al. 2011 shape): embeddings split
+    * into `m = 2` subvectors; each subspace gets its own codebook (the
+    * per-label centroids restricted to that subspace — deterministic, no
+    * random init); a corpus vector is ENCODED as its per-subspace nearest
+    * code ids, and probe distance is the ADC approximation — the sum of
+    * probe→code distances looked up per subspace.
+    *
+    * Scale shape: encoding is ROW-LOCAL (argmin over the inlined codebook
+    * literal, the [[assignBest]] pattern — zero joins, zero shuffles, and
+    * the 64-dim embedding column is no longer needed after encoding: the
+    * corpus carries 2 small ints per row). Probes broadcast WITH their
+    * per-code distance tables precomputed, so the per-candidate cost is
+    * two array lookups + an add — O(1) in the embedding dimension, which
+    * is the entire point of PQ at 100 TB.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, centroids1: DataFrame,
+             centroids2: DataFrame, idCol: String, embCol: String,
+             k: Int): DataFrame = {
+    val half = s"CAST(floor(size($embCol) / 2) AS INT)"
+    val sub1 = expr(s"slice($embCol, 1, $half)")
+    val sub2 = expr(s"slice($embCol, $half + 1, size($embCol) - $half)")
+    val (arr1, arr2) = (centroidLiteral(centroids1), centroidLiteral(centroids2))
+    def argminCode(sub: Column, arr: Column): Column =
+      coalesce(
+        array_max(transform(arr, c => struct(
+          (-l2sq(sub, c.getField("cemb"))).as("nd"),
+          (-c.getField("cid")).as("ncid"),
+          c.getField("cid").as("cid")))).getField("cid"),
+        lit(-1))
+    val enc = corpus.select(col(idCol).as("cand_id"),
+      argminCode(sub1, arr1).as("c1"), argminCode(sub2, arr2).as("c2"))
+    // codebook cids are 0..k-1 (centroidLiteral sorts by cid), so the
+    // distance table is positional: pd[cid + 1]
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      transform(arr1, c => l2sq(sub1, c.getField("cemb"))).as("pd1"),
+      transform(arr2, c => l2sq(sub2, c.getField("cemb"))).as("pd2")))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("cand_id"))
+    enc.join(p, col("probe_id") =!= col("cand_id"))
+      .withColumn("adist",
+        element_at(col("pd1"), col("c1") + 1) + element_at(col("pd2"), col("c2") + 1))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+        round(col("adist"), 4).as("approx_dist"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

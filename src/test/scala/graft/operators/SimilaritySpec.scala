@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("pqTopK: ADC ranking with in-range codes, monotone per probe") {
+    val out = LlmQueries.simPqAnn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byProbe = out.groupBy(_.getLong(0))
+    byProbe.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length))
+      // approx distance is non-negative and non-decreasing in rank
+      val dists = sorted.map(_.getDouble(5))
+      assert(dists.forall(_ >= 0.0))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+      // codes come from the 10-label codebooks
+      rows.foreach { r =>
+        assert(r.getLong(3) >= 0 && r.getLong(3) <= 9)
+        assert(r.getLong(4) >= 0 && r.getLong(4) <= 9)
+      }
+    }
+  }
+
+  test("pqTopK: identical-to-probe corpus vector ranks first") {
+    import spark.implicits._
+    // plant an exact copy of probe 0's embedding in the corpus: its ADC
+    // distance equals the probe's own code distances — the minimum
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val probe0 = e.filter(col("vec_id") === 0).drop("label")
+    val corpus = e.filter(col("vec_id") >= 10)
+      .unionByName(e.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 9999).as("vec_id"), col("label"), col("emb")))
+    val half = "CAST(floor(size(emb) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      corpus.select(col("label"), expr(s"slice(emb, 1, $half)").as("emb")),
+      "label", "emb")
+    val cb2 = Similarity.trainCentroids(
+      corpus.select(col("label"),
+        expr(s"slice(emb, $half + 1, size(emb) - $half)").as("emb")),
+      "label", "emb")
+    // ADC(probe, copy) = min over codes of pd1 + pd2 — the global minimum;
+    // other candidates may TIE (same codes), but none can beat it
+    val all = Similarity.pqTopK(corpus.drop("label"), probe0, cb1, cb2,
+        "vec_id", "emb", k = 100000)
+      .collect()
+    val copyDist = all.find(_.getLong(1) == 9999L).get.getDouble(5)
+    val minDist = all.map(_.getDouble(5)).min
+    assert(copyDist == minDist,
+      s"planted copy must achieve the minimum ADC distance ($copyDist vs $minDist)")
+  }
+}
