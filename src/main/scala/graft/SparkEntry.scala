@@ -92,6 +92,7 @@ object SparkEntry {
     "a19_schema_evolution"  -> (PipelineQueries.a19SchemaEvolution _),
     "a20_partition_pruning" -> (PipelineQueries.a20PartitionPruning _),
     "a21_jdbc_publish"      -> (PipelineQueries.a21JdbcPublish _),
+    "a22_cdc_merge"         -> (PipelineQueries.a22CdcMerge _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -1079,6 +1080,19 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a22_cdc_merge" ->
+      """WITH e AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             ROUND(o_totalprice, 2) AS p
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |c AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |        ROUND(o_totalprice + 10, 2) AS p,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+        |      FROM orders WHERE o_orderkey % 3 <> 2)
+        |SELECT COALESCE(c.k, e.k) AS k, COALESCE(c.st, e.st) AS st,
+        |  COALESCE(c.p, e.p) AS p
+        |FROM e FULL OUTER JOIN c ON e.k = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY k""".stripMargin,
     // rows that predate the new `pri` column carry NULL for it
     "a19_schema_evolution" ->
       """SELECT COALESCE(s.o_orderkey, e.o_orderkey) AS k,

@@ -48,6 +48,31 @@ object Merge {
     e.join(s, cond, "left_anti").unionByName(stage)
   }
 
+  /** CDC apply: a change feed with per-row operations (I/U upsert, D
+    * delete tombstone) merged into the snapshot — the MERGE
+    * WHEN-MATCHED-DELETE shape the full-overwrite reference never needed,
+    * but any log-driven sync does. One full-outer join on the key:
+    * tombstones drop the row even if it never existed (idempotent
+    * replay); I/U rows win over existing; untouched existing rows pass
+    * through. Change feeds must be key-unique (the caller compacts the
+    * log to last-op-per-key first — at 100 TB that compaction is the
+    * standard window-last pass, same shape as [[scd2]]'s ordering).
+    */
+  def cdcApply(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val dataCols = existing.columns.toSeq
+    require(changes.columns.toSet == dataCols.toSet + opCol,
+      s"changes must carry existing's schema plus $opCol")
+    val e = existing.as("e")
+    val s = changes.as("s")
+    val cond = keys.map(k => col(s"e.$k") === col(s"s.$k")).reduce(_ && _)
+    val cols = dataCols.map(c => coalesce(col(s"s.$c"), col(s"e.$c")).as(c))
+    e.join(s, cond, "full_outer")
+      .filter(col(s"s.$opCol").isNull || col(s"s.$opCol") =!= "D")
+      .select(cols.toIndexedSeq: _*)
+  }
+
   /** Schema-evolving upsert: the reference re-infers the source schema on
     * EVERY run (reference dags/cloudsql_to_bigquery.py:141 — no persisted
     * registry), so a merge pipeline must absorb drift. Columns present on

@@ -398,6 +398,25 @@ object PipelineQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A22 — CDC apply: a compacted change feed (upserts + delete
+    * tombstones) merged into the snapshot ([[Merge.cdcApply]]). Deletes
+    * remove matched rows AND absorb tombstones for never-seen keys
+    * (idempotent replay); updates win over the snapshot; untouched rows
+    * pass through.
+    */
+  def a22CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice"), 2).as("p"))
+    val changes = o.filter(col("o_orderkey") % 3 =!= 2).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") + 10, 2).as("p"),
+      when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"))
+    Merge.cdcApply(existing, changes, Seq("k"), "op")
+      .orderBy("k")
+  }
+
   /** A21 — warehouse→operational write-back: the REVERSE leg of the
     * reference's source→warehouse flow (serving an aggregate back to an
     * operational store). The aggregate publishes to a real JDBC table

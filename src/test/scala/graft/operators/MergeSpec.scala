@@ -71,4 +71,19 @@ class MergeSpec extends SparkTestBase {
     assert(out2.count() ==
       Merge.upsert(existing, stage, Seq("o_orderkey")).count())
   }
+
+  test("cdcApply: updates win, tombstones delete, absent-key deletes are " +
+      "idempotent no-ops") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "U"),  // update
+      (3L, "x", "D"),  // delete matched
+      (4L, "d", "I"),  // insert new
+      (5L, "x", "D")   // tombstone for a key that never existed
+    ).toDF("k", "v", "op")
+    val got = Merge.cdcApply(existing, changes, Seq("k"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
 }
