@@ -116,6 +116,7 @@ object SparkEntry {
     "text_segments"         -> (LlmQueries.textSegments _),
     "text_repetition"       -> (LlmQueries.textRepetition _),
     "text_pmi"              -> (LlmQueries.textPmi _),
+    "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -646,6 +647,13 @@ object SparkEntry {
         |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
         |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_hashtf" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 64 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "text_pmi" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT u.w, COUNT(*) AS uc

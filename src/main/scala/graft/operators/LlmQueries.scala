@@ -150,6 +150,10 @@ object LlmQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def textHashTf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashingTf(docs(s, dir), "doc_id", "text", dim = 64)
+      .orderBy("doc_id", "bucket")
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

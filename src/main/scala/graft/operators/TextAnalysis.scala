@@ -187,6 +187,23 @@ object TextAnalysis {
         round(avg(-log(col("c") / col("n_total").cast("double"))), 4).as("avg_surprisal"))
   }
 
+  /** Feature hashing (the hashing trick / HashingTF): tokens map to a
+    * fixed `dim`-bucket space via the portable [[Hashing.md5Long]], each
+    * doc becomes sparse (bucket, tf) rows — the vocabulary-free
+    * featurization step before linear models. No vocabulary table at
+    * all is the point: a 100 TB corpus needs no distinct-terms pass, no
+    * broadcast dictionary, just one map-side-combined aggregate on
+    * (doc, bucket).
+    */
+  def hashingTf(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      // md5Long is < 2^60, so % == pmod — portable to any engine
+      .select(col(idCol), (Hashing.md5Long(col("t")) % dim).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Collocation mining: top-`k` bigrams by pointwise mutual information,
     * PMI = ln( p(ab) / (p(a)·p(b)) ) with all probabilities over corpus
     * totals — the phrase-detection step (Mikolov-style word2vec phrase
