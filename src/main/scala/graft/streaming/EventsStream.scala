@@ -126,6 +126,32 @@ object EventsStream {
       .start()
   }
 
+  /** Stream-static enrichment: the event stream joined to a BATCH
+    * dimension table (customer). No watermark needed on the static side —
+    * Spark re-plans the batch side per micro-batch, so a dim refresh is
+    * picked up at the next trigger; the stream side carries no state for
+    * this join at all (it's a broadcast-able lookup, the 100 TB/day
+    * enrichment shape).
+    */
+  def enrichedCounts(spark: SparkSession, srcDir: String, dimDir: String,
+                     checkpointDir: String, outDir: String): StreamingQuery = {
+    val dim = graft.Tables.load(spark, dimDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    source(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"), "inner")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .select(col("window.start").as("ws"), col("segment"), col("n"), col("v"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-user cumulative
     * event count + running value total, emitted once per micro-batch — the
     * fully-general stateful surface (§2.C) beyond what windows/dedup

@@ -39,6 +39,26 @@ class EventsStreamSpec extends SparkTestBase {
       .count() == 0, "window aggregates must match batch")
   }
 
+  test("stream-static enrichment join matches the batch join (closed windows)") {
+    val out = tmp("es_enr_out")
+    val q = EventsStream.enrichedCounts(spark, eventsDir, sfDir,
+      tmp("es_enr_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() > 0, "closed windows must be emitted")
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = Tables.load(spark, sfDir, "events")
+      .join(dim, "user_id")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+    val joined = streamed.as("s").join(batch.as("b"),
+      col("s.ws") === col("b.ws") && col("s.segment") === col("b.segment"))
+    assert(joined.count() == streamed.count(), "every streamed window exists in batch")
+    assert(joined.filter(col("s.n") =!= col("b.n") || col("s.v") =!= col("b.v"))
+      .count() == 0, "enriched window aggregates must match batch")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val out = tmp("es_ssj_out")
     val q = EventsStream.clickPurchaseJoin(spark, eventsDir,
