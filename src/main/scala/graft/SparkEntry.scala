@@ -123,6 +123,8 @@ object SparkEntry {
     "mm_decode"             -> (LlmQueries.mmDecode _),
     "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
     "mm_audio_frames"       -> (LlmQueries.mmAudioFrames _),
+    "mm_scene_detect"       -> (LlmQueries.mmSceneDetect _),
+    "prep_balance"          -> (LlmQueries.prepBalance _),
     "mm_resize"             -> (LlmQueries.mmResize _),
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
@@ -1366,6 +1368,39 @@ object SparkEntry {
         |  CAST(fi * 32 AS BIGINT) AS f_start,
         |  CAST(SUM(bv) AS BIGINT) AS energy, CAST(MAX(bv) AS BIGINT) AS peak
         |FROM b GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_scene_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |f0 AS (
+        |  SELECT doc_id, data,
+        |    unnest(range(0, CAST(floor((n - 64) / 32) AS INT) + 1)) AS fi
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, fi,
+        |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT AS bv
+        |  FROM f0, LATERAL (SELECT unnest(range(1, 65)) AS i) g),
+        |fr AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |         CAST(SUM(bv) AS BIGINT) AS energy
+        |       FROM b GROUP BY doc_id, fi),
+        |lg AS (SELECT doc_id, frame_idx, energy,
+        |         LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_e
+        |       FROM fr)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN prev_e IS NULL OR abs(energy - prev_e) > 300
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+        |  CAST(MAX(abs(energy - COALESCE(prev_e, energy))) AS BIGINT) AS max_jump
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "prep_balance" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n) AS min_n FROM n),
+        |r AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                   doc_id) AS rk
+        |      FROM documents)
+        |SELECT doc_id, lang FROM r, mn WHERE rk <= mn.min_n
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

@@ -226,6 +226,27 @@ object LlmQueries {
         frameLen = 64, hop = 32)
       .orderBy("doc_id", "frame_idx")
 
+  /** Shot-boundary detection over the framed payloads: energy jumps above
+    * 300 against the previous frame start a new scene
+    * ([[Multimodal.sceneChanges]] over [[Multimodal.frameEnergy]] rows).
+    */
+  def mmSceneDetect(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneChanges(
+        Multimodal.frameEnergy(
+          Multimodal.attachBinary(docs(s, dir), "doc_id", "text"),
+          frameLen = 64, hop = 32),
+        threshold = 300L)
+      .orderBy("doc_id")
+
+  /** Deterministic class rebalance: every language stratum downsampled to
+    * the smallest stratum's size by portable-hash rank
+    * ([[Prep.balanceStrata]]).
+    */
+  def prepBalance(s: SparkSession, dir: String): DataFrame =
+    Prep.balanceStrata(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+      .orderBy("doc_id")
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).

@@ -98,6 +98,29 @@ object Multimodal {
         expr("aggregate(col, CAST(0 AS BIGINT), (a, x) -> a + x)").as("energy"),
         array_max(col("col")).as("peak"))
 
+  /** Scene-change detection over the framed payload (the video-pipeline
+    * shot-boundary step, on the [[frameEnergy]] stub features): a frame
+    * starts a new scene when its energy jumps more than `threshold`
+    * against the previous frame. One per-doc ordered window (lag) over
+    * the frame rows — frames of one payload co-locate after the framing
+    * explode, so the window shuffles on doc_id once and scenes never
+    * leave their executor.
+    */
+  def sceneChanges(frames: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev_e", lag("energy", 1).over(w))
+      .withColumn("is_scene_start",
+        (col("prev_e").isNull ||
+          abs(col("energy") - col("prev_e")) > threshold).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("is_scene_start").as("n_scenes"),
+        max(abs(col("energy") - coalesce(col("prev_e"), col("energy"))))
+          .as("max_jump"))
+  }
+
   /** Deterministic per-payload feature vector: `dims` byte-sum features,
     * f_j = Σ byte_i over positions with i % dims == j (1-based i, j from
     * 0) — the feature-extract slot of the pipeline (swap for a real model

@@ -46,6 +46,29 @@ object Prep {
       .agg(count(lit(1)).as("n"))
       .orderBy(strataCol, "split")
 
+  /** Class balancing: downsample every stratum to the SMALLEST stratum's
+    * size, keeping rows by portable-hash rank (deterministic — any engine
+    * reproduces the same survivor set). The standard rebalance before
+    * training on skewed labels.
+    *
+    * Scale: one count aggregate (stratum-sized), the 1-row min broadcast,
+    * one rank window per stratum. The window partitions on the stratum —
+    * for few-strata corpora at 100 TB, salt it like
+    * [[trainValTestSplit]] does, then take per-(stratum, salt) quotas of
+    * minSize/salts each; the unsalted form here keeps the oracle exact.
+    */
+  def balanceStrata(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
+    val minSize = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .agg(min("n").as("min_n"))
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minSize))
+      .filter(col("rk") <= col("min_n"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Sequence packing for pre-training: documents concatenated in id
     * order into one token stream, chunked into fixed `budget`-token
     * training sequences. Each doc gets its absolute token offset and the
