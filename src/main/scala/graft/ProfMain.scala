@@ -15,7 +15,9 @@ object ProfMain {
         "q33_gap_fill", "q37_range_frame", "q38_frame_stats",
         "prep_split", "a18_bucketed_merge", "ml_kmeans", "text_tfidf",
         "text_repetition", "text_contamination", "text_lm_score",
-        "prep_pack", "q40_stats_agg")
+        "prep_pack", "q40_stats_agg", "sim_pq_ann", "dedup_simhash_pairs",
+        "dedup_incremental", "text_pmi", "text_hashtf", "mm_audio_frames",
+        "mm_scene_detect", "prep_balance", "dq_outliers", "a22_cdc_merge")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
