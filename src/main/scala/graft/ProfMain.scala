@@ -83,6 +83,18 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    // construction INSIDE the timed window (iterative queries — CC, sync
+    // runs, sketch builds — do real work while the DataFrame is built;
+    // timing only the final write under-reports them)
+    if (names.headOption.contains("timeq")) {
+      for (name <- names.tail; i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")

@@ -106,7 +106,10 @@ class DedupPropertySpec extends SparkTestBase {
       }
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val want = verts.map(v => v -> find(v)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+      // driverMaxEdges = 0 forces the ITERATIVE path — the default would
+      // answer with the same union-find being tested against
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"),
+          driverMaxEdges = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"round $round: labels diverged from union-find")
     }

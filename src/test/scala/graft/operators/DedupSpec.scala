@@ -6,33 +6,38 @@ import graft.SparkTestBase
 
 class DedupSpec extends SparkTestBase {
 
-  test("connected components closes a long chain (pointer jumping)") {
+  test("connected components closes a long chain (pointer jumping, " +
+      "iterative path forced)") {
     import spark.implicits._
     // a 500-link path — plain O(diameter) label propagation cannot close
     // this inside any small round budget; the pointer-jumping shortcut
-    // must (O(log diameter) ≈ 10 rounds)
+    // must (O(log diameter) rounds). driverMaxEdges = 0 forces the
+    // distributed loop — the default would solve this on the driver.
     val chain = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(chain)
+    val labels = Dedup.connectedComponents(chain, driverMaxEdges = 0L)
     assert(labels.count() == 501)
     assert(labels.select("comp").distinct().count() == 1, "one component")
     assert(labels.agg(max("comp")).head().getLong(0) == 0L, "min-id label")
   }
 
-  test("connected components keeps disjoint components apart") {
+  test("connected components keeps disjoint components apart (both paths)") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
       .toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    for (threshold <- Seq(0L, 5000000L)) {
+      val got = Dedup.connectedComponents(pairs, driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"driverMaxEdges=$threshold")
+    }
   }
 
   test("connected components refuses to return split labels") {
     import spark.implicits._
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2).count()
+      Dedup.connectedComponents(chain, maxIter = 2, driverMaxEdges = 0L).count()
     }
     assert(e.getMessage.contains("did not converge"))
   }
