@@ -117,6 +117,7 @@ object SparkEntry {
     "text_repetition"       -> (LlmQueries.textRepetition _),
     "text_pmi"              -> (LlmQueries.textPmi _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
+    "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -649,6 +650,19 @@ object SparkEntry {
         |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
         |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[gi.i] AS w1, t[gi.i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY w1, w2),
+        |pc AS (SELECT w1, COUNT(*) AS pc FROM bi GROUP BY w1)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-ln(bc.bc / CAST(pc.pc AS DOUBLE))), 4) AS avg_surprisal
+        |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+        |        JOIN pc ON bi.w1 = pc.w1
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
     "text_hashtf" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 64 AS BIGINT) AS bucket,

@@ -154,6 +154,10 @@ object LlmQueries {
     TextAnalysis.hashingTf(docs(s, dir), "doc_id", "text", dim = 64)
       .orderBy("doc_id", "bucket")
 
+  def textBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

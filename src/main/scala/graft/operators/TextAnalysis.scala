@@ -244,6 +244,36 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** Bigram-conditional LM score: mean surprisal −ln p(w₂|w₁) with
+    * p(w₂|w₁) = count(w₁w₂)/count(w₁·) over the corpus — the next-token
+    * predictability signal ([[unigramLogProb]] scores vocabulary rarity;
+    * this scores SEQUENCE predictability, which is what separates
+    * boilerplate from fluent text). Docs shorter than two tokens carry
+    * no bigram and drop out.
+    *
+    * Note the conditioning denominator counts w₁ as a bigram PREFIX
+    * (last tokens excluded), so probabilities normalize exactly.
+    *
+    * Scale: bigram and prefix counts are vocabulary-sized map-side
+    * aggregates; both broadcast back onto the exploded bigram stream;
+    * one final doc-keyed aggregate. Same shuffle profile as tf-idf.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val pc = bi.groupBy("w1").agg(count(lit(1)).as("pc"))
+    bi.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(pc), Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("bc") / col("pc").cast("double"))), 4).as("avg_surprisal"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap
     * near-canonicalization used before exact dedup.

@@ -62,6 +62,21 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(2L) == ((1L, 0.6931)))
   }
 
+  test("bigramLogProb: conditional probabilities from corpus counts") {
+    import spark.implicits._
+    // corpus bigrams: (a b) ×2, (b a) ×1, (b c) ×1 → prefix counts a·=2, b·=2
+    //   doc 1 "a b a b": grams a b, b a, a b → -ln[1, .5, 1] avg = ln2/3
+    //   doc 2 "b c": one gram, p(c|b) = .5 → ln2
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.rint(math.log(2) / 3 * 10000) / 10000) < 1e-9)
+    assert(got(2L) == ((1L, 0.6931)))
+  }
+
   test("statsSummary: median/mode/moments agree with direct computation") {
     val got = Analytics.statsSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
