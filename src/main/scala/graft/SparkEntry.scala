@@ -131,6 +131,7 @@ object SparkEntry {
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
+    "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
@@ -1277,6 +1278,66 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_pq_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, label, emb, emb[1:32] AS s1, emb[33:64] AS s2
+        |       FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb, emb[1:32] AS s1, emb[33:64] AS s2
+        |       FROM e WHERE vec_id < 10),
+        |cb1 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(s1[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |cb2 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(s2[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |e1 AS (SELECT cand_id, cid AS c1 FROM (
+        |    SELECT c0.vec_id AS cand_id, cb1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (c0.s1[i] - cb1.cemb[i]) * (c0.s1[i] - cb1.cemb[i]))),
+        |        cb1.cid) AS rn
+        |    FROM c0, cb1) WHERE rn = 1),
+        |e2 AS (SELECT cand_id, cid AS c2 FROM (
+        |    SELECT c0.vec_id AS cand_id, cb2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (c0.s2[i] - cb2.cemb[i]) * (c0.s2[i] - cb2.cemb[i]))),
+        |        cb2.cid) AS rn
+        |    FROM c0, cb2) WHERE rn = 1),
+        |pd1 AS (SELECT p0.vec_id AS probe_id, cb1.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (p0.s1[i] - cb1.cemb[i]) * (p0.s1[i] - cb1.cemb[i]))) AS pd
+        |  FROM p0, cb1),
+        |pd2 AS (SELECT p0.vec_id AS probe_id, cb2.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (p0.s2[i] - cb2.cemb[i]) * (p0.s2[i] - cb2.cemb[i]))) AS pd
+        |  FROM p0, cb2),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |  SELECT pd1.probe_id, e1.cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pd1.probe_id
+        |      ORDER BY pd1.pd + pd2.pd, e1.cand_id) AS rn
+        |  FROM e1 JOIN e2 USING (cand_id), pd1, pd2
+        |  WHERE pd1.cid = e1.c1 AND pd2.cid = e2.c2
+        |    AND pd2.probe_id = pd1.probe_id AND pd1.probe_id <> e1.cand_id)
+        |  WHERE rn = 1),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |  SELECT p0.vec_id AS probe_id, c0.vec_id AS cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (p0.emb[i] - c0.emb[i]) * (p0.emb[i] - c0.emb[i]))),
+        |      c0.vec_id) AS rn
+        |  FROM p0, c0 WHERE c0.vec_id <> p0.vec_id) WHERE rn = 1)
+        |SELECT 'pq_m2' AS method, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
+        |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

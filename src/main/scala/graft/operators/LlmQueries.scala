@@ -334,6 +334,40 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** PQ quality measured against the metric it approximates: recall@1 of
+    * the ADC search vs the exact L2 nearest neighbor (cosine truth would
+    * conflate quantization loss with metric mismatch). On THIS corpus the
+    * number is low by construction — the synthetic embeddings are
+    * structureless, so 2×10-cell codebooks explain almost no variance
+    * (the measured sim_recall rows for IVF nprobe=1 / sign-LSH sit at
+    * 0.1/0.2 for the same reason); the recall dial is subspace count ×
+    * codebook size, exactly the m/k dial of the PQ paper.
+    */
+  def simPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val half = "CAST(floor(size(emb) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      corpus.select(col("label"), expr(s"slice(emb, 1, $half)").as("emb")),
+      "label", "emb")
+    val cb2 = Similarity.trainCentroids(
+      corpus.select(col("label"),
+        expr(s"slice(emb, $half + 1, size(emb) - $half)").as("emb")),
+      "label", "emb")
+    val exact = Similarity.l2TopK(corpus.drop("label"), probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val pq = Similarity.pqTopK(corpus.drop("label"), probes, cb1, cb2,
+        "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(pq, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("pq_m2").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+  }
+
   /** tf-idf top-3 characteristic terms per document (rank ties broken by
     * term, scores rounded for cross-engine float stability).
     */

@@ -168,6 +168,23 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Exact L2 top-k — the metric-matched ground truth for
+    * [[pqTopK]]'s ADC approximation (PQ approximates L2, not cosine;
+    * recall must be measured against the same metric). Same shape as
+    * [[cosineTopK]]: broadcast probes, one corpus scan, per-probe window.
+    */
+  def l2TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             embCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist"), col(idCol))
+    corpus.join(p, col("probe_id") =!= col(idCol))
+      .withColumn("dist", l2sq(col("p_emb"), col(embCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rn"),
+        round(col("dist"), 4).as("dist"))
+  }
+
   /** Product quantization ANN (Jégou et al. 2011 shape): embeddings split
     * into `m = 2` subvectors; each subspace gets its own codebook (the
     * per-label centroids restricted to that subspace — deterministic, no
