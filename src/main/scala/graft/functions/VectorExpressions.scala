@@ -71,6 +71,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotNativeFunction)
+    ext.injectFunction(GraftFunctions.md5LongFunction)
     // whole-operator extension: native as-of join (custom LogicalPlan →
     // custom SparkPlan, SURVEY §4 preference (c))
     ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
@@ -93,7 +94,29 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
       (exprs: Seq[Expression]) => build(exprs))
 
-  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** `md5_long(x)`: the engine's portable 60-bit content hash
+    * ([[graft.operators.Hashing.md5Long]]) as a SQL-callable function —
+    * composed entirely from built-in codegen'd expressions (md5 → first
+    * 15 hex chars → base-16 parse), so external SQL reproduces it
+    * verbatim (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`).
+    */
+  private def md5LongBuild(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Conv, Literal, Md5, Substring}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    Cast(Conv(
+      Substring(Md5(Cast(exprs.head, BinaryType)), Literal(1), Literal(15)),
+      Literal(16), Literal(10)), LongType)
+  }
+
+  private[functions] val md5LongFunction =
+    (new FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Cast].getName, "md5_long"),
+      (exprs: Seq[Expression]) => md5LongBuild(exprs))
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long", md5LongBuild, "built-in")
+  }
 }

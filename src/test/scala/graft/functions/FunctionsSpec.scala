@@ -35,6 +35,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("md5_long SQL function equals the Column-side portable hash") {
+    import spark.implicits._
+    val docs = Seq("alpha", "beta", "", "γ unicode").toDF("s")
+    docs.createOrReplaceTempView("md5long_probe")
+    val viaSql = spark.sql(
+      "SELECT s, md5_long(s) AS h FROM md5long_probe ORDER BY s").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select(col("s"),
+      graft.operators.Hashing.md5Long(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+    // 60-bit: always non-negative, always < 2^60
+    viaSql.values.foreach(h => assert(h >= 0 && h < (1L << 60)))
+  }
+
   test("centroid aggregator matches per-dimension averages") {
     import spark.implicits._
     val data = Seq(
