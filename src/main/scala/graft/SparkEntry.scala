@@ -118,6 +118,7 @@ object SparkEntry {
     "text_pmi"              -> (LlmQueries.textPmi _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
+    "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -651,6 +652,14 @@ object SparkEntry {
         |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_gram_frac,
         |  ROUND(1 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS dup_gram_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, COUNT(*) AS tc FROM t GROUP BY tok),
+        |p AS (SELECT substr(tok, g.i, 1) || substr(tok, g.i + 1, 1) AS pair, tc
+        |      FROM tc, LATERAL (SELECT unnest(range(1, length(tok))) AS i) g
+        |      WHERE length(tok) >= 2)
+        |SELECT pair, CAST(SUM(tc) AS BIGINT) AS weight FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 10""".stripMargin,
     "text_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (

@@ -154,6 +154,9 @@ object LlmQueries {
     TextAnalysis.hashingTf(docs(s, dir), "doc_id", "text", dim = 64)
       .orderBy("doc_id", "bucket")
 
+  def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(docs(s, dir), "doc_id", "text", k = 10)
+
   def textBigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")

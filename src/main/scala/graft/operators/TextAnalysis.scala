@@ -187,6 +187,29 @@ object TextAnalysis {
         round(avg(-log(col("c") / col("n_total").cast("double"))), 4).as("avg_surprisal"))
   }
 
+  /** BPE tokenizer-training statistics (the merge-selection step of
+    * byte-pair encoding — Sennrich et al. 2016): corpus-weighted counts
+    * of adjacent character pairs inside tokens; the top pair is the next
+    * BPE merge. Full training repeats this after applying each merge —
+    * the per-round statistics job is THIS operator; driving the loop is
+    * trivial once the statistics scale.
+    *
+    * Scale: the pair explode runs over the DISTINCT-token table with
+    * per-token corpus counts, not the corpus — vocabulary-sized work no
+    * matter how big the corpus (the classic BPE-training trick), then
+    * one map-side-combined aggregate and a global top-k.
+    */
+  def bpePairStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 10): DataFrame = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
+    toks.filter(length(col("tok")) >= 2)
+      .select(col("tc"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> concat(substring(tok, i, 1), substring(tok, i + 1, 1)))")).as("pair"))
+      .groupBy("pair").agg(sum("tc").as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(k)
+  }
+
   /** Feature hashing (the hashing trick / HashingTF): tokens map to a
     * fixed `dim`-bucket space via the portable [[Hashing.md5Long]], each
     * doc becomes sparse (bucket, tf) rows — the vocabulary-free

@@ -77,6 +77,18 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(2L) == ((1L, 0.6931)))
   }
 
+  test("bpePairStats: corpus-weighted adjacent-pair counts pick the merge") {
+    import spark.implicits._
+    // "abab" ×2 docs + "ab cd": pairs of "abab" = ab, ba, ab; token counts
+    //   abab: 2 → ab 4, ba 2; ab: 1 → ab 1; cd: 1 → cd 1
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "ab cd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head == ("ab" -> 5L), s"top merge must be 'ab': ${got.toSeq}")
+    assert(got.toMap == Map("ab" -> 5L, "ba" -> 2L, "cd" -> 1L))
+  }
+
   test("statsSummary: median/mode/moments agree with direct computation") {
     val got = Analytics.statsSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
