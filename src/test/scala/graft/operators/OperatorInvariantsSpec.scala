@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Randomized invariants across the newer operator families — each test
+  * pins a property that must hold for ANY input, not just the oracle
+  * corpus (fixed ScalaCheck seeds keep CI deterministic).
+  */
+class OperatorInvariantsSpec extends SparkTestBase {
+
+  private val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+  private val docGen = Gen.choose(1, 12)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    .map(_.mkString(" "))
+
+  test("incrementalNew equals the plain anti-join on random corpora") {
+    import spark.implicits._
+    var seed = Seed(3L)
+    for (round <- 1 to 3) {
+      val hist = Gen.listOfN(25, docGen).pureApply(Gen.Parameters.default, seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      seed = seed.next
+      val batch = Gen.listOfN(25, docGen).pureApply(Gen.Parameters.default, seed)
+        .zipWithIndex.map { case (t, i) => (i + 100L, t) }
+      seed = seed.next
+      val (h, b) = (hist.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+      // tiny expected count → high false-positive rate → the exact
+      // anti-join path does real work (the interesting regime)
+      val got = Dedup.incrementalNew(b, h, "doc_id", "text",
+          expectedHistoryRows = 10L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val histTexts = hist.map(_._2).toSet
+      val want = batch.filterNot(r => histTexts(r._2)).map(_._1).toSet
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("simhash is invariant to token order and repetition") {
+    import spark.implicits._
+    val base = "cc aa bb dd"
+    val docs = Seq(
+      (1L, base),
+      (2L, "dd cc bb aa"),       // permutation
+      (3L, "aa aa bb cc dd dd")  // repetition
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(2L) == sigs(3L),
+      "signature is a function of the distinct token SET")
+  }
+
+  test("balanceStrata: every stratum lands exactly at the min stratum size") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, s"s${i % 4}")) ++
+      (100L until 110L).map(i => (i, "s_small"))
+    val df = rows.toDF("id", "grp")
+    val out = Prep.balanceStrata(df, "id", "grp")
+      .groupBy("grp").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSize = 10L // s_small
+    assert(out.values.toSet == Set(minSize), s"got $out")
+    assert(out.keySet == Set("s0", "s1", "s2", "s3", "s_small"))
+  }
+
+  test("hashingTf: bucket counts partition the token stream") {
+    import spark.implicits._
+    var seed = Seed(8L)
+    val docs = Gen.listOfN(20, docGen).pureApply(Gen.Parameters.default, seed)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.hashingTf(df, "doc_id", "text", dim = 8).collect()
+    // Σ tf per doc == token count; every bucket within [0, dim)
+    val byDoc = out.groupBy(_.getLong(0))
+    docs.foreach { case (id, t) =>
+      assert(byDoc(id).map(_.getLong(2)).sum == t.split(" ").length.toLong)
+    }
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 8))
+  }
+
+  test("packSequences: offsets are gapless and spans cover each doc exactly") {
+    import spark.implicits._
+    // sparse, non-contiguous ids — the block table has holes
+    val docs = Seq(3L, 7L, 4096L, 4100L, 9000L)
+      .map(i => (i, Seq.fill((i % 5 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Prep.packSequences(docs, "doc_id", "text", budget = 4)
+      .orderBy("doc_id").collect()
+    var expectedStart = 0L
+    out.foreach { r =>
+      assert(r.getLong(2) == expectedStart,
+        s"doc ${r.getLong(0)} starts at ${r.getLong(2)}, want $expectedStart")
+      expectedStart += r.getLong(1)
+      assert(r.getLong(3) == r.getLong(2) / 4)
+      assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 4)
+    }
+  }
+
+  test("cdcApply replayed twice is idempotent") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "x", "D"), (4L, "d", "I"))
+      .toDF("k", "v", "op")
+    val once = Merge.cdcApply(existing, changes, Seq("k"), "op")
+    val twice = Merge.cdcApply(once, changes, Seq("k"), "op")
+    assert(once.orderBy("k").collect().map(_.toSeq).toSeq ==
+      twice.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+}
