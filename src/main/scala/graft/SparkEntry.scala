@@ -288,11 +288,26 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q22_percentiles" ->
-      """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
-        |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |  ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    list(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS xs,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.5) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.5) AS INT) + 1])
+        |      * ((n - 1) * 0.5 - floor((n - 1) * 0.5)), 0) / 100.0 AS med,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.9) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.9) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.9) AS INT) + 1])
+        |      * ((n - 1) * 0.9 - floor((n - 1) * 0.9)), 0) / 100.0 AS p90,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.99) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.99) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.99) AS INT) + 1])
+        |      * ((n - 1) * 0.99 - floor((n - 1) * 0.99)), 0) / 100.0 AS p99
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q23_correlated_scalar" ->
       """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
         |FROM customer c
@@ -804,7 +819,7 @@ object SparkEntry {
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
     "udaf_centroid" ->
       """SELECT label, CAST(g.i AS BIGINT) AS i,
-        |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) AS v
+        |  ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 4) + 0.0 AS v
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
         |GROUP BY label, g.i ORDER BY label, i""".stripMargin,
     "q25_pivot" ->
@@ -817,7 +832,8 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT c_nationkey AS nation,
         |         ROUND(CAST(COUNT(*) AS DOUBLE), 2) AS n_cust,
-        |         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+        |         ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |           / COUNT(*), 0) / 100.0 AS avg_bal,
         |         ROUND(MAX(c_acctbal), 2) AS max_bal
         |  FROM customer GROUP BY 1)
         |SELECT nation, 'avg_bal' AS metric, avg_bal AS value FROM w

@@ -49,7 +49,14 @@ object Analytics {
       .groupBy(col("c_nationkey").as("nation"))
       .agg(
         round(count(lit(1)).cast("double"), 2).as("n_cust"),
-        round(avg("c_acctbal"), 2).as("avg_bal"),
+        // integer-cents mean, ROUNDED AT THE CENT: the cents sum is exact
+        // in any summation order, and a true rounding boundary is then an
+        // exactly-representable x.5 — the one case Spark's decimal-aware
+        // round and a binary round agree on. (Rounding the dollar value
+        // hits inexact .xx5 shortest-representation boundaries where the
+        // two pipelines disagree — seen at sf0.001.)
+        (round(sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+          .cast("double") / count(lit(1)), 0).cast("double") / 100.0).as("avg_bal"),
         round(max("c_acctbal"), 2).as("max_bal"))
       .unpivot(Array(col("nation")), Array(col("n_cust"), col("avg_bal"), col("max_bal")),
         "metric", "value")

@@ -495,7 +495,10 @@ object LlmQueries {
       .agg(centroid(col("emb")).as("c"))
       .select(col("label"), posexplode(col("c")))
       .select(col("label"), (col("pos") + 1).cast("long").as("i"),
-        round(col("col"), 4).as("v"))
+        // + 0.0 canonicalizes IEEE negative zero: a mean that rounds to
+        // -0.0 on one engine and +0.0 on another prints differently and
+        // breaks the hash compare (seen at sf0.001)
+        (round(col("col"), 4) + lit(0.0)).as("v"))
       .orderBy("label", "i")
   }
 }

@@ -333,16 +333,25 @@ object Queries {
     * group's value distribution in memory.
     */
   def q22(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    // Percentiles on exact integer CENTS, interpolated with one shared
+    // formula and rounded to whole cents: the lo/hi sums are exact
+    // integers in any summation order, the interpolation runs on
+    // identical doubles in every engine, and the f = .5 median case
+    // lands on a binary-representable .5 — the one value both rounding
+    // pipelines treat identically. (A double-valued spelling hit a
+    // shortest-repr .xx5 boundary at sf0.001: Spark's decimal-aware
+    // round and a binary round disagree there.)
+    val w = Window.partitionBy("l_returnflag").orderBy("cents", "l_orderkey", "l_linenumber")
     val wc = Window.partitionBy("l_returnflag")
     val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .withColumn("rn", row_number().over(w).cast("double") - 1)
       .withColumn("nn", count(lit(1)).over(wc).cast("double"))
     def pct(p: Double, name: String) = {
-      val lo = s"SUM(CASE WHEN rn = floor((nn - 1) * $p) THEN l_extendedprice ELSE 0D END)"
-      val hi = s"SUM(CASE WHEN rn = ceil((nn - 1) * $p) THEN l_extendedprice ELSE 0D END)"
-      expr(s"ROUND($lo + ($hi - $lo) * ((COUNT(*) - 1) * $p - floor((COUNT(*) - 1) * $p)), 2)")
+      val lo = s"SUM(CASE WHEN rn = floor((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+      val hi = s"SUM(CASE WHEN rn = ceil((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+      expr(s"CAST(ROUND($lo + ($hi - $lo) * ((COUNT(*) - 1) * $p - floor((COUNT(*) - 1) * $p)), 0) AS DOUBLE) / 100.0")
         .as(name)
     }
     ranked.groupBy("l_returnflag")
