@@ -93,6 +93,7 @@ object SparkEntry {
     "a20_partition_pruning" -> (PipelineQueries.a20PartitionPruning _),
     "a21_jdbc_publish"      -> (PipelineQueries.a21JdbcPublish _),
     "a22_cdc_merge"         -> (PipelineQueries.a22CdcMerge _),
+    "a23_backfill"          -> (PipelineQueries.a23PartitionBackfill _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -1130,6 +1131,10 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a23_backfill" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
     "a22_cdc_merge" ->
       """WITH e AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             ROUND(o_totalprice, 2) AS p

@@ -417,6 +417,44 @@ object PipelineQueries {
       .orderBy("k")
   }
 
+  /** A23 — partition backfill via DYNAMIC partition overwrite: the
+    * repair-one-day operation every dated warehouse needs (the
+    * reference's daily overwrite replaces the WHOLE table; a partitioned
+    * layout must replace only the bad day). The initial publish writes
+    * one day corrupted (values doubled); the backfill recomputes that
+    * day and overwrites it with `partitionOverwriteMode=dynamic`, which
+    * replaces ONLY the partitions present in the write — every other
+    * day's files are untouched (at 100 TB that is the difference
+    * between rewriting 1/365th and rewriting everything). The query
+    * returns the post-backfill per-day aggregate; the oracle recomputes
+    * from the source, so a green row proves the repair restored exact
+    * equality.
+    */
+  def a23PartitionBackfill(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_backfill").toString + "/events_by_day"
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select("event_id", "event_type", "value", "event_date")
+    val badDay = lit("2024-01-02").cast("date")
+    // initial publish: day 2 lands corrupted (value doubled)
+    ev.withColumn("value",
+        when(col("event_date") === badDay, col("value") * 2).otherwise(col("value")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    // backfill: recompute ONLY the bad day, dynamic-overwrite its partition
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try ev.filter(col("event_date") === badDay)
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_date")
+  }
+
   /** A21 — warehouse→operational write-back: the REVERSE leg of the
     * reference's source→warehouse flow (serving an aggregate back to an
     * operational store). The aggregate publishes to a real JDBC table

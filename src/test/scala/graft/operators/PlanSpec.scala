@@ -98,6 +98,7 @@ class PlanSpec extends SparkTestBase {
       "a12_throttled_sync", "a13_retry_sync", "a17_incremental_sync",
       "a18_bucketed_merge", // writes the bucketed tables it then merges
       "a20_partition_pruning", // writes the partitioned layout it then reads
+      "a23_backfill", // publish + dynamic-overwrite repair, IO by design
       // build a driver-side Bloom sketch (bounded aggregation) by design
       // (the sketch build is an RDD-path action the listener can't even
       // see — exempted for honesty, not to make the test pass)
