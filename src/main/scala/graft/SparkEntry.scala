@@ -134,6 +134,8 @@ object SparkEntry {
     "sim_recall"            -> (LlmQueries.simRecall _),
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
+    "sim_twostage"          -> (LlmQueries.simTwoStage _),
+    "a24_compaction"        -> (PipelineQueries.a24Compaction _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
@@ -1368,6 +1370,36 @@ object SparkEntry {
         |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
         |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
+    "a24_compaction" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sim_twostage" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |s1 AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    c.emb AS c_emb, p.emb AS p_emb,
+        |    list_dot_product(c.emb[1:16], p.emb[1:16])
+        |      / (sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))
+        |         * sqrt(list_dot_product(p.emb[1:16], p.emb[1:16]))) AS pcos
+        |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id),
+        |cand AS (SELECT probe_id, cand_id, c_emb, p_emb FROM (
+        |  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 5),
+        |r0 AS (SELECT probe_id, cand_id,
+        |    list_dot_product(c_emb, p_emb)
+        |      / (sqrt(list_dot_product(c_emb, c_emb))
+        |         * sqrt(list_dot_product(p_emb, p_emb))) AS cos
+        |  FROM cand),
+        |r AS (SELECT probe_id, cand_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS rn FROM r0)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

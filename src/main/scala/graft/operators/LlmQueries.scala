@@ -337,6 +337,19 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** Two-stage retrieval: 16-dim prefix cosine proposes 5 candidates per
+    * probe, full 64-dim cosine reranks to top-2
+    * ([[Similarity.twoStageTopK]]).
+    */
+  def simTwoStage(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Similarity.twoStageTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "emb", prefixDims = 16, candidates = 5, k = 2)
+      .orderBy("probe_id", "rn")
+  }
+
   /** PQ quality measured against the metric it approximates: recall@1 of
     * the ADC search vs the exact L2 nearest neighbor (cosine truth would
     * conflate quantization loss with metric mismatch). On THIS corpus the

@@ -455,6 +455,33 @@ object PipelineQueries {
       .orderBy("event_date")
   }
 
+  /** A24 — small-file compaction: the warehouse maintenance job a
+    * per-run chunked export accumulates toward (A8 writes many small
+    * part files; query engines pay per-file open/footer costs, the
+    * classic small-files problem at 100 TB). The fragmented table
+    * (50 part files) compacts into 2 via a repartition rewrite; the
+    * query returns the post-compaction aggregate, the oracle recomputes
+    * from the source — a green row proves compaction is content-lossless.
+    * The file-count drop itself is asserted in PipelineSpec (an oracle
+    * can't see the filesystem).
+    */
+  def a24Compaction(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val fragmented = base + "/fragmented"
+    val compacted = base + "/compacted"
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(50)
+      .write.mode("overwrite").parquet(fragmented)
+    s.read.parquet(fragmented)
+      .repartition(2)
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A21 — warehouse→operational write-back: the REVERSE leg of the
     * reference's source→warehouse flow (serving an aggregate back to an
     * operational store). The aggregate publishes to a real JDBC table

@@ -232,6 +232,34 @@ object Similarity {
         round(col("adist"), 4).as("approx_dist"))
   }
 
+  /** Two-stage retrieval (candidate generation → rerank — the
+    * Matryoshka/truncated-embedding pattern): stage 1 scores every
+    * candidate on only the first `prefixDims` dimensions (cheap — at
+    * 100 TB the prefix can live in a separate, much smaller column or
+    * index) and keeps `candidates` per probe; stage 2 reranks ONLY those
+    * on the full vector. Exactness degrades gracefully via the two
+    * dials; cost is prefixDims·|corpus| + dims·candidates instead of
+    * dims·|corpus|.
+    */
+  def twoStageTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   embCol: String, prefixDims: Int, candidates: Int,
+                   k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    val w1 = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col(idCol))
+    val stage1 = corpus.join(p, col("probe_id") =!= col(idCol))
+      .withColumn("pcos", VectorOps.cosine(
+        slice(col(embCol), 1, prefixDims), slice(col("p_emb"), 1, prefixDims)))
+      .withColumn("crn", row_number().over(w1))
+      .filter(col("crn") <= candidates)
+    val w2 = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    stage1
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col(embCol)))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rn"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

@@ -99,6 +99,7 @@ class PlanSpec extends SparkTestBase {
       "a18_bucketed_merge", // writes the bucketed tables it then merges
       "a20_partition_pruning", // writes the partitioned layout it then reads
       "a23_backfill", // publish + dynamic-overwrite repair, IO by design
+      "a24_compaction", // fragment + compact rewrite, IO by design
       // build a driver-side Bloom sketch (bounded aggregation) by design
       // (the sketch build is an RDD-path action the listener can't even
       // see — exempted for honesty, not to make the test pass)

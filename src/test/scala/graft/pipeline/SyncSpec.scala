@@ -180,4 +180,21 @@ class SyncSpec extends SparkTestBase {
       LocalDate.of(2020, 1, 2), maxParallel = 3)
     assert(counts2 == counts)
   }
+
+  test("compaction shrinks the file count without changing content (A24)") {
+    val base = Files.createTempDirectory("compact_spec").toString
+    val df = graft.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    df.repartition(50).write.mode("overwrite").parquet(s"$base/frag")
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$base/frag") == 50)
+    spark.read.parquet(s"$base/frag").repartition(2)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    assert(parts(s"$base/compact") == 2, "50 part files must become 2")
+    val before = df.orderBy("o_orderkey").collect().map(_.toSeq)
+    val after = spark.read.parquet(s"$base/compact")
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(before.toSeq == after.toSeq, "compaction must be content-lossless")
+  }
 }
