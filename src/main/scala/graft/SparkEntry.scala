@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_simhash"         -> (LlmQueries.dedupSimhash _),
     "dedup_simhash_pairs"   -> (LlmQueries.dedupSimhashPairs _),
     "dedup_incremental"     -> (LlmQueries.dedupIncremental _),
+    "dedup_paragraph"       -> (LlmQueries.dedupParagraph _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -426,6 +427,28 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_hash
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        |segs AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    list_slice(tk, g.i * 10 + 1, g.i * 10 + 10), ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor((len(tk) - 1) / 10) AS INT) + 1)) AS i) g),
+        |freq AS (SELECT h, COUNT(*) AS n_occ FROM segs GROUP BY h)
+        |SELECT s.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  ROUND(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_frac
+        |FROM segs s JOIN freq f ON s.h = f.h
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -402,6 +402,39 @@ object Dedup {
     labels
   }
 
+  /** Sub-document (paragraph-level) dedup signals: documents split into
+    * fixed token windows; a window whose content recurs ANYWHERE in the
+    * corpus is boilerplate (the CCNet/RefinedWeb paragraph-dedup pass —
+    * whole-doc dedup misses shared headers/footers/navigation inside
+    * otherwise-unique documents). Output per doc: window count,
+    * boilerplate-window count, and the boilerplate fraction a filter
+    * would threshold on.
+    *
+    * Scale: windows explode row-locally, the recurrence count is one
+    * map-side-combined aggregate on the window hash (corpus-wide
+    * paragraph vocabulary — the dedupable mass is by definition the
+    * small recurring part), then a broadcast-size join back and a
+    * doc-keyed rollup. No self-join, no all-pairs.
+    */
+  def paragraphBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 10): DataFrame = {
+    val segs = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .select(col(idCol), explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(floor((size(tk) - 1) / $windowTokens) AS INT)),
+           |  i -> concat_ws(' ', slice(tk, i * $windowTokens + 1, $windowTokens)))""".stripMargin))
+        .as("seg"))
+      .select(col(idCol), md5(col("seg")).as("h"))
+    val freq = segs.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    segs.join(broadcast(freq), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col(idCol), col("n_windows"), col("n_boiler"),
+        round(col("n_boiler") / col("n_windows").cast("double"), 4).as("boiler_frac"))
+  }
+
   /** Incremental batch dedup: keep only new-batch docs whose content
     * fingerprint does NOT already exist in the historical corpus — the
     * daily-ingest shape (dedup the delta against the lake, not the lake

@@ -102,6 +102,14 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-level boilerplate over the near-dup corpus (copies share
+    * most 10-token windows with their originals, so the signal is dense
+    * by construction).
+    */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphBoilerplate(nearDupDocs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(nearDupVecs(s, dir), "vec_id", "emb",
       bits = 16, threshold = 0.99)
