@@ -18,7 +18,8 @@ object ProfMain {
         "prep_pack", "q40_stats_agg", "sim_pq_ann", "dedup_simhash_pairs",
         "dedup_incremental", "text_pmi", "text_hashtf", "mm_audio_frames",
         "mm_scene_detect", "prep_balance", "dq_outliers", "a22_cdc_merge",
-        "text_bpe_pairs", "text_bigram_lm", "sim_pq_recall")
+        "text_bpe_pairs", "text_bigram_lm", "sim_pq_recall",
+        "dedup_paragraph", "sim_twostage", "dedup_incremental")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
