@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_string_agg"        -> (Analytics.stringAgg _),
     "dq_checks"             -> (Analytics.dqChecks _),
     "dq_outliers"           -> ((s, d) => Analytics.dqOutliers(s, d)),
+    "dq_embeddings"         -> ((s, d) => Analytics.dqEmbeddings(s, d)),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
     "q27_sessionize"        -> (Analytics.sessionize _),
     "q29_profile"           -> ((s, d) => Analytics.profile(s, d)),
@@ -978,6 +979,20 @@ object SparkEntry {
         |  SELECT 'doc_token_floor', COUNT(*)
         |  FROM documents WHERE len(string_split(text, ' ')) < 5
         |) ORDER BY rule""".stripMargin,
+    "dq_embeddings" ->
+      """WITH e AS (SELECT label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+        |SELECT label,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN len(emb) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |  CAST(SUM(CASE WHEN len(list_filter(emb,
+        |       x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  ROUND(MIN(nrm), 4) AS min_norm,
+        |  ROUND(MAX(nrm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "dq_outliers" ->
       """WITH s AS (
         |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd,

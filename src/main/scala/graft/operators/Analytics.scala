@@ -287,6 +287,30 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Embedding data-quality checks — the vector-side twin of [[dqChecks]]
+    * (corrupt embeddings silently poison every ANN/cluster operator
+    * downstream, so a pipeline gates on these before indexing): per
+    * label, the row count, dimension-mismatch count, non-finite-value
+    * count, zero-vector count, and the norm distribution (rounded
+    * integer-cents style at 4dp). One scan, one map-side-combined
+    * aggregate on the label.
+    */
+  def dqEmbeddings(s: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("norm", sqrt(VectorOps.dotHof(col("emb"), col("emb"))))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(size(col("emb")) =!= expectDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(expr("exists(emb, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"), 1L)
+          .otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+      .orderBy("label")
+
   /** Q34 — salted skew join driven end-to-end: lineitem joined to orders
     * on the order key with the fact side salted ([[Skew.saltedJoin]], 8
     * salts) and the dim side replicated — the explicit mitigation for a

@@ -25,6 +25,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("twoStageTopK with an exhaustive candidate set equals brute force") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    // candidates >= |corpus| → stage 1 prunes nothing → exact answer
+    val exact = Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    val twoStage = Similarity.twoStageTopK(corpus, probes, "vec_id", "emb",
+        prefixDims = 16, candidates = 1000000, k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    assert(twoStage.toSeq == exact.toSeq,
+      "an unpruned candidate stage must reduce to brute force")
+  }
+
   test("pqTopK: identical-to-probe corpus vector ranks first") {
     import spark.implicits._
     // plant an exact copy of probe 0's embedding in the corpus: its ADC
