@@ -138,6 +138,7 @@ object SparkEntry {
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
+    "a25_manifest"          -> (PipelineQueries.a25Manifest _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
@@ -1408,6 +1409,13 @@ object SparkEntry {
         |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
         |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
+    "a25_manifest" ->
+      """SELECT 'customer' AS table_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_name,
+        |  CAST(bit_xor(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT)
+        |    AS BIGINT) AS key_checksum
+        |FROM customer""".stripMargin,
     "a24_compaction" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev

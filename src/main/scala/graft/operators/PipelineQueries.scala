@@ -482,6 +482,34 @@ object PipelineQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** A25 — publish audit manifest (the data-contract artifact): alongside
+    * every publish, write a manifest carrying the row count, null counts
+    * on contract columns, and an order-insensitive content checksum
+    * (XOR-fold of per-row portable hashes — commutative, so any
+    * partitioning produces the same value). Downstream consumers verify
+    * deliveries against the manifest instead of re-scanning the data.
+    * The query returns the manifest READ BACK from its file; the oracle
+    * recomputes every field from the source — a green row proves the
+    * audit pipeline measures what the data actually contains.
+    */
+  def a25Manifest(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_manifest").toString
+    val cust = Tables.load(s, dir, "customer")
+    val manifest = cust.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("c_name").isNull.cast("long")).as("n_null_name"),
+      // BIT_XOR aggregate of md5Long(key): commutative + associative →
+      // partitioning/order independent, exact
+      expr("bit_xor(CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+        .as("key_checksum"))
+      .withColumn("table_name", lit("customer"))
+      .select("table_name", "n_rows", "n_null_name", "key_checksum")
+    manifest.coalesce(1).write.mode("overwrite").json(s"$base/_manifest")
+    s.read.json(s"$base/_manifest")
+      .select(col("table_name"), col("n_rows").cast("long"),
+        col("n_null_name").cast("long"), col("key_checksum").cast("long"))
+  }
+
   /** A21 — warehouse→operational write-back: the REVERSE leg of the
     * reference's source→warehouse flow (serving an aggregate back to an
     * operational store). The aggregate publishes to a real JDBC table

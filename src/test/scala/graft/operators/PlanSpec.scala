@@ -87,6 +87,26 @@ class PlanSpec extends SparkTestBase {
       "the corpus must not shuffle on the gram key")
   }
 
+  test("hot paths stay inside whole-stage codegen") {
+    // formatted explain annotates codegen'd operators with
+    // "[codegen id : N]" — but only once AQE is out of the way (the
+    // AdaptiveSparkPlan wrapper defers stage formation until execution),
+    // so probe with AQE off; a non-codegen expression (UDF,
+    // interpreted-only Expression) in the hot path would strip the
+    // annotation from the scan→filter→project pipeline
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q02_filter_predicates", "q01_scan_projection",
+          "text_quality", "q31_bloom_semi_join", "q19_cosine_topk")) {
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        assert(p.contains("codegen id"),
+          s"$name must contain WholeStageCodegen stages:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no collect() in any registered query body (all run lazily)") {
     // Building every DataFrame must not trigger a Spark job — a query body
     // that calls collect()/count() isn't distributed-lazy. Pipeline queries
@@ -100,6 +120,7 @@ class PlanSpec extends SparkTestBase {
       "a20_partition_pruning", // writes the partitioned layout it then reads
       "a23_backfill", // publish + dynamic-overwrite repair, IO by design
       "a24_compaction", // fragment + compact rewrite, IO by design
+      "a25_manifest", // writes + reads back the manifest file, IO by design
       // build a driver-side Bloom sketch (bounded aggregation) by design
       // (the sketch build is an RDD-path action the listener can't even
       // see — exempted for honesty, not to make the test pass)
