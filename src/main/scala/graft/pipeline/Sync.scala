@@ -72,6 +72,29 @@ object Sync {
   def finalPath(warehouseRoot: String, table: String): String =
     s"$warehouseRoot/$table"
 
+  /** Staging retention: delete a table's `ds=` staging snapshots older
+    * than `keep` run-dates (lexicographic ds order IS chronological). A
+    * daily sync accumulates one full snapshot per run — the reference
+    * relies on bucket lifecycle rules for this; a self-contained
+    * pipeline must vacuum its own staging area. Returns the deleted ds
+    * keys (newest-first retention, deterministic).
+    */
+  def vacuumStaging(spark: SparkSession, stagingRoot: String, table: String,
+                    keep: Int): Seq[String] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$stagingRoot/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val snaps = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ds="))
+      .map(_.getPath.getName.stripPrefix("ds="))
+      .sorted(Ordering[String].reverse)
+    val doomed = snaps.drop(keep)
+    doomed.foreach(ds => fs.delete(new Path(s"$stagingRoot/$table/ds=$ds"), true))
+    doomed
+  }
+
   /** Sanitize all column names post-export (A6, reference :187). */
   def sanitizeColumns(df: DataFrame): DataFrame = {
     val renames = df.columns.map(c => c -> TypeMapper.sanitizeName(c))

@@ -181,6 +181,26 @@ class SyncSpec extends SparkTestBase {
     assert(counts2 == counts)
   }
 
+  test("staging vacuum keeps the newest N snapshots, deletes the rest") {
+    val staging = Files.createTempDirectory("vacuum_stg").toString
+    val warehouse = Files.createTempDirectory("vacuum_wh").toString
+    val src = ViewSource(sfDir)
+    val cfg = TableConfig("region")
+    for (d <- 1 to 4)
+      Sync.syncTable(spark, cfg, src, staging, warehouse, LocalDate.of(2020, 1, d))
+    def snaps(): Set[String] =
+      new java.io.File(s"$staging/region").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(snaps() == Set("ds=20200101", "ds=20200102", "ds=20200103", "ds=20200104"))
+    val deleted = Sync.vacuumStaging(spark, staging, "region", keep = 2)
+    assert(deleted == Seq("20200102", "20200101"), "oldest first... newest kept")
+    assert(snaps() == Set("ds=20200103", "ds=20200104"))
+    // idempotent: nothing more to delete
+    assert(Sync.vacuumStaging(spark, staging, "region", keep = 2).isEmpty)
+    // the published final table is untouched
+    assert(spark.read.parquet(s"$warehouse/region").count() == 5)
+  }
+
   test("compaction shrinks the file count without changing content (A24)") {
     val base = Files.createTempDirectory("compact_spec").toString
     val df = graft.Tables.load(spark, sfDir, "orders")
