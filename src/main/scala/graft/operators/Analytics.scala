@@ -296,20 +296,27 @@ object Analytics {
     * aggregate on the label.
     */
   def dqEmbeddings(s: SparkSession, dir: String, expectDim: Int = 64): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("norm", sqrt(VectorOps.dotHof(col("emb"), col("emb"))))
-      .groupBy("label")
+    embeddingChecks(
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      "label", "emb", expectDim)
+
+  /** Core of [[dqEmbeddings]], over any (group, vector) frame. */
+  def embeddingChecks(vecs: DataFrame, groupCol: String, embCol: String,
+                      expectDim: Int): DataFrame =
+    vecs
+      .withColumn("norm", sqrt(VectorOps.dotHof(col(embCol), col(embCol))))
+      .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),
-        sum(when(size(col("emb")) =!= expectDim, 1L).otherwise(0L)).as("n_bad_dim"),
-        sum(when(expr("exists(emb, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"), 1L)
+        sum(when(size(col(embCol)) =!= expectDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(expr(s"exists($embCol, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))"), 1L)
           .otherwise(0L)).as("n_nonfinite"),
         sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
         round(min("norm"), 4).as("min_norm"),
         round(max("norm"), 4).as("max_norm"))
-      .orderBy("label")
+      .orderBy(groupCol)
 
   /** Q34 — salted skew join driven end-to-end: lineitem joined to orders
     * on the order key with the fact side salted ([[Skew.saltedJoin]], 8

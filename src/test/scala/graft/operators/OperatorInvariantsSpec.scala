@@ -99,6 +99,26 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingChecks flags every corruption class") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("g", Seq(3.0, 4.0)),                    // clean, norm 5
+      ("g", Seq(1.0, 0.0, 0.0)),               // wrong dim
+      ("g", Seq(Double.NaN, 1.0)),             // non-finite
+      ("g", Seq(0.0, 0.0))                     // zero vector
+    ).toDF("grp", "emb")
+    val r = Analytics.embeddingChecks(vecs, "grp", "emb", expectDim = 2)
+      .collect().head
+    assert(r.getLong(1) == 4L)   // n
+    assert(r.getLong(2) == 1L)   // bad dim
+    assert(r.getLong(3) == 1L)   // non-finite
+    assert(r.getLong(4) == 1L)   // zero vector
+    assert(r.getDouble(5) == 0.0) // min_norm: the zero vector
+    // Spark orders NaN greatest, so the NaN-poisoned norm IS the max —
+    // exactly why the non-finite gate must run before any ranking
+    assert(r.getDouble(6).isNaN)
+  }
+
   test("cdcApply replayed twice is idempotent") {
     import spark.implicits._
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
