@@ -354,7 +354,7 @@ object Dedup {
     // replaces the round-3 labels⋈labels changed-count join (decimal sum:
     // 1e10 ids × 1e10 rows overflows a long at full scale).
     def labelMass(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var lastMass = labelMass(labels)
     var converged = lastMass == null // empty pair list: nothing to do
     var i = 0

@@ -68,7 +68,7 @@ object Similarity {
       .select(col("cid").cast("int"), col("cemb").cast("array<double>"))
       .collect()
       .sortBy(_.getInt(0))
-    array(rows.map { r =>
+    array(rows.toIndexedSeq.map { r =>
       struct(typedLit(r.getSeq[Double](1)).as("cemb"), lit(r.getInt(0)).as("cid"))
     }: _*)
   }
