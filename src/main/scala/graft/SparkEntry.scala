@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
+    "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
     "a25_manifest"          -> (PipelineQueries.a25Manifest _),
     "prep_split"            -> (LlmQueries.prepSplit _),
@@ -1446,6 +1447,37 @@ object SparkEntry {
         |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
         |  ROUND(cos, 4) AS cos
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_twostage_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |s1 AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    c.emb AS c_emb, p.emb AS p_emb,
+        |    list_dot_product(c.emb[1:16], p.emb[1:16])
+        |      / (sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))
+        |         * sqrt(list_dot_product(p.emb[1:16], p.emb[1:16]))) AS pcos,
+        |    list_dot_product(c.emb, p.emb)
+        |      / (sqrt(list_dot_product(c.emb, c.emb))
+        |         * sqrt(list_dot_product(p.emb, p.emb))) AS fcos
+        |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id),
+        |cand AS (SELECT probe_id, cand_id, fcos FROM (
+        |  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 50),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |  SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY fcos DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |  SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY fcos DESC, cand_id) AS rn FROM s1) WHERE rn = 1)
+        |SELECT 'twostage_p16_c50' AS method,
+        |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
+        |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

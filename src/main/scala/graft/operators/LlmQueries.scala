@@ -358,6 +358,30 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** Two-stage retrieval quality: recall@1 vs the brute-force cosine
+    * truth at candidates = 50 — the dial the prefix-dims/candidate-count
+    * pair trades against (measured on this corpus: 0/10 at 5 candidates,
+    * 4/10 at 20, 7/10 at 50 — with an exhaustive candidate set the spec
+    * pins exact equality). Structureless vectors make the prefix a weak
+    * proposer, exactly like the other coarse methods' recall rows.
+    */
+  def simTwoStageRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val ts = Similarity.twoStageTopK(corpus, probes, "vec_id", "emb",
+        prefixDims = 16, candidates = 50, k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(ts, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("twostage_p16_c50").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+  }
+
   /** PQ quality measured against the metric it approximates: recall@1 of
     * the ADC search vs the exact L2 nearest neighbor (cosine truth would
     * conflate quantization loss with metric mismatch). On THIS corpus the
