@@ -434,7 +434,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents
@@ -456,7 +456,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents
@@ -483,7 +483,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents
@@ -507,7 +507,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents
@@ -538,7 +538,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents),
@@ -571,7 +571,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 1000,
+        |  SELECT vec_id + 1000000,
         |         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * 1.01)
         |  FROM embeddings
         |)
@@ -1017,7 +1017,7 @@ object SparkEntry {
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents
@@ -1059,7 +1059,7 @@ object SparkEntry {
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000 AS doc_id,
+        |  SELECT doc_id + 1000000 AS doc_id,
         |         array_to_string(list_slice(string_split(text, ' '), 1,
         |           len(string_split(text, ' ')) - 1), ' ') AS text
         |  FROM documents

@@ -10,7 +10,8 @@ import graft.Tables
   * test tables — each with a DuckDB oracle in [[graft.SparkEntry.oracleSql]].
   *
   * Near-dup operators are tested against a corpus WITH near-dups by
-  * construction: each doc unioned with a copy (id + 1000) missing its last
+  * construction: each doc unioned with a copy (id + 1,000,000 — disjoint from
+  * real ids at ANY scale factor) missing its last
   * token (text) or scaled by 1.01 (embeddings). The oracle computes the
   * ground-truth all-pairs answer; the engine must reach the same pairs via
   * its bucketed (LSH/blocked) path — i.e. the oracle checks RECALL of the
@@ -24,20 +25,20 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** documents ∪ (doc_id+1000, text minus last token). */
+  /** documents ∪ (doc_id+1e6, text minus last token). */
   private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.select(
-      (col("doc_id") + 1000).as("doc_id"),
+      (col("doc_id") + 1000000).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text")))
   }
 
-  /** embeddings (as double) ∪ (vec_id+1000, embedding × 1.01). */
+  /** embeddings (as double) ∪ (vec_id+1e6, embedding × 1.01). */
   private def nearDupVecs(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     e.unionByName(e.select(
-      (col("vec_id") + 1000).as("vec_id"),
+      (col("vec_id") + 1000000).as("vec_id"),
       expr("transform(emb, x -> x * 1.01D)").as("emb")))
   }
 
@@ -50,7 +51,7 @@ object LlmQueries {
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccardPairs(nearDupDocs(s, dir), "doc_id", "text", 0.5)
@@ -80,7 +81,7 @@ object LlmQueries {
     */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
@@ -450,7 +451,7 @@ object LlmQueries {
     val keepQuality = TextAnalysis.quality(corpus, "doc_id", "text")
       .filter(col("keep") === 1).select("doc_id")
     val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
-      shingleN = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
     val dupLosers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     val survivors = keepQuality.join(dupLosers, Seq("doc_id"), "left_anti")
