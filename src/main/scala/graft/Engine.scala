@@ -11,24 +11,53 @@ import org.apache.spark.sql.SparkSession
   *     compare timestamps at UTC.
   *   - AQE on (Spark default) — runtime join selection / skew handling is the
   *     100 TB answer to static planning.
-  *   - `shuffle.partitions` = local core count here; on a real cluster this
-  *     is left to AQE coalescing (`spark.sql.adaptive.coalescePartitions`).
   *   - `legacy.parquet.nanosAsLong`: the driver's `events.ts` is
   *     TIMESTAMP(NANOS) parquet, which Spark 4 otherwise refuses to read;
   *     we read ns-as-long and convert to µs in [[Tables.load]].
+  *
+  * CLUSTER-SUBMITTABLE: the factory sets `local[N]` only as a FALLBACK for
+  * direct JVM runs (tests, Verify, Bench on this host). A master supplied by
+  * the submission environment — `spark-submit --master ...` lands it in the
+  * `spark.master` system property; the legacy `MASTER` env works too — is
+  * respected untouched, and the local-only tuning (`shuffle.partitions` =
+  * core count, UI off) is NOT applied in that case: on a real cluster those
+  * belong to `spark-defaults.conf` / AQE coalescing, not hardcoded here.
   */
 object Engine {
+
+  /** Master supplied by the submission environment, if any: the
+    * `spark.master` system property (how `spark-submit --master` and
+    * `--conf spark.master=` arrive in the driver JVM) or the legacy
+    * `MASTER` env var.
+    */
+  private[graft] def injectedMaster: Option[String] =
+    sys.props.get("spark.master").orElse(sys.env.get("MASTER"))
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** The factory's master decision: `None` = leave the builder alone (the
+    * injected master wins), `Some(local[N])` = the direct-JVM fallback.
+    * Split out so the decision is spec-testable without tearing down the
+    * shared test session.
+    */
+  private[graft] def localMasterFallback(cpus: String): Option[String] =
+    if (injectedMaster.isDefined) None else Some(s"local[$cpus]")
+
   def session(appName: String = "graft",
               cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // engine-semantics contract — applies in every deployment mode
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = localMasterFallback(cpus) match {
+      case Some(local) =>
+        base.master(local)
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+      case None => base // cluster submission: master + tuning come from the conf
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

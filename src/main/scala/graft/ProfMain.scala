@@ -19,7 +19,7 @@ object ProfMain {
         "dedup_incremental", "text_pmi", "text_hashtf", "mm_audio_frames",
         "mm_scene_detect", "prep_balance", "dq_outliers", "a22_cdc_merge",
         "text_bpe_pairs", "text_bigram_lm", "sim_pq_recall",
-        "dedup_paragraph", "sim_twostage", "dedup_incremental")
+        "dedup_paragraph", "sim_twostage")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

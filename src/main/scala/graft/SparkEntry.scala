@@ -76,6 +76,7 @@ object SparkEntry {
     "a02_jdbc_partitioned"  -> (PipelineQueries.a02JdbcPartitioned _),
     "a03_default_projection"-> (PipelineQueries.a03DefaultProjection _),
     "a04_catalog_scan"      -> (PipelineQueries.a04CatalogScan _),
+    "a04b_mysql_catalog"    -> (PipelineQueries.a04bMysqlCatalog _),
     "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
     "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
     "a07_csv_roundtrip"     -> (PipelineQueries.a07CsvRoundtrip _),
@@ -363,6 +364,26 @@ object SparkEntry {
         |  ('c_nationkey', 'INTEGER', 'INTEGER', 3),
         |  ('c_acctbal', 'DOUBLE', 'FLOAT', 4),
         |  ('c_mktsegment', 'CLOB(2147483647)', 'STRING', 5)
+        |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
+    // the MySQL-shaped catalog path: expected output of the reference's
+    // literal INFORMATION_SCHEMA query + type map over the appdb.accounts
+    // fixture (decoy schema/table rows must NOT appear)
+    "a04b_mysql_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('id', 'bigint', 'INTEGER', CAST(1 AS BIGINT)),
+        |  ('flags', 'tinyint', 'INTEGER', 2),
+        |  ('region_id', 'mediumint', 'INTEGER', 3),
+        |  ('balance', 'decimal', 'FLOAT', 4),
+        |  ('ratio', 'double', 'FLOAT', 5),
+        |  ('score', 'float', 'FLOAT', 6),
+        |  ('created_at', 'datetime', 'DATETIME', 7),
+        |  ('birth_date', 'date', 'DATE', 8),
+        |  ('updated_at', 'timestamp', 'DATETIME', 9),
+        |  ('bio', 'text', 'STRING', 10),
+        |  ('name', 'varchar', 'STRING', 11),
+        |  ('location', 'point', 'INTEGER', 12),
+        |  ('prefs', 'json', 'STRING', 13),
+        |  ('last_login', 'datetime', 'DATETIME', 14)
         |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
     "a05_type_mapping" ->
       """SELECT * FROM (VALUES
@@ -1185,8 +1206,9 @@ object SparkEntry {
         |        ROUND(o_totalprice + 10, 2) AS p,
         |        CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
         |      FROM orders WHERE o_orderkey % 3 <> 2)
-        |SELECT COALESCE(c.k, e.k) AS k, COALESCE(c.st, e.st) AS st,
-        |  COALESCE(c.p, e.p) AS p
+        |SELECT CASE WHEN c.op IS NOT NULL THEN c.k ELSE e.k END AS k,
+        |  CASE WHEN c.op IS NOT NULL THEN c.st ELSE e.st END AS st,
+        |  CASE WHEN c.op IS NOT NULL THEN c.p ELSE e.p END AS p
         |FROM e FULL OUTER JOIN c ON e.k = c.k
         |WHERE c.op IS NULL OR c.op <> 'D'
         |ORDER BY k""".stripMargin,

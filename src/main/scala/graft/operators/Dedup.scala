@@ -290,40 +290,63 @@ object Dedup {
     val p = pairs.cache()
     val nEdges = p.count()
     // Bounded pair graphs take the DRIVER path: ≤ driverMaxEdges edges
-    // (~80 MB at the 5M default — the same bounded-build budget as a
-    // broadcast hash side, the Bloom sketch, or the centroid codebook)
     // collect once and union-find in O(E α(E)), replacing a dozen
-    // iterative Spark rounds with milliseconds. Distance from an
+    // iterative Spark rounds with milliseconds. The collect packs each
+    // partition into a primitive long array (16 B/edge — no boxed Rows or
+    // tuples on the driver), and the union-find runs over dense int
+    // indices into the sorted vertex table, so the measured peak at the
+    // 5M-edge default is ~240 MB (80 MB edges + 2×80 MB vertex sort +
+    // 40 MB parent ints) — sized like a large broadcast build side; give
+    // the driver ≥1 GB of headroom or lower the budget. Distance from an
     // all-pairs scan: the INPUT here is the LSH-survivor list, already
     // orders of magnitude below the corpus; a 100 TB corpus whose
     // near-dup graph exceeds the budget flows into the iterative
     // label-propagation path below, which handles unbounded graphs.
     if (nEdges <= driverMaxEdges) {
       val spark = pairs.sparkSession
-      val es = p.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val chunks = p.select(col("a").cast("long"), col("b").cast("long"))
+        .rdd.mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+          Iterator.single(buf.result())
+        }.collect()
       p.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val flat = new Array[Long](chunks.iterator.map(_.length).sum)
+      var off = 0
+      chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+      // dense vertex table: sorted unique ids; index order == id order, so
+      // the min-index root IS the min-id root
+      val verts = {
+        val s = flat.clone(); java.util.Arrays.sort(s)
+        var n = 0
+        var i = 0
+        while (i < s.length) {
+          if (n == 0 || s(i) != s(n - 1)) { s(n) = s(i); n += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(s, n)
+      }
+      def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
+      val parent = Array.tabulate(verts.length)(identity)
       // iterative find + full path compression (recursion would blow the
       // stack on chain graphs)
-      def find(x0: Long): Long = {
+      def find(x0: Int): Int = {
         var r = x0
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent(r) != r) r = parent(r)
         var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val nxt = parent.getOrElse(x, x); parent(x) = r; x = nxt
-        }
+        while (parent(x) != x) { val nxt = parent(x); parent(x) = r; x = nxt }
         r
       }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
+      var e = 0
+      while (e < flat.length) {
+        val (ra, rb) = (find(idx(flat(e))), find(idx(flat(e + 1))))
         // link larger root under smaller: roots stay component minima,
         // so labels match the iterative path bit-for-bit
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        e += 2
       }
-      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
       import spark.implicits._
-      return verts.map(v => (v, find(v))).toSeq.toDF("id", "comp")
+      return verts.indices.map(i => (verts(i), verts(find(i)))).toDF("id", "comp")
     }
     val nParts = math.max(1, math.min(
       p.sparkSession.sparkContext.defaultParallelism,
@@ -411,10 +434,15 @@ object Dedup {
     * would threshold on.
     *
     * Scale: windows explode row-locally, the recurrence count is one
-    * map-side-combined aggregate on the window hash (corpus-wide
-    * paragraph vocabulary — the dedupable mass is by definition the
-    * small recurring part), then a broadcast-size join back and a
-    * doc-keyed rollup. No self-join, no all-pairs.
+    * map-side-combined aggregate on the window hash, and ONLY the
+    * `n_occ > 1` subset joins back — a window absent from that subset
+    * occurred exactly once, so a LEFT join recovers the full verdict.
+    * The recurring subset is the boilerplate vocabulary (shared
+    * headers/footers — orders of magnitude below the distinct-window
+    * table, which is corpus-sized and must never be broadcast); if a
+    * pathological corpus makes even that subset large, drop the hint
+    * and the join degrades to a hash-partitioned shuffle, still never
+    * all-pairs.
     */
   def paragraphBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                            windowTokens: Int = 10): DataFrame = {
@@ -426,11 +454,12 @@ object Dedup {
            |  i -> concat_ws(' ', slice(tk, i * $windowTokens + 1, $windowTokens)))""".stripMargin))
         .as("seg"))
       .select(col(idCol), md5(col("seg")).as("h"))
-    val freq = segs.groupBy("h").agg(count(lit(1)).as("n_occ"))
-    segs.join(broadcast(freq), "h")
+    val recurring = segs.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    segs.join(broadcast(recurring), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
       .select(col(idCol), col("n_windows"), col("n_boiler"),
         round(col("n_boiler") / col("n_windows").cast("double"), 4).as("boiler_frac"))
   }

@@ -57,6 +57,13 @@ object Merge {
     * through. Change feeds must be key-unique (the caller compacts the
     * log to last-op-per-key first — at 100 TB that compaction is the
     * standard window-last pass, same shape as [[scd2]]'s ordering).
+    *
+    * Change rows win WHOLESALE: presence of the op marker — not per-column
+    * COALESCE — selects the side, so an update that legitimately sets a
+    * data column to NULL lands as NULL instead of resurrecting the
+    * existing value (the classic coalesce-merge CDC bug). Change rows must
+    * therefore carry fully-populated columns (last-op-per-key compaction
+    * produces exactly that).
     */
   def cdcApply(existing: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String): DataFrame = {
@@ -67,7 +74,9 @@ object Merge {
     val e = existing.as("e")
     val s = changes.as("s")
     val cond = keys.map(k => col(s"e.$k") === col(s"s.$k")).reduce(_ && _)
-    val cols = dataCols.map(c => coalesce(col(s"s.$c"), col(s"e.$c")).as(c))
+    val fromChange = col(s"s.$opCol").isNotNull
+    val cols = dataCols.map(c =>
+      when(fromChange, col(s"s.$c")).otherwise(col(s"e.$c")).as(c))
     e.join(s, cond, "full_outer")
       .filter(col(s"s.$opCol").isNull || col(s"s.$opCol") =!= "D")
       .select(cols.toIndexedSeq: _*)

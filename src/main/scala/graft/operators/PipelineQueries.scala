@@ -81,6 +81,77 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  /** MySQL-shaped catalog fixture: a real `INFORMATION_SCHEMA.COLUMNS`
+    * table (created in Derby with MySQL's column layout) so the
+    * reference's LITERAL catalog query — schema-qualified name, the
+    * TABLE_SCHEMA / TABLE_NAME predicates, `ORDER BY ORDINAL_POSITION` —
+    * executes verbatim against a catalog the shape a CloudSQL/MySQL user
+    * actually has (reference dags/cloudsql_to_bigquery.py:141), instead of
+    * only Derby's `SYS.SYSCOLUMNS` spelling (a04). DATA_TYPE values are
+    * MySQL's lowercase names, including the types Derby doesn't even have:
+    * `tinyint`/`mediumint` (must map INTEGER), `point` (the INT-in-POINT
+    * reference-faithful quirk), `json`/`enum` (STRING fallback). Decoy
+    * rows in another schema and another table prove the predicates
+    * filter. Idempotent per JVM.
+    */
+  private lazy val mysqlCatalogFixture: Unit = {
+    val accountsCols = Seq( // (COLUMN_NAME, mysql DATA_TYPE), ordinal order
+      "id" -> "bigint", "flags" -> "tinyint", "region_id" -> "mediumint",
+      "balance" -> "decimal", "ratio" -> "double", "score" -> "float",
+      "created_at" -> "datetime", "birth_date" -> "date",
+      "updated_at" -> "timestamp", "bio" -> "text", "name" -> "varchar",
+      "location" -> "point", "prefs" -> "json", "last login" -> "datetime")
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    try {
+      val st = conn.createStatement()
+      def tryDdl(sql: String): Unit =
+        try st.execute(sql)
+        catch { // X0Y32/X0Y68: schema/table already exists (idempotent re-run)
+          case e: java.sql.SQLException
+            if Seq("X0Y32", "X0Y68").contains(e.getSQLState) => ()
+        }
+      tryDdl("CREATE SCHEMA INFORMATION_SCHEMA")
+      tryDdl("""CREATE TABLE INFORMATION_SCHEMA.COLUMNS (
+               |  TABLE_SCHEMA VARCHAR(64), TABLE_NAME VARCHAR(64),
+               |  COLUMN_NAME VARCHAR(64), DATA_TYPE VARCHAR(64),
+               |  ORDINAL_POSITION INT)""".stripMargin)
+      st.execute("DELETE FROM INFORMATION_SCHEMA.COLUMNS")
+      val ins = conn.prepareStatement(
+        "INSERT INTO INFORMATION_SCHEMA.COLUMNS VALUES (?, ?, ?, ?, ?)")
+      val rows =
+        accountsCols.zipWithIndex.map { case ((n, t), i) =>
+          ("appdb", "accounts", n, t, i + 1) } ++ Seq(
+          ("otherdb", "accounts", "decoy_other_schema", "varchar", 1),
+          ("appdb", "audit_log", "decoy_other_table", "varchar", 1))
+      rows.foreach { case (sch, tbl, n, t, pos) =>
+        ins.setString(1, sch); ins.setString(2, tbl); ins.setString(3, n)
+        ins.setString(4, t); ins.setInt(5, pos); ins.executeUpdate()
+      }
+    } finally conn.close()
+  }
+
+  /** A4b — the reference's catalog query VERBATIM (reference
+    * dags/cloudsql_to_bigquery.py:141, minus the shell quoting and the
+    * trailing `;` JDBC forbids) against the MySQL-shaped
+    * INFORMATION_SCHEMA, then the A5/A6 map applied to what it returned.
+    * Like the reference (which consumes the exported CSV line-by-line,
+    * :189), the ordinal is recovered from result order — the query only
+    * SELECTs name and type.
+    */
+  def a04bMysqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    mysqlCatalogFixture
+    val cat = JdbcSource.readQuery(s, derbyUrl,
+      "SELECT COLUMN_NAME,DATA_TYPE  FROM INFORMATION_SCHEMA.COLUMNS  " +
+        "WHERE TABLE_SCHEMA = 'appdb' AND TABLE_NAME = 'accounts' " +
+        "order by ORDINAL_POSITION").collect()
+    val rows = cat.zipWithIndex.map { case (r, i) =>
+      val (n, dt) = (r.getString(0), r.getString(1))
+      (TypeMapper.sanitizeName(n), dt, TypeMapper.toBqType(dt), (i + 1).toLong)
+    }.toSeq
+    s.createDataFrame(rows).toDF("col_name", "data_type", "bq_type", "pos")
+      .orderBy("pos")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

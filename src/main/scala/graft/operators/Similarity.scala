@@ -207,17 +207,25 @@ object Similarity {
     val sub1 = expr(s"slice($embCol, 1, $half)")
     val sub2 = expr(s"slice($embCol, $half + 1, size($embCol) - $half)")
     val (arr1, arr2) = (centroidLiteral(centroids1), centroidLiteral(centroids2))
+    // Codes are the codebook's sorted POSITIONS (0-based), not the raw cid
+    // labels: the per-probe distance table below is positional
+    // (`pd[pos + 1]`), and positional codes stay correct for gapped or
+    // non-zero-based cids (raw labels would look up the WRONG table slot —
+    // element_at past the end silently returns NULL in non-ANSI mode).
+    // The literal is sorted by cid, so position order == cid order and the
+    // lowest-position tie-break still realizes the lowest-cid contract.
     def argminCode(sub: Column, arr: Column): Column =
       coalesce(
-        array_max(transform(arr, c => struct(
+        array_max(transform(arr, (c, i) => struct(
           (-l2sq(sub, c.getField("cemb"))).as("nd"),
-          (-c.getField("cid")).as("ncid"),
-          c.getField("cid").as("cid")))).getField("cid"),
+          (-i).as("npos"),
+          i.as("pos")))).getField("pos"),
         lit(-1))
+    // position → original cid, for the output columns
+    def cidAt(arr: Column, pos: Column): Column =
+      element_at(transform(arr, c => c.getField("cid")), pos + 1)
     val enc = corpus.select(col(idCol).as("cand_id"),
       argminCode(sub1, arr1).as("c1"), argminCode(sub2, arr2).as("c2"))
-    // codebook cids are 0..k-1 (centroidLiteral sorts by cid), so the
-    // distance table is positional: pd[cid + 1]
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       transform(arr1, c => l2sq(sub1, c.getField("cemb"))).as("pd1"),
       transform(arr2, c => l2sq(sub2, c.getField("cemb"))).as("pd2")))
@@ -228,7 +236,8 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
-        col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+        cidAt(arr1, col("c1")).cast("long").as("c1"),
+        cidAt(arr2, col("c2")).cast("long").as("c2"),
         round(col("adist"), 4).as("approx_dist"))
   }
 

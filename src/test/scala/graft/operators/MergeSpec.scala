@@ -86,4 +86,15 @@ class MergeSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"))
   }
+
+  test("cdcApply: an update that sets a column to NULL lands as NULL " +
+      "(no coalesce resurrection)") {
+    import spark.implicits._
+    val existing = Seq((1L, Some("a")), (2L, Some("b"))).toDF("k", "v")
+    val changes = Seq((2L, None: Option[String], "U")).toDF("k", "v", "op")
+    val got = Merge.cdcApply(existing, changes, Seq("k"), "op")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> None),
+      "NULL-bearing update must not resurrect the existing value")
+  }
 }

@@ -72,4 +72,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(copyDist == minDist,
       s"planted copy must achieve the minimum ADC distance ($copyDist vs $minDist)")
   }
+
+  test("pqTopK: gapped / non-zero-based codebook cids rank identically") {
+    // shifting and gapping the labels must not change the ADC ranking —
+    // the lookup is positional, labels only surface in the output codes
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val half = "CAST(floor(size(emb) / 2) AS INT)"
+    def codebooks(c: org.apache.spark.sql.DataFrame) = (
+      Similarity.trainCentroids(
+        c.select(col("label"), expr(s"slice(emb, 1, $half)").as("emb")),
+        "label", "emb"),
+      Similarity.trainCentroids(
+        c.select(col("label"),
+          expr(s"slice(emb, $half + 1, size(emb) - $half)").as("emb")),
+        "label", "emb"))
+    val (cb1, cb2) = codebooks(corpus)
+    // same clustering, labels remapped to 107, 114, 121, ... (gapped, shifted)
+    val (gb1, gb2) = codebooks(corpus.withColumn("label", col("label") * 7 + 100))
+    val base = Similarity.pqTopK(corpus.drop("label"), probes, cb1, cb2,
+        "vec_id", "emb", k = 2)
+      .select("probe_id", "neighbor_id", "rn", "approx_dist")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    val gapped = Similarity.pqTopK(corpus.drop("label"), probes, gb1, gb2,
+        "vec_id", "emb", k = 2)
+    assert(gapped.select("probe_id", "neighbor_id", "rn", "approx_dist")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq == base,
+      "ranking must be invariant to the cid labeling")
+    // and the output codes surface the ORIGINAL (remapped) cids
+    val codes = gapped.select("c1").distinct().collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= 100 && (c - 100) % 7 == 0),
+      s"output codes must be the caller's cids, got ${codes.mkString(",")}")
+  }
 }
