@@ -1451,13 +1451,13 @@ object SparkEntry {
         |s1 AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
         |    c.emb AS c_emb, p.emb AS p_emb,
-        |    list_dot_product(c.emb[1:16], p.emb[1:16])
-        |      / (sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))
-        |         * sqrt(list_dot_product(p.emb[1:16], p.emb[1:16]))) AS pcos
+        |    list_dot_product(c.emb[1:32], p.emb[1:32])
+        |      / (sqrt(list_dot_product(c.emb[1:32], c.emb[1:32]))
+        |         * sqrt(list_dot_product(p.emb[1:32], p.emb[1:32]))) AS pcos
         |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id),
         |cand AS (SELECT probe_id, cand_id, c_emb, p_emb FROM (
         |  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY probe_id
-        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 5),
+        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 100),
         |r0 AS (SELECT probe_id, cand_id,
         |    list_dot_product(c_emb, p_emb)
         |      / (sqrt(list_dot_product(c_emb, c_emb))
@@ -1477,23 +1477,23 @@ object SparkEntry {
         |s1 AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
         |    c.emb AS c_emb, p.emb AS p_emb,
-        |    list_dot_product(c.emb[1:16], p.emb[1:16])
-        |      / (sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))
-        |         * sqrt(list_dot_product(p.emb[1:16], p.emb[1:16]))) AS pcos,
+        |    list_dot_product(c.emb[1:32], p.emb[1:32])
+        |      / (sqrt(list_dot_product(c.emb[1:32], c.emb[1:32]))
+        |         * sqrt(list_dot_product(p.emb[1:32], p.emb[1:32]))) AS pcos,
         |    list_dot_product(c.emb, p.emb)
         |      / (sqrt(list_dot_product(c.emb, c.emb))
         |         * sqrt(list_dot_product(p.emb, p.emb))) AS fcos
         |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id),
         |cand AS (SELECT probe_id, cand_id, fcos FROM (
         |  SELECT s1.*, ROW_NUMBER() OVER (PARTITION BY probe_id
-        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 50),
+        |    ORDER BY pcos DESC, cand_id) AS crn FROM s1) WHERE crn <= 100),
         |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
         |  SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY fcos DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
         |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
         |  SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY fcos DESC, cand_id) AS rn FROM s1) WHERE rn = 1)
-        |SELECT 'twostage_p16_c50' AS method,
+        |SELECT 'twostage_p32_c100' AS method,
         |  CAST(COUNT(*) AS BIGINT) AS n_probes,
         |  CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
         |    AS BIGINT) AS hits,
