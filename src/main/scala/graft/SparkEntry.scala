@@ -96,6 +96,7 @@ object SparkEntry {
     "a21_jdbc_publish"      -> (PipelineQueries.a21JdbcPublish _),
     "a22_cdc_merge"         -> (PipelineQueries.a22CdcMerge _),
     "a23_backfill"          -> (PipelineQueries.a23PartitionBackfill _),
+    "a26_export_timeout"    -> (PipelineQueries.a26ExportTimeout _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
@@ -350,6 +351,10 @@ object SparkEntry {
         |  UNION ALL SELECT 'region', COUNT(*) FROM region
         |) AS t ORDER BY table_name""".stripMargin,
     "a13_retry_sync" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    // timed-out first attempt + successful retry publish the same snapshot
+    // a healthy run would
+    "a26_export_timeout" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "a14_schedule" ->
       """SELECT * FROM (VALUES

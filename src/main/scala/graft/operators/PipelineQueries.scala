@@ -292,6 +292,38 @@ object PipelineQueries {
       .orderBy("r_regionkey")
   }
 
+  /** A26 — bounded per-table export wait (the reference's hard 3600 s cap,
+    * reference dags/cloudsql_to_bigquery.py:117, scaled down): the first
+    * export attempt HANGS far past the budget; [[Sync.withTimeout]] cancels
+    * its job group and the A13 retry delivers attempt 2. Output = the
+    * published table — a green row proves a sick source costs one budget,
+    * not a stuck pipeline.
+    */
+  def a26ExportTimeout(s: SparkSession, dir: String): DataFrame = {
+    // Warm the scan+write machinery OUTSIDE the budget (first parquet
+    // write in a JVM pays one-off codegen/committer init that the
+    // reference's 3600 s cap never notices at its scale but a 1.5 s
+    // scaled-down budget would misprice), then read the one table
+    // directly on the healthy path — the budget prices ONLY the sick
+    // attempt.
+    Tables.load(s, dir, "region").write.mode("overwrite")
+      .parquet(Files.createTempDirectory("graft_to_warm").toString + "/w")
+    val hangingOnce = new SqlSource {
+      private var calls = 0
+      def read(sess: SparkSession, q: String): DataFrame = {
+        calls += 1
+        if (calls == 1) Thread.sleep(600000L) // hung first attempt (daemon)
+        Tables.load(sess, dir, "region")
+      }
+    }
+    val staging = Files.createTempDirectory("graft_to_stg").toString
+    val warehouse = Files.createTempDirectory("graft_to_wh").toString
+    Sync.syncTable(s, TableConfig("region"), hangingOnce, staging, warehouse,
+        LocalDate.of(2020, 1, 1), retries = 1, retryDelayMs = 0L,
+        exportTimeoutMs = 1500L)
+      .orderBy("r_regionkey")
+  }
+
   /** A14 — the daily 06:00 schedule contract as data: next fire time and
     * Airflow-style data-interval date for fixed probe instants.
     */

@@ -66,6 +66,40 @@ object Sync {
     out.getOrElse(throw last)
   }
 
+  /** Bounded-wait budget per export — the reference's hard per-table cap
+    * (`gcloud sql ... operations wait --timeout=3600`,
+    * reference dags/cloudsql_to_bigquery.py:117) re-expressed for an
+    * in-engine export. The body runs on a daemon thread inside its own
+    * Spark job group; if the budget expires, the group's jobs are
+    * CANCELLED (a hung source must not keep executors pinned) and a
+    * TimeoutException propagates — which the [[retry]] wrapper treats
+    * like any transient failure, so cap × (retries + 1) bounds the total
+    * wall-clock a sick table can consume before the run fails loudly.
+    * `timeoutMs <= 0` disables the budget.
+    */
+  def withTimeout[T](spark: SparkSession, timeoutMs: Long,
+                     what: String = "export")(body: => T): T = {
+    if (timeoutMs <= 0) return body
+    val group = s"graft-$what-${java.util.UUID.randomUUID()}"
+    val task = new java.util.concurrent.FutureTask[T](() => {
+      // job group is thread-local — set it on the worker thread so the
+      // cancel below reaches exactly this body's Spark jobs
+      spark.sparkContext.setJobGroup(group, s"bounded $what", true)
+      try body finally spark.sparkContext.clearJobGroup()
+    })
+    val th = new Thread(task, group)
+    th.setDaemon(true)
+    th.start()
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw new java.util.concurrent.TimeoutException(
+          s"$what exceeded its ${timeoutMs} ms budget (jobs cancelled)")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
   def stagingPath(stagingRoot: String, table: String, ds: String): String =
     s"$stagingRoot/$table/ds=$ds"
 
@@ -135,15 +169,20 @@ object Sync {
   def syncTable(spark: SparkSession, cfg: TableConfig, source: SqlSource,
                 stagingRoot: String, warehouseRoot: String,
                 runDate: LocalDate = LocalDate.now(),
-                retries: Int = 2, retryDelayMs: Long = 0L): DataFrame = {
+                retries: Int = 2, retryDelayMs: Long = 0L,
+                exportTimeoutMs: Long = 3600000L): DataFrame = {
     val ds = runDateLiteral(runDate)
     val stagePathStr = stagingPath(stagingRoot, cfg.resolvedStageTable, ds)
     val finalPathStr = finalPath(warehouseRoot, cfg.resolvedStageTable)
 
-    // 1-2. export (A1/A3) + sanitize (A6) + stage write (A8/A9/A15)
+    // 1-2. export (A1/A3) + sanitize (A6) + stage write (A8/A9/A15),
+    // each attempt under the per-table budget (reference :117's 3600 s
+    // default), timeouts retried like any transient failure (A13)
     retry(retries, retryDelayMs) {
-      val exported = sanitizeColumns(source.read(spark, cfg.resolvedExportQuery))
-      exported.write.mode("overwrite").parquet(stagePathStr)
+      withTimeout(spark, exportTimeoutMs, s"export-${cfg.resolvedStageTable}") {
+        val exported = sanitizeColumns(source.read(spark, cfg.resolvedExportQuery))
+        exported.write.mode("overwrite").parquet(stagePathStr)
+      }
     }
     val stage = spark.read.parquet(stagePathStr)
 

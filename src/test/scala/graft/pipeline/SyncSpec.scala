@@ -201,6 +201,49 @@ class SyncSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$warehouse/region").count() == 5)
   }
 
+  test("a hung export times out within its budget, is retried, and the " +
+      "retry's result is published") {
+    // the reference's hard per-export cap (3600 s) in miniature: attempt 1
+    // hangs far past the 1500 ms budget; the timeout must fire, count as a
+    // transient failure (A13), and attempt 2 must deliver
+    var calls = 0
+    val hangingOnce = new SqlSource {
+      def read(sess: org.apache.spark.sql.SparkSession, q: String)
+          : org.apache.spark.sql.DataFrame = {
+        calls += 1
+        if (calls == 1) Thread.sleep(120000L) // hung source, first attempt
+        ViewSource(sfDir).read(sess, q)
+      }
+    }
+    val staging = Files.createTempDirectory("to_stg").toString
+    val warehouse = Files.createTempDirectory("to_wh").toString
+    val t0 = System.nanoTime()
+    val out = Sync.syncTable(spark, TableConfig("region"), hangingOnce,
+      staging, warehouse, LocalDate.of(2020, 1, 1),
+      retries = 1, retryDelayMs = 0L, exportTimeoutMs = 1500L)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(calls == 2, "the timed-out attempt must be retried")
+    assert(out.count() == 5, "the retry's snapshot must publish")
+    assert(elapsedSec < 60.0,
+      s"the hung attempt must be abandoned at its budget (took $elapsedSec s)")
+  }
+
+  test("an export that exceeds every retry's budget fails with a timeout") {
+    val alwaysHung = new SqlSource {
+      def read(sess: org.apache.spark.sql.SparkSession, q: String)
+          : org.apache.spark.sql.DataFrame = {
+        Thread.sleep(120000L); ViewSource(sfDir).read(sess, q)
+      }
+    }
+    val staging = Files.createTempDirectory("to2_stg").toString
+    val warehouse = Files.createTempDirectory("to2_wh").toString
+    intercept[java.util.concurrent.TimeoutException] {
+      Sync.syncTable(spark, TableConfig("region"), alwaysHung,
+        staging, warehouse, LocalDate.of(2020, 1, 1),
+        retries = 1, retryDelayMs = 0L, exportTimeoutMs = 300L)
+    }
+  }
+
   test("compaction shrinks the file count without changing content (A24)") {
     val base = Files.createTempDirectory("compact_spec").toString
     val df = graft.Tables.load(spark, sfDir, "orders")

@@ -39,6 +39,36 @@ class EventsStreamSpec extends SparkTestBase {
       .count() == 0, "window aggregates must match batch")
   }
 
+  test("hourlyCounts EQUALS batch q20 on the watermark-closed domain " +
+      "(streaming-batch equivalence, both directions)") {
+    // The oracle-grade streaming check: after Trigger.AvailableNow drains,
+    // the streamed output must be EXACTLY the batch q20 result restricted
+    // to windows the final watermark closed — not merely a consistent
+    // subset. Completeness matters: a stream that emitted one correct
+    // window would pass the subset test above but fail this one.
+    val out = tmp("es_eq_out")
+    EventsStream.hourlyCounts(spark, eventsDir, tmp("es_eq_ckpt"), out)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "w", "c", "v")
+    val ev = Tables.load(spark, sfDir, "events")
+    // final watermark = max event time - 1 h, truncated to millis (Spark
+    // tracks watermarks in milliseconds); a window [w, w+1h) is emitted
+    // once the watermark passes its end
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmMillis = maxTs.getTime - 3600 * 1000L
+    val batchClosed = graft.operators.Queries.q20(spark, sfDir)
+      .filter((col("w") + expr("INTERVAL 1 HOUR")).cast("long") * 1000L <= wmMillis)
+      .select("user_id", "w", "c", "v")
+    val nClosed = batchClosed.count()
+    assert(nClosed > 0, "fixture must close at least one window")
+    assert(streamed.count() == nClosed,
+      s"streamed ${streamed.count()} windows vs $nClosed closed batch windows")
+    assert(streamed.exceptAll(batchClosed).isEmpty &&
+      batchClosed.exceptAll(streamed).isEmpty,
+      "streamed output must equal the batch aggregate on closed windows")
+  }
+
   test("stream-static enrichment join matches the batch join (closed windows)") {
     val out = tmp("es_enr_out")
     val q = EventsStream.enrichedCounts(spark, eventsDir, sfDir,
