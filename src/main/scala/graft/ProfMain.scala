@@ -57,6 +57,68 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("relscale")) {
+      // Relational-family scalecheck: q03/q04/q10/q20 shapes on 1x/2x/4x/8x
+      // key-shifted unions of the base tables (run one multiple per JVM,
+      // like the dedup scalecheck — fresh-JVM points avoid cross-point
+      // block accumulation). Key shifts keep each copy's join keys
+      // disjoint, so join/window output grows LINEARLY (engine work, not
+      // output-size artifacts); group-by keys for q03/q04 are unshifted, so
+      // those outputs stay constant-size and the test isolates map-side
+      // combine + shuffle behavior under AQE coalescing.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val multiples = if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)
+      val li0 = Tables.load(spark, dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      val or0 = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cu0 = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val ev0 = Tables.load(spark, dir, "events").select("user_id", "ts", "value")
+      val nat = broadcast(Tables.load(spark, dir, "nation"))
+      val reg = broadcast(Tables.load(spark, dir, "region"))
+      for (n <- multiples) {
+        def rep(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+          (0 until n).map(k => df.select(df.columns.toIndexedSeq.map(c =>
+            shifts.get(c).map(m => (col(c) + lit(k * m)).as(c)).getOrElse(col(c))): _*))
+            .reduce(_ unionByName _)
+        val li = rep(li0, Map("l_orderkey" -> 1000000000L))
+        val or = rep(or0, Map("o_orderkey" -> 1000000000L, "o_custkey" -> 100000000L))
+        val cu = rep(cu0, Map("c_custkey" -> 100000000L))
+        val ev = rep(ev0, Map("user_id" -> 100000000L))
+        val w10 = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val shapes: Seq[(String, DataFrame)] = Seq(
+          "q03_agg" -> li
+            .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(round(sum("l_quantity"), 2).as("sq"),
+              round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+              round(avg("l_quantity"), 2).as("aq"), count(lit(1)).as("c")),
+          "q04_star" -> li.join(or, col("l_orderkey") === col("o_orderkey"))
+            .join(cu, col("o_custkey") === col("c_custkey"))
+            .join(nat, col("c_nationkey") === col("n_nationkey"))
+            .join(reg, col("n_regionkey") === col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev")),
+          "q10_topk" -> or
+            .select(col("o_custkey"), col("o_orderkey"),
+              row_number().over(w10).cast("long").as("rn"))
+            .filter(col("rn") <= 3),
+          "q20_bucket" -> ev
+            .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+            .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("v")))
+        for ((label, df) <- shapes) {
+          df.write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"relscale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names == Seq("streamdemo")) {
       val tmp = java.nio.file.Files.createTempDirectory("sd").toString
       java.nio.file.Files.copy(
