@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_incremental"     -> (LlmQueries.dedupIncremental _),
     "dedup_paragraph"       -> (LlmQueries.dedupParagraph _),
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
+    "dedup_semantic"        -> (LlmQueries.dedupSemantic _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
@@ -138,11 +139,13 @@ object SparkEntry {
     "sim_recall"            -> (LlmQueries.simRecall _),
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
+    "sim_ivfpq_ann"         -> (LlmQueries.simIvfPqAnn _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
     "a25_manifest"          -> (PipelineQueries.a25Manifest _),
     "prep_split"            -> (LlmQueries.prepSplit _),
+    "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
@@ -593,6 +596,35 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
         |            AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, emb FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, list_transform(emb, x -> x * 1.01) FROM e),
+        |cb AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(emb[g.i]) AS av
+        |    FROM corpus, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, emb, cid FROM (
+        |    SELECT c.vec_id, c.emb, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.emb, cb.cemb)
+        |          / (sqrt(list_dot_product(c.emb, c.emb))
+        |             * sqrt(list_dot_product(cb.cemb, cb.cemb))) DESC,
+        |        cb.cid) AS rn
+        |    FROM corpus c, cb) WHERE rn = 1),
+        |drp AS (
+        |  SELECT DISTINCT r.vec_id AS drop_id
+        |  FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  WHERE list_dot_product(l.emb, r.emb)
+        |    / (sqrt(list_dot_product(l.emb, l.emb))
+        |       * sqrt(list_dot_product(r.emb, r.emb))) >= 0.99)
+        |SELECT a.vec_id, a.cid FROM asg a LEFT JOIN drp d ON a.vec_id = d.drop_id
+        |WHERE d.drop_id IS NULL ORDER BY a.vec_id""".stripMargin,
     "dedup_embedding" ->
       """WITH corpus AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
@@ -1377,6 +1409,86 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_ivfpq_ann" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |cb AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label, emb, cid AS cell, cemb FROM (
+        |    SELECT c0.vec_id, c0.label, c0.emb, cb.cid, cb.cemb,
+        |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (c0.emb[i] - cb.cemb[i]) * (c0.emb[i] - cb.cemb[i]))),
+        |        cb.cid) AS rn
+        |    FROM c0, cb) WHERE rn = 1),
+        |rs AS (SELECT vec_id, label, cell,
+        |    list_transform(range(1, 65), i -> emb[i] - cemb[i]) AS res
+        |  FROM asg),
+        |cb1 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(res[g.i]) AS av
+        |    FROM rs, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |cb2 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(res[g.i + 32]) AS av
+        |    FROM rs, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |e1 AS (SELECT cand_id, cid AS c1 FROM (
+        |    SELECT rs.vec_id AS cand_id, cb1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY rs.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (rs.res[i] - cb1.cemb[i]) * (rs.res[i] - cb1.cemb[i]))),
+        |        cb1.cid) AS rn
+        |    FROM rs, cb1) WHERE rn = 1),
+        |e2 AS (SELECT cand_id, cid AS c2 FROM (
+        |    SELECT rs.vec_id AS cand_id, cb2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY rs.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (rs.res[i + 32] - cb2.cemb[i]) * (rs.res[i + 32] - cb2.cemb[i]))),
+        |        cb2.cid) AS rn
+        |    FROM rs, cb2) WHERE rn = 1),
+        |enc AS (SELECT rs.vec_id AS cand_id, rs.cell, e1.c1, e2.c2
+        |  FROM rs JOIN e1 ON rs.vec_id = e1.cand_id
+        |          JOIN e2 ON rs.vec_id = e2.cand_id),
+        |pc AS (
+        |  SELECT probe_id, p_emb, cid AS cell, cemb FROM (
+        |    SELECT p0.vec_id AS probe_id, p0.emb AS p_emb, cb.cid, cb.cemb,
+        |      ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (p0.emb[i] - cb.cemb[i]) * (p0.emb[i] - cb.cemb[i]))),
+        |        cb.cid) AS rn
+        |    FROM p0, cb) WHERE rn <= 2),
+        |pres AS (SELECT probe_id, cell,
+        |    list_transform(range(1, 65), i -> p_emb[i] - cemb[i]) AS pres
+        |  FROM pc),
+        |pd1 AS (SELECT pres.probe_id, pres.cell, cb1.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (pres.pres[i] - cb1.cemb[i]) * (pres.pres[i] - cb1.cemb[i]))) AS pd
+        |  FROM pres, cb1),
+        |pd2 AS (SELECT pres.probe_id, pres.cell, cb2.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (pres.pres[i + 32] - cb2.cemb[i]) * (pres.pres[i + 32] - cb2.cemb[i]))) AS pd
+        |  FROM pres, cb2),
+        |adc AS (
+        |  SELECT pd1.probe_id, enc.cand_id, enc.cell, pd1.pd + pd2.pd AS adist
+        |  FROM enc
+        |  JOIN pd1 ON pd1.cell = enc.cell AND pd1.cid = enc.c1
+        |  JOIN pd2 ON pd2.cell = enc.cell AND pd2.cid = enc.c2
+        |          AND pd2.probe_id = pd1.probe_id
+        |  WHERE pd1.probe_id <> enc.cand_id),
+        |r AS (SELECT probe_id, cand_id, cell, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rn
+        |  FROM adc)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  CAST(cell AS BIGINT) AS cell, ROUND(adist, 4) AS approx_dist
+        |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
     "sim_pq_recall" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -1643,6 +1755,20 @@ object SparkEntry {
         |      FROM documents)
         |SELECT doc_id, lang FROM r, mn WHERE rk <= mn.min_n
         |ORDER BY doc_id""".stripMargin,
+    "prep_mix" ->
+      """WITH wt(stratum, wt) AS (VALUES
+        |  ('de', 0.2), ('en', 0.4), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)),
+        |n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT n.lang, n.n, wt.wt FROM n JOIN wt ON n.lang = wt.stratum),
+        |t AS (SELECT MIN(FLOOR(n / wt)) AS total FROM j),
+        |q AS (SELECT lang, FLOOR(wt * total) AS quota FROM j, t),
+        |r AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                   doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rk <= q.quota ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

@@ -516,4 +516,35 @@ object Dedup {
         round(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
   }
+
+  /** Cluster-scoped semantic dedup (the SemDeDup shape, Abbas et al.
+    * 2023): vectors are first assigned to their nearest centroid — a
+    * row-local argmax over the inlined codebook, zero shuffles
+    * ([[Similarity.ivfAssign]]) — and exact cosine runs only WITHIN a
+    * cluster. A vector is dropped when a lower-id cluster-mate sits at
+    * `cos >= threshold` (greedy min-id keeper — deterministic, and every
+    * surviving pair is provably below threshold within its cluster).
+    *
+    * Returns survivors as (id, cid).
+    *
+    * Scale: this is the answer to [[embeddingNearDups]]' implicit limit —
+    * sign-LSH buckets are fixed-grid, while centroids ADAPT to the data,
+    * so cluster sizes are controlled by k (size k to keep |cluster|² per
+    * task bounded; at 100 TB that is k in the tens of thousands, trained
+    * on a sample). The only shuffle carries (cid) — cluster-local pairs,
+    * never all-pairs; cross-cluster near-dups are the accepted recall
+    * loss, exactly the SemDeDup trade.
+    */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame, idCol: String,
+                    embCol: String, threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, centroids, idCol, embCol)
+    val l = assigned.select(col(idCol).as("a"), col(embCol).as("a_emb"), col("cid"))
+    val r = assigned.select(col(idCol).as("b"), col(embCol).as("b_emb"), col("cid"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(VectorOps.cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("b").as("drop_id")).distinct()
+    assigned.join(dropped, col(idCol) === col("drop_id"), "left_anti")
+      .select(col(idCol), col("cid"))
+  }
 }

@@ -115,6 +115,25 @@ object LlmQueries {
     Dedup.embeddingNearDups(nearDupVecs(s, dir), "vec_id", "emb",
       bits = 16, threshold = 0.99)
 
+  /** Cluster-scoped semantic dedup ([[Dedup.semanticDedup]]): centroids
+    * from the labeled corpus (deterministic — the k-means assignment
+    * step), exact cosine only within clusters; survivors keep the lowest
+    * id. Each ×1.01-scaled copy lands in its original's cluster (cosine
+    * is scale-invariant) at cos = 1.0, so the copies are provably all
+    * dropped — plus any genuinely near-identical originals.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.unionByName(e.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("label"),
+      expr("transform(emb, x -> x * 1.01D)").as("emb")))
+    val centroids = Similarity.trainCentroids(corpus, "label", "emb")
+    Dedup.semanticDedup(corpus.drop("label"), centroids, "vec_id", "emb",
+        threshold = 0.99)
+      .orderBy("vec_id")
+  }
+
   def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.cosineTopK(
@@ -263,6 +282,17 @@ object LlmQueries {
         "doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic domain-mixture sample over the language strata
+    * ([[Prep.mixStrata]]): the largest corpus hitting a 40/20/20/10/10
+    * en/de/es/fr/zh target exactly, survivors picked by portable-hash
+    * rank so the oracle reproduces the id set.
+    */
+  def prepMix(s: SparkSession, dir: String): DataFrame =
+    Prep.mixStrata(docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+      .orderBy("doc_id")
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).
@@ -343,6 +373,31 @@ object LlmQueries {
       "label", "emb")
     Similarity.pqTopK(corpus.drop("label"), probes, cb1, cb2,
         "vec_id", "emb", k = 2)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** IVF-PQ ANN ([[Similarity.ivfpqTopK]], the IVFADC layout): coarse
+    * per-label centroids prune to nprobe = 2 inverted lists; residual
+    * sub-codebooks (trained on `emb − c_cell` halves, per label) supply
+    * the ADC compression. k = 2 over the probed cells.
+    */
+  def simIvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val coarse = Similarity.trainCentroids(corpus, "label", "emb")
+    val res = Similarity.ivfResiduals(corpus, coarse, "emb")
+    val half = "CAST(floor(size(res) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      res.select(col("label"), expr(s"slice(res, 1, $half)").as("remb")),
+      "label", "remb")
+    val cb2 = Similarity.trainCentroids(
+      res.select(col("label"),
+        expr(s"slice(res, $half + 1, size(res) - $half)").as("remb")),
+      "label", "remb")
+    Similarity.ivfpqTopK(corpus.drop("label"), probes, coarse, cb1, cb2,
+        "vec_id", "emb", k = 2, nprobe = 2)
       .orderBy("probe_id", "rn")
   }
 

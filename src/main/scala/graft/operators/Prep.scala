@@ -69,6 +69,43 @@ object Prep {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Deterministic domain-mixture sampling: draw the LARGEST corpus whose
+    * stratum proportions hit the target `weights` exactly, never
+    * oversampling any stratum. The curriculum/mixture step every training
+    * pipeline runs after filtering ("40% web, 20% code, ..."), expressed
+    * so any engine reproduces the same sampled ids:
+    *
+    *   1. feasible total: `N = min over strata of floor(count_s / w_s)` —
+    *      the binding stratum is taken whole(ish), everything else is
+    *      downsampled to proportion;
+    *   2. per-stratum quota: `floor(w_s * N)`;
+    *   3. survivors: the quota lowest rows per stratum by portable-hash
+    *      rank (pseudorandom, reproducible, content-free).
+    *
+    * Strata absent from `weights` get weight 0 (dropped). Scale: one
+    * stratum-sized count aggregate joined to the weight literal, a 1-row
+    * feasible-total broadcast, and one rank window per stratum — the
+    * window salts like [[trainValTestSplit]] when a 100 TB corpus has few
+    * strata (unsalted here so the oracle stays a plain ROW_NUMBER).
+    */
+  def mixStrata(df: DataFrame, idCol: String, strataCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    val wtab = broadcast(df.sparkSession.createDataFrame(
+      weights.toSeq.sortBy(_._1)).toDF("stratum", "wt"))
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .join(wtab, col(strataCol) === col("stratum"))
+    val total = counts.agg(min(floor(col("n") / col("wt"))).as("total"))
+    val quotas = broadcast(counts.crossJoin(broadcast(total))
+      .select(col("stratum"), floor(col("wt") * col("total")).as("quota")))
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w))
+      .join(quotas, col(strataCol) === col("stratum"))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Sequence packing for pre-training: documents concatenated in id
     * order into one token stream, chunked into fixed `budget`-token
     * training sequences. Each doc gets its absolute token offset and the

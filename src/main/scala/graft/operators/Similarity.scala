@@ -241,6 +241,105 @@ object Similarity {
         round(col("adist"), 4).as("approx_dist"))
   }
 
+  /** Positional L2 argmin over an inlined codebook literal: the index
+    * (0-based, cid-sorted) of the nearest entry, ties to the lowest
+    * position (== lowest cid). Row-local — the IVF-PQ building block.
+    */
+  private def argminPosL2(v: Column, arr: Column): Column =
+    coalesce(
+      array_max(transform(arr, (c, i) => struct(
+        (-l2sq(v, c.getField("cemb"))).as("nd"),
+        (-i).as("npos"),
+        i.as("pos")))).getField("pos"),
+      lit(-1))
+
+  private def cembAt(arr: Column, pos: Column): Column =
+    element_at(transform(arr, c => c.getField("cemb")), pos + 1)
+
+  private def cidOfPos(arr: Column, pos: Column): Column =
+    element_at(transform(arr, c => c.getField("cid")), pos + 1)
+
+  private def halfLen(v: Column): Column = floor(size(v) / 2).cast("int")
+  private def firstHalf(v: Column): Column = slice(v, lit(1), halfLen(v))
+  private def secondHalf(v: Column): Column =
+    slice(v, halfLen(v) + 1, (size(v) - halfLen(v)).cast("int"))
+
+  /** Coarse-quantizer residuals: every vector tagged with its L2-nearest
+    * coarse cell (original cid) and the residual `emb − c_cell`. All
+    * other input columns pass through (so a labeled corpus keeps its
+    * labels for residual-codebook training). Row-local — zero shuffles,
+    * one k-row codebook collect.
+    */
+  def ivfResiduals(vectors: DataFrame, coarse: DataFrame,
+                   embCol: String): DataFrame =
+    ivfResiduals(vectors, centroidLiteral(coarse), embCol)
+
+  /** IVF-PQ ANN (the IVFADC layout, Jégou et al. 2011 §IV): a coarse
+    * quantizer prunes the corpus to `nprobe` inverted lists, and product
+    * quantization compresses what remains — codes are trained on the
+    * RESIDUAL `emb − c_cell`, which carries far less variance than raw
+    * vectors, so the same code budget quantizes finer.
+    *
+    * Per-row state after encoding: ONE cell id + `m = 2` sub-codes — at
+    * 100 TB the corpus embedding column is never touched again after the
+    * one encoding pass (this is the memory story that makes
+    * billion-vector ANN feasible). Probe-side, each probe precomputes a
+    * per-cell ADC distance table against the residual codebooks (cell
+    * changes the residual, so the table is per (probe, cell) — the
+    * IVFADC detail that distinguishes it from plain PQ), broadcasts, and
+    * candidates rank by two array lookups + an add.
+    *
+    * Scale shape: encoding is row-local against inlined literals (zero
+    * joins, zero shuffles); the probe×nprobe side is the only broadcast;
+    * the candidate join is a broadcast hash join on the cell id; the only
+    * shuffle is the per-probe top-k window over ADC survivors.
+    */
+  def ivfpqTopK(corpus: DataFrame, probes: DataFrame, coarse: DataFrame,
+                sub1: DataFrame, sub2: DataFrame, idCol: String,
+                embCol: String, k: Int, nprobe: Int): DataFrame = {
+    val coarseArr = centroidLiteral(coarse)
+    val (arr1, arr2) = (centroidLiteral(sub1), centroidLiteral(sub2))
+    // corpus → (cand_id, cell, c1, c2): one row-local pass, then the
+    // embedding column is dropped — the PQ memory contract
+    val enc = ivfResiduals(
+        corpus.select(col(idCol).as("cand_id"), col(embCol)), coarseArr, embCol)
+      .select(col("cand_id"), col("cell"),
+        argminPosL2(firstHalf(col("res")), arr1).as("c1"),
+        argminPosL2(secondHalf(col("res")), arr2).as("c2"))
+    // probes → nprobe (probe, cell) rows, each with its per-cell
+    // residual ADC tables; tiny (|probes| × nprobe) — broadcast
+    val pcells = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+      .withColumn("cb", explode(slice(array_sort(
+        transform(coarseArr, (c, i) => struct(
+          l2sq(col("p_emb"), c.getField("cemb")).as("d"),
+          i.as("pos")))), lit(1), lit(nprobe))))
+      .withColumn("pres", zip_with(col("p_emb"),
+        cembAt(coarseArr, col("cb.pos")), (x, y) => x - y))
+      .select(col("probe_id"),
+        cidOfPos(coarseArr, col("cb.pos")).cast("long").as("cell"),
+        transform(arr1, c => l2sq(firstHalf(col("pres")), c.getField("cemb"))).as("pd1"),
+        transform(arr2, c => l2sq(secondHalf(col("pres")), c.getField("cemb"))).as("pd2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("cand_id"))
+    enc.join(broadcast(pcells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("adist",
+        element_at(col("pd1"), col("c1") + 1) + element_at(col("pd2"), col("c2") + 1))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        col("cell"), round(col("adist"), 4).as("approx_dist"))
+  }
+
+  /** [[ivfResiduals]] overload taking a prebuilt codebook literal. */
+  private def ivfResiduals(vectors: DataFrame, arr: Column,
+                           embCol: String): DataFrame =
+    vectors
+      .withColumn("cellpos", argminPosL2(col(embCol), arr))
+      .withColumn("cell", cidOfPos(arr, col("cellpos")).cast("long"))
+      .withColumn("res", zip_with(col(embCol), cembAt(arr, col("cellpos")),
+        (x, y) => x - y))
+      .drop("cellpos")
+
   /** Two-stage retrieval (candidate generation → rerank — the
     * Matryoshka/truncated-embedding pattern): stage 1 scores every
     * candidate on only the first `prefixDims` dimensions (cheap — at

@@ -62,4 +62,23 @@ class DedupSpec extends SparkTestBase {
     }.sum
     assert(got(1L) == expected)
   }
+
+  test("semanticDedup: drops within-cluster near-dups, keeps min id, " +
+      "never compares across clusters") {
+    import spark.implicits._
+    // two well-separated clusters on orthogonal axes; ids 1,2 are
+    // near-identical (cos ≈ 1) in cluster A; id 3 is cluster A but far
+    // (cos < τ from both); ids 10,11 near-identical in cluster B
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(1.0, 0.011, 0.0)),
+      (3L, Seq(0.7, 0.714, 0.0)),
+      (10L, Seq(0.0, 0.01, 1.0)), (11L, Seq(0.0, 0.011, 1.0))
+    ).toDF("id", "emb")
+    val cents = Seq((0, Seq(1.0, 0.2, 0.0)), (1, Seq(0.0, 0.2, 1.0)))
+      .toDF("cid", "cemb")
+    val got = Dedup.semanticDedup(vecs, cents, "id", "emb", threshold = 0.995)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 2 dropped (near-dup of 1), 11 dropped (near-dup of 10); 1,3,10 stay
+    assert(got == Map(1L -> 0, 3L -> 0, 10L -> 1))
+  }
 }

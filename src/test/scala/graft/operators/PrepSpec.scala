@@ -45,4 +45,30 @@ class PrepSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(fast.toSeq == naive.toSeq)
   }
+
+  test("mixStrata: exact target proportions, never oversampling a stratum") {
+    import spark.implicits._
+    // counts: a=100, b=30, c=15; weights 0.5/0.3/0.2
+    // feasible N = min(100/.5=200, 30/.3=100, 15/.2=75) = 75
+    // quotas: a=37, b=22, c=15 (binding stratum taken whole)
+    val df = ((0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b")) ++
+      (130 until 145).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val got = Prep.mixStrata(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val byStratum = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("a" -> 37L, "b" -> 22L, "c" -> 15L))
+    // deterministic: a re-run selects the identical id set
+    val ids1 = got.orderBy("id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Prep.mixStrata(df, "id", "s",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2)
+    // unweighted strata are dropped entirely
+    val withExtra = df.union(Seq((900L, "z")).toDF("id", "s"))
+    val gotExtra = Prep.mixStrata(withExtra, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(gotExtra.filter(col("s") === "z").count() == 0L)
+  }
 }

@@ -73,6 +73,47 @@ class SimilaritySpec extends SparkTestBase {
       s"planted copy must achieve the minimum ADC distance ($copyDist vs $minDist)")
   }
 
+  test("ivfpqTopK: probed cells, monotone ADC, planted copy wins its cell") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val probe0 = e.filter(col("vec_id") === 0).drop("label")
+    // plant an exact copy of probe 0 in the corpus: same coarse cell, same
+    // residual, so its codes minimize that cell's ADC table entries
+    val corpus = e.filter(col("vec_id") >= 10)
+      .unionByName(e.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 9999).as("vec_id"), col("label"), col("emb")))
+    val coarse = Similarity.trainCentroids(corpus, "label", "emb")
+    val res = Similarity.ivfResiduals(corpus, coarse, "emb")
+    val half = "CAST(floor(size(res) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      res.select(col("label"), expr(s"slice(res, 1, $half)").as("remb")),
+      "label", "remb")
+    val cb2 = Similarity.trainCentroids(
+      res.select(col("label"),
+        expr(s"slice(res, $half + 1, size(res) - $half)").as("remb")),
+      "label", "remb")
+    val all = Similarity.ivfpqTopK(corpus.drop("label"), probe0, coarse,
+        cb1, cb2, "vec_id", "emb", k = 100000, nprobe = 2)
+      .collect()
+    assert(all.nonEmpty)
+    // candidates come from at most nprobe distinct cells
+    val cells = all.map(_.getLong(3)).distinct
+    assert(cells.length <= 2, s"nprobe=2 must bound the probed cells, got ${cells.length}")
+    // ranks are 1..n with non-decreasing ADC distance
+    val sorted = all.sortBy(_.getLong(2))
+    assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length))
+    val dists = sorted.map(_.getDouble(4))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    // the planted copy shares the probe's residual, so within ITS cell no
+    // candidate can beat its ADC distance (other cells use other tables)
+    val copyRow = all.find(_.getLong(1) == 9999L).get
+    val cellMin = all.filter(_.getLong(3) == copyRow.getLong(3)).map(_.getDouble(4)).min
+    assert(copyRow.getDouble(4) == cellMin,
+      s"planted copy must achieve its cell's ADC minimum (${copyRow.getDouble(4)} vs $cellMin)")
+  }
+
   test("pqTopK: gapped / non-zero-based codebook cids rank identically") {
     // shifting and gapping the labels must not change the ADC ranking —
     // the lookup is positional, labels only surface in the output codes
