@@ -140,6 +140,9 @@ object SparkEntry {
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
     "sim_ivfpq_ann"         -> (LlmQueries.simIvfPqAnn _),
+    "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
+    "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
+    "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
@@ -1409,6 +1412,36 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "dedup_normalized" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!!' FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM v)
+        |SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |  md5(norm_text) AS norm_md5
+        |FROM n GROUP BY norm_text ORDER BY keep_id""".stripMargin,
+    "text_pii" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact u'
+        |      || CAST(doc_id AS VARCHAR) || '@ex.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
     "sim_ivfpq_ann" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -1489,6 +1522,97 @@ object SparkEntry {
         |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
         |  CAST(cell AS BIGINT) AS cell, ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, label, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |cb AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |asg AS (
+        |  SELECT vec_id, label, emb, cid AS cell, cemb FROM (
+        |    SELECT c0.vec_id, c0.label, c0.emb, cb.cid, cb.cemb,
+        |      ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (c0.emb[i] - cb.cemb[i]) * (c0.emb[i] - cb.cemb[i]))),
+        |        cb.cid) AS rn
+        |    FROM c0, cb) WHERE rn = 1),
+        |rs AS (SELECT vec_id, label, cell,
+        |    list_transform(range(1, 65), i -> emb[i] - cemb[i]) AS res
+        |  FROM asg),
+        |cb1 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(res[g.i]) AS av
+        |    FROM rs, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |cb2 AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i, AVG(res[g.i + 32]) AS av
+        |    FROM rs, (SELECT unnest(range(1, 33)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |e1 AS (SELECT cand_id, cid AS c1 FROM (
+        |    SELECT rs.vec_id AS cand_id, cb1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY rs.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (rs.res[i] - cb1.cemb[i]) * (rs.res[i] - cb1.cemb[i]))),
+        |        cb1.cid) AS rn
+        |    FROM rs, cb1) WHERE rn = 1),
+        |e2 AS (SELECT cand_id, cid AS c2 FROM (
+        |    SELECT rs.vec_id AS cand_id, cb2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY rs.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 33),
+        |          i -> (rs.res[i + 32] - cb2.cemb[i]) * (rs.res[i + 32] - cb2.cemb[i]))),
+        |        cb2.cid) AS rn
+        |    FROM rs, cb2) WHERE rn = 1),
+        |enc AS (SELECT rs.vec_id AS cand_id, rs.cell, e1.c1, e2.c2
+        |  FROM rs JOIN e1 ON rs.vec_id = e1.cand_id
+        |          JOIN e2 ON rs.vec_id = e2.cand_id),
+        |pc AS (
+        |  SELECT probe_id, p_emb, cid AS cell, cemb FROM (
+        |    SELECT p0.vec_id AS probe_id, p0.emb AS p_emb, cb.cid, cb.cemb,
+        |      ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (p0.emb[i] - cb.cemb[i]) * (p0.emb[i] - cb.cemb[i]))),
+        |        cb.cid) AS rn
+        |    FROM p0, cb) WHERE rn <= 2),
+        |pres AS (SELECT probe_id, cell,
+        |    list_transform(range(1, 65), i -> p_emb[i] - cemb[i]) AS pres
+        |  FROM pc),
+        |pd1 AS (SELECT pres.probe_id, pres.cell, cb1.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (pres.pres[i] - cb1.cemb[i]) * (pres.pres[i] - cb1.cemb[i]))) AS pd
+        |  FROM pres, cb1),
+        |pd2 AS (SELECT pres.probe_id, pres.cell, cb2.cid,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> (pres.pres[i + 32] - cb2.cemb[i]) * (pres.pres[i + 32] - cb2.cemb[i]))) AS pd
+        |  FROM pres, cb2),
+        |adc AS (
+        |  SELECT pd1.probe_id, enc.cand_id, pd1.pd + pd2.pd AS adist
+        |  FROM enc
+        |  JOIN pd1 ON pd1.cell = enc.cell AND pd1.cid = enc.c1
+        |  JOIN pd2 ON pd2.cell = enc.cell AND pd2.cid = enc.c2
+        |          AND pd2.probe_id = pd1.probe_id
+        |  WHERE pd1.probe_id <> enc.cand_id),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |  SELECT probe_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rn
+        |  FROM adc) WHERE rn = 1),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |  SELECT p0.vec_id AS probe_id, c0.vec_id AS cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (p0.emb[i] - c0.emb[i]) * (p0.emb[i] - c0.emb[i]))),
+        |      c0.vec_id) AS rn
+        |  FROM p0, c0 WHERE c0.vec_id <> p0.vec_id) WHERE rn = 1)
+        |SELECT 'ivfpq_m2_nprobe2' AS method, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
+        |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
     "sim_pq_recall" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),

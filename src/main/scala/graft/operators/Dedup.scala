@@ -42,6 +42,24 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Normalization-keyed exact dedup (the CCNet/RefinedWeb prep step):
+    * docs collapse on their lower-cased, punctuation-stripped,
+    * whitespace-collapsed text, so trivial formatting variants of the
+    * same content dedup away before the (much costlier) near-dup passes.
+    * The normalization is row-local; the only exchange is the same
+    * map-side-combined group-by-key shuffle as [[exactKeepMin]] — the
+    * 100 TB shape is one scan + one hash aggregate on the (md5) key.
+    */
+  def normalizedDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+    docs.select(col(idCol), norm.as("norm_text"))
+      .groupBy(col("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).cast("long").as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), md5(col("norm_text")).as("norm_md5"))
+  }
+
   /** Distinct word n-gram shingle set per doc; docs shorter than n tokens
     * carry no shingle and are dropped (mirrored by oracle queries).
     */

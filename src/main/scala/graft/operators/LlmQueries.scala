@@ -49,6 +49,37 @@ object LlmQueries {
         md5(col("text")).as("text_hash"))
       .orderBy("keep_id")
 
+  /** Normalize-then-exact dedup ([[Dedup.normalizedDedup]]) over a corpus
+    * with formatting variants by construction: every doc unioned with an
+    * upper-cased, punctuation-decorated copy (id + 1,000,000), which the
+    * normalization must collapse back onto its original — so every group
+    * has n_dups ≥ 2 and the original id survives.
+    */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = d.unionByName(d.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(upper(col("text")), lit("  !!!")).as("text")))
+    Dedup.normalizedDedup(variants, "doc_id", "text").orderBy("keep_id")
+  }
+
+  /** PII scrub ([[TextAnalysis.piiRedact]]) over a corpus with PII
+    * injected by construction (every third doc gains an email, a 555
+    * phone number and an IPv4 literal derived from its id), so the
+    * detection counts and masked text have a known ground truth.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val injected = d.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      .otherwise(col("text")))
+    TextAnalysis.piiRedact(injected, "doc_id", "text").orderBy("doc_id")
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
       shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
@@ -399,6 +430,39 @@ object LlmQueries {
     Similarity.ivfpqTopK(corpus.drop("label"), probes, coarse, cb1, cb2,
         "vec_id", "emb", k = 2, nprobe = 2)
       .orderBy("probe_id", "rn")
+  }
+
+  /** IVF-PQ quality: recall@1 of the nprobe = 2 ADC search vs the exact
+    * L2 nearest neighbor (the metric IVF-PQ approximates). Measured
+    * honestly on the structureless synthetic corpus — the same caveat as
+    * [[simPqRecall]] applies, but residual-trained codebooks + multi-cell
+    * probing recover part of what raw-vector PQ loses.
+    */
+  def simIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val coarse = Similarity.trainCentroids(corpus, "label", "emb")
+    val res = Similarity.ivfResiduals(corpus, coarse, "emb")
+    val half = "CAST(floor(size(res) / 2) AS INT)"
+    val cb1 = Similarity.trainCentroids(
+      res.select(col("label"), expr(s"slice(res, 1, $half)").as("remb")),
+      "label", "remb")
+    val cb2 = Similarity.trainCentroids(
+      res.select(col("label"),
+        expr(s"slice(res, $half + 1, size(res) - $half)").as("remb")),
+      "label", "remb")
+    val exact = Similarity.l2TopK(corpus.drop("label"), probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val ann = Similarity.ivfpqTopK(corpus.drop("label"), probes, coarse, cb1, cb2,
+        "vec_id", "emb", k = 1, nprobe = 2)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(ann, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("ivfpq_m2_nprobe2").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
   }
 
   /** Two-stage retrieval: 32-dim prefix cosine proposes 100 candidates per

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** PII scrub — the pre-training redaction pass: count and mask emails,
+    * phone-style numbers, and IPv4 literals with builtin regex
+    * expressions. Row-local and codegen'd (`regexp_extract_all` +
+    * chained `regexp_replace`), one corpus scan, zero shuffles — the
+    * pattern inventory swaps for a production one without changing the
+    * operator shape. Replacement order is fixed (email → phone → IP) so
+    * the masked text is deterministic.
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "555-[0-9]{4}"
+    val ip    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    def hits(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol),
+      hits(email).as("n_email"), hits(phone).as("n_phone"), hits(ip).as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")),
+          lit(ip), lit("<IP>"))
+        .as("redacted"))
+  }
+
   /** Token statistics: whitespace tokens, distinct tokens, and a BPE-ish
     * sub-word piece count (letter runs / digit runs / single other chars) —
     * the cheap token-count estimator a data pipeline uses for budgeting.

@@ -63,6 +63,18 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L) == expected)
   }
 
+  test("normalizedDedup: formatting variants collapse onto the original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "a different doc"), (5L, "A DIFFERENT DOC")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3 share the normalized key "hello world"; 4,5 share theirs
+    assert(got == Map(1L -> 3L, 4L -> 2L))
+  }
+
   test("semanticDedup: drops within-cluster near-dups, keeps min id, " +
       "never compares across clusters") {
     import spark.implicits._

@@ -89,6 +89,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(got.toMap == Map("ab" -> 5L, "ba" -> 2L, "cd" -> 1L))
   }
 
+  test("piiRedact: counts and masks each pattern class, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.ex.org now"),
+      (2L, "call 555-0199 or 555-1234"),
+      (3L, "host 192.168.0.1 and 10.0.3.7"),
+      (4L, "nothing sensitive here"),
+      (5L, "a@b.io via 555-0000 at 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(got(1L) == ((1L, 0L, 0L), "mail me at <EMAIL> now"))
+    assert(got(2L) == ((0L, 2L, 0L), "call <PHONE> or <PHONE>"))
+    assert(got(3L) == ((0L, 0L, 2L), "host <IP> and <IP>"))
+    assert(got(4L) == ((0L, 0L, 0L), "nothing sensitive here"))
+    assert(got(5L) == ((1L, 1L, 1L), "<EMAIL> via <PHONE> at <IP>"))
+  }
+
   test("statsSummary: median/mode/moments agree with direct computation") {
     val got = Analytics.statsSummary(spark, sfDir).collect()
     assert(got.nonEmpty)
