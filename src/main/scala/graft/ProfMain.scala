@@ -20,7 +20,8 @@ object ProfMain {
         "mm_scene_detect", "prep_balance", "dq_outliers", "a22_cdc_merge",
         "text_bpe_pairs", "text_bigram_lm", "sim_pq_recall",
         "dedup_paragraph", "sim_twostage", "sim_ivfpq_ann",
-        "dedup_semantic", "dedup_normalized", "text_pii", "prep_mix")
+        "dedup_semantic", "dedup_normalized", "text_pii", "prep_mix",
+        "dedup_containment")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -142,6 +142,7 @@ object SparkEntry {
     "sim_ivfpq_ann"         -> (LlmQueries.simIvfPqAnn _),
     "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
+    "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1412,6 +1413,31 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'w'||CAST(doc_id AS VARCHAR)||'a w'||CAST(doc_id AS VARCHAR)||'b w'
+        |      ||CAST(doc_id AS VARCHAR)||'c '||text||' w'||CAST(doc_id AS VARCHAR)
+        |      ||'d w'||CAST(doc_id AS VARCHAR)||'e'
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |           || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT a, b, ROUND(c / CAST(least(na.n, nb.n) AS DOUBLE), 4) AS containment
+        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
+        |ORDER BY a, b""".stripMargin,
     "dedup_normalized" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

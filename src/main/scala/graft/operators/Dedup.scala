@@ -146,6 +146,63 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Containment near-dup pairs (Broder's containment, not resemblance):
+    * `|A∩B| / min(|A|,|B|)` catches a document EMBEDDED in a larger one —
+    * boilerplate wrap, quote-and-extend — where Jaccard stays low because
+    * the union grows. Candidates come from a bottom-k sketch join: every
+    * doc emits its k smallest-hash shingles as keys, every doc exposes its
+    * full shingle set, and a candidate is any (key ∈ other's set) hit.
+    *
+    * Exactness: if the smaller set is missing m < k − minKeys + 1 shingles
+    * of an overlap partner (m ≤ (1−t)·|small|, so guaranteed whenever
+    * |small| < (k − minKeys + 1)/(1−t) — 70 shingles at the t = 0.9,
+    * k = 8, minKeys = 2 defaults), at least k − m ≥ minKeys of its
+    * bottom-k keys MUST land in the big set (for h in the small set:
+    * fewer than k set members hash below h in the superset implies fewer
+    * below it in the subset), so the bucketed path finds every qualifying
+    * pair; beyond the bound the miss probability decays as (1−t)^k. The
+    * minKeys co-occurrence floor is what keeps the exact-verify stage
+    * small: random pairs rarely share even two bottom-k keys, so the
+    * expensive `array_intersect` runs on true-pair-density candidates.
+    * Scale shape: the exploded shingle table is the one big shuffle (same
+    * class as [[paragraphBoilerplate]]'s window table); the key side is k
+    * rows per doc; never an all-pairs join.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3,
+                       k: Int = 8, minKeys: Int = 2): DataFrame = {
+    // repartition BEFORE the checkpoint: a single-file source would pin the
+    // shingle computation (and everything fed from the checkpoint) to one
+    // input split — the blockedJaccardPairs parallelism trap
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val sets = withShingles(docs.repartition(n), idCol, textCol, shingleN)
+      .localCheckpoint(true)
+    val keys = sets.select(col(idCol).as("a"),
+        explode(expr(
+          s"slice(array_sort(transform(shingles, s -> struct(xxhash64(s) AS h, s AS sg))), 1, $k)")).as("ks"))
+      .select(col("a"), col("ks.sg").as("sg"))
+    val all = sets.select(col(idCol).as("b"), explode(col("shingles")).as("sg"))
+    // count DISTINCT shared keys: a shingle in both docs' bottom-k shows
+    // up once per join direction, and row counts would let one such
+    // shingle fake the minKeys floor
+    val cands = keys.join(all, Seq("sg"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("sg"))
+      .groupBy("a", "b")
+      .agg(countDistinct(col("sg")).as("nk"))
+      .filter(col("nk") >= minKeys)
+      .drop("nk")
+    cands
+      .join(sets.select(col(idCol).as("a"), col("shingles").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("shingles").as("sb")), "b")
+      .withColumn("containment",
+        expr("size(array_intersect(sa, sb)) / CAST(least(size(sa), size(sb)) AS DOUBLE)"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+      .orderBy("a", "b")
+  }
+
   /** Blocked exact n-gram Jaccard: all-pairs only WITHIN a block key (a
     * shingle-count bucket) — the classic blocking alternative to LSH when a
     * cheap partition key bounds the candidate space. Blocks on the SHINGLE

@@ -80,6 +80,25 @@ object LlmQueries {
     TextAnalysis.piiRedact(injected, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Containment dedup ([[Dedup.containmentPairs]]) over a corpus with
+    * doc-in-doc duplication by construction: every doc unioned with a copy
+    * (id + 1,000,000) wrapped in id-derived boilerplate tokens. The wrap
+    * keeps every original shingle, so containment is 1.0 while Jaccard
+    * drops below the near-dup thresholds — the pair class resemblance
+    * dedup misses. At these doc lengths (≪ 160 shingles) the bottom-k
+    * candidate path is provably exhaustive, so the all-pairs oracle
+    * checks exact recall.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val p = concat(lit("w"), col("doc_id").cast("string"))
+    val wrapped = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(p, lit("a "), p, lit("b "), p, lit("c "), col("text"),
+        lit(" "), p, lit("d "), p, lit("e")).as("text"))
+    Dedup.containmentPairs(d.unionByName(wrapped), "doc_id", "text",
+      threshold = 0.9)
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
       shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)

@@ -63,6 +63,27 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L) == expected)
   }
 
+  test("containmentPairs: finds doc-in-doc wrap that Jaccard misses") {
+    import spark.implicits._
+    // b = a wrapped in boilerplate: containment 1.0, Jaccard well below;
+    // c is unrelated
+    val a = "q w e r t y u i o p"
+    val docs = Seq(
+      (1L, a),
+      (2L, s"x1 x2 x3 x4 x5 x6 $a y1 y2 y3 y4 y5 y6"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"wrap pair must surface at containment 1.0: ${got.toSeq}")
+    // and the same pair is BELOW a 0.5 Jaccard near-dup threshold —
+    // the gap containment dedup exists to close
+    val jac = Dedup.blockedJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 must not see the wrapped pair")
+  }
+
   test("normalizedDedup: formatting variants collapse onto the original") {
     import spark.implicits._
     val docs = Seq(
