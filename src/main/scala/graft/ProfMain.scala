@@ -59,6 +59,54 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("annscale")) {
+      // ANN-family scalecheck: exact brute-force vs the bucketed/encoded
+      // paths on 1x/2x/4x/8x perturbed unions of the embedding corpus
+      // (copies id-shifted and deterministically nudged per dimension so
+      // no artificial exact ties appear). Codebooks are trained ONCE on
+      // the 1x corpus and reused at every multiple — the realistic
+      // deployment (train on a sample, encode + search at scale) — so the
+      // measurement isolates the per-row scaling path: row-local encode,
+      // broadcast probes, per-probe top-k as the only shuffle.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val e = Tables.load(spark, dir, "embeddings").select(col("vec_id"),
+        col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val probes = e.filter(col("vec_id") < 10).drop("label").localCheckpoint(true)
+      val base = e.filter(col("vec_id") >= 10)
+      val coarse = Similarity.trainCentroids(base, "label", "emb").localCheckpoint(true)
+      val res = Similarity.ivfResiduals(base, coarse, "emb")
+      val half = "CAST(floor(size(res) / 2) AS INT)"
+      val cb1 = Similarity.trainCentroids(
+        res.select(col("label"), expr(s"slice(res, 1, $half)").as("remb")),
+        "label", "remb").localCheckpoint(true)
+      val cb2 = Similarity.trainCentroids(
+        res.select(col("label"),
+          expr(s"slice(res, $half + 1, size(res) - $half)").as("remb")),
+        "label", "remb").localCheckpoint(true)
+      val multiples = if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)
+      for (n <- multiples) {
+        val corpus = (0 until n).map(k =>
+          base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+            expr(s"transform(emb, (x, i) -> x + ${k}E-4 * CAST(i + 1 AS DOUBLE))").as("emb")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val shapes: Seq[(String, DataFrame)] = Seq(
+          "exact_knn" -> Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 10),
+          "lsh_bucketed" -> Similarity.lshTopK(corpus, probes, "vec_id", "emb", bits = 8, k = 10),
+          "ivf_nprobe2" -> Similarity.ivfTopKNprobe(corpus, probes, coarse,
+            "vec_id", "emb", k = 10, nprobe = 2),
+          "ivfpq_nprobe2" -> Similarity.ivfpqTopK(corpus, probes, coarse, cb1, cb2,
+            "vec_id", "emb", k = 10, nprobe = 2))
+        for ((label, df) <- shapes) {
+          df.write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"annscale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("relscale")) {
       // Relational-family scalecheck: q03/q04/q10/q20 shapes on 1x/2x/4x/8x
       // key-shifted unions of the base tables (run one multiple per JVM,

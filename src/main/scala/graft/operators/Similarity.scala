@@ -300,12 +300,20 @@ object Similarity {
     val coarseArr = centroidLiteral(coarse)
     val (arr1, arr2) = (centroidLiteral(sub1), centroidLiteral(sub2))
     // corpus → (cand_id, cell, c1, c2): one row-local pass, then the
-    // embedding column is dropped — the PQ memory contract
+    // embedding column is dropped — the PQ memory contract. The code
+    // table is MATERIALIZED (checkpoint, same pattern as nearDupPairs'
+    // signature frame): encode-once is the whole point of PQ, and without
+    // the barrier CollapseProject re-inlines the residual/argmin lambda
+    // chain (higher-order functions — interpreted, not codegen'd) into
+    // every consumer — cell, both codes, and the join's derived-key null
+    // filter — turning one encode pass into several and letting the
+    // per-row allocation churn go super-linear at corpus scale.
     val enc = ivfResiduals(
         corpus.select(col(idCol).as("cand_id"), col(embCol)), coarseArr, embCol)
       .select(col("cand_id"), col("cell"),
         argminPosL2(firstHalf(col("res")), arr1).as("c1"),
         argminPosL2(secondHalf(col("res")), arr2).as("c2"))
+      .localCheckpoint(true)
     // probes → nprobe (probe, cell) rows, each with its per-cell
     // residual ADC tables; tiny (|probes| × nprobe) — broadcast
     val pcells = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
