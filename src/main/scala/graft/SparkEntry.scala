@@ -143,6 +143,9 @@ object SparkEntry {
     "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
+    "dedup_soft"            -> (LlmQueries.dedupSoft _),
+    "prep_interleave"       -> (LlmQueries.prepInterleave _),
+    "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1413,6 +1416,38 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "dedup_soft" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!!' FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM v)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY norm_text) AS BIGINT) AS n_dups,
+        |  ROUND(CAST(1.0 AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY norm_text), 6) AS weight
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "prep_interleave" ->
+      """WITH si AS (SELECT src,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY src) - 1 AS BIGINT) AS src_idx
+        |  FROM (SELECT DISTINCT source AS src FROM documents)),
+        |ns AS (SELECT COUNT(*) AS n FROM si),
+        |r AS (SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |               doc_id) - 1 AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rk * ns.n + si.src_idx AS slot
+        |FROM r JOIN si ON r.source = si.src, ns ORDER BY slot""".stripMargin,
+    "a27_orc_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev,
+        |  CAST(COUNT(o_orderpriority) AS BIGINT) AS n_prio,
+        |  CAST(MIN(o_orderdate) AS DATE) AS min_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dedup_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

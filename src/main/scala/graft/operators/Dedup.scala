@@ -146,6 +146,25 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Soft dedup: instead of DROPPING duplicates, every row keeps a
+    * training weight `1 / |duplicate group|` on its normalized-content
+    * key, so n copies of a document contribute one document's worth of
+    * gradient — the down-weighting alternative pipelines use when hard
+    * dedup would distort the distribution. One shuffle (the group-size
+    * window on the normalized key); no row is lost, which also makes the
+    * output safely joinable back to the full corpus.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_text")
+    docs.select(col(idCol), norm.as("norm_text"))
+      .withColumn("n_dups", count(lit(1)).over(w).cast("long"))
+      .select(col(idCol), col("n_dups"),
+        round(lit(1.0) / col("n_dups"), 6).as("weight"))
+  }
+
   /** Containment near-dup pairs (Broder's containment, not resemblance):
     * `|A∩B| / min(|A|,|B|)` catches a document EMBEDDED in a larger one —
     * boilerplate wrap, quote-and-extend — where Jaccard stays low because

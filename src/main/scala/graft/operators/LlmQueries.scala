@@ -343,6 +343,29 @@ object LlmQueries {
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
       .orderBy("doc_id")
 
+  /** Soft dedup ([[Dedup.softDedupWeights]]) over the variant corpus used
+    * by [[dedupNormalized]]: every doc and its formatting variant carry
+    * weight 1/2 (plus smaller weights where the corpus has genuine
+    * normalized collisions) — no row dropped.
+    */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = d.unionByName(d.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(upper(col("text")), lit("  !!!")).as("text")))
+    Dedup.softDedupWeights(variants, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Deterministic round-robin interleave of the document sources
+    * ([[Prep.interleaveSources]]): the curriculum-mixing layout where
+    * consecutive slots cycle through sources; slot assignment is closed
+    * form so the oracle reproduces the full layout.
+    */
+  def prepInterleave(s: SparkSession, dir: String): DataFrame =
+    Prep.interleaveSources(docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source")
+      .orderBy("slot")
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).

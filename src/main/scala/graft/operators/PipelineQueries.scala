@@ -568,6 +568,25 @@ object PipelineQueries {
     * The file-count drop itself is asserted in PipelineSpec (an oracle
     * can't see the filesystem).
     */
+  /** ORC round-trip: the columnar interchange format besides parquet that
+    * ships with Spark. Write the orders slice as ORC, read it back, and
+    * produce an aggregate the oracle reproduces straight from the source
+    * parquet — format fidelity for ints, strings, doubles and nulls
+    * through the ORC writer/reader pair.
+    */
+  def a27OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_orc").toString + "/orders_orc"
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").orc(base)
+    s.read.orc(base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"),
+        count(col("o_orderpriority")).as("n_prio"),
+        min(col("o_orderdate")).cast("date").as("min_date"))
+      .orderBy("o_orderstatus")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

@@ -128,6 +128,30 @@ object Prep {
     *
     * offset(doc) = blockOffset(block) + withinBlockCumsum − n_tok.
     */
+  /** Deterministic round-robin source interleave (the curriculum-mixing
+    * layout: consecutive training rows cycle through sources instead of
+    * streaming one source at a time). Each row's global slot is CLOSED
+    * FORM — `rank_within_source × n_sources + source_index` — so the only
+    * exchange is the per-source rank window; no global single-task
+    * ordering anywhere. Rank is portable-hash order (reproducible by an
+    * external engine), source index is lexicographic.
+    */
+  def interleaveSources(df: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val srcs = df.select(col(sourceCol)).distinct()
+      .collect().map(_.getString(0)).sorted // bounded: one row per source
+    val idx = srcs.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+    val itab = broadcast(df.sparkSession.createDataFrame(idx.toIndexedSeq)
+      .toDF("src", "src_idx"))
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(sourceCol).orderBy(h, col(idCol))
+    df.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .join(itab, col(sourceCol) === col("src"))
+      .select(col(idCol), col(sourceCol),
+        (col("rk") * srcs.length + col("src_idx")).as("slot"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, blockSize: Long = 4096L): DataFrame = {
     val toks = docs.select(col(idCol),

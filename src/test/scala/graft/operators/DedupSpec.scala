@@ -63,6 +63,19 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L) == expected)
   }
 
+  test("softDedupWeights: group weights sum to one document each, no row lost") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Same Doc!"), (2L, "same doc"), (3L, "SAME   DOC"),
+      (4L, "unique one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "no row may be dropped")
+    assert(got(1L) == ((3L, 0.333333)) && got(2L) == got(1L) && got(3L) == got(1L))
+    assert(got(4L) == ((1L, 1.0)))
+  }
+
   test("containmentPairs: finds doc-in-doc wrap that Jaccard misses") {
     import spark.implicits._
     // b = a wrapped in boilerplate: containment 1.0, Jaccard well below;

@@ -46,6 +46,23 @@ class PrepSpec extends SparkTestBase {
     assert(fast.toSeq == naive.toSeq)
   }
 
+  test("interleaveSources: strided slots, sources cycle, no collisions") {
+    import spark.implicits._
+    val df = ((0 until 6).map(i => (i.toLong, "a")) ++
+      (10 until 14).map(i => (i.toLong, "b")) ++
+      (20 until 22).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val got = Prep.interleaveSources(df, "id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 12)
+    // slots are unique, and slot mod n_sources identifies the source
+    assert(got.map(_._3).distinct.length == 12)
+    val idx = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    got.foreach { case (_, s, slot) => assert(slot % 3 == idx(s)) }
+    // within a source, slots are the consecutive stride positions
+    val aSlots = got.filter(_._2 == "a").map(_._3).sorted
+    assert(aSlots.toSeq == (0 until 6).map(r => r * 3L + 0L))
+  }
+
   test("mixStrata: exact target proportions, never oversampling a stratum") {
     import spark.implicits._
     // counts: a=100, b=30, c=15; weights 0.5/0.3/0.2
