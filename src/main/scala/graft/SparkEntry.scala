@@ -146,6 +146,8 @@ object SparkEntry {
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
+    "dq_drift"              -> (LlmQueries.dqDrift _),
+    "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1416,6 +1418,59 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_mips_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |r AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(p.emb, c.emb) AS ip,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_dot_product(p.emb, c.emb) DESC, c.vec_id) AS rn
+        |  FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  ROUND(ip, 4) AS ip
+        |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "dq_drift" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |c AS (SELECT event_id,
+        |    CASE WHEN event_type = 'click' THEN 'tap' ELSE event_type END AS event_type,
+        |    value * 1.5 AS value
+        |  FROM ev WHERE event_id % 2 = 1),
+        |bc AS (SELECT event_type AS k, COUNT(*) AS n FROM b GROUP BY 1),
+        |cc AS (SELECT event_type AS k, COUNT(*) AS n FROM c GROUP BY 1),
+        |bt AS (SELECT SUM(n) AS tot FROM bc),
+        |ct AS (SELECT SUM(n) AS tot FROM cc),
+        |cat AS (
+        |  SELECT 'event_type_psi' AS metric,
+        |    ROUND(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+        |    CAST(MAX(nb) AS BIGINT) AS n_base, CAST(MAX(nc) AS BIGINT) AS n_curr
+        |  FROM (
+        |    SELECT GREATEST(COALESCE(bc.n / bt.tot, 0), 1e-6) AS pb,
+        |           GREATEST(COALESCE(cc.n / ct.tot, 0), 1e-6) AS pc,
+        |           bt.tot AS nb, ct.tot AS nc
+        |    FROM bc FULL OUTER JOIN cc ON bc.k = cc.k, bt, ct)),
+        |st AS (SELECT MIN(value) AS lo,
+        |         GREATEST(MAX(value) - MIN(value), 1e-12) AS range FROM b),
+        |bb AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - st.lo) / st.range * 10), 0), 9)
+        |         AS BIGINT) AS k, COUNT(*) AS n
+        |  FROM b, st GROUP BY 1),
+        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - st.lo) / st.range * 10), 0), 9)
+        |         AS BIGINT) AS k, COUNT(*) AS n
+        |  FROM c, st GROUP BY 1),
+        |bbt AS (SELECT SUM(n) AS tot FROM bb),
+        |cbt AS (SELECT SUM(n) AS tot FROM cb),
+        |num AS (
+        |  SELECT 'value_psi' AS metric,
+        |    ROUND(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+        |    CAST(MAX(nb) AS BIGINT) AS n_base, CAST(MAX(nc) AS BIGINT) AS n_curr
+        |  FROM (
+        |    SELECT GREATEST(COALESCE(bb.n / bbt.tot, 0), 1e-6) AS pb,
+        |           GREATEST(COALESCE(cb.n / cbt.tot, 0), 1e-6) AS pc,
+        |           bbt.tot AS nb, cbt.tot AS nc
+        |    FROM bb FULL OUTER JOIN cb ON bb.k = cb.k, bbt, cbt))
+        |SELECT * FROM cat UNION ALL SELECT * FROM num ORDER BY metric""".stripMargin,
     "dedup_soft" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

@@ -262,6 +262,53 @@ object Analytics {
       .orderBy("rule")
   }
 
+  /** Distribution-drift detection between two snapshots (the retraining
+    * trigger a training pipeline gates on): Population Stability Index
+    * per column — `Σ (p_curr − p_base) · ln(p_curr / p_base)` over
+    * categories (categorical column) or fixed-width bins anchored on the
+    * BASELINE's min/max (numeric column; current values outside clamp to
+    * the edge bins, proportions clamp at 1e-6 for empty cells — both
+    * standard PSI practice). Scale shape: each side is one
+    * map-side-combined aggregate down to ≤ max(buckets, |categories|)
+    * rows; everything after is constant-size, and the 1-row bin-stats
+    * frame broadcasts like tfidf's corpus count.
+    */
+  def driftPsi(base: DataFrame, curr: DataFrame, catCol: String,
+               numCol: String, buckets: Int = 10): DataFrame = {
+    val eps = 1e-6
+    def psiOf(b: DataFrame, c: DataFrame, keyed: DataFrame => DataFrame,
+              metric: String): DataFrame = {
+      def props(df: DataFrame, side: String): DataFrame = {
+        val k = keyed(df).groupBy("k").agg(count(lit(1)).as("n"))
+        k.crossJoin(broadcast(k.agg(sum("n").as("tot"))))
+          .select(col("k"), (col("n") / col("tot")).as(s"p_$side"),
+            col("tot").as(s"n_$side"))
+      }
+      props(b, "base").join(props(c, "curr"), Seq("k"), "full_outer")
+        .select(
+          greatest(coalesce(col("p_base"), lit(0.0)), lit(eps)).as("pb"),
+          greatest(coalesce(col("p_curr"), lit(0.0)), lit(eps)).as("pc"),
+          col("n_base"), col("n_curr"))
+        .agg(lit(metric).as("metric"),
+          round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 6)
+            .as("psi"),
+          max("n_base").as("n_base"), max("n_curr").as("n_curr"))
+    }
+    val catPsi = psiOf(base, curr,
+      df => df.select(col(catCol).as("k")), s"${catCol}_psi")
+    // bin edges anchored on the baseline: least/greatest clamp keeps
+    // out-of-range current values in the edge bins
+    val stats = broadcast(base.agg(
+      min(col(numCol)).as("lo"),
+      greatest(max(col(numCol)) - min(col(numCol)), lit(1e-12)).as("range")))
+    def bin(df: DataFrame): DataFrame =
+      df.crossJoin(stats).select(
+        least(greatest(floor((col(numCol) - col("lo")) / col("range")
+          * buckets), lit(0.0)), lit((buckets - 1).toDouble)).cast("long").as("k"))
+    val numPsi = psiOf(base, curr, bin, s"${numCol}_psi")
+    catPsi.unionByName(numPsi).orderBy("metric")
+  }
+
   /** Grouped z-score outlier detection — the statistical data-quality
     * rule beside [[dqChecks]]' structural rules: per event type, values
     * more than `z` sample standard deviations from the group mean are

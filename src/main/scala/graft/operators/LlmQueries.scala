@@ -366,6 +366,24 @@ object LlmQueries {
         "doc_id", "source")
       .orderBy("slot")
 
+  /** Snapshot drift detection ([[Analytics.driftPsi]]) with drift by
+    * construction: the "current" half of the event stream relabels one
+    * event type and shifts values up 50%, so both PSI rows must register
+    * clearly above the conventional 0.2 retrain threshold while the
+    * even/odd split alone would measure ≈ 0.
+    */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val curr = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"),
+        when(col("event_type") === "click", lit("tap"))
+          .otherwise(col("event_type")).as("event_type"),
+        (col("value") * 1.5).as("value"))
+    Analytics.driftPsi(base, curr, "event_type", "value")
+  }
+
   /** As-of join over the event stream: each click matched to the user's
     * latest preceding-or-simultaneous purchase (oracle: DuckDB's native
     * ASOF LEFT JOIN — an independent implementation of the semantics).
@@ -412,6 +430,19 @@ object LlmQueries {
         countDistinct(col("text")).as("exact_distinct"),
         approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
       .orderBy("lang")
+
+  /** Exact MIPS top-2 ([[Similarity.mipsTopK]]): dot-product ranking over
+    * the embedding corpus — where vector norms reorder results relative
+    * to [[simKnnTopK]]'s cosine ranking.
+    */
+  def simMipsTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Similarity.mipsTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "emb", k = 2)
+      .orderBy("probe_id", "rn")
+  }
 
   /** IVF ANN: per-label centroids trained on the corpus (vec_id ≥ 10)
     * serve as the codebook; probes (vec_id < 10) search only their nearest

@@ -160,6 +160,49 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): ranking by the RAW dot
+    * product — the retrieval metric when norms carry signal (popularity-
+    * weighted item vectors, un-normalized two-tower outputs), where
+    * cosine's normalization reorders results. Same scale shape as
+    * [[cosineTopK]]: broadcast probes, one corpus scan, per-probe window.
+    *
+    * The ANN path for MIPS is the norm-augmentation reduction (append
+    * `sqrt(M² − ‖x‖²)` to each corpus vector and 0 to probes, M = max
+    * corpus norm: augmented norms are constant, so augmented-cosine order
+    * == inner-product order), after which every cosine ANN operator here
+    * (LSH / IVF / PQ) applies unchanged — [[augmentForMips]] builds that
+    * frame, and the spec pins the reduction's rank-equivalence.
+    */
+  def mipsTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+               embCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("ip").desc, col(idCol))
+    corpus.join(p, col("probe_id") =!= col(idCol))
+      .withColumn("ip", VectorOps.dotHof(col("p_emb"), col(embCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rn"),
+        round(col("ip"), 4).as("ip"))
+  }
+
+  /** The MIPS→cosine reduction frames: corpus rows gain the
+    * `sqrt(M² − ‖x‖²)` augmentation dimension (M² broadcasts as a 1-row
+    * stats frame), probe rows gain a literal 0. Row-local except the
+    * 1-row max-norm aggregate.
+    */
+  def augmentForMips(corpus: DataFrame, probes: DataFrame,
+                     embCol: String): (DataFrame, DataFrame) = {
+    val m2 = broadcast(corpus.agg(
+      max(VectorOps.dotHof(col(embCol), col(embCol))).as("m2")))
+    val caug = corpus.crossJoin(m2)
+      .withColumn(embCol, concat(col(embCol),
+        array(sqrt(greatest(col("m2") - VectorOps.dotHof(col(embCol), col(embCol)),
+          lit(0.0))))))
+      .drop("m2")
+    val paug = probes.withColumn(embCol, concat(col(embCol), array(lit(0.0))))
+    (caug, paug)
+  }
+
   /** Squared L2 via the HOF spelling — index-ordered accumulation, so an
     * external SQL oracle reproduces the float result bit-for-bit
     * (`list_sum(list_transform(...))` sums in the same order).

@@ -109,4 +109,23 @@ class AnalyticsSpec extends SparkTestBase {
       assert(r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("driftPsi: identical snapshots measure zero, known drift registers") {
+    import spark.implicits._
+    val snap = (1 to 50).map(i => (s"t${i % 3}", i.toDouble)).toDF("cat", "v")
+    // identical snapshots: every (pc - pb) term is zero in both columns
+    val same = Analytics.driftPsi(snap, snap, "cat", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same == Map("cat_psi" -> 0.0, "v_psi" -> 0.0))
+    // a vanished category and a uniform value shift both register
+    val drifted = snap.select(
+      when(col("cat") === "t0", "t9").otherwise(col("cat")).as("cat"),
+      (col("v") + 100.0).as("v"))
+    val got = Analytics.driftPsi(snap, drifted, "cat", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("cat_psi") > 1.0, s"category swap must dominate: $got")
+    // +100 pushes every value past the baseline max → all mass clamps to
+    // the top bin: a maximal single-bin migration
+    assert(got("v_psi") > 1.0, s"full range shift must dominate: $got")
+  }
 }

@@ -126,4 +126,42 @@ class DedupPropertySpec extends SparkTestBase {
     val wantKeeper = corpus.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
     groups.foreach { case (t, keep, _) => assert(keep == wantKeeper(t)) }
   }
+
+  test("containmentPairs equals brute-force containment below the size bound") {
+    import spark.implicits._
+    // docs are 6-14 tokens → 4-12 shingles, far below the exactness bound
+    // (|small| < (k − minKeys + 1)/(1 − t) = 70 at the defaults), so the
+    // bottom-k path must return EXACTLY the brute-force pair set — both
+    // directions: no misses AND no extras
+    var seed = Seed(99L)
+    for (round <- 1 to 3) {
+      val texts = Gen.listOfN(25, docGen).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // ids 100+: the first 8 docs wrapped in id-specific boilerplate
+      val corpus = base ++ base.take(8).map { case (i, t) =>
+        (i + 100L, s"p${i}x p${i}y p${i}z $t s${i}x s${i}y") }
+      val byId = corpus.toMap
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.9)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        (sa, sb) = (shingles(ta), shingles(tb))
+        if sa.nonEmpty && sb.nonEmpty
+        c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= 0.9
+      } yield (a, b,
+        BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == want,
+        s"round $round: got ${got.size} pairs, want ${want.size}: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // the 8 wrap pairs are a guaranteed subset
+      for (i <- 0L until 8L)
+        assert(got.exists(p => p._1 == i && p._2 == i + 100L),
+          s"round $round: wrap pair ($i, ${i + 100}) missed")
+      assert(byId.nonEmpty)
+    }
+  }
 }

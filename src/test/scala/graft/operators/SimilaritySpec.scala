@@ -73,6 +73,25 @@ class SimilaritySpec extends SparkTestBase {
       s"planted copy must achieve the minimum ADC distance ($copyDist vs $minDist)")
   }
 
+  test("mipsTopK: norm-augmentation reduction gives the identical ranking") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val direct = Similarity.mipsTopK(corpus, probes, "vec_id", "emb", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    // the reduction: augmented norms are constant M, so augmented-cosine
+    // order == inner-product order — the route that feeds cosine ANN
+    val (caug, paug) = Similarity.augmentForMips(corpus, probes, "emb")
+    val reduced = Similarity.cosineTopK(caug, paug, "vec_id", "emb", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    assert(reduced == direct,
+      "augmented-cosine ANN route must reproduce the exact MIPS ranking")
+  }
+
   test("ivfpqTopK: probed cells, monotone ADC, planted copy wins its cell") {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
