@@ -87,6 +87,27 @@ class PlanSpec extends SparkTestBase {
       "the corpus must not shuffle on the gram key")
   }
 
+  test("ivfpq candidate join broadcast-hashes on the cell id with partial top-k") {
+    val p = plan("sim_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"), "cell join must broadcast-hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no unbucketed candidate generation")
+    assert(p.contains("WindowGroupLimit"), "per-probe top-k must pre-filter before the shuffle")
+  }
+
+  test("containment candidate generation joins on sketch keys, never all pairs") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bottom-k key join must be a hash/sort-merge equi-join")
+  }
+
+  test("normalized dedup is one map-side-combined aggregate on the norm key") {
+    val p = plan("dedup_normalized")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"aggregate must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // formatted explain annotates codegen'd operators with
     // "[codegen id : N]" — but only once AQE is out of the way (the
