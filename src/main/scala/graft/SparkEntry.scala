@@ -148,6 +148,7 @@ object SparkEntry {
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
+    "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1418,6 +1419,30 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "dedup_incremental_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT a, b, ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 4) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5 AND b >= 1000000
+        |ORDER BY a, b""".stripMargin,
     "sim_mips_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),

@@ -92,22 +92,60 @@ object Dedup {
     * (band_id, band_hash) — candidates come from shared buckets only, so
     * cost tracks collision counts, never n².
     */
-  def lshCandidates(sig: DataFrame, idCol: String,
-                    numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** (id, band_id, band_hash) bucket rows for the banded signature. */
+  private def bandBuckets(sig: DataFrame, idCol: String,
+                          numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val bands = numHashes / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => s"element_at(mhs, ${b * rowsPerBand + r + 1})")
       struct(lit(b).as("band_id"), expr(s"xxhash64(${hs.mkString(", ")})").as("band_hash"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+  }
+
+  def lshCandidates(sig: DataFrame, idCol: String,
+                    numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val buckets = bandBuckets(sig, idCol, numHashes, rowsPerBand)
     buckets.as("l").join(buckets.as("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_hash") === col("r.band_hash") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
       .distinct()
+  }
+
+  /** Incremental MinHash-LSH near-dup: the delta-vs-lake form of
+    * [[nearDupPairs]] for a daily-ingest pipeline. Only candidate pairs
+    * INVOLVING a new document are ever generated — the delta's band
+    * buckets join against the full corpus's buckets, so the lake is never
+    * re-paired against itself (the quadratic bulk that previous runs
+    * already covered). At 100 TB this is the difference between a run
+    * costing O(Δ·collisions) and re-running the whole-corpus pair join
+    * every day; recall for the emitted pair class is the SAME banded
+    * S-curve as the batch operator (identical signatures and banding,
+    * only the old×old pair class is skipped by construction).
+    */
+  def incrementalNearDupPairs(lake: DataFrame, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 8,
+                              rowsPerBand: Int = 2,
+                              threshold: Double = 0.5): DataFrame = {
+    val sig = withMinhash(withShingles(lake.unionByName(delta), idCol,
+        textCol, shingleN), numHashes)
+      .localCheckpoint(true)
+    val sigNew = sig.join(delta.select(col(idCol)), Seq(idCol), "left_semi")
+    val bAll = bandBuckets(sig, idCol, numHashes, rowsPerBand)
+    val bNew = bandBuckets(sigNew, idCol, numHashes, rowsPerBand)
+    val cands = bNew.as("l").join(bAll.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("b"))
+      .distinct()
+    verifyJaccard(cands, sig, idCol, threshold).orderBy("a", "b")
   }
 
   /** Exact Jaccard check of candidate pairs against the true shingle sets —

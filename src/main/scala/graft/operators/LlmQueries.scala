@@ -103,6 +103,22 @@ object LlmQueries {
     Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
       shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
 
+  /** Incremental near-dup ([[Dedup.incrementalNearDupPairs]]): lake =
+    * the documents table, delta = the trailing-token variants (id + 1e6).
+    * Emitted pairs all involve a delta doc (a < b and delta ids are the
+    * high range, so the oracle restricts its all-pairs truth to
+    * b ≥ 1,000,000); banding matches [[dedupMinhashLsh]], so recall for
+    * this pair class is the same audited S-curve.
+    */
+  def dedupIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val delta = d.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text"))
+    Dedup.incrementalNearDupPairs(d, delta, "doc_id", "text",
+      shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+  }
+
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccardPairs(nearDupDocs(s, dir), "doc_id", "text", 0.5)
 

@@ -63,6 +63,33 @@ class DedupSpec extends SparkTestBase {
     assert(got(1L) == expected)
   }
 
+  test("incrementalNearDupPairs: delta pairs only, equal to filtered batch") {
+    import spark.implicits._
+    val lake = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // old×old dup pair
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "a b c d e f g"), // near-dup of 1 and 2
+      (101L, "x y z x y z x y")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(lake, delta, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every emitted pair involves a delta doc; the (1,2) lake dup is
+    // someone else's (previous run's) work and must NOT re-surface
+    assert(inc.forall { case (a, b, _) => a >= 100L || b >= 100L },
+      s"old-only pair leaked: $inc")
+    assert(inc.exists(p => p._1 == 1L && p._2 == 100L))
+    assert(inc.exists(p => p._1 == 2L && p._2 == 100L))
+    // and it equals the batch operator's answer filtered to delta pairs
+    val batch = Dedup.nearDupPairs(lake.unionByName(delta), "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 100L || b >= 100L }.toSet
+    assert(inc == batch, s"incremental must match filtered batch: $inc vs $batch")
+  }
+
   test("softDedupWeights: group weights sum to one document each, no row lost") {
     import spark.implicits._
     val docs = Seq(
