@@ -56,6 +56,11 @@ object ProfMain {
         graft.operators.Dedup.nearDupPairs(corpus, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
         println(f"scale minhash_lsh n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val t1 = System.nanoTime()
+        graft.operators.Dedup.containmentPairs(corpus, "doc_id", "text",
+            threshold = 0.9)
+          .write.format("noop").mode("overwrite").save()
+        println(f"scale containment n=$n ${(System.nanoTime() - t1) / 1e9}%.2fs")
       }
       spark.stop(); return
     }
