@@ -119,6 +119,55 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(r.getDouble(6).isNaN)
   }
 
+  test("softDedupWeights conserves corpus mass; weights invert group sizes") {
+    import spark.implicits._
+    var seed = Seed(31L)
+    for (round <- 1 to 3) {
+      val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val rows = Dedup.softDedupWeights(corpus.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == corpus.size, s"round $round: rows lost")
+      // Σ weights == number of distinct normalized keys (each group
+      // contributes exactly one document's worth of mass, within the
+      // 6-dp rounding of the per-row weights)
+      val nKeys = rows.map(_._2).zip(rows.map(_._1)).groupBy(_._1).size
+      val distinctGroups = Dedup.normalizedDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text").count()
+      val mass = rows.map(_._3).sum
+      assert(math.abs(mass - distinctGroups) < 1e-3,
+        s"round $round: mass $mass != groups $distinctGroups")
+      assert(nKeys >= 1)
+    }
+  }
+
+  test("mixStrata output proportions match requested weights on random strata") {
+    import spark.implicits._
+    var seed = Seed(47L)
+    val weights = Map("x" -> 0.5, "y" -> 0.3, "z" -> 0.2)
+    for (round <- 1 to 3) {
+      val sizes = Gen.listOfN(3, Gen.choose(40, 120))
+        .pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val df = weights.keys.toSeq.sorted.zip(sizes).flatMap { case (s, n) =>
+        (0 until n).map(i => (s"$s$i".hashCode.toLong & 0xffffff, s))
+      }.toDF("id", "s")
+      val got = Prep.mixStrata(df, "id", "s", weights)
+        .groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = got.values.sum
+      // every stratum hits floor(weight × feasible-total) exactly, so the
+      // realized proportion is within 1/total of the requested weight
+      weights.foreach { case (s, w) =>
+        val p = got.getOrElse(s, 0L).toDouble / total
+        assert(math.abs(p - w) <= 1.0 / total + 1e-9,
+          s"round $round: stratum $s proportion $p vs weight $w")
+      }
+    }
+  }
+
   test("cdcApply replayed twice is idempotent") {
     import spark.implicits._
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
