@@ -244,6 +244,35 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-vs-lake dedup — the crawl-ingest shape: rows whose content
+    * fingerprint already exists in the static lake are dropped AS THE
+    * STREAM LANDS. [[graft.operators.Dedup.incrementalNew]] composes onto
+    * the streaming frame unchanged because it is stateless: the lake's
+    * Bloom sketch builds once at stream start (bounded, driver-side — the
+    * q31 technique) and rides every micro-batch as a row-local
+    * pre-filter; sketch false positives get the exact verdict from the
+    * stream-static left-anti join, which Spark re-plans per micro-batch.
+    * Append mode, no streaming state at all — at 100 TB/day the only
+    * per-row cost for a definitely-new row is one hash against an
+    * MB-sized sketch. Spec-pinned equal to the batch anti-join on the
+    * drained input.
+    */
+  def lakeDedupedEvents(spark: SparkSession, srcDir: String, lake: DataFrame,
+                        checkpointDir: String, outDir: String): StreamingQuery = {
+    val content = concat_ws("|", col("event_type"), col("props"))
+    val stream = source(spark, srcDir)
+      .select(col("event_id"), content.as("content"))
+    graft.operators.Dedup.incrementalNew(stream,
+        lake.select(content.as("content")), "event_id", "content")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Session windows (10-minute gap) per user — the §2.C extension the
     * reference has no analog for; state closes via watermark.
     */

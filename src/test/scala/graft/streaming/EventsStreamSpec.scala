@@ -212,6 +212,31 @@ class EventsStreamSpec extends SparkTestBase {
     assert(after == before, "replay with no new data must be a no-op")
   }
 
+  test("stream-vs-lake dedup equals the batch anti-join on the drained input") {
+    val content = concat_ws("|", col("event_type"), col("props"))
+    val all = Tables.load(spark, sfDir, "events")
+    // lake = the content of every third event; those rows must be dropped
+    // from the stream (content-keyed, so OTHER ids with equal content drop
+    // too — exactly what the batch anti-join says)
+    val lake = all.filter(col("event_id") % 3 === 0)
+    val out = tmp("es_ld_out")
+    EventsStream.lakeDedupedEvents(spark, eventsDir, lake,
+        tmp("es_ld_ckpt"), out)
+      .awaitTermination()
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Dedup.incrementalNew(
+        all.select(col("event_id"), content.as("content")),
+        lake.select(content.as("content")), "event_id", "content")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"drained stream (${got.size}) must equal batch (${want.size})")
+    // and the plain anti-join agrees (incrementalNew is provably identical)
+    val plain = all.select(col("event_id"), content.as("content"))
+      .join(lake.select(content.as("content")), Seq("content"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == plain)
+  }
+
   test("session windows close via watermark and never overlap per user") {
     val out = tmp("es_sw_out")
     val q = EventsStream.sessionCounts(spark, eventsDir,
