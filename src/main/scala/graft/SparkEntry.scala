@@ -149,6 +149,7 @@ object SparkEntry {
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
+    "prep_weighted_sample"  -> (LlmQueries.prepWeightedSample _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1419,6 +1420,16 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "prep_weighted_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |    ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |        ['the','a','of','and','to','in','is']))
+        |      / CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE), 4) AS w
+        |  FROM documents)
+        |SELECT doc_id, ROUND(w, 4) AS w FROM q
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        AS DOUBLE) < w * 1152921504606846976.0
+        |ORDER BY doc_id""".stripMargin,
     "dedup_incremental_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

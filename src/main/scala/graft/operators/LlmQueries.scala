@@ -382,6 +382,20 @@ object LlmQueries {
         "doc_id", "source")
       .orderBy("slot")
 
+  /** Quality-weighted subsample ([[Prep.weightedSample]]): survival
+    * probability = the doc's stop-word ratio (the [[TextAnalysis.quality]]
+    * signal a scorer would emit), so high-quality docs are kept densely
+    * and low-signal docs sparsely — with the exact surviving id set
+    * reproducible by the oracle.
+    */
+  def prepWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("stop_ratio").as("w"))
+    Prep.weightedSample(q, "doc_id", "w")
+      .select(col("doc_id"), round(col("w"), 4).as("w"))
+      .orderBy("doc_id")
+  }
+
   /** Snapshot drift detection ([[Analytics.driftPsi]]) with drift by
     * construction: the "current" half of the event stream relabels one
     * event type and shifts values up 50%, so both PSI rows must register

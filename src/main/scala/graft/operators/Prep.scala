@@ -128,6 +128,21 @@ object Prep {
     *
     * offset(doc) = blockOffset(block) + withinBlockCumsum − n_tok.
     */
+  /** Deterministic weighted Bernoulli sampling: each row survives iff its
+    * portable 60-bit id hash falls below `weight × 2⁶⁰` — the
+    * quality-weighted subsample a pipeline takes when a scorer says HOW
+    * MUCH of each document class to keep (weight 1 keeps everything,
+    * 0 drops everything, monotone in between: raising a row's weight can
+    * only ADD it, never remove others). Row-local, zero shuffles, and
+    * reproducible by any engine that can md5 — no RNG state anywhere.
+    * Both sides of the comparison promote to double identically across
+    * engines, so the selected id SET is portable, not just its size.
+    */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weightCol: String): DataFrame =
+    df.filter(Hashing.md5Long(col(idCol).cast("string")).cast("double") <
+      col(weightCol) * lit(1152921504606846976.0)) // 2^60
+
   /** Deterministic round-robin source interleave (the curriculum-mixing
     * layout: consecutive training rows cycle through sources instead of
     * streaming one source at a time). Each row's global slot is CLOSED

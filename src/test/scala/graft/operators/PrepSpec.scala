@@ -46,6 +46,29 @@ class PrepSpec extends SparkTestBase {
     assert(fast.toSeq == naive.toSeq)
   }
 
+  test("weightedSample: boundary weights, monotone in the weight") {
+    import spark.implicits._
+    val ids = (1L to 400L)
+    val base = ids.map(i => (i, 0.3)).toDF("id", "w")
+    // weight 1 keeps everything, weight 0 nothing
+    assert(Prep.weightedSample(ids.map((_, 1.0)).toDF("id", "w"), "id", "w")
+      .count() == 400L)
+    assert(Prep.weightedSample(ids.map((_, 0.0)).toDF("id", "w"), "id", "w")
+      .count() == 0L)
+    // monotone: the 0.3-sample is a subset of the 0.6-sample, and the
+    // realized rates bracket their weights sensibly
+    val lo = Prep.weightedSample(base, "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    val hi = Prep.weightedSample(ids.map((_, 0.6)).toDF("id", "w"), "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "raising every weight must only add rows")
+    assert(lo.size > 400 * 0.15 && lo.size < 400 * 0.45, s"rate ${lo.size}/400")
+    // deterministic: the same call selects the identical id set
+    val again = Prep.weightedSample(base, "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == lo)
+  }
+
   test("interleaveSources: strided slots, sources cycle, no collisions") {
     import spark.implicits._
     val df = ((0 until 6).map(i => (i.toLong, "a")) ++
