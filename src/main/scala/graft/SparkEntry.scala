@@ -150,6 +150,7 @@ object SparkEntry {
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
     "prep_weighted_sample"  -> (LlmQueries.prepWeightedSample _),
+    "sim_range_search"      -> (LlmQueries.simRangeSearch _),
     "text_pii"              -> (LlmQueries.textPii _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
@@ -1420,6 +1421,21 @@ object SparkEntry {
         |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
         |  ROUND(adist, 4) AS approx_dist
         |FROM r WHERE rn <= 2 ORDER BY probe_id, rn""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10)
+        |SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |  ROUND(list_dot_product(p.emb, c.emb)
+        |    / (sqrt(list_dot_product(p.emb, p.emb))
+        |       * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cos
+        |FROM p0 p, c0 c
+        |WHERE c.vec_id <> p.vec_id
+        |  AND list_dot_product(p.emb, c.emb)
+        |    / (sqrt(list_dot_product(p.emb, p.emb))
+        |       * sqrt(list_dot_product(c.emb, c.emb))) >= 0.25
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
     "prep_weighted_sample" ->
       """WITH q AS (SELECT doc_id,
         |    ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),

@@ -461,6 +461,19 @@ object LlmQueries {
         approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
       .orderBy("lang")
 
+  /** Radius search ([[Similarity.rangeSearch]]): every corpus vector
+    * within cosine ≥ 0.25 of each probe — dense neighborhoods return many
+    * rows, sparse ones few, with no fixed-k truncation or padding.
+    */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Similarity.rangeSearch(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "emb", minCos = 0.25)
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   /** Exact MIPS top-2 ([[Similarity.mipsTopK]]): dot-product ranking over
     * the embedding corpus — where vector norms reorder results relative
     * to [[simKnnTopK]]'s cosine ranking.

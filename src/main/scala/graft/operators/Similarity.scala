@@ -160,6 +160,23 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Radius (range) search: EVERY corpus vector with cosine ≥ τ of each
+    * probe — the retrieval mode for "all sufficiently-similar", where
+    * top-k's fixed k either truncates dense neighborhoods or pads sparse
+    * ones. Cheaper than top-k at scale: broadcast probes, one corpus
+    * scan, and NO per-probe window — the threshold filter is row-local,
+    * so there is no shuffle at all.
+    */
+  def rangeSearch(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  embCol: String, minCos: Double): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    corpus.join(p, col("probe_id") =!= col(idCol))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col(embCol)))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): ranking by the RAW dot
     * product — the retrieval metric when norms carry signal (popularity-
     * weighted item vectors, un-normalized two-tower outputs), where
