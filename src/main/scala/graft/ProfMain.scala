@@ -90,6 +90,15 @@ object ProfMain {
         res.select(col("label"),
           expr(s"slice(res, $half + 1, size(res) - $half)").as("remb")),
         "label", "remb").localCheckpoint(true)
+      // plain-PQ codebooks on the RAW subvector halves (no coarse stage)
+      val rawHalf = "CAST(floor(size(emb) / 2) AS INT)"
+      val pb1 = Similarity.trainCentroids(
+        base.select(col("label"), expr(s"slice(emb, 1, $rawHalf)").as("remb")),
+        "label", "remb").localCheckpoint(true)
+      val pb2 = Similarity.trainCentroids(
+        base.select(col("label"),
+          expr(s"slice(emb, $rawHalf + 1, size(emb) - $rawHalf)").as("remb")),
+        "label", "remb").localCheckpoint(true)
       val multiples = if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)
       for (n <- multiples) {
         val corpus = (0 until n).map(k =>
@@ -102,7 +111,9 @@ object ProfMain {
           "ivf_nprobe2" -> Similarity.ivfTopKNprobe(corpus, probes, coarse,
             "vec_id", "emb", k = 10, nprobe = 2),
           "ivfpq_nprobe2" -> Similarity.ivfpqTopK(corpus, probes, coarse, cb1, cb2,
-            "vec_id", "emb", k = 10, nprobe = 2))
+            "vec_id", "emb", k = 10, nprobe = 2),
+          "pq" -> Similarity.pqTopK(corpus, probes, pb1, pb2,
+            "vec_id", "emb", k = 10))
         for ((label, df) <- shapes) {
           df.write.format("noop").mode("overwrite").save() // warm
           val t0 = System.nanoTime()

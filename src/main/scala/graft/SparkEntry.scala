@@ -77,6 +77,7 @@ object SparkEntry {
     "a03_default_projection"-> (PipelineQueries.a03DefaultProjection _),
     "a04_catalog_scan"      -> (PipelineQueries.a04CatalogScan _),
     "a04b_mysql_catalog"    -> (PipelineQueries.a04bMysqlCatalog _),
+    "a04c_mysql_quirks"     -> (PipelineQueries.a04cMysqlQuirks _),
     "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
     "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
     "a07_csv_roundtrip"     -> (PipelineQueries.a07CsvRoundtrip _),
@@ -332,6 +333,33 @@ object SparkEntry {
         |       - xs[CAST(floor((n - 1) * 0.99) AS INT) + 1])
         |      * ((n - 1) * 0.99 - floor((n - 1) * 0.99)), 0) / 100.0 AS p99
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // Tolerance oracle: the engine emits the exact percentiles (the q22
+    // cents formulation, hash-stable cross-engine) plus approx_ok = the
+    // sketch estimate landed in the exact q±0.002 value band. DuckDB
+    // recomputes the exact values and asserts TRUE — a drifting sketch
+    // flips the flag and fails the hash compare.
+    "q22b_approx_percentiles" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    list(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |         ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS xs,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.5) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.5) AS INT) + 1])
+        |      * ((n - 1) * 0.5 - floor((n - 1) * 0.5)), 0) / 100.0 AS med,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.9) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.9) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.9) AS INT) + 1])
+        |      * ((n - 1) * 0.9 - floor((n - 1) * 0.9)), 0) / 100.0 AS p90,
+        |  ROUND(xs[CAST(floor((n - 1) * 0.99) AS INT) + 1]
+        |    + (xs[CAST(ceil((n - 1) * 0.99) AS INT) + 1]
+        |       - xs[CAST(floor((n - 1) * 0.99) AS INT) + 1])
+        |      * ((n - 1) * 0.99 - floor((n - 1) * 0.99)), 0) / 100.0 AS p99,
+        |  TRUE AS approx_ok
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q23_correlated_scalar" ->
       """SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
         |FROM customer c
@@ -405,6 +433,19 @@ object SparkEntry {
         |  ('prefs', 'json', 'STRING', 13),
         |  ('last_login', 'datetime', 'DATETIME', 14)
         |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
+    // Dialect-quirk contract pinned as a literal truth table: zero-date →
+    // NULL (CONVERT_TO_NULL), unsigned BIGINT max survives via
+    // DECIMAL(20,0), tinyint(1) stays the reference-faithful INTEGER.
+    "a04c_mysql_quirks" ->
+      """SELECT * FROM (VALUES
+        |  ('big_id', 'bigint unsigned', 'INTEGER', 'decimal(20,0)', '18446744073709551615'),
+        |  ('born', 'datetime', 'DATETIME', 'timestamp_ntz', NULL),
+        |  ('is_active', 'tinyint(1)', 'INTEGER', 'bigint', '1'),
+        |  ('price', 'decimal(10,2) unsigned', 'FLOAT', 'double', '999.99'),
+        |  ('small_id', 'bigint unsigned', 'INTEGER', 'decimal(20,0)', '42'),
+        |  ('updated', 'datetime', 'DATETIME', 'timestamp_ntz', '2024-05-01 10:30:00')
+        |) AS t(col_name, raw_type, bq_type, spark_type, parsed)
+        |ORDER BY col_name""".stripMargin,
     "a05_type_mapping" ->
       """SELECT * FROM (VALUES
         |  ('balance', 'decimal', 'balance', 'FLOAT', 'double'),
@@ -471,6 +512,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, md5(text) AS text_hash
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // Tolerance oracle: the engine emits the exact distinct count plus
+    // hll_ok = the rsd 0.02 sketch landed within 10% (5 sigma) of it.
+    // DuckDB recomputes the exact counts and asserts TRUE — a drifting
+    // sketch flips the flag and fails the hash compare.
+    "dedup_approx_hll" ->
+      """SELECT lang, COUNT(DISTINCT text) AS exact_distinct, TRUE AS hll_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_paragraph" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -116,26 +116,35 @@ object Dedup {
       .distinct()
   }
 
-  /** Incremental MinHash-LSH near-dup: the delta-vs-lake form of
-    * [[nearDupPairs]] for a daily-ingest pipeline. Only candidate pairs
-    * INVOLVING a new document are ever generated — the delta's band
-    * buckets join against the full corpus's buckets, so the lake is never
-    * re-paired against itself (the quadratic bulk that previous runs
-    * already covered). At 100 TB this is the difference between a run
-    * costing O(Δ·collisions) and re-running the whole-corpus pair join
-    * every day; recall for the emitted pair class is the SAME banded
-    * S-curve as the batch operator (identical signatures and banding,
-    * only the old×old pair class is skipped by construction).
+  /** The (id, shingles, mhs) signature frame — the persistable artifact
+    * the incremental near-dup form reuses across runs (write it out once,
+    * read it back each day instead of re-hashing the lake).
     */
-  def incrementalNearDupPairs(lake: DataFrame, delta: DataFrame,
-                              idCol: String, textCol: String,
-                              shingleN: Int = 3, numHashes: Int = 8,
-                              rowsPerBand: Int = 2,
-                              threshold: Double = 0.5): DataFrame = {
-    val sig = withMinhash(withShingles(lake.unionByName(delta), idCol,
-        textCol, shingleN), numHashes)
-      .localCheckpoint(true)
-    val sigNew = sig.join(delta.select(col(idCol)), Seq(idCol), "left_semi")
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8): DataFrame =
+    withMinhash(withShingles(docs, idCol, textCol, shingleN), numHashes)
+
+  /** Incremental MinHash-LSH near-dup against PRECOMPUTED lake
+    * signatures: the delta-vs-lake form of [[nearDupPairs]] for a
+    * daily-ingest pipeline. Only the delta is shingled and hashed this
+    * run; `lakeSig` is a previously materialized [[minhashSignatures]]
+    * frame (persisted parquet, or a checkpoint within the session), so
+    * the per-run cost is O(Δ signatures + band-bucket collisions) — the
+    * lake is neither re-hashed nor re-paired against itself. Only
+    * candidate pairs INVOLVING a delta document are ever generated (the
+    * delta's band buckets join the lake∪delta buckets); recall for the
+    * emitted pair class is the SAME banded S-curve as the batch operator
+    * (identical signatures and banding, only the old×old pair class is
+    * skipped by construction).
+    */
+  def deltaNearDupPairs(lakeSig: DataFrame, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 2,
+                        threshold: Double = 0.5): DataFrame = {
+    val sigNew = minhashSignatures(delta, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint(true) // feeds its buckets AND the verify join
+    val sig = lakeSig.unionByName(sigNew)
     val bAll = bandBuckets(sig, idCol, numHashes, rowsPerBand)
     val bNew = bandBuckets(sigNew, idCol, numHashes, rowsPerBand)
     val cands = bNew.as("l").join(bAll.as("r"),
@@ -147,6 +156,23 @@ object Dedup {
       .distinct()
     verifyJaccard(cands, sig, idCol, threshold).orderBy("a", "b")
   }
+
+  /** Convenience form of [[deltaNearDupPairs]] that builds the lake
+    * signatures in-run. NOTE the cost contract: this overload pays a
+    * full signature pass over the lake every run — what it avoids is
+    * only the quadratic lake×lake pair join. A daily pipeline at 100 TB
+    * should persist [[minhashSignatures]] of the lake once and call
+    * [[deltaNearDupPairs]] directly, which is the O(Δ·collisions) form.
+    */
+  def incrementalNearDupPairs(lake: DataFrame, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 8,
+                              rowsPerBand: Int = 2,
+                              threshold: Double = 0.5): DataFrame =
+    deltaNearDupPairs(
+      minhashSignatures(lake, idCol, textCol, shingleN, numHashes)
+        .localCheckpoint(true),
+      delta, idCol, textCol, shingleN, numHashes, rowsPerBand, threshold)
 
   /** Exact Jaccard check of candidate pairs against the true shingle sets —
     * the candidate set is tiny post-LSH, so the two joins broadcast.
@@ -218,6 +244,11 @@ object Dedup {
     * fewer than k set members hash below h in the superset implies fewer
     * below it in the subset), so the bucketed path finds every qualifying
     * pair; beyond the bound the miss probability decays as (1−t)^k. The
+    * co-occurrence floor is `least(minKeys, |smaller bottom-k set|)`, so
+    * the bound extends to docs with FEWER than minKeys distinct shingles
+    * (a 3-token doc carries one shingle; full containment puts that one
+    * shingle — its entire bottom-k — in the wrapper's set, and the
+    * capped floor admits the pair a flat minKeys floor would drop). The
     * minKeys co-occurrence floor is what keeps the exact-verify stage
     * small: random pairs rarely share even two bottom-k keys, so the
     * expensive `array_intersect` runs on true-pair-density candidates.
@@ -235,21 +266,30 @@ object Dedup {
     val sets = withShingles(docs.repartition(n), idCol, textCol, shingleN)
       .localCheckpoint(true)
     val keys = sets.select(col(idCol).as("a"),
+        least(lit(k), size(col("shingles"))).as("nka"),
         explode(expr(
           s"slice(array_sort(transform(shingles, s -> struct(xxhash64(s) AS h, s AS sg))), 1, $k)")).as("ks"))
-      .select(col("a"), col("ks.sg").as("sg"))
-    val all = sets.select(col(idCol).as("b"), explode(col("shingles")).as("sg"))
+      .select(col("a"), col("nka"), col("ks.sg").as("sg"))
+    val all = sets.select(col(idCol).as("b"),
+      least(lit(k), size(col("shingles"))).as("nkb"),
+      explode(col("shingles")).as("sg"))
     // count DISTINCT shared keys: a shingle in both docs' bottom-k shows
     // up once per join direction, and row counts would let one such
-    // shingle fake the minKeys floor
+    // shingle fake the minKeys floor. The floor itself is capped at the
+    // SMALLER doc's bottom-k size (least(nka, nkb) — symmetric, so it
+    // survives the a/b canonicalization below): a doc with fewer than
+    // minKeys distinct shingles can never share minKeys keys, and a flat
+    // minKeys floor would silently drop its containment-1.0 pair with a
+    // wrapping doc.
     val cands = keys.join(all, Seq("sg"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"), col("sg"))
+        greatest(col("a"), col("b")).as("b"), col("sg"),
+        least(col("nka"), col("nkb")).as("fk"))
       .groupBy("a", "b")
-      .agg(countDistinct(col("sg")).as("nk"))
-      .filter(col("nk") >= minKeys)
-      .drop("nk")
+      .agg(countDistinct(col("sg")).as("nk"), min(col("fk")).as("fk"))
+      .filter(col("nk") >= least(lit(minKeys), col("fk")))
+      .select("a", "b")
     cands
       .join(sets.select(col(idCol).as("a"), col("shingles").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("shingles").as("sb")), "b")
@@ -669,7 +709,13 @@ object Dedup {
     */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame, idCol: String,
                     embCol: String, threshold: Double): DataFrame = {
+    // Materialize the assignment ONCE (checkpoint barrier — the
+    // ivfpqTopK pattern): it feeds three consumers (both self-join sides
+    // and the final anti-join), and without the barrier CollapseProject
+    // re-inlines the interpreted HOF argmax into each of them, tripling
+    // the assignment work per run.
     val assigned = Similarity.ivfAssign(vecs, centroids, idCol, embCol)
+      .localCheckpoint(true)
     val l = assigned.select(col(idCol).as("a"), col(embCol).as("a_emb"), col("cid"))
     val r = assigned.select(col(idCol).as("b"), col(embCol).as("b_emb"), col("cid"))
     val dropped = l.join(r, Seq("cid"))

@@ -103,10 +103,13 @@ object LlmQueries {
     Dedup.nearDupPairs(nearDupDocs(s, dir), "doc_id", "text",
       shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
 
-  /** Incremental near-dup ([[Dedup.incrementalNearDupPairs]]): lake =
-    * the documents table, delta = the trailing-token variants (id + 1e6).
-    * Emitted pairs all involve a delta doc (a < b and delta ids are the
-    * high range, so the oracle restricts its all-pairs truth to
+  /** Incremental near-dup ([[Dedup.deltaNearDupPairs]]): lake = the
+    * documents table, delta = the trailing-token variants (id + 1e6).
+    * The lake's [[Dedup.minhashSignatures]] frame materializes ONCE
+    * (standing in for the persisted parquet artifact a daily pipeline
+    * keeps) and the run hashes only the delta — the O(Δ·collisions)
+    * form. Emitted pairs all involve a delta doc (a < b and delta ids
+    * are the high range, so the oracle restricts its all-pairs truth to
     * b ≥ 1,000,000); banding matches [[dedupMinhashLsh]], so recall for
     * this pair class is the same audited S-curve.
     */
@@ -115,7 +118,9 @@ object LlmQueries {
     val delta = d.select(
       (col("doc_id") + 1000000).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text"))
-    Dedup.incrementalNearDupPairs(d, delta, "doc_id", "text",
+    val lakeSig = Dedup.minhashSignatures(d, "doc_id", "text",
+      shingleN = 3, numHashes = 16).localCheckpoint(true)
+    Dedup.deltaNearDupPairs(lakeSig, delta, "doc_id", "text",
       shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
   }
 
@@ -446,19 +451,29 @@ object LlmQueries {
       .orderBy("event_id")
   }
 
-  /** Approximate distinct counting (HLL sketch) next to the exact answer —
-    * the 100 TB path for cardinality-only dedup questions
-    * (`approx_count_distinct` merges tiny sketches instead of Expand'ing
-    * the fact table). No SQL oracle: sketch estimates are
-    * implementation-specific, so the driver records a rows-only check;
-    * the spec asserts the estimate lands within the HLL error bound.
+  /** Approximate distinct counting (HLL sketch) WITH an in-query
+    * tolerance cross-check — the 100 TB path for cardinality-only dedup
+    * questions (`approx_count_distinct` merges tiny sketches instead of
+    * Expand'ing the fact table).
+    *
+    * Sketch estimates are implementation-specific, so the raw estimate
+    * can't hash-match an external engine. The query emits the EXACT
+    * per-group distinct count plus `hll_ok` — whether the rsd = 0.02
+    * sketch landed within 10% (5σ) of it. The oracle independently
+    * recomputes the exact counts and asserts `TRUE`: a drifting sketch
+    * flips the flag and fails the hash compare, so the error bound is
+    * oracle-verified, not self-certified. The exact column is the
+    * verification harness — a production pipeline runs the bare sketch.
     */
   def dedupApproxHll(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy("lang")
       .agg(
         countDistinct(col("text")).as("exact_distinct"),
-        approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
+        approx_count_distinct(col("text"), 0.02).as("approx"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) /
+          col("exact_distinct").cast("double") < 0.1).as("hll_ok"))
       .orderBy("lang")
 
   /** Radius search ([[Similarity.rangeSearch]]): every corpus vector

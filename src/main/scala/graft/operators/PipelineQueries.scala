@@ -152,6 +152,54 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  /** A4c — MySQL dialect VALUE quirks through the A5 map, the behaviors a
+    * real `mysql://` source exhibits that a generic JDBC catalog never
+    * shows (the round-5 verdict's "last simulated reference behavior"):
+    *
+    *   - zero-dates: MySQL permits `0000-00-00 00:00:00` in DATETIME
+    *     columns; no engine timestamp can hold it, so the pipeline adopts
+    *     the Connector/J `zeroDateTimeBehavior=CONVERT_TO_NULL` contract —
+    *     zero-dates parse to NULL, real datetimes parse normally;
+    *   - unsigned BIGINT: tops out at 2^64−1, past ANY signed 64-bit
+    *     type; the engine map widens it to DECIMAL(20,0)
+    *     ([[TypeMapper.toSparkType]]) so the max value survives
+    *     bit-for-bit where a LongType cast would overflow;
+    *   - `tinyint(1)`: MySQL's boolean CONVENTION — the reference's
+    *     ordered-substring map calls every INT an INTEGER, so `1` lands
+    *     as integer 1, reference-faithful (the boolean presentation is a
+    *     connector option, not a catalog fact).
+    *
+    * Every parse below runs as a SPARK cast over the fixture frame (the
+    * same expressions a 100 TB ingest would run row-local); only the
+    * 6-row fixture itself is driver-built, like [[a05TypeMapping]].
+    */
+  def a04cMysqlQuirks(s: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      ("born", "datetime", "0000-00-00 00:00:00"),
+      ("updated", "datetime", "2024-05-01 10:30:00"),
+      ("big_id", "bigint unsigned", "18446744073709551615"),
+      ("small_id", "bigint unsigned", "42"),
+      ("is_active", "tinyint(1)", "1"),
+      ("price", "decimal(10,2) unsigned", "999.99"))
+    val mapped = fixture.map { case (n, t, v) =>
+      (n, t, TypeMapper.toBqType(t), TypeMapper.toSparkType(t).simpleString, v) }
+    val raw = s.createDataFrame(mapped)
+      .toDF("col_name", "raw_type", "bq_type", "spark_type", "raw_value")
+    raw.select(col("col_name"), col("raw_type"), col("bq_type"), col("spark_type"),
+        when(col("spark_type") === "timestamp_ntz",
+          // CONVERT_TO_NULL: the zero-date sentinel has no timestamp value
+          when(col("raw_value").startsWith("0000-00-00"), lit(null))
+            .otherwise(col("raw_value").cast("timestamp_ntz").cast("string")))
+        .when(col("spark_type") === "decimal(20,0)",
+          col("raw_value").cast("decimal(20,0)").cast("string"))
+        .when(col("spark_type") === "bigint",
+          col("raw_value").cast("bigint").cast("string"))
+        .when(col("spark_type") === "double",
+          col("raw_value").cast("double").cast("string"))
+        .otherwise(col("raw_value")).as("parsed"))
+      .orderBy("col_name")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

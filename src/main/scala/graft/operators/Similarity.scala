@@ -30,12 +30,37 @@ object Similarity {
       when(element_at(emb, k + 1) >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Execution-time cap on the exact tier's probe-set size. The exact
+    * operators below are O(|corpus| × |probes|) BY DESIGN — the right
+    * tool for a handful of probes, a silent cluster-melter for a large
+    * probe set that should have gone to the ANN tier. The guard stays
+    * lazy (no driver-side count at construction): a global window counts
+    * the probe frame at execution — probes are broadcast-class small by
+    * contract, so the single-partition exchange is free — and the filter
+    * raises before any corpus work if the cap is exceeded.
+    */
+  val DefaultMaxExactProbes: Int = 10000
+
+  private def guardProbes(probes: DataFrame, maxProbes: Int): DataFrame = {
+    val all = Window.partitionBy()
+    probes
+      .withColumn("_np", count(lit(1)).over(all))
+      .filter(when(col("_np") <= maxProbes, lit(true)).otherwise(raise_error(concat(
+        lit("exact-tier probe set has "), col("_np"),
+        lit(s" rows, over maxProbes = $maxProbes: the exact operators are " +
+          "O(|corpus| x |probes|) — use the ANN tier (lshTopK / ivfTopK / " +
+          "ivfpqTopK) for large probe sets, or raise maxProbes")))))
+      .drop("_np")
+  }
+
   /** Exact cosine top-k for each probe: broadcast probes × streamed corpus,
     * ranked per probe with a deterministic tie-break.
     */
   def cosineTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-                 embCol: String, k: Int): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+                 embCol: String, k: Int,
+                 maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col(idCol))
     corpus.join(p, col("probe_id") =!= col(idCol))
@@ -57,21 +82,42 @@ object Similarity {
       .agg(centroid(col(embCol)).as("cemb"))
   }
 
-  /** Centroid codebook collected into a literal `array<struct<cemb,cid>>`.
-    * The codebook is k rows by construction (bounded, like a broadcast
-    * build side — this is the one sanctioned driver-side collect, same as
-    * `df.stat.bloomFilter`), so inlining it lets assignment run as a pure
-    * row-local expression. Sorted by cid for a deterministic literal.
+  /** Collected, cid-sorted codebook rows — k rows by construction
+    * (bounded, like a broadcast build side — this is the one sanctioned
+    * driver-side collect, same as `df.stat.bloomFilter`).
     */
-  private def centroidLiteral(centroids: DataFrame): Column = {
-    val rows = centroids
+  private def codebookRows(centroids: DataFrame): Array[org.apache.spark.sql.Row] =
+    centroids
       .select(col("cid").cast("int"), col("cemb").cast("array<double>"))
       .collect()
       .sortBy(_.getInt(0))
+
+  /** Collected codebook inlined as a literal `array<struct<cemb,cid>>`,
+    * so assignment runs as a pure row-local expression. Sorted by cid for
+    * a deterministic literal.
+    */
+  private def literalOf(rows: Array[org.apache.spark.sql.Row]): Column =
     array(rows.toIndexedSeq.map { r =>
       struct(typedLit(r.getSeq[Double](1)).as("cemb"), lit(r.getInt(0)).as("cid"))
     }: _*)
-  }
+
+  private def centroidLiteral(centroids: DataFrame): Column =
+    literalOf(codebookRows(centroids))
+
+  /** Estimated in-plan size of a collected codebook: 8 bytes per double
+    * plus per-row struct overhead.
+    */
+  private def codebookBytes(rows: Array[org.apache.spark.sql.Row]): Long =
+    rows.iterator.map(r => 32L + 8L * r.getSeq[Double](1).length).sum
+
+  /** Codebooks up to this estimated size inline as a literal (fastest:
+    * row-local, zero joins, no broadcast round-trip); above it the
+    * literal would be embedded in EVERY serialized task and in the
+    * generated code (a realistic IVF k = 4096 × 64-dim double codebook is
+    * ~2 MB), so [[ivfAssign]] switches to the broadcast-join formulation
+    * instead.
+    */
+  private[operators] val LiteralCodebookMaxBytes: Long = 64L * 1024
 
   /** Row-local nearest-centroid: `array_max` over per-centroid
     * (cosine, -cid, cid) structs realizes the (ccos DESC, cid ASC)
@@ -98,13 +144,45 @@ object Similarity {
       coalesce(assignBest(col(embCol), centArr).getField("cid"), lit(-1)).as("cid"))
 
   /** IVF assignment: nearest centroid by cosine, deterministic tie-break
-    * on cid. Zero joins, zero shuffles — one projection over the corpus
-    * against the inlined codebook; only the k-row centroid collect moves
-    * data to the driver.
+    * on cid. Size-gated on the collected codebook: small codebooks inline
+    * as a literal (zero joins, zero shuffles — one projection over the
+    * corpus; only the k-row centroid collect moves data to the driver);
+    * codebooks past [[LiteralCodebookMaxBytes]] take the broadcast-join
+    * path ([[ivfAssignBroadcast]]) so the codebook ships once per
+    * executor instead of once per serialized task.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
-                idCol: String, embCol: String): DataFrame =
-    ivfAssignLit(vectors, centroidLiteral(centroids), idCol, embCol)
+                idCol: String, embCol: String): DataFrame = {
+    val rows = codebookRows(centroids)
+    if (codebookBytes(rows) <= LiteralCodebookMaxBytes)
+      ivfAssignLit(vectors, literalOf(rows), idCol, embCol)
+    else ivfAssignBroadcast(vectors, centroids, idCol, embCol)
+  }
+
+  /** Large-codebook assignment: the codebook BROADCASTS (one copy per
+    * executor via the broadcast manager) and the argmax runs as a
+    * map-side-combined `max(struct)` aggregate — the k-fold candidate
+    * expansion collapses within each input partition before the single
+    * shuffle on the id, so shuffle volume is |corpus| rows, not
+    * k × |corpus|. Output and tie-break ((ccos DESC, cid ASC)) are
+    * identical to the literal path; requires a non-empty codebook (the
+    * [[ivfAssign]] gate only routes here above the size threshold, and
+    * an above-threshold codebook is non-empty by definition).
+    */
+  private[operators] def ivfAssignBroadcast(vectors: DataFrame, centroids: DataFrame,
+                                            idCol: String, embCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col("cid").cast("int").as("cb_cid"),
+      col("cemb").cast("array<double>").as("cb_cemb")))
+    vectors.select(col(idCol), col(embCol)).crossJoin(c)
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol), // constant within the group
+        max(struct(
+          VectorOps.cosine(col(embCol), col("cb_cemb")).as("ccos"),
+          (-col("cb_cid")).as("ncid"),
+          col("cb_cid").as("cid"))).as("best"))
+      .select(col(idCol), col(embCol),
+        coalesce(col("best.cid"), lit(-1)).as("cid"))
+  }
 
   /** IVF ANN (nprobe = 1): probes search only the inverted list of their
     * nearest centroid. Assignment is a row-local projection (no corpus
@@ -168,8 +246,10 @@ object Similarity {
     * so there is no shuffle at all.
     */
   def rangeSearch(corpus: DataFrame, probes: DataFrame, idCol: String,
-                  embCol: String, minCos: Double): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+                  embCol: String, minCos: Double,
+                  maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
     corpus.join(p, col("probe_id") =!= col(idCol))
       .withColumn("cos", VectorOps.cosine(col("p_emb"), col(embCol)))
       .filter(col("cos") >= minCos)
@@ -191,8 +271,10 @@ object Similarity {
     * frame, and the spec pins the reduction's rank-equivalence.
     */
   def mipsTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-               embCol: String, k: Int): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+               embCol: String, k: Int,
+               maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("ip").desc, col(idCol))
     corpus.join(p, col("probe_id") =!= col(idCol))
       .withColumn("ip", VectorOps.dotHof(col("p_emb"), col(embCol)))
@@ -234,8 +316,10 @@ object Similarity {
     * [[cosineTopK]]: broadcast probes, one corpus scan, per-probe window.
     */
   def l2TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-             embCol: String, k: Int): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+             embCol: String, k: Int,
+             maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("dist"), col(idCol))
     corpus.join(p, col("probe_id") =!= col(idCol))
       .withColumn("dist", l2sq(col("p_emb"), col(embCol)))
@@ -284,8 +368,15 @@ object Similarity {
     // position → original cid, for the output columns
     def cidAt(arr: Column, pos: Column): Column =
       element_at(transform(arr, c => c.getField("cid")), pos + 1)
+    // MATERIALIZE the code table (checkpoint barrier, same as ivfpqTopK):
+    // encode-once is the PQ contract, and without the barrier
+    // CollapseProject re-inlines the interpreted argmin lambda chain into
+    // every consumer — both code columns and the join's derived-key null
+    // filter — the defect class the ANN scalecheck measured at 67× on the
+    // IVF-PQ sibling before its fix.
     val enc = corpus.select(col(idCol).as("cand_id"),
-      argminCode(sub1, arr1).as("c1"), argminCode(sub2, arr2).as("c2"))
+        argminCode(sub1, arr1).as("c1"), argminCode(sub2, arr2).as("c2"))
+      .localCheckpoint(true)
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       transform(arr1, c => l2sq(sub1, c.getField("cemb"))).as("pd1"),
       transform(arr2, c => l2sq(sub2, c.getField("cemb"))).as("pd2")))
@@ -419,8 +510,9 @@ object Similarity {
     */
   def twoStageTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                    embCol: String, prefixDims: Int, candidates: Int,
-                   k: Int): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+                   k: Int, maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
     val w1 = Window.partitionBy("probe_id").orderBy(col("pcos").desc, col(idCol))
     val stage1 = corpus.join(p, col("probe_id") =!= col(idCol))
       .withColumn("pcos", VectorOps.cosine(

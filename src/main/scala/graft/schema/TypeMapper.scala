@@ -42,6 +42,12 @@ object TypeMapper {
 
   def toSparkType(sourceType: String, lossyDecimal: Boolean = true): DataType = {
     val up = Option(sourceType).getOrElse("").toUpperCase
+    // Engine-native fidelity extension (not in the reference's 5-type
+    // warehouse map, which calls every INT an INTEGER): MySQL's unsigned
+    // BIGINT tops out at 2^64−1 — past any signed 64-bit type — so the
+    // engine widens it to DECIMAL(20,0) instead of silently overflowing
+    // LongType. [[toBqType]] stays reference-faithful (INTEGER).
+    if (up.contains("BIGINT") && up.contains("UNSIGNED")) return DecimalType(20, 0)
     toBqType(sourceType) match {
       case "DATETIME" => TimestampNTZType // wall-clock, no zone (ref :157)
       case "DATE"     => DateType

@@ -12,11 +12,12 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("every query has an oracle, except declared rows-only ops") {
-    // sketch estimates are engine-specific — error-bounded by specs instead
-    val rowsOnly = Set("dedup_approx_hll", "q22b_approx_percentiles")
+  test("every query has an oracle — no rows-only exceptions remain") {
+    // the two sketch queries carry tolerance oracles since round 6: they
+    // emit the exact answer (independently recomputed by DuckDB) plus an
+    // in-band flag the oracle pins to TRUE
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"queries missing oracles: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries missing oracles: $missing")
   }
 
   test("flagship entry returns rows (driver smoke contract)") {

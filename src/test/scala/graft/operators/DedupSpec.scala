@@ -124,6 +124,45 @@ class DedupSpec extends SparkTestBase {
     assert(jac.isEmpty, "Jaccard at 0.5 must not see the wrapped pair")
   }
 
+  test("containmentPairs: a tiny doc (fewer shingles than minKeys) still " +
+      "surfaces its containment-1.0 wrap pair") {
+    import spark.implicits._
+    // doc 1 has THREE tokens → exactly ONE distinct shingle, below the
+    // default minKeys = 2 floor; a flat floor could never admit its pair
+    // with the wrapping doc 2, but the capped floor
+    // least(minKeys, |smaller bottom-k set|) must
+    val docs = Seq(
+      (1L, "q w e"),
+      (2L, s"x1 x2 x3 x4 x5 x6 q w e y1 y2 y3 y4 y5 y6"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"tiny-doc wrap pair must surface at containment 1.0: ${got.toSeq}")
+  }
+
+  test("deltaNearDupPairs on precomputed lake signatures equals the " +
+      "in-run incremental form") {
+    import spark.implicits._
+    val lake = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "m n o p q r s t")).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "a b c d e f g h i"), (101L, "completely new doc here j k"))
+      .toDF("doc_id", "text")
+    val viaSig = Dedup.deltaNearDupPairs(
+        Dedup.minhashSignatures(lake, "doc_id", "text").localCheckpoint(true),
+        delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inRun = Dedup.incrementalNearDupPairs(lake, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSig == inRun, s"$viaSig vs $inRun")
+    assert(viaSig.forall { case (a, b, _) => a >= 100L || b >= 100L },
+      "every emitted pair must involve a delta doc")
+    assert(viaSig.nonEmpty, "the near-identical delta doc must pair with the lake")
+  }
+
   test("normalizedDedup: formatting variants collapse onto the original") {
     import spark.implicits._
     val docs = Seq(

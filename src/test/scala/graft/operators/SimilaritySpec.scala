@@ -167,4 +167,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(codes.forall(c => c >= 100 && (c - 100) % 7 == 0),
       s"output codes must be the caller's cids, got ${codes.mkString(",")}")
   }
+
+  test("exact-tier probe guard raises past maxProbes, passes under it") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 5) // 5 probes
+    // under the cap: normal result
+    assert(Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 2,
+      maxProbes = 5).count() > 0)
+    // over the cap: the lazy guard raises AT EXECUTION, mentioning the dial
+    for (df <- Seq(
+        Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 2, maxProbes = 4),
+        Similarity.mipsTopK(corpus, probes, "vec_id", "emb", k = 2, maxProbes = 4),
+        Similarity.l2TopK(corpus, probes, "vec_id", "emb", k = 2, maxProbes = 4),
+        Similarity.rangeSearch(corpus, probes, "vec_id", "emb", 0.9, maxProbes = 4),
+        Similarity.twoStageTopK(corpus, probes, "vec_id", "emb", 4, 10, 2,
+          maxProbes = 4))) {
+      val ex = intercept[Exception](df.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("maxProbes")),
+        s"guard must name the dial: ${msgs(ex)}")
+    }
+  }
+
+  test("ivfAssign broadcast path equals the literal path, and large " +
+      "codebooks route to it") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val cents = Similarity.trainCentroids(e, "label", "emb")
+    val corpus = e.drop("label")
+    // small codebook: default gate takes the literal path; the broadcast
+    // formulation must produce the identical assignment (same tie-break)
+    val viaLit = Similarity.ivfAssign(corpus, cents, "vec_id", "emb")
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaBc = Similarity.ivfAssignBroadcast(corpus, cents, "vec_id", "emb")
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaLit == viaBc)
+    // large codebook (k = 2048 × 16 dims ≈ 330 KB > the 64 KB literal
+    // cap): the gate must route to the broadcast path — the plan carries
+    // a broadcast exchange and partial aggregation, not a megabyte
+    // literal serialized into every task
+    val bigCents = spark.range(2048).select(col("id").cast("int").as("cid"),
+        expr("transform(sequence(1, 16), j -> CAST(id * 31 + j AS DOUBLE) / 65536.0)").as("cemb"))
+      .localCheckpoint(true)
+    val assigned = Similarity.ivfAssign(corpus.limit(50), bigCents, "vec_id", "emb")
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"large codebook must broadcast, not inline:\n${p.take(2000)}")
+    assert(p.length < 200000, "no megabyte codebook literal in the plan")
+    assert(assigned.count() == 50 &&
+      assigned.select("cid").distinct().count() >= 1)
+  }
 }

@@ -43,6 +43,28 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.toSparkType("double", lossyDecimal = false) == DoubleType)
   }
 
+  test("MySQL unsigned BIGINT widens to DECIMAL(20,0); BQ map stays faithful") {
+    assert(TypeMapper.toSparkType("bigint unsigned") == DecimalType(20, 0))
+    assert(TypeMapper.toSparkType("BIGINT(20) UNSIGNED") == DecimalType(20, 0))
+    assert(TypeMapper.toBqType("bigint unsigned") == "INTEGER") // reference-faithful
+    // plain bigint and other unsigned types are untouched
+    assert(TypeMapper.toSparkType("bigint") == LongType)
+    assert(TypeMapper.toSparkType("int unsigned") == LongType)
+    assert(TypeMapper.toSparkType("decimal(10,2) unsigned") == DoubleType)
+  }
+
+  test("a04c dialect quirks: zero-date nulls, unsigned max survives, " +
+      "tinyint(1) stays integer") {
+    val spark = graft.Engine.session("typemapper-a04c", "2")
+    val got = graft.operators.PipelineQueries.a04cMysqlQuirks(spark, "")
+      .collect().map(r => r.getString(0) -> Option(r.getString(4))).toMap
+    assert(got("born").isEmpty, "zero-date must CONVERT_TO_NULL")
+    assert(got("updated").contains("2024-05-01 10:30:00"))
+    assert(got("big_id").contains("18446744073709551615"),
+      "2^64-1 must survive the DECIMAL(20,0) widening bit-for-bit")
+    assert(got("is_active").contains("1"))
+  }
+
   test("name sanitization rules") {
     assert(TypeMapper.sanitizeName("full name") == "full_name")
     assert(TypeMapper.sanitizeName("either/or") == "either_and_or")
