@@ -21,7 +21,9 @@ object ProfMain {
         "text_bpe_pairs", "text_bigram_lm", "sim_pq_recall",
         "dedup_paragraph", "sim_twostage", "sim_ivfpq_ann",
         "dedup_semantic", "dedup_normalized", "text_pii", "prep_mix",
-        "dedup_containment", "dq_drift", "sim_mips_topk", "dedup_soft", "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample", "sim_range_search")
+        "dedup_containment", "dq_drift", "sim_mips_topk", "dedup_soft",
+        "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample",
+        "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

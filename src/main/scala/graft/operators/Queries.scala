@@ -332,32 +332,48 @@ object Queries {
     * the formulation that scales: sort-merge percentiles never hold a
     * group's value distribution in memory.
     */
-  def q22(s: SparkSession, dir: String): DataFrame = {
-    // Percentiles on exact integer CENTS, interpolated with one shared
-    // formula and rounded to whole cents: the lo/hi sums are exact
-    // integers in any summation order, the interpolation runs on
-    // identical doubles in every engine, and the f = .5 median case
-    // lands on a binary-representable .5 — the one value both rounding
-    // pipelines treat identically. (A double-valued spelling hit a
-    // shortest-repr .xx5 boundary at sf0.001: Spark's decimal-aware
-    // round and a binary round disagree there.)
+  // Percentiles on exact integer CENTS, interpolated with one shared
+  // formula and rounded to whole cents: the lo/hi sums are exact
+  // integers in any summation order, the interpolation runs on
+  // identical doubles in every engine, and the f = .5 median case
+  // lands on a binary-representable .5 — the one value both rounding
+  // pipelines treat identically. (A double-valued spelling hit a
+  // shortest-repr .xx5 boundary at sf0.001: Spark's decimal-aware
+  // round and a binary round disagree there.)
+  private def rankedCents(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag").orderBy("cents", "l_orderkey", "l_linenumber")
     val wc = Window.partitionBy("l_returnflag")
-    val ranked = t(s, dir, "lineitem")
+    t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .withColumn("rn", row_number().over(w).cast("double") - 1)
       .withColumn("nn", count(lit(1)).over(wc).cast("double"))
-    def pct(p: Double, name: String) = {
-      val lo = s"SUM(CASE WHEN rn = floor((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
-      val hi = s"SUM(CASE WHEN rn = ceil((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
-      expr(s"CAST(ROUND($lo + ($hi - $lo) * ((COUNT(*) - 1) * $p - floor((COUNT(*) - 1) * $p)), 0) AS DOUBLE) / 100.0")
-        .as(name)
-    }
-    ranked.groupBy("l_returnflag")
-      .agg(pct(0.5, "med"), pct(0.9, "p90"), pct(0.99, "p99"))
-      .orderBy("l_returnflag")
   }
+
+  /** Interpolated-cents aggregate at quantile p, rounded to whole cents
+    * and emitted in dollars — the hash-stable output form.
+    */
+  private def pctCents(p: Double, name: String) = {
+    val lo = s"SUM(CASE WHEN rn = floor((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+    val hi = s"SUM(CASE WHEN rn = ceil((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+    expr(s"CAST(ROUND($lo + ($hi - $lo) * ((COUNT(*) - 1) * $p - floor((COUNT(*) - 1) * $p)), 0) AS DOUBLE) / 100.0")
+      .as(name)
+  }
+
+  /** Un-rounded interpolated cents at quantile p — internal band
+    * endpoints (never hash-compared, so no rounding discipline needed).
+    */
+  private def pctCentsRaw(p: Double, name: String) = {
+    val lo = s"SUM(CASE WHEN rn = floor((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+    val hi = s"SUM(CASE WHEN rn = ceil((nn - 1) * $p) THEN cents ELSE CAST(0 AS BIGINT) END)"
+    expr(s"$lo + ($hi - $lo) * ((COUNT(*) - 1) * $p - floor((COUNT(*) - 1) * $p))")
+      .as(name)
+  }
+
+  def q22(s: SparkSession, dir: String): DataFrame =
+    rankedCents(s, dir).groupBy("l_returnflag")
+      .agg(pctCents(0.5, "med"), pctCents(0.9, "p90"), pctCents(0.99, "p99"))
+      .orderBy("l_returnflag")
 
   /** Q22b — approximate percentiles WITH an in-query tolerance
     * cross-check: the 100 TB path. `approx_percentile` keeps a bounded
@@ -385,23 +401,24 @@ object Queries {
     *   - accuracy 2000 (rank error ≤ n/2000) instead of 10000: the
     *     sketch stays O(accuracy) per group regardless of data size.
     */
-  def q22b(s: SparkSession, dir: String): DataFrame = {
-    val bounds = t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)")
-          .as("ps"),
-        // exact value band at q ± 4/2000 — internal only, so the builtin
-        // interpolating percentile is fine here (never hash-compared)
-        expr("percentile(l_extendedprice, array(0.498, 0.502, 0.898, 0.902, 0.988, 0.992))")
-          .as("es"))
-      .select(col("l_returnflag"),
-        (element_at(col("ps"), 1).between(element_at(col("es"), 1), element_at(col("es"), 2)) &&
-         element_at(col("ps"), 2).between(element_at(col("es"), 3), element_at(col("es"), 4)) &&
-         element_at(col("ps"), 3).between(element_at(col("es"), 5), element_at(col("es"), 6)))
+  def q22b(s: SparkSession, dir: String): DataFrame =
+    // ONE ranked pass serves everything: the exact output percentiles,
+    // the q ± 0.002 band endpoints (the same interpolation formula, no
+    // builtin per-group value map), and the sketch itself — which runs
+    // over the SAME cents domain its band is computed on, so the
+    // tolerance compare is apples-to-apples.
+    rankedCents(s, dir).groupBy("l_returnflag")
+      .agg(pctCents(0.5, "med"), pctCents(0.9, "p90"), pctCents(0.99, "p99"),
+        pctCentsRaw(0.498, "b1l"), pctCentsRaw(0.502, "b1h"),
+        pctCentsRaw(0.898, "b2l"), pctCentsRaw(0.902, "b2h"),
+        pctCentsRaw(0.988, "b3l"), pctCentsRaw(0.992, "b3h"),
+        expr("approx_percentile(cents, array(0.5, 0.9, 0.99), 2000)").as("ps"))
+      .select(col("l_returnflag"), col("med"), col("p90"), col("p99"),
+        (element_at(col("ps"), 1).between(col("b1l"), col("b1h")) &&
+         element_at(col("ps"), 2).between(col("b2l"), col("b2h")) &&
+         element_at(col("ps"), 3).between(col("b3l"), col("b3h")))
           .as("approx_ok"))
-    q22(s, dir).join(bounds, Seq("l_returnflag")).orderBy("l_returnflag")
-  }
+      .orderBy("l_returnflag")
 
   /** Q13b — CUBE over the same lattice as Q13's ROLLUP (adds the
     * nation-only subtotal stratum).
