@@ -23,7 +23,8 @@ object ProfMain {
         "dedup_semantic", "dedup_normalized", "text_pii", "prep_mix",
         "dedup_containment", "dq_drift", "sim_mips_topk", "dedup_soft",
         "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample",
-        "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll")
+        "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll",
+        "prep_curriculum", "mm_binary_dedup")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

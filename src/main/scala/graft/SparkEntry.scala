@@ -146,6 +146,8 @@ object SparkEntry {
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
+    "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
+    "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
@@ -1597,6 +1599,21 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.source, r.rk * ns.n + si.src_idx AS slot
         |FROM r JOIN si ON r.source = si.src, ns ORDER BY slot""".stripMargin,
+    "prep_curriculum" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |f AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM f),
+        |sc AS (
+        |  SELECT doc_id, ROUND(AVG(-ln(f.c / tot.n_total)), 4) AS difficulty
+        |  FROM tok JOIN f USING (t) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT doc_id, difficulty,
+        |  CAST(NTILE(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "mm_binary_dedup" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "a27_orc_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev,

@@ -105,6 +105,21 @@ object Dedup {
       .select(col(idCol), col("b.band_id"), col("b.band_hash"))
   }
 
+  /** Pick `rowsPerBand` for a target Jaccard threshold: the banded
+    * S-curve's 50%-collision midpoint is `(1/b)^(1/r)` (b bands of r
+    * rows), and the divisor of `numHashes` whose midpoint lands closest
+    * to the target gives the steepest useful curve — the standard LSH
+    * tuning rule (Leskovec/Rajaraman/Ullman, MMDS §3.4.3), here as a
+    * function instead of folklore. Deterministic driver-side arithmetic;
+    * feed the result to [[nearDupPairs]] / [[lshCandidates]].
+    */
+  def bandingForThreshold(numHashes: Int, threshold: Double): Int = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .minBy(r => math.abs(
+        math.pow(1.0 / (numHashes / r), 1.0 / r) - threshold))
+  }
+
   def lshCandidates(sig: DataFrame, idCol: String,
                     numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val buckets = bandBuckets(sig, idCol, numHashes, rowsPerBand)

@@ -377,6 +377,36 @@ object LlmQueries {
     Dedup.softDedupWeights(variants, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Curriculum staging ([[Prep.curriculum]]): the corpus ranked by its
+    * unigram-surprisal difficulty score ([[TextAnalysis.unigramLogProb]],
+    * the text_lm_score signal) and cut into 4 contiguous easy-to-hard
+    * stages. Deterministic total order (score, doc_id), so DuckDB's
+    * SQL-standard NTILE over the same ordering reproduces the stages
+    * bit-for-bit. The registered form is the exact NTILE tier (the score
+    * table is per-document); [[Prep.curriculumBySketch]] is the
+    * spec-covered 100 TB path — sketch cutpoints, no global window.
+    */
+  def prepCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("avg_surprisal").as("difficulty"))
+    Prep.curriculum(scored, "doc_id", "difficulty", stages = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Exact binary-content dedup over the multimodal ingest frame
+    * ([[Multimodal.attachBinary]]): identical payloads collapse on their
+    * md5 fingerprint — the first pass every image/audio corpus runs
+    * before any perceptual near-dup work (it removes exact re-uploads
+    * for the cost of one map-side-combined aggregate on the digest).
+    */
+  def mmBinaryDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.attachBinary(docs(s, dir), "doc_id", "text")
+      .groupBy(md5(col("data")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("meta.n_bytes")).as("total_bytes"))
+      .orderBy("keep_id")
+
   /** Deterministic round-robin interleave of the document sources
     * ([[Prep.interleaveSources]]): the curriculum-mixing layout where
     * consecutive slots cycle through sources; slot assignment is closed

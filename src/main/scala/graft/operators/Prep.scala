@@ -167,6 +167,46 @@ object Prep {
         (col("rk") * srcs.length + col("src_idx")).as("slot"))
   }
 
+  /** Curriculum staging: rank the corpus by a difficulty score and cut it
+    * into `stages` contiguous blocks (stage 1 = easiest), the
+    * easy-to-hard ordering curriculum-learning schedules consume. The
+    * ordering is total — (score, id) — so stage assignment is
+    * deterministic and engine-portable (SQL-standard NTILE over the same
+    * ordering reproduces it bit-for-bit).
+    *
+    * This is the EXACT tier: NTILE needs global ranks, i.e. one ordering
+    * pass (fine for the per-document score table, which is many orders
+    * smaller than the token data). At 100 TB corpus-table scale, swap to
+    * [[curriculumBySketch]] — sketch-estimated stage cutpoints applied
+    * row-locally, no global window at all.
+    */
+  def curriculum(scored: DataFrame, idCol: String, scoreCol: String,
+                 stages: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol), col(idCol))
+    scored.select(col(idCol), col(scoreCol),
+      ntile(stages).over(w).cast("long").as("stage"))
+  }
+
+  /** The scale-tier curriculum: stage cutpoints come from ONE
+    * `approx_percentile` sketch pass (bounded memory, map-side merged)
+    * and every row buckets against the broadcast cutpoint array
+    * row-locally — no global ordering window anywhere. Stage boundaries
+    * can differ from [[curriculum]]'s exact NTILE by the sketch's rank
+    * error (n/accuracy rows around each cutpoint); the interior of each
+    * stage is identical.
+    */
+  def curriculumBySketch(scored: DataFrame, idCol: String, scoreCol: String,
+                         stages: Int, accuracy: Int = 10000): DataFrame = {
+    val qs = (1 until stages).map(i => i.toDouble / stages)
+    val cuts = scored.agg(expr(
+      s"approx_percentile($scoreCol, array(${qs.mkString(", ")}), $accuracy)")
+      .as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(scoreCol),
+        (aggregate(transform(col("cuts"), c => when(col(scoreCol) > c, 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x) + 1L).as("stage"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, blockSize: Long = 4096L): DataFrame = {
     val toks = docs.select(col(idCol),

@@ -138,9 +138,19 @@ class DedupPropertySpec extends SparkTestBase {
       val texts = Gen.listOfN(25, docGen).pureApply(Gen.Parameters.default, seed)
       seed = seed.next
       val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      // ids 100+: the first 8 docs wrapped in id-specific boilerplate
+      // ids 100+: the first 8 docs wrapped in id-specific boilerplate.
+      // ids 200+/300+: TINY docs (3-5 tokens → 1-3 shingles, BELOW the
+      // minKeys floor) and their wrapped versions — the capped
+      // co-occurrence floor must keep the bottom-k path exhaustive for
+      // them too (a flat minKeys floor silently drops their pairs)
+      val tiny = Gen.listOfN(4, Gen.choose(3, 5)
+          .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" ")))
+        .pureApply(Gen.Parameters.default, seed.next)
+        .zipWithIndex.map { case (t, i) => (i + 200L, t) }
       val corpus = base ++ base.take(8).map { case (i, t) =>
-        (i + 100L, s"p${i}x p${i}y p${i}z $t s${i}x s${i}y") }
+        (i + 100L, s"p${i}x p${i}y p${i}z $t s${i}x s${i}y") } ++
+        tiny ++ tiny.map { case (i, t) =>
+          (i + 100L, s"w${i}a w${i}b $t w${i}c w${i}d") }
       val byId = corpus.toMap
       val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
           "doc_id", "text", threshold = 0.9)

@@ -142,6 +142,22 @@ class DedupSpec extends SparkTestBase {
       s"tiny-doc wrap pair must surface at containment 1.0: ${got.toSeq}")
   }
 
+  test("bandingForThreshold picks the divisor with the closest S-curve midpoint") {
+    // midpoints for 16 hashes: r=1→0.0625, r=2→0.354, r=4→0.707,
+    // r=8→0.917, r=16→1.0
+    assert(Dedup.bandingForThreshold(16, 0.5) == 2)
+    assert(Dedup.bandingForThreshold(16, 0.7) == 4)
+    assert(Dedup.bandingForThreshold(16, 0.9) == 8)
+    assert(Dedup.bandingForThreshold(8, 0.5) == 2) // r=2→0.5 exactly
+    // exhaustive check of the minimization contract
+    for (n <- Seq(8, 16, 32); t <- Seq(0.2, 0.5, 0.8)) {
+      val got = Dedup.bandingForThreshold(n, t)
+      def mid(r: Int) = math.pow(1.0 / (n / r), 1.0 / r)
+      val best = (1 to n).filter(n % _ == 0).map(r => math.abs(mid(r) - t)).min
+      assert(math.abs(mid(got) - t) == best)
+    }
+  }
+
   test("deltaNearDupPairs on precomputed lake signatures equals the " +
       "in-run incremental form") {
     import spark.implicits._

