@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 /** Multi-executor execution evidence (not part of the driver contract).
   *
-  * Runs a representative query slice on `local-cluster[2,4,2048]` — Spark's
-  * standalone-mode test master that launches TWO SEPARATE EXECUTOR JVMs on
-  * this host — then re-runs the same slice on plain `local[8]` in the same
-  * driver and compares row counts plus an order-independent value hash.
+  * Runs the FULL registered query surface (minus the per-JVM embedded-Derby
+  * queries) on `local-cluster[2,4,2048]` — Spark's standalone-mode test
+  * master that launches TWO SEPARATE EXECUTOR JVMs on this host — then
+  * re-runs the same slice on plain `local[8]` in the same driver and
+  * compares row counts plus an order-independent value hash.
   *
   * What this proves that `local[N]` cannot: closures, Encoders and the
   * codebook/Bloom literals actually SERIALIZE across JVM boundaries; shuffles
@@ -25,12 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object ClusterSmoke {
 
-  private val slice = Seq(
-    "q03_hash_aggregate", "q04_star_join", "q10_window_topk",
-    "q16_global_topk", "q22b_approx_percentiles", "q31_bloom_semi_join",
-    "dedup_minhash_lsh", "dedup_cluster", "dedup_semantic",
-    "sim_ivfpq_ann", "sim_pq_ann", "text_tfidf", "prep_curriculum",
-    "mm_binary_dedup")
+  /** Embedded Derby is `jdbc:derby:memory:` — a PER-JVM store, so an
+    * executor JVM connecting to it sees a fresh empty database. These
+    * queries are single-process by design (on a real cluster the JDBC
+    * source is a network database); everything else runs clustered.
+    */
+  private val derbyBacked = Set("a01_jdbc_pushdown", "a02_jdbc_partitioned",
+    "a04_catalog_scan", "a04b_mysql_catalog", "a21_jdbc_publish")
+
+  private def slice: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(derbyBacked)
 
   private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val cols = df.columns.sorted.map(c => col(c).cast("string"))

@@ -414,10 +414,18 @@ object Dedup {
     * this path is exact, not probabilistic. The bit_count verify on the
     * candidate set removes band-collision false positives.
     *
-    * Scale: one signature pass (checkpointed — reused by all bands), a
-    * self-join shuffling on (band_id, band_bits) buckets, and a codegen'd
-    * builtin bit_count verify. Never all-pairs; cost tracks bucket
-    * collisions exactly like [[lshCandidates]].
+    * Scale: the band join runs over DISTINCT signatures, not docs. A
+    * duplicate-heavy corpus (the dedup use case) collapses onto far
+    * fewer signatures than documents, and identical signatures are the
+    * WORST band-join citizens — they collide in every one of the
+    * `maxDist + 1` bands, so a doc-level join regenerates each identical
+    * group's |g|² pairs per band and then pays a distinct to collapse
+    * them. The rollup computes each signature pair once, expands to doc
+    * pairs through two output-bounded joins, and emits the (dist = 0)
+    * identical-signature pairs from a direct equality self-join. One
+    * signature pass (checkpointed — reused by the bands and both
+    * expansions); never all-pairs; bucket-collision cost now tracks
+    * DISTINCT-signature density, immune to duplicate skew.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, maxDist: Int = 3): DataFrame = {
@@ -426,22 +434,36 @@ object Dedup {
     val bandWidth = bits / nBands
     val mask = (1L << bandWidth) - 1
     val sigs = simhash(docs, idCol, textCol, bits).localCheckpoint(true)
+    val dsig = sigs.select(col("simhash")).distinct()
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band_id"),
         expr(s"shiftright(simhash, ${b * bandWidth}) & $mask").as("band_bits"))
     }
-    val buckets = sigs
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bd"))
-      .select(col(idCol), col("simhash"), col("bd.band_id"), col("bd.band_bits"))
-    buckets.as("l").join(buckets.as("r"),
+    val buckets = dsig
+      .select(col("simhash"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("simhash"), col("bd.band_id"), col("bd.band_bits"))
+    val sigPairs = buckets.as("l").join(buckets.as("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_bits") === col("r.band_bits") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+          col("l.simhash") < col("r.simhash"))
+      .select(col("l.simhash").as("sa"), col("r.simhash").as("sb"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
-      .distinct() // a close pair collides in several bands
-      .orderBy("a", "b")
+      .distinct() // a close signature pair collides in several bands
+    // expand signature pairs to doc pairs (each doc has ONE signature, so
+    // a doc pair arises from exactly one signature pair — already unique)
+    val near = sigPairs
+      .join(sigs.select(col("simhash").as("sa"), col(idCol).as("ia")), "sa")
+      .join(sigs.select(col("simhash").as("sb"), col(idCol).as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+    // identical signatures: dist 0, straight equality self-join
+    val same = sigs.as("l").join(sigs.as("r"),
+        col("l.simhash") === col("r.simhash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        lit(0L).as("dist"))
+    near.unionByName(same).orderBy("a", "b")
   }
 
   /** Connected components over a near-dup pair list — the clustering step
