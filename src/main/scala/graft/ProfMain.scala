@@ -24,7 +24,7 @@ object ProfMain {
         "dedup_containment", "dq_drift", "sim_mips_topk", "dedup_soft",
         "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample",
         "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll",
-        "prep_curriculum", "mm_binary_dedup")
+        "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

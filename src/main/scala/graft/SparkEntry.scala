@@ -64,6 +64,7 @@ object SparkEntry {
     "q30_hash_sample"       -> (Analytics.hashSample _),
     "q31_bloom_semi_join"   -> (Analytics.bloomSemiJoin _),
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
+    "q41_interval_overlap"  -> (Analytics.intervalOverlapJoin _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1068,6 +1069,24 @@ object SparkEntry {
         |SELECT win_start, COUNT(*) AS n_events
         |FROM events e JOIN w ON date_trunc('day', e.ts) = w.win_start
         |  AND e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 1 DAY
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // Direct (un-bucketed) interval-overlap truth: the oracle joins on
+    // the raw overlap predicate; the engine's bucketed first-shared-
+    // bucket emission must produce the identical pair set.
+    "q41_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS win_start
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000),
+        |w2 AS (SELECT win_start, win_start + INTERVAL 2 DAY AS win_last FROM w),
+        |li AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS sd,
+        |    CAST(date_trunc('day', l_shipdate) AS TIMESTAMP)
+        |      + (CAST(l_quantity AS INT) % 7 + 1) * INTERVAL 1 DAY AS rd
+        |  FROM lineitem)
+        |SELECT win_start, COUNT(*) AS n_overlaps,
+        |  ROUND(AVG(datediff('day', GREATEST(sd, win_start),
+        |    LEAST(rd, win_last)) + 1), 4) AS avg_overlap_days
+        |FROM li JOIN w2 ON sd <= win_last AND rd >= win_start
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
     "q35_array_functions" ->
       """SELECT doc_id,

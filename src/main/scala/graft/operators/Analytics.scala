@@ -463,6 +463,50 @@ object Analytics {
       .orderBy("win_start")
   }
 
+  /** Q41 — interval-OVERLAP join, the interval×interval case of
+    * [[rangeBucketJoin]]'s point-in-interval shape (genomic range joins,
+    * incident-vs-activity windows, session-vs-maintenance overlap). Both
+    * interval sets explode into the day buckets they cover, the join is
+    * an equi-join on the bucket, and each overlapping pair is emitted
+    * EXACTLY ONCE — by the row whose bucket equals the pair's FIRST
+    * shared bucket, `greatest(start_l, start_r)` — so there is no
+    * post-join `distinct` pass at all (the classic dedup-free bucketed
+    * interval join). Shipping intervals: [ship day, ship day + qty%7+1]
+    * — deterministic from the data; windows: 3-day incident windows
+    * anchored on urgent high-value order days.
+    *
+    * Scale shape: the bucket explode is a row-local flatMap bounded by
+    * the interval span / grid ratio (the tuning dial: coarser grid =
+    * fewer replicas, more residual filtering); the window side is
+    * bounded and broadcasts, so the fact side never shuffles; the
+    * per-window aggregate combines map-side. A plain interval-overlap
+    * theta join would be a BroadcastNestedLoopJoin doing |L|·|R| full
+    * comparisons.
+    */
+  def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val windows = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+      .select(date_trunc("DAY", col("o_orderdate")).as("win_start"))
+      .distinct()
+      .withColumn("win_last", col("win_start") + expr("INTERVAL 2 DAY"))
+      .withColumn("bucket",
+        explode(expr("sequence(win_start, win_last, INTERVAL 1 DAY)")))
+    val ship = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_trunc("DAY", col("l_shipdate")).as("sd"),
+        expr("date_trunc('DAY', l_shipdate) + (CAST(l_quantity AS INT) % 7 + 1) * INTERVAL '1' DAY")
+          .as("rd"))
+      .withColumn("bucket", explode(expr("sequence(sd, rd, INTERVAL 1 DAY)")))
+    ship.join(broadcast(windows), Seq("bucket"))
+      // first-shared-bucket emission: exactly one row per overlapping pair
+      .filter(col("bucket") === greatest(col("sd"), col("win_start")))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_overlaps"),
+        round(avg(datediff(least(col("rd"), col("win_last")),
+          greatest(col("sd"), col("win_start"))) + 1), 4).as("avg_overlap_days"))
+      .orderBy("win_start")
+  }
+
   /** Q40 — ordered/statistical aggregate family: exact MEDIAN (interpolated
     * at even counts), deterministic MODE (highest count, ties to the
     * SMALLEST value — built from two grouped aggregates, not the built-in

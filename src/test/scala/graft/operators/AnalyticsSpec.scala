@@ -74,6 +74,29 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
+  test("interval-overlap join equals the un-bucketed theta join " +
+      "(first-shared-bucket emits each pair once)") {
+    val windows = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+      .select(date_trunc("DAY", col("o_orderdate")).as("win_start"))
+      .distinct()
+      .withColumn("win_last", col("win_start") + expr("INTERVAL 2 DAY"))
+    val ship = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(date_trunc("DAY", col("l_shipdate")).as("sd"),
+        expr("date_trunc('DAY', l_shipdate) + (CAST(l_quantity AS INT) % 7 + 1) * INTERVAL '1' DAY").as("rd"))
+    // reference: plain overlap theta join (BNLJ — fine at spec scale)
+    val want = ship.join(windows,
+        col("sd") <= col("win_last") && col("rd") >= col("win_start"))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_overlaps"),
+        round(avg(datediff(least(col("rd"), col("win_last")),
+          greatest(col("sd"), col("win_start"))) + 1), 4).as("avg_overlap_days"))
+    val got = Analytics.intervalOverlapJoin(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucketed overlap join must equal the direct theta join")
+    assert(got.count() > 0)
+  }
+
   test("approx percentiles land within sketch tolerance of the exact values") {
     // the rank-bound check now lives IN the query (oracle-verified via
     // the approx_ok flag): the sketch estimate must land in the exact

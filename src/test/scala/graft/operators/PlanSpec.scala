@@ -128,6 +128,29 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q22b: one ranked pass — a single lineitem scan feeds exact " +
+      "percentiles, band endpoints and the sketch") {
+    val p = plan("q22b_approx_percentiles")
+    assert("Scan parquet|FileScan parquet".r.findAllMatchIn(p).size == 1,
+      s"q22b must scan lineitem exactly once:\n$p")
+    assert(p.contains("approx_percentile") || p.contains("ApproxPercentile")
+      || p.contains("percentile_approx"),
+      "the sketch aggregate must be in the same plan")
+  }
+
+  test("simhash pairs: band join runs over distinct signatures, " +
+      "one corpus scan") {
+    val p = plan("dedup_simhash_pairs")
+    // the signature frame is checkpointed once; every downstream consumer
+    // (distinct-signature bands, both expansions, the equality self-join)
+    // reads the materialized RDD, not the parquet source again
+    assert(p.contains("Scan ExistingRDD"),
+      s"signatures must come from the checkpoint:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllMatchIn(p).isEmpty,
+      s"no consumer may rescan the corpus after the signature pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no collect() in any registered query body (all run lazily)") {
     // Building every DataFrame must not trigger a Spark job — a query body
     // that calls collect()/count() isn't distributed-lazy. Pipeline queries
