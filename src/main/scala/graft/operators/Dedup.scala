@@ -370,16 +370,40 @@ object Dedup {
                         maxDist: Int = 5, prefixLen: Int = 40,
                         lenBucket: Int = 20): DataFrame = {
     val sets = docs.select(col(idCol),
-      substring(col(textCol), 1, prefixLen).as("pfx"),
-      element_at(split(col(textCol), " "), 1).as("b1"),
-      expr(s"CAST(floor(length($textCol) / $lenBucket) AS INT)").as("b2"))
-    sets.as("l").join(sets.as("r"),
+        substring(col(textCol), 1, prefixLen).as("pfx"),
+        element_at(split(col(textCol), " "), 1).as("b1"),
+        expr(s"CAST(floor(length($textCol) / $lenBucket) AS INT)").as("b2"))
+      .localCheckpoint(true) // one derivation pass feeds rollup + expansions
+    // Distinct-key rollup (the simhashPairs technique): near-dup corpora
+    // put MANY docs on the same (block, prefix) key — trailing-token
+    // variants share the whole 40-char prefix — and Levenshtein is the
+    // single most expensive verify here, so it must run once per
+    // distinct key pair, not once per doc pair. Identical-key groups
+    // (dist 0) come from a cheap equality self-join; the quadratic
+    // string comparison never touches duplicate multiplicity.
+    val dk = sets.select(col("pfx"), col("b1"), col("b2")).distinct()
+    val keyPairs = dk.as("l").join(dk.as("r"),
         col("l.b1") <=> col("r.b1") && col("l.b2") <=> col("r.b2") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
+          col("l.pfx") < col("r.pfx"))
       .withColumn("dist", levenshtein(col("l.pfx"), col("r.pfx")).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"), col("dist"))
-      .orderBy("a", "b")
+      .select(col("l.pfx").as("pl"), col("r.pfx").as("pr"),
+        col("l.b1").as("b1"), col("l.b2").as("b2"), col("dist"))
+    val near = keyPairs
+      .join(sets.select(col(idCol).as("ia"), col("pfx").as("pl"),
+        col("b1"), col("b2")), Seq("pl", "b1", "b2"))
+      .join(sets.select(col(idCol).as("ib"), col("pfx").as("pr"),
+        col("b1"), col("b2")), Seq("pr", "b1", "b2"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+    // === (not <=>) on pfx: a null prefix must emit nothing, matching the
+    // direct form where levenshtein(null, null) is a null dist (dropped)
+    val same = sets.as("l").join(sets.as("r"),
+        col("l.b1") <=> col("r.b1") && col("l.b2") <=> col("r.b2") &&
+          col("l.pfx") === col("r.pfx") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        lit(0L).as("dist"))
+    near.unionByName(same).orderBy("a", "b")
   }
 
   /** 32-bit SimHash per doc over its distinct tokens, built from the

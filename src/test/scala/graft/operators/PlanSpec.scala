@@ -184,9 +184,9 @@ class PlanSpec extends SparkTestBase {
       // PQ/IVF-PQ contract; dedup_semantic checkpoints its assignment)
       "sim_pq_ann", "sim_pq_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",
       "dedup_semantic",
-      // eager signature / shingle-set checkpoints (shared by bucketing
-      // and verify), same class as dedup_minhash_lsh above
-      "dedup_containment", "dedup_incremental_lsh",
+      // eager signature / shingle-set / block-key checkpoints (shared by
+      // bucketing and verify), same class as dedup_minhash_lsh above
+      "dedup_containment", "dedup_incremental_lsh", "dedup_fuzzy",
       // driver-side source-count collect sizes the round-robin interleave
       "prep_interleave",
       // writes + reads back the ORC snapshot — IO by design
