@@ -115,6 +115,44 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("fuzzyBlockedPairs distinct-key rollup equals the brute-force " +
+      "blocked Levenshtein (duplicate-heavy corpus)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    var seed = Seed(41L)
+    for (round <- 1 to 3) {
+      val texts = Gen.listOfN(20, docGen).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      // duplicate-heavy: every doc gets an exact copy AND a one-char edit
+      // (same first token, same length bucket → same block, near prefix)
+      val corpus = texts.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i.toLong, t), (i + 100L, t),
+          (i + 200L, t.updated(t.length - 1, 'Q')))
+      }
+      val got = Dedup.fuzzyBlockedPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val byId = corpus.toMap
+      def key(t: String) = (t.split(" ").head, t.length / 20)
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        if key(ta) == key(tb)
+        d = lev(ta.take(40), tb.take(40)) if d <= 5
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want,
+        s"round $round: got ${got.size} want ${want.size}: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(byId.nonEmpty)
+    }
+  }
+
   test("exactKeepMin partitions the corpus and keeps the min id") {
     import spark.implicits._
     val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(5L))
