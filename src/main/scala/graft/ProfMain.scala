@@ -49,7 +49,9 @@ object ProfMain {
           .reduce(_ unionByName _)
         for ((label, df) <- Seq(
             "exact" -> graft.operators.Dedup.exactKeepMin(corpus, Seq("text"), "doc_id"),
-            "simhash" -> graft.operators.Dedup.simhash(corpus, "doc_id", "text"))) {
+            "simhash" -> graft.operators.Dedup.simhash(corpus, "doc_id", "text"),
+            "simhash_pairs" -> graft.operators.Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 1),
+            "fuzzy" -> graft.operators.Dedup.fuzzyBlockedPairs(corpus, "doc_id", "text"))) {
           df.write.format("noop").mode("overwrite").save() // warm
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
