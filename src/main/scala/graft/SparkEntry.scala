@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, LlmQueries, PipelineQueries, Queries}
+import graft.operators.{Analytics, Graph, LlmQueries, PipelineQueries, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -166,6 +166,7 @@ object SparkEntry {
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
+    "graph_pagerank"        -> (Graph.graphPageRank _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -2238,5 +2239,58 @@ object SparkEntry {
         |       * sqrt(list_dot_product(c.cemb, c.cemb)))), 4) AS avg_cos
         |FROM a2 a JOIN c2 c ON a.cid = c.cid
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+    // Unrolled 5-iteration damped power iteration (the engine's recurrence
+    // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
+    // noise, no dangling redistribution — Graph.pageRank's contract).
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst,
+        |         CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT e.src, e.dst, e.w / ow.ow AS share
+        |  FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY src) ow
+        |    ON e.src = ow.src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes),
+        |r1 AS (SELECT nd.node, ROUND((1 - 0.85) / (SELECT n FROM nn)
+        |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+        |       FROM nodes nd
+        |       LEFT JOIN sh s ON s.dst = nd.node
+        |       LEFT JOIN r0 r ON r.node = s.src
+        |       GROUP BY nd.node),
+        |r2 AS (SELECT nd.node, ROUND((1 - 0.85) / (SELECT n FROM nn)
+        |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+        |       FROM nodes nd
+        |       LEFT JOIN sh s ON s.dst = nd.node
+        |       LEFT JOIN r1 r ON r.node = s.src
+        |       GROUP BY nd.node),
+        |r3 AS (SELECT nd.node, ROUND((1 - 0.85) / (SELECT n FROM nn)
+        |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+        |       FROM nodes nd
+        |       LEFT JOIN sh s ON s.dst = nd.node
+        |       LEFT JOIN r2 r ON r.node = s.src
+        |       GROUP BY nd.node),
+        |r4 AS (SELECT nd.node, ROUND((1 - 0.85) / (SELECT n FROM nn)
+        |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+        |       FROM nodes nd
+        |       LEFT JOIN sh s ON s.dst = nd.node
+        |       LEFT JOIN r3 r ON r.node = s.src
+        |       GROUP BY nd.node),
+        |r5 AS (SELECT nd.node, ROUND((1 - 0.85) / (SELECT n FROM nn)
+        |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+        |       FROM nodes nd
+        |       LEFT JOIN sh s ON s.dst = nd.node
+        |       LEFT JOIN r4 r ON r.node = s.src
+        |       GROUP BY nd.node)
+        |SELECT r.node, n.n_name, r.rank
+        |FROM r5 r JOIN nation n ON r.node = n.n_nationkey
+        |ORDER BY r.node""".stripMargin,
   )
 }

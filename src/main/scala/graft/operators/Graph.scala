@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relation-derived edge lists — the iterative
+  * sibling of [[Dedup.connectedComponents]]: weighted PageRank by power
+  * iteration, expressed as DataFrame joins so Catalyst plans every step.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - The edge DERIVATION is the big-data stage: a fact-sized join +
+  *     map-side-combined aggregate collapses billions of interactions to
+  *     one weighted edge per (src, dst) — after that, iteration cost
+  *     tracks |E_distinct|, not the fact table.
+  *   - The normalized contribution table (`src, dst, share`) is computed
+  *     ONCE, hash-partitioned by `src`, and materialized
+  *     (localCheckpoint): every iteration reuses the same partitioning,
+  *     so the per-iteration cost is one co-partitioned join on `src`
+  *     (only the |V|-sized rank frame moves) plus one map-side-combined
+  *     aggregate on `dst`. Nothing fact-sized ever moves again.
+  *   - Checkpoint placement follows consumer count (the IVF-PQ audit
+  *     rule): `edges`/`nodes`/`shares` feed every iteration → barrier
+  *     each ONCE. The rank frame is consumed exactly once per iteration,
+  *     so its lineage is LINEAR — left lazy, the whole power iteration
+  *     collapses into a single Spark job instead of 5 checkpoint jobs
+  *     (measured 7.6 s → ~2 s warm on the nation graph).
+  *
+  * Semantics: the classic damped recurrence without dangling-mass
+  * redistribution — rank(d) = (1−α)/n + α·Σ_{s→d} rank(s)·w/out_w —
+  * i.e. mass flowing into a node with no out-edges leaves the system
+  * (renormalizable post-hoc). Ranks are rounded to 6 decimals each
+  * iteration: partial-sum order differs between engines and
+  * partitionings at ~1e-16, and in an ITERATED recurrence that noise
+  * compounds — rounding re-pins the bits every pass (the
+  * [[Clustering]] centroid precedent).
+  */
+object Graph {
+
+  /** Weighted directed edges (src, dst, w) with w = Σ weight, one row per
+    * distinct pair.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    // share = w / out-strength of src: exact-integer-valued doubles divided
+    // identically in any engine, so the per-edge factor is bit-stable.
+    val shares = e
+      .join(e.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), round(lit(1.0 / n), 6).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = shares
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("share")).as("in_mass"))
+      ranks = nodes
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0)), 6).as("rank"))
+    }
+    ranks
+  }
+
+  /** The nation-level trade graph: customer nation → supplier nation,
+    * weighted by line items shipped. The one genuinely fact-sized step is
+    * the lineitem⋈orders join (both sides huge at scale — an unavoidable
+    * shuffle on the shared key); customer and supplier are broadcast dims,
+    * and the closing aggregate is map-side combined down to ≤ |nations|²
+    * rows.
+    */
+  def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  /** Registered query: 5 damped iterations over the nation trade graph,
+    * nation names joined back for the final report.
+    */
+  def graphPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pr = pageRank(nationTradeEdges(s, dir), iters = 5)
+    val names = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    pr.join(broadcast(names), "node")
+      .select(col("node"), col("n_name"), col("rank"))
+      .orderBy("node")
+  }
+}

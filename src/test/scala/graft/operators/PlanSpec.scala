@@ -190,7 +190,10 @@ class PlanSpec extends SparkTestBase {
       // driver-side source-count collect sizes the round-robin interleave
       "prep_interleave",
       // writes + reads back the ORC snapshot — IO by design
-      "a27_orc_roundtrip")
+      "a27_orc_roundtrip",
+      // node-count collect + edge/share-table checkpoints (multi-consumer
+      // barriers) before the lazy power iteration
+      "graph_pagerank")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
