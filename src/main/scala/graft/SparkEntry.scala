@@ -167,6 +167,7 @@ object SparkEntry {
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
+    "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -2239,6 +2240,18 @@ object SparkEntry {
         |       * sqrt(list_dot_product(c.cemb, c.cemb)))), 4) AS avg_cos
         |FROM a2 a JOIN c2 c ON a.cid = c.cid
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+    // Exact bigram counts — valid oracle because the registered capacity
+    // (4096) exceeds the corpus's distinct-bigram count, where Misra–Gries
+    // degenerates to exact counting; the lossy regime is spec-bounded.
+    "text_heavy_hitters" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT t[gi.i] || ' ' || t[gi.i + 1] AS gram
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS est
+        |FROM bi GROUP BY gram HAVING COUNT(*) >= 3
+        |ORDER BY gram""".stripMargin,
     // Unrolled 5-iteration damped power iteration (the engine's recurrence
     // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
     // noise, no dangling redistribution — Graph.pageRank's contract).

@@ -263,6 +263,14 @@ object LlmQueries {
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 
+  /** Capacity 4096 > the corpus's distinct-bigram count at every test
+    * scale, so the sketch is exact here and DuckDB's exact aggregate is
+    * the oracle; HeavyHittersSpec pins the lossy small-k bounds.
+    */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(s, dir), "text", k = 4096, minEst = 3L)
+      .orderBy("gram")
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
       .orderBy("doc_id")

@@ -356,4 +356,34 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Frequent token bigrams via the Misra–Gries mergeable sketch
+    * ([[graft.functions.HeavyHittersAgg]]) — the bounded-memory answer to
+    * "top phrases over the corpus" when the distinct n-gram domain is too
+    * large to groupBy (trillions of keys at 100 TB; the sketch state is a
+    * hard ≤`k` counters per partial buffer regardless).
+    *
+    * Plan shape: one corpus scan → explode to the bigram stream →
+    * ObjectHashAggregate with map-side combine (32 partial ≤k-entry maps
+    * shuffle to one reducer) → explode the final map to rows. No
+    * vocabulary-sized shuffle exists anywhere.
+    *
+    * With `k` ≥ the distinct-bigram count the estimates are exact (no
+    * decrement ever fires) — the oracle-checked configuration; the
+    * small-`k` undercount/recall bounds are property-tested in
+    * HeavyHittersSpec.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+                   minEst: Long = 1L): DataFrame = {
+    val grams = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("gram"))
+    val hh = udaf(graft.functions.HeavyHittersAgg(k))
+    grams.agg(hh(col("gram")).as("sk"))
+      .select(explode(col("sk")))
+      .toDF("gram", "est")
+      .filter(col("est") >= minEst)
+  }
 }
