@@ -65,6 +65,7 @@ object SparkEntry {
     "q31_bloom_semi_join"   -> (Analytics.bloomSemiJoin _),
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
     "q41_interval_overlap"  -> (Analytics.intervalOverlapJoin _),
+    "q42_zorder"            -> (Analytics.zorderLayout _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1090,6 +1091,24 @@ object SparkEntry {
         |    LEAST(rd, win_last)) + 1), 4) AS avg_overlap_days
         |FROM li JOIN w2 ON sd <= win_last AND rd >= win_start
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // Same 16+16-bit Morton interleave spelled as shift/mask arithmetic
+    // (generated term list — 16 terms per dimension), same integer-div
+    // grid scaling, so the z-cells match bit-for-bit.
+    "q42_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT MAX(l_partkey) AS mpk, MAX(l_suppkey) AS msk FROM lineitem),
+         |g AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |        (l_partkey * 65536) // (mpk + 1) AS x,
+         |        (l_suppkey * 65536) // (msk + 1) AS y
+         |      FROM lineitem, s),
+         |b AS (SELECT pk, sk, ($terms) >> 27 AS bucket FROM g)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "q35_array_functions" ->
       """SELECT doc_id,
         |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5,

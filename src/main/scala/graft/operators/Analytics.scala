@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -539,5 +539,51 @@ object Analytics {
       .select(col("l_returnflag"), col("med_qty"), col("mode_qty"),
         col("mode_n"), col("sd_price"), col("var_qty"), col("corr_qty_price"))
       .orderBy("l_returnflag")
+  }
+
+  /** 16-bit × 16-bit Morton interleave: bit 2i ← x_i, bit 2i+1 ← y_i.
+    * Pure shift/mask/add column arithmetic — fully codegen'd, no UDF.
+    */
+  def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Q42 — Z-order (Morton) multi-dimensional layout: the data-layout
+    * clustering step a 100 TB lake runs so that ONE physical order serves
+    * range predicates on SEVERAL columns (the technique behind Delta's
+    * OPTIMIZE ZORDER / Hudi clustering). Each dimension is scaled onto a
+    * 16-bit grid (integer arithmetic against the broadcast 1-row max —
+    * bit-identical in any engine), the grid coordinates are Morton-
+    * interleaved, and the top 5 z-bits define 32 z-cells ≈ output files.
+    *
+    * The emitted per-cell (count, min/max of each key) IS the min/max
+    * pruning index such a layout exists to produce: after z-clustering,
+    * BOTH `pk` and `sk` spans per cell shrink to ~√cells of the domain,
+    * so a scan with a predicate on EITHER column can skip most cells —
+    * a single-column sort gives perfect pruning on one key and none on
+    * the other (pinned quantitatively in ZOrderSpec).
+    *
+    * Scale shape: z-assignment is row-local (shift/mask codegen over a
+    * 2-column scan + a broadcast 1-row stats join); the profile is one
+    * map-side-combined aggregate on 32 cells. The production write path
+    * is `repartitionByRange(col("z")).sortWithinPartitions("z").write` —
+    * one range shuffle, exactly what any global layout pass costs.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+    val stats = li.agg(max("pk").as("mpk"), max("sk").as("msk"))
+    li.crossJoin(broadcast(stats))
+      .withColumn("x", expr("pk * 65536 div (mpk + 1)"))
+      .withColumn("y", expr("sk * 65536 div (msk + 1)"))
+      .withColumn("bucket", shiftright(morton16(col("x"), col("y")), 27))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"))
+      .orderBy("bucket")
   }
 }
