@@ -24,7 +24,8 @@ object ProfMain {
         "dedup_containment", "dq_drift", "sim_mips_topk", "dedup_soft",
         "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample",
         "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll",
-        "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap")
+        "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap",
+        "graph_pagerank", "text_heavy_hitters", "q42_zorder")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
@@ -186,6 +187,43 @@ object ProfMain {
           val t0 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
           println(f"relscale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
+    if (names.headOption.contains("graphscale")) {
+      // Graph/sketch-family scalecheck: PageRank on 1x/2x/4x/8x node-id-
+      // shifted unions of the nation trade graph (n disjoint copies →
+      // |V|,|E| grow linearly and every copy converges identically; wall
+      // must track |E|, proving per-iteration cost is the co-partitioned
+      // edge join, not something super-linear), and the Misra–Gries
+      // heavy-hitters sketch on token-prefixed corpus unions (distinct
+      // n-gram domain grows n× while sketch state stays a hard k
+      // counters; wall must track the token stream, not the domain).
+      import org.apache.spark.sql.functions._
+      val edges0 = graft.operators.Graph.nationTradeEdges(spark, dir)
+        .localCheckpoint(true)
+      val docs0 = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val multiples = if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)
+      for (n <- multiples) {
+        val edges = (0 until n).map(k =>
+          edges0.select((col("src") + lit(k * 1000L)).as("src"),
+            (col("dst") + lit(k * 1000L)).as("dst"), col("w")))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pageRank(edges, iters = 5)
+          .write.format("noop").mode("overwrite").save()
+        println(f"graphscale pagerank n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val corpus = (0 until n).map(k =>
+          docs0.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", s"$$1c$k").as("text")))
+          .reduce(_ unionByName _)
+        for ((label, kCap) <- Seq("hh_k4096" -> 4096, "hh_k64" -> 64)) {
+          val df = graft.operators.TextAnalysis.heavyHitters(corpus, "text", kCap)
+          df.write.format("noop").mode("overwrite").save() // warm
+          val t1 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"graphscale $label n=$n ${(System.nanoTime() - t1) / 1e9}%.2fs")
         }
       }
       spark.stop(); return
