@@ -108,6 +108,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("heavy-hitters sketch combines map-side; scan reads only text") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("partial_heavyhittersagg"),
+      s"partial sketch must run before the exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "column pruning must reach the parquet scan")
+  }
+
+  test("z-order layout is row-local + one 32-cell aggregate, no UDF") {
+    val p = plan("q42_zorder")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"cell profile must combine map-side:\n$p")
+    assert(!p.contains("ScalaUDF"), "morton16 must stay pure column arithmetic")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stats join must broadcast")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // formatted explain annotates codegen'd operators with
     // "[codegen id : N]" — but only once AQE is out of the way (the
