@@ -273,6 +273,51 @@ object EventsStream {
       .start()
   }
 
+  /** Trending items per hour — the streaming face of the Misra–Gries
+    * heavy-hitters sketch ([[graft.functions.HeavyHittersAgg]]): per
+    * tumbling window, the top-`k` (event_type:prop) items by sketch
+    * estimate, emitted once the watermark closes the window.
+    *
+    * Why a sketch in the stream: a per-window `groupBy(item)` keeps
+    * state proportional to the distinct-item domain — unbounded on a
+    * real event firehose. The MG aggregate caps per-window state at a
+    * hard `cap` counters inside the streaming state store (the same
+    * partial/final buffer lifecycle as any built-in agg), and the
+    * deterministic (est desc, item asc) rank picks the report rows.
+    * With `cap` ≥ the window's distinct items the estimates are exact —
+    * the spec-checked configuration, equal to the batch top-k; the
+    * lossy regime inherits the MGSketch bounds (HeavyHittersSpec).
+    */
+  def trendingTopK(spark: SparkSession, srcDir: String,
+                   checkpointDir: String, outDir: String,
+                   cap: Int = 1024, k: Int = 5): StreamingQuery = {
+    val hh = udaf(graft.functions.HeavyHittersAgg(cap))
+    source(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .withColumn("item",
+        concat(col("event_type"), lit(":"), get_json_object(col("props"), "$.k")))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(hh(col("item")).as("sk"))
+      // top-k is ROW-LOCAL: one row per window carries the whole ≤cap
+      // map, so rank = sort the entries in place — no second shuffle,
+      // and no (unsupported-in-streaming) rank window needed
+      .select(col("w.start").as("w"), posexplode(slice(array_sort(
+        map_entries(col("sk")),
+        (a, b) => when(a("value") > b("value"), -1)
+          .when(a("value") < b("value"), 1)
+          .when(a("key") < b("key"), -1)
+          .when(a("key") > b("key"), 1).otherwise(0)), 1, k)))
+      .select(col("w"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("item"), col("col.value").as("est"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Session windows (10-minute gap) per user — the §2.C extension the
     * reference has no analog for; state closes via watermark.
     */

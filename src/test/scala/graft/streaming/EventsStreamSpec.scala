@@ -237,6 +237,36 @@ class EventsStreamSpec extends SparkTestBase {
     assert(got == plain)
   }
 
+  test("trending top-k EQUALS the batch exact top-k on closed windows " +
+      "(over-capacity sketch regime)") {
+    val out = tmp("es_tt_out")
+    EventsStream.trendingTopK(spark, eventsDir, tmp("es_tt_ckpt"), out)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("w", "rank", "item", "est")
+    assert(streamed.count() > 0, "closed windows must emit trending rows")
+    // batch truth: exact per-window item counts, same deterministic
+    // (count desc, item asc) rank, restricted to watermark-closed windows
+    val ev = Tables.load(spark, sfDir, "events")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmMillis = maxTs.getTime - 3600 * 1000L
+    import org.apache.spark.sql.expressions.Window
+    val rnk = Window.partitionBy("w").orderBy(col("est").desc, col("item"))
+    val batch = ev
+      .withColumn("item", concat(col("event_type"), lit(":"),
+        get_json_object(col("props"), "$.k")))
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("item"))
+      .agg(count(lit(1)).as("est"))
+      .withColumn("rank", row_number().over(rnk).cast("long"))
+      .filter(col("rank") <= 5)
+      .filter((col("w") + expr("INTERVAL 1 HOUR")).cast("long") * 1000L <= wmMillis)
+      .select("w", "rank", "item", "est")
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} rows vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed trending rows must equal the batch exact top-k")
+  }
+
   test("session windows close via watermark and never overlap per user") {
     val out = tmp("es_sw_out")
     val q = EventsStream.sessionCounts(spark, eventsDir,
