@@ -169,6 +169,7 @@ object SparkEntry {
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
+    "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -2259,6 +2260,22 @@ object SparkEntry {
         |       * sqrt(list_dot_product(c.cemb, c.cemb)))), 4) AS avg_cos
         |FROM a2 a JOIN c2 c ON a.cid = c.cid
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+    // Exact counts of the sampled probe grams — valid oracle because at
+    // the registered width (2/eps = 20k counters × 10 rows vs ≤1k
+    // distinct grams) the all-rows-collide probability is ~1e-13 per
+    // item and the seed is fixed, so the CMS estimate IS the exact
+    // count on these corpora; the lossy overcount bound is spec-tested.
+    "text_cms_probe" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[gi.i] || ' ' || t[gi.i + 1] AS gram
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2),
+        |probes AS (SELECT DISTINCT gram FROM bi WHERE doc_id % 101 = 0),
+        |cnt AS (SELECT gram, COUNT(*) AS c FROM bi GROUP BY gram)
+        |SELECT p.gram, CAST(c.c AS BIGINT) AS est
+        |FROM probes p JOIN cnt c USING (gram)
+        |ORDER BY p.gram""".stripMargin,
     // Exact bigram counts — valid oracle because the registered capacity
     // (4096) exceeds the corpus's distinct-bigram count, where Misra–Gries
     // degenerates to exact counting; the lossy regime is spec-bounded.

@@ -271,6 +271,10 @@ object LlmQueries {
     TextAnalysis.heavyHitters(docs(s, dir), "text", k = 4096, minEst = 3L)
       .orderBy("gram")
 
+  def textCmsProbe(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cmsFreqProbe(docs(s, dir), "doc_id", "text")
+      .orderBy("gram")
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
       .orderBy("doc_id")

@@ -357,6 +357,44 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Count–Min frequency probe — the OVERCOUNT-bounded complement to
+    * [[heavyHitters]]'s undercounting Misra–Gries: Spark's built-in
+    * `count_min_sketch` aggregate (width·depth counters, seed-fixed
+    * hashing) answers point-frequency queries for items the sketch never
+    * stored individually. The LM-smoothing / dedup-weighting primitive:
+    * at 100 TB the bigram domain can't be counted exactly, but a few-MB
+    * CMS estimates any item's count with est ≥ true and
+    * est − true ≤ eps·N at the configured confidence.
+    *
+    * Scale shape: the sketch build is one map-side-combined aggregate
+    * (counter arrays merge by element-wise sum — the same partial/final
+    * lifecycle as a sum); the probe set is BOUNDED by construction
+    * (distinct grams of the `idCol % 101 == 0` doc sample) and probed
+    * driver-side against the collected sketch — the q31 Bloom-build
+    * precedent. Deterministic: counters depend only on (data, seed),
+    * never on partitioning or order.
+    *
+    * With the default eps the collision mass on the test corpora is
+    * provably-negligible (~1e-13 per item), so estimates equal exact
+    * counts and the DuckDB exact aggregate is the oracle; the lossy
+    * small-width overcount bound is spec-tested (CmsSpec).
+    */
+  def cmsFreqProbe(docs: DataFrame, idCol: String, textCol: String,
+                   eps: Double = 1e-4, confidence: Double = 0.999): DataFrame = {
+    val grams = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("gram"))
+    val cms = grams.stat.countMinSketch("gram", eps, confidence, seed = 42)
+    val probes = grams.filter(col(idCol) % 101 === 0)
+      .select("gram").distinct()
+      .collect().map(_.getString(0)).sorted
+    val spark = docs.sparkSession
+    import spark.implicits._
+    probes.toSeq.map(g => (g, cms.estimateCount(g))).toDF("gram", "est")
+  }
+
   /** Frequent token bigrams via the Misra–Gries mergeable sketch
     * ([[graft.functions.HeavyHittersAgg]]) — the bounded-memory answer to
     * "top phrases over the corpus" when the distinct n-gram domain is too

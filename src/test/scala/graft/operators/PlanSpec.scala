@@ -210,7 +210,10 @@ class PlanSpec extends SparkTestBase {
       "a27_orc_roundtrip",
       // node-count collect + edge/share-table checkpoints (multi-consumer
       // barriers) before the lazy power iteration
-      "graph_pagerank")
+      "graph_pagerank",
+      // driver-side CMS build + bounded probe collect (the q31 Bloom
+      // precedent)
+      "text_cms_probe")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
