@@ -170,6 +170,7 @@ object SparkEntry {
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
+    "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
   )
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
@@ -2260,6 +2261,30 @@ object SparkEntry {
         |       * sqrt(list_dot_product(c.cemb, c.cemb)))), 4) AS avg_cos
         |FROM a2 a JOIN c2 c ON a.cid = c.cid
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+    // Tolerance oracle (the dedup_approx_hll pattern): DuckDB recomputes
+    // the EXACT 5-gram-domain overlap (on the same 60-bit hash domain the
+    // engine dedups on) and pins both KMV-tolerance flags TRUE — a
+    // drifting estimator flips a flag and fails the hash compare, so the
+    // ±O(1/√k) bound is oracle-verified, not self-certified.
+    "text_overlap_kmv" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS gram
+        |  FROM t WHERE len(tk) >= 5),
+        |a AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        |      FROM g WHERE source != 'src0'),
+        |b AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        |      FROM g WHERE source = 'src0'),
+        |i AS (SELECT COUNT(*) AS c FROM a JOIN b USING (h)),
+        |u AS (SELECT COUNT(*) AS c FROM (SELECT h FROM a UNION SELECT h FROM b) x)
+        |SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM b) AS n_b,
+        |  (SELECT c FROM u) AS n_union,
+        |  (SELECT c FROM i) AS n_inter,
+        |  ROUND((SELECT c FROM i) / CAST((SELECT c FROM u) AS DOUBLE), 6) AS jaccard,
+        |  TRUE AS kmv_union_ok, TRUE AS kmv_jaccard_ok""".stripMargin,
     // Exact counts of the sampled probe grams — valid oracle because at
     // the registered width (2/eps = 20k counters × 10 rows vs ≤1k
     // distinct grams) the all-rows-collide probability is ~1e-13 per

@@ -275,6 +275,38 @@ object LlmQueries {
     TextAnalysis.cmsFreqProbe(docs(s, dir), "doc_id", "text")
       .orderBy("gram")
 
+  /** KMV distinct-overlap WITH the in-query tolerance cross-check (the
+    * dedup_approx_hll pattern): the 5-gram domains (~24k–240k grams)
+    * genuinely saturate the k=1024 sketch, so the registered query
+    * exercises the real estimator. It emits the EXACT overlap numbers
+    * (the verification harness — a production pipeline runs the bare
+    * sketch) plus two flags the oracle pins TRUE: the union estimate
+    * within 10% (≈3σ at k=1024) and the Jaccard estimate within 0.02
+    * absolute (≈7σ at the fixture's J≈0.005). Estimates are
+    * deterministic (fixed hash, fixed data), so the flags are too.
+    */
+  def textOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.filter(col("source") =!= "src0")
+    val b = d.filter(col("source") === "src0")
+    val est = TextAnalysis.kmvOverlap(a, b, "text", k = 1024).head()
+    val ga = TextAnalysis.gramHashes(a, "text", n = 5).localCheckpoint(true)
+    val gb = TextAnalysis.gramHashes(b, "text", n = 5).localCheckpoint(true)
+    val nA = ga.count()
+    val nB = gb.count()
+    val nI = ga.join(gb, "h").count()
+    val nU = nA + nB - nI
+    val j = if (nU == 0) 0.0 else nI.toDouble / nU
+    val unionOk = math.abs(est.getLong(2) - nU) <= 0.10 * nU
+    val jaccardOk = math.abs(est.getDouble(4) - j) <= 0.02
+    import s.implicits._
+    Seq((nA, nB, nU, nI,
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        unionOk, jaccardOk))
+      .toDF("n_a", "n_b", "n_union", "n_inter", "jaccard",
+        "kmv_union_ok", "kmv_jaccard_ok")
+  }
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
       .orderBy("doc_id")

@@ -357,6 +357,75 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** KMV (bottom-k) distinct-overlap estimation — the SKETCH tier of
+    * [[contamination]]: estimate |A∩B| / Jaccard between two corpora's
+    * distinct n-gram domains when NEITHER side's gram set is
+    * broadcastable (two 100 TB corpora: exact distinct-intersection
+    * would shuffle both full domains; two k-row sketches answer it to
+    * ±O(1/√k) relative error — Bar-Yossef et al.'s KMV estimator, the
+    * same bottom-k machinery [[Dedup.containmentPairs]] uses per-doc,
+    * applied corpus-wide).
+    *
+    * Scale shape: each side is one map-side-combined distinct over its
+    * gram stream + a `TakeOrderedAndProject` bottom-k on the portable
+    * 60-bit hash — k rows reach the driver per side (the q31 Bloom /
+    * CMS-probe precedent for bounded driver work). The estimator runs
+    * on 2k numbers:
+    *   - UNSATURATED (|sketch| < k): the sketch IS the full hash domain
+    *     — counts and Jaccard are exact.
+    *   - saturated (the regime the sketch exists for — the registered
+    *     query runs here): n̂ = (k−1)/h_(k) (normalized k-th minimum),
+    *     Ĵ = |bottom-k(A∪B) ∩ A_k ∩ B_k| / k, n̂_∩ = Ĵ·n̂_∪ — ±O(1/√k)
+    *     relative error, tolerance-oracled in the registered query (the
+    *     HLL precedent) and spec-bounded in KmvSpec.
+    */
+  /** The distinct n-gram hash domain of a corpus — the input to both the
+    * KMV sketch (bottom-k of this) and the exact overlap verification.
+    */
+  def gramHashes(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
+    df.withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .select(explode(expr(
+        s"array_distinct(transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', $parts)))")).as("gram"))
+      .select(Hashing.md5Long(col("gram")).as("h")).distinct()
+  }
+
+  def kmvOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int, n: Int = 5): DataFrame = {
+    def bottomK(df: DataFrame): Array[Long] =
+      gramHashes(df, textCol, n).orderBy("h").limit(k)
+        .collect().map(_.getLong(0))
+    val sa = bottomK(a)
+    val sb = bottomK(b)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val setA = sa.toSet
+    val setB = sb.toSet
+    val union = (sa ++ sb).distinct.sorted
+    val out =
+      if (sa.length < k && sb.length < k) {
+        // unsaturated: sketches are the complete domains — exact
+        val inter = (setA & setB).size.toLong
+        (sa.length.toLong, sb.length.toLong, union.length.toLong, inter,
+          if (union.isEmpty) 0.0
+          else BigDecimal(inter.toDouble / union.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else {
+        val two60 = math.pow(2.0, 60)
+        def est(s: Array[Long]): Long =
+          if (s.length < k) s.length.toLong
+          else math.round((k - 1) / (s.last / two60))
+        val topU = union.take(k)
+        val j = topU.count(h => setA(h) && setB(h)).toDouble / topU.length
+        val nU = if (union.length < k) union.length.toLong
+          else math.round((k - 1) / (topU.last / two60))
+        (est(sa), est(sb), nU, math.round(j * nU),
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    Seq(out).toDF("n_a", "n_b", "n_union", "n_inter", "jaccard")
+  }
+
   /** Count–Min frequency probe — the OVERCOUNT-bounded complement to
     * [[heavyHitters]]'s undercounting Misra–Gries: Spark's built-in
     * `count_min_sketch` aggregate (width·depth counters, seed-fixed

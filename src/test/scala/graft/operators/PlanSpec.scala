@@ -213,7 +213,10 @@ class PlanSpec extends SparkTestBase {
       "graph_pagerank",
       // driver-side CMS build + bounded probe collect (the q31 Bloom
       // precedent)
-      "text_cms_probe")
+      "text_cms_probe",
+      // bottom-k sketch collects + exact-verification counts (the
+      // dedup_approx_hll tolerance-check pattern)
+      "text_overlap_kmv")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
