@@ -168,6 +168,7 @@ object SparkEntry {
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
+    "graph_triangles"       -> (Graph.graphTriangles _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -2313,6 +2314,54 @@ object SparkEntry {
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS est
         |FROM bi GROUP BY gram HAVING COUNT(*) >= 3
         |ORDER BY gram""".stripMargin,
+    // Same degree-ordered orientation spelled in SQL: rank = d·2^20 + id,
+    // acyclic, one apex per triangle — the join structure is the spec.
+    // Multi-referenced CTEs are MATERIALIZED: the default inlining
+    // re-expands the 4-table e0 join once per reference down the 7-CTE
+    // chain (observed: 100+ GB / unbounded runtime at sf0.1; 0.1 s
+    // materialized). quantile_cont matches Spark's exact `percentile`.
+    "graph_triangles" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+        |  FROM e0 WHERE src != dst GROUP BY 1, 2),
+        |kept AS MATERIALIZED (
+        |  SELECT u, v FROM und, (SELECT quantile_cont(w, 0.7) AS q FROM und) qs
+        |  WHERE w > q),
+        |deg AS MATERIALIZED (
+        |  SELECT n, COUNT(*) AS d FROM
+        |    (SELECT u AS n FROM kept UNION ALL SELECT v FROM kept) x
+        |  GROUP BY n),
+        |rnk AS MATERIALIZED (SELECT n, d * 1048576 + n AS r FROM deg),
+        |ori AS MATERIALIZED (
+        |  SELECT CASE WHEN ru.r < rv.r THEN k.u ELSE k.v END AS a,
+        |         CASE WHEN ru.r < rv.r THEN k.v ELSE k.u END AS b,
+        |         GREATEST(ru.r, rv.r) AS rb
+        |  FROM kept k JOIN rnk ru ON k.u = ru.n
+        |              JOIN rnk rv ON k.v = rv.n),
+        |w2 AS (SELECT e1.a AS apex, e1.b AS x, e2.b AS y
+        |       FROM ori e1 JOIN ori e2
+        |         ON e1.a = e2.a AND e1.rb < e2.rb),
+        |tri AS MATERIALIZED (
+        |  SELECT apex, x, y FROM w2
+        |  JOIN ori ON w2.x = ori.a AND w2.y = ori.b),
+        |pn AS (SELECT n, COUNT(*) AS nt FROM
+        |         (SELECT apex AS n FROM tri UNION ALL
+        |          SELECT x FROM tri UNION ALL SELECT y FROM tri) z
+        |       GROUP BY n)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(pn.nt, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN deg.d < 2 THEN 0.0
+        |       ELSE ROUND(2.0 * COALESCE(pn.nt, 0) / (deg.d * (deg.d - 1)), 6)
+        |  END AS coef
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n ORDER BY node""".stripMargin,
     // Unrolled 5-iteration damped power iteration (the engine's recurrence
     // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
     // noise, no dangling redistribution — Graph.pageRank's contract).

@@ -90,6 +90,76 @@ object Graph {
       .agg(count(lit(1)).cast("double").as("w"))
   }
 
+  /** Degree-ordered triangle counting + local clustering coefficients —
+    * the canonical "make the triangle join scale" construction (Suri &
+    * Vassilvitskii's MapReduce scheme; GraphLab/PowerGraph use the same
+    * orientation): orient every undirected edge from its lower-(degree,
+    * id) endpoint to the higher one. The orientation is acyclic, so each
+    * triangle has exactly ONE apex with both out-edges inside it —
+    * counted once, no post-hoc distinct — and, crucially, every node's
+    * OUT-degree is O(√|E|), so the wedge self-join (the only quadratic
+    * risk) is bounded per node no matter how skewed the raw degree
+    * distribution is. A hub with a million neighbors produces a million
+    * wedges in the naive formulation; oriented, it produces at most
+    * ~√|E| per apex.
+    *
+    * Pipeline: undirected collapse (map-side combined) → weight
+    * sparsification against the broadcast 1-row mean → degree aggregate
+    * (vocabulary-sized, broadcast back) → wedge equi-join on the apex →
+    * closing equi-join on the (x, y) edge key. Coefficient = 2·Δ(v) /
+    * (d(v)·(d(v)−1)) on the sparsified simple graph.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+    // sparsify at the 70th weight percentile: quantile-relative (not
+    // mean-relative) so the kept fraction is ~30% at ANY weight
+    // concentration — a mean rule keeps nothing when weights cluster
+    // tightly around it (observed at sf0.1: 0 of 300 edges > 1.3×mean)
+    val kept = und
+      .crossJoin(broadcast(und.agg(
+        expr("percentile(w, 0.7)").as("q"))))
+      .filter(col("w") > col("q"))
+      .select("u", "v")
+      .localCheckpoint(true) // feeds degrees, wedges, and the close join
+    val deg = kept.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // total order: rank = degree * 2^20 + id (ids are far below 2^20)
+    val rnk = deg.select(col("n"), (col("d") * 1048576L + col("n")).as("r"))
+    val oriented = kept
+      .join(broadcast(rnk.select(col("n").as("u"), col("r").as("ru"))), "u")
+      .join(broadcast(rnk.select(col("n").as("v"), col("r").as("rv"))), "v")
+      .select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+        greatest(col("ru"), col("rv")).as("rb"))
+    val w2 = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.a") === col("e2.a")
+        && col("e1.rb") < col("e2.rb"))
+      .select(col("e1.a").as("apex"), col("e1.b").as("x"), col("e2.b").as("y"))
+    // the closing edge runs lower→higher rank, i.e. exactly x→y
+    val tri = w2.join(oriented.select(col("a").as("x"), col("b").as("y")),
+      Seq("x", "y"))
+    val perNode = tri
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6)).as("coef"))
+      .orderBy("node")
+  }
+
+  /** Registered query: triangle statistics of the sparsified (w above
+    * the 70th weight percentile) undirected nation trade graph.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleStats(nationTradeEdges(s, dir))
+
   /** Registered query: 5 damped iterations over the nation trade graph,
     * nation names joined back for the final report.
     */

@@ -216,7 +216,9 @@ class PlanSpec extends SparkTestBase {
       "text_cms_probe",
       // bottom-k sketch collects + exact-verification counts (the
       // dedup_approx_hll tolerance-check pattern)
-      "text_overlap_kmv")
+      "text_overlap_kmv",
+      // kept-edge checkpoint (feeds degrees, wedges, and the close join)
+      "graph_triangles")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
