@@ -66,6 +66,7 @@ object SparkEntry {
     "q32_range_bucket_join" -> (Analytics.rangeBucketJoin _),
     "q41_interval_overlap"  -> (Analytics.intervalOverlapJoin _),
     "q42_zorder"            -> (Analytics.zorderLayout _),
+    "q43_funnel"            -> (Analytics.funnel _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1094,6 +1095,49 @@ object SparkEntry {
         |    LEAST(rd, win_last)) + 1), 4) AS avg_overlap_days
         |FROM li JOIN w2 ON sd <= win_last AND rd >= win_start
         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    // Same stacked running-max windowed-funnel formulation; strict >
+    // comparisons make same-instant steps non-qualifying, so tie order
+    // is irrelevant.
+    "q43_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS t1r
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'click' AND t1r IS NOT NULL
+        |                      AND ts > t1r AND ts <= t1r + INTERVAL 6 HOUR
+        |                      THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t2r
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'purchase' AND t2r IS NOT NULL
+        |                      AND ts > t2r AND ts <= t2r + INTERVAL 6 HOUR
+        |                      THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t3r
+        |  FROM w2),
+        |pu AS (
+        |  SELECT user_id,
+        |    MAX(t1r IS NOT NULL) AS s1, MAX(t2r IS NOT NULL) AS s2,
+        |    MAX(t3r IS NOT NULL) AS s3
+        |  FROM w3 GROUP BY user_id),
+        |st AS (
+        |  SELECT SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS v,
+        |         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS c,
+        |         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS p
+        |  FROM pu)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS name,
+        |  CAST(v AS BIGINT) AS n_users, ROUND(v / CAST(v AS DOUBLE), 4) AS conv FROM st
+        |UNION ALL
+        |SELECT 2, 'view>click', CAST(c AS BIGINT),
+        |  ROUND(c / CAST(v AS DOUBLE), 4) FROM st
+        |UNION ALL
+        |SELECT 3, 'view>click>purchase', CAST(p AS BIGINT),
+        |  ROUND(p / CAST(v AS DOUBLE), 4) FROM st
+        |ORDER BY step""".stripMargin,
     // Same 16+16-bit Morton interleave spelled as shift/mask arithmetic
     // (generated term list — 16 terms per dimension), same integer-div
     // grid scaling, so the z-cells match bit-for-bit.

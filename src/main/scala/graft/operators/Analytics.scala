@@ -541,6 +541,70 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Q43 — windowed ordered-funnel analysis (view → click within 6 h →
+    * purchase within 6 h): how many users complete each prefix of the
+    * sequence IN ORDER with each step inside the conversion window — the
+    * drop-off curve every product-analytics stack computes ("conversion
+    * within N hours", not "ever").
+    *
+    * Single-pass formulation: one window (partition user, order ts) and
+    * three STACKED running columns — latest view so far; latest click
+    * that landed within the window after the then-latest view; latest
+    * purchase within the window after that. Each row's marker compares
+    * against the running value AT that row, which is exactly the ordered
+    * sequence constraint, and "latest" (not earliest) prior step makes
+    * the window test maximally permissive — the standard funnel
+    * semantics. All three columns share one window spec → ONE shuffle +
+    * ONE sort for the whole funnel, then a per-user aggregate and a
+    * 3-row rollup. The naive form is k self-joins of the event table
+    * for a k-step funnel.
+    *
+    * Strict `>` comparisons make same-timestamp steps non-qualifying,
+    * so ties between a view and a click at the same instant cannot
+    * create order-dependent results — deterministic without needing the
+    * event_id tiebreak to carry semantics.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelSteps(t(s, dir, "events"), lim = "INTERVAL 6 HOUR")
+
+  /** The funnel core over any (user_id, ts, event_id, event_type) frame —
+    * separated so specs can drive hand-built sequences through it.
+    */
+  def funnelSteps(events: DataFrame, lim: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("t1r",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2r", max(when(col("event_type") === "click"
+        && col("t1r").isNotNull && col("ts") > col("t1r")
+        && col("ts") <= col("t1r") + expr(lim), col("ts"))).over(w))
+      .withColumn("t3r", max(when(col("event_type") === "purchase"
+        && col("t2r").isNotNull && col("ts") > col("t2r")
+        && col("ts") <= col("t2r") + expr(lim), col("ts"))).over(w))
+    val perUser = marked.groupBy("user_id")
+      .agg(max(col("t1r").isNotNull).as("s1"),
+        max(col("t2r").isNotNull).as("s2"),
+        max(col("t3r").isNotNull).as("s3"))
+    val steps = perUser.agg(
+      sum(when(col("s1"), 1L).otherwise(0L)).as("view"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("click"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("purchase"))
+    steps.select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("name"),
+          col("view").as("n_users"),
+          round(col("view") / col("view").cast("double"), 4).as("conv")),
+        struct(lit(2L).as("step"), lit("view>click").as("name"),
+          col("click").as("n_users"),
+          round(col("click") / col("view").cast("double"), 4).as("conv")),
+        struct(lit(3L).as("step"), lit("view>click>purchase").as("name"),
+          col("purchase").as("n_users"),
+          round(col("purchase") / col("view").cast("double"), 4).as("conv")))).as("r"))
+      .select(col("r.step"), col("r.name"), col("r.n_users"), col("r.conv"))
+      .orderBy("step")
+  }
+
   /** 16-bit × 16-bit Morton interleave: bit 2i ← x_i, bit 2i+1 ← y_i.
     * Pure shift/mask/add column arithmetic — fully codegen'd, no UDF.
     */

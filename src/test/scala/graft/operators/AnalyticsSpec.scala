@@ -154,4 +154,29 @@ class AnalyticsSpec extends SparkTestBase {
     // the top bin: a maximal single-bin migration
     assert(got("v_psi") > 1.0, s"full range shift must dominate: $got")
   }
+
+  test("windowed funnel: order and window both gate each step") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // u1 completes in order within the window;
+    // u2 clicks BEFORE viewing (order violation — stops at step 1);
+    // u3 clicks 2h after the view (window violation at lim=1h);
+    // u4 re-views, then converts off the LATER view (must count: the
+    //    latest-prior-step semantics) but purchases before clicking
+    //    (order violation at step 3);
+    // u5 never views (contributes to no step).
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "click"), (1L, ts(30), 3L, "purchase"),
+      (2L, ts(0), 4L, "click"), (2L, ts(10), 5L, "view"),
+      (3L, ts(0), 6L, "view"), (3L, ts(120), 7L, "click"),
+      (4L, ts(0), 8L, "view"), (4L, ts(90), 9L, "view"),
+      (4L, ts(100), 10L, "purchase"), (4L, ts(110), 11L, "click"),
+      (5L, ts(0), 12L, "click"), (5L, ts(5), 13L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.funnelSteps(ev, lim = "INTERVAL 1 HOUR")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // step1: u1,u2,u3,u4 viewed; step2: u1 and u4 clicked in-window
+    // after a view; step3: only u1 purchased after its click
+    assert(got === Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
 }
