@@ -25,7 +25,8 @@ object ProfMain {
         "prep_interleave", "dedup_incremental_lsh", "prep_weighted_sample",
         "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll",
         "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap",
-        "graph_pagerank", "text_heavy_hitters", "q42_zorder")
+        "graph_pagerank", "text_heavy_hitters", "q42_zorder",
+        "graph_triangles", "q43_funnel")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
