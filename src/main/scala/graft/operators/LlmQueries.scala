@@ -289,9 +289,13 @@ object LlmQueries {
     val d = docs(s, dir)
     val a = d.filter(col("source") =!= "src0")
     val b = d.filter(col("source") === "src0")
-    val est = TextAnalysis.kmvOverlap(a, b, "text", k = 1024).head()
+    // one gram-domain pass per side feeds BOTH the sketch and the exact
+    // verification counts (without the checkpoint each side scanned twice)
     val ga = TextAnalysis.gramHashes(a, "text", n = 5).localCheckpoint(true)
     val gb = TextAnalysis.gramHashes(b, "text", n = 5).localCheckpoint(true)
+    def bottomK(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.orderBy("h").limit(1024).collect().map(_.getLong(0))
+    val est = TextAnalysis.kmvEstimate(s, bottomK(ga), bottomK(gb), 1024).head()
     val nA = ga.count()
     val nB = gb.count()
     val nI = ga.join(gb, "h").count()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document corpus — all builtin
@@ -396,9 +396,12 @@ object TextAnalysis {
     def bottomK(df: DataFrame): Array[Long] =
       gramHashes(df, textCol, n).orderBy("h").limit(k)
         .collect().map(_.getLong(0))
-    val sa = bottomK(a)
-    val sb = bottomK(b)
-    val spark = a.sparkSession
+    kmvEstimate(a.sparkSession, bottomK(a), bottomK(b), k)
+  }
+
+  /** The KMV estimator over two collected bottom-k hash sets. */
+  def kmvEstimate(spark: SparkSession, sa: Array[Long], sb: Array[Long],
+                  k: Int): DataFrame = {
     import spark.implicits._
     val setA = sa.toSet
     val setB = sb.toSet
