@@ -26,13 +26,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark) // idempotent; any session works
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `events.ts` is TIMESTAMP(NANOS) parquet; with
-    // spark.sql.legacy.parquet.nanosAsLong (set in [[Engine.session]]) it
-    // arrives as LongType ns-since-epoch. Integer DIV (not double /) keeps
-    // µs exact — ns epochs exceed double's 2^53 mantissa.
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    // `events.ts` arrives in whatever physical form the generator wrote:
+    //   - TIMESTAMP(NANOS) → LongType ns-since-epoch (via
+    //     spark.sql.legacy.parquet.nanosAsLong in [[Engine.session]]);
+    //     integer DIV (not double /) keeps µs exact — ns epochs exceed
+    //     double's 2^53 mantissa.
+    //   - tz-naive TIMESTAMP(MICROS) → TimestampNTZType (Spark's
+    //     inferTimestampNTZ default).
+    // Both normalize to instant-semantics TimestampType here, so every
+    // consumer (windows, watermarks, ts arithmetic) sees ONE type; at the
+    // pinned UTC session zone the NTZ→LTZ cast is value-preserving.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Registers every test table as a temp view named after the table, so

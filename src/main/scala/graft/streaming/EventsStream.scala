@@ -22,20 +22,33 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as stored (ts is ns-as-long, converted after read —
-    * same convention as [[graft.Tables.load]]).
+  /** events schema as stored, parameterized on the physical `ts` type the
+    * generator wrote (ns-as-long legacy or tz-naive µs — same dual
+    * convention as [[graft.Tables.load]]).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source incremental read of the events dir. */
-  def source(spark: SparkSession, srcDir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+  /** File-source incremental read of the events dir. File streams need an
+    * explicit schema; its `ts` physical type is sniffed from the footers
+    * with one driver-side batch metadata read (bounded, like the catalog
+    * queries), then normalized to instant-semantics TimestampType exactly
+    * as [[graft.Tables.load]] does — watermarks and windows downstream see
+    * one type regardless of the stored representation.
+    */
+  def source(spark: SparkSession, srcDir: String): DataFrame = {
+    val stored = spark.read.parquet(srcDir).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val s = spark.readStream.schema(rawSchema(stored))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    stored match {
+      case LongType => s.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _        => s.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling 1-hour windows per user with a 1-hour watermark: the
     * streaming form of batch Q20. Append mode — windows emit once closed
