@@ -163,10 +163,12 @@ object SparkEntry {
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
     "a25_manifest"          -> (PipelineQueries.a25Manifest _),
     "prep_split"            -> (LlmQueries.prepSplit _),
+    "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
+    "text_bm25"             -> (LlmQueries.textBm25 _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
@@ -1495,6 +1497,14 @@ object SparkEntry {
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+    "prep_kfold" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY source, hv % 64
+        |          ORDER BY hv, doc_id) - 1) % 5 AS BIGINT) AS fold
+        |FROM h ORDER BY doc_id""".stripMargin,
     "prep_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -2254,6 +2264,25 @@ object SparkEntry {
         |   FROM (SELECT unnest(range(1, n + 1)) AS i) g
         |   WHERE (g.i - 1) % 7 = 0) AS sample_hex
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_bm25" ->
+      """WITH q AS (SELECT unnest(['spark', 'join', 'window', 'vector']) AS term),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM t JOIN q USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+        |         COUNT(*) AS n_hit
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |       GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank,
+        |  n_hit, bm25
+        |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -756,6 +756,15 @@ object LlmQueries {
   /** tf-idf top-3 characteristic terms per document (rank ties broken by
     * term, scores rounded for cross-engine float stability).
     */
+  /** BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]): top 10 docs for a
+    * 4-term query, scored with Lucene-form positive idf at k1=1.2,
+    * b=0.75.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"), k = 10)
+      .orderBy("rank")
+
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
@@ -817,6 +826,15 @@ object LlmQueries {
   def prepSplit(s: SparkSession, dir: String): DataFrame =
     Prep.trainValTestSplit(docs(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Stratified 5-fold CV assignment ([[Prep.kFold]]) over source
+    * strata — the full per-row fold map, so the oracle pins every
+    * held-out set, not just the fold sizes.
+    */
+  def prepKfold(s: SparkSession, dir: String): DataFrame =
+    Prep.kFold(docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 5)
       .orderBy("doc_id")
 
   /** GPT-style sequence packing ([[Prep.packSequences]]): the corpus laid

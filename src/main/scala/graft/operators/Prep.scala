@@ -46,6 +46,30 @@ object Prep {
       .agg(count(lit(1)).as("n"))
       .orderBy(strataCol, "split")
 
+  /** Deterministic stratified k-fold assignment — the cross-validation
+    * companion of [[trainValTestSplit]]: rows rank inside (stratum,
+    * salt-block) by the portable content-free hash of the id, and rank
+    * mod k is the fold. Every block carries each fold ±1 row, so every
+    * stratum is balanced to within ±`salts` rows across folds — and the
+    * assignment is reproducible on any engine from (id, k, salts) alone,
+    * which is what lets an external trainer audit exactly which rows
+    * each CV round held out.
+    *
+    * Scale: identical window shape to [[trainValTestSplit]] — the
+    * partition key is (stratum, salt), never the bare stratum, so a
+    * 100 TB corpus with a handful of languages still fans out
+    * `salts`-fold; blocks are hash-uniform, no skew.
+    */
+  def kFold(df: DataFrame, idCol: String, strataCol: String, k: Int,
+            salts: Int = 64): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol), pmod(h, lit(salts)))
+      .orderBy(h, col(idCol))
+    df.select(col(idCol), col(strataCol),
+      ((row_number().over(w) - 1) % k).cast("long").as("fold"))
+  }
+
   /** Class balancing: downsample every stratum to the SMALLEST stratum's
     * size, keeping rows by portable-hash rank (deterministic — any engine
     * reproduces the same survivor set). The standard rebalance before

@@ -357,6 +357,56 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval for one query — the ranked-retrieval
+    * companion of [[tfidfTopK]] (Robertson & Spärck Jones's probabilistic
+    * weighting; idf in Lucene's always-positive form
+    * ln(1 + (N − df + ½)/(df + ½))). The reference's query surface is
+    * free-form warehouse SQL (reference dags/cloudsql_to_bigquery.py:66);
+    * ranked retrieval over the document corpus is the LLM-pipeline analog.
+    *
+    * Scale shape: the query is a handful of literal terms, inlined into an
+    * `isin` filter that prunes the exploded token stream BEFORE its
+    * aggregate — tf/df are computed over query-term postings only, never
+    * the full vocabulary. The per-term df frame (≤ |query| rows) and the
+    * 1-row corpus stats broadcast; the final top-k is a
+    * TakeOrderedAndProject over per-doc scores, no global sort. One pass
+    * over the corpus for postings + one column-pruned pass for doc
+    * lengths.
+    *
+    * Determinism: the score is rounded to 4 dp and ties break on the doc
+    * id, so ranking is reproducible across engines (the [[tfidfTopK]]
+    * convention).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    val dl = toks.select(col(idCol), size(col("tk")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("w"), 4).as("bm25"), count(lit(1)).as("n_hit"))
+    val top = scored.orderBy(col("bm25").desc, col(idCol)).limit(k)
+    // rank assignment runs on the ≤ k surviving rows only
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank"), col("n_hit"), col("bm25"))
+  }
+
   /** KMV (bottom-k) distinct-overlap estimation — the SKETCH tier of
     * [[contamination]]: estimate |A∩B| / Jaccard between two corpora's
     * distinct n-gram domains when NEITHER side's gram set is

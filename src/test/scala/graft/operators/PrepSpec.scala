@@ -133,4 +133,24 @@ class PrepSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sk == exact, s"sketch stages diverged: ${sk.toSeq.diff(exact.toSeq)}")
   }
+
+  test("kFold: every row gets exactly one fold, strata balanced to ±salts, " +
+      "deterministic re-run") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a = Prep.kFold(df, "id", "src", k = 5, salts = 8)
+    assert(a.count() == 500, "assignment is a partition of the input")
+    assert(a.select("fold").distinct().collect().map(_.getLong(0)).sorted
+      .sameElements(Array(0L, 1L, 2L, 3L, 4L)), "all 5 folds populated")
+    // balance: per (stratum, salt) block each fold gets rank-mod-k ±1
+    // rows, so across the 8 salts fold sizes within a stratum differ by
+    // at most `salts`
+    val spread = a.groupBy("src", "fold").count().collect()
+      .groupBy(_.getString(0)).map { case (_, rows) =>
+        val ns = rows.map(_.getLong(2)); ns.max - ns.min }
+    assert(spread.forall(_ <= 8), s"per-stratum fold spread over salts: $spread")
+    val b = Prep.kFold(df, "id", "src", k = 5, salts = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "assignment must be deterministic")
+  }
 }

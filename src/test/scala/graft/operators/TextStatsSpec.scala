@@ -129,4 +129,33 @@ class TextStatsSpec extends SparkTestBase {
     val varS = qtys.map(q => (q - mean) * (q - mean)).sum / (n - 1)
     assert(math.abs(got.head.getDouble(5) - varS) < 1e-2)
   }
+
+  test("bm25TopK: closed-form scores on a hand corpus, rare terms dominate, " +
+      "no-hit docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join window"),        // all 3 query terms, dl 3
+      (2L, "spark spark spark filter"), // one term thrice, dl 4
+      (3L, "scan filter value"),        // no query terms
+      (4L, "join value value spark")    // two terms, dl 4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "window"), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // closed form at N=4, avgdl=3.5; df: spark=3, join=2, window=1
+    val N = 4.0; val avgdl = 3.5
+    def idf(df: Double) = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!got.contains(3L), "a doc with no query term must not score")
+    assert(got(1L) == ((1L, 3L, r4(w(1, 3, 3) + w(1, 3, 2) + w(1, 3, 1)))),
+      s"doc 1 (hits all terms incl. rare 'window') must rank first: $got")
+    assert(got(4L) == ((2L, 2L, r4(w(1, 4, 3) + w(1, 4, 2)))))
+    // tf saturation: 3× 'spark' still scores BELOW two distinct terms
+    assert(got(2L) == ((3L, 1L, r4(w(3, 4, 3)))))
+    assert(got(2L)._3 < got(4L)._3, "BM25 tf saturation must hold")
+  }
 }
