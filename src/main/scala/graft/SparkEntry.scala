@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
+    "dedup_span"            -> (LlmQueries.dedupSpan _),
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
@@ -1742,6 +1743,42 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
         |ORDER BY a, b""".stripMargin,
+    "dedup_span" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, tk FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, list_slice(tk, 1, len(tk) - 1) FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    list_concat(list_slice(tk, 1, 24), list_slice(tk, 5, 28))
+        |  FROM b WHERE doc_id % 7 = 0),
+        |tk8 AS (SELECT doc_id, tk FROM corpus WHERE len(tk) >= 8),
+        |posts AS (SELECT doc_id, g.i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(tk, g.i, g.i + 7), ' ')), 1, 15))::BIGINT AS h
+        |  FROM tk8, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) g),
+        |hot AS (SELECT h FROM (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM posts GROUP BY h)
+        |  WHERE nd > 64),
+        |kept AS (SELECT * FROM posts WHERE h NOT IN (SELECT h FROM hot)),
+        |m AS (SELECT a.doc_id AS d1, b2.doc_id AS d2, a.pos AS p1,
+        |        b2.pos AS p2, a.h
+        |      FROM kept a JOIN kept b2 USING (h)
+        |      WHERE a.doc_id < b2.doc_id),
+        |isl AS (SELECT d1, d2, p1 - p2 AS diag, p1, h,
+        |        p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2
+        |          ORDER BY p1) AS islid
+        |      FROM m),
+        |per AS (SELECT d1, d2, diag, islid, COUNT(*) AS glen
+        |        FROM isl GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT d1, d2, MAX(glen) + 7 AS longest_run
+        |        FROM per GROUP BY 1, 2),
+        |sh2 AS (SELECT d1, d2, COUNT(DISTINCT h) AS shared_grams
+        |        FROM m GROUP BY 1, 2)
+        |SELECT d1, d2, longest_run, shared_grams
+        |FROM agg JOIN sh2 USING (d1, d2)
+        |WHERE longest_run >= 12 ORDER BY d1, d2""".stripMargin,
     "dedup_normalized" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

@@ -315,6 +315,70 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Exact duplicate-SPAN detection: for every doc pair sharing at least
+    * one exact n-token gram, the LONGEST contiguous shared token run and
+    * the count of distinct shared grams — the span-level dedup from Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed relationally instead of via their
+    * suffix array: a shared run of R tokens appears as R−n+1 consecutive
+    * postings on ONE (d1, d2, p1−p2) diagonal, so runs fall out of a
+    * gaps-and-islands pass (p1 − rank) over the matched postings. This
+    * catches partial-overlap pairs (quoted paragraphs, spliced docs) that
+    * whole-doc similarity misses, and reports WHERE the overlap mass is
+    * (run length), which Jaccard can't.
+    *
+    * Scale shape: postings (gram hash, doc, pos) shuffle once on the
+    * 60-bit hash; grams present in more than `maxDf` docs are dropped
+    * before the pair join (the boilerplate guard — same role as
+    * [[paragraphBoilerplate]]'s recurring set, and the exact analog of
+    * Lee et al. discarding over-frequent duplicate grams), so per-gram
+    * join fan-out is bounded by maxDf² and never corpus-sized. The
+    * diagonal window + island aggregate shuffle on (d1, d2[, diag]) —
+    * sized by TRUE overlap, not corpus size. The matched-postings frame
+    * feeds both the island pass and the distinct-gram count, so it
+    * materializes once (eager localCheckpoint, the shared-frame idiom).
+    * A within-doc repeated gram contributes one posting per occurrence —
+    * fan-out bounded by doc length, with pathological self-repetition
+    * already measured by [[graft.operators.TextAnalysis.repetition]].
+    *
+    * Exactness: over grams under the maxDf cap, every shared run of at
+    * least minRun tokens contains a full n-gram window on its diagonal,
+    * so no qualifying pair is missed (minRun ≥ n by construction here).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minRun: Int = 12, maxDf: Int = 64): DataFrame = {
+    require(minRun >= n, s"minRun ($minRun) must be >= gram width n ($n)")
+    val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
+    val posts = docs.withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))")).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"),
+        Hashing.md5Long(col("pg.gram")).as("h"))
+    val hot = posts.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > maxDf).select("h")
+    val kept = posts.join(hot, Seq("h"), "left_anti")
+    val m = kept.select(col("h"), col(idCol).as("d1"), col("pos").as("p1"))
+      .join(kept.select(col("h"), col(idCol).as("d2"), col("pos").as("p2")), "h")
+      .filter(col("d1") < col("d2"))
+      .localCheckpoint(true) // feeds the island pass AND the gram count
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    val longest = m.withColumn("diag", col("p1") - col("p2"))
+      .withColumn("islid", col("p1") - row_number().over(wd))
+      .groupBy("d1", "d2", "diag", "islid")
+      .agg(count(lit(1)).as("glen"))
+      .groupBy("d1", "d2")
+      .agg((max("glen") + (n - 1)).as("longest_run"))
+    val shared = m.groupBy("d1", "d2")
+      .agg(count_distinct(col("h")).as("shared_grams"))
+    longest.join(shared, Seq("d1", "d2"))
+      .filter(col("longest_run") >= minRun)
+  }
+
   /** Blocked exact n-gram Jaccard: all-pairs only WITHIN a block key (a
     * shingle-count bucket) — the classic blocking alternative to LSH when a
     * cheap partition key bounds the candidate space. Blocks on the SHINGLE

@@ -756,6 +756,29 @@ object LlmQueries {
   /** tf-idf top-3 characteristic terms per document (rank ties broken by
     * term, scores rounded for cross-engine float stability).
     */
+  /** Exact duplicate-span detection ([[Dedup.duplicateSpans]]) over a
+    * corpus with span structure by construction: every doc's
+    * last-token-truncated copy (id + 1e6 — a full-prefix span) plus, for
+    * every 7th doc, a SPLICE (id + 2e6) of its first 24 tokens followed
+    * by its tokens 5..28 — a doc sharing two runs with its source at two
+    * different diagonal offsets, which whole-doc similarity under-reports
+    * but the span finder must localize. The DuckDB oracle recomputes the
+    * ground truth with the same gram hash, cap, and island reduction.
+    */
+  def dedupSpan(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val tk = base.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val corpus = base
+      .unionByName(tk.select((col("doc_id") + 1000000).as("doc_id"),
+        expr("array_join(slice(tk, 1, size(tk) - 1), ' ')").as("text")))
+      .unionByName(tk.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("array_join(concat(slice(tk, 1, 24), slice(tk, 5, 24)), ' ')")
+            .as("text")))
+    Dedup.duplicateSpans(corpus, "doc_id", "text")
+      .orderBy("d1", "d2")
+  }
+
   /** BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]): top 10 docs for a
     * 4-term query, scored with Lucene-form positive idf at k1=1.2,
     * b=0.75.

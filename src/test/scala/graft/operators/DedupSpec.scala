@@ -209,4 +209,43 @@ class DedupSpec extends SparkTestBase {
     // 2 dropped (near-dup of 1), 11 dropped (near-dup of 10); 1,3,10 stay
     assert(got == Map(1L -> 0, 3L -> 0, 10L -> 1))
   }
+
+  test("duplicateSpans: diagonal islands localize each shared run; two " +
+      "disjoint runs never merge; short overlaps stay out") {
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"t$i")
+    val d1 = t.mkString(" ")
+    // d2 embeds d1's t5..t14 at a different offset (diagonal ≠ 0)
+    val d2 = (Seq("x1", "x2", "x3") ++ t.slice(4, 14) ++ Seq("y1", "y2"))
+      .mkString(" ")
+    // d3 shares TWO disjoint runs with d1 (9 tokens each, distinct diagonals)
+    val d3 = (t.take(9) ++ Seq("z1", "z2", "z3") ++ t.slice(11, 20))
+      .mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("id", "text")
+    val got = Dedup.duplicateSpans(docs, "id", "text",
+        n = 4, minRun = 5, maxDf = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got((1L, 2L))._1 == 10L, "embedded copy found at its true length")
+    assert(got((1L, 3L)) == ((9L, 12L)),
+      "two 9-token runs: longest 9 (never merged to 18+), 6+6 distinct grams")
+    assert(got((2L, 3L)) == ((5L, 2L)),
+      "5-token t5..t9 intersection; the 3-token t12..t14 overlap has no 4-gram")
+    assert(got.size == 3)
+  }
+
+  test("duplicateSpans: over-frequent grams are capped out (boilerplate guard)") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i")
+    val docs = (0 until 3).map { i =>
+      (10L + i, (boiler ++ Seq(s"u${i}a", s"u${i}b", s"u${i}c")).mkString(" "))
+    }.toDF("id", "text")
+    // the boilerplate grams sit in 3 docs: admitted at maxDf=64...
+    assert(Dedup.duplicateSpans(docs, "id", "text", n = 4, minRun = 5,
+      maxDf = 64).count() == 3)
+    // ...and suppressed at maxDf=2, leaving no pair (unique tails share nothing)
+    assert(Dedup.duplicateSpans(docs, "id", "text", n = 4, minRun = 5,
+      maxDf = 2).count() == 0)
+  }
 }

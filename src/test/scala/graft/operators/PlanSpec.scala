@@ -204,6 +204,8 @@ class PlanSpec extends SparkTestBase {
       // eager signature / shingle-set / block-key checkpoints (shared by
       // bucketing and verify), same class as dedup_minhash_lsh above
       "dedup_containment", "dedup_incremental_lsh", "dedup_fuzzy",
+      // eager matched-postings checkpoint (feeds islands + gram count)
+      "dedup_span",
       // driver-side source-count collect sizes the round-robin interleave
       "prep_interleave",
       // writes + reads back the ORC snapshot — IO by design
