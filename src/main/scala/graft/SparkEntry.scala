@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_span"            -> (LlmQueries.dedupSpan _),
+    "dedup_linkage"         -> (LlmQueries.dedupLinkage _),
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
@@ -1779,6 +1780,31 @@ object SparkEntry {
         |SELECT d1, d2, longest_run, shared_grams
         |FROM agg JOIN sh2 USING (d1, d2)
         |WHERE longest_run >= 12 ORDER BY d1, d2""".stripMargin,
+    // Ground-truth oracle: ALL within-nation pairs scored with NO name
+    // blocking — a parity-block recall miss in the engine shows up as a
+    // missing row here, so blocking losslessness is oracle-verified.
+    "dedup_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk,
+        |         c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |         substr(c_name, 1, length(c_name) - 1) || 'X',
+        |         c_nationkey, ROUND(c_acctbal + 0.37, 2), c_mktsegment
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS name_lev,
+        |    a.seg = b.seg AS same_segment,
+        |    ROUND(abs(a.bal - b.bal), 2) AS bal_diff,
+        |    ROUND(CASE WHEN levenshtein(a.nm, b.nm) <= 1
+        |               THEN 2.2 ELSE -1.5 END
+        |        + CASE WHEN abs(a.bal - b.bal) <= 100.0
+        |               THEN 1.1 ELSE -0.7 END
+        |        + CASE WHEN a.seg = b.seg THEN 0.6 ELSE -0.4 END, 2) AS score
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id1, id2, name_lev, same_segment, bal_diff, score
+        |FROM p WHERE score >= 2.5 ORDER BY id1, id2""".stripMargin,
     "dedup_normalized" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

@@ -756,6 +756,28 @@ object LlmQueries {
   /** tf-idf top-3 characteristic terms per document (rank ties broken by
     * term, scores rounded for cross-engine float stability).
     */
+  /** Probabilistic record linkage ([[Linkage.fsLink]]) over customers
+    * plus a deterministic dirty copy of each (id + 1e6: last name char
+    * corrupted, balance drifted 0.37, same nation/segment) — the entity
+    * resolution step upstream of the reference's keyed merge. The DuckDB
+    * oracle scores ALL within-nation pairs with no name blocking, so it
+    * verifies the parity-block candidate generation loses no match.
+    */
+  def dedupLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val dirty = c.select((col("c_custkey") + 1000000).as("c_custkey"),
+      concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X"))
+        .as("c_name"),
+      col("c_nationkey"),
+      round(col("c_acctbal") + 0.37, 2).as("c_acctbal"),
+      col("c_mktsegment"))
+    Linkage.fsLink(c.unionByName(dirty), "c_custkey", "c_name",
+        "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("id1", "id2")
+  }
+
   /** Exact duplicate-span detection ([[Dedup.duplicateSpans]]) over a
     * corpus with span structure by construction: every doc's
     * last-token-truncated copy (id + 1e6 — a full-prefix span) plus, for
