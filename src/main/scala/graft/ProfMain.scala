@@ -26,7 +26,8 @@ object ProfMain {
         "sim_range_search", "q22b_approx_percentiles", "dedup_approx_hll",
         "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap",
         "graph_pagerank", "text_heavy_hitters", "q42_zorder",
-        "graph_triangles", "q43_funnel")
+        "graph_triangles", "q43_funnel",
+        "dedup_span", "dedup_linkage", "text_bm25", "prep_kfold")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
@@ -68,6 +69,10 @@ object ProfMain {
             threshold = 0.9)
           .write.format("noop").mode("overwrite").save()
         println(f"scale containment n=$n ${(System.nanoTime() - t1) / 1e9}%.2fs")
+        val t2 = System.nanoTime()
+        graft.operators.Dedup.duplicateSpans(corpus, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        println(f"scale span n=$n ${(System.nanoTime() - t2) / 1e9}%.2fs")
       }
       spark.stop(); return
     }

@@ -66,6 +66,48 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpans equals brute-force token-level longest-common-" +
+      "substring on random small-vocab corpora") {
+    import spark.implicits._
+    def lcsRun(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    def grams4(a: Array[String]): Set[String] =
+      if (a.length < 4) Set.empty else a.sliding(4).map(_.mkString(" ")).toSet
+    var seed = Seed(101L)
+    for (round <- 1 to 3) {
+      // 10-word vocab → many chance 4-gram collisions between docs, plus
+      // planted copies: ids 100+ are the first 6 docs with 2 tokens cut
+      val texts = Gen.listOfN(24, docGen).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val corpus = base ++ base.take(6).map { case (i, t) =>
+        (i + 100L, t.split(" ").dropRight(2).mkString(" ")) }
+      val byId = corpus.toMap.map { case (k, v) => k -> v.split(" ") }
+      val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = 4, minRun = 4, maxDf = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = (for {
+        (i, a) <- byId; (j, b) <- byId if i < j
+        run = lcsRun(a, b) if run >= 4
+      } yield (i, j) -> (run.toLong, grams4(a).intersect(grams4(b)).size.toLong))
+        .toMap
+      assert(want.nonEmpty, s"round $round: fixture must produce span pairs")
+      assert(got == want, s"round $round: " +
+        s"missing=${(want.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
   test("simhashPairs equals the brute-force Hamming ball (pigeonhole exactness)") {
     import spark.implicits._
     val texts = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, Seed(9L))
