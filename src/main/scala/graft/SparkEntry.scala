@@ -67,6 +67,8 @@ object SparkEntry {
     "q41_interval_overlap"  -> (Analytics.intervalOverlapJoin _),
     "q42_zorder"            -> (Analytics.zorderLayout _),
     "q43_funnel"            -> (Analytics.funnel _),
+    "q44_retention"         -> (Analytics.retention _),
+    "q45_histogram"         -> (Analytics.histogram _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -168,12 +170,14 @@ object SparkEntry {
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
+    "prep_shuffle"          -> (LlmQueries.prepShuffle _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "text_bm25"             -> (LlmQueries.textBm25 _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
+    "graph_labelprop"       -> (Graph.graphLabelProp _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -1142,6 +1146,31 @@ object SparkEntry {
         |SELECT 3, 'view>click>purchase', CAST(p AS BIGINT),
         |  ROUND(p / CAST(v AS DOUBLE), 4) FROM st
         |ORDER BY step""".stripMargin,
+    // Same Monday-truncated week cohorts; (wk - cohort) is integer days in
+    // DuckDB and always a multiple of 7, so // 7 is the exact offset.
+    "q44_retention" ->
+      """WITH m AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    MIN(CAST(date_trunc('week', ts) AS DATE))
+        |      OVER (PARTITION BY user_id) AS cohort
+        |  FROM events),
+        |c AS (
+        |  SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS week_offset,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM m GROUP BY 1, 2)
+        |SELECT cohort, week_offset, n_users,
+        |  ROUND(n_users / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort) AS DOUBLE), 4) AS retention
+        |FROM c ORDER BY cohort, week_offset""".stripMargin,
+    "q45_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bucket, CAST(bucket * 5000.0 AS DOUBLE) AS bucket_lo, n,
+        |  CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |  ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS share
+        |FROM b ORDER BY bucket""".stripMargin,
     // Same 16+16-bit Morton interleave spelled as shift/mask arithmetic
     // (generated term list — 16 terms per dimension), same integer-div
     // grid scaling, so the z-cells match bit-for-bit.
@@ -1517,6 +1546,13 @@ object SparkEntry {
         |  CAST(floor((cum - n_tok) / 1024) AS BIGINT) AS seq_first,
         |  CAST(floor((cum - 1) / 1024) AS BIGINT) AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    // The oracle is the DEFINITION — row_number over the md5 key order;
+    // the engine's two-level prefix sum must reproduce it exactly.
+    "prep_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sk,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "sim_pq_ann" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -2551,5 +2587,37 @@ object SparkEntry {
         |SELECT r.node, n.n_name, r.rank
         |FROM r5 r JOIN nation n ON r.node = n.n_nationkey
         |ORDER BY r.node""".stripMargin,
+    // Unrolled 5-round synchronous min-label propagation (generated round
+    // CTEs — the engine's recurrence verbatim: each node takes the min of
+    // its own and its in-neighbors' labels; star edges to per-group hubs).
+    "graph_labelprop" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS (SELECT n.node,
+           |  LEAST(n.label, COALESCE(m.nmin, n.label)) AS label
+           |  FROM l${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, MIN(l.label) AS nmin
+           |    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst) m USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT p, hub FROM (
+         |    SELECT CAST(p_partkey AS BIGINT) AS p,
+         |      CAST(MIN(p_partkey) OVER (PARTITION BY p_brand, p_size) AS BIGINT) AS hub
+         |    FROM part) WHERE p <> hub
+         |  UNION ALL
+         |  SELECT p, hub FROM (
+         |    SELECT CAST(p_partkey AS BIGINT) AS p,
+         |      CAST(MIN(p_partkey) OVER (PARTITION BY p_type) AS BIGINT) AS hub
+         |    FROM part) WHERE p <> hub),
+         |edges AS (SELECT p AS src, hub AS dst FROM st
+         |          UNION ALL SELECT hub, p FROM st),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds
+         |SELECT node, label,
+         |  COUNT(*) OVER (PARTITION BY label) AS community_size
+         |FROM l5 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -650,4 +650,65 @@ object Analytics {
         min("sk").as("min_sk"), max("sk").as("max_sk"))
       .orderBy("bucket")
   }
+
+  /** Q44 — cohort retention: users bucketed by the week of their FIRST
+    * event (the cohort), then each (cohort, week-offset) cell counts how
+    * many of that cohort came back that many weeks later — the standard
+    * growth-analytics triangle downstream of every event sync (the
+    * reference lands `events`-shaped tables for exactly this class of
+    * warehouse query, reference README.md:4-6).
+    *
+    * Scale shape: ONE shuffle on user_id (the first-event window — same
+    * partitioning a sessionize pass already uses), then a map-side-
+    * combined distinct-count on (cohort, offset) — the cell domain is
+    * |weeks|², thousands of rows at any corpus size. The cohort-size
+    * denominator is a window over that tiny aggregated frame, not a
+    * second pass over the fact table.
+    *
+    * Offsets are exact by construction: both ends are Monday-truncated
+    * week starts, so datediff is always a multiple of 7 and the /7 is
+    * exact in double.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val marked = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .withColumn("cohort", min("wk").over(wu))
+    val cells = marked
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val wc = Window.partitionBy("cohort")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        round(col("n_users") / col("cohort_size").cast("double"), 4).as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** Q45 — fixed-width histogram of `l_extendedprice` (width 5000) with
+    * cumulative counts and shares: the profiling primitive behind price
+    * distribution dashboards and equi-width binning.
+    *
+    * Scale shape: the binning is a row-local floor-divide folded into a
+    * map-side-combined aggregate — the fact table collapses to ~25
+    * bucket rows inside the scan stage. The cumulative window runs on
+    * that bounded frame only, so its single-partition global order is
+    * O(buckets), never O(rows) (same bounded-frame argument as
+    * [[zorderLayout]]'s 32-cell profile).
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 5000.0
+    val b = t(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / width).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    b.select(col("bucket"), (col("bucket") * width).as("bucket_lo"), col("n"),
+        sum("n").over(wAll).as("cum_n"),
+        round(col("n") / sum("n").over(wTot).cast("double"), 4).as("share"))
+      .orderBy("bucket")
+  }
 }

@@ -160,6 +160,78 @@ object Graph {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleStats(nationTradeEdges(s, dir))
 
+  /** Synchronous min-label propagation, `rounds` rounds: every node
+    * starts labeled with its own id; each round every node takes the
+    * minimum of its own label and its in-neighbors' labels. On a
+    * symmetric edge list this is the classic bounded-round community /
+    * connected-component detector (Raghavan et al. 2007's LPA with min
+    * tie-breaking; run to fixpoint it IS connected components — the
+    * bounded-round form is what one iteration budget buys on a 100 TB
+    * graph, and is deterministic, which fixpoint-free LPA variants are
+    * not).
+    *
+    * Scale shape: edges are hash-partitioned on `src` ONCE and
+    * materialized; each round is one co-partitioned join on `src` (only
+    * the |V|-sized label frame moves), a map-side-combined min on `dst`,
+    * and a |V|⋈|V| merge. Labels re-materialize per round — the frame
+    * feeds the join AND the merge, and unbarriered lineage would double
+    * the whole prefix each round (the [[Dedup.connectedComponents]]
+    * precedent). Cost per round tracks |E| + |V|, never |E|².
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nmin"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** The part attribute-affinity graph: star edges from every part to the
+    * min-key "hub" of its (brand, size) group and of its type group,
+    * symmetrized. Two overlapping attribute groupings make the
+    * propagation genuinely multi-hop — communities merge ACROSS the two
+    * relations, so labels travel part→hub→part→other-hub chains that a
+    * single grouping would never produce. Hub selection is one window
+    * min per grouping (two shuffles on vocabulary-sized keys); stars, not
+    * cliques, keep |E| = 2·|V| rows instead of Σ|group|².
+    */
+  def partAffinityEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    def stars(cs: String*) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(cs.map(col): _*)
+      p.select(col("p_partkey").cast("long").as("p"),
+          min(col("p_partkey").cast("long")).over(w).as("hub"))
+        .filter(col("p") =!= col("hub"))
+    }
+    val st = stars("p_brand", "p_size")
+      .unionByName(stars("p_type"))
+    st.select(col("p").as("src"), col("hub").as("dst"))
+      .unionByName(st.select(col("hub").as("src"), col("p").as("dst")))
+  }
+
+  /** Registered query: 5 rounds of min-label propagation over the part
+    * attribute-affinity graph — (node, label) plus each community's
+    * final size.
+    */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelPropagation(partAffinityEdges(s, dir), rounds = 5)
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    labels.select(col("node"), col("label"),
+        count(lit(1)).over(wl).as("community_size"))
+      .orderBy("node")
+  }
+
   /** Registered query: 5 damped iterations over the nation trade graph,
     * nation names joined back for the final report.
     */

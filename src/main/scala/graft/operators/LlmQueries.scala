@@ -892,6 +892,15 @@ object LlmQueries {
     Prep.packSequences(docs(s, dir), "doc_id", "text", budget = 1024)
       .orderBy("doc_id")
 
+  /** Seeded deterministic corpus shuffle ([[Prep.shuffleOrder]]): the
+    * exact global permutation position of every document under the
+    * md5(id:seed) order, via the two-level prefix sum — reproducible in
+    * any engine with md5, so the oracle pins the entire permutation.
+    */
+  def prepShuffle(s: SparkSession, dir: String): DataFrame =
+    Prep.shuffleOrder(docs(s, dir).select(col("doc_id")), "doc_id", seed = 42)
+      .orderBy("pos")
+
   /** ANN quality measured, not assumed: recall@1 of the bucketed LSH path
     * and the IVF path against the brute-force ground truth, computed by
     * the engine itself (the oracle recomputes all three sides

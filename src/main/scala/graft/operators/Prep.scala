@@ -255,4 +255,34 @@ object Prep {
         floor(col("tok_start") / budget).cast("long").as("seq_first"),
         floor((col("tok_start") + col("n_tok") - 1) / budget).cast("long").as("seq_last"))
   }
+
+  /** Deterministic seeded global shuffle: every row gets its exact
+    * 0-based position in the order of `md5(id || ':' || seed)` — the
+    * "shuffle the corpus, reproducibly, and let any engine verify the
+    * permutation" step before epoch writes. Changing the seed is a fresh
+    * independent permutation; same seed replays bit-identically anywhere
+    * md5 exists.
+    *
+    * Scale shape: a naive global `row_number` is ONE task at 100 TB. This
+    * is instead the [[packSequences]] distributed prefix-sum — rows block
+    * by their key's leading byte (256 hash-uniform blocks; blocks are
+    * CONTIGUOUS in key order, so block-local rank + the running block
+    * offset IS the global rank), the per-block window fans out across the
+    * cluster, and the 256-row offset table broadcasts. Fully lazy — no
+    * zipWithIndex job, no driver round-trip.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Int): DataFrame = {
+    val keyed = df.select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))).as("sk"))
+      .withColumn("blk", substring(col("sk"), 1, 2))
+    val offs = keyed.groupBy("blk").agg(count(lit(1)).as("bn"))
+    val wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = offs
+      .withColumn("blk_off", coalesce(sum("bn").over(wb), lit(0L)))
+      .select("blk", "blk_off")
+    val ww = Window.partitionBy("blk").orderBy("sk")
+    keyed.join(broadcast(blockOffsets), "blk")
+      .select(col(idCol), col("sk"),
+        (col("blk_off") + row_number().over(ww) - 1).as("pos"))
+  }
 }

@@ -179,4 +179,31 @@ class AnalyticsSpec extends SparkTestBase {
     // after a view; step3: only u1 purchased after its click
     assert(got === Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("retention: offset-0 is total cohort, ratios bounded, Monday cohorts") {
+    val rows = Analytics.retention(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val c0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cohort, off, n, ret) =>
+      assert(off >= 0L)
+      assert(cohort.toLocalDate.getDayOfWeek
+        === java.time.DayOfWeek.MONDAY, s"cohort $cohort not a Monday")
+      assert(n <= c0(cohort), "no offset can exceed its cohort size")
+      assert(ret > 0.0 && ret <= 1.0)
+      if (off == 0L) assert(ret === 1.0, "week 0 retention is 1 by definition")
+    }
+  }
+
+  test("histogram: counts partition the table, cumulative and share close") {
+    val total = graft.Tables.load(spark, sfDir, "lineitem").count()
+    val rows = Analytics.histogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._3).sum === total, "bucket counts partition the rows")
+    assert(rows.last._4 === total, "last cumulative count is the total")
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)), "bucket order")
+    rows.foreach { case (b, lo, _, _, _) => assert(lo === b * 5000.0) }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-2, "shares sum to ~1")
+  }
 }

@@ -94,4 +94,38 @@ class GraphSpec extends SparkTestBase {
       assert(t === triOf(n), s"triangles of $n")
     }
   }
+
+  private def lpOf(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: labels travel exactly one hop per round on a path") {
+    // symmetric 5-path 1-2-3-4-5: after r rounds node k holds max(1, k-r)
+    val path = (1L to 4L).flatMap(k => Seq((k, k + 1), (k + 1, k)))
+    assert(lpOf(path, rounds = 2) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    assert(lpOf(path, rounds = 4) === (1L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("labelPropagation at >= diameter rounds is connected components") {
+    // two components {1,2,3} (triangle) and {10,11}; diameter 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assert(lpOf(edges, rounds = 3) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("graph_labelprop query: sizes consistent, labels are community minima") {
+    val rows = Graph.graphLabelProp(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // community_size equals the actual cardinality of each label group
+    val byLabel = rows.groupBy(_._2)
+    rows.foreach { case (_, l, sz) => assert(sz === byLabel(l).length.toLong) }
+    // a label never exceeds the node carrying it (min propagation only
+    // lowers), and each community's eponymous node is a member
+    rows.foreach { case (n, l, _) => assert(l <= n) }
+    byLabel.foreach { case (l, ms) =>
+      assert(ms.exists(_._1 == l), s"label $l not among its members") }
+  }
 }

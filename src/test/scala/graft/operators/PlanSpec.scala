@@ -220,7 +220,10 @@ class PlanSpec extends SparkTestBase {
       // dedup_approx_hll tolerance-check pattern)
       "text_overlap_kmv",
       // kept-edge checkpoint (feeds degrees, wedges, and the close join)
-      "graph_triangles")
+      "graph_triangles",
+      // edge/node checkpoints + per-round label barrier (multi-consumer
+      // iterative frames, the graph_pagerank class)
+      "graph_labelprop")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a

@@ -153,4 +153,25 @@ class PrepSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "assignment must be deterministic")
   }
+
+  test("shuffleOrder: block prefix sum equals the naive global window, " +
+      "seeds give distinct permutations") {
+    import spark.implicits._
+    val df = (0L until 700L).map(identity).toDF("id")
+    val got = Prep.shuffleOrder(df, "id", seed = 7)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // a permutation: positions are exactly 0..n-1
+    assert(rows.map(_._2).sorted.toSeq == (0L until 700L).toSeq)
+    // two-level prefix sum == single-task global row_number over the key
+    val naive = df
+      .withColumn("sk", md5(concat(col("id").cast("string"), lit(":7"))))
+      .withColumn("pos", row_number().over(Window.orderBy("sk")).cast("long") - 1)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (id, pos) => assert(pos === naive(id), s"id $id") }
+    // a different seed is a genuinely different permutation
+    val other = Prep.shuffleOrder(df, "id", seed = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.count { case (id, pos) => other(id) == pos } < 100,
+      "seeds 7 and 8 must not share the permutation")
+  }
 }
