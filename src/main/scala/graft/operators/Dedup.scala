@@ -359,7 +359,13 @@ object Dedup {
     val hot = posts.groupBy("h")
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") > maxDf).select("h")
-    val kept = posts.join(hot, Seq("h"), "left_anti")
+    // Materialize the surviving postings ONCE: `kept` is consumed by BOTH
+    // sides of the pair self-join (the multi-consumer barrier rule —
+    // unbarriered, each side re-runs tokenize→explode→hash plus the
+    // hot-gram anti-join). Locally the pair join dominates and the
+    // barrier measures neutral at sf0.1; at scale it trades one
+    // materialization of |postings| rows for a second full corpus scan.
+    val kept = posts.join(hot, Seq("h"), "left_anti").localCheckpoint(true)
     val m = kept.select(col("h"), col(idCol).as("d1"), col("pos").as("p1"))
       .join(kept.select(col("h"), col(idCol).as("d2"), col("pos").as("p2")), "h")
       .filter(col("d1") < col("d2"))
