@@ -155,6 +155,7 @@ object SparkEntry {
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
+    "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
@@ -1749,6 +1750,35 @@ object SparkEntry {
         |  COUNT(*) AS n_copies,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Same 60-chunk byte-sum aHash through the hex codec, same 4x15-bit
+    // banding, same exact-hamming verify — recomputed from the raw text.
+    "mm_phash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' qx' AS text FROM documents),
+        |hx AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  CAST(ceil(octet_length(encode(text)) / 60.0) AS BIGINT) AS cl
+        |  FROM corpus),
+        |fs AS (SELECT doc_id, list_transform(range(60), j ->
+        |  COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(substr(hx, CAST(j * cl * 2 + 1 AS BIGINT),
+        |      CAST(cl * 2 AS BIGINT)), '..'),
+        |    x -> ('0x' || x)::BIGINT)), 0)) AS fs FROM hx),
+        |ph AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), j ->
+        |  ((fs[CAST(j + 1 AS BIGINT)] >> 2) & 1::BIGINT) << CAST(j AS INT)))
+        |  AS BIGINT) AS ph
+        |  FROM fs),
+        |bands AS (SELECT doc_id, ph, r.range AS band,
+        |  (ph >> CAST(r.range * 15 AS INT)) & 32767 AS bv
+        |  FROM ph, range(4) r),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  x.ph AS pha, y.ph AS phb
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pha, phb)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "a27_orc_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev,

@@ -455,6 +455,25 @@ object LlmQueries {
         sum(col("meta.n_bytes")).as("total_bytes"))
       .orderBy("keep_id")
 
+  /** Perceptual near-dup over binary payloads ([[Multimodal
+    * .phashNearDups]]): the corpus plus a lightly perturbed copy of every
+    * payload (three bytes appended — the "re-encoded thumbnail"
+    * stand-in), paired by banding the 60-bit blockwise fingerprint and
+    * verified by exact hamming.
+    * Perturbed copies whose chunk grid shifts (byte count crossing a
+    * 60-multiple) legitimately scramble and drop out — recall loss the
+    * oracle reproduces, since it recomputes the identical signature.
+    */
+  def mmPhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" qx")).as("text")))
+    Multimodal.phashNearDups(
+        Multimodal.attachBinary(corpus, "doc_id", "text"), "doc_id")
+      .orderBy("a", "b")
+  }
+
   /** Deterministic round-robin interleave of the document sources
     * ([[Prep.interleaveSources]]): the curriculum-mixing layout where
     * consecutive slots cycle through sources; slot assignment is closed

@@ -180,6 +180,90 @@ object Multimodal {
           lit(targetH))
           .otherwise(greatest(lit(1), expr(s"CAST(floor(height * $targetW / width) AS INT)"))))
 
+  /** Blockwise fingerprint of a binary payload — the piecewise-hash
+    * (ssdeep/CTPH) shape: the payload is cut into 60 equal blocks (block
+    * length `ceil(n_bytes / 60)`), each block's byte-sum yields ONE
+    * checksum bit (bit 2 of the sum — content-sensitive, yet untouched
+    * blocks keep their bit), assembled into a 60-bit signature whose
+    * hamming distance counts DIFFERING BLOCKS. A payload edited in k
+    * blocks lands within hamming k of the original; unrelated payloads
+    * disagree on ~half of their informative bits. A real perceptual hash
+    * (pHash's DCT coefficients, aHash's mean threshold over pixels) fills
+    * the same per-block-feature slot once a media decoder exists — the
+    * bit-assembly, banding, and verify stages are decoder-agnostic.
+    * (A mean-thresholded rule was measured first and rejected: over
+    * short same-vocabulary text payloads the block sums cluster so
+    * tightly around the mean that unrelated docs collided at hamming 0.)
+    *
+    * Portability: all byte math goes through the hex codec (the
+    * [[featurize]] rule), so any engine reproduces the exact signature.
+    *
+    * Plan shape: the hex string and the 60-feature array each materialize
+    * ONCE (two eager barriers). Both are referenced from inside
+    * higher-order lambdas downstream, and CollapseProject would otherwise
+    * inline the producing expression into every element evaluation —
+    * hex(data) would re-run 60× per row, the chunk-sum transform 61× (the
+    * featurize O(n²) trap, and the IVF-PQ re-inlining defect class).
+    */
+  def phashSignatures(media: DataFrame, idCol: String): DataFrame = {
+    val hx = media.select(col(idCol),
+        hex(col("data")).as("hx"),
+        ceil(octet_length(col("data")) / 60.0).cast("long").as("cl"))
+      .localCheckpoint(true)
+    val fs = hx.select(col(idCol), expr(
+      """transform(sequence(0, 59), j ->
+        |  aggregate(
+        |    regexp_extract_all(
+        |      substring(hx, CAST(j * cl * 2 + 1 AS INT), CAST(cl * 2 AS INT)),
+        |      '..', 0),
+        |    CAST(0 AS BIGINT),
+        |    (acc, x) -> acc + CAST(conv(x, 16, 10) AS BIGINT)))""".stripMargin)
+        .as("fs"))
+      .localCheckpoint(true)
+    fs.select(col(idCol), expr(
+      """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
+        |  acc + shiftleft(
+        |    shiftright(element_at(fs, CAST(j + 1 AS INT)), 2) & CAST(1 AS BIGINT),
+        |    CAST(j AS INT)))""".stripMargin).as("ph"))
+  }
+
+  /** Perceptual near-duplicate pairs: LSH banding over [[phashSignatures]]
+    * — the 60-bit hash splits into 4 bands of 15 bits; any pair agreeing
+    * on a full band becomes a candidate, and candidates are verified by
+    * exact hamming distance (`bit_count(xor)`) against `maxHamming`.
+    * Pigeonhole guarantee: `maxHamming` ≤ 3 flipped bits can corrupt at
+    * most 3 of the 4 bands, so every true pair shares at least one intact
+    * band — banding loses NOTHING at the emitted threshold (the
+    * [[Dedup]] simhash-band argument, applied to payload bytes).
+    *
+    * Scale shape: the only join is the band-bucket equi-join on
+    * (band, 15-bit value) — 2^15 values per band keeps buckets sparse;
+    * all-pairs never materializes. Signature cost is one payload scan.
+    */
+  def phashNearDups(media: DataFrame, idCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding is exhaustive only to hamming 3")
+    val sig = phashSignatures(media, idCol) // checkpointed upstream
+    val bands = sig.select(col(idCol), col("ph"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(
+          |  b AS band,
+          |  shiftright(ph, CAST(b * 15 AS INT)) & 32767 AS bv))""".stripMargin))
+        .as("bb"))
+      .select(col(idCol), col("ph"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("x.ph").as("pha"), col("y.ph").as("phb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** End-to-end metadata extraction (the mm query surface): attach →
     * metadata projection + portable content fingerprint. Payload bytes are
     * NOT read by this plan — only the metadata struct and the original

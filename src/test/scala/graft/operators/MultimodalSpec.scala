@@ -87,4 +87,31 @@ class MultimodalSpec extends SparkTestBase {
     val metaOnly = m.select(col("doc_id"), col("meta.n_bytes"))
     assert(metaOnly.count() == docs.count())
   }
+
+  test("phash: identical payloads at hamming 0, localized edit stays near, " +
+      "banding is exhaustive to hamming 3") {
+    import spark.implicits._
+    // payloads long enough that one block ≈ 2 bytes; doc 2 is a copy of
+    // doc 1, doc 3 edits a single byte, the rest are unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 2
+    val corpus = (Seq(
+      (1L, base), (2L, base), (3L, base.updated(5, 'X').toString)) ++
+      (4L to 40L).map(i => (i, s"unrelated payload number $i " * (i.toInt % 5 + 2))))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachBinary(corpus, "doc_id", "text")
+    val sig = Multimodal.phashSignatures(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "identical payloads must hash identically")
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 2,
+      "a one-byte edit may flip at most the touched block's bit (plus a " +
+        "grid-boundary neighbor)")
+    // banding finds EVERY pair within hamming 3 (pigeonhole over 4 bands)
+    val got = Multimodal.phashNearDups(media, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, pa) <- sig.toSeq; (b, pb) <- sig.toSeq if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === brute, "banding must equal brute-force hamming<=3")
+  }
 }

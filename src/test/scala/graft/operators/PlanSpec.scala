@@ -223,7 +223,10 @@ class PlanSpec extends SparkTestBase {
       "graph_triangles",
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
-      "graph_labelprop")
+      "graph_labelprop",
+      // eager hex-string and feature-array barriers (lambda re-inlining
+      // guards, the dedup_minhash_lsh class)
+      "mm_phash_neardup")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
