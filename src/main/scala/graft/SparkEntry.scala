@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Graph, LlmQueries, PipelineQueries, Queries}
+import graft.operators.{Analytics, Graph, LlmQueries, PipelineQueries, Queries, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -176,6 +176,7 @@ object SparkEntry {
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "text_bm25"             -> (LlmQueries.textBm25 _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
+    "ml_linreg"             -> (Regression.mlLinReg _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
@@ -2617,6 +2618,33 @@ object SparkEntry {
         |SELECT r.node, n.n_name, r.rank
         |FROM r5 r JOIN nation n ON r.node = n.n_nationkey
         |ORDER BY r.node""".stripMargin,
+    // One sufficient-statistics aggregate over exact-integer columns, then
+    // the SAME Cramer expression strings the engine uses (shared source of
+    // truth in Regression.fitSql) — identical IEEE op order, bit parity.
+    "ml_linreg" -> {
+      val fit = Regression.fitSql
+        .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         |    CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         |    CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         |    CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM v GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  $fit
+         |FROM st ORDER BY l_returnflag""".stripMargin
+    },
     // Unrolled 5-round synchronous min-label propagation (generated round
     // CTEs — the engine's recurrence verbatim: each node takes the min of
     // its own and its in-neighbors' labels; star edges to per-group hubs).

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Closed-form linear regression via sufficient statistics — the
+  * "distributed ML without an iterative solver" pattern: a two-feature
+  * OLS fit `y = β0 + β1·x1 + β2·x2` needs only the per-group sums
+  * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, plus Σy² for R²),
+  * which ONE map-side-combined aggregate produces; the 3×3 normal
+  * equations then solve row-locally by Cramer's rule on the tiny
+  * aggregated frame. This is how regression actually runs at 100 TB —
+  * the fact table is touched exactly once, nothing iterative, no driver
+  * round-trips, and the shuffle carries |groups| rows of ten doubles.
+  *
+  * Determinism contract: callers pass EXACT-INTEGER-VALUED columns
+  * scaled so every sum (including Σy²) stays below 2^53: integer-valued
+  * sums are then exact in any engine regardless of partial-aggregation
+  * order, and the closed-form determinant arithmetic is the identical
+  * IEEE expression tree on identical inputs — an external oracle
+  * reproduces the fit bit-for-bit. (Raw inexact doubles would make the
+  * sums order-dependent at the last ulp — fine for statistics, fatal
+  * for a hash-compared oracle.)
+  */
+object Regression {
+
+  /** Cramer determinants for the normal system
+    *   [ n   s1  s2  ] [b0]   [ sy  ]
+    *   [ s1  s11 s12 ] [b1] = [ s1y ]
+    *   [ s2  s12 s22 ] [b2]   [ s2y ]
+    * as SQL strings — det, then the three numerators — shared verbatim
+    * by the Spark plan and the DuckDB oracle so both engines evaluate
+    * the same operations in the same order.
+    */
+  private[graft] val cramerSql: Seq[String] = Seq(
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)" +
+      " + s2 * (s1 * s12 - s11 * s2))",
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)" +
+      " + s2 * (s1y * s12 - s11 * s2y))",
+    "(n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)" +
+      " + s2 * (s1 * s2y - s1y * s2))",
+    "(n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)" +
+      " + sy * (s1 * s12 - s11 * s2))")
+
+  /** The closing projection (betas + R² + n) over the sufficient-stats
+    * columns, shared by both engines.
+    */
+  private[graft] def fitSql: Seq[(String, String)] = {
+    val Seq(det, d0, d1, d2) = cramerSql
+    Seq(
+      "beta0" -> s"ROUND($d0 / $det, 6)",
+      "beta1" -> s"ROUND($d1 / $det, 6)",
+      "beta2" -> s"ROUND($d2 / $det, 6)",
+      "r2" -> (s"ROUND(1.0 - (syy - (($d0 / $det) * sy + ($d1 / $det) * s1y" +
+        s" + ($d2 / $det) * s2y)) / (syy - sy * sy / n), 6)"),
+      "n" -> "CAST(n AS BIGINT)")
+  }
+
+  /** Per-group OLS with intercept over two regressors: one aggregate
+    * pass, then the row-local Cramer solve.
+    */
+  def olsTwoFeature(df: DataFrame, groupCol: String, x1: Column, x2: Column,
+                    y: Column): DataFrame = {
+    val s = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x1).cast("double").as("s1"),
+        sum(x2).cast("double").as("s2"),
+        sum(y).cast("double").as("sy"),
+        sum(x1 * x1).cast("double").as("s11"),
+        sum(x1 * x2).cast("double").as("s12"),
+        sum(x2 * x2).cast("double").as("s22"),
+        sum(x1 * y).cast("double").as("s1y"),
+        sum(x2 * y).cast("double").as("s2y"),
+        sum(y * y).cast("double").as("syy"))
+    s.select(col(groupCol) +: fitSql.map { case (name, sql) =>
+      expr(sql).as(name) }: _*)
+  }
+
+  /** Registered query: whole-dollar price regressed on quantity and
+    * discount-in-cents per return flag. Whole dollars (not cents) keep
+    * Σy² under 2^53 at any realistic scale factor, so every sufficient
+    * statistic is exactly representable and order-independent.
+    */
+  def mlLinReg(s: SparkSession, dir: String): DataFrame =
+    olsTwoFeature(
+      Tables.load(s, dir, "lineitem"),
+      "l_returnflag",
+      col("l_quantity").cast("long").cast("double"),
+      round(col("l_discount") * 100).cast("long").cast("double"),
+      round(col("l_extendedprice")).cast("long").cast("double"))
+      .orderBy("l_returnflag")
+}

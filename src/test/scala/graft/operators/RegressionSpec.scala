@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** OLS invariants: an exactly-linear dataset is recovered with R² = 1;
+  * a noisy dataset matches a driver-side normal-equation solve; the
+  * registered lineitem fit has sane diagnostics.
+  */
+class RegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactly linear data recovers the generating betas with r2 = 1") {
+    // y = 2 + 3*x1 + 5*x2 over a non-degenerate integer grid
+    val rows = for (a <- 0 to 9; b <- 0 to 9)
+      yield ("g", a.toDouble, b.toDouble, 2.0 + 3 * a + 5 * b)
+    val got = Regression.olsTwoFeature(rows.toDF("g", "x1", "x2", "y"),
+        "g", col("x1"), col("x2"), col("y"))
+      .collect().head
+    assert(got.getDouble(1) === 2.0)
+    assert(got.getDouble(2) === 3.0)
+    assert(got.getDouble(3) === 5.0)
+    assert(got.getDouble(4) === 1.0)
+    assert(got.getLong(5) === 100L)
+  }
+
+  test("noisy data matches the scalar normal-equation solve") {
+    // deterministic pseudo-noise from the index (no RNG — reproducible)
+    val data = (0 until 200).map { i =>
+      val (x1, x2) = ((i % 13).toDouble, (i % 7).toDouble)
+      ("g", x1, x2, 1.0 + 2 * x1 - 3 * x2 + (i % 5) - 2.0)
+    }
+    val got = Regression.olsTwoFeature(data.toDF("g", "x1", "x2", "y"),
+        "g", col("x1"), col("x2"), col("y"))
+      .collect().head
+    // scalar solve with the same sums and the same Cramer expansion
+    val (n, s1, s2, sy) = (data.size.toDouble, data.map(_._2).sum,
+      data.map(_._3).sum, data.map(_._4).sum)
+    val s11 = data.map(d => d._2 * d._2).sum
+    val s12 = data.map(d => d._2 * d._3).sum
+    val s22 = data.map(d => d._3 * d._3).sum
+    val s1y = data.map(d => d._2 * d._4).sum
+    val s2y = data.map(d => d._3 * d._4).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    assert(math.abs(got.getDouble(1) - b0) < 1e-6, s"beta0 ${got.getDouble(1)} vs $b0")
+    assert(math.abs(got.getDouble(2) - b1) < 1e-6)
+    assert(math.abs(got.getDouble(3) - b2) < 1e-6)
+    assert(got.getDouble(4) > 0.5 && got.getDouble(4) < 1.0, "noise lowers r2 below 1")
+  }
+
+  test("registered lineitem fit: one row per flag, r2 in [0, 1], groups " +
+      "partition the table") {
+    val rows = Regression.mlLinReg(spark, sfDir).collect()
+    assert(rows.length === 3)
+    // this synthetic lineitem draws price independently of quantity, so
+    // the fit's value here is the DIAGNOSTIC: r2 near zero, finite betas
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+    }
+    val total = graft.Tables.load(spark, sfDir, "lineitem").count()
+    assert(rows.map(_.getLong(5)).sum === total)
+  }
+}
