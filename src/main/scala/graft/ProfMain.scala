@@ -27,7 +27,9 @@ object ProfMain {
         "prep_curriculum", "mm_binary_dedup", "q41_interval_overlap",
         "graph_pagerank", "text_heavy_hitters", "q42_zorder",
         "graph_triangles", "q43_funnel",
-        "dedup_span", "dedup_linkage", "text_bm25", "prep_kfold")
+        "dedup_span", "dedup_linkage", "text_bm25", "prep_kfold",
+        "q44_retention", "q45_histogram", "prep_shuffle",
+        "graph_labelprop", "mm_phash_neardup", "ml_linreg")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
