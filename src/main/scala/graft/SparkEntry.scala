@@ -159,6 +159,7 @@ object SparkEntry {
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
+    "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
     "prep_weighted_sample"  -> (LlmQueries.prepWeightedSample _),
     "sim_range_search"      -> (LlmQueries.simRangeSearch _),
@@ -733,6 +734,30 @@ object SparkEntry {
         |             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |               ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM sc)
         |SELECT probe_id, vec_id AS neighbor_id, rn, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    // Full m×m late-interaction matrix per (probe, cand): same ordered
+    // sub-slices, same dot/norm spelling, same Σ_i max_j accumulation.
+    "sim_maxsim" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id >= 10),
+        |     sc AS (SELECT probe_id, cand_id,
+        |         list_sum(list_transform(range(8), i ->
+        |           list_max(list_transform(range(8), j ->
+        |             list_dot_product(pe[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)],
+        |                              ce[CAST(j*8+1 AS BIGINT) : CAST(j*8+8 AS BIGINT)])
+        |               / (sqrt(list_dot_product(
+        |                    pe[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)],
+        |                    pe[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)]))
+        |                  * sqrt(list_dot_product(
+        |                      ce[CAST(j*8+1 AS BIGINT) : CAST(j*8+8 AS BIGINT)],
+        |                      ce[CAST(j*8+1 AS BIGINT) : CAST(j*8+8 AS BIGINT)]))))))) AS score
+        |       FROM p, c WHERE probe_id <> cand_id),
+        |     r AS (SELECT probe_id, cand_id, score,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |               ORDER BY score DESC, cand_id) AS BIGINT) AS rn FROM sc)
+        |SELECT probe_id, cand_id AS neighbor_id, rn, ROUND(score, 4) AS maxsim
         |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
     "sim_lsh_ann" ->
       """WITH c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce,

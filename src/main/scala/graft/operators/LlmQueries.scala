@@ -599,6 +599,19 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** ColBERT-style late-interaction retrieval ([[Similarity.maxSimTopK]]):
+    * the 64-dim embedding as 8×8-dim sub-vectors, score = Σ_i max_j
+    * sub-cosine — top 3 per probe, oracle recomputes the full m×m
+    * interaction matrix.
+    */
+  def simMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    Similarity.maxSimTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 8, k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
   /** IVF ANN: per-label centroids trained on the corpus (vec_id ≥ 10)
     * serve as the codebook; probes (vec_id < 10) search only their nearest
     * centroid's inverted list.

@@ -238,6 +238,51 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
+    * (Khattab & Zaharia 2020): query and document are MULTI-vector (here
+    * the embedding split into `m` contiguous sub-vectors); the score is
+    * Σ_i max_j cos(q_i, d_j) — each query sub-vector matches its best
+    * document sub-vector independently, which captures partial/termwise
+    * relevance a single pooled cosine blurs.
+    *
+    * Scale shape identical to [[cosineTopK]]: probes broadcast, ONE
+    * corpus scan, row-local m×m sub-cosine scoring (the codegen'd
+    * `dot_native` inside nested HOFs — no UDF), one per-probe top-k
+    * window. At 100 TB the production layout stores the m sub-vectors
+    * as the column directly; the slicing here is the adapter from the
+    * single-vector test schema.
+    */
+  def maxSimTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 embCol: String, m: Int, k: Int,
+                 maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"),
+        col(embCol).cast("array<double>").as("p_emb")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(embCol).cast("array<double>").as("c_emb"))
+    // sub-vector length from the data (size divisible by m by contract);
+    // the i-th probe sub-vector scores against all m candidate
+    // sub-vectors, keeps the max, and the per-i maxima sum in index
+    // order — the same left-to-right accumulation an external engine's
+    // ordered list_sum reproduces.
+    val score = expr(
+      s"""aggregate(sequence(0, $m - 1), CAST(0.0 AS DOUBLE), (acc, i) ->
+         |  acc + array_max(transform(sequence(0, $m - 1), j ->
+         |    dot_native(slice(p_emb, i * sl + 1, sl), slice(c_emb, j * sl + 1, sl))
+         |      / (sqrt(dot_native(slice(p_emb, i * sl + 1, sl),
+         |                         slice(p_emb, i * sl + 1, sl)))
+         |         * sqrt(dot_native(slice(c_emb, j * sl + 1, sl),
+         |                           slice(c_emb, j * sl + 1, sl)))))))""".stripMargin)
+    val w = Window.partitionBy("probe_id").orderBy(col("maxsim").desc, col("cand_id"))
+    c.join(p, col("probe_id") =!= col("cand_id"))
+      .withColumn("sl", (size(col("p_emb")) / m).cast("int"))
+      .withColumn("maxsim", score)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        round(col("maxsim"), 4).as("maxsim"))
+  }
+
   /** Radius (range) search: EVERY corpus vector with cosine ≥ τ of each
     * probe — the retrieval mode for "all sufficiently-similar", where
     * top-k's fixed k either truncates dense neighborhoods or pads sparse

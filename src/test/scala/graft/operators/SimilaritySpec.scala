@@ -223,4 +223,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(assigned.count() == 50 &&
       assigned.select("cid").distinct().count() >= 1)
   }
+
+  test("maxSimTopK: an exact copy scores m, late interaction beats pooled " +
+      "cosine on a permuted match, local recompute agrees") {
+    import spark.implicits._
+    // probe 1: 4 sub-vectors of dim 2. cand 10 = exact copy (maxsim = 4);
+    // cand 11 = the SAME sub-vectors in a different order (pooled cosine
+    // drops, maxsim stays 4 — the late-interaction point); cand 12 =
+    // unrelated (every sub-vector orthogonal-ish to the probe's).
+    val q = Array(1.0f, 0f, 0f, 1f, 1f, 1f, 2f, 0f)
+    val perm = Array(0f, 1f, 1f, 0f, 2f, 0f, 1f, 1f) // sub-vectors permuted
+    val other = Array(0f, -1f, -1f, 0f, 0f, -2f, -1f, 1f)
+    val df = Seq((1L, q), (10L, q.clone), (11L, perm), (12L, other))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(
+        df.filter(col("vec_id") >= 10), df.filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 4, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 3)
+    // copies (exact and permuted) both score exactly m = 4
+    assert(got(0) === ((10L, 1L, 4.0)))
+    assert(got(1) === ((11L, 2L, 4.0)))
+    assert(got(2)._1 === 12L && got(2)._3 < 4.0)
+    // pooled full-vector cosine CANNOT give the permuted copy a perfect
+    // score — that separation is what maxsim buys
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(q, perm) < 0.999)
+    // registered query agrees with a driver-side recompute at sf0.001
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def maxsim(p: Array[Float], c: Array[Float]): Double =
+      (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          cos(p.slice(i * 8, i * 8 + 8), c.slice(j * 8, j * 8 + 8))
+        }.max
+      }.sum
+    val reg = LlmQueries.simMaxsim(spark, sfDir).collect()
+    reg.foreach { r =>
+      val want = maxsim(e(r.getLong(0)), e(r.getLong(1)))
+      assert(math.abs(r.getDouble(3) - want) < 1e-3,
+        s"probe ${r.getLong(0)} cand ${r.getLong(1)}: ${r.getDouble(3)} vs $want")
+    }
+  }
 }
