@@ -157,6 +157,7 @@ object SparkEntry {
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
+    "a28_jsonl_roundtrip"   -> (PipelineQueries.a28JsonlRoundtrip _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
@@ -1811,6 +1812,14 @@ object SparkEntry {
         |  CAST(COUNT(o_orderpriority) AS BIGINT) AS n_prio,
         |  CAST(MIN(o_orderdate) AS DATE) AS min_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Recomputed from the ORIGINAL parquet — any JSON escape/unescape
+    // mutation of any text flips the group's XOR-folded portable hash.
+    "a28_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "dedup_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

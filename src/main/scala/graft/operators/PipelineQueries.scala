@@ -635,6 +635,30 @@ object PipelineQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** A28 — JSONL (newline-delimited JSON) roundtrip: the ingest format
+    * crawl and annotation pipelines actually deliver documents in. The
+    * corpus writes as JSONL and reads back with an EXPLICIT schema — at
+    * 100 TB, schema inference is a full extra scan of the lake, so the
+    * contract schema is part of the operator. The closing aggregate
+    * carries an order-insensitive XOR fold of the portable text hash
+    * (the A25 manifest checksum), so ANY mutation of any document's text
+    * through the JSON escape/unescape cycle — quotes, backslashes,
+    * unicode, newlines — flips the group checksum and fails the oracle
+    * (which recomputes it from the ORIGINAL parquet table).
+    */
+  def a28JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_jsonl").toString + "/docs_jsonl"
+    Tables.load(s, dir, "documents").write.mode("overwrite").json(base)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(base)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

@@ -210,6 +210,8 @@ class PlanSpec extends SparkTestBase {
       "prep_interleave",
       // writes + reads back the ORC snapshot — IO by design
       "a27_orc_roundtrip",
+      // writes + reads back the JSONL corpus — IO by design
+      "a28_jsonl_roundtrip",
       // node-count collect + edge/share-table checkpoints (multi-consumer
       // barriers) before the lazy power iteration
       "graph_pagerank",

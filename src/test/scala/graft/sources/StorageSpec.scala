@@ -54,4 +54,24 @@ class StorageSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  test("jsonl roundtrip preserves hostile strings byte-for-byte") {
+    import spark.implicits._
+    // every JSON escape class: quotes, backslash, control chars, tabs,
+    // newlines, unicode outside the BMP-ASCII range, leading/trailing ws
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "with \"quotes\" and \\backslash\\"),
+      (3L, "tab\there\nnewline\rcarriage"),
+      (4L, "unicode: café 日本語 😀"),
+      (5L, "  leading and trailing  "),
+      (6L, "{\"looks\":\"like json\"}"))
+    val df = nasty.toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("jsonlspec").toString + "/nasty"
+    df.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema("doc_id BIGINT, text STRING").json(tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.foreach { case (id, s) =>
+      assert(back(id) == s, s"doc $id mutated through the JSON cycle") }
+  }
 }
