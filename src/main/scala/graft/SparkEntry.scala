@@ -161,6 +161,7 @@ object SparkEntry {
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
+    "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
     "prep_weighted_sample"  -> (LlmQueries.prepWeightedSample _),
     "sim_range_search"      -> (LlmQueries.simRangeSearch _),
@@ -2447,6 +2448,49 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank,
         |  n_hit, bm25
         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // Both ranker legs rebuilt verbatim (BM25 as in text_bm25 but top-20;
+    // Jaccard as row-local intersect/union over distinct tokens), fused
+    // with the same coalesce-sum in the same order.
+    "sim_hybrid_rrf" ->
+      """WITH q AS (SELECT unnest(['spark', 'join', 'window', 'vector']) AS term),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |t AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM t JOIN q USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |       GROUP BY doc_id),
+        |bmr AS (SELECT doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |            AS bm25_rank
+        |        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |jd AS (SELECT doc_id, list_distinct(tk) AS dtk FROM tk),
+        |js AS (SELECT doc_id,
+        |         len(list_filter(dtk, x ->
+        |           list_contains(['spark', 'join', 'window', 'vector'], x))) AS inter,
+        |         len(list_distinct(list_concat(dtk,
+        |           ['spark', 'join', 'window', 'vector']))) AS uni
+        |       FROM jd),
+        |jr AS (SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           ORDER BY inter / CAST(uni AS DOUBLE) DESC, doc_id) AS BIGINT)
+        |           AS jac_rank
+        |       FROM js WHERE inter >= 1
+        |       ORDER BY inter / CAST(uni AS DOUBLE) DESC, doc_id LIMIT 20),
+        |fused AS (SELECT COALESCE(bmr.doc_id, jr.doc_id) AS doc_id,
+        |            bm25_rank, jac_rank,
+        |            ROUND(COALESCE(1.0 / (60.0 + bm25_rank), 0.0)
+        |              + COALESCE(1.0 / (60.0 + jac_rank), 0.0), 6) AS rrf
+        |          FROM bmr FULL OUTER JOIN jr ON bmr.doc_id = jr.doc_id)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank,
+        |  rrf, bm25_rank, jac_rank
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

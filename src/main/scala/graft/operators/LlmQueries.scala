@@ -842,6 +842,14 @@ object LlmQueries {
         Seq("spark", "join", "window", "vector"), k = 10)
       .orderBy("rank")
 
+  /** Hybrid retrieval ([[TextAnalysis.hybridRrf]]): BM25 and token-set
+    * Jaccard top-20 lists fused by reciprocal rank at c = 60, top 10.
+    */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hybridRrf(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"))
+      .orderBy("fused_rank")
+
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")

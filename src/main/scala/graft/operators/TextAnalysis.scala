@@ -407,6 +407,49 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("n_hit"), col("bm25"))
   }
 
+  /** Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009):
+    * two lexically different rankers — BM25 and token-set Jaccard — each
+    * produce a top-`n` candidate list, and candidates score
+    * Σ_r 1/(c + rank_r), missing-from-a-list contributing nothing. RRF
+    * is THE standard way production search fuses sparse/BM25 with a
+    * second signal (vectors, recency, jaccard): rank-based, so the
+    * rankers' incomparable score scales never need calibration.
+    *
+    * Scale shape: each ranker is one corpus scan collapsing to ≤ n rows
+    * (BM25's query-term `isin` prune + `TakeOrderedAndProject`; the
+    * Jaccard leg is a row-local array intersect/union over the SAME
+    * pruning idea — docs sharing no query token never rank). The fusion
+    * join touches ≤ 2n rows. Nothing fact-sized shuffles.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+                query: Seq[String], n: Int = 20, k: Int = 10,
+                c: Double = 60.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val qArr = array(query.map(lit): _*)
+    val bm = bm25TopK(docs, idCol, textCol, query, k = n)
+      .select(col(idCol), col("rank").as("bm25_rank"))
+    val jacScored = docs
+      .select(col(idCol), array_distinct(split(col(textCol), " ")).as("tk"))
+      .withColumn("inter", size(array_intersect(col("tk"), qArr)))
+      .filter(col("inter") >= 1)
+      .withColumn("jac",
+        col("inter") / size(array_union(col("tk"), qArr)).cast("double"))
+      .orderBy(col("jac").desc, col(idCol)).limit(n)
+    val jac = jacScored // rank over the ≤ n survivors only
+      .withColumn("jac_rank", row_number().over(
+        w.orderBy(col("jac").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("jac_rank"))
+    bm.join(jac, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("jac_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+      .withColumn("fused_rank", row_number().over(
+        w.orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("fused_rank"), col("rrf"),
+        col("bm25_rank"), col("jac_rank"))
+  }
+
   /** KMV (bottom-k) distinct-overlap estimation — the SKETCH tier of
     * [[contamination]]: estimate |A∩B| / Jaccard between two corpora's
     * distinct n-gram domains when NEITHER side's gram set is

@@ -158,4 +158,43 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 1L, r4(w(3, 4, 3)))))
     assert(got(2L)._3 < got(4L)._3, "BM25 tf saturation must hold")
   }
+
+  test("hybridRrf: both-list docs beat single-list docs, scores are the " +
+      "coalesced reciprocal sums, no-term docs never appear") {
+    import spark.implicits._
+    // doc 1: strong on BOTH rankers (has both query terms, short doc).
+    // doc 2: BM25-favored (repeats 'spark' — tf high, but extra distinct
+    //        tokens dilute its Jaccard).
+    // doc 3: Jaccard-favored (exactly the query tokens + one more).
+    // doc 4: no query term — must not appear at all.
+    val docs = Seq(
+      (1L, "spark join"),
+      (2L, "spark join spark join spark join lorem ipsum dolor sit amet consectetur"),
+      (3L, "spark extra"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    // n = 2: each leg keeps two docs, so the lists genuinely diverge
+    // (doc 1 on both; the BM25 leg keeps its tf-favorite, the Jaccard
+    // leg its overlap-favorite)
+    val out = TextAnalysis.hybridRrf(docs, "doc_id", "text",
+        Seq("spark", "join"), n = 2, k = 4, c = 60.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(!out.contains(4L), "doc without any query term must be absent")
+    // every present doc's rrf equals the hand-computed coalesced sum
+    def rrf(b: Option[Long], j: Option[Long]) = BigDecimal(
+      b.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        j.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (id, (_, score, b, j)) =>
+      assert(score === rrf(b, j), s"doc $id fused score") }
+    // doc 1 tops both lists -> must be fused rank 1; docs on both lists
+    // outrank any doc appearing on only one
+    assert(out(1L)._1 === 1L)
+    val (both, single) = out.values.partition(v => v._3.isDefined && v._4.isDefined)
+    assert(both.map(_._2).min >= single.map(_._2).max,
+      "a both-list doc never scores below a single-list doc here")
+  }
 }
