@@ -105,6 +105,7 @@ object SparkEntry {
     "a26_export_timeout"    -> (PipelineQueries.a26ExportTimeout _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
+    "asof_tolerance"        -> (LlmQueries.asofTolerance _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
@@ -528,6 +529,17 @@ object SparkEntry {
     "asof_join_native" ->
       """SELECT c.event_id, c.user_id, p.event_id AS p_id,
         |       ROUND(p.value, 2) AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // Unbounded ASOF match CASE-nulled at the same 1 h cutoff: the as-of
+    // match is the LATEST preceding row, so out-of-window implies no row
+    // is in-window — the conditional IS the tolerance semantics.
+    "asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.event_id END AS p_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN ROUND(p.value, 2) END AS p_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts

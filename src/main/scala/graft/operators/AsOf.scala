@@ -31,10 +31,31 @@ object AsOf {
     * the sort happened to place last.
     */
   def join(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String]): DataFrame =
+    joinImpl(left, right, key, tsCol, rightCols, tolerance = None)
+
+  /** As-of join with a lookback TOLERANCE (the kdb/QuestDB `ASOF ...
+    * TOLERANCE` semantics): the match is the latest right row with
+    * `r.ts <= l.ts` — but only if it is also `>= l.ts − tolerance`;
+    * otherwise the left row keeps nulls. Since as-of picks the LATEST
+    * preceding row, an out-of-tolerance match proves no right row is in
+    * the window at all, so the post-fill conditional IS the full
+    * semantics — same single shuffle, no extra pass.
+    */
+  def joinWithTolerance(left: DataFrame, right: DataFrame, key: String,
+                        tsCol: String, rightCols: Seq[String],
+                        tolerance: String): DataFrame =
+    joinImpl(left, right, key, tsCol, rightCols, Some(tolerance))
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+                       tsCol: String, rightCols: Seq[String],
+                       tolerance: Option[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    // the matched right row's ts travels inside the payload struct, so a
+    // tolerance check can inspect WHICH row was matched after the fill
     val payloadType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c)))
+      org.apache.spark.sql.types.StructField("g_rts", right.schema(tsCol).dataType) +:
+        rightCols.map(c => right.schema(c)))
     val lTagged = left.select(
       (col(key) +: col(tsCol) +: lit(1).as("g_is_left") +:
         (leftCols.map(col(_)) :+ lit(null).cast(payloadType).as("g_payload"))): _*)
@@ -47,13 +68,19 @@ object AsOf {
     val rTagged = right.filter(col(key).isNotNull && col(tsCol).isNotNull).select(
       (col(key) +: col(tsCol) +: lit(0).as("g_is_left") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-          struct(rightCols.map(col(_)): _*).as("g_payload"))): _*)
+          struct((col(tsCol).as("g_rts") +: rightCols.map(col(_))): _*)
+            .as("g_payload"))): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col("g_is_left"), col("g_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("g_payload", last(col("g_payload"), ignoreNulls = true).over(w))
-    rightCols.foldLeft(filled) { (acc, c) =>
+    val gated = tolerance match {
+      case Some(tol) => filled.withColumn("g_payload",
+        when(col("g_payload.g_rts") >= col(tsCol) - expr(tol), col("g_payload")))
+      case None => filled
+    }
+    rightCols.foldLeft(gated) { (acc, c) =>
       acc.withColumn(c, col(s"g_payload.$c"))
     }.filter(col("g_is_left") === 1).drop("g_is_left", "g_payload")
   }

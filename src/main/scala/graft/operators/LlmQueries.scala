@@ -532,6 +532,24 @@ object LlmQueries {
       .orderBy("event_id")
   }
 
+  /** As-of with a 1-hour lookback tolerance ([[AsOf.joinWithTolerance]]):
+    * a click only attributes to a purchase within the preceding hour —
+    * the bounded-attribution form every real event pipeline wants. The
+    * oracle CASE-nulls DuckDB's unbounded ASOF match at the same cutoff.
+    */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), round(col("value"), 2).as("p_value"))
+    AsOf.joinWithTolerance(clicks, purchases, "user_id", "ts",
+        Seq("p_id", "p_value"), tolerance = "INTERVAL 1 HOUR")
+      .select("event_id", "user_id", "p_id", "p_value")
+      .orderBy("event_id")
+  }
+
   /** The same as-of join through the NATIVE operator path
     * ([[graft.plans.AsOfJoinExec]] via the injected planner strategy) —
     * checked against the same independent DuckDB ASOF oracle.

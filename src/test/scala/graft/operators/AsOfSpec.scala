@@ -123,4 +123,30 @@ class AsOfSpec extends SparkTestBase {
     val expected = AsOf.join(clicks, purchases, "user_id", "ts", Seq("p_id"))
     assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
   }
+
+  test("tolerance: in-window matches kept, stale matches nulled, boundary " +
+      "inclusive") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "in"),      // match 30 min back
+      (1L, ts("2024-01-01 13:00:00"), "stale"),   // latest match 2 h back
+      (1L, ts("2024-01-01 12:00:00"), "boundary"),// match EXACTLY 1 h back
+      (2L, ts("2024-01-01 09:00:00"), "none")     // no preceding row at all
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "r1"),
+      (1L, ts("2024-01-01 11:00:00"), "r2")
+    ).toDF("k", "t", "rv")
+    val got = AsOf.joinWithTolerance(left, right, "k", "t", Seq("rv"),
+        tolerance = "INTERVAL 1 HOUR")
+      .collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("rv")).toMap
+    assert(got === Map("in" -> "r1", "stale" -> null,
+      "boundary" -> "r2", "none" -> null))
+    // zero-width sanity: with an unbounded tolerance the operator IS the
+    // plain as-of join
+    val wide = AsOf.joinWithTolerance(left, right, "k", "t", Seq("rv"),
+      tolerance = "INTERVAL 100 DAYS")
+    val plain = AsOf.join(left, right, "k", "t", Seq("rv"))
+    assert(wide.exceptAll(plain).isEmpty && plain.exceptAll(wide).isEmpty)
+  }
 }
