@@ -179,6 +179,7 @@ object SparkEntry {
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "text_bm25"             -> (LlmQueries.textBm25 _),
+    "text_winnowing"        -> (LlmQueries.textWinnowing _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
@@ -1858,6 +1859,37 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
         |ORDER BY a, b""".stripMargin,
+    // Same 4-gram hashes, same two-window selection rule: pos p selected
+    // iff MAX over valid starts j in [p-3, p] of (MIN over [j, j+3]) = h(p).
+    "text_winnowing" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ng AS (SELECT doc_id,
+        |  CAST(GREATEST(len(tk) - 3, 0) AS BIGINT) AS n_grams FROM tk),
+        |posts AS (SELECT doc_id, g.i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(tk, g.i, g.i + 3), ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT * FROM tk WHERE len(tk) >= 4) t,
+        |       LATERAL (SELECT unnest(range(1, len(tk) - 2)) AS i) g),
+        |wm AS (SELECT doc_id, pos, h,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM posts),
+        |wv AS (SELECT doc_id, pos, h,
+        |    CASE WHEN pos <= n - 3 THEN mh END AS mhv FROM wm),
+        |sel AS (SELECT doc_id, pos, h FROM (
+        |  SELECT doc_id, pos, h,
+        |    MAX(mhv) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sm
+        |  FROM wv) WHERE sm = h),
+        |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        |       FROM sel GROUP BY doc_id)
+        |SELECT ng.doc_id, ng.n_grams,
+        |  CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+        |  ROUND(COALESCE(fp.n_fp, 0)
+        |    / CAST(GREATEST(ng.n_grams, 1) AS DOUBLE), 4) AS density
+        |FROM ng LEFT JOIN fp ON ng.doc_id = fp.doc_id
+        |ORDER BY ng.doc_id""".stripMargin,
     "dedup_span" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |corpus AS (

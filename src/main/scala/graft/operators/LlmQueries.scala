@@ -872,6 +872,14 @@ object LlmQueries {
     TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Winnowing fingerprint statistics ([[TextAnalysis.winnowStats]]):
+    * per-doc selected-fingerprint count and density under the MOSS
+    * 4-gram / window-4 scheme (expected density 2/(w+1) = 0.4).
+    */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowStats(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Full Lloyd k-means (k=4, 2 iterations, deterministic smallest-id
     * init) over the embedding corpus; output = per-cluster size + mean
     * within-cluster cosine.

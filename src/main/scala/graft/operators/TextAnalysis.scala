@@ -407,6 +407,68 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("n_hit"), col("bm25"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS scheme): over each document's k-gram hash sequence, every
+    * window of `w` consecutive hashes contributes its MINIMUM; the
+    * distinct selected positions are the document's fingerprints.
+    * Guarantee: any match of length ≥ w + k − 1 tokens between two
+    * documents shares at least one fingerprint (every length-w window
+    * inside the match selects the same minimum in both docs); expected
+    * density is 2/(w+1) of positions — the local, position-robust
+    * sampling that plain 0-mod-p hash selection cannot give.
+    *
+    * Plan shape: ONE shuffle (hash-partition by doc) and one sort; the
+    * three window passes (gram count, forward window-min, backward
+    * selected-check) share the same partitioning + ordering, so Spark
+    * plans them over a single Exchange+Sort. The argmin-per-window is
+    * spelled with plain MIN/MAX frames — position p is selected iff
+    * MAX over valid window starts j ∈ [p−w+1, p] of (MIN over
+    * [j, j+w−1] of h) equals h(p), exact because the 60-bit gram hashes
+    * are collision-free at any real corpus — so an external engine
+    * reproduces the selection with two standard window functions.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val parts = (0 until k).map(j => s"element_at(tk, i + $j)").mkString(", ")
+    val grams = docs.withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= k)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, size(tk) - ${k - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))")).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"),
+        Hashing.md5Long(col("pg.gram")).as("h"))
+    val n = grams.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+    val withMin = n.withColumn("mh",
+        min("h").over(wSpec.rowsBetween(0, w - 1)))
+      // a window only exists when it fits: starts past n-w+1 are invalid
+      .withColumn("mhv", when(col("pos") <= col("n") - (w - 1), col("mh")))
+    val selected = withMin.withColumn("sel",
+        max("mhv").over(wSpec.rowsBetween(-(w - 1), 0)) === col("h"))
+      .filter(col("sel"))
+      .select(col(idCol), col("pos"), col("h"))
+    selected
+  }
+
+  /** Registered-query form: per-document fingerprint statistics — gram
+    * count, fingerprint count, selection density (expected ≈ 2/(w+1)).
+    */
+  def winnowStats(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = docs.withColumn("tk", split(col(textCol), " "))
+      .select(col(idCol),
+        greatest(size(col("tk")) - (k - 1), lit(0)).cast("long").as("n_grams"))
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    grams.join(fp, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        round(coalesce(col("n_fp"), lit(0L)) /
+          greatest(col("n_grams"), lit(1L)).cast("double"), 4).as("density"))
+  }
+
   /** Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009):
     * two lexically different rankers — BM25 and token-set Jaccard — each
     * produce a top-`n` candidate list, and candidates score

@@ -197,4 +197,39 @@ class TextStatsSpec extends SparkTestBase {
     assert(both.map(_._2).min >= single.map(_._2).max,
       "a both-list doc never scores below a single-list doc here")
   }
+
+  test("winnowing: selection equals per-window argmin brute force, the " +
+      "shared-substring guarantee holds, density near 2/(w+1)") {
+    import spark.implicits._
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    // doc 2 embeds doc 1's tokens 5..12 (an 8-token match >= w+k-1 = 7)
+    val t1 = words.split(" ").toSeq
+    val shared = t1.slice(4, 12)
+    val d2 = Seq("zulu", "yankee") ++ shared ++ Seq("xray", "whiskey", "victor")
+    val docs = Seq((1L, t1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    // brute force on doc 1: every length-4 window of gram hashes
+    // contributes its (unique) minimum
+    def md5long(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val grams1 = t1.sliding(4).map(_.mkString(" ")).map(md5long).toArray
+    val brute = grams1.sliding(4).zipWithIndex
+      .map { case (win, j) => j + win.indexOf(win.min) + 1 }.toSet
+    assert(fp.filter(_._1 == 1L).map(_._2).toSet === brute,
+      "engine selection must equal the per-window argmin definition")
+    // guarantee: the >= 7-token shared run yields a common fingerprint hash
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared substring must share a fingerprint")
+    // density on the real corpus concentrates near 2/(w+1) = 0.4
+    val stats = TextAnalysis.winnowStats(
+      graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+      .agg(sum("n_fp").cast("double") / sum("n_grams")).head().getDouble(0)
+    assert(stats > 0.25 && stats < 0.55, s"corpus density $stats")
+  }
 }
