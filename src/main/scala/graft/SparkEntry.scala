@@ -69,6 +69,8 @@ object SparkEntry {
     "q43_funnel"            -> (Analytics.funnel _),
     "q44_retention"         -> (Analytics.retention _),
     "q45_histogram"         -> (Analytics.histogram _),
+    "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
+    "dq_freshness"          -> (Analytics.dqFreshness _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1204,6 +1206,32 @@ object SparkEntry {
         |  ROUND(n_users / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
         |    OVER (PARTITION BY cohort) AS DOUBLE), 4) AS retention
         |FROM c ORDER BY cohort, week_offset""".stripMargin,
+    // Same dedup-then-scatter: distinct (user, day) first, each row
+    // contributes to its 7 trailing target days, inner join keeps only
+    // observed days.
+    // Full observed-range calendar vs per-day volume; MEDIAN matches
+    // Spark's interpolating percentile(n, 0.5) on even day counts.
+    "dq_freshness" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |              FROM events GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi, MEDIAN(n) AS med FROM daily),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |          AS day, med FROM b)
+        |SELECT cal.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_rows,
+        |  CASE WHEN n IS NULL THEN 'missing'
+        |       WHEN n < med * 0.5 THEN 'low' ELSE 'ok' END AS status
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |ORDER BY cal.day""".stripMargin,
+    "q46_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |daily AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+        |          FROM ud GROUP BY 1),
+        |c AS (SELECT user_id, d + CAST(g.i AS INT) AS day
+        |      FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS i) g),
+        |w AS (SELECT day, COUNT(DISTINCT user_id) AS wau7 FROM c GROUP BY 1)
+        |SELECT day, dau, wau7,
+        |  ROUND(dau / CAST(wau7 AS DOUBLE), 4) AS stickiness
+        |FROM daily JOIN w USING (day) ORDER BY day""".stripMargin,
     "q45_histogram" ->
       """WITH b AS (
         |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

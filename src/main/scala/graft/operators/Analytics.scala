@@ -242,6 +242,28 @@ object Analytics {
     * rule is a pruned scan or one join, unioned into a fixed-schema
     * report.
     */
+  /** Delivery-freshness audit: the calendar from first to last observed
+    * event day, each day's row count, and a status — `missing` (no rows
+    * at all: a dropped daily sync), `low` (under half the median daily
+    * volume: a partial delivery), `ok`. The monitoring query every
+    * scheduled pipeline (the reference's daily DAG) needs on its OUTPUT
+    * table. One map-side-combined per-day aggregate over the fact table;
+    * the calendar join and median run on the |days|-sized frame.
+    */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"),
+      expr("percentile(n, 0.5)").as("med"))
+    val cal = bounds.select(explode(expr("sequence(lo, hi)")).as("day"), col("med"))
+    cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_rows"),
+        when(col("n").isNull, "missing")
+          .when(col("n") < col("med") * 0.5, "low")
+          .otherwise("ok").as("status"))
+      .orderBy("day")
+  }
+
   def dqChecks(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val ords = t(s, dir, "orders")
@@ -685,6 +707,33 @@ object Analytics {
       .select(col("cohort"), col("week_offset"), col("n_users"),
         round(col("n_users") / col("cohort_size").cast("double"), 4).as("retention"))
       .orderBy("cohort", "week_offset")
+  }
+
+  /** Q46 — rolling 7-day distinct users (DAU / WAU / stickiness): for
+    * each observed day, the distinct users active that day and within
+    * the trailing 7-day window. Sliding-window DISTINCT is the operator
+    * windows can't do directly (distinct doesn't decompose over frames);
+    * the scalable shape is dedup-then-scatter: collapse the fact table
+    * to distinct (user, day) FIRST (map-side combined — the only
+    * fact-sized pass), then each (user, day) row scatters to the ≤ 7
+    * target days it contributes to, and a second distinct-count runs on
+    * the already-user-day-deduped frame. A naive per-day range self-join
+    * over raw events is O(|events| × 7) before dedup; this is
+    * O(|users·days| × 7) after — orders of magnitude smaller at 100 TB.
+    */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val daily = ud.groupBy(col("d").as("day"))
+      .agg(countDistinct("user_id").as("dau"))
+    val win7 = ud
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"), col("d"))
+      .select(col("user_id"), expr("date_add(d, i)").as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+    daily.join(win7, Seq("day")) // inner: only days that actually occur
+      .select(col("day"), col("dau"), col("wau7"),
+        round(col("dau") / col("wau7").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
   }
 
   /** Q45 — fixed-width histogram of `l_extendedprice` (width 5000) with

@@ -195,6 +195,48 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("rollingDistinct: wau7 matches a brute-force trailing window, " +
+      "dau <= wau7") {
+    val rows = Analytics.rollingDistinct(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dau, wau) => assert(dau <= wau) }
+    // brute force from the raw (user, day) pairs
+    val ud = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    rows.foreach { case (day, dau, wau) =>
+      val expectDau = ud.filter(_._2 == day).map(_._1).distinct.length
+      val expectWau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }
+        .map(_._1).distinct.length
+      assert(dau === expectDau.toLong, s"dau on $day")
+      assert(wau === expectWau.toLong, s"wau7 on $day")
+    }
+  }
+
+  test("dqFreshness: full calendar covered, counts reconcile, statuses " +
+      "consistent with the median rule") {
+    val rows = Analytics.dqFreshness(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getString(2)))
+    val total = graft.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._2).sum === total, "day counts reconcile to the table")
+    // contiguous calendar
+    rows.map(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b == a.plusDays(1), s"gap between $a and $b")
+      case _ =>
+    }
+    val present = rows.filter(_._2 > 0).map(_._2)
+    val sorted = present.sorted
+    val med =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2).toDouble
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    rows.foreach { case (day, n, st) =>
+      val want = if (n == 0) "missing" else if (n < med * 0.5) "low" else "ok"
+      assert(st === want, s"status on $day (n=$n, med=$med)")
+    }
+  }
+
   test("histogram: counts partition the table, cumulative and share close") {
     val total = graft.Tables.load(spark, sfDir, "lineitem").count()
     val rows = Analytics.histogram(spark, sfDir).collect()
