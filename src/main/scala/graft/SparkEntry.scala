@@ -182,11 +182,13 @@ object SparkEntry {
     "text_tfidf"            -> (LlmQueries.textTfidf _),
     "text_bm25"             -> (LlmQueries.textBm25 _),
     "text_winnowing"        -> (LlmQueries.textWinnowing _),
+    "text_bpe_apply"        -> (LlmQueries.textBpeApply _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
+    "graph_bfs"             -> (Graph.graphBfs _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -1887,6 +1889,20 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
         |ORDER BY a, b""".stripMargin,
+    // Same spaced-char representation, same ordered exhaustive REPLACE
+    // chain (leftmost non-overlapping in both engines), same vocab trick.
+    "text_bpe_apply" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY 1),
+        |ap AS (SELECT tc,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    trim(regexp_replace(tok, '(.)', '\1 ', 'g')),
+        |    'e r', 'er'), 'i n', 'in'), 'o w', 'ow'), 's t', 'st'),
+        |    'a t', 'at'), 'a l', 'al'), 't er', 'ter') AS pieces
+        |  FROM tc),
+        |p AS (SELECT unnest(string_split(pieces, ' ')) AS piece, tc FROM ap)
+        |SELECT piece, CAST(SUM(tc) AS BIGINT) AS n_occ
+        |FROM p GROUP BY piece ORDER BY n_occ DESC, piece LIMIT 20""".stripMargin,
     // Same 4-gram hashes, same two-window selection rule: pos p selected
     // iff MAX over valid starts j in [p-3, p] of (MIN over [j, j+3]) = h(p).
     "text_winnowing" ->
@@ -2794,6 +2810,30 @@ object SparkEntry {
          |SELECT l_returnflag,
          |  $fit
          |FROM st ORDER BY l_returnflag""".stripMargin
+    },
+    // Unrolled 3-round min-plus BFS over the DISTINCT directed trade
+    // edges — the engine's full-outer merge recurrence verbatim.
+    "graph_bfs" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""d$i AS (SELECT COALESCE(p.node, m.node) AS node,
+           |  LEAST(COALESCE(p.d, m.nd), COALESCE(m.nd, p.d)) AS d
+           |  FROM d${i - 1} p FULL OUTER JOIN (
+           |    SELECT e.dst AS node, MIN(l.d) + 1 AS nd
+           |    FROM e JOIN d${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst) m ON p.node = m.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+         |$rounds
+         |SELECT d3.node, n.n_name, d3.d AS dist
+         |FROM d3 JOIN nation n ON d3.node = n.n_nationkey
+         |ORDER BY d3.node""".stripMargin
     },
     // Unrolled 5-round synchronous min-label propagation (generated round
     // CTEs — the engine's recurrence verbatim: each node takes the min of

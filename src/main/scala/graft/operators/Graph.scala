@@ -220,6 +220,44 @@ object Graph {
       .unionByName(st.select(col("hub").as("src"), col("p").as("dst")))
   }
 
+  /** Bounded-round BFS (min-plus propagation): hop distance from a
+    * source set, `rounds` synchronous relaxations — after R rounds every
+    * node within R hops carries its EXACT distance; farther nodes are
+    * absent (the bounded iteration budget a 100 TB graph run gets, same
+    * contract as [[labelPropagation]]). Each round is one co-partitioned
+    * edge⋈frontier join + a map-side-combined min + a |reached|-sized
+    * merge; the distance frame re-barriers per round (two consumers).
+    */
+  def bfsHops(edges: DataFrame, sources: Seq[Long], rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var dist = sources.toDF("node").withColumn("d", lit(0L))
+    for (_ <- 1 to rounds) {
+      val nd = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg((min("d") + 1).as("nd"))
+      dist = dist.join(nd, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d"))).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Registered query: 3-round BFS from nation 0 over the directed trade
+    * graph — (node, name, exact hop distance) for every nation reached
+    * within 3 hops.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val hops = bfsHops(nationTradeEdges(s, dir), sources = Seq(0L), rounds = 3)
+    val names = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    hops.join(broadcast(names), "node")
+      .select(col("node"), col("n_name"), col("d").as("dist"))
+      .orderBy("node")
+  }
+
   /** Registered query: 5 rounds of min-label propagation over the part
     * attribute-affinity graph — (node, label) plus each community's
     * final size.

@@ -872,6 +872,15 @@ object LlmQueries {
     TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** BPE apply ([[TextAnalysis.bpeApply]]): a 7-merge learned list (the
+    * corpus's top pairs, plus the composed "t er" merge that only exists
+    * after "e r") applied in order; output is the top-20 piece
+    * vocabulary with corpus-weighted counts.
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeApply(docs(s, dir), "doc_id", "text",
+      Seq("e r", "i n", "o w", "s t", "a t", "a l", "t er"))
+
   /** Winnowing fingerprint statistics ([[TextAnalysis.winnowStats]]):
     * per-doc selected-fingerprint count and density under the MOSS
     * 4-gram / window-4 scheme (expected density 2/(w+1) = 0.4).

@@ -233,6 +233,35 @@ object TextAnalysis {
       .orderBy(col("weight").desc, col("pair")).limit(k)
   }
 
+  /** BPE tokenizer APPLICATION (the other half of [[bpePairStats]] —
+    * Sennrich et al. 2016's apply step): a learned merge list is applied
+    * to every token IN ORDER, each merge exhaustively (leftmost,
+    * non-overlapping — exactly `String.replace` semantics, which is what
+    * the reference subword-nmt implementation does per merge), and the
+    * resulting piece vocabulary is counted corpus-wide.
+    *
+    * Scale: the merge chain runs over the DISTINCT-token table with
+    * corpus counts joined back (the same vocabulary-not-corpus trick as
+    * training) — the per-token char work never touches the corpus twice,
+    * and the whole chain is row-local codegen'd string work: zero
+    * shuffles beyond the vocab aggregate and the closing piece count.
+    *
+    * `merges` entries are spaced pair strings ("e r" merges to "er");
+    * multi-char pieces compose across entries ("t er" after "e r").
+    */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[String], k: Int = 20): DataFrame = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
+    val spaced: Column = trim(regexp_replace(col("tok"), "(.)", "$1 "))
+    val applied = merges.foldLeft(spaced) { (c, m) =>
+      call_function("replace", c, lit(m), lit(m.replace(" ", "")))
+    }
+    toks.select(col("tc"), explode(split(applied, " ")).as("piece"))
+      .groupBy("piece").agg(sum("tc").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("piece")).limit(k)
+  }
+
   /** Feature hashing (the hashing trick / HashingTF): tokens map to a
     * fixed `dim`-bucket space via the portable [[Hashing.md5Long]], each
     * doc becomes sparse (bucket, tf) rows — the vocabulary-free

@@ -115,6 +115,24 @@ class GraphSpec extends SparkTestBase {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bfsHops: exact hop distances within the round budget, farther " +
+      "nodes absent, multi-source takes the nearer source") {
+    // directed path 1->2->3->4->5 plus a shortcut 1->4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val two = Graph.bfsHops(edges, sources = Seq(1L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within 2 rounds: 1@0, 2@1, 4@1 (shortcut), 3@2, 5@2 (via 4)
+    assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    val one = Graph.bfsHops(edges, sources = Seq(1L), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 0L, 2L -> 1L, 4L -> 1L), "round budget bounds reach")
+    // two sources: each node takes its nearest
+    val ms = Graph.bfsHops(edges, sources = Seq(1L, 3L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -225,7 +225,7 @@ class PlanSpec extends SparkTestBase {
       "graph_triangles",
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
-      "graph_labelprop",
+      "graph_labelprop", "graph_bfs",
       // eager hex-string and feature-array barriers (lambda re-inlining
       // guards, the dedup_minhash_lsh class)
       "mm_phash_neardup")

@@ -198,6 +198,20 @@ class TextStatsSpec extends SparkTestBase {
       "a both-list doc never scores below a single-list doc here")
   }
 
+  test("bpeApply: ordered exhaustive merges, composed pieces, leftmost " +
+      "non-overlapping") {
+    import spark.implicits._
+    val docs = Seq((1L, "better water"), (2L, "aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(docs, "doc_id", "text",
+        Seq("e r", "t er", "a a"), k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // better -> b e t t e r -> (e r) b e t t er -> (t er) b e t ter
+    // water  -> w a t e r  -> w a t er -> w a ter
+    // aaa    -> a a a -> (a a, leftmost non-overlapping) aa a
+    assert(got === Map("b" -> 1L, "e" -> 1L, "t" -> 1L, "ter" -> 2L,
+      "w" -> 1L, "a" -> 2L, "aa" -> 1L))
+  }
+
   test("winnowing: selection equals per-window argmin brute force, the " +
       "shared-substring guarantee holds, density near 2/(w+1)") {
     import spark.implicits._
