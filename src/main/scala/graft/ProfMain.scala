@@ -29,7 +29,10 @@ object ProfMain {
         "graph_triangles", "q43_funnel",
         "dedup_span", "dedup_linkage", "text_bm25", "prep_kfold",
         "q44_retention", "q45_histogram", "prep_shuffle",
-        "graph_labelprop", "mm_phash_neardup", "ml_linreg")
+        "graph_labelprop", "mm_phash_neardup", "ml_linreg",
+        "sim_maxsim", "sim_hybrid_rrf", "a28_jsonl_roundtrip",
+        "asof_tolerance", "text_winnowing", "text_bpe_apply",
+        "graph_bfs", "q46_rolling_distinct", "dq_freshness")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

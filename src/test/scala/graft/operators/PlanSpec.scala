@@ -226,6 +226,9 @@ class PlanSpec extends SparkTestBase {
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
       "graph_labelprop", "graph_bfs",
+      // eager sub-vector/norm precompute barrier (encode-once; guards the
+      // CollapseProject re-inlining class)
+      "sim_maxsim",
       // eager hex-string and feature-array barriers (lambda re-inlining
       // guards, the dedup_minhash_lsh class)
       "mm_phash_neardup")
