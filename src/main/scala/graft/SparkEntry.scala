@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Graph, LlmQueries, PipelineQueries, Queries, Regression}
+import graft.operators.{Analytics, Graph, LlmQueries, NaiveBayes, PipelineQueries, Queries, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,6 +185,7 @@ object SparkEntry {
     "text_bpe_apply"        -> (LlmQueries.textBpeApply _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
+    "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
@@ -2784,6 +2785,40 @@ object SparkEntry {
         |SELECT r.node, n.n_name, r.rank
         |FROM r5 r JOIN nation n ON r.node = n.n_nationkey
         |ORDER BY r.node""".stripMargin,
+    // Same Laplace-smoothed counts, same per-class fallback, same
+    // (score DESC, cls) argmax — ln sums differ only at summation-order
+    // ulps, far under the 4-decimal rounding and inter-class gaps.
+    "ml_naive_bayes" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |probes AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |toks AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS t
+        |         FROM train),
+        |ct AS (SELECT cls, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |ctot AS (SELECT cls, SUM(c) AS ctot FROM ct GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM ct),
+        |pri AS (SELECT lang AS cls,
+        |          ln(COUNT(*) / CAST((SELECT COUNT(*) FROM train) AS DOUBLE))
+        |            AS prior
+        |        FROM train GROUP BY 1),
+        |model AS (SELECT ct.cls, ct.t,
+        |            ln((c + 1) / CAST(ctot + v AS DOUBLE)) AS ll
+        |          FROM ct JOIN ctot USING (cls) CROSS JOIN v),
+        |fb AS (SELECT cls, ln(1 / CAST(ctot + v AS DOUBLE)) AS fb
+        |       FROM ctot CROSS JOIN v),
+        |pt AS (SELECT doc_id, lang AS true_cls,
+        |         unnest(string_split(text, ' ')) AS t FROM probes),
+        |sc AS (SELECT doc_id, true_cls, fb.cls,
+        |         SUM(COALESCE(ll, fb.fb)) AS loglik
+        |       FROM pt CROSS JOIN fb
+        |       LEFT JOIN model ON model.cls = fb.cls AND model.t = pt.t
+        |       GROUP BY 1, 2, 3),
+        |ps AS (SELECT doc_id, true_cls, sc.cls, loglik + prior AS score
+        |       FROM sc JOIN pri ON sc.cls = pri.cls),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cls) AS rn FROM ps)
+        |SELECT doc_id, true_cls, cls AS pred_cls, ROUND(score, 4) AS score,
+        |  true_cls = cls AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // One sufficient-statistics aggregate over exact-integer columns, then
     // the SAME Cramer expression strings the engine uses (shared source of
     // truth in Regression.fitSql) — identical IEEE op order, bit parity.
