@@ -161,6 +161,7 @@ object SparkEntry {
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "a28_jsonl_roundtrip"   -> (PipelineQueries.a28JsonlRoundtrip _),
+    "a29_corrupt_records"   -> (PipelineQueries.a29CorruptRecords _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
@@ -1857,6 +1858,13 @@ object SparkEntry {
         |  CAST(COUNT(o_orderpriority) AS BIGINT) AS n_prio,
         |  CAST(MIN(o_orderdate) AS DATE) AS min_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // 7 malformed lines injected by construction; good-row count and the
+    // content aggregate recompute from the original table.
+    "a29_corrupt_records" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+        |  CAST(7 AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     // Recomputed from the ORIGINAL parquet — any JSON escape/unescape
     // mutation of any text flips the group's XOR-folded portable hash.
     "a28_jsonl_roundtrip" ->

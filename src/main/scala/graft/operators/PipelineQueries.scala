@@ -659,6 +659,32 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A29 — corrupt-record tolerant ingest (the JSONL sibling of A7's CSV
+    * repair): a mixed file of valid JSON lines plus malformed lines is
+    * read in PERMISSIVE mode with an explicit `_corrupt_record` capture
+    * column — good rows parse, bad rows land whole in the capture column
+    * instead of failing the job (the posture a 100 TB crawl ingest
+    * needs: quarantine, don't crash). The report pins the good/corrupt
+    * split AND a content aggregate over the good rows, so silent
+    * row-drops or field mangling fail the oracle (which recomputes from
+    * the original table — corrupt-line count is deterministic).
+    */
+  def a29CorruptRecords(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_badrec").toString + "/mixed"
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    import s.implicits._
+    val bad = s.createDataset((1 to 7).map(i => s"{broken json line $i"))
+    docs.toJSON.union(bad).coalesce(1).write.mode("overwrite").text(base)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+      .json(base)
+      .agg(
+        count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

@@ -212,6 +212,8 @@ class PlanSpec extends SparkTestBase {
       "a27_orc_roundtrip",
       // writes + reads back the JSONL corpus — IO by design
       "a28_jsonl_roundtrip",
+      // writes + reads back the mixed good/corrupt file — IO by design
+      "a29_corrupt_records",
       // node-count collect + edge/share-table checkpoints (multi-consumer
       // barriers) before the lazy power iteration
       "graph_pagerank",
