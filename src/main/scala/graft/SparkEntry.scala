@@ -159,6 +159,7 @@ object SparkEntry {
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
+    "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "a28_jsonl_roundtrip"   -> (PipelineQueries.a28JsonlRoundtrip _),
     "a29_corrupt_records"   -> (PipelineQueries.a29CorruptRecords _),
@@ -1823,6 +1824,44 @@ object SparkEntry {
         |  COUNT(*) AS n_copies,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Same 4-byte window-hash cut rule, same prefix-sum chunk ids, same
+    // ordered reassembly + md5 — chunking and overlap recomputed fully.
+    "mm_cdc_chunking" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL SELECT doc_id + 1000000, 'XY ' || text FROM base),
+        |d AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+        |b AS (SELECT doc_id, g.p AS p,
+        |        substr(hx, CAST((g.p - 1) * 2 + 1 AS BIGINT), 2) AS hp,
+        |        CASE WHEN g.p >= 4 AND
+        |          ('0x' || substr(md5(substr(hx, CAST((g.p - 4) * 2 + 1 AS BIGINT), 8)),
+        |            1, 15))::BIGINT % 16 = 0
+        |        THEN 1 ELSE 0 END AS cut
+        |      FROM d, LATERAL (SELECT unnest(range(1,
+        |        CAST(len(hx) / 2 AS BIGINT) + 1)) AS p) g),
+        |c AS (SELECT doc_id, p, hp,
+        |        COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |      FROM b),
+        |ch AS (SELECT doc_id, cid, md5(string_agg(hp, '' ORDER BY p)) AS h
+        |       FROM c GROUP BY doc_id, cid),
+        |o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_orig,
+        |        CAST(COUNT(DISTINCT h) AS BIGINT) AS nd_orig
+        |      FROM ch WHERE doc_id < 1000000 GROUP BY doc_id),
+        |oh AS (SELECT DISTINCT doc_id, h FROM ch WHERE doc_id < 1000000),
+        |sh AS (SELECT DISTINCT doc_id - 1000000 AS doc_id, h
+        |       FROM ch WHERE doc_id >= 1000000),
+        |sn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd_shift
+        |       FROM sh GROUP BY doc_id),
+        |sj AS (SELECT oh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |       FROM oh JOIN sh ON oh.doc_id = sh.doc_id AND oh.h = sh.h
+        |       GROUP BY oh.doc_id)
+        |SELECT o.doc_id, n_chunks_orig, nd_orig, nd_shift,
+        |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  ROUND(COALESCE(n_shared, 0) / CAST(nd_orig AS DOUBLE), 4) AS resync_ratio
+        |FROM o JOIN sn ON o.doc_id = sn.doc_id
+        |LEFT JOIN sj ON o.doc_id = sj.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
     // Same 60-chunk byte-sum aHash through the hex codec, same 4x15-bit
     // banding, same exact-hamming verify — recomputed from the raw text.
     "mm_phash_neardup" ->

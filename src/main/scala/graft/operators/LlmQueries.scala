@@ -455,6 +455,40 @@ object LlmQueries {
         sum(col("meta.n_bytes")).as("total_bytes"))
       .orderBy("keep_id")
 
+  /** CDC chunk-level dedup ([[Multimodal.cdcChunks]]): every payload
+    * beside a 3-byte-prefix-shifted copy; per original payload, how many
+    * of its distinct chunks the SHIFTED copy still shares — fixed-size
+    * chunking would share ~none after any shift, content-defined
+    * boundaries re-align within one window, which is the measurable
+    * point of CDC. The oracle recomputes chunking and overlap end to
+    * end.
+    */
+  def mmCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("XY "), col("text")).as("text")))
+    val ch = Multimodal.cdcChunks(
+        Multimodal.attachBinary(corpus, "doc_id", "text"), "doc_id")
+      .localCheckpoint(true) // feeds four consumers below
+    val o = ch.filter(col("doc_id") < 1000000).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks_orig"),
+        countDistinct("chunk_hash").as("nd_orig"))
+    val oh = ch.filter(col("doc_id") < 1000000)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val sh = ch.filter(col("doc_id") >= 1000000)
+      .select((col("doc_id") - 1000000).as("doc_id"), col("chunk_hash")).distinct()
+    val sn = sh.groupBy("doc_id").agg(count(lit(1)).as("nd_shift"))
+    val sj = oh.join(sh, Seq("doc_id", "chunk_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    o.join(sn, "doc_id").join(sj, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks_orig"), col("nd_orig"), col("nd_shift"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("nd_orig").cast("double"), 4)
+          .as("resync_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual near-dup over binary payloads ([[Multimodal
     * .phashNearDups]]): the corpus plus a lightly perturbed copy of every
     * payload (three bytes appended — the "re-encoded thumbnail"

@@ -264,6 +264,49 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Content-defined chunking (the rolling-hash breakpoint scheme behind
+    * rsync / LBFS / FastCDC / restic): byte position p ends a chunk iff
+    * the hash of the trailing `window`-byte context is ≡ 0 mod
+    * `divisor` — boundaries depend ONLY on local content, so inserting
+    * or deleting bytes re-aligns every chunk past the edit within one
+    * window (fixed-size chunking loses ALL alignment after any shift;
+    * this is the whole point of CDC). Expected chunk length ≈ divisor.
+    *
+    * Returns one row per (payload, chunk): ordinal, content hash, byte
+    * length — the input to chunk-level dedup across a lake.
+    *
+    * Plan shape: the hex string materializes once ([[phashSignatures]]'
+    * re-inlining guard), the per-byte cut flags are ONE row-local
+    * transform, chunk ids are a prefix sum over the doc-partitioned
+    * sort, and chunk reassembly is an ordered aggregate per (doc,
+    * chunk) — one shuffle on the payload id total.
+    */
+  def cdcChunks(media: DataFrame, idCol: String, window: Int = 4,
+                divisor: Int = 16): DataFrame = {
+    val hx = media.select(col(idCol), hex(col("data")).as("hx"))
+      .localCheckpoint(true)
+    val rows = hx.select(col(idCol), explode(expr(
+      s"""transform(sequence(1, CAST(length(hx) / 2 AS INT)), p -> struct(
+         |  p AS p,
+         |  substring(hx, (p - 1) * 2 + 1, 2) AS hp,
+         |  IF(p >= $window AND
+         |       CAST(conv(substring(md5(substring(
+         |         hx, (p - $window) * 2 + 1, ${window * 2})), 1, 15), 16, 10)
+         |         AS BIGINT) % $divisor = 0,
+         |     1, 0) AS cut))""".stripMargin)).as("b"))
+      .select(col(idCol), col("b.p").as("p"), col("b.hp").as("hp"),
+        col("b.cut").as("cut"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(idCol).orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    rows.withColumn("cid", coalesce(sum("cut").over(w), lit(0L)))
+      .groupBy(col(idCol), col("cid"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("hp")))),
+          x => x.getField("hp")), "")).as("chunk_hash"),
+        count(lit(1)).as("chunk_len"))
+  }
+
   /** End-to-end metadata extraction (the mm query surface): attach →
     * metadata projection + portable content fingerprint. Payload bytes are
     * NOT read by this plan — only the metadata struct and the original

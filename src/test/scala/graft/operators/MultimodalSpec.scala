@@ -88,6 +88,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(metaOnly.count() == docs.count())
   }
 
+  test("cdcChunks: chunks partition the payload losslessly, identical " +
+      "payloads chunk identically, a prefix edit re-aligns the tail") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    val docs = Seq((1L, body), (2L, body), (3L, "PREFIX " + body))
+      .toDF("doc_id", "text")
+    val ch = Multimodal.cdcChunks(
+        Multimodal.attachBinary(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // lossless partition: chunk lengths sum to the payload byte length
+    val lens = ch.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(lens(1L) === body.length.toLong)
+    assert(lens(3L) === body.length.toLong + 7)
+    // determinism: identical payloads produce identical chunk sequences
+    val seq1 = ch.filter(_._1 == 1L).sortBy(_._2).map(c => (c._3, c._4)).toSeq
+    val seq2 = ch.filter(_._1 == 2L).sortBy(_._2).map(c => (c._3, c._4)).toSeq
+    assert(seq1 === seq2)
+    // content-defined re-alignment: the prefixed copy still shares most
+    // distinct chunk hashes with the original (fixed-size would share ~0)
+    val h1 = ch.filter(_._1 == 1L).map(_._3).toSet
+    val h3 = ch.filter(_._1 == 3L).map(_._3).toSet
+    assert((h1 & h3).size.toDouble / h1.size > 0.6,
+      s"resync too low: ${(h1 & h3).size}/${h1.size}")
+  }
+
   test("phash: identical payloads at hamming 0, localized edit stays near, " +
       "banding is exhaustive to hamming 3") {
     import spark.implicits._
