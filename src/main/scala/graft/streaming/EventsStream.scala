@@ -139,6 +139,45 @@ object EventsStream {
       .start()
   }
 
+  /** LEFT OUTER stream-stream join — the attribution-with-misses form of
+    * [[clickPurchaseJoin]]: clicks with no purchase in the window still
+    * emit, with null purchase columns, once the watermark proves no
+    * matching purchase can ever arrive (the join buffers the click until
+    * event time passes `click_ts`, then evicts and emits the null row).
+    * THE subtlety outer streaming joins add over inner ones: unmatched
+    * rows are emitted BY WATERMARK PROGRESS, not by data arrival — a
+    * stalled watermark means unmatched rows never surface, and clicks
+    * newer than the final watermark stay buffered at stream end (the
+    * spec asserts exactly this boundary).
+    */
+  def clickPurchaseOuterJoin(spark: SparkSession, srcDir: String,
+                             checkpointDir: String, outDir: String): StreamingQuery = {
+    val clicks = source(spark, srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+        "leftOuter")
+      .select("click_id", "user_id", "click_ts", "purchase_id", "amount")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Stream-static enrichment: the event stream joined to a BATCH
     * dimension table (customer). No watermark needed on the static side —
     * Spark re-plans the batch side per micro-batch, so a dim refresh is

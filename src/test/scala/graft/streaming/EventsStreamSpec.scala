@@ -117,6 +117,56 @@ class EventsStreamSpec extends SparkTestBase {
       "single-batch AvailableNow run must emit every pair")
   }
 
+  test("left-outer stream-stream join: matches equal inner, unmatched " +
+      "clicks null-emit exactly up to the final watermark") {
+    val out = tmp("es_soj_out")
+    val q = EventsStream.clickPurchaseOuterJoin(spark, eventsDir,
+      tmp("es_soj_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+    val inner = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id", "amount")
+    val matched = streamed.filter(col("purchase_id").isNotNull)
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty,
+      "matched rows must equal the batch inner join")
+    // null rows: only for clicks with NO batch match...
+    val nulls = streamed.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val matchedIds = inner.select("click_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((nulls & matchedIds).isEmpty, "a matched click must never null-emit")
+    // ...and EVERY unmatched click the final watermark has cleanly
+    // passed must have null-emitted (emission is driven by watermark
+    // progress). The GLOBAL watermark is the MIN over both inputs'
+    // (max event time − 1 h) — the purchase stream's clock gates click
+    // eviction too; plus one extra hour of margin because watermark
+    // updates apply to the FOLLOWING micro-batch.
+    val maxClick = clicks.agg(max("click_ts")).head().getTimestamp(0).getTime
+    val maxPurch = purchases.agg(max("purchase_ts")).head().getTimestamp(0).getTime
+    val wm = math.min(maxClick, maxPurch) - 3600 * 1000L
+    val unmatchedOldRows = clicks
+      .join(inner.select("click_id").distinct(), Seq("click_id"), "left_anti")
+      .filter(col("click_ts") < to_timestamp(lit((wm - 3600 * 1000L) / 1000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val unmatchedOld = unmatchedOldRows.map(_._1).toSet
+    assert(unmatchedOld.subsetOf(nulls),
+      s"watermark-cleared unmatched clicks missing: " +
+        unmatchedOldRows.filterNot(r => nulls(r._1)).mkString(", ") +
+        s" (watermark ${new java.sql.Timestamp(wm)})")
+    assert(nulls.nonEmpty, "the corpus must exercise the null path")
+  }
+
   test("stateful dedup within watermark keeps event_ids unique") {
     val out = tmp("es_dd_out")
     val q = EventsStream.dedupedEvents(spark, eventsDir,
