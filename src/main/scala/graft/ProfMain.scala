@@ -32,7 +32,8 @@ object ProfMain {
         "graph_labelprop", "mm_phash_neardup", "ml_linreg",
         "sim_maxsim", "sim_hybrid_rrf", "a28_jsonl_roundtrip",
         "asof_tolerance", "text_winnowing", "text_bpe_apply",
-        "graph_bfs", "q46_rolling_distinct", "dq_freshness")
+        "graph_bfs", "q46_rolling_distinct", "dq_freshness",
+        "ml_naive_bayes", "a29_corrupt_records", "mm_cdc_chunking")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -1824,18 +1824,25 @@ object SparkEntry {
         |  COUNT(*) AS n_copies,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    // Same 4-byte window-hash cut rule, same prefix-sum chunk ids, same
-    // ordered reassembly + md5 — chunking and overlap recomputed fully.
+    // Same base-31 polynomial cut rule over the trailing 4 bytes, same
+    // prefix-sum chunk ids, same ordered reassembly + md5 — chunking and
+    // overlap recomputed fully.
     "mm_cdc_chunking" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base
         |           UNION ALL SELECT doc_id + 1000000, 'XY ' || text FROM base),
-        |d AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+        |d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |        list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1),
+        |          p -> ('0x' || substr(hex(encode(text)),
+        |            CAST((p - 1) * 2 + 1 AS BIGINT), 2))::BIGINT) AS bv
+        |      FROM corpus),
         |b AS (SELECT doc_id, g.p AS p,
         |        substr(hx, CAST((g.p - 1) * 2 + 1 AS BIGINT), 2) AS hp,
         |        CASE WHEN g.p >= 4 AND
-        |          ('0x' || substr(md5(substr(hx, CAST((g.p - 4) * 2 + 1 AS BIGINT), 8)),
-        |            1, 15))::BIGINT % 16 = 0
+        |          (bv[CAST(g.p - 3 AS BIGINT)] * 29791
+        |           + bv[CAST(g.p - 2 AS BIGINT)] * 961
+        |           + bv[CAST(g.p - 1 AS BIGINT)] * 31
+        |           + bv[CAST(g.p AS BIGINT)]) % 16 = 0
         |        THEN 1 ELSE 0 END AS cut
         |      FROM d, LATERAL (SELECT unnest(range(1,
         |        CAST(len(hx) / 2 AS BIGINT) + 1)) AS p) g),
