@@ -251,8 +251,11 @@ object Analytics {
     * the calendar join and median run on the |days|-sized frame.
     */
   def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    // |days|-sized; feeds the bounds/median aggregate AND the calendar
+    // join — materialized once so the fact table scans once
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"),
       expr("percentile(n, 0.5)").as("med"))
     val cal = bounds.select(explode(expr("sequence(lo, hi)")).as("day"), col("med"))
@@ -722,8 +725,11 @@ object Analytics {
     * O(|users·days| × 7) after — orders of magnitude smaller at 100 TB.
     */
   def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    // the deduped (user, day) frame feeds BOTH the daily and the
+    // windowed count — materialized once so the fact table scans once
     val ud = t(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .localCheckpoint(true)
     val daily = ud.groupBy(col("d").as("day"))
       .agg(countDistinct("user_id").as("dau"))
     val win7 = ud

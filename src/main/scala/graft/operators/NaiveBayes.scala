@@ -34,8 +34,13 @@ object NaiveBayes {
                  textCol: String, classCol: String): DataFrame = {
     val toks = train.select(col(classCol).as("cls"),
       explode(split(col(textCol), " ")).as("t"))
+    // the (class, token) count is the ONE fact-sized aggregate and it
+    // feeds four consumers (class totals, vocabulary, model, fallback);
+    // materialize once or the corpus tokenize+count re-runs per consumer
     val ct = toks.groupBy("cls", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val classTot = ct.groupBy("cls").agg(sum("c").as("ctot"))
+      .localCheckpoint(true) // feeds the model AND the fallback
     val vocab = ct.select("t").distinct().agg(count(lit(1)).as("v"))
     val priors = train.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("nd"))

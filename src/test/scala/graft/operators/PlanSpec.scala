@@ -233,7 +233,10 @@ class PlanSpec extends SparkTestBase {
       "sim_maxsim",
       // eager hex-string and feature-array barriers (lambda re-inlining
       // guards, the dedup_minhash_lsh class)
-      "mm_phash_neardup", "mm_cdc_chunking")
+      "mm_phash_neardup", "mm_cdc_chunking",
+      // multi-consumer barriers: the (cls, token) count / deduped
+      // (user, day) frame / per-day counts each feed 2+ consumers
+      "ml_naive_bayes", "q46_rolling_distinct", "dq_freshness")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
