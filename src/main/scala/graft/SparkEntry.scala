@@ -71,6 +71,7 @@ object SparkEntry {
     "q45_histogram"         -> (Analytics.histogram _),
     "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
+    "dq_mad"                -> (Analytics.dqMad _),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1214,6 +1215,21 @@ object SparkEntry {
     // Same dedup-then-scatter: distinct (user, day) first, each row
     // contributes to its 7 trailing target days, inner join keeps only
     // observed days.
+    // Same interpolating medians, same 3 * 1.4826 * mad threshold spelled
+    // identically so both engines fold the same double constant.
+    "dq_mad" ->
+      """WITH med AS (SELECT event_type, MEDIAN(value) AS med
+        |             FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, ANY_VALUE(med) AS med,
+        |          MEDIAN(ABS(value - med)) AS mad
+        |        FROM events e JOIN med USING (event_type)
+        |        GROUP BY e.event_type)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(ANY_VALUE(med), 4) AS med, ROUND(ANY_VALUE(mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN ABS(value - med) > 3.0 * 1.4826 * mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // Full observed-range calendar vs per-day volume; MEDIAN matches
     // Spark's interpolating percentile(n, 0.5) on even day counts.
     "dq_freshness" ->

@@ -267,6 +267,39 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Robust outlier audit by median absolute deviation — the
+    * heavy-tail-safe complement to [[dqOutliers]]' 3-sigma rule (one
+    * extreme value inflates a stddev enough to hide every other
+    * outlier; the median and MAD are 50%-breakdown robust). A value is
+    * flagged when |v − median| > 3 · 1.4826 · MAD (1.4826 scales MAD to
+    * sigma under normality — the standard consistency constant).
+    *
+    * Scale shape: exact per-group medians need a sort-based percentile
+    * per pass, and MAD is inherently two-phase (deviations need the
+    * median first) — so the value column scans three times, each a
+    * 2-column pruned scan, with the tiny per-group frames broadcast
+    * back; nothing fact-sized shuffles beyond the percentile sorts.
+    */
+  def dqMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+      .localCheckpoint(true) // feeds the deviation pass AND the report
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .localCheckpoint(true)
+    ev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first("med"), 4).as("med"),
+        round(first("mad"), 4).as("mad"),
+        sum(expr("IF(abs(value - med) > 3.0 * 1.4826 * mad, 1, 0)"))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   def dqChecks(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val ords = t(s, dir, "orders")

@@ -237,6 +237,33 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("dqMad: registered query flags tails per group, robust stats " +
+      "match a driver-side recompute") {
+    val rows = Analytics.dqMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    rows.foreach { case (et, (n, med, mad, nOut)) =>
+      val xs = vals(et).map(_._2)
+      assert(n === xs.length.toLong)
+      val m = median(xs)
+      val d = median(xs.map(x => math.abs(x - m)))
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(med === r4(m), s"median for $et")
+      assert(mad === r4(d), s"mad for $et")
+      assert(nOut === xs.count(x => math.abs(x - m) > 3.0 * 1.4826 * d).toLong,
+        s"outliers for $et")
+    }
+  }
+
   test("histogram: counts partition the table, cumulative and share close") {
     val total = graft.Tables.load(spark, sfDir, "lineitem").count()
     val rows = Analytics.histogram(spark, sfDir).collect()

@@ -236,7 +236,8 @@ class PlanSpec extends SparkTestBase {
       "mm_phash_neardup", "mm_cdc_chunking",
       // multi-consumer barriers: the (cls, token) count / deduped
       // (user, day) frame / per-day counts each feed 2+ consumers
-      "ml_naive_bayes", "q46_rolling_distinct", "dq_freshness")
+      "ml_naive_bayes", "q46_rolling_distinct", "dq_freshness",
+      "dq_mad")
     // A QueryExecutionListener fires once per DataFrame ACTION
     // (collect/count/write) — exactly what a lazy query body must not do.
     // Plain job counting can't work here: every spark.read.parquet runs a
