@@ -41,6 +41,48 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("newscale")) {
+      // Scaling evidence for the round-6-continuation operator family:
+      // winnowing fingerprints, CDC chunking, blockwise phash signatures,
+      // BPE apply, and the shuffle-order prefix sum on 1x/2x/4x/8x
+      // vocab-disjoint corpus unions (same construction as the dedup
+      // scalecheck — copies share no vocabulary, so per-copy structure
+      // stays constant and wall-clock growth measures ENGINE work).
+      // Near-linear growth is the measured form of "row-local + one
+      // bounded shuffle" for every operator here.
+      import org.apache.spark.sql.functions._
+      val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val corpus = (0 until n).map(k =>
+          base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", s"$$1c$k").as("text")))
+          .reduce(_ unionByName _)
+        val media = graft.operators.Multimodal.attachBinary(corpus, "doc_id", "text")
+        for ((label, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+            "winnowing" -> (() => graft.operators.TextAnalysis
+              .winnowFingerprints(corpus, "doc_id", "text")),
+            "cdc_chunks" -> (() => graft.operators.Multimodal
+              .cdcChunks(media, "doc_id")),
+            "phash_sigs" -> (() => graft.operators.Multimodal
+              .phashSignatures(media, "doc_id")),
+            "bpe_apply" -> (() => graft.operators.TextAnalysis
+              .bpeApply(corpus, "doc_id", "text",
+                Seq("e r", "i n", "o w", "s t", "a t", "a l", "t er"))),
+            "shuffle_order" -> (() => graft.operators.Prep
+              .shuffleOrder(corpus.select(col("doc_id")), "doc_id", seed = 42)))) {
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"newscale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        // output-volume sanity line: confirms the corpus (and the work)
+        // actually scales with n — a flat time WITH a scaling row count
+        // is fixed-overhead dominance, not an unexecuted plan
+        println(s"newscale cdc_rows n=$n " +
+          graft.operators.Multimodal.cdcChunks(media, "doc_id").count())
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("scalecheck")) {
       // scaling evidence: the same dedup operators on 1x/2x/4x/8x unions
       // of the documents table. Every token is prefixed with the copy
