@@ -205,8 +205,19 @@ object Multimodal {
     * hex(data) would re-run 60× per row, the chunk-sum transform 61× (the
     * featurize O(n²) trap, and the IVF-PQ re-inlining defect class).
     */
+  /** Widen a frame whose partition count is below the cluster's slot
+    * count — heavy interpreted row-local stages (the HOF encodes here)
+    * otherwise run on however few threads the SCAN produced, not the
+    * cluster (a one-file corpus = one thread). No-op for any input
+    * already at least as wide as the default parallelism.
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   def phashSignatures(media: DataFrame, idCol: String): DataFrame = {
-    val hx = media.select(col(idCol),
+    val hx = spreadIfNarrow(media).select(col(idCol),
         hex(col("data")).as("hx"),
         ceil(octet_length(col("data")) / 60.0).cast("long").as("cl"))
       .localCheckpoint(true)
@@ -295,7 +306,15 @@ object Multimodal {
     // referenced from inside the next stage's per-element lambda, where
     // CollapseProject would otherwise re-inline its producing expression
     // per element (O(n²)).
-    val hx = media.select(col(idCol), hex(col("data")).as("hx"))
+    // Spread guard: the per-payload HOF work below is interpreted and
+    // costs ~ms per payload — a corpus arriving as one small file (one
+    // scan partition) would run it all on ONE thread (measured: the
+    // whole operator flat at ~7.5 s from 1× to 8× corpus because the n
+    // unioned selects gave exactly n partitions). If the input has
+    // fewer partitions than the cluster has slots, spread it first; a
+    // pre-partitioned production corpus skips the exchange entirely.
+    val src = spreadIfNarrow(media)
+    val hx = src.select(col(idCol), hex(col("data")).as("hx"))
       .localCheckpoint(true)
     // one decoded-byte array per payload: decoding ONCE and indexing in
     // the cut lambda beats re-decoding the 4-byte window per candidate
