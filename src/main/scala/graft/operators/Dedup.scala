@@ -17,6 +17,22 @@ object Hashing {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }
 
+/** Parallelism guard for heavy row-local derivation passes (shingling,
+  * minhash, gram posting, payload encoding): a corpus arriving as ONE
+  * small file gives the scan ONE partition, pinning the whole
+  * interpreted per-row pipeline to one thread regardless of cluster
+  * width (measured: CDC chunking flat at 7.5 s from 1× to 8× corpus
+  * because the n-fold union produced exactly n partitions). Widens only
+  * when the input is narrower than the cluster's slots — a no-op
+  * exchange-wise for any pre-partitioned production corpus.
+  */
+private[operators] object Spread {
+  def ifNarrow(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+}
+
 /** Deduplication operators for large document corpora.
   *
   * The reference's dedup story is snapshot-overwrite idempotency
@@ -137,7 +153,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 8): DataFrame =
-    withMinhash(withShingles(docs, idCol, textCol, shingleN), numHashes)
+    withMinhash(withShingles(Spread.ifNarrow(docs), idCol, textCol, shingleN),
+      numHashes)
 
   /** Incremental MinHash-LSH near-dup against PRECOMPUTED lake
     * signatures: the delta-vs-lake form of [[nearDupPairs]] for a
@@ -218,7 +235,8 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val sig = withMinhash(withShingles(docs, idCol, textCol, shingleN), numHashes)
+    val sig = withMinhash(
+        withShingles(Spread.ifNarrow(docs), idCol, textCol, shingleN), numHashes)
       .localCheckpoint(true)
     val cands = lshCandidates(sig, idCol, numHashes, rowsPerBand)
     verifyJaccard(cands, sig, idCol, threshold)
@@ -349,7 +367,7 @@ object Dedup {
                      n: Int = 8, minRun: Int = 12, maxDf: Int = 64): DataFrame = {
     require(minRun >= n, s"minRun ($minRun) must be >= gram width n ($n)")
     val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
-    val posts = docs.withColumn("tk", split(col(textCol), " "))
+    val posts = Spread.ifNarrow(docs).withColumn("tk", split(col(textCol), " "))
       .filter(size(col("tk")) >= n)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, size(tk) - ${n - 1}), " +
@@ -489,7 +507,7 @@ object Dedup {
     val votes = (0 until bits).map { i =>
       sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i")
     }
-    docs
+    Spread.ifNarrow(docs)
       .select(col(idCol), explode(expr(s"array_distinct(split($textCol, ' '))")).as("tok"))
       .select(col(idCol), Hashing.md5Long(col("tok")).as("h"))
       .groupBy(col(idCol))

@@ -205,19 +205,8 @@ object Multimodal {
     * hex(data) would re-run 60× per row, the chunk-sum transform 61× (the
     * featurize O(n²) trap, and the IVF-PQ re-inlining defect class).
     */
-  /** Widen a frame whose partition count is below the cluster's slot
-    * count — heavy interpreted row-local stages (the HOF encodes here)
-    * otherwise run on however few threads the SCAN produced, not the
-    * cluster (a one-file corpus = one thread). No-op for any input
-    * already at least as wide as the default parallelism.
-    */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
-  }
-
   def phashSignatures(media: DataFrame, idCol: String): DataFrame = {
-    val hx = spreadIfNarrow(media).select(col(idCol),
+    val hx = Spread.ifNarrow(media).select(col(idCol),
         hex(col("data")).as("hx"),
         ceil(octet_length(col("data")) / 60.0).cast("long").as("cl"))
       .localCheckpoint(true)
@@ -310,10 +299,8 @@ object Multimodal {
     // costs ~ms per payload — a corpus arriving as one small file (one
     // scan partition) would run it all on ONE thread (measured: the
     // whole operator flat at ~7.5 s from 1× to 8× corpus because the n
-    // unioned selects gave exactly n partitions). If the input has
-    // fewer partitions than the cluster has slots, spread it first; a
-    // pre-partitioned production corpus skips the exchange entirely.
-    val src = spreadIfNarrow(media)
+    // unioned selects gave exactly n partitions; [[Spread.ifNarrow]]).
+    val src = Spread.ifNarrow(media)
     val hx = src.select(col(idCol), hex(col("data")).as("hx"))
       .localCheckpoint(true)
     // one decoded-byte array per payload: decoding ONCE and indexing in

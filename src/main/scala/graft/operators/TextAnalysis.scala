@@ -461,7 +461,7 @@ object TextAnalysis {
     val wSpec = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val parts = (0 until k).map(j => s"element_at(tk, i + $j)").mkString(", ")
-    val grams = docs.withColumn("tk", split(col(textCol), " "))
+    val grams = Spread.ifNarrow(docs).withColumn("tk", split(col(textCol), " "))
       .filter(size(col("tk")) >= k)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, size(tk) - ${k - 1}), " +
