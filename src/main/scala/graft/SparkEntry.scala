@@ -2726,18 +2726,22 @@ object SparkEntry {
         |  (SELECT c FROM i) AS n_inter,
         |  ROUND((SELECT c FROM i) / CAST((SELECT c FROM u) AS DOUBLE), 6) AS jaccard,
         |  TRUE AS kmv_union_ok, TRUE AS kmv_jaccard_ok""".stripMargin,
-    // Exact counts of the sampled probe grams — valid oracle because at
-    // the registered width (2/eps = 20k counters × 10 rows vs ≤1k
-    // distinct grams) the all-rows-collide probability is ~1e-13 per
-    // item and the seed is fixed, so the CMS estimate IS the exact
-    // count on these corpora; the lossy overcount bound is spec-tested.
+    // Exact counts of the bottom-k probe grams (deterministic cap: the
+    // 1000 smallest distinct grams under the portable 60-bit hash) —
+    // valid oracle because at the registered width (2/eps = 20k counters
+    // × 10 rows vs the test corpora's distinct-gram domain) the
+    // all-rows-collide probability is ~1e-13 per item and the seed is
+    // fixed, so the CMS estimate IS the exact count on these corpora;
+    // the lossy overcount bound is spec-tested.
     "text_cms_probe" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (
         |  SELECT doc_id, t[gi.i] || ' ' || t[gi.i + 1] AS gram
         |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
         |  WHERE len(t) >= 2),
-        |probes AS (SELECT DISTINCT gram FROM bi WHERE doc_id % 101 = 0),
+        |probes AS (SELECT gram FROM (SELECT DISTINCT gram FROM bi)
+        |           ORDER BY ('0x' || substr(md5(gram), 1, 15))::BIGINT, gram
+        |           LIMIT 1000),
         |cnt AS (SELECT gram, COUNT(*) AS c FROM bi GROUP BY gram)
         |SELECT p.gram, CAST(c.c AS BIGINT) AS est
         |FROM probes p JOIN cnt c USING (gram)

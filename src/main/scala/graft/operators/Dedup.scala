@@ -27,9 +27,32 @@ object Hashing {
   * exchange-wise for any pre-partitioned production corpus.
   */
 private[operators] object Spread {
+  /** `spark.graft.spread` ∈ {auto, force, off}.
+    *
+    * `auto` (default) inspects `df.rdd.getNumPartitions`, which FORCES
+    * physical planning of the upstream frame (including file-source
+    * partition listing) at operator-CONSTRUCTION time, and bakes the
+    * build-time `defaultParallelism` into the emitted plan — plan
+    * construction is NOT side-effect-free in this mode, and a plan built
+    * on one cluster and executed on another keeps the builder's verdict.
+    * Callers that construct plans ahead of execution (or repeatedly)
+    * should set `force` — unconditional round-robin repartition, a pure
+    * lazy plan node, cheap for the heavy row-local passes this guards
+    * because the exchange moves raw payloads once while saving a
+    * cluster-width factor of interpreted per-row work — or `off` when
+    * the input is known pre-partitioned.
+    */
+  val ModeKey = "spark.graft.spread"
+
   def ifNarrow(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    val spark = df.sparkSession
+    val slots = spark.sparkContext.defaultParallelism
+    spark.conf.get(ModeKey, "auto") match {
+      case "off"   => df
+      case "force" => df.repartition(slots)
+      case _ =>
+        if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    }
   }
 }
 

@@ -314,11 +314,18 @@ object Multimodal {
       .localCheckpoint(true)
     // cut positions (byte p ENDS a chunk), then chunk start/end spans:
     // starts = 1 :: cuts+1, ends = cuts :: n — a trailing cut at n would
-    // open an empty chunk, filtered by start <= end.
+    // open an empty chunk, filtered by start <= end. Payloads shorter than
+    // the 4-byte rolling window carry no cut candidates at all: without
+    // the IF, sequence(4, n) with n < 4 DESCENDS (4,3,...,n) and the
+    // p = 3 probe hits element_at(bv, 0) — a hard error under 1-based
+    // array indexing. Short payloads must instead yield one whole-payload
+    // chunk, i.e. an empty cut set.
     val cuts = bv.select(col(idCol), col("hx"), expr(
-      s"""filter(sequence(4, CAST(length(hx) / 2 AS INT)), p ->
-         |  pmod(element_at(bv, p - 3) * 29791 + element_at(bv, p - 2) * 961
-         |       + element_at(bv, p - 1) * 31 + element_at(bv, p), $divisor) = 0)"""
+      s"""IF(CAST(length(hx) / 2 AS INT) < 4,
+         |  CAST(array() AS ARRAY<INT>),
+         |  filter(sequence(4, CAST(length(hx) / 2 AS INT)), p ->
+         |    pmod(element_at(bv, p - 3) * 29791 + element_at(bv, p - 2) * 961
+         |         + element_at(bv, p - 1) * 31 + element_at(bv, p), $divisor) = 0))"""
         .stripMargin).as("cuts"))
       .localCheckpoint(true)
     cuts.select(col(idCol), explode(expr(

@@ -15,14 +15,18 @@ import graft.Tables
   * the fact table is touched exactly once, nothing iterative, no driver
   * round-trips, and the shuffle carries |groups| rows of ten doubles.
   *
-  * Determinism contract: callers pass EXACT-INTEGER-VALUED columns
-  * scaled so every sum (including Σy²) stays below 2^53: integer-valued
-  * sums are then exact in any engine regardless of partial-aggregation
-  * order, and the closed-form determinant arithmetic is the identical
-  * IEEE expression tree on identical inputs — an external oracle
-  * reproduces the fit bit-for-bit. (Raw inexact doubles would make the
-  * sums order-dependent at the last ulp — fine for statistics, fatal
-  * for a hash-compared oracle.)
+  * Determinism contract: callers pass INTEGER-TYPED columns. The
+  * sufficient statistics aggregate in the INPUT type — for LONG inputs
+  * every partial and final sum (including Σy²) is exact 64-bit integer
+  * arithmetic, order-independent up to 2^63, matching an oracle engine's
+  * exact integer summation (DuckDB sums BIGINT into HUGEINT) — and only
+  * the finished statistics are cast to double, so the closed-form
+  * determinant arithmetic is the identical IEEE expression tree on
+  * identical inputs: bit-for-bit reproducible. (Summing doubles instead
+  * would be order-dependent past 2^53 — Σy² over whole-dollar prices
+  * crosses that near sf1 — fine for statistics, fatal for a
+  * hash-compared oracle. Past 2^63 the LONG sum fails loudly under ANSI
+  * overflow checking rather than drifting silently; rescale y there.)
   */
 object Regression {
 
@@ -63,33 +67,43 @@ object Regression {
     */
   def olsTwoFeature(df: DataFrame, groupCol: String, x1: Column, x2: Column,
                     y: Column): DataFrame = {
-    val s = df.groupBy(col(groupCol))
+    // Sums aggregate in the INPUT type (exact long arithmetic for
+    // integer-typed callers — the determinism contract above); the cast
+    // to double happens on the FINISHED statistics, after the last
+    // partial merge, mirroring the oracle's CAST(SUM(..) AS DOUBLE).
+    val raw = df.groupBy(col(groupCol))
       .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(x1).cast("double").as("s1"),
-        sum(x2).cast("double").as("s2"),
-        sum(y).cast("double").as("sy"),
-        sum(x1 * x1).cast("double").as("s11"),
-        sum(x1 * x2).cast("double").as("s12"),
-        sum(x2 * x2).cast("double").as("s22"),
-        sum(x1 * y).cast("double").as("s1y"),
-        sum(x2 * y).cast("double").as("s2y"),
-        sum(y * y).cast("double").as("syy"))
+        count(lit(1)).as("n"),
+        sum(x1).as("s1"),
+        sum(x2).as("s2"),
+        sum(y).as("sy"),
+        sum(x1 * x1).as("s11"),
+        sum(x1 * x2).as("s12"),
+        sum(x2 * x2).as("s22"),
+        sum(x1 * y).as("s1y"),
+        sum(x2 * y).as("s2y"),
+        sum(y * y).as("syy"))
+    val statCols = Seq("n", "s1", "s2", "sy", "s11", "s12", "s22",
+      "s1y", "s2y", "syy")
+    val s = raw.select(
+      col(groupCol) +: statCols.map(c => col(c).cast("double").as(c)): _*)
     s.select(col(groupCol) +: fitSql.map { case (name, sql) =>
       expr(sql).as(name) }: _*)
   }
 
   /** Registered query: whole-dollar price regressed on quantity and
-    * discount-in-cents per return flag. Whole dollars (not cents) keep
-    * Σy² under 2^53 at any realistic scale factor, so every sufficient
-    * statistic is exactly representable and order-independent.
+    * discount-in-cents per return flag. The columns stay LONG into the
+    * aggregate, so every sufficient statistic (including Σy² ≈ 1.4e9 per
+    * row) is exact integer arithmetic to 2^63 — order-independent at any
+    * scale factor the sum can represent, matching DuckDB's exact BIGINT
+    * summation.
     */
   def mlLinReg(s: SparkSession, dir: String): DataFrame =
     olsTwoFeature(
       Tables.load(s, dir, "lineitem"),
       "l_returnflag",
-      col("l_quantity").cast("long").cast("double"),
-      round(col("l_discount") * 100).cast("long").cast("double"),
-      round(col("l_extendedprice")).cast("long").cast("double"))
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      round(col("l_extendedprice")).cast("long"))
       .orderBy("l_returnflag")
 }

@@ -624,11 +624,16 @@ object TextAnalysis {
     *
     * Scale shape: the sketch build is one map-side-combined aggregate
     * (counter arrays merge by element-wise sum — the same partial/final
-    * lifecycle as a sum); the probe set is BOUNDED by construction
-    * (distinct grams of the `idCol % 101 == 0` doc sample) and probed
+    * lifecycle as a sum); the probe set is HARD-CAPPED at `maxProbes`
+    * rows by a deterministic bottom-k of the distinct-gram domain under
+    * the portable 60-bit hash (TakeOrdered — only `maxProbes` rows ever
+    * reach the driver, the KMV bottom-k precedent), then probed
     * driver-side against the collected sketch — the q31 Bloom-build
-    * precedent. Deterministic: counters depend only on (data, seed),
-    * never on partitioning or order.
+    * precedent. Driver memory is O(maxProbes) at ANY corpus size; a
+    * sample-derived probe set was rejected because a fixed sampling RATE
+    * leaves the collected distinct-gram volume growing with the corpus.
+    * Deterministic: counters depend only on (data, seed), the bottom-k
+    * only on the gram strings — never on partitioning or order.
     *
     * With the default eps the collision mass on the test corpora is
     * provably-negligible (~1e-13 per item), so estimates equal exact
@@ -636,15 +641,18 @@ object TextAnalysis {
     * small-width overcount bound is spec-tested (CmsSpec).
     */
   def cmsFreqProbe(docs: DataFrame, idCol: String, textCol: String,
-                   eps: Double = 1e-4, confidence: Double = 0.999): DataFrame = {
+                   eps: Double = 1e-4, confidence: Double = 0.999,
+                   maxProbes: Int = 1000): DataFrame = {
     val grams = docs
       .withColumn("tk", split(col(textCol), " "))
       .filter(size(col("tk")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("gram"))
     val cms = grams.stat.countMinSketch("gram", eps, confidence, seed = 42)
-    val probes = grams.filter(col(idCol) % 101 === 0)
+    val probes = grams
       .select("gram").distinct()
+      .orderBy(Hashing.md5Long(col("gram")), col("gram"))
+      .limit(maxProbes)
       .collect().map(_.getString(0)).sorted
     val spark = docs.sparkSession
     import spark.implicits._

@@ -113,6 +113,24 @@ class MultimodalSpec extends SparkTestBase {
       s"resync too low: ${(h1 & h3).size}/${h1.size}")
   }
 
+  test("cdcChunks: payloads shorter than the 4-byte rolling window yield " +
+      "one whole-payload chunk, empty payloads yield none") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "abc"), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val ch = Multimodal.cdcChunks(
+        Multimodal.attachBinary(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // empty payload: no chunk rows; 1..4-byte payloads: exactly one chunk
+    // spanning the whole payload (no cut candidate exists under 4 bytes,
+    // and a 4-byte payload's single candidate rarely fires — but if it
+    // does the chunks still sum to the payload length)
+    assert(!ch.exists(_._1 == 1L))
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 1L)))
+    assert(ch.filter(_._1 == 3L).toSeq == Seq((3L, 3L)))
+    assert(ch.filter(_._1 == 4L).map(_._2).sum == 4L)
+  }
+
   test("phash: identical payloads at hamming 0, localized edit stays near, " +
       "banding is exhaustive to hamming 3") {
     import spark.implicits._
