@@ -86,6 +86,7 @@ object SparkEntry {
     "a04_catalog_scan"      -> (PipelineQueries.a04CatalogScan _),
     "a04b_mysql_catalog"    -> (PipelineQueries.a04bMysqlCatalog _),
     "a04c_mysql_quirks"     -> (PipelineQueries.a04cMysqlQuirks _),
+    "a04d_pg_quirks"        -> (PipelineQueries.a04dPgQuirks _),
     "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
     "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
     "a07_csv_roundtrip"     -> (PipelineQueries.a07CsvRoundtrip _),
@@ -477,6 +478,24 @@ object SparkEntry {
         |  ('price', 'decimal(10,2) unsigned', 'FLOAT', 'double', '999.99'),
         |  ('small_id', 'bigint unsigned', 'INTEGER', 'decimal(20,0)', '42'),
         |  ('updated', 'datetime', 'DATETIME', 'timestamp_ntz', '2024-05-01 10:30:00')
+        |) AS t(col_name, raw_type, bq_type, spark_type, parsed)
+        |ORDER BY col_name""".stripMargin,
+    // The Postgres sibling truth table: serial/boolean/numeric names fall
+    // through the MySQL-tuned reference map to STRING (faithful), the
+    // engine keeps native types; timestamptz normalizes to the UTC
+    // instant; infinity sentinels → NULL; numeric-without-scale survives
+    // at DECIMAL(38,9) under the fidelity flag.
+    "a04d_pg_quirks" ->
+      """SELECT * FROM (VALUES
+        |  ('balance', 'numeric', 'STRING', 'decimal(38,9)', '12345678901234567890.123456789'),
+        |  ('big_id', 'bigserial', 'STRING', 'bigint', '9223372036854775807'),
+        |  ('created_at', 'timestamp with time zone', 'DATETIME', 'timestamp', '2024-05-01 08:30:00'),
+        |  ('expires_at', 'timestamptz', 'DATETIME', 'timestamp', NULL),
+        |  ('id', 'serial', 'STRING', 'bigint', '2147483647'),
+        |  ('is_active', 'boolean', 'STRING', 'boolean', 'true'),
+        |  ('is_deleted', 'boolean', 'STRING', 'boolean', 'false'),
+        |  ('seq_no', 'integer', 'INTEGER', 'bigint', '2147483647'),
+        |  ('sid', 'smallserial', 'STRING', 'bigint', '32767')
         |) AS t(col_name, raw_type, bq_type, spark_type, parsed)
         |ORDER BY col_name""".stripMargin,
     "a05_type_mapping" ->

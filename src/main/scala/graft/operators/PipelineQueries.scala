@@ -200,6 +200,70 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  /** A4d — PostgreSQL dialect quirks through the A5 map, the sibling of
+    * [[a04cMysqlQuirks]] for the reference's OTHER proxied engine (the
+    * repo ships a Postgres cloud_sql_proxy Deployment on tcp:5432,
+    * reference yaml/sql_proxy_postgresql_deployment_with_sa.yaml:56-57,
+    * but every DAG only ever queries MySQL/MSSQL — so the PG surface is
+    * declared, never exercised, and the MySQL-tuned type map hides four
+    * traps a real PG source springs):
+    *
+    *   - `boolean`: no BOOL rule in the reference map → BQ STRING
+    *     fallback (reference-faithful); the engine keeps BooleanType and
+    *     parses PG's one-letter text output `t`/`f`;
+    *   - serials: the DDL names `smallserial/serial/bigserial` carry no
+    *     INT substring → STRING fallback, while the PG catalog's actual
+    *     `data_type` for the same columns (`smallint/integer/bigint`)
+    *     maps INTEGER — BOTH spellings pinned, engine LongType either
+    *     way;
+    *   - `timestamp with time zone`: the reference's TIMESTAMP rule calls
+    *     it DATETIME (wall-clock), but a timestamptz is an INSTANT — the
+    *     engine parses the offset and normalizes to UTC (TimestampType);
+    *     PG's `infinity`/`-infinity` sentinels have no finite instant and
+    *     adopt the zero-date CONVERT_TO_NULL contract;
+    *   - `numeric` (no scale): PG's DECIMAL spelling misses the
+    *     reference's DECIMAL substring → STRING fallback; the engine's
+    *     fidelity map (lossyDecimal = false, the right setting for
+    *     arbitrary-precision numeric) keeps DECIMAL(38,9) so 29
+    *     significant digits survive that DOUBLE would round away.
+    *
+    * Like [[a04cMysqlQuirks]], every parse runs as a Spark cast over the
+    * fixture frame — the row-local expressions a 100 TB ingest would run;
+    * only the 9-row fixture is driver-built.
+    */
+  def a04dPgQuirks(s: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      ("is_active", "boolean", "t"),
+      ("is_deleted", "boolean", "f"),
+      ("sid", "smallserial", "32767"),
+      ("id", "serial", "2147483647"),
+      ("big_id", "bigserial", "9223372036854775807"),
+      ("seq_no", "integer", "2147483647"), // catalog data_type of `serial`
+      ("created_at", "timestamp with time zone", "2024-05-01 10:30:00+02"),
+      ("expires_at", "timestamptz", "infinity"),
+      ("balance", "numeric", "12345678901234567890.123456789"))
+    val mapped = fixture.map { case (n, t, v) =>
+      (n, t, TypeMapper.toBqType(t),
+        TypeMapper.toSparkType(t, lossyDecimal = false).simpleString, v) }
+    val raw = s.createDataFrame(mapped)
+      .toDF("col_name", "raw_type", "bq_type", "spark_type", "raw_value")
+    raw.select(col("col_name"), col("raw_type"), col("bq_type"), col("spark_type"),
+        when(col("spark_type") === "boolean",
+          col("raw_value").cast("boolean").cast("string"))
+        .when(col("spark_type") === "timestamp",
+          // CONVERT_TO_NULL analog: PG's infinity sentinels have no
+          // finite instant (guarded BEFORE the cast — ANSI mode throws
+          // on unparseable timestamps)
+          when(col("raw_value").isin("infinity", "-infinity"), lit(null))
+            .otherwise(col("raw_value").cast("timestamp").cast("string")))
+        .when(col("spark_type") === "decimal(38,9)",
+          col("raw_value").cast("decimal(38,9)").cast("string"))
+        .when(col("spark_type") === "bigint",
+          col("raw_value").cast("bigint").cast("string"))
+        .otherwise(col("raw_value")).as("parsed"))
+      .orderBy("col_name")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

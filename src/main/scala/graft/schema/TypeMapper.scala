@@ -48,6 +48,29 @@ object TypeMapper {
     // engine widens it to DECIMAL(20,0) instead of silently overflowing
     // LongType. [[toBqType]] stays reference-faithful (INTEGER).
     if (up.contains("BIGINT") && up.contains("UNSIGNED")) return DecimalType(20, 0)
+    // PostgreSQL dialect extensions (the reference ships a Postgres
+    // cloud_sql_proxy alongside MySQL —
+    // reference yaml/sql_proxy_postgresql_deployment_with_sa.yaml:56-57 —
+    // but its type map is MySQL-tuned; these names all fall through the
+    // reference's substring rules to STRING, which [[toBqType]] preserves
+    // faithfully while the engine keeps the native type):
+    //   - BOOLEAN: no BOOL rule exists in the reference map;
+    //   - SMALLSERIAL/SERIAL/BIGSERIAL: the DDL-level autoincrement names
+    //     carry no "INT" substring (the PG catalog's data_type reports
+    //     the base int types, which DO map INTEGER — both spellings are
+    //     pinned by a04d) — all int-valued, widened to 64-bit like every
+    //     reference INT;
+    //   - TIMESTAMPTZ / WITH TIME ZONE: an INSTANT, not the wall-clock
+    //     the reference's DATETIME rule assumes — TimestampType
+    //     (session-zoned), not TimestampNTZType;
+    //   - NUMERIC: PG's spelling of DECIMAL — without (p,s) it is
+    //     arbitrary-precision, so the fidelity flag matters most here.
+    if (up.contains("BOOL")) return BooleanType
+    if (up.contains("SERIAL")) return LongType
+    if (up.contains("TIMESTAMPTZ") || up.contains("WITH TIME ZONE"))
+      return TimestampType
+    if (up.contains("NUMERIC"))
+      return if (lossyDecimal) DoubleType else DecimalType(38, 9)
     toBqType(sourceType) match {
       case "DATETIME" => TimestampNTZType // wall-clock, no zone (ref :157)
       case "DATE"     => DateType

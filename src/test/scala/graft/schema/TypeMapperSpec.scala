@@ -65,6 +65,47 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(got("is_active").contains("1"))
   }
 
+  test("PostgreSQL dialect rules: bool/serial/timestamptz/numeric; " +
+      "BQ map stays faithful (STRING fallback for non-reference names)") {
+    // engine-native types
+    assert(TypeMapper.toSparkType("boolean") == BooleanType)
+    assert(TypeMapper.toSparkType("bool") == BooleanType)
+    assert(TypeMapper.toSparkType("smallserial") == LongType)
+    assert(TypeMapper.toSparkType("serial") == LongType)
+    assert(TypeMapper.toSparkType("bigserial") == LongType)
+    assert(TypeMapper.toSparkType("timestamptz") == TimestampType)
+    assert(TypeMapper.toSparkType("timestamp with time zone") == TimestampType)
+    assert(TypeMapper.toSparkType("numeric") == DoubleType)
+    assert(TypeMapper.toSparkType("numeric", lossyDecimal = false) ==
+      DecimalType(38, 9))
+    // plain (wall-clock) timestamp is NOT caught by the tz rule
+    assert(TypeMapper.toSparkType("timestamp") == TimestampNTZType)
+    // reference-faithful BQ fallbacks: these names miss every substring
+    // rule in the reference's map
+    assert(TypeMapper.toBqType("boolean") == "STRING")
+    assert(TypeMapper.toBqType("serial") == "STRING")
+    assert(TypeMapper.toBqType("numeric") == "STRING")
+    // ...while the tz forms DO hit the TIMESTAMP rule
+    assert(TypeMapper.toBqType("timestamptz") == "DATETIME")
+    // and the PG catalog's data_type spelling of a serial maps INTEGER
+    assert(TypeMapper.toBqType("integer") == "INTEGER")
+  }
+
+  test("a04d dialect quirks: t/f booleans, serial widening, timestamptz " +
+      "normalizes to the UTC instant, infinity nulls, numeric keeps digits") {
+    val spark = graft.Engine.session("typemapper-a04d", "2")
+    val got = graft.operators.PipelineQueries.a04dPgQuirks(spark, "")
+      .collect().map(r => r.getString(0) -> Option(r.getString(4))).toMap
+    assert(got("is_active").contains("true"))
+    assert(got("is_deleted").contains("false"))
+    assert(got("big_id").contains("9223372036854775807"))
+    assert(got("created_at").contains("2024-05-01 08:30:00"),
+      "+02 offset must normalize to the UTC instant")
+    assert(got("expires_at").isEmpty, "infinity must CONVERT_TO_NULL")
+    assert(got("balance").contains("12345678901234567890.123456789"),
+      "29 significant digits must survive DECIMAL(38,9)")
+  }
+
   test("name sanitization rules") {
     assert(TypeMapper.sanitizeName("full name") == "full_name")
     assert(TypeMapper.sanitizeName("either/or") == "either_and_or")
