@@ -107,6 +107,7 @@ object SparkEntry {
     "a22_cdc_merge"         -> (PipelineQueries.a22CdcMerge _),
     "a23_backfill"          -> (PipelineQueries.a23PartitionBackfill _),
     "a26_export_timeout"    -> (PipelineQueries.a26ExportTimeout _),
+    "a30_incremental_dedup_sync" -> (PipelineQueries.a30IncrementalDedupSync _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -2503,6 +2504,38 @@ object SparkEntry {
     "a17_incremental_sync" ->
       """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS p
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // The published table after (lake sync + signature artifact + delta
+    // run deduped against the artifact) must equal: union corpus minus
+    // delta docs holding a verified Jaccard >= 0.5 pair (the
+    // dedup_incremental_lsh pair CTE — its green row proves banding
+    // loses nothing at this threshold — with the drop rule replayed).
+    "a30_incremental_dedup_sync" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '), 1,
+        |           len(string_split(text, ' ')) - 1), ' ') AS text
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2])) AS shingles
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3
+        |), ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+        |inter AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
+        |  FROM ex l JOIN ex r ON l.sg = r.sg AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |drops AS (
+        |  SELECT DISTINCT b AS doc_id
+        |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5 AND b >= 1000000)
+        |SELECT doc_id, md5(text) AS fp FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "mm_audio_frames" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

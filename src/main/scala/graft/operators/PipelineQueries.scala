@@ -613,6 +613,74 @@ object PipelineQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A30 — incremental-dedup sync: the daily near-dup-aware ingest
+    * pattern, wiring the [[Dedup]] incremental operators into the [[Sync]]
+    * pipeline end-to-end (the [[a17IncrementalSync]] shape with
+    * content-level dedup at the publish end):
+    *
+    *   - day 1 syncs the lake corpus (full snapshot), then persists
+    *     [[Dedup.minhashSignatures]] of the PUBLISHED table as a parquet
+    *     artifact — the once-per-lake cost every later run amortizes;
+    *   - day 2's delta (every doc re-ingested minus its last token — the
+    *     near-dup re-crawl shape) is checked by
+    *     [[Dedup.deltaNearDupPairs]] against the artifact READ BACK FROM
+    *     DISK: only the delta is shingled and minhashed this run, the
+    *     lake contributes pre-computed signatures and is never re-hashed
+    *     (the O(Δ·collisions) form — at 100 TB the difference between a
+    *     bounded daily job and re-hashing the whole lake daily);
+    *   - delta docs with a verified Jaccard ≥ 0.5 match (`b` of any
+    *     emitted pair — the larger id, so a delta doc matching the lake
+    *     or an earlier-id delta doc) are dropped; survivors append into
+    *     the published final through the stage/existing merge.
+    *
+    * The oracle recomputes the full exact-Jaccard pair set (the
+    * `dedup_incremental_lsh` oracle, whose green row proves banding
+    * loses nothing at this threshold on this corpus) and replays the
+    * drop rule over the union corpus.
+    */
+  def a30IncrementalDedupSync(s: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_dd_stg").toString
+    val warehouse = Files.createTempDirectory("graft_dd_wh").toString
+    val sigPath = s"$staging/lake_signatures"
+    val src = ViewSource(dir)
+    // day 1: full snapshot of the lake corpus
+    val day1 = TableConfig(
+      exportTable = "documents",
+      stageTable = Some("docs_dd"),
+      exportQuery = Some("SELECT doc_id, text FROM documents"))
+    val published1 = Sync.syncTable(s, day1, src, staging, warehouse,
+      LocalDate.of(2020, 1, 1))
+    Dedup.minhashSignatures(published1, "doc_id", "text",
+        shingleN = 3, numHashes = 16)
+      .write.mode("overwrite").parquet(sigPath)
+    // day 2: the delta arrives; lake signatures come from the artifact
+    val delta = Tables.load(s, dir, "documents").select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .as("text"))
+    val lakeSig = s.read.parquet(sigPath)
+    val dups = Dedup.deltaNearDupPairs(lakeSig, delta, "doc_id", "text",
+        shingleN = 3, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select(col("b").as("doc_id")).distinct()
+    val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
+    // day-2 publish: the deduped delta appends through the merge contract
+    // (a custom SqlSource fills the export slot with the survivor frame —
+    // the dedup IS this run's export transform)
+    val day2 = day1.copy(
+      exportQuery = Some("SELECT doc_id, text FROM g_dedup_delta"),
+      stageFinalQuery = Some(
+        """SELECT doc_id, text FROM existing
+          |UNION ALL
+          |SELECT doc_id, text FROM stage""".stripMargin))
+    val frameSrc = new SqlSource {
+      def read(spark: SparkSession, exportQuery: String): DataFrame = survivors
+    }
+    Sync.syncTable(s, day2, frameSrc, staging, warehouse,
+        LocalDate.of(2020, 1, 2))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** A22 — CDC apply: a compacted change feed (upserts + delete
     * tombstones) merged into the snapshot ([[Merge.cdcApply]]). Deletes
     * remove matched rows AND absorb tombstones for never-seen keys
