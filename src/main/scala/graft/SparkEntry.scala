@@ -1905,35 +1905,51 @@ object SparkEntry {
         |FROM o JOIN sn ON o.doc_id = sn.doc_id
         |LEFT JOIN sj ON o.doc_id = sj.doc_id
         |ORDER BY o.doc_id""".stripMargin,
-    // Same 60-chunk byte-sum aHash through the hex codec, same 4x15-bit
-    // banding, same exact-hamming verify — recomputed from the raw text.
+    // Mean-luminance aHash over REAL decoded pixels: the engine parses
+    // actual P6 bytes, the oracle recomputes every cell bit from the
+    // generator formula — same BT.601 integer luminance, same 8x8 floor
+    // grid, same exact cross-multiplied mean threshold, same 4x16-bit
+    // banding + exact-hamming verify (assembled per band so no 64-bit
+    // sign games are needed).
     "mm_phash_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' qx' AS text FROM documents),
-        |hx AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |  CAST(ceil(octet_length(encode(text)) / 60.0) AS BIGINT) AS cl
-        |  FROM corpus),
-        |fs AS (SELECT doc_id, list_transform(range(60), j ->
-        |  COALESCE(list_sum(list_transform(
-        |    regexp_extract_all(substr(hx, CAST(j * cl * 2 + 1 AS BIGINT),
-        |      CAST(cl * 2 AS BIGINT)), '..'),
-        |    x -> ('0x' || x)::BIGINT)), 0)) AS fs FROM hx),
-        |ph AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), j ->
-        |  ((fs[CAST(j + 1 AS BIGINT)] >> 2) & 1::BIGINT) << CAST(j AS INT)))
-        |  AS BIGINT) AS ph
-        |  FROM fs),
-        |bands AS (SELECT doc_id, ph, r.range AS band,
-        |  (ph >> CAST(r.range * 15 AS INT)) & 32767 AS bv
-        |  FROM ph, range(4) r),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |  x.ph AS pha, y.ph AS phb
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, 8 FROM ids),
+        |dims AS (SELECT doc_id, seed, dlt,
+        |  CAST(seed % 13 + 8 AS BIGINT) AS w,
+        |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
+        |px AS (SELECT doc_id,
+        |    (((g.b // 3) // w) * 8 // h) * 8 + (((g.b // 3) % w) * 8 // w)
+        |      AS cell,
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)
+        |      + CASE WHEN g.b < 6 THEN dlt ELSE 0 END) % 256) AS lum
+        |  FROM dims, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g),
+        |-- cc counts BYTES (3x pixels) on both sides of every
+        |-- cross-multiplied mean compare, so the factor cancels
+        |cells AS (SELECT doc_id, cell, SUM(lum) AS cs, COUNT(*) AS cc
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc
+        |        FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id, c.cell // 16 AS band,
+        |    CAST(c.cell % 16 AS INT) AS bandbit,
+        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, band,
+        |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-        |SELECT a, b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(pha, phb)) <= 3
-        |ORDER BY a, b""".stripMargin,
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.a
+        |  JOIN bands y ON y.doc_id = c.b AND y.band = x.band
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM hx
+        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
     "a27_orc_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev,
@@ -2599,29 +2615,32 @@ object SparkEntry {
         |      FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rk <= q.quota ORDER BY doc_id""".stripMargin,
+    // The engine PARSES real P6 bytes partition-wise; the oracle
+    // recomputes the closed-form generator (w = id%13+8, h = id%11+8,
+    // pixel byte i = (id*31 + i*17 + (id*i mod 251) + 40*((i div 3w)
+    // mod 6)) % 256) — a green row proves the parsed geometry and the
+    // decoded pixel features match the bytes' actual content.
     "mm_decode" ->
-      """WITH m AS (
-        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, g.j,
-        |    SUM(CASE WHEN (g2.i - 1) % 4 = g.j
-        |        THEN ('0x' || substr(hex(data), 2 * g2.i - 1, 2))::BIGINT
-        |        ELSE 0 END) AS fv
-        |  FROM m, (SELECT unnest(range(0, 4)) AS j) g,
-        |       LATERAL (SELECT unnest(range(1, n + 1)) AS i) g2
-        |  GROUP BY doc_id, g.j)
-        |SELECT m.doc_id,
-        |  CAST(m.n % 640 + 1 AS INT) AS width,
-        |  CAST(m.n % 480 + 1 AS INT) AS height,
+        |  SELECT doc_id, g.i % 4 AS j,
+        |    SUM((doc_id * 31 + g.i * 17 + (doc_id * g.i) % 251
+        |         + 40 * ((g.i // (w * 3)) % 6)) % 256) AS fv
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) g
+        |  GROUP BY doc_id, g.i % 4)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
         |  (SELECT string_agg(CAST(fv AS BIGINT), ',' ORDER BY j) FROM f
-        |   WHERE f.doc_id = m.doc_id) AS features_csv
-        |FROM m ORDER BY m.doc_id""".stripMargin,
+        |   WHERE f.doc_id = d.doc_id) AS features_csv
+        |FROM d ORDER BY d.doc_id""".stripMargin,
     "mm_resize" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |d AS (SELECT doc_id, CAST(n % 640 + 1 AS INT) AS width,
-        |             CAST(n % 480 + 1 AS INT) AS height FROM m)
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
+        |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)
         |SELECT doc_id, width, height,
         |  CASE WHEN width * 224 <= height * 256
         |       THEN greatest(1, CAST(floor(width * 224 / height) AS INT))

@@ -322,20 +322,35 @@ object LlmQueries {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, docs(s, dir))
 
-  /** Partition-wise decode (typed mapPartitions, one decoder context per
-    * partition) + the deterministic feature-extract pass — the full
-    * media-pipeline plumbing driven end-to-end. The decode stub derives
-    * dimensions from payload size, so the oracle reproduces it in SQL.
+  /** Partition-wise REAL decode (typed mapPartitions, one decoder context
+    * per partition, [[Multimodal.decodeHeader]] parsing actual PPM bytes)
+    * + the feature-extract pass over the DECODED pixel region — the full
+    * media-pipeline plumbing driven end-to-end. The fixture payloads are
+    * real P6 images from the closed-form generator
+    * ([[Multimodal.ppmMedia]]), so the oracle reproduces geometry and
+    * pixel features from the generator formula while the engine parses
+    * bytes it has never seen the formula for.
     */
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text")
+    val media = Multimodal.ppmMedia(docs(s, dir), "doc_id", "doc_id")
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
-    val decoded = Multimodal.decodeImages(media.as[Multimodal.MediaRow])
-    val features = Multimodal.featurize(media, dims = 4)
+      .localCheckpoint(true) // feeds decode, stats, and the pixel slice
+    val mediaDs = media.as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(mediaDs).toDF()
+    // pixel_off comes from the PARSED header — the substring below reads
+    // exactly the pixel array the decoder located, not a construction
+    // constant
+    val stats = Multimodal.decodePixels(mediaDs).toDF()
+      .select(col("doc_id"), col("pixel_off"),
+        (col("width") * col("height") * col("channels")).as("n_px_bytes"))
+    val pixels = media.join(stats, "doc_id")
+      .select(col("doc_id"),
+        expr("substring(data, pixel_off + 1, n_px_bytes)").as("data"))
+    val features = Multimodal.featurize(pixels, dims = 4)
       .select(col("doc_id"), col("features"))
-    decoded.toDF().join(features, "doc_id")
+    decoded.join(features, "doc_id")
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         // serialized scalar, not ARRAY<BIGINT>: external compare harnesses
         // sort/hash columns and cannot order array cells
@@ -343,13 +358,14 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Resize slot of the media pipeline: decode dims → aspect-preserving
-    * fit into a 256×224 box ([[Multimodal.resizeDims]] — exact integer
-    * math, the computation every real resize does before its pixel pass).
+  /** Resize slot of the media pipeline: REAL decoded dims →
+    * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
+    * — exact integer math, the computation every real resize does before
+    * its pixel pass).
     */
   def mmResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.attachBinary(docs(s, dir), "doc_id", "text")
+    val media = Multimodal.ppmMedia(docs(s, dir), "doc_id", "doc_id")
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
     val decoded = Multimodal.decodeImages(media.as[Multimodal.MediaRow]).toDF()
@@ -489,22 +505,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Perceptual near-dup over binary payloads ([[Multimodal
-    * .phashNearDups]]): the corpus plus a lightly perturbed copy of every
-    * payload (three bytes appended — the "re-encoded thumbnail"
-    * stand-in), paired by banding the 60-bit blockwise fingerprint and
-    * verified by exact hamming.
-    * Perturbed copies whose chunk grid shifts (byte count crossing a
-    * 60-multiple) legitimately scramble and drop out — recall loss the
-    * oracle reproduces, since it recomputes the identical signature.
+  /** Perceptual near-dup over REAL decoded pixels
+    * ([[Multimodal.aHashNearDups]]): every fixture image beside a
+    * lightly perturbed copy (+8 on the first 6 pixel bytes — two pixels
+    * of the top-left cell: at fixture sizes an 8×8 cell is only 1–2
+    * pixels wide, so a LOCALIZED edit must stay within a couple of
+    * pixels or it spans many cells and legitimately exceeds the
+    * hamming-3 band guarantee; the image mean moves ~0.04%, so
+    * off-target bits barely ever flip), paired by banding the 64-bit
+    * mean-luminance aHash and verified by exact hamming. Pairs whose
+    * edit wraps a byte past 255 and swings the cell across the mean
+    * still drop out — the oracle recomputes the identical signature from
+    * the generator formula, so any recall loss reproduces exactly. The engine decodes actual PPM bytes partition-wise; the
+    * byte-blockwise sibling for codec-less payloads remains
+    * [[Multimodal.phashNearDups]].
     */
   def mmPhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val corpus = base.unionByName(
+    import s.implicits._
+    val base = docs(s, dir).select(col("doc_id"))
+    val orig = Multimodal.ppmMedia(base, "doc_id", "doc_id")
+    val pert = Multimodal.ppmMedia(
       base.select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" qx")).as("text")))
-    Multimodal.phashNearDups(
-        Multimodal.attachBinary(corpus, "doc_id", "text"), "doc_id")
+        col("doc_id").as("seed")),
+      "doc_id", "seed", deltaSql = "IF(i < 6, 8, 0)")
+    val media = orig.unionByName(pert)
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+    Multimodal.aHashNearDups(media.as[Multimodal.MediaRow])
       .orderBy("a", "b")
   }
 

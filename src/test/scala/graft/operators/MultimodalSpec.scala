@@ -37,9 +37,10 @@ class MultimodalSpec extends SparkTestBase {
       row.getAs[Array[Byte]]("data").length.toLong)
   }
 
-  test("decodeImages runs partition-wise and is deterministic") {
+  test("decodeImages parses real PPM geometry partition-wise; " +
+      "non-image payloads are refused with zero dims") {
     import spark.implicits._
-    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val media = Multimodal.ppmMedia(docs, "doc_id", "doc_id")
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
       .repartition(4)
@@ -47,10 +48,97 @@ class MultimodalSpec extends SparkTestBase {
     val decoded = Multimodal.decodeImages(media).collect()
     assert(decoded.length == docs.count())
     decoded.foreach { d =>
-      assert(d.width == (d.n_bytes % 640 + 1).toInt)
-      assert(d.height == (d.n_bytes % 480 + 1).toInt)
+      assert(d.width == (d.doc_id % 13 + 8).toInt, s"doc ${d.doc_id}")
+      assert(d.height == (d.doc_id % 11 + 8).toInt)
       assert(d.channels == 3)
     }
+    // raw text bytes are not an image: refused, not fabricated
+    val raw = Multimodal.attachBinary(docs.limit(3), "doc_id", "text")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeImages(raw).collect().foreach { d =>
+      assert(d.width == 0 && d.height == 0 && d.channels == 0)
+    }
+  }
+
+  test("decodeHeader: PPM with comments and multi-digit dims; BMP 24bpp " +
+      "bottom-up with row padding; truncated/invalid payloads refused") {
+    // hand-built P6: comment inside header whitespace, 10x2 image
+    val ppmHeader = "P6\n# a comment\n10 2\n255\n".getBytes("UTF-8")
+    val ppm = ppmHeader ++ Array.fill[Byte](10 * 2 * 3)(7)
+    val pi = Multimodal.decodeHeader(ppm).get
+    assert((pi.width, pi.height, pi.channels) == ((10, 2, 3)))
+    assert(pi.pixelOffset == ppmHeader.length && !pi.bottomUp && !pi.bgr)
+    // truncated pixel array: refused
+    assert(Multimodal.decodeHeader(ppm.dropRight(1)).isEmpty)
+    // hand-built BMP: 3x2, 24bpp, BI_RGB, positive height (bottom-up),
+    // rows pad 9 -> 12 bytes
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = "BM".getBytes("UTF-8") ++ le32(54 + 24) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(24) ++ Array.fill[Byte](16)(0) ++ Array.fill[Byte](24)(3)
+    val bi = Multimodal.decodeHeader(bmp).get
+    assert((bi.width, bi.height, bi.channels) == ((3, 2, 3)))
+    assert(bi.pixelOffset == 54 && bi.rowStride == 12 && bi.bottomUp && bi.bgr)
+    // compressed BMP (BI_RLE8 = 1): refused
+    val rle = bmp.clone(); rle(30) = 1
+    assert(Multimodal.decodeHeader(rle).isEmpty)
+    assert(Multimodal.decodeHeader("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodePixels: aHash bits follow cell luminance exactly " +
+      "(half-dark / half-bright image)") {
+    import spark.implicits._
+    // 16x16 P6: left half black, right half white -> cells 0..3 of every
+    // cell row dark (bit 0), cells 4..7 bright (bit 1)
+    val header = "P6\n16 16\n255\n".getBytes("UTF-8")
+    val px = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      val x = (i / 3) % 16
+      if (x < 8) 0x00.toByte else 0xFF.toByte
+    }
+    val media = Seq(Multimodal.MediaRow(1L, header ++ px, "image/ppm",
+      (header.length + px.length).toLong)).toDS()
+    val got = Multimodal.decodePixels(media).collect().head
+    val expected = (0 until 64).map { k =>
+      if (k % 8 >= 4) 1L << k else 0L }.sum
+    assert(got.ph == expected, f"ph=${got.ph}%016x expected=$expected%016x")
+    assert(got.width == 16 && got.height == 16 && got.channels == 3)
+    assert(got.lum_total == 8 * 16 * 1000L * 255)
+  }
+
+  test("aHashNearDups: identical images pair at hamming 0, banding " +
+      "equals brute force at hamming <= 3, sub-8x8 images are excluded") {
+    import spark.implicits._
+    val ids = (1L to 40L).toDF("doc_id")
+    val orig = Multimodal.ppmMedia(ids, "doc_id", "doc_id")
+    // doc 41 = exact copy of doc 1's image (same seed)
+    val copy = Multimodal.ppmMedia(
+      ids.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 40).as("doc_id"), col("doc_id").as("seed")),
+      "doc_id", "seed")
+    val media = orig.unionByName(copy)
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    val sig = Multimodal.decodePixels(media)
+      .collect().map(r => r.doc_id -> r.ph).toMap
+    assert(sig(1L) == sig(41L), "same pixels must hash identically")
+    val got = Multimodal.aHashNearDups(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, pa) <- sig.toSeq; (b, pb) <- sig.toSeq if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === brute, "banding must equal brute-force hamming<=3")
+    assert(got.contains((1L, 41L, 0L)))
+    // a 4x4 image is below the 8x8 grid: no signature, no pairs
+    val tinyHeader = "P6\n4 4\n255\n".getBytes("UTF-8")
+    val tiny = Seq(Multimodal.MediaRow(99L,
+      tinyHeader ++ Array.fill[Byte](48)(1), "image/ppm", 63L)).toDS()
+    assert(Multimodal.decodePixels(tiny).collect().isEmpty)
   }
 
   test("byte sampling strides deterministically") {
@@ -149,12 +237,25 @@ class MultimodalSpec extends SparkTestBase {
       "a one-byte edit may flip at most the touched block's bit (plus a " +
         "grid-boundary neighbor)")
     // banding finds EVERY pair within hamming 3 (pigeonhole over 4 bands)
+    // — among payloads >= 60 bytes; shorter payloads haven't 60
+    // informative blocks (trailing zero bits would alias unrelated short
+    // docs into candidates) and are excluded by the operator's domain
+    // restriction
+    val lens = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length)
+      .toMap
+    val longIds = lens.filter(_._2 >= 60).keySet
     val got = Multimodal.phashNearDups(media, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val brute = (for {
-      (a, pa) <- sig.toSeq; (b, pb) <- sig.toSeq if a < b
+      (a, pa) <- sig.toSeq if longIds(a)
+      (b, pb) <- sig.toSeq if longIds(b) && a < b
       h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
     } yield (a, b, h.toLong)).toSet
     assert(got === brute, "banding must equal brute-force hamming<=3")
+    assert(lens.exists(_._2 < 60),
+      "corpus must exercise the short-payload exclusion")
+    got.foreach { case (a, b, _) =>
+      assert(longIds(a) && longIds(b), "short payloads must never pair") }
   }
 }
