@@ -42,14 +42,37 @@ object Engine {
   private[graft] def localMasterFallback(cpus: String): Option[String] =
     if (injectedMaster.isDefined) None else Some(s"local[$cpus]")
 
+  /** Streaming state-store provider selector: `SPARK_GRAFT_STATE_STORE`
+    * (or the session conf the tests flip directly) ∈ {memory, rocksdb}.
+    *
+    * The default (memory) keeps Spark's HDFSBackedStateStoreProvider —
+    * every key lives on the executor heap, fine for the test corpora. At
+    * 100× the stateful patterns (userTotals' per-user state, the
+    * trending-top-k window maps, the outer join's buffered rows) outgrow
+    * heap: `rocksdb` switches to Spark's bundled RocksDB provider, which
+    * keeps working state on executor-local disk with block-cache reads
+    * and incremental (changelog-capable) checkpoints — the standard
+    * large-state deployment. Results are IDENTICAL by contract (the
+    * provider is a storage engine, not a semantics change) — pinned by
+    * EventsStreamSpec's RocksDB run.
+    */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def session(appName: String = "graft",
               cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val base = SparkSession.builder()
+    val base0 = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       // engine-semantics contract — applies in every deployment mode
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base =
+      if (sys.env.get("SPARK_GRAFT_STATE_STORE").map(_.trim.toLowerCase)
+          .contains("rocksdb"))
+        base0.config("spark.sql.streaming.stateStore.providerClass",
+          RocksDbProvider)
+      else base0
     val builder = localMasterFallback(cpus) match {
       case Some(local) =>
         base.master(local)

@@ -208,6 +208,32 @@ class EventsStreamSpec extends SparkTestBase {
       abs(col("v") - col("bv")) > 1e-6).count() == 0)
   }
 
+  test("RocksDB state store: stateful per-user totals are IDENTICAL to " +
+      "the in-memory provider's (the provider is storage, not semantics)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, graft.Engine.RocksDbProvider)
+    try {
+      val out = tmp("es_rdb_out")
+      val q = EventsStream.userTotals(spark, eventsDir, tmp("es_rdb_ckpt"), out)
+      q.awaitTermination()
+      val got = spark.read.parquet(out)
+      assert(got.count() > 0)
+      val finalPerUser = got.groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("bn"), sum("value").as("bv"))
+      val j = finalPerUser.join(batch, "user_id")
+      assert(j.count() == batch.count())
+      assert(j.filter(col("n") =!= col("bn") ||
+        abs(col("v") - col("bv")) > 1e-6).count() == 0)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sliding windows emit overlapping strata consistent with tumbling") {
     val out = tmp("es_sl_out")
     EventsStream.slidingCounts(spark, eventsDir, tmp("es_sl_ckpt"), out)
