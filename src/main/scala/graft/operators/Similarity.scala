@@ -41,17 +41,36 @@ object Similarity {
     */
   val DefaultMaxExactProbes: Int = 10000
 
-  private def guardProbes(probes: DataFrame, maxProbes: Int): DataFrame = {
+  /** The ANN tier's cap: its per-probe WORK is list-pruned (no full
+    * corpus scan per probe), but every operator still BROADCASTS the
+    * probe frame — with nprobe fan-out and per-code ADC tables attached
+    * in the PQ forms — so the probe side is bounded by the broadcast
+    * budget, not by compute. Past this, repartition-join the probe cells
+    * instead of broadcasting (same plan minus the broadcast hint).
+    */
+  val DefaultMaxBroadcastProbes: Int = 100000
+
+  private def guardProbes(probes: DataFrame, maxProbes: Int,
+      tier: String = "exact-tier: the exact operators are " +
+        "O(|corpus| x |probes|) — use the ANN tier (lshTopK / ivfTopK / " +
+        "ivfpqTopK) for large probe sets"): DataFrame = {
     val all = Window.partitionBy()
     probes
       .withColumn("_np", count(lit(1)).over(all))
       .filter(when(col("_np") <= maxProbes, lit(true)).otherwise(raise_error(concat(
-        lit("exact-tier probe set has "), col("_np"),
-        lit(s" rows, over maxProbes = $maxProbes: the exact operators are " +
-          "O(|corpus| x |probes|) — use the ANN tier (lshTopK / ivfTopK / " +
-          "ivfpqTopK) for large probe sets, or raise maxProbes")))))
+        lit("probe set has "), col("_np"),
+        lit(s" rows, over maxProbes = $maxProbes ($tier), " +
+          "or raise maxProbes")))))
       .drop("_np")
   }
+
+  /** The broadcast-assumption spelling of the guard for the ANN tier. */
+  private def guardBroadcastProbes(probes: DataFrame, maxProbes: Int): DataFrame =
+    guardProbes(probes, maxProbes,
+      tier = "ANN tier: per-probe work is list-pruned but the probe frame " +
+        "BROADCASTS (with nprobe fan-out / ADC tables) — repartition-join " +
+        "the probe cells instead of broadcasting for probe sets past the " +
+        "broadcast budget")
 
   /** Exact cosine top-k for each probe: broadcast probes × streamed corpus,
     * ranked per probe with a deterministic tie-break.
@@ -191,11 +210,13 @@ object Similarity {
     * via the codebook size and nprobe, exactly like the LSH `bits` dial.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
-              idCol: String, embCol: String, k: Int): DataFrame = {
+              idCol: String, embCol: String, k: Int,
+              maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
     val centArr = centroidLiteral(centroids) // one collect, shared by both sides
     val c = ivfAssignLit(corpus, centArr, idCol, embCol)
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("cid"))
-    val p = ivfAssignLit(probes, centArr, idCol, embCol)
+    val p = ivfAssignLit(guardBroadcastProbes(probes, maxProbes),
+        centArr, idCol, embCol)
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("cid"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
     c.join(broadcast(p), Seq("cid"))
@@ -215,14 +236,16 @@ object Similarity {
     * probe side fans out nprobe-fold.
     */
   def ivfTopKNprobe(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
-                    idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+                    idCol: String, embCol: String, k: Int, nprobe: Int,
+                    maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
     val centArr = centroidLiteral(centroids)
     val c = ivfAssignLit(corpus, centArr, idCol, embCol)
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("cid"))
     // probe fan-out, row-locally: sort the per-centroid (ccos, -cid, cid)
     // structs ascending, reverse for (ccos DESC, cid ASC), keep the first
     // nprobe, explode — no crossJoin, no per-probe window shuffle.
-    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+    val p = guardBroadcastProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
         explode(slice(reverse(array_sort(transform(centArr, c0 =>
           struct(
             VectorOps.cosine(col(embCol), c0.getField("cemb")).as("ccos"),
@@ -405,7 +428,7 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, centroids1: DataFrame,
              centroids2: DataFrame, idCol: String, embCol: String,
-             k: Int): DataFrame = {
+             k: Int, maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
     val half = s"CAST(floor(size($embCol) / 2) AS INT)"
     val sub1 = expr(s"slice($embCol, 1, $half)")
     val sub2 = expr(s"slice($embCol, $half + 1, size($embCol) - $half)")
@@ -436,9 +459,12 @@ object Similarity {
     val enc = corpus.select(col(idCol).as("cand_id"),
         argminCode(sub1, arr1).as("c1"), argminCode(sub2, arr2).as("c2"))
       .localCheckpoint(true)
-    val p = broadcast(probes.select(col(idCol).as("probe_id"),
-      transform(arr1, c => l2sq(sub1, c.getField("cemb"))).as("pd1"),
-      transform(arr2, c => l2sq(sub2, c.getField("cemb"))).as("pd2")))
+    // plain PQ is still a FULL ADC scan per probe (corpus × probes pair
+    // enumeration, just O(1) per pair) — the exact-tier cap applies
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"),
+        transform(arr1, c => l2sq(sub1, c.getField("cemb"))).as("pd1"),
+        transform(arr2, c => l2sq(sub2, c.getField("cemb"))).as("pd2")))
     val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("cand_id"))
     enc.join(p, col("probe_id") =!= col("cand_id"))
       .withColumn("adist",
@@ -506,7 +532,8 @@ object Similarity {
     */
   def ivfpqTopK(corpus: DataFrame, probes: DataFrame, coarse: DataFrame,
                 sub1: DataFrame, sub2: DataFrame, idCol: String,
-                embCol: String, k: Int, nprobe: Int): DataFrame = {
+                embCol: String, k: Int, nprobe: Int,
+                maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
     val coarseArr = centroidLiteral(coarse)
     val (arr1, arr2) = (centroidLiteral(sub1), centroidLiteral(sub2))
     // corpus → (cand_id, cell, c1, c2): one row-local pass, then the
@@ -525,8 +552,10 @@ object Similarity {
         argminPosL2(secondHalf(col("res")), arr2).as("c2"))
       .localCheckpoint(true)
     // probes → nprobe (probe, cell) rows, each with its per-cell
-    // residual ADC tables; tiny (|probes| × nprobe) — broadcast
-    val pcells = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+    // residual ADC tables; tiny (|probes| × nprobe) — broadcast, with
+    // the broadcast-assumption guard on the way in
+    val pcells = guardBroadcastProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
       .withColumn("cb", explode(slice(array_sort(
         transform(coarseArr, (c, i) => struct(
           l2sq(col("p_emb"), c.getField("cemb")).as("d"),
@@ -592,11 +621,12 @@ object Similarity {
     * candidate count (the recall/cost dial made visible).
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              embCol: String, bits: Int, k: Int): DataFrame = {
+              embCol: String, bits: Int, k: Int,
+              maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
     val c = corpus
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"))
       .withColumn("bkt", signBucket(col("c_emb"), bits))
-    val p = broadcast(probes
+    val p = broadcast(guardBroadcastProbes(probes, maxProbes)
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
       .withColumn("bkt", signBucket(col("p_emb"), bits)))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))

@@ -510,7 +510,11 @@ object TextAnalysis {
     * (BM25's query-term `isin` prune + `TakeOrderedAndProject`; the
     * Jaccard leg is a row-local array intersect/union over the SAME
     * pruning idea — docs sharing no query token never rank). The fusion
-    * join touches ≤ 2n rows. Nothing fact-sized shuffles.
+    * join touches ≤ 2n rows. Nothing fact-sized shuffles. The probe
+    * side is `query: Seq[String]` — a DRIVER-PROVIDED literal term
+    * list, bounded by construction (it becomes an `isin`/array literal
+    * in the plan, never a broadcast frame), so the [[Similarity]]
+    * probe-guard question does not arise here.
     */
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
                 query: Seq[String], n: Int = 20, k: Int = 10,

@@ -193,6 +193,46 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("every broadcast-probe operator carries the probe guard: the PQ " +
+      "forms, both IVF forms and LSH raise past their maxProbes") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.drop("label")
+    val probes = corpus.filter(col("vec_id") < 5) // 5 probes, cap at 4
+    val coarse = Similarity.trainCentroids(e, "label", "emb")
+    val cb1 = Similarity.trainCentroids(
+      e.select(col("vec_id"), col("label"),
+        expr("slice(emb, 1, CAST(floor(size(emb) / 2) AS INT))").as("emb")),
+      "label", "emb")
+    val cb2 = Similarity.trainCentroids(
+      e.select(col("vec_id"), col("label"),
+        expr("slice(emb, CAST(floor(size(emb) / 2) AS INT) + 1, size(emb))").as("emb")),
+      "label", "emb")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (df <- Seq(
+        Similarity.pqTopK(corpus, probes, cb1, cb2, "vec_id", "emb", k = 2,
+          maxProbes = 4),
+        Similarity.ivfTopK(corpus, probes, coarse, "vec_id", "emb", k = 2,
+          maxProbes = 4),
+        Similarity.ivfTopKNprobe(corpus, probes, coarse, "vec_id", "emb",
+          k = 2, nprobe = 2, maxProbes = 4),
+        Similarity.ivfpqTopK(corpus, probes, coarse, cb1, cb2, "vec_id",
+          "emb", k = 2, nprobe = 2, maxProbes = 4),
+        Similarity.lshTopK(corpus, probes, "vec_id", "emb", bits = 4,
+          k = 2, maxProbes = 4))) {
+      val ex = intercept[Exception](df.collect())
+      assert(msgs(ex).exists(_.contains("maxProbes")),
+        s"guard must name the dial: ${msgs(ex)}")
+    }
+    // and under the cap the same operators still answer
+    assert(Similarity.ivfTopK(corpus, probes, coarse, "vec_id", "emb",
+      k = 2, maxProbes = 5).count() > 0)
+    assert(Similarity.lshTopK(corpus, probes, "vec_id", "emb", bits = 2,
+      k = 2, maxProbes = 5).count() > 0)
+  }
+
   test("ivfAssign broadcast path equals the literal path, and large " +
       "codebooks route to it") {
     import spark.implicits._
