@@ -83,6 +83,74 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r7scale")) {
+      // Round-7 scalecheck: the operator families the round-6 verdict
+      // asked to put under the 1x/2x/4x/8x lens — BM25, winnowing,
+      // record linkage, duplicate spans (vocab-/block-disjoint corpus
+      // unions: per-copy structure constant, so wall-clock growth
+      // measures ENGINE work), and the non-pagerank graph family
+      // (node-id-shifted edge unions: |V|,|E| grow linearly, disjoint
+      // components, per-round cost must track |E|).
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      val docs0 = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val cust0 = Tables.load(spark, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val edges0 = graft.operators.Graph.nationTradeEdges(spark, dir)
+        .localCheckpoint(true)
+      val baseTerms = Seq("spark", "join", "window", "vector")
+      val multiples = if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)
+      for (n <- multiples) {
+        val corpus = (0 until n).map(k =>
+          docs0.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", s"$$1c$k").as("text")))
+          .reduce(_ unionByName _)
+        // linkage: per copy, clean + dirty records in a SHIFTED block
+        // space (nationkey + k*1000) — candidate pairs never cross copies
+        val recs = (0 until n).map { k =>
+          val c = cust0.select(
+            (col("c_custkey") + lit(k * 10000000L)).as("c_custkey"),
+            concat(lit(s"k$k"), col("c_name")).as("c_name"),
+            (col("c_nationkey") + lit(k * 1000L)).as("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+          c.unionByName(c.select(
+            (col("c_custkey") + 1000000).as("c_custkey"),
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X"))
+              .as("c_name"),
+            col("c_nationkey"),
+            round(col("c_acctbal") + 0.37, 2).as("c_acctbal"),
+            col("c_mktsegment")))
+        }.reduce(_ unionByName _)
+        val edges = (0 until n).map(k =>
+          edges0.select((col("src") + lit(k * 1000L)).as("src"),
+            (col("dst") + lit(k * 1000L)).as("dst"), col("w")))
+          .reduce(_ unionByName _)
+        val queryTerms = (0 until n).flatMap(k => baseTerms.map(t => s"c$k$t"))
+        val shapes: Seq[(String, () => DataFrame)] = Seq(
+          "bm25" -> (() => graft.operators.TextAnalysis
+            .bm25TopK(corpus, "doc_id", "text", queryTerms, k = 10 * n)),
+          "winnowing" -> (() => graft.operators.TextAnalysis
+            .winnowFingerprints(corpus, "doc_id", "text")),
+          "span" -> (() => graft.operators.Dedup
+            .duplicateSpans(corpus, "doc_id", "text")),
+          "linkage" -> (() => graft.operators.Linkage
+            .fsLink(recs, "c_custkey", "c_name", "c_nationkey",
+              "c_acctbal", "c_mktsegment")),
+          "triangles" -> (() => graft.operators.Graph.triangleStats(edges)),
+          "labelprop" -> (() => graft.operators.Graph
+            .labelPropagation(edges, rounds = 5)),
+          "bfs" -> (() => graft.operators.Graph
+            .bfsHops(edges, (0 until n).map(_ * 1000L), rounds = 3)))
+        for ((label, mk) <- shapes) {
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r7scale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("scalecheck")) {
       // scaling evidence: the same dedup operators on 1x/2x/4x/8x unions
       // of the documents table. Every token is prefixed with the copy
