@@ -47,11 +47,34 @@ object Sync {
   def runDateLiteral(runDate: LocalDate): String =
     runDate.format(DateTimeFormatter.ofPattern("yyyyMMdd"))
 
+  /** Failure-alerting hook — the engine analog of the reference's
+    * `email_on_failure` / `email_on_retry` toggles
+    * (reference dags/cloudsql_to_bigquery.py:26-28, both `False` there —
+    * the SLOT is the declared surface, not an SMTP client). The default
+    * is the reference's own configuration: both off, nothing fires.
+    * Deployments plug a pager/email/webhook into the two callbacks;
+    * alert failures are swallowed (an alerting outage must never turn a
+    * recoverable retry into a job failure).
+    */
+  trait AlertHook {
+    def alertOnRetry: Boolean = false
+    def alertOnFailure: Boolean = false
+    /** Fired before each retry sleep, when `alertOnRetry`. */
+    def onRetry(attempt: Int, error: Throwable): Unit = ()
+    /** Fired once, when retries are exhausted, when `alertOnFailure`. */
+    def onFailure(attempts: Int, error: Throwable): Unit = ()
+  }
+
+  /** The reference's shipped configuration: alerts declared, disabled. */
+  object NoAlerts extends AlertHook
+
   /** A13 — retry wrapper (reference default_args: retries=2, 60 s delay,
     * dags/cloudsql_to_bigquery.py:29-30). Tasks stay idempotent because
-    * every sink overwrites.
+    * every sink overwrites. The [[AlertHook]] fires on each retry and on
+    * final failure, mirroring the reference's email toggles.
     */
-  def retry[T](retries: Int = 2, delayMs: Long = 60000L)(body: => T): T = {
+  def retry[T](retries: Int = 2, delayMs: Long = 60000L,
+               alerts: AlertHook = NoAlerts)(body: => T): T = {
     var attempt = 0
     var out: Option[T] = None
     var last: Throwable = null
@@ -60,10 +83,18 @@ object Sync {
       catch { case e: Throwable =>
         last = e
         attempt += 1
-        if (attempt <= retries && delayMs > 0) Thread.sleep(delayMs)
+        if (attempt <= retries) {
+          if (alerts.alertOnRetry)
+            try alerts.onRetry(attempt, e) catch { case _: Throwable => () }
+          if (delayMs > 0) Thread.sleep(delayMs)
+        }
       }
     }
-    out.getOrElse(throw last)
+    out.getOrElse {
+      if (alerts.alertOnFailure)
+        try alerts.onFailure(attempt, last) catch { case _: Throwable => () }
+      throw last
+    }
   }
 
   /** Bounded-wait budget per export — the reference's hard per-table cap
@@ -170,7 +201,8 @@ object Sync {
                 stagingRoot: String, warehouseRoot: String,
                 runDate: LocalDate = LocalDate.now(),
                 retries: Int = 2, retryDelayMs: Long = 0L,
-                exportTimeoutMs: Long = 3600000L): DataFrame = {
+                exportTimeoutMs: Long = 3600000L,
+                alerts: AlertHook = NoAlerts): DataFrame = {
     val ds = runDateLiteral(runDate)
     val stagePathStr = stagingPath(stagingRoot, cfg.resolvedStageTable, ds)
     val finalPathStr = finalPath(warehouseRoot, cfg.resolvedStageTable)
@@ -178,7 +210,7 @@ object Sync {
     // 1-2. export (A1/A3) + sanitize (A6) + stage write (A8/A9/A15),
     // each attempt under the per-table budget (reference :117's 3600 s
     // default), timeouts retried like any transient failure (A13)
-    retry(retries, retryDelayMs) {
+    retry(retries, retryDelayMs, alerts) {
       withTimeout(spark, exportTimeoutMs, s"export-${cfg.resolvedStageTable}") {
         val exported = sanitizeColumns(source.read(spark, cfg.resolvedExportQuery))
         exported.write.mode("overwrite").parquet(stagePathStr)
@@ -222,7 +254,7 @@ object Sync {
     }
 
     // 4. publish (A9 overwrite semantics)
-    retry(retries, retryDelayMs) { publishOverwrite(finalDf, finalPathStr) }
+    retry(retries, retryDelayMs, alerts) { publishOverwrite(finalDf, finalPathStr) }
     spark.read.parquet(finalPathStr)
   }
 

@@ -39,6 +39,47 @@ class SyncSpec extends SparkTestBase {
     assert(calls2 == 3) // initial + 2 retries, like the reference
   }
 
+  test("alert hook mirrors the reference's email toggles: fires per retry " +
+      "and once on exhaustion when enabled, stays silent when off, and an " +
+      "alerting outage never breaks the retry itself") {
+    // enabled: 2 retry alerts + 1 failure alert, with attempt numbers
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hook = new Sync.AlertHook {
+      override def alertOnRetry = true
+      override def alertOnFailure = true
+      override def onRetry(attempt: Int, e: Throwable): Unit =
+        seen += s"retry$attempt:${e.getMessage}"
+      override def onFailure(attempts: Int, e: Throwable): Unit =
+        seen += s"fail$attempts:${e.getMessage}"
+    }
+    intercept[RuntimeException] {
+      Sync.retry(retries = 2, delayMs = 0, alerts = hook) { sys.error("boom") }
+    }
+    assert(seen.toSeq == Seq("retry1:boom", "retry2:boom", "fail3:boom"))
+    // success path: a retry alert fires, the failure alert never does
+    seen.clear()
+    var calls = 0
+    Sync.retry(retries = 2, delayMs = 0, alerts = hook) {
+      calls += 1; if (calls < 2) sys.error("flaky") else "ok"
+    }
+    assert(seen.toSeq == Seq("retry1:flaky"))
+    // default NoAlerts (the reference's shipped config): silent
+    intercept[RuntimeException] {
+      Sync.retry(retries = 1, delayMs = 0) { sys.error("quiet") }
+    }
+    // a throwing hook is swallowed — the body's outcome is unchanged
+    val bad = new Sync.AlertHook {
+      override def alertOnRetry = true
+      override def onRetry(attempt: Int, e: Throwable): Unit =
+        sys.error("alerting outage")
+    }
+    var calls2 = 0
+    val out = Sync.retry(retries = 2, delayMs = 0, alerts = bad) {
+      calls2 += 1; if (calls2 < 2) sys.error("flaky") else "ok"
+    }
+    assert(out == "ok")
+  }
+
   test("snapshot sync publishes the export; re-run overwrites") {
     val staging = Files.createTempDirectory("sync_stg").toString
     val warehouse = Files.createTempDirectory("sync_wh").toString
