@@ -168,6 +168,7 @@ object SparkEntry {
     "a29_corrupt_records"   -> (PipelineQueries.a29CorruptRecords _),
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
+    "sim_scalar_quant"      -> (LlmQueries.simScalarQuant _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
@@ -1766,6 +1767,41 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5 AND b >= 1000000
         |ORDER BY a, b""".stripMargin,
+    // SQ8: per-dimension codes against the corpus min/max range (floor,
+    // not round — half-case spelling differs across engines), exact
+    // integer dot ranking — every code and rank reproduces bit-for-bit.
+    "sim_scalar_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |st AS (SELECT g.d AS d, MIN(emb[g.d]) AS mn, MAX(emb[g.d]) AS mx
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
+        |  GROUP BY g.d),
+        |cc AS (SELECT c0.vec_id, g.d,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+        |           (emb[g.d] - st.mn) / (st.mx - st.mn) * 256.0) AS BIGINT)))
+        |    END AS q
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
+        |  JOIN st ON st.d = g.d),
+        |pc AS (SELECT p0.vec_id, g.d,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+        |           (emb[g.d] - st.mn) / (st.mx - st.mn) * 256.0) AS BIGINT)))
+        |    END AS q
+        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
+        |  JOIN st ON st.d = g.d),
+        |dt AS (SELECT pc.vec_id AS probe_id, cc.vec_id AS cand_id,
+        |    SUM(pc.q * cc.q) AS qdot
+        |  FROM pc JOIN cc ON pc.d = cc.d AND pc.vec_id <> cc.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |        ORDER BY qdot DESC, cand_id) AS rn FROM dt)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  CAST(qdot AS BIGINT) AS qdot
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
     "sim_mips_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),

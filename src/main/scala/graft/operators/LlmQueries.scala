@@ -213,6 +213,19 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** Int8 scalar-quantization ranking ([[Similarity.sqTopK]]): the
+    * memory-compression ANN tier — per-dimension codes against the
+    * corpus range, exact integer-dot ranking, bit-reproducible by the
+    * oracle.
+    */
+  def simScalarQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.sqTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(

@@ -616,6 +616,61 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Scalar quantization (SQ8) top-k — the memory-compression tier BELOW
+    * PQ: each dimension is quantized independently to an int code
+    * 0..255 against the CORPUS's per-dimension [min, max] range, and
+    * similarity is ranked by the exact integer dot product of the code
+    * vectors. A 64-dim float corpus drops 4× in memory (8× vs doubles)
+    * while the int-dot ranking tracks the true inner-product ordering —
+    * the faiss `SQ8` / Lucene `int8_hnsw` trade, as a DataFrame
+    * operator.
+    *
+    * Determinism/oracle contract: the range stats are two min/max
+    * aggregates (order-independent), the code formula
+    * `clamp(floor((x − mn_d) / (mx_d − mn_d) · 256))` is the same IEEE
+    * expression tree in any engine (floor, not round — round's
+    * half-case spelling differs across engines), and scoring is exact
+    * integer arithmetic — an external oracle reproduces every code and
+    * every rank bit-for-bit. Constant dimensions (mx = mn) code to 0.
+    *
+    * Scale shape: one posexplode aggregate for the ranges (dims×2
+    * doubles to the driver — a codebook-class literal, NOT data-sized),
+    * then one row-local encode pass per side; probes broadcast behind
+    * the exact-tier guard (ranking still enumerates corpus × probes,
+    * like [[pqTopK]] — the ANN tiers bound the candidate set, SQ bounds
+    * the BYTES).
+    */
+  def sqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             embCol: String, k: Int,
+             maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val asD = expr(s"transform($embCol, x -> CAST(x AS DOUBLE))")
+    val cd = corpus.select(col(idCol), asD.as("emb"))
+    val stats = cd.select(posexplode(col("emb")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    val mnLit = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxLit = typedLit(stats.map(_.getDouble(2)).toSeq)
+    def codes(emb: Column): Column =
+      zip_with(emb, sequence(lit(0), lit(stats.length - 1)), (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val mx = element_at(mxLit, i + 1)
+        when(mx === mn, lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x - mn) / (mx - mn) * 256.0).cast("long"))))
+      })
+    val c = cd.select(col(idCol).as("cand_id"), codes(col("emb")).as("cc"))
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), codes(asD).as("pc")))
+    val w = Window.partitionBy("probe_id").orderBy(col("qdot").desc, col("cand_id"))
+    c.join(p, col("probe_id") =!= col("cand_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(pc, cc, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        col("qdot"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

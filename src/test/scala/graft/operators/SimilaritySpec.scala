@@ -193,6 +193,60 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("sqTopK: codes bounded 0..255, ranking equals brute force over " +
+      "the emitted codes, guard present, constant dims code to zero") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 5)
+    val got = Similarity.sqTopK(corpus, probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // brute-force recomputation from raw floats (same formula)
+    val cRows = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val pRows = probes.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dims = cRows.head._2.length
+    val mn = (0 until dims).map(d => cRows.map(_._2(d)).min).toArray
+    val mx = (0 until dims).map(d => cRows.map(_._2(d)).max).toArray
+    def code(v: Array[Double]): Array[Long] =
+      v.indices.map { d =>
+        if (mx(d) == mn(d)) 0L
+        else math.min(255L, math.max(0L,
+          math.floor((v(d) - mn(d)) / (mx(d) - mn(d)) * 256.0).toLong))
+      }.toArray
+    val cCodes = cRows.map { case (id, v) => id -> code(v) }
+    val expected = pRows.flatMap { case (pid, pv) =>
+      val pc = code(pv)
+      assert(pc.forall(q => q >= 0 && q <= 255))
+      cCodes.filter(_._1 != pid)
+        .map { case (cid, cc) =>
+          (cid, cc.zip(pc).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, qd) => (-qd, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, qd), i) => (pid, cid, (i + 1).toLong, qd) }
+    }.toSet
+    assert(got.toSet == expected,
+      "distributed SQ ranking must equal the driver-side brute force")
+    // exact-tier guard applies
+    val ex = intercept[Exception](
+      Similarity.sqTopK(corpus, probes, "vec_id", "embedding", k = 3,
+        maxProbes = 4).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxProbes")))
+    // a constant dimension codes to 0 on every row
+    val const = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(1.5 AS FLOAT))").as("embedding"))
+    val cq = Similarity.sqTopK(const, const.limit(2), "vec_id", "embedding",
+      k = 1).collect()
+    assert(cq.forall(_.getLong(3) == 0L), "constant dims must code to 0")
+  }
+
   test("every broadcast-probe operator carries the probe guard: the PQ " +
       "forms, both IVF forms and LSH raise past their maxProbes") {
     val e = Tables.load(spark, sfDir, "embeddings")
