@@ -33,7 +33,10 @@ object ProfMain {
         "sim_maxsim", "sim_hybrid_rrf", "a28_jsonl_roundtrip",
         "asof_tolerance", "text_winnowing", "text_bpe_apply",
         "graph_bfs", "q46_rolling_distinct", "dq_freshness",
-        "ml_naive_bayes", "a29_corrupt_records", "mm_cdc_chunking", "dq_mad")
+        "ml_naive_bayes", "a29_corrupt_records", "mm_cdc_chunking", "dq_mad",
+        // round-7 additions
+        "a30_incremental_dedup_sync", "sim_scalar_quant", "text_cms_probe",
+        "mm_resize")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
