@@ -162,6 +162,7 @@ object SparkEntry {
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
+    "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "a28_jsonl_roundtrip"   -> (PipelineQueries.a28JsonlRoundtrip _),
@@ -2674,6 +2675,28 @@ object SparkEntry {
         |  (SELECT string_agg(CAST(fv AS BIGINT), ',' ORDER BY j) FROM f
         |   WHERE f.doc_id = d.doc_id) AS features_csv
         |FROM d ORDER BY d.doc_id""".stripMargin,
+    // BMP leg: geometry from the little-endian header, luminance total
+    // over the padded bottom-up BGR pixel walk — the oracle recomputes
+    // from the generator (byte i of the pixel area is data when
+    // i mod rowStride < 3w, value (id*37 + i*13) % 256, else padding;
+    // BGR weight by in-row byte position; bottom-up order is
+    // irrelevant to a SUM, stride and channel order are not).
+    "mm_bmp_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 9 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 7 + 8 AS BIGINT) AS h,
+        |    ((doc_id % 9 + 8) * 3 + 3) // 4 * 4 AS rs
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE (g.i % rs) % 3 WHEN 0 THEN 114 WHEN 1 THEN 587
+        |          ELSE 299 END) *
+        |    ((doc_id * 37 + g.i * 13) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, rs * h)) AS i) g
+        |  WHERE g.i % rs < w * 3
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
         |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)

@@ -371,6 +371,30 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The BMP leg of the real-decode pipeline ([[Multimodal.bmpMedia]]
+    * fixtures through [[Multimodal.decodeImages]] +
+    * [[Multimodal.decodePixels]]): parsed little-endian geometry plus
+    * the luminance total over the REAL pixel walk — which is only
+    * correct if the decoder honors the 4-byte row padding, the
+    * bottom-up row order, and the BGR channel weights (the oracle sums
+    * the generator formula with the BGR weight per in-row byte
+    * position and skips padding bytes; any stride/order/channel mistake
+    * in the engine's walk changes the total).
+    */
+  def mmBmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.bmpMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .localCheckpoint(true) // feeds both decode passes
+    val mediaDs = media.as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(mediaDs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+    val stats = Multimodal.decodePixels(mediaDs).toDF()
+      .select(col("doc_id"), col("lum_total"))
+    decoded.join(stats, "doc_id").orderBy("doc_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

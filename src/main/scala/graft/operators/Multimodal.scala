@@ -442,6 +442,47 @@ object Multimodal {
           lit(targetH))
           .otherwise(greatest(lit(1), expr(s"CAST(floor(height * $targetW / width) AS INT)"))))
 
+  /** Deterministic BMP fixture payloads — the sibling of [[ppmMedia]]
+    * for the decoder's second format, exercising everything PPM cannot:
+    * little-endian header fields, 4-byte ROW PADDING, bottom-up row
+    * order (positive height), and BGR channel order.
+    *
+    * Geometry: `w = seed % 9 + 8`, `h = seed % 7 + 8`; 24 bpp BI_RGB;
+    * rowStride = ((3w + 3) div 4)·4. Pixel-area byte i (0-based over
+    * rowStride·h): data byte when `i mod rowStride < 3w` with value
+    * `(seed·37 + i·13) mod 256`, padding byte 0 otherwise. Closed-form,
+    * so an external oracle reproduces the decoded geometry and the
+    * luminance total without a BMP parser of its own.
+    */
+  def bmpMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    def le32(v: String): String =
+      s"""concat(lpad(hex(pmod($v, 256)), 2, '0'),
+         |  lpad(hex(pmod(($v) div 256, 256)), 2, '0'),
+         |  lpad(hex(pmod(($v) div 65536, 256)), 2, '0'),
+         |  lpad(hex(pmod(($v) div 16777216, 256)), 2, '0'))""".stripMargin
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 9 + 8).cast("int"))
+      .withColumn("hh", (col("seed") % 7 + 8).cast("int"))
+      .withColumn("rs", expr("CAST((w * 3 + 3) div 4 AS INT) * 4"))
+    base
+      .withColumn("hdr_hex", expr(
+        s"""concat('424D', ${le32("54 + rs * hh")}, '00000000', '36000000',
+           |  '28000000', ${le32("w")}, ${le32("hh")}, '0100', '1800',
+           |  '00000000', '00000000',
+           |  '00000000', '00000000', '00000000', '00000000')""".stripMargin))
+      .withColumn("px_hex", expr(
+        """array_join(transform(sequence(0, rs * hh - 1),
+          |  i -> IF(pmod(i, rs) < w * 3,
+          |          lpad(hex(pmod(seed * 37 + i * 13, 256)), 2, '0'),
+          |          '00')), '')""".stripMargin))
+      .select(col("doc_id"),
+        unhex(concat(col("hdr_hex"), col("px_hex"))).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/bmp").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Blockwise fingerprint of a binary payload — the piecewise-hash
     * (ssdeep/CTPH) shape: the payload is cut into 60 equal blocks (block
     * length `ceil(n_bytes / 60)`), each block's byte-sum yields ONE

@@ -109,6 +109,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.lum_total == 8 * 16 * 1000L * 255)
   }
 
+  test("decodePixels on BMP: bottom-up row order maps to IMAGE-space " +
+      "cells (top half dark in image space = low bits 0)") {
+    import spark.implicits._
+    // 8x8 24bpp BMP, positive height = bottom-up storage. We store the
+    // BRIGHT rows FIRST in the file (file rows 0..3), which bottom-up
+    // means they are the BOTTOM of the image — so image-space top half
+    // is dark: aHash bits for cell rows 0..3 must be 0, rows 4..7 must
+    // be 1. A decoder that forgets the flip gets the complement.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowStride = 8 * 3 // 24 bytes, already 4-aligned
+    val px = Array.tabulate[Byte](rowStride * 8) { i =>
+      val fileRow = i / rowStride
+      if (fileRow < 4) 0xFF.toByte else 0x00.toByte
+    }
+    val bmp = "BM".getBytes("UTF-8") ++ le32(54 + px.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(px.length) ++ Array.fill[Byte](16)(0) ++ px
+    val media = Seq(Multimodal.MediaRow(1L, bmp, "image/bmp",
+      bmp.length.toLong)).toDS()
+    val got = Multimodal.decodePixels(media).collect().head
+    val expected = (0 until 64).map { k =>
+      if (k / 8 >= 4) 1L << k else 0L }.sum
+    assert(got.ph == expected,
+      f"bottom-up flip wrong: ph=${got.ph}%016x expected=$expected%016x")
+  }
+
   test("aHashNearDups: identical images pair at hamming 0, banding " +
       "equals brute force at hamming <= 3, sub-8x8 images are excluded") {
     import spark.implicits._
