@@ -170,6 +170,7 @@ object SparkEntry {
     "dq_drift"              -> (LlmQueries.dqDrift _),
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "sim_scalar_quant"      -> (LlmQueries.simScalarQuant _),
+    "sim_sq_recall"         -> (LlmQueries.simSqRecall _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
@@ -1768,32 +1769,71 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5 AND b >= 1000000
         |ORDER BY a, b""".stripMargin,
-    // SQ8: per-dimension codes against the corpus min/max range (floor,
-    // not round — half-case spelling differs across engines), exact
-    // integer dot ranking — every code and rank reproduces bit-for-bit.
+    // Measured SQ8 recall@1: the exact inner-product truth and the full
+    // quantized ranking both recomputed — the sim_pq_recall pattern.
+    "sim_sq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_dot_product(p.emb, c.emb) DESC, c.vec_id) AS rn
+        |    FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id) WHERE rn = 1),
+        |st AS (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS ma
+        |  FROM c0),
+        |cc AS (SELECT c0.vec_id, g.d,
+        |    CASE WHEN st.ma = 0 THEN 0
+        |         ELSE LEAST(127, GREATEST(-128, CAST(floor(
+        |           emb[g.d] / st.ma * 128.0) AS BIGINT)))
+        |    END AS q
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, st),
+        |pc AS (SELECT p0.vec_id, g.d,
+        |    CASE WHEN st.ma = 0 THEN 0
+        |         ELSE LEAST(127, GREATEST(-128, CAST(floor(
+        |           emb[g.d] / st.ma * 128.0) AS BIGINT)))
+        |    END AS q
+        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, st),
+        |dt AS (SELECT pc.vec_id AS probe_id, cc.vec_id AS cand_id,
+        |    SUM(pc.q * cc.q) AS qdot
+        |  FROM pc JOIN cc ON pc.d = cc.d AND pc.vec_id <> cc.vec_id
+        |  GROUP BY 1, 2),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY qdot DESC, cand_id) AS rn FROM dt) WHERE rn = 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM tr LEFT JOIN ann USING (probe_id))
+        |SELECT 'sq8' AS method, n_probes, hits,
+        |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
+        |FROM m""".stripMargin,
+    // SQ8: symmetric single-scale int8 codes against the corpus max-abs
+    // (floor, not round — half-case spelling differs across engines),
+    // exact integer dot ranking — every code and rank reproduces
+    // bit-for-bit.
     "sim_scalar_quant" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),
         |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
         |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
-        |st AS (SELECT g.d AS d, MIN(emb[g.d]) AS mn, MAX(emb[g.d]) AS mx
-        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
-        |  GROUP BY g.d),
+        |st AS (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS ma
+        |  FROM c0),
         |cc AS (SELECT c0.vec_id, g.d,
-        |    CASE WHEN st.mx = st.mn THEN 0
-        |         ELSE LEAST(255, GREATEST(0, CAST(floor(
-        |           (emb[g.d] - st.mn) / (st.mx - st.mn) * 256.0) AS BIGINT)))
+        |    CASE WHEN st.ma = 0 THEN 0
+        |         ELSE LEAST(127, GREATEST(-128, CAST(floor(
+        |           emb[g.d] / st.ma * 128.0) AS BIGINT)))
         |    END AS q
-        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
-        |  JOIN st ON st.d = g.d),
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, st),
         |pc AS (SELECT p0.vec_id, g.d,
-        |    CASE WHEN st.mx = st.mn THEN 0
-        |         ELSE LEAST(255, GREATEST(0, CAST(floor(
-        |           (emb[g.d] - st.mn) / (st.mx - st.mn) * 256.0) AS BIGINT)))
+        |    CASE WHEN st.ma = 0 THEN 0
+        |         ELSE LEAST(127, GREATEST(-128, CAST(floor(
+        |           emb[g.d] / st.ma * 128.0) AS BIGINT)))
         |    END AS q
-        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
-        |  JOIN st ON st.d = g.d),
+        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, st),
         |dt AS (SELECT pc.vec_id AS probe_id, cc.vec_id AS cand_id,
         |    SUM(pc.q * cc.q) AS qdot
         |  FROM pc JOIN cc ON pc.d = cc.d AND pc.vec_id <> cc.vec_id

@@ -706,6 +706,28 @@ object LlmQueries {
     * the embedding corpus — where vector norms reorder results relative
     * to [[simKnnTopK]]'s cosine ranking.
     */
+  /** Measured recall@1 of the SQ8 quantized-dot ranking
+    * ([[Similarity.sqTopK]]) against the exact inner-product truth
+    * ([[Similarity.mipsTopK]]) — the [[simPqRecall]] pattern for the
+    * scalar-quantization tier, so every approximate path in the
+    * registry carries a measured recall row.
+    */
+  def simSqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val exact = Similarity.mipsTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val sq = Similarity.sqTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(sq, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("sq8").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+  }
+
   def simMipsTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))

@@ -193,8 +193,9 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("sqTopK: codes bounded 0..255, ranking equals brute force over " +
-      "the emitted codes, guard present, constant dims code to zero") {
+  test("sqTopK: symmetric int8 codes bounded -128..127, ranking equals " +
+      "brute force, recall@1 vs exact dot is high, guard present, " +
+      "all-zero corpus codes to zero") {
     import spark.implicits._
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -210,19 +211,17 @@ class SimilaritySpec extends SparkTestBase {
     val pRows = probes.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    val dims = cRows.head._2.length
-    val mn = (0 until dims).map(d => cRows.map(_._2(d)).min).toArray
-    val mx = (0 until dims).map(d => cRows.map(_._2(d)).max).toArray
+    val maxAbs = cRows.flatMap(_._2).map(math.abs).max
     def code(v: Array[Double]): Array[Long] =
-      v.indices.map { d =>
-        if (mx(d) == mn(d)) 0L
-        else math.min(255L, math.max(0L,
-          math.floor((v(d) - mn(d)) / (mx(d) - mn(d)) * 256.0).toLong))
-      }.toArray
+      v.map { x =>
+        if (maxAbs == 0.0) 0L
+        else math.min(127L, math.max(-128L,
+          math.floor(x / maxAbs * 128.0).toLong))
+      }
     val cCodes = cRows.map { case (id, v) => id -> code(v) }
     val expected = pRows.flatMap { case (pid, pv) =>
       val pc = code(pv)
-      assert(pc.forall(q => q >= 0 && q <= 255))
+      assert(pc.forall(q => q >= -128 && q <= 127))
       cCodes.filter(_._1 != pid)
         .map { case (cid, cc) =>
           (cid, cc.zip(pc).map { case (a, b) => a * b }.sum) }
@@ -232,6 +231,19 @@ class SimilaritySpec extends SparkTestBase {
     }.toSet
     assert(got.toSet == expected,
       "distributed SQ ranking must equal the driver-side brute force")
+    // the symmetric scheme tracks the exact dot: recall@1 over the probe
+    // set must be substantially non-zero (the per-dimension AFFINE code
+    // variant measured 0.0 here — the regression this guards against)
+    val exactTop = pRows.map { case (pid, pv) =>
+      pid -> cRows.filter(_._1 != pid)
+        .map { case (cid, cv) =>
+          (cid, cv.zip(pv).map { case (a, b) => a * b }.sum) }
+        .maxBy { case (cid, d) => (d, -cid) }._1
+    }.toMap
+    val sqTop = got.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    val hits = exactTop.count { case (pid, t) => sqTop.get(pid).contains(t) }
+    assert(hits * 2 >= exactTop.size,
+      s"SQ recall@1 collapsed: $hits/${exactTop.size}")
     // exact-tier guard applies
     val ex = intercept[Exception](
       Similarity.sqTopK(corpus, probes, "vec_id", "embedding", k = 3,
@@ -239,12 +251,12 @@ class SimilaritySpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("maxProbes")))
-    // a constant dimension codes to 0 on every row
-    val const = corpus.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(1.5 AS FLOAT))").as("embedding"))
-    val cq = Similarity.sqTopK(const, const.limit(2), "vec_id", "embedding",
+    // an all-zero corpus codes to 0 everywhere
+    val zero = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    val zq = Similarity.sqTopK(zero, zero.limit(2), "vec_id", "embedding",
       k = 1).collect()
-    assert(cq.forall(_.getLong(3) == 0L), "constant dims must code to 0")
+    assert(zq.forall(_.getLong(3) == 0L), "all-zero corpus must code to 0")
   }
 
   test("every broadcast-probe operator carries the probe guard: the PQ " +
