@@ -301,6 +301,13 @@ object Multimodal {
     * Built as pure column expressions through the hex codec (the
     * [[featurize]] portability rule); one row-local pass, no shuffle.
     */
+  /** 256-entry byte→hex lookup inlined as a literal: inside an
+    * interpreted per-element lambda, one `element_at` beats the
+    * `lpad(hex(..))` call pair (measured on the PPM generator below).
+    */
+  private val hexLutSql: String =
+    (0 until 256).map(i => f"'$i%02X'").mkString("array(", ", ", ")")
+
   def ppmMedia(ids: DataFrame, idCol: String, seedCol: String,
                deltaSql: String = "0"): DataFrame = {
     val base = Spread.ifNarrow(
@@ -310,9 +317,10 @@ object Multimodal {
     base
       .withColumn("px_hex", expr(
         s"""array_join(transform(sequence(0, w * hh * 3 - 1),
-           |  i -> lpad(hex(pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
-           |                     + 40 * pmod(i div (w * 3), 6)
-           |                     + ($deltaSql), 256)), 2, '0')),
+           |  i -> element_at($hexLutSql,
+           |         CAST(pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
+           |                   + 40 * pmod(i div (w * 3), 6)
+           |                   + ($deltaSql), 256) AS INT) + 1)),
            |  '')""".stripMargin))
       .select(col("doc_id"),
         concat(
