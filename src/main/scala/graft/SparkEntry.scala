@@ -163,6 +163,7 @@ object SparkEntry {
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
+    "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
     "a28_jsonl_roundtrip"   -> (PipelineQueries.a28JsonlRoundtrip _),
@@ -2020,6 +2021,48 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y
         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.a
+        |  JOIN bands y ON y.doc_id = c.b AND y.band = x.band
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM hx
+        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+    // The delta-involving subset of the mm_phash_neardup pair class
+    // (the greater id of any such pair is a delta doc): the engine only
+    // DECODES the delta and reads the persisted lake signature artifact;
+    // the oracle recomputes both sides from the generator formula.
+    "mm_incremental_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, 8 FROM ids),
+        |dims AS (SELECT doc_id, seed, dlt,
+        |  CAST(seed % 13 + 8 AS BIGINT) AS w,
+        |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
+        |px AS (SELECT doc_id,
+        |    (((g.b // 3) // w) * 8 // h) * 8 + (((g.b // 3) % w) * 8 // w)
+        |      AS cell,
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)
+        |      + CASE WHEN g.b < 6 THEN dlt ELSE 0 END) % 256) AS lum
+        |  FROM dims, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g),
+        |cells AS (SELECT doc_id, cell, SUM(lum) AS cs, COUNT(*) AS cc
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc
+        |        FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id, c.cell // 16 AS band,
+        |    CAST(c.cell % 16 AS INT) AS bandbit,
+        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, band,
+        |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |  WHERE y.doc_id >= 1000000),
         |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
         |  FROM cand c
         |  JOIN bands x ON x.doc_id = c.a

@@ -371,6 +371,37 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental perceptual dedup against a persisted signature
+    * artifact ([[Multimodal.deltaAHashNearDups]]): day 1 decodes the
+    * image lake once and writes its `(doc_id, ph)` aHash frame to
+    * parquet; day 2's delta (the perturbed re-uploads) is the ONLY side
+    * decoded — the lake enters as 8-byte signatures read back from
+    * disk. Emits exactly the delta-involving pairs of the
+    * [[mmPhashNearDup]] surface; the oracle recomputes the full pair
+    * set from the generator and keeps the `b ≥ 10⁶` (delta-involving)
+    * class.
+    */
+  def mmIncrementalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select(col("doc_id"))
+    val lakeMedia = Multimodal.ppmMedia(base, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val artifact = java.nio.file.Files
+      .createTempDirectory("graft_phash_art").toString
+    Multimodal.decodePixels(lakeMedia).toDF()
+      .select(col("doc_id"), col("ph"))
+      .write.mode("overwrite").parquet(artifact)
+    val delta = Multimodal.ppmMedia(
+        base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("doc_id").as("seed")),
+        "doc_id", "seed", deltaSql = "IF(i < 6, 8, 0)")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val lakeSig = s.read.parquet(artifact)
+    Multimodal.deltaAHashNearDups(lakeSig, delta).orderBy("a", "b")
+  }
+
   /** The BMP leg of the real-decode pipeline ([[Multimodal.bmpMedia]]
     * fixtures through [[Multimodal.decodeImages]] +
     * [[Multimodal.decodePixels]]): parsed little-endian geometry plus

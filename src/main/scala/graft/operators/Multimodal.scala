@@ -251,11 +251,9 @@ object Multimodal {
     * decodable ≥ 8×8 images participate ([[decodePixels]]' refusal
     * contract).
     */
-  def aHashNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
-    val sig = decodePixels(media).toDF().select(col("doc_id"), col("ph"))
-      .localCheckpoint(true)
-    val bands = sig.select(col("doc_id"), col("ph"),
+  /** The 4×16-bit band explode of an aHash signature frame. */
+  private def aHashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("ph"),
       explode(expr(
         """transform(sequence(0, 3), b -> struct(
           |  b AS band,
@@ -263,11 +261,52 @@ object Multimodal {
           .stripMargin)).as("bb"))
       .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
+
+  def aHashNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
+    val sig = decodePixels(media).toDF().select(col("doc_id"), col("ph"))
+      .localCheckpoint(true)
+    val bands = aHashBands(sig)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.ph").as("pha"), col("y.ph").as("phb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Incremental perceptual near-dup against PRECOMPUTED lake aHash
+    * signatures — the media sibling of
+    * [[Dedup.deltaNearDupPairs]]: `lakeSig` is a previously persisted
+    * `(doc_id, ph)` frame (the [[decodePixels]] output written to
+    * parquet once), so a daily run DECODES ONLY THE DELTA — the lake
+    * contributes 8-byte signatures, never payload bytes. Candidates come
+    * from the delta's bands joined against lake∪delta bands, so exactly
+    * the delta-involving pair class is generated (old×old is skipped by
+    * construction); within that class the 4-band pigeonhole guarantee is
+    * unchanged. At 100 TB of media this is the difference between
+    * re-decoding the corpus daily and an O(Δ + collisions) job.
+    */
+  def deltaAHashNearDups(lakeSig: DataFrame, delta: Dataset[MediaRow],
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
+    val sigNew = decodePixels(delta).toDF().select(col("doc_id"), col("ph"))
+      .localCheckpoint(true) // feeds its own bands AND the union side
+    val sigAll = lakeSig.select(col("doc_id"), col("ph")).unionByName(sigNew)
+    val cands = aHashBands(sigNew).as("x").join(aHashBands(sigAll).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.ph"))
+          .otherwise(col("y.ph")).as("pha"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.ph"))
+          .otherwise(col("x.ph")).as("phb"))
       .distinct()
     cands
       .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))).cast("long"))

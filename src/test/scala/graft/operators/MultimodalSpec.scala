@@ -109,6 +109,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.lum_total == 8 * 16 * 1000L * 255)
   }
 
+  test("deltaAHashNearDups: equals the batch pair set restricted to " +
+      "delta-involving pairs, consuming only precomputed lake signatures") {
+    import spark.implicits._
+    val ids = (1L to 30L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val lake = rows(Multimodal.ppmMedia(ids, "doc_id", "doc_id"))
+    val delta = rows(Multimodal.ppmMedia(
+      ids.select((col("doc_id") + 1000000).as("doc_id"),
+        col("doc_id").as("seed")),
+      "doc_id", "seed", deltaSql = "IF(i < 6, 8, 0)"))
+    val lakeSig = Multimodal.decodePixels(lake).toDF()
+      .select(col("doc_id"), col("ph")).localCheckpoint(true)
+    val got = Multimodal.deltaAHashNearDups(lakeSig, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Multimodal.aHashNearDups(lake.unionByName(delta))
+      .filter(col("b") >= 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch,
+      "incremental pair set must equal the batch delta-involving subset")
+    assert(got.nonEmpty, "perturbed copies must pair with their originals")
+  }
+
   test("decodePixels on BMP: bottom-up row order maps to IMAGE-space " +
       "cells (top half dark in image space = low bits 0)") {
     import spark.implicits._
