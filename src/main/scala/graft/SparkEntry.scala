@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Graph, LlmQueries, NaiveBayes, PipelineQueries, Queries, Regression}
+import graft.operators.{Analytics, Graph, LlmQueries, NaiveBayes, Pca, PipelineQueries, Queries, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -194,6 +194,7 @@ object SparkEntry {
     "text_bpe_apply"        -> (LlmQueries.textBpeApply _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
+    "ml_pca_power"          -> (Pca.mlPcaPower _),
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
@@ -3109,6 +3110,10 @@ object SparkEntry {
     // One sufficient-statistics aggregate over exact-integer columns, then
     // the SAME Cramer expression strings the engine uses (shared source of
     // truth in Regression.fitSql) — identical IEEE op order, bit parity.
+    // Same integer moments, same unrolled power recurrence (ordered-list
+    // sums pin the fold order), same projection — generated from one
+    // source of truth for scale/iterations (Pca.oracleSql).
+    "ml_pca_power" -> Pca.oracleSql(),
     "ml_linreg" -> {
       val fit = Regression.fitSql
         .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
