@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
     "prep_curriculum"       -> (LlmQueries.prepCurriculum _),
+    "prep_token_budget"     -> (LlmQueries.prepTokenBudget _),
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
@@ -1924,6 +1925,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.source, r.rk * ns.n + si.src_idx AS slot
         |FROM r JOIN si ON r.source = si.src, ns ORDER BY slot""".stripMargin,
+    // Take-while-under-budget in portable-hash order per stratum: the
+    // surviving id set, token counts, and running totals all replay
+    // exactly; the budget is exceeded by at most the crossing document.
+    "prep_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |b AS (SELECT * FROM (VALUES ('en', 20000), ('de', 8000),
+        |      ('es', 8000), ('fr', 4000), ('zh', 4000)) t(stratum, budget)),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+        |FROM c JOIN b ON c.lang = b.stratum
+        |WHERE cum_before < budget ORDER BY doc_id""".stripMargin,
     "prep_curriculum" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |f AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),

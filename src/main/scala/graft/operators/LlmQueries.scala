@@ -509,6 +509,18 @@ object LlmQueries {
     Dedup.softDedupWeights(variants, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Token-budget mixture ([[Prep.tokenBudgetMix]]): each language
+    * contributes documents in portable-hash order until its TOKEN budget
+    * is spent — the mixture dial in the units training consumes.
+    */
+  def prepTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Prep.tokenBudgetMix(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", "text",
+        Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L,
+          "fr" -> 4000L, "zh" -> 4000L))
+      .orderBy("doc_id")
+
   /** Curriculum staging ([[Prep.curriculum]]): the corpus ranked by its
     * unigram-surprisal difficulty score ([[TextAnalysis.unigramLogProb]],
     * the text_lm_score signal) and cut into 4 contiguous easy-to-hard

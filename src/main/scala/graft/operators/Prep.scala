@@ -130,6 +130,43 @@ object Prep {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Token-budget mixture sampling — the mixture dial training actually
+    * uses: each stratum (domain/language) contributes documents until its
+    * TOKEN budget is spent, not until a document count is hit (documents
+    * vary 100× in length; doc-count quotas like [[mixStrata]] over-weight
+    * short-doc domains in token space). Documents take a deterministic
+    * portable-hash order within their stratum; a doc survives iff the
+    * tokens BEFORE it in that order are under the stratum's budget — so
+    * the budget is exceeded by at most one document (the standard
+    * take-while-crossing convention) and the surviving id set is exactly
+    * reproducible by any engine.
+    *
+    * Scale shape: one per-stratum window for the running token sum —
+    * shuffles the (id, stratum, n_tokens) TRIPLES once, never text. A
+    * stratum skewed enough to overwhelm one window task takes the
+    * [[prep_pack two-level prefix sum]] form with the hash-block as the
+    * first level — the same upgrade path [[curriculumBySketch]]
+    * documents for the NTILE tier.
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, strataCol: String,
+                     textCol: String,
+                     budgets: Map[String, Long]): DataFrame = {
+    val btab = broadcast(docs.sparkSession.createDataFrame(
+      budgets.toSeq.sortBy(_._1)).toDF("stratum", "budget"))
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val w = Window.partitionBy(strataCol).orderBy(h, col(idCol))
+    docs
+      .select(col(idCol), col(strataCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .join(btab, col(strataCol) === col("stratum"))
+      .filter(col("cum_before") < col("budget"))
+      .select(col(idCol), col(strataCol),
+        col("n_tokens"), (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
   /** Sequence packing for pre-training: documents concatenated in id
     * order into one token stream, chunked into fixed `budget`-token
     * training sequences. Each doc gets its absolute token offset and the

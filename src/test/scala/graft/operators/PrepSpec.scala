@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.SparkTestBase
+import graft.{SparkTestBase, Tables}
 
 class PrepSpec extends SparkTestBase {
 
@@ -132,6 +132,33 @@ class PrepSpec extends SparkTestBase {
     val sk = Prep.curriculumBySketch(scored, "id", "score", stages = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sk == exact, s"sketch stages diverged: ${sk.toSeq.diff(exact.toSeq)}")
+  }
+
+  test("tokenBudgetMix: per-stratum tokens exceed the budget by at most " +
+      "the crossing doc, selection is hash-deterministic and " +
+      "partition-independent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val budgets = Map("en" -> 3000L, "de" -> 1500L, "es" -> 1500L,
+      "fr" -> 800L, "zh" -> 800L)
+    val out = Prep.tokenBudgetMix(docs, "doc_id", "lang", "text", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      val b = budgets(lang)
+      assert(total < b + maxDoc,
+        s"$lang: $total tokens exceeds budget $b by more than one doc")
+      // every kept doc's cum_before < budget by construction
+      assert(rows.forall { case (_, _, nt, cum) => cum - nt < b })
+      // the LAST doc in hash order is the only one allowed to cross
+      assert(rows.count { case (_, _, _, cum) => cum > b } <= 1)
+    }
+    val out7 = Prep.tokenBudgetMix(docs.repartition(7), "doc_id", "lang",
+        "text", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out7.toSet == out.toSet, "partitioning changed the selection")
   }
 
   test("kFold: every row gets exactly one fold, strata balanced to ±salts, " +
