@@ -72,6 +72,7 @@ object SparkEntry {
     "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
     "dq_mad"                -> (Analytics.dqMad _),
+    "dq_ewma"               -> ((s: SparkSession, d: String) => Analytics.dqEwma(s, d)),
     "q32b_range_multibucket"-> (Analytics.rangeBucketJoinMulti _),
     "q33_gap_fill"          -> (Analytics.gapFill _),
     "q37_range_frame"       -> (Analytics.rangeFrameWindow _),
@@ -1256,6 +1257,36 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN mad USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // The closed-form EWMA replayed verbatim: same windowed ordered sum,
+    // same pow factors, same band rule — exact integer day counts in,
+    // identical IEEE expression tree after.
+    "dq_ewma" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |              FROM events GROUP BY 1),
+        |s1 AS (SELECT day, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) - 1 AS t
+        |  FROM daily),
+        |s2 AS (SELECT day, n, t,
+        |    n * pow(1.0 / 0.7, t) AS term,
+        |    CAST(FIRST_VALUE(n) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS x0
+        |  FROM s1),
+        |s3 AS (SELECT day, n, t, x0,
+        |    SUM(term) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tt
+        |  FROM s2),
+        |s4 AS (SELECT day, n,
+        |    pow(0.7, t) * (x0 + 0.3 * (tt - x0)) AS ewma
+        |  FROM s3),
+        |s5 AS (SELECT day, n, ewma,
+        |    LAG(ewma, 1) OVER (ORDER BY day) AS ewma_prev
+        |  FROM s4)
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  ROUND(COALESCE(ewma_prev, CAST(n AS DOUBLE)), 4) AS expected,
+        |  (ewma_prev IS NOT NULL AND
+        |    (n > ewma_prev * 1.5 OR n < ewma_prev / 1.5)) AS is_anomaly
+        |FROM s5 ORDER BY day""".stripMargin,
     // Full observed-range calendar vs per-day volume; MEDIAN matches
     // Spark's interpolating percentile(n, 0.5) on even day counts.
     "dq_freshness" ->

@@ -267,6 +267,55 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** EWMA level-shift monitor over the daily volume series — the
+    * time-ADAPTIVE complement to [[dqFreshness]]' static half-median
+    * rule: an exponentially weighted moving average (α = 0.3, seeded at
+    * the first day) tracks the expected daily volume, and a day is
+    * flagged when its count deviates from YESTERDAY's EWMA by more than
+    * 1.5× in either direction — catching gradual-baseline pipelines
+    * where a global median mislabels the whole early or late range.
+    *
+    * Determinism/oracle contract: the recursion
+    * `ewma_t = α·x_t + (1−α)·ewma_{t−1}` is computed in CLOSED FORM as
+    * one windowed sum — `ewma_t = (1−α)^t · (x₀ + α·(T_t − x₀))` with
+    * `T_t = Σ_{k≤t} x_k·(1−α)^{−k}` — so both engines evaluate the
+    * identical expression tree over exact integer day counts: no
+    * sequential state, no order ambiguity. The growing `(1−α)^{−k}`
+    * factor loses the oldest days' contributions below double precision
+    * after ~100 days — EXACTLY mirroring their true EWMA weight decay,
+    * so the loss is semantically invisible (and both engines lose it
+    * identically).
+    *
+    * Scale shape: one map-side-combined per-day aggregate over the fact
+    * table; the window runs on the |days|-sized frame (the
+    * [[dqFreshness]] cost class).
+    */
+  def dqEwma(s: SparkSession, dir: String,
+             alpha: Double = 0.3, band: Double = 1.5): DataFrame = {
+    val w = Window.orderBy("day")
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val r = 1.0 / (1.0 - alpha)
+    daily
+      .withColumn("t", row_number().over(w).cast("double") - 1)
+      .withColumn("term", col("n") * pow(lit(r), col("t")))
+      .withColumn("x0", first("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .withColumn("tt", sum("term").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ewma",
+        pow(lit(1.0 - alpha), col("t")) *
+          (col("x0") + lit(alpha) * (col("tt") - col("x0"))))
+      .withColumn("ewma_prev", lag("ewma", 1).over(w))
+      .select(col("day"), col("n"),
+        round(coalesce(col("ewma_prev"), col("n").cast("double")), 4)
+          .as("expected"),
+        (col("ewma_prev").isNotNull &&
+          (col("n") > col("ewma_prev") * band ||
+            col("n") < col("ewma_prev") / band)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Robust outlier audit by median absolute deviation — the
     * heavy-tail-safe complement to [[dqOutliers]]' 3-sigma rule (one
     * extreme value inflates a stddev enough to hide every other

@@ -10,6 +10,29 @@ import graft.SparkTestBase
   */
 class AnalyticsSpec extends SparkTestBase {
 
+  test("dqEwma: the closed-form windowed EWMA equals the sequential " +
+      "recursion, and the band rule flags exactly the deviating days") {
+    val got = Analytics.dqEwma(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    // driver-side sequential recursion over the same day counts
+    val alpha = 0.3
+    var ewma = got.head._2.toDouble
+    got.zipWithIndex.foreach { case ((day, n, expected, flag), i) =>
+      if (i == 0) {
+        assert(expected == n.toDouble, "first day expects itself")
+        assert(!flag, "first day can never flag")
+      } else {
+        // `expected` is the closed form ROUNDED to 4 decimals
+        assert(math.abs(expected - ewma) < 5.1e-5,
+          s"$day: closed form $expected != recursion $ewma")
+        assert(flag == (n > ewma * 1.5 || n < ewma / 1.5), s"$day flag")
+      }
+      ewma = alpha * n + (1 - alpha) * ewma
+    }
+  }
+
   test("pivot and unpivot are inverse reshapes of the same aggregate") {
     val wide = Analytics.pivotOrders(spark, sfDir)
     // every (yr, status) cell equals the direct group-by value
