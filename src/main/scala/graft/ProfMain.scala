@@ -36,7 +36,8 @@ object ProfMain {
         "ml_naive_bayes", "a29_corrupt_records", "mm_cdc_chunking", "dq_mad",
         // round-7 additions
         "a30_incremental_dedup_sync", "sim_scalar_quant", "text_cms_probe",
-        "mm_resize")
+        "mm_resize", "sim_sq_recall", "mm_bmp_decode", "mm_incremental_phash",
+        "ml_pca_power", "prep_token_budget", "dq_ewma")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
