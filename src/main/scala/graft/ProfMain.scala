@@ -237,19 +237,28 @@ object ProfMain {
           base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
             expr(s"transform(emb, (x, i) -> x + ${k}E-4 * CAST(i + 1 AS DOUBLE))").as("emb")))
           .reduce(_ unionByName _).localCheckpoint(true)
-        val shapes: Seq[(String, DataFrame)] = Seq(
-          "exact_knn" -> Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 10),
-          "lsh_bucketed" -> Similarity.lshTopK(corpus, probes, "vec_id", "emb", bits = 8, k = 10),
-          "ivf_nprobe2" -> Similarity.ivfTopKNprobe(corpus, probes, coarse,
-            "vec_id", "emb", k = 10, nprobe = 2),
-          "ivfpq_nprobe2" -> Similarity.ivfpqTopK(corpus, probes, coarse, cb1, cb2,
-            "vec_id", "emb", k = 10, nprobe = 2),
-          "pq" -> Similarity.pqTopK(corpus, probes, pb1, pb2,
-            "vec_id", "emb", k = 10))
-        for ((label, df) <- shapes) {
-          df.write.format("noop").mode("overwrite").save() // warm
+        // thunks, not frames: pca/sq do real work (moment collects,
+        // range aggregates) at CONSTRUCTION — timing only the final
+        // write would under-report them (the timeq rationale)
+        val shapes: Seq[(String, () => DataFrame)] = Seq(
+          "pca_power" -> (() =>
+            graft.operators.Pca.pcaPowerTop1(corpus, "vec_id", "emb")),
+          "sq8" -> (() =>
+            Similarity.sqTopK(corpus, probes, "vec_id", "emb", k = 10)),
+          "exact_knn" -> (() =>
+            Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 10)),
+          "lsh_bucketed" -> (() =>
+            Similarity.lshTopK(corpus, probes, "vec_id", "emb", bits = 8, k = 10)),
+          "ivf_nprobe2" -> (() => Similarity.ivfTopKNprobe(corpus, probes, coarse,
+            "vec_id", "emb", k = 10, nprobe = 2)),
+          "ivfpq_nprobe2" -> (() => Similarity.ivfpqTopK(corpus, probes, coarse,
+            cb1, cb2, "vec_id", "emb", k = 10, nprobe = 2)),
+          "pq" -> (() => Similarity.pqTopK(corpus, probes, pb1, pb2,
+            "vec_id", "emb", k = 10)))
+        for ((label, mk) <- shapes) {
+          mk().write.format("noop").mode("overwrite").save() // warm
           val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
+          mk().write.format("noop").mode("overwrite").save()
           println(f"annscale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       }
