@@ -234,6 +234,32 @@ class EventsStreamSpec extends SparkTestBase {
     }
   }
 
+  test("RocksDB state store: the Misra-Gries UDAF's aggregation buffer " +
+      "round-trips through RocksDB state (trending top-k unchanged)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    // baseline under the default provider
+    val outMem = tmp("es_ttm_out")
+    EventsStream.trendingTopK(spark, eventsDir, tmp("es_ttm_ckpt"), outMem)
+      .awaitTermination()
+    val mem = spark.read.parquet(outMem).select("w", "rank", "item", "est")
+      .collect().map(_.toString).sorted
+    assert(mem.nonEmpty)
+    spark.conf.set(key, graft.Engine.RocksDbProvider)
+    try {
+      val out = tmp("es_ttr_out")
+      EventsStream.trendingTopK(spark, eventsDir, tmp("es_ttr_ckpt"), out)
+        .awaitTermination()
+      val rdb = spark.read.parquet(out).select("w", "rank", "item", "est")
+        .collect().map(_.toString).sorted
+      assert(rdb.toSeq == mem.toSeq,
+        "UDAF sketch state must serialize identically through RocksDB")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sliding windows emit overlapping strata consistent with tumbling") {
     val out = tmp("es_sl_out")
     EventsStream.slidingCounts(spark, eventsDir, tmp("es_sl_ckpt"), out)
