@@ -46,7 +46,67 @@ object Pca {
     */
   def pcaPowerTop1(df: DataFrame, idCol: String, embCol: String,
                    scale: Int = 10000, iters: Int = 20,
-                   dims: Int = 64): DataFrame = {
+                   dims: Int = 64): DataFrame =
+    pcaPower(df, idCol, embCol, scale, iters, dims, components = 1)
+
+  /** Top-2 via DEFLATION: after the dominant pair (u₁, λ₁) the matrix
+    * deflates to `M₂ = M − λ₁·u₁u₁ᵀ` (Hotelling), whose dominant
+    * eigenpair is the original second component — the same driver-local
+    * iteration runs again; no additional corpus pass is needed until
+    * the final projection, which emits both coordinates in one scan.
+    */
+  def pcaPowerTop2(df: DataFrame, idCol: String, embCol: String,
+                   scale: Int = 10000, iters: Int = 20,
+                   dims: Int = 64): DataFrame =
+    pcaPower(df, idCol, embCol, scale, iters, dims, components = 2)
+
+  private def matVec(m: Array[Array[Double]], u: Array[Double]): Array[Double] = {
+    val dims = u.length
+    Array.tabulate(dims) { i =>
+      var acc = 0.0; var j = 0
+      while (j < dims) { acc += m(i)(j) * u(j); j += 1 }
+      acc
+    }
+  }
+
+  /** Power iteration with the per-step 12-decimal re-sync barrier: the
+    * d-term sums accumulate ~1e-16 relative float noise whose
+    * ASSOCIATION order an external engine need not share, and power
+    * iteration AMPLIFIES direction noise by the eigen-gap ratio per step
+    * (measured: 3e-4 projection divergence after 20 steps at sf0.1).
+    * Rounding each step absorbs the noise (1e-12 >> 1e-16) while
+    * perturbing the iterate far below the output rounding.
+    */
+  private def powerIterate(m: Array[Array[Double]], iters: Int): Array[Double] = {
+    val dims = m.length
+    var u = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var it = 0
+    while (it < iters) {
+      val v = matVec(m, u)
+      var nrm2 = 0.0; var i = 0
+      while (i < dims) { nrm2 += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      require(nrm > 0.0, "power iteration collapsed (zero-variance corpus)")
+      u = v.map(x => BigDecimal(x / nrm)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      it += 1
+    }
+    u
+  }
+
+  /** Rayleigh quotient uᵀMu (ascending fold order, unrounded — both
+    * engines derive it from identical u and M).
+    */
+  private def rayleigh(m: Array[Array[Double]], u: Array[Double]): Double = {
+    val mu = matVec(m, u)
+    var lam = 0.0; var i = 0
+    while (i < u.length) { lam += u(i) * mu(i); i += 1 }
+    lam
+  }
+
+  private def pcaPower(df: DataFrame, idCol: String, embCol: String,
+                       scale: Int, iters: Int, dims: Int,
+                       components: Int): DataFrame = {
     val d = df.select(col(idCol),
       expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5d) AS BIGINT))")
         .as("ev"))
@@ -69,59 +129,39 @@ object Pca {
     val m = Array.tabulate(dims, dims) { (i, j) =>
       (n * moments((i, j)) - s(i) * s(j)).toDouble
     }
-    // power iteration, ascending-index fold order (the order the oracle
-    // replays)
-    var u = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
-    var it = 0
-    while (it < iters) {
-      val v = Array.tabulate(dims) { i =>
-        var acc = 0.0; var j = 0
-        while (j < dims) { acc += m(i)(j) * u(j); j += 1 }
-        acc
-      }
-      var nrm2 = 0.0; var i = 0
-      while (i < dims) { nrm2 += v(i) * v(i); i += 1 }
-      val nrm = math.sqrt(nrm2)
-      require(nrm > 0.0, "power iteration collapsed (zero-variance corpus)")
-      // re-sync barrier: the 64-term sums above accumulate ~1e-16
-      // relative float noise whose ASSOCIATION order an external engine
-      // need not share, and power iteration AMPLIFIES any direction
-      // noise by the eigen-gap ratio per step (measured: 3e-4 projection
-      // divergence after 20 steps at sf0.1). Rounding the direction to
-      // 12 decimals each step absorbs the noise (1e-12 >> 1e-16) while
-      // perturbing the iterate far below the output rounding.
-      u = v.map(x => BigDecimal(x / nrm)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      it += 1
-    }
-    // Rayleigh quotient of the final direction = dominant eigenvalue of
-    // M; divide by n²·scale² for the covariance-scale eigenvalue
-    val mu = Array.tabulate(dims) { i =>
-      var acc = 0.0; var j = 0
-      while (j < dims) { acc += m(i)(j) * u(j); j += 1 }
-      acc
-    }
-    var lam = 0.0
-    var li = 0
-    while (li < dims) { lam += u(li) * mu(li); li += 1 }
-    val eig = BigDecimal(lam / (n.toDouble * n * scale * scale))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u1 = powerIterate(m, iters)
+    val lam1 = rayleigh(m, u1)
+    def eigScaled(lam: Double): Double =
+      BigDecimal(lam / (n.toDouble * n * scale * scale))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // centered projection in original units:
-    //   pc1 = (e − s/n)·u / scale = (e·u − (s·u)/n) / scale
-    var sDotU = 0.0
-    var si = 0
-    while (si < dims) { sDotU += s(si) * u(si); si += 1 }
-    d.select(col(idCol),
-        // + 0.0 normalizes IEEE negative zero: a projection whose true
-        // value is ~0 carries ±1e-16 association noise ACROSS zero, and
-        // round() preserves the sign of zero — the one case where equal
-        // values print differently ("−0" vs "0") in an external compare
-        (round(
-          (expr(s"""aggregate(zip_with(ev, ${uLitSql(u)},
-                   |  (a, b) -> CAST(a AS DOUBLE) * b),
-                   |0D, (acc, x) -> acc + x)""".stripMargin)
-            - lit(sDotU / n)) / scale, 4) + lit(0.0)).as("pc1"),
-        lit(eig).as("eigenvalue"))
+    //   pc = (e − s/n)·u / scale = (e·u − (s·u)/n) / scale
+    // + 0.0 normalizes IEEE negative zero: a projection whose true value
+    // is ~0 carries ±1e-16 association noise ACROSS zero, and round()
+    // preserves the sign of zero — the one case where equal values print
+    // differently ("−0" vs "0") in an external compare
+    def proj(u: Array[Double], name: String): Column = {
+      var sDotU = 0.0; var si = 0
+      while (si < dims) { sDotU += s(si) * u(si); si += 1 }
+      (round(
+        (expr(s"""aggregate(zip_with(ev, ${uLitSql(u)},
+                 |  (a, b) -> CAST(a AS DOUBLE) * b),
+                 |0D, (acc, x) -> acc + x)""".stripMargin)
+          - lit(sDotU / n)) / scale, 4) + lit(0.0)).as(name)
+    }
+    if (components == 1)
+      d.select(col(idCol), proj(u1, "pc1"), lit(eigScaled(lam1)).as("eigenvalue"))
+    else {
+      // Hotelling deflation with pinned multiplication order
+      val m2 = Array.tabulate(dims, dims) { (i, j) =>
+        m(i)(j) - (lam1 * u1(i)) * u1(j)
+      }
+      val u2 = powerIterate(m2, iters)
+      val lam2 = rayleigh(m2, u2)
+      d.select(col(idCol), proj(u1, "pc1"), proj(u2, "pc2"),
+        lit(eigScaled(lam1)).as("eigenvalue"),
+        lit(eigScaled(lam2)).as("eigenvalue2"))
+    }
   }
 
   /** The eigenvector inlined as a SQL double-array literal (full
@@ -131,12 +171,13 @@ object Pca {
   private def uLitSql(u: Array[Double]): String =
     u.map(x => s"CAST('$x' AS DOUBLE)").mkString("array(", ", ", ")")
 
-  /** Registered query: dominant principal component of the embedding
-    * corpus — per-vector centered projection plus the shared dominant
-    * eigenvalue.
+  /** Registered query: top-2 principal components of the embedding
+    * corpus — per-vector centered 2-D projection (the
+    * visualization/index layout every embedding pipeline wants) plus
+    * the two shared eigenvalues.
     */
   def mlPcaPower(spark: SparkSession, dir: String): DataFrame =
-    pcaPowerTop1(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    pcaPowerTop2(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
   /** The DuckDB oracle: the identical construction replayed — integer
@@ -146,14 +187,25 @@ object Pca {
     * the iteration count and scale.
     */
   def oracleSql(scale: Int = 10000, iters: Int = 20, dims: Int = 64): String = {
-    val rounds = (1 to iters).map { t =>
-      s"""v$t AS MATERIALIZED (SELECT m.i AS i,
+    // one power chain over matrix CTE `mat`, CTE names prefixed `p`
+    def chain(p: String, mat: String): String = (1 to iters).map { t =>
+      s"""${p}v$t AS MATERIALIZED (SELECT m.i AS i,
          |  list_sum(list(m.v * u.u ORDER BY m.j)) AS v
-         |  FROM m JOIN u${t - 1} u ON u.i = m.j GROUP BY m.i),
-         |n$t AS (SELECT sqrt(list_sum(list(v * v ORDER BY i))) AS nm FROM v$t),
-         |u$t AS MATERIALIZED (SELECT i, ROUND(v / nm, 12) AS u
-         |  FROM v$t, n$t)""".stripMargin
+         |  FROM $mat m JOIN ${p}u${t - 1} u ON u.i = m.j GROUP BY m.i),
+         |${p}n$t AS (SELECT sqrt(list_sum(list(v * v ORDER BY i))) AS nm
+         |  FROM ${p}v$t),
+         |${p}u$t AS MATERIALIZED (SELECT i, ROUND(v / nm, 12) AS u
+         |  FROM ${p}v$t, ${p}n$t)""".stripMargin
     }.mkString(",\n")
+    // Rayleigh + projection pieces for a finished chain
+    def tail(p: String, mat: String): String =
+      s"""${p}ul AS (SELECT list(u ORDER BY i) AS ul FROM ${p}u$iters),
+         |${p}mu AS (SELECT m.i AS i, list_sum(list(m.v * u.u ORDER BY m.j)) AS w
+         |  FROM $mat m JOIN ${p}u$iters u ON u.i = m.j GROUP BY m.i),
+         |${p}lam AS (SELECT list_sum(list(mu.w * u.u ORDER BY mu.i)) AS lam
+         |  FROM ${p}mu mu JOIN ${p}u$iters u ON u.i = mu.i),
+         |${p}sdu AS (SELECT list_sum(list(sv.s * u.u ORDER BY sv.i)) AS sdu
+         |  FROM sv JOIN ${p}u$iters u ON u.i = sv.i - 1)""".stripMargin
     s"""WITH e AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS ev
@@ -173,23 +225,34 @@ object Pca {
        |  JOIN sv si ON si.i = sm.i
        |  JOIN sv sj ON sj.i = sm.j
        |  CROSS JOIN nn),
-       |u0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
+       |au0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
        |  FROM (SELECT unnest(range(1, $dims + 1)) AS i) g),
-       |$rounds,
-       |ul AS (SELECT list(u ORDER BY i) AS ul FROM u$iters),
-       |mu AS (SELECT m.i AS i, list_sum(list(m.v * u.u ORDER BY m.j)) AS w
-       |  FROM m JOIN u$iters u ON u.i = m.j GROUP BY m.i),
-       |lam AS (SELECT list_sum(list(mu.w * u.u ORDER BY mu.i)) AS lam
-       |  FROM mu JOIN u$iters u ON u.i = mu.i),
-       |sdu AS (SELECT list_sum(list(sv.s * u.u ORDER BY sv.i)) AS sdu
-       |  FROM sv JOIN u$iters u ON u.i = sv.i - 1)
+       |${chain("a", "m")},
+       |${tail("a", "m")},
+       |-- Hotelling deflation: M2 = M − λ1·u1u1ᵀ, multiplication order
+       |-- pinned (λ·u_i first, then ·u_j) to match the engine
+       |m2 AS MATERIALIZED (SELECT m.i AS i, m.j AS j,
+       |    m.v - (alam.lam * ui.u) * uj.u AS v
+       |  FROM m
+       |  JOIN au$iters ui ON ui.i = m.i
+       |  JOIN au$iters uj ON uj.i = m.j
+       |  CROSS JOIN alam),
+       |bu0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
+       |  FROM (SELECT unnest(range(1, $dims + 1)) AS i) g),
+       |${chain("b", "m2")},
+       |${tail("b", "m2")}
        |SELECT e.vec_id,
        |  ROUND((list_sum(list_transform(range(1, $dims + 1),
-       |      k -> CAST(ev[k] AS DOUBLE) * ul.ul[k]))
-       |    - sdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc1,
-       |  ROUND(lam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
-       |    AS eigenvalue
-       |FROM e, ul, lam, sdu, nn
+       |      k -> CAST(ev[k] AS DOUBLE) * aul.ul[k]))
+       |    - asdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc1,
+       |  ROUND((list_sum(list_transform(range(1, $dims + 1),
+       |      k -> CAST(ev[k] AS DOUBLE) * bul.ul[k]))
+       |    - bsdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc2,
+       |  ROUND(alam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
+       |    AS eigenvalue,
+       |  ROUND(blam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
+       |    AS eigenvalue2
+       |FROM e, aul, alam, asdu, bul, blam, bsdu, nn
        |ORDER BY e.vec_id""".stripMargin
   }
 }

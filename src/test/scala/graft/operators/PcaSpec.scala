@@ -31,6 +31,57 @@ class PcaSpec extends SparkTestBase {
     assert(out7 == out.toSet, "repartitioning changed PCA output")
   }
 
+  test("pcaPowerTop2: components are uncorrelated, eigenvalues ordered, " +
+      "second variance matches the second eigenvalue") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val out = Pca.pcaPowerTop2(e, "vec_id", "embedding")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val (e1, e2) = (out.head._3, out.head._4)
+    assert(e1 >= e2 && e2 > 0.0, s"eigenvalues must order: $e1 >= $e2 > 0")
+    val n = out.length
+    val m1 = out.map(_._1).sum / n
+    val m2 = out.map(_._2).sum / n
+    val v2 = out.map(p => (p._2 - m2) * (p._2 - m2)).sum / n
+    assert(math.abs(v2 - e2) / e2 < 0.05,
+      s"pc2 variance $v2 must match eigenvalue2 $e2")
+    // orthogonal directions of centered data → uncorrelated projections.
+    // Tolerance is loose: 20 fixed power iterations leave residual
+    // non-convergence when the deflated matrix's eigen-gap is small —
+    // the projections stay deterministic and oracle-exact, just not
+    // perfectly orthogonal (the trade documented on the operator).
+    val cov = out.map(p => (p._1 - m1) * (p._2 - m2)).sum / n
+    assert(math.abs(cov) / math.sqrt(e1 * e2) < 0.15,
+      s"pc1/pc2 correlation too high: cov=$cov")
+  }
+
+  test("pcaPowerTop2 separates two planted directions by strength") {
+    import spark.implicits._
+    // strong axis0 signal, weaker independent axis1 signal
+    val rows = (0 until 60).map { i =>
+      val a = (if (i % 2 == 0) 1 else -1) * (0.40 + 0.002 * (i % 7))
+      val b = (if (i % 3 == 0) 1 else -1) * (0.15 + 0.001 * (i % 5))
+      val v = Array.fill(8)(0.0f)
+      v(0) = a.toFloat; v(1) = b.toFloat
+      (i.toLong, v.toSeq)
+    }
+    val got = Pca.pcaPowerTop2(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // projections are CENTERED — compare against mean-removed coordinates
+    // (the axis1 sign pattern is deliberately unbalanced, so its mean is
+    // nonzero)
+    val mean0 = rows.map(_._2(0).toDouble).sum / rows.size
+    val mean1 = rows.map(_._2(1).toDouble).sum / rows.size
+    rows.foreach { case (id, v) =>
+      val (p1, p2) = got(id)
+      assert(math.abs(math.abs(p1) - math.abs(v(0) - mean0)) < 0.03,
+        s"vec $id: |pc1|=$p1 vs centered axis0=${v(0) - mean0}")
+      assert(math.abs(math.abs(p2) - math.abs(v(1) - mean1)) < 0.03,
+        s"vec $id: |pc2|=$p2 vs centered axis1=${v(1) - mean1}")
+    }
+  }
+
   test("pcaPowerTop1 recovers a planted dominant direction") {
     import spark.implicits._
     // 40 vectors along ±axis0 with small axis1 noise: the dominant
