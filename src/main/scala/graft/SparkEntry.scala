@@ -70,6 +70,7 @@ object SparkEntry {
     "q44_retention"         -> (Analytics.retention _),
     "q45_histogram"         -> (Analytics.histogram _),
     "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
+    "q47_map_functions"     -> (Queries.q47MapFunctions _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
     "dq_mad"                -> (Analytics.dqMad _),
     "dq_ewma"               -> ((s: SparkSession, d: String) => Analytics.dqEwma(s, d)),
@@ -1300,6 +1301,23 @@ object SparkEntry {
         |       WHEN n < med * 0.5 THEN 'low' ELSE 'ok' END AS status
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY cal.day""".stripMargin,
+    // The map SEMANTICS recomputed relationally — cardinality = line
+    // count, lookup = the line-1 quantity, key max / value sum / the
+    // canonical k:v rendering via ordered string_agg.
+    "q47_map_functions" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey <= 2000
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS BIGINT)
+        |    AS qty_line1,
+        |  CAST(MAX(l_linenumber) AS BIGINT) AS max_line,
+        |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+        |  string_agg(l_linenumber || ':' || qty, ',' ORDER BY l_linenumber)
+        |    AS entries_csv
+        |FROM li GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q46_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |daily AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau

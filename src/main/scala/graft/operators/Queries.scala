@@ -515,6 +515,45 @@ object Queries {
                               (o_orderpriority), ())
       ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
   }
+
+  /** Q47 — MAP-type algebra end-to-end: the one nested type the declared
+    * surface (SURVEY §1.1: full Struct/Array/Map support) had no
+    * registered query for. Per order, the lineitem rows aggregate into a
+    * `MAP<linenumber → quantity>` (entries SORTED before
+    * `map_from_entries`, because collect order is partition-dependent
+    * and map-entry order is insertion order), then the map algebra
+    * produces scalars: cardinality, point lookup (`element_at`), key
+    * max over `map_keys`, value sum over `map_values` via the HOF fold,
+    * and a canonical `k:v` rendering of `map_entries`. The oracle
+    * recomputes the SEMANTICS relationally (counts, filters,
+    * string_agg) — engines need not share map internals, only results.
+    * Row-local after one map-side-combined groupBy; nothing else
+    * shuffles.
+    */
+  def q47MapFunctions(s: SparkSession, dir: String): DataFrame = {
+    // map keys must be unique: the synthetic lineitem repeats line
+    // numbers within an order, so quantities pre-aggregate per
+    // (order, line) — the same rule any map-building pipeline applies
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    li.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("k"), col("qty").as("v")))).as("entries"))
+      .select(col("l_orderkey"), map_from_entries(col("entries")).as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        element_at(col("m"), lit(1)).as("qty_line1"),
+        array_max(map_keys(col("m"))).cast("long").as("max_line"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("total_qty"),
+        expr("""array_join(transform(map_entries(m),
+               |  e -> concat(e.key, ':', e.value)), ',')""".stripMargin)
+          .as("entries_csv"))
+      .orderBy("l_orderkey")
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
