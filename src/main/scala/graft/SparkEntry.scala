@@ -138,6 +138,7 @@ object SparkEntry {
     "text_pmi"              -> (LlmQueries.textPmi _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
+    "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
@@ -931,6 +932,33 @@ object SparkEntry {
         |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
         |        JOIN pc ON bi.w1 = pc.w1
         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // Same KN formula spelled identically: max(bc−D,0)/pc +
+    // (D/pc)·N1f·(N1r/T); the avg(−ln p) + 4-decimal rounding follows
+    // the text_bigram_lm determinism precedent.
+    "text_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[gi.i] AS w1, t[gi.i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2),
+        |bc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS bc
+        |  FROM bi GROUP BY w1, w2),
+        |pc AS (SELECT w1, COUNT(*) AS pc FROM bi GROUP BY w1),
+        |nf AS (SELECT w1, COUNT(*) AS nf FROM bc GROUP BY w1),
+        |nr AS (SELECT w2, COUNT(*) AS nr FROM bc GROUP BY w2),
+        |tt AS (SELECT COUNT(*) AS tt FROM bc),
+        |sc AS (SELECT bi.doc_id,
+        |    greatest(bc.bc - 0.75, 0) / pc.pc
+        |    + (0.75 / pc.pc) * nf.nf * (nr.nr / CAST(tt.tt AS DOUBLE)) AS p
+        |  FROM bi
+        |  JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+        |  JOIN pc ON bi.w1 = pc.w1
+        |  JOIN nf ON bi.w1 = nf.w1
+        |  JOIN nr ON bi.w2 = nr.w2
+        |  CROSS JOIN tt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-ln(p)), 4) AS avg_kn_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_hashtf" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 64 AS BIGINT) AS bucket,

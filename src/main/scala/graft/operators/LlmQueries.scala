@@ -273,6 +273,14 @@ object LlmQueries {
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Kneser–Ney-smoothed bigram surprisal
+    * ([[TextAnalysis.kneserNeySurprisal]]) — the production LM-quality
+    * filter form.
+    */
+  def textKneserNey(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeySurprisal(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

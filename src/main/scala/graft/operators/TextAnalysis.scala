@@ -349,6 +349,55 @@ object TextAnalysis {
         round(avg(-log(col("bc") / col("pc").cast("double"))), 4).as("avg_surprisal"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal — the SMOOTHED upgrade of
+    * [[bigramLogProb]]'s raw MLE: probability mass discounts by a fixed
+    * `D` from every seen bigram and redistributes via the CONTINUATION
+    * distribution (how many distinct contexts a word follows — the
+    * "San Francisco" insight: "Francisco" is frequent but predictable,
+    * so its continuation probability is low):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + (D/c(w₁·))·N₁₊(w₁·)·N₁₊(·w₂)/N₁₊(··)
+    *
+    * The LM-quality scoring filter in the form actually used for corpus
+    * filtering (raw MLE assigns zero to any unseen pair; KN never
+    * does). Per-document mean −ln P, model trained on the corpus
+    * itself (the [[bigramLogProb]] convention).
+    *
+    * Scale shape: one corpus explode to bigram instances; four
+    * vocabulary-sized model aggregates (bigram counts, context totals,
+    * forward/reverse continuation type counts) joined back — at test
+    * scale broadcast-class, at 100 TB the same joins shuffle on their
+    * keys; nothing here is corpus-quadratic.
+    */
+  def kneserNeySurprisal(docs: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75): DataFrame = {
+    val bi = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true) // feeds the model joins AND the type counts
+    val pc = bi.groupBy("w1").agg(count(lit(1)).as("pc"))
+    val nf = bc.groupBy("w1").agg(count(lit(1)).as("nf"))
+    val nr = bc.groupBy("w2").agg(count(lit(1)).as("nr"))
+    val tt = bc.agg(count(lit(1)).as("tt"))
+    bi.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(pc), Seq("w1"))
+      .join(broadcast(nf), Seq("w1"))
+      .join(broadcast(nr), Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .withColumn("p", expr(
+        s"""greatest(bc - $discount, 0D) / pc
+           |+ ($discount / pc) * nf * (nr / CAST(tt AS DOUBLE))"""
+          .stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 4).as("avg_kn_surprisal"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap
     * near-canonicalization used before exact dedup.

@@ -6,6 +6,49 @@ import graft.SparkTestBase
 
 class TextStatsSpec extends SparkTestBase {
 
+  test("kneserNeySurprisal: engine scores equal a driver-side replica, " +
+      "and per-context probabilities sum to 1 over the vocabulary") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog"),
+      (4L, "the cat and the dog sat"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeySurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver replica of the model
+    val bigrams = corpus.flatMap { case (id, t) =>
+      val tk = t.split(" "); tk.init.zip(tk.tail).map(p => (id, p._1, p._2)) }
+    val bc = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val pc = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val nf = bc.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val nr = bc.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val tt = bc.size.toDouble
+    val d = 0.75
+    def p(w1: String, w2: String): Double =
+      math.max(bc((w1, w2)) - d, 0.0) / pc(w1) +
+        (d / pc(w1)) * nf(w1) * (nr(w2) / tt)
+    corpus.foreach { case (id, t) =>
+      val tk = t.split(" ")
+      val ss = tk.init.zip(tk.tail).map { case (a, b) => -math.log(p(a, b)) }
+      val expected = BigDecimal(ss.sum / ss.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == ss.length)
+      assert(math.abs(got(id)._2 - expected) < 2e-4,
+        s"doc $id: ${got(id)._2} vs replica $expected")
+    }
+    // smoothing invariant: sum over the FULL vocab of P(w2|w1) = 1
+    val vocab = bigrams.flatMap(b => Seq(b._2, b._3)).distinct
+    pc.keys.foreach { w1 =>
+      val total = vocab.map { w2 =>
+        val seen = math.max(bc.getOrElse((w1, w2), 0) - d, 0.0) / pc(w1)
+        seen + (d / pc(w1)) * nf(w1) * (nr.getOrElse(w2, 0) / tt)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $w1 sums to $total")
+    }
+  }
+
   test("repetition: gram counts and fractions match hand computation") {
     import spark.implicits._
     // doc 1: "a b a b a" → bigrams [a b, b a, a b, b a] → 4 total,
