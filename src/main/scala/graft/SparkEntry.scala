@@ -139,6 +139,7 @@ object SparkEntry {
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
+    "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
@@ -2320,6 +2321,36 @@ object SparkEntry {
         |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
         |SELECT id1, id2, name_lev, same_segment, bal_diff, score
         |FROM p WHERE score >= 2.5 ORDER BY id1, id2""".stripMargin,
+    // The linkage pair CTE verbatim + the dedup_cluster recursive
+    // component tail: transitive closure over accepted matches, entity
+    // id = min member.
+    "dedup_linkage_entities" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS blk,
+        |         c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |         substr(c_name, 1, length(c_name) - 1) || 'X',
+        |         c_nationkey, ROUND(c_acctbal + 0.37, 2), c_mktsegment
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE CASE WHEN levenshtein(a.nm, b.nm) <= 1
+        |             THEN 2.2 ELSE -1.5 END
+        |      + CASE WHEN abs(a.bal - b.bal) <= 100.0
+        |             THEN 1.1 ELSE -0.7 END
+        |      + CASE WHEN a.seg = b.seg THEN 0.6 ELSE -0.4 END >= 2.5),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM p
+        |  UNION SELECT id2, id1 FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        |)
+        |SELECT id AS c_custkey, MIN(r) AS entity_id
+        |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
     "dedup_normalized" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

@@ -999,6 +999,22 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Entity RESOLUTION end-to-end: the [[dedupLinkage]] match pairs
+    * collapsed into entities by connected components
+    * ([[Dedup.connectedComponents]]) — records transitively linked
+    * through any chain of accepted matches share one entity id (the min
+    * member id), which is what a keyed merge actually joins on. Only
+    * records appearing in at least one accepted pair emit (singletons
+    * are their own entity trivially).
+    */
+  def dedupLinkageEntities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupLinkage(s, dir)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("c_custkey"), col("comp").as("entity_id"))
+      .orderBy("c_custkey")
+  }
+
   /** Exact duplicate-span detection ([[Dedup.duplicateSpans]]) over a
     * corpus with span structure by construction: every doc's
     * last-token-truncated copy (id + 1e6 — a full-prefix span) plus, for
