@@ -37,7 +37,8 @@ object ProfMain {
         // round-7 additions
         "a30_incremental_dedup_sync", "sim_scalar_quant", "text_cms_probe",
         "mm_resize", "sim_sq_recall", "mm_bmp_decode", "mm_incremental_phash",
-        "ml_pca_power", "prep_token_budget", "dq_ewma")
+        "ml_pca_power", "prep_token_budget", "dq_ewma", "q47_map_functions",
+        "text_kneser_ney", "dedup_linkage_entities")
       for (n <- targets) {
         println(s"\n===== $n =====")
         println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
