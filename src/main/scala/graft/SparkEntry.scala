@@ -110,6 +110,7 @@ object SparkEntry {
     "a23_backfill"          -> (PipelineQueries.a23PartitionBackfill _),
     "a26_export_timeout"    -> (PipelineQueries.a26ExportTimeout _),
     "a30_incremental_dedup_sync" -> (PipelineQueries.a30IncrementalDedupSync _),
+    "a31_scd2_lookup"       -> (PipelineQueries.a31Scd2Lookup _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -2764,6 +2765,23 @@ object SparkEntry {
         |  FROM troot LEFT JOIN lshnn USING (probe_id))
         |SELECT method, n_probes, hits, ROUND(hits / n_probes, 4) AS recall_at_1
         |FROM m ORDER BY method""".stripMargin,
+    // Point-in-time semantics replayed: each event joins the dimension
+    // version whose validity range covers its event date.
+    "a31_scd2_lookup" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |dim AS (
+        |  SELECT user_id, DATE '2023-01-01' AS valid_from,
+        |         DATE '2024-01-15' AS valid_to,
+        |         'S' || CAST(user_id % 3 AS VARCHAR) AS seg FROM u
+        |  UNION ALL
+        |  SELECT user_id, DATE '2024-01-15', NULL,
+        |         'S' || CAST(user_id % 5 AS VARCHAR) FROM u)
+        |SELECT dim.seg, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(e.value), 2) AS total_value
+        |FROM events e JOIN dim ON e.user_id = dim.user_id
+        |  AND CAST(e.ts AS DATE) >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) < dim.valid_to)
+        |GROUP BY dim.seg ORDER BY dim.seg""".stripMargin,
     // delta-sync ≡ full-sync: the published table after (snapshot run +
     // high-watermark incremental run) must equal one full export
     "a17_incremental_sync" ->

@@ -492,6 +492,42 @@ object PipelineQueries {
       .orderBy("key", "valid_from", "is_current")
   }
 
+  /** A31 — SCD2 point-in-time lookup: the read side of [[a16Scd2Merge]]'s
+    * history table, and the join every event pipeline runs against a
+    * slowly changing dimension — each fact row joins the dimension
+    * VERSION valid at its event time (`valid_from ≤ t < valid_to`),
+    * never "current state" (which silently rewrites history for late
+    * facts). The SCD2 history here is built deterministically over the
+    * event users with a version break inside the observed time range,
+    * so both version arms carry traffic.
+    *
+    * Scale shape: the lookup is an EQUI-join on the dimension key with
+    * the validity range as a residual predicate — versions per key are
+    * few (2 here; bounded by update frequency in any real dimension), so
+    * this is a plain key join, NOT a range join: the fact table shuffles
+    * once on the key (or broadcasts the dimension), and the range filter
+    * runs row-local on the handful of candidate versions.
+    */
+  def a31Scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val users = ev.select(col("user_id")).distinct()
+    val dim = users.select(col("user_id"),
+        lit("2023-01-01").cast("date").as("valid_from"),
+        lit("2024-01-15").cast("date").as("valid_to"),
+        concat(lit("S"), (col("user_id") % 3).cast("string")).as("seg"))
+      .unionByName(users.select(col("user_id"),
+        lit("2024-01-15").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        concat(lit("S"), (col("user_id") % 5).cast("string")).as("seg")))
+    ev.join(dim, ev("user_id") === dim("user_id") &&
+        to_date(col("ts")) >= col("valid_from") &&
+        (col("valid_to").isNull || to_date(col("ts")) < col("valid_to")))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("seg")
+  }
+
   /** A18 — bucketed-table merge: both merge inputs are written
     * `bucketBy(8, key) sortBy(key)` parquet tables, so the stage↔existing
     * full-outer join co-locates by bucket and runs with ZERO exchanges
