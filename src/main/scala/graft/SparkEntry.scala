@@ -140,6 +140,7 @@ object SparkEntry {
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
+    "text_ngrams_native"    -> (LlmQueries.textNgramsNative _),
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_contamination"    -> (LlmQueries.textContamination _),
@@ -934,6 +935,17 @@ object SparkEntry {
         |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
         |        JOIN pc ON bi.w1 = pc.w1
         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // The native generator's gram stream recomputed with plain SQL
+    // n-gram extraction — generator vs HOF spelling is an engine
+    // implementation detail, the gram counts are the contract.
+    "text_ngrams_native" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT t[gi.i] || ' ' || t[gi.i + 1] || ' ' || t[gi.i + 2]
+        |        AS gram
+        |      FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) gi
+        |      WHERE len(t) >= 3)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 10""".stripMargin,
     // Same KN formula spelled identically: max(bc−D,0)/pc +
     // (D/pc)·N1f·(N1r/T); the avg(−ln p) + 4-decimal rounding follows
     // the text_bigram_lm determinism precedent.

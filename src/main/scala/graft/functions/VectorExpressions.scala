@@ -72,6 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotNativeFunction)
     ext.injectFunction(GraftFunctions.md5LongFunction)
+    ext.injectFunction(GraftFunctions.ngramsFunction)
     // whole-operator extension: native as-of join (custom LogicalPlan →
     // custom SparkPlan, SURVEY §4 preference (c))
     ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
@@ -113,10 +114,27 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Cast].getName, "md5_long"),
       (exprs: Seq[Expression]) => md5LongBuild(exprs))
 
+  /** `ngrams(tokens, n)`: the native n-gram [[NGrams]] GENERATOR — n must
+    * be a foldable integer (it shapes the output schema).
+    */
+  private def ngramsBuild(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "ngrams(tokens, n) takes exactly 2 arguments")
+    require(exprs(1).foldable, "ngrams: n must be a literal")
+    val n = exprs(1).eval().asInstanceOf[Number].intValue
+    NGrams(Cast(exprs.head, ArrayType(org.apache.spark.sql.types.StringType)), n)
+  }
+
+  private[functions] val ngramsFunction =
+    (new FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      (exprs: Seq[Expression]) => ngramsBuild(exprs))
+
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long", md5LongBuild, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams", ngramsBuild, "built-in")
   }
 }

@@ -273,6 +273,17 @@ object LlmQueries {
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus-wide top 3-grams through the NATIVE [[graft.functions.NGrams]]
+    * generator — the custom-Generator extension path driven end-to-end
+    * (grams stream straight out of the token array, no per-doc gram
+    * array materialization). Top-10 by (count desc, gram).
+    */
+  def textNgramsNative(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(expr("ngrams(split(text, ' '), 3)"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(10)
+
   /** Kneser–Ney-smoothed bigram surprisal
     * ([[TextAnalysis.kneserNeySurprisal]]) — the production LM-quality
     * filter form.

@@ -7,6 +7,44 @@ import graft.operators.VectorOps
 
 class FunctionsSpec extends SparkTestBase {
 
+  test("ngrams generator equals the HOF transform+explode spelling, " +
+      "handles short/null inputs, and runs as a real Generate node") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val viaGen = docs.select(col("doc_id"), expr("ngrams(tk, 3)"))
+      .select("doc_id", "pos", "gram")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaHof = docs
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(tk) - 2),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2)))""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen == viaHof, "generator must equal the HOF spelling")
+    // short / null / null-element inputs emit nothing (refusal contract)
+    val edge = Seq(
+      (1L, Seq("a", "b")),            // shorter than n
+      (2L, Seq("a", "b", "c", "d")),  // 2 grams
+      (3L, null.asInstanceOf[Seq[String]]),
+      (4L, Seq("a", null, "c", "d"))  // windows containing null skipped
+    ).toDF("id", "tk")
+    val got = edge.select(col("id"), expr("ngrams(tk, 3)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSet == Set((2L, 0, "a b c"), (2L, 1, "b c d"),
+      (4L, 1, "null?" match { case _ => "" })).filter(_._1 == 2L) ++
+      Set((4L, 1, "c d" match { case _ => "" })).filter(_ => false) ||
+      got.toSet == Set((2L, 0, "a b c"), (2L, 1, "b c d")),
+      s"edge cases wrong: ${got.toSeq}")
+    // the plan must carry a Generate over the custom generator
+    val plan = docs.select(expr("ngrams(tk, 3)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && plan.toLowerCase.contains("ngrams"),
+      s"expected a Generate(ngrams) node:\n${plan.take(1500)}")
+  }
+
   test("native dot product equals the HOF spelling bit-for-bit") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(100)
     val both = e.crossJoin(
