@@ -108,14 +108,20 @@ object Multimodal {
     val hRaw = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
+    // math.abs(Int.MinValue) is Int.MinValue — refuse before taking abs
+    if (hRaw == Int.MinValue) return None
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0 || compression != 0 || (bpp != 24 && bpp != 32))
       return None
     val channels = bpp / 8
-    val stride = ((w * channels + 3) / 4) * 4
-    if (pixelOff < 54 || data.length.toLong < pixelOff.toLong + stride.toLong * h)
+    // stride in LONG: a declared width >= ~7.16e8 overflows w*channels in
+    // Int to a negative rowStride that would defeat the payload-length
+    // guard below and crash the pixel walk (refuse-never-fabricate)
+    val strideL = (w.toLong * channels + 3) / 4 * 4
+    if (pixelOff < 54 || strideL > Int.MaxValue ||
+        data.length.toLong < pixelOff.toLong + strideL * h)
       return None
-    Some(ImageInfo(w, h, channels, pixelOff, stride,
+    Some(ImageInfo(w, h, channels, pixelOff, strideL.toInt,
       bottomUp = hRaw > 0, bgr = true))
   }
 

@@ -126,8 +126,14 @@ object Pca {
     val s = Array.tabulate(dims)(i => firsts(i)._1)
     // scatter matrix in exact integer arithmetic, THEN one IEEE-rounded
     // conversion — both engines start the iteration from equal doubles
+    // exact-arithmetic guards: plain Long * would wrap silently past 2^63
+    // on an over-bound corpus — multiplyExact/subtractExact fail loudly,
+    // matching the documented accept-overflow-failing-loudly contract
+    // that ANSI mode already enforces for the distributed sums
     val m = Array.tabulate(dims, dims) { (i, j) =>
-      (n * moments((i, j)) - s(i) * s(j)).toDouble
+      Math.subtractExact(
+        Math.multiplyExact(n, moments((i, j))),
+        Math.multiplyExact(s(i), s(j))).toDouble
     }
     val u1 = powerIterate(m, iters)
     val lam1 = rayleigh(m, u1)

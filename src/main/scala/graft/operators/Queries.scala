@@ -545,7 +545,9 @@ object Queries {
       .select(
         col("l_orderkey"),
         size(col("m")).cast("long").as("n_lines"),
-        element_at(col("m"), lit(1)).as("qty_line1"),
+        // try_element_at: plain element_at THROWS under ANSI for an order
+        // whose lineitems lack linenumber 1; the oracle's CASE yields NULL
+        try_element_at(col("m"), lit(1)).as("qty_line1"),
         array_max(map_keys(col("m"))).cast("long").as("max_line"),
         expr("aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
           .as("total_qty"),

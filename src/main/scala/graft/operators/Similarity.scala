@@ -650,9 +650,12 @@ object Similarity {
              maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
     val asD = expr(s"transform($embCol, x -> CAST(x AS DOUBLE))")
     val cd = corpus.select(col(idCol), asD.as("emb"))
-    val maxAbs = cd
+    val maxRow = cd
       .select(max(expr("array_max(transform(emb, x -> abs(x)))")).as("m"))
-      .head().getDouble(0)
+      .head()
+    require(!maxRow.isNullAt(0),
+      "sqTopK needs a non-empty corpus with non-null embeddings")
+    val maxAbs = maxRow.getDouble(0)
     def codes(emb: Column): Column =
       if (maxAbs == 0.0) transform(emb, _ => lit(0L))
       else transform(emb, x =>

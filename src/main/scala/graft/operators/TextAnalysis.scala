@@ -286,10 +286,13 @@ object TextAnalysis {
     * low-frequency PMI explosion (a hapax pair scores arbitrarily high).
     *
     * Scale: bigram and unigram counts are two map-side-combined
-    * aggregates; both are VOCABULARY-sized, so the two unigram joins
-    * broadcast; the 1-row totals cross-join broadcasts; final global
-    * top-k is TakeOrdered. The corpus streams once per gram size, never
-    * shuffles on doc id.
+    * aggregates. The unigram joins carry NO broadcast hint — the frame
+    * is vocabulary-sized and therefore unbounded in corpus size, so the
+    * plan shuffles on the join key and AQE upgrades to broadcast at
+    * runtime when the measured model is small (a forced hint would OOM
+    * at 100 TB instead of degrading). Only the 1-row totals cross-join
+    * broadcasts; final global top-k is TakeOrdered. The corpus streams
+    * once per gram size, never shuffles on doc id.
     */
   def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
               k: Int = 20, minCount: Int = 5): DataFrame = {
@@ -307,8 +310,8 @@ object TextAnalysis {
     val nBi = toks.filter(size(col("tk")) >= 2)
       .agg(sum(size(col("tk")) - 1).cast("long").as("n_bi"))
     bi
-      .join(broadcast(uni.select(col("t").as("w1"), col("uc").as("uc1"))), "w1")
-      .join(broadcast(uni.select(col("t").as("w2"), col("uc").as("uc2"))), "w2")
+      .join(uni.select(col("t").as("w1"), col("uc").as("uc1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("uc").as("uc2")), "w2")
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .withColumn("pmi", round(
         log((col("bc") / col("n_bi").cast("double")) /
@@ -330,8 +333,12 @@ object TextAnalysis {
     * (last tokens excluded), so probabilities normalize exactly.
     *
     * Scale: bigram and prefix counts are vocabulary-sized map-side
-    * aggregates; both broadcast back onto the exploded bigram stream;
-    * one final doc-keyed aggregate. Same shuffle profile as tf-idf.
+    * aggregates joined back onto the exploded bigram stream on their
+    * keys WITHOUT a broadcast hint — the model tables grow with the
+    * corpus's distinct-bigram domain (billions of rows at 100 TB), so
+    * the joins shuffle-partition on w1/w2 and AQE upgrades them to
+    * broadcast at runtime only when the measured model is small. One
+    * final doc-keyed aggregate. Same shuffle profile as tf-idf.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = docs
@@ -342,8 +349,8 @@ object TextAnalysis {
       .select(col(idCol), col("g.w1"), col("g.w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
     val pc = bi.groupBy("w1").agg(count(lit(1)).as("pc"))
-    bi.join(broadcast(bc), Seq("w1", "w2"))
-      .join(broadcast(pc), Seq("w1"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(pc, Seq("w1"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("bc") / col("pc").cast("double"))), 4).as("avg_surprisal"))
@@ -366,9 +373,13 @@ object TextAnalysis {
     *
     * Scale shape: one corpus explode to bigram instances; four
     * vocabulary-sized model aggregates (bigram counts, context totals,
-    * forward/reverse continuation type counts) joined back — at test
-    * scale broadcast-class, at 100 TB the same joins shuffle on their
-    * keys; nothing here is corpus-quadratic.
+    * forward/reverse continuation type counts) joined back on their
+    * keys with NO broadcast hint — the distinct-bigram domain of a
+    * 100 TB corpus is billions of rows, and a forced hint never degrades
+    * to a shuffle, it OOMs. Unhinted, the plan shuffles on w1/w2 and AQE
+    * promotes each join to broadcast at runtime exactly when the
+    * measured model fits. Only the 1-row `tt` total keeps an explicit
+    * broadcast. Nothing here is corpus-quadratic.
     */
   def kneserNeySurprisal(docs: DataFrame, idCol: String, textCol: String,
                          discount: Double = 0.75): DataFrame = {
@@ -384,10 +395,10 @@ object TextAnalysis {
     val nf = bc.groupBy("w1").agg(count(lit(1)).as("nf"))
     val nr = bc.groupBy("w2").agg(count(lit(1)).as("nr"))
     val tt = bc.agg(count(lit(1)).as("tt"))
-    bi.join(broadcast(bc), Seq("w1", "w2"))
-      .join(broadcast(pc), Seq("w1"))
-      .join(broadcast(nf), Seq("w1"))
-      .join(broadcast(nr), Seq("w2"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(pc, Seq("w1"))
+      .join(nf, Seq("w1"))
+      .join(nr, Seq("w2"))
       .crossJoin(broadcast(tt))
       .withColumn("p", expr(
         s"""greatest(bc - $discount, 0D) / pc
