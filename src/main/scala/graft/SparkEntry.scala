@@ -89,6 +89,7 @@ object SparkEntry {
     "a04b_mysql_catalog"    -> (PipelineQueries.a04bMysqlCatalog _),
     "a04c_mysql_quirks"     -> (PipelineQueries.a04cMysqlQuirks _),
     "a04d_pg_quirks"        -> (PipelineQueries.a04dPgQuirks _),
+    "a04e_mssql_quirks"     -> (PipelineQueries.a04eMssqlQuirks _),
     "a05_type_mapping"      -> (PipelineQueries.a05TypeMapping _),
     "a06_schema_json"       -> (PipelineQueries.a06SchemaJson _),
     "a07_csv_roundtrip"     -> (PipelineQueries.a07CsvRoundtrip _),
@@ -509,6 +510,25 @@ object SparkEntry {
         |  ('is_deleted', 'boolean', 'STRING', 'boolean', 'false'),
         |  ('seq_no', 'integer', 'INTEGER', 'bigint', '2147483647'),
         |  ('sid', 'smallserial', 'STRING', 'bigint', '32767')
+        |) AS t(col_name, raw_type, bq_type, spark_type, parsed)
+        |ORDER BY col_name""".stripMargin,
+    // The SQL Server sibling truth table: bit/money/uniqueidentifier fall
+    // through the substring map to STRING (faithful — "BIT" contains no
+    // "INT"), engine keeps boolean/exact-decimal; datetime2's 7th
+    // fractional digit truncates at engine microseconds; datetimeoffset
+    // normalizes to the UTC instant; tinyint is unsigned, 255 survives.
+    "a04e_mssql_quirks" ->
+      """SELECT * FROM (VALUES
+        |  ('balance', 'money', 'STRING', 'decimal(19,4)', '922337203685477.5807'),
+        |  ('created_at', 'datetime2', 'DATETIME', 'timestamp_ntz', '2024-05-01 10:30:00.123456'),
+        |  ('event_at', 'datetimeoffset', 'DATETIME', 'timestamp', '2024-05-01 08:30:00'),
+        |  ('flag_off', 'bit', 'STRING', 'boolean', 'false'),
+        |  ('is_active', 'bit', 'STRING', 'boolean', 'true'),
+        |  ('modified_at', 'smalldatetime', 'DATETIME', 'timestamp_ntz', '2024-05-01 10:30:00'),
+        |  ('qty', 'tinyint', 'INTEGER', 'bigint', '255'),
+        |  ('row_guid', 'uniqueidentifier', 'STRING', 'string', '6f9619ff-8b86-d011-b42d-00c04fc964ff'),
+        |  ('tip', 'smallmoney', 'STRING', 'decimal(10,4)', '214748.3647'),
+        |  ('title', 'nvarchar(100)', 'STRING', 'string', 'naïve café')
         |) AS t(col_name, raw_type, bq_type, spark_type, parsed)
         |ORDER BY col_name""".stripMargin,
     "a05_type_mapping" ->

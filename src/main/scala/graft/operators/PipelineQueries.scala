@@ -264,6 +264,73 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  /** A4e — SQL Server dialect quirks through the A5 map, the third
+    * sibling of [[a04cMysqlQuirks]]/[[a04dPgQuirks]] for the reference's
+    * third engine (reference dags/mssql_to_bigquery.py:2 reads
+    * `database.dbo.thetable` over MsSqlHook; 3-part naming is pinned by
+    * TableConfig — these are the value/type traps):
+    *
+    *   - `datetime2`: default precision 7 (100 ns ticks) — one decimal
+    *     digit MORE than engine microseconds; the parse truncates the
+    *     7th fractional digit (pinned: `.1234567` → `.123456`);
+    *   - `smalldatetime`: minute-rounding happens server-side at WRITE
+    *     time; by catalog export the value is a plain wall-clock parse;
+    *   - `datetimeoffset`: SQL Server's INSTANT type — the reference's
+    *     DATETIME substring rule calls it wall-clock, the engine parses
+    *     the offset and normalizes to UTC (the timestamptz treatment);
+    *   - `bit`: looks like it should hit the `INT` substring rule but
+    *     "BIT" does not contain "INT" — reference map falls through to
+    *     STRING (faithful); engine keeps BooleanType, `0`/`1` parse;
+    *   - `money`/`smallmoney`: no substring rule → STRING faithfully;
+    *     engine keeps DECIMAL(19,4)/(10,4) so the full-range maxima
+    *     survive bit-for-bit where DOUBLE would round;
+    *   - `uniqueidentifier`: STRING fallback; the engine normalizes the
+    *     GUID to canonical lowercase (SQL Server compares GUIDs
+    *     case-insensitively; warehouse joins need ONE spelling);
+    *   - `tinyint`: UNSIGNED in SQL Server (0–255, unlike MySQL's
+    *     signed default) — hits the INT rule, widened to 64-bit, 255
+    *     survives;
+    *   - `nvarchar`: UTF-16 server-side, already Unicode on export —
+    *     STRING passthrough with non-ASCII intact.
+    *
+    * Like its siblings, every parse is a Spark cast over the fixture
+    * frame (row-local at any scale); only the 10-row fixture is
+    * driver-built.
+    */
+  def a04eMssqlQuirks(s: SparkSession, dir: String): DataFrame = {
+    val fixture = Seq(
+      ("created_at", "datetime2", "2024-05-01 10:30:00.1234567"),
+      ("modified_at", "smalldatetime", "2024-05-01 10:30:00"),
+      ("event_at", "datetimeoffset", "2024-05-01 10:30:00+02:00"),
+      ("is_active", "bit", "1"),
+      ("flag_off", "bit", "0"),
+      ("balance", "money", "922337203685477.5807"),
+      ("tip", "smallmoney", "214748.3647"),
+      ("row_guid", "uniqueidentifier", "6F9619FF-8B86-D011-B42D-00C04FC964FF"),
+      ("qty", "tinyint", "255"),
+      ("title", "nvarchar(100)", "naïve café"))
+    val mapped = fixture.map { case (n, t, v) =>
+      (n, t, TypeMapper.toBqType(t), TypeMapper.toSparkType(t).simpleString, v) }
+    val raw = s.createDataFrame(mapped)
+      .toDF("col_name", "raw_type", "bq_type", "spark_type", "raw_value")
+    raw.select(col("col_name"), col("raw_type"), col("bq_type"), col("spark_type"),
+        when(col("spark_type") === "timestamp_ntz",
+          col("raw_value").cast("timestamp_ntz").cast("string"))
+        .when(col("spark_type") === "timestamp",
+          col("raw_value").cast("timestamp").cast("string"))
+        .when(col("spark_type") === "boolean",
+          col("raw_value").cast("boolean").cast("string"))
+        .when(col("spark_type") === "decimal(19,4)",
+          col("raw_value").cast("decimal(19,4)").cast("string"))
+        .when(col("spark_type") === "decimal(10,4)",
+          col("raw_value").cast("decimal(10,4)").cast("string"))
+        .when(col("spark_type") === "bigint",
+          col("raw_value").cast("bigint").cast("string"))
+        .when(col("raw_type") === "uniqueidentifier", lower(col("raw_value")))
+        .otherwise(col("raw_value")).as("parsed"))
+      .orderBy("col_name")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

@@ -65,6 +65,25 @@ object TypeMapper {
     //     (session-zoned), not TimestampNTZType;
     //   - NUMERIC: PG's spelling of DECIMAL — without (p,s) it is
     //     arbitrary-precision, so the fidelity flag matters most here.
+    // Microsoft SQL Server dialect extensions (the reference's THIRD
+    // engine — reference dags/mssql_to_bigquery.py:2 queries
+    // `database.dbo.thetable`; 3-part naming is covered by TableConfig,
+    // these are the value/type quirks):
+    //   - BIT: SQL Server's 0/1 boolean. "BIT" carries no INT substring
+    //     (despite the visual similarity), so the reference map falls
+    //     through to STRING — toBqType stays faithful; the engine keeps
+    //     BooleanType. Exact-match guard so PG's VARBIT stays STRING.
+    //   - MONEY/SMALLMONEY: fixed-point decimal(19,4)/(10,4); no
+    //     substring rule matches → STRING faithfully; the engine keeps
+    //     the exact decimal so the 922337203685477.5807 max survives.
+    //   - DATETIMEOFFSET: an INSTANT with explicit offset (SQL Server's
+    //     timestamptz analog), but the DATETIME substring rule calls it
+    //     wall-clock DATETIME — the engine parses the offset and
+    //     normalizes to UTC (TimestampType), like PG's timestamptz.
+    if (up == "BIT") return BooleanType
+    if (up.contains("SMALLMONEY")) return DecimalType(10, 4)
+    if (up.contains("MONEY")) return DecimalType(19, 4)
+    if (up.contains("DATETIMEOFFSET")) return TimestampType
     if (up.contains("BOOL")) return BooleanType
     if (up.contains("SERIAL")) return LongType
     if (up.contains("TIMESTAMPTZ") || up.contains("WITH TIME ZONE"))

@@ -106,6 +106,49 @@ class TypeMapperSpec extends AnyFunSuite {
       "29 significant digits must survive DECIMAL(38,9)")
   }
 
+  test("SQL Server dialect rules: bit/money/datetimeoffset/tinyint; " +
+      "BQ map stays substring-faithful") {
+    // "BIT" contains no "INT" — reference map falls through to STRING
+    assert(TypeMapper.toBqType("bit") == "STRING")
+    assert(TypeMapper.toSparkType("bit") == BooleanType)
+    // exact-match guard: PG's VARBIT is NOT a boolean
+    assert(TypeMapper.toSparkType("varbit") == StringType)
+    assert(TypeMapper.toBqType("money") == "STRING")
+    assert(TypeMapper.toSparkType("money") == DecimalType(19, 4))
+    assert(TypeMapper.toSparkType("smallmoney") == DecimalType(10, 4))
+    assert(TypeMapper.toBqType("datetimeoffset") == "DATETIME",
+      "the DATETIME substring rule fires — reference-faithful wall-clock label")
+    assert(TypeMapper.toSparkType("datetimeoffset") == TimestampType,
+      "engine treats the offset type as an instant")
+    assert(TypeMapper.toBqType("datetime2") == "DATETIME")
+    assert(TypeMapper.toSparkType("datetime2") == TimestampNTZType)
+    assert(TypeMapper.toSparkType("smalldatetime") == TimestampNTZType)
+    assert(TypeMapper.toBqType("tinyint") == "INTEGER")
+    assert(TypeMapper.toBqType("uniqueidentifier") == "STRING")
+    assert(TypeMapper.toSparkType("uniqueidentifier") == StringType)
+    assert(TypeMapper.toBqType("nvarchar") == "STRING")
+  }
+
+  test("a04e dialect quirks: datetime2 truncation, UTC-normalized " +
+      "datetimeoffset, money maxima, GUID lowercasing") {
+    val spark = graft.Engine.session("typemapper-a04e", "2")
+    val got = graft.operators.PipelineQueries
+      .a04eMssqlQuirks(spark, "")
+      .collect().map(r => r.getString(0) -> Option(r.getString(4))).toMap
+    assert(got("created_at").contains("2024-05-01 10:30:00.123456"),
+      "datetime2(7)'s 100-ns digit must truncate at engine microseconds")
+    assert(got("event_at").contains("2024-05-01 08:30:00"),
+      "+02:00 offset must normalize to the UTC instant")
+    assert(got("is_active").contains("true"))
+    assert(got("flag_off").contains("false"))
+    assert(got("balance").contains("922337203685477.5807"),
+      "money max must survive DECIMAL(19,4)")
+    assert(got("tip").contains("214748.3647"))
+    assert(got("row_guid").contains("6f9619ff-8b86-d011-b42d-00c04fc964ff"))
+    assert(got("qty").contains("255"), "SQL Server tinyint is unsigned")
+    assert(got("title").contains("naïve café"))
+  }
+
   test("name sanitization rules") {
     assert(TypeMapper.sanitizeName("full name") == "full_name")
     assert(TypeMapper.sanitizeName("either/or") == "either_and_or")
