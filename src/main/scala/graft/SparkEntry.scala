@@ -170,6 +170,7 @@ object SparkEntry {
     "prep_token_budget"     -> (LlmQueries.prepTokenBudget _),
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
+    "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -212,6 +213,154 @@ object SparkEntry {
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
   )
+
+  /** The standard PPM-generator byte value (the [[operators.Multimodal
+    * .ppmMedia]] formula) for oracle SQL, with `$b` the byte-index
+    * variable; `seed`/`w`/`dlt` come from the surrounding dims CTE.
+    */
+  private def stdByteSql(b: String): String =
+    s"""(seed * 31 + $b * 17 + (seed * $b) % 251
+       |      + 40 * (($b // (w * 3)) % 6)
+       |      + CASE WHEN $b < 6 THEN dlt ELSE 0 END) % 256""".stripMargin
+
+  /** The CLAMPED generator byte ([[operators.Multimodal.ppmMediaClamped]]):
+    * base compressed into 30..209, then a row-linear gradient of
+    * amplitude `dlt` added OUTSIDE the mod (never wraps for dlt ≤ 46).
+    */
+  private def clampedByteSql(b: String): String =
+    s"""((seed * 31 + $b * 17 + (seed * $b) % 251
+       |      + 40 * (($b // (w * 3)) % 6)) % 256) * 180 // 256 + 30
+       |      + ($b // (w * 3)) * dlt // h""".stripMargin
+
+  /** DuckDB replay of the integer DCT pHash ([[operators.Multimodal]]
+    * `dctPhash64`) from a `corpus(doc_id, seed, dlt)` CTE to per-doc
+    * 4×16-bit `bands(doc_id, band, bv)`: 32×32 nearest-sample luma grid,
+    * 1024·g − Σg mean-centering, two-stage DCT against the SAME
+    * fixed-point cosine table the engine uses (interpolated from
+    * [[operators.Multimodal.DctT]]), 63·F > ΣAC threshold bits.
+    */
+  private def dctBandsSql(byteSql: String => String): String =
+    s"""dims AS (SELECT doc_id, seed, dlt,
+       |  CAST(seed % 13 + 8 AS BIGINT) AS w,
+       |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
+       |grid AS MATERIALIZED (
+       |  SELECT doc_id, seed, dlt, w, h, gx.cx, gy.cy,
+       |    (gx.cx * w) // 32 AS px, (gy.cy * h) // 32 AS py
+       |  FROM dims,
+       |    LATERAL (SELECT unnest(range(0, 32)) AS cx) gx,
+       |    LATERAL (SELECT unnest(range(0, 32)) AS cy) gy),
+       |glum AS MATERIALIZED (
+       |  SELECT doc_id, cx, cy, SUM(
+       |    (CASE bb.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+       |    (${byteSql("bb.b")})) AS lum
+       |  FROM grid, LATERAL (SELECT unnest(range(3 * (py * w + px),
+       |    3 * (py * w + px) + 3)) AS b) bb
+       |  GROUP BY 1, 2, 3),
+       |gtot AS (SELECT doc_id, SUM(lum) AS gt FROM glum GROUP BY 1),
+       |gcen AS (SELECT g.doc_id, cx, cy, 1024 * lum - gt AS v
+       |  FROM glum g JOIN gtot USING (doc_id)),
+       |dct AS (SELECT * FROM (VALUES ${operators.Multimodal.dctTableSql})
+       |  v(u, x, t)),
+       |r1 AS (SELECT doc_id, d.u, gcen.cy AS cy, SUM(d.t * gcen.v) AS rv
+       |  FROM gcen JOIN dct d ON d.x = gcen.cx GROUP BY 1, 2, 3),
+       |fc AS MATERIALIZED (
+       |  SELECT r1.doc_id, r1.u, d.u AS vfreq, SUM(d.t * r1.rv) AS fv
+       |  FROM r1 JOIN dct d ON d.x = r1.cy GROUP BY 1, 2, 3),
+       |ac AS (SELECT doc_id, SUM(fv) AS s FROM fc GROUP BY 1),
+       |bits AS (SELECT fc.doc_id, (fc.u * 8 + fc.vfreq) // 16 AS band,
+       |    CAST((fc.u * 8 + fc.vfreq) % 16 AS INT) AS bandbit,
+       |    CASE WHEN 63 * fv > s THEN 1 ELSE 0 END AS bit
+       |  FROM fc JOIN ac USING (doc_id)),
+       |bands AS MATERIALIZED (SELECT doc_id, band,
+       |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB replay of the 8×8 block-mean aHash (all-pixel walk) to
+    * `abands(doc_id, band, bv)` — prefixed names so it composes with
+    * [[dctBandsSql]] in one WITH chain (the recall oracle runs both).
+    */
+  private def ahashBandsSql(byteSql: String => String): String =
+    s"""adims AS (SELECT doc_id, seed, dlt,
+       |  CAST(seed % 13 + 8 AS BIGINT) AS w,
+       |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
+       |apx AS MATERIALIZED (SELECT doc_id,
+       |    (((g.b // 3) // w) * 8 // h) * 8 + (((g.b // 3) % w) * 8 // w)
+       |      AS cell,
+       |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+       |    (${byteSql("g.b")}) AS lum
+       |  FROM adims, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g),
+       |acells AS (SELECT doc_id, cell, SUM(lum) AS cs, COUNT(*) AS cc
+       |  FROM apx GROUP BY 1, 2),
+       |atot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc
+       |  FROM acells GROUP BY 1),
+       |abits AS (SELECT c.doc_id, c.cell // 16 AS band,
+       |    CAST(c.cell % 16 AS INT) AS bandbit,
+       |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+       |  FROM acells c JOIN atot t USING (doc_id)),
+       |abands AS MATERIALIZED (SELECT doc_id, band,
+       |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
+       |  FROM abits GROUP BY 1, 2)""".stripMargin
+
+  /** Full oracle for the DCT near-dup rows: generator corpus (originals
+    * + perturbed copies), [[dctBandsSql]] signatures, band-collision
+    * candidates, exact-hamming verify. `deltaInvolving` restricts the
+    * pair class to delta-involving pairs (the incremental surface).
+    */
+  private def phashDctOracleSql(deltaInvolving: Boolean): String =
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
+       |  UNION ALL SELECT doc_id + 1000000, doc_id, 8 FROM ids),
+       |${dctBandsSql(stdByteSql)},
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  ${if (deltaInvolving) "WHERE y.doc_id >= 1000000" else ""}),
+       |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
+       |  FROM cand c
+       |  JOIN bands x ON x.doc_id = c.a
+       |  JOIN bands y ON y.doc_id = c.b AND y.band = x.band
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM hx
+       |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+
+  /** Oracle for mm_phash_recall: both signature pipelines over the
+    * clamped gradient fixture; per-planted-pair hamming (banding is
+    * exhaustive at ≤ 3, so direct hamming IS the banded operator's
+    * recall); one row per method.
+    */
+  private def phashRecallOracleSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
+       |  UNION ALL SELECT doc_id + 1000000, doc_id, 12 FROM ids),
+       |${dctBandsSql(clampedByteSql)},
+       |${ahashBandsSql(clampedByteSql)},
+       |n AS (SELECT COUNT(*) AS np FROM ids),
+       |dham AS (SELECT i.doc_id AS a, SUM(bit_count(xor(x.bv, y.bv))) AS hm
+       |  FROM ids i
+       |  JOIN bands x ON x.doc_id = i.doc_id
+       |  JOIN bands y ON y.doc_id = i.doc_id + 1000000 AND y.band = x.band
+       |  GROUP BY 1),
+       |aham AS (SELECT i.doc_id AS a, SUM(bit_count(xor(x.bv, y.bv))) AS hm
+       |  FROM ids i
+       |  JOIN abands x ON x.doc_id = i.doc_id
+       |  JOIN abands y ON y.doc_id = i.doc_id + 1000000 AND y.band = x.band
+       |  GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT 'ahash_block_mean' AS method, CAST(np AS BIGINT) AS n_planted,
+       |    CAST((SELECT COUNT(*) FROM aham WHERE hm <= 3) AS BIGINT)
+       |      AS n_found,
+       |    ROUND((SELECT COUNT(*) FROM aham WHERE hm <= 3)
+       |      / CAST(np AS DOUBLE), 4) AS recall
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 'phash_dct', CAST(np AS BIGINT),
+       |    CAST((SELECT COUNT(*) FROM dham WHERE hm <= 3) AS BIGINT),
+       |    ROUND((SELECT COUNT(*) FROM dham WHERE hm <= 3)
+       |      / CAST(np AS DOUBLE), 4)
+       |  FROM n)
+       |ORDER BY method""".stripMargin
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
     * footnotes: json_extract_string, list_dot_product with a DOUBLE[] cast
@@ -2115,93 +2264,21 @@ object SparkEntry {
         |FROM o JOIN sn ON o.doc_id = sn.doc_id
         |LEFT JOIN sj ON o.doc_id = sj.doc_id
         |ORDER BY o.doc_id""".stripMargin,
-    // Mean-luminance aHash over REAL decoded pixels: the engine parses
-    // actual P6 bytes, the oracle recomputes every cell bit from the
-    // generator formula — same BT.601 integer luminance, same 8x8 floor
-    // grid, same exact cross-multiplied mean threshold, same 4x16-bit
-    // banding + exact-hamming verify (assembled per band so no 64-bit
-    // sign games are needed).
-    "mm_phash_neardup" ->
-      """WITH ids AS (SELECT doc_id FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
-        |  UNION ALL SELECT doc_id + 1000000, doc_id, 8 FROM ids),
-        |dims AS (SELECT doc_id, seed, dlt,
-        |  CAST(seed % 13 + 8 AS BIGINT) AS w,
-        |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
-        |px AS (SELECT doc_id,
-        |    (((g.b // 3) // w) * 8 // h) * 8 + (((g.b // 3) % w) * 8 // w)
-        |      AS cell,
-        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
-        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
-        |      + 40 * ((g.b // (w * 3)) % 6)
-        |      + CASE WHEN g.b < 6 THEN dlt ELSE 0 END) % 256) AS lum
-        |  FROM dims, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g),
-        |-- cc counts BYTES (3x pixels) on both sides of every
-        |-- cross-multiplied mean compare, so the factor cancels
-        |cells AS (SELECT doc_id, cell, SUM(lum) AS cs, COUNT(*) AS cc
-        |          FROM px GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc
-        |        FROM cells GROUP BY 1),
-        |bits AS (SELECT c.doc_id, c.cell // 16 AS band,
-        |    CAST(c.cell % 16 AS INT) AS bandbit,
-        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)),
-        |bands AS (SELECT doc_id, band,
-        |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-        |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
-        |  FROM cand c
-        |  JOIN bands x ON x.doc_id = c.a
-        |  JOIN bands y ON y.doc_id = c.b AND y.band = x.band
-        |  GROUP BY 1, 2)
-        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM hx
-        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+    // DCT pHash over REAL decoded pixels: the engine parses actual P6
+    // bytes, the oracle replays the integer signature pipeline from the
+    // generator formula — same nearest-sample 32x32 luma grid, same
+    // mean-centering, the SAME fixed-point cosine table (interpolated
+    // from Multimodal.DctT), same 63*F > sumAC threshold, same 4x16-bit
+    // banding + exact-hamming verify.
+    "mm_phash_neardup" -> phashDctOracleSql(deltaInvolving = false),
     // The delta-involving subset of the mm_phash_neardup pair class
     // (the greater id of any such pair is a delta doc): the engine only
     // DECODES the delta and reads the persisted lake signature artifact;
     // the oracle recomputes both sides from the generator formula.
-    "mm_incremental_phash" ->
-      """WITH ids AS (SELECT doc_id FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, doc_id AS seed, 0 AS dlt FROM ids
-        |  UNION ALL SELECT doc_id + 1000000, doc_id, 8 FROM ids),
-        |dims AS (SELECT doc_id, seed, dlt,
-        |  CAST(seed % 13 + 8 AS BIGINT) AS w,
-        |  CAST(seed % 11 + 8 AS BIGINT) AS h FROM corpus),
-        |px AS (SELECT doc_id,
-        |    (((g.b // 3) // w) * 8 // h) * 8 + (((g.b // 3) % w) * 8 // w)
-        |      AS cell,
-        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
-        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
-        |      + 40 * ((g.b // (w * 3)) % 6)
-        |      + CASE WHEN g.b < 6 THEN dlt ELSE 0 END) % 256) AS lum
-        |  FROM dims, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g),
-        |cells AS (SELECT doc_id, cell, SUM(lum) AS cs, COUNT(*) AS cc
-        |          FROM px GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc
-        |        FROM cells GROUP BY 1),
-        |bits AS (SELECT c.doc_id, c.cell // 16 AS band,
-        |    CAST(c.cell % 16 AS INT) AS bandbit,
-        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING (doc_id)),
-        |bands AS (SELECT doc_id, band,
-        |    CAST(SUM(bit * (1::BIGINT << bandbit)) AS BIGINT) AS bv
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-        |  WHERE y.doc_id >= 1000000),
-        |hx AS (SELECT c.a, c.b, SUM(bit_count(xor(x.bv, y.bv))) AS hamming
-        |  FROM cand c
-        |  JOIN bands x ON x.doc_id = c.a
-        |  JOIN bands y ON y.doc_id = c.b AND y.band = x.band
-        |  GROUP BY 1, 2)
-        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM hx
-        |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+    "mm_incremental_phash" -> phashDctOracleSql(deltaInvolving = true),
+    // Robustness contrast under a smooth luminance gradient: both
+    // integer hash pipelines replayed bit-for-bit; recall per method.
+    "mm_phash_recall" -> phashRecallOracleSql,
     "a27_orc_roundtrip" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS rev,

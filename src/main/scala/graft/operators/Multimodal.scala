@@ -160,7 +160,28 @@ object Multimodal {
 
   case class PixelStatsRow(doc_id: Long, width: Int, height: Int,
                            channels: Int, pixel_off: Int, lum_total: Long,
-                           ph: Long)
+                           ah: Long, ph: Long)
+
+  /** Fixed-point DCT-II basis for the 32→8 frequency projection:
+    * `T(u)(x) = round(cos(π(2x+1)u/64) · 256)`, u ∈ 0..7, x ∈ 0..31.
+    * Scale 256 keeps the full two-stage transform inside Long
+    * (|gc| ≤ 2^28, so |F| ≤ 32²·256²·2^28 < 2^58 and the 63× threshold
+    * compare stays < 2^63); StrictMath.cos pins the table bit-for-bit on
+    * any JVM, and [[dctTableSql]] hands the SAME integers to an external
+    * oracle — the transform is integer-exact end-to-end, so every hash
+    * bit reproduces.
+    */
+  private[graft] val DctT: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (u, x) =>
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) * 256.0)
+    }
+
+  /** The DCT basis as a SQL VALUES relation `(u, x, t)` — interpolated
+    * into oracle SQL so both engines multiply identical integers.
+    */
+  def dctTableSql: String =
+    (for { u <- 0 until 8; x <- 0 until 32 }
+      yield s"($u, $x, ${DctT(u)(x)})").mkString(", ")
 
   /** Partition-wise full decode: parse the header, walk the REAL pixel
     * array, and emit per-image statistics plus the 64-bit mean-luminance
@@ -189,9 +210,10 @@ object Multimodal {
       rows.flatMap { r =>
         decodeHeader(r.data).filter(i => i.width >= 8 && i.height >= 8)
           .map { info =>
-            val (lumTotal, ph) = aHash64(r.data, info)
+            val (lumTotal, ah) = aHash64(r.data, info)
+            val ph = dctPhash64(r.data, info)
             PixelStatsRow(r.doc_id, info.width, info.height, info.channels,
-              info.pixelOffset, lumTotal, ph)
+              info.pixelOffset, lumTotal, ah, ph)
           }
       }
     }
@@ -243,13 +265,106 @@ object Multimodal {
     (totSum, ph)
   }
 
+  /** The standard perceptual hash behind [[decodePixels]]' `ph`: the
+    * 8×8-DCT low-frequency fingerprint of a 32×32 luma grid — integer
+    * throughout, so an external oracle reproduces every bit.
+    *
+    * Construction:
+    *   - nearest-sample resize: grid cell (cx, cy) reads the pixel at
+    *     `(cx·w/32, cy·h/32)` (floor — total for ANY w, h ≥ 1, exact,
+    *     no box-filter division), luma `299R + 587G + 114B` (×1000);
+    *   - mean-centering: `gc = 1024·g − Σg`. Σgc = 0 EXACTLY, so a
+    *     uniform brightness shift cancels term-by-term (no reliance on
+    *     rounded cosine rows summing to zero) and the DC coefficient is
+    *     identically 0;
+    *   - separable two-stage DCT against [[DctT]] (integer, scale 256):
+    *     `F(u,v) = Σ_y T(v)(y) · Σ_x T(u)(x) · gc(x,y)`, u,v ∈ 0..7;
+    *   - bit u·8+v is 1 iff `63·F(u,v) > Σ_AC F` — the pHash
+    *     mean-of-AC threshold, compared exactly in integers (DC is 0 so
+    *     the plain sum IS the AC sum; its own bit just records the AC
+    *     sum's sign — a fixed convention, never image detail).
+    *
+    * vs the [[aHash64]] block-mean hash: both are invariant to uniform
+    * shifts, but aHash bits flip wherever a SMOOTH luminance gradient
+    * walks cell means across the global mean, while a gradient projects
+    * onto one or two lowest AC coefficients here and leaves the rest of
+    * the spectrum — the measured contrast is the mm_phash_recall row.
+    */
+  private def dctPhash64(data: Array[Byte], info: ImageInfo): Long = {
+    val w = info.width; val h = info.height; val ch = info.channels
+    val g = new Array[Long](1024)
+    var tot = 0L
+    var cy = 0
+    while (cy < 32) {
+      val py = cy * h / 32
+      val srcRow = if (info.bottomUp) h - 1 - py else py
+      val rowBase = info.pixelOffset + srcRow * info.rowStride
+      var cx = 0
+      while (cx < 32) {
+        val base = rowBase + (cx * w / 32) * ch
+        val lum =
+          if (ch >= 3) {
+            val c0 = data(base) & 0xFF
+            val c1 = data(base + 1) & 0xFF
+            val c2 = data(base + 2) & 0xFF
+            if (info.bgr) 299L * c2 + 587L * c1 + 114L * c0
+            else 299L * c0 + 587L * c1 + 114L * c2
+          } else 1000L * (data(base) & 0xFF)
+        g(cy * 32 + cx) = lum
+        tot += lum
+        cx += 1
+      }
+      cy += 1
+    }
+    // stage 1: R(u, cy) = Σ_cx T(u)(cx) · (1024·g − tot)
+    val r = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      val tu = DctT(u)
+      cy = 0
+      while (cy < 32) {
+        var s = 0L; var cx = 0
+        while (cx < 32) {
+          s += tu(cx) * (1024L * g(cy * 32 + cx) - tot)
+          cx += 1
+        }
+        r(u)(cy) = s
+        cy += 1
+      }
+      u += 1
+    }
+    // stage 2 + AC-mean threshold bits
+    val f = new Array[Long](64)
+    var acSum = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val tv = DctT(v)
+        var s = 0L; var yy = 0
+        while (yy < 32) { s += tv(yy) * r(u)(yy); yy += 1 }
+        f(u * 8 + v) = s
+        acSum += s // F(0,0) is exactly 0, so the plain sum is the AC sum
+        v += 1
+      }
+      u += 1
+    }
+    var ph = 0L; var k = 0
+    while (k < 64) {
+      if (63L * f(k) > acSum) ph |= 1L << k
+      k += 1
+    }
+    ph
+  }
+
   /** Perceptual near-duplicate pairs over REAL decoded pixels: LSH
-    * banding of the [[decodePixels]] 64-bit mean-luminance aHash — 4
-    * bands × 16 bits, any full-band agreement is a candidate, candidates
-    * verified by exact hamming ≤ `maxHamming`. Pigeonhole: ≤ 3 flipped
-    * bits corrupt at most 3 of 4 bands, so banding is EXHAUSTIVE at the
-    * emitted threshold (the [[phashNearDups]] argument, now over pixel
-    * features instead of byte-block checksums).
+    * banding of the [[decodePixels]] 64-bit DCT pHash ([[dctPhash64]]) —
+    * 4 bands × 16 bits, any full-band agreement is a candidate,
+    * candidates verified by exact hamming ≤ `maxHamming`. Pigeonhole:
+    * ≤ 3 flipped bits corrupt at most 3 of 4 bands, so banding is
+    * EXHAUSTIVE at the emitted threshold (the [[phashNearDups]]
+    * argument, over DCT frequency features instead of byte-block
+    * checksums).
     *
     * Scale shape: one payload scan for signatures (checkpointed once —
     * it feeds both sides of the band self-join), then a sparse equi-join
@@ -257,27 +372,30 @@ object Multimodal {
     * decodable ≥ 8×8 images participate ([[decodePixels]]' refusal
     * contract).
     */
-  /** The 4×16-bit band explode of an aHash signature frame. */
-  private def aHashBands(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), col("ph"),
+  /** The 4×16-bit band explode of a 64-bit signature column `hCol`. */
+  private def sigBands(sig: DataFrame, hCol: String = "ph"): DataFrame =
+    sig.select(col("doc_id"), col(hCol).as("sigh"),
       explode(expr(
-        """transform(sequence(0, 3), b -> struct(
+        s"""transform(sequence(0, 3), b -> struct(
           |  b AS band,
-          |  shiftrightunsigned(ph, CAST(b * 16 AS INT)) & 65535 AS bv))"""
+          |  shiftrightunsigned($hCol, CAST(b * 16 AS INT)) & 65535 AS bv))"""
           .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
+      .select(col("doc_id"), col("sigh"), col("bb.band").as("band"),
         col("bb.bv").as("bv"))
 
-  def aHashNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  /** Banded hamming-≤`maxHamming` pairs over a `(doc_id, <hCol>)`
+    * signature frame — the shared engine of [[dctNearDups]] and the
+    * mm_phash_recall measurement.
+    */
+  private[operators] def bandedSigPairs(sig: DataFrame, hCol: String,
+                                        maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
-    val sig = decodePixels(media).toDF().select(col("doc_id"), col("ph"))
-      .localCheckpoint(true)
-    val bands = aHashBands(sig)
+    val bands = sigBands(sig, hCol)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.ph").as("pha"), col("y.ph").as("phb"))
+        col("x.sigh").as("pha"), col("y.sigh").as("phb"))
       .distinct()
     cands
       .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))).cast("long"))
@@ -285,7 +403,13 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Incremental perceptual near-dup against PRECOMPUTED lake aHash
+  def dctNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val sig = decodePixels(media).toDF().select(col("doc_id"), col("ph"))
+      .localCheckpoint(true)
+    bandedSigPairs(sig, "ph", maxHamming)
+  }
+
+  /** Incremental perceptual near-dup against PRECOMPUTED lake pHash
     * signatures — the media sibling of
     * [[Dedup.deltaNearDupPairs]]: `lakeSig` is a previously persisted
     * `(doc_id, ph)` frame (the [[decodePixels]] output written to
@@ -297,22 +421,22 @@ object Multimodal {
     * unchanged. At 100 TB of media this is the difference between
     * re-decoding the corpus daily and an O(Δ + collisions) job.
     */
-  def deltaAHashNearDups(lakeSig: DataFrame, delta: Dataset[MediaRow],
-                         maxHamming: Int = 3): DataFrame = {
+  def deltaDctNearDups(lakeSig: DataFrame, delta: Dataset[MediaRow],
+                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
     val sigNew = decodePixels(delta).toDF().select(col("doc_id"), col("ph"))
       .localCheckpoint(true) // feeds its own bands AND the union side
     val sigAll = lakeSig.select(col("doc_id"), col("ph")).unionByName(sigNew)
-    val cands = aHashBands(sigNew).as("x").join(aHashBands(sigAll).as("y"),
+    val cands = sigBands(sigNew).as("x").join(sigBands(sigAll).as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-        when(col("x.doc_id") < col("y.doc_id"), col("x.ph"))
-          .otherwise(col("y.ph")).as("pha"),
-        when(col("x.doc_id") < col("y.doc_id"), col("y.ph"))
-          .otherwise(col("x.ph")).as("phb"))
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sigh"))
+          .otherwise(col("y.sigh")).as("pha"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sigh"))
+          .otherwise(col("x.sigh")).as("phb"))
       .distinct()
     cands
       .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))).cast("long"))
@@ -354,7 +478,29 @@ object Multimodal {
     (0 until 256).map(i => f"'$i%02X'").mkString("array(", ", ", ")")
 
   def ppmMedia(ids: DataFrame, idCol: String, seedCol: String,
-               deltaSql: String = "0"): DataFrame = {
+               deltaSql: String = "0"): DataFrame =
+    ppmMediaFrom(ids, idCol, seedCol,
+      s"""pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
+         |     + 40 * pmod(i div (w * 3), 6)
+         |     + ($deltaSql), 256)""".stripMargin)
+
+  /** The CLAMPED generator variant: base bytes compress into 30..209
+    * (`raw·180 div 256 + 30`) and the perturbation ADDS OUTSIDE the
+    * mod — so a `deltaSql` bounded by 46 can never wrap a byte past
+    * 255. This is the fixture for luminance-perturbation recall rows
+    * ([[ppmMedia]]'s in-mod delta wraps ~8% of bytes, turning a smooth
+    * brightness/gradient shift into impulse noise that confounds the
+    * measurement). `deltaSql` sees `i`, `seed`, `w`, `hh`.
+    */
+  def ppmMediaClamped(ids: DataFrame, idCol: String, seedCol: String,
+                      deltaSql: String = "0"): DataFrame =
+    ppmMediaFrom(ids, idCol, seedCol,
+      s"""pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
+         |     + 40 * pmod(i div (w * 3), 6), 256) * 180 div 256 + 30
+         |     + ($deltaSql)""".stripMargin)
+
+  private def ppmMediaFrom(ids: DataFrame, idCol: String, seedCol: String,
+                           pxSql: String): DataFrame = {
     val base = Spread.ifNarrow(
         ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
       .withColumn("w", (col("seed") % 13 + 8).cast("int"))
@@ -363,9 +509,7 @@ object Multimodal {
       .withColumn("px_hex", expr(
         s"""array_join(transform(sequence(0, w * hh * 3 - 1),
            |  i -> element_at($hexLutSql,
-           |         CAST(pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
-           |                   + 40 * pmod(i div (w * 3), 6)
-           |                   + ($deltaSql), 256) AS INT) + 1)),
+           |         CAST($pxSql AS INT) + 1)),
            |  '')""".stripMargin))
       .select(col("doc_id"),
         concat(

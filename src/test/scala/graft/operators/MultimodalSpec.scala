@@ -104,12 +104,46 @@ class MultimodalSpec extends SparkTestBase {
     val got = Multimodal.decodePixels(media).collect().head
     val expected = (0 until 64).map { k =>
       if (k % 8 >= 4) 1L << k else 0L }.sum
-    assert(got.ph == expected, f"ph=${got.ph}%016x expected=$expected%016x")
+    assert(got.ah == expected, f"ah=${got.ah}%016x expected=$expected%016x")
     assert(got.width == 16 && got.height == 16 && got.channels == 3)
     assert(got.lum_total == 8 * 16 * 1000L * 255)
+    // DCT pHash on a pure left/right step: the horizontal-frequency
+    // spectrum carries all the energy, so every bit in the u=0 row
+    // (pure vertical frequencies, coefficients exactly 0) agrees with
+    // the sign of the AC sum, and the hash is non-degenerate
+    assert(got.ph != 0L && got.ph != -1L)
   }
 
-  test("deltaAHashNearDups: equals the batch pair set restricted to " +
+  test("dctPhash64: exactly invariant to uniform brightness shift, " +
+      "small hamming under a smooth gradient") {
+    import spark.implicits._
+    // 16x12 P6 with mid-range pixels (60..195) so +40 never wraps
+    val w = 16; val h = 12
+    def ppm(f: Int => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("UTF-8")
+      header ++ Array.tabulate[Byte](w * h * 3)(i => f(i).toByte)
+    }
+    def basePx(i: Int): Int = 60 + (i * 37 + (i * i) % 89) % 136
+    val media = Seq(
+      Multimodal.MediaRow(1L, ppm(basePx), "image/ppm", 0L),
+      Multimodal.MediaRow(2L, ppm(i => basePx(i) + 40), "image/ppm", 0L),
+      // vertical gradient: row-linear 0..44 luminance ramp
+      Multimodal.MediaRow(3L, ppm(i => basePx(i) + (i / (3 * w)) * 44 / h),
+        "image/ppm", 0L)).toDS()
+    val sig = Multimodal.decodePixels(media)
+      .collect().map(r => r.doc_id -> (r.ah, r.ph)).toMap
+    assert(sig(1L)._2 == sig(2L)._2,
+      "DCT mean-centering must cancel a uniform shift exactly")
+    assert(sig(1L)._1 == sig(2L)._1,
+      "aHash mean-relative bits are also shift-invariant")
+    val dctHam = java.lang.Long.bitCount(sig(1L)._2 ^ sig(3L)._2)
+    val ahHam = java.lang.Long.bitCount(sig(1L)._1 ^ sig(3L)._1)
+    assert(dctHam < ahHam,
+      s"a smooth gradient must perturb the DCT spectrum less than the " +
+        s"block means (dct=$dctHam ahash=$ahHam)")
+  }
+
+  test("deltaDctNearDups: equals the batch pair set restricted to " +
       "delta-involving pairs, consuming only precomputed lake signatures") {
     import spark.implicits._
     val ids = (1L to 30L).toDF("doc_id")
@@ -123,9 +157,9 @@ class MultimodalSpec extends SparkTestBase {
       "doc_id", "seed", deltaSql = "IF(i < 6, 8, 0)"))
     val lakeSig = Multimodal.decodePixels(lake).toDF()
       .select(col("doc_id"), col("ph")).localCheckpoint(true)
-    val got = Multimodal.deltaAHashNearDups(lakeSig, delta)
+    val got = Multimodal.deltaDctNearDups(lakeSig, delta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = Multimodal.aHashNearDups(lake.unionByName(delta))
+    val batch = Multimodal.dctNearDups(lake.unionByName(delta))
       .filter(col("b") >= 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === batch,
@@ -157,11 +191,11 @@ class MultimodalSpec extends SparkTestBase {
     val got = Multimodal.decodePixels(media).collect().head
     val expected = (0 until 64).map { k =>
       if (k / 8 >= 4) 1L << k else 0L }.sum
-    assert(got.ph == expected,
-      f"bottom-up flip wrong: ph=${got.ph}%016x expected=$expected%016x")
+    assert(got.ah == expected,
+      f"bottom-up flip wrong: ah=${got.ah}%016x expected=$expected%016x")
   }
 
-  test("aHashNearDups: identical images pair at hamming 0, banding " +
+  test("dctNearDups: identical images pair at hamming 0, banding " +
       "equals brute force at hamming <= 3, sub-8x8 images are excluded") {
     import spark.implicits._
     val ids = (1L to 40L).toDF("doc_id")
@@ -178,7 +212,7 @@ class MultimodalSpec extends SparkTestBase {
     val sig = Multimodal.decodePixels(media)
       .collect().map(r => r.doc_id -> r.ph).toMap
     assert(sig(1L) == sig(41L), "same pixels must hash identically")
-    val got = Multimodal.aHashNearDups(media)
+    val got = Multimodal.dctNearDups(media)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val brute = (for {
       (a, pa) <- sig.toSeq; (b, pb) <- sig.toSeq if a < b
