@@ -144,6 +144,7 @@ object SparkEntry {
     "text_ngrams_native"    -> (LlmQueries.textNgramsNative _),
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
+    "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -361,6 +362,62 @@ object SparkEntry {
        |      / CAST(np AS DOUBLE), 4)
        |  FROM n)
        |ORDER BY method""".stripMargin
+
+  /** The unrolled BPE-training recurrence as a DuckDB WITH chain:
+    * `v0` = spaced distinct-token vocabulary with corpus counts, then per
+    * round r: `p_r` (piece-pair counts over `v_{r-1}`), `m_r` (argmax
+    * pair, lexicographic tie-break — the engine's exact rule), `v_r`
+    * (exhaustive leftmost replace). MATERIALIZED per multi-referenced
+    * CTE, or DuckDB's inlining explodes exponentially across rounds.
+    */
+  private def bpeRecurrenceSql(rounds: Int): String = {
+    val v0 =
+      """toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS sp,
+        |    CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM toks GROUP BY 1)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT t.sl[g.i] || ' ' || t.sl[g.i + 1] AS pair,
+         |    SUM(tc) AS w
+         |  FROM v${r - 1} v,
+         |    LATERAL (SELECT string_split(v.sp, ' ') AS sl) t,
+         |    LATERAL (SELECT unnest(range(1, len(t.sl))) AS i) g
+         |  GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT pair, w FROM p$r
+         |  ORDER BY w DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(sp, (SELECT pair FROM m$r),
+         |    replace((SELECT pair FROM m$r), ' ', '')) AS sp, tc
+         |  FROM v${r - 1})""".stripMargin
+    }
+    (v0 +: rs).mkString(",\n")
+  }
+
+  /** Oracle for text_bpe_train: the learned `(round, merge, weight)` list
+    * from the unrolled recurrence.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String =
+    s"""WITH ${bpeRecurrenceSql(rounds)}
+       |SELECT * FROM (
+       |  ${(1 to rounds).map(r =>
+           s"SELECT CAST($r AS BIGINT) AS round, pair AS merge, " +
+             s"CAST(w AS BIGINT) AS weight FROM m$r")
+           .mkString("\n  UNION ALL ")}
+       |) ORDER BY round""".stripMargin
+
+  /** Oracle for text_bpe_apply (trained list consumed end-to-end): the
+    * recurrence's FINAL vocabulary state, counted piece-wise — trainer
+    * and applier share exhaustive leftmost-replace semantics, so the
+    * applied corpus equals `v_rounds` exactly.
+    */
+  private def bpeApplyOracleSql(rounds: Int): String =
+    s"""WITH ${bpeRecurrenceSql(rounds)},
+       |pieces AS (SELECT unnest(string_split(sp, ' ')) AS piece, tc
+       |  FROM v$rounds)
+       |SELECT piece, CAST(SUM(tc) AS BIGINT) AS n_occ
+       |FROM pieces GROUP BY piece ORDER BY n_occ DESC, piece LIMIT 20"""
+      .stripMargin
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
     * footnotes: json_extract_string, list_dot_product with a DOUBLE[] cast
@@ -2325,20 +2382,12 @@ object SparkEntry {
         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
         |ORDER BY a, b""".stripMargin,
-    // Same spaced-char representation, same ordered exhaustive REPLACE
-    // chain (leftmost non-overlapping in both engines), same vocab trick.
-    "text_bpe_apply" ->
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY 1),
-        |ap AS (SELECT tc,
-        |  replace(replace(replace(replace(replace(replace(replace(
-        |    trim(regexp_replace(tok, '(.)', '\1 ', 'g')),
-        |    'e r', 'er'), 'i n', 'in'), 'o w', 'ow'), 's t', 'st'),
-        |    'a t', 'at'), 'a l', 'al'), 't er', 'ter') AS pieces
-        |  FROM tc),
-        |p AS (SELECT unnest(string_split(pieces, ' ')) AS piece, tc FROM ap)
-        |SELECT piece, CAST(SUM(tc) AS BIGINT) AS n_occ
-        |FROM p GROUP BY piece ORDER BY n_occ DESC, piece LIMIT 20""".stripMargin,
+    // The trained 6-merge list applied end-to-end: the oracle replays the
+    // unrolled training recurrence (same argmax + exhaustive leftmost
+    // replace both engines) and counts the FINAL vocabulary's pieces.
+    "text_bpe_apply" -> bpeApplyOracleSql(rounds = 6),
+    // The learned merge list itself, one row per training round.
+    "text_bpe_train" -> bpeTrainOracleSql(rounds = 6),
     // Same 4-gram hashes, same two-window selection rule: pos p selected
     // iff MAX over valid starts j in [p-3, p] of (MIN over [j, j+3]) = h(p).
     "text_winnowing" ->

@@ -1116,14 +1116,34 @@ object LlmQueries {
     TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
-  /** BPE apply ([[TextAnalysis.bpeApply]]): a 7-merge learned list (the
-    * corpus's top pairs, plus the composed "t er" merge that only exists
-    * after "e r") applied in order; output is the top-20 piece
-    * vocabulary with corpus-weighted counts.
+  /** BPE trainer ([[TextAnalysis.bpeTrain]]): the 6-round learned merge
+    * list over the corpus — each round re-counts piece pairs on the
+    * merged vocabulary, so later merges compose multi-char pieces the
+    * raw pair statistics never see. The oracle replays the unrolled
+    * 6-round recurrence (per-round argmax + replace), the
+    * graph_pagerank precedent for iterative operators.
     */
-  def textBpeApply(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bpeApply(docs(s, dir), "doc_id", "text",
-      Seq("e r", "i n", "o w", "s t", "a t", "a l", "t er"))
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
+      rounds = 6)
+    s.createDataFrame(merges).toDF("round", "merge", "weight")
+      .orderBy("round")
+  }
+
+  /** BPE apply ([[TextAnalysis.bpeApply]]) consuming the TRAINED merge
+    * list end-to-end: [[TextAnalysis.bpeTrain]]'s 6 learned merges
+    * (collected — the merge list is the rounds-bounded model artifact, a
+    * handful of strings) applied in learned order over the corpus
+    * vocabulary. Because trainer and applier share the same exhaustive
+    * leftmost-replace semantics on the same corpus, the applied state
+    * equals the trainer's final vocabulary — which is exactly how the
+    * oracle checks it (replay the recurrence, count final pieces).
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
+      rounds = 6).map(_._2)
+    TextAnalysis.bpeApply(docs(s, dir), "doc_id", "text", merges)
+  }
 
   /** Winnowing fingerprint statistics ([[TextAnalysis.winnowStats]]):
     * per-doc selected-fingerprint count and density under the MOSS

@@ -233,6 +233,57 @@ object TextAnalysis {
       .orderBy(col("weight").desc, col("pair")).limit(k)
   }
 
+  /** BPE TRAINING loop (Sennrich et al. 2016) — the iterated trainer
+    * [[bpePairStats]] computes one round of: N rounds of (count adjacent
+    * PIECE pairs over the distinct-token vocabulary with corpus weights,
+    * pick the argmax pair, merge it everywhere), i.e. the
+    * `graph_pagerank` bounded-round pattern applied to tokenizer
+    * learning. Ties break lexicographically, so the learned list is
+    * deterministic and an external oracle can replay the unrolled
+    * recurrence. Returns `(round, merge, weight)` — `merge` in spaced
+    * form ("e r"), directly consumable by [[bpeApply]].
+    *
+    * Scale: every round's statistics job runs over the VOCABULARY
+    * (distinct tokens with corpus counts), never the corpus — re-counting
+    * after each merge on the vocab table is the classic BPE-training
+    * trick; each round localCheckpoints the vocab-sized frame to
+    * truncate lineage, and driver state is one merge string per round.
+    * Rounds are data-independent in number (a fixed budget), so the loop
+    * is bounded at any corpus size.
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               rounds: Int = 6): Seq[(Long, String, Long)] = {
+    var cur = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
+      .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("sp"),
+        col("tc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .filter(col("sp").contains(" "))
+        .withColumn("pl", split(col("sp"), " "))
+        .select(col("tc"), explode(expr(
+          "transform(sequence(1, size(pl) - 1), i -> concat(element_at(pl, i), ' ', element_at(pl, i + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum("tc").as("w"))
+        .orderBy(col("w").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = top(0).getString(0)
+        merges += ((r.toLong, m, top(0).getLong(1)))
+        cur = cur.select(
+            call_function("replace", col("sp"), lit(m),
+              lit(m.replace(" ", ""))).as("sp"), col("tc"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** BPE tokenizer APPLICATION (the other half of [[bpePairStats]] —
     * Sennrich et al. 2016's apply step): a learned merge list is applied
     * to every token IN ORDER, each merge exhaustively (leftmost,

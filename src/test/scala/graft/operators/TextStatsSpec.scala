@@ -255,6 +255,24 @@ class TextStatsSpec extends SparkTestBase {
       "w" -> 1L, "a" -> 2L, "aa" -> 1L))
   }
 
+  test("bpeTrain: per-round argmax with re-counting composes multi-char " +
+      "merges; applying the trained list reproduces the final state") {
+    import spark.implicits._
+    // "ab" appears in 3 tokens (weights 2+1+1 = 4 occurrences of pair
+    // a-b); after merging "a b", pair "ab c" (weight 3) only exists on
+    // the MERGED vocabulary — a single-round statistic never sees it
+    val docs = Seq((1L, "abc abc abd"), (2L, "abc xy")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", rounds = 2)
+    assert(merges.map(m => (m._1, m._2, m._3)) ===
+      Seq((1L, "a b", 4L), (2L, "ab c", 3L)))
+    // trained list through bpeApply = trainer's final vocabulary state
+    val applied = TextAnalysis.bpeApply(docs, "doc_id", "text",
+        merges.map(_._2), k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(applied === Map("abc" -> 3L, "ab" -> 1L, "d" -> 1L,
+      "x" -> 1L, "y" -> 1L))
+  }
+
   test("winnowing: selection equals per-window argmin brute force, the " +
       "shared-substring guarantee holds, density near 2/(w+1)") {
     import spark.implicits._
