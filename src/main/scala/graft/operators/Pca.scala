@@ -60,6 +60,16 @@ object Pca {
                    dims: Int = 64): DataFrame =
     pcaPower(df, idCol, embCol, scale, iters, dims, components = 2)
 
+  /** Top-k via chained deflation: component c + 1 is the dominant pair
+    * of `M_c = M_{c-1} − λ_c·u_cu_cᵀ`. Output widens to `pc1..pck` and
+    * `eigenvalue, eigenvalue2..eigenvaluek` (names backward-compatible
+    * with the top-1/top-2 surfaces).
+    */
+  def pcaPowerTopK(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, scale: Int = 10000, iters: Int = 20,
+                   dims: Int = 64): DataFrame =
+    pcaPower(df, idCol, embCol, scale, iters, dims, components = k)
+
   private def matVec(m: Array[Array[Double]], u: Array[Double]): Array[Double] = {
     val dims = u.length
     Array.tabulate(dims) { i =>
@@ -107,39 +117,54 @@ object Pca {
   private def pcaPower(df: DataFrame, idCol: String, embCol: String,
                        scale: Int, iters: Int, dims: Int,
                        components: Int): DataFrame = {
+    require(components >= 1 && components <= dims,
+      s"components must be in 1..$dims")
     val d = df.select(col(idCol),
       expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5d) AS BIGINT))")
         .as("ev"))
-    // one distributed pass for ALL moments: the (i, j) explode happens
-    // inside the scan stage and map-side combines to d² + d groups —
-    // the only shuffle is (d² + d) × numPartitions partial rows
-    val iDx = d.select(col("ev"), posexplode(col("ev")).as(Seq("i", "ei")))
-    val moments = iDx
-      .select(col("i"), col("ei"), posexplode(col("ev")).as(Seq("j", "ej")))
-      .groupBy("i", "j").agg(sum(col("ei") * col("ej")).as("ss"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val firsts = iDx.groupBy("i").agg(sum("ei").as("s"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    require(firsts.nonEmpty, "PCA needs a non-empty corpus")
-    val n = firsts.head._2._2
-    val s = Array.tabulate(dims)(i => firsts(i)._1)
+    // one distributed pass for ALL moments: a single (d² + d + 1)-long
+    // aggregation buffer per partition ([[graft.functions.MomentsAgg]])
+    // does the outer-product arithmetic in-place — the scan emits no
+    // per-row expansion (the former posexplode×posexplode plan
+    // materialized 4096 rows per input row before its combine), and the
+    // only shuffle is one ~33 KB buffer per partition
+    val momAgg = udaf(new graft.functions.MomentsAgg(dims))
+    val momRow = d.select(momAgg(col("ev")).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.ss")).head()
+    val n = momRow.getLong(0)
+    require(n > 0, "PCA needs a non-empty corpus")
+    val s = momRow.getSeq[Long](1).toArray
+    val ss = momRow.getSeq[Long](2).toArray
     // scatter matrix in exact integer arithmetic, THEN one IEEE-rounded
     // conversion — both engines start the iteration from equal doubles
     // exact-arithmetic guards: plain Long * would wrap silently past 2^63
     // on an over-bound corpus — multiplyExact/subtractExact fail loudly,
-    // matching the documented accept-overflow-failing-loudly contract
-    // that ANSI mode already enforces for the distributed sums
+    // matching the documented accept-overflow-failing-loudly contract the
+    // aggregation buffer enforces for the distributed sums
     val m = Array.tabulate(dims, dims) { (i, j) =>
       Math.subtractExact(
-        Math.multiplyExact(n, moments((i, j))),
+        Math.multiplyExact(n, ss(i * dims + j)),
         Math.multiplyExact(s(i), s(j))).toDouble
     }
-    val u1 = powerIterate(m, iters)
-    val lam1 = rayleigh(m, u1)
     def eigScaled(lam: Double): Double =
       BigDecimal(lam / (n.toDouble * n * scale * scale))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // top-k eigenpairs by chained Hotelling deflation: after each
+    // dominant pair (u_c, λ_c) the working matrix deflates to
+    // M − λ_c·u_cu_cᵀ (multiplication order pinned: λ·u_i first, then
+    // ·u_j — the oracle replays the identical sequence), and the same
+    // driver-local iteration runs again; no additional corpus pass
+    // until the final projection, which emits all k coordinates in one
+    // scan
+    var mc = m
+    val eigs = (1 to components).map { _ =>
+      val u = powerIterate(mc, iters)
+      val lam = rayleigh(mc, u)
+      mc = Array.tabulate(dims, dims) { (i, j) =>
+        mc(i)(j) - (lam * u(i)) * u(j)
+      }
+      (u, lam)
+    }
     // centered projection in original units:
     //   pc = (e − s/n)·u / scale = (e·u − (s·u)/n) / scale
     // + 0.0 normalizes IEEE negative zero: a projection whose true value
@@ -155,19 +180,14 @@ object Pca {
                  |0D, (acc, x) -> acc + x)""".stripMargin)
           - lit(sDotU / n)) / scale, 4) + lit(0.0)).as(name)
     }
-    if (components == 1)
-      d.select(col(idCol), proj(u1, "pc1"), lit(eigScaled(lam1)).as("eigenvalue"))
-    else {
-      // Hotelling deflation with pinned multiplication order
-      val m2 = Array.tabulate(dims, dims) { (i, j) =>
-        m(i)(j) - (lam1 * u1(i)) * u1(j)
-      }
-      val u2 = powerIterate(m2, iters)
-      val lam2 = rayleigh(m2, u2)
-      d.select(col(idCol), proj(u1, "pc1"), proj(u2, "pc2"),
-        lit(eigScaled(lam1)).as("eigenvalue"),
-        lit(eigScaled(lam2)).as("eigenvalue2"))
+    val projCols = eigs.zipWithIndex.map { case ((u, _), c) =>
+      proj(u, s"pc${c + 1}")
     }
+    val eigCols = eigs.zipWithIndex.map { case ((_, lam), c) =>
+      lit(eigScaled(lam))
+        .as(if (c == 0) "eigenvalue" else s"eigenvalue${c + 1}")
+    }
+    d.select(col(idCol) +: (projCols ++ eigCols): _*)
   }
 
   /** The eigenvector inlined as a SQL double-array literal (full

@@ -82,6 +82,36 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("pcaPowerTopK: k=3 prefixes the top-2 surface exactly and " +
+      "eigenvalues stay ordered") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = (math.sin(i * 0.7) * 0.5).toFloat
+      v(1) = (math.cos(i * 1.3) * 0.3).toFloat
+      v(2) = (math.sin(i * 2.1) * 0.1).toFloat
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val top2 = Pca.pcaPowerTop2(df, "vec_id", "embedding", dims = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val top3 = Pca.pcaPowerTopK(df, "vec_id", "embedding", k = 3, dims = 8)
+    assert(top3.columns.toSeq === Seq("vec_id", "pc1", "pc2", "pc3",
+      "eigenvalue", "eigenvalue2", "eigenvalue3"))
+    val t3 = top3.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toMap
+    rows.foreach { case (id, _) =>
+      val (p1, p2, e1, e2) = top2(id)
+      val (q1, q2, f1, f2, f3) = t3(id)
+      assert(p1 == q1 && p2 == q2,
+        s"vec $id: deflation chain must prefix exactly")
+      assert(e1 == f1 && e2 == f2)
+      assert(f1 >= f2 && f2 >= f3, "eigenvalues must be ordered")
+    }
+  }
+
   test("pcaPowerTop1 recovers a planted dominant direction") {
     import spark.implicits._
     // 40 vectors along ±axis0 with small axis1 noise: the dominant
