@@ -172,6 +172,7 @@ object SparkEntry {
     "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
+    "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -3081,6 +3082,23 @@ object SparkEntry {
         |    ((doc_id * 37 + g.i * 13) % 256)) AS lum_total
         |  FROM d, LATERAL (SELECT unnest(range(0, rs * h)) AS i) g
         |  WHERE g.i % rs < w * 3
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // PNG leg: the oracle sums the closed-form RAW pixel formula — the
+    // engine only reproduces it by concatenating IDAT framing, inflating
+    // the stored-block zlib stream, and reversing the Sub/Up row filters.
+    "mm_png_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g
         |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total

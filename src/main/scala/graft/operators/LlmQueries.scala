@@ -445,6 +445,30 @@ object LlmQueries {
     decoded.join(stats, "doc_id").orderBy("doc_id")
   }
 
+  /** The COMPRESSED leg of the real-decode pipeline
+    * ([[Multimodal.pngMedia]] fixtures through the
+    * [[Multimodal.decodePng]] inflate + defilter path): parsed IHDR
+    * geometry plus the luminance total over the DEFILTERED pixels —
+    * which is only correct if the decoder concatenates IDAT framing,
+    * inflates the zlib stream, and reverses the Sub/Up row filters (the
+    * fixture stores per-row DELTAS; the oracle sums the closed-form raw
+    * pixel formula, so a decoder that skips any of those steps changes
+    * the total).
+    */
+  def mmPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.pngMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .localCheckpoint(true) // feeds both decode passes
+    val mediaDs = media.as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(mediaDs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+    val stats = Multimodal.decodePixels(mediaDs).toDF()
+      .select(col("doc_id"), col("lum_total"))
+    decoded.join(stats, "doc_id").orderBy("doc_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

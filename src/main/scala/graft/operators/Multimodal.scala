@@ -125,6 +125,143 @@ object Multimodal {
       bottomUp = hRaw > 0, bgr = true))
   }
 
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** IHDR parse: `(width, height, channels)` for 8-bit non-interlaced
+    * truecolor (colorType 2 → RGB) / truecolor+alpha (6 → RGBA) PNGs —
+    * geometry without touching the compressed stream. Anything else
+    * (palette, grayscale, 16-bit, interlaced) refuses.
+    */
+  private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (data.length < 33) return None
+    var k = 0
+    while (k < 8) { if (data(k) != PngSig(k)) return None; k += 1 }
+    def be32(off: Int): Int =
+      ((data(off) & 0xFF) << 24) | ((data(off + 1) & 0xFF) << 16) |
+        ((data(off + 2) & 0xFF) << 8) | (data(off + 3) & 0xFF)
+    // IHDR must be the first chunk (PNG spec)
+    if (be32(8) != 13 || data(12) != 'I' || data(13) != 'H' ||
+        data(14) != 'D' || data(15) != 'R') return None
+    val w = be32(16); val h = be32(20)
+    val bitDepth = data(24); val colorType = data(25)
+    val compression = data(26); val filterMethod = data(27)
+    val interlace = data(28)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+        filterMethod != 0 || interlace != 0) return None
+    colorType match {
+      case 2 => Some((w, h, 3))
+      case 6 => Some((w, h, 4))
+      case _ => None
+    }
+  }
+
+  /** Full PNG decode — the COMPRESSED leg of the real codec, on public
+    * JVM APIs only (`java.util.zip.Inflater`): concatenate the IDAT
+    * chunks, inflate the zlib stream as raw deflate (the 2-byte zlib
+    * header is skipped and the trailing Adler-32 left unread — stream
+    * integrity words are parsed past, not verified, the checksum pass a
+    * lake runs at ingest; STRUCTURE is what this decoder guards:
+    * signature, IHDR sanity, chunk framing inside the payload, and the
+    * inflated length equaling exactly h·(1 + w·channels)), then reverse
+    * the per-row filter (all five: None/Sub/Up/Average/Paeth) into a
+    * top-down RGB(A) pixel buffer. Malformed payloads — bad framing,
+    * truncated or corrupt deflate, wrong inflated length — refuse with
+    * None, never fabricate (the decoder contract).
+    *
+    * Returns the [[ImageInfo]] *over the returned buffer* (offset 0,
+    * stride w·ch, top-down, RGB order), so every downstream pixel walk
+    * ([[aHash64]], [[dctPhash64]]) runs unchanged on either a zero-copy
+    * raw payload or an inflated one.
+    */
+  private[operators] def decodePng(
+      data: Array[Byte]): Option[(ImageInfo, Array[Byte])] = {
+    val (w, h, ch) = pngIhdr(data) match {
+      case Some(t) => t
+      case None => return None
+    }
+    def be32(off: Int): Int =
+      ((data(off) & 0xFF) << 24) | ((data(off + 1) & 0xFF) << 16) |
+        ((data(off + 2) & 0xFF) << 8) | (data(off + 3) & 0xFF)
+    // decode-target bound in Long BEFORE allocating (a 31-bit w·h·ch
+    // pair can overflow Int and a hostile header must not OOM the task)
+    val stride = w.toLong * ch
+    val rawLen = h.toLong * (1L + stride)
+    if (rawLen > (64L << 20)) return None
+    // chunk walk: collect IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33 // 8 sig + 25 IHDR chunk
+    var ended = false
+    while (!ended && pos + 8 <= data.length) {
+      val clen = be32(pos)
+      if (clen < 0 || pos.toLong + 12L + clen > data.length) return None
+      val ctype = new String(data, pos + 4, 4, "US-ASCII")
+      if (ctype == "IDAT") idat.write(data, pos + 8, clen)
+      else if (ctype == "IEND") ended = true
+      pos += 12 + clen
+    }
+    val z = idat.toByteArray
+    if (!ended || z.length < 3) return None
+    // zlib CMF/FLG sanity (deflate method, no preset dictionary)
+    if ((z(0) & 0x0F) != 8 || (z(1) & 0x20) != 0) return None
+    val out = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      while (got < out.length && !inf.finished()) {
+        val k = inf.inflate(out, got, out.length - got)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += k
+      }
+      if (got != out.length) return None
+      // a stream that keeps producing past the expected length is
+      // malformed (wrong dimensions or trailing garbage)
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // defilter scanlines into the pixel buffer (bpp = ch at 8-bit depth)
+    val istride = stride.toInt
+    val px = new Array[Byte](h * istride)
+    var y = 0
+    while (y < h) {
+      val f = out(y * (1 + istride)) & 0xFF
+      if (f > 4) return None
+      val src = y * (1 + istride) + 1
+      val dst = y * istride
+      var x = 0
+      while (x < istride) {
+        val a = if (x >= ch) px(dst + x - ch) & 0xFF else 0
+        val b = if (y > 0) px(dst - istride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= ch) px(dst - istride + x - ch) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        px(dst + x) = (((out(src + x) & 0xFF) + pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((ImageInfo(w, h, ch, 0, istride, bottomUp = false, bgr = false), px))
+  }
+
+  /** Unified decode to a walkable pixel buffer: raw formats zero-copy
+    * (the buffer IS the payload, walked via offset/stride), PNG through
+    * [[decodePng]]'s inflate+defilter.
+    */
+  private[operators] def decodeToPixels(
+      data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
+    decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
+
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
     * real media; the schema is the contract).
@@ -148,10 +285,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // one decoder context per partition would be initialized here
       rows.map { r =>
-        decodeHeader(r.data) match {
-          case Some(info) =>
-            DecodedRow(r.doc_id, r.mime, r.n_bytes,
-              info.width, info.height, info.channels)
+        decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
+          .orElse(pngIhdr(r.data)) match {
+          case Some((w, h, ch)) =>
+            DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)
         }
       }
@@ -208,10 +345,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeHeader(r.data).filter(i => i.width >= 8 && i.height >= 8)
-          .map { info =>
-            val (lumTotal, ah) = aHash64(r.data, info)
-            val ph = dctPhash64(r.data, info)
+        decodeToPixels(r.data)
+          .filter { case (i, _) => i.width >= 8 && i.height >= 8 }
+          .map { case (info, buf) =>
+            val (lumTotal, ah) = aHash64(buf, info)
+            val ph = dctPhash64(buf, info)
             PixelStatsRow(r.doc_id, info.width, info.height, info.channels,
               info.pixelOffset, lumTotal, ah, ph)
           }
@@ -677,6 +815,68 @@ object Multimodal {
         unhex(concat(col("hdr_hex"), col("px_hex"))).as("data"))
       .select(col("doc_id"), col("data"),
         struct(lit("image/bmp").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Deterministic PNG fixture payloads — REAL compressed-format images
+    * for the [[decodePng]] leg: 8-bit truecolor (colorType 2), one zlib
+    * STORED-block IDAT (deflate's uncompressed block type — a fully
+    * valid stream every inflater accepts, and the one deflate framing an
+    * external oracle can reproduce byte-for-byte without a compressor),
+    * and REAL row filters: even rows Sub(1), odd rows Up(2), so the
+    * payload bytes are deltas the decoder must actually reverse — a
+    * decoder that skips defiltering gets every pixel (and the oracle's
+    * luminance total) wrong. Pixel values follow the [[ppmMedia]]
+    * generator formula, so the oracle predicts the DECODED image in
+    * closed form. Integrity words (chunk CRCs, Adler-32) are
+    * placeholder zeros — [[decodePng]] documents that it parses past
+    * them; real PNGs (correct checksums, dynamic-Huffman deflate)
+    * decode through the same code path.
+    *
+    * Geometry: `w = seed % 13 + 8`, `h = seed % 11 + 8` (like
+    * [[ppmMedia]]); raw scanlines = h·(1 + 3w) ≤ ~1.1 KB, inside one
+    * stored block. Pure column expressions through the hex codec; one
+    * row-local pass, no shuffle.
+    */
+  def pngMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    def raw(i: String): String =
+      s"pmod(seed * 31 + ($i) * 17 + pmod(seed * ($i), 251)" +
+        s" + 40 * pmod(($i) div (w * 3), 6), 256)"
+    val filtered =
+      s"""IF(y % 2 = 0,
+         |  IF(x < 3, ${raw("y * w * 3 + x")},
+         |     pmod(${raw("y * w * 3 + x")} - ${raw("y * w * 3 + x - 3")},
+         |          256)),
+         |  pmod(${raw("y * w * 3 + x")} - ${raw("(y - 1) * w * 3 + x")},
+         |       256))""".stripMargin
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 13 + 8).cast("int"))
+      .withColumn("hh", (col("seed") % 11 + 8).cast("int"))
+      .withColumn("rawlen", expr("hh * (w * 3 + 1)"))
+    base
+      .withColumn("sl_hex", expr(
+        s"""array_join(transform(sequence(0, hh - 1), y ->
+           |  concat(IF(y % 2 = 0, '01', '02'),
+           |    array_join(transform(sequence(0, w * 3 - 1), x ->
+           |      element_at($hexLutSql, CAST($filtered AS INT) + 1)),
+           |      ''))), '')""".stripMargin))
+      .withColumn("png_hex", expr(
+        """concat(
+          |  '89504E470D0A1A0A',
+          |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
+          |  lpad(hex(hh), 8, '0'), '0802000000', '00000000',
+          |  lpad(hex(rawlen + 11), 8, '0'), '49444154',
+          |  '7801', '01',
+          |  lpad(hex(rawlen % 256), 2, '0'),
+          |  lpad(hex(rawlen div 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) % 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) div 256), 2, '0'),
+          |  sl_hex, '00000000', '00000000',
+          |  '00000000', '49454E44', 'AE426082')""".stripMargin))
+      .select(col("doc_id"), unhex(col("png_hex")).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/png").as("mime"),
           octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
   }
 

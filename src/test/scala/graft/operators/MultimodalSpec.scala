@@ -114,6 +114,82 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.ph != 0L && got.ph != -1L)
   }
 
+  test("decodePng: real Deflater stream, all five filters reversed, " +
+      "RGBA accepted, malformed payloads refused") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length) ++ ctype.getBytes("US-ASCII") ++ body ++ be32(0)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    def png(w: Int, h: Int, colorType: Int, scanlines: Array[Byte]): Array[Byte] = {
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      // REAL zlib compression — the decoder must handle an arbitrary
+      // deflate stream, not just the stored blocks the fixture emits
+      val d = new java.util.zip.Deflater()
+      d.setInput(scanlines); d.finish()
+      val buf = new Array[Byte](scanlines.length + 64)
+      val zn = d.deflate(buf); d.end()
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(zn)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    // 4x2 RGB exercising every filter type on known pixels:
+    // row 0 Paeth(4) (degenerates to Sub on the first row),
+    // row 1 Average(3)
+    val w = 4; val h = 2; val stride = w * 3
+    val raw = Array.tabulate(h, stride)((y, x) => (10 + y * 40 + x * 7) % 256)
+    def u(v: Int) = v & 0xFF
+    val rows = Array.tabulate(h) { y =>
+      val f = if (y == 0) 4 else 3
+      f.toByte +: Array.tabulate(stride) { x =>
+        val a = if (x >= 3) raw(y)(x - 3) else 0
+        val b = if (y > 0) raw(y - 1)(x) else 0
+        val c = if (y > 0 && x >= 3) raw(y - 1)(x - 3) else 0
+        val pred = if (f == 4) {
+          val p = a + b - c
+          if (math.abs(p - a) <= math.abs(p - b) &&
+              math.abs(p - a) <= math.abs(p - c)) a
+          else if (math.abs(p - b) <= math.abs(p - c)) b else c
+        } else (a + b) >> 1
+        ((raw(y)(x) - pred) & 0xFF).toByte
+      }
+    }
+    val payload = png(w, h, 2, rows.flatten)
+    val got = Multimodal.decodePng(payload)
+    assert(got.isDefined, "valid PNG must decode")
+    val (info, px) = got.get
+    assert((info.width, info.height, info.channels) == ((4, 2, 3)))
+    for (y <- 0 until h; x <- 0 until stride)
+      assert(u(px(y * stride + x)) == raw(y)(x),
+        s"pixel byte ($y, $x) defiltered wrong")
+    // RGBA (colorType 6): filter Sub with bpp = 4
+    val rawA = Array.tabulate(16)(i => (5 + i * 11) % 256)
+    val rowA = 1.toByte +: Array.tabulate(16) { x =>
+      ((rawA(x) - (if (x >= 4) rawA(x - 4) else 0)) & 0xFF).toByte
+    }
+    val gotA = Multimodal.decodePng(png(4, 1, 6, rowA))
+    assert(gotA.isDefined && gotA.get._1.channels == 4)
+    assert((0 until 16).forall(x => u(gotA.get._2(x)) == rawA(x)))
+    // refusals: truncated IDAT, wrong dims (inflated length mismatch),
+    // palette color type, non-PNG
+    val truncated = payload.dropRight(20)
+    assert(Multimodal.decodePng(truncated).isEmpty)
+    val wrongDims = png(5, 2, 2, rows.flatten) // claims w=5, data is w=4
+    assert(Multimodal.decodePng(wrongDims).isEmpty)
+    assert(Multimodal.decodePng(png(4, 2, 3, rows.flatten)).isEmpty,
+      "palette PNGs refuse")
+    assert(Multimodal.decodePng("not a png".getBytes("UTF-8")).isEmpty)
+    // decodePixels end-to-end on a >=8x8 fixture payload
+    val ids = Seq(3L).toDF("doc_id")
+    val m = Multimodal.pngMedia(ids, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val st = Multimodal.decodePixels(m).collect()
+    assert(st.length == 1 && st.head.width == 11 && st.head.height == 11)
+  }
+
   test("dctPhash64: exactly invariant to uniform brightness shift, " +
       "small hamming under a smooth gradient") {
     import spark.implicits._
