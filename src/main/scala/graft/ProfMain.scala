@@ -6,7 +6,28 @@ object ProfMain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("dedup_ngram_jaccard")
     if (names == Seq("plans")) {
-      // dump formatted physical plans of the scale-critical queries
+      // dump formatted physical plans of the ENTIRE registry (round-7
+      // verdict item 8: the 0-cartesian/0-UDF audit should be total, not
+      // sampled). Construction side effects (fixture Derby catalogs,
+      // pipeline sync runs, driver collects) execute like they do under
+      // Verify; a query whose construction fails still leaves a marker
+      // line instead of killing the dump.
+      val targets = SparkEntry.queries.keys.toSeq.sorted
+      for (n <- targets) {
+        println(s"\n===== $n =====")
+        try {
+          println(SparkEntry.queries(n)(spark, dir).queryExecution
+            .explainString(org.apache.spark.sql.execution.SimpleMode))
+        } catch {
+          case e: Throwable =>
+            println(s"PLAN-DUMP-ERROR: ${e.getClass.getName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      }
+      spark.stop(); return
+    }
+    if (names == Seq("plans_legacy")) {
+      // the historical hand-curated scale-critical subset
       val targets = Seq("q02_filter_predicates", "q04_star_join",
         "q10_window_topk", "q16_global_topk", "q19_cosine_topk",
         "dedup_minhash_lsh", "dedup_embedding", "dedup_simhash",
