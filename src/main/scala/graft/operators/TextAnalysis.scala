@@ -338,12 +338,13 @@ object TextAnalysis {
     *
     * Scale: bigram and unigram counts are two map-side-combined
     * aggregates. The unigram joins carry NO broadcast hint — the frame
-    * is vocabulary-sized and therefore unbounded in corpus size, so the
-    * plan shuffles on the join key and AQE upgrades to broadcast at
-    * runtime when the measured model is small (a forced hint would OOM
-    * at 100 TB instead of degrading). Only the 1-row totals cross-join
-    * broadcasts; final global top-k is TakeOrdered. The corpus streams
-    * once per gram size, never shuffles on doc id.
+    * is vocabulary-sized and therefore unbounded in corpus size, so
+    * broadcast is left to Spark's size-based planning (static estimate
+    * or AQE at runtime) and an over-threshold vocabulary degrades to a
+    * shuffle join instead of OOMing as a forced hint would. Only the
+    * 1-row totals cross-join broadcasts; final global top-k is
+    * TakeOrdered. The corpus streams once per gram size, never shuffles
+    * on doc id.
     */
   def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
               k: Int = 20, minCount: Int = 5): DataFrame = {
@@ -387,8 +388,10 @@ object TextAnalysis {
     * aggregates joined back onto the exploded bigram stream on their
     * keys WITHOUT a broadcast hint — the model tables grow with the
     * corpus's distinct-bigram domain (billions of rows at 100 TB), so
-    * the joins shuffle-partition on w1/w2 and AQE upgrades them to
-    * broadcast at runtime only when the measured model is small. One
+    * broadcast is left to Spark's size-based planning: the static
+    * estimate picks it at test scale, AQE promotes at runtime when the
+    * measured model is small, and a big model degrades to a plain
+    * shuffle join instead of OOMing (what a forced hint cannot do). One
     * final doc-keyed aggregate. Same shuffle profile as tf-idf.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -427,9 +430,10 @@ object TextAnalysis {
     * forward/reverse continuation type counts) joined back on their
     * keys with NO broadcast hint — the distinct-bigram domain of a
     * 100 TB corpus is billions of rows, and a forced hint never degrades
-    * to a shuffle, it OOMs. Unhinted, the plan shuffles on w1/w2 and AQE
-    * promotes each join to broadcast at runtime exactly when the
-    * measured model fits. Only the 1-row `tt` total keeps an explicit
+    * to a shuffle, it OOMs. Unhinted, broadcast belongs to Spark's
+    * size-based planning (static estimate at test scale, AQE promotion
+    * at runtime) and an over-threshold model falls back to a shuffle
+    * join on w1/w2. Only the 1-row `tt` total keeps an explicit
     * broadcast. Nothing here is corpus-quadratic.
     */
   def kneserNeySurprisal(docs: DataFrame, idCol: String, textCol: String,
