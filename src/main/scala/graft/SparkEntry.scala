@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
+    "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
     "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
     "ml_pca_power"          -> (Pca.mlPcaPower _),
+    "ml_pca_top3"           -> (Pca.mlPcaTop3 _),
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_triangles"       -> (Graph.graphTriangles _),
@@ -375,9 +377,9 @@ object SparkEntry {
     val v0 =
       """toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |v0 AS MATERIALIZED (
-        |  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS sp,
+        |  SELECT tok, trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS sp,
         |    CAST(COUNT(*) AS BIGINT) AS tc
-        |  FROM toks GROUP BY 1)""".stripMargin
+        |  FROM toks GROUP BY 1, 2)""".stripMargin
     val rs = (1 to rounds).map { r =>
       s"""p$r AS (SELECT t.sl[g.i] || ' ' || t.sl[g.i + 1] AS pair,
          |    SUM(tc) AS w
@@ -388,7 +390,7 @@ object SparkEntry {
          |m$r AS MATERIALIZED (SELECT pair, w FROM p$r
          |  ORDER BY w DESC, pair LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT replace(sp, (SELECT pair FROM m$r),
+         |  SELECT tok, replace(sp, (SELECT pair FROM m$r),
          |    replace((SELECT pair FROM m$r), ' ', '')) AS sp, tc
          |  FROM v${r - 1})""".stripMargin
     }
@@ -419,6 +421,23 @@ object SparkEntry {
        |SELECT piece, CAST(SUM(tc) AS BIGINT) AS n_occ
        |FROM pieces GROUP BY piece ORDER BY n_occ DESC, piece LIMIT 20"""
       .stripMargin
+
+  /** Oracle for text_bpe_encode: the recurrence's final vocabulary state
+    * (token kept through every round) joined back onto each document's
+    * token stream — per-doc piece statistics.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeRecurrenceSql(rounds)},
+       |vf AS (SELECT tok, len(string_split(sp, ' ')) AS np,
+       |  length(tok) AS nc FROM v$rounds),
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  ROUND(SUM(nc) / CAST(SUM(np) AS DOUBLE), 4) AS compression
+       |FROM dt JOIN vf USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
     * footnotes: json_extract_string, list_dot_product with a DOUBLE[] cast
@@ -2389,6 +2408,8 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplyOracleSql(rounds = 6),
     // The learned merge list itself, one row per training round.
     "text_bpe_train" -> bpeTrainOracleSql(rounds = 6),
+    // Per-doc tokenization statistics with the trained list.
+    "text_bpe_encode" -> bpeEncodeOracleSql(rounds = 6),
     // Same 4-gram hashes, same two-window selection rule: pos p selected
     // iff MAX over valid starts j in [p-3, p] of (MIN over [j, j+3]) = h(p).
     "text_winnowing" ->
@@ -3436,6 +3457,9 @@ object SparkEntry {
     // sums pin the fold order), same projection — generated from one
     // source of truth for scale/iterations (Pca.oracleSql).
     "ml_pca_power" -> Pca.oracleSql(),
+    // The k = 3 chain exercises a SECOND deflation (top-2 never does);
+    // same generated recurrence, one more prefix.
+    "ml_pca_top3" -> Pca.oracleSql(components = 3),
     "ml_linreg" -> {
       val fit = Regression.fitSql
         .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")

@@ -1154,6 +1154,19 @@ object LlmQueries {
       .orderBy("round")
   }
 
+  /** BPE encode ([[TextAnalysis.bpeEncodeStats]]): the per-document
+    * tokenization pass with the TRAINED 6-merge list — token/piece/char
+    * counts and the chars-per-piece compression ratio per doc. The
+    * oracle carries the original token through the training recurrence
+    * and joins each doc's token stream to the final vocabulary state.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
+      rounds = 6).map(_._2)
+    TextAnalysis.bpeEncodeStats(docs(s, dir), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** BPE apply ([[TextAnalysis.bpeApply]]) consuming the TRAINED merge
     * list end-to-end: [[TextAnalysis.bpeTrain]]'s 6 learned merges
     * (collected — the merge list is the rounds-bounded model artifact, a

@@ -129,9 +129,10 @@ object Multimodal {
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
   /** IHDR parse: `(width, height, channels)` for 8-bit non-interlaced
-    * truecolor (colorType 2 → RGB) / truecolor+alpha (6 → RGBA) PNGs —
-    * geometry without touching the compressed stream. Anything else
-    * (palette, grayscale, 16-bit, interlaced) refuses.
+    * grayscale (colorType 0 → 1 channel), truecolor (2 → RGB) and
+    * truecolor+alpha (6 → RGBA) PNGs — geometry without touching the
+    * compressed stream. Anything else (palette, gray+alpha, 16-bit,
+    * interlaced) refuses.
     */
   private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int)] = {
     if (data.length < 33) return None
@@ -150,6 +151,8 @@ object Multimodal {
     if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
         filterMethod != 0 || interlace != 0) return None
     colorType match {
+      case 0 => Some((w, h, 1)) // grayscale: the luma walks use the
+                                // single sample directly (×1000 weight)
       case 2 => Some((w, h, 3))
       case 6 => Some((w, h, 4))
       case _ => None

@@ -206,13 +206,25 @@ object Pca {
     pcaPowerTop2(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Registered query: top-3 components — the [[pcaPowerTopK]]
+    * generalization driven through the oracle gate (the k = 3 chain
+    * exercises a SECOND deflation, which top-2 never does).
+    */
+  def mlPcaTop3(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerTopK(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 3)
+      .orderBy("vec_id")
+
   /** The DuckDB oracle: the identical construction replayed — integer
     * moments, the same unrolled power recurrence (per-row sums built as
-    * ordered lists so the fold order matches), the same projection.
-    * Generated here so engine and oracle share one source of truth for
-    * the iteration count and scale.
+    * ordered lists so the fold order matches), the same projection —
+    * generalized to `components` chained deflations (prefixes a, b, c,
+    * …). Generated here so engine and oracle share one source of truth
+    * for the iteration count, scale, and deflation order.
     */
-  def oracleSql(scale: Int = 10000, iters: Int = 20, dims: Int = 64): String = {
+  def oracleSql(scale: Int = 10000, iters: Int = 20, dims: Int = 64,
+                components: Int = 2): String = {
+    require(components >= 1 && components <= 26)
     // one power chain over matrix CTE `mat`, CTE names prefixed `p`
     def chain(p: String, mat: String): String = (1 to iters).map { t =>
       s"""${p}v$t AS MATERIALIZED (SELECT m.i AS i,
@@ -232,6 +244,43 @@ object Pca {
          |  FROM ${p}mu mu JOIN ${p}u$iters u ON u.i = mu.i),
          |${p}sdu AS (SELECT list_sum(list(sv.s * u.u ORDER BY sv.i)) AS sdu
          |  FROM sv JOIN ${p}u$iters u ON u.i = sv.i - 1)""".stripMargin
+    val prefixes = (0 until components).map(c => ('a' + c).toChar.toString)
+    val mats = (0 until components).map(c => if (c == 0) "m" else s"m${c + 1}")
+    val compSql = (0 until components).map { c =>
+      val p = prefixes(c); val mat = mats(c)
+      val defl =
+        if (c == components - 1) ""
+        else {
+          val nm = mats(c + 1)
+          s""",
+             |-- Hotelling deflation: $nm = $mat − λ·uuᵀ, multiplication
+             |-- order pinned (λ·u_i first, then ·u_j) to match the engine
+             |$nm AS MATERIALIZED (SELECT m.i AS i, m.j AS j,
+             |    m.v - (${p}lam.lam * ui.u) * uj.u AS v
+             |  FROM $mat m
+             |  JOIN ${p}u$iters ui ON ui.i = m.i
+             |  JOIN ${p}u$iters uj ON uj.i = m.j
+             |  CROSS JOIN ${p}lam)""".stripMargin
+        }
+      s"""${p}u0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
+         |  FROM (SELECT unnest(range(1, $dims + 1)) AS i) g),
+         |${chain(p, mat)},
+         |${tail(p, mat)}$defl""".stripMargin
+    }.mkString(",\n")
+    val pcCols = prefixes.zipWithIndex.map { case (p, c) =>
+      s"""  ROUND((list_sum(list_transform(range(1, $dims + 1),
+         |      k -> CAST(ev[k] AS DOUBLE) * ${p}ul.ul[k]))
+         |    - ${p}sdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc${c + 1}"""
+        .stripMargin
+    }
+    val eigCols = prefixes.zipWithIndex.map { case (p, c) =>
+      val nm = if (c == 0) "eigenvalue" else s"eigenvalue${c + 1}"
+      s"""  ROUND(${p}lam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
+         |    AS $nm""".stripMargin
+    }
+    val fromList = ("e" +:
+      prefixes.flatMap(p => Seq(s"${p}ul", s"${p}lam", s"${p}sdu")) :+ "nn")
+      .mkString(", ")
     s"""WITH e AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS ev
@@ -251,34 +300,10 @@ object Pca {
        |  JOIN sv si ON si.i = sm.i
        |  JOIN sv sj ON sj.i = sm.j
        |  CROSS JOIN nn),
-       |au0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
-       |  FROM (SELECT unnest(range(1, $dims + 1)) AS i) g),
-       |${chain("a", "m")},
-       |${tail("a", "m")},
-       |-- Hotelling deflation: M2 = M − λ1·u1u1ᵀ, multiplication order
-       |-- pinned (λ·u_i first, then ·u_j) to match the engine
-       |m2 AS MATERIALIZED (SELECT m.i AS i, m.j AS j,
-       |    m.v - (alam.lam * ui.u) * uj.u AS v
-       |  FROM m
-       |  JOIN au$iters ui ON ui.i = m.i
-       |  JOIN au$iters uj ON uj.i = m.j
-       |  CROSS JOIN alam),
-       |bu0 AS (SELECT g.i - 1 AS i, 1.0 / sqrt(CAST($dims AS DOUBLE)) AS u
-       |  FROM (SELECT unnest(range(1, $dims + 1)) AS i) g),
-       |${chain("b", "m2")},
-       |${tail("b", "m2")}
+       |$compSql
        |SELECT e.vec_id,
-       |  ROUND((list_sum(list_transform(range(1, $dims + 1),
-       |      k -> CAST(ev[k] AS DOUBLE) * aul.ul[k]))
-       |    - asdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc1,
-       |  ROUND((list_sum(list_transform(range(1, $dims + 1),
-       |      k -> CAST(ev[k] AS DOUBLE) * bul.ul[k]))
-       |    - bsdu.sdu / nn.n) / $scale, 4) + 0.0 AS pc2,
-       |  ROUND(alam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
-       |    AS eigenvalue,
-       |  ROUND(blam.lam / (CAST(nn.n AS DOUBLE) * nn.n * $scale * $scale), 6)
-       |    AS eigenvalue2
-       |FROM e, aul, alam, asdu, bul, blam, bsdu, nn
+       |${(pcCols ++ eigCols).mkString(",\n")}
+       |FROM $fromList
        |ORDER BY e.vec_id""".stripMargin
   }
 }

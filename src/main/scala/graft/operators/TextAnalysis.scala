@@ -313,6 +313,37 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("piece")).limit(k)
   }
 
+  /** BPE ENCODE statistics — the tokenization step a training pipeline
+    * actually runs with a trained merge list: every document's token
+    * stream segments into pieces, reported per doc as token/piece/char
+    * counts and the compression ratio chars/pieces (mean piece length —
+    * the fertility signal tokenizer evaluations report).
+    *
+    * Scale: the merge chain applies over the DISTINCT-token vocabulary
+    * (the [[bpeApply]] trick) and joins back onto the doc-token stream
+    * on the token key WITHOUT a broadcast hint — the vocabulary is
+    * unbounded in corpus size, so broadcast stays with Spark's
+    * size-based planning and an over-threshold vocabulary degrades to a
+    * shuffle join. One doc-keyed aggregate closes.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val spaced: Column = trim(regexp_replace(col("tok"), "(.)", "$1 "))
+    val applied = merges.foldLeft(spaced) { (c, m) =>
+      call_function("replace", c, lit(m), lit(m.replace(" ", "")))
+    }
+    val vocab = toks.select("tok").distinct()
+      .select(col("tok"), size(split(applied, " ")).as("np"),
+        length(col("tok")).as("nc"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("np").as("n_pieces"),
+        sum("nc").as("n_chars"),
+        round(sum("nc") / sum("np").cast("double"), 4).as("compression"))
+  }
+
   /** Feature hashing (the hashing trick / HashingTF): tokens map to a
     * fixed `dim`-bucket space via the portable [[Hashing.md5Long]], each
     * doc becomes sparse (bucket, tf) rows — the vocabulary-free

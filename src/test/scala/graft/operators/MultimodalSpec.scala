@@ -172,6 +172,22 @@ class MultimodalSpec extends SparkTestBase {
     val gotA = Multimodal.decodePng(png(4, 1, 6, rowA))
     assert(gotA.isDefined && gotA.get._1.channels == 4)
     assert((0 until 16).forall(x => u(gotA.get._2(x)) == rawA(x)))
+    // grayscale (colorType 0): 1 channel, Sub filter with bpp = 1,
+    // luma = 1000 * sample through decodePixels' walks
+    val rawG = Array.tabulate(8 * 8)(i => (i * 29 + 3) % 256)
+    val rowsG = Array.tabulate(8) { y =>
+      1.toByte +: Array.tabulate(8) { x =>
+        val a = if (x >= 1) rawG(y * 8 + x - 1) else 0
+        ((rawG(y * 8 + x) - a) & 0xFF).toByte
+      }
+    }
+    val gotG = Multimodal.decodePng(png(8, 8, 0, rowsG.flatten))
+    assert(gotG.isDefined && gotG.get._1.channels == 1)
+    assert((0 until 64).forall(i => u(gotG.get._2(i)) == rawG(i)))
+    val gmedia = Seq(Multimodal.MediaRow(7L, png(8, 8, 0, rowsG.flatten),
+      "image/png", 0L)).toDS()
+    val gstats = Multimodal.decodePixels(gmedia).collect().head
+    assert(gstats.lum_total == rawG.map(1000L * _).sum)
     // refusals: truncated IDAT, wrong dims (inflated length mismatch),
     // palette color type, non-PNG
     val truncated = payload.dropRight(20)
