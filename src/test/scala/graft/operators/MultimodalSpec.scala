@@ -206,6 +206,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.length == 1 && st.head.width == 11 && st.head.height == 11)
   }
 
+  test("decodePng: never throws on arbitrary bytes, truncations, or " +
+      "bit flips of a valid payload (refuse-never-crash)") {
+    val rnd = new scala.util.Random(1234)
+    // pure noise (with and without a valid signature prefix)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val junk = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      Multimodal.decodePng(junk) // must not throw
+      Multimodal.decodePng(sig ++ junk)
+    }
+    // a valid payload under every truncation length and scattered bit
+    // flips: decode may refuse (or, for a flip confined to pixel data,
+    // succeed with different pixels) but must never throw
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(t: String, body: Array[Byte]) =
+      be32(body.length) ++ t.getBytes("US-ASCII") ++ body ++ be32(0)
+    val scan = Array.tabulate(10)(y =>
+      0.toByte +: Array.fill[Byte](9 * 3)(((y * 31) % 256).toByte))
+      .flatten
+    val d = new java.util.zip.Deflater(); d.setInput(scan); d.finish()
+    val zb = new Array[Byte](scan.length + 64)
+    val zn = d.deflate(zb); d.end()
+    val valid = sig ++
+      chunk("IHDR", be32(9) ++ be32(10) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", zb.take(zn)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(valid).isDefined)
+    (0 until valid.length).foreach { cut =>
+      Multimodal.decodePng(valid.take(cut)) // every prefix
+    }
+    (1 to 500).foreach { _ =>
+      val mut = valid.clone()
+      mut(rnd.nextInt(mut.length)) =
+        (mut(rnd.nextInt(mut.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.decodePng(mut)
+    }
+  }
+
   test("dctPhash64: exactly invariant to uniform brightness shift, " +
       "small hamming under a smooth gradient") {
     import spark.implicits._
