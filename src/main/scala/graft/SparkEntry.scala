@@ -141,6 +141,7 @@ object SparkEntry {
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
+    "text_kneser_ney3"      -> (LlmQueries.textKneserNey3 _),
     "text_ngrams_native"    -> (LlmQueries.textNgramsNative _),
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
@@ -1218,6 +1219,42 @@ object SparkEntry {
         |  CROSS JOIN tt)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(-ln(p)), 4) AS avg_kn_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Three-level KN spelled identically: trigram ML term discounted
+    // into the middle CONTINUATION model (distinct left contexts per
+    // bigram), which discounts into the bigram-type unigram; all
+    // statistics over the trigram instance stream, like the engine.
+    "text_kneser_ney3" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (
+        |  SELECT doc_id, t[gi.i] AS w1, t[gi.i + 1] AS w2, t[gi.i + 2] AS w3
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) gi
+        |  WHERE len(t) >= 3),
+        |tc AS MATERIALIZED (SELECT w1, w2, w3, COUNT(*) AS tc
+        |  FROM tri GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, SUM(tc) AS ctx, COUNT(*) AS nf12
+        |  FROM tc GROUP BY 1, 2),
+        |cont AS MATERIALIZED (SELECT w2, w3, COUNT(*) AS cont23
+        |  FROM tc GROUP BY 1, 2),
+        |mid AS (SELECT w2, SUM(cont23) AS mid2, COUNT(*) AS nf2
+        |  FROM cont GROUP BY 1),
+        |rgt AS (SELECT w3, COUNT(*) AS r3 FROM cont GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS tt FROM cont),
+        |sc AS (SELECT tri.doc_id,
+        |    greatest(tc.tc - 0.75, 0) / ctx.ctx
+        |    + (0.75 / ctx.ctx) * ctx.nf12 * (
+        |        greatest(cont.cont23 - 0.75, 0) / mid.mid2
+        |        + (0.75 / mid.mid2) * mid.nf2
+        |          * (rgt.r3 / CAST(tt.tt AS DOUBLE))) AS p
+        |  FROM tri
+        |  JOIN tc ON tri.w1 = tc.w1 AND tri.w2 = tc.w2 AND tri.w3 = tc.w3
+        |  JOIN ctx ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2
+        |  JOIN cont ON tri.w2 = cont.w2 AND tri.w3 = cont.w3
+        |  JOIN mid ON tri.w2 = mid.w2
+        |  JOIN rgt ON tri.w3 = rgt.w3
+        |  CROSS JOIN tt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  ROUND(AVG(-ln(p)), 4) AS avg_kn3_surprisal
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_hashtf" ->
       """SELECT doc_id,

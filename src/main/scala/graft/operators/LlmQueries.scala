@@ -292,6 +292,13 @@ object LlmQueries {
     TextAnalysis.kneserNeySurprisal(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Trigram interpolated KN ([[TextAnalysis.kneserNeyTrigram]]) — the
+    * three-level recursion at the order production corpus filters run.
+    */
+  def textKneserNey3(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyTrigram(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

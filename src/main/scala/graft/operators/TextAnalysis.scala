@@ -495,6 +495,70 @@ object TextAnalysis {
         round(avg(-log(col("p"))), 4).as("avg_kn_surprisal"))
   }
 
+  /** TRIGRAM interpolated Kneser–Ney surprisal — the three-level
+    * recursion of [[kneserNeySurprisal]], the order real LM-quality
+    * corpus filters run at:
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃) − D, 0)/c(w₁w₂·)
+    *                + (D/c(w₁w₂·))·N₁₊(w₁w₂·)·P(w₃|w₂)
+    *   P(w₃|w₂)   = max(N₁₊(·w₂w₃) − D, 0)/N₁₊(·w₂·)
+    *                + (D/N₁₊(·w₂·))·N₁₊(w₂·*)·P_cont(w₃)
+    *   P_cont(w₃) = N₁₊(·•w₃) / N₁₊(·••)
+    *
+    * with every statistic defined over the TRIGRAM instance stream of
+    * the corpus itself (continuation counts at the middle level —
+    * distinct left contexts of each bigram — are Kneser–Ney's core
+    * idea applied one level down; the lowest level uses bigram-type
+    * continuation counts). Self-consistent by construction: only docs
+    * with ≥ 3 tokens contribute instances, and the model is trained on
+    * exactly the stream it scores (the [[bigramLogProb]] convention).
+    *
+    * Scale shape: one corpus explode to trigram instances; six model
+    * aggregates whose domains are the distinct trigram/bigram tables —
+    * unbounded in corpus size, so every model join is UNHINTED
+    * equi-keyed (size-based broadcast at small scale, shuffle-join
+    * degradation past the threshold — the [[kneserNeySurprisal]]
+    * contract); only the 1-row type total broadcasts explicitly.
+    * Nothing is corpus-quadratic.
+    */
+  def kneserNeyTrigram(docs: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    val tri = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(tk) - 2), i -> struct(
+          |  element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2,
+          |  element_at(tk, i + 2) AS w3))""".stripMargin)).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
+    val tc = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true) // feeds the instance join AND four type counts
+    val ctx = tc.groupBy("w1", "w2").agg(sum("tc").as("ctx"),
+      count(lit(1)).as("nf12")) // instance total + N1+(w1w2.)
+    // continuation table: distinct left contexts per (w2, w3)
+    val cont = tc.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
+      .localCheckpoint(true) // feeds the join AND two type counts
+    val mid = cont.groupBy("w2").agg(sum("cont23").as("mid2"),
+      count(lit(1)).as("nf2")) // N1+(.w2.) + N1+(w2..)
+    val rgt = cont.groupBy("w3").agg(count(lit(1)).as("r3")) // N1+(..w3)
+    val tt = cont.agg(count(lit(1)).as("tt")) // N1+(...)
+    tri.join(tc, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(rgt, Seq("w3"))
+      .crossJoin(broadcast(tt))
+      .withColumn("p", expr(
+        s"""greatest(tc - $discount, 0D) / ctx
+           |+ ($discount / ctx) * nf12 * (
+           |    greatest(cont23 - $discount, 0D) / mid2
+           |    + ($discount / mid2) * nf2 * (r3 / CAST(tt AS DOUBLE)))"""
+          .stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(col("p"))), 4).as("avg_kn3_surprisal"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and repetition, the cheap
     * near-canonicalization used before exact dedup.

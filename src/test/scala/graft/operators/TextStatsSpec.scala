@@ -49,6 +49,57 @@ class TextStatsSpec extends SparkTestBase {
     }
   }
 
+  test("kneserNeyTrigram: engine scores equal a driver-side replica, " +
+      "and per-context probabilities sum to 1 over attested continuations") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog ran"),
+      (4L, "the cat and the dog sat"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyTrigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val tris = corpus.flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      tk.indices.dropRight(2).map(i => (id, tk(i), tk(i + 1), tk(i + 2))) }
+    val tc = tris.groupBy(x => (x._2, x._3, x._4)).view.mapValues(_.size).toMap
+    val ctx = tc.groupBy(kv => (kv._1._1, kv._1._2)).view
+      .mapValues(m => (m.values.sum, m.size)).toMap // (instances, nf12)
+    val cont = tc.keys.groupBy(k => (k._2, k._3)).view.mapValues(_.size).toMap
+    val mid = cont.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size)).toMap // (mid2, nf2)
+    val rgt = cont.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val tt = cont.size.toDouble
+    val d = 0.75
+    def p(w1: String, w2: String, w3: String): Double = {
+      val (cx, nf12) = ctx((w1, w2))
+      val (m2, nf2) = mid(w2)
+      val lower = math.max(cont.getOrElse((w2, w3), 0) - d, 0.0) / m2 +
+        (d / m2) * nf2 * (rgt.getOrElse(w3, 0) / tt)
+      math.max(tc.getOrElse((w1, w2, w3), 0) - d, 0.0) / cx +
+        (d / cx) * nf12 * lower
+    }
+    corpus.foreach { case (id, t) =>
+      val tk = t.split(" ")
+      val ss = tk.indices.dropRight(2)
+        .map(i => -math.log(p(tk(i), tk(i + 1), tk(i + 2))))
+      val expected = BigDecimal(ss.sum / ss.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == ss.length)
+      assert(math.abs(got(id)._2 - expected) < 2e-4,
+        s"doc $id: ${got(id)._2} vs replica $expected")
+    }
+    // smoothing invariant: for every attested context (w1, w2), the sum
+    // of P(w3|w1w2) over the continuation model's w3 domain is exactly 1
+    val w3domain = cont.keys.map(_._2).toSeq.distinct
+    ctx.keys.foreach { case (w1, w2) =>
+      val total = w3domain.map(p(w1, w2, _)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"context ($w1, $w2) sums to $total")
+    }
+  }
+
   test("repetition: gram counts and fractions match hand computation") {
     import spark.implicits._
     // doc 1: "a b a b a" → bigrams [a b, b a, a b, b a] → 4 total,
