@@ -71,6 +71,7 @@ object SparkEntry {
     "q45_histogram"         -> (Analytics.histogram _),
     "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
     "q47_map_functions"     -> (Queries.q47MapFunctions _),
+    "q48_ntile_buckets"     -> (Queries.q48NtileBuckets _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
     "dq_mad"                -> (Analytics.dqMad _),
     "dq_ewma"               -> ((s: SparkSession, d: String) => Analytics.dqEwma(s, d)),
@@ -1643,6 +1644,32 @@ object SparkEntry {
         |  string_agg(l_linenumber || ':' || qty, ',' ORDER BY l_linenumber)
         |    AS entries_csv
         |FROM li GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // ntile arithmetic is exact on row numbers once the ordering carries
+    // a unique tie-break (c_custkey); both engines share the standard
+    // earlier-buckets-take-the-remainder rule.
+    "q48_ntile_buckets" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, ROUND(c_acctbal, 2) AS bal,
+        |    ntile(10) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS decile,
+        |    first_value(ROUND(c_acctbal, 2)) OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS seg_top_bal,
+        |    nth_value(ROUND(c_acctbal, 2), 3) OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS third_bal
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(bal), 2) AS floor_bal,
+        |  ROUND(MAX(bal), 2) AS ceil_bal,
+        |  ROUND(MAX(seg_top_bal), 2) AS seg_top_bal,
+        |  ROUND(MAX(third_bal), 2) AS seg_third_bal
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q46_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |daily AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau

@@ -556,6 +556,38 @@ object Queries {
           .as("entries_csv"))
       .orderBy("l_orderkey")
   }
+
+  /** Q48 — the last window-function family without a registered row:
+    * `ntile` equi-count bucketing (the decile/quantile segmentation every
+    * customer-scoring pipeline runs), plus `first_value`/`nth_value` over
+    * an explicit running frame. Ordering carries a unique tie-break key
+    * (c_custkey) so every rank-adjacent function is deterministic —
+    * ntile over ties without a total order is engine-dependent, WITH one
+    * it is exact arithmetic on row numbers.
+    *
+    * Scale: one hash-partitioned window per market segment — the
+    * per-segment sort is the cost, same class as q10's top-k; no global
+    * single-partition window.
+    */
+  def q48NtileBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("seg_top_bal", first_value(col("bal")).over(wf))
+      .withColumn("third_bal", nth_value(col("bal"), 3).over(wf))
+      .groupBy("c_mktsegment", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("bal"), 2).as("floor_bal"),
+        round(max("bal"), 2).as("ceil_bal"),
+        round(max("seg_top_bal"), 2).as("seg_top_bal"),
+        round(max("third_bal"), 2).as("seg_third_bal"))
+      .orderBy("c_mktsegment", "decile")
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
