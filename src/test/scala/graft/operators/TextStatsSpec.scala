@@ -324,6 +324,20 @@ class TextStatsSpec extends SparkTestBase {
       "x" -> 1L, "y" -> 1L))
   }
 
+  test("bpeTrain: learned merges are invariant to corpus row order and " +
+      "partitioning (the determinism the oracle replay relies on)") {
+    import spark.implicits._
+    val rows = Seq((1L, "alpha beta alphabet"), (2L, "beta betray alpha"),
+      (3L, "bet alpha beta beta"), (4L, "alphabet betray bet"))
+    val a = TextAnalysis.bpeTrain(rows.toDF("doc_id", "text"),
+      "doc_id", "text", rounds = 4)
+    val b = TextAnalysis.bpeTrain(
+      rows.reverse.toDF("doc_id", "text").repartition(7),
+      "doc_id", "text", rounds = 4)
+    assert(a === b, "merge list must not depend on row order/partitioning")
+    assert(a.length == 4 && a.map(_._2).distinct.length == 4)
+  }
+
   test("winnowing: selection equals per-window argmin brute force, the " +
       "shared-substring guarantee holds, density near 2/(w+1)") {
     import spark.implicits._
