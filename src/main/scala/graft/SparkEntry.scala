@@ -113,6 +113,7 @@ object SparkEntry {
     "a26_export_timeout"    -> (PipelineQueries.a26ExportTimeout _),
     "a30_incremental_dedup_sync" -> (PipelineQueries.a30IncrementalDedupSync _),
     "a31_scd2_lookup"       -> (PipelineQueries.a31Scd2Lookup _),
+    "a32_schema_evolution"  -> (PipelineQueries.a32SchemaEvolution _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3009,6 +3010,16 @@ object SparkEntry {
         |  FROM troot LEFT JOIN lshnn USING (probe_id))
         |SELECT method, n_probes, hits, ROUND(hits / n_probes, 4) AS recall_at_1
         |FROM m ORDER BY method""".stripMargin,
+    // Additive evolution replayed: day-1 keys carry NULL in the column
+    // the source gained on day 2; the regenerated schema doc is the A5/A6
+    // map over the evolved catalog.
+    "a32_schema_evolution" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey > 2000 THEN c_mktsegment END AS c_mktsegment,
+        |  '[{"name": "c_custkey", "type": "INTEGER", "mode": "NULLABLE"}, {"name": "c_name", "type": "STRING", "mode": "NULLABLE"}, {"name": "c_mktsegment", "type": "STRING", "mode": "NULLABLE"}]'
+        |    AS schema_json
+        |FROM customer WHERE c_custkey <= 4000
+        |ORDER BY c_custkey""".stripMargin,
     // Point-in-time semantics replayed: each event joins the dimension
     // version whose validity range covers its event date.
     "a31_scd2_lookup" ->

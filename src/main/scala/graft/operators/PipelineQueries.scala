@@ -331,6 +331,49 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  /** A32 — additive schema evolution between syncs: the reference's
+    * "you can fix it later" STRING-fallback philosophy
+    * (reference dags/cloudsql_to_bigquery.py:155) driven end-to-end.
+    * Day 1's source catalog is `(c_custkey int, c_name varchar)`; by
+    * day 2 the source has GAINED `c_mktsegment varchar`. The A5/A6 path
+    * regenerates the warehouse schema doc from the evolved catalog, the
+    * day-2 export picks the new column up, and the stage/existing union
+    * backfills day-1 rows with NULL in the new column — the additive
+    * contract every BQ-style warehouse applies (the reference's
+    * WRITE_TRUNCATE full-snapshot makes evolution implicit; an
+    * incremental engine must pin it explicitly, or day-1 history is
+    * unreadable under the day-2 schema).
+    *
+    * Output = the published post-evolution table (old rows NULL in the
+    * new column) plus the regenerated day-2 schema doc, both oracled.
+    */
+  def a32SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft_evo_stg").toString
+    val warehouse = Files.createTempDirectory("graft_evo_wh").toString
+    val src = ViewSource(dir)
+    val base = TableConfig(exportTable = "customer",
+      stageTable = Some("customer_evo"))
+    val run1 = base.copy(exportQuery = Some(
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 2000"))
+    Sync.syncTable(s, run1, src, staging, warehouse, LocalDate.of(2020, 2, 1))
+    val run2 = base.copy(
+      exportQuery = Some(
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE c_custkey > 2000 AND c_custkey <= 4000""".stripMargin),
+      stageFinalQuery = Some(
+        """SELECT c_custkey, c_name, CAST(NULL AS STRING) AS c_mktsegment
+          |FROM existing
+          |UNION ALL
+          |SELECT c_custkey, c_name, c_mktsegment FROM stage""".stripMargin))
+    val published = Sync.syncTable(s, run2, src, staging, warehouse,
+      LocalDate.of(2020, 2, 2))
+    val day2Schema = SchemaCodec.toJson(TypeMapper.schemaFromCatalogRows(Seq(
+      "c_custkey" -> "int", "c_name" -> "varchar",
+      "c_mktsegment" -> "varchar")))
+    published.withColumn("schema_json", lit(day2Schema))
+      .orderBy("c_custkey")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",
