@@ -198,6 +198,7 @@ object SparkEntry {
     "a24_compaction"        -> (PipelineQueries.a24Compaction _),
     "a25_manifest"          -> (PipelineQueries.a25Manifest _),
     "prep_split"            -> (LlmQueries.prepSplit _),
+    "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
@@ -2047,6 +2048,26 @@ object SparkEntry {
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin,
+    // Group-aware split: same normalization, same group-rep min, same
+    // salted rank at GROUP granularity, same member propagation.
+    "prep_leakage_split" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS gkey
+        |  FROM documents),
+        |g AS (SELECT gkey, MIN(doc_id) AS group_rep FROM k GROUP BY gkey),
+        |h AS (SELECT gkey, group_rep,
+        |  ('0x' || substr(md5(CAST(group_rep AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv
+        |  FROM g),
+        |r AS (SELECT gkey, group_rep,
+        |  (ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, group_rep)
+        |    - 1) % 10 AS slot
+        |  FROM h)
+        |SELECT k.doc_id, r.group_rep,
+        |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM k JOIN r USING (gkey) ORDER BY k.doc_id""".stripMargin,
     "prep_kfold" ->
       """WITH h AS (SELECT doc_id, source,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv

@@ -1256,6 +1256,15 @@ object LlmQueries {
         "doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Leakage-safe split ([[Prep.leakageSafeSplit]]): duplicate groups
+    * (normalized-content keyed) assigned to folds atomically — the
+    * oracle replays group formation, the salted group rank, and the
+    * member propagation row-for-row.
+    */
+  def prepLeakageSplit(s: SparkSession, dir: String): DataFrame =
+    Prep.leakageSafeSplit(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Stratified 5-fold CV assignment ([[Prep.kFold]]) over source
     * strata — the full per-row fold map, so the oracle pins every
     * held-out set, not just the fold sizes.

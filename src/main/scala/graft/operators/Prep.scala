@@ -40,6 +40,44 @@ object Prep {
         .otherwise("train").as("split"))
   }
 
+  /** GROUP-AWARE (leakage-safe) train/val/test split: every formatting
+    * variant of the same normalized content lands in the SAME fold, so a
+    * near-copy of a training doc can never leak into test — the split
+    * hygiene every decontamination pipeline needs, because a plain
+    * per-doc hash split (i.i.d. over ids) scatters duplicate groups
+    * across folds with probability 1 − 10^{1−|group|}.
+    *
+    * Construction: docs key on the [[Dedup.normalizedDedup]]
+    * canonicalization (lower/punct-strip/whitespace-collapse); the
+    * GROUP REPRESENTATIVE (min id) is ranked inside salted hash blocks —
+    * the [[trainValTestSplit]] exact-ratio window lifted to group
+    * granularity — and the group's fold propagates to its members by a
+    * key join.
+    *
+    * Scale: one map-side-combined group aggregate on the md5 key, the
+    * salted rank window over the GROUP frame (hash-uniform blocks, no
+    * skew), and one unhinted key join back (the group frame is
+    * corpus-scale — distinct contents — so broadcast stays with
+    * size-based planning). No bare-stratum windows, nothing
+    * corpus-quadratic.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       salts: Int = 64): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+    val withKey = docs.select(col(idCol), md5(norm).as("gkey"))
+    val groups = withKey.groupBy("gkey")
+      .agg(min(col(idCol)).as("group_rep"))
+    val h = Hashing.md5Long(col("group_rep").cast("string"))
+    val w = Window.partitionBy(pmod(h, lit(salts))).orderBy(h, col("group_rep"))
+    val slot = (row_number().over(w) - 1) % 10
+    val assigned = groups.select(col("gkey"), col("group_rep"),
+      when(slot === 0, "test").when(slot === 1, "val")
+        .otherwise("train").as("split"))
+    withKey.join(assigned, "gkey")
+      .select(col(idCol), col("group_rep"), col("split"))
+  }
+
   /** Split sizes per stratum — the audit view of [[trainValTestSplit]]. */
   def splitSummary(assigned: DataFrame, strataCol: String): DataFrame =
     assigned.groupBy(col(strataCol), col("split"))
