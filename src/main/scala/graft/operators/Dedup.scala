@@ -783,10 +783,11 @@ object Dedup {
     * occurred exactly once, so a LEFT join recovers the full verdict.
     * The recurring subset is the boilerplate vocabulary (shared
     * headers/footers — orders of magnitude below the distinct-window
-    * table, which is corpus-sized and must never be broadcast); if a
-    * pathological corpus makes even that subset large, drop the hint
-    * and the join degrades to a hash-partitioned shuffle, still never
-    * all-pairs.
+    * table, which is corpus-sized and must never be broadcast) — but it
+    * still GROWS with the corpus, so the join carries no broadcast
+    * hint: size-based planning broadcasts the typical MB-scale subset
+    * and degrades a pathological one to a hash-partitioned shuffle
+    * (a forced hint would OOM instead); still never all-pairs.
     */
   def paragraphBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                            windowTokens: Int = 10): DataFrame = {
@@ -800,7 +801,7 @@ object Dedup {
       .select(col(idCol), md5(col("seg")).as("h"))
     val recurring = segs.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
-    segs.join(broadcast(recurring), Seq("h"), "left")
+    segs.join(recurring, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_boiler"))

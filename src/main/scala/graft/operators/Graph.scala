@@ -73,9 +73,12 @@ object Graph {
   /** The nation-level trade graph: customer nation → supplier nation,
     * weighted by line items shipped. The one genuinely fact-sized step is
     * the lineitem⋈orders join (both sides huge at scale — an unavoidable
-    * shuffle on the shared key); customer and supplier are broadcast dims,
-    * and the closing aggregate is map-side combined down to ≤ |nations|²
-    * rows.
+    * shuffle on the shared key). Customer and supplier GROW with the
+    * corpus (they are entity tables, not bounded dims), so their joins
+    * carry no broadcast hint — size-based planning broadcasts them at
+    * test scale and degrades to key-partitioned shuffles when they
+    * outgrow the threshold (a forced hint would OOM instead). The
+    * closing aggregate is map-side combined down to ≤ |nations|² rows.
     */
   def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -83,8 +86,8 @@ object Graph {
     val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
     val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").cast("long").as("src"),
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
@@ -104,10 +107,13 @@ object Graph {
     * ~√|E| per apex.
     *
     * Pipeline: undirected collapse (map-side combined) → weight
-    * sparsification against the broadcast 1-row mean → degree aggregate
-    * (vocabulary-sized, broadcast back) → wedge equi-join on the apex →
-    * closing equi-join on the (x, y) edge key. Coefficient = 2·Δ(v) /
-    * (d(v)·(d(v)−1)) on the sparsified simple graph.
+    * sparsification against the broadcast 1-row percentile → degree
+    * aggregate (|V|-sized, UNBOUNDED in graph size, so its two joins
+    * back onto the edge list carry no broadcast hint — size-based
+    * planning broadcasts a small rank table and shuffle-joins a big one
+    * on the node key) → wedge equi-join on the apex → closing equi-join
+    * on the (x, y) edge key. Coefficient = 2·Δ(v) / (d(v)·(d(v)−1)) on
+    * the sparsified simple graph.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
@@ -129,8 +135,8 @@ object Graph {
     // total order: rank = degree * 2^20 + id (ids are far below 2^20)
     val rnk = deg.select(col("n"), (col("d") * 1048576L + col("n")).as("r"))
     val oriented = kept
-      .join(broadcast(rnk.select(col("n").as("u"), col("r").as("ru"))), "u")
-      .join(broadcast(rnk.select(col("n").as("v"), col("r").as("rv"))), "v")
+      .join(rnk.select(col("n").as("u"), col("r").as("ru")), "u")
+      .join(rnk.select(col("n").as("v"), col("r").as("rv")), "v")
       .select(
         when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
         when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
