@@ -195,15 +195,18 @@ object TextAnalysis {
     * soup; both tails get cut in a real pipeline).
     *
     * Scale: one vocabulary aggregate (map-side combined — vocabulary,
-    * not corpus, sized), the 1-row total broadcast, the frequency table
-    * broadcast-joined to the exploded corpus token stream, one final
-    * per-doc aggregate. The corpus shuffles once, on doc id.
+    * not corpus, sized), the 1-row total broadcast, and the frequency
+    * table joined to the exploded corpus token stream WITHOUT a hint —
+    * the vocabulary grows with the corpus, so broadcast stays with
+    * size-based planning and an over-threshold vocabulary degrades to a
+    * shuffle join on the token key. One final per-doc aggregate; the
+    * corpus shuffles once, on doc id.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("n_total"))
-    toks.join(broadcast(freq), "t")
+    toks.join(freq, "t")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
