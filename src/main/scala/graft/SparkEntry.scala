@@ -2061,8 +2061,8 @@ object SparkEntry {
         |    AS hv
         |  FROM g),
         |r AS (SELECT gkey, group_rep,
-        |  (ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, group_rep)
-        |    - 1) % 10 AS slot
+        |  ((ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, group_rep)
+        |    - 1) * 10) // COUNT(*) OVER (PARTITION BY hv % 64) AS slot
         |  FROM h)
         |SELECT k.doc_id, r.group_rep,
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'

@@ -49,10 +49,16 @@ object Prep {
     *
     * Construction: docs key on the [[Dedup.normalizedDedup]]
     * canonicalization (lower/punct-strip/whitespace-collapse); the
-    * GROUP REPRESENTATIVE (min id) is ranked inside salted hash blocks —
-    * the [[trainValTestSplit]] exact-ratio window lifted to group
-    * granularity — and the group's fold propagates to its members by a
-    * key join.
+    * GROUP REPRESENTATIVE (min id) is ranked inside salted hash blocks
+    * and the slot is PROPORTIONAL — `floor((rank−1)·10 / blocksize)` —
+    * rather than [[trainValTestSplit]]'s rank-mod-10: group blocks can
+    * be small (distinct contents, not rows), and rank-mod never reaches
+    * the train slots on a sub-10-row block, while the proportional rule
+    * keeps exact 10/10/80 for any block ≥ 10 groups and degrades to
+    * train-majority below. The group's fold propagates to its members
+    * by a key join. (Exact integer floor on both engines: the operands
+    * are exactly-representable ints, so the double division floors
+    * identically.)
     *
     * Scale: one map-side-combined group aggregate on the md5 key, the
     * salted rank window over the GROUP frame (hash-uniform blocks, no
@@ -69,8 +75,10 @@ object Prep {
     val groups = withKey.groupBy("gkey")
       .agg(min(col(idCol)).as("group_rep"))
     val h = Hashing.md5Long(col("group_rep").cast("string"))
-    val w = Window.partitionBy(pmod(h, lit(salts))).orderBy(h, col("group_rep"))
-    val slot = (row_number().over(w) - 1) % 10
+    val blk = Window.partitionBy(pmod(h, lit(salts)))
+    val w = blk.orderBy(h, col("group_rep"))
+    val slot = floor(((row_number().over(w) - 1) * 10)
+      / count(lit(1)).over(blk))
     val assigned = groups.select(col("gkey"), col("group_rep"),
       when(slot === 0, "test").when(slot === 1, "val")
         .otherwise("train").as("split"))

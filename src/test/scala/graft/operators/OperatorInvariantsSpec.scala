@@ -178,4 +178,66 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(once.orderBy("k").collect().map(_.toSeq).toSeq ==
       twice.orderBy("k").collect().map(_.toSeq).toSeq)
   }
+
+  test("leakageSafeSplit: no duplicate group ever straddles folds; exact " +
+      "duplicates share a group; ratios are near 80/10/10 at group level") {
+    import spark.implicits._
+    var seed = Seed(11L)
+    val base = Gen.listOfN(120, docGen).pureApply(Gen.Parameters.default, seed)
+    // plant formatting variants: every 3rd doc re-appears upper-cased
+    // with doubled spaces under a new id (same normalized content)
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      base.zipWithIndex.collect { case (t, i) if i % 3 == 0 =>
+        (1000L + i, t.toUpperCase.replace(" ", "  ")) })
+      .toDF("doc_id", "text")
+    // salts = 4: ~30 groups per block, so the proportional slot rule's
+    // exact-ratio regime is in force even on this small fixture
+    val got = Prep.leakageSafeSplit(docs, "doc_id", "text", salts = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every group: exactly one split value
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"group $g straddles folds: ${rows.toSeq}")
+    }
+    // planted variant pairs share the group (and therefore the fold)
+    val byId = got.map(r => r._1 -> r._2).toMap
+    (0 until 120 by 3).foreach { i =>
+      assert(byId(i.toLong) == byId(1000L + i),
+        s"variant of doc $i landed in a different group")
+    }
+    // group-level ratios: proportional slots give 10/10/80 within ±1
+    // group per salt block
+    val groups = got.map(r => (r._2, r._3)).distinct
+    val n = groups.length.toDouble
+    val frac = groups.count(_._2 == "train") / n
+    assert(frac > 0.72 && frac < 0.88, s"train fraction $frac off")
+    val testFrac = groups.count(_._2 == "test") / n
+    assert(testFrac > 0.04 && testFrac < 0.16, s"test fraction $testFrac off")
+  }
+
+  test("bpeEncodeStats: pieces never exceed chars, compression >= 1, " +
+      "piece totals conserve the token stream") {
+    import spark.implicits._
+    var seed = Seed(13L)
+    val docs = Gen.listOfN(40, docGen).pureApply(Gen.Parameters.default, seed)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", rounds = 3)
+    val got = TextAnalysis.bpeEncodeStats(docs, "doc_id", "text",
+      merges.map(_._2)).collect()
+    got.foreach { r =>
+      val (nTok, nPieces, nChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nPieces >= nTok, "every token is at least one piece")
+      assert(nPieces <= nChars, "merging never exceeds char count")
+      assert(r.getDouble(4) >= 1.0, "compression = chars/pieces >= 1")
+    }
+    // conservation: total pieces over docs == pieces of the applied vocab
+    // weighted by token counts
+    val applied = TextAnalysis.bpeApply(docs, "doc_id", "text",
+        merges.map(_._2), k = 1000)
+      .agg(sum("n_occ")).head().getLong(0)
+    assert(got.map(_.getLong(2)).sum == applied,
+      "per-doc piece totals must equal the corpus-wide piece count")
+  }
 }
