@@ -2042,7 +2042,8 @@ object SparkEntry {
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM documents),
         |r AS (SELECT doc_id, lang,
-        |  (ROW_NUMBER() OVER (PARTITION BY lang, hv % 64 ORDER BY hv, doc_id) - 1) % 10 AS slot
+        |  (ROW_NUMBER() OVER (PARTITION BY lang
+        |     ORDER BY hv % 64, hv, doc_id) - 1) % 10 AS slot
         |  FROM h)
         |SELECT doc_id, lang,
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
@@ -2061,8 +2062,8 @@ object SparkEntry {
         |    AS hv
         |  FROM g),
         |r AS (SELECT gkey, group_rep,
-        |  ((ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, group_rep)
-        |    - 1) * 10) // COUNT(*) OVER (PARTITION BY hv % 64) AS slot
+        |  (ROW_NUMBER() OVER (ORDER BY hv % 64, hv, group_rep) - 1) % 10
+        |    AS slot
         |  FROM h)
         |SELECT k.doc_id, r.group_rep,
         |  CASE WHEN slot = 0 THEN 'test' WHEN slot = 1 THEN 'val'
@@ -2073,8 +2074,8 @@ object SparkEntry {
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM documents)
         |SELECT doc_id, source,
-        |  CAST((ROW_NUMBER() OVER (PARTITION BY source, hv % 64
-        |          ORDER BY hv, doc_id) - 1) % 5 AS BIGINT) AS fold
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY hv % 64, hv, doc_id) - 1) % 5 AS BIGINT) AS fold
         |FROM h ORDER BY doc_id""".stripMargin,
     "prep_pack" ->
       """WITH t AS (SELECT doc_id,

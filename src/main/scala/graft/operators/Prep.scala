@@ -14,30 +14,63 @@ import org.apache.spark.sql.functions._
   */
 object Prep {
 
-  /** Deterministic stratified train/val/test split with exact per-block
-    * proportions: rows are ranked inside (stratum, salt-block) by a
-    * content-free portable hash of the id (pseudorandom but reproducible
-    * anywhere), and the rank modulo 10 assigns 10% test / 10% val /
-    * 80% train. Every (stratum, salt) block gets the exact ratios (±1
-    * row), so each stratum is within ±`salts` rows of exact — far
-    * tighter than plain hash-mod splits, whose per-stratum proportions
-    * only concentrate with size.
+  /** Deterministic stratified train/val/test split with EXACT per-stratum
+    * proportions at any stratum size: rows get a GLOBAL per-stratum rank
+    * by the two-level prefix sum (block-local rank inside (stratum,
+    * salt-block), ordered by the portable content-free hash of the id,
+    * plus the running block offset from a tiny (|strata|·salts)-row
+    * offset table — the [[shuffleOrder]] construction), and global rank
+    * modulo 10 assigns 10% test / 10% val / 80% train. Each stratum hits
+    * the exact ratios ±1 row REGARDLESS of how its rows spread over salt
+    * blocks. (The earlier block-local rank-mod degraded badly when
+    * blocks held fewer than 10 rows — a 2-row block emitted only
+    * test/val — which is exactly the regime of a modest table or a rare
+    * stratum.)
     *
-    * Scale: the window partitions on (stratum, salt), NOT the bare
+    * Scale: the rank window partitions on (stratum, salt), NOT the bare
     * stratum — a bare-stratum rank is one task per stratum, which a
     * 100 TB corpus with a handful of languages cannot run. The salt
     * fans each stratum out `salts`-fold (size it to the cluster's
-    * parallelism); blocks are hash-uniform, so no skew.
+    * parallelism); blocks are hash-uniform, so no skew. The offset table
+    * is |strata|·salts rows — label-domain × config, bounded — and
+    * broadcasts.
     */
   def trainValTestSplit(df: DataFrame, idCol: String, strataCol: String,
                         salts: Int = 64): DataFrame = {
-    val h = Hashing.md5Long(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(strataCol), pmod(h, lit(salts)))
-      .orderBy(h, col(idCol))
-    val slot = (row_number().over(w) - 1) % 10
-    df.select(col(idCol), col(strataCol),
+    val ranked = strataGlobalRank(df, idCol, strataCol, salts)
+    val slot = pmod(col("grank") - 1, lit(10))
+    ranked.select(col(idCol), col(strataCol),
       when(slot === 0, "test").when(slot === 1, "val")
         .otherwise("train").as("split"))
+  }
+
+  /** `df` plus a GLOBAL per-stratum rank column `grank` (1-based) by the
+    * two-level prefix sum: block-local `row_number` inside (stratum,
+    * hash-salt block) plus the running per-stratum block offset from a
+    * broadcast (|strata|·salts)-row table — the [[shuffleOrder]]
+    * construction, stratified. The global order is (block id, hash,
+    * id) — deterministic, hash-uniform, and reproducible by a plain
+    * `ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash % salts,
+    * hash, id)` on any engine. The offset table is label-domain ×
+    * config — bounded like a centroid codebook — so its broadcast hint
+    * is safe.
+    */
+  private def strataGlobalRank(df: DataFrame, idCol: String,
+                               strataCol: String, salts: Int): DataFrame = {
+    val h = Hashing.md5Long(col(idCol).cast("string"))
+    val keyed = df.select(col(idCol), col(strataCol), h.as("hv"),
+      pmod(h, lit(salts)).as("blk"))
+    val offs = keyed.groupBy(col(strataCol), col("blk"))
+      .agg(count(lit(1)).as("bn"))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = offs
+      .withColumn("blk_off", coalesce(sum("bn").over(wb), lit(0L)))
+      .select(col(strataCol), col("blk"), col("blk_off"))
+    val ww = Window.partitionBy(col(strataCol), col("blk"))
+      .orderBy(col("hv"), col(idCol))
+    keyed.join(broadcast(offsets), Seq(strataCol, "blk"))
+      .withColumn("grank", col("blk_off") + row_number().over(ww))
   }
 
   /** GROUP-AWARE (leakage-safe) train/val/test split: every formatting
@@ -49,16 +82,12 @@ object Prep {
     *
     * Construction: docs key on the [[Dedup.normalizedDedup]]
     * canonicalization (lower/punct-strip/whitespace-collapse); the
-    * GROUP REPRESENTATIVE (min id) is ranked inside salted hash blocks
-    * and the slot is PROPORTIONAL — `floor((rank−1)·10 / blocksize)` —
-    * rather than [[trainValTestSplit]]'s rank-mod-10: group blocks can
-    * be small (distinct contents, not rows), and rank-mod never reaches
-    * the train slots on a sub-10-row block, while the proportional rule
-    * keeps exact 10/10/80 for any block ≥ 10 groups and degrades to
-    * train-majority below. The group's fold propagates to its members
-    * by a key join. (Exact integer floor on both engines: the operands
-    * are exactly-representable ints, so the double division floors
-    * identically.)
+    * GROUP REPRESENTATIVE (min id) gets a GLOBAL rank via the two-level
+    * prefix sum over salted hash blocks (the [[strataGlobalRank]]
+    * construction with a single stratum — the offset table is ≤ salts
+    * rows), and global rank mod 10 assigns the fold — exact 10/10/80
+    * ±1 GROUP at any group count. The group's fold propagates to its
+    * members by a key join.
     *
     * Scale: one map-side-combined group aggregate on the md5 key, the
     * salted rank window over the GROUP frame (hash-uniform blocks, no
@@ -75,13 +104,22 @@ object Prep {
     val groups = withKey.groupBy("gkey")
       .agg(min(col(idCol)).as("group_rep"))
     val h = Hashing.md5Long(col("group_rep").cast("string"))
-    val blk = Window.partitionBy(pmod(h, lit(salts)))
-    val w = blk.orderBy(h, col("group_rep"))
-    val slot = floor(((row_number().over(w) - 1) * 10)
-      / count(lit(1)).over(blk))
-    val assigned = groups.select(col("gkey"), col("group_rep"),
-      when(slot === 0, "test").when(slot === 1, "val")
-        .otherwise("train").as("split"))
+    val keyed = groups.select(col("gkey"), col("group_rep"), h.as("hv"),
+      pmod(h, lit(salts)).as("blk"))
+    val offs = keyed.groupBy("blk").agg(count(lit(1)).as("bn"))
+    // <= salts rows: the running-offset window over it is trivially small
+    val wb = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = offs
+      .withColumn("blk_off", coalesce(sum("bn").over(wb), lit(0L)))
+      .select("blk", "blk_off")
+    val ww = Window.partitionBy("blk").orderBy(col("hv"), col("group_rep"))
+    val grank = col("blk_off") + row_number().over(ww)
+    val slot = pmod(grank - 1, lit(10))
+    val assigned = keyed.join(broadcast(offsets), "blk")
+      .select(col("gkey"), col("group_rep"),
+        when(slot === 0, "test").when(slot === 1, "val")
+          .otherwise("train").as("split"))
     withKey.join(assigned, "gkey")
       .select(col(idCol), col("group_rep"), col("split"))
   }
@@ -93,27 +131,25 @@ object Prep {
       .orderBy(strataCol, "split")
 
   /** Deterministic stratified k-fold assignment — the cross-validation
-    * companion of [[trainValTestSplit]]: rows rank inside (stratum,
-    * salt-block) by the portable content-free hash of the id, and rank
-    * mod k is the fold. Every block carries each fold ±1 row, so every
-    * stratum is balanced to within ±`salts` rows across folds — and the
-    * assignment is reproducible on any engine from (id, k, salts) alone,
-    * which is what lets an external trainer audit exactly which rows
-    * each CV round held out.
+    * companion of [[trainValTestSplit]]: the same GLOBAL per-stratum
+    * rank (two-level prefix sum over salted hash blocks), fold = rank
+    * mod k. Every stratum carries each fold ±1 row at ANY stratum size
+    * (the earlier block-local rank-mod packed small blocks into the low
+    * folds — an 84%-fold-0 assignment on a 500-row table), and the
+    * assignment is reproducible on any engine from (id, k, salts)
+    * alone, which is what lets an external trainer audit exactly which
+    * rows each CV round held out.
     *
-    * Scale: identical window shape to [[trainValTestSplit]] — the
-    * partition key is (stratum, salt), never the bare stratum, so a
-    * 100 TB corpus with a handful of languages still fans out
-    * `salts`-fold; blocks are hash-uniform, no skew.
+    * Scale: identical shape to [[trainValTestSplit]] — the rank window
+    * partitions on (stratum, salt), never the bare stratum; the offset
+    * table broadcasts.
     */
   def kFold(df: DataFrame, idCol: String, strataCol: String, k: Int,
             salts: Int = 64): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
-    val h = Hashing.md5Long(col(idCol).cast("string"))
-    val w = Window.partitionBy(col(strataCol), pmod(h, lit(salts)))
-      .orderBy(h, col(idCol))
-    df.select(col(idCol), col(strataCol),
-      ((row_number().over(w) - 1) % k).cast("long").as("fold"))
+    strataGlobalRank(df, idCol, strataCol, salts)
+      .select(col(idCol), col(strataCol),
+        pmod(col("grank") - 1, lit(k)).cast("long").as("fold"))
   }
 
   /** Class balancing: downsample every stratum to the SMALLEST stratum's
