@@ -67,6 +67,53 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r8scale")) {
+      // Scaling evidence for the round-8 operator family on 1x..8x
+      // vocab-disjoint corpus unions (the newscale construction: copies
+      // share no vocabulary, so per-copy structure stays constant and
+      // wall-clock growth measures ENGINE work). bpe_train's vocabulary
+      // grows ~n-fold, kneser_ney3's trigram model likewise — both
+      // should stay near-linear because every pass is a map-side
+      // aggregate + (now hint-free) key join; leakage_split's group
+      // frame and png decode's payload count scale exactly n-fold.
+      import org.apache.spark.sql.functions._
+      val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val corpus = (0 until n).map(k =>
+          base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", s"$$1c$k").as("text")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val ids = corpus.select("doc_id")
+        for ((label, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+            "bpe_train" -> (() => {
+              val m = graft.operators.TextAnalysis
+                .bpeTrain(corpus, "doc_id", "text", rounds = 6)
+              spark.createDataFrame(m).toDF("round", "merge", "weight")
+            }),
+            "kneser_ney3" -> (() => graft.operators.TextAnalysis
+              .kneserNeyTrigram(corpus, "doc_id", "text")),
+            "leakage_split" -> (() => graft.operators.Prep
+              .leakageSafeSplit(corpus, "doc_id", "text")),
+            "png_decode" -> (() => {
+              import spark.implicits._
+              graft.operators.Multimodal.decodePixels(
+                graft.operators.Multimodal.pngMedia(ids, "doc_id", "doc_id")
+                  .select(col("doc_id"), col("data"),
+                    col("meta.mime").as("mime"),
+                    col("meta.n_bytes").as("n_bytes"))
+                  .as[graft.operators.Multimodal.MediaRow]).toDF()
+            }),
+            "bpe_encode" -> (() => graft.operators.TextAnalysis
+              .bpeEncodeStats(corpus, "doc_id", "text",
+                Seq("e r", "i n", "o w", "s t", "a t", "a l", "t er"))))) {
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r8scale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("newscale")) {
       // Scaling evidence for the round-6-continuation operator family:
       // winnowing fingerprints, CDC chunking, blockwise phash signatures,
