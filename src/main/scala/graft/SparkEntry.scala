@@ -177,6 +177,7 @@ object SparkEntry {
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
+    "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -3096,6 +3097,33 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS fp FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
+    // Same byte stream, same mean-centering (32·b − Σb, DC cancels),
+    // the SAME interpolated cosine table — every coefficient reproduces.
+    "mm_frame_dct" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, encode(text) AS data,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) >= 32),
+         |fr AS (
+         |  SELECT doc_id, data,
+         |    unnest(range(0, CAST(floor((n - 32) / 32) AS INT) + 1)) AS fi
+         |  FROM m),
+         |b AS (
+         |  SELECT doc_id, fi, g.i - 1 AS x,
+         |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT
+         |      AS bv
+         |  FROM fr, LATERAL (SELECT unnest(range(1, 33)) AS i) g),
+         |c AS (SELECT doc_id, fi, SUM(bv) AS fsum FROM b GROUP BY 1, 2),
+         |dct AS (SELECT * FROM (VALUES ${operators.Multimodal.dctTableSql})
+         |  v(u, x, t)),
+         |co AS (SELECT b.doc_id, b.fi, d.u,
+         |    SUM(d.t * (32 * b.bv - c.fsum)) AS coeff
+         |  FROM b JOIN c USING (doc_id, fi)
+         |  JOIN dct d ON d.x = b.x AND d.u >= 1
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         |  string_agg(CAST(coeff AS VARCHAR), ',' ORDER BY u) AS spec_csv
+         |FROM co GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_audio_frames" ->
       """WITH m AS (
         |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n

@@ -514,6 +514,16 @@ object LlmQueries {
         frameLen = 64, hop = 32)
       .orderBy("doc_id", "frame_idx")
 
+  /** Spectral frame features ([[Multimodal.frameDct]]): the DCT-II
+    * spectrum (u = 1..7, shared fixed-point basis) of every mean-centered
+    * 32-sample frame — the shape MFCC pipelines start from; serialized
+    * per frame so the oracle pins every coefficient.
+    */
+  def mmFrameDct(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameDct(
+        Multimodal.attachBinary(docs(s, dir), "doc_id", "text"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Shot-boundary detection over the framed payloads: energy jumps above
     * 300 against the previous frame start a new scene
     * ([[Multimodal.sceneChanges]] over [[Multimodal.frameEnergy]] rows).

@@ -698,6 +698,50 @@ object Multimodal {
         expr("aggregate(col, CAST(0 AS BIGINT), (a, x) -> a + x)").as("energy"),
         array_max(col("col")).as("peak"))
 
+  /** Frequency-domain frame features — the spectral-shape step of the
+    * audio pipeline on REAL math (the [[frameEnergy]] stats are the
+    * time-domain moments; this is the DCT-II spectrum of each frame,
+    * i.e. the cepstral-envelope shape MFCC pipelines start from, minus
+    * the mel/log stages that need float filterbanks): per 32-sample
+    * frame, coefficients u = 1..7 of the shared fixed-point cosine
+    * basis [[DctT]] over the MEAN-CENTERED samples `32·b − Σb` (exact
+    * integers; DC vanishes, so a constant offset — audio DC bias —
+    * cancels term-by-term, the [[dctPhash64]] argument in one
+    * dimension).
+    *
+    * Integer-exact end-to-end and the oracle multiplies the SAME
+    * interpolated table, so the serialized spectrum hash-matches.
+    * Shape: byte values materialize once per payload (the [[featurize]]
+    * project-collapse rule), frames explode as Generate output, each
+    * coefficient is a row-local fold; no shuffle until the caller
+    * aggregates.
+    */
+  def frameDct(media: DataFrame, frameLen: Int = 32,
+               hop: Int = 32): DataFrame = {
+    require(frameLen == 32, "the shared DCT basis is 32-wide")
+    val coeffCols = (1 to 7).map { u =>
+      val tArr = DctT(u).mkString("array(", ", ", ")")
+      expr(s"""aggregate(zip_with(fr, $tArr,
+              |  (b, t) -> t * (32 * b - fsum)),
+              |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+        .cast("string")
+    }
+    media
+      .filter(octet_length(col("data")) >= frameLen)
+      .withColumn("bvals",
+        expr("transform(regexp_extract_all(hex(data), '..', 0), h -> CAST(conv(h, 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(floor((size(bvals) - $frameLen) / $hop) AS INT)),
+           |  i -> slice(bvals, i * $hop + 1, $frameLen))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("fr"))
+      .withColumn("fsum",
+        expr("aggregate(fr, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("doc_id"), col("frame_idx"),
+        concat_ws(",", coeffCols: _*).as("spec_csv"))
+  }
+
   /** Scene-change detection over the framed payload (the video-pipeline
     * shot-boundary step, on the [[frameEnergy]] stub features): a frame
     * starts a new scene when its energy jumps more than `threshold`
