@@ -359,6 +359,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodePixels(tiny).collect().isEmpty)
   }
 
+  test("frameDct: constant frames have an all-zero spectrum (DC " +
+      "cancellation), a planted cosine concentrates in its coefficient") {
+    import spark.implicits._
+    val flat = Array.fill[Byte](64)(77)
+    // frame of a slow cosine at frequency u=2 around a bias: the u=2
+    // coefficient must dominate every other
+    val wave = Array.tabulate[Byte](32) { x =>
+      (128 + Math.round(90 * StrictMath.cos(
+        StrictMath.PI * (2 * x + 1) * 2 / 64.0))).toByte
+    }
+    val media = Seq(
+      (1L, flat, "application/octet-stream", 64L),
+      (2L, wave, "application/octet-stream", 32L))
+      .toDF("doc_id", "data", "mime", "n_bytes")
+    val got = Multimodal.frameDct(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got((1L, 0L)) == "0,0,0,0,0,0,0" &&
+      got((1L, 1L)) == "0,0,0,0,0,0,0",
+      "a constant frame must transform to exactly zero")
+    val coeffs = got((2L, 0L)).split(",").map(_.toLong) // u = 1..7
+    val dominant = coeffs.map(math.abs).zipWithIndex.maxBy(_._1)._2 + 1
+    assert(dominant == 2, s"planted u=2 cosine, spectrum ${coeffs.toSeq}")
+    assert(math.abs(coeffs(1)) > 5L * coeffs.zipWithIndex
+      .collect { case (c, i) if i != 1 => math.abs(c) }.max,
+      "the planted frequency must dominate by a wide margin")
+  }
+
   test("byte sampling strides deterministically") {
     val m = Multimodal.attachBinary(docs.limit(5), "doc_id", "text")
     val out = Multimodal.sampleBytes(m, stride = 10).select("doc_id", "data", "sampled").collect()
