@@ -69,7 +69,14 @@ object Prep {
       .select(col(strataCol), col("blk"), col("blk_off"))
     val ww = Window.partitionBy(col(strataCol), col("blk"))
       .orderBy(col("hv"), col(idCol))
-    keyed.join(broadcast(offsets), Seq(strataCol, "blk"))
+    // null-safe stratum equality: a NULL stratum is a legitimate group
+    // (the window treats it as one) and a plain equi-join would silently
+    // drop its rows from the split
+    val offRenamed = offsets
+      .withColumnRenamed(strataCol, "s_off").withColumnRenamed("blk", "b_off")
+    keyed.join(broadcast(offRenamed),
+        col(strataCol) <=> col("s_off") && col("blk") === col("b_off"))
+      .drop("s_off", "b_off")
       .withColumn("grank", col("blk_off") + row_number().over(ww))
   }
 

@@ -161,6 +161,24 @@ class PrepSpec extends SparkTestBase {
     assert(out7.toSet == out.toSet, "partitioning changed the selection")
   }
 
+  test("trainValTestSplit: exact 10/10/80 per stratum at small sizes, " +
+      "NULL strata are a legitimate group (no rows dropped)") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) null else s"s${i % 3}"))
+    val df = rows.toDF("id", "lang")
+    val got = Prep.trainValTestSplit(df, "id", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    assert(got.length == 200, "no row may be dropped - including NULL strata")
+    // per-stratum ratios exact +-1 at any size (the global-rank contract)
+    got.groupBy(_._2).foreach { case (stratum, rs) =>
+      val n = rs.length
+      val test = rs.count(_._3 == "test")
+      assert(math.abs(test - n / 10.0) <= 1.0,
+        s"stratum $stratum: $test test of $n")
+    }
+  }
+
   test("kFold: every row gets exactly one fold, strata balanced to ±salts, " +
       "deterministic re-run") {
     import spark.implicits._
