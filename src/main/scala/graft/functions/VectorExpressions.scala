@@ -63,6 +63,53 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native unsigned byte extraction: `byte_values(binary)` →
+  * `ARRAY<BIGINT>` of the payload's bytes as 0..255 values — a custom
+  * codegen\'d Expression replacing the interpreted
+  * `transform(regexp_extract_all(hex(data), \'..\', 0),
+  *  h -> CAST(conv(h, 16, 10) AS BIGINT))`
+  * spelling on the multimodal hot paths (featurize, audio framing, CDC
+  * chunking). The hex spelling priced a regex match, a string
+  * allocation, and an interpreted base-16 parse PER BYTE; this compiles
+  * to one primitive loop into an UnsafeArrayData. Semantics are
+  * identical (unsigned byte value as BIGINT), so every DuckDB oracle
+  * keeps its hex spelling unchanged — the codec defines the CONTRACT,
+  * the native loop is just the fast engine path.
+  */
+case class ByteValues(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "byte_values"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xFFL; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = new long[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $arr[$i] = (long) ($b[$i] & 0xFF);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteValues = copy(child = newChild)
+}
+
 /** Session extension registering the native functions — the idiomatic
   * `SparkSessionExtensions` injection point (installed by
   * [[graft.Engine.session]]; also usable via
@@ -73,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotNativeFunction)
     ext.injectFunction(GraftFunctions.md5LongFunction)
     ext.injectFunction(GraftFunctions.ngramsFunction)
+    ext.injectFunction(GraftFunctions.byteValuesFunction)
     // whole-operator extension: native as-of join (custom LogicalPlan →
     // custom SparkPlan, SURVEY §4 preference (c))
     ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
@@ -129,6 +177,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
       (exprs: Seq[Expression]) => ngramsBuild(exprs))
 
+  private def byteValuesBuild(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "byte_values(binary) takes exactly 1 argument")
+    ByteValues(Cast(exprs.head, org.apache.spark.sql.types.BinaryType))
+  }
+
+  private[functions] val byteValuesFunction =
+    (new FunctionIdentifier("byte_values"),
+      new ExpressionInfo(classOf[ByteValues].getName, "byte_values"),
+      (exprs: Seq[Expression]) => byteValuesBuild(exprs))
+
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", build, "built-in")
@@ -136,5 +194,7 @@ object GraftFunctions {
       "md5_long", md5LongBuild, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams", ngramsBuild, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_values", byteValuesBuild, "built-in")
   }
 }

@@ -687,8 +687,7 @@ object Multimodal {
   def frameEnergy(media: DataFrame, frameLen: Int, hop: Int): DataFrame =
     media
       .filter(octet_length(col("data")) >= frameLen)
-      .withColumn("bvals",
-        expr("transform(regexp_extract_all(hex(data), '..', 0), h -> CAST(conv(h, 16, 10) AS BIGINT))"))
+      .withColumn("bvals", expr("byte_values(data)"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            |  sequence(0, CAST(floor((size(bvals) - $frameLen) / $hop) AS INT)),
@@ -728,8 +727,7 @@ object Multimodal {
     }
     media
       .filter(octet_length(col("data")) >= frameLen)
-      .withColumn("bvals",
-        expr("transform(regexp_extract_all(hex(data), '..', 0), h -> CAST(conv(h, 16, 10) AS BIGINT))"))
+      .withColumn("bvals", expr("byte_values(data)"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            |  sequence(0, CAST(floor((size(bvals) - $frameLen) / $hop) AS INT)),
@@ -773,10 +771,12 @@ object Multimodal {
     * via substring-on-binary + ascii, no UDF.
     */
   def featurize(media: DataFrame, dims: Int = 4): DataFrame = {
-    // byte values via the hex codec — string ops only, so the math is
-    // reproducible on any engine (raw byte→int of a lone non-ASCII byte
-    // is codec-dependent; hex is not). ONE self-contained expression AND
-    // one traversal: the aggregate walks the hex byte-pairs once, carrying
+    // byte values via the native codegen'd byte_values expression —
+    // unsigned 0..255 semantics identical to the hex-codec spelling the
+    // DuckDB oracle keeps (the codec defines the CONTRACT; the native
+    // loop replaces a per-byte regex match + string alloc + interpreted
+    // base-16 parse). ONE self-contained expression AND
+    // one traversal: the aggregate walks the byte array once, carrying
     // (position, f0..f{dims-1}) in the accumulator struct and adding each
     // byte to its stride's field — a CASE on position % dims keeps it to
     // one conv() and one struct per byte. (The round-3 form ran `dims`
@@ -788,16 +788,16 @@ object Multimodal {
     val zero = (0 until dims).map(j => s"'f$j', CAST(0 AS BIGINT)").mkString(", ")
     val branches = (0 until dims).map { j =>
       val fields = (0 until dims).map { d =>
-        if (d == j) s"'f$d', acc.f$d + CAST(conv(h, 16, 10) AS BIGINT)"
+        if (d == j) s"'f$d', acc.f$d + bvb"
         else s"'f$d', acc.f$d"
       }.mkString(", ")
       s"WHEN $j THEN named_struct('i', acc.i + 1, $fields)"
     }.mkString(" ")
     media.withColumn("features",
       expr(s"""aggregate(
-        |  regexp_extract_all(hex(data), '..', 0),
+        |  byte_values(data),
         |  named_struct('i', CAST(0 AS BIGINT), $zero),
-        |  (acc, h) -> CASE CAST(acc.i % $dims AS INT)
+        |  (acc, bvb) -> CASE CAST(acc.i % $dims AS INT)
         |    $branches
         |  END,
         |  acc -> array(${(0 until dims).map(j => s"acc.f$j").mkString(", ")}))""".stripMargin))
@@ -1056,16 +1056,15 @@ object Multimodal {
     // whole operator flat at ~7.5 s from 1× to 8× corpus because the n
     // unioned selects gave exactly n partitions; [[Spread.ifNarrow]]).
     val src = Spread.ifNarrow(media)
-    val hx = src.select(col(idCol), hex(col("data")).as("hx"))
-      .localCheckpoint(true)
     // one decoded-byte array per payload: decoding ONCE and indexing in
     // the cut lambda beats re-decoding the 4-byte window per candidate
     // position (measured 13.9 s vs 22.2 s at sf0.1 — HOF lambdas are
-    // interpreted, so expression-tree size per element dominates)
-    val bv = hx.select(col(idCol), col("hx"), expr(
-      """transform(sequence(1, CAST(length(hx) / 2 AS INT)),
-        |  p -> CAST(conv(substring(hx, (p - 1) * 2 + 1, 2), 16, 10) AS BIGINT))"""
-        .stripMargin).as("bv"))
+    // interpreted, so expression-tree size per element dominates). The
+    // decode is the native codegen'd byte_values (same unsigned-byte
+    // semantics as the hex spelling the oracle keeps); hx stays for the
+    // chunk-hash substrings. One materialization barrier now covers both.
+    val bv = src.select(col(idCol), hex(col("data")).as("hx"),
+        expr("byte_values(data)").as("bv"))
       .localCheckpoint(true)
     // cut positions (byte p ENDS a chunk), then chunk start/end spans:
     // starts = 1 :: cuts+1, ends = cuts :: n — a trailing cut at n would
