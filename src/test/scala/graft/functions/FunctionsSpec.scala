@@ -73,6 +73,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("byte_values equals the hex-codec spelling on random payloads, " +
+      "stays in codegen, nulls propagate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 200).map { i =>
+      val n = rnd.nextInt(300)
+      (i.toLong, Array.fill[Byte](n)(rnd.nextInt(256).toByte))
+    } :+ (999L, Array.emptyByteArray)
+    val df = rows.toDF("id", "data")
+    val cmp = df.select(
+      expr("byte_values(data)").as("native"),
+      expr("transform(regexp_extract_all(hex(data), '..', 0), h -> CAST(conv(h, 16, 10) AS BIGINT))").as("hex"))
+    assert(cmp.filter(not(col("native") <=> col("hex"))).count() == 0,
+      "native byte extraction must equal the hex codec exactly")
+    // a file-backed scan, so the projection can't constant-fold away
+    val p = Tables.load(spark, sfDir, "documents")
+      .select(expr("byte_values(CAST(text AS BINARY))").as("bv"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [byte_values"), s"expected codegen: $p")
+    val nullRow = spark.sql(
+      "SELECT byte_values(CAST(NULL AS BINARY)) AS a").head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("md5_long SQL function equals the Column-side portable hash") {
     import spark.implicits._
     val docs = Seq("alpha", "beta", "", "γ unicode").toDF("s")

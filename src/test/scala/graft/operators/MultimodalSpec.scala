@@ -172,6 +172,20 @@ class MultimodalSpec extends SparkTestBase {
     val gotA = Multimodal.decodePng(png(4, 1, 6, rowA))
     assert(gotA.isDefined && gotA.get._1.channels == 4)
     assert((0 until 16).forall(x => u(gotA.get._2(x)) == rawA(x)))
+    // ancillary chunks between IHDR and IDAT (tEXt here) must be
+    // skipped, not refused — real encoders emit them routinely
+    val withText = sig ++ chunk("IHDR",
+        be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("tEXt", "Comment hello".getBytes("US-ASCII")) ++ {
+        val d2 = new java.util.zip.Deflater()
+        d2.setInput(rows.flatten); d2.finish()
+        val b2 = new Array[Byte](rows.flatten.length + 64)
+        val z2 = d2.deflate(b2); d2.end()
+        chunk("IDAT", b2.take(z2))
+      } ++ chunk("IEND", Array.emptyByteArray)
+    val gotT = Multimodal.decodePng(withText)
+    assert(gotT.isDefined, "ancillary chunks must be skipped")
+    assert(gotT.get._2.sameElements(got.get._2))
     // grayscale (colorType 0): 1 channel, Sub filter with bpp = 1,
     // luma = 1000 * sample through decodePixels' walks
     val rawG = Array.tabulate(8 * 8)(i => (i * 29 + 3) % 256)
