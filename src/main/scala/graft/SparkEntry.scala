@@ -114,6 +114,7 @@ object SparkEntry {
     "a30_incremental_dedup_sync" -> (PipelineQueries.a30IncrementalDedupSync _),
     "a31_scd2_lookup"       -> (PipelineQueries.a31Scd2Lookup _),
     "a32_schema_evolution"  -> (PipelineQueries.a32SchemaEvolution _),
+    "a33_schema_conflict"   -> (PipelineQueries.a33SchemaConflict _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3043,6 +3044,21 @@ object SparkEntry {
         |    AS schema_json
         |FROM customer WHERE c_custkey <= 4000
         |ORDER BY c_custkey""".stripMargin,
+    // The refusal-side truth table: verdicts from the reference's 5-type
+    // warehouse system; two non-STRING label changes are incompatible
+    // (loud refusal), STRING relaxation is the "fix it later" widening.
+    "a33_schema_conflict" ->
+      """SELECT * FROM (VALUES
+        |  ('balance', 'FLOAT', 'INTEGER', 'incompatible', false),
+        |  ('born', 'DATETIME', 'STRING', 'widened', false),
+        |  ('email', '', 'STRING', 'added', false),
+        |  ('id', 'INTEGER', 'INTEGER', 'unchanged', false),
+        |  ('legacy_code', 'INTEGER', '', 'removed', false),
+        |  ('name', 'STRING', 'STRING', 'unchanged', false),
+        |  ('ratio', 'FLOAT', 'FLOAT', 'unchanged', false),
+        |  ('start_date', 'DATE', 'DATETIME', 'incompatible', false)
+        |) AS t(col_name, old_type, new_type, verdict, table_compatible)
+        |ORDER BY col_name""".stripMargin,
     // Point-in-time semantics replayed: each event joins the dimension
     // version whose validity range covers its event date.
     "a31_scd2_lookup" ->

@@ -374,6 +374,34 @@ object PipelineQueries {
       .orderBy("c_custkey")
   }
 
+  /** A33 — the REFUSAL half of schema evolution
+    * ([[SchemaCodec.evolutionVerdicts]]; [[a32SchemaEvolution]] pins the
+    * additive path): two catalog snapshots of one table produce a
+    * per-column verdict — unchanged / added / removed / widened (any
+    * type relaxing to the reference's STRING fallback, :155's "you can
+    * fix it later") / incompatible (the warehouse type changing between
+    * two non-STRING labels, where day-1 parquet cannot be read under
+    * the day-2 schema and the sync must refuse loudly rather than
+    * silently coerce). The verdict table IS the pre-sync gate a daily
+    * pipeline runs before touching data.
+    */
+  def a33SchemaConflict(s: SparkSession, dir: String): DataFrame = {
+    val day1 = Seq(
+      "id" -> "bigint", "name" -> "varchar", "born" -> "datetime",
+      "balance" -> "decimal", "start_date" -> "date",
+      "legacy_code" -> "int", "ratio" -> "double")
+    val day2 = Seq(
+      "id" -> "int", "name" -> "text", "born" -> "varchar",
+      "balance" -> "int", "start_date" -> "datetime",
+      "email" -> "varchar", "ratio" -> "decimal")
+    val verdicts = SchemaCodec.evolutionVerdicts(day1, day2)
+    val compatible = !verdicts.exists(_._4 == "incompatible")
+    s.createDataFrame(verdicts)
+      .toDF("col_name", "old_type", "new_type", "verdict")
+      .withColumn("table_compatible", lit(compatible))
+      .orderBy("col_name")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

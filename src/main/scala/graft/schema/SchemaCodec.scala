@@ -41,6 +41,46 @@ object SchemaCodec {
       s"""{"name": ${jstr(TypeMapper.sanitizeName(f.name))}, "type": ${jstr(bqTypeOf(f.dataType))}, "mode": "NULLABLE"}"""
     }.mkString("[", ", ", "]")
 
+  /** Evolution verdict between two catalog snapshots of the same table —
+    * the REFUSAL half of the schema-evolution story (a32 pins the
+    * additive path): per column, one of
+    *
+    *   - `unchanged` — same warehouse type;
+    *   - `added` — new column (additive, NULL-backfill applies);
+    *   - `removed` — column gone at the source (history keeps it,
+    *     future rows carry NULL — additive in reverse, still safe);
+    *   - `widened` — the engine-native type widens losslessly while the
+    *     warehouse label is unchanged or relaxes to STRING ("you can
+    *     fix it later" absorbs ANY type as text — reference :155);
+    *   - `incompatible` — the warehouse type CHANGES between two
+    *     non-STRING labels (INTEGER→FLOAT, DATETIME→DATE, …): day-1
+    *     parquet cannot be read under the day-2 schema, so the sync
+    *     must REFUSE loudly instead of silently coercing.
+    *
+    * Verdicts are derived from the reference's 5-type warehouse system
+    * ([[TypeMapper.toBqType]]), matching what the BQ-side load would
+    * actually accept. `compatible` = no `incompatible` column.
+    */
+  def evolutionVerdicts(oldCat: Seq[(String, String)],
+                        newCat: Seq[(String, String)]): Seq[(String, String, String, String)] = {
+    val o = oldCat.map { case (n, t) =>
+      TypeMapper.sanitizeName(n) -> TypeMapper.toBqType(t) }.toMap
+    val n = newCat.map { case (nm, t) =>
+      TypeMapper.sanitizeName(nm) -> TypeMapper.toBqType(t) }.toMap
+    val names = (oldCat.map(c => TypeMapper.sanitizeName(c._1)) ++
+      newCat.map(c => TypeMapper.sanitizeName(c._1))).distinct
+    names.map { nm =>
+      val verdict = (o.get(nm), n.get(nm)) match {
+        case (None, Some(_))                  => "added"
+        case (Some(_), None)                  => "removed"
+        case (Some(a), Some(b)) if a == b     => "unchanged"
+        case (Some(_), Some("STRING"))        => "widened"
+        case _                                => "incompatible"
+      }
+      (nm, o.getOrElse(nm, ""), n.getOrElse(nm, ""), verdict)
+    }
+  }
+
   /** Parse a JSON schema doc back into a StructType (all nullable).
     * Minimal recursive-descent over the `[{...}, ...]` shape the codec
     * emits — no external JSON library (zero-dependency constraint).
