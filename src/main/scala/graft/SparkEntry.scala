@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Graph, LlmQueries, NaiveBayes, Pca, PipelineQueries, Queries, Regression}
+import graft.operators.{Analytics, Graph, LlmQueries, LogReg, NaiveBayes, Pca, PipelineQueries, Queries, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -212,6 +212,7 @@ object SparkEntry {
     "text_bpe_apply"        -> (LlmQueries.textBpeApply _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
+    "ml_logreg"             -> (LogReg.mlLogReg _),
     "ml_pca_power"          -> (Pca.mlPcaPower _),
     "ml_pca_top3"           -> (Pca.mlPcaTop3 _),
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
@@ -3601,6 +3602,10 @@ object SparkEntry {
     // The k = 3 chain exercises a SECOND deflation (top-2 never does);
     // same generated recurrence, one more prefix.
     "ml_pca_top3" -> Pca.oracleSql(components = 3),
+    // Same quantization, same ALGEBRAIC sigmoid string (IEEE-exact on
+    // any engine, unlike exp), same integer gradient sums, same
+    // 12-decimal weight re-sync per unrolled iteration.
+    "ml_logreg" -> LogReg.oracleSql(iters = 12, lr = 8.0),
     "ml_linreg" -> {
       val fit = Regression.fitSql
         .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
