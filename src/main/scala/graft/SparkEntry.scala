@@ -213,6 +213,7 @@ object SparkEntry {
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
     "ml_logreg"             -> (LogReg.mlLogReg _),
+    "ml_calibration"        -> (LogReg.mlCalibration _),
     "ml_pca_power"          -> (Pca.mlPcaPower _),
     "ml_pca_top3"           -> (Pca.mlPcaTop3 _),
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
@@ -3606,6 +3607,15 @@ object SparkEntry {
     // any engine, unlike exp), same integer gradient sums, same
     // 12-decimal weight re-sync per unrolled iteration.
     "ml_logreg" -> LogReg.oracleSql(iters = 12, lr = 8.0),
+    // Reliability diagram over the same replayed training run.
+    "ml_calibration" ->
+      s"""WITH scored AS (${LogReg.oracleSql(iters = 12, lr = 8.0)})
+         |SELECT LEAST(9, CAST(floor(p * 10) AS BIGINT)) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(AVG(p), 4) AS mean_p,
+         |  ROUND(AVG(CAST(y AS DOUBLE)), 4) AS frac_pos,
+         |  ROUND(AVG(p) - AVG(CAST(y AS DOUBLE)), 4) + 0.0 AS gap
+         |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ml_linreg" -> {
       val fit = Regression.fitSql
         .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")

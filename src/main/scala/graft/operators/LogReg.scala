@@ -120,6 +120,27 @@ object LogReg {
       .orderBy("o_orderkey")
   }
 
+  /** Registered query: CALIBRATION audit of the trained classifier —
+    * the reliability-diagram statistic every deployed model is
+    * monitored with: scores bucket by predicted-probability decile, and
+    * each bucket reports its size, mean predicted probability, and
+    * EMPIRICAL positive rate plus the gap between them (a
+    * well-calibrated model has |gap| near 0 in every populated bucket;
+    * drift here fires before accuracy moves). One more
+    * map-side-combined aggregate over the scored frame.
+    */
+  def mlCalibration(spark: SparkSession, dir: String): DataFrame =
+    mlLogReg(spark, dir)
+      .withColumn("bucket",
+        least(lit(9L), floor(col("p") * 10).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p"), 4).as("mean_p"),
+        round(avg(col("y").cast("double")), 4).as("frac_pos"),
+        (round(avg("p") - avg(col("y").cast("double")), 4) + lit(0.0))
+          .as("gap"))
+      .orderBy("bucket")
+
   /** The DuckDB oracle: the identical recurrence unrolled — same
     * quantization, same algebraic sigmoid string, same integer gradient
     * sums (exact at any order), same 12-decimal weight re-sync — so
