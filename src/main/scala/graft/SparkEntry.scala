@@ -378,7 +378,10 @@ object SparkEntry {
     * `v0` = spaced distinct-token vocabulary with corpus counts, then per
     * round r: `p_r` (piece-pair counts over `v_{r-1}`), `m_r` (argmax
     * pair, lexicographic tie-break — the engine's exact rule), `v_r`
-    * (exhaustive leftmost replace). MATERIALIZED per multi-referenced
+    * (exhaustive leftmost replace with BOTH piece boundaries guarded via
+    * the double-space-and-pad spelling — the engine's
+    * `TextAnalysis.mergeGuarded`, mirrored glyph-for-glyph).
+    * MATERIALIZED per multi-referenced
     * CTE, or DuckDB's inlining explodes exponentially across rounds.
     */
   private def bpeRecurrenceSql(rounds: Int): String = {
@@ -398,8 +401,11 @@ object SparkEntry {
          |m$r AS MATERIALIZED (SELECT pair, w FROM p$r
          |  ORDER BY w DESC, pair LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT tok, replace(sp, (SELECT pair FROM m$r),
-         |    replace((SELECT pair FROM m$r), ' ', '')) AS sp, tc
+         |  SELECT tok, replace(trim(replace(
+         |      '  ' || replace(sp, ' ', '  ') || '  ',
+         |      ' ' || replace((SELECT pair FROM m$r), ' ', '  ') || ' ',
+         |      ' ' || replace((SELECT pair FROM m$r), ' ', '') || ' ')),
+         |    '  ', ' ') AS sp, tc
          |  FROM v${r - 1})""".stripMargin
     }
     (v0 +: rs).mkString(",\n")

@@ -86,12 +86,14 @@ object LogReg {
       (round(expr(sigmaSql(z)), 4) + lit(0.0)).as("p"),
       expr(s"CAST(${sigmaSql(z)} > 0.5D AS INT)").cast("long").as("yhat"),
       col("y"),
-      lit(BigDecimal(w(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble).as("w0"),
-      lit(BigDecimal(w(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble).as("w1"),
-      lit(BigDecimal(w(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble).as("w2"))
+      // + 0.0 normalizes a weight that rounds to exactly zero to +0.0
+      // (DuckDB ROUND can return -0.0) — the repo-wide convention
+      (lit(BigDecimal(w(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) + lit(0.0)).as("w0"),
+      (lit(BigDecimal(w(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) + lit(0.0)).as("w1"),
+      (lit(BigDecimal(w(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) + lit(0.0)).as("w2"))
   }
 
   /** Registered query: recover a PLANTED linear model — the classifier
@@ -187,9 +189,9 @@ object LogReg {
        |SELECT o_orderkey,
        |  ROUND(${sig(zExpr(s"w$iters"))}, 4) + 0.0 AS p,
        |  CAST(${sig(zExpr(s"w$iters"))} > 0.5 AS BIGINT) AS yhat, y,
-       |  ROUND((SELECT w0 FROM w$iters), 6) AS w0,
-       |  ROUND((SELECT w1 FROM w$iters), 6) AS w1,
-       |  ROUND((SELECT w2 FROM w$iters), 6) AS w2
+       |  ROUND((SELECT w0 FROM w$iters), 6) + 0.0 AS w0,
+       |  ROUND((SELECT w1 FROM w$iters), 6) + 0.0 AS w1,
+       |  ROUND((SELECT w2 FROM w$iters), 6) + 0.0 AS w2
        |FROM q ORDER BY o_orderkey""".stripMargin
   }
 }

@@ -52,8 +52,11 @@ object Prep {
     * id) — deterministic, hash-uniform, and reproducible by a plain
     * `ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash % salts,
     * hash, id)` on any engine. The offset table is label-domain ×
-    * config — bounded like a centroid codebook — so its broadcast hint
-    * is safe.
+    * config — tiny in the intended label-domain case — but the join
+    * carries NO broadcast hint: size-based planning still broadcasts it
+    * at any sane cardinality, while a caller passing a high-cardinality
+    * stratum column degrades to a shuffle join instead of OOMing (a
+    * forced hint never degrades).
     */
   private def strataGlobalRank(df: DataFrame, idCol: String,
                                strataCol: String, salts: Int): DataFrame = {
@@ -74,7 +77,7 @@ object Prep {
     // drop its rows from the split
     val offRenamed = offsets
       .withColumnRenamed(strataCol, "s_off").withColumnRenamed("blk", "b_off")
-    keyed.join(broadcast(offRenamed),
+    keyed.join(offRenamed,
         col(strataCol) <=> col("s_off") && col("blk") === col("b_off"))
       .drop("s_off", "b_off")
       .withColumn("grank", col("blk_off") + row_number().over(ww))

@@ -254,6 +254,30 @@ object TextAnalysis {
     * Rounds are data-independent in number (a fixed budget), so the loop
     * is bounded at any corpus size.
     */
+  /** Boundary-guarded exhaustive merge of spaced pair `m` over a
+    * single-spaced piece string: double every separator and pad, so the
+    * pair pattern `" a  b "` can only match where BOTH sides are whole
+    * pieces (a piece merely ENDING in `a` or STARTING with `b` has no
+    * flanking space for the pattern to consume — the guard Sennrich's
+    * reference implementation gets from `(?<!\S)…(?!\S)`, spelled with
+    * plain `replace` because RE2 (the oracle's regex engine) has no
+    * lookbehind). Replacement restores one space per side, so the
+    * double-space invariant survives chained and adjacent merges, and a
+    * final trim + collapse returns the single-spaced form. All codegen'd
+    * string ops — no regex, no UDF.
+    */
+  private[operators] def mergeGuarded(spaced: Column,
+                                      merges: Seq[String]): Column = {
+    val doubled = concat(lit("  "),
+      call_function("replace", spaced, lit(" "), lit("  ")), lit("  "))
+    val merged = merges.foldLeft(doubled) { (c, m) =>
+      call_function("replace", c,
+        lit(" " + m.replace(" ", "  ") + " "),
+        lit(" " + m.replace(" ", "") + " "))
+    }
+    call_function("replace", trim(merged), lit("  "), lit(" "))
+  }
+
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                rounds: Int = 6): Seq[(Long, String, Long)] = {
     var cur = docs.select(explode(split(col(textCol), " ")).as("tok"))
@@ -277,9 +301,7 @@ object TextAnalysis {
       else {
         val m = top(0).getString(0)
         merges += ((r.toLong, m, top(0).getLong(1)))
-        cur = cur.select(
-            call_function("replace", col("sp"), lit(m),
-              lit(m.replace(" ", ""))).as("sp"), col("tc"))
+        cur = cur.select(mergeGuarded(col("sp"), Seq(m)).as("sp"), col("tc"))
           .localCheckpoint(true)
         r += 1
       }
@@ -290,8 +312,8 @@ object TextAnalysis {
   /** BPE tokenizer APPLICATION (the other half of [[bpePairStats]] —
     * Sennrich et al. 2016's apply step): a learned merge list is applied
     * to every token IN ORDER, each merge exhaustively (leftmost,
-    * non-overlapping — exactly `String.replace` semantics, which is what
-    * the reference subword-nmt implementation does per merge), and the
+    * non-overlapping, BOTH piece boundaries guarded via [[mergeGuarded]] —
+    * the subword-nmt reference semantics), and the
     * resulting piece vocabulary is counted corpus-wide.
     *
     * Scale: the merge chain runs over the DISTINCT-token table with
@@ -308,9 +330,7 @@ object TextAnalysis {
     val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tc"))
     val spaced: Column = trim(regexp_replace(col("tok"), "(.)", "$1 "))
-    val applied = merges.foldLeft(spaced) { (c, m) =>
-      call_function("replace", c, lit(m), lit(m.replace(" ", "")))
-    }
+    val applied = mergeGuarded(spaced, merges)
     toks.select(col("tc"), explode(split(applied, " ")).as("piece"))
       .groupBy("piece").agg(sum("tc").as("n_occ"))
       .orderBy(col("n_occ").desc, col("piece")).limit(k)
@@ -333,9 +353,7 @@ object TextAnalysis {
                      merges: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
     val spaced: Column = trim(regexp_replace(col("tok"), "(.)", "$1 "))
-    val applied = merges.foldLeft(spaced) { (c, m) =>
-      call_function("replace", c, lit(m), lit(m.replace(" ", "")))
-    }
+    val applied = mergeGuarded(spaced, merges)
     val vocab = toks.select("tok").distinct()
       .select(col("tok"), size(split(applied, " ")).as("np"),
         length(col("tok")).as("nc"))

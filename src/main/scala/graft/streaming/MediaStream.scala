@@ -54,10 +54,14 @@ object MediaStream {
     * the contract forbids).
     *
     * The per-image verdict needs a per-doc aggregate over its 4 band
-    * rows — stateful as a streaming plan — so the verdict runs inside
-    * `foreachBatch` as BATCH logic (the [[EventsStream.incrementalPublish]]
-    * convention): decode streams, the band join + exact-hamming verify +
-    * anti-join re-plan per micro-batch against the static lake, and no
+    * rows — stateful as a streaming plan — so decode AND verdict run
+    * inside `foreachBatch` as BATCH logic (the
+    * [[EventsStream.incrementalPublish]] convention): the micro-batch
+    * decodes to signatures, the band join + exact-hamming verify
+    * produce the matched-id set, and a semi-join of the batch's
+    * ORIGINAL rows against the surviving ids writes the full media
+    * columns (payload/mime/n_bytes) — all
+    * re-planned per micro-batch against the static lake, and no
     * streaming state store is ever touched. At-least-once (a replayed
     * batch re-appends; dedup on doc_id downstream or a batch-id guard
     * like incrementalPublish's restores exactly-once — the filter
@@ -68,24 +72,32 @@ object MediaStream {
                             outDir: String,
                             maxHamming: Int = 3): StreamingQuery = {
     require(maxHamming <= 3, "4x16-bit banding is exhaustive only to hamming 3")
-    import spark.implicits._
     val lakeBands = bands(lakeSig.select(col("doc_id").as("lake_id"),
       col("ph")), "lake_id")
     val stream = spark.readStream.schema(mediaSchema).parquet(srcDir)
-    val sig = Multimodal.decodePixels(stream.as[Multimodal.MediaRow]).toDF()
-      .select(col("doc_id"), col("ph"))
-    sig.writeStream
+    stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // candidates by full-band agreement, verified by exact hamming —
-        // the pigeonhole guarantee is per pair, unchanged under streaming
-        val matched = bands(batch, "doc_id").as("x")
+        val bs = batch.sparkSession
+        import bs.implicits._
+        // decode the micro-batch to signatures (undecodable payloads get
+        // none — the refusal contract), then verdict by full-band
+        // agreement verified with exact hamming — the pigeonhole
+        // guarantee is per pair, unchanged under streaming
+        val sig = Multimodal.decodePixels(batch.as[Multimodal.MediaRow])
+          .toDF().select(col("doc_id"), col("ph"))
+        val matched = bands(sig, "doc_id").as("x")
           .join(lakeBands.as("y"),
             col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
           .filter(bit_count(col("x.ph").bitwiseXOR(col("y.ph"))) <= maxHamming)
           .select(col("x.doc_id").as("doc_id")).distinct()
-        batch.join(matched, Seq("doc_id"), "left_anti")
+        // surviving ids = decoded AND not matched; join the verdict back
+        // onto the batch's ORIGINAL rows so the output carries the full
+        // media columns (payload/mime/n_bytes), not just the signature
+        val surviving = sig.select("doc_id")
+          .join(matched, Seq("doc_id"), "left_anti")
+        batch.join(surviving, Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(outDir)
       }
       .start()

@@ -48,6 +48,35 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.sum < 1.0, "dangling node must leak mass")
   }
 
+  test("deep 50-round budget: periodic checkpoints bound plan depth and " +
+      "leave the scalar recurrence bit-identical") {
+    // 1 -> 2 (w 3), 1 -> 3 (w 1), 2 -> 3 (w 1); 3 dangles (mass leaks)
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    val df = Graph.pageRank(edges.toDF("src", "dst", "w"), iters = 50)
+    // the returned frame's lineage is only the post-last-checkpoint
+    // tail: ≤ CheckpointEvery join+agg rounds, not 50 — the plan string
+    // growing with the FULL budget is exactly the compounding the
+    // periodic barrier exists to prevent
+    val depth = df.queryExecution.optimizedPlan.toString().linesIterator.size
+    val shallow = Graph.pageRank(edges.toDF("src", "dst", "w"), iters = 10)
+      .queryExecution.optimizedPlan.toString().linesIterator.size
+    assert(depth <= shallow,
+      s"50-round plan ($depth lines) must not exceed the 10-round tail ($shallow)")
+    // values match the driver-side scalar recurrence at every one of the
+    // 50 rounds — the checkpoint changes the plan, never the numbers
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = Map(1L -> rnd(1.0 / 3), 2L -> rnd(1.0 / 3), 3L -> rnd(1.0 / 3))
+    for (_ <- 1 to 50) {
+      val t = 0.15 / 3
+      r = Map(
+        1L -> rnd(t),
+        2L -> rnd(t + 0.85 * (r(1L) * 0.75)),
+        3L -> rnd(t + 0.85 * (r(1L) * 0.25 + r(2L) * 1.0)))
+    }
+    assert(got == r, s"engine $got vs scalar $r")
+  }
+
   test("triangleStats matches a brute-force enumeration on a known graph") {
     // K4 on {1,2,3,4} plus pendant 5–1; uniform weights w=10 so the q70
     // sparsifier keeps everything (percentile of a constant = itself,

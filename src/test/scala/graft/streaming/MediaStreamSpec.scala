@@ -46,7 +46,11 @@ class MediaStreamSpec extends SparkTestBase {
         tmp("ms_ckpt"), out)
       .awaitTermination()
 
-    val got = spark.read.parquet(out).select("doc_id")
+    val outDf = spark.read.parquet(out)
+    assert(outDf.columns.sorted.toSeq ==
+      Seq("data", "doc_id", "mime", "n_bytes"),
+      "survivors must carry the full media columns, not just signatures")
+    val got = outDf.select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     // batch truth: decode the drained input, keep signatures with no
     // lake signature within hamming 3 (banding is exhaustive at <= 3,
