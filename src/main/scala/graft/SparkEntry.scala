@@ -115,6 +115,9 @@ object SparkEntry {
     "a31_scd2_lookup"       -> (PipelineQueries.a31Scd2Lookup _),
     "a32_schema_evolution"  -> (PipelineQueries.a32SchemaEvolution _),
     "a33_schema_conflict"   -> (PipelineQueries.a33SchemaConflict _),
+    "a34_pgwire_pushdown"   -> (PipelineQueries.a34PgwirePushdown _),
+    "a35_pgwire_partitioned" -> (PipelineQueries.a35PgwirePartitioned _),
+    "a36_pgwire_catalog"    -> (PipelineQueries.a36PgwireCatalog _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3067,6 +3070,27 @@ object SparkEntry {
         |  ('start_date', 'DATE', 'DATETIME', 'incompatible', false)
         |) AS t(col_name, old_type, new_type, verdict, table_compatible)
         |ORDER BY col_name""".stripMargin,
+    // a34-a36: the A1/A2/A4 scans through the live PostgreSQL-wire
+    // listener; the data is bit-identical to the embedded legs (same
+    // customer rows loaded THROUGH the socket), so the oracles are the
+    // plain-parquet truths.
+    "a34_pgwire_pushdown" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    "a35_pgwire_partitioned" ->
+      """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // catalog truth for the wire-created table: VARCHAR columns (the
+    // embedded a04 table stores strings as CLOB via Spark's Derby
+    // dialect; the wire DDL declares VARCHAR explicitly)
+    "a36_pgwire_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('c_custkey', 'BIGINT', 'INTEGER', CAST(1 AS BIGINT)),
+        |  ('c_name', 'VARCHAR(64)', 'STRING', 2),
+        |  ('c_nationkey', 'INTEGER', 'INTEGER', 3),
+        |  ('c_acctbal', 'DOUBLE', 'FLOAT', 4),
+        |  ('c_mktsegment', 'VARCHAR(16)', 'STRING', 5)
+        |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
     // Point-in-time semantics replayed: each event joins the dimension
     // version whose validity range covers its event date.
     "a31_scd2_lookup" ->

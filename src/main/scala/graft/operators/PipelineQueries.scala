@@ -402,6 +402,100 @@ object PipelineQueries {
       .orderBy("col_name")
   }
 
+  // ---- live wire-protocol leg (a34-a36) ---------------------------------
+
+  /** The live network listener: a PostgreSQL-v3 wire-protocol server
+    * ([[graft.sources.pgwire.PgWireServer]]) fronting the same embedded
+    * Derby — the reference's topology has Spark-side code reach the
+    * database through a TCP proxy listener (`cloud_sql_proxy`, reference
+    * `yaml/sql_proxy_postgresql_deployment_with_sa.yaml:56-57`), and
+    * a34-a36 replay the A1/A2/A4 scans through a REAL socket + public
+    * protocol instead of the in-process embedded handle. Lazy singleton
+    * on an ephemeral loopback port, daemon threads. In multi-executor
+    * mode the port travels inside the JDBC URL, so executor JVMs open
+    * their own wire sessions to the driver-hosted listener — unlike the
+    * `jdbc:derby:memory:` URL, which names a DIFFERENT database in every
+    * JVM.
+    */
+  private lazy val pgServer =
+    new graft.sources.pgwire.PgWireServer(derbyUrl)
+
+  private def pgUrl: String =
+    s"jdbc:graftpg://127.0.0.1:${pgServer.port}/graft"
+
+  private val pgProps = Map("driver" -> "graft.sources.pgwire.PgWireDriver")
+
+  /** DDL + truncate over the wire (the update path), then a Spark JDBC
+    * batched INSERT APPEND through the socket — the A9 bulk-load shape,
+    * but every byte crosses the network listener.
+    */
+  private def ensureCustomerWire(s: SparkSession, dir: String): Unit = {
+    graft.sources.pgwire.PgWireDriver.ensureRegistered()
+    val conn = new graft.sources.pgwire.PgWireDriver().connect(pgUrl, null)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE customer_wire (
+          |  "c_custkey" BIGINT, "c_name" VARCHAR(64),
+          |  "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+          |  "c_mktsegment" VARCHAR(16))""".stripMargin)
+      catch { // X0Y32: table exists (idempotent re-run)
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute("DELETE FROM customer_wire")
+      st.close()
+    } finally conn.close()
+    JdbcSource.write(Tables.load(s, dir, "customer"), pgUrl, "customer_wire",
+      org.apache.spark.sql.SaveMode.Append, pgProps)
+  }
+
+  /** A34 — the A1 server-side pushdown replayed over the wire: the WHERE
+    * executes inside the backend, rows stream back as protocol frames.
+    */
+  def a34PgwirePushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerWire(s, dir)
+    JdbcSource.readQuery(s, pgUrl,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer_wire WHERE "c_acctbal" > 5000""",
+        pgProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A35 — the A2 partitioned parallel read over the wire: 4 disjoint
+    * range cursors, each a SEPARATE network session (thread-per-connection
+    * server side), proving the listener serves concurrent exports.
+    */
+  def a35PgwirePartitioned(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerWire(s, dir)
+    JdbcSource.readPartitioned(s, pgUrl, "customer_wire",
+        "c_custkey", 1L, 1000000L, 4, pgProps)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** A36 — the A4 catalog scan over the wire: the backend's system
+    * catalog queried through the socket, then the A5/A6 type map applied
+    * to what the catalog said (collect() is metadata, never data).
+    */
+  def a36PgwireCatalog(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerWire(s, dir)
+    val cat = JdbcSource.readQuery(s, pgUrl,
+      """SELECT c.COLUMNNAME AS "col_name", CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS "dt",
+        |       c.COLUMNNUMBER AS "pos"
+        |FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+        |WHERE t.TABLENAME = 'CUSTOMER_WIRE'""".stripMargin, pgProps)
+      .collect().sortBy(_.getAs[Int]("pos"))
+    val rows = cat.map { r =>
+      val (n, dt) = (r.getAs[String]("col_name"), r.getAs[String]("dt"))
+      (TypeMapper.sanitizeName(n), dt, TypeMapper.toBqType(dt),
+        r.getAs[Int]("pos").toLong)
+    }.toSeq
+    s.createDataFrame(rows).toDF("col_name", "data_type", "bq_type", "pos")
+      .orderBy("pos")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",
