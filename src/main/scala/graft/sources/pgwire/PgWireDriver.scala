@@ -29,6 +29,15 @@ import java.util.logging.Logger
   * DataRow frame at a time, so a partitioned fact export holds O(1) rows
   * per cursor client-side, and N Spark partitions open N independent
   * wire sessions.
+  *
+  * Transaction semantics: the backend autocommits every statement and the
+  * driver's `commit`/`rollback` are accepted no-ops, so WRITES ARE
+  * AT-LEAST-ONCE under retry — Spark's savePartition rollback-on-failure
+  * cannot undo rows a failed partition already inserted, and a re-run
+  * appends them again. Callers that need overwrite semantics must make the
+  * write idempotent themselves (DELETE/truncate before append, the
+  * `ensureCustomerWire` pattern). Reads carry the same caveat trivially
+  * (a retried partition re-issues its cursor query).
   */
 final class PgWireDriver extends Driver {
   override def acceptsURL(url: String): Boolean =
@@ -195,15 +204,18 @@ private[pgwire] object PgCursor {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(p))
     val n = in.readShort()
     (0 until n).map { _ =>
-      val nm = new StringBuilder
+      // collect the name bytes and decode once as UTF-8 (byte-by-byte
+      // toChar would mangle multi-byte column labels)
+      val nmBytes = new java.io.ByteArrayOutputStream()
       var b = in.readByte()
-      while (b != 0) { nm.append(b.toChar); b = in.readByte() }
+      while (b != 0) { nmBytes.write(b.toInt); b = in.readByte() }
+      val nm = new String(nmBytes.toByteArray, UTF_8)
       in.readInt(); in.readShort()         // table oid, attnum
       val oid = in.readInt()
       in.readShort()                       // typlen
       val typmod = in.readInt()
       in.readShort()                       // format
-      Field(nm.toString, oid, typmod)
+      Field(nm, oid, typmod)
     }.toArray
   }
 
@@ -386,13 +398,35 @@ private[pgwire] object PgWireClient {
     case other => other.toString // boxed numerics
   }
 
+  /** Substitute `?` placeholders with rendered literals. Placeholders are
+    * located by a quote-aware scan — a `?` inside a `'...'` string literal
+    * or `"..."` quoted identifier is data, not a parameter slot (doubled
+    * quotes are the in-span escape for both), so templates carrying literal
+    * question marks never misalign their parameters.
+    */
   private def interpolate(sql: String, params: Array[AnyRef]): String = {
-    val parts = sql.split("\\?", -1)
-    val sb = new StringBuilder(parts(0))
-    var i = 1
-    while (i < parts.length) {
-      sb.append(literal(params(i - 1))).append(parts(i))
-      i += 1
+    val sb = new StringBuilder(sql.length + 16 * params.length)
+    var i = 0
+    var p = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '?' =>
+          sb.append(literal(params(p))); p += 1; i += 1
+        case q @ ('\'' | '"') =>
+          // copy the quoted span verbatim; '' / "" escapes stay in-span
+          sb.append(q); i += 1
+          var inSpan = true
+          while (inSpan && i < sql.length) {
+            val c = sql.charAt(i)
+            sb.append(c); i += 1
+            if (c == q) {
+              if (i < sql.length && sql.charAt(i) == q) { sb.append(q); i += 1 }
+              else inSpan = false
+            }
+          }
+        case c =>
+          sb.append(c); i += 1
+      }
     }
     sb.toString
   }
@@ -441,7 +475,14 @@ private[pgwire] object PgWireClient {
               sb.append(batch.get(j).substring(vi + 8))
               j += 1
             }
-            sess.update(sb.toString)
+            // the server's INSERT tag carries the applied row count; a
+            // chunk that silently applied fewer rows than it carried must
+            // surface as a batch failure, not fabricated per-row 1s
+            val applied = sess.update(sb.toString)
+            if (applied != hi - i)
+              throw new java.sql.BatchUpdateException(
+                s"multi-row VALUES chunk applied $applied of ${hi - i} rows",
+                counts.take(i), null)
             i = hi
           }
         } else {

@@ -117,7 +117,11 @@ final class PgWireServer(backendUrl: String) {
       case 80877102 => // CancelRequest: no out-of-band cancel support
         false
       case 196608 => // protocol 3.0
-        in.skipBytes(len - 8) // user/database params: trust-auth, unused
+        // user/database params: trust-auth, unused — but they must be fully
+        // consumed. readFully (not skipBytes) because skipBytes may skip
+        // fewer bytes when the StartupMessage arrives fragmented across TCP
+        // segments, silently desyncing the protocol stream.
+        in.readFully(new Array[Byte](len - 8))
         out.msg('R')(_.writeInt(0)) // AuthenticationOk
         Seq("server_version" -> "15.0 (graft-pgwire)",
             "client_encoding" -> "UTF8",

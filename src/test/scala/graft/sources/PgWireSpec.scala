@@ -231,6 +231,25 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     st0.execute("DROP TABLE ins"); st0.close(); conn.close()
   }
 
+  test("a literal '?' inside a quoted string or identifier is data, not " +
+      "a parameter slot") {
+    val conn = new PgWireDriver().connect(jdbcUrl, null)
+    // one '?' in a string literal (with an escaped quote before it), one
+    // in a quoted identifier, and ONE real placeholder after both — a
+    // split-on-? interpolator would bind the parameter to the first
+    // in-literal '?' and misalign everything after it
+    val ps = conn.prepareStatement(
+      """SELECT "q?", v FROM (VALUES ('it''s a ?', ?)) AS t("q?", v)""")
+    ps.setLong(1, 42L)
+    val rs = ps.executeQuery()
+    assert(rs.next())
+    assert(rs.getString(1) == "it's a ?")
+    assert(rs.getLong(2) == 42L)
+    assert(rs.getMetaData.getColumnName(1) == "q?")
+    assert(!rs.next())
+    ps.close(); conn.close()
+  }
+
   test("concurrent wire sessions stream independently (the partitioned-" +
       "export shape)") {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
