@@ -181,6 +181,8 @@ object SparkEntry {
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
+    "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
+    "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
@@ -3294,6 +3296,54 @@ object SparkEntry {
         |      + 40 * ((g.b // (w * 3)) % 6)) % 256)) AS lum_total
         |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g
         |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Baseline-JPEG grayscale leg: per-8×8-block-constant fixtures decode
+    // EXACTLY (DC-only blocks survive quant(1)/integer-IDCT bit-for-bit),
+    // so the oracle sums the closed-form block values; the engine only
+    // reproduces it via real huffman + differential-DC + IDCT + crop.
+    "mm_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 13 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 * ((seed * 7 +
+        |      ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 29) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // 4:2:0 color leg: per-MCU-constant chroma + per-block-constant luma
+    // stay exact through subsampling/upsampling; the oracle applies the
+    // SAME fixed-point BT.601 conversion (2^30 bias keeps every integer
+    // division non-negative, so DuckDB // equals the JVM's >> 16).
+    "mm_jpeg_color" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 17 + 20 AS BIGINT) AS w,
+        |    CAST(doc_id % 13 + 20 AS BIGINT) AS h,
+        |    CAST((doc_id % 17 + 20 + 15) // 16 AS BIGINT) AS mcx
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    (seed * 11 + ((g.i // (w * 8)) * 2 * mcx + (g.i % w) // 8) * 23)
+        |      % 256 AS yy,
+        |    (seed * 13 + ((g.i // (w * 16)) * mcx + (g.i % w) // 16) * 37)
+        |      % 256 - 128 AS cbp,
+        |    (seed * 17 + ((g.i // (w * 16)) * mcx + (g.i % w) // 16) * 41)
+        |      % 256 - 128 AS crp
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * least(255, greatest(0,
+        |      yy + ((91881 * crp + 32768 + 1073741824) // 65536) - 16384)) +
+        |    587 * least(255, greatest(0,
+        |      yy - ((22554 * cbp + 46802 * crp + 32768 + 1073741824) // 65536)
+        |         + 16384)) +
+        |    114 * least(255, greatest(0,
+        |      yy + ((116130 * cbp + 32768 + 1073741824) // 65536) - 16384))
+        |    ) AS lum_total
+        |  FROM c GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,

@@ -476,6 +476,52 @@ object LlmQueries {
     decoded.join(stats, "doc_id").orderBy("doc_id")
   }
 
+  /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
+    * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
+    * integer-IDCT path): parsed SOF geometry plus the luminance total over
+    * the REAL reconstructed pixels — exact because the fixtures are
+    * per-block-constant (DC-only blocks survive quantize(1)/IDCT
+    * bit-exactly), so the oracle predicts every decoded sample in closed
+    * form while the engine must actually run canonical-Huffman decode,
+    * differential-DC reconstruction, dequantization, the IDCT, and
+    * edge-block cropping (w, h are non-multiples of 8) to reproduce it.
+    */
+  def mmJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id", color = false)
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .localCheckpoint(true) // feeds both decode passes
+    val mediaDs = media.as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(mediaDs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+    val stats = Multimodal.decodePixels(mediaDs).toDF()
+      .select(col("doc_id"), col("lum_total"))
+    decoded.join(stats, "doc_id").orderBy("doc_id")
+  }
+
+  /** The 4:2:0 COLOR leg of the JPEG pipeline: interleaved Y₀Y₁Y₂Y₃ Cb Cr
+    * MCUs with restart markers (interval 3 — DC predictors reset and
+    * re-align mid-scan), 2×2 luma / 1×1 chroma sampling, replication
+    * upsampling, and the fixed-point BT.601 YCbCr→RGB conversion. The
+    * oracle reproduces the SAME integer conversion formula, so any
+    * mistake in subsampling geometry, predictor resets, or the conversion
+    * constants changes the luminance total.
+    */
+  def mmJpegColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id", color = true)
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .localCheckpoint(true) // feeds both decode passes
+    val mediaDs = media.as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImages(mediaDs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+    val stats = Multimodal.decodePixels(mediaDs).toDF()
+      .select(col("doc_id"), col("lum_total"))
+    decoded.join(stats, "doc_id").orderBy("doc_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * [[decodePixels]]): one decoder context per partition, rows streamed —
   * the Scala analog of a batched pandas-style UDF. The decode itself is a
   * REAL minimal codec ([[decodeHeader]]): PPM (P6) and uncompressed
-  * 24/32-bit BMP header + pixel-array parsing — no media libraries exist
-  * in this environment, so the formats are the two an honest parser can
-  * fully decode; a production build swaps richer codecs into the same
-  * partition loop. Undecodable payloads are refused (no row / zero
-  * dims), never fabricated.
+  * 24/32-bit BMP header + pixel-array parsing, plus the compressed legs —
+  * PNG via [[decodePng]] (Inflater + all five row filters) and baseline
+  * JFIF via [[Jpeg.decode]] (canonical Huffman + dequant + integer IDCT +
+  * 4:2:0 upsample + fixed-point YCbCr→RGB) — all written from public
+  * specs, since no media library exists in this environment; a production
+  * build swaps richer codecs into the same partition loop. Undecodable
+  * payloads are refused (no row / zero dims), never fabricated.
   */
 object Multimodal {
 
@@ -259,11 +261,13 @@ object Multimodal {
 
   /** Unified decode to a walkable pixel buffer: raw formats zero-copy
     * (the buffer IS the payload, walked via offset/stride), PNG through
-    * [[decodePng]]'s inflate+defilter.
+    * [[decodePng]]'s inflate+defilter, baseline JPEG through
+    * [[Jpeg.decode]]'s huffman + dequant + IDCT + upsample + YCbCr→RGB.
     */
   private[operators] def decodeToPixels(
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
     decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
+      .orElse(Jpeg.decode(data))
 
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
@@ -289,7 +293,7 @@ object Multimodal {
       // one decoder context per partition would be initialized here
       rows.map { r =>
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
-          .orElse(pngIhdr(r.data)) match {
+          .orElse(pngIhdr(r.data)).orElse(Jpeg.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)
