@@ -554,7 +554,7 @@ object PipelineQueries {
     val tmp = Files.createTempDirectory("graft_pub").toString + "/nation"
     Sync.publishOverwrite(n.filter(col("n_regionkey") < 2), tmp)
     Sync.publishOverwrite(n, tmp)
-    s.read.parquet(tmp).orderBy("n_nationkey")
+    Sync.readPublished(s, tmp).get.orderBy("n_nationkey")
   }
 
   /** A10 — the merge helper with observable stage-wins semantics: existing

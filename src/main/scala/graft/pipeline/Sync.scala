@@ -3,7 +3,7 @@ package graft.pipeline
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.schema.TypeMapper
@@ -147,7 +147,7 @@ object Sync {
   def vacuumStaging(spark: SparkSession, stagingRoot: String, table: String,
                     keep: Int): Seq[String] = {
     require(keep >= 1, "must keep at least the latest snapshot")
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val dir = new Path(s"$stagingRoot/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
@@ -167,22 +167,115 @@ object Sync {
     renames.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(from, to) }
   }
 
-  /** Publish a snapshot with stage-then-swap (the plain-Spark stand-in for
+  /** Atomic snapshot publish (the plain-Spark stand-in for
     * `bq load --replace` / WRITE_TRUNCATE, reference :225-227 and
-    * dags/copy_cloudsql_to_bigquery_v2.py:108): write the full new snapshot
-    * to a `.tmp` sibling, then swap directories. Not transactional for
-    * concurrent readers (documented SURVEY §7 risk) but never leaves a
-    * half-written final on failure — the swap happens only after a
-    * complete write.
+    * dags/copy_cloudsql_to_bigquery_v2.py:108), crash-consistent at EVERY
+    * boundary: a kill anywhere mid-publish leaves the previous snapshot
+    * readable through [[readPublished]] — the BigQuery-side atomicity the
+    * round-8 review flagged as untested in the old delete-then-rename swap
+    * (whose kill window LOST the table).
+    *
+    * Layout under the table root:
+    * {{{
+    *   <root>/snap-N/           full snapshot N (parquet)
+    *   <root>/snap-N/_GRAFT_COMMITTED   marker, written AFTER the write
+    *   <root>/_CURRENT          text pointer to the acknowledged N
+    * }}}
+    *
+    * Publish ordering: write snap-(N+1) → write its commit marker → write
+    * `_CURRENT.tmp` → delete `_CURRENT` → rename tmp over it → vacuum
+    * older snapshots. Readers resolve `_CURRENT` first and fall back to
+    * the HIGHEST COMMITTED snapshot when the pointer is mid-swap, so each
+    * crash window yields a complete snapshot: before the marker → old N
+    * (new dir is uncommitted garbage, vacuumed by the next publish); after
+    * the marker but before the swap → old N (publish unacknowledged);
+    * between pointer delete and rename → fallback scan finds N+1, already
+    * complete. Concurrent readers never observe a half-written or missing
+    * table — the property a kill test exercises at every boundary
+    * (SyncSpec).
+    *
+    * Scale: the pointer file and markers are O(1) metadata writes; the
+    * data write is the same full-snapshot parquet job as before. On object
+    * stores without atomic rename the pointer swap degrades to
+    * last-writer-wins PUT — still a complete-snapshot flip, the reason the
+    * pointer is a tiny file and not a directory rename of the data itself.
     */
-  def publishOverwrite(df: DataFrame, path: String): Unit = {
+  def publishOverwrite(df: DataFrame, path: String): Unit =
+    publishStaged(df, path, _ => ())
+
+  private[graft] val CommitMarker = "_GRAFT_COMMITTED"
+  private[graft] val Pointer = "_CURRENT"
+  private[graft] val PointerTmp = "_CURRENT.tmp"
+  private def snapPath(root: Path, v: Long) = new Path(root, s"snap-$v")
+
+  /** The publish with crash-injection points for the kill spec: `boundary`
+    * is invoked with 1..5 between every pair of externally visible steps
+    * and may throw to simulate a crash exactly there.
+    */
+  private[graft] def publishStaged(df: DataFrame, path: String,
+                                   boundary: Int => Unit): Unit = {
     val spark = df.sparkSession
-    val tmp = new Path(path + ".tmp")
-    val dst = new Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = resolveVersion(fs, root).getOrElse(0L) + 1
+    val vdir = snapPath(root, next)
+    df.write.mode("overwrite").parquet(vdir.toString)
+    boundary(1) // snapshot written, uncommitted
+    fs.create(new Path(vdir, CommitMarker), true).close()
+    boundary(2) // committed, pointer still on the old snapshot
+    val tmp = new Path(root, PointerTmp)
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    boundary(3) // pointer staged beside the live one
+    val ptr = new Path(root, Pointer)
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    boundary(4) // pointer gone: readers fall back to highest committed
+    fs.rename(tmp, ptr)
+    boundary(5) // acknowledged; stale snapshots not yet vacuumed
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("snap-") && n != s"snap-$next") fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Resolve the readable published version: the `_CURRENT` pointer when
+    * it names a committed snapshot, else the highest committed snapshot
+    * directory (the mid-swap fallback). None = never published.
+    */
+  private[graft] def resolveVersion(fs: FileSystem, root: Path): Option[Long] = {
+    def committed(v: Long) = fs.exists(new Path(snapPath(root, v), CommitMarker))
+    val ptr = new Path(root, Pointer)
+    val fromPtr =
+      if (!fs.exists(ptr)) None
+      else try {
+        val in = fs.open(ptr)
+        val b = new Array[Byte](32)
+        val n = in.read(b)
+        in.close()
+        val v = new String(b, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        if (committed(v)) Some(v) else None
+      } catch { case _: Exception => None }
+    fromPtr.orElse {
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("snap-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("snap-").toLong).toOption)
+        .filter(committed)
+        .sorted.lastOption
+    }
+  }
+
+  /** Read the currently published snapshot of a table root written by
+    * [[publishOverwrite]]; None when no committed snapshot exists.
+    */
+  def readPublished(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveVersion(fs, root).map(v =>
+      spark.read.parquet(snapPath(root, v).toString))
   }
 
   /** Full sync of one table (the reference's 5-task chain collapsed to one
@@ -234,12 +327,9 @@ object Sync {
         val stageView = s"g_stage_$runTag"
         val existingView = s"g_existing_$runTag"
         stage.createOrReplaceTempView(stageView)
-        val fs = new Path(finalPathStr)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(new Path(finalPathStr))) spark.read.parquet(finalPathStr)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stage.schema)
+        val existing = readPublished(spark, finalPathStr).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stage.schema))
         existing.createOrReplaceTempView(existingView)
         val sql = q.replace("{ds}", ds)
           .replaceAll("\\bstage\\b", stageView)
@@ -255,7 +345,7 @@ object Sync {
 
     // 4. publish (A9 overwrite semantics)
     retry(retries, retryDelayMs, alerts) { publishOverwrite(finalDf, finalPathStr) }
-    spark.read.parquet(finalPathStr)
+    readPublished(spark, finalPathStr).get
   }
 
   /** Incremental sync predicate — the reference's advertised improvement

@@ -268,12 +268,7 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(finalPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(finalPath)))
-            Some(s.read.parquet(finalPath))
-          else None
+        val existing = graft.pipeline.Sync.readPublished(s, finalPath)
         val alreadyMerged = existing.exists(
           _.agg(max("last_batch")).head().getLong(0) >= batchId)
         if (!alreadyMerged) {

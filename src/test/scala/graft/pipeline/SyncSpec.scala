@@ -25,6 +25,56 @@ class SyncSpec extends SparkTestBase {
     assert(Sync.runDateLiteral(LocalDate.of(2020, 3, 7)) == "20200307")
   }
 
+  test("publish is crash-consistent: a kill at EVERY boundary leaves a " +
+      "complete snapshot readable, and the next publish recovers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_atomic").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val v2 = Seq((1L, "a2"), (3L, "c")).toDF("k", "s")
+    Sync.publishOverwrite(v1, root)
+    val snap1 = Sync.readPublished(spark, root).get.orderBy("k").collect().toSeq
+    assert(snap1.map(_.getLong(0)) == Seq(1L, 2L))
+
+    final class Kill extends RuntimeException("simulated crash")
+    // at boundaries 1-3 the OLD snapshot must remain the readable one
+    // (the new one is unacknowledged); at 4-5 the NEW snapshot is fully
+    // committed and the fallback/pointer must already serve it. Either
+    // way a COMPLETE snapshot — never a half-written or missing table.
+    (1 to 5).foreach { killAt =>
+      val dir = Files.createTempDirectory(s"graft_atomic_$killAt").toString + "/t"
+      Sync.publishOverwrite(v1, dir)
+      intercept[Kill] {
+        Sync.publishStaged(v2, dir, b => if (b == killAt) throw new Kill)
+      }
+      val visible = Sync.readPublished(spark, dir)
+        .getOrElse(fail(s"kill@$killAt: table vanished"))
+        .orderBy("k").collect().toSeq
+      val keys = visible.map(_.getLong(0))
+      if (killAt <= 3)
+        assert(keys == Seq(1L, 2L), s"kill@$killAt must still serve v1")
+      else
+        assert(keys == Seq(1L, 3L), s"kill@$killAt must serve committed v2")
+      // recovery: a fresh publish supersedes whatever the crash left
+      Sync.publishOverwrite(v2, dir)
+      assert(Sync.readPublished(spark, dir).get.orderBy("k")
+        .collect().toSeq.map(_.getLong(0)) == Seq(1L, 3L),
+        s"kill@$killAt: post-crash publish must converge on v2")
+    }
+  }
+
+  test("readPublished ignores uncommitted snapshot directories (no marker " +
+      "= garbage from a crashed write)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_uncommitted").toString + "/t"
+    Sync.publishOverwrite(Seq((1L, "a")).toDF("k", "s"), root)
+    // fake a crashed larger-version write: data present, no commit marker
+    Seq((9L, "junk")).toDF("k", "s")
+      .write.mode("overwrite").parquet(s"$root/snap-99")
+    val got = Sync.readPublished(spark, root).get.collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L),
+      "an unmarked snapshot dir must never become visible")
+  }
+
   test("retry succeeds after transient failures, gives up past budget") {
     var calls = 0
     val out = Sync.retry(retries = 2, delayMs = 0) {
@@ -239,7 +289,7 @@ class SyncSpec extends SparkTestBase {
     // idempotent: nothing more to delete
     assert(Sync.vacuumStaging(spark, staging, "region", keep = 2).isEmpty)
     // the published final table is untouched
-    assert(spark.read.parquet(s"$warehouse/region").count() == 5)
+    assert(Sync.readPublished(spark, s"$warehouse/region").get.count() == 5)
   }
 
   test("a hung export times out within its budget, is retried, and the " +

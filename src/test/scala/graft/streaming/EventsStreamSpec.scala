@@ -190,6 +190,156 @@ class EventsStreamSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  /** Write a DataFrame as ONE plain parquet file inside a file-stream
+    * source dir (file sources list plain files; a nested write dir with
+    * its _SUCCESS marker is not the arrival layout).
+    */
+  private def writeAsFile(df: org.apache.spark.sql.DataFrame,
+                          destDir: String, name: String): Unit = {
+    val t = Files.createTempDirectory("es_half").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$t/d")
+    val part = new java.io.File(s"$t/d").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(destDir).resolve(name))
+  }
+
+  test("forced restart mid-stream is exactly-once for EVERY stateful " +
+      "pattern: dedup-within-watermark, stream-stream outer join, " +
+      "trending top-k (split run == unbroken run on the closed domain)") {
+    import org.apache.spark.sql.DataFrame
+    // time-split the corpus at its median so the restart boundary sits
+    // between two watermark-ordered arrivals (no late-drop asymmetry)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val isLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val mid = raw.orderBy("ts").select("ts")
+      .collect().apply((raw.count() / 2).toInt).get(0)
+    val early = raw.filter(col("ts") <= lit(mid))
+    val late = raw.filter(col("ts") > lit(mid))
+    // cross-restart duplicates: early rows re-arrive in phase 2, so the
+    // dedup pattern can only stay exactly-once if its state store
+    // survives the restart (the unbroken run sees the same files, so
+    // equality proves state continuity, not accident). Only rows ABOVE
+    // the phase-1 watermark W1 = earlyMax − 1 h qualify: Spark's
+    // late-event fence is the PREVIOUS batch's watermark, and the
+    // restart inserts a no-data batch that advances it — a duplicate
+    // below W1 is admitted by the unbroken run but late-dropped by the
+    // restarted one (legal divergence on late data, not a state defect).
+    val earlyMaxMicros: Long =
+      if (isLong) early.agg(max("ts")).head().getLong(0) / 1000L
+      else {
+        val t = early.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      }
+    val w1Micros = earlyMaxMicros - 3600L * 1000000L
+    val dupTail = (
+      if (isLong) early.filter(col("ts") > lit((w1Micros + 1000000L) * 1000L))
+      else early.filter(col("ts").cast("timestamp") >
+        expr(s"timestamp_micros(${w1Micros + 1000000L}L)"))
+    ).limit(50)
+    assert(dupTail.count() > 0, "corpus too sparse to exercise duplicates")
+    val late2 = late.unionAll(dupTail)
+    // common SENTINEL final batch: one far-future click + purchase. Both
+    // runs then execute their LAST DATA BATCH with the same watermark
+    // (maxLateTs − 1 h), so every pattern flushes identically below that
+    // fence. What a run flushes ABOVE it depends on the trailing no-data
+    // batch, which Spark does NOT replay after an AvailableNow restart —
+    // that boundary is excluded from the comparison, exactly like the
+    // existing left-outer spec pins "clicks newer than the final
+    // watermark stay buffered".
+    def shift(df: DataFrame): DataFrame =
+      if (isLong) df.withColumn("ts", col("ts") + lit(400L * 3600L * 1000000000L))
+      else df.withColumn("ts", expr("ts + INTERVAL 400 HOURS"))
+    val top = late.orderBy(col("ts").desc).limit(1)
+    val sentinel = shift(top)
+      .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(999999L))
+      .withColumn("event_type", lit("click"))
+      .unionAll(shift(top)
+        .withColumn("event_id", lit(-2L)).withColumn("user_id", lit(999998L))
+        .withColumn("event_type", lit("purchase")))
+    // the fence in instant micros: maxLateTs − 1 h − 1 s safety margin
+    val lateMaxMicros: Long =
+      if (isLong) late.agg(max("ts")).head().getLong(0) / 1000L
+      else {
+        val t = late.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      }
+    val fence = lateMaxMicros - 3600L * 1000000L - 1000000L
+    val fenceTs = s"timestamp_micros(${fence}L)"
+
+    val patterns = Seq[(String,
+        (String, String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+        DataFrame => DataFrame)](
+      // dedup emits on arrival (state only FILTERS) — compare everything
+      ("dedup", EventsStream.dedupedEvents(spark, _, _, _), identity),
+      // outer-join nulls emit by watermark progress — fence click_ts
+      ("outer_join", EventsStream.clickPurchaseOuterJoin(spark, _, _, _),
+        df => df.filter(col("purchase_id").isNotNull ||
+          col("click_ts") < expr(fenceTs))),
+      // windows emit when the watermark passes w_end — fence w + 1 h
+      ("trending_topk", EventsStream.trendingTopK(spark, _, _, _),
+        df => df.filter(expr(s"w + INTERVAL 1 HOUR < $fenceTs"))))
+    patterns.foreach { case (tag, run, closed) =>
+      // unbroken reference: all three files visible from the start (the
+      // maxFilesPerTrigger=1 source still batches them identically)
+      val srcU = tmp(s"es_fr_${tag}_srcU")
+      writeAsFile(early, srcU, "a-early.parquet")
+      writeAsFile(late2, srcU, "b-late.parquet")
+      writeAsFile(sentinel, srcU, "c-sentinel.parquet")
+      val outU = tmp(s"es_fr_${tag}_outU")
+      run(srcU, tmp(s"es_fr_${tag}_ckptU"), outU).awaitTermination()
+      val expected = closed(spark.read.parquet(outU))
+
+      // split run: drain phase 1, STOP (query terminates), then the late
+      // files arrive and a new query resumes from the same checkpoint
+      val srcS = tmp(s"es_fr_${tag}_srcS")
+      writeAsFile(early, srcS, "a-early.parquet")
+      val ckptS = tmp(s"es_fr_${tag}_ckptS")
+      val outS = tmp(s"es_fr_${tag}_outS")
+      run(srcS, ckptS, outS).awaitTermination()
+      writeAsFile(late2, srcS, "b-late.parquet")
+      writeAsFile(sentinel, srcS, "c-sentinel.parquet")
+      run(srcS, ckptS, outS).awaitTermination() // the forced restart
+      val got = closed(spark.read.parquet(outS))
+
+      assert(got.count() == expected.count(),
+        s"$tag: restart changed the closed-domain row count " +
+          s"(${got.count()} vs unbroken ${expected.count()}); " +
+          s"missing=${expected.exceptAll(got).limit(5).collect().toSeq}; " +
+          s"extra=${got.exceptAll(expected).limit(5).collect().toSeq}")
+      assert(got.exceptAll(expected).isEmpty &&
+        expected.exceptAll(got).isEmpty,
+        s"$tag: restarted output differs from the unbroken run")
+    }
+  }
+
+  test("forced restart resumes flatMapGroupsWithState: per-user totals " +
+      "CONTINUE across the restart instead of resetting") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val mid = raw.orderBy("ts").select("ts")
+      .collect().apply((raw.count() / 2).toInt).get(0)
+    val srcS = tmp("es_fr_ut_src")
+    writeAsFile(raw.filter(col("ts") <= lit(mid)), srcS, "a-early.parquet")
+    val ckpt = tmp("es_fr_ut_ckpt")
+    val out = tmp("es_fr_ut_out")
+    EventsStream.userTotals(spark, srcS, ckpt, out).awaitTermination()
+    writeAsFile(raw.filter(col("ts") > lit(mid)), srcS, "b-late.parquet")
+    EventsStream.userTotals(spark, srcS, ckpt, out).awaitTermination()
+    // a state reset would restart phase-2 users from zero; the final
+    // emitted totals must equal the batch aggregate over BOTH halves
+    val finalPerUser = spark.read.parquet(out).groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_value").as("v"))
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("bn"), sum("value").as("bv"))
+    val j = finalPerUser.join(batch, "user_id")
+    assert(j.count() == batch.count())
+    assert(j.filter(col("n") =!= col("bn") ||
+      abs(col("v") - col("bv")) > 1e-6).count() == 0,
+      "totals after restart must equal the unbroken batch aggregate")
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals matching batch") {
     val out = tmp("es_st_out")
     val q = EventsStream.userTotals(spark, eventsDir, tmp("es_st_ckpt"), out)
@@ -295,7 +445,7 @@ class EventsStreamSpec extends SparkTestBase {
     val fin = tmp("es_ip_fin") + "/user_totals"
     EventsStream.incrementalPublish(spark, src.toString, ckpt, fin)
       .awaitTermination()
-    val got = spark.read.parquet(fin)
+    val got = graft.pipeline.Sync.readPublished(spark, fin).get
     // ground truth: the same events counted twice (two identical files)
     val batch = Tables.load(spark, sfDir, "events")
       .groupBy("user_id")
@@ -310,7 +460,8 @@ class EventsStreamSpec extends SparkTestBase {
     val before = got.orderBy("user_id").collect().toSeq
     EventsStream.incrementalPublish(spark, src.toString, ckpt, fin)
       .awaitTermination()
-    val after = spark.read.parquet(fin).orderBy("user_id").collect().toSeq
+    val after = graft.pipeline.Sync.readPublished(spark, fin).get
+      .orderBy("user_id").collect().toSeq
     assert(after == before, "replay with no new data must be a no-op")
   }
 
