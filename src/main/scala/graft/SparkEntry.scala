@@ -118,6 +118,7 @@ object SparkEntry {
     "a34_pgwire_pushdown"   -> (PipelineQueries.a34PgwirePushdown _),
     "a35_pgwire_partitioned" -> (PipelineQueries.a35PgwirePartitioned _),
     "a36_pgwire_catalog"    -> (PipelineQueries.a36PgwireCatalog _),
+    "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3093,6 +3094,13 @@ object SparkEntry {
         |  ('c_acctbal', 'DOUBLE', 'FLOAT', 4),
         |  ('c_mktsegment', 'VARCHAR(16)', 'STRING', 5)
         |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
+    // Bus round-trip truth: every document exactly once, partitioned by
+    // doc_id mod 4, payload = text length — loss/dup/corruption across
+    // the produce+stream network hops changes the row set.
+    "a37_bus_roundtrip" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) AS bus_partition,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Point-in-time semantics replayed: each event joins the dimension
     // version whose validity range covers its event date.
     "a31_scd2_lookup" ->

@@ -496,6 +496,54 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  /** A37 — the message-bus ingest leg end-to-end: the corpus is PUBLISHED
+    * to a Kafka-shaped TCP log bus ([[graft.sources.bus.BusServer]]) from
+    * EXECUTOR tasks (`foreachPartition`, one wire session per task — the
+    * distributed-producer shape), then streamed back through the
+    * DataSource-v2 micro-batch source ([[graft.sources.bus
+    * .BusSourceProvider]]) with `Trigger.AvailableNow` in bounded
+    * per-trigger batches, landed in parquet, and reconciled ROW-LEVEL
+    * against the source table. The oracle recomputes every record from
+    * `documents` directly — any loss, duplication, mis-partitioning, or
+    * payload corruption across the two network hops changes the result.
+    * Per-partition bus offsets depend on concurrent-producer arrival
+    * order, so the deterministic surface is (doc_id, partition, payload),
+    * never the offset itself.
+    */
+  def a37BusRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.sources.bus.BusServer(4)
+    val port = server.start()
+    try {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .as[(Long, Long)]
+        .foreachPartition { (it: Iterator[(Long, Long)]) =>
+          val cl = new graft.sources.bus.BusClient("127.0.0.1", port)
+          try it.foreach { case (id, len) =>
+            cl.append((id % 4).toInt, 1700000000000000L + id,
+              id.toString, len.toString)
+          } finally cl.close()
+        }
+      val out = Files.createTempDirectory("graft_bus_rt").toString + "/t"
+      s.readStream.format("graft.sources.bus.BusSourceProvider")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("maxRecordsPerTrigger", "4096")
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_bus_rt_ck").toString)
+        .format("parquet").option("path", out)
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("key").cast("long").as("doc_id"),
+          col("partition").as("bus_partition"),
+          col("value").cast("long").as("text_len"))
+        .orderBy("doc_id")
+    } finally server.close()
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",
