@@ -560,14 +560,15 @@ object Jpeg {
     * fixture quant tables are all-ones so these are the dequantized values
     * too). Returns the new DC predictor.
     */
-  private def encodeBlock(bw: BitWriter, coef: Array[Int], pred: Int): Int = {
+  private def encodeBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+                          dcT: HuffTable = DcEnc, acT: HuffTable = AcEnc): Int = {
     val dc = coef(0)
     val diff = dc - pred
     var s = 0
     var a = math.abs(diff)
     while (a != 0) { s += 1; a >>= 1 }
     if (s > 11) refuse()
-    DcEnc.write(bw, s)
+    dcT.write(bw, s)
     if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
     var k = 1
     var run = 0
@@ -575,39 +576,48 @@ object Jpeg {
       val c = coef(Zigzag(k))
       if (c == 0) run += 1
       else {
-        while (run >= 16) { AcEnc.write(bw, 0xF0); run -= 16 }
+        while (run >= 16) { acT.write(bw, 0xF0); run -= 16 }
         var sz = 0
         var ac = math.abs(c)
         while (ac != 0) { sz += 1; ac >>= 1 }
         if (sz > 10) refuse()
-        AcEnc.write(bw, (run << 4) | sz)
+        acT.write(bw, (run << 4) | sz)
         bw.put(if (c < 0) c + (1 << sz) - 1 else c, sz)
         run = 0
       }
       k += 1
     }
-    if (run > 0) AcEnc.write(bw, 0x00) // EOB
+    if (run > 0) acT.write(bw, 0x00) // EOB
     dc
   }
 
   /** Baseline grayscale from per-8×8-block QUANTIZED coefficient arrays
-    * (natural order), raster block order, all-ones quant table. The spec
-    * surface for exercising AC runs/ZRL/EOB/negative amplitudes through
-    * the real bitstream.
+    * (natural order), raster block order. The spec surface for exercising
+    * AC runs/ZRL/EOB/negative amplitudes through the real bitstream.
+    * `quant` is written to the DQT in zigzag order and used by the
+    * DECODER only (the blocks here are already-quantized values);
+    * `dcTables`/`acTables` let specs drive DIFFERENT canonical Huffman
+    * shapes through the general Annex-C table build (variable code
+    * lengths, not just the flat 4/8-bit fixture tables).
     */
   private[operators] def encodeGrayCoeffs(w: Int, h: Int,
-      blocks: Array[Array[Int]]): Array[Byte] = {
+      blocks: Array[Array[Int]],
+      quant: Array[Int] = Array.fill(64)(1),
+      dcCounts: Array[Int] = DcCounts, dcVals: Array[Int] = DcVals,
+      acCounts: Array[Int] = AcCounts, acVals: Array[Int] = AcVals): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     writeCommonHeader(out)
-    seg(out, 0xDB, (0 +: Array.fill(64)(1)).map(_.toByte)) // DQT 0, all 1s
+    seg(out, 0xDB, (0 +: quant.toSeq).map(_.toByte).toArray) // zigzag order
     seg(out, 0xC0, Array[Byte](8, ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
       ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 1, 1, 0x11, 0))
-    seg(out, 0xC4, dhtBody(0, 0, DcCounts, DcVals))
-    seg(out, 0xC4, dhtBody(1, 0, AcCounts, AcVals))
+    seg(out, 0xC4, dhtBody(0, 0, dcCounts, dcVals))
+    seg(out, 0xC4, dhtBody(1, 0, acCounts, acVals))
     seg(out, 0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
     val bw = new BitWriter(out)
+    val dcT = new HuffTable(dcCounts, dcVals)
+    val acT = new HuffTable(acCounts, acVals)
     var pred = 0
-    blocks.foreach { b => pred = encodeBlock(bw, b, pred) }
+    blocks.foreach { b => pred = encodeBlock(bw, b, pred, dcT, acT) }
     bw.flushPad()
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
@@ -639,7 +649,20 @@ object Jpeg {
     */
   def encodeColor420(w: Int, h: Int, yBlockVal: (Int, Int) => Int,
                      cbVal: Int => Int, crVal: Int => Int,
+                     restartInterval: Int = 0): Array[Byte] =
+    encodeColorSub(w, h, 2, 2, yBlockVal, cbVal, crVal, restartInterval)
+
+  /** Generalized chroma subsampling: luma samples at `hs`×`vs` per MCU
+    * (hs, vs ∈ {1, 2} — 1×1 = 4:4:4, 2×1 = 4:2:2, 2×2 = 4:2:0), chroma
+    * one block per MCU. The Y block grid is `hs·mcusX` wide; chroma stays
+    * constant per MCU so the decode remains closed-form exact under ANY
+    * upsampler at every sampling mode.
+    */
+  def encodeColorSub(w: Int, h: Int, hs: Int, vs: Int,
+                     yBlockVal: (Int, Int) => Int,
+                     cbVal: Int => Int, crVal: Int => Int,
                      restartInterval: Int = 0): Array[Byte] = {
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2)
     val out = new ByteArrayOutputStream()
     writeCommonHeader(out)
     // two quant tables in ONE DQT segment (multi-table parse coverage)
@@ -647,7 +670,7 @@ object Jpeg {
       .map(_.toByte))
     seg(out, 0xC0, Array[Byte](8, ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
       ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 3,
-      1, 0x22, 0, // Y: 2×2 sampling, quant 0
+      1, ((hs << 4) | vs).toByte, 0, // Y: hs×vs sampling, quant 0
       2, 0x11, 1, // Cb: 1×1, quant 1
       3, 0x11, 1)) // Cr: 1×1, quant 1
     seg(out, 0xC4, dhtBody(0, 0, DcCounts, DcVals))
@@ -658,8 +681,10 @@ object Jpeg {
       seg(out, 0xDD, Array[Byte](((restartInterval >> 8) & 0xFF).toByte,
         (restartInterval & 0xFF).toByte))
     seg(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
-    val mcusX = (w + 15) / 16
-    val mcusY = (h + 15) / 16
+    val mcuW = 8 * hs
+    val mcuH = 8 * vs
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
     var bw = new BitWriter(out)
     val coef = new Array[Int](64)
     var predY = 0; var predCb = 0; var predCr = 0
@@ -678,11 +703,11 @@ object Jpeg {
       val mx = m % mcusX
       val my = m / mcusX
       var by = 0
-      while (by < 2) {
+      while (by < vs) {
         var bx = 0
-        while (bx < 2) {
+        while (bx < hs) {
           java.util.Arrays.fill(coef, 0)
-          coef(0) = 8 * (yBlockVal(2 * mx + bx, 2 * my + by) - 128)
+          coef(0) = 8 * (yBlockVal(hs * mx + bx, vs * my + by) - 128)
           predY = encodeBlock(bw, coef, predY)
           bx += 1
         }

@@ -187,6 +187,81 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.dims(progressive).isEmpty && Jpeg.dims(twelveBit).isEmpty)
   }
 
+  test("4:2:2 and 4:4:4 sampling decode exactly (generalized MCU geometry " +
+      "and per-mode chroma upsampling)") {
+    def fxp(a: Int): Int = ((a + 32768 + 1073741824) >> 16) - 16384
+    def clamp(v: Int): Int = math.max(0, math.min(255, v))
+    for ((hs, vs) <- Seq((2, 1), (1, 1))) {
+      val w = 37; val h = 21 // partial edge MCUs in both axes
+      val mcuW = 8 * hs; val mcuH = 8 * vs
+      val mcusX = (w + mcuW - 1) / mcuW
+      val ybw = hs * mcusX
+      def yv(bx: Int, by: Int) = (by * ybw + bx) * 29 % 256
+      def cb(m: Int) = (m * 17 + 40) % 256
+      def cr(m: Int) = (m * 23 + 90) % 256
+      val data = Jpeg.encodeColorSub(w, h, hs, vs, yv, cb, cr)
+      val (info, px) = Jpeg.decode(data).getOrElse(fail(s"$hs x $vs refused"))
+      assert((info.width, info.height, info.channels) == (w, h, 3))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yval = yv(x / 8, y / 8)
+        val m = (y / mcuH) * mcusX + (x / mcuW)
+        val cbp = cb(m) - 128; val crp = cr(m) - 128
+        val er = clamp(yval + fxp(91881 * crp))
+        val eg = clamp(yval - fxp(22554 * cbp + 46802 * crp))
+        val eb = clamp(yval + fxp(116130 * cbp))
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xFF, px(o + 1) & 0xFF, px(o + 2) & 0xFF) == ((er, eg, eb)),
+          s"$hs x $vs pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("non-trivial quantization table: the decoder multiplies each " +
+      "coefficient by ITS zigzag-positioned quant entry") {
+    // quant entries vary by position so a transposed/linear-indexed
+    // dequant lookup changes pixels
+    val quant = Array.tabulate(64)(k => (k % 7) + 1) // zigzag order
+    val coefQ = new Array[Int](64) // quantized values, natural order
+    coefQ(0) = 40 // dequant → 40 * quant(0) = 40
+    coefQ(Jpeg.Zigzag(3)) = 5 // dequant → 5 * quant(3) = 5*4
+    coefQ(Jpeg.Zigzag(10)) = -7 // dequant → -7 * quant(10) = -7*4
+    coefQ(Jpeg.Zigzag(30)) = 2 // → 2 * quant(30) = 2*3
+    val dequant = new Array[Int](64)
+    (0 until 64).foreach(k => dequant(Jpeg.Zigzag(k)) = coefQ(Jpeg.Zigzag(k)) * quant(k))
+    val expected = new Array[Int](64)
+    Jpeg.idctBlock(dequant, expected)
+    val data = Jpeg.encodeGrayCoeffs(8, 8, Array(coefQ), quant = quant)
+    val (_, px) = Jpeg.decode(data).getOrElse(fail("quantized block refused"))
+    assert(px.map(_ & 0xFF).toSeq == expected.toSeq,
+      "pixels must reflect per-zigzag-position dequantization")
+  }
+
+  test("variable-length canonical Huffman tables decode identically to the " +
+      "flat tables (general Annex-C table build, not a fixed-width shortcut)") {
+    // DC: 12 symbols over lengths 2/3/4/5; AC: 162 over lengths 6/7/8/9 —
+    // both satisfy Kraft and neither assigns an all-ones code
+    val dcCounts = Array(0, 1, 2, 3, 6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val acCounts = Array(0, 0, 0, 0, 0, 10, 40, 80, 32, 0, 0, 0, 0, 0, 0, 0)
+    val acVals = (0x00 +: 0xF0 +: (for (r <- 0 to 15; s <- 1 to 10)
+      yield (r << 4) | s)).toArray
+    val blocks = Array.tabulate(12) { i =>
+      val c = new Array[Int](64)
+      c(0) = 8 * (i * 20 - 100)
+      c(Jpeg.Zigzag(1 + i % 5)) = i * 13 - 60
+      c(Jpeg.Zigzag(40)) = -3 - i
+      c
+    }
+    val flat = Jpeg.decode(Jpeg.encodeGrayCoeffs(32, 24, blocks))
+      .getOrElse(fail("flat-table image refused"))
+    val varlen = Jpeg.decode(Jpeg.encodeGrayCoeffs(32, 24, blocks,
+        dcCounts = dcCounts, dcVals = dcVals,
+        acCounts = acCounts, acVals = acVals))
+      .getOrElse(fail("variable-length-table image refused"))
+    assert(varlen._2.toSeq == flat._2.toSeq,
+      "pixel output must be table-shape independent")
+  }
+
   test("decode never throws on arbitrary bytes, truncations, or bit flips of " +
       "a valid payload (refuse-never-crash)") {
     val rnd = new scala.util.Random(20260814)
