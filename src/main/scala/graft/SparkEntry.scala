@@ -184,6 +184,7 @@ object SparkEntry {
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
+    "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
@@ -3355,6 +3356,23 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // WAV leg: the oracle recomputes the closed-form PCM16 sample stream;
+    // the engine only reproduces it via the real RIFF chunk walk (odd
+    // LIST chunk skipped word-aligned) + signed LE 16-bit decode.
+    "mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |e AS (SELECT doc_id, SUM(s * s) AS energy, MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, ((seed * 13 + g.i * 29) % 65536) - 32768 AS s
+        |        FROM d, LATERAL (SELECT unnest(range(0, n_frames * channels))
+        |                         AS i) g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
+        |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
         |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)

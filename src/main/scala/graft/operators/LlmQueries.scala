@@ -522,6 +522,23 @@ object LlmQueries {
     decoded.join(stats, "doc_id").orderBy("doc_id")
   }
 
+  /** The AUDIO container leg ([[Wav.wavMedia]] fixtures through
+    * [[Wav.decodeHeader]]'s RIFF chunk walk + [[Wav.wavStats]]'s one-pass
+    * PCM16 sample scan): parsed channels/rate/frames plus Long-exact
+    * energy (Σ s²) and peak magnitude over the REAL interleaved samples —
+    * which is only correct if the decoder skips the embedded odd-length
+    * LIST chunk with word alignment and decodes signed little-endian
+    * 16-bit words; the oracle recomputes the closed-form sample formula.
+    */
+  def mmWavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavStats(media).toDF().orderBy("doc_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

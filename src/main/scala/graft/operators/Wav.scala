@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WAV (RIFF PCM) codec — the AUDIO container leg of the real-decode
+  * pipeline (images: PPM/BMP raw, PNG/JPEG compressed; this is the format
+  * an audio lake actually ingests). Public-spec RIFF parsing: `RIFF`
+  * header + `WAVE` form type, chunk walk with word-aligned sizes,
+  * `fmt ` (PCM format 1, 16-bit samples only — compressed/float formats
+  * REFUSE, never fabricate), unknown chunks (LIST/INFO/fact/cue) skipped,
+  * `data` holding little-endian interleaved PCM16 frames.
+  *
+  * Scale: decode is partition-wise ([[wavStats]]) — per-payload header
+  * parse + one linear pass over the sample words, nothing shuffles;
+  * per-doc audio features (energy, peak) aggregate in the same pass.
+  */
+object Wav {
+
+  /** Parsed geometry + the sample region. `nFrames` = samples per
+    * channel; data holds `nFrames · channels` interleaved 16-bit words.
+    */
+  final case class WavInfo(channels: Int, sampleRate: Int, nFrames: Int,
+                           dataOffset: Int)
+
+  private def le16(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xFF) | ((d(p + 1) & 0xFF) << 8)
+  private def le32(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xFF) | ((d(p + 1) & 0xFF) << 8) |
+      ((d(p + 2) & 0xFF) << 16) | ((d(p + 3) & 0xFF) << 24)
+
+  /** Header + chunk walk; None on anything malformed or non-PCM16. */
+  def decodeHeader(data: Array[Byte]): Option[WavInfo] = {
+    if (data.length < 44) return None
+    if (data(0) != 'R' || data(1) != 'I' || data(2) != 'F' || data(3) != 'F')
+      return None
+    if (data(8) != 'W' || data(9) != 'A' || data(10) != 'V' || data(11) != 'E')
+      return None
+    var p = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var fmtSeen = false
+    while (p + 8 <= data.length) {
+      val id = new String(data, p, 4, "US-ASCII")
+      val len = le32(data, p + 4)
+      if (len < 0 || p + 8 + len.toLong > data.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = le16(data, p + 8)
+          channels = le16(data, p + 10)
+          rate = le32(data, p + 12)
+          bits = le16(data, p + 22)
+          // PCM 16-bit only — ADPCM/float/extensible refuse
+          if (audioFormat != 1 || bits != 16 || channels < 1 ||
+              channels > 8 || rate <= 0) return None
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) return None
+          val words = len / 2
+          if (words % channels != 0) return None
+          return Some(WavInfo(channels, rate, words / channels, p + 8))
+        case _ => // LIST/fact/cue/bext… skipped
+      }
+      p += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** Sample at interleaved word index i (signed 16-bit LE). */
+  @inline private def sample(data: Array[Byte], info: WavInfo, i: Int): Int = {
+    val p = info.dataOffset + 2 * i
+    ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+  }
+
+  case class WavStatsRow(doc_id: Long, channels: Int, sample_rate: Int,
+                         n_frames: Long, energy: Long, peak: Int)
+
+  /** Partition-wise decode + one-pass per-doc audio features: sum of
+    * squared samples (Long-exact: 32767² · words ≤ 2^63 below ~8.5e9
+    * words/doc) and peak magnitude. Undecodable payloads emit no row.
+    */
+  def wavStats(media: Dataset[Multimodal.MediaRow]): Dataset[WavStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).map { info =>
+          val words = info.nFrames * info.channels
+          var energy = 0L
+          var peak = 0
+          var i = 0
+          while (i < words) {
+            val s = sample(r.data, info, i)
+            energy += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          WavStatsRow(r.doc_id, info.channels, info.sampleRate,
+            info.nFrames.toLong, energy, peak)
+        }
+      }
+    }
+  }
+
+  /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
+    * must actually skip unknown chunks) + data.
+    */
+  def encodePcm16(channels: Int, sampleRate: Int,
+                  samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0)
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val info = "GRAFT".getBytes("US-ASCII") // odd length → pad byte path
+    val dataLen = samples.length * 2
+    val riffLen = 4 + (8 + 16) + (8 + info.length + (info.length & 1)) +
+      (8 + dataLen)
+    out.write("RIFF".getBytes("US-ASCII")); le32(riffLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels * 2); le16(channels * 2); le16(16)
+    out.write("LIST".getBytes("US-ASCII")); le32(info.length)
+    out.write(info); if ((info.length & 1) == 1) out.write(0)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(s => le16(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  /** Deterministic fixture: channels = 1 + seed mod 2, rate = 8000 +
+    * 4000·(seed mod 3), frames = 200 + seed mod 50, interleaved sample
+    * word i = `((seed·13 + i·29) mod 65536) − 32768` — closed-form for
+    * an external oracle.
+    */
+  def wavFixture(seed: Long): Array[Byte] = {
+    val channels = (1 + seed % 2).toInt
+    val rate = (8000 + 4000 * (seed % 3)).toInt
+    val frames = (200 + seed % 50).toInt
+    val samples = Array.tabulate[Short](frames * channels)(i =>
+      (((seed * 13 + i.toLong * 29) % 65536) - 32768).toShort)
+    encodePcm16(channels, rate, samples)
+  }
+
+  /** Deterministic WAV payload column (the [[Jpeg.jpegMedia]] shape). */
+  def wavMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    Spread.ifNarrow(ids.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(seedCol).cast("long").as("seed")))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) => (id, wavFixture(seed)) })
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"),
+        struct(lit("audio/wav").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+}

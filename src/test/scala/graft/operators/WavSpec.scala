@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** WAV (RIFF PCM16) codec: chunk-walk correctness (word-aligned skip of
+  * unknown chunks), sample decode exactness, refusal of non-PCM16 forms,
+  * and refuse-never-crash fuzz.
+  */
+class WavSpec extends SparkTestBase {
+
+  test("fixture decodes to the closed-form samples exactly (channels, " +
+      "rate, frames, energy, peak) including the odd-length LIST skip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    val media = Wav.wavMedia(ids, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val got = Wav.wavStats(media).collect().map(r => r.doc_id -> r).toMap
+    assert(got.size == 30)
+    (0L until 30L).foreach { seed =>
+      val channels = (1 + seed % 2).toInt
+      val frames = (200 + seed % 50).toInt
+      var energy = 0L
+      var peak = 0
+      (0 until frames * channels).foreach { i =>
+        val s = (((seed * 13 + i.toLong * 29) % 65536) - 32768).toInt
+        energy += s.toLong * s
+        peak = math.max(peak, math.abs(s))
+      }
+      val r = got(seed)
+      assert((r.channels, r.sample_rate, r.n_frames, r.energy, r.peak) ==
+        ((channels, (8000 + 4000 * (seed % 3)).toInt, frames.toLong,
+          energy, peak)), s"seed $seed")
+    }
+  }
+
+  test("non-PCM16 forms refuse: float format, 8-bit, missing fmt before " +
+      "data, truncated data chunk") {
+    val valid = Wav.wavFixture(3L)
+    assert(Wav.decodeHeader(valid).isDefined)
+    // audioFormat lives at offset 20 (12 RIFF/WAVE + 8 fmt header)
+    val floatFmt = valid.clone(); floatFmt(20) = 3
+    assert(Wav.decodeHeader(floatFmt).isEmpty, "IEEE-float must refuse")
+    val eightBit = valid.clone(); eightBit(34) = 8
+    assert(Wav.decodeHeader(eightBit).isEmpty, "8-bit must refuse")
+    // truncation inside the data chunk → declared length overruns payload
+    assert(Wav.decodeHeader(valid.take(valid.length - 3)).isEmpty)
+    // data before fmt: swap the fmt chunk id to an unknown one
+    val noFmt = valid.clone()
+    noFmt(12) = 'j'.toByte
+    assert(Wav.decodeHeader(noFmt).isEmpty)
+  }
+
+  test("decodeHeader never throws on junk, truncations, or bit flips " +
+      "(refuse-never-crash)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 300).foreach { _ =>
+      val junk = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Wav.decodeHeader(junk)
+      Wav.decodeHeader("RIFF".getBytes("US-ASCII") ++ junk)
+    }
+    val valid = Wav.wavFixture(7L)
+    (0 until valid.length).foreach(cut => Wav.decodeHeader(valid.take(cut)))
+    (1 to 400).foreach { _ =>
+      val mut = valid.clone()
+      mut(rnd.nextInt(mut.length)) =
+        (mut(rnd.nextInt(mut.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Wav.decodeHeader(mut) // refuse or parse, never crash
+    }
+  }
+}
