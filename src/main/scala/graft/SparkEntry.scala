@@ -72,6 +72,7 @@ object SparkEntry {
     "q46_rolling_distinct"  -> (Analytics.rollingDistinct _),
     "q47_map_functions"     -> (Queries.q47MapFunctions _),
     "q48_ntile_buckets"     -> (Queries.q48NtileBuckets _),
+    "q49_lateral_topn"      -> (Queries.q49LateralTopN _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
     "dq_mad"                -> (Analytics.dqMad _),
     "dq_ewma"               -> ((s: SparkSession, d: String) => Analytics.dqEwma(s, d)),
@@ -1689,6 +1690,20 @@ object SparkEntry {
         |  ROUND(MAX(seg_top_bal), 2) AS seg_top_bal,
         |  ROUND(MAX(third_bal), 2) AS seg_third_bal
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the SQL-standard top-N-per-key: DuckDB executes the same LATERAL
+    // text; ties broken by l_linenumber keep both engines deterministic
+    "q49_lateral_topn" ->
+      """SELECT o.o_orderkey AS k, o.o_orderdate AS od, l.ln, l.rev
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber AS ln,
+        |         FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS rev
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY rev DESC, l_linenumber
+        |  LIMIT 2) l
+        |WHERE o.o_orderdate >= DATE '1998-01-01'
+        |ORDER BY k, rev DESC, ln""".stripMargin,
     "q46_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |daily AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau

@@ -588,6 +588,39 @@ object Queries {
         round(max("third_bal"), 2).as("seg_third_bal"))
       .orderBy("c_mktsegment", "decile")
   }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-key family expressed the SQL-standard way (the form every
+    * modern engine and the reference's BigQuery dialect accept), rather
+    * than the window-function rewrite q10 uses. Catalyst decorrelates the
+    * LATERAL into a join + per-key limit; the point of the row is that
+    * the DECLARATIVE form survives the optimizer with no per-outer-row
+    * re-execution (a naive nested-loop would rescan lineitem once per
+    * order — the 100 TB death sentence).
+    *
+    * Plan (audited): Catalyst decorrelates to a per-l_orderkey Window
+    * rank + filter ≤ 2, joined broadcast against the date-pruned orders;
+    * the fact side reads only the 4 needed columns with the key
+    * null-filter pushed to the scan. The rewrite costs one extra
+    * range-sort exchange over q10's hand-written window form — the
+    * price of the portable SQL shape, bounded and shuffle-based, never
+    * per-row re-execution.
+    */
+  def q49LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey AS k, o.o_orderdate AS od, l.ln, l.rev
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber AS ln,
+        |         FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS rev
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY rev DESC, l_linenumber
+        |  LIMIT 2) l
+        |WHERE o.o_orderdate >= DATE '1998-01-01'
+        |ORDER BY k, rev DESC, ln""".stripMargin)
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
