@@ -73,6 +73,7 @@ object SparkEntry {
     "q47_map_functions"     -> (Queries.q47MapFunctions _),
     "q48_ntile_buckets"     -> (Queries.q48NtileBuckets _),
     "q49_lateral_topn"      -> (Queries.q49LateralTopN _),
+    "q50_recursive_cte"     -> (Queries.q50RecursiveCte _),
     "dq_freshness"          -> (Analytics.dqFreshness _),
     "dq_mad"                -> (Analytics.dqMad _),
     "dq_ewma"               -> ((s: SparkSession, d: String) => Analytics.dqEwma(s, d)),
@@ -1704,6 +1705,18 @@ object SparkEntry {
         |  LIMIT 2) l
         |WHERE o.o_orderdate >= DATE '1998-01-01'
         |ORDER BY k, rev DESC, ln""".stripMargin,
+    // ancestor-chain walk over the k -> k/2 binary tree; DuckDB's own
+    // recursive CTE replays the identical recurrence (// = DIV on
+    // non-negative ids)
+    "q50_recursive_cte" ->
+      """WITH RECURSIVE chain(node, cur, depth, path_sum) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT), p_partkey
+        |  FROM part
+        |  UNION ALL
+        |  SELECT node, cur // 2, depth + 1, path_sum + cur // 2
+        |  FROM chain WHERE cur > 1)
+        |SELECT node AS p, MAX(depth) AS depth, MAX(path_sum) AS path_sum
+        |FROM chain GROUP BY node ORDER BY p""".stripMargin,
     "q46_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |daily AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau

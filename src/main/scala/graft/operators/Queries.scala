@@ -621,6 +621,30 @@ object Queries {
         |WHERE o.o_orderdate >= DATE '1998-01-01'
         |ORDER BY k, rev DESC, ln""".stripMargin)
   }
+
+  /** Recursive CTE (`WITH RECURSIVE`) — iterative queries INSIDE the SQL
+    * surface (Spark 4's recursion support), pinned on a deterministic
+    * hierarchy derived from the part table: node k's parent is k/2 (a
+    * binary tree over part ids), each part walks its ancestor chain to
+    * the root accumulating depth and the path id-sum. The per-iteration
+    * work is one co-partitioned self-step over the frontier — the
+    * labelprop/BFS shape the graph operators hand-roll, now expressed
+    * declaratively; recursion depth is log₂(max id) ≈ 18 at sf1, far
+    * inside the engine's recursion budget, and the frontier SHRINKS as
+    * chains hit the root (rows with cur = 1 stop).
+    */
+  def q50RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE chain(node, cur, depth, path_sum) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT), p_partkey
+        |  FROM part
+        |  UNION ALL
+        |  SELECT node, cur DIV 2, depth + 1, path_sum + cur DIV 2
+        |  FROM chain WHERE cur > 1)
+        |SELECT node AS p, MAX(depth) AS depth, MAX(path_sum) AS path_sum
+        |FROM chain GROUP BY node ORDER BY p""".stripMargin)
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B
