@@ -121,6 +121,7 @@ object SparkEntry {
     "a35_pgwire_partitioned" -> (PipelineQueries.a35PgwirePartitioned _),
     "a36_pgwire_catalog"    -> (PipelineQueries.a36PgwireCatalog _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
+    "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3130,6 +3131,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 4 AS INT) AS bus_partition,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // warehouse truth after the multi-batch bus sync: the one-shot batch
+    // aggregate — any lost/duplicated micro-batch merge changes a count
+    "a38_bus_sync" ->
+      """SELECT 's' || CAST(doc_id % 10 AS VARCHAR) AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // Point-in-time semantics replayed: each event joins the dimension
     // version whose validity range covers its event date.
     "a31_scd2_lookup" ->

@@ -544,6 +544,43 @@ object PipelineQueries {
     } finally server.close()
   }
 
+  /** A38 — bus → warehouse incremental sync end-to-end
+    * ([[graft.sources.bus.BusSync.busIncrementalPublish]]): the corpus is
+    * published to the bus from executor tasks, then a SMALL per-trigger
+    * cap forces the sync through MANY merge→publish cycles (each
+    * micro-batch full-outer-merges its per-key delta into the
+    * crash-consistent published snapshot under the last_batch idempotence
+    * guard), and the final published table must equal the one-shot batch
+    * aggregate the oracle computes from `documents` — the reference's
+    * daily sync lifecycle with a message bus in the export slot. Integer
+    * value sums keep the multi-batch accumulation order-exact.
+    */
+  def a38BusSync(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.sources.bus.BusServer(4)
+    val port = server.start()
+    try {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .as[(Long, Long)]
+        .foreachPartition { (it: Iterator[(Long, Long)]) =>
+          val cl = new graft.sources.bus.BusClient("127.0.0.1", port)
+          try it.foreach { case (id, len) =>
+            cl.append((id % 4).toInt, 1700000000000000L + id,
+              "s" + (id % 10), len.toString)
+          } finally cl.close()
+        }
+      val finalPath = Files.createTempDirectory("graft_bus_wh").toString + "/t"
+      graft.sources.bus.BusSync.busIncrementalPublish(s, "127.0.0.1", port,
+          Files.createTempDirectory("graft_bus_wh_ck").toString, finalPath,
+          maxRecordsPerTrigger = 64)
+        .awaitTermination()
+      Sync.readPublished(s, finalPath).get
+        .select(col("key"), col("n"), col("total"))
+        .orderBy("key")
+    } finally server.close()
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

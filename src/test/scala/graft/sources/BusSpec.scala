@@ -177,6 +177,37 @@ class BusSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("bus -> warehouse sync survives a mid-stream restart exactly-once: " +
+      "produce-while-down merges on resume, replays are no-ops") {
+    val server = new BusServer(2)
+    val port = server.start()
+    try {
+      val c = new BusClient("127.0.0.1", port)
+      (0 until 120).foreach(i =>
+        c.append(i % 2, i.toLong * 1000000L, s"k${i % 5}", (i % 7).toString))
+      val fin = tmp("bus_ws_fin") + "/t"
+      val ckpt = tmp("bus_ws_ckpt")
+      def sync(): Unit = graft.sources.bus.BusSync.busIncrementalPublish(
+        spark, "127.0.0.1", port, ckpt, fin, maxRecordsPerTrigger = 16)
+        .awaitTermination()
+      sync() // phase 1: several capped merge->publish cycles
+      // downtime arrivals, then resume from the same checkpoint
+      (120 until 200).foreach(i =>
+        c.append(i % 2, i.toLong * 1000000L, s"k${i % 5}", (i % 7).toString))
+      c.close()
+      sync() // the restart
+      sync() // nothing new: must be a pure no-op
+      val got = graft.pipeline.Sync.readPublished(spark, fin).get
+        .select("key", "n", "total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val want = (0 until 200).map(i => (s"k${i % 5}", (i % 7).toLong))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, vs) => (k, vs.size.toLong, vs.map(_._2).sum) }
+      assert(got == want,
+        "published totals must equal the one-shot aggregate over all arrivals")
+    } finally server.close()
+  }
+
   test("distributed produce: executors publish via foreachPartition, the " +
       "stream reads it all back (the ingest round-trip both ways)") {
     val server = new BusServer(4)
