@@ -438,19 +438,8 @@ object LlmQueries {
     * position and skips padding bytes; any stride/order/channel mistake
     * in the engine's walk changes the total).
     */
-  def mmBmpDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = Multimodal.bmpMedia(docs(s, dir), "doc_id", "doc_id")
-      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
-        col("meta.n_bytes").as("n_bytes"))
-      .localCheckpoint(true) // feeds both decode passes
-    val mediaDs = media.as[Multimodal.MediaRow]
-    val decoded = Multimodal.decodeImages(mediaDs).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("channels"))
-    val stats = Multimodal.decodePixels(mediaDs).toDF()
-      .select(col("doc_id"), col("lum_total"))
-    decoded.join(stats, "doc_id").orderBy("doc_id")
-  }
+  def mmBmpDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Multimodal.bmpMedia(docs(s, dir), "doc_id", "doc_id"))
 
   /** The COMPRESSED leg of the real-decode pipeline
     * ([[Multimodal.pngMedia]] fixtures through the
@@ -462,19 +451,8 @@ object LlmQueries {
     * pixel formula, so a decoder that skips any of those steps changes
     * the total).
     */
-  def mmPngDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = Multimodal.pngMedia(docs(s, dir), "doc_id", "doc_id")
-      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
-        col("meta.n_bytes").as("n_bytes"))
-      .localCheckpoint(true) // feeds both decode passes
-    val mediaDs = media.as[Multimodal.MediaRow]
-    val decoded = Multimodal.decodeImages(mediaDs).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("channels"))
-    val stats = Multimodal.decodePixels(mediaDs).toDF()
-      .select(col("doc_id"), col("lum_total"))
-    decoded.join(stats, "doc_id").orderBy("doc_id")
-  }
+  def mmPngDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Multimodal.pngMedia(docs(s, dir), "doc_id", "doc_id"))
 
   /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
     * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
@@ -486,9 +464,15 @@ object LlmQueries {
     * differential-DC reconstruction, dequantization, the IDCT, and
     * edge-block cropping (w, h are non-multiples of 8) to reproduce it.
     */
-  def mmJpegDecode(s: SparkSession, dir: String): DataFrame = {
+  /** Shared decode-stats pipeline of the per-format media legs
+    * (BMP/PNG/JPEG rows): checkpoint the fixture payloads once, run the
+    * geometry and pixel-stats decode passes off the same frame, join the
+    * two bounded results on doc_id.
+    */
+  private def mediaDecodeStats(media0: DataFrame): DataFrame = {
+    val s = media0.sparkSession
     import s.implicits._
-    val media = Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id", color = false)
+    val media = media0
       .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
       .localCheckpoint(true) // feeds both decode passes
@@ -500,6 +484,10 @@ object LlmQueries {
     decoded.join(stats, "doc_id").orderBy("doc_id")
   }
 
+  def mmJpegDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id",
+      color = false))
+
   /** The 4:2:0 COLOR leg of the JPEG pipeline: interleaved Y₀Y₁Y₂Y₃ Cb Cr
     * MCUs with restart markers (interval 3 — DC predictors reset and
     * re-align mid-scan), 2×2 luma / 1×1 chroma sampling, replication
@@ -508,19 +496,9 @@ object LlmQueries {
     * mistake in subsampling geometry, predictor resets, or the conversion
     * constants changes the luminance total.
     */
-  def mmJpegColor(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id", color = true)
-      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
-        col("meta.n_bytes").as("n_bytes"))
-      .localCheckpoint(true) // feeds both decode passes
-    val mediaDs = media.as[Multimodal.MediaRow]
-    val decoded = Multimodal.decodeImages(mediaDs).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("channels"))
-    val stats = Multimodal.decodePixels(mediaDs).toDF()
-      .select(col("doc_id"), col("lum_total"))
-    decoded.join(stats, "doc_id").orderBy("doc_id")
-  }
+  def mmJpegColor(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id",
+      color = true))
 
   /** The AUDIO container leg ([[Wav.wavMedia]] fixtures through
     * [[Wav.decodeHeader]]'s RIFF chunk walk + [[Wav.wavStats]]'s one-pass

@@ -190,9 +190,14 @@ object Sync {
     * (new dir is uncommitted garbage, vacuumed by the next publish); after
     * the marker but before the swap → old N (publish unacknowledged);
     * between pointer delete and rename → fallback scan finds N+1, already
-    * complete. Concurrent readers never observe a half-written or missing
-    * table — the property a kill test exercises at every boundary
-    * (SyncSpec).
+    * complete. A kill test exercises every boundary (SyncSpec).
+    *
+    * Concurrent readers: the vacuum RETAINS the immediately-previous
+    * snapshot, so a reader that resolved N just before publish N+1 keeps
+    * valid files for its lazy frames until a FURTHER publish lands — the
+    * one-publish read window. Readers holding frames across two or more
+    * publishes must re-resolve (the same contract snapshot-isolated table
+    * formats document for expired versions).
     *
     * Scale: the pointer file and markers are O(1) metadata writes; the
     * data write is the same full-snapshot parquet job as before. On object
@@ -235,7 +240,15 @@ object Sync {
     boundary(5) // acknowledged; stale snapshots not yet vacuumed
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("snap-") && n != s"snap-$next") fs.delete(st.getPath, true)
+      // retain the immediately-previous snapshot: a reader that resolved
+      // N−1 just before this publish still has live lazy frames over it
+      // (the documented one-publish read window); everything older — and
+      // any uncommitted garbage from crashed writes — goes. Legacy
+      // pre-versioning part files at the root are removed too, now that
+      // a committed snapshot supersedes them.
+      val keep = n == s"snap-$next" || n == s"snap-${next - 1}" ||
+        n == Pointer || n == PointerTmp
+      if (!keep) fs.delete(st.getPath, true)
     }
   }
 
@@ -270,12 +283,26 @@ object Sync {
 
   /** Read the currently published snapshot of a table root written by
     * [[publishOverwrite]]; None when no committed snapshot exists.
+    *
+    * Legacy fallback: a root written by the pre-versioning publisher
+    * (plain parquet files, no `snap-*`/`_CURRENT`) reads as the published
+    * table, so upgrading the publisher never makes an existing warehouse
+    * invisible; the first versioned publish supersedes and removes the
+    * legacy files.
     */
   def readPublished(spark: SparkSession, path: String): Option[DataFrame] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    resolveVersion(fs, root).map(v =>
-      spark.read.parquet(snapPath(root, v).toString))
+    resolveVersion(fs, root)
+      .map(v => spark.read.parquet(snapPath(root, v).toString))
+      .orElse {
+        if (fs.exists(root) && fs.listStatus(root).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+          })
+          Some(spark.read.parquet(root.toString))
+        else None
+      }
   }
 
   /** Full sync of one table (the reference's 5-task chain collapsed to one
@@ -346,6 +373,41 @@ object Sync {
     // 4. publish (A9 overwrite semantics)
     retry(retries, retryDelayMs, alerts) { publishOverwrite(finalDf, finalPathStr) }
     readPublished(spark, finalPathStr).get
+  }
+
+  /** Idempotent per-batch delta merge-publish — the shared core of the
+    * streaming→warehouse bridges ([[graft.streaming.EventsStream
+    * .incrementalPublish]], [[graft.sources.bus.BusSync]]): merge a
+    * per-key DELTA frame (key column + additive numeric columns) into the
+    * published snapshot, guarded by the stored `last_batch` watermark so
+    * foreachBatch's at-least-once replay never double-merges, and publish
+    * atomically. A zero-row published snapshot (an empty first batch)
+    * reads as watermark −1, not a null crash — an empty batch 0 must
+    * never poison the checkpoint.
+    */
+  def idempotentDeltaPublish(delta: DataFrame, batchId: Long,
+                             finalPath: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = delta.sparkSession
+    val valueCols = delta.columns.filterNot(_ == keyCol).toSeq
+    val existing = readPublished(s, finalPath)
+    val lastBatch = existing.map { e =>
+      val r = e.agg(max("last_batch")).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    if (!lastBatch.exists(_ >= batchId)) {
+      val merged = existing match {
+        case None => delta.withColumn("last_batch", lit(batchId))
+        case Some(e) =>
+          e.select(keyCol, valueCols: _*).as("e")
+            .join(delta.as("d"), Seq(keyCol), "full_outer")
+            .select(col(keyCol) +:
+              valueCols.map(c => (coalesce(col(s"e.$c"), lit(0)) +
+                coalesce(col(s"d.$c"), lit(0))).as(c)) :+
+              lit(batchId).as("last_batch"): _*)
+      }
+      publishOverwrite(merged, finalPath)
+    }
   }
 
   /** Incremental sync predicate — the reference's advertised improvement

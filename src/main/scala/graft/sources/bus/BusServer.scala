@@ -98,15 +98,22 @@ final class BusServer(val partitions: Int) {
             val max = in.readInt()
             if (p < 0 || p >= partitions) throw new IOException(s"bad partition $p")
             val log = logs(p)
-            val hi = log.synchronized(log.length.toLong)
-            val lo = math.max(0L, from)
-            val end = math.min(math.min(until, hi), lo + math.max(0, max))
-            val cnt = math.max(0L, end - lo).toInt
-            out.writeInt(cnt)
+            // snapshot the fetch window UNDER the partition lock: record
+            // fields are immutable, but a concurrent append can resize
+            // the ArrayBuffer's backing array, and an unlocked indexed
+            // read may observe the swapped array before its element
+            // copies (JMM visibility) — bounded copy, serialize unlocked
+            val (lo, recs) = log.synchronized {
+              val hi = log.length.toLong
+              val lo0 = math.max(0L, from)
+              val end = math.min(math.min(until, hi), lo0 + math.max(0, max))
+              val cnt = math.max(0L, end - lo0).toInt
+              (lo0, Array.tabulate(cnt)(i => log((lo0 + i).toInt)))
+            }
+            out.writeInt(recs.length)
             var i = 0
-            while (i < cnt) {
-              // reads below hi are immutable — no lock needed per record
-              val r = log((lo + i).toInt)
+            while (i < recs.length) {
+              val r = recs(i)
               out.writeLong(lo + i); out.writeLong(r.ts)
               out.writeInt(r.key.length); out.write(r.key)
               out.writeInt(r.value.length); out.write(r.value)

@@ -168,7 +168,15 @@ private[bus] final class BusPartitionReader(range: BusRange)
     if (nextOffset >= range.until) return false
     buf = client.fetch(range.partition, nextOffset, range.until)
     idx = 0
-    if (buf.isEmpty) return false // bus lost data below a planned offset
+    if (buf.isEmpty)
+      // the planner promised [from, until); an empty fetch below `until`
+      // means the bus lost committed data (e.g., restarted empty on the
+      // same port). FAIL the task so Spark retries/surfaces it — silently
+      // completing would commit offsets that were never read (data loss
+      // on an exactly-once source)
+      throw new java.io.IOException(
+        s"graft-bus partition ${range.partition}: no data at offset " +
+          s"$nextOffset but batch end is ${range.until} — log truncated?")
     nextOffset = buf.last.offset + 1
     true
   }

@@ -37,29 +37,13 @@ object BusSync {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val existing = graft.pipeline.Sync.readPublished(s, finalPath)
-        // a replayed batch (id <= stored watermark) must not double-merge
-        val alreadyMerged = existing.exists(
-          _.agg(max("last_batch")).head().getLong(0) >= batchId)
-        if (!alreadyMerged) {
-          val delta = batch.groupBy("key")
-            .agg(count(lit(1)).as("n"),
-              sum(col("value").cast("long")).as("total"))
-          val merged = existing match {
-            case None => delta.withColumn("last_batch", lit(batchId))
-            case Some(e) =>
-              e.select("key", "n", "total").as("e")
-                .join(delta.as("d"), Seq("key"), "full_outer")
-                .select(col("key"),
-                  (coalesce(col("e.n"), lit(0L)) +
-                    coalesce(col("d.n"), lit(0L))).as("n"),
-                  (coalesce(col("e.total"), lit(0L)) +
-                    coalesce(col("d.total"), lit(0L))).as("total"),
-                  lit(batchId).as("last_batch"))
-          }
-          graft.pipeline.Sync.publishOverwrite(merged, finalPath)
-        }
+        // delta per micro-batch; the idempotence guard + additive merge +
+        // atomic publish are the shared Sync.idempotentDeltaPublish core
+        val delta = batch.groupBy("key")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("long")).as("total"))
+        graft.pipeline.Sync.idempotentDeltaPublish(
+          delta, batchId, finalPath, "key")
       }
       .start()
 }

@@ -267,27 +267,12 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val existing = graft.pipeline.Sync.readPublished(s, finalPath)
-        val alreadyMerged = existing.exists(
-          _.agg(max("last_batch")).head().getLong(0) >= batchId)
-        if (!alreadyMerged) {
-          val delta = batch.groupBy("user_id")
-            .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
-          val merged = existing match {
-            case None => delta.withColumn("last_batch", lit(batchId))
-            case Some(e) =>
-              e.select("user_id", "n_events", "total_value").as("e")
-                .join(delta.as("d"), Seq("user_id"), "full_outer")
-                .select(col("user_id"),
-                  (coalesce(col("e.n_events"), lit(0L)) +
-                    coalesce(col("d.n_events"), lit(0L))).as("n_events"),
-                  (coalesce(col("e.total_value"), lit(0.0)) +
-                    coalesce(col("d.total_value"), lit(0.0))).as("total_value"),
-                  lit(batchId).as("last_batch"))
-          }
-          graft.pipeline.Sync.publishOverwrite(merged, finalPath)
-        }
+        // delta per micro-batch; the idempotence guard + additive merge +
+        // atomic publish are the shared Sync.idempotentDeltaPublish core
+        val delta = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        graft.pipeline.Sync.idempotentDeltaPublish(
+          delta, batchId, finalPath, "user_id")
       }
       .start()
 

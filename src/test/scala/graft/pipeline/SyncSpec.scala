@@ -62,6 +62,48 @@ class SyncSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum retains the immediately-previous snapshot: a reader that " +
+      "resolved before the publish keeps valid files (one-publish window)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_retain").toString + "/t"
+    Sync.publishOverwrite(Seq((1L, "a")).toDF("k", "s"), root)
+    val reader = Sync.readPublished(spark, root).get // resolves snap-1 lazily
+    Sync.publishOverwrite(Seq((2L, "b")).toDF("k", "s"), root)
+    // snap-1 must still be readable for the pre-publish reader…
+    assert(reader.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "previous snapshot must survive one publish for live readers")
+    // …and one FURTHER publish expires it (the documented window)
+    Sync.publishOverwrite(Seq((3L, "c")).toDF("k", "s"), root)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("snap-1") && dirs.contains("snap-2") &&
+      dirs.contains("snap-3"), s"retention window wrong: $dirs")
+    assert(Sync.readPublished(spark, root).get
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("legacy pre-versioning layout: plain parquet at the root reads as " +
+      "published; the first versioned publish supersedes and removes it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_legacy").toString + "/t"
+    // the old publisher's layout: bare parquet files at the table root
+    Seq((7L, "old")).toDF("k", "s").write.parquet(root)
+    assert(Sync.readPublished(spark, root).get
+      .collect().map(_.getLong(0)).toSeq == Seq(7L),
+      "a pre-upgrade warehouse must stay visible")
+    // an incremental-style publish must SEE the legacy table as existing
+    val merged = Sync.readPublished(spark, root).get
+      .unionByName(Seq((8L, "new")).toDF("k", "s"))
+    Sync.publishOverwrite(merged, root)
+    val got = Sync.readPublished(spark, root).get
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(7L, 8L), "history must survive the layout upgrade")
+    // after a further publish the legacy part files are vacuumed
+    Sync.publishOverwrite(Seq((9L, "x")).toDF("k", "s"), root)
+    val files = new java.io.File(root).listFiles().map(_.getName)
+    assert(!files.exists(f => f.endsWith(".parquet") &&
+      new java.io.File(root, f).isFile), s"legacy files must vacuum: ${files.toSeq}")
+  }
+
   test("readPublished ignores uncommitted snapshot directories (no marker " +
       "= garbage from a crashed write)") {
     import spark.implicits._

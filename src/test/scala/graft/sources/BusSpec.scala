@@ -208,6 +208,29 @@ class BusSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("an empty first batch never poisons the sync checkpoint: sync on an " +
+      "empty bus, then produce and resume") {
+    val server = new BusServer(2)
+    val port = server.start()
+    try {
+      val fin = tmp("bus_empty_fin") + "/t"
+      val ckpt = tmp("bus_empty_ckpt")
+      def sync(): Unit = graft.sources.bus.BusSync.busIncrementalPublish(
+        spark, "127.0.0.1", port, ckpt, fin).awaitTermination()
+      sync() // nothing produced yet — may publish a zero-row snapshot
+      val c = new BusClient("127.0.0.1", port)
+      (0 until 50).foreach(i => c.append(i % 2, i.toLong, s"k${i % 3}", "2"))
+      c.close()
+      sync() // must merge, not crash on the empty snapshot's null watermark
+      val got = graft.pipeline.Sync.readPublished(spark, fin).get
+        .select("key", "n", "total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val want = (0 until 50).groupBy(i => s"k${i % 3}").toSeq.sortBy(_._1)
+        .map { case (k, is) => (k, is.size.toLong, 2L * is.size) }
+      assert(got == want, s"post-empty-batch merge wrong: $got")
+    } finally server.close()
+  }
+
   test("distributed produce: executors publish via foreachPartition, the " +
       "stream reads it all back (the ingest round-trip both ways)") {
     val server = new BusServer(4)
