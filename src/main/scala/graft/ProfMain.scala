@@ -114,6 +114,60 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r10scale")) {
+      // Scaling evidence for the round-10 codecs + bus on 1x..8x
+      // id-shifted corpora: every stage is row-local (fixture map,
+      // partition-wise decode) or offset-partitioned (bus), so
+      // wall-clock should track n near-linearly with flat per-row cost.
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val base = Tables.load(spark, dir, "documents").select("doc_id")
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val ids = (0 until n).map(k =>
+          base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        def media(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+            col("meta.n_bytes").as("n_bytes"))
+          .as[graft.operators.Multimodal.MediaRow]
+        for ((label, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+            "jpeg_color_decode" -> (() => graft.operators.Multimodal
+              .decodePixels(media(graft.operators.Jpeg
+                .jpegMedia(ids, "doc_id", "doc_id", color = true))).toDF()),
+            "wav_decode" -> (() => graft.operators.Wav
+              .wavStats(media(graft.operators.Wav
+                .wavMedia(ids, "doc_id", "doc_id"))).toDF()))) {
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10scale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        // bus: distributed produce of the n-fold id set + full drain
+        locally {
+          val server = new graft.sources.bus.BusServer(4)
+          val port = server.start()
+          try {
+            val t0 = System.nanoTime()
+            ids.as[Long].foreachPartition { (it: Iterator[Long]) =>
+              val cl = new graft.sources.bus.BusClient("127.0.0.1", port)
+              try it.foreach(id => cl.append((id % 4).toInt, id, s"$id", "x"))
+              finally cl.close()
+            }
+            val ck = java.nio.file.Files
+              .createTempDirectory("r10scale_bus").toString
+            spark.readStream.format("graft.sources.bus.BusSourceProvider")
+              .option("host", "127.0.0.1").option("port", port.toString)
+              .load()
+              .writeStream
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .option("checkpointLocation", ck)
+              .format("noop").start().awaitTermination()
+            println(f"r10scale bus_roundtrip n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          } finally server.close()
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("newscale")) {
       // Scaling evidence for the round-6-continuation operator family:
       // winnowing fingerprints, CDC chunking, blockwise phash signatures,
