@@ -188,6 +188,7 @@ object SparkEntry {
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
+    "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
@@ -3409,6 +3410,25 @@ object SparkEntry {
         |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
         |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
         |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // framing over DECODED channel-0 PCM: frame f covers per-channel
+    // sample indices [f*32, f*32+64); interleaved word index = i*ch
+    "mm_wav_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, g.f AS frame_id, seed, ch
+        |  FROM d, LATERAL (SELECT unnest(range(0, (nf - 64) // 32 + 1)) AS f) g),
+        |e AS (SELECT doc_id, frame_id, SUM(s * s) AS energy,
+        |    MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, frame_id,
+        |          ((seed * 13 + (frame_id * 32 + h.i) * ch * 29) % 65536)
+        |            - 32768 AS s
+        |        FROM f, LATERAL (SELECT unnest(range(0, 64)) AS i) h)
+        |  GROUP BY doc_id, frame_id)
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
+        |FROM e ORDER BY doc_id, frame_id""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
         |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)

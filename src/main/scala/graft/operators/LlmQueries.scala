@@ -517,6 +517,23 @@ object LlmQueries {
     Wav.wavStats(media).toDF().orderBy("doc_id")
   }
 
+  /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample
+    * frames every 32 samples of channel 0 with per-frame energy/peak —
+    * the STFT layout over real samples (the raw-byte
+    * [[Multimodal.frameEnergy]] sibling frames the container bytes;
+    * this frames what a spectral pipeline actually consumes). The oracle
+    * replays the closed-form channel-0 sample formula per frame, so any
+    * interleave/stride/window mistake changes a frame's energy.
+    */
+  def mmWavFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavFrames(media).toDF().orderBy("doc_id", "frame_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

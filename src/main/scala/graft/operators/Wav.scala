@@ -106,6 +106,44 @@ object Wav {
     }
   }
 
+  case class WavFrameRow(doc_id: Long, frame_id: Long, energy: Long,
+                         peak: Int)
+
+  /** Overlapping fixed-window framing over the DECODED channel-0 samples
+    * (the honest audio path — [[Multimodal.frameEnergy]] frames raw
+    * payload bytes; this frames real PCM): frame f covers sample indices
+    * `[f·hop, f·hop + frameLen)` of channel 0, emitting Long-exact energy
+    * (Σ s²) and peak magnitude per frame — the STFT-style framing layout
+    * every spectral audio feature starts from. Row-local: one decode +
+    * one pass per payload, frames emitted inline, nothing shuffles.
+    */
+  def wavFrames(media: Dataset[Multimodal.MediaRow], frameLen: Int = 64,
+                hop: Int = 32): Dataset[WavFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).iterator.flatMap { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          val frames = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+          (0 until frames).iterator.map { f =>
+            var energy = 0L
+            var peak = 0
+            var i = 0
+            while (i < frameLen) {
+              val s = sample(r.data, info, (f * hop + i) * ch) // channel 0
+              energy += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            WavFrameRow(r.doc_id, f.toLong, energy, peak)
+          }
+        }
+      }
+    }
+  }
+
   /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
     * must actually skip unknown chunks) + data.
     */

@@ -375,6 +375,22 @@ object Sync {
     readPublished(spark, finalPathStr).get
   }
 
+  /** Read one SPECIFIC committed snapshot version — time travel within
+    * the retention window: the vacuum keeps the immediately-previous
+    * snapshot alongside the current one, so after publish N both N and
+    * N−1 are addressable (the audit/rollback read a `bq` user gets from
+    * table snapshots); older versions are vacuumed and return None.
+    */
+  def readPublishedVersion(spark: SparkSession, path: String,
+                           version: Long): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = snapPath(root, version)
+    if (fs.exists(new Path(dir, CommitMarker)))
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
   /** Idempotent per-batch delta merge-publish — the shared core of the
     * streaming→warehouse bridges ([[graft.streaming.EventsStream
     * .incrementalPublish]], [[graft.sources.bus.BusSync]]): merge a

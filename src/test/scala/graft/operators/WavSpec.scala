@@ -35,6 +35,35 @@ class WavSpec extends SparkTestBase {
     }
   }
 
+  test("wavFrames: channel-0 framing over decoded samples — hand-computed " +
+      "stereo case, frame-count formula, sub-frame payloads emit nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stereo, 100 frames: channel 0 samples are the EVEN interleaved
+    // words; a mixed or mono-indexed walk changes every frame energy
+    val samples = Array.tabulate[Short](200)(i =>
+      (if (i % 2 == 0) (i / 2 + 1) else 30000).toShort)
+    val stereo = Wav.encodePcm16(2, 8000, samples)
+    val tiny = Wav.encodePcm16(1, 8000, Array.tabulate[Short](40)(_.toByte))
+    val media = Seq((1L, stereo), (2L, tiny)).toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"), lit("audio/wav").as("mime"),
+        octet_length(col("data")).cast("long").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    val got = Wav.wavFrames(media, frameLen = 64, hop = 32).collect()
+    assert(got.forall(_.doc_id == 1L), "a 40-frame payload has no 64-frame")
+    assert(got.length == (100 - 64) / 32 + 1) // = 2 frames
+    got.foreach { fr =>
+      val base = fr.frame_id.toInt * 32
+      var e = 0L; var p = 0
+      (0 until 64).foreach { i =>
+        val s = base + i + 1 // channel-0 value by construction
+        e += s.toLong * s; p = math.max(p, s)
+      }
+      assert((fr.energy, fr.peak) == ((e, p)),
+        s"frame ${fr.frame_id}: channel-0 stride broken")
+    }
+  }
+
   test("non-PCM16 forms refuse: float format, 8-bit, missing fmt before " +
       "data, truncated data chunk") {
     val valid = Wav.wavFixture(3L)

@@ -104,6 +104,24 @@ class SyncSpec extends SparkTestBase {
       new java.io.File(root, f).isFile), s"legacy files must vacuum: ${files.toSeq}")
   }
 
+  test("readPublishedVersion: the previous snapshot stays addressable " +
+      "(one-publish time travel), older versions return None") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tt").toString + "/t"
+    Sync.publishOverwrite(Seq((1L, "a")).toDF("k", "s"), root)
+    Sync.publishOverwrite(Seq((2L, "b")).toDF("k", "s"), root)
+    assert(Sync.readPublishedVersion(spark, root, 2).get
+      .head().getLong(0) == 2L)
+    assert(Sync.readPublishedVersion(spark, root, 1).get
+      .head().getLong(0) == 1L, "previous version must be addressable")
+    assert(Sync.readPublishedVersion(spark, root, 3).isEmpty)
+    Sync.publishOverwrite(Seq((3L, "c")).toDF("k", "s"), root)
+    assert(Sync.readPublishedVersion(spark, root, 1).isEmpty,
+      "vacuumed versions must return None, not half-read")
+    assert(Sync.readPublishedVersion(spark, root, 2).get
+      .head().getLong(0) == 2L)
+  }
+
   test("readPublished ignores uncommitted snapshot directories (no marker " +
       "= garbage from a crashed write)") {
     import spark.implicits._
