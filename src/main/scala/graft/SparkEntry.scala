@@ -232,6 +232,11 @@ object SparkEntry {
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
+    "graph_jaccard"         -> (Graph.graphJaccard _),
+    "ml_stump"              -> (Regression.mlStump _),
+    "q51_skyline"           -> (Analytics.skyline _),
+    "q52_weighted_median"   -> (Analytics.weightedMedian _),
+    "dq_benford"            -> (Analytics.dqBenford _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -3857,6 +3862,114 @@ object SparkEntry {
          |SELECT node, label,
          |  COUNT(*) OVER (PARTITION BY label) AS community_size
          |FROM l5 ORDER BY node""".stripMargin
+    },
+    // same hub-star edge derivation as graph_labelprop; pairs only via a
+    // shared neighbor (never |V|^2), jaccard = exact-int division
+    "graph_jaccard" ->
+      """WITH st AS (
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_brand, p_size) AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub
+        |  UNION ALL
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_type) AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub),
+        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT p AS src, hub AS dst FROM st
+        |  UNION ALL SELECT hub, p FROM st)),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |pairs AS (
+        |  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
+        |  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |j AS (
+        |  SELECT u, v, CAST(common AS BIGINT) AS common,
+        |    CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+        |    ROUND(common / CAST(du.d + dv.d - common AS DOUBLE), 6) AS jaccard
+        |  FROM pairs JOIN deg du ON pairs.u = du.src
+        |             JOIN deg dv ON pairs.v = dv.src)
+        |SELECT u, v, common, du, dv, jaccard FROM j
+        |WHERE jaccard >= 0.25
+        |ORDER BY jaccard DESC, u, v LIMIT 100""".stripMargin,
+    // exact stump split-search: integer sufficient stats + the SHARED
+    // double SSE expression (Regression.stumpSseSql) on both engines
+    "ml_stump" ->
+      s"""WITH li AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v
+         |  FROM lineitem),
+         |perq AS (
+         |  SELECT q, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+         |  FROM li GROUP BY q),
+         |pre AS (
+         |  SELECT q,
+         |    SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+         |    SUM(n) OVER () AS nt, SUM(s) OVER () AS st, SUM(ss) OVER () AS sst
+         |  FROM perq
+         |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sp AS (
+         |  SELECT q, nl, sl, ssl,
+         |    nt - nl AS nr, st - sl AS sr, sst - ssl AS ssr
+         |  FROM pre WHERE nt - nl > 0)
+         |SELECT q AS threshold, CAST(nl AS BIGINT) AS n_left,
+         |  CAST(nr AS BIGINT) AS n_right,
+         |  ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4) AS mean_left,
+         |  ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 4) AS mean_right,
+         |  ROUND(${Regression.stumpSseSql}, 2) AS sse
+         |FROM sp ORDER BY sse, threshold LIMIT 3""".stripMargin,
+    // oracle takes the definitional quadratic NOT EXISTS; the engine's
+    // prefix-max plan must reproduce it exactly
+    "q51_skyline" ->
+      """SELECT p_partkey AS k, ROUND(p_retailprice, 2) AS price,
+        |  p_size AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part o
+        |  WHERE o.p_retailprice <= p.p_retailprice
+        |    AND o.p_size >= p.p_size
+        |    AND (o.p_retailprice < p.p_retailprice
+        |         OR o.p_size > p.p_size))
+        |ORDER BY k""".stripMargin,
+    // RANGE frame => tie rows share one cumulative weight, so the lower
+    // weighted median is order-independent; mean over exact cents
+    "q52_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS tot,
+        |    SUM(cents * w) OVER (PARTITION BY g) AS cw
+        |  FROM li)
+        |SELECT g, ROUND(MIN(v), 2) AS wmedian,
+        |  CAST(MAX(tot) AS BIGINT) AS total_w,
+        |  ROUND(MAX(cw) / (MAX(tot) * 100.0), 4) AS wmean
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY g ORDER BY g""".stripMargin,
+    // first digit from the decimal rendering of exact cents (no libm
+    // log10); expectations are shared 6-digit literals
+    "dq_benford" -> {
+      val cases = graft.operators.Analytics.benfordProbs.map { case (i, p) =>
+        s"WHEN $i THEN CAST($p AS DOUBLE)" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(SUBSTR(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM lineitem),
+         |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT digit, CAST(n AS BIGINT) AS n,
+         |    ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+         |    CASE digit $cases END AS benford_p
+         |  FROM g)
+         |SELECT digit, n, share, benford_p,
+         |  ROUND(ABS(share - benford_p), 6) AS abs_dev
+         |FROM r ORDER BY digit""".stripMargin
     },
   )
 }

