@@ -122,6 +122,7 @@ object SparkEntry {
     "a36_pgwire_catalog"    -> (PipelineQueries.a36PgwireCatalog _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
+    "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
@@ -3952,6 +3953,23 @@ object SparkEntry {
         |  ROUND(MAX(cw) / (MAX(tot) * 100.0), 4) AS wmean
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY g ORDER BY g""".stripMargin,
+    // the oracle recomputes both snapshot versions from the base table;
+    // the engine must produce the identical feed from STORAGE
+    "a39_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, ROUND(o_totalprice + 1000, 2) AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(v1.k, v2.k) AS k,
+        |  CASE WHEN v1.k IS NULL THEN 'I'
+        |       WHEN v2.k IS NULL THEN 'D'
+        |       ELSE 'U' END AS change,
+        |  v1.p AS old_p, v2.p AS new_p
+        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p <> v2.p
+        |ORDER BY k""".stripMargin,
     // first digit from the decimal rendering of exact cents (no libm
     // log10); expectations are shared 6-digit literals
     "dq_benford" -> {

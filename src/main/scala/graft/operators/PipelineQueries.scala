@@ -581,6 +581,33 @@ object PipelineQueries {
     } finally server.close()
   }
 
+  /** A39 — snapshot time-travel diff: two versioned publishes to one
+    * table root, then the change feed between the retained previous
+    * version and the current one via [[Sync.snapshotDiff]] — the
+    * `bq`-snapshot audit the reference's WRITE_TRUNCATE reload pattern
+    * (dags/cloudsql_to_bigquery.py:225-227) makes otherwise impossible.
+    * Both versions are read back through [[Sync.readPublishedVersion]]
+    * (the one-publish retention window), so the diff is computed from
+    * STORAGE, not from the in-memory frames that produced it.
+    */
+  def a39SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val tmp = Files.createTempDirectory("graft_snapdiff").toString + "/t"
+    Sync.publishOverwrite(
+      o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") + 1000, 2).as("p")), tmp)
+    Sync.publishOverwrite(
+      o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("p")), tmp)
+    val prev = Sync.readPublishedVersion(s, tmp, 1).get
+    val cur = Sync.readPublishedVersion(s, tmp, 2).get
+    Sync.snapshotDiff(prev, cur, Seq("k"))
+      .select(col("k"), col("change"), col("old_p"), col("new_p"))
+      .orderBy("k")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

@@ -468,4 +468,39 @@ object Sync {
       } finally pool.shutdown()
     }
   }
+
+  /** Snapshot-to-snapshot change feed — CDC derived AFTER the fact from
+    * two published versions (the audit a warehouse user runs between
+    * `bq` table snapshots when the source emitted no change log): keyed
+    * full-outer join, rows classified I(nsert)/D(elete)/U(pdate), with
+    * unchanged rows dropped. Old and new non-key values ride along as
+    * `old_`/`new_` columns.
+    *
+    * Scale: one shuffle join on the key set — both sides hash-partition,
+    * AQE broadcasts a small old snapshot; the unchanged-row filter
+    * happens pre-output so the feed is |changes|-sized, not
+    * |table|-sized. Null-safe equality (`<=>`) keeps genuinely-null
+    * values from classifying as perpetual updates.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val valueCols = cur.columns.filterNot(keys.contains).toSeq
+    require(prev.columns.sorted.sameElements(cur.columns.sorted),
+      "snapshotDiff: schemas must match")
+    val p = prev.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("_in_old"): _*)
+    val c = cur.select(keys.map(col) ++
+      valueCols.map(c0 => col(c0).as(s"new_$c0")) :+ lit(1).as("_in_new"): _*)
+    val j = p.join(c, keys, "full_outer")
+    val changed = valueCols
+      .map(v => !(col(s"old_$v") <=> col(s"new_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("change",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("change").isNotNull)
+      .drop("_in_old", "_in_new")
+  }
 }

@@ -411,4 +411,39 @@ class SyncSpec extends SparkTestBase {
       .orderBy("o_orderkey").collect().map(_.toSeq)
     assert(before.toSeq == after.toSeq, "compaction must be content-lossless")
   }
+
+  test("snapshotDiff classifies I/D/U, drops unchanged rows, and is " +
+      "null-safe on values") {
+    import spark.implicits._
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val cur = Seq((2L, Some("B")), (3L, None), (4L, Some("d")),
+      (5L, None)).toDF("k", "v")
+    val got = Sync.snapshotDiff(prev, cur, Seq("k"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        Option(r.getString(1)), Option(r.getString(2))))
+    // k=3 (null==null) and k=4 (d==d) are unchanged and must not appear
+    assert(got.toSeq == Seq(
+      (1L, "D", Some("a"), None),
+      (2L, "U", Some("b"), Some("B")),
+      (5L, "I", None, None)))
+  }
+
+  test("snapshotDiff over the published retention window (a39 shape): " +
+      "versions N-1 and N read back and diff from storage") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sd").toString + "/t"
+    Sync.publishOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), root)
+    Sync.publishOverwrite(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "p"), root)
+    val prev = Sync.readPublishedVersion(spark, root, 1).get
+    val cur = Sync.readPublishedVersion(spark, root, 2).get
+    val got = Sync.snapshotDiff(prev, cur, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq == Seq((1L, "D"), (2L, "U"), (3L, "I")))
+    // beyond the window: version 0 never existed, vacuumed versions gone
+    assert(Sync.readPublishedVersion(spark, root, 0).isEmpty)
+  }
 }
