@@ -192,6 +192,7 @@ object SparkEntry {
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
+    "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
@@ -3337,6 +3338,23 @@ object SparkEntry {
     // PNG leg: the oracle sums the closed-form RAW pixel formula — the
     // engine only reproduces it by concatenating IDAT framing, inflating
     // the stored-block zlib stream, and reversing the Sub/Up row filters.
+    // the oracle replays the closed-form index stream through the
+    // closed-form palette; the engine must LZW-decode to match
+    "mm_gif_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.seed * 29 + g.i * 23 + (d.seed * g.i) % 127) % 128 AS j
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) g),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * ((j * 2 + 5) % 256) + 587 * ((j * 7 + 11) % 256)
+        |    + 114 * ((j * 13 + 17) % 256)) AS lum_total
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_png_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,

@@ -488,6 +488,18 @@ object LlmQueries {
     mediaDecodeStats(Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id",
       color = false))
 
+  /** The PALETTE-INDEXED / dictionary-compressed leg of the real-decode
+    * pipeline ([[Gif.gifMedia]] fixtures through [[Gif.decode]]'s
+    * sub-block reassembly + LZW + color-table expansion): parsed
+    * descriptor geometry plus the luminance total over palette-expanded
+    * RGB — only correct if the decoder actually reassembles sub-blocks,
+    * decodes the LZW code stream, and maps every index through the
+    * global color table (the oracle sums the closed-form palette
+    * formula over the closed-form index stream).
+    */
+  def mmGifDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Gif.gifMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The 4:2:0 COLOR leg of the JPEG pipeline: interleaved Y₀Y₁Y₂Y₃ Cb Cr
     * MCUs with restart markers (interval 3 — DC predictors reset and
     * re-align mid-scan), 2×2 luma / 1×1 chroma sampling, replication

@@ -267,7 +267,7 @@ object Multimodal {
   private[operators] def decodeToPixels(
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
     decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
-      .orElse(Jpeg.decode(data))
+      .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
 
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
@@ -293,7 +293,8 @@ object Multimodal {
       // one decoder context per partition would be initialized here
       rows.map { r =>
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
-          .orElse(pngIhdr(r.data)).orElse(Jpeg.dims(r.data)) match {
+          .orElse(pngIhdr(r.data)).orElse(Jpeg.dims(r.data))
+          .orElse(Gif.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)
@@ -619,7 +620,7 @@ object Multimodal {
     * interpreted per-element lambda, one `element_at` beats the
     * `lpad(hex(..))` call pair (measured on the PPM generator below).
     */
-  private val hexLutSql: String =
+  private[operators] val hexLutSql: String =
     (0 until 256).map(i => f"'$i%02X'").mkString("array(", ", ", ")")
 
   def ppmMedia(ids: DataFrame, idCol: String, seedCol: String,
