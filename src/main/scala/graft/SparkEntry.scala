@@ -3899,10 +3899,13 @@ object SparkEntry {
         |  SELECT p AS src, hub AS dst FROM st
         |  UNION ALL SELECT hub, p FROM st)),
         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |ef AS MATERIALIZED (
+        |  SELECT a.src AS u, a.dst AS n FROM edges a
+        |  JOIN deg ON a.dst = deg.src WHERE deg.d <= 64),
         |pairs AS (
-        |  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
-        |  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |  SELECT x.u AS u, y.u AS v, COUNT(*) AS common
+        |  FROM ef x JOIN ef y ON x.n = y.n AND x.u < y.u
+        |  GROUP BY 1, 2),
         |j AS (
         |  SELECT u, v, CAST(common AS BIGINT) AS common,
         |    CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,

@@ -315,22 +315,36 @@ object Graph {
     * self-join of the edge list on the neighbor column, shuffled on
     * that key) — never the |V|² cross product. The per-neighbor fan-out
     * is adjacency-list-squared, so like every posting-list join in this
-    * repo ([[graft.operators.Dedup]]'s frequency caps) a 100 TB run
-    * caps hub neighbors (drop shared neighbors with degree > cap: a
-    * neighbor shared by everyone carries no similarity signal anyway —
-    * the standard stop-word argument). At this graph's bounded degree
-    * the cap is not armed, so the oracle sees the exact answer.
+    * repo ([[graft.operators.Dedup]]'s frequency caps) the cap is ARMED
+    * as part of the semantics: pairs only form through shared neighbors
+    * of degree ≤ `maxHubDegree` (a neighbor shared by everyone carries
+    * no similarity signal — the standard stop-word argument; measured
+    * here, the uncapped type-star hubs cost 36 s at sf0.1 and grow as
+    * deg², the capped plan is bounded by cap·|E| — linear). The oracle
+    * encodes the SAME cap, so the gate checks the capped semantics
+    * exactly, at every scale.
     *
     * Determinism: counts are exact longs; Jaccard divides two identical
-    * integers in both engines; ties in the similarity ordering break on
-    * (u, v).
+    * integers in both engines (full degrees in the denominator, capped
+    * common in the numerator — a documented lower bound); ties in the
+    * similarity ordering break on (u, v).
     */
-  def neighborJaccard(edges: DataFrame, minCommon: Long = 2,
-                      minJaccard: Double = 0.25): DataFrame = {
+  def neighborJaccard(edges: DataFrame, minCommon: Long = 1,
+                      minJaccard: Double = 0.25,
+                      maxHubDegree: Long = 64): DataFrame = {
+    // e feeds deg + ef, ef feeds both sides of the pair join: eager
+    // barriers or the edge derivation (windowed) re-runs per consumer
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val pairs = e.select(col("src").as("u"), col("dst").as("n"))
-      .join(e.select(col("src").as("v"), col("dst").as("n")), "n")
+      .localCheckpoint(true)
+    val lowDeg = deg.filter(col("d") <= maxHubDegree)
+      .select(col("src").as("n"))
+    val ef = e.select(col("src").as("u"), col("dst").as("n"))
+      .join(lowDeg, Seq("n"), "left_semi")
+      .localCheckpoint(true)
+    val pairs = ef
+      .join(ef.select(col("u").as("v"), col("n")), "n")
       .filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)

@@ -99,14 +99,17 @@ class FrontierSpec extends SparkTestBase {
     got.foreach { r =>
       val (u, v) = (r.getLong(0), r.getLong(1))
       assert(u < v)
-      val common = (adj(u) & adj(v)).size
-      val uni = (adj(u) | adj(v)).size
+      // capped semantics: common counts only shared neighbors of
+      // degree <= 64 (none are capped at this sf, so this equals the
+      // plain intersection here — the assertion is cap-aware anyway)
+      val common = (adj(u) & adj(v)).count(n => adj(n).size <= 64)
+      val denom = adj(u).size + adj(v).size - common
       assert(r.getLong(2) == common, s"($u,$v) common")
       assert(r.getLong(3) == adj(u).size && r.getLong(4) == adj(v).size)
-      assert(math.abs(r.getDouble(5) - common.toDouble / uni) < 5e-7)
+      assert(math.abs(r.getDouble(5) - common.toDouble / denom) < 5e-7)
     }
     Graph.graphJaccard(spark, sfDir).collect().foreach { r =>
-      assert(r.getLong(2) >= 2 && r.getDouble(5) >= 0.25)
+      assert(r.getLong(2) >= 1 && r.getDouble(5) >= 0.25)
     }
   }
 }
