@@ -125,6 +125,7 @@ object SparkEntry {
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
+    "asof_nearest"          -> (LlmQueries.asofNearest _),
     "asof_tolerance"        -> (LlmQueries.asofTolerance _),
     "asof_join_native"      -> (LlmQueries.asofJoinNative _),
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
@@ -855,6 +856,26 @@ object SparkEntry {
     // Unbounded ASOF match CASE-nulled at the same 1 h cutoff: the as-of
     // match is the LATEST preceding row, so out-of-window implies no row
     // is in-window — the conditional IS the tolerance semantics.
+    // DuckDB has no NEAREST direction: the oracle takes the definitional
+    // per-row LATERAL argmin over |dist| with the (dist, earlier-ts,
+    // greatest-payload) tie order the engine guarantees by construction
+    "asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id AS p_id, ROUND(value, 2) AS p_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC, p_value DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, p_id, p_value FROM p0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, n.p_id, n.p_value
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.p_id, p.p_value FROM p
+        |  WHERE p.user_id = c.user_id
+        |  ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)), p.ts
+        |  LIMIT 1) n ON TRUE
+        |ORDER BY c.event_id""".stripMargin,
     "asof_tolerance" ->
       """SELECT c.event_id, c.user_id,
         |  CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.event_id END AS p_id,

@@ -99,4 +99,58 @@ object AsOf {
       PlanBridge.analyzed(left), PlanBridge.analyzed(right),
       key, tsCol, rightCols))
   }
+
+  /** NEAREST-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): per left row, the right row minimizing |r.ts − l.ts|,
+    * ties to the EARLIER right row. Same union+window shape as [[join]]
+    * — one shuffle on key, one sort, with ONE WindowExec computing both
+    * the backward candidate (last preceding payload) and the forward
+    * candidate (first strictly-following payload — equal-ts rows sort
+    * onto the backward side, where distance 0 wins anyway) over the
+    * same window ordering; a row-local distance compare picks the
+    * winner. Never materializes a pair, like the backward form.
+    *
+    * Determinism: right rows are first collapsed to one per (key, ts)
+    * (struct-greatest payload — an explicit rule rather than whichever
+    * duplicate the fills would each pick, since the backward and
+    * forward fills would otherwise tie-break in OPPOSITE payload
+    * order), so nearest-ties reduce to backward-vs-forward only.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String,
+                  tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g_rts", right.schema(tsCol).dataType) +:
+        rightCols.map(c => right.schema(c)))
+    val rUniq = right.filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(key), col(tsCol))
+      .agg(max(struct(rightCols.map(col(_)): _*)).as("g_rp"))
+    val rTagged = rUniq.select(
+      (col(key) +: col(tsCol) +: lit(0).as("g_is_left") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct((col(tsCol).as("g_rts") +:
+            rightCols.map(c => col(s"g_rp.$c").as(c))): _*).as("g_payload"))): _*)
+    val lTagged = left.select(
+      (col(key) +: col(tsCol) +: lit(1).as("g_is_left") +:
+        (leftCols.map(col(_)) :+ lit(null).cast(payloadType).as("g_payload"))): _*)
+    val ord = Seq(col(tsCol), col("g_is_left"))
+    val wB = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = lTagged.unionByName(rTagged)
+      .withColumn("g_b", last(col("g_payload"), ignoreNulls = true).over(wB))
+      .withColumn("g_f", first(col("g_payload"), ignoreNulls = true).over(wF))
+    val dB = unix_micros(col(tsCol)) - unix_micros(col("g_b.g_rts"))
+    val dF = unix_micros(col("g_f.g_rts")) - unix_micros(col(tsCol))
+    val picked = both.withColumn("g_payload",
+      when(col("g_b").isNull, col("g_f"))
+        .when(col("g_f").isNull, col("g_b"))
+        .when(dB <= dF, col("g_b"))
+        .otherwise(col("g_f")))
+    rightCols.foldLeft(picked) { (acc, c) =>
+      acc.withColumn(c, col(s"g_payload.$c"))
+    }.filter(col("g_is_left") === 1)
+      .drop("g_is_left", "g_payload", "g_b", "g_f")
+  }
 }

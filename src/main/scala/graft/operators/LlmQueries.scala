@@ -871,6 +871,23 @@ object LlmQueries {
     * ([[graft.plans.AsOfJoinExec]] via the injected planner strategy) —
     * checked against the same independent DuckDB ASOF oracle.
     */
+  /** Nearest-direction as-of: each click matched to the purchase
+    * closest in time EITHER way (ties to the earlier purchase) — the
+    * sensor-alignment / event-attribution variant the backward join
+    * can't express.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), round(col("value"), 2).as("p_value"))
+    AsOf.joinNearest(clicks, purchases, "user_id", "ts", Seq("p_id", "p_value"))
+      .select("event_id", "user_id", "p_id", "p_value")
+      .orderBy("event_id")
+  }
+
   def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -149,4 +149,49 @@ class AsOfSpec extends SparkTestBase {
     val plain = AsOf.join(left, right, "k", "t", Seq("rv"))
     assert(wide.exceptAll(plain).isEmpty && plain.exceptAll(wide).isEmpty)
   }
+
+  test("nearest: picks the |dist|-argmin either direction, equidistant " +
+      "ties go backward, equal-ts wins outright") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "back"),    // r@09:50 nearer than r@10:30
+      (1L, ts("2024-01-01 10:25:00"), "fwd"),     // r@10:30 nearer than r@09:50
+      (1L, ts("2024-01-01 10:10:00"), "tie"),     // 20 min both ways -> back
+      (1L, ts("2024-01-01 10:30:00"), "exact"),   // equal ts wins
+      (2L, ts("2024-01-01 10:00:00"), "only_fwd"),// no preceding row at all
+      (3L, ts("2024-01-01 10:00:00"), "none")     // no right rows for key
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:50:00"), "r0950"),
+      (1L, ts("2024-01-01 10:30:00"), "r1030"),
+      (2L, ts("2024-01-01 11:00:00"), "r1100")
+    ).toDF("k", "t", "rv")
+    val got = AsOf.joinNearest(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("rv")).toMap
+    assert(got === Map("back" -> "r0950", "fwd" -> "r1030",
+      "tie" -> "r0950", "exact" -> "r1030",
+      "only_fwd" -> "r1100", "none" -> null))
+  }
+
+  test("nearest equals the brute-force argmin on real events (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val got = AsOf.joinNearest(clicks, purch, "user_id", "ts", Seq("p_id"))
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val ps = purch.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    clicks.collect().foreach { c =>
+      val (u, t, id) = (c.getLong(0), c.getTimestamp(1).getTime, c.getLong(2))
+      val cand = ps.filter(_._1 == u)
+      val expect =
+        if (cand.isEmpty) None
+        else Some(cand.minBy(p => (math.abs(p._2 - t), p._2, -p._3))._3)
+      assert(got(id) == expect, s"click $id")
+    }
+  }
 }
