@@ -123,6 +123,7 @@ object SparkEntry {
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
+    "a40_gdpr_delete"       -> (PipelineQueries.a40GdprDelete _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_nearest"          -> (LlmQueries.asofNearest _),
@@ -3995,6 +3996,16 @@ object SparkEntry {
         |  ROUND(MAX(cw) / (MAX(tot) * 100.0), 4) AS wmean
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY g ORDER BY g""".stripMargin,
+    // survivor-set aggregate after the purge-delete; the engine must
+    // read it back from post-erasure storage
+    "a40_gdpr_delete" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS total_bal,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey = 7) AS n_deleted
+        |FROM customer WHERE c_nationkey <> 7
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the oracle recomputes both snapshot versions from the base table;
     // the engine must produce the identical feed from STORAGE
     "a39_snapshot_diff" ->

@@ -608,6 +608,29 @@ object PipelineQueries {
       .orderBy("k")
   }
 
+  /** A40 — GDPR-style targeted delete with history purge: publish a
+    * table, [[Sync.deleteWhere]] one nation's customers with
+    * `purge = true` (retention window dropped — after return NO
+    * committed snapshot on storage contains a deleted row; the
+    * erasure-vs-rollback trade-off made explicit), read the survivor
+    * set back FROM STORAGE and aggregate it, carrying the deleted-row
+    * count the oracle recomputes from the base table.
+    */
+  def a40GdprDelete(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val tmp = Files.createTempDirectory("graft_gdpr").toString + "/t"
+    Sync.publishOverwrite(c, tmp)
+    val nDel = Sync.deleteWhere(s, tmp, col("c_nationkey") === 7,
+      purge = true)
+    Sync.readPublished(s, tmp).get
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("total_bal"))
+      .withColumn("n_deleted", lit(nDel))
+      .orderBy("c_nationkey")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

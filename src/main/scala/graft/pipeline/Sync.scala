@@ -469,6 +469,48 @@ object Sync {
     }
   }
 
+  /** Targeted delete with an optional PURGE of history — the
+    * right-to-be-forgotten leg the reference's WRITE_TRUNCATE reload
+    * cannot express row-wise: read the published snapshot, drop rows
+    * matching `condition`, publish the survivor set.
+    *
+    * `purge = false` is a plain versioned publish: the deletion is live
+    * but the previous snapshot (retention window) STILL CONTAINS the
+    * deleted rows — the audit/rollback trade-off, stated rather than
+    * hidden. `purge = true` then removes every other snapshot directory
+    * under the root (the vacuum with retention zero), so after return
+    * no committed file on storage holds a deleted row — the actual
+    * GDPR erasure contract. Returns the number of rows deleted.
+    *
+    * Scale: one scan + filter + write of the survivor set — the same
+    * cost class as the reference's full reload, no read-modify-write of
+    * individual files; at a real deployment the filter pushes to the
+    * parquet scan and partition pruning skips untouched partitions.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  condition: org.apache.spark.sql.Column,
+                  purge: Boolean = false): Long = {
+    val cur = readPublished(spark, path).getOrElse(
+      return 0L)
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    // null-valued predicates keep the row (DELETE WHERE semantics)
+    val kept = cur.filter(!coalesce(condition, lit(false)))
+    val deleted = cur.count() - kept.count()
+    publishOverwrite(kept, path)
+    if (purge) {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = resolveVersion(fs, root)
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val keep = live.exists(v => n == s"snap-$v") ||
+          n == Pointer || n == PointerTmp
+        if (!keep) fs.delete(st.getPath, true)
+      }
+    }
+    deleted
+  }
+
   /** Snapshot-to-snapshot change feed — CDC derived AFTER the fact from
     * two published versions (the audit a warehouse user runs between
     * `bq` table snapshots when the source emitted no change log): keyed

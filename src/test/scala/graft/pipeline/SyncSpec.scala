@@ -446,4 +446,43 @@ class SyncSpec extends SparkTestBase {
     // beyond the window: version 0 never existed, vacuumed versions gone
     assert(Sync.readPublishedVersion(spark, root, 0).isEmpty)
   }
+
+  test("deleteWhere: purge erases deleted rows from EVERY file on " +
+      "storage; without purge the retention snapshot still holds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def snapDirs(root: String) =
+      new java.io.File(root).listFiles().map(_.getName)
+        .filter(_.startsWith("snap-")).toSeq
+    // non-purge: deletion live, history retains (the stated trade-off)
+    val r1 = Files.createTempDirectory("graft_del1").toString + "/t"
+    Sync.publishOverwrite(Seq((1L, "keep"), (2L, "secret")).toDF("k", "v"), r1)
+    assert(Sync.deleteWhere(spark, r1, col("v") === "secret") == 1L)
+    assert(Sync.readPublished(spark, r1).get.collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+    val retained = spark.read.parquet(s"$r1/snap-1")
+    assert(retained.filter(col("v") === "secret").count() == 1,
+      "retention window must still hold the row pre-purge")
+    // purge: only the live snapshot survives, nothing on disk matches
+    val r2 = Files.createTempDirectory("graft_del2").toString + "/t"
+    Sync.publishOverwrite(
+      (1L to 10L).map(i => (i, if (i % 3 == 0) "secret" else "ok"))
+        .toDF("k", "v"), r2)
+    Sync.publishOverwrite(
+      (1L to 12L).map(i => (i, if (i % 3 == 0) "secret" else "ok"))
+        .toDF("k", "v"), r2)
+    assert(Sync.deleteWhere(spark, r2, col("v") === "secret",
+      purge = true) == 4L)
+    assert(snapDirs(r2).size == 1, "purge keeps exactly the live snapshot")
+    val all = spark.read.parquet(s"$r2/snap-*")
+    assert(all.filter(col("v") === "secret").count() == 0,
+      "no file on storage may hold an erased row")
+    assert(all.count() == 8)
+    // null predicate values keep their rows; empty root deletes nothing
+    assert(Sync.deleteWhere(spark, r2,
+      org.apache.spark.sql.functions.lit(null).cast("boolean")) == 0L)
+    assert(Sync.deleteWhere(spark,
+      Files.createTempDirectory("graft_del3").toString + "/t",
+      col("v") === "x") == 0L)
+  }
 }
