@@ -238,6 +238,7 @@ object SparkEntry {
     "graph_bfs"             -> (Graph.graphBfs _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "ml_stump"              -> (Regression.mlStump _),
+    "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
     "dq_benford"            -> (Analytics.dqBenford _),
@@ -3937,6 +3938,9 @@ object SparkEntry {
         |SELECT u, v, common, du, dv, jaccard FROM j
         |WHERE jaccard >= 0.25
         |ORDER BY jaccard DESC, u, v LIMIT 100""".stripMargin,
+    // the 3-round boosting recurrence unrolled as MATERIALIZED CTEs,
+    // every formula shared textually with the engine
+    "ml_boosted_stumps" -> Regression.boostedOracleSql(),
     // exact stump split-search: integer sufficient stats + the SHARED
     // double SSE expression (Regression.stumpSseSql) on both engines
     "ml_stump" ->

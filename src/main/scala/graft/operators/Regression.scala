@@ -136,13 +136,18 @@ object Regression {
     * math is the final SSE/mean division over identical integers —
     * bit-reproducible on any engine ([[olsTwoFeature]]'s contract).
     */
-  def mlStump(s: SparkSession, dir: String): DataFrame = {
+  /** All candidate splits of a stump on integer feature `fCol` /
+    * integer target `tCol`: per-feature-value sufficient stats, prefix
+    * sums over the bounded distinct-value frame, exact left/right
+    * integer stats plus the shared double SSE. The reusable core of
+    * [[mlStump]] and [[mlBoostedStumps]].
+    */
+  private[graft] def stumpSplits(df: DataFrame, fCol: String,
+                                 tCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = Tables.load(s, dir, "lineitem").select(
-      col("l_quantity").cast("long").as("q"),
-      floor(col("l_extendedprice") + 0.5).cast("long").as("v"))
-    val perQ = li.groupBy("q").agg(
-      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    val perQ = df.groupBy(col(fCol).as("q")).agg(
+      count(lit(1)).as("n"), sum(tCol).as("s"),
+      sum(col(tCol) * col(tCol)).as("ss"))
     val wPre = Window.orderBy("q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -155,12 +160,148 @@ object Regression {
       .withColumn("sr", col("st") - col("sl"))
       .withColumn("ssr", col("sst") - col("ssl"))
       .filter(col("nr") > 0)
+      .withColumn("ml", expr("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"))
+      .withColumn("mr", expr("CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)"))
+      .withColumn("sse", expr(stumpSseSql))
+  }
+
+  def mlStump(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("v"))
+    stumpSplits(li, "q", "v")
       .select(col("q").as("threshold"),
         col("nl").as("n_left"), col("nr").as("n_right"),
-        expr("ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4)").as("mean_left"),
-        expr("ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 4)").as("mean_right"),
-        expr(s"ROUND($stumpSseSql, 2)").as("sse"))
+        round(col("ml"), 4).as("mean_left"),
+        round(col("mr"), 4).as("mean_right"),
+        round(col("sse"), 2).as("sse"))
       .orderBy(col("sse"), col("threshold"))
       .limit(3)
+  }
+
+  /** ml_boosted_stumps — 3 rounds of gradient boosting with stump base
+    * learners (squared loss: each round fits the previous round's
+    * residuals, alternating features), run relationally end to end:
+    * per round ONE aggregate over the fact frame + an O(distinct
+    * values) window picks the exact best split, the 1-row winner
+    * broadcast-joins back, and residuals re-quantize to integers —
+    * the boosting recurrence at one-fact-scan-per-round cost, the
+    * shape that survives 100 TB (deeper ensembles are more rounds of
+    * the same plan, not a different algorithm).
+    *
+    * Determinism (the ml_logreg bit-exact-training discipline):
+    * targets START as whole dollars; round 1's residuals quantize to
+    * DECI-dollars (`floor(r·10+0.5)`) and every later round
+    * re-quantizes residuals at that SAME fixed unit (`floor(r+0.5)`) —
+    * residual magnitude is bounded by the leaf span, so targets stay
+    * ≤ ~2e6 at every round and Σt² stays exact in 64-bit integers at
+    * any partial-sum order and scale factor (a per-round ×10 scale
+    * inflation would overflow Σt² by round 3 at sf0.1 — measured on
+    * paper, rejected). Leaf means, the SSE argmin, and the per-round
+    * RMSE are then identical IEEE expressions over identical integers
+    * on any engine. The oracle unrolls the same 3 rounds as
+    * MATERIALIZED CTEs built from the same shared SQL fragments.
+    */
+  def mlBoostedStumps(s: SparkSession, dir: String): DataFrame = {
+    val feats = boostedFeats
+    var li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q1"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("q2"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("t"))
+      .localCheckpoint(true)
+    var outs = List.empty[DataFrame]
+    for (k <- feats.indices) {
+      val (fname, fcol) = feats(k)
+      val best = stumpSplits(li, fcol, "t")
+        .orderBy(col("sse"), col("q")).limit(1)
+        .localCheckpoint(true) // 1 row; pins the pick for reuse below
+      val mult = if (k == 0) 10 else 1 // dollars→deci once, then fixed unit
+      val nextLi = li
+        .crossJoin(broadcast(best.select(col("q").as("bq"),
+          col("ml").as("bml"), col("mr").as("bmr"))))
+        .withColumn("t", floor((col("t").cast("double") -
+          when(col(fcol) <= col("bq"), col("bml")).otherwise(col("bmr"))) *
+          mult + 0.5).cast("long"))
+        .select("q1", "q2", "t")
+        .localCheckpoint(true)
+      // per-round RMSE in ORIGINAL dollars from the exact integer
+      // residual sum-of-squares (fixed deci-dollar unit from round 1 on)
+      val rmse = nextLi.agg(
+        expr("SQRT(CAST(SUM(t * t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))" +
+          " / 10.0").as("g_rmse"))
+      outs ::= best.crossJoin(broadcast(rmse)).select(
+        lit(k + 1).as("round"), lit(fname).as("feature"),
+        col("q").as("threshold"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("ml"), 4).as("mean_left"),
+        round(col("mr"), 4).as("mean_right"),
+        round(col("sse"), 2).as("sse"),
+        round(col("g_rmse"), 4).as("rmse"))
+      li = nextLi
+    }
+    outs.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** (feature label, column) per boosting round — shared with the
+    * oracle builder.
+    */
+  private[graft] val boostedFeats: Seq[(String, String)] =
+    Seq(("l_quantity", "q1"), ("l_discount", "q2"), ("l_quantity", "q1"))
+
+  /** The oracle: the same 3-round recurrence unrolled as MATERIALIZED
+    * CTEs, every formula shared textually with the engine
+    * ([[stumpSseSql]], the `floor(r·10+0.5)` re-quantization, the
+    * (sse, q) argmin).
+    */
+  def boostedOracleSql(): String = {
+    val rounds = boostedFeats.indices.map { k =>
+      val (_, fcol) = boostedFeats(k)
+      val mult = if (k == 0) 10 else 1
+      s"""perq_$k AS MATERIALIZED (
+         |  SELECT $fcol AS q, COUNT(*) AS n, SUM(t) AS s, SUM(t * t) AS ss
+         |  FROM li_$k GROUP BY 1),
+         |pre_$k AS (
+         |  SELECT q,
+         |    SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+         |    SUM(n) OVER () AS nt, SUM(s) OVER () AS st, SUM(ss) OVER () AS sst
+         |  FROM perq_$k
+         |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sp_$k AS (
+         |  SELECT q, nl, sl, ssl, nt - nl AS nr, st - sl AS sr,
+         |    sst - ssl AS ssr
+         |  FROM pre_$k WHERE nt - nl > 0),
+         |best_$k AS MATERIALIZED (
+         |  SELECT q, nl, nr,
+         |    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+         |    CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mr,
+         |    $stumpSseSql AS sse
+         |  FROM sp_$k ORDER BY $stumpSseSql, q LIMIT 1),
+         |li_${k + 1} AS MATERIALIZED (
+         |  SELECT q1, q2,
+         |    CAST(FLOOR((CAST(t AS DOUBLE) -
+         |      CASE WHEN $fcol <= b.q THEN b.ml ELSE b.mr END) * $mult + 0.5)
+         |      AS BIGINT) AS t
+         |  FROM li_$k, best_$k b),
+         |rmse_$k AS (
+         |  SELECT SQRT(CAST(SUM(t * t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         |    / 10.0 AS g_rmse
+         |  FROM li_${k + 1})""".stripMargin
+    }
+    val selects = boostedFeats.indices.map { k =>
+      val (fname, _) = boostedFeats(k)
+      s"""SELECT ${k + 1} AS round, '$fname' AS feature, b.q AS threshold,
+         |  CAST(b.nl AS BIGINT) AS n_left, CAST(b.nr AS BIGINT) AS n_right,
+         |  ROUND(b.ml, 4) AS mean_left, ROUND(b.mr, 4) AS mean_right,
+         |  ROUND(b.sse, 2) AS sse, ROUND(r.g_rmse, 4) AS rmse
+         |FROM best_$k b, rmse_$k r""".stripMargin
+    }
+    s"""WITH li_0 AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q1,
+       |    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS q2,
+       |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS t
+       |  FROM lineitem),
+       |${rounds.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
   }
 }

@@ -84,6 +84,27 @@ class FrontierSpec extends SparkTestBase {
     assert(top.getLong(1) + top.getLong(2) == pts.length)
   }
 
+  test("boosted stumps: round 1 is the single-stump argmin, residual " +
+      "RMSE never increases, every round beats a zero-split baseline") {
+    val got = Regression.mlBoostedStumps(spark, sfDir).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // round 1's split is exactly ml_stump's best split
+    val single = Regression.mlStump(spark, sfDir).head()
+    assert(got.head.getLong(2) == single.getLong(0), "round-1 threshold")
+    assert(got.head.getLong(3) == single.getLong(1))
+    // boosting on squared loss cannot make training RMSE worse
+    val rmses = got.map(_.getDouble(8))
+    rmses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"rmse must be monotone: $a -> $b")
+    }
+    assert(rmses.forall(_ >= 0))
+    // each reported split SSE is the post-split residual mass: strictly
+    // below the pre-split total of its round unless the feature carried
+    // no signal; n_left + n_right is the table every round
+    val n = graft.Tables.load(spark, sfDir, "lineitem").count()
+    got.foreach(r => assert(r.getLong(3) + r.getLong(4) == n))
+  }
+
   test("neighborhood jaccard recomputes from the edge list and respects floors") {
     val edges = Graph.partAffinityEdges(spark, sfDir)
       .select("src", "dst").distinct()
