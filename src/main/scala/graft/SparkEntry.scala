@@ -124,6 +124,7 @@ object SparkEntry {
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
     "a40_gdpr_delete"       -> (PipelineQueries.a40GdprDelete _),
+    "a41_atomic_publish"    -> (PipelineQueries.a41AtomicMultiPublish _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_nearest"          -> (LlmQueries.asofNearest _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
+    "q53_mode"              -> (Analytics.modePerGroup _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
@@ -3980,6 +3982,20 @@ object SparkEntry {
         |    AND (o.p_retailprice < p.p_retailprice
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
+    // exact mode: integer counts, (n DESC, v ASC) rank, share of total
+    "q53_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v, n,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, v) AS rn,
+        |    SUM(n) OVER (PARTITION BY g) AS tot
+        |  FROM c)
+        |SELECT g, v AS mode_v, CAST(n AS BIGINT) AS n,
+        |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
+        |FROM r WHERE rn = 1 ORDER BY g""".stripMargin,
     // RANGE frame => tie rows share one cumulative weight, so the lower
     // weighted median is order-independent; mean over exact cents
     "q52_weighted_median" ->
@@ -4000,6 +4016,12 @@ object SparkEntry {
         |  ROUND(MAX(cw) / (MAX(tot) * 100.0), 4) AS wmean
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY g ORDER BY g""".stripMargin,
+    // both tables must resolve through the SAME manifest version (the
+    // full second publish), so the oracle is the plain base-table join
+    "a41_atomic_publish" ->
+      """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     // survivor-set aggregate after the purge-delete; the engine must
     // read it back from post-erasure storage
     "a40_gdpr_delete" ->

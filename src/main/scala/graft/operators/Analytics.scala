@@ -940,6 +940,31 @@ object Analytics {
     * Scale: digit extraction is row-local, the aggregate map-side
     * combines to ≤9 rows, the share window runs on those 9.
     */
+  /** Q53 — per-group statistical mode (most frequent value), ties to
+    * the smallest value, with its frequency and share — the exact
+    * categorical-center primitive `approx_top_k` approximates. Shape:
+    * one map-side-combined count on (group, value), then a rank window
+    * INSIDE each group partition — two bounded shuffles, no sort of the
+    * fact table, and the value-count frame is |group×distinct| sized.
+    */
+  def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy("g")
+    val wr = Window.partitionBy("g")
+      .orderBy(col("n").desc, col("v"))
+    counts
+      .select(col("g"), col("v"), col("n"),
+        row_number().over(wr).as("rn"),
+        sum("n").over(wg).as("tot"))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("v").as("mode_v"), col("n").as("n"),
+        round(col("n") / col("tot").cast("double"), 6).as("share"))
+      .orderBy("g")
+  }
+
   /** Benford expectations as 6-digit decimal strings, interpolated into
     * BOTH engines' plans so each parses the identical literal.
     */

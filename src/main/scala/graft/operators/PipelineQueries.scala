@@ -631,6 +631,30 @@ object PipelineQueries {
       .orderBy("c_nationkey")
   }
 
+  /** A41 — atomic multi-table dataset swap: publish {nation, region}
+    * twice through [[Sync.publishAtomicAll]] (run 1 a partial slice,
+    * run 2 the full tables), then join the two tables READ BACK through
+    * the manifest — green only if both resolve to the same (latest)
+    * dataset version; the crash-consistency of every intermediate
+    * boundary is spec-pinned in SyncSpec.
+    */
+  def a41AtomicMultiPublish(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val region = Tables.load(s, dir, "region")
+    val root = Files.createTempDirectory("graft_atomic").toString + "/ds"
+    Sync.publishAtomicAll(Seq(
+      "nation" -> nation.filter(col("n_regionkey") < 2),
+      "region" -> region.filter(col("r_regionkey") < 2)), root)
+    Sync.publishAtomicAll(Seq(
+      "nation" -> nation, "region" -> region), root)
+    val n = Sync.readAtomicTable(s, root, "nation").get
+    val r = Sync.readAtomicTable(s, root, "region").get
+    n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

@@ -469,6 +469,114 @@ object Sync {
     }
   }
 
+  private[graft] val Manifest = "_MANIFEST"
+  private[graft] val ManifestTmp = "_MANIFEST.tmp"
+
+  /** Atomic MULTI-TABLE publish — the all-or-nothing dataset swap the
+    * reference's per-table `bq load --replace` loop cannot give (a
+    * failure mid-loop leaves tables at mixed versions;
+    * dags/cloudsql_to_bigquery.py:225-227 reloads tables one at a
+    * time). Layout:
+    *
+    *   <root>/<table>/snap-N/ + per-snap commit marker   (data)
+    *   <root>/_MANIFEST                                  (the atomic unit:
+    *                                                      `table=version` lines)
+    *
+    * Protocol: write EVERY table's new snapshot + marker first, then
+    * stage the full manifest beside the live one and swap it via
+    * delete+rename — readers resolve all tables through ONE file, so
+    * every kill point leaves a consistent dataset: before the swap all
+    * tables read old, after it all read new, and in the delete–rename
+    * window the staged tmp manifest (complete by construction) is the
+    * fallback. Unreferenced snapshots older than the superseded
+    * manifest are vacuumed; the superseded versions stay for live
+    * readers (the single-table retention rule, dataset-wide).
+    *
+    * `boundary` is the crash-injection hook (1..4), the
+    * [[publishStaged]] convention.
+    */
+  def publishAtomicAll(tables: Seq[(String, DataFrame)], root: String,
+                       boundary: Int => Unit = _ => ()): Map[String, Long] = {
+    require(tables.nonEmpty)
+    val spark = tables.head._2.sparkSession
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = resolveManifest(fs, rootP)
+    val next = tables.map { case (t, df) =>
+      require(!t.contains('=') && !t.contains('/'), s"bad table name $t")
+      val v = old.getOrElse(t, 0L) + 1
+      val dir = new Path(rootP, s"$t/snap-$v")
+      df.write.mode("overwrite").parquet(dir.toString)
+      fs.create(new Path(dir, CommitMarker), true).close()
+      t -> v
+    }.toMap
+    boundary(1) // every new snapshot committed; manifest still old
+    val merged = old ++ next
+    val tmp = new Path(rootP, ManifestTmp)
+    val out = fs.create(tmp, true)
+    out.write(merged.toSeq.sorted.map { case (t, v) => s"$t=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    boundary(2) // full manifest staged beside the live one
+    val man = new Path(rootP, Manifest)
+    if (fs.exists(man)) fs.delete(man, false)
+    boundary(3) // manifest gone: readers fall back to the staged tmp
+    fs.rename(tmp, man)
+    boundary(4) // acknowledged; stale snapshots not yet vacuumed
+    // vacuum: keep each table's new and immediately-superseded versions
+    merged.foreach { case (t, v) =>
+      val tdir = new Path(rootP, t)
+      if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
+        val n = st.getPath.getName
+        val keep = n == s"snap-$v" || n == s"snap-${v - 1}"
+        if (!keep) fs.delete(st.getPath, true)
+      }
+    }
+    next
+  }
+
+  /** Resolve the live manifest: `_MANIFEST` when present and parsable,
+    * else the staged `_MANIFEST.tmp` (complete by construction — the
+    * mid-swap window), else empty (never published).
+    */
+  private[graft] def resolveManifest(fs: FileSystem,
+                                     root: Path): Map[String, Long] = {
+    def parse(p: Path): Option[Map[String, Long]] =
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.contains('=')).map { ln =>
+            val Array(t, v) = ln.trim.split("=", 2)
+            t -> v.toLong
+          }.toMap
+      }.toOption.filter(_.nonEmpty)
+    parse(new Path(root, Manifest))
+      .orElse(parse(new Path(root, ManifestTmp)))
+      .getOrElse(Map.empty)
+  }
+
+  /** Read one table of an atomically-published dataset at the manifest
+    * version; None if the dataset or table was never published.
+    */
+  def readAtomicTable(spark: SparkSession, root: String,
+                      table: String): Option[DataFrame] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveManifest(fs, rootP).get(table).flatMap { v =>
+      val dir = new Path(rootP, s"$table/snap-$v")
+      if (fs.exists(new Path(dir, CommitMarker)))
+        Some(spark.read.parquet(dir.toString))
+      else None
+    }
+  }
+
   /** Targeted delete with an optional PURGE of history — the
     * right-to-be-forgotten leg the reference's WRITE_TRUNCATE reload
     * cannot express row-wise: read the published snapshot, drop rows

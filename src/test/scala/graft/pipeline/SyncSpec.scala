@@ -485,4 +485,39 @@ class SyncSpec extends SparkTestBase {
       Files.createTempDirectory("graft_del3").toString + "/t",
       col("v") === "x") == 0L)
   }
+
+  test("atomic multi-table publish: a kill at EVERY boundary leaves a " +
+      "CONSISTENT dataset (all-old or all-new, never mixed), and the " +
+      "next publish recovers") {
+    import spark.implicits._
+    final class Kill extends RuntimeException("simulated crash")
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    def readTags(root: String): Option[(Set[String], Set[String])] =
+      for {
+        a <- Sync.readAtomicTable(spark, root, "ta")
+        b <- Sync.readAtomicTable(spark, root, "tb")
+      } yield (a.select("tag").distinct().collect().map(_.getString(0)).toSet,
+        b.select("tag").distinct().collect().map(_.getString(0)).toSet)
+    for (killAt <- 1 to 4) {
+      val root = Files.createTempDirectory(s"graft_atomic_$killAt")
+        .toString + "/ds"
+      Sync.publishAtomicAll(Seq("ta" -> ds("v1", 3), "tb" -> ds("v1", 5)), root)
+      assert(readTags(root).contains((Set("v1"), Set("v1"))))
+      intercept[Kill] {
+        Sync.publishAtomicAll(Seq("ta" -> ds("v2", 4), "tb" -> ds("v2", 6)),
+          root, boundary = b => if (b == killAt) throw new Kill)
+      }
+      val got = readTags(root)
+      assert(got.contains((Set("v1"), Set("v1"))) ||
+        got.contains((Set("v2"), Set("v2"))),
+        s"kill@$killAt must not expose a mixed dataset: $got")
+      // boundaries 1-2 must still read old; 3-4 read new via tmp/manifest
+      if (killAt <= 2) assert(got.contains((Set("v1"), Set("v1"))))
+      else assert(got.contains((Set("v2"), Set("v2"))))
+      // recovery: a fresh publish lands cleanly on top of the wreckage
+      Sync.publishAtomicAll(Seq("ta" -> ds("v3", 2), "tb" -> ds("v3", 2)), root)
+      assert(readTags(root).contains((Set("v3"), Set("v3"))))
+    }
+  }
 }
