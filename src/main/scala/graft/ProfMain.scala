@@ -168,6 +168,95 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r10cscale")) {
+      // Scaling evidence for the round-10 CONTINUATION operators on
+      // 1x..8x grown inputs: gif decode is row-local (must be flat per
+      // row), neighborhood jaccard is cap-bounded (must track |E|, not
+      // hub-degree^2 — the armed-cap claim measured), boosted stumps
+      // re-aggregate the grown fact per round (must track rows).
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs0 = Tables.load(spark, dir, "documents").select("doc_id")
+      val part0 = Tables.load(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val li0 = Tables.load(spark, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q1"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("q2"),
+          floor(col("l_extendedprice") + 0.5).cast("long").as("t"))
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val ids = (0 until n).map(k =>
+          docs0.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        def media(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+            col("meta.n_bytes").as("n_bytes"))
+          .as[graft.operators.Multimodal.MediaRow]
+        locally {
+          val mk = () => graft.operators.Multimodal
+            .decodePixels(media(graft.operators.Gif
+              .gifMedia(ids, "doc_id", "doc_id"))).toDF()
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10cscale gif_decode n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        // disjoint id-shifted copies of the part table: |V|,|E| grow n-fold,
+        // group sizes (and so the capped fan-out per neighbor) stay fixed
+        locally {
+          val parts = (0 until n).map(k => part0.select(
+              (col("p_partkey") + lit(k * 10000000L)).as("p_partkey"),
+              concat(col("p_brand"), lit(s"#$k")).as("p_brand"),
+              concat(col("p_type"), lit(s"#$k")).as("p_type"),
+              col("p_size")))
+            .reduce(_ unionByName _).localCheckpoint(true)
+          parts.createOrReplaceTempView("g_part_scaled")
+          def edges = {
+            val p = parts
+            def stars(cs: String*) = {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(cs.map(col): _*)
+              p.select(col("p_partkey").cast("long").as("p"),
+                  min(col("p_partkey").cast("long")).over(w).as("hub"))
+                .filter(col("p") =!= col("hub"))
+            }
+            val st = stars("p_brand", "p_size").unionByName(stars("p_type"))
+            st.select(col("p").as("src"), col("hub").as("dst"))
+              .unionByName(st.select(col("hub").as("src"), col("p").as("dst")))
+          }
+          val mk = () => graft.operators.Graph.neighborJaccard(edges)
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10cscale jaccard n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally {
+          val li = (0 until n).map(_ => li0).reduce(_ unionByName _)
+            .localCheckpoint(true)
+          val mk = () => {
+            var cur = li
+            var out = List.empty[org.apache.spark.sql.DataFrame]
+            for (k <- graft.operators.Regression.boostedFeats.indices) {
+              val (_, fcol) = graft.operators.Regression.boostedFeats(k)
+              val best = graft.operators.Regression.stumpSplits(cur, fcol, "t")
+                .orderBy(col("sse"), col("q")).limit(1).localCheckpoint(true)
+              val mult = if (k == 0) 10 else 1
+              cur = cur.crossJoin(broadcast(best.select(col("q").as("bq"),
+                  col("ml").as("bml"), col("mr").as("bmr"))))
+                .withColumn("t", floor((col("t").cast("double") -
+                  when(col(fcol) <= col("bq"), col("bml"))
+                    .otherwise(col("bmr"))) * mult + 0.5).cast("long"))
+                .select("q1", "q2", "t").localCheckpoint(true)
+              out ::= best
+            }
+            out.reduce(_ unionByName _)
+          }
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10cscale boosted n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("newscale")) {
       // Scaling evidence for the round-6-continuation operator family:
       // winnowing fingerprints, CDC chunking, blockwise phash signatures,

@@ -146,6 +146,8 @@ object SparkEntry {
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
+    "text_zipf"             -> (LlmQueries.textZipf _),
+    "graph_kcore"           -> (Graph.graphKCore _),
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
@@ -1140,6 +1142,22 @@ object SparkEntry {
         |           ORDER BY cos DESC, cand_id) AS BIGINT) AS rn FROM j)
         |SELECT probe_id, cand_id AS neighbor_id, rn, n_cands, ROUND(cos, 4) AS cos
         |FROM r WHERE rn <= 1 ORDER BY probe_id""".stripMargin,
+    // exact integers end to end (counts, ranks, rank*freq); the only
+    // division is the final rounded share
+    "text_zipf" ->
+      """WITH c AS (
+        |  SELECT t.tok, COUNT(*) AS n
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0 GROUP BY 1),
+        |r AS (
+        |  SELECT tok, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+        |    SUM(n) OVER () AS tot
+        |  FROM c)
+        |SELECT CAST(rank AS INT) AS rank, tok, CAST(n AS BIGINT) AS n,
+        |  CAST(rank * n AS BIGINT) AS rank_x_freq,
+        |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -3943,6 +3961,37 @@ object SparkEntry {
     // the 3-round boosting recurrence unrolled as MATERIALIZED CTEs,
     // every formula shared textually with the engine
     "ml_boosted_stumps" -> Regression.boostedOracleSql(),
+    // 8 unrolled peel rounds over the triangles-style sparsified trade
+    // graph; bounded-round semantics identical in both engines
+    "graph_kcore" -> {
+      val rounds = (0 until 8).map { i =>
+        s"""k_$i AS MATERIALIZED (
+           |  SELECT src AS n FROM s_$i GROUP BY src HAVING COUNT(*) >= 3),
+           |s_${i + 1} AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM s_$i e
+           |  JOIN k_$i a ON e.src = a.n JOIN k_$i b ON e.dst = b.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |und AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+         |  FROM e0 WHERE src != dst GROUP BY 1, 2),
+         |kept AS MATERIALIZED (
+         |  SELECT u, v FROM und, (SELECT quantile_cont(w, 0.7) AS q FROM und) qs
+         |  WHERE w > q),
+         |s_0 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM kept
+         |  UNION ALL SELECT v, u FROM kept),
+         |$rounds
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM s_8 GROUP BY src ORDER BY node""".stripMargin
+    },
     // exact stump split-search: integer sufficient stats + the SHARED
     // double SSE expression (Regression.stumpSseSql) on both engines
     "ml_stump" ->

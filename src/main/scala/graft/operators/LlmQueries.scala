@@ -237,6 +237,9 @@ object LlmQueries {
   def textTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipf(docs(s, dir), "text")
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 

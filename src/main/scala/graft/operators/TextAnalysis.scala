@@ -923,4 +923,35 @@ object TextAnalysis {
       .toDF("gram", "est")
       .filter(col("est") >= minEst)
   }
+
+  /** Zipf rank–frequency audit over the corpus vocabulary: the top-k
+    * tokens with rank, count, corpus share, and the rank×count product
+    * — under Zipf's law (freq ∝ 1/rank) the product is near-constant,
+    * so its drift across ranks is the natural-language sanity check a
+    * synthetic or degenerate corpus fails. Exact integers end to end:
+    * no libm log fit whose ULPs could cross the hash gate (the slope
+    * reading is the product column, not a fitted exponent).
+    *
+    * Scale: one map-side-combined token count; the rank window runs on
+    * the |vocabulary| frame only (the bounded-frame argument), never
+    * the token stream.
+    */
+  def zipf(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    counts
+      .select(col("tok"), col("n"),
+        row_number().over(wRank).as("rank"),
+        sum("n").over(wAll).as("tot"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("tok"), col("n"),
+        (col("rank") * col("n")).as("rank_x_freq"),
+        round(col("n") / col("tot").cast("double"), 6).as("share"))
+      .orderBy("rank")
+  }
 }

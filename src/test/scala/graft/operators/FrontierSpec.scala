@@ -105,6 +105,48 @@ class FrontierSpec extends SparkTestBase {
     got.foreach(r => assert(r.getLong(3) + r.getLong(4) == n))
   }
 
+  test("kCore: fixpoint peeling law on a hand graph — every surviving " +
+      "node keeps degree >= k inside the core, and known non-core " +
+      "structures are peeled") {
+    import spark.implicits._
+    // triangle {1,2,3} + a tail 3-4-5 + pendant 6 off node 1
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (1L, 6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val core2 = Graph.kCore(edges, k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-core = the triangle: the tail and pendant peel back in cascade
+    assert(core2.keySet == Set(1L, 2L, 3L))
+    assert(core2.values.forall(_ >= 2))
+    val core3 = Graph.kCore(edges, k = 3, rounds = 8)
+    assert(core3.count() == 0, "no 3-core in a triangle+tail graph")
+    // the registered query: every node's in-core degree respects k
+    Graph.graphKCore(spark, sfDir).collect()
+      .foreach(r => assert(r.getLong(1) >= 3))
+  }
+
+  test("zipf: exact counts, contiguous ranks, shares of the full corpus") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.zipf(
+      graft.Tables.load(spark, sfDir, "documents"), "text", topK = 20)
+      .collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.map(_.getInt(0)).toSeq == (1 to got.length))
+    // counts non-increasing with rank; rank*freq column is exact
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) >= b.getLong(2))
+    }
+    got.foreach(r => assert(r.getLong(3) == r.getInt(0) * r.getLong(2)))
+    // top-1 token recount against a direct aggregate
+    val direct = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok"))
+      .head()
+    assert(got.head.getString(1) == direct.getString(0))
+    assert(got.head.getLong(2) == direct.getLong(1))
+  }
+
   test("neighborhood jaccard recomputes from the edge list and respects floors") {
     val edges = Graph.partAffinityEdges(spark, sfDir)
       .select("src", "dst").distinct()
