@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Graph, LlmQueries, LogReg, NaiveBayes, Pca, PipelineQueries, Queries, Regression}
+import graft.operators.{Analytics, Graph, LlmQueries, LogReg, Metrics, NaiveBayes, Pca, PipelineQueries, Queries, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -240,7 +240,9 @@ object SparkEntry {
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
+    "graph_closeness"       -> (Graph.graphCloseness _),
     "ml_stump"              -> (Regression.mlStump _),
+    "ml_auc"                -> (Metrics.mlAuc _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
@@ -3961,6 +3963,42 @@ object SparkEntry {
     // the 3-round boosting recurrence unrolled as MATERIALIZED CTEs,
     // every formula shared textually with the engine
     "ml_boosted_stumps" -> Regression.boostedOracleSql(),
+    // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
+    // shared verbatim with the engine (operators/Metrics.scala)
+    "ml_auc" -> Metrics.mlAucOracle,
+    // 4 unrolled per-source BFS rounds (the graph_bfs recurrence keyed by
+    // pivot source); harmonic score is the exact-integer 12/d sum
+    "graph_closeness" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT COALESCE(p.s, m.s) AS s, COALESCE(p.node, m.node) AS node,
+           |    LEAST(COALESCE(p.d, m.nd), COALESCE(m.nd, p.d)) AS d
+           |  FROM d${i - 1} p FULL OUTER JOIN (
+           |    SELECT l.s, e.dst AS node, MIN(l.d) + 1 AS nd
+           |    FROM e JOIN d${i - 1} l ON l.node = e.src
+           |    GROUP BY l.s, e.dst) m ON p.s = m.s AND p.node = m.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |nodes AS (SELECT DISTINCT s FROM (
+         |  SELECT src AS s FROM e UNION ALL SELECT dst FROM e)),
+         |d0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS d FROM nodes),
+         |$rounds,
+         |h AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS reached,
+         |    CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
+         |      WHEN 3 THEN 4 ELSE 3 END) AS BIGINT) AS h12
+         |  FROM d4 WHERE d > 0 GROUP BY node)
+         |SELECT h.node, n.n_name, h.reached, h.h12
+         |FROM h JOIN nation n ON h.node = n.n_nationkey
+         |ORDER BY h.h12 DESC, h.node""".stripMargin
+    },
     // 8 unrolled peel rounds over the triangles-style sparsified trade
     // graph; bounded-round semantics identical in both engines
     "graph_kcore" -> {

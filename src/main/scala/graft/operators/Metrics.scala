@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Model-evaluation metrics — the third leg of the ML family beside
+  * training ([[LogReg]], [[Regression]], [[NaiveBayes]]) and
+  * calibration monitoring ([[LogReg.mlCalibration]]): rank statistics
+  * computed relationally, exactly, at fact-table scale.
+  *
+  * ROC AUC is the Mann–Whitney U statistic (Hanley & McNeil 1982):
+  * `AUC = (Σ ranks of positives − P(P+1)/2) / (P·N)` with AVERAGE ranks
+  * over tied scores. The textbook implementation sorts all n rows on
+  * one machine; here the fact table collapses to |distinct scores|
+  * rows inside the scan stage (one map-side-combined aggregate — the
+  * [[Regression.mlStump]] bounded-frame shape), a prefix sum over that
+  * bounded frame assigns every tie group its average rank, and the U
+  * numerator falls out as one more integer aggregate. No global
+  * row-level sort, no quadratic pair count — the plan that survives
+  * 100 TB of scored rows.
+  *
+  * Determinism: scores and labels are integers, and the tie-corrected
+  * rank sum is kept in DOUBLED units (`2·R = 2·cum_before + n + 1`) so
+  * every partial sum is an exact 64-bit integer at any aggregation
+  * order; the single final division over identical integers is
+  * bit-reproducible on any engine (the [[LogReg]] contract).
+  */
+object Metrics {
+
+  /** Tie-corrected AUC per group over integer scores/labels:
+    * input (g, sc, y) with y ∈ {0,1} → (g, pos, neg, auc, gini).
+    *
+    * Doubled-unit algebra: a tie group of size n starting after
+    * `cb` lower-scored rows has average rank `cb + (n+1)/2`, so
+    * `2·Σ R⁺ = Σ_groups p·(2·cb + n + 1)` — integers throughout;
+    * `AUC = (2ΣR⁺ − P(P+1)) / (2PN)`.
+    */
+  def aucByGroup(df: DataFrame, gCol: String, scCol: String,
+                 yCol: String): DataFrame = {
+    val perScore = df.groupBy(col(gCol).as("g"), col(scCol).as("sc"))
+      .agg(count(lit(1)).as("n"), sum(yCol).as("p"))
+    val wPre = Window.partitionBy("g").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore
+      .withColumn("cb", coalesce(sum("n").over(wPre), lit(0L)))
+      .withColumn("r2p", col("p") * (col("cb") * 2 + col("n") + 1))
+    ranked.groupBy("g")
+      .agg(sum("r2p").as("r2"), sum("p").as("pos"),
+        (sum("n") - sum("p")).as("neg"))
+      .filter(col("pos") > 0 && col("neg") > 0)
+      .withColumn("auc", round(
+        (col("r2") - col("pos") * (col("pos") + 1)).cast("double") /
+          (col("pos") * col("neg") * 2).cast("double"), 6))
+      .withColumn("gini", round(
+        (col("r2") - col("pos") * (col("pos") + 1)).cast("double") /
+          (col("pos") * col("neg")).cast("double") - 1.0, 6) + lit(0.0))
+      .select("g", "pos", "neg", "auc", "gini")
+  }
+
+  /** Registered query: per-returnflag AUC of an integer score against a
+    * PLANTED noisy label (the [[LogReg.mlLogReg]] fixture argument —
+    * the synthetic columns carry no cross-column signal, so a real
+    * label would make every AUC exactly 0.5): score = l_quantity (50
+    * distinct values over ~60k rows per group — the heavy-tie regime
+    * where naive integer ranks are simply WRONG), label =
+    * `sc·1000 + hash-noise > 28000` with noise uniform on [0, 50000) —
+    * AUC lands strictly inside (0.5, 1) and a broken tie correction
+    * shifts it measurably.
+    */
+  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("sc"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("k"))
+    val planted = li.withColumn("y",
+      (col("sc") * 1000 + pmod(Hashing.md5Long(col("k")), lit(50000L))
+        > 28000).cast("long"))
+    aucByGroup(planted, "g", "sc", "y").orderBy("g")
+  }
+
+  val mlAucOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) AS k
+      |  FROM lineitem),
+      |planted AS (
+      |  SELECT g, sc,
+      |    CAST(sc * 1000 +
+      |      (('0x' || substr(md5(k), 1, 15))::BIGINT % 50000) > 28000
+      |      AS BIGINT) AS y
+      |  FROM li),
+      |pers AS (
+      |  SELECT g, sc, COUNT(*) AS n, SUM(y) AS p
+      |  FROM planted GROUP BY g, sc),
+      |ranked AS (
+      |  SELECT g, n, p,
+      |    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM pers),
+      |agg AS (
+      |  SELECT g, SUM(p * (cb * 2 + n + 1)) AS r2,
+      |    SUM(p) AS pos, SUM(n) - SUM(p) AS neg
+      |  FROM ranked GROUP BY g)
+      |SELECT g, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+      |  ROUND(CAST(r2 - pos * (pos + 1) AS DOUBLE)
+      |    / CAST(pos * neg * 2 AS DOUBLE), 6) AS auc,
+      |  ROUND(CAST(r2 - pos * (pos + 1) AS DOUBLE)
+      |    / CAST(pos * neg AS DOUBLE) - 1.0, 6) + 0.0 AS gini
+      |FROM agg WHERE pos > 0 AND neg > 0 ORDER BY g""".stripMargin
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Laws for the evaluation-metric and centrality operators: AUC against
+  * the definitional quadratic pair count (the statistic the rank
+  * algebra must reproduce), and harmonic centrality against per-source
+  * Dijkstra-free BFS recomputation on the collected graph.
+  */
+class MetricsSpec extends SparkTestBase {
+
+  test("aucByGroup equals the definitional pair-count AUC (ties at 1/2)") {
+    import spark.implicits._
+    // hand-built: heavy ties, a group with perfect separation, and a
+    // group with pure noise
+    val rows = Seq(
+      // g, score, y
+      ("m", 1L, 0L), ("m", 1L, 0L), ("m", 2L, 0L), ("m", 2L, 1L),
+      ("m", 3L, 1L), ("m", 3L, 0L), ("m", 3L, 1L), ("m", 4L, 1L),
+      ("p", 1L, 0L), ("p", 2L, 0L), ("p", 3L, 1L), ("p", 4L, 1L),
+      ("n", 5L, 1L), ("n", 5L, 0L), ("n", 5L, 1L), ("n", 5L, 0L))
+    val df = rows.toDF("g", "sc", "y")
+    val got = Metrics.aucByGroup(df, "g", "sc", "y").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def bruteAuc(g: String): Double = {
+      val grp = rows.filter(_._1 == g)
+      val pos = grp.filter(_._3 == 1L).map(_._2)
+      val neg = grp.filter(_._3 == 0L).map(_._2)
+      val s = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      s / (pos.size * neg.size)
+    }
+    for (g <- Seq("m", "p", "n")) {
+      val (p, n, auc) = got(g)
+      assert(p == rows.count(r => r._1 == g && r._3 == 1L).toLong)
+      assert(n == rows.count(r => r._1 == g && r._3 == 0L).toLong)
+      assert(math.abs(auc - bruteAuc(g)) < 1e-9, s"group $g")
+    }
+    assert(got("p")._3 == 1.0)  // perfectly separated
+    assert(got("n")._3 == 0.5)  // all tied = coin flip
+  }
+
+  test("ml_auc lands strictly inside (0.5, 1) for every group") {
+    val out = Metrics.mlAuc(spark, sfDir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val auc = r.getDouble(3)
+      assert(auc > 0.55 && auc < 0.99, s"${r.getString(0)}: $auc")
+      assert(math.abs(r.getDouble(4) - (2 * auc - 1)) < 1e-5) // gini
+    }
+  }
+
+  test("graph_closeness matches per-source BFS recomputation") {
+    val e = Graph.nationTradeEdges(spark, sfDir).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    def bfsFrom(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to 4) {
+        frontier = e.filter(p => frontier(p._1)).map(_._2)
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    val all = nodes.toSeq.flatMap(s => bfsFrom(s).map { case (v, d) => (s, v, d) })
+    val expect = all.filter(_._3 > 0).groupBy(_._2).map { case (v, rs) =>
+      v -> (rs.size.toLong, rs.map(r => 12 / r._3).sum.toLong)
+    }
+    val got = Graph.graphCloseness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // output is ranked most-central first
+    val h12s = Graph.graphCloseness(spark, sfDir).collect().map(_.getLong(3))
+    assert(h12s.sameElements(h12s.sortBy(-_)))
+  }
+}
