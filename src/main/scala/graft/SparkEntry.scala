@@ -242,6 +242,7 @@ object SparkEntry {
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "graph_closeness"       -> (Graph.graphCloseness _),
     "ml_stump"              -> (Regression.mlStump _),
+    "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
@@ -3963,6 +3964,9 @@ object SparkEntry {
     // the 3-round boosting recurrence unrolled as MATERIALIZED CTEs,
     // every formula shared textually with the engine
     "ml_boosted_stumps" -> Regression.boostedOracleSql(),
+    // three stump-search chains (root + per-leaf behind the root winner's
+    // scalar subquery); leaf stats from shared SSE fragments
+    "ml_tree_depth2" -> Regression.treeOracleSql(),
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,

@@ -111,10 +111,14 @@ object Regression {
     * integer sufficient statistics — shared verbatim with the oracle so
     * both engines run the identical IEEE expression tree.
     */
+  private[graft] val sseLeftSql: String =
+    "(CAST(ssl AS DOUBLE) - (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))" +
+      " / CAST(nl AS DOUBLE))"
+  private[graft] val sseRightSql: String =
+    "(CAST(ssr AS DOUBLE)" +
+      " - (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / CAST(nr AS DOUBLE))"
   private[graft] val stumpSseSql: String =
-    "((CAST(ssl AS DOUBLE) - (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))" +
-      " / CAST(nl AS DOUBLE)) + (CAST(ssr AS DOUBLE)" +
-      " - (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / CAST(nr AS DOUBLE)))"
+    s"($sseLeftSql + $sseRightSql)"
 
   /** ml_stump — exact best-split search for a regression decision stump
     * (predict whole-dollar price from quantity), the CART building
@@ -303,5 +307,99 @@ object Regression {
        |${rounds.mkString(",\n")}
        |${selects.mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+  }
+
+  /** ml_tree_depth2 — an exact depth-2 regression CART: the best root
+    * split on quantity ([[stumpSplits]]), then the best sub-split on
+    * discount-cents INSIDE each root leaf. This is the recursive-
+    * partitioning step every tree/GBM library performs; relationally
+    * it is three stump searches — each one map-side-combined aggregate
+    * + one O(distinct values) window — with the leaf predicate pushed
+    * into the scan (`.filter` before the aggregate), so depth-k trees
+    * cost k fact scans, never a row-level sort or a driver-side data
+    * structure. The root threshold is a 1-row argmin pinned on the
+    * driver (the [[LogReg]] weight-vector convention: bounded state,
+    * exact value) and re-enters both child searches as a pushed
+    * predicate — identical to the oracle's scalar subquery.
+    *
+    * Output: the 4 leaves, each with its path label, the thresholds
+    * that define it, size, mean prediction, and within-leaf SSE — all
+    * from the winner rows' exact integer sufficient statistics, no
+    * extra pass.
+    */
+  def mlTreeDepth2(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q1"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("q2"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("t"))
+      .localCheckpoint(true) // feeds all three split searches
+    def winner(df: DataFrame, f: String): DataFrame =
+      stumpSplits(df, f, "t").orderBy(col("sse"), col("q")).limit(1)
+    val rootThr = winner(li, "q1").head.getAs[Long]("q")
+    def leafRows(w: DataFrame, side: String): DataFrame =
+      w.select(lit(s"$side.L").as("leaf"), lit(rootThr).as("root_thr"),
+          col("q").as("sub_thr"), col("nl").as("n"),
+          round(col("ml"), 4).as("mean"),
+          round(expr(sseLeftSql), 2).as("sse"))
+        .unionByName(
+          w.select(lit(s"$side.R").as("leaf"), lit(rootThr).as("root_thr"),
+            col("q").as("sub_thr"), col("nr").as("n"),
+            round(col("mr"), 4).as("mean"),
+            round(expr(sseRightSql), 2).as("sse")))
+    leafRows(winner(li.filter(col("q1") <= rootThr), "q2"), "L")
+      .unionByName(
+        leafRows(winner(li.filter(col("q1") > rootThr), "q2"), "R"))
+      .orderBy("leaf")
+  }
+
+  /** The oracle: three stump-search CTE chains (root on q1, one per
+    * root leaf on q2 behind the root winner's scalar subquery), leaf
+    * stats from the same integer sufficient statistics and the same
+    * shared SSE fragments.
+    */
+  def treeOracleSql(): String = {
+    def stump(name: String, src: String, fcol: String) =
+      s"""perq_$name AS MATERIALIZED (
+         |  SELECT $fcol AS q, COUNT(*) AS n, SUM(t) AS s, SUM(t * t) AS ss
+         |  FROM $src GROUP BY 1),
+         |pre_$name AS (
+         |  SELECT q,
+         |    SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+         |    SUM(n) OVER () AS nt, SUM(s) OVER () AS st, SUM(ss) OVER () AS sst
+         |  FROM perq_$name
+         |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sp_$name AS (
+         |  SELECT q, nl, sl, ssl, nt - nl AS nr, st - sl AS sr,
+         |    sst - ssl AS ssr
+         |  FROM pre_$name WHERE nt - nl > 0),
+         |w_$name AS MATERIALIZED (
+         |  SELECT q, nl, sl, ssl, nr, sr, ssr,
+         |    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+         |    CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mr
+         |  FROM sp_$name ORDER BY $stumpSseSql, q LIMIT 1)""".stripMargin
+    def leafSel(name: String, side: String) = {
+      val (nn, mm, ss) =
+        if (side == "L") ("nl", "ml", sseLeftSql) else ("nr", "mr", sseRightSql)
+      s"""SELECT '$name.$side' AS leaf,
+         |  (SELECT q FROM w_root) AS root_thr, q AS sub_thr,
+         |  CAST($nn AS BIGINT) AS n, ROUND($mm, 4) AS mean,
+         |  ROUND($ss, 2) AS sse
+         |FROM w_$name""".stripMargin
+    }
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q1,
+       |    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS q2,
+       |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS t
+       |  FROM lineitem),
+       |${stump("root", "li", "q1")},
+       |liL AS MATERIALIZED (
+       |  SELECT q2, t FROM li WHERE q1 <= (SELECT q FROM w_root)),
+       |liR AS MATERIALIZED (
+       |  SELECT q2, t FROM li WHERE q1 > (SELECT q FROM w_root)),
+       |${stump("L", "liL", "q2")},
+       |${stump("R", "liR", "q2")}
+       |${Seq(leafSel("L", "L"), leafSel("L", "R"), leafSel("R", "L"),
+              leafSel("R", "R")).mkString("\nUNION ALL\n")}
+       |ORDER BY leaf""".stripMargin
   }
 }

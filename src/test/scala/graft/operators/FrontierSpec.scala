@@ -105,6 +105,41 @@ class FrontierSpec extends SparkTestBase {
     got.foreach(r => assert(r.getLong(3) + r.getLong(4) == n))
   }
 
+  test("depth-2 tree: leaves partition the table, each sub-split is the " +
+      "brute-force argmin inside its root leaf, and depth-2 SSE <= depth-1") {
+    val pts = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_discount") * 100 + 0.5).cast("long"),
+        floor(col("l_extendedprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Regression.mlTreeDepth2(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("L.L", "L.R", "R.L", "R.R"))
+    assert(got.map(_.getLong(3)).sum == pts.length)
+    val rootThr = got.head.getLong(1)
+    // root split agrees with the single stump's argmin
+    assert(rootThr == Regression.mlStump(spark, sfDir).head().getLong(0))
+    def sse(vs: Seq[Long]): Double =
+      if (vs.isEmpty) 0.0
+      else vs.map(v => v.toDouble * v).sum -
+        math.pow(vs.map(_.toDouble).sum, 2) / vs.size
+    // each root leaf's sub-threshold is the brute-force argmin on q2
+    for ((side, leafPred) <- Seq(
+        "L" -> ((p: (Long, Long, Long)) => p._1 <= rootThr),
+        "R" -> ((p: (Long, Long, Long)) => p._1 > rootThr))) {
+      val leaf = pts.filter(leafPred)
+      val cands = leaf.map(_._2).distinct.sorted.init
+      val bestBrute = cands.map { t =>
+        val (l, r) = leaf.partition(_._2 <= t)
+        (t, sse(l.map(_._3)) + sse(r.map(_._3)))
+      }.minBy { case (t, s) => (s, t) }
+      val subThr = got.find(_.getString(0) == s"$side.L").get.getLong(2)
+      assert(subThr == bestBrute._1, s"$side sub-threshold")
+    }
+    // recursion can only reduce training SSE below the root stump's
+    val rootSse = Regression.mlStump(spark, sfDir).head().getDouble(5)
+    assert(got.map(_.getDouble(5)).sum <= rootSse + 1e-6)
+  }
+
   test("kCore: fixpoint peeling law on a hand graph — every surviving " +
       "node keeps degree >= k inside the core, and known non-core " +
       "structures are peeled") {
