@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
     "text_zipf"             -> (LlmQueries.textZipf _),
+    "text_normalize"        -> (LlmQueries.textNormalize _),
     "graph_kcore"           -> (Graph.graphKCore _),
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
@@ -3970,6 +3971,21 @@ object SparkEntry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    // DuckDB's built-in nfc_normalize against the engine's codegen'd JDK
+    // normalizer; decomposed fixture runs built identically on both sides
+    // (chr(769) = U+0301 combining acute)
+    "text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' cafe' || chr(769) || ' ' ||
+        |      repeat('e' || chr(769), CAST(doc_id % 3 AS INT) + 1) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
+        |  nfc_normalize(raw) AS nfc,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+        |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+        |    AS composed
+        |FROM raw ORDER BY doc_id""".stripMargin,
     // 4 unrolled per-source BFS rounds (the graph_bfs recurrence keyed by
     // pivot source); harmonic score is the exact-integer 12/d sum
     "graph_closeness" -> {

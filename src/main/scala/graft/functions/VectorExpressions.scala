@@ -110,6 +110,54 @@ case class ByteValues(child: Expression)
       newChild: Expression): ByteValues = copy(child = newChild)
 }
 
+/** Unicode NFC normalization: `nfc_normalize(string)` → the canonical
+  * composed form via the JDK's `java.text.Normalizer` (public platform
+  * API; named after DuckDB's identically-scoped `nfc_normalize`, which
+  * the oracle uses verbatim). A native codegen'd Expression rather than
+  * a UDF (the repo-wide zero-ScalaUDF rule): normalization sits on the
+  * text-ingestion hot path — dedup keys, fingerprints, and token
+  * counts are all wrong when visually-identical strings differ in
+  * combining-mark spelling, so a 100 TB corpus pays this per document
+  * and it must stay inside whole-stage codegen.
+  *
+  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation for
+  * already-NFC text (the overwhelming real-world case — and the JDK
+  * short-circuits on Latin-1), so the audit costs ~a scan when there is
+  * nothing to fix.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized(
+         |    $s, java.text.Normalizer.Form.NFC)
+         |  ? $c
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 /** Session extension registering the native functions — the idiomatic
   * `SparkSessionExtensions` injection point (installed by
   * [[graft.Engine.session]]; also usable via
@@ -121,6 +169,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.md5LongFunction)
     ext.injectFunction(GraftFunctions.ngramsFunction)
     ext.injectFunction(GraftFunctions.byteValuesFunction)
+    ext.injectFunction(GraftFunctions.nfcNormalizeFunction)
     // whole-operator extension: native as-of join (custom LogicalPlan →
     // custom SparkPlan, SURVEY §4 preference (c))
     ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy(_))
@@ -187,6 +236,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ByteValues].getName, "byte_values"),
       (exprs: Seq[Expression]) => byteValuesBuild(exprs))
 
+  private def nfcNormalizeBuild(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "nfc_normalize(string) takes exactly 1 argument")
+    NfcNormalize(Cast(exprs.head, org.apache.spark.sql.types.StringType))
+  }
+
+  private[functions] val nfcNormalizeFunction =
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => nfcNormalizeBuild(exprs))
+
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", build, "built-in")
@@ -196,5 +255,7 @@ object GraftFunctions {
       "ngrams", ngramsBuild, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_values", byteValuesBuild, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", nfcNormalizeBuild, "built-in")
   }
 }

@@ -240,6 +240,25 @@ object LlmQueries {
   def textZipf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipf(docs(s, dir), "text")
 
+  /** text_normalize — Unicode NFC normalization audit over the corpus
+    * ([[graft.functions.NfcNormalize]], the codegen'd JDK normalizer;
+    * DuckDB's built-in `nfc_normalize` is the oracle). The synthetic
+    * docs are ASCII (already NFC), so each row is DECORATED with a
+    * decomposed run derived from its id — base letters + 1..3 combining
+    * acute accents (U+0301) — giving the normalizer real composition
+    * work the hash gate then compares byte-for-byte. On a real corpus
+    * the decoration step disappears and this is one row-local scan.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        expr("substring(text, 1, 40) || ' cafe\u0301 ' || "
+          + "repeat('e\u0301', CAST(doc_id % 3 AS INT) + 1)").as("raw"))
+      .select(col("doc_id"), length(col("raw")).as("raw_chars"),
+        expr("nfc_normalize(raw)").as("nfc"))
+      .withColumn("nfc_chars", length(col("nfc")))
+      .withColumn("composed", col("raw_chars") - col("nfc_chars"))
+      .orderBy("doc_id")
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 

@@ -167,4 +167,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(!sumOnly.queryExecution.optimizedPlan.toString.contains("dot_native"))
     assert(sumOnly.count() > 0)
   }
+
+  test("nfc_normalize composes decomposed runs, is idempotent, " +
+      "passes NFC input through, handles null, and stays in codegen") {
+    import spark.implicits._
+    val acc = "\u0301"  // combining acute
+    val rows = Seq(
+      ("plain ascii", "plain ascii"),
+      ("cafe" + acc, "caf\u00e9"),             // e + mark -> composed e-acute
+      ("e" + acc + "e" + acc, "\u00e9\u00e9"), // consecutive runs
+      ("caf\u00e9", "caf\u00e9"),              // already NFC
+      ("A" + "\u030a", "\u00c5"),              // A + ring -> A-ring
+      ("", ""))
+    val df = rows.map(_._1).toDF("s")
+    val got = df.select(expr("nfc_normalize(s)")).collect().map(_.getString(0))
+    assert(got.toSeq == rows.map(_._2))
+    // idempotent: normalizing the output is a no-op
+    val twice = df.select(expr("nfc_normalize(nfc_normalize(s))"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == rows.map(_._2))
+    // null in, null out
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(expr("nfc_normalize(s)")).head()
+    assert(n.isNullAt(0))
+    // and the expression runs inside a whole-stage-codegen span
+    // (file-backed scan — a LocalRelation constant-folds away first)
+    val p = Tables.load(spark, sfDir, "documents")
+      .select(expr("nfc_normalize(text)").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [nfc_normalize"), s"expected codegen: $p")
+  }
 }
