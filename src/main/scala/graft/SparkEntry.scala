@@ -125,6 +125,7 @@ object SparkEntry {
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
     "a40_gdpr_delete"       -> (PipelineQueries.a40GdprDelete _),
     "a41_atomic_publish"    -> (PipelineQueries.a41AtomicMultiPublish _),
+    "a42_retention_vacuum"  -> (PipelineQueries.a42RetentionVacuum _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_nearest"          -> (LlmQueries.asofNearest _),
@@ -4129,6 +4130,23 @@ object SparkEntry {
       """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // vacuumed versions are pinned literally as refused sentinel rows;
+    // retained slices recomputed from the base table (the engine must
+    // serve them from post-vacuum storage)
+    "a42_retention_vacuum" ->
+      """SELECT CAST(1 AS BIGINT) AS version, FALSE AS readable,
+        |  CAST(-1 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS total
+        |UNION ALL
+        |SELECT 2, FALSE, -1, 0.0
+        |UNION ALL
+        |SELECT 3, TRUE, COUNT(*),
+        |  ROUND(SUM(ROUND(o_totalprice, 2)), 2)
+        |FROM orders WHERE o_orderkey % 10 < 3
+        |UNION ALL
+        |SELECT 4, TRUE, COUNT(*),
+        |  ROUND(SUM(ROUND(o_totalprice, 2)), 2)
+        |FROM orders WHERE o_orderkey % 10 < 4
+        |ORDER BY version""".stripMargin,
     // survivor-set aggregate after the purge-delete; the engine must
     // read it back from post-erasure storage
     "a40_gdpr_delete" ->

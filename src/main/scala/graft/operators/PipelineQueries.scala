@@ -655,6 +655,40 @@ object PipelineQueries {
       .orderBy("r_name")
   }
 
+  /** A42 — retention window + on-demand vacuum: four versioned
+    * publishes with `retain = 4` build a bounded time-travel history
+    * (each version a different orders slice), [[Sync.vacuumRetain]]
+    * then prunes to the newest 2, and the report reads every version
+    * back FROM STORAGE — vacuumed versions must refuse
+    * ([[Sync.readPublishedVersion]] = None → the −1/0.0 sentinel row),
+    * retained ones must still serve their exact slice. The oracle
+    * recomputes each retained slice from the base table and pins the
+    * refused rows literally; file-level deletion is spec-asserted in
+    * SyncSpec.
+    */
+  def a42RetentionVacuum(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("p"))
+    val tmp = Files.createTempDirectory("graft_vacuum").toString + "/t"
+    (1 to 4).foreach { v =>
+      Sync.publishOverwrite(o.filter(col("k") % 10 < v), tmp, retain = 4)
+    }
+    val removed = Sync.vacuumRetain(s, tmp, retain = 2)
+    require(removed == 2L, s"expected 2 vacuumed snapshots, got $removed")
+    val reports = (1 to 4).map { v =>
+      Sync.readPublishedVersion(s, tmp, v.toLong) match {
+        case Some(df) => df.agg(
+            lit(v.toLong).as("version"), lit(true).as("readable"),
+            count(lit(1)).as("n"), round(sum("p"), 2).as("total"))
+        case None => s.range(1).select(
+            lit(v.toLong).as("version"), lit(false).as("readable"),
+            lit(-1L).as("n"), lit(0.0).as("total"))
+      }
+    }
+    reports.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

@@ -208,6 +208,50 @@ object Sync {
   def publishOverwrite(df: DataFrame, path: String): Unit =
     publishStaged(df, path, _ => ())
 
+  /** [[publishOverwrite]] with an explicit retention window: the newest
+    * `retain` committed snapshots stay version-addressable after the
+    * publish (default 2 = current + immediately-previous, the plain
+    * overwrite contract). Larger windows turn the root into a bounded
+    * time-travel history ([[readPublishedVersion]], [[snapshotDiff]])
+    * at the cost of `retain` full copies on storage — prune on demand
+    * with [[vacuumRetain]].
+    */
+  def publishOverwrite(df: DataFrame, path: String, retain: Int): Unit =
+    publishStaged(df, path, _ => (), retain)
+
+  /** On-demand retention enforcement over a published table root: keep
+    * the newest `retain` committed snapshots (the current version is
+    * always kept, whatever `retain` says) and physically delete every
+    * older snapshot directory — the storage-reclaim / compliance lever
+    * (`VACUUM` in snapshot-isolated table formats; the GDPR-erasure
+    * sibling of [[deleteWhere]]'s `purge`). Returns the number of
+    * snapshot directories removed.
+    *
+    * Concurrency: only snapshot versions AT OR BELOW the current one are
+    * candidates — an in-flight publish staging `snap-(cur+1)` is never
+    * touched. O(versions) metadata operations, no data read.
+    */
+  def vacuumRetain(spark: SparkSession, path: String, retain: Int): Long = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveVersion(fs, root) match {
+      case None => 0L
+      case Some(cur) =>
+        val snaps = fs.listStatus(root).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("snap-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("snap-").toLong).toOption)
+        val committed = snaps
+          .filter(v => fs.exists(new Path(snapPath(root, v), CommitMarker)))
+          .sorted
+        val keep = committed.takeRight(retain).toSet + cur
+        val drop = snaps.filter(v => v <= cur && !keep.contains(v))
+        drop.foreach(v => fs.delete(snapPath(root, v), true))
+        drop.size.toLong
+    }
+  }
+
   private[graft] val CommitMarker = "_GRAFT_COMMITTED"
   private[graft] val Pointer = "_CURRENT"
   private[graft] val PointerTmp = "_CURRENT.tmp"
@@ -218,7 +262,9 @@ object Sync {
     * and may throw to simulate a crash exactly there.
     */
   private[graft] def publishStaged(df: DataFrame, path: String,
-                                   boundary: Int => Unit): Unit = {
+                                   boundary: Int => Unit,
+                                   retain: Int = 2): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -240,13 +286,16 @@ object Sync {
     boundary(5) // acknowledged; stale snapshots not yet vacuumed
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      // retain the immediately-previous snapshot: a reader that resolved
-      // N−1 just before this publish still has live lazy frames over it
-      // (the documented one-publish read window); everything older — and
-      // any uncommitted garbage from crashed writes — goes. Legacy
+      // retain the newest `retain` snapshot versions (default: this one
+      // plus the immediately-previous — a reader that resolved N−1 just
+      // before this publish still has live lazy frames over it, the
+      // documented one-publish read window); everything older — and any
+      // uncommitted garbage from crashed writes — goes. Legacy
       // pre-versioning part files at the root are removed too, now that
       // a committed snapshot supersedes them.
-      val keep = n == s"snap-$next" || n == s"snap-${next - 1}" ||
+      val keptVersion = scala.util.Try(n.stripPrefix("snap-").toLong)
+        .toOption.exists(v => v > next - retain && v <= next)
+      val keep = (n.startsWith("snap-") && keptVersion) ||
         n == Pointer || n == PointerTmp
       if (!keep) fs.delete(st.getPath, true)
     }

@@ -447,6 +447,44 @@ class SyncSpec extends SparkTestBase {
     assert(Sync.readPublishedVersion(spark, root, 0).isEmpty)
   }
 
+  test("retention window + vacuumRetain: history accumulates to `retain`, " +
+      "vacuum physically deletes beyond it, current always survives") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vr").toString + "/t"
+    def snapDirs = Option(new java.io.File(root).listFiles())
+      .map(_.map(_.getName).filter(_.startsWith("snap-")).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    // vacuum of a never-published root is a no-op
+    assert(Sync.vacuumRetain(spark, root, 1) == 0L)
+    (1 to 4).foreach { v =>
+      Sync.publishOverwrite(Seq((v.toLong, v * 10.0)).toDF("k", "p"),
+        root, retain = 4)
+    }
+    assert(snapDirs == Seq("snap-1", "snap-2", "snap-3", "snap-4"))
+    (1 to 4).foreach(v =>
+      assert(Sync.readPublishedVersion(spark, root, v).isDefined, s"v$v"))
+    // retain larger than history: no-op
+    assert(Sync.vacuumRetain(spark, root, 9) == 0L)
+    // prune to the newest 2: snap-1/snap-2 physically gone
+    assert(Sync.vacuumRetain(spark, root, 2) == 2L)
+    assert(snapDirs == Seq("snap-3", "snap-4"))
+    assert(Sync.readPublishedVersion(spark, root, 1).isEmpty)
+    assert(Sync.readPublishedVersion(spark, root, 2).isEmpty)
+    // current read unaffected, serving version 4's content
+    val cur = Sync.readPublished(spark, root).get.collect()
+    assert(cur.map(_.getLong(0)).toSeq == Seq(4L))
+    // idempotent; retain=1 keeps only the current even so
+    assert(Sync.vacuumRetain(spark, root, 2) == 0L)
+    assert(Sync.vacuumRetain(spark, root, 1) == 1L)
+    assert(snapDirs == Seq("snap-4"))
+    assert(Sync.readPublished(spark, root).get.count() == 1L)
+    // an in-flight (uncommitted, above-current) stage dir is never touched
+    val staged = new java.io.File(root, "snap-5")
+    staged.mkdirs()
+    assert(Sync.vacuumRetain(spark, root, 1) == 0L)
+    assert(snapDirs == Seq("snap-4", "snap-5"))
+  }
+
   test("deleteWhere: purge erases deleted rows from EVERY file on " +
       "storage; without purge the retention snapshot still holds them") {
     import spark.implicits._
