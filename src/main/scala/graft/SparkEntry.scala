@@ -200,6 +200,7 @@ object SparkEntry {
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
+    "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
     "a27_orc_roundtrip"     -> (PipelineQueries.a27OrcRoundtrip _),
@@ -3402,6 +3403,20 @@ object SparkEntry {
         |  FROM px GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // gray-8 TIFF through real MSB-first/early-change LZW; the oracle
+    // sums the closed-form pixel bytes (1000x gray luminance)
+    "mm_tiff_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST((doc_id % 3 + 2) * 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 5 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 *
+        |    ((seed * 19 + g.i * 31 + (seed * g.i) % 251) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_png_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,

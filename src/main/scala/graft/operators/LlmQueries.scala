@@ -522,6 +522,15 @@ object LlmQueries {
   def mmGifDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Gif.gifMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The MSB-first / early-change LZW leg ([[Tiff.tiffMedia]] fixtures
+    * through [[Tiff.decode]]'s IFD walk + strip decompress): the same
+    * dictionary algorithm as GIF with the opposite bit order — a decoder
+    * that mixes the two variants produces garbage for one of them, so
+    * the pair pins both.
+    */
+  def mmTiffDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Tiff.tiffMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The 4:2:0 COLOR leg of the JPEG pipeline: interleaved Y₀Y₁Y₂Y₃ Cb Cr
     * MCUs with restart markers (interval 3 — DC predictors reset and
     * re-align mid-scan), 2×2 luma / 1×1 chroma sampling, replication

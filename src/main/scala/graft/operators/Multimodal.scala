@@ -268,6 +268,7 @@ object Multimodal {
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
     decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
       .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
+      .orElse(Tiff.decode(data))
 
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
@@ -294,7 +295,7 @@ object Multimodal {
       rows.map { r =>
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
           .orElse(pngIhdr(r.data)).orElse(Jpeg.dims(r.data))
-          .orElse(Gif.dims(r.data)) match {
+          .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)
