@@ -573,7 +573,13 @@ object PipelineQueries {
       val finalPath = Files.createTempDirectory("graft_bus_wh").toString + "/t"
       graft.sources.bus.BusSync.busIncrementalPublish(s, "127.0.0.1", port,
           Files.createTempDirectory("graft_bus_wh_ck").toString, finalPath,
-          maxRecordsPerTrigger = 64)
+          // small enough that every SF runs >1 merge→publish cycle (the
+          // multi-batch accumulation is the point), large enough that the
+          // cycle count stays bounded as the corpus grows — per-cycle cost
+          // is fixed job overhead, so cap 64 priced 78 cycles ≈ 10 s at
+          // sf0.1 for no extra coverage (the tight-cap cycling itself is
+          // BusSpec-pinned at cap 16/40 with forced restarts)
+          maxRecordsPerTrigger = 256)
         .awaitTermination()
       Sync.readPublished(s, finalPath).get
         .select(col("key"), col("n"), col("total"))
