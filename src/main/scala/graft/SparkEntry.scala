@@ -149,6 +149,7 @@ object SparkEntry {
     "text_tokens"           -> (LlmQueries.textTokens _),
     "text_zipf"             -> (LlmQueries.textZipf _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
+    "text_chi2"             -> (LlmQueries.textChi2 _),
     "graph_kcore"           -> (Graph.graphKCore _),
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
@@ -252,6 +253,7 @@ object SparkEntry {
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
     "q53_mode"              -> (Analytics.modePerGroup _),
     "dq_benford"            -> (Analytics.dqBenford _),
+    "dq_ks"                 -> (Analytics.dqKs _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -1343,6 +1345,30 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents) t
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    // exact 2x2 contingency per bigram; margins from the bigram table;
+    // the chi2 expression is the identical IEEE product chain
+    "text_chi2" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bcall AS (
+        |  SELECT t[gi.i] AS w1, t[gi.i + 1] AS w2, COUNT(*) AS bc
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT w1, SUM(bc) AS pc FROM bcall GROUP BY w1),
+        |sc AS (SELECT w2, SUM(bc) AS sc FROM bcall GROUP BY w2),
+        |n AS (SELECT SUM(bc) AS n FROM bcall),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.bc, pc.pc, sc.sc, n.n,
+        |    b.bc * (n.n - pc.pc - sc.sc + b.bc)
+        |      - (pc.pc - b.bc) * (sc.sc - b.bc) AS t
+        |  FROM bcall b JOIN pc USING (w1) JOIN sc USING (w2), n
+        |  WHERE b.bc >= 5 AND pc.pc < n.n AND sc.sc < n.n)
+        |SELECT w1, w2, CAST(bc AS BIGINT) AS bc, CAST(pc AS BIGINT) AS pc,
+        |  CAST(sc AS BIGINT) AS sc,
+        |  ROUND(CAST(n AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(pc AS DOUBLE) * CAST(n - pc AS DOUBLE)
+        |    * CAST(sc AS DOUBLE) * CAST(n - sc AS DOUBLE)), 4) AS chi2
+        |FROM j ORDER BY chi2 DESC, w1, w2 LIMIT 40""".stripMargin,
     "text_pmi" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT u.w, COUNT(*) AS uc
@@ -4191,6 +4217,35 @@ object SparkEntry {
         |ORDER BY k""".stripMargin,
     // first digit from the decimal rendering of exact cents (no libm
     // log10); expectations are shared 6-digit literals
+    // exact two-sample KS by integer cross-multiplication; smallest
+    // argmax value reported; Smirnov alpha=0.05 critical compare shared
+    "dq_ks" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS v,
+        |    CAST(o_orderdate < TIMESTAMP '1998-01-01' AS BIGINT) AS g1
+        |  FROM orders),
+        |perv AS (
+        |  SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2
+        |  FROM o GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |  FROM perv
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT v, n1, n2, ABS(cum1 * n2 - cum2 * n1) AS dnum,
+        |    MAX(ABS(cum1 * n2 - cum2 * n1)) OVER () AS mx
+        |  FROM cum)
+        |SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        |  CAST(MAX(dnum) AS BIGINT) AS d_num,
+        |  CAST(MIN(v) AS BIGINT) AS at_dollars,
+        |  ROUND(CAST(MAX(dnum) AS DOUBLE)
+        |    / CAST(MAX(n1) * MAX(n2) AS DOUBLE), 6) AS ks,
+        |  CAST(MAX(dnum) AS DOUBLE) * CAST(MAX(dnum) AS DOUBLE) >
+        |    1.8440661112 * CAST(MAX(n1) * MAX(n2) AS DOUBLE)
+        |      * CAST(MAX(n1) + MAX(n2) AS DOUBLE) AS drift
+        |FROM d WHERE dnum = mx""".stripMargin,
     "dq_benford" -> {
       val cases = graft.operators.Analytics.benfordProbs.map { case (i, p) =>
         s"WHEN $i THEN CAST($p AS DOUBLE)" }.mkString(" ")

@@ -987,4 +987,47 @@ object Analytics {
       .withColumn("abs_dev", round(abs(col("share") - col("benford_p")), 6))
       .orderBy("digit")
   }
+
+  /** dq_ks — exact two-sample Kolmogorov–Smirnov drift test between the
+    * early and late halves of the order history (the distribution-shift
+    * monitor beside [[dqBenford]]'s digit screen and dq_drift's binned
+    * PSI — KS needs NO binning choice and catches shape changes PSI's
+    * fixed bins smear). `D = sup_v |F₁(v) − F₂(v)|` computed exactly by
+    * integer cross-multiplication: per-value conditional counts (ONE
+    * map-side-combined aggregate; the frame is bounded by the value
+    * DOMAIN — whole dollars here — not the row count), one prefix-sum
+    * window for both empirical CDFs, and
+    * `d_num = max |cum₁·n₂ − cum₂·n₁|` in exact 64-bit arithmetic.
+    * The only floats are the final division and the significance
+    * compare against the Smirnov asymptotic critical value at α = 0.05
+    * (c² = 1.8440661112: reject when D²·n₁n₂/(n₁+n₂) > c², cross-
+    * multiplied so both engines evaluate the identical IEEE products).
+    */
+  def dqKs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      floor(col("o_totalprice") + 0.5).cast("long").as("v"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .cast("long").as("g1"))
+    val perv = o.groupBy("v")
+      .agg(sum("g1").as("c1"), (count(lit(1)) - sum("g1")).as("c2"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = perv.select(col("v"),
+        sum("c1").over(wOrd).as("cum1"), sum("c2").over(wOrd).as("cum2"),
+        sum("c1").over(wAll).as("n1"), sum("c2").over(wAll).as("n2"))
+      .withColumn("dnum",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .withColumn("mx", max("dnum").over(wAll))
+    cum.filter(col("dnum") === col("mx"))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max("dnum").as("d_num"), min("v").as("at_dollars"))
+      .withColumn("ks", round(col("d_num").cast("double") /
+        (col("n1") * col("n2")).cast("double"), 6))
+      .withColumn("drift",
+        col("d_num").cast("double") * col("d_num").cast("double") >
+          lit(1.8440661112) * (col("n1") * col("n2")).cast("double") *
+            (col("n1") + col("n2")).cast("double"))
+      .select("n1", "n2", "d_num", "at_dollars", "ks", "drift")
+  }
 }

@@ -321,6 +321,9 @@ object LlmQueries {
     TextAnalysis.kneserNeyTrigram(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def textChi2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chi2TopK(docs(s, dir), "doc_id", "text")
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

@@ -426,6 +426,52 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** Collocation mining by Pearson's χ² — the EXACT-arithmetic sibling
+    * of [[pmiTopK]] (Manning & Schütze §5.3: χ² is the standard
+    * significance-backed association score where PMI over-rewards rare
+    * pairs): per bigram the 2×2 contingency against the corpus,
+    * `χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`, with a = pair count,
+    * row margin = prefix count, column margin = suffix count. Every
+    * cell and margin is an exact 64-bit integer — the margins derive
+    * from the bigram table itself (vocabulary-sized, NOT a second
+    * corpus scan), and the only floats are one shared final expression
+    * over identical integers.
+    *
+    * Scale: one corpus-scan aggregate to the bigram table, two
+    * vocabulary-sized margin aggregates off it, margin joins with no
+    * broadcast hint (the [[pmiTopK]] size-based-planning argument),
+    * global top-k via TakeOrdered.
+    */
+  def chi2TopK(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 40, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    val bcAll = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val pc = bcAll.groupBy("w1").agg(sum("bc").as("pc"))
+    val sc = bcAll.groupBy("w2").agg(sum("bc").as("sc"))
+    val n = bcAll.agg(sum("bc").as("n"))
+    bcAll.filter(col("bc") >= minCount)
+      .join(pc, "w1").join(sc, "w2")
+      .crossJoin(broadcast(n))
+      .filter(col("pc") < col("n") && col("sc") < col("n"))
+      // t = ad − bc over the exact integer cells (|t| ≤ N², fine in
+      // 64-bit far past this corpus)
+      .withColumn("t",
+        col("bc") * (col("n") - col("pc") - col("sc") + col("bc")) -
+          (col("pc") - col("bc")) * (col("sc") - col("bc")))
+      .withColumn("chi2", round(expr(
+        "CAST(n AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)" +
+          " / (CAST(pc AS DOUBLE) * CAST(n - pc AS DOUBLE)" +
+          " * CAST(sc AS DOUBLE) * CAST(n - sc AS DOUBLE))"), 4))
+      .orderBy(col("chi2").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "bc", "pc", "sc", "chi2")
+  }
+
   /** Bigram-conditional LM score: mean surprisal −ln p(w₂|w₁) with
     * p(w₂|w₁) = count(w₁w₂)/count(w₁·) over the corpus — the next-token
     * predictability signal ([[unigramLogProb]] scores vocabulary rarity;

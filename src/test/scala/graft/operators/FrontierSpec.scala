@@ -140,6 +140,58 @@ class FrontierSpec extends SparkTestBase {
     assert(got.map(_.getDouble(5)).sum <= rootSse + 1e-6)
   }
 
+  test("dq_ks equals the brute-force two-sample KS statistic") {
+    val rows = Tables.load(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") + 0.5).cast("long"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val s1 = rows.filter(_._2 == 1).map(_._1).sorted
+    val s2 = rows.filter(_._2 == 0).map(_._1).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val dnum = (s1 ++ s2).distinct.map { v =>
+      math.abs(s1.count(_ <= v) * n2 - s2.count(_ <= v) * n1)
+    }.max
+    val got = Analytics.dqKs(spark, sfDir).head()
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(got.getLong(2) == dnum, "max CDF gap numerator")
+    assert(math.abs(got.getDouble(4) -
+      dnum.toDouble / (n1 * n2)) < 1e-6)
+    // the drift verdict matches the asymptotic Smirnov test recomputed
+    val d = dnum.toDouble / (n1 * n2)
+    val expectDrift =
+      d * d * n1 * n2 / (n1 + n2).toDouble > 1.8440661112
+    assert(got.getBoolean(5) == expectDrift)
+  }
+
+  test("text_chi2 equals the brute-force 2x2 contingency chi-square") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = texts.flatMap(t => t.split(" ").sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))))
+    val bc = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val pc = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val sc = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = bigrams.length.toLong
+    val got = LlmQueries.textChi2(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 40)
+    got.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val a = bc((w1, w2))
+      assert(r.getLong(2) == a && r.getLong(3) == pc(w1) &&
+        r.getLong(4) == sc(w2))
+      val t = (a * (n - pc(w1) - sc(w2) + a) -
+        (pc(w1) - a) * (sc(w2) - a)).toDouble
+      val chi2 = n.toDouble * t * t /
+        (pc(w1).toDouble * (n - pc(w1)) * sc(w2) * (n - sc(w2)))
+      assert(math.abs(r.getDouble(5) - chi2) < 1e-3, s"($w1,$w2)")
+      assert(a >= 5)
+    }
+    // ranked by association strength
+    val scores = got.map(_.getDouble(5))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+
   test("kCore: fixpoint peeling law on a hand graph — every surviving " +
       "node keeps degree >= k inside the core, and known non-core " +
       "structures are peeled") {
