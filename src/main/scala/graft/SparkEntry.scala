@@ -245,6 +245,7 @@ object SparkEntry {
     "graph_bfs"             -> (Graph.graphBfs _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "graph_closeness"       -> (Graph.graphCloseness _),
+    "graph_wcc"             -> (Graph.graphWcc _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_auc"                -> (Metrics.mlAuc _),
@@ -4028,6 +4029,35 @@ object SparkEntry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // 8 unrolled neighbor-min + pointer-jump rounds — the engine's
+    // doubling recurrence verbatim on the 97-segment part-key chain
+    "graph_wcc" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""nb_$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, MIN(l.p) AS np
+           |  FROM e JOIN p_${i - 1} l ON l.node = e.src GROUP BY e.dst),
+           |m_$i AS MATERIALIZED (
+           |  SELECT p.node, LEAST(p.p, COALESCE(nb.np, p.p)) AS p
+           |  FROM p_${i - 1} p LEFT JOIN nb_$i nb USING (node)),
+           |p_$i AS MATERIALIZED (
+           |  SELECT a.node, COALESCE(b.p, a.p) AS p
+           |  FROM m_$i a LEFT JOIN m_$i b ON a.p = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH keys AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+         |fwd AS (
+         |  SELECT a.k AS src, a.k + 1 AS dst
+         |  FROM keys a JOIN keys b ON b.k = a.k + 1
+         |  WHERE a.k % 97 <> 0),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |p_0 AS (SELECT node, node AS p FROM nodes),
+         |$rounds
+         |SELECT p AS component, CAST(COUNT(*) AS BIGINT) AS size,
+         |  MIN(node) AS lo, MAX(node) AS hi
+         |FROM p_8 GROUP BY p ORDER BY component""".stripMargin
+    },
     // 4 unrolled per-source BFS rounds (the graph_bfs recurrence keyed by
     // pivot source); harmonic score is the exact-integer 12/d sum
     "graph_closeness" -> {

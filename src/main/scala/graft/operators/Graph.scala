@@ -460,6 +460,73 @@ object Graph {
       .orderBy(col("h12").desc, col("node"))
   }
 
+  /** Connected components by neighbor-min + POINTER DOUBLING — the
+    * O(log diameter) scheme (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"; pointer jumping is textbook PRAM): each
+    * round first folds every node's neighbors' current labels in
+    * (min), then jumps `p(v) ← p(p(v))` via a self-join, so label
+    * information travels ~2^r hops after r rounds where plain
+    * min-propagation ([[labelPropagation]]) travels r. On a 100 TB
+    * graph with a long-path component, diameter rounds are the
+    * difference between 15 iterations and 10 000 — doubling is the
+    * only shape that survives.
+    *
+    * Per round: one map-side-combined aggregate over the (re-used) edge
+    * partitioning + two key joins; the pointer frame re-materializes
+    * per round (the lineage-barrier rule every iterative operator here
+    * follows). Labels only decrease, so the fixpoint is the
+    * per-component minimum.
+    *
+    * Contract: components of the EDGE LIST — nodes with no incident
+    * edge are out of frame (union a node table back in for singleton
+    * components; they'd only dilute every round's joins here).
+    */
+  def wcc(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var p = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("p")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = e.join(p.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("p").as("np"))
+      // materialized: feeds both sides of the jump self-join (also keeps
+      // the analyzer's ambiguous-self-join check out of the plan)
+      val merged = p.join(nb, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("p"), coalesce(col("np"), col("p"))).as("p"))
+        .localCheckpoint(true)
+      p = merged
+        .join(merged.select(col("node").as("p"), col("p").as("pp")),
+          Seq("p"), "left_outer")
+        .select(col("node"), coalesce(col("pp"), col("p")).as("p"))
+        .localCheckpoint(true)
+    }
+    p
+  }
+
+  /** Registered query: components of the part-key CHAIN graph — edges
+    * (k, k+1) except across multiples of 97, leaving path components of
+    * diameter ~96 that plain per-round propagation cannot close in any
+    * reasonable budget while 8 doubling rounds (reach 2^8 = 256 hops)
+    * converge with margin. Per component: its min-label root, size, and
+    * key span. The oracle unrolls the identical two-step recurrence.
+    */
+  def graphWcc(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("k"))
+    val e = keys.withColumn("nxt", col("k") + 1)
+      .filter(col("k") % 97 =!= 0)
+      .join(keys.select(col("k").as("nxt")), Seq("nxt"), "left_semi")
+      .select(col("k").as("src"), col("nxt").as("dst"))
+    wcc(e, rounds = 8)
+      .groupBy(col("p").as("component"))
+      .agg(count(lit(1)).as("size"),
+        min("node").as("lo"), max("node").as("hi"))
+      .orderBy("component")
+  }
+
   /** Registered query: neighborhood Jaccard over the part
     * attribute-affinity graph, strongest pairs first.
     */

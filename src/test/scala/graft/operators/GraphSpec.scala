@@ -162,6 +162,51 @@ class GraphSpec extends SparkTestBase {
     assert(ms === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("wcc pointer doubling: exact components via union-find on a long " +
+      "path + hand graphs; doubling closes distance 2^r, plain prop r") {
+    import spark.implicits._
+    // hand graph: path 1..40 plus a separate triangle {100,101,102} and
+    // an isolated edge (200,201)
+    val edges = ((1L to 39L).map(k => (k, k + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("src", "dst")
+    // 6 rounds reach 2^6 = 64 > 39: exact convergence
+    val p = Graph.wcc(edges, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 40L).foreach(k => assert(p(k) == 1L, s"path node $k"))
+    Seq(100L, 101L, 102L).foreach(k => assert(p(k) == 100L))
+    assert(p(200L) == 200L && p(201L) == 200L)
+    // 3 rounds are NOT enough for plain propagation on a 39-hop path,
+    // but doubling already labels everything within 2^3 = 8 hops of 1
+    val p3 = Graph.wcc(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3(9L) == 1L, "doubling must reach 8 hops in 3 rounds")
+    // registered query: components equal brute-force union-find
+    val keys = graft.Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+    val ks = keys.toSet
+    val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      r
+    }
+    keys.filter(k => k % 97 != 0 && ks(k + 1)).foreach { k =>
+      val (a, b) = (find(k), find(k + 1))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    // edge-list contract: keys with no incident edge (e.g. key 0 at
+    // sf0.001 — 0 % 97 == 0 and no predecessor) are out of frame
+    val hasEdge = keys.filter(k =>
+      (k % 97 != 0 && ks(k + 1)) || ((k - 1) % 97 != 0 && ks(k - 1))).toSet
+    val expect = keys.filter(hasEdge).groupBy(find).map { case (_, ms) =>
+      ms.min -> (ms.length.toLong, ms.min, ms.max)
+    }
+    val got = Graph.graphWcc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
