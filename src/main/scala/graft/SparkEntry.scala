@@ -198,6 +198,7 @@ object SparkEntry {
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
+    "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
@@ -3543,6 +3544,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
         |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
         |FROM e ORDER BY doc_id, frame_id""".stripMargin,
+    // closed-form channel-0 samples against the engine's interpolated
+    // fixed-point DFT basis (Wav.stftTableSql) — integer-exact powers
+    "mm_stft_power" ->
+      s"""WITH d AS (SELECT doc_id, doc_id AS seed,
+         |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+         |  FROM documents),
+         |tbl(k, i, c, s) AS (VALUES ${graft.operators.Wav.stftTableSql}),
+         |f AS (SELECT doc_id, g.f AS frame_id, seed, ch
+         |  FROM d, LATERAL (SELECT unnest(range(0, (nf - 16) // 8 + 1)) AS f) g),
+         |r AS (SELECT doc_id, frame_id, t.k,
+         |    SUM((((seed * 13 + (frame_id * 8 + t.i) * ch * 29) % 65536)
+         |      - 32768) * t.c) AS re,
+         |    SUM((((seed * 13 + (frame_id * 8 + t.i) * ch * 29) % 65536)
+         |      - 32768) * t.s) AS im
+         |  FROM f, tbl t GROUP BY doc_id, frame_id, t.k),
+         |p AS (SELECT doc_id, k AS bin, SUM(re * re + im * im) AS power,
+         |    COUNT(*) AS n_frames
+         |  FROM r GROUP BY doc_id, k)
+         |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(power AS BIGINT) AS power,
+         |  CAST(n_frames AS BIGINT) AS n_frames
+         |FROM p ORDER BY doc_id, bin""".stripMargin,
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
         |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)

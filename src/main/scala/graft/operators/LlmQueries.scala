@@ -580,6 +580,21 @@ object LlmQueries {
     Wav.wavFrames(media).toDF().orderBy("doc_id", "frame_id")
   }
 
+  /** The spectral leg over the same WAV fixtures ([[Wav.stftPower]]):
+    * per-doc per-bin DFT power totals, integer-exact end to end — the
+    * oracle replays the closed-form samples against the interpolated
+    * fixed-point basis tables, so any framing, channel-stride, or
+    * window mistake changes a bin total.
+    */
+  def mmStftPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.stftPower(media).toDF().orderBy("doc_id", "bin")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

@@ -144,6 +144,72 @@ object Wav {
     }
   }
 
+  case class StftRow(doc_id: Long, bin: Int, power: Long, n_frames: Long)
+
+  /** Fixed-point DFT basis for [[stftPower]]: `C(k)(i) =
+    * round(cos(2πki/16)·256)`, `S(k)(i) = round(sin(2πki/16)·256)`,
+    * k ∈ 0..7, i ∈ 0..15 — the [[Multimodal.DctT]] discipline
+    * (StrictMath pins the table bit-for-bit on any JVM;
+    * [[stftTableSql]] hands the SAME integers to an external oracle, so
+    * the whole transform is integer-exact end to end).
+    */
+  private[graft] val StftC: Array[Array[Long]] =
+    Array.tabulate(8, 16)((k, i) =>
+      math.round(StrictMath.cos(2.0 * StrictMath.PI * k * i / 16.0) * 256))
+  private[graft] val StftS: Array[Array[Long]] =
+    Array.tabulate(8, 16)((k, i) =>
+      math.round(StrictMath.sin(2.0 * StrictMath.PI * k * i / 16.0) * 256))
+
+  /** The basis as a SQL VALUES list `(k, i, c, s)` for the oracle. */
+  def stftTableSql: String =
+    (for (k <- 0 until 8; i <- 0 until 16)
+      yield s"($k, $i, ${StftC(k)(i)}, ${StftS(k)(i)})").mkString(", ")
+
+  /** mm_stft_power — the SPECTRAL audio feature over the decoded PCM:
+    * per overlapping 16-sample frame (hop 8, the [[wavFrames]] layout)
+    * an 8-bin DFT power spectrum `|Σ sᵢ·e^{-2πjki/16}|²` in fixed-point
+    * integer arithmetic — re/im are exact Longs (|s| ≤ 2¹⁵, |basis| ≤
+    * 2⁸, 16 taps ⇒ |re| ≤ 2²⁷), power = re² + im² exact, and the
+    * per-doc per-bin totals (the spectral energy profile every audio
+    * classifier starts from) accumulate INSIDE the decode pass — each
+    * payload is one row, so the whole spectrogram aggregates row-local
+    * with no shuffle at any corpus size.
+    */
+  def stftPower(media: Dataset[Multimodal.MediaRow], frameLen: Int = 16,
+                hop: Int = 8, bins: Int = 8): Dataset[StftRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).iterator.flatMap { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          val nF = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+          val power = new Array[Long](bins)
+          var f = 0
+          while (f < nF) {
+            var k = 0
+            while (k < bins) {
+              var re = 0L
+              var im = 0L
+              var i = 0
+              while (i < frameLen) {
+                val s = sample(r.data, info, (f * hop + i) * ch) // channel 0
+                re += s * StftC(k)(i)
+                im += s * StftS(k)(i)
+                i += 1
+              }
+              power(k) += re * re + im * im
+              k += 1
+            }
+            f += 1
+          }
+          (0 until bins).iterator.map(k =>
+            StftRow(r.doc_id, k, power(k), nF.toLong))
+        }
+      }
+    }
+  }
+
   /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
     * must actually skip unknown chunks) + data.
     */

@@ -98,4 +98,50 @@ class WavSpec extends SparkTestBase {
       Wav.decodeHeader(mut) // refuse or parse, never crash
     }
   }
+
+  test("stft power equals the brute-force fixed-point DFT per doc/bin; " +
+      "DC bin is the squared scaled frame sum; constant signal " +
+      "concentrates in DC") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = spark.range(0, 12).select(col("id").as("doc_id"))
+    val media = Wav.wavMedia(ids, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val got = Wav.stftPower(media).collect()
+      .map(r => (r.doc_id, r.bin) -> (r.power, r.n_frames)).toMap
+    (0L until 12L).foreach { seed =>
+      val ch = (1 + seed % 2).toInt
+      val n = (200 + seed % 50).toInt
+      val nF = (n - 16) / 8 + 1
+      def samp(idx: Int): Long =
+        ((seed * 13 + idx.toLong * ch * 29) % 65536) - 32768
+      for (k <- 0 until 8) {
+        var power = 0L
+        for (f <- 0 until nF) {
+          var re = 0L; var im = 0L
+          for (i <- 0 until 16) {
+            val s = samp(f * 8 + i)
+            re += s * Wav.StftC(k)(i)
+            im += s * Wav.StftS(k)(i)
+          }
+          power += re * re + im * im
+          // DC law inside the loop: bin 0 is (256 * frame sum)^2
+          if (k == 0) {
+            var fs = 0L
+            for (i <- 0 until 16) fs += samp(f * 8 + i)
+            assert(re == 256 * fs && im == 0)
+          }
+        }
+        assert(got((seed, k)) == ((power, nF.toLong)), s"doc $seed bin $k")
+      }
+    }
+    // constant PCM concentrates (near-)everything in the DC bin: the
+    // rounded basis rows are not EXACTLY zero-sum, so compare mass
+    val const = Wav.encodePcm16(1, 8000, Array.fill[Short](128)(1000))
+    val one = Seq((99L, const, "audio/wav", const.length.toLong))
+      .toDF("doc_id", "data", "mime", "n_bytes").as[Multimodal.MediaRow]
+    val bins = Wav.stftPower(one).collect().map(r => r.bin -> r.power).toMap
+    assert(bins(0) > 100L * (1 until 8).map(bins(_)).max)
+  }
 }
