@@ -227,6 +227,7 @@ object SparkEntry {
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
+    "prep_chunk"            -> (LlmQueries.prepChunk _),
     "prep_shuffle"          -> (LlmQueries.prepShuffle _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
@@ -254,6 +255,7 @@ object SparkEntry {
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
     "q53_mode"              -> (Analytics.modePerGroup _),
+    "q54_merge_all"         -> (Queries.q54 _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
@@ -2208,6 +2210,23 @@ object SparkEntry {
         |  CAST((ROW_NUMBER() OVER (PARTITION BY source
         |          ORDER BY hv % 64, hv, doc_id) - 1) % 5 AS BIGINT) AS fold
         |FROM h ORDER BY doc_id""".stripMargin,
+    // same slices, same md5 content fingerprints — geometry AND content
+    "prep_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, n, g.c
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS c) g
+        |  WHERE n >= 1)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |  CAST(LEAST(32, n - c * 24) AS INT) AS n_tokens,
+        |  md5(array_to_string(
+        |    list_slice(tk, CAST(c * 24 + 1 AS INT),
+        |      CAST(LEAST(c * 24 + 32, n) AS INT)), ' ')) AS fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "prep_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -4185,6 +4204,37 @@ object SparkEntry {
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
     // exact mode: integer counts, (n DESC, v ASC) rank, share of total
+    // the identical branch CASE over a full-outer join, ANSI clause
+    // order (delete evaluated before update on matched rows)
+    "q54_merge_all" ->
+      """WITH e AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat,
+        |    ROUND(c_acctbal, 2) AS bal
+        |  FROM customer),
+        |s AS (
+        |  SELECT k, nat, ROUND(bal - 2500, 2) AS bal FROM e WHERE k % 7 < 3
+        |  UNION ALL
+        |  SELECT k + 1000000, nat, bal FROM e WHERE k % 11 = 0),
+        |j AS (
+        |  SELECT e.k AS ek, e.nat AS enat, e.bal AS ebal,
+        |         s.k AS sk, s.nat AS snat, s.bal AS sbal
+        |  FROM e FULL OUTER JOIN s ON e.k = s.k),
+        |a AS (
+        |  SELECT *,
+        |    CASE WHEN ek IS NOT NULL AND sk IS NOT NULL AND sbal < 0
+        |           THEN NULL
+        |         WHEN ek IS NOT NULL AND sk IS NOT NULL AND sbal >= 0
+        |           THEN 'U'
+        |         WHEN ek IS NOT NULL AND sk IS NOT NULL THEN 'K'
+        |         WHEN ek IS NULL THEN 'I'
+        |         WHEN sk IS NULL AND enat = 3 THEN NULL
+        |         ELSE 'K' END AS action
+        |  FROM j)
+        |SELECT CASE WHEN action IN ('I', 'U') THEN sk ELSE ek END AS k,
+        |  CASE WHEN action IN ('I', 'U') THEN snat ELSE enat END AS nat,
+        |  CASE WHEN action IN ('I', 'U') THEN sbal ELSE ebal END AS bal,
+        |  action
+        |FROM a WHERE action IS NOT NULL ORDER BY k""".stripMargin,
     "q53_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,

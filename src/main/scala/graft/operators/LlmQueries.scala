@@ -1430,6 +1430,13 @@ object LlmQueries {
     Prep.packSequences(docs(s, dir), "doc_id", "text", budget = 1024)
       .orderBy("doc_id")
 
+  /** Overlapping token-window chunking ([[Prep.chunkDocs]]) with content
+    * fingerprints the oracle recomputes from the same slices.
+    */
+  def prepChunk(s: SparkSession, dir: String): DataFrame =
+    Prep.chunkDocs(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_id")
+
   /** Seeded deterministic corpus shuffle ([[Prep.shuffleOrder]]): the
     * exact global permutation position of every document under the
     * md5(id:seed) order, via the two-level prefix sum — reproducible in

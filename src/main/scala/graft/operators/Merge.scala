@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** Stage→final merge — the reference's declared step 3: "run a query that
   * will join the stage table with the existing table and overwrite"
@@ -46,6 +46,55 @@ object Merge {
     val s = stage.as("s")
     val cond = keys.map(k => col(s"e.$k") === col(s"s.$k")).reduce(_ && _)
     e.join(s, cond, "left_anti").unionByName(stage)
+  }
+
+  /** Full ANSI MERGE semantics (SQL:2003 MERGE + the 2023-era NOT
+    * MATCHED BY SOURCE extension every lakehouse engine ships) in ONE
+    * relational pass: a single key-partitioned full-outer join, with
+    * every WHEN branch a row-local CASE over the two sides —
+    *
+    *   - WHEN MATCHED AND `updateWhen`  → take the source row
+    *   - WHEN MATCHED AND `deleteWhen`  → drop the row
+    *   - WHEN MATCHED (else)            → keep the existing row
+    *   - WHEN NOT MATCHED               → insert the source row
+    *   - WHEN NOT MATCHED BY SOURCE AND `deleteUnmatchedWhen` → drop
+    *   - WHEN NOT MATCHED BY SOURCE (else) → keep
+    *
+    * Branch conditions are SQL over the aliases `e.*` / `s.*` and are
+    * evaluated in ANSI MERGE order (delete wins over update when both
+    * fire — the standard's first-matching-clause rule, made explicit
+    * here by evaluating `deleteWhen` first). One shuffle on the key,
+    * no second pass, no driver state; the output carries an `action`
+    * column (`U`/`I`/`K`) so downstream audit is free.
+    */
+  def mergeAll(existing: DataFrame, source: DataFrame, keys: Seq[String],
+               updateWhen: String, deleteWhen: String,
+               deleteUnmatchedWhen: String): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(existing.columns.sameElements(source.columns),
+      s"schema mismatch: ${existing.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    val e = existing.as("e")
+    val s = source.as("s")
+    val cond = keys.map(k => col(s"e.$k") === col(s"s.$k")).reduce(_ && _)
+    val matched = col(s"s.${keys.head}").isNotNull &&
+      col(s"e.${keys.head}").isNotNull
+    val sourceOnly = col(s"e.${keys.head}").isNull
+    val existingOnly = col(s"s.${keys.head}").isNull
+    val keep =
+      when(matched && expr(deleteWhen), lit(null).cast("string"))
+        .when(matched && expr(updateWhen), lit("U"))
+        .when(matched, lit("K"))
+        .when(sourceOnly, lit("I"))
+        .when(existingOnly && expr(deleteUnmatchedWhen),
+          lit(null).cast("string"))
+        .otherwise(lit("K"))
+    val takeSource = col("action") === "I" || col("action") === "U"
+    val cols = existing.columns.map(c =>
+      when(takeSource, col(s"s.$c")).otherwise(col(s"e.$c")).as(c))
+    e.join(s, cond, "full_outer")
+      .withColumn("action", keep)
+      .filter(col("action").isNotNull)
+      .select(cols.toIndexedSeq :+ col("action"): _*)
   }
 
   /** CDC apply: a change feed with per-row operations (I/U upsert, D

@@ -360,6 +360,35 @@ object Prep {
           lit(0L), (a, x) => a + x) + 1L).as("stage"))
   }
 
+  /** prep_chunk — overlapping token-window chunking (the RAG/embedding
+    * ingestion step: every retrieval pipeline slices documents into
+    * fixed-size windows with overlap so boundary sentences land in two
+    * chunks): chunk c of a doc covers tokens `[c·stride, c·stride +
+    * size)`, the final window truncating at the document end, and every
+    * doc emits at least one chunk. Each chunk carries its exact token
+    * count and an md5 content fingerprint (the portable-hash rule), so
+    * the oracle verifies CONTENT, not just geometry.
+    *
+    * Scale: split + a row-local `transform`/`explode` — chunks stream
+    * out of the scan stage, nothing shuffles, output is linear in
+    * corpus tokens regardless of document skew.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 1)
+      .withColumn("c", explode(expr(
+        s"""sequence(0, CASE WHEN n <= $chunkSize THEN 0
+           |  ELSE (n - $chunkSize + $stride - 1) div $stride END)"""
+          .stripMargin)))
+      .select(col(idCol), col("c").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("n") - col("c") * stride)
+          .cast("int").as("n_tokens"),
+        md5(concat_ws(" ", expr(
+          s"slice(tk, c * $stride + 1, " +
+            s"least($chunkSize, n - c * $stride))"))).as("fp"))
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, blockSize: Long = 4096L): DataFrame = {
     val toks = docs.select(col(idCol),

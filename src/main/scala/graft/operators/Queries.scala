@@ -645,6 +645,30 @@ object Queries {
         |SELECT node AS p, MAX(depth) AS depth, MAX(path_sum) AS path_sum
         |FROM chain GROUP BY node ORDER BY p""".stripMargin)
   }
+
+  /** Q54 — full ANSI MERGE, all five branch shapes in one statement
+    * ([[Merge.mergeAll]]): matched-and-condition DELETE (negative staged
+    * balances purge), matched UPDATE (everything else staged wins),
+    * NOT MATCHED INSERT (new keys), NOT MATCHED BY SOURCE conditional
+    * DELETE (one nation's untouched rows purge), NOT MATCHED BY SOURCE
+    * keep. The staged side derives deterministically from the base
+    * table so the oracle replays the identical CASE over a full-outer
+    * join.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "customer").select(
+      col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+      round(col("c_acctbal"), 2).as("bal"))
+    val src = e.filter(col("k") % 7 < 3)
+      .select(col("k"), col("nat"), round(col("bal") - lit(2500), 2).as("bal"))
+      .unionByName(e.filter(col("k") % 11 === 0)
+        .select((col("k") + 1000000).as("k"), col("nat"), col("bal")))
+    Merge.mergeAll(e, src, Seq("k"),
+        updateWhen = "s.bal >= 0",
+        deleteWhen = "s.bal < 0",
+        deleteUnmatchedWhen = "e.nat = 3")
+      .orderBy("k")
+  }
 }
 
 /** Array/vector helpers — no UDF, no serialization boundary (SURVEY §2.B

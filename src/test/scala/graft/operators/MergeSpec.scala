@@ -97,4 +97,36 @@ class MergeSpec extends SparkTestBase {
     assert(got == Map(1L -> Some("a"), 2L -> None),
       "NULL-bearing update must not resurrect the existing value")
   }
+
+  test("mergeAll: all five ANSI branches fire; delete precedes update " +
+      "on matched rows; schema mismatch refuses") {
+    import spark.implicits._
+    val e = Seq((1L, 3L, 10.0), (2L, 3L, 20.0), (3L, 5L, 30.0),
+      (4L, 5L, -1.0)).toDF("k", "nat", "bal")
+    val s4 = Seq((2L, 5L, 99.0),   // matched, bal >= 0 -> UPDATE
+      (4L, 5L, -50.0),             // matched, bal < 0  -> DELETE
+      (9L, 7L, 7.0))               // unmatched          -> INSERT
+      .toDF("k", "nat", "bal")
+    // not matched by source: k=1 (nat 3 -> DELETE), k=3 (nat 5 -> KEEP)
+    val got = Merge.mergeAll(e, s4, Seq("k"),
+        updateWhen = "s.bal >= 0", deleteWhen = "s.bal < 0",
+        deleteUnmatchedWhen = "e.nat = 3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    assert(got == Map(
+      2L -> ((5L, 99.0, "U")),
+      3L -> ((5L, 30.0, "K")),
+      9L -> ((7L, 7.0, "I"))))
+    // ANSI clause order: when BOTH delete and update conditions hold,
+    // the delete clause (evaluated first) wins
+    val both = Merge.mergeAll(e, s4, Seq("k"),
+      updateWhen = "true", deleteWhen = "s.bal < 0",
+      deleteUnmatchedWhen = "false")
+    assert(!both.collect().map(_.getLong(0)).contains(4L),
+      "delete clause must precede update")
+    intercept[IllegalArgumentException] {
+      Merge.mergeAll(e, s4.select("k", "bal", "nat"), Seq("k"),
+        "true", "false", "false")
+    }
+  }
 }

@@ -219,4 +219,39 @@ class PrepSpec extends SparkTestBase {
     assert(rows.count { case (id, pos) => other(id) == pos } < 100,
       "seeds 7 and 8 must not share the permutation")
   }
+
+  test("chunkDocs: every token covered, interior chunks overlap by " +
+      "size - stride, content fingerprints recompute, short docs emit " +
+      "one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),  // 100 tokens
+      (2L, "only three tokens"),                         // < size
+      (3L, (1 to 32).map(i => s"u$i").mkString(" ")),    // exactly size
+      (4L, (1 to 33).map(i => s"v$i").mkString(" ")))    // size + 1
+      .toDF("doc_id", "text")
+    val got = Prep.chunkDocs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    // chunk counts: ceil((100-32)/24)+1 = 4; 1; 1; 2
+    assert(byDoc(1L).length == 4 && byDoc(2L).length == 1 &&
+      byDoc(3L).length == 1 && byDoc(4L).length == 2)
+    // coverage + geometry + content on the 100-token doc
+    val toks = (1 to 100).map(i => s"t$i")
+    byDoc(1L).sortBy(_._2).foreach { case (_, c, n, fp) =>
+      val from = (c * 24).toInt
+      val expect = toks.slice(from, from + 32)
+      assert(n == expect.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expect.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == md, s"chunk $c fingerprint")
+    }
+    // last chunk reaches the final token
+    val lastFrom = (byDoc(1L).map(_._2).max * 24).toInt
+    assert(lastFrom + byDoc(1L).maxBy(_._2)._3 == 100)
+    // single-chunk docs carry their full token count
+    assert(byDoc(2L).head._3 == 3 && byDoc(3L).head._3 == 32)
+  }
 }
