@@ -250,6 +250,7 @@ object SparkEntry {
     "graph_wcc"             -> (Graph.graphWcc _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
+    "ml_ridge"              -> (Regression.mlRidge _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
@@ -3957,6 +3958,40 @@ object SparkEntry {
          |SELECT l_returnflag,
          |  $fit
          |FROM st ORDER BY l_returnflag""".stripMargin
+    },
+    // same stats CTE; lambda added to the slope diagonal before the
+    // identical Cramer solve (Regression.RidgeLambda, intercept free)
+    "ml_ridge" -> {
+      val fit = Regression.fitSql
+        .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
+      val lam = Regression.RidgeLambda
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         |    CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         |    CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         |    CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM v GROUP BY l_returnflag),
+         |str AS (
+         |  SELECT l_returnflag, n, s1, s2, sy, s11 + $lam AS s11, s12,
+         |    s22 + $lam AS s22, s1y, s2y, syy
+         |  FROM st),
+         |ols AS (SELECT l_returnflag, $fit FROM st),
+         |rid AS (SELECT l_returnflag, $fit FROM str)
+         |SELECT o.l_returnflag, o.beta1 AS b1_ols, o.beta2 AS b2_ols,
+         |  r.beta0 AS b0_ridge, r.beta1 AS b1_ridge, r.beta2 AS b2_ridge
+         |FROM ols o JOIN rid r USING (l_returnflag)
+         |ORDER BY o.l_returnflag""".stripMargin
     },
     // Unrolled 3-round min-plus BFS over the DISTINCT directed trade
     // edges — the engine's full-outer merge recurrence verbatim.

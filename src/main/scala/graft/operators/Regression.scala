@@ -62,15 +62,15 @@ object Regression {
       "n" -> "CAST(n AS BIGINT)")
   }
 
-  /** Per-group OLS with intercept over two regressors: one aggregate
-    * pass, then the row-local Cramer solve.
+  /** The sufficient-statistics aggregate behind [[olsTwoFeature]] and
+    * [[mlRidge]]: ONE map-side-combined pass in the INPUT type (exact
+    * long arithmetic for integer-typed callers — the determinism
+    * contract above); the cast to double happens on the FINISHED
+    * statistics, after the last partial merge, mirroring the oracle's
+    * CAST(SUM(..) AS DOUBLE).
     */
-  def olsTwoFeature(df: DataFrame, groupCol: String, x1: Column, x2: Column,
-                    y: Column): DataFrame = {
-    // Sums aggregate in the INPUT type (exact long arithmetic for
-    // integer-typed callers — the determinism contract above); the cast
-    // to double happens on the FINISHED statistics, after the last
-    // partial merge, mirroring the oracle's CAST(SUM(..) AS DOUBLE).
+  private[graft] def suffStats(df: DataFrame, groupCol: String, x1: Column,
+                               x2: Column, y: Column): DataFrame = {
     val raw = df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
@@ -85,11 +85,22 @@ object Regression {
         sum(y * y).as("syy"))
     val statCols = Seq("n", "s1", "s2", "sy", "s11", "s12", "s22",
       "s1y", "s2y", "syy")
-    val s = raw.select(
+    raw.select(
       col(groupCol) +: statCols.map(c => col(c).cast("double").as(c)): _*)
-    s.select(col(groupCol) +: fitSql.map { case (name, sql) =>
-      expr(sql).as(name) }: _*)
   }
+
+  /** The row-local Cramer solve over a sufficient-statistics frame. */
+  private[graft] def fitFromStats(stats: DataFrame,
+                                  groupCol: String): DataFrame =
+    stats.select(col(groupCol) +: fitSql.map { case (name, sql) =>
+      expr(sql).as(name) }: _*)
+
+  /** Per-group OLS with intercept over two regressors: one aggregate
+    * pass, then the row-local Cramer solve.
+    */
+  def olsTwoFeature(df: DataFrame, groupCol: String, x1: Column, x2: Column,
+                    y: Column): DataFrame =
+    fitFromStats(suffStats(df, groupCol, x1, x2, y), groupCol)
 
   /** Registered query: whole-dollar price regressed on quantity and
     * discount-in-cents per return flag. The columns stay LONG into the
@@ -307,6 +318,42 @@ object Regression {
        |${rounds.mkString(",\n")}
        |${selects.mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+  }
+
+  /** The ridge penalty added to the slope diagonal (intercept
+    * unpenalized — the standard parameterization); shared with the
+    * oracle as a literal.
+    */
+  private[graft] val RidgeLambda: Double = 5.0e7
+
+  /** ml_ridge — closed-form RIDGE regression beside [[mlLinReg]]'s OLS:
+    * the same one-pass sufficient statistics, with λ added to the slope
+    * diagonal of the normal system (`s11 + λ`, `s22 + λ` — the
+    * intercept row/column untouched, so only the slopes shrink) before
+    * the identical Cramer solve. This is the L2-regularized fit every
+    * production regression uses when features correlate or groups run
+    * small, and it costs NOTHING beyond OLS at 100 TB: the fact table
+    * is still touched once, and both fits solve row-locally off the
+    * same 3-row statistics frame. Output compares the two fits per
+    * group — the shrinkage is the point.
+    */
+  def mlRidge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val stats = suffStats(li, "l_returnflag",
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      round(col("l_extendedprice")).cast("long"))
+      .localCheckpoint(true) // 3 rows; feeds both solves
+    val ridgeStats = stats
+      .withColumn("s11", col("s11") + lit(RidgeLambda))
+      .withColumn("s22", col("s22") + lit(RidgeLambda))
+    val ols = fitFromStats(stats, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("beta1").as("b1_ols"), col("beta2").as("b2_ols"))
+    val ridge = fitFromStats(ridgeStats, "l_returnflag")
+      .select(col("l_returnflag"), col("beta0").as("b0_ridge"),
+        col("beta1").as("b1_ridge"), col("beta2").as("b2_ridge"))
+    ols.join(ridge, "l_returnflag").orderBy("l_returnflag")
   }
 
   /** ml_tree_depth2 — an exact depth-2 regression CART: the best root

@@ -69,4 +69,60 @@ class RegressionSpec extends SparkTestBase {
     val total = graft.Tables.load(spark, sfDir, "lineitem").count()
     assert(rows.map(_.getLong(5)).sum === total)
   }
+
+  test("ridge: equals the direct penalized normal-equation solve; " +
+      "lambda = 0 reduces to OLS; slope norm shrinks") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val stats = Regression.suffStats(li, "l_returnflag",
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"),
+      round(col("l_extendedprice")).cast("long"))
+    // brute-force: solve (X'X + lambda*diag(0,1,1)) b = X'y per group
+    def solve3(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+      val a = m.map(_.clone); val b = v.clone
+      for (i <- 0 until 3) {
+        val p = (i until 3).maxBy(r => math.abs(a(r)(i)))
+        val (ti, tb) = (a(i), b(i)); a(i) = a(p); a(p) = ti
+        b(i) = b(p); b(p) = tb
+        for (r <- 0 until 3 if r != i) {
+          val f = a(r)(i) / a(i)(i)
+          for (c <- 0 until 3) a(r)(c) -= f * a(i)(c)
+          b(r) -= f * b(i)
+        }
+      }
+      Array.tabulate(3)(i => b(i) / a(i)(i))
+    }
+    val lam = Regression.RidgeLambda
+    val expect = stats.collect().map { r =>
+      def d(c: String) = r.getDouble(r.fieldIndex(c))
+      val m = Array(
+        Array(d("n"), d("s1"), d("s2")),
+        Array(d("s1"), d("s11") + lam, d("s12")),
+        Array(d("s2"), d("s12"), d("s22") + lam))
+      val bb = solve3(m, Array(d("sy"), d("s1y"), d("s2y")))
+      r.getString(0) -> bb
+    }.toMap
+    val got = Regression.mlRidge(spark, sfDir).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(r.getDouble(3) - expect(g)(0)) < 1e-4, s"$g b0")
+      assert(math.abs(r.getDouble(4) - expect(g)(1)) < 1e-6, s"$g b1")
+      assert(math.abs(r.getDouble(5) - expect(g)(2)) < 1e-6, s"$g b2")
+      // penalized slope norm never exceeds the OLS slope norm
+      val olsN = r.getDouble(1) * r.getDouble(1) +
+        r.getDouble(2) * r.getDouble(2)
+      val ridN = r.getDouble(4) * r.getDouble(4) +
+        r.getDouble(5) * r.getDouble(5)
+      assert(ridN <= olsN + 1e-12, s"$g slope norm must shrink")
+    }
+    // lambda = 0 through the same path IS the OLS fit
+    val viaZero = Regression.fitFromStats(stats, "l_returnflag")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val ols = Regression.mlLinReg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(viaZero == ols)
+  }
 }
