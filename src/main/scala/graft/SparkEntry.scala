@@ -150,6 +150,7 @@ object SparkEntry {
     "text_zipf"             -> (LlmQueries.textZipf _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
+    "text_url_canon"        -> (LlmQueries.textUrlCanon _),
     "graph_kcore"           -> (Graph.graphKCore _),
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
@@ -1350,6 +1351,50 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents) t
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    // identical RFC 3986 normalization pipeline: same regex groups, same
+    // default-port/fragment/utm rules, same param sort
+    "text_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'hTtPs' END)
+        |    || '://ExAmPle-' || CAST(doc_id % 7 AS VARCHAR) || '.CoM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ''
+        |             ELSE '/Path/' || CAST(doc_id % 11 AS VARCHAR) END)
+        |    || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '&utm_source=x&a=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS host,
+        |    regexp_extract(url,
+        |      '^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS port,
+        |    regexp_extract(url,
+        |      '^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS path,
+        |    regexp_extract(url,
+        |      '^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 5) AS q
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host
+        |    || (CASE WHEN (scheme = 'http' AND port = ':80')
+        |               OR (scheme = 'https' AND port = ':443') THEN ''
+        |             ELSE port END)
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+        |             ELSE '' END) AS canon
+        |  FROM (SELECT *,
+        |          list_sort(list_filter(string_split(substring(q, 2), '&'),
+        |            x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS ps
+        |        FROM p))
+        |SELECT doc_id, canon,
+        |  COUNT(*) OVER (PARTITION BY canon) AS n_dupes
+        |FROM c ORDER BY doc_id""".stripMargin,
     // exact 2x2 contingency per bigram; margins from the bigram table;
     // the chi2 expression is the identical IEEE product chain
     "text_chi2" ->

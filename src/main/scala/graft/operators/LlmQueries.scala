@@ -324,6 +324,32 @@ object LlmQueries {
   def textChi2(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chi2TopK(docs(s, dir), "doc_id", "text")
 
+  /** URL canonicalization over id-derived messy URLs (mixed case,
+    * default and non-default ports, empty paths, unsorted + tracking
+    * params, fragments — every RFC 3986 normalization rule fires
+    * somewhere in the corpus); `n_dupes` counts how many docs collapse
+    * onto each canonical key, the dedup the operator exists for.
+    */
+  def textUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val raw = expr(
+      """concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'hTtPs' END,
+        |  '://ExAmPle-', CAST(doc_id % 7 AS STRING), '.CoM',
+        |  CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |       WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END,
+        |  CASE WHEN doc_id % 4 = 0 THEN ''
+        |       ELSE concat('/Path/', CAST(doc_id % 11 AS STRING)) END,
+        |  '?b=', CAST(doc_id % 5 AS STRING),
+        |  '&utm_source=x&a=', CAST(doc_id % 3 AS STRING),
+        |  CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)""".stripMargin)
+    val canon = TextAnalysis.urlCanon(
+      docs(s, dir).select(col("doc_id"), raw.as("url")), "doc_id", "url")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+    canon.select(col("doc_id"), col("canon"),
+        count(lit(1)).over(w).as("n_dupes"))
+      .orderBy("doc_id")
+  }
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

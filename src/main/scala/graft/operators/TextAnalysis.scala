@@ -426,6 +426,41 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** URL canonicalization — the web-corpus dedup precursor (every crawl
+    * pipeline normalizes URLs before keying anything on them; RFC 3986
+    * §6 calls this syntax-based normalization): lowercase scheme+host,
+    * strip the scheme's default port, resolve an empty path to `/`,
+    * drop the fragment, drop `utm_*` tracking parameters, and SORT the
+    * surviving query parameters — so `HTTP://A.COM:80/p?b=2&a=1#x` and
+    * `http://a.com/p?a=1&b=2` key identically. Pure row-local string
+    * expressions (regex split + array filter/sort), fully codegen'd,
+    * no shuffle.
+    */
+  def urlCanon(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val pat = "^([a-zA-Z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    df.select(col(idCol), col(urlCol),
+        lower(regexp_extract(col(urlCol), pat, 1)).as("scheme"),
+        lower(regexp_extract(col(urlCol), pat, 2)).as("host"),
+        regexp_extract(col(urlCol), pat, 3).as("port"),
+        regexp_extract(col(urlCol), pat, 4).as("path"),
+        regexp_extract(col(urlCol), pat, 5).as("q"))
+      .withColumn("port2", when(
+        (col("scheme") === "http" && col("port") === ":80") ||
+          (col("scheme") === "https" && col("port") === ":443"), lit(""))
+        .otherwise(col("port")))
+      .withColumn("path2",
+        when(col("path") === "", lit("/")).otherwise(col("path")))
+      .withColumn("params", expr(
+        "array_sort(filter(split(substring(q, 2), '&'), " +
+          "x -> x != '' AND NOT startswith(x, 'utm_')))"))
+      .withColumn("qs", when(size(col("params")) > 0,
+          concat(lit("?"), concat_ws("&", col("params"))))
+        .otherwise(lit("")))
+      .select(col(idCol),
+        concat(col("scheme"), lit("://"), col("host"), col("port2"),
+          col("path2"), col("qs")).as("canon"))
+  }
+
   /** Collocation mining by Pearson's χ² — the EXACT-arithmetic sibling
     * of [[pmiTopK]] (Manning & Schütze §5.3: χ² is the standard
     * significance-backed association score where PMI over-rewards rare

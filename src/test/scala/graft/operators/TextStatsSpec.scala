@@ -372,4 +372,30 @@ class TextStatsSpec extends SparkTestBase {
       .agg(sum("n_fp").cast("double") / sum("n_grams")).head().getDouble(0)
     assert(stats > 0.25 && stats < 0.55, s"corpus density $stats")
   }
+
+  test("urlCanon: every RFC 3986 rule — case, default ports, empty path, " +
+      "fragment, utm params, sort — plus equivalence and idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "HTTP://A.COM:80/p?b=2&a=1#x", "http://a.com/p?a=1&b=2"),
+      (2L, "http://a.com/p?a=1&b=2", "http://a.com/p?a=1&b=2"),   // same key
+      (3L, "HTTPS://B.Org:443/", "https://b.org/"),
+      (4L, "https://b.org:8443/", "https://b.org:8443/"),         // kept port
+      (5L, "http://c.net", "http://c.net/"),                      // empty path
+      (6L, "http://c.net?utm_source=x&utm_medium=y", "http://c.net/"),
+      (7L, "ftp://D.host:21/f", "ftp://d.host:21/f"),             // non-http port kept
+      (8L, "http://e.io/q?z=9", "http://e.io/q?z=9"))
+    val got = TextAnalysis.urlCanon(
+        cases.map(c => (c._1, c._2)).toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id: ${got(id)}")
+    }
+    assert(got(1L) == got(2L), "equivalent spellings must share the key")
+    // idempotent: canonicalizing the canonical form is a no-op
+    val twice = TextAnalysis.urlCanon(
+        cases.map(c => (c._1, got(c._1))).toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+  }
 }
