@@ -152,6 +152,7 @@ object SparkEntry {
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
     "text_url_canon"        -> (LlmQueries.textUrlCanon _),
+    "text_rake"             -> (LlmQueries.textRake _),
     "graph_kcore"           -> (Graph.graphKCore _),
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
@@ -1403,6 +1404,43 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents) t
         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    // RAKE with exact integer micro-unit word scores (deg*1e6 div freq);
+    // ranking on the exact integer, the double is display-only
+    "text_rake" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, g.i AS pos, tk[g.i] AS tok,
+        |    tk[g.i] IN ('the', 'a', 'small', 'big', 'fast', 'slow')
+        |      AS is_stop
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) g),
+        |ph AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |  FROM tok),
+        |phr AS MATERIALIZED (
+        |  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM ph WHERE NOT is_stop GROUP BY doc_id, pid),
+        |st AS (
+        |  SELECT w.w, COUNT(*) AS freq, SUM(w.len) AS deg
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len
+        |        FROM phr) w
+        |  GROUP BY w.w),
+        |sw AS (SELECT w, (deg * 1000000) // freq AS sw FROM st),
+        |dp AS (
+        |  SELECT phrase, COUNT(*) AS n_occurs, MAX(len) AS n_words
+        |  FROM phr GROUP BY phrase),
+        |sc AS (
+        |  SELECT dp.phrase, dp.n_words, dp.n_occurs, SUM(sw.sw) AS s
+        |  FROM dp, LATERAL (SELECT unnest(string_split(dp.phrase, ' ')) AS w) g
+        |  JOIN sw ON sw.w = g.w
+        |  GROUP BY dp.phrase, dp.n_words, dp.n_occurs)
+        |SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_occurs AS BIGINT) AS n_occurs,
+        |  ROUND(s / 1000000.0, 4) AS score
+        |FROM sc ORDER BY s DESC, phrase LIMIT 30""".stripMargin,
     // identical RFC 3986 normalization pipeline: same regex groups, same
     // default-port/fragment/utm rules, same param sort
     "text_url_canon" ->

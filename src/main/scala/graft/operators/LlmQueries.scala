@@ -361,6 +361,16 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The stoplist shared verbatim with the oracle: the corpus's
+    * function words plus its adjectives, so phrase breaks fire
+    * mid-document everywhere.
+    */
+  private[operators] val RakeStop =
+    Seq("the", "a", "small", "big", "fast", "slow")
+
+  def textRake(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeTopK(docs(s, dir), "doc_id", "text", RakeStop)
+
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 

@@ -426,6 +426,58 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010 — the classic
+    * unsupervised keyword miner): candidate phrases are the maximal
+    * stopword-free token runs, each word scores `deg(w)/freq(w)` over
+    * all candidate occurrences (deg = Σ length of the phrases it
+    * appears in — co-occurrence reach; freq = occurrence count), and a
+    * phrase scores the sum of its words' scores. Every step is
+    * relational: one prefix-sum window assigns phrase ids (stopword
+    * count before each token), two vocabulary-sized aggregates build
+    * the word stats, and distinct phrases join them back.
+    *
+    * Determinism: per-word scores quantize to exact integer
+    * micro-units (`deg·10⁶ div freq` — integer division), so phrase
+    * scores are order-independent integer sums on any engine; ranking
+    * uses the EXACT integer, the rounded double is display only.
+    */
+  def rakeTopK(docs: DataFrame, idCol: String, textCol: String,
+               stop: Seq[String], k: Int = 30): DataFrame = {
+    val stopArr = array(stop.map(lit): _*)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", array_contains(stopArr, col("tok")))
+    import org.apache.spark.sql.expressions.Window
+    val wPh = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phr = toks
+      .withColumn("pid", sum(col("is_stop").cast("long")).over(wPh))
+      .filter(!col("is_stop"))
+      .groupBy("doc_id", "pid")
+      .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("phrase"),
+        count(lit(1)).as("len"))
+    val stats = phr
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .withColumn("sw", expr("(deg * 1000000) div freq"))
+      .select("w", "sw")
+    val dp = phr.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurs"), max("len").as("n_words"))
+    dp.select(col("phrase"), col("n_occurs"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(stats, "w")
+      .groupBy("phrase", "n_words", "n_occurs")
+      .agg(sum("sw").as("s"))
+      .orderBy(col("s").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurs"),
+        round(col("s") / 1000000.0, 4).as("score"))
+  }
+
   /** URL canonicalization — the web-corpus dedup precursor (every crawl
     * pipeline normalizes URLs before keying anything on them; RFC 3986
     * §6 calls this syntax-based normalization): lowercase scheme+host,

@@ -373,6 +373,38 @@ class TextStatsSpec extends SparkTestBase {
     assert(stats > 0.25 && stats < 0.55, s"corpus density $stats")
   }
 
+  test("rake: phrase splitting at stopwords, deg/freq word scores, " +
+      "phrase score = sum of member scores (brute force on a hand corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "deep learning the neural network a deep learning"),
+      (2L, "neural network the deep learning"),
+      (3L, "network a network")).toDF("doc_id", "text")
+    val stop = Seq("the", "a")
+    val got = TextAnalysis.rakeTopK(docs, "doc_id", "text", stop, k = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // brute-force RAKE on the same corpus
+    val phrases = Seq("deep learning", "neural network", "deep learning",
+      "neural network", "deep learning", "network", "network")
+    val words = phrases.flatMap(_.split(" "))
+    val freq = words.groupBy(identity).map { case (w, v) => w -> v.size }
+    val deg = phrases.flatMap(p => p.split(" ").map(_ -> p.split(" ").length))
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sum }
+    def score(p: String): Double =
+      p.split(" ").map(w => (deg(w).toLong * 1000000 / freq(w))).sum / 1e6
+    val expect = phrases.groupBy(identity).map { case (p, v) =>
+      p -> (p.split(" ").length.toLong, v.size.toLong,
+        BigDecimal(score(p)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    assert(got == expect, s"got $got expect $expect")
+    // multi-word phrases outrank their member single words (the RAKE
+    // property: deg rewards co-occurrence reach)
+    assert(got("deep learning")._3 > got("network")._3)
+  }
+
   test("urlCanon: every RFC 3986 rule — case, default ports, empty path, " +
       "fragment, utm params, sort — plus equivalence and idempotence") {
     import spark.implicits._
