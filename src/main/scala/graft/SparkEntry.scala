@@ -260,6 +260,7 @@ object SparkEntry {
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
     "q53_mode"              -> (Analytics.modePerGroup _),
     "q54_merge_all"         -> (Queries.q54 _),
+    "q55_seq_pattern"       -> (Queries.q55 _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
@@ -4374,6 +4375,23 @@ object SparkEntry {
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
     // exact mode: integer counts, (n DESC, v ASC) rank, share of total
+    // identical per-user letter strings (ts, event_id order), identical
+    // regex semantics (leftmost non-overlapping, greedy runs)
+    "q55_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  md5(seq) AS fp,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+        |  CAST(COALESCE(list_max(list_transform(
+        |    regexp_extract_all(seq, 'c+'), x -> len(x))), 0) AS BIGINT)
+        |    AS max_click_run,
+        |  regexp_matches(seq, 's.*p') AS converted_signup
+        |FROM s ORDER BY user_id""".stripMargin,
     // the identical branch CASE over a full-outer join, ANSI clause
     // order (delete evaluated before update on matched rows)
     "q54_merge_all" ->

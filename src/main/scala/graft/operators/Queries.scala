@@ -646,6 +646,36 @@ object Queries {
         |FROM chain GROUP BY node ORDER BY p""".stripMargin)
   }
 
+  /** Q55 — sequence-pattern matching over per-user event strings (the
+    * MATCH_RECOGNIZE workload: funnels with arbitrary gaps, run-length
+    * questions, conversion flags — as regular expressions over an
+    * ordered alphabet): each user's history collapses to a compact
+    * letter string ONCE (one shuffle: the same per-user sort
+    * sessionization pays), then every pattern is a row-local regex over
+    * that string — adding a pattern costs a column, not a pass. The
+    * string is also the unit of exchange with the oracle (md5
+    * fingerprint), so the ORDER of events inside ties is pinned
+    * (ts, event_id).
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("l")).as("x"))
+      .groupBy("user_id")
+      .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(x)), v -> v.l)")).as("seq"),
+        count(lit(1)).as("n_events"))
+    e.select(col("user_id"), col("n_events"), md5(col("seq")).as("fp"),
+        expr("size(regexp_extract_all(seq, 'vc*p', 0))").cast("long")
+          .as("n_funnels"),
+        coalesce(expr(
+          "array_max(transform(regexp_extract_all(seq, 'c+', 0), " +
+            "x -> length(x)))"), lit(0)).cast("long").as("max_click_run"),
+        col("seq").rlike("s.*p").as("converted_signup"))
+      .orderBy("user_id")
+  }
+
   /** Q54 — full ANSI MERGE, all five branch shapes in one statement
     * ([[Merge.mergeAll]]): matched-and-condition DELETE (negative staged
     * balances purge), matched UPDATE (everything else staged wins),

@@ -140,6 +140,38 @@ class FrontierSpec extends SparkTestBase {
     assert(got.map(_.getDouble(5)).sum <= rootSse + 1e-6)
   }
 
+  test("q55 sequence patterns: hand-built event history yields exact " +
+      "funnel counts, click runs, and conversion flags") {
+    import org.apache.spark.sql.SparkSession
+    import spark.implicits._
+    // user 1: v c c p v p s -> two funnels (vccp, vp), run 2, signup
+    //   after last purchase -> not converted
+    // user 2: s e c c c p   -> zero funnels (no view), run 3, converted
+    // user 3: p v c         -> zero funnels, run 1, no signup
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val events = Seq(
+      (1L, ts(1), 1L, "view"), (2L, ts(2), 1L, "click"),
+      (3L, ts(3), 1L, "click"), (4L, ts(4), 1L, "purchase"),
+      (5L, ts(5), 1L, "view"), (6L, ts(6), 1L, "purchase"),
+      (7L, ts(7), 1L, "signup"),
+      (8L, ts(1), 2L, "signup"), (9L, ts(2), 2L, "error"),
+      (10L, ts(3), 2L, "click"), (11L, ts(4), 2L, "click"),
+      (12L, ts(5), 2L, "click"), (13L, ts(6), 2L, "purchase"),
+      (14L, ts(1), 3L, "purchase"), (15L, ts(2), 3L, "view"),
+      (16L, ts(3), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    events.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.q55(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((7L, 2L, 2L, false)))
+    assert(got(2L) == ((6L, 0L, 3L, true)))
+    assert(got(3L) == ((3L, 0L, 1L, false)))
+  }
+
   test("dq_ks equals the brute-force two-sample KS statistic") {
     val rows = Tables.load(spark, sfDir, "orders")
       .select(floor(col("o_totalprice") + 0.5).cast("long"),
