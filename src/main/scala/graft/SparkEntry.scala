@@ -126,6 +126,7 @@ object SparkEntry {
     "a40_gdpr_delete"       -> (PipelineQueries.a40GdprDelete _),
     "a41_atomic_publish"    -> (PipelineQueries.a41AtomicMultiPublish _),
     "a42_retention_vacuum"  -> (PipelineQueries.a42RetentionVacuum _),
+    "a43_late_arriving"     -> (PipelineQueries.a43LateArriving _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_nearest"          -> (LlmQueries.asofNearest _),
@@ -251,6 +252,7 @@ object SparkEntry {
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "graph_closeness"       -> (Graph.graphCloseness _),
     "graph_wcc"             -> (Graph.graphWcc _),
+    "graph_spaths"          -> (Graph.graphSPaths _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
@@ -4242,6 +4244,39 @@ object SparkEntry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // 4 unrolled sigma rounds: new nodes at depth r sum their depth-(r-1)
+    // predecessors' counts — Brandes' forward pass, exact integers
+    "graph_spaths" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""c_$r AS (
+           |  SELECT f.s, e.dst AS node, SUM(f.sig) AS sig
+           |  FROM st_${r - 1} f JOIN e ON f.node = e.src
+           |  WHERE f.d = ${r - 1}
+           |  GROUP BY f.s, e.dst),
+           |st_$r AS MATERIALIZED (
+           |  SELECT s, node, d, sig FROM st_${r - 1}
+           |  UNION ALL
+           |  SELECT c.s, c.node, $r AS d, c.sig
+           |  FROM c_$r c
+           |  WHERE NOT EXISTS (SELECT 1 FROM st_${r - 1} x
+           |    WHERE x.s = c.s AND x.node = c.node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |nodes AS (SELECT DISTINCT s FROM (
+         |  SELECT src AS s FROM e UNION ALL SELECT dst FROM e)),
+         |st_0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS d,
+         |  CAST(1 AS BIGINT) AS sig FROM nodes),
+         |$rounds
+         |SELECT s AS src, node, CAST(d AS BIGINT) AS dist,
+         |  CAST(sig AS BIGINT) AS paths
+         |FROM st_4 WHERE d > 0 ORDER BY src, node""".stripMargin
+    },
     // 8 unrolled neighbor-min + pointer-jump rounds — the engine's
     // doubling recurrence verbatim on the 97-segment part-key chain
     "graph_wcc" -> {
@@ -4462,6 +4497,23 @@ object SparkEntry {
       """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // stage totals recomputed from the base tables; the engine must
+    // reproduce them through the park/merge/retry storage hops
+    "a43_late_arriving" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |    ROUND(o_totalprice, 2) AS p
+        |  FROM orders)
+        |SELECT 'enriched_pass_1' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(p), 2) AS total
+        |FROM f WHERE ck % 3 <> 0
+        |UNION ALL
+        |SELECT 'enriched_pass_2', COUNT(*), ROUND(SUM(p), 2)
+        |FROM f WHERE ck % 3 = 0 AND ck % 9 <> 0
+        |UNION ALL
+        |SELECT 'pending', COUNT(*), ROUND(SUM(p), 2)
+        |FROM f WHERE ck % 9 = 0
+        |ORDER BY stage""".stripMargin,
     // vacuumed versions are pinned literally as refused sentinel rows;
     // retained slices recomputed from the base table (the engine must
     // serve them from post-vacuum storage)

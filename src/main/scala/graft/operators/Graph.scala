@@ -460,6 +460,53 @@ object Graph {
       .orderBy(col("h12").desc, col("node"))
   }
 
+  /** Shortest-path counting from a pivot set — the σ (sigma) table of
+    * Brandes' betweenness algorithm and the core statistic of any
+    * path-redundancy audit: for unweighted BFS, every shortest path to
+    * a node first reached at depth d comes through a predecessor at
+    * EXACTLY d−1, so synchronous rounds make the count exact —
+    * σ(s,v) = Σ σ(s,u) over frontier predecessors. State is
+    * (source, node, d, σ); per round one map-side-combined aggregate
+    * over the edge partitioning + one anti join against the settled
+    * set. Bounded by |sources|·|reachable| like [[multiSourceHops]] —
+    * pivots are a sample on unbounded graphs.
+    */
+  def shortestPathCounts(edges: DataFrame, sources: DataFrame,
+                         rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var state = sources.select(col("s"), col("s").as("node"),
+      lit(0L).as("d"), lit(1L).as("sig")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val frontier = state.filter(col("d") === (r - 1))
+        .select(col("s"), col("node").as("src"), col("sig"))
+      val cand = e.join(frontier, "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum("sig").as("sig"))
+      val fresh = cand.join(state.select("s", "node"),
+          Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(r.toLong).as("d"), col("sig"))
+      state = state.unionByName(fresh).localCheckpoint(true)
+    }
+    state
+  }
+
+  /** Registered query: the σ matrix of the nation trade graph — exact
+    * shortest-path counts between every node pair within 4 hops, from
+    * every node as pivot (bounded: ≤ 25 nations). Self rows (d = 0)
+    * dropped from the report.
+    */
+  def graphSPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = nationTradeEdges(s, dir).select("src", "dst")
+    val nodes = e.select(col("src").as("s"))
+      .unionByName(e.select(col("dst").as("s"))).distinct()
+    shortestPathCounts(e, nodes, rounds = 4)
+      .filter(col("d") > 0)
+      .select(col("s").as("src"), col("node"), col("d").as("dist"),
+        col("sig").as("paths"))
+      .orderBy("src", "node")
+  }
+
   /** Connected components by neighbor-min + POINTER DOUBLING — the
     * O(log diameter) scheme (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"; pointer jumping is textbook PRAM): each

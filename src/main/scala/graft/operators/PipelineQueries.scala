@@ -695,6 +695,58 @@ object PipelineQueries {
     reports.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** A43 — late-arriving dimension handling: facts sync BEFORE their
+    * dimension rows exist (the classic warehouse race the reference's
+    * daily full-copy sidesteps but any incremental sync must face).
+    * Pass 1 enriches facts against the day-1 dim snapshot and parks the
+    * unmatched in a PUBLISHED pending table; day 2's late dim batch
+    * merges into the dim table ([[Merge.upsert]]), pass 2 retries the
+    * pending facts FROM STORAGE, and whatever still has no dim row
+    * stays pending (here: keys whose dim never arrives). The report
+    * reads every table back from storage — counts and price totals per
+    * stage — so a row lost or duplicated between the park/retry hops
+    * changes the result. One key-partitioned join per pass; the pending
+    * table is the only state carried between runs.
+    */
+  def a43LateArriving(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+      round(col("o_totalprice"), 2).as("p"))
+    val cust = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("ck"), col("c_nationkey").as("nat"))
+    val root = Files.createTempDirectory("graft_late").toString
+    val (dimP, enrP, penP) = (root + "/dims", root + "/enr", root + "/pen")
+    // day 1: partial dims; enrich, park the unmatched
+    Sync.publishOverwrite(cust.filter(col("ck") % 3 =!= 0), dimP)
+    val j1 = facts.join(Sync.readPublished(s, dimP).get, Seq("ck"),
+      "left_outer")
+    Sync.publishOverwrite(j1.filter(col("nat").isNotNull)
+      .withColumn("pass", lit(1L)), enrP)
+    Sync.publishOverwrite(j1.filter(col("nat").isNull)
+      .select("ck", "k", "p"), penP)
+    // day 2: the late dim batch lands (part of it never arrives)
+    val late = cust.filter(col("ck") % 3 === 0 && col("ck") % 9 =!= 0)
+    Sync.publishOverwrite(
+      Merge.upsert(Sync.readPublished(s, dimP).get, late, Seq("ck")), dimP)
+    val j2 = Sync.readPublished(s, penP).get
+      .join(Sync.readPublished(s, dimP).get, Seq("ck"), "left_outer")
+    Sync.publishOverwrite(
+      Sync.readPublished(s, enrP).get.unionByName(
+        j2.filter(col("nat").isNotNull).withColumn("pass", lit(2L))), enrP)
+    Sync.publishOverwrite(j2.filter(col("nat").isNull)
+      .select("ck", "k", "p"), penP)
+    // report FROM STORAGE
+    val enr = Sync.readPublished(s, enrP).get
+    val pen = Sync.readPublished(s, penP).get
+    enr.groupBy("pass")
+      .agg(count(lit(1)).as("n"), round(sum("p"), 2).as("total"))
+      .select(concat(lit("enriched_pass_"), col("pass")).as("stage"),
+        col("n"), col("total"))
+      .unionByName(pen.agg(lit("pending").as("stage"),
+        count(lit(1)).as("n"), round(sum("p"), 2).as("total")))
+      .orderBy("stage")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

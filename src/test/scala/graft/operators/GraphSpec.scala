@@ -207,6 +207,31 @@ class GraphSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("shortestPathCounts: diamond multiplies, chains stay 1, counts " +
+      "compose multiplicatively across stages") {
+    import spark.implicits._
+    // s=1 -> {2,3} -> 4 -> {5,6} -> 7: sigma(1,4)=2, sigma(1,7)=4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("s")
+    val got = Graph.shortestPathCounts(edges, src, rounds = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((0L, 1L)))
+    assert(got(2L) == ((1L, 1L)) && got(3L) == ((1L, 1L)))
+    assert(got(4L) == ((2L, 2L)), "diamond must double the count")
+    assert(got(5L) == ((3L, 2L)) && got(6L) == ((3L, 2L)))
+    assert(got(7L) == ((4L, 4L)), "two diamonds multiply")
+    // a shortcut edge changes the DISTANCE and resets the count to the
+    // shortest paths only
+    val short = edges.unionByName(Seq((1L, 4L)).toDF("src", "dst"))
+    val g2 = Graph.shortestPathCounts(short, src, rounds = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(g2(4L) == ((1L, 1L)), "only the 1-hop path is shortest now")
+    assert(g2(7L) == ((3L, 2L)))
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

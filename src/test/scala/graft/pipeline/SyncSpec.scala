@@ -485,6 +485,34 @@ class SyncSpec extends SparkTestBase {
     assert(snapDirs == Seq("snap-4", "snap-5"))
   }
 
+  test("late-arriving dims (a43 shape): parked facts retry from storage " +
+      "after the late batch merges; never-arriving keys stay pending") {
+    val got = graft.operators.PipelineQueries
+      .a43LateArriving(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").cast("long"),
+        round(col("o_totalprice"), 2)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def stage(p: Long => Boolean) = {
+      val xs = orders.filter(o => p(o._1))
+      (xs.length.toLong,
+        BigDecimal(xs.map(_._2).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got("enriched_pass_1")._1 == stage(_ % 3 != 0)._1)
+    assert(got("enriched_pass_2")._1 == stage(k => k % 3 == 0 && k % 9 != 0)._1)
+    assert(got("pending")._1 == stage(_ % 9 == 0)._1)
+    // totals within float-fold slack of the brute recomputation
+    Seq("enriched_pass_1" -> stage(_ % 3 != 0),
+      "enriched_pass_2" -> stage(k => k % 3 == 0 && k % 9 != 0),
+      "pending" -> stage(_ % 9 == 0)).foreach { case (k, (_, tot)) =>
+      assert(math.abs(got(k)._2 - tot) < 0.02, s"$k total")
+    }
+    // conservation: every fact lands in exactly one stage
+    assert(got.values.map(_._1).sum == orders.length.toLong)
+  }
+
   test("deleteWhere: purge erases deleted rows from EVERY file on " +
       "storage; without purge the retention snapshot still holds them") {
     import spark.implicits._
