@@ -253,6 +253,7 @@ object SparkEntry {
     "graph_closeness"       -> (Graph.graphCloseness _),
     "graph_wcc"             -> (Graph.graphWcc _),
     "graph_spaths"          -> (Graph.graphSPaths _),
+    "graph_betweenness"     -> (Graph.graphBetweenness _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
@@ -4244,6 +4245,68 @@ object SparkEntry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // forward sigma rounds + Brandes' backward dependency accumulation in
+    // integer micro-units ((sig_v*(1e6+del_w)) // sig_w), depths descending
+    "graph_betweenness" -> {
+      val fwd = (1 to 4).map { r =>
+        s"""c_$r AS (
+           |  SELECT f.s, e.dst AS node, SUM(f.sig) AS sig
+           |  FROM st_${r - 1} f JOIN e ON f.node = e.src
+           |  WHERE f.d = ${r - 1}
+           |  GROUP BY f.s, e.dst),
+           |st_$r AS MATERIALIZED (
+           |  SELECT s, node, d, sig FROM st_${r - 1}
+           |  UNION ALL
+           |  SELECT c.s, c.node, $r AS d, c.sig
+           |  FROM c_$r c
+           |  WHERE NOT EXISTS (SELECT 1 FROM st_${r - 1} x
+           |    WHERE x.s = c.s AND x.node = c.node))""".stripMargin
+      }.mkString(",\n")
+      val bwd = (3 to 0 by -1).map { t =>
+        s"""ct_$t AS (
+           |  SELECT v.s, v.node,
+           |    SUM((v.sig * (1000000 + dl.del)) // w.sig) AS cdel
+           |  FROM st_4 v
+           |  JOIN e ON v.node = e.src
+           |  JOIN st_4 w ON w.s = v.s AND w.node = e.dst AND w.d = ${t + 1}
+           |  JOIN d_${t + 1} dl ON dl.s = v.s AND dl.node = e.dst
+           |  WHERE v.d = $t
+           |  GROUP BY v.s, v.node),
+           |d_$t AS MATERIALIZED (
+           |  SELECT b.s, b.node, COALESCE(c.cdel, 0) AS del
+           |  FROM (SELECT s, node FROM st_4 WHERE d = $t) b
+           |  LEFT JOIN ct_$t c ON c.s = b.s AND c.node = b.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey),
+         |nodes AS (SELECT DISTINCT s FROM (
+         |  SELECT src AS s FROM e UNION ALL SELECT dst FROM e)),
+         |st_0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS d,
+         |  CAST(1 AS BIGINT) AS sig FROM nodes),
+         |$fwd,
+         |d_4 AS (SELECT s, node, CAST(0 AS BIGINT) AS del
+         |  FROM st_4 WHERE d = 4),
+         |$bwd,
+         |acc AS (
+         |  SELECT s, node, del FROM d_4
+         |  UNION ALL SELECT s, node, del FROM d_3
+         |  UNION ALL SELECT s, node, del FROM d_2
+         |  UNION ALL SELECT s, node, del FROM d_1
+         |  UNION ALL SELECT s, node, del FROM d_0),
+         |b AS (SELECT node, SUM(del) AS bc_micro
+         |  FROM acc WHERE node <> s GROUP BY node)
+         |SELECT b.node, n.n_name, CAST(b.bc_micro AS BIGINT) AS bc_micro,
+         |  ROUND(b.bc_micro / 1000000.0, 4) AS bc
+         |FROM b JOIN nation n ON b.node = n.n_nationkey
+         |ORDER BY b.bc_micro DESC, b.node""".stripMargin
+    },
     // 4 unrolled sigma rounds: new nodes at depth r sum their depth-(r-1)
     // predecessors' counts — Brandes' forward pass, exact integers
     "graph_spaths" -> {

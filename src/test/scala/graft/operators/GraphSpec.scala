@@ -232,6 +232,33 @@ class GraphSpec extends SparkTestBase {
     assert(g2(7L) == ((3L, 2L)))
   }
 
+  test("betweenness: textbook Brandes values on star and path graphs " +
+      "(micro-units exact when sigma divides cleanly)") {
+    import spark.implicits._
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame) = {
+      val nodes = edges.select(col("src").as("s"))
+        .unionByName(edges.select(col("dst").as("s"))).distinct()
+      Graph.betweenness(edges, nodes, rounds = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // star: center 0, leaves 1..4 — every ordered leaf pair crosses 0:
+    // B(0) = 4*3 = 12, leaves 0
+    val star = run(sym((1L to 4L).map(l => (0L, l))))
+    assert(star(0L) == 12L * 1000000)
+    (1L to 4L).foreach(l => assert(star(l) == 0L, s"leaf $l"))
+    // path 1-2-3-4: B(2) = B(3) = 4 ordered pairs each
+    val path = run(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L))))
+    assert(path(2L) == 4L * 1000000 && path(3L) == 4L * 1000000)
+    assert(path(1L) == 0L && path(4L) == 0L)
+    // diamond 1->{2,3}->4 made undirected: the two middles SPLIT the
+    // (1,4)/(4,1) dependency — half a unit each, exact in micro-units
+    val dia = run(sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))))
+    assert(dia(2L) == 1000000L && dia(3L) == 1000000L,
+      s"each middle carries 2 * 0.5: ${dia}")
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
