@@ -258,6 +258,7 @@ object SparkEntry {
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
     "ml_auc"                -> (Metrics.mlAuc _),
+    "ml_knn"                -> (Metrics.mlKnn _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
@@ -266,6 +267,7 @@ object SparkEntry {
     "q55_seq_pattern"       -> (Queries.q55 _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
+    "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
     "text_heavy_hitters"    -> (LlmQueries.textHeavyHitters _),
     "text_cms_probe"        -> (LlmQueries.textCmsProbe _),
     "text_overlap_kmv"      -> (LlmQueries.textOverlapKmv _),
@@ -4230,6 +4232,9 @@ object SparkEntry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    // exact integer distances over the shared quantized grid; majority
+    // vote is an integer sum, ranking ties break on candidate id
+    "ml_knn" -> Metrics.mlKnnOracle,
     // DuckDB's built-in nfc_normalize against the engine's codegen'd JDK
     // normalizer; decomposed fixture runs built identically on both sides
     // (chr(769) = U+0301 combining acute)
@@ -4623,6 +4628,24 @@ object SparkEntry {
         |ORDER BY k""".stripMargin,
     // first digit from the decimal rendering of exact cents (no libm
     // log10); expectations are shared 6-digit literals
+    // the CUSUM recursion as the exact prefix identity
+    // S_t = P_t - min(0, min prefix P); integer arithmetic throughout
+    "dq_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |p1 AS (
+        |  SELECT day, n, SUM(n - 6) OVER w AS p
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pre AS (
+        |  SELECT day, n, p, MIN(p) OVER w AS mp
+        |  FROM p1
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  CAST(p - LEAST(0, mp) AS BIGINT) AS cusum,
+        |  p - LEAST(0, mp) > 40 AS alarm
+        |FROM pre ORDER BY day""".stripMargin,
     // exact two-sample KS by integer cross-multiplication; smallest
     // argmax value reported; Smirnov alpha=0.05 critical compare shared
     "dq_ks" ->

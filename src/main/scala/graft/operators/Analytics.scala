@@ -988,6 +988,34 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** dq_cusum — CUSUM change-point detection over the daily order
+    * volume (Page 1954 — the sequential drift alarm beside [[dqKs]]'s
+    * two-sample test and dq_ewma's smoother): the textbook recursion
+    * `S_t = max(0, S_{t-1} + x_t − k)` LOOKS inherently sequential,
+    * but it is exactly the running prefix identity
+    * `S_t = P_t − min_{i≤t} P_i` with `P` the prefix sum of `x − k` —
+    * so one ordered window pass computes the whole alarm series
+    * relationally, in exact integer arithmetic (counts and the
+    * reference value k are integers). Alarm fires when S crosses h;
+    * both thresholds are literals shared with the oracle.
+    */
+  def dqCusum(s: SparkSession, dir: String, k: Long = 6L,
+              h: Long = 40L): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("p", sum(col("n") - k).over(wOrd))
+      // min over prefixes INCLUDING the empty one (P_0 = 0) — dropping
+      // the 0 floor breaks the max(0, ...) clamp of the recursion
+      .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wOrd)))
+      .select(col("day"), col("n"), col("cusum"),
+        (col("cusum") > h).as("alarm"))
+      .orderBy("day")
+  }
+
   /** dq_ks — exact two-sample Kolmogorov–Smirnov drift test between the
     * early and late halves of the order history (the distribution-shift
     * monitor beside [[dqBenford]]'s digit screen and dq_drift's binned

@@ -82,6 +82,90 @@ object Metrics {
     aucByGroup(planted, "g", "sc", "y").orderBy("g")
   }
 
+  /** ml_knn — k-nearest-neighbor classification (the non-parametric
+    * leg beside the generative [[NaiveBayes]] and discriminative
+    * [[LogReg]]): each probe takes the majority label of its k = 5
+    * nearest corpus points in quantized feature space. Distances are
+    * EXACT integers (features pre-quantized to the [[LogReg]] grid, so
+    * d² = Δ₁² + Δ₂² is 64-bit arithmetic), ranking ties break on the
+    * candidate id, and the vote is an integer sum — deterministic end
+    * to end with no float anywhere.
+    *
+    * Scale shape: the probe set is BOUNDED (a broadcast frame); the
+    * corpus streams once through the per-probe distance + windowed
+    * top-k ([[Similarity.cosineTopK]]'s shape — at real scale the same
+    * query runs against an ANN index tier first; this is the exact
+    * reranker those candidates feed).
+    */
+  def mlKnn(s: SparkSession, dir: String): DataFrame = {
+    val lc = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 20000)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg((count(lit(1)) / 4.0 - 0.7).as("x1"),
+        (sum("l_extendedprice") / count(lit(1)) / 50000.0 - 0.6).as("x2"))
+    val q = lc.select(col("k"),
+      expr("CAST(floor(x1 * 1000 + 0.5D) AS BIGINT)").as("xq1"),
+      expr("CAST(floor(x2 * 1000 + 0.5D) AS BIGINT)").as("xq2"),
+      (col("x1") + lit(2.0) * col("x2") +
+        (pmod(Hashing.md5Long(col("k").cast("string")), lit(1000))
+          / 1000.0 - 0.5) > 1.3).cast("long").as("y"))
+    val probes = broadcast(q.filter(col("k") <= 600)
+      .select(col("k").as("pid"), col("xq1").as("p1"),
+        col("xq2").as("p2"), col("y").as("y_true")))
+    // the probe fan-out multiplies per-row work ~|probes|x, and AQE
+    // coalesces the small aggregated candidate frame to ONE partition —
+    // spread it back across the cluster before the explosion
+    // (measured: 28 s single-task vs ~2 s spread, sf0.01)
+    val cands = Spread.ifNarrow(q.filter(col("k") > 600))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+      .orderBy(col("d2"), col("k"))
+    cands.crossJoin(probes)
+      .withColumn("d2",
+        (col("xq1") - col("p1")) * (col("xq1") - col("p1")) +
+          (col("xq2") - col("p2")) * (col("xq2") - col("p2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("pid", "y_true")
+      .agg(sum("y").as("vote"), max("d2").as("d2_kth"))
+      .select(col("pid"), col("vote"),
+        (col("vote") >= 3).cast("long").as("yhat"), col("y_true"),
+        ((col("vote") >= 3).cast("long") === col("y_true")).as("correct"),
+        col("d2_kth"))
+      .orderBy("pid")
+  }
+
+  val mlKnnOracle: String =
+    """WITH lc AS (
+      |  SELECT l_orderkey AS k, COUNT(*) / 4.0 - 0.7 AS x1,
+      |    SUM(l_extendedprice) / COUNT(*) / 50000.0 - 0.6 AS x2
+      |  FROM lineitem WHERE l_orderkey <= 20000 GROUP BY 1),
+      |q AS (
+      |  SELECT k,
+      |    CAST(floor(x1 * 1000 + 0.5) AS BIGINT) AS xq1,
+      |    CAST(floor(x2 * 1000 + 0.5) AS BIGINT) AS xq2,
+      |    CAST(x1 + 2.0 * x2 +
+      |      ((('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+      |         ::BIGINT % 1000) / 1000.0 - 0.5) > 1.3 AS BIGINT) AS y
+      |  FROM lc),
+      |p AS (SELECT k AS pid, xq1 AS p1, xq2 AS p2, y AS y_true
+      |      FROM q WHERE k <= 600),
+      |c AS (SELECT * FROM q WHERE k > 600),
+      |d AS (
+      |  SELECT p.pid, p.y_true, c.k, c.y,
+      |    (c.xq1 - p.p1) * (c.xq1 - p.p1)
+      |      + (c.xq2 - p.p2) * (c.xq2 - p.p2) AS d2
+      |  FROM p, c),
+      |r AS (
+      |  SELECT pid, y_true, y, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, k) AS rn
+      |  FROM d)
+      |SELECT pid, CAST(SUM(y) AS BIGINT) AS vote,
+      |  CAST(SUM(y) >= 3 AS BIGINT) AS yhat, y_true,
+      |  CAST(SUM(y) >= 3 AS BIGINT) = y_true AS correct,
+      |  CAST(MAX(d2) AS BIGINT) AS d2_kth
+      |FROM r WHERE rn <= 5
+      |GROUP BY pid, y_true ORDER BY pid""".stripMargin
+
   val mlAucOracle: String =
     """WITH li AS (
       |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,

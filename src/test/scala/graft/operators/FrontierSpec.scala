@@ -172,6 +172,59 @@ class FrontierSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 0L, 1L, false)))
   }
 
+  test("dq_cusum: the window identity equals the textbook recursion " +
+      "S_t = max(0, S_(t-1) + x - k), clamping included") {
+    val got = Analytics.dqCusum(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.nonEmpty)
+    // brute-force the recursion over the same ordered daily series
+    var sPrev = 0L
+    got.foreach { case (day, n, cusum, alarm) =>
+      val s = math.max(0L, sPrev + n - 6L)
+      assert(cusum == s, s"$day: $cusum != $s")
+      assert(alarm == (s > 40L), s"$day alarm")
+      sPrev = s
+    }
+    // the clamp must actually fire somewhere (otherwise the identity's
+    // min(0, .) term was never exercised)
+    assert(got.exists(_._3 == 0L), "cusum must touch the zero floor")
+  }
+
+  test("ml_knn equals brute-force 5-NN majority vote on the quantized grid") {
+    val got = Metrics.mlKnn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    // recompute features + labels exactly as planted
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") <= 20000)
+      .groupBy(col("l_orderkey"))
+      .agg((count(lit(1)) / 4.0 - 0.7).as("x1"),
+        (sum("l_extendedprice") / count(lit(1)) / 50000.0 - 0.6).as("x2"))
+      .withColumn("xq1", expr("CAST(floor(x1 * 1000 + 0.5D) AS BIGINT)"))
+      .withColumn("xq2", expr("CAST(floor(x2 * 1000 + 0.5D) AS BIGINT)"))
+      .withColumn("y", (col("x1") + lit(2.0) * col("x2") +
+        (pmod(Hashing.md5Long(col("l_orderkey").cast("string")),
+          lit(1000)) / 1000.0 - 0.5) > 1.3).cast("long"))
+      .select("l_orderkey", "xq1", "xq2", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val probes = rows.filter(_._1 <= 600)
+    val cands = rows.filter(_._1 > 600)
+    probes.foreach { case (pid, p1, p2, yTrue) =>
+      val nn = cands.map { case (k, a, b, y) =>
+        ((a - p1) * (a - p1) + (b - p2) * (b - p2), k, y)
+      }.sortBy(t => (t._1, t._2)).take(5)
+      val vote = nn.map(_._3).sum
+      val (gv, gyhat, gyt, gd2) = got(pid)
+      assert(gv == vote && gyhat == (if (vote >= 3) 1L else 0L) &&
+        gyt == yTrue && gd2 == nn.map(_._1).max, s"probe $pid")
+    }
+    // both classes must appear among predictions (degenerate-model guard)
+    assert(got.values.map(_._2).toSet == Set(0L, 1L))
+  }
+
   test("dq_ks equals the brute-force two-sample KS statistic") {
     val rows = Tables.load(spark, sfDir, "orders")
       .select(floor(col("o_totalprice") + 0.5).cast("long"),
