@@ -257,6 +257,62 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r10dscale")) {
+      // Scaling evidence for the round-10 SESSION-3 operators on 1x..8x
+      // grown inputs: tiff decode is row-local (flat per row), wcc's
+      // doubling rounds must track |E| (component count grows, diameter
+      // fixed, so the round budget is constant), knn must track the
+      // corpus linearly (probes fixed), rake must track corpus tokens
+      // (vocabulary fixed, so the stats frames stay bounded).
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs0 = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      val keys0 = Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("k"))
+      for (n <- if (names.length > 1) names.tail.map(_.toInt) else Seq(1, 2, 4, 8)) {
+        val docs = (0 until n).map(j => docs0.select(
+            (col("doc_id") + lit(j * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        locally { // row-local decode: flat per row
+          val mk = () => graft.operators.Multimodal.decodePixels(
+            graft.operators.Tiff.tiffMedia(docs, "doc_id", "doc_id")
+              .select(col("doc_id"), col("data"),
+                col("meta.mime").as("mime"),
+                col("meta.n_bytes").as("n_bytes"))
+              .as[graft.operators.Multimodal.MediaRow]).toDF()
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10dscale tiff_decode n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally { // |V|,|E| grow n-fold, diameter fixed: cost ~ |E| per round
+          val keys = (0 until n).map(j =>
+              keys0.select((col("k") + lit(j * 10000000L)).as("k")))
+            .reduce(_ unionByName _).localCheckpoint(true)
+          val e = keys.withColumn("nxt", col("k") + 1)
+            .filter(col("k") % 97 =!= 0)
+            .join(keys.select(col("k").as("nxt")), Seq("nxt"), "left_semi")
+            .select(col("k").as("src"), col("nxt").as("dst"))
+          val mk = () => graft.operators.Graph.wcc(e, rounds = 8)
+            .groupBy("p").agg(count(lit(1)).as("n"))
+          mk().write.format("noop").mode("overwrite").save()
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10dscale wcc n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally { // corpus tokens grow n-fold, vocab fixed
+          val mk = () => graft.operators.TextAnalysis.rakeTopK(
+            docs, "doc_id", "text",
+            graft.operators.LlmQueries.RakeStop)
+          mk().write.format("noop").mode("overwrite").save()
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r10dscale rake n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("newscale")) {
       // Scaling evidence for the round-6-continuation operator family:
       // winnowing fingerprints, CDC chunking, blockwise phash signatures,

@@ -365,7 +365,7 @@ object LlmQueries {
     * function words plus its adjectives, so phrase breaks fire
     * mid-document everywhere.
     */
-  private[operators] val RakeStop =
+  private[graft] val RakeStop =
     Seq("the", "a", "small", "big", "fast", "slow")
 
   def textRake(s: SparkSession, dir: String): DataFrame =
