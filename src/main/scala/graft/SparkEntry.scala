@@ -259,6 +259,7 @@ object SparkEntry {
     "ml_ridge"              -> (Regression.mlRidge _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
+    "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "q51_skyline"           -> (Analytics.skyline _),
     "q52_weighted_median"   -> (Analytics.weightedMedian _),
@@ -4235,6 +4236,9 @@ object SparkEntry {
     // exact integer distances over the shared quantized grid; majority
     // vote is an integer sum, ranking ties break on candidate id
     "ml_knn" -> Metrics.mlKnnOracle,
+    // confusion matrix + per-class P/R/F1 off the knn oracle's scored
+    // frame; conditional integer sums, three final divisions
+    "ml_prf" -> Metrics.mlPrfOracle,
     // DuckDB's built-in nfc_normalize against the engine's codegen'd JDK
     // normalizer; decomposed fixture runs built identically on both sides
     // (chr(769) = U+0301 combining acute)

@@ -166,6 +166,64 @@ object Metrics {
       |FROM r WHERE rn <= 5
       |GROUP BY pid, y_true ORDER BY pid""".stripMargin
 
+  /** ml_prf — per-class precision/recall/F1 over the [[mlKnn]]
+    * classifier's predictions (the confusion-matrix report every model
+    * eval ends with, beside [[mlAuc]]'s threshold-free ranking view):
+    * the scored frame collapses to the 2×2 confusion matrix in one
+    * map-side-combined aggregate, per-class tp/fp/fn are conditional
+    * integer sums over those 4 rows, and the only floats are the three
+    * final divisions over identical integers.
+    */
+  def mlPrf(s: SparkSession, dir: String): DataFrame = {
+    val conf = mlKnn(s, dir).groupBy(col("y_true"), col("yhat"))
+      .agg(count(lit(1)).as("n"))
+    conf.select(explode(array(lit(0L), lit(1L))).as("cls"),
+        col("y_true"), col("yhat"), col("n"))
+      .groupBy("cls")
+      .agg(
+        sum(when(col("yhat") === col("cls") &&
+          col("y_true") === col("cls"), col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("yhat") === col("cls") &&
+          col("y_true") =!= col("cls"), col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("y_true") === col("cls") &&
+          col("yhat") =!= col("cls"), col("n")).otherwise(0L)).as("fn"))
+      .withColumn("precision", round(col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double"), 6))
+      .withColumn("recall", round(col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double"), 6))
+      .withColumn("f1", round((col("tp") * 2).cast("double") /
+        (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6))
+      .orderBy("cls")
+  }
+
+  val mlPrfOracle: String =
+    s"""WITH knn AS ($mlKnnOracle),
+       |conf AS (
+       |  SELECT y_true, yhat, COUNT(*) AS n FROM knn GROUP BY 1, 2),
+       |x AS (SELECT g.cls, conf.* FROM conf,
+       |  LATERAL (SELECT unnest([0, 1]) AS cls) g)
+       |SELECT CAST(cls AS BIGINT) AS cls,
+       |  CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END)
+       |    AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN yhat = cls AND y_true <> cls THEN n ELSE 0 END)
+       |    AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN y_true = cls AND yhat <> cls THEN n ELSE 0 END)
+       |    AS BIGINT) AS fn,
+       |  ROUND(CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END)
+       |         + SUM(CASE WHEN yhat = cls AND y_true <> cls THEN n ELSE 0 END) AS DOUBLE), 6)
+       |    AS precision,
+       |  ROUND(CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END)
+       |         + SUM(CASE WHEN y_true = cls AND yhat <> cls THEN n ELSE 0 END) AS DOUBLE), 6)
+       |    AS recall,
+       |  ROUND(CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END) * 2 AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN yhat = cls AND y_true = cls THEN n ELSE 0 END) * 2
+       |         + SUM(CASE WHEN yhat = cls AND y_true <> cls THEN n ELSE 0 END)
+       |         + SUM(CASE WHEN y_true = cls AND yhat <> cls THEN n ELSE 0 END) AS DOUBLE), 6)
+       |    AS f1
+       |FROM x GROUP BY cls ORDER BY cls""".stripMargin
+
   val mlAucOracle: String =
     """WITH li AS (
       |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,

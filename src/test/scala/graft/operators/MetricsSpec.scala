@@ -53,6 +53,26 @@ class MetricsSpec extends SparkTestBase {
     }
   }
 
+  test("ml_prf: confusion bookkeeping closes — tp+fn = class support, " +
+      "tp+fp = predictions, F1 is the harmonic mean, totals = probes") {
+    val scored = Metrics.mlKnn(spark, sfDir).collect()
+      .map(r => (r.getLong(3), r.getLong(2)))  // (y_true, yhat)
+    val got = Metrics.mlPrf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (c <- Seq(0L, 1L)) {
+      val (tp, fp, fn, p, rec, f1) = got(c)
+      assert(tp == scored.count(x => x._1 == c && x._2 == c))
+      assert(fp == scored.count(x => x._1 != c && x._2 == c))
+      assert(fn == scored.count(x => x._1 == c && x._2 != c))
+      assert(math.abs(p - tp.toDouble / (tp + fp)) < 1e-6)
+      assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
+      assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
+    }
+    // every probe is exactly one cell of the matrix
+    assert(got.values.map(v => v._1 + v._3).sum == scored.length.toLong)
+  }
+
   test("graph_closeness matches per-source BFS recomputation") {
     val e = Graph.nationTradeEdges(spark, sfDir).select("src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
