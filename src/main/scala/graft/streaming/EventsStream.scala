@@ -240,6 +240,51 @@ object EventsStream {
       .start()
   }
 
+  /** Pattern 14 — streaming CUSUM change-point alerts (the live sibling
+    * of the batch dq_cusum): per event type, Page's recursion
+    * `S ← max(0, S + value − k)` carried as keyed state across
+    * micro-batches via flatMapGroupsWithState, alarm while S > h.
+    * Within a batch the group's rows apply in (ts, event_id) order (the
+    * deterministic-order contract: the recursion is order-dependent, so
+    * the processing order IS the semantics — batch boundaries define
+    * the interleave, pinned exactly-once by the forced-restart spec).
+    * Emits one row per (type, batch): cumulative n, current S, events
+    * seen in alarm state, alarm flag. State per key is three numbers —
+    * constant size; the NoTimeout note on [[userTotals]] applies.
+    */
+  def cusumAlerts(spark: SparkSession, srcDir: String,
+                  checkpointDir: String, outDir: String,
+                  k: Double = 55.0, h: Double = 400.0): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = source(spark, srcDir)
+      .select(col("event_type"), col("ts").cast("long").as("tsl"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long, Long), (String, Long, Double, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[(Double, Long, Long)]) =>
+          var (s0, n0, al0) = state.getOption.getOrElse((0.0, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            s0 = math.max(0.0, s0 + r._4 - k)
+            n0 += 1
+            if (s0 > h) al0 += 1
+          }
+          state.update((s0, n0, al0))
+          Iterator((tpe, n0, s0, al0, s0 > h))
+      }
+      .toDF("event_type", "n_events", "cusum", "n_alarm_events", "alarm")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Streaming → warehouse bridge: the SURVEY §1 "incremental variant →
     * Structured Streaming" path made concrete. Each micro-batch's per-user
     * delta is MERGED into the published warehouse table through the same

@@ -535,4 +535,60 @@ class EventsStreamSpec extends SparkTestBase {
       .filter(col("prev_end").isNotNull && col("w_start") < col("prev_end"))
     assert(overlaps.count() == 0)
   }
+
+  test("streaming CUSUM alerts: single-run final state equals the batch " +
+      "recursion in (ts, event_id) order; forced restart continues the " +
+      "recursion instead of resetting") {
+    // batch recursion over the full ordered history, per event type
+    def batchCusum(k: Double, h: Double): Map[String, (Long, Double, Long)] = {
+      val rows = Tables.load(spark, sfDir, "events")
+        .select(col("event_type"), col("ts").cast("long"), col("event_id"),
+          col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      rows.groupBy(_._1).map { case (t, rs) =>
+        var s = 0.0; var al = 0L
+        rs.sortBy(r => (r._2, r._3)).foreach { r =>
+          s = math.max(0.0, s + r._4 - k); if (s > h) al += 1
+        }
+        t -> (rs.length.toLong, s, al)
+      }
+    }
+    val expect = batchCusum(55.0, 400.0)
+    // unbroken run
+    val out1 = tmp("es_cu_out")
+    EventsStream.cusumAlerts(spark, eventsDir, tmp("es_cu_ck"), out1)
+      .awaitTermination()
+    val one = spark.read.parquet(out1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    expect.foreach { case (t, (n, s, al)) =>
+      val (gn, gs, gal) = one(t)
+      assert(gn == n && math.abs(gs - s) < 1e-9 && gal == al, s"type $t")
+    }
+    // forced restart at the ts midpoint: recursion must CONTINUE
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val mid = raw.orderBy("ts").select("ts")
+      .collect().apply((raw.count() / 2).toInt).get(0)
+    val srcS = tmp("es_cu_fr_src")
+    writeAsFile(raw.filter(col("ts") <= lit(mid)), srcS, "a-early.parquet")
+    val ckpt = tmp("es_cu_fr_ck")
+    val out2 = tmp("es_cu_fr_out")
+    EventsStream.cusumAlerts(spark, srcS, ckpt, out2).awaitTermination()
+    writeAsFile(raw.filter(col("ts") > lit(mid)), srcS, "b-late.parquet")
+    EventsStream.cusumAlerts(spark, srcS, ckpt, out2).awaitTermination()
+    val fin = spark.read.parquet(out2).groupBy("event_type")
+      .agg(max("n_events").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // final cumulative state equals the unbroken batch recursion (the two
+    // halves are ts-contiguous, so the interleave IS the global order)
+    val finRows = spark.read.parquet(out2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    expect.foreach { case (t, (n, s, al)) =>
+      assert(fin(t) == n, s"restart lost/duplicated events for $t")
+      val last = finRows.filter(x => x._1 == t && x._2 == n).head
+      assert(math.abs(last._3 - s) < 1e-9 && last._4 == al,
+        s"restart must continue the recursion for $t")
+    }
+  }
 }
