@@ -203,6 +203,7 @@ object SparkEntry {
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
+    "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
@@ -3706,6 +3707,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
         |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
         |FROM e ORDER BY doc_id, frame_id""".stripMargin,
+    // closed-form rotation probes: 90-deg CW sends old bottom-left to the
+    // new top-left corner, the old first COLUMN to the new first row,
+    // and leaves the luminance total invariant
+    "mm_rotate90" -> {
+      def f(i: String) =
+        s"((seed * 31 + ($i) * 17 + (seed * ($i)) % 251" +
+          s" + 40 * ((($i) // (w * 3)) % 6)) % 256)"
+      def lum(p: String) =
+        s"(299 * ${f(s"($p) * 3")} + 587 * ${f(s"($p) * 3 + 1")}" +
+          s" + 114 * ${f(s"($p) * 3 + 2")})"
+      s"""WITH d AS (SELECT doc_id, doc_id AS seed,
+         |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+         |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, SUM(${lum("g.p")}) AS lum_total
+         |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) g
+         |  GROUP BY doc_id),
+         |r0 AS (
+         |  SELECT doc_id, SUM(${lum("g.q * w")}) AS row0
+         |  FROM d, LATERAL (SELECT unnest(range(0, h)) AS q) g
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.h AS INT) AS width, CAST(d.w AS INT) AS height,
+         |  CAST(tot.lum_total AS BIGINT) AS lum_total,
+         |  CAST(${lum("(h - 1) * w")} AS BIGINT) AS tl,
+         |  CAST(${lum("0")} AS BIGINT) AS tr,
+         |  CAST(${lum("(h - 1) * w + (w - 1)")} AS BIGINT) AS bl,
+         |  CAST(${lum("w - 1")} AS BIGINT) AS br,
+         |  CAST(r0.row0 AS BIGINT) AS row0
+         |FROM d JOIN tot USING (doc_id) JOIN r0 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // closed-form channel-0 samples against the engine's interpolated
     // fixed-point DFT basis (Wav.stftTableSql) — integer-exact powers
     "mm_stft_power" ->

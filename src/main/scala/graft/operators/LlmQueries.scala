@@ -642,6 +642,21 @@ object LlmQueries {
     Wav.stftPower(media).toDF().orderBy("doc_id", "bin")
   }
 
+  /** Orientation transform slot ([[Multimodal.rotateProbes]]): decode →
+    * rotate 90° CW → probes the oracle recomputes closed-form from the
+    * PPM pixel formula (corners swap to bottom-left/top-left/…, the
+    * first row becomes the old first column, the luminance total is
+    * invariant).
+    */
+  def mmRotate90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.ppmMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.rotateProbes(media).toDF().orderBy("doc_id")
+  }
+
   /** Resize slot of the media pipeline: REAL decoded dims →
     * aspect-preserving fit into a 256×224 box ([[Multimodal.resizeDims]]
     * — exact integer math, the computation every real resize does before

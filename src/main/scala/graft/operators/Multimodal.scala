@@ -270,6 +270,85 @@ object Multimodal {
       .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
       .orElse(Tiff.decode(data))
 
+  /** 90°-clockwise rotation of a decoded pixel buffer — the orientation
+    * transform of the media pipeline beside [[resizeDims]]' geometry
+    * (EXIF-orientation fixing is this exact loop): output (x', y') =
+    * input (y', H−1−x'), normalized to a packed top-down RGB buffer
+    * whatever the input's offset/stride/bottom-up/BGR layout. One
+    * row-local pass per image.
+    */
+  private[operators] def rotate90cw(info: ImageInfo,
+                                    data: Array[Byte]): (ImageInfo, Array[Byte]) = {
+    val w = info.width; val h = info.height; val ch = info.channels
+    val out = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (info.bottomUp) h - 1 - y else y
+      val rowBase = info.pixelOffset + srcRow * info.rowStride
+      var x = 0
+      while (x < w) {
+        val src = rowBase + x * ch
+        // new coords: x' = H−1−y, y' = x; new width = H
+        val dst = (x * h + (h - 1 - y)) * ch
+        if (info.bgr && ch >= 3) {
+          out(dst) = data(src + 2); out(dst + 1) = data(src + 1)
+          out(dst + 2) = data(src)
+          var c = 3
+          while (c < ch) { out(dst + c) = data(src + c); c += 1 }
+        } else {
+          var c = 0
+          while (c < ch) { out(dst + c) = data(src + c); c += 1 }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (ImageInfo(h, w, ch, 0, h * ch, bottomUp = false, bgr = false), out)
+  }
+
+  case class RotateRow(doc_id: Long, width: Int, height: Int,
+                       lum_total: Long, tl: Long, tr: Long, bl: Long,
+                       br: Long, row0: Long)
+
+  /** Decode → rotate 90° CW → orientation probes: new dims, the
+    * (rotation-invariant) luminance total recomputed FROM THE ROTATED
+    * buffer, the four corner luminances, and the full first-row
+    * luminance sum — together these pin the rotation loop exactly (a
+    * transposed-without-flip or counter-clockwise bug flips corners and
+    * the row sum while preserving the total). Partition-wise, one
+    * decode + one rotate pass per payload, nothing shuffles.
+    */
+  def rotateProbes(media: Dataset[MediaRow]): Dataset[RotateRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeToPixels(r.data).map { case (info0, buf0) =>
+          val (info, buf) = rotate90cw(info0, buf0)
+          val w = info.width; val h = info.height; val ch = info.channels
+          def lum(x: Int, y: Int): Long = {
+            val b = (y * w + x) * ch
+            if (ch >= 3)
+              299L * (buf(b) & 0xFF) + 587L * (buf(b + 1) & 0xFF) +
+                114L * (buf(b + 2) & 0xFF)
+            else 1000L * (buf(b) & 0xFF)
+          }
+          var tot = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { tot += lum(x, y); x += 1 }
+            y += 1
+          }
+          var row0 = 0L
+          var x = 0
+          while (x < w) { row0 += lum(x, 0); x += 1 }
+          RotateRow(r.doc_id, w, h, tot, lum(0, 0), lum(w - 1, 0),
+            lum(0, h - 1), lum(w - 1, h - 1), row0)
+        }
+      }
+    }
+  }
+
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
     * real media; the schema is the contract).

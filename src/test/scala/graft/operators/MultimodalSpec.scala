@@ -517,4 +517,36 @@ class MultimodalSpec extends SparkTestBase {
     got.foreach { case (a, b, _) =>
       assert(longIds(a) && longIds(b), "short payloads must never pair") }
   }
+
+  test("rotate90cw: exact pixel permutation on a hand image, four " +
+      "rotations are the identity, BGR/bottom-up inputs normalize") {
+    // 2x3 RGB image, every pixel distinct: rows (by value of R)
+    //   (10)(20)   layout w=2, h=3
+    //   (30)(40)
+    //   (50)(60)
+    def px(v: Int) = Seq(v, v + 1, v + 2).map(_.toByte)
+    val buf = Seq(10, 20, 30, 40, 50, 60).flatMap(px).toArray
+    val info = Multimodal.ImageInfo(2, 3, 3, 0, 6,
+      bottomUp = false, bgr = false)
+    val (ri, rb) = Multimodal.rotate90cw(info, buf)
+    assert(ri.width == 3 && ri.height == 2)
+    // CW: new row 0 = old column 0 bottom-up = 50, 30, 10
+    //     new row 1 = old column 1 bottom-up = 60, 40, 20
+    val wantR = Seq(50, 30, 10, 60, 40, 20)
+    assert((0 until 6).forall(p => (rb(p * 3) & 0xFF) == wantR(p)),
+      s"rotated R channel: ${rb.grouped(3).map(_(0) & 0xFF).toSeq}")
+    // four CW rotations = identity (packed layout)
+    var cur = (info.copy(), buf)
+    for (_ <- 1 to 4) cur = Multimodal.rotate90cw(cur._1, cur._2)
+    assert(cur._1.width == 2 && cur._1.height == 3)
+    assert(cur._2.sameElements(buf), "4 rotations must be the identity")
+    // bottom-up BGR input (the BMP layout) normalizes to the same
+    // rotated RGB output as the equivalent top-down RGB input
+    val bgrBuf = Seq(50, 60, 30, 40, 10, 20) // rows reversed (bottom-up)
+      .flatMap(v => Seq(v + 2, v + 1, v).map(_.toByte)).toArray
+    val bgrInfo = Multimodal.ImageInfo(2, 3, 3, 0, 6,
+      bottomUp = true, bgr = true)
+    val (_, rb2) = Multimodal.rotate90cw(bgrInfo, bgrBuf)
+    assert(rb2.sameElements(rb), "layout normalization must agree")
+  }
 }
