@@ -233,6 +233,7 @@ object SparkEntry {
     "prep_mix"              -> (LlmQueries.prepMix _),
     "prep_pack"             -> (LlmQueries.prepPack _),
     "prep_chunk"            -> (LlmQueries.prepChunk _),
+    "prep_augment"          -> (LlmQueries.prepAugment _),
     "prep_shuffle"          -> (LlmQueries.prepShuffle _),
     "udaf_centroid"         -> (LlmQueries.udafCentroid _),
     "text_tfidf"            -> (LlmQueries.textTfidf _),
@@ -2354,6 +2355,26 @@ object SparkEntry {
         |  CAST((ROW_NUMBER() OVER (PARTITION BY source
         |          ORDER BY hv % 64, hv, doc_id) - 1) % 5 AS BIGINT) AS fold
         |FROM h ORDER BY doc_id""".stripMargin,
+    // same portable hash mask, same kept-token fingerprint
+    "prep_augment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) g),
+        |m AS (
+        |  SELECT doc_id, pos, tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 10 <> 0 AS keep
+        |  FROM tok)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE keep), '')) AS aug_fp,
+        |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN keep THEN 0 ELSE 1 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS kept_ratio
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same slices, same md5 content fingerprints — geometry AND content
     "prep_chunk" ->
       """WITH t AS (

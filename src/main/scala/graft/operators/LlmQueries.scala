@@ -1499,6 +1499,12 @@ object LlmQueries {
     Prep.chunkDocs(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id", "chunk_id")
 
+  /** Deterministic word-dropout augmentation ([[Prep.augmentDropout]]):
+    * reproducible 10% mask, content fingerprinted for the oracle.
+    */
+  def prepAugment(s: SparkSession, dir: String): DataFrame =
+    Prep.augmentDropout(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   /** Seeded deterministic corpus shuffle ([[Prep.shuffleOrder]]): the
     * exact global permutation position of every document under the
     * md5(id:seed) order, via the two-level prefix sum — reproducible in

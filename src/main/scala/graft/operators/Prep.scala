@@ -389,6 +389,33 @@ object Prep {
           s"slice(tk, c * $stride + 1, " +
             s"least($chunkSize, n - c * $stride))"))).as("fp"))
 
+  /** prep_augment — deterministic word-dropout augmentation (the text
+    * side of training-set augmentation; word dropout is the standard
+    * regularizer from Iyyer et al.'s deep averaging networks onward):
+    * token i of doc d drops iff `md5(d:i) mod 10 = 0` — a 10% mask that
+    * is REPRODUCIBLE (same doc → same augmentation on any engine, the
+    * [[shuffleOrder]] seeded-determinism rule) yet independent across
+    * positions and documents. Output carries the kept-token fingerprint
+    * so the oracle verifies the augmented CONTENT, not just counts.
+    * Row-local explode/filter/reassemble; nothing shuffles.
+    */
+  def augmentDropout(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("keep",
+        pmod(Hashing.md5Long(concat(col("doc_id").cast("string"),
+          lit(":"), col("pos").cast("string"))), lit(10L)) =!= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN " +
+            "struct(pos, tok) END)), x -> x.tok)"))).as("aug_fp"))
+      .withColumn("kept_ratio", round(
+        (col("n_tokens") - col("n_dropped")).cast("double") /
+          col("n_tokens").cast("double"), 4))
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, blockSize: Long = 4096L): DataFrame = {
     val toks = docs.select(col(idCol),

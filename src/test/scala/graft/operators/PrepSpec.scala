@@ -220,6 +220,41 @@ class PrepSpec extends SparkTestBase {
       "seeds 7 and 8 must not share the permutation")
   }
 
+  test("augmentDropout: reproducible mask, brute-force fingerprint, " +
+      "~10% drop rate, bookkeeping closes") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val got = Prep.augmentDropout(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // reproducible: a second run is bit-identical
+    val again = Prep.augmentDropout(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == again)
+    // brute-force mask + fingerprint per doc
+    val raw = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    raw.take(50).foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val kept = toks.zipWithIndex.filter { case (_, i) =>
+        val h = new java.math.BigInteger(md5hex(s"$id:$i").take(15), 16)
+        h.mod(java.math.BigInteger.valueOf(10)).longValue != 0L
+      }.map(_._1)
+      val (n, nd, fp) = got(id)
+      assert(n == toks.length && nd == toks.length - kept.length, s"doc $id")
+      assert(fp == md5hex(kept.mkString(" ")), s"doc $id fingerprint")
+    }
+    // corpus-level drop rate near 10%
+    val (tot, dropped) = got.values.foldLeft((0L, 0L)) {
+      case ((a, b), (n, nd, _)) => (a + n, b + nd) }
+    val rate = dropped.toDouble / tot
+    assert(rate > 0.07 && rate < 0.13, s"drop rate $rate")
+  }
+
   test("chunkDocs: every token covered, interior chunks overlap by " +
       "size - stride, content fingerprints recompute, short docs emit " +
       "one chunk") {
