@@ -127,6 +127,7 @@ object SparkEntry {
     "a41_atomic_publish"    -> (PipelineQueries.a41AtomicMultiPublish _),
     "a42_retention_vacuum"  -> (PipelineQueries.a42RetentionVacuum _),
     "a43_late_arriving"     -> (PipelineQueries.a43LateArriving _),
+    "a44_write_audit_publish" -> (PipelineQueries.a44WriteAuditPublish _),
     // LLM-data-pipeline operators (north-star extensions)
     "asof_join"             -> (LlmQueries.asofJoin _),
     "asof_nearest"          -> (LlmQueries.asofNearest _),
@@ -4623,6 +4624,27 @@ object SparkEntry {
       """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // rule counts recomputed from the base table + injection formula;
+    // the surviving row count proves batch 2 never reached the pointer
+    "a44_write_audit_publish" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal FROM customer),
+        |inj AS (SELECT k, ROUND(bal * 100, 2) AS bal FROM c
+        |        WHERE k % 100 = 0),
+        |bad AS (SELECT * FROM c UNION ALL SELECT * FROM inj)
+        |SELECT CAST(1 AS BIGINT) AS batch, 'dup_keys' AS rule,
+        |  CAST(0 AS BIGINT) AS violations, TRUE AS published
+        |UNION ALL SELECT 1, 'null_keys', 0, TRUE
+        |UNION ALL SELECT 1, 'range_violations', 0, TRUE
+        |UNION ALL SELECT 2, 'dup_keys',
+        |  (SELECT COUNT(*) - COUNT(DISTINCT k) FROM bad), FALSE
+        |UNION ALL SELECT 2, 'null_keys', 0, FALSE
+        |UNION ALL SELECT 2, 'range_violations',
+        |  (SELECT COUNT(*) FROM bad WHERE bal < -1000 OR bal > 10000),
+        |  FALSE
+        |UNION ALL SELECT 9, 'published_rows',
+        |  (SELECT COUNT(*) FROM c), TRUE
+        |ORDER BY batch, rule""".stripMargin,
     // stage totals recomputed from the base tables; the engine must
     // reproduce them through the park/merge/retry storage hops
     "a43_late_arriving" ->

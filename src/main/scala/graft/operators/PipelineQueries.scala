@@ -747,6 +747,51 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
+  /** A44 — write-audit-publish (the data-quality circuit breaker every
+    * lakehouse pipeline runs: stage the batch, AUDIT it, and only an
+    * all-rules-green batch reaches the pointer flip — Netflix's WAP
+    * pattern; the reference's unconditional WRITE_TRUNCATE is exactly
+    * what this guards against). Batch 1 is clean and publishes; batch 2
+    * carries injected violations (duplicate keys with out-of-range
+    * balances) and is REFUSED — the published table still serves
+    * batch 1, verified FROM STORAGE. The report carries every rule's
+    * violation count per batch plus the surviving table state, so a
+    * breaker that silently publishes, silently drops the good batch, or
+    * miscounts a rule changes the result.
+    */
+  def a44WriteAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"))
+    val root = Files.createTempDirectory("graft_wap").toString + "/t"
+    def audit(batch: DataFrame, id: Long): (DataFrame, Boolean) = {
+      val st = batch.agg(
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"),
+        sum(when(col("bal") < -1000 || col("bal") > 10000, 1L)
+          .otherwise(0L)).as("range_violations"),
+        (count(lit(1)) - countDistinct(col("k"))).as("dup_keys")).head()
+      val rules = Seq(
+        ("null_keys", st.getLong(0)),
+        ("range_violations", st.getLong(1)),
+        ("dup_keys", st.getLong(2)))
+      val ok = rules.forall(_._2 == 0L)
+      if (ok) Sync.publishOverwrite(batch, root)
+      val log = rules.map { case (r, v) => (id, r, v, ok) }
+      (s.createDataFrame(log).toDF("batch", "rule", "violations",
+        "published"), ok)
+    }
+    val (log1, _) = audit(cust, 1L)
+    val bad = cust.unionByName(
+      cust.filter(col("k") % 100 === 0)
+        .select(col("k"), round(col("bal") * 100, 2).as("bal")))
+    val (log2, _) = audit(bad, 2L)
+    // the surviving table state, read back from storage
+    val survived = Sync.readPublished(s, root).get
+      .agg(lit(9L).as("batch"), lit("published_rows").as("rule"),
+        count(lit(1)).as("violations"), lit(true).as("published"))
+    log1.unionByName(log2).unionByName(survived)
+      .orderBy("batch", "rule")
+  }
+
   /** Fixture catalog rows (FIXTURES.md §2.1) incl. the ordering traps. */
   private[graft] val typeFixture: Seq[(String, String)] = Seq(
     "id" -> "int", "full name" -> "varchar", "either/or" -> "varchar",

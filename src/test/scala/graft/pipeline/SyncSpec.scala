@@ -513,6 +513,24 @@ class SyncSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == orders.length.toLong)
   }
 
+  test("write-audit-publish (a44 shape): a failing audit refuses the " +
+      "pointer flip and the previous snapshot keeps serving") {
+    val got = graft.operators.PipelineQueries
+      .a44WriteAuditPublish(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // batch 1 publishes with all rules green
+    Seq("dup_keys", "null_keys", "range_violations").foreach { rule =>
+      assert(got((1L, rule)) == ((0L, true)), s"batch1 $rule")
+      assert(!got((2L, rule))._2, s"batch2 must be refused ($rule)")
+    }
+    // batch 2's duplicate injection is what trips the breaker
+    assert(got((2L, "dup_keys"))._1 > 0L)
+    // the surviving table is batch 1, row for row
+    val n = graft.Tables.load(spark, sfDir, "customer").count()
+    assert(got((9L, "published_rows")) == ((n, true)))
+  }
+
   test("deleteWhere: purge erases deleted rows from EVERY file on " +
       "storage; without purge the retention snapshot still holds them") {
     import spark.implicits._
