@@ -269,6 +269,7 @@ object SparkEntry {
     "q53_mode"              -> (Analytics.modePerGroup _),
     "q54_merge_all"         -> (Queries.q54 _),
     "q55_seq_pattern"       -> (Queries.q55 _),
+    "q56_rolling_slope"     -> (Analytics.rollingSlope _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
@@ -4537,6 +4538,26 @@ object SparkEntry {
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
     // exact mode: integer counts, (n DESC, v ASC) rank, share of total
+    // exact integer window sums; the slope division is the only float
+    "q56_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, n,
+        |    CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+        |  FROM daily),
+        |win AS (
+        |  SELECT day, n,
+        |    COUNT(*) OVER w AS n7, SUM(x) OVER w AS sx,
+        |    SUM(n) OVER w AS sy, SUM(x * n) OVER w AS sxy,
+        |    SUM(x * x) OVER w AS sxx
+        |  FROM d2
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n7 * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n7 * sxx - sx * sx AS DOUBLE), 6) AS slope7
+        |FROM win WHERE n7 = 7 ORDER BY day""".stripMargin,
     // identical per-user letter strings (ts, event_id order), identical
     // regex semantics (leftmost non-overlapping, greedy runs)
     "q55_seq_pattern" ->

@@ -988,6 +988,37 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** q56_rolling_slope — rolling 7-day trend regression over the daily
+    * order volume (the windowed sibling of [[Regression.olsTwoFeature]]:
+    * every monitoring dashboard's "trend arrow" is this statistic):
+    * per day, the OLS slope of count-vs-day over the trailing week,
+    * `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`, with x the epoch-day integer —
+    * all five sufficient sums are EXACT integer window aggregates over
+    * one ordered frame, the division is the only float. One shuffle +
+    * one sort for every day's trend, never a per-window self-join.
+    */
+  def rollingSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("n").over(w))
+      .withColumn("sxy", sum(col("x") * col("n")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("n7") === 7) // full windows only
+      .select(col("day"), col("n"),
+        round((col("n7") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n7") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("slope7"))
+      .orderBy("day")
+  }
+
   /** dq_cusum — CUSUM change-point detection over the daily order
     * volume (Page 1954 — the sequential drift alarm beside [[dqKs]]'s
     * two-sample test and dq_ewma's smoother): the textbook recursion

@@ -172,6 +172,33 @@ class FrontierSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 0L, 1L, false)))
   }
 
+  test("q56 rolling slope equals the per-window scalar OLS slope") {
+    val got = Analytics.rollingSlope(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val daily = Tables.load(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n")).orderBy("day")
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val byDay = daily.zipWithIndex.map { case ((d, n), i) =>
+      d.toString -> i }.toMap
+    got.foreach { case (day, n, slope) =>
+      val i = byDay(day)
+      val win = daily.slice(i - 6, i + 1)
+      assert(win.length == 7)
+      val xs = win.map(w => w._1.toLocalDate.toEpochDay.toDouble)
+      val ys = win.map(_._2.toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val want = (7 * sxy - sx * sy) / (7 * sxx - sx * sx)
+      assert(math.abs(slope - want) < 1e-4, s"$day: $slope vs $want")
+      assert(n == win.last._2)
+    }
+    // the report starts at the 7th day (full windows only)
+    assert(got.length == daily.length - 6)
+  }
+
   test("dq_cusum: the window identity equals the textbook recursion " +
       "S_t = max(0, S_(t-1) + x - k), clamping included") {
     val got = Analytics.dqCusum(spark, sfDir).collect()
