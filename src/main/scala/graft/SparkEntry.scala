@@ -257,6 +257,7 @@ object SparkEntry {
     "graph_wcc"             -> (Graph.graphWcc _),
     "graph_spaths"          -> (Graph.graphSPaths _),
     "graph_betweenness"     -> (Graph.graphBetweenness _),
+    "graph_mst"             -> (Graph.graphMst _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
@@ -4310,6 +4311,73 @@ object SparkEntry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // 3 unrolled Boruvka rounds (min outgoing edge per component with the
+    // (w,u,v) tie-break, then min-label + pointer-jump contraction)
+    "graph_mst" -> {
+      def labelRounds(r: Int): String = (1 to 5).map { j =>
+        s"""nb_${r}_$j AS (
+           |  SELECT ce.dst AS node, MIN(l.p) AS np
+           |  FROM ce_$r ce JOIN lbl_${r}_${j - 1} l ON l.node = ce.src
+           |  GROUP BY ce.dst),
+           |m_${r}_$j AS MATERIALIZED (
+           |  SELECT l.node, LEAST(l.p, COALESCE(nb.np, l.p)) AS p
+           |  FROM lbl_${r}_${j - 1} l LEFT JOIN nb_${r}_$j nb USING (node)),
+           |lbl_${r}_$j AS MATERIALIZED (
+           |  SELECT a.node, COALESCE(b.p, a.p) AS p
+           |  FROM m_${r}_$j a LEFT JOIN m_${r}_$j b ON a.p = b.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rounds = (1 to 3).map { r =>
+        s"""e2_$r AS (
+           |  SELECT e.u, e.v, e.w, a.c AS cu, b.c AS cv
+           |  FROM und e
+           |  JOIN comp_${r - 1} a ON e.u = a.node
+           |  JOIN comp_${r - 1} b ON e.v = b.node
+           |  WHERE a.c <> b.c),
+           |cand_$r AS (
+           |  SELECT cu AS cc, u, v, w, cu, cv FROM e2_$r
+           |  UNION ALL SELECT cv AS cc, u, v, w, cu, cv FROM e2_$r),
+           |chosen_$r AS MATERIALIZED (
+           |  SELECT DISTINCT u, v, w, cu, cv FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cc
+           |      ORDER BY w, u, v) AS rk FROM cand_$r) WHERE rk = 1),
+           |mst_$r AS MATERIALIZED (
+           |  SELECT u, v, w FROM mst_${r - 1}
+           |  UNION ALL SELECT u, v, w FROM chosen_$r),
+           |ce_$r AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT cu AS src, cv AS dst FROM chosen_$r
+           |    UNION ALL SELECT cv, cu FROM chosen_$r)),
+           |lbl_${r}_0 AS (
+           |  SELECT DISTINCT c AS node, c AS p FROM comp_${r - 1}),
+           |${labelRounds(r)},
+           |comp_$r AS MATERIALIZED (
+           |  SELECT cp.node, COALESCE(l.p, cp.c) AS c
+           |  FROM comp_${r - 1} cp
+           |  LEFT JOIN lbl_${r}_5 l ON cp.c = l.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH und AS MATERIALIZED (
+         |  SELECT LEAST(CAST(c.c_nationkey AS BIGINT),
+         |               CAST(s.s_nationkey AS BIGINT)) AS u,
+         |    GREATEST(CAST(c.c_nationkey AS BIGINT),
+         |             CAST(s.s_nationkey AS BIGINT)) AS v,
+         |    COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)),
+         |comp_0 AS (SELECT node, node AS c FROM nodes),
+         |mst_0 AS (SELECT CAST(NULL AS BIGINT) AS u,
+         |  CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS w
+         |  WHERE 1 = 0),
+         |$rounds
+         |SELECT u, v, CAST(w AS BIGINT) AS w
+         |FROM mst_3 ORDER BY u, v""".stripMargin
+    },
     // forward sigma rounds + Brandes' backward dependency accumulation in
     // integer micro-units ((sig_v*(1e6+del_w)) // sig_w), depths descending
     "graph_betweenness" -> {

@@ -460,6 +460,109 @@ object Graph {
       .orderBy(col("h12").desc, col("node"))
   }
 
+  /** Minimum spanning forest by Borůvka's algorithm — THE parallel MST
+    * scheme (every MapReduce/Pregel MST paper is Borůvka at heart)
+    * because each round is embarrassingly relational: every component
+    * picks its minimum outgoing edge (one aggregate with the
+    * deterministic tie-break (w, u, v) — ties would otherwise make the
+    * forest engine-dependent), the chosen edges merge components
+    * (min-label + pointer doubling over the BOUNDED component graph,
+    * the [[wcc]] machinery), and the component count at least halves —
+    * so `rounds` = O(log |V|) with certainty, and each round costs
+    * O(|E|) joins on the re-used edge partitioning.
+    *
+    * Input: undirected unique edges (u < v, integer weight). Output:
+    * the chosen forest edges. With distinct weights this is THE MSF;
+    * with ties it is the exact forest selected by the documented
+    * tie-break (still minimal — lexicographic tie-breaking is the
+    * standard uniqueness device).
+    */
+  def boruvkaMst(edgesU: DataFrame, rounds: Int): DataFrame = {
+    val s = edgesU.sparkSession
+    import s.implicits._
+    val e = edgesU.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(true)
+    var comp = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+      .select(col("node"), col("node").as("c"))
+      .localCheckpoint(true)
+    var mstEdges = List.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val e2 = e
+        .join(comp.select(col("node").as("u"), col("c").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      // every cross edge is a candidate for BOTH endpoint components
+      val cand = e2.select(col("cu").as("cc"), col("u"), col("v"),
+          col("w"), col("cu"), col("cv"))
+        .unionByName(e2.select(col("cv").as("cc"), col("u"), col("v"),
+          col("w"), col("cu"), col("cv")))
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy("cc").orderBy(col("w"), col("u"), col("v"))
+      val chosen = cand.withColumn("rk", row_number().over(wMin))
+        .filter(col("rk") === 1)
+        .select(col("u"), col("v"), col("w"), col("cu"), col("cv"))
+        .distinct() // both sides may pick the same edge
+        .localCheckpoint(true)
+      mstEdges ::= chosen.select("u", "v", "w")
+      // contract on the driver: the chosen COMPONENT edges are one row
+      // per surviving component (the frame Borůvka just halved), so
+      // union-find over them is bounded driver work — the repo's
+      // hybrid union-find/pointer-jumping convention (Dedup components).
+      // A graph whose component count exceeds driver memory swaps this
+      // step for the distributed [[wcc]] doubling loop; the forest
+      // SELECTION above (the O(|E|) part) is distributed either way.
+      val pairs = chosen.select("cu", "cv").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (pairs.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val remap = parent.keys.map(c => (c, find(c)))
+          .filter { case (c, r) => c != r }.toSeq
+        if (remap.nonEmpty) {
+          val m = broadcast(remap.toDF("c0", "cnew"))
+          comp = comp.join(m, col("c") === col("c0"), "left_outer")
+            .select(col("node"), coalesce(col("cnew"), col("c")).as("c"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    mstEdges.reduce(_ unionByName _)
+  }
+
+  /** Registered query: the minimum spanning forest of the undirected
+    * nation trade graph weighted by trade-line counts — the forest
+    * edges plus (per component of the final forest) nothing extra: the
+    * report is the edge list itself, ordered, with the total at the
+    * tie-broken uniqueness the oracle replays. 3 Borůvka rounds close
+    * 25 nodes with margin (components at least halve per round).
+    */
+  def graphMst(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val und = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
+      .agg(count(lit(1)).as("w"))
+    boruvkaMst(und, rounds = 3)
+      .orderBy("u", "v")
+  }
+
   /** Shortest-path counting from a pivot set — the σ (sigma) table of
     * Brandes' betweenness algorithm and the core statistic of any
     * path-redundancy audit: for unweighted BFS, every shortest path to

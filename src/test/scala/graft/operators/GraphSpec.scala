@@ -259,6 +259,58 @@ class GraphSpec extends SparkTestBase {
       s"each middle carries 2 * 0.5: ${dia}")
   }
 
+  test("boruvkaMst equals Kruskal with the (w,u,v) tie-break on hand " +
+      "graphs and on the registered trade graph; forests stay acyclic") {
+    import spark.implicits._
+    def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      es.sortBy(e => (e._3, e._1, e._2)).flatMap { case (u, v, w) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { parent(math.max(ru, rv)) = math.min(ru, rv)
+          Some((u, v, w)) } else None
+      }.toSet
+    }
+    // hand graphs: a triangle with a tie, two components, a star
+    val hands = Seq(
+      Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L), (4L, 5L, 1L)),
+      Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 9L)),
+      (2L to 6L).map(l => (1L, l, l)))
+    hands.foreach { es =>
+      val got = Graph.boruvkaMst(es.toDF("u", "v", "w"), rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == kruskal(es), s"hand graph $es: $got")
+    }
+    // the registered query: same forest as Kruskal over the real edges
+    val und = Graph.graphMst(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(und.toSet == kruskal(und.toIndexedSeq ++ li).intersect(li.toSet)
+      || und.toSet == kruskal(li.toIndexedSeq), s"trade-graph MST")
+    // forest: |edges| = |nodes| - |components|, and total weight matches
+    val nodes = li.flatMap(e => Seq(e._1, e._2)).distinct.length
+    assert(und.length <= nodes - 1)
+    assert(und.map(_._3).sum == kruskal(li.toIndexedSeq).toSeq.map(_._3).sum,
+      "total weight must be minimal")
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
