@@ -258,6 +258,7 @@ object SparkEntry {
     "graph_spaths"          -> (Graph.graphSPaths _),
     "graph_betweenness"     -> (Graph.graphBetweenness _),
     "graph_mst"             -> (Graph.graphMst _),
+    "graph_modularity"      -> (Graph.graphModularity _),
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
@@ -4311,6 +4312,52 @@ object SparkEntry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // the labelprop recurrence + exact integer modularity over the common
+    // denominator 4m^2 (4m*e_c - d_c^2); the division is display only
+    "graph_modularity" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS (SELECT n.node,
+           |  LEAST(n.label, COALESCE(m.nmin, n.label)) AS label
+           |  FROM l${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, MIN(l.label) AS nmin
+           |    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst) m USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS (
+         |  SELECT p, hub FROM (
+         |    SELECT CAST(p_partkey AS BIGINT) AS p,
+         |      CAST(MIN(p_partkey) OVER (PARTITION BY p_brand, p_size) AS BIGINT) AS hub
+         |    FROM part) WHERE p <> hub),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(p, hub) AS u, GREATEST(p, hub) AS v
+         |  FROM st),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds,
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |ein AS (
+         |  SELECT a.label, COUNT(*) AS e_in
+         |  FROM und JOIN l5 a ON und.u = a.node JOIN l5 b ON und.v = b.node
+         |  WHERE a.label = b.label GROUP BY a.label),
+         |deg AS (
+         |  SELECT l.label, COUNT(*) AS d_tot
+         |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
+         |  JOIN l5 l USING (node) GROUP BY l.label),
+         |sizes AS (SELECT label, COUNT(*) AS n_nodes FROM l5 GROUP BY label)
+         |SELECT s.label, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(d.d_tot AS BIGINT) AS d_tot,
+         |  CAST(4 * mm.m * COALESCE(e.e_in, 0) - d.d_tot * d.d_tot
+         |    AS BIGINT) AS q_num,
+         |  ROUND(CAST(4 * mm.m * COALESCE(e.e_in, 0) - d.d_tot * d.d_tot
+         |    AS DOUBLE) / (4.0 * mm.m * mm.m), 6) AS q_contrib
+         |FROM sizes s JOIN deg d USING (label)
+         |LEFT JOIN ein e USING (label), mm
+         |ORDER BY s.label""".stripMargin
+    },
     // 3 unrolled Boruvka rounds (min outgoing edge per component with the
     // (w,u,v) tie-break, then min-label + pointer-jump contraction)
     "graph_mst" -> {

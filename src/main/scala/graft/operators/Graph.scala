@@ -744,6 +744,55 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Registered query: EXACT Newman modularity of the label-propagation
+    * partition over the part affinity graph — the quality audit every
+    * community detection needs (`Q = Σ_c [e_c/m − (d_c/2m)²]`). The
+    * whole computation is integer-exact: per community the intra-edge
+    * count e_c and degree mass d_c are plain aggregates, and the
+    * contribution scales to `4m·e_c − d_c²` over the common denominator
+    * 4m² — the only float is the final display division. One edge scan
+    * + two label joins + one bounded per-community aggregate.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    // brand-size stars ONLY (the type stars bridge everything into one
+    // giant community, making Q degenerate-zero): disjoint groups give
+    // the partition real structure to score
+    val p = Tables.load(s, dir, "part")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand", "p_size")
+    val st = p.select(col("p_partkey").cast("long").as("p"),
+        min(col("p_partkey").cast("long")).over(w).as("hub"))
+      .filter(col("p") =!= col("hub"))
+    val und = st
+      .select(least(col("p"), col("hub")).as("u"),
+        greatest(col("p"), col("hub")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds m, the label joins, and degrees
+    val labels = labelPropagation(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))),
+      rounds = 5).localCheckpoint(true)
+    val m = und.count()
+    val lu = labels.select(col("node").as("u"), col("label").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("label").as("cv"))
+    val eIn = und.join(lu, "u").join(lv, "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .join(labels, "node")
+      .groupBy("label").agg(count(lit(1)).as("d_tot"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    sizes.join(deg, "label").join(eIn, Seq("label"), "left_outer")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("q_num",
+        lit(4L) * m * col("e_in") - col("d_tot") * col("d_tot"))
+      .withColumn("q_contrib", round(col("q_num").cast("double") /
+        (4.0 * m * m), 6))
+      .select("label", "n_nodes", "e_in", "d_tot", "q_num", "q_contrib")
+      .orderBy("label")
+  }
+
   /** Registered query: neighborhood Jaccard over the part
     * attribute-affinity graph, strongest pairs first.
     */

@@ -311,6 +311,28 @@ class GraphSpec extends SparkTestBase {
       "total weight must be minimal")
   }
 
+  test("modularity bookkeeping: contributions sum to the definitional Q, " +
+      "star partitions score positive, degrees and edges total") {
+    val got = Graph.graphModularity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val m = got.map(_._3).sum // every edge is intra here (disjoint stars)
+    // degrees total 2m; q_num = 4m*e_in - d^2 per row
+    assert(got.map(_._4).sum == 2 * m)
+    got.foreach { case (_, _, eIn, d, qn, qc) =>
+      assert(qn == 4 * m * eIn - d * d)
+      assert(math.abs(qc - qn.toDouble / (4.0 * m * m)) < 1e-9)
+    }
+    // the disjoint-star partition is strictly better than one community
+    val q = got.map(_._5).sum.toDouble / (4.0 * m * m)
+    assert(q >= 0.9, s"disjoint stars must score near-maximal Q, got $q")
+    // sizes: a star of n nodes has n-1 edges and degree mass 2(n-1)
+    got.foreach { case (_, n, eIn, d, _, _) =>
+      assert(eIn == n - 1 && d == 2 * (n - 1))
+    }
+  }
+
   test("graph_labelprop query: sizes consistent, labels are community minima") {
     val rows = Graph.graphLabelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
