@@ -272,6 +272,7 @@ object SparkEntry {
     "q54_merge_all"         -> (Queries.q54 _),
     "q55_seq_pattern"       -> (Queries.q55 _),
     "q56_rolling_slope"     -> (Analytics.rollingSlope _),
+    "q57_attribution"       -> (Analytics.attribution _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
@@ -4653,6 +4654,32 @@ object SparkEntry {
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
     // exact mode: integer counts, (n DESC, v ASC) rank, share of total
+    // identical strictly-prior first/last IGNORE NULLS windows, identical
+    // (ts, event_id) ordering
+    "q57_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    first_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events),
+        |p AS (SELECT * FROM e
+        |      WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+        |SELECT 'first_touch' AS model, first_touch AS touch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM p GROUP BY first_touch
+        |UNION ALL
+        |SELECT 'last_touch', last_touch, COUNT(*), ROUND(SUM(value), 2)
+        |FROM p GROUP BY last_touch
+        |ORDER BY model, touch""".stripMargin,
     // exact integer window sums; the slope division is the only float
     "q56_rolling_slope" ->
       """WITH daily AS (

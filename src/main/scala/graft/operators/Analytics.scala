@@ -988,6 +988,37 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** q57_attribution — first-touch vs last-touch revenue attribution
+    * (the marketing-analytics standard beside q43's funnel and q44's
+    * retention): each purchase attributes its value to the user's FIRST
+    * engagement touch (click/view) and, separately, to the LAST touch
+    * before the purchase. Both assignments are one user-partitioned
+    * window pass (first/last with ignoreNulls over the strictly-prior
+    * frame — no per-purchase self-join), then one bounded aggregate per
+    * model. Purchases with no prior touch are excluded (reported by
+    * neither model — the untouched-conversion bucket).
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val touch = when(col("event_type").isin("click", "view"),
+      col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = t(s, dir, "events")
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_touch").isNotNull)
+      .localCheckpoint(true) // feeds both model aggregates
+    def model(name: String, c: String) = p.groupBy(col(c).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("total_value"))
+      .select(lit(name).as("model"), col("touch"), col("n_purchases"),
+        col("total_value"))
+    model("first_touch", "first_touch")
+      .unionByName(model("last_touch", "last_touch"))
+      .orderBy("model", "touch")
+  }
+
   /** q56_rolling_slope — rolling 7-day trend regression over the daily
     * order volume (the windowed sibling of [[Regression.olsTwoFeature]]:
     * every monitoring dashboard's "trend arrow" is this statistic):

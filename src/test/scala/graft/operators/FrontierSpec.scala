@@ -172,6 +172,49 @@ class FrontierSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 0L, 1L, false)))
   }
 
+  test("q57 attribution equals the brute-force per-purchase walk; both " +
+      "models conserve the attributed purchase set") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2, e._3))
+    }
+    var first = Map.empty[String, (Long, Double)].withDefaultValue((0L, 0.0))
+    var last = Map.empty[String, (Long, Double)].withDefaultValue((0L, 0.0))
+    byUser.values.foreach { es =>
+      var ft: Option[String] = None
+      var lt: Option[String] = None
+      es.foreach { e =>
+        if (e._4 == "purchase" && lt.isDefined) {
+          val (fn, fv) = first(ft.get)
+          first = first.updated(ft.get, (fn + 1, fv + e._5))
+          val (ln, lv) = last(lt.get)
+          last = last.updated(lt.get, (ln + 1, lv + e._5))
+        }
+        if (e._4 == "click" || e._4 == "view") {
+          if (ft.isEmpty) ft = Some(e._4)
+          lt = Some(e._4)
+        }
+      }
+    }
+    val got = Analytics.attribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    Seq("click", "view").foreach { t =>
+      assert(got(("first_touch", t))._1 == first(t)._1, s"first $t n")
+      assert(math.abs(got(("first_touch", t))._2 - first(t)._2) < 0.02)
+      assert(got(("last_touch", t))._1 == last(t)._1, s"last $t n")
+      assert(math.abs(got(("last_touch", t))._2 - last(t)._2) < 0.02)
+    }
+    // conservation: both models attribute the same purchase population
+    assert(got.filter(_._1._1 == "first_touch").values.map(_._1).sum ==
+      got.filter(_._1._1 == "last_touch").values.map(_._1).sum)
+  }
+
   test("q56 rolling slope equals the per-window scalar OLS slope") {
     val got = Analytics.rollingSlope(spark, sfDir).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
