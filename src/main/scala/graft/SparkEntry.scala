@@ -262,6 +262,7 @@ object SparkEntry {
     "ml_stump"              -> (Regression.mlStump _),
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
+    "ml_cv"                 -> (Regression.mlCv _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -4289,6 +4290,56 @@ object SparkEntry {
     // three stump-search chains (root + per-leaf behind the root winner's
     // scalar subquery); leaf stats from shared SSE fragments
     "ml_tree_depth2" -> Regression.treeOracleSql(),
+    // 3 unrolled folds: per fold a stump chain trained on the OTHER two
+    // folds + held-out RMSE from per-side integer sufficient statistics
+    "ml_cv" -> {
+      val sse = Regression.stumpSseSql
+      val folds = (0 to 2).map { f =>
+        val m = s"(CASE WHEN is_left THEN (SELECT ml FROM w_$f)" +
+          s" ELSE (SELECT mr FROM w_$f) END)"
+        s"""perq_$f AS MATERIALIZED (
+           |  SELECT q, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+           |  FROM li WHERE fold <> $f GROUP BY q),
+           |pre_$f AS (
+           |  SELECT q,
+           |    SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+           |    SUM(n) OVER () AS nt, SUM(s) OVER () AS st, SUM(ss) OVER () AS sst
+           |  FROM perq_$f
+           |  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |sp_$f AS (
+           |  SELECT q, nl, sl, ssl, nt - nl AS nr, st - sl AS sr,
+           |    sst - ssl AS ssr
+           |  FROM pre_$f WHERE nt - nl > 0),
+           |w_$f AS MATERIALIZED (
+           |  SELECT q, nl, nr,
+           |    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+           |    CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mr
+           |  FROM sp_$f ORDER BY $sse, q LIMIT 1),
+           |ho_$f AS (
+           |  SELECT (q <= (SELECT q FROM w_$f)) AS is_left, COUNT(*) AS n,
+           |    SUM(v) AS sy, SUM(v * v) AS syy
+           |  FROM li WHERE fold = $f GROUP BY 1),
+           |r_$f AS (
+           |  SELECT CAST($f AS BIGINT) AS fold,
+           |    (SELECT q FROM w_$f) AS threshold,
+           |    (SELECT CAST(nl + nr AS BIGINT) FROM w_$f) AS n_train,
+           |    CAST(SUM(n) AS BIGINT) AS n_test,
+           |    ROUND(SQRT(SUM(CAST(syy AS DOUBLE) - 2.0 * $m
+           |        * CAST(sy AS DOUBLE) + CAST(n AS DOUBLE) * $m * $m)
+           |      / CAST(SUM(n) AS DOUBLE)), 4) AS rmse_test
+           |  FROM ho_$f)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v,
+         |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+         |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 3
+         |      AS fold
+         |  FROM lineitem),
+         |$folds
+         |SELECT * FROM r_0 UNION ALL SELECT * FROM r_1
+         |UNION ALL SELECT * FROM r_2 ORDER BY fold""".stripMargin
+    },
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,

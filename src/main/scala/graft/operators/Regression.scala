@@ -356,6 +356,51 @@ object Regression {
     ols.join(ridge, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** ml_cv — 3-fold cross-validation of the stump learner (the
+    * model-selection loop that closes the ML lifecycle: split → train →
+    * held-out evaluation, the honest generalization estimate): folds
+    * assign by the portable hash (`md5(key) mod 3`, the
+    * [[Prep.kFold]] rule), each fold's model trains on the OTHER two
+    * folds via [[stumpSplits]]' one-aggregate search, and the held-out
+    * RMSE computes from per-side integer sufficient statistics —
+    * `SSE = Σy² − 2·m·Σy + n·m²` per side with the trained means the
+    * only doubles, a fixed expression order both engines share — so
+    * the score is deterministic with no row-level float sum anywhere.
+    * Cost: per fold one train aggregate + one holdout aggregate; folds
+    * are a driver loop of 3, each a fact-scan-bounded job.
+    */
+  def mlCv(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("v"),
+      pmod(Hashing.md5Long(concat(col("l_orderkey").cast("string"),
+        lit("#"), col("l_linenumber").cast("string"))), lit(3L))
+        .as("fold"))
+      .localCheckpoint(true) // feeds all six per-fold aggregates
+    val outs = (0L to 2L).map { f =>
+      val best = stumpSplits(li.filter(col("fold") =!= f), "q", "v")
+        .orderBy(col("sse"), col("q")).limit(1).head()
+      val thr = best.getAs[Long]("q")
+      val (ml, mr) = (best.getAs[Double]("ml"), best.getAs[Double]("mr"))
+      val ho = li.filter(col("fold") === f)
+        .groupBy((col("q") <= thr).as("left"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sy"),
+          sum(col("v") * col("v")).as("syy"))
+        .withColumn("m", when(col("left"), lit(ml)).otherwise(lit(mr)))
+        .agg(sum("n").as("n_test"),
+          sum(expr("CAST(syy AS DOUBLE) - 2.0D * m * CAST(sy AS DOUBLE)" +
+            " + CAST(n AS DOUBLE) * m * m")).as("sse"))
+        .head()
+      (f, thr, best.getAs[Long]("nl") + best.getAs[Long]("nr"),
+        ho.getLong(0),
+        BigDecimal(math.sqrt(ho.getDouble(1) / ho.getLong(0)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import s.implicits._
+    outs.toDF("fold", "threshold", "n_train", "n_test", "rmse_test")
+      .orderBy("fold")
+  }
+
   /** ml_tree_depth2 — an exact depth-2 regression CART: the best root
     * split on quantity ([[stumpSplits]]), then the best sub-split on
     * discount-cents INSIDE each root leaf. This is the recursive-

@@ -215,6 +215,47 @@ class FrontierSpec extends SparkTestBase {
       got.filter(_._1._1 == "last_touch").values.map(_._1).sum)
   }
 
+  test("ml_cv: each fold's model is the train-side stump argmin, the " +
+      "held-out RMSE matches brute force, folds partition the table") {
+    val got = Regression.mlCv(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") + 0.5).cast("long"),
+        pmod(Hashing.md5Long(concat(col("l_orderkey").cast("string"),
+          lit("#"), col("l_linenumber").cast("string"))), lit(3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.values.map(_._3).sum == rows.length.toLong,
+      "holdouts partition the table")
+    def sse(vs: Seq[Long]): Double =
+      if (vs.isEmpty) 0.0
+      else vs.map(v => v.toDouble * v).sum -
+        math.pow(vs.map(_.toDouble).sum, 2) / vs.size
+    for (f <- 0L to 2L) {
+      val train = rows.filter(_._3 != f)
+      val test = rows.filter(_._3 == f)
+      val cands = train.map(_._1).distinct.sorted.init
+      val (thr, _) = cands.map { t =>
+        val (l, r) = train.partition(_._1 <= t)
+        (t, sse(l.map(_._2)) + sse(r.map(_._2)))
+      }.minBy { case (t, s) => (s, t) }
+      assert(got(f)._1 == thr, s"fold $f threshold")
+      assert(got(f)._2 == train.length.toLong)
+      // brute-force holdout RMSE with the trained means
+      val (tl, tr) = train.partition(_._1 <= thr)
+      val (ml, mr) = (tl.map(_._2).sum.toDouble / tl.length,
+        tr.map(_._2).sum.toDouble / tr.length)
+      val rss = test.map { case (q, v, _) =>
+        val m = if (q <= thr) ml else mr
+        (v - m) * (v - m)
+      }.sum
+      val rmse = math.sqrt(rss / test.length)
+      assert(math.abs(got(f)._4 - rmse) < 1e-3, s"fold $f rmse")
+    }
+  }
+
   test("q56 rolling slope equals the per-window scalar OLS slope") {
     val got = Analytics.rollingSlope(spark, sfDir).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
