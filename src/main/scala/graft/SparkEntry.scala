@@ -4324,9 +4324,10 @@ object SparkEntry {
            |    (SELECT q FROM w_$f) AS threshold,
            |    (SELECT CAST(nl + nr AS BIGINT) FROM w_$f) AS n_train,
            |    CAST(SUM(n) AS BIGINT) AS n_test,
-           |    ROUND(SQRT(SUM(CAST(syy AS DOUBLE) - 2.0 * $m
+           |    CAST(FLOOR(SQRT(SUM(CAST(syy AS DOUBLE) - 2.0 * $m
            |        * CAST(sy AS DOUBLE) + CAST(n AS DOUBLE) * $m * $m)
-           |      / CAST(SUM(n) AS DOUBLE)), 4) AS rmse_test
+           |      / CAST(SUM(n) AS DOUBLE)) * 10000) AS BIGINT)
+           |      AS rmse_test_e4
            |  FROM ho_$f)""".stripMargin
       }.mkString(",\n")
       s"""WITH li AS MATERIALIZED (
@@ -4666,7 +4667,9 @@ object SparkEntry {
          |FROM s_8 GROUP BY src ORDER BY node""".stripMargin
     },
     // exact stump split-search: integer sufficient stats + the SHARED
-    // double SSE expression (Regression.stumpSseSql) on both engines
+    // double SSE expression (Regression.stumpSseSql) on both engines.
+    // Emissions floor-quantize to integer units (ROUND on a double hit
+    // a real HALF_UP-vs-binary tie at sf0.01 — see Regression.mlStump)
     "ml_stump" ->
       s"""WITH li AS (
          |  SELECT CAST(l_quantity AS BIGINT) AS q,
@@ -4687,10 +4690,10 @@ object SparkEntry {
          |  FROM pre WHERE nt - nl > 0)
          |SELECT q AS threshold, CAST(nl AS BIGINT) AS n_left,
          |  CAST(nr AS BIGINT) AS n_right,
-         |  ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE), 4) AS mean_left,
-         |  ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 4) AS mean_right,
-         |  ROUND(${Regression.stumpSseSql}, 2) AS sse
-         |FROM sp ORDER BY sse, threshold LIMIT 3""".stripMargin,
+         |  CAST(floor((CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) * 10000) AS BIGINT) AS mean_left_e4,
+         |  CAST(floor((CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) * 10000) AS BIGINT) AS mean_right_e4,
+         |  CAST(floor(${Regression.stumpSseSql} * 100) AS BIGINT) AS sse_cents
+         |FROM sp ORDER BY sse_cents, threshold LIMIT 3""".stripMargin,
     // oracle takes the definitional quadratic NOT EXISTS; the engine's
     // prefix-max plan must reproduce it exactly
     "q51_skyline" ->

@@ -420,8 +420,20 @@ object PipelineQueries {
   private lazy val pgServer =
     new graft.sources.pgwire.PgWireServer(derbyUrl)
 
-  private def pgUrl: String =
-    s"jdbc:graftpg://127.0.0.1:${pgServer.port}/graft"
+  /** The driver's reachable bind address for executor-side clients of
+    * driver-hosted listeners (bus producers, pgwire sessions):
+    * `spark.driver.host` when set (cluster submit always sets it),
+    * loopback otherwise — a 127.0.0.1 literal inside a task closure
+    * points at the EXECUTOR's own host on a multi-host cluster.
+    */
+  private[graft] def driverHost(s: SparkSession): String =
+    s.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+
+  private def pgUrl: String = {
+    val h = org.apache.spark.sql.SparkSession.active.sparkContext.getConf
+      .get("spark.driver.host", "127.0.0.1")
+    s"jdbc:graftpg://$h:${pgServer.port}/graft"
+  }
 
   private val pgProps = Map("driver" -> "graft.sources.pgwire.PgWireDriver")
 
@@ -513,13 +525,18 @@ object PipelineQueries {
   def a37BusRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val server = new graft.sources.bus.BusServer(4)
     val port = server.start()
+    // executors reach the driver-hosted bus via the driver's bind
+    // address, not a loopback literal — on a multi-host cluster
+    // 127.0.0.1 in a foreachPartition closure points at the WRONG
+    // machine (r10 advice; same convention as spark.driver.host itself)
+    val busHost = driverHost(s)
     try {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).cast("long").as("len"))
         .as[(Long, Long)]
         .foreachPartition { (it: Iterator[(Long, Long)]) =>
-          val cl = new graft.sources.bus.BusClient("127.0.0.1", port)
+          val cl = new graft.sources.bus.BusClient(busHost, port)
           try it.foreach { case (id, len) =>
             cl.append((id % 4).toInt, 1700000000000000L + id,
               id.toString, len.toString)
@@ -527,7 +544,7 @@ object PipelineQueries {
         }
       val out = Files.createTempDirectory("graft_bus_rt").toString + "/t"
       s.readStream.format("graft.sources.bus.BusSourceProvider")
-        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("host", busHost).option("port", port.toString)
         .option("maxRecordsPerTrigger", "4096")
         .load()
         .writeStream
@@ -558,20 +575,21 @@ object PipelineQueries {
   def a38BusSync(s: SparkSession, dir: String): DataFrame = {
     val server = new graft.sources.bus.BusServer(4)
     val port = server.start()
+    val busHost = driverHost(s) // see a37: never loopback in task closures
     try {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).cast("long").as("len"))
         .as[(Long, Long)]
         .foreachPartition { (it: Iterator[(Long, Long)]) =>
-          val cl = new graft.sources.bus.BusClient("127.0.0.1", port)
+          val cl = new graft.sources.bus.BusClient(busHost, port)
           try it.foreach { case (id, len) =>
             cl.append((id % 4).toInt, 1700000000000000L + id,
               "s" + (id % 10), len.toString)
           } finally cl.close()
         }
       val finalPath = Files.createTempDirectory("graft_bus_wh").toString + "/t"
-      graft.sources.bus.BusSync.busIncrementalPublish(s, "127.0.0.1", port,
+      graft.sources.bus.BusSync.busIncrementalPublish(s, busHost, port,
           Files.createTempDirectory("graft_bus_wh_ck").toString, finalPath,
           // small enough that every SF runs >1 merge→publish cycle (the
           // multi-batch accumulation is the point), large enough that the

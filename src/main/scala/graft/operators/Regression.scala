@@ -184,13 +184,19 @@ object Regression {
     val li = Tables.load(s, dir, "lineitem").select(
       col("l_quantity").cast("long").as("q"),
       floor(col("l_extendedprice") + 0.5).cast("long").as("v"))
+    // Emissions are FLOOR-QUANTIZED integer units (means in 1e-4
+    // dollars, SSE in cents), not ROUND: at sf0.01 the threshold-46
+    // split's SSE is exactly …551.625 (a 3-fractional-bit double,
+    // a true decimal tie) and Spark's BigDecimal HALF_UP ROUND gives
+    // …551.63 while DuckDB's double round gives …551.62. floor of the
+    // identical double is identical on any engine (the q49 precedent).
     stumpSplits(li, "q", "v")
       .select(col("q").as("threshold"),
         col("nl").as("n_left"), col("nr").as("n_right"),
-        round(col("ml"), 4).as("mean_left"),
-        round(col("mr"), 4).as("mean_right"),
-        round(col("sse"), 2).as("sse"))
-      .orderBy(col("sse"), col("threshold"))
+        floor(col("ml") * 10000).cast("long").as("mean_left_e4"),
+        floor(col("mr") * 10000).cast("long").as("mean_right_e4"),
+        floor(col("sse") * 100).cast("long").as("sse_cents"))
+      .orderBy(col("sse_cents"), col("threshold"))
       .limit(3)
   }
 
@@ -248,10 +254,10 @@ object Regression {
         lit(k + 1).as("round"), lit(fname).as("feature"),
         col("q").as("threshold"),
         col("nl").as("n_left"), col("nr").as("n_right"),
-        round(col("ml"), 4).as("mean_left"),
-        round(col("mr"), 4).as("mean_right"),
-        round(col("sse"), 2).as("sse"),
-        round(col("g_rmse"), 4).as("rmse"))
+        floor(col("ml") * 10000).cast("long").as("mean_left_e4"),
+        floor(col("mr") * 10000).cast("long").as("mean_right_e4"),
+        floor(col("sse") * 100).cast("long").as("sse_cents"),
+        floor(col("g_rmse") * 10000).cast("long").as("rmse_e4"))
       li = nextLi
     }
     outs.reduce(_ unionByName _).orderBy("round")
@@ -306,8 +312,10 @@ object Regression {
       val (fname, _) = boostedFeats(k)
       s"""SELECT ${k + 1} AS round, '$fname' AS feature, b.q AS threshold,
          |  CAST(b.nl AS BIGINT) AS n_left, CAST(b.nr AS BIGINT) AS n_right,
-         |  ROUND(b.ml, 4) AS mean_left, ROUND(b.mr, 4) AS mean_right,
-         |  ROUND(b.sse, 2) AS sse, ROUND(r.g_rmse, 4) AS rmse
+         |  CAST(FLOOR(b.ml * 10000) AS BIGINT) AS mean_left_e4,
+         |  CAST(FLOOR(b.mr * 10000) AS BIGINT) AS mean_right_e4,
+         |  CAST(FLOOR(b.sse * 100) AS BIGINT) AS sse_cents,
+         |  CAST(FLOOR(r.g_rmse * 10000) AS BIGINT) AS rmse_e4
          |FROM best_$k b, rmse_$k r""".stripMargin
     }
     s"""WITH li_0 AS MATERIALIZED (
@@ -391,13 +399,16 @@ object Regression {
           sum(expr("CAST(syy AS DOUBLE) - 2.0D * m * CAST(sy AS DOUBLE)" +
             " + CAST(n AS DOUBLE) * m * m")).as("sse"))
         .head()
+      // floor-quantized 1e-4 units, NOT round: HALF_UP on a double can
+      // split from DuckDB's round at an exact decimal tie (the ml_stump
+      // …551.625 incident); floor of the identical double is identical.
       (f, thr, best.getAs[Long]("nl") + best.getAs[Long]("nr"),
         ho.getLong(0),
-        BigDecimal(math.sqrt(ho.getDouble(1) / ho.getLong(0)))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        math.floor(math.sqrt(ho.getDouble(1) / ho.getLong(0)) * 10000)
+          .toLong)
     }
     import s.implicits._
-    outs.toDF("fold", "threshold", "n_train", "n_test", "rmse_test")
+    outs.toDF("fold", "threshold", "n_train", "n_test", "rmse_test_e4")
       .orderBy("fold")
   }
 
@@ -431,13 +442,13 @@ object Regression {
     def leafRows(w: DataFrame, side: String): DataFrame =
       w.select(lit(s"$side.L").as("leaf"), lit(rootThr).as("root_thr"),
           col("q").as("sub_thr"), col("nl").as("n"),
-          round(col("ml"), 4).as("mean"),
-          round(expr(sseLeftSql), 2).as("sse"))
+          floor(col("ml") * 10000).cast("long").as("mean_e4"),
+          floor(expr(sseLeftSql) * 100).cast("long").as("sse_cents"))
         .unionByName(
           w.select(lit(s"$side.R").as("leaf"), lit(rootThr).as("root_thr"),
             col("q").as("sub_thr"), col("nr").as("n"),
-            round(col("mr"), 4).as("mean"),
-            round(expr(sseRightSql), 2).as("sse")))
+            floor(col("mr") * 10000).cast("long").as("mean_e4"),
+            floor(expr(sseRightSql) * 100).cast("long").as("sse_cents")))
     leafRows(winner(li.filter(col("q1") <= rootThr), "q2"), "L")
       .unionByName(
         leafRows(winner(li.filter(col("q1") > rootThr), "q2"), "R"))
@@ -474,8 +485,9 @@ object Regression {
         if (side == "L") ("nl", "ml", sseLeftSql) else ("nr", "mr", sseRightSql)
       s"""SELECT '$name.$side' AS leaf,
          |  (SELECT q FROM w_root) AS root_thr, q AS sub_thr,
-         |  CAST($nn AS BIGINT) AS n, ROUND($mm, 4) AS mean,
-         |  ROUND($ss, 2) AS sse
+         |  CAST($nn AS BIGINT) AS n,
+         |  CAST(FLOOR($mm * 10000) AS BIGINT) AS mean_e4,
+         |  CAST(FLOOR($ss * 100) AS BIGINT) AS sse_cents
          |FROM w_$name""".stripMargin
     }
     s"""WITH li AS MATERIALIZED (

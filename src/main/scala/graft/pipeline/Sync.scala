@@ -208,6 +208,27 @@ object Sync {
   def publishOverwrite(df: DataFrame, path: String): Unit =
     publishStaged(df, path, _ => ())
 
+  /** The retention window persisted in the table root by a publish that
+    * set one explicitly (`_RETAIN`). A later plain `publishOverwrite(df,
+    * path)` honors it instead of silently truncating a deeper
+    * time-travel history back to the default 2 (r10 advice).
+    */
+  private[graft] def readRetain(fs: FileSystem, root: Path): Option[Int] = {
+    val p = new Path(root, RetainFile)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val b = new Array[Byte](16)
+      var n = 0
+      try {
+        var r = in.read(b, n, b.length - n)
+        while (r > 0) { n += r; r = in.read(b, n, b.length - n) }
+      } finally in.close()
+      Some(new String(b, 0, n,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+    } catch { case _: Exception => None }
+  }
+
   /** [[publishOverwrite]] with an explicit retention window: the newest
     * `retain` committed snapshots stay version-addressable after the
     * publish (default 2 = current + immediately-previous, the plain
@@ -217,7 +238,7 @@ object Sync {
     * with [[vacuumRetain]].
     */
   def publishOverwrite(df: DataFrame, path: String, retain: Int): Unit =
-    publishStaged(df, path, _ => (), retain)
+    publishStaged(df, path, _ => (), Some(retain))
 
   /** On-demand retention enforcement over a published table root: keep
     * the newest `retain` committed snapshots (the current version is
@@ -253,6 +274,7 @@ object Sync {
   }
 
   private[graft] val CommitMarker = "_GRAFT_COMMITTED"
+  private[graft] val RetainFile = "_RETAIN"
   private[graft] val Pointer = "_CURRENT"
   private[graft] val PointerTmp = "_CURRENT.tmp"
   private def snapPath(root: Path, v: Long) = new Path(root, s"snap-$v")
@@ -263,11 +285,14 @@ object Sync {
     */
   private[graft] def publishStaged(df: DataFrame, path: String,
                                    boundary: Int => Unit,
-                                   retain: Int = 2): Unit = {
-    require(retain >= 1, s"retain must be >= 1, got $retain")
+                                   retainOpt: Option[Int] = None): Unit = {
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // effective retention: explicit param > persisted table setting >
+    // default 2 — a plain publish on a retain=4 root keeps the history
+    val retain = retainOpt.orElse(readRetain(fs, root)).getOrElse(2)
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val next = resolveVersion(fs, root).getOrElse(0L) + 1
     val vdir = snapPath(root, next)
     df.write.mode("overwrite").parquet(vdir.toString)
@@ -284,6 +309,11 @@ object Sync {
     boundary(4) // pointer gone: readers fall back to highest committed
     fs.rename(tmp, ptr)
     boundary(5) // acknowledged; stale snapshots not yet vacuumed
+    retainOpt.foreach { r => // persist an explicit setting for later plain publishes
+      val o = fs.create(new Path(root, RetainFile), true)
+      o.write(r.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o.close()
+    }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       // retain the newest `retain` snapshot versions (default: this one
@@ -296,7 +326,7 @@ object Sync {
       val keptVersion = scala.util.Try(n.stripPrefix("snap-").toLong)
         .toOption.exists(v => v > next - retain && v <= next)
       val keep = (n.startsWith("snap-") && keptVersion) ||
-        n == Pointer || n == PointerTmp
+        n == Pointer || n == PointerTmp || n == RetainFile
       if (!keep) fs.delete(st.getPath, true)
     }
   }
@@ -311,11 +341,17 @@ object Sync {
     val fromPtr =
       if (!fs.exists(ptr)) None
       else try {
+        // read to EOF, not a single read(): some Hadoop FileSystems
+        // legally return short reads, and a truncated parse would
+        // silently degrade to the fallback scan (r10 advice)
         val in = fs.open(ptr)
         val b = new Array[Byte](32)
-        val n = in.read(b)
-        in.close()
-        val v = new String(b, 0, math.max(n, 0),
+        var n = 0
+        try {
+          var r = in.read(b, n, b.length - n)
+          while (r > 0) { n += r; r = in.read(b, n, b.length - n) }
+        } finally in.close()
+        val v = new String(b, 0, n,
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         if (committed(v)) Some(v) else None
       } catch { case _: Exception => None }

@@ -42,9 +42,12 @@ final class BusServer(val partitions: Int) {
   @volatile private var server: ServerSocket = _
   @volatile private var closed = false
 
-  /** Bind an ephemeral loopback port; returns it. */
+  /** Bind an ephemeral port on all interfaces (executor producers and
+    * the connector reach a driver-hosted bus via spark.driver.host, which
+    * a loopback-only bind would refuse cross-host); returns it.
+    */
   def start(): Int = {
-    server = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
+    server = new ServerSocket(0, 64)
     val t = new Thread(() => acceptLoop(), "graft-bus-accept")
     t.setDaemon(true)
     t.start()

@@ -116,11 +116,27 @@ private[bus] final class BusMicroBatchStream(host: String, port: Int,
     * force (the documented per-partition reading of the cap, the
     * backlog-catchup knob).
     */
+  /** An exactly-once source must never silently ignore partitions: if
+    * the bus restarted with a different partition count than the
+    * checkpointed (or snapshot) offset vector, zip() would truncate to
+    * the shorter side and planInputPartitions would skip the rest —
+    * data loss dressed as progress. Fail loudly instead.
+    */
+  private def requireSameLength(what: String, a: Array[Long],
+                                b: Array[Long]): Unit =
+    require(a.length == b.length,
+      s"bus partition-count mismatch ($what): ${a.length} vs ${b.length} — " +
+        "the bus was restarted with a different partition count than this " +
+        "stream's checkpoint; a new checkpoint location is required")
+
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val s = startOffset.asInstanceOf[BusOffset].offsets
     val live = admin.endOffsets()
+    requireSameLength("checkpointed start vs live bus", s, live)
     val ends = availableNowEnd match {
-      case Some(snap) => snap.zip(live).map { case (a, b) => math.min(a, b) }
+      case Some(snap) =>
+        requireSameLength("AvailableNow snapshot vs live bus", snap, live)
+        snap.zip(live).map { case (a, b) => math.min(a, b) }
       case None => live
     }
     val capped = limit match {
@@ -140,6 +156,7 @@ private[bus] final class BusMicroBatchStream(host: String, port: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BusOffset].offsets
     val e = end.asInstanceOf[BusOffset].offsets
+    requireSameLength("batch start vs end", s, e)
     s.indices.filter(p => e(p) > s(p))
       .map(p => BusRange(host, port, p, s(p), e(p)): InputPartition)
       .toArray

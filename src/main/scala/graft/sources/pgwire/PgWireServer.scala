@@ -33,8 +33,10 @@ import java.sql.{DriverManager, ResultSet, SQLException, Types}
   */
 final class PgWireServer(backendUrl: String) {
 
-  private val server =
-    new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  // wildcard bind (all interfaces): executor JVMs on OTHER hosts reach
+  // this driver-hosted listener via spark.driver.host — a loopback-only
+  // bind works in local mode but refuses every cross-host session
+  private val server = new ServerSocket(0, 64)
 
   /** Ephemeral listen port — embed in the client JDBC URL. */
   val port: Int = server.getLocalPort
@@ -103,7 +105,8 @@ final class PgWireServer(backendUrl: String) {
 
   /** Startup negotiation: refuse SSLRequest with the documented single
     * 'N' byte, ignore CancelRequest, accept any credentials (trust auth —
-    * this server only ever binds the loopback interface).
+    * this server fronts an in-process test warehouse; a production
+    * deployment would front it with real auth like cloud_sql_proxy does).
     */
   @annotation.tailrec
   private def startup(in: DataInputStream, rawOut: DataOutputStream,

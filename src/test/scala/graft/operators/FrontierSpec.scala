@@ -79,8 +79,9 @@ class FrontierSpec extends SparkTestBase {
     assert(top.getLong(0) == bestBrute._1,
       s"best threshold ${top.getLong(0)} != brute ${bestBrute._1}")
     // driver float fold differs in association from the engine's exact
-    // integer stats: compare loosely
-    assert(math.abs(top.getDouble(5) - bestBrute._2) / bestBrute._2 < 1e-9)
+    // integer stats: compare loosely (sse now in floor-quantized cents)
+    assert(math.abs(top.getLong(5) / 100.0 - bestBrute._2) / bestBrute._2 <
+      1e-9)
     assert(top.getLong(1) + top.getLong(2) == pts.length)
   }
 
@@ -93,9 +94,11 @@ class FrontierSpec extends SparkTestBase {
     assert(got.head.getLong(2) == single.getLong(0), "round-1 threshold")
     assert(got.head.getLong(3) == single.getLong(1))
     // boosting on squared loss cannot make training RMSE worse
-    val rmses = got.map(_.getDouble(8))
+    // (rmse now in floor-quantized 1e-4 units; floor keeps monotonicity
+    // up to the quantization step)
+    val rmses = got.map(_.getLong(8))
     rmses.sliding(2).foreach { case Array(a, b) =>
-      assert(b <= a + 1e-9, s"rmse must be monotone: $a -> $b")
+      assert(b <= a + 1, s"rmse must be monotone: $a -> $b")
     }
     assert(rmses.forall(_ >= 0))
     // each reported split SSE is the post-split residual mass: strictly
@@ -136,8 +139,10 @@ class FrontierSpec extends SparkTestBase {
       assert(subThr == bestBrute._1, s"$side sub-threshold")
     }
     // recursion can only reduce training SSE below the root stump's
-    val rootSse = Regression.mlStump(spark, sfDir).head().getDouble(5)
-    assert(got.map(_.getDouble(5)).sum <= rootSse + 1e-6)
+    // (both in floor-quantized cents; 4 leaf floors can undershoot the
+    // root floor by at most 4 units)
+    val rootSse = Regression.mlStump(spark, sfDir).head().getLong(5)
+    assert(got.map(_.getLong(5)).sum <= rootSse + 4)
   }
 
   test("q55 sequence patterns: hand-built event history yields exact " +
@@ -219,7 +224,8 @@ class FrontierSpec extends SparkTestBase {
       "held-out RMSE matches brute force, folds partition the table") {
     val got = Regression.mlCv(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4) / 10000.0)).toMap // rmse in floor-quantized 1e-4
     assert(got.keySet == Set(0L, 1L, 2L))
     val rows = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_quantity").cast("long"),

@@ -311,6 +311,29 @@ class GraphSpec extends SparkTestBase {
       "total weight must be minimal")
   }
 
+  test("boruvkaMst distributed-wcc contraction (forced driverMaxEdges=0) " +
+      "produces the identical forest as the driver union-find path") {
+    import spark.implicits._
+    // hand graphs incl. a CHAIN whose Borůvka merge graph is itself a
+    // chain of components — the worst case for label propagation, the
+    // case the doubling-round budget must close
+    val hands = Seq(
+      Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L), (4L, 5L, 1L)),
+      (1L until 12L).map(k => (k, k + 1, 7L)),          // pure chain, ties
+      (2L to 6L).map(l => (1L, l, l)) ++ Seq((7L, 8L, 2L)))
+    hands.foreach { es =>
+      val viaDriver = Graph.boruvkaMst(es.toDF("u", "v", "w"), rounds = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val viaWcc = Graph.boruvkaMst(es.toDF("u", "v", "w"), rounds = 5,
+          driverMaxEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(viaWcc == viaDriver, s"paths diverge on $es: " +
+        s"wcc=$viaWcc driver=$viaDriver")
+    }
+  }
+
   test("modularity bookkeeping: contributions sum to the definitional Q, " +
       "star partitions score positive, degrees and edges total") {
     val got = Graph.graphModularity(spark, sfDir).collect()

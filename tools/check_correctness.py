@@ -18,14 +18,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # DuckDB returns DECIMAL for decimal-literal arithmetic (e.g. ROUND of
+    # a sum of 2.2-style literals) where Spark computes DOUBLE; the driver
+    # gate equates them (dedup_linkage passed r10 with Decimal('3.9') vs
+    # double 3.9), so coerce before the float path.
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # %.12g, not %.6g: values >= 1e6 (running sums, packed bit values)
-        # must keep their low digits or this gate is weaker than the
-        # driver's full-precision compare. Queries that want tolerance
-        # already ROUND explicitly on both sides.
-        return f"{v:.12g}"
+        # %.17g (full round-trip repr), not %.12g: the r10 ml_stump miss
+        # proved 12 significant digits collapse distinct engine outputs
+        # (…551.62 vs …551.63 both printed the same) while the driver
+        # compares at full precision. Queries that want tolerance
+        # already ROUND or floor-quantize explicitly on both sides.
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
