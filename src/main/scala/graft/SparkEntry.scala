@@ -201,6 +201,7 @@ object SparkEntry {
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
+    "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
@@ -3662,6 +3663,23 @@ object SparkEntry {
         |  FROM documents),
         |l AS (SELECT doc_id, SUM(1000 * ((seed * 7 +
         |      ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 29) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Progressive (SOF2) leg: the 7-scan successive-approximation file
+    // decodes to the same per-block-constant closed form — the oracle is
+    // the baseline shape with the progressive fixture's dims/values; the
+    // engine can only reproduce it through the full Annex-G scan loop.
+    "mm_jpeg_progressive" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 12 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 10 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 12 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 * ((seed * 19 +
+        |      ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 31) % 256)) AS lum_total
         |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
         |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,

@@ -171,6 +171,16 @@ object Jpeg {
   private val DcEnc = new HuffTable(DcCounts, DcVals)
   private val AcEnc = new HuffTable(AcCounts, AcVals)
 
+  /** Progressive AC alphabet: the baseline 162 symbols plus the EOBn
+    * run-length codes (r«4, r = 1..14) Annex G adds — 176 eight-bit
+    * codes, still clear of the all-ones constraint.
+    */
+  private val AcProgCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcProgVals: Array[Int] =
+    AcVals ++ (1 to 14).map(_ << 4)
+  private val AcProgEnc = new HuffTable(AcProgCounts, AcProgVals)
+
   // ---------------------------------------------------------------------
   // Bit I/O with 0xFF byte stuffing
   // ---------------------------------------------------------------------
@@ -249,6 +259,11 @@ object Jpeg {
     var planeW: Int = 0
     var planeH: Int = 0
     var pred: Int = 0
+    // progressive: RAW (unquantized) coefficients accumulated across
+    // scans, 64 ints per block over the frame's MCU-padded block grid
+    var coefs: Array[Int] = _
+    var blocksW: Int = 0
+    var blocksH: Int = 0
   }
 
   /** SOF dimensions only (the [[Multimodal.decodeImages]] header path):
@@ -265,7 +280,9 @@ object Jpeg {
     var h = 0
     var comps: Array[Component] = _
     var restartInterval = 0
-    var scanStart = 0 // entropy data offset after SOS
+    var scanStart = 0 // baseline: entropy offset after SOS;
+                      // progressive: offset OF the first SOS marker
+    var progressive = false
     val quant = new Array[Array[Int]](4)
     val huffDc = new Array[HuffTable](4)
     val huffAc = new Array[HuffTable](4)
@@ -274,6 +291,49 @@ object Jpeg {
 
   private def u16(d: Array[Byte], p: Int): Int =
     ((d(p) & 0xFF) << 8) | (d(p + 1) & 0xFF)
+
+  /** DQT body: one or more 65-byte (8-bit precision) tables. Shared by
+    * the header walk and the progressive between-scan walk.
+    */
+  private def parseDqt(data: Array[Byte], body: Int, bodyLen: Int,
+                       st: State): Unit = {
+    var q = body
+    while (q < body + bodyLen) {
+      val pq = (data(q) & 0xF0) >> 4
+      val tq = data(q) & 0x0F
+      if (pq != 0 || tq > 3) refuse() // 8-bit precision only
+      if (q + 65 > body + bodyLen) refuse()
+      val t = new Array[Int](64)
+      var i = 0
+      while (i < 64) { t(i) = data(q + 1 + i) & 0xFF; i += 1 }
+      st.quant(tq) = t
+      q += 65
+    }
+    if (q != body + bodyLen) refuse()
+  }
+
+  /** DHT body: one or more tables (class/id header, 16 counts, values).
+    * Shared by the header walk and the progressive between-scan walk
+    * (progressive files re-define tables between scans).
+    */
+  private def parseDht(data: Array[Byte], body: Int, bodyLen: Int,
+                       st: State): Unit = {
+    var q = body
+    while (q < body + bodyLen) {
+      val tc = (data(q) & 0xF0) >> 4
+      val th = data(q) & 0x0F
+      if (tc > 1 || th > 3) refuse()
+      if (q + 17 > body + bodyLen) refuse()
+      val counts = Array.tabulate(16)(i => data(q + 1 + i) & 0xFF)
+      val nv = counts.sum
+      if (nv == 0 || nv > 256 || q + 17 + nv > body + bodyLen) refuse()
+      val vals = Array.tabulate(nv)(i => data(q + 17 + i) & 0xFF)
+      val tab = new HuffTable(counts, vals)
+      if (tc == 0) st.huffDc(th) = tab else st.huffAc(th) = tab
+      q += 17 + nv
+    }
+    if (q != body + bodyLen) refuse()
+  }
 
   /** Marker-segment walk up to (and through) SOS. Refuses non-baseline
     * SOFs, arithmetic coding, and any structural violation.
@@ -295,39 +355,12 @@ object Jpeg {
       marker match {
         case m if m >= 0xE0 && m <= 0xEF => // APPn: skip
         case 0xFE => // COM: skip
-        case 0xDB => // DQT: one or more tables
-          var q = body
-          while (q < body + bodyLen) {
-            val pq = (data(q) & 0xF0) >> 4
-            val tq = data(q) & 0x0F
-            if (pq != 0 || tq > 3) refuse() // 8-bit precision only
-            if (q + 65 > body + bodyLen) refuse()
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) { t(i) = data(q + 1 + i) & 0xFF; i += 1 }
-            st.quant(tq) = t
-            q += 65
-          }
-          if (q != body + bodyLen) refuse()
-        case 0xC4 => // DHT: one or more tables
-          var q = body
-          while (q < body + bodyLen) {
-            val tc = (data(q) & 0xF0) >> 4
-            val th = data(q) & 0x0F
-            if (tc > 1 || th > 3) refuse()
-            if (q + 17 > body + bodyLen) refuse()
-            val counts = Array.tabulate(16)(i => data(q + 1 + i) & 0xFF)
-            val nv = counts.sum
-            if (nv == 0 || nv > 256 || q + 17 + nv > body + bodyLen) refuse()
-            val vals = Array.tabulate(nv)(i => data(q + 17 + i) & 0xFF)
-            val tab = new HuffTable(counts, vals)
-            if (tc == 0) st.huffDc(th) = tab else st.huffAc(th) = tab
-            q += 17 + nv
-          }
-          if (q != body + bodyLen) refuse()
-        case 0xC0 => // SOF0: baseline sequential
+        case 0xDB => parseDqt(data, body, bodyLen, st)
+        case 0xC4 => parseDht(data, body, bodyLen, st)
+        case m @ (0xC0 | 0xC2) => // SOF0 baseline / SOF2 progressive
           if (sofSeen || bodyLen < 6) refuse()
           sofSeen = true
+          st.progressive = m == 0xC2
           if ((data(body) & 0xFF) != 8) refuse() // 8-bit samples only
           st.h = u16(data, body + 1)
           st.w = u16(data, body + 3)
@@ -346,10 +379,14 @@ object Jpeg {
             c
           }
         case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 =>
-          refuse() // progressive/extended/arithmetic/DAC: not baseline
+          refuse() // extended/arithmetic/lossless/DAC: unsupported
         case 0xDD => // DRI
           if (bodyLen != 2) refuse()
           st.restartInterval = u16(data, body)
+        case 0xDA if st.progressive => // first SOS of a multi-scan file:
+          if (!sofSeen) refuse()      // the scan walk re-parses from here
+          st.scanStart = p
+          return st
         case 0xDA => // SOS
           if (!sofSeen) refuse()
           val ns = data(body) & 0xFF
@@ -423,6 +460,7 @@ object Jpeg {
   private def decodeOrRefuse(
       data: Array[Byte]): (Multimodal.ImageInfo, Array[Byte]) = {
     val st = parseHeaders(data, headerOnly = false)
+    if (st.progressive) return decodeProgressiveOrRefuse(data, st)
     val comps = st.comps
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
@@ -485,7 +523,18 @@ object Jpeg {
       m += 1
     }
     br.expectEoi()
+    planesToPixels(st)
+  }
 
+  /** Component sample planes → the top-down RGB/grayscale output buffer
+    * (replication upsampling + fixed-point BT.601). Shared by the
+    * baseline and progressive paths.
+    */
+  private def planesToPixels(
+      st: State): (Multimodal.ImageInfo, Array[Byte]) = {
+    val comps = st.comps
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
     val w = st.w; val h = st.h
     val ch = comps.length
     val out = new Array[Byte](w * h * ch)
@@ -528,6 +577,305 @@ object Jpeg {
     }
     (Multimodal.ImageInfo(w, h, ch, 0, w * ch, bottomUp = false, bgr = false),
       out)
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive decode (T.81 Annex G, spectral selection + successive
+  // approximation, Huffman coding). Coefficients accumulate RAW across
+  // scans in per-component block buffers; dequantize + IDCT run once at
+  // EOI. DC scans may be interleaved; AC scans are single-component (the
+  // spec's G.1.1.1.1 constraint, enforced).
+  // ---------------------------------------------------------------------
+
+  /** Per-scan mutable entropy state: the EOB run counter shared by AC
+    * first/refinement passes (reset at scan start and at every restart
+    * marker, like the DC predictors).
+    */
+  private final class ScanCtx {
+    var eobrun = 0
+  }
+
+  private def decodeProgressiveOrRefuse(
+      data: Array[Byte], st: State): (Multimodal.ImageInfo, Array[Byte]) = {
+    val comps = st.comps
+    val nc = comps.length
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (st.w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (st.h + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.blocksW = if (nc > 1) mcusX * c.h else (st.w + 7) / 8
+      c.blocksH = if (nc > 1) mcusY * c.v else (st.h + 7) / 8
+      // 64 ints/block = 1 int per padded pixel: the baseline plane bound
+      if (c.blocksW.toLong * c.blocksH * 64 > (64L << 20)) refuse()
+      c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+      c.pred = 0
+    }
+    var p = st.scanStart // at the 0xFF of the first SOS
+    var sawEoi = false
+    while (!sawEoi) {
+      if (p + 2 > data.length) refuse()
+      if ((data(p) & 0xFF) != 0xFF) refuse()
+      val marker = data(p + 1) & 0xFF
+      if (marker == 0xD9) sawEoi = true // EOI
+      else {
+        if (p + 4 > data.length) refuse()
+        val len = u16(data, p + 2)
+        if (len < 2 || p + 2 + len > data.length) refuse()
+        val body = p + 4
+        val bodyLen = len - 2
+        marker match {
+          case m if m >= 0xE0 && m <= 0xEF => p = body + bodyLen
+          case 0xFE => p = body + bodyLen
+          case 0xDB => parseDqt(data, body, bodyLen, st); p = body + bodyLen
+          case 0xC4 => parseDht(data, body, bodyLen, st); p = body + bodyLen
+          case 0xDD =>
+            if (bodyLen != 2) refuse()
+            st.restartInterval = u16(data, body)
+            p = body + bodyLen
+          case 0xDA =>
+            p = decodeProgressiveScan(data, body, bodyLen, st, mcusX, mcusY)
+          case _ => refuse()
+        }
+      }
+    }
+    // dequantize (quant stored in zigzag order, coefs in natural) + IDCT
+    // every block into the MCU-padded sample planes, then the shared
+    // plane→pixel conversion
+    val dq = new Array[Int](64)
+    val px = new Array[Int](64)
+    comps.foreach { c =>
+      val q = st.quant(c.tq)
+      if (q == null) refuse()
+      c.planeW = c.blocksW * 8
+      c.planeH = c.blocksH * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var b = 0
+      val nBlocks = c.blocksW * c.blocksH
+      while (b < nBlocks) {
+        val base = b * 64
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          dq(nat) = c.coefs(base + nat) * q(k)
+          k += 1
+        }
+        idctBlock(dq, px)
+        val ox = (b % c.blocksW) * 8
+        val oy = (b / c.blocksW) * 8
+        var yy = 0
+        while (yy < 8) {
+          val dst = (oy + yy) * c.planeW + ox
+          var xx = 0
+          while (xx < 8) { c.plane(dst + xx) = px(yy * 8 + xx); xx += 1 }
+          yy += 1
+        }
+        b += 1
+      }
+    }
+    planesToPixels(st)
+  }
+
+  /** Decode one progressive SOS (header + entropy data); returns the
+    * offset of the next marker. Validates the Annex-G scan constraints:
+    * DC scans have Ss=Se=0 and may interleave; AC scans have ns=1 and
+    * 1 ≤ Ss ≤ Se ≤ 63; refinements step the point transform by exactly
+    * one bit (Ah = Al + 1).
+    */
+  private def decodeProgressiveScan(data: Array[Byte], body: Int,
+                                    bodyLen: Int, st: State,
+                                    mcusX: Int, mcusY: Int): Int = {
+    val nc = st.comps.length
+    val ns = data(body) & 0xFF
+    if (ns < 1 || ns > nc || bodyLen != 1 + 2 * ns + 3) refuse()
+    val scanComps = Array.tabulate(ns) { i =>
+      val cid = data(body + 1 + 2 * i) & 0xFF
+      val c = st.comps.find(_.id == cid).getOrElse(refuse())
+      val tt = data(body + 2 + 2 * i) & 0xFF
+      c.dcTab = st.huffDc((tt >> 4) & 0xF)
+      c.acTab = st.huffAc(tt & 0xF)
+      c
+    }
+    val ss = data(body + 1 + 2 * ns) & 0xFF
+    val se = data(body + 2 + 2 * ns) & 0xFF
+    val ahal = data(body + 3 + 2 * ns) & 0xFF
+    val ah = (ahal >> 4) & 0xF
+    val al = ahal & 0xF
+    val isDc = ss == 0
+    if (isDc) { if (se != 0) refuse() }
+    else if (ns != 1 || se < ss || se > 63) refuse()
+    if (al > 13 || (ah != 0 && ah != al + 1)) refuse()
+    if (isDc && ah == 0) scanComps.foreach { c =>
+      if (c.dcTab == null) refuse()
+    }
+    if (!isDc) { if (scanComps(0).acTab == null) refuse() }
+    scanComps.foreach(_.pred = 0)
+    val br = new BitReader(data, body + bodyLen)
+    val ctx = new ScanCtx
+    var rst = 0
+    var sinceRestart = 0
+    def maybeRestart(): Unit =
+      if (st.restartInterval > 0 && sinceRestart == st.restartInterval) {
+        br.restartMarker(rst)
+        rst = (rst + 1) & 7
+        sinceRestart = 0
+        ctx.eobrun = 0
+        scanComps.foreach(_.pred = 0)
+      }
+    if (isDc && ns > 1) {
+      // interleaved DC scan: MCU order over the frame grid
+      var m = 0
+      val total = mcusX * mcusY
+      while (m < total) {
+        maybeRestart()
+        val mx = m % mcusX
+        val my = m / mcusX
+        var ci = 0
+        while (ci < ns) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val blk = (my * c.v + by) * c.blocksW + (mx * c.h + bx)
+              decodeDcProgressive(br, c, blk * 64, ah, al)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        sinceRestart += 1
+        m += 1
+      }
+    } else {
+      // non-interleaved: the component's own sub-grid of blocks covering
+      // its ceil(w·h_i/hMax) × ceil(h·v_i/vMax) sample region
+      val c = scanComps(0)
+      val hMax = st.comps.map(_.h).max
+      val vMax = st.comps.map(_.v).max
+      val cw = (st.w * c.h + hMax - 1) / hMax
+      val chh = (st.h * c.v + vMax - 1) / vMax
+      val nbw = (cw + 7) / 8
+      val nbh = (chh + 7) / 8
+      var by = 0
+      while (by < nbh) {
+        var bx = 0
+        while (bx < nbw) {
+          maybeRestart()
+          val base = (by * c.blocksW + bx) * 64
+          if (isDc) decodeDcProgressive(br, c, base, ah, al)
+          else if (ah == 0) decodeAcFirst(br, c, base, ss, se, al, ctx)
+          else decodeAcRefine(br, c, base, ss, se, al, ctx)
+          sinceRestart += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // byte-align (pad bits are inside the last consumed byte) and locate
+    // the next marker; 0xFF fill bytes before it are legal padding
+    var q = br.pos
+    while (q + 1 < data.length && (data(q) & 0xFF) == 0xFF &&
+        (data(q + 1) & 0xFF) == 0xFF) q += 1
+    if (q + 2 > data.length) refuse()
+    if ((data(q) & 0xFF) != 0xFF) refuse()
+    q
+  }
+
+  /** DC coefficient, first pass (diff-coded magnitude shifted left by
+    * Al) or refinement (one appended bit at position Al).
+    */
+  private def decodeDcProgressive(br: BitReader, c: Component, base: Int,
+                                  ah: Int, al: Int): Unit =
+    if (ah == 0) {
+      val t = c.dcTab.decode(br)
+      if (t > 11) refuse()
+      c.pred += extend(br.bits(t), t)
+      c.coefs(base) = c.pred << al
+    } else {
+      if (br.bit() == 1) c.coefs(base) |= 1 << al
+    }
+
+  /** AC band, first pass: run/size symbols with EOBn run-length codes
+    * (an EOB run of (1«r)+received(r) blocks ends at the current block).
+    */
+  private def decodeAcFirst(br: BitReader, c: Component, base: Int,
+                            ss: Int, se: Int, al: Int, ctx: ScanCtx): Unit = {
+    if (ctx.eobrun > 0) { ctx.eobrun -= 1; return }
+    var k = ss
+    while (k <= se) {
+      val rs = c.acTab.decode(br)
+      val r = (rs >> 4) & 0x0F
+      val s = rs & 0x0F
+      if (s == 0) {
+        if (r < 15) {
+          // EOBn: total run (1<<r)+bits(r); this block consumes one
+          ctx.eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+          k = 64
+        } else k += 16 // ZRL
+      } else {
+        k += r
+        if (k > se) refuse()
+        c.coefs(base + Zigzag(k)) = extend(br.bits(s), s) << al
+        k += 1
+      }
+    }
+  }
+
+  /** AC band, refinement pass (Annex G.1.2.3 / the classic structure):
+    * newly-nonzero coefficients arrive as (run, size 1) + sign; every
+    * history-nonzero coefficient passed over contributes one correction
+    * bit; EOBn covers the block tail and whole subsequent blocks with
+    * correction bits only.
+    */
+  private def decodeAcRefine(br: BitReader, c: Component, base: Int,
+                             ss: Int, se: Int, al: Int, ctx: ScanCtx): Unit = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    def correct(z: Int): Unit =
+      if (br.bit() == 1 && (c.coefs(z) & p1) == 0)
+        c.coefs(z) += (if (c.coefs(z) >= 0) p1 else m1)
+    var k = ss
+    if (ctx.eobrun == 0) {
+      var done = false
+      while (k <= se && !done) {
+        val rs = c.acTab.decode(br)
+        var r = (rs >> 4) & 0x0F
+        val s = rs & 0x0F
+        var newval = 0
+        if (s != 0) {
+          if (s != 1) refuse() // refinement codes only size-1 amplitudes
+          newval = if (br.bit() == 1) p1 else m1
+        } else if (r < 15) {
+          ctx.eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+          done = true // tail of this block handled below; eobrun-- there
+        }
+        if (!done) {
+          // advance: corrections at nonzero-history positions, the run
+          // counts zero positions; place the new value where it expires
+          var placed = false
+          while (k <= se && !placed) {
+            val z = base + Zigzag(k)
+            if (c.coefs(z) != 0) correct(z)
+            else if (r == 0) {
+              if (s != 0) c.coefs(z) = newval
+              placed = true
+            } else r -= 1
+            k += 1
+          }
+          if (s != 0 && !placed) refuse() // no zero slot for the new value
+        }
+      }
+    }
+    if (ctx.eobrun > 0) {
+      while (k <= se) {
+        val z = base + Zigzag(k)
+        if (c.coefs(z) != 0) correct(z)
+        k += 1
+      }
+      ctx.eobrun -= 1
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -620,6 +968,304 @@ object Jpeg {
     blocks.foreach { b => pred = encodeBlock(bw, b, pred, dcT, acT) }
     bw.flushPad()
     out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive encoder (Annex G shape: spectral bands + successive
+  // approximation) — the fixture/spec surface that lets the decoder be
+  // pinned equal to baseline on arbitrary coefficient grids.
+  // ---------------------------------------------------------------------
+
+  /** Progressive scan-emission state shared across blocks of one AC
+    * scan: the pending EOB run and (refinement only) correction bits
+    * buffered behind the next emitted symbol.
+    */
+  private final class AcEncCtx(bw: BitWriter, acT: HuffTable) {
+    var eobrun = 0
+    private val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+    def buffer(bit: Int): Unit = buf += bit
+    def emitBuffered(): Unit = { buf.foreach(b => bw.put(b, 1)); buf.clear() }
+    /** EOBn: r = ⌊log2 run⌋, extra = run − 2^r in r bits; buffered
+      * correction bits of the covered blocks follow the symbol.
+      */
+    def flushEobrun(): Unit = if (eobrun > 0) {
+      var r = 0
+      while ((eobrun >> (r + 1)) != 0) r += 1
+      acT.write(bw, r << 4)
+      if (r > 0) bw.put(eobrun - (1 << r), r)
+      eobrun = 0
+      emitBuffered()
+    }
+  }
+
+  /** One block of a first AC scan at point transform `al` over band
+    * [ss, se]: sign-magnitude shifted values, ZRL runs, trailing zeros
+    * fold into the shared EOB run.
+    */
+  private def encodeAcFirstBlock(bw: BitWriter, acT: HuffTable,
+                                 coef: Array[Int], ss: Int, se: Int,
+                                 al: Int, ctx: AcEncCtx): Unit = {
+    var r = 0
+    var k = ss
+    var any = false
+    while (k <= se) {
+      val cv = coef(Zigzag(k))
+      val av = math.abs(cv) >> al
+      if (av == 0) r += 1
+      else {
+        ctx.flushEobrun()
+        while (r > 15) { acT.write(bw, 0xF0); r -= 16 }
+        var sz = 0
+        var a = av
+        while (a != 0) { sz += 1; a >>= 1 }
+        if (sz > 10) refuse()
+        acT.write(bw, (r << 4) | sz)
+        val t = if (cv < 0) -av else av
+        bw.put(if (t < 0) t + (1 << sz) - 1 else t, sz)
+        r = 0
+        any = true
+      }
+      k += 1
+    }
+    if (r > 0 || !any) {
+      ctx.eobrun += 1
+      if (ctx.eobrun == 0x7FFF) ctx.flushEobrun()
+    }
+  }
+
+  /** One block of a refinement AC scan (Ah = al+1 → al): newly-nonzero
+    * values (|v|»al == 1) emit (run,1)+sign; history-nonzero
+    * coefficients contribute one buffered correction bit each; the tail
+    * past the last newly-nonzero position joins the EOB run.
+    */
+  private def encodeAcRefineBlock(bw: BitWriter, acT: HuffTable,
+                                  coef: Array[Int], ss: Int, se: Int,
+                                  al: Int, ctx: AcEncCtx): Unit = {
+    def abv(k: Int): Int = math.abs(coef(Zigzag(k))) >> al
+    var kEob = ss - 1 // last newly-nonzero position; band tail after it
+    var k = ss
+    while (k <= se) { if (abv(k) == 1) kEob = k; k += 1 }
+    // events since the last emitted symbol, in POSITION order: −1 marks
+    // a zero-history position, 0/1 a history coefficient's correction
+    // bit. Each symbol's segment gets exactly ITS span's corrections —
+    // a ZRL carries the bits interleaved among its 16 zero-histories,
+    // matching the decoder's walk (G.1.2.3: "appended immediately
+    // following the code word"), not a block-global buffer.
+    val ev = new scala.collection.mutable.ArrayBuffer[Int]()
+    var r = 0
+    k = ss
+    while (k <= kEob) {
+      val a = abv(k)
+      if (a == 0) { ev += -1; r += 1 }
+      else if (a > 1) ev += (a & 1) // history-nonzero: correction bit
+      else {
+        ctx.flushEobrun()
+        while (r > 15) {
+          acT.write(bw, 0xF0)
+          var zs = 0
+          while (zs < 16) {
+            val e = ev.remove(0)
+            if (e < 0) zs += 1 else bw.put(e, 1)
+          }
+          r -= 16
+        }
+        acT.write(bw, (r << 4) | 1)
+        bw.put(if (coef(Zigzag(k)) < 0) 0 else 1, 1)
+        ev.foreach(e => if (e >= 0) bw.put(e, 1))
+        ev.clear()
+        r = 0
+      }
+      k += 1
+    }
+    if (kEob < se) {
+      // tail rides the EOB run: corrections buffered behind the EOBn
+      ev.foreach(e => if (e >= 0) ctx.buffer(e))
+      ev.clear()
+      k = math.max(ss, kEob + 1)
+      while (k <= se) { if (abv(k) > 1) ctx.buffer(abv(k) & 1); k += 1 }
+      ctx.eobrun += 1
+      if (ctx.eobrun == 0x7FFF) ctx.flushEobrun()
+    }
+  }
+
+  /** Progressive grayscale from per-block QUANTIZED coefficient arrays
+    * (natural order, raster block order — the [[encodeGrayCoeffs]]
+    * input): DC first at `dcAl` + refinements down to 0, then per
+    * spectral band an AC first at `acAl` + refinements down to 0.
+    * Optional restart interval applies to every scan (predictors and
+    * EOB runs reset, RSTm between block groups). Decodes to exactly the
+    * baseline encoding of the same blocks.
+    */
+  private[operators] def encodeGrayProgressiveCoeffs(
+      w: Int, h: Int, blocks: Array[Array[Int]],
+      quant: Array[Int] = Array.fill(64)(1),
+      bands: Seq[(Int, Int)] = Seq((1, 63)),
+      dcAl: Int = 1, acAl: Int = 1,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(dcAl >= 0 && acAl >= 0 && bands.forall { case (a, b) =>
+      a >= 1 && a <= b && b <= 63 })
+    val out = new ByteArrayOutputStream()
+    writeCommonHeader(out)
+    seg(out, 0xDB, (0 +: quant.toSeq).map(_.toByte).toArray)
+    seg(out, 0xC2, Array[Byte](8, ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 1, 1, 0x11, 0))
+    seg(out, 0xC4, dhtBody(0, 0, DcCounts, DcVals))
+    seg(out, 0xC4, dhtBody(1, 0, AcProgCounts, AcProgVals))
+    if (restartInterval > 0)
+      seg(out, 0xDD, Array[Byte](((restartInterval >> 8) & 0xFF).toByte,
+        (restartInterval & 0xFF).toByte))
+    // one scan = SOS header + entropy over all blocks with restarts
+    def scan(ss: Int, se: Int, ah: Int, al: Int)(
+        perBlock: (BitWriter, AcEncCtx, Array[Int], Int) => Unit): Unit = {
+      seg(out, 0xDA, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
+        ((ah << 4) | al).toByte))
+      var bw = new BitWriter(out)
+      var ctx = new AcEncCtx(bw, AcProgEnc)
+      var pred = 0
+      var rst = 0
+      var since = 0
+      var i = 0
+      while (i < blocks.length) {
+        if (restartInterval > 0 && since == restartInterval) {
+          ctx.flushEobrun()
+          bw.flushPad()
+          out.write(0xFF); out.write(0xD0 + (rst & 7))
+          rst = (rst + 1) & 7
+          since = 0
+          pred = 0
+          bw = new BitWriter(out)
+          ctx = new AcEncCtx(bw, AcProgEnc)
+        }
+        perBlock(bw, ctx, blocks(i), pred)
+        // DC-first scans thread the predictor through the closure result
+        // channel below; recompute here instead (cheap, keeps perBlock pure)
+        if (ss == 0 && ah == 0) pred = blocks(i)(0) >> al
+        since += 1
+        i += 1
+      }
+      ctx.flushEobrun()
+      bw.flushPad()
+    }
+    // DC first: diff-coded (dc >> dcAl)
+    scan(0, 0, 0, dcAl) { (bw, _, coef, pred) =>
+      val v = coef(0) >> dcAl
+      val diff = v - pred
+      var s = 0
+      var a = math.abs(diff)
+      while (a != 0) { s += 1; a >>= 1 }
+      if (s > 11) refuse()
+      DcEnc.write(bw, s)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    // DC refinements: one bit per block per position
+    var al = dcAl - 1
+    while (al >= 0) {
+      val a0 = al
+      scan(0, 0, a0 + 1, a0) { (bw, _, coef, _) =>
+        bw.put((coef(0) >> a0) & 1, 1)
+      }
+      al -= 1
+    }
+    bands.foreach { case (ss, se) =>
+      scan(ss, se, 0, acAl) { (bw, ctx, coef, _) =>
+        encodeAcFirstBlock(bw, AcProgEnc, coef, ss, se, acAl, ctx)
+      }
+      var al2 = acAl - 1
+      while (al2 >= 0) {
+        val a0 = al2
+        scan(ss, se, a0 + 1, a0) { (bw, ctx, coef, _) =>
+          encodeAcRefineBlock(bw, AcProgEnc, coef, ss, se, a0, ctx)
+        }
+        al2 -= 1
+      }
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** DC size-category + extend-bits emission shared by the baseline and
+    * progressive DC encoders; returns the value as the new predictor.
+    */
+  private def encodeDcDiff(bw: BitWriter, dcT: HuffTable, v: Int,
+                           pred: Int): Int = {
+    val diff = v - pred
+    var s = 0
+    var a = math.abs(diff)
+    while (a != 0) { s += 1; a >>= 1 }
+    if (s > 11) refuse()
+    dcT.write(bw, s)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    v
+  }
+
+  /** Progressive 4:2:0 color sibling of [[encodeColor420]]: one
+    * INTERLEAVED DC scan (Y₀Y₁Y₂Y₃ Cb Cr per MCU, Al=0) followed by one
+    * AC first scan per component over its own non-interleaved block
+    * sub-grid — the scan-script shape real progressive encoders emit.
+    * DC-only fixture blocks make every AC scan a pure EOB run, and the
+    * decode equals the baseline encoding's pixels exactly.
+    */
+  def encodeColorProgressive420(w: Int, h: Int, yBlockVal: (Int, Int) => Int,
+                                cbVal: Int => Int,
+                                crVal: Int => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeCommonHeader(out)
+    seg(out, 0xDB, ((0 +: Array.fill(64)(1)) ++ (1 +: Array.fill(64)(1)))
+      .map(_.toByte))
+    seg(out, 0xC2, Array[Byte](8, ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(out, 0xC4, dhtBody(0, 0, DcCounts, DcVals))
+    seg(out, 0xC4, dhtBody(1, 0, AcProgCounts, AcProgVals))
+    seg(out, 0xC4, dhtBody(0, 1, DcCounts, DcVals))
+    seg(out, 0xC4, dhtBody(1, 1, AcProgCounts, AcProgVals))
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    // scan 1: interleaved DC, all three components
+    seg(out, 0xDA, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))
+    var bw = new BitWriter(out)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var m = 0
+    while (m < mcusX * mcusY) {
+      val mx = m % mcusX
+      val my = m / mcusX
+      var by = 0
+      while (by < 2) {
+        var bx = 0
+        while (bx < 2) {
+          predY = encodeDcDiff(bw, DcEnc,
+            8 * (yBlockVal(2 * mx + bx, 2 * my + by) - 128), predY)
+          bx += 1
+        }
+        by += 1
+      }
+      predCb = encodeDcDiff(bw, DcEnc, 8 * (cbVal(m) - 128), predCb)
+      predCr = encodeDcDiff(bw, DcEnc, 8 * (crVal(m) - 128), predCr)
+      m += 1
+    }
+    bw.flushPad()
+    // scans 2-4: per-component AC first over the component's sub-grid —
+    // all blocks are AC-empty here, so each scan is one EOBn run
+    def acScan(compId: Int, tableId: Int, nbw: Int, nbh: Int): Unit = {
+      seg(out, 0xDA, Array[Byte](1, compId.toByte, tableId.toByte, 1, 63, 0))
+      bw = new BitWriter(out)
+      val ctx = new AcEncCtx(bw, AcProgEnc)
+      val empty = new Array[Int](64)
+      var i = 0
+      while (i < nbw * nbh) {
+        encodeAcFirstBlock(bw, AcProgEnc, empty, 1, 63, 0, ctx)
+        i += 1
+      }
+      ctx.flushEobrun()
+      bw.flushPad()
+    }
+    acScan(1, 0x00, (w + 7) / 8, (h + 7) / 8)
+    val cw = (w + 1) / 2
+    val chh = (h + 1) / 2
+    acScan(2, 0x11, (cw + 7) / 8, (chh + 7) / 8)
+    acScan(3, 0x11, (cw + 7) / 8, (chh + 7) / 8)
+    out.write(0xFF); out.write(0xD9)
     out.toByteArray
   }
 
@@ -741,6 +1387,52 @@ object Jpeg {
     val bw = (w + 7) / 8
     encodeGray(w, h,
       (bx, by) => ((seed * 7 + (by.toLong * bw + bx) * 29) % 256).toInt)
+  }
+
+  /** PROGRESSIVE grayscale fixture: w = seed%12+17, h = seed%10+17
+    * (partial edge blocks), block value `(seed·19 + blockIdx·31) mod 256`
+    * over the ceil(w/8)-wide grid — the same per-block-constant closed
+    * form as [[grayFixture]], emitted as a 7-scan progressive file: DC
+    * first at Al=4 (so the al=3 refinement scan carries REAL bits —
+    * DC = 8·(v−128) has bit 3 = (v−128)&1), three more DC refinements,
+    * and per spectral band (1–5, 6–63) an AC first + refinement at Al=1
+    * (pure EOB-run traffic for DC-only blocks), restart interval 3 in
+    * every scan. Decodes to exactly the baseline pixels, so the oracle
+    * stays closed-form while the engine must run the whole Annex-G
+    * scan machinery to reproduce it.
+    */
+  def progressiveGrayFixture(seed: Long): Array[Byte] = {
+    val w = (seed % 12 + 17).toInt
+    val h = (seed % 10 + 17).toInt
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val blocks = Array.tabulate(bw * bh) { i =>
+      val c = new Array[Int](64)
+      c(0) = 8 * (((seed * 19 + i.toLong * 31) % 256).toInt - 128)
+      c
+    }
+    encodeGrayProgressiveCoeffs(w, h, blocks, bands = Seq((1, 5), (6, 63)),
+      dcAl = 4, acAl = 1, restartInterval = 3)
+  }
+
+  /** Deterministic progressive-JPEG payload column — the [[jpegMedia]]
+    * shape over [[progressiveGrayFixture]] bytes.
+    */
+  def jpegProgressiveMedia(ids: DataFrame, idCol: String,
+                           seedCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val base = Spread.ifNarrow(ids.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(seedCol).cast("long").as("seed")))
+    base.as[(Long, Long)]
+      .mapPartitions(it => it.map { case (id, seed) =>
+        (id, progressiveGrayFixture(seed))
+      })
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/jpeg").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
   }
 
   /** 4:2:0 color fixture: w = seed%17+20, h = seed%13+20 (partial edge

@@ -593,6 +593,19 @@ object LlmQueries {
     mediaDecodeStats(Jpeg.jpegMedia(docs(s, dir), "doc_id", "doc_id",
       color = true))
 
+  /** The PROGRESSIVE (SOF2) JPEG leg — the encoding web-scraped media
+    * corpora are dominated by: multi-scan spectral-selection +
+    * successive-approximation files ([[Jpeg.progressiveGrayFixture]]:
+    * DC first/refinements, banded AC first/refinements, EOB runs,
+    * per-scan restart markers) through [[Jpeg.decode]]'s Annex-G scan
+    * loop. Fixtures stay per-block-constant so the oracle is the same
+    * closed form as the baseline leg — the engine only matches it by
+    * accumulating coefficients correctly across all seven scans.
+    */
+  def mmJpegProgressive(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Jpeg.jpegProgressiveMedia(docs(s, dir), "doc_id",
+      "doc_id"))
+
   /** The AUDIO container leg ([[Wav.wavMedia]] fixtures through
     * [[Wav.decodeHeader]]'s RIFF chunk walk + [[Wav.wavStats]]'s one-pass
     * PCM16 sample scan): parsed channels/rate/frames plus Long-exact

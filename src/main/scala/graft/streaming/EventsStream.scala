@@ -249,8 +249,13 @@ object EventsStream {
     * the processing order IS the semantics — batch boundaries define
     * the interleave, pinned exactly-once by the forced-restart spec).
     * Emits one row per (type, batch): cumulative n, current S, events
-    * seen in alarm state, alarm flag. State per key is three numbers —
-    * constant size; the NoTimeout note on [[userTotals]] applies.
+    * seen in alarm state, alarm flag. STORED state per key is three
+    * numbers — constant size — but the in-batch sort materializes each
+    * key's micro-batch group in task memory (`rows.toSeq.sortBy`), so
+    * transient memory is bounded by batch size, not by state: cap input
+    * with `maxFilesPerTrigger`/`maxRecordsPerTrigger` when a key's
+    * per-batch volume can spike (the NoTimeout note on [[userTotals]]
+    * also applies).
     */
   def cusumAlerts(spark: SparkSession, srcDir: String,
                   checkpointDir: String, outDir: String,

@@ -163,8 +163,9 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.decode(data).isDefined)
   }
 
-  test("non-baseline modes refuse: progressive SOF2, 12-bit precision, " +
-      "4-component SOF, unknown sampling") {
+  test("unsupported modes refuse: extended-sequential SOF1, arithmetic " +
+      "SOF9, 12-bit precision, unknown sampling; a baseline stream " +
+      "relabeled SOF2 decodes as a one-scan progressive file") {
     val base = Jpeg.grayFixture(5L)
     // locate SOF0 and mutate the marker / precision bytes
     def findMarker(d: Array[Byte], m: Int): Int = {
@@ -178,13 +179,24 @@ class JpegSpec extends SparkTestBase {
     }
     val sof = findMarker(base, 0xC0)
     assert(sof > 0)
-    val progressive = base.clone(); progressive(sof + 1) = 0xC2.toByte
-    assert(Jpeg.decode(progressive).isEmpty, "SOF2 must refuse")
+    val extSeq = base.clone(); extSeq(sof + 1) = 0xC1.toByte
+    assert(Jpeg.decode(extSeq).isEmpty, "SOF1 must refuse")
+    val arith = base.clone(); arith(sof + 1) = 0xC9.toByte
+    assert(Jpeg.decode(arith).isEmpty, "SOF9 arithmetic must refuse")
     val twelveBit = base.clone(); twelveBit(sof + 4) = 12.toByte
     assert(Jpeg.decode(twelveBit).isEmpty, "12-bit precision must refuse")
     val badSampling = base.clone(); badSampling(sof + 10) = 0x31.toByte
     assert(Jpeg.decode(badSampling).isEmpty, "H=3 sampling must refuse")
-    assert(Jpeg.dims(progressive).isEmpty && Jpeg.dims(twelveBit).isEmpty)
+    assert(Jpeg.dims(extSeq).isEmpty && Jpeg.dims(twelveBit).isEmpty)
+    // SOF2 is SUPPORTED now: the relabeled stream enters the
+    // progressive scan walk, whose validator still refuses it cleanly —
+    // a baseline SOS carries spectral bounds 0..63, illegal for a
+    // progressive scan (Ss=0 requires Se=0)
+    val relabel = base.clone(); relabel(sof + 1) = 0xC2.toByte
+    assert(Jpeg.decode(relabel).isEmpty,
+      "baseline scan header inside SOF2 refuses via scan validation")
+    assert(Jpeg.dims(relabel).contains(Jpeg.dims(base).get),
+      "SOF2 dims now parse through the header path")
   }
 
   test("4:2:2 and 4:4:4 sampling decode exactly (generalized MCU geometry " +
