@@ -120,6 +120,9 @@ object SparkEntry {
     "a34_pgwire_pushdown"   -> (PipelineQueries.a34PgwirePushdown _),
     "a35_pgwire_partitioned" -> (PipelineQueries.a35PgwirePartitioned _),
     "a36_pgwire_catalog"    -> (PipelineQueries.a36PgwireCatalog _),
+    "a45_mysqlwire_pushdown" -> (PipelineQueries.a45MysqlwirePushdown _),
+    "a46_mysqlwire_partitioned" -> (PipelineQueries.a46MysqlwirePartitioned _),
+    "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
@@ -3400,6 +3403,23 @@ object SparkEntry {
         |  ('c_acctbal', 'DOUBLE', 'FLOAT', 4),
         |  ('c_mktsegment', 'VARCHAR(16)', 'STRING', 5)
         |) AS t(col_name, data_type, bq_type, pos) ORDER BY pos""".stripMargin,
+    // a45-a47: the same scans through the live MYSQL-wire listener (the
+    // reference's primary source protocol); data is loaded THROUGH the
+    // socket, so the oracles are the plain-parquet truths again.
+    "a45_mysqlwire_pushdown" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    "a46_mysqlwire_partitioned" ->
+      """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // a47: the MySQL value quirks over the live socket — tinyint(1) kept
+    // integral, DECIMAL(20,0) carries 2^64-1 exactly, zero-date → NULL
+    "a47_mysqlwire_quirks" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 1, '18446744073709551615', DATE '2024-03-15'),
+        |  (2, 0, '0', NULL),
+        |  (3, 1, '9223372036854775808', NULL)
+        |) AS t(id, flag_int, big_str, last_seen) ORDER BY id""".stripMargin,
     // Bus round-trip truth: every document exactly once, partitioned by
     // doc_id mod 4, payload = text length — loss/dup/corruption across
     // the produce+stream network hops changes the row set.

@@ -508,6 +508,114 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  // ---- live MySQL wire-protocol leg (a45-a47) ----------------------------
+
+  /** The MySQL sibling of [[pgServer]]: the reference's PRIMARY source is
+    * MySQL over `cloud_sql_proxy tcp:3306` (reference
+    * `yaml/sql_proxy_mysql_deployment.yaml:47-48`,
+    * `dags/copy_cloudsql_to_bigquery_v2.py:83-90`), so the a04c dialect
+    * quirks run here over a REAL socket speaking the MySQL client/server
+    * protocol, not only fixture simulation.
+    */
+  private lazy val myServer =
+    new graft.sources.mysqlwire.MySqlWireServer(derbyUrl)
+
+  private def myUrl: String = {
+    val h = org.apache.spark.sql.SparkSession.active.sparkContext.getConf
+      .get("spark.driver.host", "127.0.0.1")
+    s"jdbc:graftmy://$h:${myServer.port}/graft"
+  }
+
+  private val myProps =
+    Map("driver" -> "graft.sources.mysqlwire.MySqlWireDriver")
+
+  private def ensureCustomerMyWire(s: SparkSession, dir: String): Unit = {
+    graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    val conn = new graft.sources.mysqlwire.MySqlWireDriver()
+      .connect(myUrl, null)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE customer_mywire (
+          |  "c_custkey" BIGINT, "c_name" VARCHAR(64),
+          |  "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+          |  "c_mktsegment" VARCHAR(16))""".stripMargin)
+      catch { // X0Y32: table exists (idempotent re-run)
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute("DELETE FROM customer_mywire")
+      st.close()
+    } finally conn.close()
+    JdbcSource.write(Tables.load(s, dir, "customer"), myUrl,
+      "customer_mywire", org.apache.spark.sql.SaveMode.Append, myProps)
+  }
+
+  /** A45 — the A1 server-side pushdown replayed over the MySQL wire: the
+    * WHERE executes inside the backend, rows stream back as lenenc text
+    * packets through COM_QUERY.
+    */
+  def a45MysqlwirePushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerMyWire(s, dir)
+    JdbcSource.readQuery(s, myUrl,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer_mywire WHERE "c_acctbal" > 5000""",
+        myProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A46 — the A2 partitioned parallel read over the MySQL wire: 4
+    * disjoint range cursors, each a separate network session
+    * (thread-per-connection server side, one handshake per cursor).
+    */
+  def a46MysqlwirePartitioned(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerMyWire(s, dir)
+    JdbcSource.readPartitioned(s, myUrl, "customer_mywire",
+        "c_custkey", 1L, 1000000L, 4, myProps)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** A47 — the a04c MySQL VALUE quirks over a LIVE socket: boolean
+    * columns travel as tinyint(1) "1"/"0" and keep the reference-faithful
+    * INTEGER reading; a DECIMAL(20,0) column carries the full unsigned
+    * BIGINT range (2^64−1 survives the wire exactly); zero-dates arrive
+    * as the connector's CONVERT_TO_NULL (the NULLIF cast applied where a
+    * real connector applies zeroDateTimeBehavior). The values cross the
+    * real protocol — framing or type-map mistakes change the rows.
+    */
+  def a47MysqlwireQuirks(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    val conn = new graft.sources.mysqlwire.MySqlWireDriver()
+      .connect(myUrl, null)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE quirks_mywire (
+          |  "id" BIGINT, "flag" BOOLEAN, "big" DECIMAL(20,0),
+          |  "last_seen" VARCHAR(10))""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute("DELETE FROM quirks_mywire")
+      st.execute("""INSERT INTO quirks_mywire VALUES
+        |(1, TRUE, 18446744073709551615, '2024-03-15'),
+        |(2, FALSE, 0, '0000-00-00'),
+        |(3, TRUE, 9223372036854775808, NULL)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    JdbcSource.readQuery(s, myUrl,
+        """SELECT "id", "flag", "big", "last_seen" FROM quirks_mywire""",
+        myProps)
+      .select(col("id"),
+        col("flag").cast("int").as("flag_int"), // tinyint(1), kept integral
+        col("big").cast("decimal(20,0)").cast("string").as("big_str"),
+        when(col("last_seen") === "0000-00-00", lit(null))
+          .otherwise(col("last_seen")).cast("date").as("last_seen"))
+      .orderBy("id")
+  }
+
   /** A37 — the message-bus ingest leg end-to-end: the corpus is PUBLISHED
     * to a Kafka-shaped TCP log bus ([[graft.sources.bus.BusServer]]) from
     * EXECUTOR tasks (`foreachPartition`, one wire session per task — the
