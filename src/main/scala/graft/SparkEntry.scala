@@ -205,6 +205,7 @@ object SparkEntry {
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
+    "mm_gif_frames"         -> (LlmQueries.mmGifFrames _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
@@ -3643,6 +3644,43 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // animated GIF: per-frame COMPOSITED screen luminance — the oracle's
+    // per-pixel CASE picks the latest covering frame (frame 2's
+    // transparent index 13 falls through to the underlying composite);
+    // the engine must LZW-decode all three frames and composite them
+    "mm_gif_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 10 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 10 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, seed, w, h, k.k AS frame_idx,
+        |    g.p % w AS x, g.p // w AS y, g.p AS p
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w * h)) AS p) g,
+        |    LATERAL (SELECT unnest(range(0, 3)) AS k) k),
+        |eff AS (SELECT doc_id, frame_idx, w, h,
+        |    CASE
+        |      WHEN frame_idx >= 2 AND x >= 1 AND x < w - 1
+        |        AND y >= 1 AND y < 5
+        |        AND (seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3)
+        |          % 128 <> 13
+        |      THEN (seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3) % 128
+        |      WHEN frame_idx >= 1 AND x >= 2 AND x < w - 2
+        |        AND y >= 3 AND y < h - 2
+        |      THEN (seed * 31 + ((y - 3) * (w - 4) + (x - 2)) * 19 + 7) % 128
+        |      ELSE (seed * 29 + p * 23) % 128
+        |    END AS j
+        |  FROM px),
+        |l AS (SELECT doc_id, frame_idx, w, h,
+        |    SUM(299 * ((j * 2 + 5) % 256) + 587 * ((j * 7 + 11) % 256)
+        |      + 114 * ((j * 13 + 17) % 256)) AS lum_total
+        |  FROM eff GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(CASE frame_idx WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 30 END
+        |    AS INT) AS delay_cs,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(lum_total AS BIGINT) AS lum_total
+        |FROM l ORDER BY doc_id, frame_idx""".stripMargin,
     // gray-8 TIFF through real MSB-first/early-change LZW; the oracle
     // sums the closed-form pixel bytes (1000x gray luminance)
     "mm_tiff_decode" ->

@@ -215,6 +215,246 @@ object Gif {
       bottomUp = false, bgr = false), px))
   }
 
+  // ---------------------------------------------------------------------
+  // Animated GIF: frame-indexed decode with GIF89a compositing
+  // ---------------------------------------------------------------------
+
+  /** One composited animation frame: the FULL logical screen after this
+    * frame painted (what a viewer shows at that instant), plus the
+    * Graphic Control Extension delay.
+    */
+  final case class Frame(index: Int, delayCs: Int, px: Array[Byte])
+
+  /** Frame-indexed decode of a (possibly animated) GIF: every image
+    * descriptor decoded and COMPOSITED onto the logical screen per the
+    * GIF89a Graphic Control semantics — sub-rect placement, transparent
+    * index skip, disposal none/keep (0/1), restore-to-background (2,
+    * background = the logical-screen background color from the global
+    * table, the deterministic reading), restore-to-previous (3). Returns
+    * (screenW, screenH, frames), each frame a full W×H×3 RGB snapshot —
+    * the surface mm_frame_sample / mm_scene_detect consume.
+    *
+    * Refusals (the [[decode]] contract): interlace, missing palettes,
+    * out-of-screen frame rects, truncated LZW, more than `maxFrames`
+    * frames (bounded memory: the snapshots are maxFrames · W·H·3 bytes).
+    */
+  def decodeFrames(data: Array[Byte],
+                   maxFrames: Int = 64): Option[(Int, Int, Seq[Frame])] =
+    try decodeFramesImpl(data, maxFrames)
+    catch { // refuse, never throw (the decode() fuzz contract)
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
+
+  private def decodeFramesImpl(data: Array[Byte],
+                   maxFrames: Int): Option[(Int, Int, Seq[Frame])] = {
+    if (!isGif(data)) return None
+    val sw = le16(data, 6)
+    val sh = le16(data, 8)
+    if (sw <= 0 || sh <= 0) return None
+    if (sw.toLong * sh * 3 * (maxFrames + 1) > (256L << 20)) return None
+    val packed = data(10) & 0xFF
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    if (13 + 3 * gctSize > data.length) return None // truncated GCT
+    val gctOff = 13
+    val bgIndex = data(11) & 0xFF
+    val screen = new Array[Byte](sw * sh * 3)
+    // initial screen = background color when a global table provides it
+    if (gctSize > 0 && bgIndex < gctSize) {
+      var p = 0
+      while (p < sw * sh) {
+        screen(p * 3) = data(gctOff + 3 * bgIndex)
+        screen(p * 3 + 1) = data(gctOff + 3 * bgIndex + 1)
+        screen(p * 3 + 2) = data(gctOff + 3 * bgIndex + 2)
+        p += 1
+      }
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    var pos = 13 + 3 * gctSize
+    var disposal = 0
+    var transparent = -1
+    var delayCs = 0
+    var prevScreen: Array[Byte] = null
+    while (pos < data.length) {
+      (data(pos) & 0xFF) match {
+        case 0x3B => // trailer
+          return if (frames.isEmpty) None else Some((sw, sh, frames.toSeq))
+        case 0x21 => // extension
+          if (pos + 2 > data.length) return None
+          val label = data(pos + 1) & 0xFF
+          if (label == 0xF9 && pos + 7 < data.length &&
+              (data(pos + 2) & 0xFF) == 4) {
+            val gp = data(pos + 3) & 0xFF
+            disposal = (gp >> 2) & 7
+            delayCs = le16(data, pos + 4)
+            transparent = if ((gp & 1) != 0) data(pos + 6) & 0xFF else -1
+          }
+          pos += 2
+          while (pos < data.length && data(pos) != 0)
+            pos += 1 + (data(pos) & 0xFF)
+          if (pos >= data.length) return None
+          pos += 1
+        case 0x2C => // image descriptor
+          if (frames.size >= maxFrames) return None
+          if (pos + 10 > data.length) return None
+          val left = le16(data, pos + 1)
+          val top = le16(data, pos + 3)
+          val fw = le16(data, pos + 5)
+          val fh = le16(data, pos + 7)
+          val ip = data(pos + 9) & 0xFF
+          if ((ip & 0x40) != 0) return None // interlace: refuse
+          val lctSize = if ((ip & 0x80) != 0) 2 << (ip & 7) else 0
+          val (pOff, pSize) =
+            if (lctSize > 0) (pos + 10, lctSize) else (gctOff, gctSize)
+          if (pSize == 0 || fw <= 0 || fh <= 0) return None
+          if (left + fw > sw || top + fh > sh) return None
+          var dp = pos + 10 + 3 * lctSize
+          if (dp >= data.length) return None
+          val minCodeSize = data(dp) & 0xFF
+          val bos = new java.io.ByteArrayOutputStream()
+          dp += 1
+          var blockDone = false
+          while (!blockDone) {
+            if (dp >= data.length) return None
+            val len = data(dp) & 0xFF
+            if (len == 0) blockDone = true
+            else {
+              if (dp + 1 + len > data.length) return None
+              bos.write(data, dp + 1, len)
+              dp += 1 + len
+            }
+          }
+          dp += 1
+          val idx = lzwDecode(bos.toByteArray, minCodeSize,
+            fw * fh) match {
+            case Some(a) => a
+            case None => return None
+          }
+          if (disposal == 3) prevScreen = screen.clone()
+          var q = 0
+          while (q < idx.length) {
+            val j = idx(q) & 0xFF
+            if (j >= pSize) return None
+            if (j != transparent) {
+              val x = left + q % fw
+              val y = top + q / fw
+              val o = (y * sw + x) * 3
+              screen(o) = data(pOff + 3 * j)
+              screen(o + 1) = data(pOff + 3 * j + 1)
+              screen(o + 2) = data(pOff + 3 * j + 2)
+            }
+            q += 1
+          }
+          frames += Frame(frames.size, delayCs, screen.clone())
+          // post-frame disposal prepares the NEXT frame's base
+          if (disposal == 2) {
+            // restore the frame rect to the background color
+            val (br, bg2, bb) =
+              if (gctSize > 0 && bgIndex < gctSize)
+                (data(gctOff + 3 * bgIndex), data(gctOff + 3 * bgIndex + 1),
+                  data(gctOff + 3 * bgIndex + 2))
+              else (0.toByte, 0.toByte, 0.toByte)
+            var yy = top
+            while (yy < top + fh) {
+              var xx = left
+              while (xx < left + fw) {
+                val o = (yy * sw + xx) * 3
+                screen(o) = br; screen(o + 1) = bg2; screen(o + 2) = bb
+                xx += 1
+              }
+              yy += 1
+            }
+          } else if (disposal == 3 && prevScreen != null) {
+            System.arraycopy(prevScreen, 0, screen, 0, screen.length)
+          }
+          disposal = 0; transparent = -1; delayCs = 0
+          pos = dp
+        case _ => return None
+      }
+    }
+    None // no trailer: truncated
+  }
+
+  /** Deterministic multi-frame (animated) fixture: 3 frames over a
+    * shared 128-entry global palette — frame 0 full-screen, frame 1 a
+    * sub-rect at (2,3), frame 2 a sub-rect at (1,1) with TRANSPARENT
+    * index 13 (those pixels keep showing the frame-1 composite), all
+    * disposal keep-in-place, delays 10/20/30 cs. The CLEAR-before-every-
+    * code trick keeps the LZW byte-aligned, so an external oracle
+    * reproduces every composited pixel in closed form (the [[gifMedia]]
+    * argument); bytes are generated JVM-side (the jpegMedia precedent —
+    * the oracle never needs the bytes, only the decoded screen).
+    */
+  def animFixture(seed: Long): Array[Byte] = {
+    val w = (seed % 5 + 10).toInt
+    val h = (seed % 4 + 10).toInt
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v & 0xFF); u8((v >> 8) & 0xFF) }
+    b.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    u8(0xE6) // GCT present, 128 entries
+    u8(0)    // background index 0
+    u8(0)
+    var j = 0
+    while (j < 128) {
+      u8((j * 2 + 5) % 256); u8((j * 7 + 11) % 256); u8((j * 13 + 17) % 256)
+      j += 1
+    }
+    def frame(left: Int, top: Int, fw: Int, fh: Int, delay: Int,
+              trans: Int, idxAt: Int => Int): Unit = {
+      // GCE: disposal 1 (keep), optional transparency
+      u8(0x21); u8(0xF9); u8(4)
+      u8((1 << 2) | (if (trans >= 0) 1 else 0))
+      u16(delay)
+      u8(math.max(trans, 0))
+      u8(0)
+      // descriptor, no LCT, no interlace
+      u8(0x2C); u16(left); u16(top); u16(fw); u16(fh); u8(0)
+      u8(7) // minCodeSize
+      val lzw = new java.io.ByteArrayOutputStream()
+      var q = 0
+      while (q < fw * fh) { lzw.write(0x80); lzw.write(idxAt(q)); q += 1 }
+      lzw.write(0x81) // EOI
+      val payload = lzw.toByteArray
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(120, payload.length - off)
+        u8(n); b.write(payload, off, n)
+        off += n
+      }
+      u8(0)
+    }
+    frame(0, 0, w, h, 10, -1,
+      q => ((seed * 29 + q.toLong * 23) % 128).toInt)
+    frame(2, 3, w - 4, h - 5, 20, -1,
+      q => ((seed * 31 + q.toLong * 19 + 7) % 128).toInt)
+    frame(1, 1, w - 2, 4, 30, 13,
+      q => ((seed * 37 + q.toLong * 17 + 3) % 128).toInt)
+    u8(0x3B)
+    b.toByteArray
+  }
+
+  /** Deterministic animated-GIF payload column over [[animFixture]]
+    * bytes — the [[Jpeg.jpegProgressiveMedia]] shape.
+    */
+  def gifAnimMedia(ids: DataFrame, idCol: String,
+                   seedCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val base = Spread.ifNarrow(ids.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(seedCol).cast("long").as("seed")))
+    base.as[(Long, Long)]
+      .mapPartitions(it => it.map { case (id, seed) =>
+        (id, animFixture(seed))
+      })
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/gif").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Deterministic GIF fixture payloads — REAL compressed-format images
     * for the oracle leg: 128-entry global palette (closed-form RGB per
     * index), minCodeSize 7, and a CLEAR code before every pixel code so

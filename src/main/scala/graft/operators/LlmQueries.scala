@@ -572,6 +572,42 @@ object LlmQueries {
   def mmGifDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Gif.gifMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The ANIMATED (multi-frame) GIF leg ([[Gif.decodeFrames]]): every
+    * frame decoded and COMPOSITED per the GIF89a Graphic Control
+    * semantics — frame 1 a sub-rect over the full frame-0 screen,
+    * frame 2 a sub-rect with a TRANSPARENT index whose pixels keep
+    * showing the prior composite — emitting per-frame delay and the
+    * luminance total of the full composited screen. The oracle replays
+    * the per-pixel latest-covering-frame CASE in closed form, so any
+    * placement/transparency/compositing mistake changes a frame's total.
+    * Row-local mapPartitions decode, zero shuffles before the final sort.
+    */
+  def mmGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Gif.gifAnimMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        Gif.decodeFrames(bytes) match {
+          case Some((w, h, frames)) => frames.map { f =>
+            var lum = 0L
+            var p = 0
+            while (p < w * h) {
+              lum += 299L * (f.px(p * 3) & 0xFF) +
+                587L * (f.px(p * 3 + 1) & 0xFF) +
+                114L * (f.px(p * 3 + 2) & 0xFF)
+              p += 1
+            }
+            (id, f.index, f.delayCs, w, h, lum)
+          }
+          case None => Seq((id, -1, 0, 0, 0, 0L)) // refusal marker row
+        }
+      })
+      .toDF("doc_id", "frame_idx", "delay_cs", "width", "height",
+        "lum_total")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The MSB-first / early-change LZW leg ([[Tiff.tiffMedia]] fixtures
     * through [[Tiff.decode]]'s IFD walk + strip decompress): the same
     * dictionary algorithm as GIF with the opposite bit order — a decoder

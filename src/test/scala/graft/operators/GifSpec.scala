@@ -186,6 +186,155 @@ class GifSpec extends SparkTestBase {
     assert(Gif.decode(noTable).isEmpty, "missing color table")
   }
 
+  /** Assemble a multi-frame GIF89a with per-frame GCE (disposal, delay,
+    * transparency) around REAL dictionary-growing LZW streams.
+    */
+  private def buildAnim(sw: Int, sh: Int, palBits: Int, pal: Array[Byte],
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], Int, Int, Int)])
+      : Array[Byte] = {
+    // frame = (left, top, w, h, indices, disposal, delayCs, transparent)
+    val minCodeSize = math.max(2, palBits)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    le16(sw); le16(sh)
+    bos.write(0x80 | (palBits - 1))
+    bos.write(0); bos.write(0) // background index 0
+    bos.write(pal, 0, 3 * (1 << palBits))
+    frames.foreach { case (l, t, w, h, idx, disp, delay, trans) =>
+      bos.write(0x21); bos.write(0xF9); bos.write(4)
+      bos.write((disp << 2) | (if (trans >= 0) 1 else 0))
+      le16(delay)
+      bos.write(math.max(trans, 0)); bos.write(0)
+      bos.write(0x2C); le16(l); le16(t); le16(w); le16(h); bos.write(0)
+      bos.write(minCodeSize)
+      val lzw = lzwEncode(idx, minCodeSize)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        bos.write(n); bos.write(lzw, off, n); off += n
+      }
+      bos.write(0)
+    }
+    bos.write(0x3B)
+    bos.toByteArray
+  }
+
+  /** Reference compositor mirroring the GIF89a disposal semantics. */
+  private def refComposite(sw: Int, sh: Int, pal: Array[Byte], bg: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], Int, Int, Int)])
+      : Seq[Array[Byte]] = {
+    val screen = Array.tabulate(sw * sh * 3)(i =>
+      pal(3 * bg + i % 3))
+    val out = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    frames.foreach { case (l, t, w, h, idx, disp, _, trans) =>
+      val before = screen.clone()
+      for (q <- idx.indices) {
+        val j = idx(q) & 0xFF
+        if (j != trans) {
+          val o = ((t + q / w) * sw + (l + q % w)) * 3
+          screen(o) = pal(3 * j); screen(o + 1) = pal(3 * j + 1)
+          screen(o + 2) = pal(3 * j + 2)
+        }
+      }
+      out += screen.clone()
+      if (disp == 2) {
+        for (yy <- t until t + h; xx <- l until l + w) {
+          val o = (yy * sw + xx) * 3
+          screen(o) = pal(3 * bg); screen(o + 1) = pal(3 * bg + 1)
+          screen(o + 2) = pal(3 * bg + 2)
+        }
+      } else if (disp == 3) {
+        System.arraycopy(before, 0, screen, 0, screen.length)
+      }
+    }
+    out.toSeq
+  }
+
+  test("decodeFrames composites multi-frame animations exactly: keep, " +
+      "restore-to-background, restore-to-previous, transparency — " +
+      "against the reference compositor on dictionary-growing streams") {
+    val rnd = new Random(4242L)
+    val pal = randPal(5, rnd)
+    for (trial <- 1 to 6) {
+      val sw = 14 + rnd.nextInt(8)
+      val sh = 12 + rnd.nextInt(6)
+      def rect(maxW: Int, maxH: Int) = {
+        val w = 2 + rnd.nextInt(maxW - 2)
+        val h = 2 + rnd.nextInt(maxH - 2)
+        (rnd.nextInt(sw - w), rnd.nextInt(sh - h), w, h)
+      }
+      val frames = (0 until 4).map { k =>
+        val (l, t, w, h) =
+          if (k == 0) (0, 0, sw, sh) else rect(sw / 2 + 2, sh / 2 + 2)
+        val idx = Array.fill(w * h)(rnd.nextInt(32).toByte)
+        val disp = Seq(1, 2, 3, 0)(k)
+        val trans = if (k == 2) 7 else -1
+        (l, t, w, h, idx, disp, 10 * (k + 1), trans)
+      }
+      val bytes = buildAnim(sw, sh, 5, pal, frames)
+      val got = Gif.decodeFrames(bytes)
+      assert(got.isDefined, s"trial $trial refused")
+      val (gw, gh, fs) = got.get
+      assert(gw == sw && gh == sh && fs.length == 4)
+      assert(fs.map(_.delayCs) == Seq(10, 20, 30, 40))
+      val expect = refComposite(sw, sh, pal, 0, frames)
+      fs.zip(expect).zipWithIndex.foreach { case ((f, e), k) =>
+        assert(java.util.Arrays.equals(f.px, e),
+          s"trial $trial frame $k composite differs")
+      }
+      // first-frame contract unchanged: decode() sees frame 0's image
+      val single = Gif.decode(bytes)
+      assert(single.isDefined)
+      assert(java.util.Arrays.equals(single.get._2, expect.head))
+    }
+  }
+
+  test("animFixture decodes to 3 frames with the closed-form composited " +
+      "values and survives truncation/bit-flip fuzz") {
+    for (seed <- 0L to 8L) {
+      val bytes = Gif.animFixture(seed)
+      val (w, h, fs) = Gif.decodeFrames(bytes).get
+      assert(w == (seed % 5 + 10).toInt && h == (seed % 4 + 10).toInt)
+      assert(fs.map(_.delayCs) == Seq(10, 20, 30))
+      def palAt(j: Int): (Int, Int, Int) =
+        ((j * 2 + 5) % 256, (j * 7 + 11) % 256, (j * 13 + 17) % 256)
+      // frame-2 pixel (x, y): latest covering frame wins, transparent 13
+      // falls through — the oracle CASE replicated here per pixel
+      val f2 = fs(2).px
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = y * w + x
+        val j =
+          if (x >= 1 && x < w - 1 && y >= 1 && y < 5 &&
+              (seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3) % 128 != 13)
+            ((seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3) % 128).toInt
+          else if (x >= 2 && x < w - 2 && y >= 3 && y < h - 2)
+            ((seed * 31 + ((y - 3) * (w - 4) + (x - 2)) * 19 + 7) % 128).toInt
+          else ((seed * 29 + p * 23) % 128).toInt
+        val (r, g, b) = palAt(j)
+        assert((f2(p * 3) & 0xFF) == r && (f2(p * 3 + 1) & 0xFF) == g &&
+          (f2(p * 3 + 2) & 0xFF) == b, s"seed=$seed ($x,$y)")
+      }
+    }
+    // refuse-never-crash over the animated container
+    val base = Gif.animFixture(3L)
+    for (len <- 0 until base.length by 5) {
+      val t = java.util.Arrays.copyOf(base, len)
+      try Gif.decodeFrames(t) catch {
+        case e: Throwable => fail(s"truncation at $len threw $e")
+      }
+    }
+    val rnd = new Random(7L)
+    for (_ <- 1 to 300) {
+      val c = base.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+      try Gif.decodeFrames(c) catch {
+        case e: Throwable => fail(s"bit flip at $i threw $e")
+      }
+    }
+  }
+
   test("gifMedia fixtures decode to the closed-form pixels the oracle sums") {
     import spark.implicits._
     val ids = Seq(5L, 17L, 123L).toDF("doc_id")
