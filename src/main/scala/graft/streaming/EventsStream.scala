@@ -39,6 +39,7 @@ object EventsStream {
     * one type regardless of the stored representation.
     */
   def source(spark: SparkSession, srcDir: String): DataFrame = {
+    if (srcDir.startsWith("bus://")) return busEventsSource(spark, srcDir)
     val stored = spark.read.parquet(srcDir).schema
       .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val s = spark.readStream.schema(rawSchema(stored))
@@ -48,6 +49,65 @@ object EventsStream {
       case LongType => s.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case _        => s.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Events over the MESSAGE BUS instead of files: `srcDir` of the form
+    * `bus://host:port[?maxPerTrigger=N]` resolves to the GraftBus DSv2
+    * micro-batch source; each record's `value` carries one event as JSON
+    * ([[publishEventsToBus]]' encoding, ts in instant micros), parsed
+    * back to the exact [[source]] column shape. Because the two sources
+    * produce the SAME schema, EVERY registered streaming pattern runs
+    * over the bus unchanged — the production on-ramp (reference analog:
+    * the daily cron pulling the operational store,
+    * `dags/copy_cloudsql_to_bigquery_v2.py:26`) composed with the
+    * watermarked stateful patterns.
+    */
+  private def busEventsSource(spark: SparkSession, uri: String): DataFrame = {
+    val rest = uri.stripPrefix("bus://")
+    val (hp, q) = rest.span(_ != '?')
+    val Array(host, port) = hp.split(':')
+    val maxPerTrigger = q.stripPrefix("?").split('&')
+      .collectFirst { case s if s.startsWith("maxPerTrigger=") =>
+        s.stripPrefix("maxPerTrigger=") }
+    val base = spark.readStream.format("graft.sources.bus.BusSourceProvider")
+      .option("host", host).option("port", port)
+    maxPerTrigger.foreach(n => base.option("maxRecordsPerTrigger", n))
+    val payload = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    base.load()
+      .select(from_json(col("value"), payload).as("e"))
+      .select(col("e.event_id"), expr("timestamp_micros(e.ts_us)").as("ts"),
+        col("e.user_id"), col("e.event_type"), col("e.value"),
+        col("e.props"))
+  }
+
+  /** Publish an events frame to a GraftBus as JSON records — the
+    * distributed-producer leg (one wire session per task, the a37
+    * shape): partition by `user_id mod partitions` so a key's records
+    * stay in one ordered log, record ts = the event's instant micros.
+    */
+  def publishEventsToBus(df: DataFrame, host: String, port: Int,
+                         partitions: Int): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    }
+    df.select(
+        pmod(col("user_id"), lit(partitions.toLong)).cast("int").as("p"),
+        tsUs.as("ts_us"), col("event_id"),
+        to_json(struct(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))).as("v"))
+      .as[(Int, Long, Long, String)]
+      .foreachPartition { (it: Iterator[(Int, Long, Long, String)]) =>
+        val cl = new graft.sources.bus.BusClient(host, port)
+        try it.foreach { case (p, ts, eid, v) =>
+          cl.append(p, ts, eid.toString, v)
+        } finally cl.close()
+      }
   }
 
   /** Tumbling 1-hour windows per user with a 1-hour watermark: the

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.sources.bus.BusServer
+
+/** The stateful streaming patterns composed over the MESSAGE BUS source
+  * (the r10 verdict's composition gap: the 14 patterns read files while
+  * a37/a38 proved the bus separately). `EventsStream.source` resolves a
+  * `bus://host:port` srcDir to the GraftBus DSv2 connector with the same
+  * column shape as the file source, so every pattern runs unchanged;
+  * these legs pin the big stateful four over the bus with a FORCED
+  * RESTART — dedup-within-watermark (with cross-restart duplicate
+  * re-arrivals only state continuity can drop), stream-stream left-outer
+  * join, trending top-k, and flatMapGroupsWithState totals — split run ≡
+  * unbroken run on the watermark-closed domain (the file-source spec's
+  * exactly-once contract, now across checkpointed BUS offsets).
+  */
+class BusPatternsSpec extends SparkTestBase {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def normTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+
+  test("forced restart over the BUS is exactly-once for dedup, outer " +
+      "join and trending top-k: split run == unbroken run on the closed " +
+      "domain, resuming from checkpointed bus offsets") {
+    val raw = normTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    val mid = raw.orderBy("ts").select("ts")
+      .collect().apply((raw.count() / 2).toInt).getTimestamp(0)
+    val early = raw.filter(col("ts") <= lit(mid))
+    val late = raw.filter(col("ts") > lit(mid))
+    // cross-restart duplicates above the phase-1 watermark (the file
+    // spec's late-event-fence reasoning, same derivation)
+    val earlyMax = early.agg(max("ts")).head().getTimestamp(0)
+    val w1Micros = earlyMax.getTime * 1000L - 3600L * 1000000L
+    val dupTail = early.filter(col("ts") >
+      expr(s"timestamp_micros(${w1Micros + 1000000L}L)")).limit(50)
+    assert(dupTail.count() > 0, "corpus too sparse to exercise duplicates")
+    val late2 = late.unionAll(dupTail)
+    // common sentinel final batch (one far-future click + purchase)
+    def shift(df: DataFrame): DataFrame =
+      df.withColumn("ts", expr("ts + INTERVAL 400 HOURS"))
+    val top = late.orderBy(col("ts").desc).limit(1)
+    val sentinel = shift(top)
+      .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(999999L))
+      .withColumn("event_type", lit("click"))
+      .unionAll(shift(top)
+        .withColumn("event_id", lit(-2L)).withColumn("user_id", lit(999998L))
+        .withColumn("event_type", lit("purchase")))
+    val lateMax = late.agg(max("ts")).head().getTimestamp(0)
+    val fence = lateMax.getTime * 1000L - 3600L * 1000000L - 1000000L
+    val fenceTs = s"timestamp_micros(${fence}L)"
+
+    val patterns = Seq[(String,
+        (String, String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+        DataFrame => DataFrame)](
+      ("dedup", EventsStream.dedupedEvents(spark, _, _, _), identity),
+      ("outer_join", EventsStream.clickPurchaseOuterJoin(spark, _, _, _),
+        df => df.filter(col("purchase_id").isNotNull ||
+          col("click_ts") < expr(fenceTs))),
+      ("trending_topk", EventsStream.trendingTopK(spark, _, _, _),
+        df => df.filter(expr(s"w + INTERVAL 1 HOUR < $fenceTs"))))
+    patterns.foreach { case (tag, run, closed) =>
+      // unbroken reference: one bus preloaded with all three phases
+      val busU = new BusServer(4)
+      val portU = busU.start()
+      try {
+        EventsStream.publishEventsToBus(early, "127.0.0.1", portU, 4)
+        EventsStream.publishEventsToBus(late2, "127.0.0.1", portU, 4)
+        EventsStream.publishEventsToBus(sentinel, "127.0.0.1", portU, 4)
+        val outU = tmp(s"bus_fr_${tag}_outU")
+        run(s"bus://127.0.0.1:$portU", tmp(s"bus_fr_${tag}_ckptU"), outU)
+          .awaitTermination()
+        val expected = closed(spark.read.parquet(outU))
+
+        // split run: drain phase 1, STOP, produce phase 2, resume from
+        // the SAME checkpoint (bus offsets checkpointed per partition)
+        val busS = new BusServer(4)
+        val portS = busS.start()
+        try {
+          EventsStream.publishEventsToBus(early, "127.0.0.1", portS, 4)
+          val ckptS = tmp(s"bus_fr_${tag}_ckptS")
+          val outS = tmp(s"bus_fr_${tag}_outS")
+          run(s"bus://127.0.0.1:$portS", ckptS, outS).awaitTermination()
+          EventsStream.publishEventsToBus(late2, "127.0.0.1", portS, 4)
+          EventsStream.publishEventsToBus(sentinel, "127.0.0.1", portS, 4)
+          run(s"bus://127.0.0.1:$portS", ckptS, outS).awaitTermination()
+          val got = closed(spark.read.parquet(outS))
+          assert(got.count() == expected.count(),
+            s"$tag over bus: restart changed the closed-domain count " +
+              s"(${got.count()} vs ${expected.count()}); missing=" +
+              s"${expected.exceptAll(got).limit(5).collect().toSeq}; " +
+              s"extra=${got.exceptAll(expected).limit(5).collect().toSeq}")
+          assert(got.exceptAll(expected).isEmpty &&
+            expected.exceptAll(got).isEmpty,
+            s"$tag over bus: restarted output differs from unbroken")
+        } finally busS.close()
+      } finally busU.close()
+    }
+  }
+
+  test("forced restart over the BUS resumes flatMapGroupsWithState: " +
+      "per-user totals CONTINUE across checkpointed bus offsets") {
+    val raw = normTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    val mid = raw.orderBy("ts").select("ts")
+      .collect().apply((raw.count() / 2).toInt).getTimestamp(0)
+    val bus = new BusServer(4)
+    val port = bus.start()
+    try {
+      EventsStream.publishEventsToBus(raw.filter(col("ts") <= lit(mid)),
+        "127.0.0.1", port, 4)
+      val ckpt = tmp("bus_fr_ut_ckpt")
+      val out = tmp("bus_fr_ut_out")
+      val uri = s"bus://127.0.0.1:$port"
+      EventsStream.userTotals(spark, uri, ckpt, out).awaitTermination()
+      EventsStream.publishEventsToBus(raw.filter(col("ts") > lit(mid)),
+        "127.0.0.1", port, 4)
+      EventsStream.userTotals(spark, uri, ckpt, out).awaitTermination()
+      val finalPerUser = spark.read.parquet(out).groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("bn"), sum("value").as("bv"))
+      val j = finalPerUser.join(batch, "user_id")
+      assert(j.count() == batch.count())
+      assert(j.filter(col("n") =!= col("bn") ||
+        abs(col("v") - col("bv")) > 1e-6).count() == 0,
+        "totals after a bus restart must equal the unbroken batch aggregate")
+    } finally bus.close()
+  }
+
+  test("bus events source round-trips the exact event rows (JSON value " +
+      "encoding, instant-micros timestamps, null props preserved)") {
+    val raw = normTs(spark.read.parquet(s"$sfDir/events.parquet")).limit(200)
+    val bus = new BusServer(4)
+    val port = bus.start()
+    try {
+      EventsStream.publishEventsToBus(raw, "127.0.0.1", port, 4)
+      val out = tmp("bus_rt_out")
+      EventsStream.source(spark, s"bus://127.0.0.1:$port")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp("bus_rt_ckpt"))
+        .format("parquet").option("path", out)
+        .start().awaitTermination()
+      val got = spark.read.parquet(out)
+      assert(got.count() == raw.count())
+      assert(got.exceptAll(raw).isEmpty && raw.exceptAll(got).isEmpty,
+        "bus round-trip must preserve every event row exactly")
+    } finally bus.close()
+  }
+}
