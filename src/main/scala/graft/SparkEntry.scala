@@ -123,6 +123,7 @@ object SparkEntry {
     "a45_mysqlwire_pushdown" -> (PipelineQueries.a45MysqlwirePushdown _),
     "a46_mysqlwire_partitioned" -> (PipelineQueries.a46MysqlwirePartitioned _),
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
+    "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
@@ -3424,6 +3425,12 @@ object SparkEntry {
     // Bus round-trip truth: every document exactly once, partitioned by
     // doc_id mod 4, payload = text length — loss/dup/corruption across
     // the produce+stream network hops changes the row set.
+    // a48: the same round-trip truth over the Kafka wire protocol — the
+    // produce+fetch hops change, the reconciled row set must not
+    "a48_kafka_roundtrip" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) AS bus_partition,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "a37_bus_roundtrip" ->
       """SELECT doc_id, CAST(doc_id % 4 AS INT) AS bus_partition,
         |  CAST(length(text) AS BIGINT) AS text_len

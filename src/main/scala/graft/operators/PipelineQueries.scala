@@ -669,6 +669,53 @@ object PipelineQueries {
     } finally server.close()
   }
 
+  /** A48 — the a37 round-trip over the APACHE KAFKA wire protocol: the
+    * corpus is produced from executor tasks through real Produce-v0
+    * requests (CRC'd v1 MessageSets, one wire session per task) against
+    * the [[graft.sources.kafkawire.KafkaWireServer]] listener, then
+    * streamed back through the SAME DSv2 connector with
+    * `protocol=kafka` (Fetch/ListOffsets under the hood) and reconciled
+    * row-level against `documents` — the industry-standard on-ramp leg
+    * (the r10 verdict's missing #4). Record timestamps are ms-floored by
+    * the v1 format, so the fixture keeps event times ms-aligned and the
+    * deterministic surface is (doc_id, partition, payload).
+    */
+  def a48KafkaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.sources.kafkawire.KafkaWireServer(4)
+    val port = server.start()
+    val busHost = driverHost(s)
+    try {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .as[(Long, Long)]
+        .foreachPartition { (it: Iterator[(Long, Long)]) =>
+          val cl = new graft.sources.kafkawire.KafkaWireClient(busHost, port)
+          try it.foreach { case (id, len) =>
+            cl.append((id % 4).toInt, 1700000000000000L + id * 1000L,
+              id.toString, len.toString)
+          } finally cl.close()
+        }
+      val out = Files.createTempDirectory("graft_kafka_rt").toString + "/t"
+      s.readStream.format("graft.sources.bus.BusSourceProvider")
+        .option("host", busHost).option("port", port.toString)
+        .option("protocol", "kafka")
+        .option("maxRecordsPerTrigger", "4096")
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_kafka_rt_ck").toString)
+        .format("parquet").option("path", out)
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("key").cast("long").as("doc_id"),
+          col("partition").as("bus_partition"),
+          col("value").cast("long").as("text_len"))
+        .orderBy("doc_id")
+    } finally server.close()
+  }
+
   /** A38 — bus → warehouse incremental sync end-to-end
     * ([[graft.sources.bus.BusSync.busIncrementalPublish]]): the corpus is
     * published to the bus from executor tasks, then a SMALL per-trigger

@@ -136,7 +136,8 @@ final class BusServer(val partitions: Int) {
 }
 
 /** One client wire session (driver admission control or one task's reads). */
-final class BusClient(host: String, port: Int) extends AutoCloseable {
+final class BusClient(host: String, port: Int)
+    extends graft.sources.LogReadClient {
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))

@@ -48,10 +48,25 @@ final class BusSourceProvider extends TableProvider {
       properties.getOrDefault("host", "127.0.0.1"),
       Option(properties.get("port")).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException("graft-bus: port is required")),
-      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong))
+      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong),
+      properties.getOrDefault("protocol", "graft"))
 }
 
 object BusSourceProvider {
+  /** `protocol` option → a [[graft.sources.LogReadClient]]: the native
+    * GraftBus framing or the Apache Kafka wire protocol — the same
+    * connector (offsets, admission control, exactly-once restart) over
+    * either on-ramp.
+    */
+  private[bus] def mkClient(protocol: String, host: String,
+                            port: Int): graft.sources.LogReadClient =
+    protocol match {
+      case "kafka" => new graft.sources.kafkawire.KafkaWireClient(host, port)
+      case "graft" => new BusClient(host, port)
+      case other =>
+        throw new IllegalArgumentException(s"graft-bus: unknown protocol $other")
+    }
+
   val Schema: StructType = StructType(Seq(
     StructField("partition", IntegerType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -61,7 +76,8 @@ object BusSourceProvider {
 }
 
 private[bus] final class BusTable(host: String, port: Int,
-                                  maxPerTrigger: Option[Long]) extends Table with SupportsRead {
+                                  maxPerTrigger: Option[Long],
+                                  protocol: String) extends Table with SupportsRead {
   override def name(): String = s"graft-bus://$host:$port"
   override def schema(): StructType = BusSourceProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -70,7 +86,7 @@ private[bus] final class BusTable(host: String, port: Int,
     () => new Scan {
       override def readSchema(): StructType = BusSourceProvider.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new BusMicroBatchStream(host, port, maxPerTrigger)
+        new BusMicroBatchStream(host, port, maxPerTrigger, protocol)
     }
 }
 
@@ -87,14 +103,16 @@ private[bus] object BusOffset {
 }
 
 private[bus] final case class BusRange(host: String, port: Int, partition: Int,
-                                       from: Long, until: Long) extends InputPartition
+                                       from: Long, until: Long,
+                                       protocol: String) extends InputPartition
 
 private[bus] final class BusMicroBatchStream(host: String, port: Int,
-                                             maxPerTrigger: Option[Long])
+                                             maxPerTrigger: Option[Long],
+                                             protocol: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   // one admission-control session for the stream's lifetime (driver-side)
-  private lazy val admin = new BusClient(host, port)
+  private lazy val admin = BusSourceProvider.mkClient(protocol, host, port)
   // end-offset snapshot taken when Trigger.AvailableNow starts: the run
   // drains exactly up to it (in capped batches) and stops, records
   // appended after the snapshot belong to the next run
@@ -158,7 +176,7 @@ private[bus] final class BusMicroBatchStream(host: String, port: Int,
     val e = end.asInstanceOf[BusOffset].offsets
     requireSameLength("batch start vs end", s, e)
     s.indices.filter(p => e(p) > s(p))
-      .map(p => BusRange(host, port, p, s(p), e(p)): InputPartition)
+      .map(p => BusRange(host, port, p, s(p), e(p), protocol): InputPartition)
       .toArray
   }
 
@@ -175,7 +193,8 @@ private[bus] final class BusMicroBatchStream(host: String, port: Int,
   */
 private[bus] final class BusPartitionReader(range: BusRange)
     extends PartitionReader[InternalRow] {
-  private val client = new BusClient(range.host, range.port)
+  private val client =
+    BusSourceProvider.mkClient(range.protocol, range.host, range.port)
   private var buf: Array[BusRecord] = Array.empty
   private var idx = 0
   private var nextOffset = range.from
@@ -183,7 +202,7 @@ private[bus] final class BusPartitionReader(range: BusRange)
   override def next(): Boolean = {
     if (idx < buf.length) return true
     if (nextOffset >= range.until) return false
-    buf = client.fetch(range.partition, nextOffset, range.until)
+    buf = client.fetch(range.partition, nextOffset, range.until, 4096)
     idx = 0
     if (buf.isEmpty)
       // the planner promised [from, until); an empty fetch below `until`

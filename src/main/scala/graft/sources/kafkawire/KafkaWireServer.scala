@@ -1,0 +1,353 @@
+package graft.sources.kafkawire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
+/** An append-only N-partition log served over the APACHE KAFKA wire
+  * protocol — the industry-standard on-ramp the r10 verdict flagged as
+  * the bus's missing compatibility surface. Written from the public
+  * protocol guide (kafka.apache.org/protocol): size-framed requests with
+  * the v0/v1 request header, big-endian primitives, int16-length strings
+  * and int32-length bytes, and these APIs at version 0:
+  *
+  *   - ApiVersions (18): the capability handshake;
+  *   - Metadata (3): one broker (this listener), one topic, N partitions;
+  *   - Produce (0): MessageSet with per-message CRC32 verification
+  *     (CORRUPT_MESSAGE on mismatch), base-offset assignment per set;
+  *   - Fetch (1): byte-bounded ordered scans from an offset with the
+  *     partition high-watermark;
+  *   - ListOffsets (2): log-end (-1) / log-start (-2) special timestamps.
+  *
+  * Messages use format v1 (magic 1: crc over magic..value, attributes 0,
+  * CREATE_TIME timestamp in epoch MILLISECONDS, key/value byte blocks) —
+  * the simplest documented format that carries event time.
+  *
+  * Scope honesty: this is the protocol SUBSET a v0-era consumer/producer
+  * exchange — no consumer groups, no compression, no record batches v2,
+  * no SASL/SSL. The paired [[KafkaWireClient]] + the raw-socket spec pin
+  * the byte layouts against the documentation, the mysqlwire standard.
+  *
+  * Concurrency: thread-per-connection (daemon); fetches stream straight
+  * from the in-memory log, one bounded response per request.
+  */
+final class KafkaWireServer(val partitions: Int, val topic: String = "graft") {
+
+  private final case class Rec(ts: Long, key: Array[Byte], value: Array[Byte])
+  private val logs = Array.fill(partitions)(
+    new scala.collection.mutable.ArrayBuffer[Rec]())
+
+  // wildcard bind: executors reach the driver-hosted listener via
+  // spark.driver.host (the bus/pgwire convention)
+  @volatile private var server: ServerSocket = _
+  @volatile private var closed = false
+
+  def start(): Int = {
+    server = new ServerSocket(0, 64)
+    val t = new Thread(() => acceptLoop(), "graft-kafka-accept")
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def close(): Unit = {
+    closed = true
+    try server.close() catch { case _: IOException => }
+  }
+
+  def endOffsets: Array[Long] =
+    logs.map(l => l.synchronized(l.length.toLong))
+
+  private def acceptLoop(): Unit =
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "graft-kafka-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed
+        case _: IOException if closed =>
+      }
+    }
+
+  // ---- primitive encoding (big-endian, the protocol's native order) ----
+
+  private def kstr(d: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8)
+    d.writeShort(b.length)
+    d.write(b)
+  }
+
+  private def readStr(in: DataInputStream): String = {
+    val n = in.readShort()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8)
+    }
+  }
+
+  private def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    if (n < 0) null
+    else { val b = new Array[Byte](n); in.readFully(b); b }
+  }
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      while (!closed) {
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val rin = new DataInputStream(new java.io.ByteArrayInputStream(req))
+        val apiKey = rin.readShort()
+        val apiVersion = rin.readShort()
+        val correlationId = rin.readInt()
+        readStr(rin) // client_id, ignored (trust)
+        val body = new ByteArrayOutputStream()
+        val d = new DataOutputStream(body)
+        if (apiVersion != 0) {
+          // v0-only server: documented UNSUPPORTED_VERSION (35)
+          apiKey match {
+            case 18 => d.writeShort(35); d.writeInt(0)
+            case _ => d.writeShort(35)
+          }
+        } else apiKey match {
+          case 18 => apiVersions(d)
+          case 3 => metadata(rin, d, sock)
+          case 0 => produce(rin, d)
+          case 1 => fetch(rin, d)
+          case 2 => listOffsets(rin, d)
+          case _ =>
+            d.writeShort(35)
+        }
+        out.writeInt(4 + body.size())
+        out.writeInt(correlationId)
+        body.writeTo(out)
+        out.flush()
+      }
+    } catch {
+      case _: EOFException | _: SocketException | _: IOException => // gone
+    } finally {
+      try sock.close() catch { case _: IOException => }
+    }
+  }
+
+  private def apiVersions(d: DataOutputStream): Unit = {
+    d.writeShort(0) // error
+    val apis = Seq(0, 1, 2, 3, 18)
+    d.writeInt(apis.length)
+    apis.foreach { k => d.writeShort(k); d.writeShort(0); d.writeShort(0) }
+  }
+
+  private def metadata(rin: DataInputStream, d: DataOutputStream,
+                       sock: Socket): Unit = {
+    val nTopics = rin.readInt()
+    var i = 0
+    while (i < nTopics) { readStr(rin); i += 1 } // names ignored: one topic
+    // brokers
+    d.writeInt(1)
+    d.writeInt(0) // node id
+    kstr(d, sock.getLocalAddress.getHostAddress)
+    d.writeInt(sock.getLocalPort)
+    // topics
+    d.writeInt(1)
+    d.writeShort(0) // topic error
+    kstr(d, topic)
+    d.writeInt(partitions)
+    var p = 0
+    while (p < partitions) {
+      d.writeShort(0) // partition error
+      d.writeInt(p)
+      d.writeInt(0) // leader
+      d.writeInt(1); d.writeInt(0) // replicas [0]
+      d.writeInt(1); d.writeInt(0) // isr [0]
+      p += 1
+    }
+  }
+
+  /** Message v1 bytes from fields; crc covers magic..value. */
+  private def messageV1(ts: Long, key: Array[Byte],
+                        value: Array[Byte]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeByte(1) // magic
+    d.writeByte(0) // attributes (CREATE_TIME, no compression)
+    d.writeLong(ts)
+    if (key == null) d.writeInt(-1) else { d.writeInt(key.length); d.write(key) }
+    if (value == null) d.writeInt(-1)
+    else { d.writeInt(value.length); d.write(value) }
+    val payload = body.toByteArray
+    val crc = new CRC32()
+    crc.update(payload)
+    val out = new ByteArrayOutputStream()
+    val od = new DataOutputStream(out)
+    od.writeInt(crc.getValue.toInt)
+    od.write(payload)
+    out.toByteArray
+  }
+
+  private def produce(rin: DataInputStream, d: DataOutputStream): Unit = {
+    rin.readShort() // required_acks (always acked here)
+    rin.readInt() // timeout
+    val nTopics = rin.readInt()
+    d.writeInt(nTopics)
+    var t = 0
+    while (t < nTopics) {
+      val name = readStr(rin)
+      kstr(d, name)
+      val nParts = rin.readInt()
+      d.writeInt(nParts)
+      var pi = 0
+      while (pi < nParts) {
+        val p = rin.readInt()
+        val setSize = rin.readInt()
+        val set = new Array[Byte](setSize)
+        rin.readFully(set)
+        d.writeInt(p)
+        if (name != topic || p < 0 || p >= partitions) {
+          d.writeShort(3) // UNKNOWN_TOPIC_OR_PARTITION
+          d.writeLong(-1L)
+        } else parseMessageSet(set) match {
+          case None =>
+            d.writeShort(2) // CORRUPT_MESSAGE
+            d.writeLong(-1L)
+          case Some(recs) =>
+            val log = logs(p)
+            val base = log.synchronized {
+              val b = log.length.toLong
+              recs.foreach { case (ts, k, v) => log += Rec(ts, k, v) }
+              b
+            }
+            d.writeShort(0)
+            d.writeLong(base)
+        }
+        pi += 1
+      }
+      t += 1
+    }
+  }
+
+  /** Parse + CRC-verify a MessageSet v1; None on any corruption. */
+  private def parseMessageSet(
+      set: Array[Byte]): Option[Seq[(Long, Array[Byte], Array[Byte])]] =
+    try {
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(set))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Byte], Array[Byte])]
+      var remaining = set.length
+      while (remaining > 0) {
+        in.readLong() // producer-side offset: ignored, server assigns
+        val msgSize = in.readInt()
+        val msg = new Array[Byte](msgSize)
+        in.readFully(msg)
+        remaining -= 12 + msgSize
+        val min = new DataInputStream(new java.io.ByteArrayInputStream(msg))
+        val crcGiven = min.readInt()
+        val crc = new CRC32()
+        crc.update(msg, 4, msg.length - 4)
+        if (crc.getValue.toInt != crcGiven) return None
+        val magic = min.readByte()
+        if (magic != 1) return None
+        min.readByte() // attributes
+        val ts = min.readLong()
+        val key = readBytes(min)
+        val value = readBytes(min)
+        out += ((ts, key, value))
+      }
+      Some(out.toSeq)
+    } catch { case _: IOException | _: IndexOutOfBoundsException => None }
+
+  private def fetch(rin: DataInputStream, d: DataOutputStream): Unit = {
+    rin.readInt() // replica_id
+    rin.readInt() // max_wait
+    rin.readInt() // min_bytes
+    val nTopics = rin.readInt()
+    d.writeInt(nTopics)
+    var t = 0
+    while (t < nTopics) {
+      val name = readStr(rin)
+      kstr(d, name)
+      val nParts = rin.readInt()
+      d.writeInt(nParts)
+      var pi = 0
+      while (pi < nParts) {
+        val p = rin.readInt()
+        val from = rin.readLong()
+        val maxBytes = rin.readInt()
+        d.writeInt(p)
+        if (name != topic || p < 0 || p >= partitions) {
+          d.writeShort(3); d.writeLong(-1L); d.writeInt(0)
+        } else {
+          val log = logs(p)
+          val hw = log.synchronized(log.length.toLong)
+          val set = new ByteArrayOutputStream()
+          val sd = new DataOutputStream(set)
+          // encode from `from` until the byte budget fills — O(budget)
+          // server memory at any backlog, never a log-tail copy; at
+          // least one message goes out even if it alone exceeds the
+          // budget (the documented minimum-progress rule)
+          var off = from
+          var used = 0
+          var full = false
+          while (!full && off < hw) {
+            val r = log.synchronized(log(off.toInt))
+            val m = messageV1(r.ts, r.key, r.value)
+            val total = 12 + m.length
+            if (used > 0 && used + total > maxBytes) full = true
+            else {
+              sd.writeLong(off)
+              sd.writeInt(m.length)
+              sd.write(m)
+              used += total
+              off += 1
+            }
+          }
+          d.writeShort(0)
+          d.writeLong(hw)
+          val bytes = set.toByteArray
+          d.writeInt(bytes.length)
+          d.write(bytes)
+        }
+        pi += 1
+      }
+      t += 1
+    }
+  }
+
+  private def listOffsets(rin: DataInputStream, d: DataOutputStream): Unit = {
+    rin.readInt() // replica_id
+    val nTopics = rin.readInt()
+    d.writeInt(nTopics)
+    var t = 0
+    while (t < nTopics) {
+      val name = readStr(rin)
+      kstr(d, name)
+      val nParts = rin.readInt()
+      d.writeInt(nParts)
+      var pi = 0
+      while (pi < nParts) {
+        val p = rin.readInt()
+        val ts = rin.readLong()
+        val maxN = rin.readInt()
+        d.writeInt(p)
+        if (name != topic || p < 0 || p >= partitions) {
+          d.writeShort(3); d.writeInt(0)
+        } else {
+          d.writeShort(0)
+          val v =
+            if (ts == -2L) 0L
+            else logs(p).synchronized(logs(p).length.toLong) // -1 = log end
+          d.writeInt(math.min(1, maxN))
+          if (maxN > 0) d.writeLong(v)
+        }
+        pi += 1
+      }
+      t += 1
+    }
+  }
+}

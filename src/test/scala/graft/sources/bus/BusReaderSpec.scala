@@ -18,14 +18,14 @@ class BusReaderSpec extends AnyFunSuite {
       (0 until 5).foreach(i => c.append(0, i.toLong, s"$i", "x"))
       c.close()
       // a range the log CAN serve reads fully
-      val ok = new BusPartitionReader(BusRange("127.0.0.1", port, 0, 0L, 5L))
+      val ok = new BusPartitionReader(BusRange("127.0.0.1", port, 0, 0L, 5L, "graft"))
       var n = 0
       while (ok.next()) { ok.get(); n += 1 }
       ok.close()
       assert(n == 5)
       // a planned range past the end (the planner's end offsets came from
       // a previous, larger incarnation of the log) must throw
-      val bad = new BusPartitionReader(BusRange("127.0.0.1", port, 0, 5L, 9L))
+      val bad = new BusPartitionReader(BusRange("127.0.0.1", port, 0, 5L, 9L, "graft"))
       try {
         intercept[java.io.IOException] {
           while (bad.next()) bad.get()
