@@ -207,6 +207,7 @@ object SparkEntry {
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
     "mm_gif_frames"         -> (LlmQueries.mmGifFrames _),
+    "mm_gif_scene"          -> (LlmQueries.mmGifScene _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
@@ -3688,6 +3689,28 @@ object SparkEntry {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(lum_total AS BIGINT) AS lum_total
         |FROM l ORDER BY doc_id, frame_idx""".stripMargin,
+    // scene cuts over REAL decoded GIF frames: gray-ramp palette makes
+    // per-frame luminance n_px·2000·idx exactly; the lag rule flags the
+    // guaranteed >=75-slot jump at frame 3 and nothing else
+    "mm_gif_scene" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 10 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 10 AS BIGINT) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, w * h AS n_px, k.k AS frame_idx,
+        |    (CASE WHEN k.k < 3 THEN 8 + seed % 6
+        |          ELSE 88 + seed % 6 END + k.k) AS idx
+        |  FROM d, LATERAL (SELECT unnest(range(0, 6)) AS k) k),
+        |g AS (SELECT doc_id, frame_idx, n_px,
+        |    n_px * 2000 * idx AS lum_total,
+        |    COALESCE(n_px * 2000 * idx - LAG(n_px * 2000 * idx) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), 0) AS lum_diff
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(lum_total AS BIGINT) AS lum_total,
+        |  CAST(lum_diff AS BIGINT) AS lum_diff,
+        |  (abs(lum_diff) > 40 * 2000 * n_px) AS is_cut
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     // gray-8 TIFF through real MSB-first/early-change LZW; the oracle
     // sums the closed-form pixel bytes (1000x gray luminance)
     "mm_tiff_decode" ->

@@ -435,20 +435,71 @@ object Gif {
     b.toByteArray
   }
 
+  /** 6-frame SCENE fixture for shot-boundary detection over REAL decoded
+    * frames: a monotone gray palette (pal(j) = (2j,2j,2j), so per-pixel
+    * luminance is exactly 2000·j), frames 0–2 constant at index
+    * `base0+k`, frames 3–5 constant at `base1+k` — within-scene
+    * frame-to-frame steps are one palette slot while the cut at frame 3
+    * jumps ≥ 75 slots, a guaranteed margin any threshold inside it
+    * detects. Constant frames keep the closed form trivial while the
+    * engine still LZW-decodes all six frames.
+    */
+  def sceneFixture(seed: Long): Array[Byte] = {
+    val w = (seed % 5 + 10).toInt
+    val h = (seed % 4 + 10).toInt
+    val base0 = (8 + seed % 6).toInt
+    val base1 = (88 + seed % 6).toInt
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v & 0xFF); u8((v >> 8) & 0xFF) }
+    b.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u16(w); u16(h)
+    u8(0xE6); u8(0); u8(0)
+    var j = 0
+    while (j < 128) { u8(2 * j); u8(2 * j); u8(2 * j); j += 1 }
+    for (k <- 0 until 6) {
+      u8(0x21); u8(0xF9); u8(4); u8(1 << 2); u16(5); u8(0); u8(0)
+      u8(0x2C); u16(0); u16(0); u16(w); u16(h); u8(0)
+      u8(7)
+      val idx = (if (k < 3) base0 else base1) + k
+      val lzw = new java.io.ByteArrayOutputStream()
+      var q = 0
+      while (q < w * h) { lzw.write(0x80); lzw.write(idx); q += 1 }
+      lzw.write(0x81)
+      val payload = lzw.toByteArray
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(120, payload.length - off)
+        u8(n); b.write(payload, off, n)
+        off += n
+      }
+      u8(0)
+    }
+    u8(0x3B)
+    b.toByteArray
+  }
+
   /** Deterministic animated-GIF payload column over [[animFixture]]
     * bytes — the [[Jpeg.jpegProgressiveMedia]] shape.
     */
   def gifAnimMedia(ids: DataFrame, idCol: String,
-                   seedCol: String): DataFrame = {
+                   seedCol: String): DataFrame =
+    fixtureMedia(ids, idCol, seedCol, animFixture)
+
+  /** [[sceneFixture]] payload column — the scene-cut leg's input. */
+  def gifSceneMedia(ids: DataFrame, idCol: String,
+                    seedCol: String): DataFrame =
+    fixtureMedia(ids, idCol, seedCol, sceneFixture)
+
+  private def fixtureMedia(ids: DataFrame, idCol: String, seedCol: String,
+                           fx: Long => Array[Byte]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     val base = Spread.ifNarrow(ids.select(
       col(idCol).cast("long").as("doc_id"),
       col(seedCol).cast("long").as("seed")))
     base.as[(Long, Long)]
-      .mapPartitions(it => it.map { case (id, seed) =>
-        (id, animFixture(seed))
-      })
+      .mapPartitions(it => it.map { case (id, seed) => (id, fx(seed)) })
       .toDF("doc_id", "data")
       .select(col("doc_id"), col("data"),
         struct(lit("image/gif").as("mime"),

@@ -572,6 +572,53 @@ object LlmQueries {
   def mmGifDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Gif.gifMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** Shot-boundary detection over REAL decoded video-like frames — the
+    * [[mmGifFrames]] surface driven through the scene-detect pipeline
+    * (what `mm_scene_detect` runs over synthetic frames, now on actual
+    * LZW-decoded GIF animation frames): per frame the composited-screen
+    * luminance, then a per-doc lag window flags cuts where the
+    * frame-to-frame jump exceeds the threshold. The fixture guarantees a
+    * ≥75-palette-slot jump exactly at frame 3 and one-slot drift inside
+    * scenes, so the flags are deterministic; the oracle replays the
+    * closed-form per-frame luminance and the same lag rule.
+    */
+  def mmGifScene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = Gif.gifSceneMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        Gif.decodeFrames(bytes) match {
+          case Some((w, h, fs)) => fs.map { f =>
+            var lum = 0L
+            var p = 0
+            while (p < w * h) {
+              lum += 299L * (f.px(p * 3) & 0xFF) +
+                587L * (f.px(p * 3 + 1) & 0xFF) +
+                114L * (f.px(p * 3 + 2) & 0xFF)
+              p += 1
+            }
+            (id, f.index, w.toLong * h, lum)
+          }
+          case None => Seq((id, -1, 0L, 0L))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "n_px", "lum_total")
+    val wnd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("lum_diff",
+        col("lum_total") - lag("lum_total", 1).over(wnd))
+      // cut threshold: > 40 palette slots of mean jump (2000/slot/pixel);
+      // within-scene steps are exactly 1 slot, the cut is >= 75
+      .withColumn("is_cut",
+        coalesce(abs(col("lum_diff")) >
+          lit(40L) * 2000L * col("n_px"), lit(false)))
+      .select(col("doc_id"), col("frame_idx"), col("lum_total"),
+        coalesce(col("lum_diff"), lit(0L)).as("lum_diff"), col("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The ANIMATED (multi-frame) GIF leg ([[Gif.decodeFrames]]): every
     * frame decoded and COMPOSITED per the GIF89a Graphic Control
     * semantics — frame 1 a sub-rect over the full frame-0 screen,
