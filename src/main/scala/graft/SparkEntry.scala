@@ -270,6 +270,7 @@ object SparkEntry {
     "ml_tree_depth2"        -> (Regression.mlTreeDepth2 _),
     "ml_ridge"              -> (Regression.mlRidge _),
     "ml_cv"                 -> (Regression.mlCv _),
+    "ml_dbscan"             -> (Metrics.mlDbscan _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -4450,6 +4451,10 @@ object SparkEntry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    // density clustering: quadratic definitional neighbor counts + the
+    // per-column gaps-and-islands connectivity closed form (exact for
+    // the 250-spaced fixture; the engine runs the general 2-D grid)
+    "ml_dbscan" -> Metrics.mlDbscanOracle,
     // exact integer distances over the shared quantized grid; majority
     // vote is an integer sum, ranking ties break on candidate id
     "ml_knn" -> Metrics.mlKnnOracle,

@@ -254,4 +254,164 @@ object Metrics {
       |  ROUND(CAST(r2 - pos * (pos + 1) AS DOUBLE)
       |    / CAST(pos * neg AS DOUBLE) - 1.0, 6) + 0.0 AS gini
       |FROM agg WHERE pos > 0 AND neg > 0 ORDER BY g""".stripMargin
+
+  /** DBSCAN parameters shared textually with the oracle: eps in the
+    * integer milli-units of the quantized feature grid, the classic
+    * minPts=5 (the neighborhood count INCLUDES the point itself).
+    */
+  private[operators] val DbscanEps = 40L
+  private[operators] val DbscanMinPts = 5L
+
+  /** The general grid-bucketed eps-neighbor pair generator shared by the
+    * registered query and its brute-force equivalence spec: cell width =
+    * eps, so every eps-ball lies inside the 3×3 adjacent cells — the
+    * pair count is density-bounded, never |points|² (the MinHash-banding
+    * argument applied to metric space). Input (k, x, y) integer points;
+    * output all ordered pairs (ak, bk) with d² ≤ eps² INCLUDING the
+    * self-pair (so a count per ak is the |N_eps| DBSCAN uses).
+    */
+  private[operators] def epsPairs(pts: DataFrame, eps: Long): DataFrame = {
+    val cells = pts.select(col("k"), col("x"), col("y"),
+      floor(col("x") / eps.toDouble).cast("long").as("cx"),
+      floor(col("y") / eps.toDouble).cast("long").as("cy"))
+    // the 9x fan-out multiplies per-row work and AQE coalesces the small
+    // aggregated frame to one partition ahead of it — spread first (the
+    // ml_knn hazard, same fix)
+    val aExp = Spread.ifNarrow(cells)
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("k").as("ak"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    aExp.join(cells.select(col("k").as("bk"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= eps * eps)
+      .select(col("ak"), col("bk"))
+  }
+
+  /** ml_dbscan — density clustering (Ester et al. 1996), the
+    * cluster-shape-agnostic sibling of [[Similarity]]'s k-means: core
+    * points have ≥ minPts neighbors within eps, clusters are connected
+    * components of the core-core eps-graph, border points attach to
+    * their minimum-id core's cluster, the rest is noise — the outlier-
+    * robust grouping a training-data curator runs over embedding maps.
+    *
+    * Scale shape: the eps-graph comes from [[epsPairs]]' grid-cell join
+    * (density-bounded, no all-pairs), components from the Dedup hybrid
+    * union-find (driver under the coded budget, distributed label-prop
+    * above it), and the feature frame is one map-side-combined aggregate
+    * of the fact table. Determinism: integer grid coordinates, cluster
+    * id = min core id per component, border ties to the minimum cluster.
+    *
+    * The fixture's x-columns sit 250 milli-units apart (> eps), so the
+    * ORACLE may treat connectivity as per-column 1-D gaps-and-islands —
+    * closed form, no recursion — while the ENGINE runs the general 2-D
+    * grid algorithm; DbscanSpec pins the general path against brute
+    * force on random point sets where cross-cell adjacency matters.
+    */
+  def mlDbscan(s: SparkSession, dir: String): DataFrame = {
+    val eps = DbscanEps
+    val pts = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 5000)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg((count(lit(1)) / 4.0 - 0.7).as("x1"),
+        (sum("l_extendedprice") / count(lit(1)) / 50000.0 - 0.6).as("x2"))
+      .select(col("k"),
+        expr("CAST(floor(x1 * 1000 + 0.5D) AS BIGINT)").as("x"),
+        expr("CAST(floor(x2 * 1000 + 0.5D) AS BIGINT)").as("y"))
+    // ONE materialization: the density-bounded pair list feeds the
+    // neighbor counts, the core graph and the border attachment (the
+    // upstream point aggregate is cheap to recompute; eager checkpoints
+    // are whole jobs and would dominate this bounded operator's cost)
+    val pairs = epsPairs(pts, eps).localCheckpoint(true)
+    val nEps = pairs.groupBy(col("ak").as("k"))
+      .agg(count(lit(1)).as("n_eps"))
+    val flagged = pts.join(nEps, "k")
+      .withColumn("is_core", col("n_eps") >= DbscanMinPts)
+    val cores = flagged.filter(col("is_core")).select(col("k"))
+    // components over core-core edges; self-loops keep isolated cores
+    // in frame (a lone core is its own cluster by definition)
+    val coreEdges = pairs
+      .join(cores.select(col("k").as("ak")), "ak")
+      .join(cores.select(col("k").as("bk")), "bk")
+      .select(col("ak").as("a"), col("bk").as("b"))
+    val comp = Dedup.connectedComponents(coreEdges)
+      .select(col("id").as("k"), col("comp").as("cluster"))
+    val coreOut = flagged.filter(col("is_core"))
+      .join(comp, "k")
+      .select(col("k"), lit("core").as("role"), col("cluster"),
+        col("n_eps"))
+    val borderOut = flagged.filter(!col("is_core"))
+      .join(pairs.select(col("ak").as("k"), col("bk")), "k")
+      .join(comp.select(col("k").as("bk"), col("cluster")), "bk")
+      .groupBy(col("k"))
+      .agg(min("cluster").as("cluster")) // deterministic tie-break
+      .join(flagged.select(col("k"), col("n_eps")), "k")
+      .select(col("k"), lit("border").as("role"), col("cluster"),
+        col("n_eps"))
+    val assigned = coreOut.unionByName(borderOut)
+    val noiseOut = flagged
+      .join(assigned.select(col("k")), Seq("k"), "left_anti")
+      .select(col("k"), lit("noise").as("role"),
+        lit(null).cast("long").as("cluster"), col("n_eps"))
+    assigned.unionByName(noiseOut).orderBy("k")
+  }
+
+  /** The [[mlDbscan]] oracle: quadratic definitional neighbor counts,
+    * per-column gaps-and-islands core connectivity (exact for the
+    * 250-spaced fixture columns — see the scaladoc), min-core border
+    * attachment.
+    */
+  val mlDbscanOracle: String =
+    s"""WITH lc AS (
+      |  SELECT l_orderkey AS k, COUNT(*) / 4.0 - 0.7 AS x1,
+      |    SUM(l_extendedprice) / COUNT(*) / 50000.0 - 0.6 AS x2
+      |  FROM lineitem WHERE l_orderkey <= 5000 GROUP BY 1),
+      |q AS MATERIALIZED (
+      |  SELECT k, CAST(floor(x1 * 1000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(x2 * 1000 + 0.5) AS BIGINT) AS y
+      |  FROM lc),
+      |n AS MATERIALIZED (
+      |  SELECT a.k, a.x, a.y, COUNT(*) AS n_eps
+      |  FROM q a JOIN q b
+      |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |       <= ${DbscanEps * DbscanEps}
+      |  GROUP BY a.k, a.x, a.y),
+      |cores AS MATERIALIZED (
+      |  SELECT k, x, y FROM n WHERE n_eps >= ${DbscanMinPts}),
+      |-- x-columns are 250 apart (> eps): core connectivity is exactly
+      |-- per-column 1-D islands over y-gaps <= eps
+      |gaps AS MATERIALIZED (
+      |  SELECT k, x, y,
+      |    CASE WHEN y - LAG(y) OVER (PARTITION BY x ORDER BY y, k)
+      |           <= ${DbscanEps} THEN 0 ELSE 1 END AS brk
+      |  FROM cores),
+      |isl AS MATERIALIZED (
+      |  SELECT k, x, y,
+      |    SUM(brk) OVER (PARTITION BY x ORDER BY y, k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM gaps),
+      |comp AS MATERIALIZED (
+      |  SELECT k, MIN(k) OVER (PARTITION BY x, island) AS cluster
+      |  FROM isl),
+      |core_out AS (
+      |  SELECT n.k, 'core' AS role, comp.cluster, n.n_eps
+      |  FROM n JOIN comp ON n.k = comp.k),
+      |border_out AS (
+      |  SELECT n.k, 'border' AS role, MIN(comp.cluster) AS cluster,
+      |    MIN(n.n_eps) AS n_eps
+      |  FROM n
+      |  JOIN q a ON a.k = n.k
+      |  JOIN cores c ON (a.x - c.x) * (a.x - c.x)
+      |    + (a.y - c.y) * (a.y - c.y) <= ${DbscanEps * DbscanEps}
+      |  JOIN comp ON comp.k = c.k
+      |  WHERE n.n_eps < ${DbscanMinPts}
+      |  GROUP BY n.k),
+      |assigned AS (
+      |  SELECT * FROM core_out UNION ALL SELECT * FROM border_out)
+      |SELECT k, role, cluster, CAST(n_eps AS BIGINT) AS n_eps FROM assigned
+      |UNION ALL
+      |SELECT n.k, 'noise', NULL, CAST(n.n_eps AS BIGINT)
+      |FROM n WHERE n.k NOT IN (SELECT k FROM assigned)
+      |ORDER BY k""".stripMargin
 }
