@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
+    "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
@@ -2824,6 +2825,9 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplyOracleSql(rounds = 6),
     // The learned merge list itself, one row per training round.
     "text_bpe_train" -> bpeTrainOracleSql(rounds = 6),
+    // unigram-LM tokenizer: the two-round lattice recurrence unrolled as
+    // 10-step DP CTE chains per round (TextAnalysis.unigramOracleSql)
+    "text_unigram_lm" -> operators.TextAnalysis.unigramOracleSql(),
     // Per-doc tokenization statistics with the trained list.
     "text_bpe_encode" -> bpeEncodeOracleSql(rounds = 6),
     // Same 4-gram hashes, same two-window selection rule: pos p selected

@@ -1458,6 +1458,16 @@ object LlmQueries {
     * 6-round recurrence (per-round argmax + replace), the
     * graph_pagerank precedent for iterative operators.
     */
+  /** Unigram-LM tokenizer training ([[TextAnalysis.unigramTrain]]) —
+    * the SentencePiece-family lattice algorithm beside the merge-loop
+    * BPE trainer: two hard-EM rounds of Viterbi segmentation over a
+    * bounded piece inventory with usage re-estimation and pruning,
+    * emitting every word's final segmentation. The oracle unrolls the
+    * identical recurrence (10 DP-step CTE chains per round).
+    */
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramTrain(docs(s, dir), "doc_id", "text")
+
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
       rounds = 6)

@@ -1087,4 +1087,218 @@ object TextAnalysis {
         round(col("n") / col("tot").cast("double"), 6).as("share"))
       .orderBy("rank")
   }
+
+  // -----------------------------------------------------------------------
+  // Unigram-LM tokenizer (the SentencePiece family — Kudo 2018), hard-EM
+  // variant: the OTHER major subword algorithm beside BPE. Where BPE
+  // greedily merges pairs, unigram keeps a piece inventory with
+  // probabilities and segments every word by VITERBI over its lattice;
+  // training alternates segmentation and frequency re-estimation with
+  // pruning. Here: bounded word length (10) and piece length (4) make the
+  // per-word DP a FIXED 10-step recurrence both engines unroll
+  // identically; probabilities are single divisions of exact integer
+  // counts, DP scores are products of those doubles in a pinned
+  // association, and ties resolve to the longest-last-piece candidate
+  // first (the nested-CASE order) — bit-reproducible end to end, the
+  // ml_logreg determinism discipline applied to a lattice DP.
+  //
+  // Scale: vocabulary-sized throughout (distinct words with corpus
+  // counts — one fact scan), the model is a bounded piece list
+  // (singles + top-K multis, the codebook convention), and the DP is
+  // row-local column arithmetic — no shuffle beyond the vocabulary
+  // aggregates, no UDF.
+  // -----------------------------------------------------------------------
+
+  private[operators] val UniMaxWordLen = 10
+  private[operators] val UniMaxPieceLen = 4
+  private[operators] val UniTopK = 120
+
+  /** Distinct words (length 1..10) with corpus counts. */
+  private def uniWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")).between(1, UniMaxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("tc"))
+
+  /** All substrings (length 1..4) of the word table with summed corpus
+    * frequencies — the seed piece statistics.
+    */
+  private def uniSeedStats(words: DataFrame): DataFrame =
+    words.select(col("tc"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), st ->
+           |  transform(sequence(1, least($UniMaxPieceLen, length(w) - st + 1)),
+           |    l -> substring(w, st, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("tc").as("f"))
+
+  /** One Viterbi pass over the word table given a bounded piece model
+    * (piece → probability map literal): 10 unrolled DP steps, candidates
+    * j = i−1 … i−4 in that order with strict-> replacement (ties keep the
+    * earlier = larger j), segmentation carried forward as a '|'-joined
+    * string — no backtracking, the oracle replays the identical fold.
+    */
+  private def uniViterbi(words: DataFrame,
+                         model: Seq[(String, Double)]): DataFrame = {
+    // bind the model map ONCE as a column: referencing the literal from
+    // every candidate would copy the whole map into the plan ~40 times
+    // and blow the generated code up (measured 30 s of codegen for a
+    // 31-row frame before this)
+    val pmLit = map(model.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    var df = words.withColumn("pm", pmLit)
+      .withColumn("n", length(col("w")))
+    for (i <- 1 to UniMaxWordLen) {
+      var best: Column = lit(null).cast("double")
+      var seg: Column = lit(null).cast("string")
+      for (j <- (i - 1) to math.max(0, i - UniMaxPieceLen) by -1) {
+        val piece = substring(col("w"), j + 1, i - j)
+        val prevS = if (j == 0) lit(1.0) else col(s"s_$j")
+        val prevG = if (j == 0) lit("") else concat(col(s"g_$j"), lit("|"))
+        val p = when(col("n") >= i, element_at(col("pm"), piece))
+        val cs = prevS * p // null-propagating: unreachable j or unknown piece
+        val take = cs.isNotNull && (best.isNull || cs > best)
+        seg = when(take, concat(prevG, piece)).otherwise(seg)
+        best = when(take, cs).otherwise(best)
+      }
+      df = df.withColumn(s"s_$i", best).withColumn(s"g_$i", seg)
+      // split the projection chain: 10 chained DP steps in ONE
+      // whole-stage-codegen unit generate pathological code (the frame
+      // is vocabulary-sized, so the barrier costs nothing)
+      if (i % 4 == 0) df = df.localCheckpoint(true)
+    }
+    df.withColumn("seg", element_at(
+      array((1 to UniMaxWordLen).map(i => col(s"g_$i")): _*),
+      col("n").cast("int")))
+      .drop("pm")
+  }
+
+  /** Train (2 hard-EM rounds) and return the final per-word
+    * segmentation: (word, tc, seg, n_pieces). Round 1 scores pieces by
+    * seed substring frequencies (all single chars + top-K multis);
+    * round 2 re-estimates from round-1 usage with +1 smoothing on the
+    * single-char floor and prunes unused multi pieces.
+    */
+  def unigramTrain(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val words = uniWords(docs, textCol).localCheckpoint(true)
+    val seed = uniSeedStats(words).localCheckpoint(true)
+    // round-1 model: bounded collect (singles + top-K multis)
+    val singles = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val multis = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("f").desc, col("piece")).limit(UniTopK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t1 = singles.map(_._2).sum + multis.map(_._2).sum
+    val model1 = (singles ++ multis).map { case (k, f) =>
+      (k, f.toDouble / t1.toDouble) }
+    val seg1 = uniViterbi(words, model1.toSeq)
+      .select(col("w"), col("tc"), col("seg")).localCheckpoint(true)
+    // usage recount (vocabulary-sized)
+    val usage = seg1
+      .select(col("tc"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum("tc").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val singles2 = singles.map { case (k, _) =>
+      (k, usage.getOrElse(k, 0L) + 1L) }
+    val multis2 = multis.flatMap { case (k, _) =>
+      usage.get(k).filter(_ >= 1L).map(u => (k, u)) }
+    val t2 = singles2.map(_._2).sum + multis2.map(_._2).sum
+    val model2 = (singles2 ++ multis2).map { case (k, f) =>
+      (k, f.toDouble / t2.toDouble) }
+    uniViterbi(words, model2.toSeq)
+      .select(col("w").as("word"), col("tc"), col("seg"),
+        (length(col("seg")) - length(col("w")) + 1).as("n_pieces"))
+      .orderBy("word")
+  }
+
+  /** The [[unigramTrain]] oracle: the identical two-round recurrence
+    * unrolled — seed statistics, top-K + singles model, 10 DP-step CTE
+    * chain per round replaying the exact candidate fold, usage recount
+    * with the same smoothing/pruning. Every probability is the same
+    * single division of exact integers and every DP product associates
+    * identically, so the hash gate pins the whole trainer.
+    */
+  def unigramOracleSql(): String = {
+    val L = UniMaxPieceLen
+    // one DP step as SQL: the exact uniViterbi fold at position i.
+    // cand_j prob arrives via LEFT JOINed alias pj (p1 = j = i-1, ...).
+    def step(round: Int, i: Int): String = {
+      val js = ((i - 1) to math.max(0, i - L) by -1).toSeq
+      def cand(j: Int): String = {
+        val prevS = if (j == 0) "CAST(1.0 AS DOUBLE)" else s"c.s_$j"
+        s"($prevS * p${i - j}.p)"
+      }
+      // fold: b_0 = NULL; b_k = CASE WHEN cand ok AND (b_{k-1} null or
+      // cand > b_{k-1}) THEN cand ELSE b_{k-1}; same for seg
+      var bExpr = "CAST(NULL AS DOUBLE)"
+      var gExpr = "CAST(NULL AS VARCHAR)"
+      js.foreach { j =>
+        val c = cand(j)
+        val prevG =
+          if (j == 0) "''" else s"(c.g_$j || '|')"
+        val piece = s"substr(c.w, ${j + 1}, ${i - j})"
+        val take = s"$c IS NOT NULL AND (($bExpr) IS NULL OR $c > ($bExpr))"
+        gExpr = s"CASE WHEN $take THEN ($prevG || $piece) ELSE ($gExpr) END"
+        bExpr = s"CASE WHEN $take THEN $c ELSE ($bExpr) END"
+      }
+      val joins = js.map { j =>
+        s"""LEFT JOIN pieces_r$round p${i - j}
+           |    ON c.n >= $i AND p${i - j}.piece = substr(c.w, ${j + 1}, ${i - j})""".stripMargin
+      }.mkString("\n  ")
+      s"""c${round}_$i AS MATERIALIZED (
+         |  SELECT c.*, $bExpr AS s_$i, $gExpr AS g_$i
+         |  FROM c${round}_${i - 1} c
+         |  $joins)""".stripMargin
+    }
+    def segPick(round: Int): String =
+      "CASE c.n " + (1 to UniMaxWordLen)
+        .map(i => s"WHEN $i THEN c.g_$i").mkString(" ") + " END"
+    val steps1 = (1 to UniMaxWordLen).map(step(1, _)).mkString(",\n")
+    val steps2 = (1 to UniMaxWordLen).map(step(2, _)).mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS tc, length(w) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, SUM(tc) AS f FROM (
+       |    SELECT tc, substr(w, g.st, g2.l) AS piece
+       |    FROM words,
+       |      LATERAL (SELECT unnest(range(1, n + 1)) AS st) g,
+       |      LATERAL (SELECT unnest(range(1,
+       |        least($L, n - g.st + 1) + 1)) AS l) g2)
+       |  GROUP BY piece),
+       |singles AS MATERIALIZED (
+       |  SELECT piece, f FROM seed WHERE length(piece) = 1),
+       |multis AS MATERIALIZED (
+       |  SELECT piece, f FROM seed WHERE length(piece) > 1
+       |  ORDER BY f DESC, piece LIMIT $UniTopK),
+       |m1 AS MATERIALIZED (
+       |  SELECT * FROM singles UNION ALL SELECT * FROM multis),
+       |pieces_r1 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(f AS DOUBLE) / CAST((SELECT SUM(f) FROM m1) AS DOUBLE) AS p
+       |  FROM m1),
+       |c1_0 AS MATERIALIZED (SELECT w, tc, n FROM words),
+       |$steps1,
+       |seg1 AS MATERIALIZED (
+       |  SELECT c.w, c.tc, ${segPick(1)} AS seg FROM c1_$UniMaxWordLen c),
+       |u1 AS MATERIALIZED (
+       |  SELECT piece, SUM(tc) AS u FROM (
+       |    SELECT tc, unnest(string_split(seg, '|')) AS piece FROM seg1)
+       |  GROUP BY piece),
+       |m2 AS MATERIALIZED (
+       |  SELECT s.piece, COALESCE(u.u, 0) + 1 AS f
+       |  FROM singles s LEFT JOIN u1 u USING (piece)
+       |  UNION ALL
+       |  SELECT m.piece, u.u AS f
+       |  FROM multis m JOIN u1 u USING (piece) WHERE u.u >= 1),
+       |pieces_r2 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(f AS DOUBLE) / CAST((SELECT SUM(f) FROM m2) AS DOUBLE) AS p
+       |  FROM m2),
+       |c2_0 AS MATERIALIZED (SELECT w, tc, n FROM words),
+       |$steps2
+       |SELECT c.w AS word, c.tc, ${segPick(2)} AS seg,
+       |  CAST(length(${segPick(2)}) - length(c.w) + 1 AS INT) AS n_pieces
+       |FROM c2_$UniMaxWordLen c ORDER BY word""".stripMargin
+  }
 }
