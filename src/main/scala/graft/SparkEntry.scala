@@ -175,6 +175,7 @@ object SparkEntry {
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
+    "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
     "text_contamination"    -> (LlmQueries.textContamination _),
     "text_lm_score"         -> (LlmQueries.textLmScore _),
@@ -2828,6 +2829,9 @@ object SparkEntry {
     // unigram-LM tokenizer: the two-round lattice recurrence unrolled as
     // 10-step DP CTE chains per round (TextAnalysis.unigramOracleSql)
     "text_unigram_lm" -> operators.TextAnalysis.unigramOracleSql(),
+    // the trained segmentation joined back over every document's tokens
+    "text_unigram_encode" ->
+      operators.TextAnalysis.unigramEncodeOracleSql(),
     // Per-doc tokenization statistics with the trained list.
     "text_bpe_encode" -> bpeEncodeOracleSql(rounds = 6),
     // Same 4-gram hashes, same two-window selection rule: pos p selected

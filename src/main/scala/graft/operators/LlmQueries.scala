@@ -1468,6 +1468,14 @@ object LlmQueries {
   def textUnigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramTrain(docs(s, dir), "doc_id", "text")
 
+  /** Unigram encode ([[TextAnalysis.unigramEncodeStats]]): the trained
+    * segmentation applied over the corpus — per-doc tokenization
+    * statistics under the final unigram model, the text_bpe_encode
+    * sibling for the lattice tokenizer family.
+    */
+  def textUnigramEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramEncodeStats(docs(s, dir), "doc_id", "text")
+
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
       rounds = 6)

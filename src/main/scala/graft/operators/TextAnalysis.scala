@@ -1210,6 +1210,31 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** text_unigram_encode — the trained unigram segmentation applied to
+    * the corpus (the [[bpeEncodeStats]] sibling): per document the
+    * token/piece/char totals under the final model, with the
+    * chars-per-piece compression floor-quantized to 1e-4 units (the
+    * round-11 cross-engine rounding discipline). The model join runs
+    * unhinted — the segmentation frame is vocabulary-sized, AQE
+    * broadcasts it at runtime.
+    */
+  def unigramEncodeStats(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val segs = unigramTrain(docs, idCol, textCol)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .join(segs, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("n_pieces").cast("long").as("n_pieces"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .withColumn("compression_e4",
+        floor(col("n_chars").cast("double") /
+          col("n_pieces").cast("double") * 10000).cast("long"))
+      .orderBy(idCol)
+  }
+
   /** The [[unigramTrain]] oracle: the identical two-round recurrence
     * unrolled — seed statistics, top-K + singles model, 10 DP-step CTE
     * chain per round replaying the exact candidate fold, usage recount
@@ -1217,7 +1242,7 @@ object TextAnalysis {
     * single division of exact integers and every DP product associates
     * identically, so the hash gate pins the whole trainer.
     */
-  def unigramOracleSql(): String = {
+  private def unigramOracleCtes(): String = {
     val L = UniMaxPieceLen
     // one DP step as SQL: the exact uniViterbi fold at position i.
     // cand_j prob arrives via LEFT JOINed alias pj (p1 = j = i-1, ...).
@@ -1254,7 +1279,7 @@ object TextAnalysis {
         .map(i => s"WHEN $i THEN c.g_$i").mkString(" ") + " END"
     val steps1 = (1 to UniMaxWordLen).map(step(1, _)).mkString(",\n")
     val steps2 = (1 to UniMaxWordLen).map(step(2, _)).mkString(",\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS tc, length(w) AS n FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
@@ -1296,9 +1321,36 @@ object TextAnalysis {
        |    CAST(f AS DOUBLE) / CAST((SELECT SUM(f) FROM m2) AS DOUBLE) AS p
        |  FROM m2),
        |c2_0 AS MATERIALIZED (SELECT w, tc, n FROM words),
-       |$steps2
-       |SELECT c.w AS word, c.tc, ${segPick(2)} AS seg,
-       |  CAST(length(${segPick(2)}) - length(c.w) + 1 AS INT) AS n_pieces
-       |FROM c2_$UniMaxWordLen c ORDER BY word""".stripMargin
+       |$steps2,
+       |final_seg AS MATERIALIZED (
+       |  SELECT c.w AS word, c.tc, ${segPick(2)} AS seg,
+       |    CAST(length(${segPick(2)}) - length(c.w) + 1 AS INT) AS n_pieces
+       |  FROM c2_$UniMaxWordLen c)""".stripMargin
   }
+
+  def unigramOracleSql(): String =
+    s"""WITH ${unigramOracleCtes()}
+       |SELECT word, tc, seg, n_pieces FROM final_seg
+       |ORDER BY word""".stripMargin
+
+  /** text_unigram_encode oracle: the trained per-word segmentation
+    * (the full unrolled recurrence) joined back to every document's
+    * token stream — per-doc token/piece/char totals and the
+    * floor-quantized chars-per-piece compression ratio.
+    */
+  def unigramEncodeOracleSql(): String =
+    s"""WITH ${unigramOracleCtes()},
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |j AS (
+       |  SELECT t.doc_id, f.n_pieces, length(t.word) AS nc
+       |  FROM toks t JOIN final_seg f USING (word)
+       |  WHERE length(t.word) BETWEEN 1 AND $UniMaxWordLen)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(FLOOR(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
+       |    * 10000) AS BIGINT) AS compression_e4
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
