@@ -124,6 +124,7 @@ object SparkEntry {
     "a46_mysqlwire_partitioned" -> (PipelineQueries.a46MysqlwirePartitioned _),
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
+    "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "ml_ridge"              -> (Regression.mlRidge _),
     "ml_cv"                 -> (Regression.mlCv _),
     "ml_dbscan"             -> (Metrics.mlDbscan _),
+    "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -2787,6 +2789,14 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS n_corrupt,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+    // a49: the same content truth through the gzip-compressed leg — the
+    // decompression path must be byte-lossless to match
+    "a49_gzip_jsonl" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // Recomputed from the ORIGINAL parquet — any JSON escape/unescape
     // mutation of any text flips the group's XOR-folded portable hash.
     "a28_jsonl_roundtrip" ->
@@ -4366,6 +4376,38 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY label) AS community_size
          |FROM l5 ORDER BY node""".stripMargin
     },
+    // resource-allocation link prediction: same shared-neighbor pair
+    // derivation, weights in exact 1e6-div-degree micro-units
+    "graph_ra" ->
+      """WITH st AS (
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_brand, p_size) AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub
+        |  UNION ALL
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_type) AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub),
+        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT p AS src, hub AS dst FROM st
+        |  UNION ALL SELECT hub, p FROM st)),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |ef AS MATERIALIZED (
+        |  SELECT a.src AS u, a.dst AS n, 1000000 // deg.d AS w
+        |  FROM edges a JOIN deg ON a.dst = deg.src WHERE deg.d <= 64),
+        |pairs AS (
+        |  SELECT x.u AS u, y.u AS v, COUNT(*) AS common,
+        |    SUM(x.w) AS ra_e6
+        |  FROM ef x JOIN ef y ON x.n = y.n AND x.u < y.u
+        |  GROUP BY 1, 2)
+        |SELECT u, v, CAST(common AS BIGINT) AS common,
+        |  CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+        |  CAST(ra_e6 AS BIGINT) AS ra_e6
+        |FROM pairs JOIN deg du ON pairs.u = du.src
+        |           JOIN deg dv ON pairs.v = dv.src
+        |WHERE common >= 2
+        |ORDER BY ra_e6 DESC, u, v LIMIT 100""".stripMargin,
     // same hub-star edge derivation as graph_labelprop; pairs only via a
     // shared neighbor (never |V|^2), jaccard = exact-int division
     "graph_jaccard" ->

@@ -824,4 +824,40 @@ object Graph {
         col("jaccard"))
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(100)
+
+  /** Registered query: resource-allocation link prediction (Zhou, Lü &
+    * Zhang 2009) over the part-affinity graph — `RA(u,v) = Σ_{z ∈
+    * N(u)∩N(v)} 1/deg(z)`, the neighborhood-overlap score that
+    * DISCOUNTS promiscuous shared neighbors (a hub connecting everyone
+    * predicts nothing; a degree-2 bridge predicts a lot) — the standard
+    * log-free sibling of Adamic–Adar, which makes it exactly portable:
+    * weights are integer micro-units `1e6 div deg(z)`, so every pair's
+    * score is an exact 64-bit sum at any aggregation order (the
+    * graph_betweenness discipline). Pairs arise ONLY through shared
+    * neighbors under the same ≤64 hub-degree cap-as-semantics as
+    * [[neighborJaccard]] — never |V|².
+    */
+  def graphRa(s: SparkSession, dir: String): DataFrame = {
+    val e = partAffinityEdges(s, dir).select(col("src"), col("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val lowDeg = deg.filter(col("d") <= 64)
+      .select(col("src").as("n"), col("d").as("dn"))
+    val ef = e.select(col("src").as("u"), col("dst").as("n"))
+      .join(lowDeg, "n")
+      .withColumn("w", expr("CAST(1000000 DIV dn AS BIGINT)"))
+      .localCheckpoint(true) // feeds both sides of the pair join
+    ef.join(ef.select(col("u").as("v"), col("n")), "n")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"), sum("w").as("ra_e6"))
+      .filter(col("common") >= 2)
+      .join(deg.select(col("src").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("src").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        col("ra_e6"))
+      .orderBy(col("ra_e6").desc, col("u"), col("v"))
+      .limit(100)
+  }
 }

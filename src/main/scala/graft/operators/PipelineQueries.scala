@@ -1528,6 +1528,36 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A49 — COMPRESSED text ingest end-to-end: the corpus exported as
+    * gzip-compressed JSONL (`codec=gzip` — one .json.gz part per task,
+    * the shape crawl dumps and API exports arrive in at 100 TB) and read
+    * back through the json source's transparent by-extension
+    * decompression, pinned by the same XOR-folded content checksum as
+    * a28 — any decompression or escape mutation flips a group's hash.
+    * Scale note encoded in the plan: gzip parts are NOT splittable (one
+    * task per part on read — acceptable because parts are produced
+    * task-sized); splittable-codec lakes use the columnar staging
+    * formats instead, which is why parquet remains the internal format.
+    */
+  def a49GzipJsonl(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_gz").toString + "/docs_gz"
+    Tables.load(s, dir, "documents").write.mode("overwrite")
+      .option("compression", "gzip").json(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .exists(_.getPath.getName.endsWith(".json.gz")),
+      "export must actually be gzip-compressed parts")
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(base)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   /** A29 — corrupt-record tolerant ingest (the JSONL sibling of A7's CSV
     * repair): a mixed file of valid JSON lines plus malformed lines is
     * read in PERMISSIVE mode with an explicit `_corrupt_record` capture
