@@ -274,6 +274,7 @@ object SparkEntry {
     "ml_ridge"              -> (Regression.mlRidge _),
     "ml_cv"                 -> (Regression.mlCv _),
     "ml_dbscan"             -> (Metrics.mlDbscan _),
+    "ml_isotonic"           -> (Metrics.mlIsotonic _),
     "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
@@ -4505,6 +4506,10 @@ object SparkEntry {
     // per-column gaps-and-islands connectivity closed form (exact for
     // the 250-spaced fixture; the engine runs the general 2-D grid)
     "ml_dbscan" -> Metrics.mlDbscanOracle,
+    // isotonic calibration via the exact min-max characterization over
+    // the bounded per-score frame; fractions too small to collide in
+    // doubles, fits floor-quantized
+    "ml_isotonic" -> Metrics.mlIsotonicOracle,
     // exact integer distances over the shared quantized grid; majority
     // vote is an integer sum, ranking ties break on candidate id
     "ml_knn" -> Metrics.mlKnnOracle,

@@ -255,6 +255,111 @@ object Metrics {
       |    / CAST(pos * neg AS DOUBLE) - 1.0, 6) + 0.0 AS gini
       |FROM agg WHERE pos > 0 AND neg > 0 ORDER BY g""".stripMargin
 
+  /** ml_isotonic — ISOTONIC CALIBRATION (the monotone fit sklearn's
+    * calibrated classifiers use): the weighted isotonic regression of
+    * per-score empirical positive rates, computed NOT by the sequential
+    * pool-adjacent-violators loop but by its exact MIN-MAX
+    * characterization (Barlow et al. 1972):
+    * `ŷ_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos) / (Σ_{j..k} n)` —
+    * pure relational algebra over the BOUNDED per-score frame (the
+    * fact table collapses to |distinct scores| rows inside the scan, so
+    * the cubic triple enumeration runs over ~50³ rows per group, never
+    * the corpus).
+    *
+    * Exactness: every candidate average is a fraction of 64-bit prefix
+    * sums with numerator and denominator far below 2²⁶, and two DISTINCT
+    * such fractions differ by at least 1/(N·N′) > 2⁻⁵², so their DOUBLE
+    * images never collide or cross — min/max over the doubles IS the
+    * exact fraction order, and both engines emit the identical
+    * floor-quantized fit (the round-11 rounding discipline).
+    */
+  def mlIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("sc"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("k"))
+    // the ml_auc planted-label fixture: a noisy monotone signal, so the
+    // isotonic fit has real pooling work to do
+    val planted = li.withColumn("y",
+      (col("sc") * 1000 + pmod(Hashing.md5Long(col("k")), lit(50000L))
+        > 28000).cast("long"))
+    val pers = planted.groupBy("g", "sc")
+      .agg(count(lit(1)).as("n"), sum("y").as("p"))
+      .localCheckpoint(true) // bounded frame feeds pairs and the report
+    val wPre = Window.partitionBy("g").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = pers.select(col("g"), col("sc"),
+      sum("n").over(wPre).as("nn"), sum("p").over(wPre).as("pp"))
+    // interval averages (j..k): prefix-sum differences; j inclusive via
+    // the j-row's own (n,p) added back
+    val jside = pers.select(col("g").as("jg"), col("sc").as("jsc"),
+      col("n").as("jn"), col("p").as("jp"))
+    val pairs = pre.as("a").join(pre.as("b"), col("a.g") === col("b.g") &&
+        col("a.sc") <= col("b.sc"))
+      .join(jside,
+        col("a.g") === col("jg") && col("a.sc") === col("jsc"))
+      .select(col("a.g").as("g"), col("a.sc").as("j"), col("b.sc").as("k"),
+        ((col("b.pp") - col("a.pp") + col("jp")).cast("double") /
+          (col("b.nn") - col("a.nn") + col("jn")).cast("double")).as("v"))
+    // triples j <= i <= k over the bounded score frame
+    val scores = pers.select(col("g"), col("sc").as("i"))
+    val inner = pairs.join(scores,
+        Seq("g")).where(col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("g", "i", "j").agg(min("v").as("mn"))
+    val fit = inner.groupBy("g", "i").agg(max("mn").as("fit"))
+      .withColumnRenamed("g", "fg")
+    pers.join(fit, pers("g") === col("fg") && col("sc") === col("i"))
+      .select(pers("g"), col("sc"), col("n"), col("p"),
+        floor(col("p").cast("double") / col("n").cast("double") * 1000000)
+          .cast("long").as("rate_e6"),
+        floor(col("fit") * 1000000).cast("long").as("fit_e6"))
+      .orderBy("g", "sc")
+  }
+
+  val mlIsotonicOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) AS k
+      |  FROM lineitem),
+      |planted AS (
+      |  SELECT g, sc,
+      |    CAST(sc * 1000 +
+      |      (('0x' || substr(md5(k), 1, 15))::BIGINT % 50000) > 28000
+      |      AS BIGINT) AS y
+      |  FROM li),
+      |pers AS MATERIALIZED (
+      |  SELECT g, sc, COUNT(*) AS n, SUM(y) AS p
+      |  FROM planted GROUP BY g, sc),
+      |pre AS MATERIALIZED (
+      |  SELECT g, sc,
+      |    SUM(n) OVER w AS nn, SUM(p) OVER w AS pp
+      |  FROM pers
+      |  WINDOW w AS (PARTITION BY g ORDER BY sc
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.g, a.sc AS j, b.sc AS k,
+      |    CAST(b.pp - a.pp + jj.p AS DOUBLE)
+      |      / CAST(b.nn - a.nn + jj.n AS DOUBLE) AS v
+      |  FROM pre a
+      |  JOIN pre b ON a.g = b.g AND a.sc <= b.sc
+      |  JOIN pers jj ON jj.g = a.g AND jj.sc = a.sc),
+      |inner_min AS MATERIALIZED (
+      |  SELECT p.g, s.sc AS i, p.j, MIN(p.v) AS mn
+      |  FROM pairs p JOIN pers s
+      |    ON s.g = p.g AND p.j <= s.sc AND s.sc <= p.k
+      |  GROUP BY p.g, s.sc, p.j),
+      |fit AS MATERIALIZED (
+      |  SELECT g, i, MAX(mn) AS fit FROM inner_min GROUP BY g, i)
+      |SELECT pers.g AS g, pers.sc AS sc, CAST(pers.n AS BIGINT) AS n,
+      |  CAST(pers.p AS BIGINT) AS p,
+      |  CAST(FLOOR(CAST(pers.p AS DOUBLE) / CAST(pers.n AS DOUBLE)
+      |    * 1000000) AS BIGINT) AS rate_e6,
+      |  CAST(FLOOR(fit.fit * 1000000) AS BIGINT) AS fit_e6
+      |FROM pers JOIN fit ON pers.g = fit.g AND pers.sc = fit.i
+      |ORDER BY pers.g, pers.sc""".stripMargin
+
   /** DBSCAN parameters shared textually with the oracle: eps in the
     * integer milli-units of the quantized feature grid, the classic
     * minPts=5 (the neighborhood count INCLUDES the point itself).
