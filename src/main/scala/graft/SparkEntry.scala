@@ -275,6 +275,7 @@ object SparkEntry {
     "ml_cv"                 -> (Regression.mlCv _),
     "ml_dbscan"             -> (Metrics.mlDbscan _),
     "ml_isotonic"           -> (Metrics.mlIsotonic _),
+    "ml_ndcg"               -> (Metrics.mlNdcg _),
     "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
@@ -4510,6 +4511,9 @@ object SparkEntry {
     // the bounded per-score frame; fractions too small to collide in
     // doubles, fits floor-quantized
     "ml_isotonic" -> Metrics.mlIsotonicOracle,
+    // nDCG@10 with fixed-point log2 discounts shared as literals (no
+    // libm inside either engine), all-integer discounted sums
+    "ml_ndcg" -> Metrics.mlNdcgOracle,
     // exact integer distances over the shared quantized grid; majority
     // vote is an integer sum, ranking ties break on candidate id
     "ml_knn" -> Metrics.mlKnnOracle,

@@ -360,6 +360,100 @@ object Metrics {
       |FROM pers JOIN fit ON pers.g = fit.g AND pers.sc = fit.i
       |ORDER BY pers.g, pers.sc""".stripMargin
 
+  /** The nDCG position discounts as FIXED-POINT integers —
+    * `w_i = round(1e9 / log2(i+1))` for ranks 1..10, generated once with
+    * StrictMath on the driver and interpolated into BOTH engines as
+    * literals (the mm_frame_dct cosine-table trick applied to log2):
+    * no libm call ever runs inside a query, so the discounted sums are
+    * exact 64-bit integer arithmetic on any engine.
+    */
+  private[operators] val NdcgW: IndexedSeq[Long] = (1 to 10).map(i =>
+    Math.round(1e9 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0))))
+
+  /** ml_ndcg — normalized discounted cumulative gain at 10 (the ranking
+    * metric every retrieval eval reports beside AUC's classification
+    * view): per query group, items rank by an integer score
+    * (deterministic ties) and planted graded relevances 0..3 accumulate
+    * as `Σ (2^rel − 1)·w_rank` in the fixed-point discount units; the
+    * ideal ordering re-ranks by relevance for the normalizer, and the
+    * single final division floor-quantizes. One map-side-combined
+    * aggregate builds the item frame; both rankings are windows over
+    * the bounded per-group top-10 — no corpus-sized sort.
+    */
+  def mlNdcg(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 8000)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cnt"),
+        floor(sum("l_extendedprice") / count(lit(1))).cast("long")
+          .as("score"))
+      .withColumn("g", pmod(col("k"), lit(7L)))
+      // planted graded relevance correlated with the score + hash noise
+      .withColumn("rel", least(lit(3L),
+        (col("score") * 4L + pmod(Hashing.md5Long(col("k").cast("string")),
+          lit(200000L))) / lit(120000L)).cast("long"))
+    val wRank = Window.partitionBy("g")
+      .orderBy(col("score").desc, col("k"))
+    val wIdeal = Window.partitionBy("g")
+      .orderBy(col("rel").desc, col("k"))
+    val wTable = expr(s"array(${NdcgW.mkString("L,")}L)")
+    val ranked = items
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("ri", row_number().over(wIdeal))
+      .withColumn("gain", expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS BIGINT)"))
+      .withColumn("dcg_part",
+        when(col("r") <= 10, col("gain") *
+          element_at(wTable, col("r").cast("int"))).otherwise(lit(0L)))
+      .withColumn("idcg_part",
+        when(col("ri") <= 10, col("gain") *
+          element_at(wTable, col("ri").cast("int"))).otherwise(lit(0L)))
+    ranked.groupBy("g")
+      .agg(count(lit(1)).as("n_items"),
+        sum("dcg_part").as("dcg_u"), sum("idcg_part").as("idcg_u"))
+      .select(col("g"), col("n_items"), col("dcg_u"), col("idcg_u"),
+        floor(col("dcg_u").cast("double") / col("idcg_u").cast("double")
+          * 1000000).cast("long").as("ndcg10_e6"))
+      .orderBy("g")
+  }
+
+  val mlNdcgOracle: String = {
+    val wVals = Metrics.NdcgW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH w(r, wt) AS (VALUES $wVals),
+      |items AS MATERIALIZED (
+      |  SELECT l_orderkey AS k, COUNT(*) AS cnt,
+      |    CAST(FLOOR(SUM(l_extendedprice) / COUNT(*)) AS BIGINT) AS score
+      |  FROM lineitem WHERE l_orderkey <= 8000 GROUP BY 1),
+      |graded AS MATERIALIZED (
+      |  SELECT k, cnt, score, k % 7 AS g,
+      |    LEAST(3, (score * 4 +
+      |      (('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+      |        % 200000)) // 120000) AS rel
+      |  FROM items),
+      |ranked AS (
+      |  SELECT g, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC, k) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY rel DESC, k) AS ri
+      |  FROM graded),
+      |parts AS (
+      |  SELECT g,
+      |    CASE WHEN r <= 10
+      |      THEN ((1 << rel) - 1) * (SELECT wt FROM w WHERE w.r = ranked.r)
+      |      ELSE 0 END AS dcg_part,
+      |    CASE WHEN ri <= 10
+      |      THEN ((1 << rel) - 1) * (SELECT wt FROM w WHERE w.r = ranked.ri)
+      |      ELSE 0 END AS idcg_part
+      |  FROM ranked)
+      |SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(dcg_part) AS BIGINT) AS dcg_u,
+      |  CAST(SUM(idcg_part) AS BIGINT) AS idcg_u,
+      |  CAST(FLOOR(CAST(SUM(dcg_part) AS DOUBLE)
+      |    / CAST(SUM(idcg_part) AS DOUBLE) * 1000000) AS BIGINT)
+      |    AS ndcg10_e6
+      |FROM parts GROUP BY g ORDER BY g""".stripMargin
+  }
+
   /** DBSCAN parameters shared textually with the oracle: eps in the
     * integer milli-units of the quantized feature grid, the classic
     * minPts=5 (the neighborhood count INCLUDES the point itself).
