@@ -125,6 +125,10 @@ object SparkEntry {
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
+    "a50_pgwire_tls"        -> (PipelineQueries.a50PgwireTls _),
+    "a51_mssqlwire_pushdown" -> (PipelineQueries.a51MssqlwirePushdown _),
+    "a51b_mssqlwire_quirks" -> (PipelineQueries.a51bMssqlwireQuirks _),
+    "a52_mysqlwire_tls"     -> (PipelineQueries.a52MysqlwireTls _),
     "a37_bus_roundtrip"     -> (PipelineQueries.a37BusRoundtrip _),
     "a38_bus_sync"          -> (PipelineQueries.a38BusSync _),
     "a39_snapshot_diff"     -> (PipelineQueries.a39SnapshotDiff _),
@@ -3436,6 +3440,31 @@ object SparkEntry {
     "a46_mysqlwire_partitioned" ->
       """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // a50/a52: the pushdown scan with EVERY byte (DDL, batched load,
+    // WHERE, streamed rows) inside the TLS-upgraded wire session — the
+    // data is still bit-identical to the plain-parquet truth; only the
+    // transport changed, and a handshake/framing mistake loses rows.
+    "a50_pgwire_tls" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    // a51/a51b: the pushdown scan and the MSSQL value quirks through the
+    // live TDS socket (three-part [db].[dbo].[table] naming, binary-typed
+    // row tokens) — data loaded THROUGH the socket, truths recomputed
+    // from parquet / literal fixtures.
+    "a51_mssqlwire_pushdown" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    "a51b_mssqlwire_quirks" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 1, '922337203685477.5807', '214748.3647',
+        |   '2024-05-01 10:30:00.123456', 'naïve café', 255),
+        |  (2, 0, '-0.0001', NULL, '1999-12-31 23:59:59', NULL, -7),
+        |  (3, NULL, NULL, '0.5000', NULL, 'plain', NULL)
+        |) AS t(id, active_int, balance_str, tip_str, created_str, title,
+        |       qty) ORDER BY id""".stripMargin,
+    "a52_mysqlwire_tls" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
     // a47: the MySQL value quirks over the live socket — tinyint(1) kept
     // integral, DECIMAL(20,0) carries 2^64-1 exactly, zero-date → NULL
     "a47_mysqlwire_quirks" ->

@@ -411,7 +411,11 @@ object Metrics {
       .agg(count(lit(1)).as("n_items"),
         sum("dcg_part").as("dcg_u"), sum("idcg_part").as("idcg_u"))
       .select(col("g"), col("n_items"), col("dcg_u"), col("idcg_u"),
-        floor(col("dcg_u").cast("double") / col("idcg_u").cast("double")
+        // NULLIF keeps the query total: an all-zero-relevance group
+        // yields NULL, never 0/0 = NaN (whose BIGINT cast diverges
+        // between engines — Spark saturates, DuckDB errors)
+        floor(col("dcg_u").cast("double") /
+            nullif(col("idcg_u"), lit(0L)).cast("double")
           * 1000000).cast("long").as("ndcg10_e6"))
       .orderBy("g")
   }
@@ -449,7 +453,7 @@ object Metrics {
       |  CAST(SUM(dcg_part) AS BIGINT) AS dcg_u,
       |  CAST(SUM(idcg_part) AS BIGINT) AS idcg_u,
       |  CAST(FLOOR(CAST(SUM(dcg_part) AS DOUBLE)
-      |    / CAST(SUM(idcg_part) AS DOUBLE) * 1000000) AS BIGINT)
+      |    / CAST(NULLIF(SUM(idcg_part), 0) AS DOUBLE) * 1000000) AS BIGINT)
       |    AS ndcg10_e6
       |FROM parts GROUP BY g ORDER BY g""".stripMargin
   }

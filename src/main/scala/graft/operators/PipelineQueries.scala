@@ -415,10 +415,13 @@ object PipelineQueries {
     * mode the port travels inside the JDBC URL, so executor JVMs open
     * their own wire sessions to the driver-hosted listener — unlike the
     * `jdbc:derby:memory:` URL, which names a DIFFERENT database in every
-    * JVM.
+    * JVM. The listener binds the driver-host address (not the wildcard)
+    * and requires the per-run [[wireSecret]] token as the session user.
     */
   private lazy val pgServer =
-    new graft.sources.pgwire.PgWireServer(derbyUrl)
+    new graft.sources.pgwire.PgWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret))
 
   /** The driver's reachable bind address for executor-side clients of
     * driver-hosted listeners (bus producers, pgwire sessions):
@@ -429,13 +432,24 @@ object PipelineQueries {
   private[graft] def driverHost(s: SparkSession): String =
     s.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
 
+  /** Per-run shared-secret token for the network-bound wire listeners:
+    * delivered to executor-side sessions through the standard `user`
+    * JDBC connection property (serialized into task closures by Spark's
+    * JDBC options), checked by the servers' handshakes — trust auth is
+    * only safe behind loopback, and these listeners bind the driver
+    * host so cross-host executors can reach them.
+    */
+  private val wireSecret =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
   private def pgUrl: String = {
     val h = org.apache.spark.sql.SparkSession.active.sparkContext.getConf
       .get("spark.driver.host", "127.0.0.1")
     s"jdbc:graftpg://$h:${pgServer.port}/graft"
   }
 
-  private val pgProps = Map("driver" -> "graft.sources.pgwire.PgWireDriver")
+  private def pgProps = Map(
+    "driver" -> "graft.sources.pgwire.PgWireDriver", "user" -> wireSecret)
 
   /** DDL + truncate over the wire (the update path), then a Spark JDBC
     * batched INSERT APPEND through the socket — the A9 bulk-load shape,
@@ -443,7 +457,10 @@ object PipelineQueries {
     */
   private def ensureCustomerWire(s: SparkSession, dir: String): Unit = {
     graft.sources.pgwire.PgWireDriver.ensureRegistered()
-    val conn = new graft.sources.pgwire.PgWireDriver().connect(pgUrl, null)
+    val authProps = new java.util.Properties()
+    authProps.setProperty("user", wireSecret)
+    val conn =
+      new graft.sources.pgwire.PgWireDriver().connect(pgUrl, authProps)
     try {
       val st = conn.createStatement()
       try st.execute(
@@ -518,7 +535,9 @@ object PipelineQueries {
     * protocol, not only fixture simulation.
     */
   private lazy val myServer =
-    new graft.sources.mysqlwire.MySqlWireServer(derbyUrl)
+    new graft.sources.mysqlwire.MySqlWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret))
 
   private def myUrl: String = {
     val h = org.apache.spark.sql.SparkSession.active.sparkContext.getConf
@@ -526,13 +545,16 @@ object PipelineQueries {
     s"jdbc:graftmy://$h:${myServer.port}/graft"
   }
 
-  private val myProps =
-    Map("driver" -> "graft.sources.mysqlwire.MySqlWireDriver")
+  private def myProps = Map(
+    "driver" -> "graft.sources.mysqlwire.MySqlWireDriver",
+    "user" -> wireSecret)
 
   private def ensureCustomerMyWire(s: SparkSession, dir: String): Unit = {
     graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    val authProps = new java.util.Properties()
+    authProps.setProperty("user", wireSecret)
     val conn = new graft.sources.mysqlwire.MySqlWireDriver()
-      .connect(myUrl, null)
+      .connect(myUrl, authProps)
     try {
       val st = conn.createStatement()
       try st.execute(
@@ -587,8 +609,10 @@ object PipelineQueries {
     */
   def a47MysqlwireQuirks(s: SparkSession, dir: String): DataFrame = {
     graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    val authProps = new java.util.Properties()
+    authProps.setProperty("user", wireSecret)
     val conn = new graft.sources.mysqlwire.MySqlWireDriver()
-      .connect(myUrl, null)
+      .connect(myUrl, authProps)
     try {
       val st = conn.createStatement()
       try st.execute(
@@ -616,6 +640,210 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  // ---- live MSSQL/TDS wire leg (a51, a51b) -------------------------------
+
+  /** The TDS sibling of [[pgServer]]/[[myServer]]: the reference's third
+    * dialect DAG reads SQL Server with three-part `[db].[dbo].[table]`
+    * naming (reference `dags/mssql_to_bigquery.py:2`), so the a04e
+    * dialect surface runs here over a REAL socket speaking the open
+    * MS-TDS protocol — PRELOGIN/LOGIN7 connection phase (password slot
+    * carrying the per-run secret under the documented obfuscation), SQL
+    * batches, binary-typed tabular results.
+    */
+  private lazy val tdsServer =
+    new graft.sources.tdswire.TdsWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret))
+
+  private def tdsUrl: String = {
+    val h = driverHost(org.apache.spark.sql.SparkSession.active)
+    s"jdbc:grafttds://$h:${tdsServer.port}/graft"
+  }
+
+  private def tdsProps = Map(
+    "driver" -> "graft.sources.tdswire.TdsWireDriver",
+    "password" -> wireSecret)
+
+  private def tdsConnect(): java.sql.Connection = {
+    graft.sources.tdswire.TdsWireDriver.ensureRegistered()
+    val p = new java.util.Properties()
+    p.setProperty("password", wireSecret)
+    new graft.sources.tdswire.TdsWireDriver().connect(tdsUrl, p)
+  }
+
+  private def ensureCustomerTds(s: SparkSession, dir: String): Unit = {
+    val conn = tdsConnect()
+    try {
+      val st = conn.createStatement()
+      // DDL in the MSSQL surface: three-part name + bracket identifiers,
+      // translated by the server's dialect bridge
+      try st.execute(
+        """CREATE TABLE graft.dbo.customer_tds (
+          |  [c_custkey] BIGINT, [c_name] VARCHAR(64),
+          |  [c_nationkey] INTEGER, [c_acctbal] DOUBLE,
+          |  [c_mktsegment] VARCHAR(16))""".stripMargin)
+      catch { // X0Y32: table exists (idempotent re-run)
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute("DELETE FROM graft.dbo.customer_tds")
+      st.close()
+    } finally conn.close()
+    JdbcSource.write(Tables.load(s, dir, "customer"), tdsUrl,
+      "customer_tds", org.apache.spark.sql.SaveMode.Append, tdsProps)
+  }
+
+  /** A51 — the A1 server-side pushdown replayed over TDS with the
+    * reference's three-part `[db].[dbo].[table]` naming: the WHERE
+    * executes inside the backend, rows stream back as binary-typed ROW
+    * tokens across split packets.
+    */
+  def a51MssqlwirePushdown(s: SparkSession, dir: String): DataFrame = {
+    ensureCustomerTds(s, dir)
+    JdbcSource.readQuery(s, tdsUrl,
+        """SELECT [c_custkey], [c_name], [c_acctbal]
+          |FROM graft.dbo.customer_tds WHERE [c_acctbal] > 5000""".stripMargin,
+        tdsProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A51b — the a04e MSSQL VALUE quirks over the LIVE TDS socket: BIT
+    * travels as BITN and stays integral, money-scale DECIMAL(19,4)
+    * carries its documented extreme exactly through NUMERICN's
+    * sign+magnitude encoding, DATETIME2's sub-second fraction survives
+    * the 100 ns wire units, NVARCHAR carries non-ASCII text as UCS-2,
+    * and a tinyint-range value rides INTN — framing or codec mistakes
+    * change the rows.
+    */
+  def a51bMssqlwireQuirks(s: SparkSession, dir: String): DataFrame = {
+    val conn = tdsConnect()
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE graft.dbo.quirks_tds (
+          |  [id] BIGINT, [is_active] BOOLEAN, [balance] DECIMAL(19,4),
+          |  [tip] DECIMAL(10,4), [created_at] TIMESTAMP,
+          |  [title] VARCHAR(100), [qty] SMALLINT)""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute("DELETE FROM graft.dbo.quirks_tds")
+      st.execute("""INSERT INTO quirks_tds VALUES
+        |(1, TRUE, 922337203685477.5807, 214748.3647,
+        | TIMESTAMP('2024-05-01 10:30:00.123456'), 'naïve café', 255),
+        |(2, FALSE, -0.0001, NULL,
+        | TIMESTAMP('1999-12-31 23:59:59'), NULL, -7),
+        |(3, NULL, NULL, 0.5, NULL, 'plain', NULL)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    JdbcSource.readQuery(s, tdsUrl,
+        """SELECT [id], [is_active], [balance], [tip], [created_at],
+          |  [title], [qty] FROM graft.dbo.quirks_tds""".stripMargin,
+        tdsProps)
+      .select(col("id"),
+        col("is_active").cast("int").as("active_int"), // BITN, kept integral
+        col("balance").cast("decimal(19,4)").cast("string").as("balance_str"),
+        col("tip").cast("decimal(10,4)").cast("string").as("tip_str"),
+        col("created_at").cast("string").as("created_str"),
+        col("title"), col("qty").cast("int").as("qty"))
+      .orderBy("id")
+  }
+
+  // ---- TLS wire legs (a50, a52) ------------------------------------------
+
+  /** TLS siblings of [[pgServer]]/[[myServer]] — the reference's real
+    * deployments reach CloudSQL through an ENCRYPTED channel
+    * (cloud_sql_proxy tunnels over TLS), so the wire legs carry a
+    * TLS-required listener each: SSLRequest → in-place JSSE upgrade on
+    * the PostgreSQL side, CLIENT_SSL → upgrade on the MySQL side, both
+    * pinned to the fixture certificate ([[graft.sources.wire.WireTls]]);
+    * plaintext startups are refused outright, never downgraded.
+    */
+  private lazy val pgTlsServer =
+    new graft.sources.pgwire.PgWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret), tls = true)
+
+  private lazy val myTlsServer =
+    new graft.sources.mysqlwire.MySqlWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret), tls = true)
+
+  private def pgTlsUrl: String = {
+    val h = driverHost(org.apache.spark.sql.SparkSession.active)
+    s"jdbc:graftpg://$h:${pgTlsServer.port}/graft"
+  }
+
+  private def myTlsUrl: String = {
+    val h = driverHost(org.apache.spark.sql.SparkSession.active)
+    s"jdbc:graftmy://$h:${myTlsServer.port}/graft"
+  }
+
+  private def pgTlsProps = pgProps + ("ssl" -> "true")
+  private def myTlsProps = myProps + ("ssl" -> "true")
+
+  /** DDL + truncate + batched INSERT entirely over the TLS session — the
+    * write half of the a50/a52 legs crosses the encrypted socket too.
+    */
+  private def ensureCustomerTls(s: SparkSession, dir: String, url: String,
+      table: String, props: Map[String, String],
+      connect: java.util.Properties => java.sql.Connection): Unit = {
+    val authProps = new java.util.Properties()
+    authProps.setProperty("user", wireSecret)
+    authProps.setProperty("ssl", "true")
+    val conn = connect(authProps)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        s"""CREATE TABLE $table (
+           |  "c_custkey" BIGINT, "c_name" VARCHAR(64),
+           |  "c_nationkey" INTEGER, "c_acctbal" DOUBLE,
+           |  "c_mktsegment" VARCHAR(16))""".stripMargin)
+      catch { // X0Y32: table exists (idempotent re-run)
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+      st.execute(s"DELETE FROM $table")
+      st.close()
+    } finally conn.close()
+    JdbcSource.write(Tables.load(s, dir, "customer"), url, table,
+      org.apache.spark.sql.SaveMode.Append, props)
+  }
+
+  /** A50 — the a34 pushdown scan replayed over TLS: every byte of the
+    * export (DDL, batched load, server-side WHERE, streamed rows)
+    * crosses the encrypted PostgreSQL-protocol socket; the session
+    * negotiates SSLRequest → 'S' → JSSE handshake against the pinned
+    * fixture certificate before any SQL flows.
+    */
+  def a50PgwireTls(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.pgwire.PgWireDriver.ensureRegistered()
+    ensureCustomerTls(s, dir, pgTlsUrl, "customer_tls", pgTlsProps,
+      p => new graft.sources.pgwire.PgWireDriver().connect(pgTlsUrl, p))
+    JdbcSource.readQuery(s, pgTlsUrl,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer_tls WHERE "c_acctbal" > 5000""",
+        pgTlsProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A52 — the a45 pushdown scan replayed over TLS on the MySQL side:
+    * CLIENT_SSL negotiation, in-place upgrade, then COM_QUERY and
+    * lenenc row packets entirely inside the encrypted channel.
+    */
+  def a52MysqlwireTls(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    ensureCustomerTls(s, dir, myTlsUrl, "customer_mytls", myTlsProps,
+      p => new graft.sources.mysqlwire.MySqlWireDriver().connect(myTlsUrl, p))
+    JdbcSource.readQuery(s, myTlsUrl,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer_mytls WHERE "c_acctbal" > 5000""",
+        myTlsProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
   /** A37 — the message-bus ingest leg end-to-end: the corpus is PUBLISHED
     * to a Kafka-shaped TCP log bus ([[graft.sources.bus.BusServer]]) from
     * EXECUTOR tasks (`foreachPartition`, one wire session per task — the
@@ -631,7 +859,7 @@ object PipelineQueries {
     * never the offset itself.
     */
   def a37BusRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val server = new graft.sources.bus.BusServer(4)
+    val server = new graft.sources.bus.BusServer(4, bindHost = driverHost(s))
     val port = server.start()
     // executors reach the driver-hosted bus via the driver's bind
     // address, not a loopback literal — on a multi-host cluster
@@ -681,7 +909,8 @@ object PipelineQueries {
     * deterministic surface is (doc_id, partition, payload).
     */
   def a48KafkaRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val server = new graft.sources.kafkawire.KafkaWireServer(4)
+    val server = new graft.sources.kafkawire.KafkaWireServer(4,
+      bindHost = driverHost(s))
     val port = server.start()
     val busHost = driverHost(s)
     try {
@@ -728,7 +957,7 @@ object PipelineQueries {
     * value sums keep the multi-batch accumulation order-exact.
     */
   def a38BusSync(s: SparkSession, dir: String): DataFrame = {
-    val server = new graft.sources.bus.BusServer(4)
+    val server = new graft.sources.bus.BusServer(4, bindHost = driverHost(s))
     val port = server.start()
     val busHost = driverHost(s) // see a37: never loopback in task closures
     try {

@@ -35,19 +35,23 @@ private final case class Rec(ts: Long, key: Array[Byte], value: Array[Byte])
 /** One record as a client sees it. */
 final case class BusRecord(offset: Long, ts: Long, key: String, value: String)
 
-final class BusServer(val partitions: Int) {
+final class BusServer(val partitions: Int,
+                      bindHost: String = "127.0.0.1") {
   require(partitions > 0)
 
   private val logs = Array.fill(partitions)(new ArrayBuffer[Rec]())
   @volatile private var server: ServerSocket = _
   @volatile private var closed = false
 
-  /** Bind an ephemeral port on all interfaces (executor producers and
-    * the connector reach a driver-hosted bus via spark.driver.host, which
-    * a loopback-only bind would refuse cross-host); returns it.
+  /** Bind an ephemeral port on ONE specific address (never the
+    * wildcard — nothing else on the network should reach the log by
+    * accident): callers pass the spark.driver.host address so executor
+    * producers and the connector reach a driver-hosted bus cross-host;
+    * the loopback default covers single-host runs. Returns the port.
     */
   def start(): Int = {
-    server = new ServerSocket(0, 64)
+    server = new ServerSocket(0, 64,
+      java.net.InetAddress.getByName(bindHost))
     val t = new Thread(() => acceptLoop(), "graft-bus-accept")
     t.setDaemon(true)
     t.start()

@@ -32,19 +32,22 @@ import java.util.zip.CRC32
   * Concurrency: thread-per-connection (daemon); fetches stream straight
   * from the in-memory log, one bounded response per request.
   */
-final class KafkaWireServer(val partitions: Int, val topic: String = "graft") {
+final class KafkaWireServer(val partitions: Int, val topic: String = "graft",
+                            bindHost: String = "127.0.0.1") {
 
   private final case class Rec(ts: Long, key: Array[Byte], value: Array[Byte])
   private val logs = Array.fill(partitions)(
     new scala.collection.mutable.ArrayBuffer[Rec]())
 
-  // wildcard bind: executors reach the driver-hosted listener via
-  // spark.driver.host (the bus/pgwire convention)
+  // bind ONE specific address, never the wildcard: callers pass the
+  // spark.driver.host address for cross-host executors (the bus/pgwire
+  // convention); loopback default covers single-host runs
   @volatile private var server: ServerSocket = _
   @volatile private var closed = false
 
   def start(): Int = {
-    server = new ServerSocket(0, 64)
+    server = new ServerSocket(0, 64,
+      java.net.InetAddress.getByName(bindHost))
     val t = new Thread(() => acceptLoop(), "graft-kafka-accept")
     t.setDaemon(true)
     t.start()

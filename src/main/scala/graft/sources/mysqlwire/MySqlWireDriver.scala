@@ -34,7 +34,15 @@ final class MySqlWireDriver extends Driver {
         case Array(h, p) => (h, p.toInt)
         case _ => throw new SQLException(s"bad mysqlwire url: $url")
       }
-      WireJdbc.connection(new MySession(host, port), MySqlWireDriver.flavor)
+      // the `user` connection property doubles as the shared-secret
+      // token when the server is network-bound; `ssl=true` negotiates
+      // the CLIENT_SSL upgrade with the pinned fixture certificate
+      val user = Option(info).flatMap(p => Option(p.getProperty("user")))
+        .getOrElse("graft")
+      val ssl = Option(info).flatMap(p => Option(p.getProperty("ssl")))
+        .exists(_.equalsIgnoreCase("true"))
+      WireJdbc.connection(new MySession(host, port, user, ssl),
+        MySqlWireDriver.flavor)
     }
   override def getMajorVersion: Int = 1
   override def getMinorVersion: Int = 0
@@ -58,12 +66,14 @@ object MySqlWireDriver {
 /** One wire session: V10 handshake → HandshakeResponse41 → OK, then a
   * strict single-outstanding COM_QUERY cycle.
   */
-private[mysqlwire] final class MySession(host: String, port: Int)
+private[mysqlwire] final class MySession(host: String, port: Int,
+                                         user: String = "graft",
+                                         ssl: Boolean = false)
     extends WireSession {
-  private val sock = new Socket(host, port)
+  private var sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   @volatile var closed = false
   private var seq = 0
   /** The one cursor allowed in flight (protocol sequencing). */
@@ -74,12 +84,20 @@ private[mysqlwire] final class MySession(host: String, port: Int)
     val b = in.readUnsignedByte()
     val c = in.readUnsignedByte()
     seq = (in.readUnsignedByte() + 1) & 0xFF
-    val p = new Array[Byte](a | (b << 8) | (c << 16))
+    val len = a | (b << 8) | (c << 16)
+    // 0xFFFFFF = split-packet continuation (mandatory >=16MB rule) —
+    // unimplemented in this subset; fail loudly, never desync silently
+    if (len >= 0xFFFFFF)
+      throw new SQLException("mysqlwire: >=16MB split packets unsupported")
+    val p = new Array[Byte](len)
     in.readFully(p)
     p
   }
 
   private def writePacket(p: Array[Byte]): Unit = {
+    if (p.length >= 0xFFFFFF)
+      throw new SQLException(
+        s"mysqlwire: packet of ${p.length} bytes needs >=16MB splitting (unimplemented)")
     out.write(p.length & 0xFF)
     out.write((p.length >> 8) & 0xFF)
     out.write((p.length >> 16) & 0xFF)
@@ -105,17 +123,37 @@ private[mysqlwire] final class MySession(host: String, port: Int)
     if ((hs(0) & 0xFF) == 0xFF) throw errFrom(hs)
     if ((hs(0) & 0xFF) != 0x0A)
       throw new SQLException(s"unsupported protocol version ${hs(0)}")
+    // 41|SECURE|WITH_DB|PLUGIN (+ CLIENT_SSL when negotiating TLS)
+    val caps = 0x0200 | 0x8000 | 0x0008 | 0x80000 |
+      (if (ssl) 0x0800 else 0)
+    if (ssl) {
+      // SSL Connection Request: the first 32 bytes of the response
+      // (caps with CLIENT_SSL, max packet, charset, 23 zeros), then the
+      // in-place TLS upgrade; the full HandshakeResponse41 follows
+      // encrypted. A server without TLS answers with a plaintext ERR,
+      // which fails the client handshake loudly — never a downgrade.
+      val sb = new ByteArrayOutputStream()
+      var i = 0
+      while (i < 4) { sb.write((caps >> (8 * i)) & 0xFF); i += 1 }
+      i = 0
+      while (i < 4) { sb.write((0x1000000 >> (8 * i)) & 0xFF); i += 1 }
+      sb.write(33)
+      sb.write(new Array[Byte](23), 0, 23)
+      writePacket(sb.toByteArray)
+      sock = graft.sources.wire.WireTls.upgradeClient(sock, host, port)
+      in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    }
     // HandshakeResponse41: caps, max packet, charset, 23 zeros, user,
     // 1-byte-len auth response (empty — trust), database, plugin name
     val b = new ByteArrayOutputStream()
-    val caps = 0x0200 | 0x8000 | 0x0008 | 0x80000 // 41|SECURE|WITH_DB|PLUGIN
     var i = 0
     while (i < 4) { b.write((caps >> (8 * i)) & 0xFF); i += 1 }
     i = 0
     while (i < 4) { b.write((0x1000000 >> (8 * i)) & 0xFF); i += 1 }
     b.write(33) // utf8_general_ci
     b.write(new Array[Byte](23), 0, 23)
-    b.write("graft".getBytes(UTF_8)); b.write(0)
+    b.write(user.getBytes(UTF_8)); b.write(0)
     b.write(0) // empty auth response (length-prefixed)
     b.write("graft".getBytes(UTF_8)); b.write(0) // database
     b.write("mysql_native_password".getBytes(UTF_8)); b.write(0)

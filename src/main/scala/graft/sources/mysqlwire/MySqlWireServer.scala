@@ -31,11 +31,17 @@ import java.sql.{DriverManager, SQLException, Types}
   * connection per wire connection; rows stream straight from the backend
   * cursor to the socket — O(1) rows in server memory per export.
   */
-final class MySqlWireServer(backendUrl: String) {
+final class MySqlWireServer(backendUrl: String,
+                            bindHost: String = "127.0.0.1",
+                            secret: Option[String] = None,
+                            tls: Boolean = false) {
 
-  // wildcard bind: executors on other hosts reach the driver-hosted
-  // listener via spark.driver.host (the pgwire/bus convention)
-  private val server = new ServerSocket(0, 64)
+  // bind ONE specific address, never the wildcard: callers pass the
+  // spark.driver.host address for cross-host executors (the pgwire
+  // convention); `secret` adds a shared-token check on the handshake
+  // username when the bind is network-reachable
+  private val server =
+    new ServerSocket(0, 64, java.net.InetAddress.getByName(bindHost))
 
   /** Ephemeral listen port — embed in the client JDBC URL. */
   val port: Int = server.getLocalPort
@@ -66,18 +72,38 @@ final class MySqlWireServer(backendUrl: String) {
 
   // ---- packet framing: 3-byte LE length + 1-byte sequence id ----------
 
-  private final class Wire(in: DataInputStream, out: DataOutputStream) {
+  private final class Wire(private var in: DataInputStream,
+                           private var out: DataOutputStream) {
     var seq = 0
+    /** Swap the underlying streams after an in-place TLS upgrade —
+      * sequence numbering continues across the upgrade (the documented
+      * behavior: the SSL request and the post-TLS HandshakeResponse41
+      * are consecutive packets of one connection phase).
+      */
+    def rebind(newIn: DataInputStream, newOut: DataOutputStream): Unit = {
+      in = newIn; out = newOut
+    }
     def readPacket(): Array[Byte] = {
       val a = in.readUnsignedByte()
       val b = in.readUnsignedByte()
       val c = in.readUnsignedByte()
       seq = (in.readUnsignedByte() + 1) & 0xFF
-      val p = new Array[Byte](a | (b << 8) | (c << 16))
+      val len = a | (b << 8) | (c << 16)
+      // 0xFFFFFF announces the protocol's mandatory split-packet
+      // continuation, which this subset does not implement — fail loudly
+      // instead of silently treating the fragment as a whole packet
+      if (len >= 0xFFFFFF)
+        throw new IOException("mysqlwire: >=16MB split packets unsupported")
+      val p = new Array[Byte](len)
       in.readFully(p)
       p
     }
     def writePacket(p: Array[Byte]): Unit = {
+      // a payload at/above 0xFFFFFF needs the split-packet rule; writing
+      // it with a wrapped 3-byte length would corrupt the whole stream
+      if (p.length >= 0xFFFFFF)
+        throw new IOException(
+          s"mysqlwire: packet of ${p.length} bytes needs >=16MB splitting (unimplemented)")
       out.write(p.length & 0xFF)
       out.write((p.length >> 8) & 0xFF)
       out.write((p.length >> 16) & 0xFF)
@@ -144,13 +170,14 @@ final class MySqlWireServer(backendUrl: String) {
     b.toByteArray
   }
 
-  private def handle(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
+  private def handle(sock0: Socket): Unit = {
+    sock0.setTcpNoDelay(true)
+    var sock: Socket = sock0
     val wire = new Wire(
       new DataInputStream(new BufferedInputStream(sock.getInputStream)),
       new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)))
     try {
-      handshake(wire)
+      sock = handshake(wire, sock)
       val backend = DriverManager.getConnection(backendUrl)
       try commandLoop(wire, backend)
       finally backend.close()
@@ -166,7 +193,8 @@ final class MySqlWireServer(backendUrl: String) {
     * (trust auth — the server fronts an in-process test warehouse) and
     * answer OK.
     */
-  private def handshake(wire: Wire): Unit = {
+  private def handshake(wire: Wire, sock0: Socket): Socket = {
+    var sock = sock0
     val b = new ByteArrayOutputStream()
     b.write(0x0A) // protocol version 10
     val ver = "8.0.0-graft".getBytes(UTF_8); b.write(ver, 0, ver.length); b.write(0)
@@ -174,8 +202,10 @@ final class MySqlWireServer(backendUrl: String) {
     b.write("12345678".getBytes(UTF_8), 0, 8) // auth-plugin-data-part-1
     b.write(0) // filler
     // capabilities: LONG_PASSWORD|FOUND_ROWS|LONG_FLAG|CONNECT_WITH_DB|
-    // PROTOCOL_41|SECURE_CONNECTION (lower 16) + PLUGIN_AUTH (upper)
-    val caps = 0x0001 | 0x0002 | 0x0004 | 0x0008 | 0x0200 | 0x8000 | 0x80000
+    // PROTOCOL_41|SECURE_CONNECTION (lower 16) + PLUGIN_AUTH (upper);
+    // CLIENT_SSL advertised only when this listener actually serves TLS
+    val caps = 0x0001 | 0x0002 | 0x0004 | 0x0008 | 0x0200 | 0x8000 |
+      0x80000 | (if (tls) 0x0800 else 0)
     le2(b, caps & 0xFFFF)
     b.write(33) // charset utf8_general_ci
     le2(b, 0x0002) // status: autocommit
@@ -187,16 +217,58 @@ final class MySqlWireServer(backendUrl: String) {
     b.write(plugin, 0, plugin.length); b.write(0)
     wire.writePacket(b.toByteArray)
     wire.flush()
-    // HandshakeResponse41: consumed, credentials ignored (trust auth);
-    // a client that sent SSLRequest (short packet) is refused
-    val resp = wire.readPacket()
+    // First client packet: either the 32-byte SSL Connection Request
+    // (CLIENT_SSL set in its caps → in-place TLS upgrade, then the full
+    // HandshakeResponse41 arrives encrypted) or the plaintext
+    // HandshakeResponse41 itself. A TLS-required listener refuses
+    // plaintext with the documented ER_SECURE_TRANSPORT_REQUIRED; a
+    // plaintext listener refuses SSL requests — no silent downgrades.
+    val first = wire.readPacket()
+    val clientSsl = first.length >= 4 &&
+      ((first(1) & 0x08) != 0) // CLIENT_SSL = 0x0800, byte 1 bit 3 (LE)
+    val resp: Array[Byte] =
+      if (clientSsl && first.length <= 32) {
+        if (!tls) {
+          wire.writePacket(errPacket(1043, "08S01", "SSL not supported"))
+          wire.flush()
+          throw new IOException("ssl request refused")
+        }
+        sock = graft.sources.wire.WireTls.upgradeServer(sock)
+        wire.rebind(
+          new DataInputStream(new BufferedInputStream(sock.getInputStream)),
+          new DataOutputStream(
+            new BufferedOutputStream(sock.getOutputStream)))
+        wire.readPacket() // full HandshakeResponse41, now encrypted
+      } else {
+        if (tls) {
+          wire.writePacket(errPacket(3159, "HY000",
+            "Connections using insecure transport are prohibited"))
+          wire.flush()
+          throw new IOException("mysqlwire: plaintext refused (TLS required)")
+        }
+        first
+      }
     if (resp.length < 32) {
-      wire.writePacket(errPacket(1043, "08S01", "SSL not supported"))
+      wire.writePacket(errPacket(1043, "08S01", "malformed handshake"))
       wire.flush()
-      throw new IOException("ssl request refused")
+      throw new IOException("malformed handshake response")
+    }
+    // HandshakeResponse41 username: NUL-terminated at offset 32
+    // (caps 4 + max-packet 4 + charset 1 + 23 reserved) — doubles as
+    // the shared-secret token when the server is network-bound
+    if (secret.isDefined) {
+      var end = 32
+      while (end < resp.length && resp(end) != 0) end += 1
+      val user = new String(resp, 32, end - 32, UTF_8)
+      if (!secret.contains(user)) {
+        wire.writePacket(errPacket(1045, "28000", "Access denied"))
+        wire.flush()
+        throw new IOException("mysqlwire: authentication failed")
+      }
     }
     wire.writePacket(okPacket(0))
     wire.flush()
+    sock
   }
 
   private def commandLoop(wire: Wire,

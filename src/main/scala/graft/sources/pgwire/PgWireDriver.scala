@@ -50,7 +50,15 @@ final class PgWireDriver extends Driver {
         case Array(h, p) => (h, p.toInt)
         case _ => throw new SQLException(s"bad pgwire url: $url")
       }
-      PgWireClient.connect(host, port)
+      // the `user` connection property doubles as the shared-secret
+      // token when the server is network-bound (Spark's JDBC options
+      // already deliver it to every executor-side session); `ssl=true`
+      // negotiates SSLRequest + the pinned-certificate TLS upgrade
+      val user = Option(info).flatMap(p => Option(p.getProperty("user")))
+        .getOrElse("graft")
+      val ssl = Option(info).flatMap(p => Option(p.getProperty("ssl")))
+        .exists(_.equalsIgnoreCase("true"))
+      PgWireClient.connect(host, port, user, ssl)
     }
   override def getMajorVersion: Int = 1
   override def getMinorVersion: Int = 0
@@ -70,22 +78,43 @@ object PgWireDriver {
 /** One wire session: startup handshake, then a strict single-outstanding
   * simple-query cycle (the protocol's own sequencing rule).
   */
-private[pgwire] final class PgSession(host: String, port: Int)
+private[pgwire] final class PgSession(host: String, port: Int,
+                                      user: String = "graft",
+                                      ssl: Boolean = false)
     extends graft.sources.wire.WireJdbc.WireSession {
-  private val sock = new Socket(host, port)
+  private var sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   @volatile var closed = false
   /** The one cursor allowed in flight (protocol sequencing). */
   var openCursor: PgCursor = null
+
+  // SSLRequest prologue (when asked for): int32 8, int32 80877103, then
+  // the single-byte verdict. 'N' is a HARD failure — a session that asked
+  // for TLS never silently downgrades to plaintext.
+  if (ssl) {
+    out.writeInt(8); out.writeInt(80877103); out.flush()
+    in.readByte().toChar match {
+      case 'S' =>
+        sock = graft.sources.wire.WireTls.upgradeClient(sock, host, port)
+        in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      case 'N' =>
+        try sock.close() catch { case _: Exception => }
+        throw new SQLException("server refused TLS (no downgrade)", "08004")
+      case other =>
+        try sock.close() catch { case _: Exception => }
+        throw new SQLException(s"unexpected SSLRequest verdict '$other'")
+    }
+  }
 
   // StartupMessage: int32 len, int32 196608, key\0value\0 … \0
   locally {
     val body = new ByteArrayOutputStream()
     val d = new DataOutputStream(body)
     d.writeInt(196608)
-    Seq("user" -> "graft", "database" -> "graft").foreach { case (k, v) =>
+    Seq("user" -> user, "database" -> "graft").foreach { case (k, v) =>
       d.write(k.getBytes(UTF_8)); d.writeByte(0)
       d.write(v.getBytes(UTF_8)); d.writeByte(0)
     }
@@ -324,6 +353,8 @@ private[pgwire] object PgWireClient {
     productName = "PostgreSQL (graft pgwire)", dbMajor = 15, dbMinor = 0,
     identifierQuote = "\"")
 
-  def connect(host: String, port: Int): Connection =
-    graft.sources.wire.WireJdbc.connection(new PgSession(host, port), flavor)
+  def connect(host: String, port: Int, user: String = "graft",
+              ssl: Boolean = false): Connection =
+    graft.sources.wire.WireJdbc.connection(
+      new PgSession(host, port, user, ssl), flavor)
 }

@@ -16,7 +16,10 @@ import java.sql.{DriverManager, ResultSet, SQLException, Types}
   * embedded handle.
   *
   * Scope: the SIMPLE QUERY cycle of the published protocol —
-  * SSLRequest refusal, StartupMessage → AuthenticationOk /
+  * SSLRequest (accepted with an in-place JSSE upgrade when `tls` is set,
+  * refused with the documented 'N' otherwise, and a TLS-required server
+  * refuses plaintext StartupMessages outright — no silent downgrade
+  * either way), StartupMessage → AuthenticationOk /
   * ParameterStatus / BackendKeyData / ReadyForQuery, then per Query
   * ('Q'): RowDescription ('T') + streamed DataRow ('D') + CommandComplete
   * ('C'), errors as ErrorResponse ('E') with SQLSTATE, Terminate ('X').
@@ -31,12 +34,20 @@ import java.sql.{DriverManager, ResultSet, SQLException, Types}
   * the socket — no buffering of the result set on the server side, so a
   * fact-sized export holds O(1) rows in memory.
   */
-final class PgWireServer(backendUrl: String) {
+final class PgWireServer(backendUrl: String,
+                         bindHost: String = "127.0.0.1",
+                         secret: Option[String] = None,
+                         tls: Boolean = false) {
 
-  // wildcard bind (all interfaces): executor JVMs on OTHER hosts reach
-  // this driver-hosted listener via spark.driver.host — a loopback-only
-  // bind works in local mode but refuses every cross-host session
-  private val server = new ServerSocket(0, 64)
+  // bind ONE specific address, never the wildcard: callers pass the
+  // spark.driver.host address so executor JVMs on other hosts can reach
+  // the driver-hosted listener, and nothing else on the network is
+  // exposed by accident (loopback default covers single-host runs).
+  // When the bind is network-reachable, `secret` adds a shared-token
+  // check on the startup `user` param — the backend executes arbitrary
+  // SQL, so trust auth is only safe behind loopback.
+  private val server =
+    new ServerSocket(0, 64, InetAddress.getByName(bindHost))
 
   /** Ephemeral listen port — embed in the client JDBC URL. */
   val port: Int = server.getLocalPort
@@ -86,16 +97,86 @@ final class PgWireServer(backendUrl: String) {
     d.write(s.getBytes(UTF_8)); d.writeByte(0)
   }
 
-  private def handle(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val rawOut = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
-    val out = new Out(rawOut)
+  /** Startup negotiation per the documented protocol: SSLRequest →
+    * single-byte 'S' (then TLS handshake in place) when this server
+    * requires TLS, the documented 'N' refusal otherwise; CancelRequest
+    * ignored; StartupMessage authenticated against the shared secret
+    * when configured. A TLS-required server answers a plaintext
+    * StartupMessage with FATAL 28000 — refusal, never a silent
+    * downgrade.
+    */
+  private def handle(sock0: Socket): Unit = {
+    sock0.setTcpNoDelay(true)
+    var sock: Socket = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var rawOut = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream))
+    var out = new Out(rawOut)
+    var upgraded = false
     try {
-      if (!startup(in, rawOut, out)) return
-      val backend = DriverManager.getConnection(backendUrl)
-      try queryLoop(in, out, backend)
-      finally backend.close()
+      var ready = false
+      var alive = true
+      while (alive && !ready) {
+        val len = in.readInt()
+        val code = in.readInt()
+        code match {
+          case 80877103 => // SSLRequest
+            if (tls && !upgraded) {
+              rawOut.writeByte('S'.toInt); rawOut.flush()
+              sock = graft.sources.wire.WireTls.upgradeServer(sock)
+              in = new DataInputStream(
+                new BufferedInputStream(sock.getInputStream))
+              rawOut = new DataOutputStream(
+                new BufferedOutputStream(sock.getOutputStream))
+              out = new Out(rawOut)
+              upgraded = true
+            } else {
+              rawOut.writeByte('N'.toInt); rawOut.flush()
+            }
+          case 80877102 => // CancelRequest: no out-of-band cancel support
+            alive = false
+          case 196608 => // protocol 3.0
+            // user/database params must be fully consumed. readFully (not
+            // skipBytes) because skipBytes may skip fewer bytes when the
+            // StartupMessage arrives fragmented across TCP segments,
+            // silently desyncing the protocol stream.
+            val params = new Array[Byte](len - 8)
+            in.readFully(params)
+            val deny =
+              if (tls && !upgraded) Some("server requires TLS")
+              else if (secret.exists(_ != startupParam(params, "user")))
+                Some("authentication failed")
+              else None
+            deny match {
+              case Some(msg) =>
+                out.msg('E') { d =>
+                  d.writeByte('S'.toInt); cstr(d, "FATAL")
+                  d.writeByte('C'.toInt); cstr(d, "28000")
+                  d.writeByte('M'.toInt); cstr(d, msg)
+                  d.writeByte(0)
+                }
+                out.flush()
+                alive = false
+              case None =>
+                out.msg('R')(_.writeInt(0)) // AuthenticationOk
+                Seq("server_version" -> "15.0 (graft-pgwire)",
+                    "client_encoding" -> "UTF8",
+                    "DateStyle" -> "ISO, MDY").foreach { case (k, v) =>
+                  out.msg('S') { d => cstr(d, k); cstr(d, v) }
+                }
+                out.msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData
+                readyForQuery(out)
+                ready = true
+            }
+          case _ =>
+            alive = false
+        }
+      }
+      if (ready) {
+        val backend = DriverManager.getConnection(backendUrl)
+        try queryLoop(in, out, backend)
+        finally backend.close()
+      }
     } catch {
       case _: EOFException | _: SocketException | _: IOException => // client gone
     } finally {
@@ -103,40 +184,19 @@ final class PgWireServer(backendUrl: String) {
     }
   }
 
-  /** Startup negotiation: refuse SSLRequest with the documented single
-    * 'N' byte, ignore CancelRequest, accept any credentials (trust auth —
-    * this server fronts an in-process test warehouse; a production
-    * deployment would front it with real auth like cloud_sql_proxy does).
-    */
-  @annotation.tailrec
-  private def startup(in: DataInputStream, rawOut: DataOutputStream,
-                      out: Out): Boolean = {
-    val len = in.readInt()
-    val code = in.readInt()
-    code match {
-      case 80877103 => // SSLRequest
-        rawOut.writeByte('N'.toInt); rawOut.flush()
-        startup(in, rawOut, out)
-      case 80877102 => // CancelRequest: no out-of-band cancel support
-        false
-      case 196608 => // protocol 3.0
-        // user/database params: trust-auth, unused — but they must be fully
-        // consumed. readFully (not skipBytes) because skipBytes may skip
-        // fewer bytes when the StartupMessage arrives fragmented across TCP
-        // segments, silently desyncing the protocol stream.
-        in.readFully(new Array[Byte](len - 8))
-        out.msg('R')(_.writeInt(0)) // AuthenticationOk
-        Seq("server_version" -> "15.0 (graft-pgwire)",
-            "client_encoding" -> "UTF8",
-            "DateStyle" -> "ISO, MDY").foreach { case (k, v) =>
-          out.msg('S') { d => cstr(d, k); cstr(d, v) }
-        }
-        out.msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData
-        readyForQuery(out)
-        true
-      case _ =>
-        false
+  /** One StartupMessage parameter by key (NUL-delimited k/v pairs). */
+  private def startupParam(p: Array[Byte], key: String): String = {
+    var i = 0
+    while (i < p.length && p(i) != 0) {
+      val ke = p.indexOf(0.toByte, i)
+      val k = new String(p, i, ke - i, UTF_8)
+      val ve = p.indexOf(0.toByte, ke + 1)
+      if (ve < 0) return null
+      val v = new String(p, ke + 1, ve - ke - 1, UTF_8)
+      if (k == key) return v
+      i = ve + 1
     }
+    null
   }
 
   private def readyForQuery(out: Out): Unit = {

@@ -189,6 +189,37 @@ object WireJdbc {
     sb.toString
   }
 
+  /** Index of the first ` VALUES (` that sits OUTSIDE every `'...'` /
+    * `"..."` span (doubled quotes are the in-span escape) — the
+    * batch-coalescing split point. The naive uppercase `indexOf` would
+    * split inside a quoted identifier or string literal that happens to
+    * contain the keyword (e.g. `INSERT INTO " VALUES (x"` …) and emit
+    * corrupted SQL for the whole chunk.
+    */
+  private[wire] def valuesIndex(sql: String): Int = {
+    val kw = " VALUES ("
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          i += 1
+          var inSpan = true
+          while (inSpan && i < sql.length) {
+            val c = sql.charAt(i); i += 1
+            if (c == q) {
+              if (i < sql.length && sql.charAt(i) == q) i += 1
+              else inSpan = false
+            }
+          }
+        case _ =>
+          if (i + kw.length <= sql.length &&
+              sql.regionMatches(true, i, kw, 0, kw.length)) return i
+          i += 1
+      }
+    }
+    -1
+  }
+
   private def statementProxy(sess: WireSession, conn: Connection,
                              template: String,
                              flavor: Flavor): PreparedStatement = {
@@ -221,8 +252,7 @@ object WireJdbc {
         // and one backend compile per chunk instead of per row
         val n = batch.size
         val counts = Array.fill(n)(1)
-        val vi = if (template == null) -1
-          else template.toUpperCase.indexOf(" VALUES (")
+        val vi = if (template == null) -1 else valuesIndex(template)
         if (vi > 0 && n > 0) {
           val prefix = batch.get(0).substring(0, vi + 8)
           var i = 0

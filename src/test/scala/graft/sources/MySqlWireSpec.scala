@@ -233,4 +233,77 @@ class MySqlWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!r1.next() && !r2.next())
     } finally { c1.close(); c2.close() }
   }
+
+  test("shared-secret server: wrong username refused with ER 1045, right " +
+      "token admitted (the network-bind auth contract)") {
+    val s2 = new MySqlWireServer(url, secret = Some("tok-my"))
+    try {
+      val u = s"jdbc:graftmy://127.0.0.1:${s2.port}/graft"
+      val e = intercept[java.sql.SQLException] {
+        new MySqlWireDriver().connect(u, null)
+      }
+      assert(e.getErrorCode == 1045 && e.getSQLState == "28000")
+      val p = new java.util.Properties()
+      p.setProperty("user", "tok-my")
+      val conn = new MySqlWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement("VALUES 7").executeQuery()
+        assert(rs.next() && rs.getInt(1) == 7)
+      } finally conn.close()
+    } finally s2.close()
+  }
+
+  test("a >=16MB packet header (0xFFFFFF = split-packet continuation) " +
+      "fails loudly instead of silently desyncing") {
+    val (s, in, out) = rawConnect()
+    try {
+      readPacket(in) // initial handshake
+      // minimal HandshakeResponse41 (>= 32 bytes, trust auth)
+      val resp = new Array[Byte](34)
+      out.write(0x22); out.write(0); out.write(0); out.write(1) // len 34, seq 1
+      out.write(resp); out.flush()
+      readPacket(in) // OK
+      // COM_QUERY framed with the 0xFFFFFF split-packet length: the
+      // server must refuse (connection teardown), never wrap the length
+      out.write(0xFF); out.write(0xFF); out.write(0xFF); out.write(0)
+      out.flush()
+      // the guard throws server-side before any body bytes are read, so
+      // the connection tears down: the client sees EOF, never a reply
+      // framed as if the fragment were a whole packet
+      intercept[java.io.IOException] { readPacket(in) }
+    } finally s.close()
+  }
+
+  test("TLS leg: CLIENT_SSL upgrades in place and queries flow " +
+      "encrypted; plaintext handshakes are refused with ER 3159; a " +
+      "plain server never silently admits a TLS-requesting client") {
+    val tlsServer = new MySqlWireServer(url, tls = true)
+    try {
+      val u = s"jdbc:graftmy://127.0.0.1:${tlsServer.port}/graft"
+      val p = new java.util.Properties()
+      p.setProperty("ssl", "true")
+      val conn = new MySqlWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement(
+          """SELECT "id", "name" FROM t ORDER BY "id"""").executeQuery()
+        assert(rs.next() && rs.getLong(1) == 1L && rs.getString(2) == "alpha")
+        assert(rs.next() && rs.getLong(1) == 2L)
+        assert(!rs.next())
+      } finally conn.close()
+      // plaintext HandshakeResponse41 against the TLS-required listener:
+      // the documented ER_SECURE_TRANSPORT_REQUIRED
+      val e = intercept[java.sql.SQLException] {
+        new MySqlWireDriver().connect(u, null)
+      }
+      assert(e.getErrorCode == 3159)
+    } finally tlsServer.close()
+    // downgrade path: the plain `server` refuses the SSL request, so the
+    // client's TLS handshake fails loudly — it never falls back
+    val p2 = new java.util.Properties()
+    p2.setProperty("ssl", "true")
+    intercept[Exception] {
+      new MySqlWireDriver()
+        .connect(s"jdbc:graftmy://127.0.0.1:${server.port}/graft", p2)
+    }
+  }
 }

@@ -267,4 +267,59 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq ==
       Seq(10, 20, 30, 40))
   }
+
+  test("shared-secret server: wrong token refused with 28000, right " +
+      "token admitted (the network-bind auth contract)") {
+    val s2 = new PgWireServer(url, secret = Some("tok-pg"))
+    try {
+      val u = s"jdbc:graftpg://127.0.0.1:${s2.port}/graft"
+      // default user ("graft") != secret → FATAL 28000 at startup
+      val e = intercept[java.sql.SQLException] {
+        new PgWireDriver().connect(u, null)
+      }
+      assert(e.getSQLState == "28000")
+      // the right token (as the standard `user` property) is admitted
+      val p = new java.util.Properties()
+      p.setProperty("user", "tok-pg")
+      val conn = new PgWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement("VALUES 7").executeQuery()
+        assert(rs.next() && rs.getInt(1) == 7)
+      } finally conn.close()
+    } finally s2.close()
+  }
+
+  test("TLS leg: SSLRequest upgrades in place and queries flow " +
+      "encrypted; plaintext startup is refused; a plain server never " +
+      "silently downgrades a TLS-requesting client") {
+    val tlsServer = new PgWireServer(url, tls = true)
+    try {
+      val u = s"jdbc:graftpg://127.0.0.1:${tlsServer.port}/graft"
+      // the happy path: negotiate TLS, then a normal typed round trip
+      val p = new java.util.Properties()
+      p.setProperty("ssl", "true")
+      val conn = new PgWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement(
+          """SELECT "id", "name" FROM t ORDER BY "id"""").executeQuery()
+        assert(rs.next() && rs.getLong(1) == 1L && rs.getString(2) == "alpha")
+        assert(rs.next() && rs.getLong(1) == 2L)
+        assert(!rs.next())
+      } finally conn.close()
+      // plaintext startup against the TLS-required listener: FATAL 28000
+      val e = intercept[java.sql.SQLException] {
+        new PgWireDriver().connect(u, null)
+      }
+      assert(e.getSQLState == "28000")
+      assert(e.getMessage.contains("TLS"))
+    } finally tlsServer.close()
+    // downgrade path: the plain `server` answers SSLRequest with 'N';
+    // a client that asked for TLS must abort, never continue plaintext
+    val p2 = new java.util.Properties()
+    p2.setProperty("ssl", "true")
+    val e2 = intercept[java.sql.SQLException] {
+      new PgWireDriver().connect(jdbcUrl, p2)
+    }
+    assert(e2.getSQLState == "08004")
+  }
 }
