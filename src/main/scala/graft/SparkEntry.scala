@@ -214,6 +214,7 @@ object SparkEntry {
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
     "mm_gif_frames"         -> (LlmQueries.mmGifFrames _),
+    "mm_video_frames"       -> (LlmQueries.mmVideoFrames _),
     "mm_gif_scene"          -> (LlmQueries.mmGifScene _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
@@ -3793,6 +3794,36 @@ object SparkEntry {
     // EXACTLY (DC-only blocks survive quant(1)/integer-IDCT bit-for-bit),
     // so the oracle sums the closed-form block values; the engine only
     // reproduces it via real huffman + differential-DC + IDCT + crop.
+    // Video (MJPEG-in-AVI) leg: 4 per-block-constant grayscale JPEG
+    // frames per clip — value ((seed·7 + blk·29) mod 96) + f + 128·[f≥2],
+    // 25 fps — with the scene-cut lag rule over the frame table; any
+    // container-walk, alignment, per-frame JPEG or lag mistake changes
+    // a row.
+    "mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 13 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |fr AS (SELECT doc_id, seed, w, h, bw, CAST(fx.f AS INT) AS frame_idx
+        |  FROM d, LATERAL (SELECT unnest(range(0, 4)) AS f) fx),
+        |l AS (SELECT doc_id, frame_idx, MAX(w) AS w, MAX(h) AS h,
+        |    SUM(1000 * (((seed * 7 +
+        |        ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 29) % 96)
+        |      + frame_idx + CASE WHEN frame_idx >= 2 THEN 128 ELSE 0 END))
+        |      AS lum_total
+        |  FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id, frame_idx),
+        |x AS (SELECT doc_id, frame_idx, w, h, lum_total,
+        |    COALESCE(lum_total - LAG(lum_total) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), 0) AS lum_diff
+        |  FROM l)
+        |SELECT doc_id, frame_idx, CAST(40 AS INT) AS frame_ms,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(lum_total AS BIGINT) AS lum_total,
+        |  CAST(lum_diff AS BIGINT) AS lum_diff,
+        |  (ABS(lum_diff) > 40000 * w * h) AS is_cut
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,

@@ -655,6 +655,37 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** The VIDEO container leg ([[Avi.aviMedia]] fixtures through
+    * [[Avi.decodeFrames]]'s RIFF walk + per-frame [[Jpeg.decode]]):
+    * MJPEG-in-AVI clips — avih geometry/frame-rate, word-aligned skip
+    * of an odd JUNK chunk and an interleaved audio chunk, `00dc` frame
+    * payloads each a complete baseline JPEG — emitting the per-frame
+    * luminance table with the scene-cut lag rule over it (the
+    * [[mmGifScene]] shape on a REAL video container). The fixture
+    * guarantees a +129/pixel jump exactly at frame 2 and +1/pixel drift
+    * inside scenes (values bounded below 256, so deltas never wrap);
+    * the oracle replays the closed-form per-frame luminance and the
+    * same lag rule. Row-local decode, zero shuffles before the final
+    * sort.
+    */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Avi.videoFrames(
+      Avi.aviMedia(docs(s, dir), "doc_id", "doc_id"))
+    val wnd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("lum_diff",
+        coalesce(col("lum_total") - lag("lum_total", 1).over(wnd), lit(0L)))
+      // cut threshold: > 40 luminance milli-units per pixel of mean
+      // jump; within-scene drift is exactly 1000·n_px, the cut 129000·n_px
+      .withColumn("is_cut", abs(col("lum_diff")) >
+        lit(40000L) * col("width") * col("height"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("lum_total"), col("lum_diff"),
+        col("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The MSB-first / early-change LZW leg ([[Tiff.tiffMedia]] fixtures
     * through [[Tiff.decode]]'s IFD walk + strip decompress): the same
     * dictionary algorithm as GIF with the opposite bit order — a decoder
