@@ -217,6 +217,7 @@ object SparkEntry {
     "mm_video_frames"       -> (LlmQueries.mmVideoFrames _),
     "mm_gif_scene"          -> (LlmQueries.mmGifScene _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
+    "mm_flac_decode"        -> (LlmQueries.mmFlacDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
@@ -3888,6 +3889,23 @@ object SparkEntry {
     // WAV leg: the oracle recomputes the closed-form PCM16 sample stream;
     // the engine only reproduces it via the real RIFF chunk walk (odd
     // LIST chunk skipped word-aligned) + signed LE 16-bit decode.
+    // FLAC leg: the SAME samples as mm_wav_decode round-tripped through
+    // the reference FLAC encoder — lossless, so the WAV oracle is the
+    // FLAC oracle verbatim (cross-format parity, the strongest pin).
+    "mm_flac_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |e AS (SELECT doc_id, SUM(s * s) AS energy, MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, ((seed * 13 + g.i * 29) % 65536) - 32768 AS s
+        |        FROM d, LATERAL (SELECT unnest(range(0, n_frames * channels))
+        |                         AS i) g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
+        |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_wav_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(1 + doc_id % 2 AS INT) AS channels,

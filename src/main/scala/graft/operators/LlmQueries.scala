@@ -737,6 +737,23 @@ object LlmQueries {
     Wav.wavStats(media).toDF().orderBy("doc_id")
   }
 
+  /** The COMPRESSED audio leg ([[Flac.flacMedia]] fixtures through
+    * [[Flac.decode]]'s frame walk — CRC-verified headers/bodies, FIXED
+    * predictors, Rice residuals, left/side decorrelation): the SAME
+    * closed-form samples as [[mmWavDecode]] round-tripped through the
+    * reference FLAC encoder, so the energy/peak/geometry row set must
+    * be IDENTICAL to the WAV leg's — lossless compression pinned by
+    * cross-format parity, the verdict-prescribed oracle.
+    */
+  def mmFlacDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Flac.flacMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Flac.flacStats(media).toDF().orderBy("doc_id")
+  }
+
   /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample
     * frames every 32 samples of channel 0 with per-frame energy/peak —
     * the STFT layout over real samples (the raw-byte
