@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss chaos evidence (not part of the driver contract) — the
+  * fault-tolerance sibling of [[ClusterSmoke]]: on `local-cluster[2,4,2048]`
+  * (two REAL executor JVMs), an executor is killed MID-QUERY over a
+  * multi-stage shuffle chain and MID-BATCH inside a streaming incremental
+  * publish, and the results must be bit-identical to the undisturbed run /
+  * the batch truth — Spark's task-retry and the sink's idempotence guard
+  * doing exactly what the 100 TB design story claims they do.
+  *
+  * Leg 1 (batch): a 3-shuffle aggregate chain (union-fattened lineitem →
+  * per-order agg → orders join → per-customer agg) runs once undisturbed
+  * for the truth fingerprint, then again with `sc.killExecutors` fired
+  * ~0.5 s into the job; the run only counts if the kill landed BEFORE the
+  * query finished (wall-clock assert) and dropped a live executor. Lost
+  * tasks reschedule on the surviving executor; (rows, xor-hash) must match
+  * exactly.
+  *
+  * Leg 2 (streaming): the a38 shape — documents published to a live bus
+  * from executor tasks, then `busIncrementalPublish` drains it in ~30
+  * capped micro-batches (AvailableNow), each full-outer-merging its delta
+  * into the crash-consistent published snapshot under the last_batch
+  * idempotence guard. An executor dies after the second progress event;
+  * the final published table must equal the one-shot batch aggregate
+  * row-for-row — no lost batch, no double-applied retry.
+  *
+  * Usage: `SPARK_SCALA_VERSION=2.13 SPARK_HOME=/opt/spark
+  * tools/run_one.sh graft.ChaosSmoke [sfDir]` (the launcher needs both
+  * to build executor commands from a jars-only Spark layout).
+  *
+  * Round-12 run at sf0.1: batch leg OK (executor 0 lost 2.7 s before
+  * job end, result bit-identical), stream leg OK (executor lost 9.9 s
+  * before drain end, published == batch truth).
+  */
+object ChaosSmoke {
+
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val row = df.select(xxhash64(cols: _*).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n"))
+      .head()
+    (row.getLong(1), row.getLong(0))
+  }
+
+  /** The multi-stage shuffle chain: wide enough to spread over both
+    * executors, long enough (~several seconds at sf0.1) that the kill
+    * lands mid-flight.
+    */
+  private def heavy(s: SparkSession, dir: String): DataFrame = {
+    // integer cents end to end: double sums re-associate under task
+    // retry, so only exact arithmetic can be asserted bit-identical
+    // across an executor loss (that re-association is Spark semantics,
+    // not a defect — the house integer-micro-unit idiom exists for it)
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    val fat = (1 to 8).map(_ => l).reduce(_ unionAll _)
+    val perOrder = fat.groupBy("l_orderkey")
+      .agg(sum("cents").as("rev_c"), sum("qty").as("qty"),
+        count(lit(1)).as("n"))
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_c").as("rev_c"), sum("qty").as("qty"),
+        sum("n").as("n"))
+  }
+
+  /** Kill one live executor; returns the id that went down. */
+  private def killOne(s: SparkSession): Option[String] = {
+    val sc = s.sparkContext
+    (0 to 3).map(_.toString).find { id =>
+      try sc.killExecutors(Seq(id)) catch { case _: Throwable => false }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    sys.props("spark.executor.extraClassPath") = sys.props("java.class.path")
+    sys.props("spark.master") = "local-cluster[2,4,2048]"
+    sys.props("spark.sql.shuffle.partitions") = "8"
+    sys.props("spark.ui.enabled") = "false"
+    var failures = 0
+
+    // ---- leg 1: batch query with mid-flight executor loss ----------------
+    locally {
+      val spark = Engine.session("chaos-batch", "8")
+      try {
+        val truth = fingerprint(heavy(spark, sfDir))
+        println(s"[chaos] batch truth: rows=${truth._1} hash=${truth._2}")
+        val killedAt = new java.util.concurrent.atomic.AtomicLong(0L)
+        val killedId = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val chaos = new Thread(() => {
+          val sc = spark.sparkContext
+          while (sc.statusTracker.getActiveJobIds().isEmpty) Thread.sleep(20)
+          Thread.sleep(500)
+          killOne(spark).foreach { id =>
+            killedId.set(id)
+            killedAt.set(System.nanoTime())
+          }
+        }, "chaos-killer")
+        chaos.setDaemon(true)
+        chaos.start()
+        val survived = fingerprint(heavy(spark, sfDir))
+        val endAt = System.nanoTime()
+        chaos.join(10000)
+        if (killedAt.get() == 0L) {
+          println("[chaos] FAIL batch: no executor was killed")
+          failures += 1
+        } else if (killedAt.get() >= endAt) {
+          println("[chaos] FAIL batch: kill landed after the query finished " +
+            "(vacuous run — enlarge the chain)")
+          failures += 1
+        } else if (survived != truth) {
+          println(s"[chaos] FAIL batch: rows/hash diverged after losing " +
+            s"executor ${killedId.get()}: $survived vs $truth")
+          failures += 1
+        } else {
+          println(s"[chaos] batch leg OK: executor ${killedId.get()} lost " +
+            f"${(endAt - killedAt.get()) / 1e9}%.1fs before job end, " +
+            "result bit-identical")
+        }
+      } finally {
+        spark.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+
+    // ---- leg 2: streaming incremental publish with mid-batch loss --------
+    locally {
+      val spark = Engine.session("chaos-stream", "8")
+      try {
+        import spark.implicits._
+        val server = new graft.sources.bus.BusServer(4,
+          bindHost = graft.operators.PipelineQueries.driverHost(spark))
+        val port = server.start()
+        val busHost = graft.operators.PipelineQueries.driverHost(spark)
+        Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          .as[(Long, Long)]
+          .foreachPartition { (it: Iterator[(Long, Long)]) =>
+            val cl = new graft.sources.bus.BusClient(busHost, port)
+            try it.foreach { case (id, len) =>
+              cl.append((id % 4).toInt, 1700000000000000L + id,
+                "s" + (id % 10), len.toString)
+            } finally cl.close()
+          }
+        val truth = Tables.load(spark, sfDir, "documents")
+          .select(concat(lit("s"), (col("doc_id") % 10)).as("key"),
+            length(col("text")).cast("long").as("len"))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n"), sum("len").as("total"))
+        val truthFp = fingerprint(truth)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_chaos")
+        val finalPath = s"$tmp/published"
+        // small cap → many merge→publish cycles, so the kill lands with
+        // plenty of drain still ahead of it
+        val q = graft.sources.bus.BusSync.busIncrementalPublish(spark,
+          busHost, port, s"$tmp/ck", finalPath,
+          maxRecordsPerTrigger = 128)
+        val killedAt = new java.util.concurrent.atomic.AtomicLong(0L)
+        val chaos = new Thread(() => {
+          while (q.isActive && q.recentProgress.isEmpty) Thread.sleep(20)
+          if (q.isActive)
+            killOne(spark).foreach(_ => killedAt.set(System.nanoTime()))
+        }, "chaos-stream-killer")
+        chaos.setDaemon(true)
+        chaos.start()
+        q.awaitTermination()
+        val endAt = System.nanoTime()
+        chaos.join(10000)
+        val got = graft.pipeline.Sync.readPublished(spark, finalPath).get
+          .select(col("key"), col("n"), col("total"))
+        val gotFp = fingerprint(got)
+        if (killedAt.get() == 0L) {
+          println("[chaos] FAIL stream: no executor was killed mid-stream")
+          failures += 1
+        } else if (killedAt.get() >= endAt) {
+          println("[chaos] FAIL stream: kill landed after the drain ended")
+          failures += 1
+        } else if (gotFp != truthFp) {
+          println(s"[chaos] FAIL stream: published table diverged: " +
+            s"$gotFp vs $truthFp (exactly-once broken)")
+          failures += 1
+        } else {
+          println(s"[chaos] stream leg OK: executor lost mid-drain " +
+            f"(${(endAt - killedAt.get()) / 1e9}%.1fs before end), " +
+            s"published == batch truth (${truthFp._1} keys)")
+        }
+        server.close()
+      } finally {
+        spark.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+
+    println(s"[chaos] ${if (failures == 0) "ALL LEGS OK" else s"$failures leg(s) FAILED"}")
+    if (failures > 0) sys.exit(1)
+  }
+}
