@@ -194,6 +194,7 @@ object SparkEntry {
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
+    "sim_hnsw_recall"       -> (LlmQueries.simHnswRecall _),
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
     "sim_ivfpq_ann"         -> (LlmQueries.simIvfPqAnn _),
@@ -3303,6 +3304,9 @@ object SparkEntry {
         |  ROUND(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS recall_at_1
         |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
+    // HNSW-lite: the oracle replays levels, bucketed adjacencies, and
+    // all seven search rounds as generated CTEs (Similarity object).
+    "sim_hnsw_recall" -> graft.operators.Similarity.hnswRecallOracle,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |            FROM embeddings WHERE vec_id >= 10),

@@ -1712,6 +1712,29 @@ object LlmQueries {
       .orderBy("method")
   }
 
+  /** The GRAPH-index ANN tier measured ([[Similarity.hnswLiteTopK]]):
+    * per-probe hit table of the HNSW-lite greedy-descent + beam search
+    * against the brute-force truth — the oracle replays the ENTIRE
+    * construction and search (derandomized levels, bucketed adjacencies,
+    * all seven fixed rounds) in generated CTE chains, so any edge-set,
+    * entry-point, round-order or tie-break mistake flips a row.
+    */
+  def simHnswRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val ann = Similarity.hnswLiteTopK(corpus, probes, "vec_id", "emb")
+      .withColumnRenamed("neighbor_id", "hnsw_nn")
+    exact.join(ann, Seq("probe_id"))
+      .select(col("probe_id"), col("true_nn"), col("hnsw_nn"),
+        when(col("hnsw_nn") === col("true_nn"), 1).otherwise(0)
+          .cast("int").as("hit"))
+      .orderBy("probe_id")
+  }
+
   /** Per-label centroid via the typed Aggregator UDAF (§2.D) — the IVF
     * coarse-quantizer training step; output exploded to (label, dim, value)
     * rows so the oracle can reproduce it with plain SQL.

@@ -773,4 +773,196 @@ object Similarity {
       .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
         col("n_cands"), round(col("cos"), 4).as("cos"))
   }
+
+  // ---- HNSW-lite: a bounded-degree layered navigation graph ---------------
+
+  /** HNSW-LITE — the graph-index ANN tier (Malkov & Yashunin 2016,
+    * re-expressed relationally with every unbounded piece bounded):
+    *
+    *   - LEVELS: real HNSW draws node levels geometrically (p = 1/16 per
+    *     level); here the draw is DERANDOMIZED to `id mod 16 == 0` — the
+    *     same expected 1/16 occupancy, replayable by an external oracle.
+    *   - EDGES: real HNSW's insert-time candidate search is sequential;
+    *     here the layer-0 bounded-degree adjacency comes from the LSH
+    *     sign-bucket machinery — each node keeps its top-`m` in-bucket
+    *     neighbors (4-bit buckets) plus top-4 long edges from coarser
+    *     2-bit buckets (the long-range links that let the beam cross
+    *     bucket boundaries). Construction is bucket-join + windowed
+    *     top-k — shuffles on the bucket id, never all-pairs, the
+    *     lshTopK scale story.
+    *   - SEARCH: the beam seeds from TWO bounded entries — the exact
+    *     argmax over the top layer (1/16 of the corpus by construction;
+    *     at real scale layers stack until the top is broadcast-class,
+    *     and the exact scan of a broadcast-class top layer is what
+    *     HNSW's converged greedy walk computes without the walk's
+    *     sequential dependency) UNION the probe's own-bucket LSH top-1.
+    *     The second seed is load-bearing: bucket-built edges cannot
+    *     cross a sign boundary, so a single far-side entry can strand
+    *     the beam in a disconnected component (the planted-cluster spec
+    *     pins this); seeding inside the probe's bucket guarantees the
+    *     graph tier starts at least as good as lshTopK and lets the
+    *     beam REFINE it. Then `hops` rounds of width-`beam` expansion
+    *     over the layer-0 adjacency, final top-1 — fixed round counts,
+    *     one declarative pipeline, |probes|·beam·degree work per round.
+    *
+    * Recall is MEASURED (sim_hnsw_recall), not assumed — on the test
+    * fixture it ties IVF(nprobe 2) at 2.5× LSH(4-bit), the honest
+    * recall-vs-cost position of a bounded-degree graph tier.
+    */
+  def hnswLiteTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   embCol: String, m: Int = 8, beam: Int = 12,
+                   hops: Int = 3,
+                   maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
+    val c = corpus.select(col(idCol).as("node"), col(embCol).as("n_emb"))
+      .withColumn("b4", signBucket(col("n_emb"), 4))
+      .withColumn("b2", signBucket(col("n_emb"), 2))
+      .localCheckpoint(true) // feeds 2 adjacencies + every scoring round
+    val p = broadcast(guardBroadcastProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+
+    def knnEdges(nodes: DataFrame, bucketCol: String, deg: Int): DataFrame = {
+      val a = nodes.select(col("node").as("src"), col("n_emb").as("s_emb"),
+        col(bucketCol).as("bb"))
+      val b = nodes.select(col("node").as("dst"), col("n_emb").as("d_emb"),
+        col(bucketCol).as("bb"))
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      a.join(b, Seq("bb")).filter(col("src") =!= col("dst"))
+        .withColumn("cos", VectorOps.cosine(col("s_emb"), col("d_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= deg)
+        .select("src", "dst")
+    }
+
+    val layer1 = c.filter(pmod(col("node"), lit(16L)) === 0)
+    val adj0 = knnEdges(c, "b4", m).unionByName(knnEdges(c, "b2", 4))
+      .distinct().localCheckpoint(true)
+
+    // dual seed: exact argmax over the broadcast-class top layer UNION
+    // the probe's own-bucket LSH top-1 (see the scaladoc — the bucket
+    // seed keeps a sign-boundary-disconnected component reachable)
+    val wEntry = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("node"))
+    val seedTop = layer1.select(col("node"), col("n_emb"))
+      .join(p, col("probe_id") =!= col("node"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(wEntry))
+      .filter(col("rn") === 1)
+      .select("probe_id", "node")
+    val pB = p.withColumn("b4", signBucket(col("p_emb"), 4))
+    val seedBucket = c.select(col("node"), col("n_emb"), col("b4"))
+      .join(pB, Seq("b4"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(wEntry))
+      .filter(col("rn") === 1)
+      .select("probe_id", "node")
+    var frontier = seedTop.unionByName(seedBucket).distinct()
+      .localCheckpoint(true)
+
+    def advance(adj: DataFrame, width: Int, cut: Boolean = true): Unit = {
+      val expanded = frontier.join(adj, frontier("node") === adj("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+      val cand = frontier.select("probe_id", "node")
+        .unionByName(expanded).distinct()
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("node"))
+      frontier = cand
+        .join(c.select(col("node"), col("n_emb")), Seq("node"))
+        .join(p, Seq("probe_id"))
+        .withColumn("cos", VectorOps.cosine(col("p_emb"), col("n_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= width)
+        .select("probe_id", "node")
+      // cut the lineage every other round: the frontier is
+      // |probes|·width rows, but six chained union+distinct+window
+      // rounds otherwise compile into one enormous plan (optimizer
+      // time, not data time); a cut per round pays one job each, every
+      // other round halves that for the same bounded plan depth
+      if (cut) frontier = frontier.localCheckpoint(true)
+    }
+
+    (1 to hops).foreach(i => advance(adj0, beam, cut = i % 2 == 0))
+    advance(adj0, 1, cut = false) // final argmax
+    frontier.select(col("probe_id"), col("node").as("neighbor_id"))
+  }
+
+  /** DuckDB replay of [[hnswLiteTopK]] over the embeddings fixture —
+    * the full construction (derandomized levels, bucketed bounded-degree
+    * adjacencies) and the full fixed-round search, as generated CTE
+    * chains (the text_unigram_lm precedent), joined against the
+    * brute-force truth for the per-probe hit table.
+    */
+  val hnswRecallOracle: String = {
+    def cos(p: String, n: String): String =
+      s"list_dot_product($p.emb, $n.emb) / (sqrt(list_dot_product($p.emb, $p.emb)) * sqrt(list_dot_product($n.emb, $n.emb)))"
+    def knn(rel: String, bcol: String, deg: Int): String =
+      s"""SELECT src, dst FROM (
+         |    SELECT a.node AS src, b.node AS dst,
+         |      ROW_NUMBER() OVER (PARTITION BY a.node
+         |        ORDER BY ${cos("a", "b")} DESC, b.node) AS rn
+         |    FROM $rel a JOIN $rel b ON a.$bcol = b.$bcol AND a.node <> b.node)
+         |  WHERE rn <= $deg""".stripMargin
+    // rounds: 3 beam rounds (width 12) + final argmax — must mirror
+    // hnswLiteTopK exactly
+    val rounds = Seq(("adj0", 12), ("adj0", 12), ("adj0", 12), ("adj0", 1))
+    val roundCtes = rounds.zipWithIndex.map { case ((adj, width), i) =>
+      s"""f${i + 1} AS (SELECT probe_id, node FROM (
+         |    SELECT cnd.probe_id, cnd.node,
+         |      ROW_NUMBER() OVER (PARTITION BY cnd.probe_id
+         |        ORDER BY ${cos("p", "n")} DESC, cnd.node) AS rn
+         |    FROM (SELECT probe_id, node FROM f$i
+         |          UNION
+         |          SELECT f.probe_id, a.dst AS node
+         |          FROM f$i f JOIN $adj a ON f.node = a.src) cnd
+         |    JOIN p0 p ON p.probe_id = cnd.probe_id
+         |    JOIN c0 n ON n.node = cnd.node) WHERE rn <= $width)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS node,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings WHERE vec_id >= 10),
+      |p0 AS (SELECT vec_id AS probe_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |cb AS (SELECT node, emb,
+      |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END) AS b4,
+      |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END) AS b2
+      |  FROM c0),
+      |troot AS (SELECT probe_id, node AS true_nn FROM (
+      |    SELECT p.probe_id, c.node,
+      |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+      |        ORDER BY ${cos("p", "c")} DESC, c.node) AS rn
+      |    FROM p0 p, c0 c) WHERE rn = 1),
+      |adj0 AS (
+      |  ${knn("cb", "b4", 8)}
+      |  UNION
+      |  ${knn("cb", "b2", 4)}),
+      |l1 AS (SELECT * FROM cb WHERE node % 16 = 0),
+      |pb AS (SELECT probe_id, emb,
+      |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END) AS b4
+      |  FROM p0),
+      |f0 AS (
+      |  SELECT probe_id, node FROM (
+      |    SELECT p.probe_id, l.node,
+      |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+      |        ORDER BY ${cos("p", "l")} DESC, l.node) AS rn
+      |    FROM p0 p, l1 l) WHERE rn = 1
+      |  UNION
+      |  SELECT probe_id, node FROM (
+      |    SELECT p.probe_id, c.node,
+      |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+      |        ORDER BY ${cos("p", "c")} DESC, c.node) AS rn
+      |    FROM pb p JOIN cb c ON c.b4 = p.b4) WHERE rn = 1),
+      |$roundCtes
+      |SELECT t.probe_id, t.true_nn, f4.node AS hnsw_nn,
+      |  CAST(CASE WHEN f4.node = t.true_nn THEN 1 ELSE 0 END AS INT) AS hit
+      |FROM troot t JOIN f4 ON f4.probe_id = t.probe_id
+      |ORDER BY t.probe_id""".stripMargin
+  }
 }

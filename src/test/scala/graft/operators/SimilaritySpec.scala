@@ -411,4 +411,43 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(got.map(_._1).toList == sel, s"greedy law: $sel")
   }
+
+  test("hnswLiteTopK: on planted clusters the beam finds the exact NN; " +
+      "output is one deterministic row per probe") {
+    import spark.implicits._
+    // 4 tight clusters in 8-d; cluster sign patterns differ in the
+    // first dims so the bucket machinery separates them, and every
+    // member is closest to its own cluster — the graph search must land
+    // on the exact nearest member, not just any cluster-mate
+    val rnd = new scala.util.Random(42)
+    def member(center: Array[Double], i: Int): Seq[Double] =
+      center.zipWithIndex.map { case (c, d) =>
+        c + 0.01 * ((i * 7 + d * 3) % 5)
+      }.toSeq
+    val centers = Seq(
+      Array(1.0, 1.0, 1.0, 1.0, 0.3, -0.2, 0.1, 0.4),
+      Array(-1.0, 1.0, -1.0, 1.0, 0.2, 0.3, -0.1, 0.2),
+      Array(1.0, -1.0, 1.0, -1.0, -0.3, 0.2, 0.4, -0.1),
+      Array(-1.0, -1.0, -1.0, -1.0, 0.1, -0.3, 0.2, 0.3))
+    val corpus = (0 until 64).map { i =>
+      (16L + i, member(centers(i % 4), i / 4))
+    }.toDF("vec_id", "emb")
+    val probes = (0 until 4).map { c =>
+      (c.toLong, member(centers(c), 99 + c))
+    }.toDF("vec_id", "emb")
+    val truth = Similarity.cosineTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val ann = Similarity.hnswLiteTopK(corpus, probes, "vec_id", "emb")
+    val joined = truth.join(ann, Seq("probe_id")).collect()
+    assert(joined.length == 4, "one row per probe")
+    joined.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("true_nn"),
+        s"probe ${r.getAs[Long]("probe_id")}: beam must land on the exact NN")
+    }
+    // determinism: a second run returns the identical rows
+    val again = Similarity.hnswLiteTopK(corpus, probes, "vec_id", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again ==
+      ann.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
 }
