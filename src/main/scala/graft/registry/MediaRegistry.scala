@@ -1,0 +1,560 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Multimodal tier: mm_* — codec decodes (JPEG/GIF/TIFF/WAV/FLAC/AVI),
+  * frame/feature extraction, perceptual hashing.
+  *
+  * Split from the monolithic SparkEntry registry (round-12 hygiene);
+  * keys and SQL are unchanged.
+  */
+object MediaRegistry {
+  import OracleSql._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"        -> (LlmQueries.mmBinaryMeta _),
+    "mm_decode"             -> (LlmQueries.mmDecode _),
+    "mm_frame_sample"       -> (LlmQueries.mmFrameSample _),
+    "mm_audio_frames"       -> (LlmQueries.mmAudioFrames _),
+    "mm_scene_detect"       -> (LlmQueries.mmSceneDetect _),
+    "mm_resize"             -> (LlmQueries.mmResize _),
+    "mm_binary_dedup"       -> (LlmQueries.mmBinaryDedup _),
+    "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
+    "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
+    "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
+    "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
+    "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
+    "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
+    "mm_gif_frames"         -> (LlmQueries.mmGifFrames _),
+    "mm_video_frames"       -> (LlmQueries.mmVideoFrames _),
+    "mm_gif_scene"          -> (LlmQueries.mmGifScene _),
+    "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
+    "mm_flac_decode"        -> (LlmQueries.mmFlacDecode _),
+    "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
+    "mm_stft_power"         -> (LlmQueries.mmStftPower _),
+    "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
+    "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
+    "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
+    "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
+    "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
+    "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
+    "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_dedup" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // Same base-31 polynomial cut rule over the trailing 4 bytes, same
+    // prefix-sum chunk ids, same ordered reassembly + md5 — chunking and
+    // overlap recomputed fully.
+    "mm_cdc_chunking" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL SELECT doc_id + 1000000, 'XY ' || text FROM base),
+        |d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |        list_transform(range(1, CAST(octet_length(encode(text)) AS BIGINT) + 1),
+        |          p -> ('0x' || substr(hex(encode(text)),
+        |            CAST((p - 1) * 2 + 1 AS BIGINT), 2))::BIGINT) AS bv
+        |      FROM corpus),
+        |b AS (SELECT doc_id, g.p AS p,
+        |        substr(hx, CAST((g.p - 1) * 2 + 1 AS BIGINT), 2) AS hp,
+        |        CASE WHEN g.p >= 4 AND
+        |          (bv[CAST(g.p - 3 AS BIGINT)] * 29791
+        |           + bv[CAST(g.p - 2 AS BIGINT)] * 961
+        |           + bv[CAST(g.p - 1 AS BIGINT)] * 31
+        |           + bv[CAST(g.p AS BIGINT)]) % 16 = 0
+        |        THEN 1 ELSE 0 END AS cut
+        |      FROM d, LATERAL (SELECT unnest(range(1,
+        |        CAST(len(hx) / 2 AS BIGINT) + 1)) AS p) g),
+        |c AS (SELECT doc_id, p, hp,
+        |        COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |      FROM b),
+        |ch AS (SELECT doc_id, cid, md5(string_agg(hp, '' ORDER BY p)) AS h
+        |       FROM c GROUP BY doc_id, cid),
+        |o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_orig,
+        |        CAST(COUNT(DISTINCT h) AS BIGINT) AS nd_orig
+        |      FROM ch WHERE doc_id < 1000000 GROUP BY doc_id),
+        |oh AS (SELECT DISTINCT doc_id, h FROM ch WHERE doc_id < 1000000),
+        |sh AS (SELECT DISTINCT doc_id - 1000000 AS doc_id, h
+        |       FROM ch WHERE doc_id >= 1000000),
+        |sn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd_shift
+        |       FROM sh GROUP BY doc_id),
+        |sj AS (SELECT oh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |       FROM oh JOIN sh ON oh.doc_id = sh.doc_id AND oh.h = sh.h
+        |       GROUP BY oh.doc_id)
+        |SELECT o.doc_id, n_chunks_orig, nd_orig, nd_shift,
+        |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  ROUND(COALESCE(n_shared, 0) / CAST(nd_orig AS DOUBLE), 4) AS resync_ratio
+        |FROM o JOIN sn ON o.doc_id = sn.doc_id
+        |LEFT JOIN sj ON o.doc_id = sj.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
+    // DCT pHash over REAL decoded pixels: the engine parses actual P6
+    // bytes, the oracle replays the integer signature pipeline from the
+    // generator formula — same nearest-sample 32x32 luma grid, same
+    // mean-centering, the SAME fixed-point cosine table (interpolated
+    // from Multimodal.DctT), same 63*F > sumAC threshold, same 4x16-bit
+    // banding + exact-hamming verify.
+    "mm_phash_neardup" -> phashDctOracleSql(deltaInvolving = false),
+    // The delta-involving subset of the mm_phash_neardup pair class
+    // (the greater id of any such pair is a delta doc): the engine only
+    // DECODES the delta and reads the persisted lake signature artifact;
+    // the oracle recomputes both sides from the generator formula.
+    "mm_incremental_phash" -> phashDctOracleSql(deltaInvolving = true),
+    // Robustness contrast under a smooth luminance gradient: both
+    // integer hash pipelines replayed bit-for-bit; recall per method.
+    "mm_phash_recall" -> phashRecallOracleSql,
+    // Same byte stream, same mean-centering (32·b − Σb, DC cancels),
+    // the SAME interpolated cosine table — every coefficient reproduces.
+    "mm_frame_dct" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, encode(text) AS data,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) >= 32),
+         |fr AS (
+         |  SELECT doc_id, data,
+         |    unnest(range(0, CAST(floor((n - 32) / 32) AS INT) + 1)) AS fi
+         |  FROM m),
+         |b AS (
+         |  SELECT doc_id, fi, g.i - 1 AS x,
+         |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT
+         |      AS bv
+         |  FROM fr, LATERAL (SELECT unnest(range(1, 33)) AS i) g),
+         |c AS (SELECT doc_id, fi, SUM(bv) AS fsum FROM b GROUP BY 1, 2),
+         |dct AS (SELECT * FROM (VALUES ${graft.operators.Multimodal.dctTableSql})
+         |  v(u, x, t)),
+         |co AS (SELECT b.doc_id, b.fi, d.u,
+         |    SUM(d.t * (32 * b.bv - c.fsum)) AS coeff
+         |  FROM b JOIN c USING (doc_id, fi)
+         |  JOIN dct d ON d.x = b.x AND d.u >= 1
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         |  string_agg(CAST(coeff AS VARCHAR), ',' ORDER BY u) AS spec_csv
+         |FROM co GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |fr AS (
+        |  SELECT doc_id, data,
+        |    unnest(range(0, CAST(floor((n - 64) / 32) AS INT) + 1)) AS fi
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, fi,
+        |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT AS bv
+        |  FROM fr, LATERAL (SELECT unnest(range(1, 65)) AS i) g)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(fi * 32 AS BIGINT) AS f_start,
+        |  CAST(SUM(bv) AS BIGINT) AS energy, CAST(MAX(bv) AS BIGINT) AS peak
+        |FROM b GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_scene_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 64),
+        |f0 AS (
+        |  SELECT doc_id, data,
+        |    unnest(range(0, CAST(floor((n - 64) / 32) AS INT) + 1)) AS fi
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, fi,
+        |    ('0x' || substr(hex(data), 2 * (fi * 32 + g.i) - 1, 2))::BIGINT AS bv
+        |  FROM f0, LATERAL (SELECT unnest(range(1, 65)) AS i) g),
+        |fr AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |         CAST(SUM(bv) AS BIGINT) AS energy
+        |       FROM b GROUP BY doc_id, fi),
+        |lg AS (SELECT doc_id, frame_idx, energy,
+        |         LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_e
+        |       FROM fr)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN prev_e IS NULL OR abs(energy - prev_e) > 300
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+        |  CAST(MAX(abs(energy - COALESCE(prev_e, energy))) AS BIGINT) AS max_jump
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The engine PARSES real P6 bytes partition-wise; the oracle
+    // recomputes the closed-form generator (w = id%13+8, h = id%11+8,
+    // pixel byte i = (id*31 + i*17 + (id*i mod 251) + 40*((i div 3w)
+    // mod 6)) % 256) — a green row proves the parsed geometry and the
+    // decoded pixel features match the bytes' actual content.
+    "mm_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, g.i % 4 AS j,
+        |    SUM((doc_id * 31 + g.i * 17 + (doc_id * g.i) % 251
+        |         + 40 * ((g.i // (w * 3)) % 6)) % 256) AS fv
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) g
+        |  GROUP BY doc_id, g.i % 4)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  (SELECT string_agg(CAST(fv AS BIGINT), ',' ORDER BY j) FROM f
+        |   WHERE f.doc_id = d.doc_id) AS features_csv
+        |FROM d ORDER BY d.doc_id""".stripMargin,
+    // BMP leg: geometry from the little-endian header, luminance total
+    // over the padded bottom-up BGR pixel walk — the oracle recomputes
+    // from the generator (byte i of the pixel area is data when
+    // i mod rowStride < 3w, value (id*37 + i*13) % 256, else padding;
+    // BGR weight by in-row byte position; bottom-up order is
+    // irrelevant to a SUM, stride and channel order are not).
+    "mm_bmp_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 9 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 7 + 8 AS BIGINT) AS h,
+        |    ((doc_id % 9 + 8) * 3 + 3) // 4 * 4 AS rs
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE (g.i % rs) % 3 WHEN 0 THEN 114 WHEN 1 THEN 587
+        |          ELSE 299 END) *
+        |    ((doc_id * 37 + g.i * 13) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, rs * h)) AS i) g
+        |  WHERE g.i % rs < w * 3
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // PNG leg: the oracle sums the closed-form RAW pixel formula — the
+    // engine only reproduces it by concatenating IDAT framing, inflating
+    // the stored-block zlib stream, and reversing the Sub/Up row filters.
+    // the oracle replays the closed-form index stream through the
+    // closed-form palette; the engine must LZW-decode to match
+    "mm_gif_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (d.seed * 29 + g.i * 23 + (d.seed * g.i) % 127) % 128 AS j
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) g),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * ((j * 2 + 5) % 256) + 587 * ((j * 7 + 11) % 256)
+        |    + 114 * ((j * 13 + 17) % 256)) AS lum_total
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // animated GIF: per-frame COMPOSITED screen luminance — the oracle's
+    // per-pixel CASE picks the latest covering frame (frame 2's
+    // transparent index 13 falls through to the underlying composite);
+    // the engine must LZW-decode all three frames and composite them
+    "mm_gif_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 10 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 10 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, seed, w, h, k.k AS frame_idx,
+        |    g.p % w AS x, g.p // w AS y, g.p AS p
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w * h)) AS p) g,
+        |    LATERAL (SELECT unnest(range(0, 3)) AS k) k),
+        |eff AS (SELECT doc_id, frame_idx, w, h,
+        |    CASE
+        |      WHEN frame_idx >= 2 AND x >= 1 AND x < w - 1
+        |        AND y >= 1 AND y < 5
+        |        AND (seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3)
+        |          % 128 <> 13
+        |      THEN (seed * 37 + ((y - 1) * (w - 2) + (x - 1)) * 17 + 3) % 128
+        |      WHEN frame_idx >= 1 AND x >= 2 AND x < w - 2
+        |        AND y >= 3 AND y < h - 2
+        |      THEN (seed * 31 + ((y - 3) * (w - 4) + (x - 2)) * 19 + 7) % 128
+        |      ELSE (seed * 29 + p * 23) % 128
+        |    END AS j
+        |  FROM px),
+        |l AS (SELECT doc_id, frame_idx, w, h,
+        |    SUM(299 * ((j * 2 + 5) % 256) + 587 * ((j * 7 + 11) % 256)
+        |      + 114 * ((j * 13 + 17) % 256)) AS lum_total
+        |  FROM eff GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(CASE frame_idx WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 30 END
+        |    AS INT) AS delay_cs,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(lum_total AS BIGINT) AS lum_total
+        |FROM l ORDER BY doc_id, frame_idx""".stripMargin,
+    // scene cuts over REAL decoded GIF frames: gray-ramp palette makes
+    // per-frame luminance n_px·2000·idx exactly; the lag rule flags the
+    // guaranteed >=75-slot jump at frame 3 and nothing else
+    "mm_gif_scene" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 5 + 10 AS BIGINT) AS w,
+        |    CAST(doc_id % 4 + 10 AS BIGINT) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, w * h AS n_px, k.k AS frame_idx,
+        |    (CASE WHEN k.k < 3 THEN 8 + seed % 6
+        |          ELSE 88 + seed % 6 END + k.k) AS idx
+        |  FROM d, LATERAL (SELECT unnest(range(0, 6)) AS k) k),
+        |g AS (SELECT doc_id, frame_idx, n_px,
+        |    n_px * 2000 * idx AS lum_total,
+        |    COALESCE(n_px * 2000 * idx - LAG(n_px * 2000 * idx) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), 0) AS lum_diff
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(lum_total AS BIGINT) AS lum_total,
+        |  CAST(lum_diff AS BIGINT) AS lum_diff,
+        |  (abs(lum_diff) > 40 * 2000 * n_px) AS is_cut
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    // gray-8 TIFF through real MSB-first/early-change LZW; the oracle
+    // sums the closed-form pixel bytes (1000x gray luminance)
+    "mm_tiff_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST((doc_id % 3 + 2) * 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 5 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 *
+        |    ((seed * 19 + g.i * 31 + (seed * g.i) % 251) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "mm_png_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Baseline-JPEG grayscale leg: per-8×8-block-constant fixtures decode
+    // EXACTLY (DC-only blocks survive quant(1)/integer-IDCT bit-for-bit),
+    // so the oracle sums the closed-form block values; the engine only
+    // reproduces it via real huffman + differential-DC + IDCT + crop.
+    // Video (MJPEG-in-AVI) leg: 4 per-block-constant grayscale JPEG
+    // frames per clip — value ((seed·7 + blk·29) mod 96) + f + 128·[f≥2],
+    // 25 fps — with the scene-cut lag rule over the frame table; any
+    // container-walk, alignment, per-frame JPEG or lag mistake changes
+    // a row.
+    "mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 13 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |fr AS (SELECT doc_id, seed, w, h, bw, CAST(fx.f AS INT) AS frame_idx
+        |  FROM d, LATERAL (SELECT unnest(range(0, 4)) AS f) fx),
+        |l AS (SELECT doc_id, frame_idx, MAX(w) AS w, MAX(h) AS h,
+        |    SUM(1000 * (((seed * 7 +
+        |        ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 29) % 96)
+        |      + frame_idx + CASE WHEN frame_idx >= 2 THEN 128 ELSE 0 END))
+        |      AS lum_total
+        |  FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id, frame_idx),
+        |x AS (SELECT doc_id, frame_idx, w, h, lum_total,
+        |    COALESCE(lum_total - LAG(lum_total) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), 0) AS lum_diff
+        |  FROM l)
+        |SELECT doc_id, frame_idx, CAST(40 AS INT) AS frame_ms,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(lum_total AS BIGINT) AS lum_total,
+        |  CAST(lum_diff AS BIGINT) AS lum_diff,
+        |  (ABS(lum_diff) > 40000 * w * h) AS is_cut
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 13 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 * ((seed * 7 +
+        |      ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 29) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Progressive (SOF2) leg: the 7-scan successive-approximation file
+    // decodes to the same per-block-constant closed form — the oracle is
+    // the baseline shape with the progressive fixture's dims/values; the
+    // engine can only reproduce it through the full Annex-G scan loop.
+    "mm_jpeg_progressive" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 12 + 17 AS BIGINT) AS w,
+        |    CAST(doc_id % 10 + 17 AS BIGINT) AS h,
+        |    CAST((doc_id % 12 + 17 + 7) // 8 AS BIGINT) AS bw
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 * ((seed * 19 +
+        |      ((g.i // (w * 8)) * bw + (g.i % w) // 8) * 31) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // 4:2:0 color leg: per-MCU-constant chroma + per-block-constant luma
+    // stay exact through subsampling/upsampling; the oracle applies the
+    // SAME fixed-point BT.601 conversion (2^30 bias keeps every integer
+    // division non-negative, so DuckDB // equals the JVM's >> 16).
+    "mm_jpeg_color" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 17 + 20 AS BIGINT) AS w,
+        |    CAST(doc_id % 13 + 20 AS BIGINT) AS h,
+        |    CAST((doc_id % 17 + 20 + 15) // 16 AS BIGINT) AS mcx
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    (seed * 11 + ((g.i // (w * 8)) * 2 * mcx + (g.i % w) // 8) * 23)
+        |      % 256 AS yy,
+        |    (seed * 13 + ((g.i // (w * 16)) * mcx + (g.i % w) // 16) * 37)
+        |      % 256 - 128 AS cbp,
+        |    (seed * 17 + ((g.i // (w * 16)) * mcx + (g.i % w) // 16) * 41)
+        |      % 256 - 128 AS crp
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * least(255, greatest(0,
+        |      yy + ((91881 * crp + 32768 + 1073741824) // 65536) - 16384)) +
+        |    587 * least(255, greatest(0,
+        |      yy - ((22554 * cbp + 46802 * crp + 32768 + 1073741824) // 65536)
+        |         + 16384)) +
+        |    114 * least(255, greatest(0,
+        |      yy + ((116130 * cbp + 32768 + 1073741824) // 65536) - 16384))
+        |    ) AS lum_total
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // WAV leg: the oracle recomputes the closed-form PCM16 sample stream;
+    // the engine only reproduces it via the real RIFF chunk walk (odd
+    // LIST chunk skipped word-aligned) + signed LE 16-bit decode.
+    // FLAC leg: the SAME samples as mm_wav_decode round-tripped through
+    // the reference FLAC encoder — lossless, so the WAV oracle is the
+    // FLAC oracle verbatim (cross-format parity, the strongest pin).
+    "mm_flac_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |e AS (SELECT doc_id, SUM(s * s) AS energy, MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, ((seed * 13 + g.i * 29) % 65536) - 32768 AS s
+        |        FROM d, LATERAL (SELECT unnest(range(0, n_frames * channels))
+        |                         AS i) g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
+        |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |e AS (SELECT doc_id, SUM(s * s) AS energy, MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, ((seed * 13 + g.i * 29) % 65536) - 32768 AS s
+        |        FROM d, LATERAL (SELECT unnest(range(0, n_frames * channels))
+        |                         AS i) g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
+        |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // framing over DECODED channel-0 PCM: frame f covers per-channel
+    // sample indices [f*32, f*32+64); interleaved word index = i*ch
+    "mm_wav_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, g.f AS frame_id, seed, ch
+        |  FROM d, LATERAL (SELECT unnest(range(0, (nf - 64) // 32 + 1)) AS f) g),
+        |e AS (SELECT doc_id, frame_id, SUM(s * s) AS energy,
+        |    MAX(abs(s)) AS peak
+        |  FROM (SELECT doc_id, frame_id,
+        |          ((seed * 13 + (frame_id * 32 + h.i) * ch * 29) % 65536)
+        |            - 32768 AS s
+        |        FROM f, LATERAL (SELECT unnest(range(0, 64)) AS i) h)
+        |  GROUP BY doc_id, frame_id)
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
+        |FROM e ORDER BY doc_id, frame_id""".stripMargin,
+    // closed-form rotation probes: 90-deg CW sends old bottom-left to the
+    // new top-left corner, the old first COLUMN to the new first row,
+    // and leaves the luminance total invariant
+    "mm_rotate90" -> {
+      def f(i: String) =
+        s"((seed * 31 + ($i) * 17 + (seed * ($i)) % 251" +
+          s" + 40 * ((($i) // (w * 3)) % 6)) % 256)"
+      def lum(p: String) =
+        s"(299 * ${f(s"($p) * 3")} + 587 * ${f(s"($p) * 3 + 1")}" +
+          s" + 114 * ${f(s"($p) * 3 + 2")})"
+      s"""WITH d AS (SELECT doc_id, doc_id AS seed,
+         |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+         |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, SUM(${lum("g.p")}) AS lum_total
+         |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) g
+         |  GROUP BY doc_id),
+         |r0 AS (
+         |  SELECT doc_id, SUM(${lum("g.q * w")}) AS row0
+         |  FROM d, LATERAL (SELECT unnest(range(0, h)) AS q) g
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.h AS INT) AS width, CAST(d.w AS INT) AS height,
+         |  CAST(tot.lum_total AS BIGINT) AS lum_total,
+         |  CAST(${lum("(h - 1) * w")} AS BIGINT) AS tl,
+         |  CAST(${lum("0")} AS BIGINT) AS tr,
+         |  CAST(${lum("(h - 1) * w + (w - 1)")} AS BIGINT) AS bl,
+         |  CAST(${lum("w - 1")} AS BIGINT) AS br,
+         |  CAST(r0.row0 AS BIGINT) AS row0
+         |FROM d JOIN tot USING (doc_id) JOIN r0 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // closed-form channel-0 samples against the engine's interpolated
+    // fixed-point DFT basis (Wav.stftTableSql) — integer-exact powers
+    "mm_stft_power" ->
+      s"""WITH d AS (SELECT doc_id, doc_id AS seed,
+         |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+         |  FROM documents),
+         |tbl(k, i, c, s) AS (VALUES ${graft.operators.Wav.stftTableSql}),
+         |f AS (SELECT doc_id, g.f AS frame_id, seed, ch
+         |  FROM d, LATERAL (SELECT unnest(range(0, (nf - 16) // 8 + 1)) AS f) g),
+         |r AS (SELECT doc_id, frame_id, t.k,
+         |    SUM((((seed * 13 + (frame_id * 8 + t.i) * ch * 29) % 65536)
+         |      - 32768) * t.c) AS re,
+         |    SUM((((seed * 13 + (frame_id * 8 + t.i) * ch * 29) % 65536)
+         |      - 32768) * t.s) AS im
+         |  FROM f, tbl t GROUP BY doc_id, frame_id, t.k),
+         |p AS (SELECT doc_id, k AS bin, SUM(re * re + im * im) AS power,
+         |    COUNT(*) AS n_frames
+         |  FROM r GROUP BY doc_id, k)
+         |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(power AS BIGINT) AS power,
+         |  CAST(n_frames AS BIGINT) AS n_frames
+         |FROM p ORDER BY doc_id, bin""".stripMargin,
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 8 AS INT) AS width,
+        |             CAST(doc_id % 11 + 8 AS INT) AS height FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width * 224 <= height * 256
+        |       THEN greatest(1, CAST(floor(width * 224 / height) AS INT))
+        |       ELSE 256 END AS rw,
+        |  CASE WHEN width * 224 <= height * 256
+        |       THEN 224
+        |       ELSE greatest(1, CAST(floor(height * 256 / width) AS INT)) END AS rh
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS data, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor((n - 1) / 7) + 1 AS BIGINT) AS n_samples,
+        |  (SELECT string_agg(substr(hex(data), 2 * g.i - 1, 2), '' ORDER BY g.i)
+        |   FROM (SELECT unnest(range(1, n + 1)) AS i) g
+        |   WHERE (g.i - 1) % 7 = 0) AS sample_hex
+        |FROM m ORDER BY doc_id""".stripMargin,
+  )
+}
