@@ -837,6 +837,75 @@ object Graph {
     * neighbors under the same ≤64 hub-degree cap-as-semantics as
     * [[neighborJaccard]] — never |V|².
     */
+  /** HITS hubs & authorities (Kleinberg 1999) by synchronous power
+    * iteration over a weighted directed graph — the query-dependent
+    * sibling of [[pageRank]]: a node is a good AUTHORITY when good hubs
+    * point at it, a good HUB when it points at good authorities.
+    *
+    * Determinism contract (the [[betweenness]] integer discipline):
+    * instead of the textbook L2 normalization (a sqrt both engines
+    * would round differently inside an ITERATED recurrence), every
+    * half-step max-normalizes to parts-per-million by exact integer
+    * floor division — edge weights first (`w·1e6 div max w`), then each
+    * auth/hub frame (`raw·1e6 div max raw`). Every per-round sum is an
+    * exact 64-bit integer, so results are bit-identical at any
+    * aggregation order, partitioning, or engine. Max-normalization
+    * fixes the same degree of freedom L2 does (HITS scores are defined
+    * up to scale).
+    *
+    * Scale shape: the normalized edge frame is computed ONCE,
+    * checkpointed, and reused by all `2·rounds` co-partitioned joins;
+    * per round only the |V|-sized score frame moves. Bound: each term
+    * is ≤ 1e6·1e6 = 1e12, so a node needs in-/out-degree > ~9·10⁶
+    * before a raw sum can overflow a Long — beyond that, pre-aggregate
+    * parallel edges (this derivation already collapses to one edge per
+    * pair).
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val maxW = e0.agg(max("w").as("mw"))
+    val e = e0.crossJoin(broadcast(maxW))
+      .select(col("src"), col("dst"),
+        expr("CAST(w * 1000000L DIV mw AS BIGINT)").as("wn"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(expr("wn * h")).as("araw"))
+      val aMax = aRaw.agg(max("araw").as("am"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          expr("CAST(CAST(coalesce(araw, 0L) AS DECIMAL(38,0)) * 1000000 DIV am AS BIGINT)").as("a"))
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(expr("wn * a")).as("hraw"))
+      val hMax = hRaw.agg(max("hraw").as("hm"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          expr("CAST(CAST(coalesce(hraw, 0L) AS DECIMAL(38,0)) * 1000000 DIV hm AS BIGINT)").as("h"))
+    }
+    auth.join(hub, "node")
+  }
+
+  /** Registered query: 2-round HITS over the nation trade graph
+    * (importer nations point at exporter nations, weight = interaction
+    * count) — authorities are the dominant EXPORTERS, hubs the dominant
+    * IMPORTERS, a reading PageRank's single score conflates.
+    */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val res = hits(nationTradeEdges(s, dir), rounds = 2)
+    val names = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    res.join(broadcast(names), "node")
+      .select(col("node"), col("n_name"), col("a").as("auth_ppm"),
+        col("h").as("hub_ppm"))
+      .orderBy("node")
+  }
+
   def graphRa(s: SparkSession, dir: String): DataFrame = {
     val e = partAffinityEdges(s, dir).select(col("src"), col("dst"))
       .distinct().localCheckpoint(true)

@@ -279,6 +279,12 @@ object LlmQueries {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def textSentiment(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentiment(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   /** Decontamination sweep: docs from source `src0` act as the held-out
     * benchmark; every OTHER doc is checked for 5-gram collisions with it.
     */

@@ -1069,6 +1069,79 @@ object TextAnalysis {
     * the |vocabulary| frame only (the bounded-frame argument), never
     * the token stream.
     */
+  /** Readability scores per document — Flesch Reading Ease and
+    * Flesch–Kincaid grade (Kincaid et al. 1975), the classic corpus
+    * quality/difficulty screens, over the three standard counts:
+    *
+    *   - words: whitespace tokens (the corpus-wide convention);
+    *   - sentences: terminal-punctuation runs `[.!?]+`, floored at 1
+    *     (a fragment is one sentence, never a division by zero);
+    *   - syllables: vowel-group runs `[aeiouy]+` over the lowercased
+    *     text — the standard dictionary-free heuristic; spaces break
+    *     groups, so the whole-text count equals the per-word sum.
+    *
+    * Determinism: all three counts are exact integers; each score is ONE
+    * floor of a single double division of two exact-integer polynomials
+    * (common denominator S·W), so both engines see the same two doubles
+    * — no iterated float, no libm. Shape: one row-local scan, no
+    * shuffle, no UDF (regexp_count is codegen'd).
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol),
+        expr(s"CAST(size(split($textCol, ' ')) AS BIGINT)").as("n_words"),
+        expr(s"CAST(greatest(1, regexp_count($textCol, '[.!?]+')) AS BIGINT)")
+          .as("n_sentences"),
+        expr(s"CAST(regexp_count(lower($textCol), '[aeiouy]+') AS BIGINT)")
+          .as("n_syllables"))
+      .withColumn("fk_grade_milli",
+        expr("""CAST(FLOOR((390.0 * n_words * n_words
+                + 11800.0 * n_syllables * n_sentences
+                - 15590.0 * n_sentences * n_words)
+               / (n_sentences * n_words)) AS BIGINT)"""))
+      .withColumn("flesch_milli",
+        expr("""CAST(FLOOR((206835.0 * n_sentences * n_words
+                - 1015.0 * n_words * n_words
+                - 84600.0 * n_syllables * n_sentences)
+               / (n_sentences * n_words)) AS BIGINT)"""))
+
+  /** Lexicon words scored +1; their antonym column −1; negators flip the
+    * FOLLOWING token's polarity. Tuned to the synthetic corpus vocabulary
+    * (the [[langId]] precedent) — on a real corpus the literals become a
+    * broadcast lexicon table and nothing else changes.
+    */
+  private[operators] val SentPositive = Seq("fast", "big")
+  private[operators] val SentNegative = Seq("slow", "small")
+  private[operators] val SentNegators = Seq("a", "the")
+
+  /** Lexicon-based sentiment with one-token negation scope — the
+    * VADER-family scoring skeleton (Hutto & Gilbert 2014) reduced to its
+    * relational core: tokenize with position, score each token from a
+    * broadcast lexicon, flip polarity when the PRECEDING token is a
+    * negator (one LAG over the per-doc position order), aggregate.
+    *
+    * Shape: explode → one window pass partitioned by doc → one
+    * map-side-combined aggregate; scores are exact integers end to end.
+    */
+  def sentiment(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pos = SentPositive.map(w => s"'$w'").mkString(", ")
+    val neg = SentNegative.map(w => s"'$w'").mkString(", ")
+    val ngt = SentNegators.map(w => s"'$w'").mkString(", ")
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
+      .withColumn("raw", expr(
+        s"CASE WHEN tok IN ($pos) THEN 1 WHEN tok IN ($neg) THEN -1 ELSE 0 END"))
+      .withColumn("sc", expr(
+        s"CASE WHEN lag(tok, 1, '') OVER " +
+          s"(PARTITION BY $idCol ORDER BY p) IN ($ngt) THEN -raw ELSE raw END"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("CAST(sc = 1 AS INT)")).cast("long").as("n_pos"),
+        sum(expr("CAST(sc = -1 AS INT)")).cast("long").as("n_neg"),
+        sum("sc").cast("long").as("score"))
+      .withColumn("label", expr(
+        "CASE WHEN score > 0 THEN 'pos' WHEN score < 0 THEN 'neg' ELSE 'neu' END"))
+  }
+
   def zipf(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("tok"))

@@ -39,6 +39,8 @@ object LlmRegistry {
     "text_langid"           -> (LlmQueries.textLangId _),
     "text_quality"          -> (LlmQueries.textQuality _),
     "text_fingerprint"      -> (LlmQueries.textFingerprint _),
+    "text_readability"      -> (LlmQueries.textReadability _),
+    "text_sentiment"        -> (LlmQueries.textSentiment _),
     "text_segments"         -> (LlmQueries.textSegments _),
     "text_repetition"       -> (LlmQueries.textRepetition _),
     "text_pmi"              -> (LlmQueries.textPmi _),
@@ -1978,5 +1980,48 @@ object LlmRegistry {
         |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
         |    AS composed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // Same three exact-integer counts; each score is ONE floor of a
+    // single double division of integer polynomials (common denominator
+    // S*W) — both engines see the same two doubles.
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables
+        |FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(FLOOR((390.0 * n_words * n_words
+        |      + 11800.0 * n_syllables * n_sentences
+        |      - 15590.0 * n_sentences * n_words)
+        |    / (n_sentences * n_words)) AS BIGINT) AS fk_grade_milli,
+        |  CAST(FLOOR((206835.0 * n_sentences * n_words
+        |      - 1015.0 * n_words * n_words
+        |      - 84600.0 * n_syllables * n_sentences)
+        |    / (n_sentences * n_words)) AS BIGINT) AS flesch_milli
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Position-indexed tokens via the text_repetition LATERAL-range
+    // idiom; the one-token negation LAG becomes the prev subscript.
+    "text_sentiment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |x AS (SELECT doc_id, tk[gi.i] AS tok,
+        |        CASE WHEN gi.i > 1 THEN tk[gi.i - 1] ELSE '' END AS prev
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) gi),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN prev IN ('a', 'the') THEN -raw ELSE raw END AS sc
+        |      FROM (SELECT doc_id, prev,
+        |              CASE WHEN tok IN ('fast', 'big') THEN 1
+        |                   WHEN tok IN ('slow', 'small') THEN -1
+        |                   ELSE 0 END AS raw
+        |            FROM x))
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(sc = 1 AS INT)) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CAST(sc = -1 AS INT)) AS BIGINT) AS n_neg,
+        |  CAST(SUM(sc) AS BIGINT) AS score,
+        |  CASE WHEN SUM(sc) > 0 THEN 'pos' WHEN SUM(sc) < 0 THEN 'neg'
+        |       ELSE 'neu' END AS label
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

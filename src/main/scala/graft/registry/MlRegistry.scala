@@ -42,6 +42,8 @@ object MlRegistry {
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
+    "graph_hits"            -> (Graph.graphHits _),
+    "ml_apriori"            -> (Associations.marketBasket _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -825,5 +827,80 @@ object MlRegistry {
          |  CAST(floor((CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) * 10000) AS BIGINT) AS mean_right_e4,
          |  CAST(floor(${Regression.stumpSseSql} * 100) AS BIGINT) AS sse_cents
          |FROM sp ORDER BY sse_cents, threshold LIMIT 3""".stripMargin,
+    // Unrolled 2-round HITS with the engine's exact integer discipline:
+    // ppm max-normalization by floor division at every half-step (edge
+    // weights, then each auth/hub frame) — every sum an exact 64-bit
+    // integer, so both engines are bit-identical at any order.
+    "graph_hits" ->
+      """WITH e0 AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst, w * 1000000 // (SELECT MAX(w) FROM e0) AS wn
+        |  FROM e0),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS node, SUM(e.wn * h.h) AS araw
+        |        FROM e JOIN h0 h ON h.node = e.src GROUP BY 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CAST(CAST(COALESCE(r.araw, 0) AS HUGEINT) * 1000000 // (SELECT MAX(araw) FROM a1r) AS BIGINT) AS a
+        |  FROM nodes n LEFT JOIN a1r r ON r.node = n.node),
+        |h1r AS (SELECT e.src AS node, SUM(e.wn * a.a) AS hraw
+        |        FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+        |h1 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CAST(CAST(COALESCE(r.hraw, 0) AS HUGEINT) * 1000000 // (SELECT MAX(hraw) FROM h1r) AS BIGINT) AS h
+        |  FROM nodes n LEFT JOIN h1r r ON r.node = n.node),
+        |a2r AS (SELECT e.dst AS node, SUM(e.wn * h.h) AS araw
+        |        FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+        |a2 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CAST(CAST(COALESCE(r.araw, 0) AS HUGEINT) * 1000000 // (SELECT MAX(araw) FROM a2r) AS BIGINT) AS a
+        |  FROM nodes n LEFT JOIN a2r r ON r.node = n.node),
+        |h2r AS (SELECT e.src AS node, SUM(e.wn * a.a) AS hraw
+        |        FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+        |h2 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CAST(CAST(COALESCE(r.hraw, 0) AS HUGEINT) * 1000000 // (SELECT MAX(hraw) FROM h2r) AS BIGINT) AS h
+        |  FROM nodes n LEFT JOIN h2r r ON r.node = n.node)
+        |SELECT a2.node, na.n_name, a2.a AS auth_ppm, h2.h AS hub_ppm
+        |FROM a2 JOIN h2 ON a2.node = h2.node
+        |JOIN nation na ON a2.node = na.n_nationkey
+        |ORDER BY a2.node""".stripMargin,
+    // Same three Apriori stages: distinct collapse, frequent-1 prune
+    // with HAVING, basket self-join; metrics are the same composed
+    // integer divisions.
+    "ml_apriori" ->
+      """WITH bi AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l.l_orderkey AS BIGINT) AS basket,
+        |                  p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT COUNT(DISTINCT basket) AS nb FROM bi),
+        |f1 AS MATERIALIZED (
+        |  SELECT item, COUNT(*) AS cnt FROM bi GROUP BY item
+        |  HAVING COUNT(*) * 1000000 >= 20000 * (SELECT nb FROM nb)),
+        |bif AS MATERIALIZED (
+        |  SELECT bi.basket, bi.item, f1.cnt
+        |  FROM bi JOIN f1 ON bi.item = f1.item),
+        |pairs AS (
+        |  SELECT x.item AS b1, y.item AS b2, x.cnt AS cnt1, y.cnt AS cnt2,
+        |         COUNT(*) AS pair_cnt
+        |  FROM bif x JOIN bif y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING COUNT(*) * 1000000 >= 20000 * (SELECT nb FROM nb))
+        |SELECT b1, b2, pair_cnt, cnt1, cnt2,
+        |  pair_cnt * 1000000 // cnt1 AS conf_ppm,
+        |  (pair_cnt * 1000000 // cnt1) * (SELECT nb FROM nb) // cnt2
+        |    AS lift_ppm
+        |FROM pairs
+        |ORDER BY pair_cnt DESC, b1, b2 LIMIT 20""".stripMargin,
   )
 }

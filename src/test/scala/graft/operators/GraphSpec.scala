@@ -369,4 +369,50 @@ class GraphSpec extends SparkTestBase {
     byLabel.foreach { case (l, ms) =>
       assert(ms.exists(_._1 == l), s"label $l not among its members") }
   }
+
+  private def hitsOf(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst", "w"), rounds)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS on a star: the center is the only hub, leaves the only authorities") {
+    val got = hitsOf(Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)), rounds = 2)
+    assert(got(1L) == (0L, 1000000L), s"center $got")
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == (1000000L, 0L), s"leaf $n $got"))
+  }
+
+  test("HITS matches a BigInt driver replica of the exact integer recurrence") {
+    // asymmetric weighted digraph incl. a weight spread and a sink node
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (2L, 4L, 3L), (4L, 3L, 4L))
+    val got = hitsOf(edges, rounds = 2)
+    val mw = edges.map(_._3).max
+    val wn = edges.map { case (s, d, w) => (s, d, BigInt(w) * 1000000 / mw) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      val araw = nodes.map(n =>
+        n -> wn.filter(_._2 == n).map { case (s, _, w) => w * hub(s) }.sum).toMap
+      val am = araw.values.max
+      auth = araw.map { case (n, v) => n -> v * 1000000 / am }
+      val hraw = nodes.map(n =>
+        n -> wn.filter(_._1 == n).map { case (_, d, w) => w * auth(d) }.sum).toMap
+      val hm = hraw.values.max
+      hub = hraw.map { case (n, v) => n -> v * 1000000 / hm }
+    }
+    nodes.foreach { n =>
+      assert(got(n) == (auth(n).toLong, hub(n).toLong),
+        s"node $n engine ${got(n)} vs replica (${auth(n)}, ${hub(n)})")
+    }
+  }
+
+  test("graph_hits query: 25 nations, ppm-bounded, a unit max in each column") {
+    val rows = Graph.graphHits(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 25)
+    rows.foreach { case (_, a, h) =>
+      assert(a >= 0 && a <= 1000000 && h >= 0 && h <= 1000000) }
+    assert(rows.map(_._2).max == 1000000L, "auth max-normalization")
+    assert(rows.map(_._3).max == 1000000L, "hub max-normalization")
+  }
 }

@@ -430,4 +430,37 @@ class TextStatsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twice == got)
   }
+
+  test("readability: exact counts and both scores on hand sentences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world. It is big!"),
+      (2L, "word")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc 1: W=5 tokens, S=2 ([.!]), Y=6 vowel groups
+    // fk_milli    = floor((390*25 + 11800*12 - 15590*10) / 10)  = -455
+    // flesch_milli= floor((2068350 - 25375 - 1015200) / 10)     = 102777
+    assert(got(1L) == (5L, 2L, 6L, -455L, 102777L), got(1L).toString)
+    // doc 2: W=1, S floors to 1, Y=1:
+    // fk = floor(390 + 11800 - 15590) = -3400
+    // flesch = floor(206835 - 1015 - 84600) = 121220
+    assert(got(2L) == (1L, 1L, 1L, -3400L, 121220L), got(2L).toString)
+  }
+
+  test("sentiment: lexicon scores with one-token negation scope") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the fast slow a big"), // fast negated, slow kept, big negated
+      (2L, "fast fast big"),       // all positive, no negation
+      (3L, "key value table")).toDF("doc_id", "text") // neutral
+    val got = TextAnalysis.sentiment(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == (0L, 3L, -3L, "neg"), got(1L).toString)
+    assert(got(2L) == (3L, 0L, 3L, "pos"), got(2L).toString)
+    assert(got(3L) == (0L, 0L, 0L, "neu"), got(3L).toString)
+  }
 }
