@@ -1813,6 +1813,122 @@ object PipelineQueries {
         sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
   }
 
+  /** A53 — Avro Object Container File ingest/export roundtrip: the
+    * interchange format the reference's warehouse side actually speaks
+    * (BigQuery's native export/load format is Avro — `dags/` moves CSV
+    * only because CloudSQL forces it). No spark-avro module ships in
+    * this build, so both legs ride the PUBLIC core Avro library over
+    * Spark's own distribution machinery, cluster-correct on both sides:
+    *
+    *   - EXPORT: `foreachPartition` writers — one deflate-compressed
+    *     `.avro` container per task through the Hadoop FileSystem API
+    *     (scheme-resolved, so the same code targets HDFS/object stores);
+    *   - INGEST: `binaryFile` source → per-file `DataFileReader` inside
+    *     `mapPartitions` — each container decodes independently on
+    *     whatever executor holds it, no driver funnel.
+    *
+    * The gate is the a28 XOR-folded content checksum per group: any
+    * encode/decode mutation (zigzag varints, UTF-8, deflate blocks, sync
+    * markers) flips a group's hash against the DuckDB recompute from the
+    * ORIGINAL table. Container realness is asserted (magic `Obj\1`,
+    * deflate codec in the header, multiple parts).
+    */
+  def a53AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_avro").toString + "/docs_avro"
+    val schemaJson =
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"doc_id","type":"long"},{"name":"text","type":"string"},
+        |{"name":"lang","type":"string"},{"name":"source","type":"string"},
+        |{"name":"n_chars","type":"long"}]}""".stripMargin
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val schema = new Schema.Parser().parse(schemaJson)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new Path(s"$base/part-$pid.avro")
+          // scheme-resolved FS (file:// here, HDFS/object store at scale)
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(CodecFactory.deflateCodec(6))
+          w.create(schema, fs.create(path, true))
+          try it.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("doc_id", r.getLong(0))
+            rec.put("text", r.getString(1))
+            rec.put("lang", r.getString(2))
+            rec.put("source", r.getString(3))
+            rec.put("n_chars", r.getLong(4))
+            w.append(rec)
+          } finally w.close()
+        }
+      }
+    val parts = new Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(base)).map(_.getPath.getName)
+    require(parts.count(_.endsWith(".avro")) >= 2,
+      s"expected multiple avro containers, got ${parts.toSeq}")
+    import s.implicits._
+    val decoded = s.read.format("binaryFile").load(base + "/*.avro")
+      .select("content").as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          require(bytes.length > 4 && bytes(0) == 'O' && bytes(1) == 'b'
+            && bytes(2) == 'j' && bytes(3) == 1, "not an Avro OCF")
+          val rd = new DataFileReader[GenericRecord](
+            new SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord]())
+          require(rd.getMetaString("avro.codec") == "deflate",
+            "container must carry the deflate codec")
+          import scala.jdk.CollectionConverters._
+          rd.iterator.asScala.map(rec => (
+            rec.get("doc_id").asInstanceOf[Long],
+            rec.get("text").toString,
+            rec.get("lang").toString,
+            rec.get("source").toString,
+            rec.get("n_chars").asInstanceOf[Long]))
+        }
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    decoded
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
+  /** A54 — XML ingest/export roundtrip through Spark 4's built-in XML
+    * source (the donated spark-xml lineage): the corpus exported as
+    * `<docs><doc>…</doc>…</docs>` documents and read back with an
+    * EXPLICIT contract schema + rowTag (inference is an extra full lake
+    * scan at 100 TB, same argument as a28). The gate is the a28
+    * XOR-folded content checksum per group, so any entity-escape /
+    * unescape or whitespace mutation of any text flips a group hash
+    * against the DuckDB recompute from the original table.
+    */
+  def a54XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_xml").toString + "/docs_xml"
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .save(base)
+    s.read.format("xml")
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("rowTag", "doc")
+      .load(base)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

@@ -53,6 +53,8 @@ object PipelineRegistry {
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
+    "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
+    "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
     "a50_pgwire_tls"        -> (PipelineQueries.a50PgwireTls _),
     "a51_mssqlwire_pushdown" -> (PipelineQueries.a51MssqlwirePushdown _),
     "a51b_mssqlwire_quirks" -> (PipelineQueries.a51bMssqlwireQuirks _),
@@ -387,6 +389,23 @@ object PipelineRegistry {
     // a49: the same content truth through the gzip-compressed leg — the
     // decompression path must be byte-lossless to match
     "a49_gzip_jsonl" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // a53: same content truth through the Avro container leg — zigzag
+    // varints, UTF-8 runs, deflate blocks and sync markers must all be
+    // byte-lossless for every group hash to match
+    "a53_avro_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // a54: same content truth through the XML leg — entity escaping and
+    // whitespace handling must be byte-lossless
+    "a54_xml_roundtrip" ->
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
