@@ -760,6 +760,19 @@ object LlmQueries {
     Flac.flacStats(media).toDF().orderBy("doc_id")
   }
 
+  /** Rational 3:2 linear upsampling over decoded channel-0 PCM
+    * ([[Wav.wavResample]]) — exact integer interpolation, per-doc
+    * energy/peak pinned against the closed-form fixture replay.
+    */
+  def mmAudioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavResample(media).toDF().orderBy("doc_id")
+  }
+
   /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample
     * frames every 32 samples of channel 0 with per-frame energy/peak —
     * the STFT layout over real samples (the raw-byte

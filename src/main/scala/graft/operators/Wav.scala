@@ -106,6 +106,59 @@ object Wav {
     }
   }
 
+  case class WavResampleRow(doc_id: Long, n_in: Long, n_out: Long,
+                            energy: Long, peak: Int)
+
+  /** Rational `up:dn` LINEAR resampler over decoded channel-0 PCM (the
+    * 8 kHz → 12 kHz shape every mixed-rate audio corpus needs before
+    * batch feature extraction). Output sample i sits at input position
+    * `i·dn/up`; with `idx = (i·dn) div up` and `rem = (i·dn) mod up`,
+    *
+    *   out(i) = x(idx) + floorDiv((x(idx+1) − x(idx)) · rem, up)
+    *
+    * — all-integer, so the emitted energy/peak are exact and an external
+    * oracle replays the interpolation bit-for-bit (floorDiv ≡ FLOOR of
+    * the exact double quotient at these magnitudes). When rem = 0 the
+    * neighbor is never read, so the final output (which lands exactly ON
+    * the last input sample) needs no padding. Row-local like
+    * [[wavFrames]]: one decode + one pass, nothing shuffles; a linear
+    * signal resamples exactly (spec-pinned), a band-limited
+    * reconstruction tier would swap the kernel, not the plumbing.
+    */
+  def wavResample(media: Dataset[Multimodal.MediaRow], up: Int = 3,
+                  dn: Int = 2): Dataset[WavResampleRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).map { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          val nOut = if (n == 0) 0L else ((n - 1).toLong * up) / dn + 1
+          var energy = 0L
+          var peak = 0
+          var i = 0L
+          while (i < nOut) {
+            val num = i * dn
+            val idx = (num / up).toInt
+            val rem = (num % up).toInt
+            val x0 = sample(r.data, info, idx * ch)
+            val out =
+              if (rem == 0) x0
+              else {
+                val x1 = sample(r.data, info, (idx + 1) * ch)
+                x0 + Math.floorDiv((x1 - x0).toLong * rem, up.toLong).toInt
+              }
+            energy += out.toLong * out
+            val a = math.abs(out)
+            if (a > peak) peak = a
+            i += 1
+          }
+          WavResampleRow(r.doc_id, n.toLong, nOut, energy, peak)
+        }
+      }
+    }
+  }
+
   case class WavFrameRow(doc_id: Long, frame_id: Long, energy: Long,
                          peak: Int)
 

@@ -33,6 +33,7 @@ object MediaRegistry {
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_flac_decode"        -> (LlmQueries.mmFlacDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
+    "mm_audio_resample"     -> (LlmQueries.mmAudioResample _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
@@ -462,6 +463,29 @@ object MediaRegistry {
         |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
         |  CAST(e.energy AS BIGINT) AS energy, CAST(e.peak AS INT) AS peak
         |FROM d JOIN e USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // 3:2 linear resample over decoded channel-0 PCM: output i sits at
+    // input position i*2/3; idx/rem by integer division, the
+    // interpolation is one FLOOR of an exact quotient (engine floorDiv)
+    // and the rem=0 branch needs no neighbor, so (x1-x0)*0 covers it
+    "mm_audio_resample" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+        |  FROM documents),
+        |o AS (SELECT doc_id, seed, ch, nf, g.i AS i,
+        |        (g.i * 2) // 3 AS idx, (g.i * 2) % 3 AS rem
+        |      FROM d, LATERAL (SELECT unnest(range(0, ((nf - 1) * 3) // 2 + 1))
+        |                       AS i) g),
+        |s AS (SELECT doc_id, nf,
+        |        x0 + CAST(FLOOR((x1 - x0) * rem / 3.0) AS BIGINT) AS o
+        |      FROM (SELECT doc_id, nf, rem,
+        |              ((seed * 13 + (idx * ch) * 29) % 65536) - 32768 AS x0,
+        |              ((seed * 13 + ((idx + 1) * ch) * 29) % 65536) - 32768 AS x1
+        |            FROM o))
+        |SELECT doc_id, MAX(nf) AS n_in, CAST(COUNT(*) AS BIGINT) AS n_out,
+        |  CAST(SUM(o * o) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(o)) AS INT) AS peak
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // framing over DECODED channel-0 PCM: frame f covers per-channel
     // sample indices [f*32, f*32+64); interleaved word index = i*ch
     "mm_wav_frames" ->

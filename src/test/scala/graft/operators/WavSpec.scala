@@ -144,4 +144,46 @@ class WavSpec extends SparkTestBase {
     val bins = Wav.stftPower(one).collect().map(r => r.bin -> r.power).toMap
     assert(bins(0) > 100L * (1 until 8).map(bins(_)).max)
   }
+
+  test("wavResample: a linear ramp resamples EXACTLY, a constant stays " +
+      "constant, and stereo reads channel 0; replica parity on random PCM") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      rows.map { case (id, b) => (id, b, "audio/wav", b.length.toLong) }
+        .toDF("doc_id", "data", "mime", "n_bytes").as[Multimodal.MediaRow]
+    // ramp x(j) = 6j: at 3:2 the outputs are exactly 4i (linear signal,
+    // exact interpolation) -> energy = 16 * sum i^2 over nOut outputs
+    val n = 101
+    val ramp = Wav.encodePcm16(1, 8000, Array.tabulate[Short](n)(j => (6 * j).toShort))
+    val const = Wav.encodePcm16(1, 8000, Array.fill[Short](50)(123))
+    // stereo: channel 0 is the ramp, channel 1 is noise that must not leak
+    val stereo = Wav.encodePcm16(2, 8000,
+      Array.tabulate[Short](2 * n)(k => if (k % 2 == 0) (6 * (k / 2)).toShort else 9999))
+    val got = Wav.wavResample(mediaOf(Seq((1L, ramp), (2L, const), (3L, stereo))))
+      .collect().map(r => r.doc_id -> r).toMap
+    val nOut = ((n - 1).toLong * 3) / 2 + 1
+    val rampEnergy = (0L until nOut).map(i => 16L * i * i).sum
+    assert(got(1L).n_out == nOut && got(1L).energy == rampEnergy
+      && got(1L).peak == 4 * (nOut - 1), got(1L).toString)
+    assert(got(2L).n_out == ((50 - 1) * 3) / 2 + 1
+      && got(2L).energy == got(2L).n_out * 123L * 123L
+      && got(2L).peak == 123, got(2L).toString)
+    assert(got(3L).energy == got(1L).energy && got(3L).peak == got(1L).peak,
+      "stereo channel 0 must equal the mono ramp")
+    // replica parity on random PCM incl. negative samples
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill[Short](77)((rnd.nextInt(65536) - 32768).toShort)
+    val gotR = Wav.wavResample(mediaOf(Seq((9L, Wav.encodePcm16(1, 8000, xs)))))
+      .collect().head
+    var energy = 0L; var peak = 0
+    val no = ((xs.length - 1).toLong * 3) / 2 + 1
+    (0L until no).foreach { i =>
+      val num = i * 2; val idx = (num / 3).toInt; val rem = (num % 3).toInt
+      val o = if (rem == 0) xs(idx).toInt
+        else xs(idx) + Math.floorDiv((xs(idx + 1) - xs(idx)).toLong * rem, 3L).toInt
+      energy += o.toLong * o; peak = math.max(peak, math.abs(o))
+    }
+    assert(gotR.energy == energy && gotR.peak == peak && gotR.n_out == no)
+  }
 }
