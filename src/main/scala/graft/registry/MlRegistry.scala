@@ -43,6 +43,7 @@ object MlRegistry {
     "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "graph_hits"            -> (Graph.graphHits _),
+    "graph_scc"             -> (Graph.graphScc _),
     "ml_apriori"            -> (Associations.marketBasket _),
   )
 
@@ -875,6 +876,43 @@ object MlRegistry {
         |FROM a2 JOIN h2 ON a2.node = h2.node
         |JOIN nation na ON a2.node = na.n_nationkey
         |ORDER BY a2.node""".stripMargin,
+    // SCC is definitional, so the oracle needs no recurrence replay:
+    // reach = recursive closure, scc_id(v) = MIN over mutual reach
+    // (self included) — the engine's closure-squaring must land on the
+    // same fixed point exactly.
+    "graph_scc" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst,
+        |         CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |kept AS MATERIALIZED (
+        |  SELECT src, dst
+        |  FROM e0, (SELECT quantile_cont(w, 0.7) AS q FROM e0) qs
+        |  WHERE w > q AND src <> dst),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM kept UNION SELECT dst FROM kept),
+        |reach AS (
+        |  SELECT src, dst FROM kept
+        |  UNION
+        |  SELECT r.src, k.dst FROM reach r JOIN kept k ON r.dst = k.src),
+        |c AS MATERIALIZED (
+        |  SELECT src, dst FROM reach
+        |  UNION SELECT node, node FROM nodes),
+        |m AS MATERIALIZED (
+        |  SELECT a.src AS node, MIN(a.dst) AS scc_id
+        |  FROM c a JOIN c b ON a.src = b.dst AND a.dst = b.src
+        |  GROUP BY a.src),
+        |sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM m GROUP BY scc_id)
+        |SELECT m.node, n.n_name, m.scc_id,
+        |  CAST(sz.scc_size AS BIGINT) AS scc_size
+        |FROM m JOIN sz USING (scc_id)
+        |JOIN nation n ON m.node = n.n_nationkey
+        |ORDER BY m.node""".stripMargin,
     // Same three Apriori stages: distinct collapse, frequent-1 prune
     // with HAVING, basket self-join; metrics are the same composed
     // integer divisions.

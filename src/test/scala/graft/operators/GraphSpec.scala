@@ -415,4 +415,70 @@ class GraphSpec extends SparkTestBase {
     assert(rows.map(_._2).max == 1000000L, "auth max-normalization")
     assert(rows.map(_._3).max == 1000000L, "hub max-normalization")
   }
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.sccByClosure(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side Tarjan for replica parity. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var idx = 0
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    def strong(v: Long): Unit = {
+      index(v) = idx; low(v) = idx; idx += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strong(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min index(w)
+      }
+      if (low(v) == index(v)) {
+        val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+        val id = members.min
+        members.foreach(comp(_) = id)
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strong(v))
+    comp.toMap
+  }
+
+  test("SCC: two cycles joined by a one-way bridge, plus a singleton") {
+    // cycle {1,2,3} -> bridge -> cycle {10,11}; 20 is a source singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 10L), (20L, 1L))
+    val got = sccOf(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
+  }
+
+  test("SCC: closure squaring equals Tarjan on random digraphs, incl. a " +
+      "25-node cycle needing the full doubling depth") {
+    val ring = (0L until 25L).map(i => (i, (i + 1) % 25))
+    assert(sccOf(ring) == ring.map(e => e._1 -> 0L).toMap, "25-ring is one SCC")
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      assert(sccOf(edges) == tarjan(edges), s"edges: $edges")
+    }
+  }
+
+  test("graph_scc query: labels are member minima, sizes consistent") {
+    val rows = Graph.graphScc(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byScc = rows.groupBy(_._2)
+    byScc.foreach { case (id, ms) =>
+      assert(ms.exists(_._1 == id), s"scc $id lacks its eponymous node")
+      assert(id == ms.map(_._1).min, s"scc $id is not the member min")
+      ms.foreach { m => assert(m._3 == ms.length.toLong, s"size of $m") }
+    }
+  }
 }
