@@ -913,7 +913,12 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     var r = e0.localCheckpoint(true)
-    for (_ <- 1 to doublings) {
+    // fixed-point early exit: squaring is monotone, so a doubling that
+    // adds no pair means R∘R ⊆ R — already transitively closed
+    var prev = r.count()
+    var converged = false
+    var k = 0
+    while (k < doublings && !converged) {
       r = r.unionByName(
           r.select(col("src"), col("dst").as("mid"))
             .join(r.select(col("src").as("mid"), col("dst")), "mid")
@@ -924,6 +929,21 @@ object Graph {
       require(n <= maxClosure,
         s"transitive closure reached $n rows (> $maxClosure): this graph " +
           "needs the FW-BW peeling tier, not the dense-closure plan")
+      converged = n == prev
+      prev = n
+      k += 1
+    }
+    // never return an unclosed relation: if the budget ran out before a
+    // no-growth round, one probe squaring must confirm the fixed point
+    if (!converged) {
+      val probe = r.unionByName(
+          r.select(col("src"), col("dst").as("mid"))
+            .join(r.select(col("src").as("mid"), col("dst")), "mid")
+            .select(col("src"), col("dst")))
+        .distinct().count()
+      require(probe == prev,
+        s"closure not converged after $doublings doublings " +
+          s"(grew $prev -> $probe): raise the doubling budget")
     }
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct()
