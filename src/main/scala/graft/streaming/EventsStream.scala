@@ -238,6 +238,42 @@ object EventsStream {
       .start()
   }
 
+  /** Pattern 15 — FULL OUTER stream-stream join: the reconciliation
+    * shape (every click AND every purchase must surface, matched or
+    * not — the audit view a funnel's left-outer form cannot give).
+    * Same keys/time-bound/watermarks as [[clickPurchaseOuterJoin]];
+    * unmatched rows on EITHER side null-emit when the global watermark
+    * (min over both inputs) passes them.
+    */
+  def clickPurchaseFullOuterJoin(spark: SparkSession, srcDir: String,
+                                 checkpointDir: String, outDir: String): StreamingQuery = {
+    val clicks = source(spark, srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+        "fullOuter")
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "p_user_id", "purchase_ts", "amount")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Stream-static enrichment: the event stream joined to a BATCH
     * dimension table (customer). No watermark needed on the static side —
     * Spark re-plans the batch side per micro-batch, so a dim refresh is

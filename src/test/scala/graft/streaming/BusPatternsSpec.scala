@@ -66,6 +66,13 @@ class BusPatternsSpec extends SparkTestBase {
       ("outer_join", EventsStream.clickPurchaseOuterJoin(spark, _, _, _),
         df => df.filter(col("purchase_id").isNotNull ||
           col("click_ts") < expr(fenceTs))),
+      // full outer: matched rows are always deterministic; a null-padded
+      // row is only guaranteed once ITS side's event time clears the fence
+      ("full_outer_join", EventsStream.clickPurchaseFullOuterJoin(spark, _, _, _),
+        df => df.filter(
+          (col("purchase_id").isNotNull && col("click_id").isNotNull) ||
+          (col("purchase_id").isNull && col("click_ts") < expr(fenceTs)) ||
+          (col("click_id").isNull && col("purchase_ts") < expr(fenceTs)))),
       ("trending_topk", EventsStream.trendingTopK(spark, _, _, _),
         df => df.filter(expr(s"w + INTERVAL 1 HOUR < $fenceTs"))))
     patterns.foreach { case (tag, run, closed) =>

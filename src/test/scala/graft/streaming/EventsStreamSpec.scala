@@ -167,6 +167,64 @@ class EventsStreamSpec extends SparkTestBase {
     assert(nulls.nonEmpty, "the corpus must exercise the null path")
   }
 
+  test("full-outer stream-stream join: matched equals inner, BOTH sides " +
+      "null-emit their watermark-cleared unmatched rows") {
+    val out = tmp("es_foj_out")
+    val q = EventsStream.clickPurchaseFullOuterJoin(spark, eventsDir,
+      tmp("es_foj_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        round(col("value"), 2).as("amount"))
+    val inner = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "p_user_id", "purchase_ts", "amount")
+    val matched = streamed
+      .filter(col("purchase_id").isNotNull && col("click_id").isNotNull)
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty,
+      "matched rows must equal the batch inner join")
+    val nullP = streamed.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val nullC = streamed.filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val matchedClicks = inner.select("click_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val matchedPurch = inner.select("purchase_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((nullP & matchedClicks).isEmpty, "matched click null-emitted")
+    assert((nullC & matchedPurch).isEmpty, "matched purchase null-emitted")
+    // both-side eviction is gated by the GLOBAL watermark (min over both
+    // inputs' max event time − 1 h), with one extra hour of margin
+    // because watermark updates apply to the FOLLOWING micro-batch
+    val maxClick = clicks.agg(max("click_ts")).head().getTimestamp(0).getTime
+    val maxPurch = purchases.agg(max("purchase_ts")).head().getTimestamp(0).getTime
+    val wm = math.min(maxClick, maxPurch) - 3600 * 1000L
+    val cut = to_timestamp(lit((wm - 3600 * 1000L) / 1000L))
+    val unmatchedOldClicks = clicks
+      .join(inner.select("click_id").distinct(), Seq("click_id"), "left_anti")
+      .filter(col("click_ts") < cut)
+      .collect().map(_.getLong(0)).toSet
+    val unmatchedOldPurch = purchases
+      .join(inner.select("purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+      .filter(col("purchase_ts") < cut)
+      .collect().map(_.getLong(0)).toSet
+    assert(unmatchedOldClicks.subsetOf(nullP),
+      s"cleared unmatched clicks missing: ${(unmatchedOldClicks -- nullP).take(5)}")
+    assert(unmatchedOldPurch.subsetOf(nullC),
+      s"cleared unmatched purchases missing: ${(unmatchedOldPurch -- nullC).take(5)}")
+    assert(nullP.nonEmpty && nullC.nonEmpty,
+      "the corpus must exercise both null paths")
+  }
+
   test("stateful dedup within watermark keeps event_ids unique") {
     val out = tmp("es_dd_out")
     val q = EventsStream.dedupedEvents(spark, eventsDir,
