@@ -267,6 +267,37 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Weekly-seasonality anomaly screen — the per-WEEKDAY sibling of
+    * [[dqFreshness]]' global median rule: daily volumes compare against
+    * their own weekday's median (Mondays against Mondays), so a quiet
+    * weekend never false-alarms and a quiet Tuesday never hides behind
+    * the weekend's low global median. Flags: `low`/`high` when the day
+    * deviates from its weekday median by more than 40% either way.
+    *
+    * Shape: ONE fact-sized aggregate to |days| rows, then a weekday
+    * median over the bounded 7-group frame and a co-keyed join back —
+    * nothing fact-sized moves twice. Exact: counts are longs, the
+    * median is the same exact `percentile` both engines interpolate
+    * identically, and the 40% band compares `10·n` against `14·med` /
+    * `6·med` in integer-valued doubles (no float drift at the boundary).
+    */
+  def dqSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the weekday medians AND the join
+    val med = daily
+      .groupBy(expr("dayofweek(day)").as("dow"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    daily.withColumn("dow", expr("dayofweek(day)"))
+      .join(broadcast(med), "dow")
+      .select(col("day"), col("dow").cast("int").as("dow"), col("n"),
+        round(col("med"), 1).as("wd_median"),
+        when(col("n") * 10.0 < col("med") * 6.0, "low")
+          .when(col("n") * 10.0 > col("med") * 14.0, "high")
+          .otherwise("ok").as("status"))
+      .orderBy("day")
+  }
+
   /** EWMA level-shift monitor over the daily volume series — the
     * time-ADAPTIVE complement to [[dqFreshness]]' static half-median
     * rule: an exponentially weighted moving average (α = 0.3, seeded at

@@ -86,6 +86,7 @@ object RelationalRegistry {
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
+    "dq_seasonal"           -> (Analytics.dqSeasonal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -537,6 +538,22 @@ object RelationalRegistry {
         |       WHEN n < med * 0.5 THEN 'low' ELSE 'ok' END AS status
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY cal.day""".stripMargin,
+    // Per-weekday median band: DuckDB numbers Sunday=0 where Spark's
+    // dayofweek is Sunday=1, hence the +1; the 40% band compares in
+    // integer-valued doubles on both engines.
+    "dq_seasonal" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT dayofweek(day) + 1 AS dow, MEDIAN(n) AS med
+        |        FROM daily GROUP BY 1)
+        |SELECT d.day, CAST(dayofweek(d.day) + 1 AS INT) AS dow,
+        |  CAST(d.n AS BIGINT) AS n, ROUND(m.med, 1) AS wd_median,
+        |  CASE WHEN d.n * 10.0 < m.med * 6.0 THEN 'low'
+        |       WHEN d.n * 10.0 > m.med * 14.0 THEN 'high'
+        |       ELSE 'ok' END AS status
+        |FROM daily d JOIN med m ON dayofweek(d.day) + 1 = m.dow
+        |ORDER BY d.day""".stripMargin,
     // The map SEMANTICS recomputed relationally — cardinality = line
     // count, lookup = the line-1 quantity, key max / value sum / the
     // canonical k:v rendering via ordered string_agg.

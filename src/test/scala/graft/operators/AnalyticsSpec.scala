@@ -298,4 +298,29 @@ class AnalyticsSpec extends SparkTestBase {
     rows.foreach { case (b, lo, _, _, _) => assert(lo === b * 5000.0) }
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-2, "shares sum to ~1")
   }
+
+  test("dq_seasonal: flags agree with a driver-side per-weekday median " +
+      "recompute, and every weekday's median comes from its own days") {
+    val rows = Analytics.dqSeasonal(spark, sfDir)
+      .collect().map(r => (r.getDate(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val byDow = rows.groupBy(_._2)
+    byDow.foreach { case (dow, ds) =>
+      // exact interpolated median of this weekday's counts
+      val ns = ds.map(_._3).sorted
+      val med =
+        if (ns.length % 2 == 1) ns(ns.length / 2).toDouble
+        else (ns(ns.length / 2 - 1) + ns(ns.length / 2)) / 2.0
+      ds.foreach { case (day, _, n, wdMed, status) =>
+        assert(math.abs(wdMed - math.rint(med * 10) / 10) < 1e-9,
+          s"$day dow=$dow median $wdMed vs recompute $med")
+        val expect =
+          if (n * 10.0 < med * 6.0) "low"
+          else if (n * 10.0 > med * 14.0) "high"
+          else "ok"
+        assert(status == expect, s"$day n=$n med=$med -> $status")
+      }
+    }
+  }
 }
