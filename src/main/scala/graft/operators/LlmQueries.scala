@@ -380,6 +380,9 @@ object LlmQueries {
   def textPmi(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 
+  def textLlr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.llrTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
+
   /** Capacity 4096 > the corpus's distinct-bigram count at every test
     * scale, so the sketch is exact here and DuckDB's exact aggregate is
     * the oracle; HeavyHittersSpec pins the lossy small-k bounds.
@@ -771,6 +774,21 @@ object LlmQueries {
         col("meta.n_bytes").as("n_bytes"))
       .as[Multimodal.MediaRow]
     Wav.wavResample(media).toDF().orderBy("doc_id")
+  }
+
+  /** G.711 μ-law companding round trip over decoded channel-0 PCM
+    * ([[Wav.wavMulaw]]) — the telephony codec leg: per-doc
+    * reconstruction energy/peak and max companding error, all-integer
+    * segment/mantissa arithmetic the oracle replays from the
+    * closed-form fixture samples.
+    */
+  def mmAudioMulaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavMulaw(media).toDF().orderBy("doc_id")
   }
 
   /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample

@@ -328,6 +328,140 @@ object Regression {
        |ORDER BY round""".stripMargin
   }
 
+  /** Number of bagging bags — shared with the oracle as a literal. */
+  private[graft] val BaggingBags: Int = 4
+
+  /** ml_bagging — a bagged-stump ensemble (Breiman 1996, "Bagging
+    * Predictors") beside [[mlBoostedStumps]]' boosting: B disjoint
+    * deterministic bags (hash-free key arithmetic on
+    * `(l_orderkey·7 + l_linenumber) mod B` — the disjoint-partition
+    * variant of bagging; a production run salts the modulus with a
+    * seed, the variance-reduction mechanism is identical), one
+    * regression stump per bag, ensemble prediction = the bag average.
+    *
+    * Scale shape: ALL B stumps train off ONE corpus scan — the
+    * sufficient-statistics aggregate keys on (bag, feature value), the
+    * prefix-sum window partitions by bag, and the per-bag argmin is a
+    * row_number over the bounded splits frame. Scoring is a second
+    * scan against the B-row model PIVOTED to one broadcast row. A
+    * wider ensemble grows the bounded frame, not the number of corpus
+    * scans — the [[mlStump]] bounded-frame argument, per bag.
+    *
+    * Determinism: targets are whole dollars, so the per-bag sufficient
+    * statistics are exact integers; per-row ensemble residuals
+    * quantize to deci-dollars (`floor(r·10 + 0.5)` — the boosting
+    * discipline) so the ensemble RMSE integer-aggregates exactly at
+    * any partial-sum order; emissions floor-quantize (the ml_stump
+    * ROUND-tie lesson).
+    */
+  def mlBagging(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = BaggingBags
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("v"),
+      ((col("l_orderkey").cast("long") * 7 +
+        col("l_linenumber").cast("long")) % b).as("bag"))
+      .localCheckpoint(true) // feeds the trainer AND the scoring pass
+    val perQ = li.groupBy(col("bag"), col("q")).agg(
+      count(lit(1)).as("n"), sum("v").as("s"),
+      sum(col("v") * col("v")).as("ss"))
+    val wPre = Window.partitionBy("bag").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("bag")
+    val splits = perQ.select(col("bag"), col("q"),
+        sum("n").over(wPre).as("nl"), sum("s").over(wPre).as("sl"),
+        sum("ss").over(wPre).as("ssl"),
+        sum("n").over(wAll).as("nt"), sum("s").over(wAll).as("st"),
+        sum("ss").over(wAll).as("sst"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("ssr", col("sst") - col("ssl"))
+      .filter(col("nr") > 0)
+      .withColumn("ml", expr("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"))
+      .withColumn("mr", expr("CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)"))
+      .withColumn("sse", expr(stumpSseSql))
+    val wBest = Window.partitionBy("bag").orderBy(col("sse"), col("q"))
+    val best = splits.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("bag"), col("q").as("threshold"), col("nl").as("n_left"),
+        col("nr").as("n_right"), col("ml"), col("mr"), col("sse"))
+      .localCheckpoint(true) // B rows; pivoted for scoring AND emitted
+    val pivots: Seq[Column] = (0 until b).flatMap(k => Seq(
+      max(when(col("bag") === k, col("threshold"))).as(s"thr$k"),
+      max(when(col("bag") === k, col("ml"))).as(s"ml$k"),
+      max(when(col("bag") === k, col("mr"))).as(s"mr$k")))
+    val one = best.agg(pivots.head, pivots.tail: _*)
+    val pred = (0 until b).map(k =>
+      when(col("q") <= col(s"thr$k"), col(s"ml$k")).otherwise(col(s"mr$k")))
+      .reduce(_ + _) / lit(b.toDouble)
+    val rmse = li.crossJoin(broadcast(one))
+      .select(floor((col("v").cast("double") - pred) * 10 + 0.5)
+        .cast("long").as("r"))
+      .agg((sqrt(sum(col("r") * col("r")).cast("double") /
+        count(lit(1)).cast("double")) / 10.0).as("g_rmse"))
+    best.crossJoin(broadcast(rmse))
+      .select(col("bag"), col("threshold"), col("n_left"), col("n_right"),
+        floor(col("ml") * 10000).cast("long").as("mean_left_e4"),
+        floor(col("mr") * 10000).cast("long").as("mean_right_e4"),
+        floor(col("sse") * 100).cast("long").as("sse_cents"),
+        floor(col("g_rmse") * 10000).cast("long").as("rmse_e4"))
+      .orderBy("bag")
+  }
+
+  /** The oracle: the same one-scan multi-bag trainer — (bag, q)
+    * sufficient statistics, bag-partitioned prefix sums, QUALIFY
+    * row_number argmin — plus the 4-model ensemble scoring pass with
+    * the identical `(v − Σpred/B)·10 + 0.5` per-row quantization;
+    * every formula shared textually with the engine.
+    */
+  def baggingOracleSql(): String = {
+    val b = BaggingBags
+    val bagRefs = (0 until b).map(k => s"b$k AS (SELECT * FROM best WHERE bag = $k)")
+    val predSum = (0 until b).map(k =>
+      s"CASE WHEN li.q <= b$k.q THEN b$k.ml ELSE b$k.mr END").mkString("\n      + ")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS v,
+       |    (CAST(l_orderkey AS BIGINT) * 7 + CAST(l_linenumber AS BIGINT)) % $b
+       |      AS bag
+       |  FROM lineitem),
+       |perq AS (SELECT bag, q, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+       |         FROM li GROUP BY 1, 2),
+       |pre AS (SELECT bag, q,
+       |    SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+       |    SUM(n) OVER wb AS nt, SUM(s) OVER wb AS st, SUM(ss) OVER wb AS sst
+       |  FROM perq
+       |  WINDOW w AS (PARTITION BY bag ORDER BY q
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wb AS (PARTITION BY bag)),
+       |sp AS (SELECT bag, q, nl, sl, ssl, nt - nl AS nr, st - sl AS sr,
+       |         sst - ssl AS ssr
+       |       FROM pre WHERE nt - nl > 0),
+       |sc AS (SELECT bag, q, nl, nr,
+       |    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+       |    CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mr,
+       |    $stumpSseSql AS sse
+       |  FROM sp),
+       |best AS MATERIALIZED (
+       |  SELECT * FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY bag ORDER BY sse, q) = 1),
+       |${bagRefs.mkString(",\n")},
+       |ens AS (
+       |  SELECT SQRT(CAST(SUM(r * r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |      / 10.0 AS g_rmse
+       |  FROM (SELECT CAST(FLOOR((CAST(v AS DOUBLE) -
+       |      ($predSum) / $b.0) * 10 + 0.5) AS BIGINT) AS r
+       |    FROM li, ${(0 until b).map(k => s"b$k").mkString(", ")}))
+       |SELECT bag, q AS threshold, CAST(nl AS BIGINT) AS n_left,
+       |  CAST(nr AS BIGINT) AS n_right,
+       |  CAST(FLOOR(ml * 10000) AS BIGINT) AS mean_left_e4,
+       |  CAST(FLOOR(mr * 10000) AS BIGINT) AS mean_right_e4,
+       |  CAST(FLOOR(sse * 100) AS BIGINT) AS sse_cents,
+       |  CAST(FLOOR(g_rmse * 10000) AS BIGINT) AS rmse_e4
+       |FROM best, ens ORDER BY bag""".stripMargin
+  }
+
   /** The ridge penalty added to the slope diagonal (intercept
     * unpenalized — the standard parameterization); shared with the
     * oracle as a literal.

@@ -426,6 +426,58 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** Collocation mining by Dunning's log-likelihood ratio (Dunning
+    * 1993, "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") — the robust sibling of [[pmiTopK]]: PMI explodes on
+    * rare pairs, the G² test weights evidence by count, so it ranks
+    * genuinely frequent collocations first. The 2×2 contingency table
+    * per bigram (w1,w2) over ALL corpus bigrams: k11 = c(w1 w2),
+    * k12 = c(w1 ·) − k11, k21 = c(· w2) − k11, k22 = N − c1 − c2 + k11;
+    * G² = 2·Σ kij·ln(kij·N / (rowi·colj)) with zero cells contributing
+    * zero. Scores ROUND to 4 decimals — the [[pmiTopK]] cross-engine
+    * float-log precedent; ranking uses the rounded value with (w1, w2)
+    * tie-break so the top-k cut is engine-identical.
+    *
+    * Scale: one map-side-combined bigram aggregate; the margin frames
+    * (c1, c2) are vocabulary-sized and carry NO broadcast hint (the
+    * pmiTopK discipline — size-based planning decides); only the 1-row
+    * total broadcasts; global top-k is TakeOrdered. The corpus streams
+    * once, never shuffles on doc id.
+    */
+  def llrTopK(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 20, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    val biAll = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val c1 = biAll.groupBy("w1").agg(sum("bc").as("c1"))
+    val c2 = biAll.groupBy("w2").agg(sum("bc").as("c2"))
+    val nBi = biAll.agg(sum("bc").as("n"))
+    def term(kc: Column, row: Column, colm: Column, n: Column): Column =
+      when(kc > 0,
+        kc.cast("double") * log((kc.cast("double") * n.cast("double")) /
+          (row.cast("double") * colm.cast("double")))).otherwise(lit(0.0))
+    biAll.filter(col("bc") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(nBi))
+      .withColumn("k11", col("bc"))
+      .withColumn("k12", col("c1") - col("bc"))
+      .withColumn("k21", col("c2") - col("bc"))
+      .withColumn("k22", col("n") - col("c1") - col("c2") + col("bc"))
+      .withColumn("llr", round(lit(2.0) * (
+        term(col("k11"), col("c1"), col("c2"), col("n")) +
+        term(col("k12"), col("c1"), col("n") - col("c2"), col("n")) +
+        term(col("k21"), col("n") - col("c1"), col("c2"), col("n")) +
+        term(col("k22"), col("n") - col("c1"), col("n") - col("c2"),
+          col("n"))), 4))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "bc", "c1", "c2", "llr")
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010 — the classic
     * unsupervised keyword miner): candidate phrases are the maximal
     * stopword-free token runs, each word scores `deg(w)/freq(w)` over

@@ -263,6 +263,71 @@ object Wav {
     }
   }
 
+  case class WavMulawRow(doc_id: Long, n_samples: Long, energy: Long,
+                         peak: Int, max_err: Int)
+
+  /** G.711 μ-law encode of one signed 16-bit sample → the 8-bit
+    * complemented codeword (ITU-T G.711 Table 2a, the telephony
+    * companding every 8 kHz voice corpus arrives in). Written from the
+    * public recommendation: 14-bit magnitude (`|x| >> 2`, clipped to
+    * 8158 so `v = mag + 33 ≤ 8191` stays inside segment 7), segment =
+    * position of the leading bit of `v` above bit 5, 4-bit mantissa,
+    * all bits complemented on the wire (negative inputs keep the sign
+    * bit clear pre-complement, so it emerges SET for negatives).
+    */
+  private[graft] def mulawEncode(x: Int): Int = {
+    val mask = if (x < 0) 0x7F else 0xFF
+    val v = math.min(math.abs(x) >> 2, 8158) + 33
+    var seg = 0
+    while ((v >> (seg + 6)) != 0) seg += 1 // v in [33, 8191] → seg in [0, 7]
+    (((seg << 4) | ((v >> (seg + 1)) & 0xF)) ^ mask) & 0xFF
+  }
+
+  /** G.711 μ-law decode back to the 16-bit domain: un-complement, then
+    * `±(((m·8 + 132) << seg) − 132)` — the exact expansion formula, so
+    * 0 → 0 and the quantization step at segment s is `8 · 2^s`.
+    */
+  private[graft] def mulawDecode(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = ((((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)) - 0x84
+    if ((u & 0x80) != 0) -t else t
+  }
+
+  /** mm_audio_mulaw — the LOSSY telephony codec leg: channel-0 PCM16 →
+    * G.711 μ-law byte → expanded PCM16, emitting per-doc energy/peak of
+    * the reconstruction plus the max companding error. Everything is
+    * integer (segment/mantissa arithmetic on both sides), so an external
+    * oracle replays encode∘decode bit-for-bit from the closed-form
+    * fixture samples. Row-local like [[wavResample]]: one decode + one
+    * pass, nothing shuffles at any corpus size.
+    */
+  def wavMulaw(media: Dataset[Multimodal.MediaRow]): Dataset[WavMulawRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).map { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          var energy = 0L
+          var peak = 0
+          var maxErr = 0
+          var t = 0
+          while (t < n) {
+            val x = sample(r.data, info, t * ch) // channel 0
+            val y = mulawDecode(mulawEncode(x))
+            energy += y.toLong * y
+            val a = math.abs(y)
+            if (a > peak) peak = a
+            val e = math.abs(y - x)
+            if (e > maxErr) maxErr = e
+            t += 1
+          }
+          WavMulawRow(r.doc_id, n.toLong, energy, peak, maxErr)
+        }
+      }
+    }
+  }
+
   /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
     * must actually skip unknown chunks) + data.
     */

@@ -44,6 +44,7 @@ object LlmRegistry {
     "text_segments"         -> (LlmQueries.textSegments _),
     "text_repetition"       -> (LlmQueries.textRepetition _),
     "text_pmi"              -> (LlmQueries.textPmi _),
+    "text_llr"              -> (LlmQueries.textLlr _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
@@ -723,6 +724,37 @@ object LlmRegistry {
         |  ROUND(ln((bc / n_bi) / ((u1.uc / n_uni) * (u2.uc / n_uni))), 4) AS pmi
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Dunning G^2 over the same bigram/margin counts: the four
+    // contingency cells from (bc, c1, c2, N), zero cells contribute 0,
+    // ROUND(...,4) is the cross-engine float-log seam (pmi precedent),
+    // ranking uses the ROUNDED value + (w1,w2) so the cut is identical
+    "text_llr" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT t[gi.i] AS w1, t[gi.i + 1] AS w2, COUNT(*) AS bc
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) gi
+        |  WHERE len(t) >= 2 GROUP BY 1, 2),
+        |m1 AS (SELECT w1, SUM(bc) AS c1 FROM bi GROUP BY w1),
+        |m2 AS (SELECT w2, SUM(bc) AS c2 FROM bi GROUP BY w2),
+        |nb AS (SELECT SUM(bc) AS n FROM bi),
+        |t AS (SELECT w1, w2, bc, c1, c2, n,
+        |        bc AS k11, c1 - bc AS k12, c2 - bc AS k21,
+        |        n - c1 - c2 + bc AS k22
+        |      FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2), nb
+        |      WHERE bc >= 5)
+        |SELECT w1, w2, CAST(bc AS BIGINT) AS bc, CAST(c1 AS BIGINT) AS c1,
+        |  CAST(c2 AS BIGINT) AS c2,
+        |  ROUND(2.0 * (
+        |    CASE WHEN k11 > 0 THEN k11 * ln((k11 * CAST(n AS DOUBLE))
+        |      / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0 END +
+        |    CASE WHEN k12 > 0 THEN k12 * ln((k12 * CAST(n AS DOUBLE))
+        |      / (CAST(c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))) ELSE 0 END +
+        |    CASE WHEN k21 > 0 THEN k21 * ln((k21 * CAST(n AS DOUBLE))
+        |      / (CAST(n - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0 END +
+        |    CASE WHEN k22 > 0 THEN k22 * ln((k22 * CAST(n AS DOUBLE))
+        |      / (CAST(n - c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE))) ELSE 0
+        |    END), 4) AS llr
+        |FROM t ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin,
     "dedup_incremental" ->
       """WITH batch AS (
         |  SELECT doc_id + 5000 AS doc_id,

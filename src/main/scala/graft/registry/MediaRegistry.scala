@@ -34,6 +34,7 @@ object MediaRegistry {
     "mm_flac_decode"        -> (LlmQueries.mmFlacDecode _),
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_audio_resample"     -> (LlmQueries.mmAudioResample _),
+    "mm_audio_mulaw"        -> (LlmQueries.mmAudioMulaw _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
@@ -486,6 +487,38 @@ object MediaRegistry {
         |  CAST(SUM(o * o) AS BIGINT) AS energy,
         |  CAST(MAX(ABS(o)) AS INT) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G.711 mu-law companding replayed bit-for-bit: 14-bit magnitude
+    // clipped to 8158, +33 bias, segment by leading-bit position above
+    // bit 5, 4-bit mantissa, expansion ((m*8+132)<<seg)-132 with the
+    // sign restored — the engine round-trips through the complemented
+    // codeword byte; the oracle composes encode∘decode arithmetic
+    "mm_audio_mulaw" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+        |  FROM documents),
+        |s AS (SELECT doc_id, nf,
+        |        ((seed * 13 + g.t * ch * 29) % 65536) - 32768 AS x
+        |      FROM d, LATERAL (SELECT unnest(range(0, nf)) AS t) g),
+        |c AS (SELECT doc_id, nf, x,
+        |        CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn,
+        |        LEAST(abs(x) // 4, 8158) + 33 AS v
+        |      FROM s),
+        |q AS (SELECT doc_id, nf, x, sgn, v,
+        |        CASE WHEN v < 64 THEN 0 WHEN v < 128 THEN 1
+        |             WHEN v < 256 THEN 2 WHEN v < 512 THEN 3
+        |             WHEN v < 1024 THEN 4 WHEN v < 2048 THEN 5
+        |             WHEN v < 4096 THEN 6 ELSE 7 END AS seg
+        |      FROM c),
+        |y AS (SELECT doc_id, nf, x,
+        |        sgn * ((((v >> (seg + 1)) & 15) * 8 + 132) * (1 << seg)
+        |               - 132) AS y
+        |      FROM q)
+        |SELECT doc_id, MAX(nf) AS n_samples,
+        |  CAST(SUM(y * y) AS BIGINT) AS energy,
+        |  CAST(MAX(abs(y)) AS INT) AS peak,
+        |  CAST(MAX(abs(y - x)) AS INT) AS max_err
+        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // framing over DECODED channel-0 PCM: frame f covers per-channel
     // sample indices [f*32, f*32+64); interleaved word index = i*ch
     "mm_wav_frames" ->

@@ -42,6 +42,7 @@ object MlRegistry {
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
+    "ml_bagging"            -> (Regression.mlBagging _),
     "graph_hits"            -> (Graph.graphHits _),
     "graph_scc"             -> (Graph.graphScc _),
     "ml_apriori"            -> (Associations.marketBasket _),
@@ -425,6 +426,7 @@ object MlRegistry {
     // the 3-round boosting recurrence unrolled as MATERIALIZED CTEs,
     // every formula shared textually with the engine
     "ml_boosted_stumps" -> Regression.boostedOracleSql(),
+    "ml_bagging" -> Regression.baggingOracleSql(),
     // three stump-search chains (root + per-leaf behind the root winner's
     // scalar subquery); leaf stats from shared SSE fragments
     "ml_tree_depth2" -> Regression.treeOracleSql(),

@@ -125,4 +125,41 @@ class RegressionSpec extends SparkTestBase {
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     assert(viaZero == ols)
   }
+
+  test("bagging: per-bag winner equals the single-frame stump argmin on " +
+      "that bag's rows; the ensemble RMSE is shared and sane") {
+    val got = Regression.mlBagging(spark, sfDir).collect()
+    assert(got.length == Regression.BaggingBags)
+    assert(got.map(_.getLong(0)).toSeq ==
+      (0 until Regression.BaggingBags).map(_.toLong))
+    // replica: filter the fact frame to one bag, run the shared
+    // stumpSplits core, take the (sse, q) argmin — must equal the
+    // bag-partitioned window path bit-for-bit
+    val li = graft.Tables.load(spark, sfDir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("v"),
+      ((col("l_orderkey").cast("long") * 7 +
+        col("l_linenumber").cast("long")) % Regression.BaggingBags).as("bag"))
+    got.foreach { r =>
+      val b = r.getLong(0)
+      val best = Regression.stumpSplits(li.filter(col("bag") === b), "q", "v")
+        .orderBy(col("sse"), col("q")).limit(1).collect().head
+      assert(r.getLong(1) == best.getAs[Long]("q"), s"bag $b threshold")
+      assert(r.getLong(2) == best.getAs[Long]("nl"), s"bag $b n_left")
+      assert(r.getLong(3) == best.getAs[Long]("nr"), s"bag $b n_right")
+      assert(r.getLong(4) ==
+        math.floor(best.getAs[Double]("ml") * 10000).toLong, s"bag $b ml")
+      assert(r.getLong(5) ==
+        math.floor(best.getAs[Double]("mr") * 10000).toLong, s"bag $b mr")
+      assert(r.getLong(6) ==
+        math.floor(best.getAs[Double]("sse") * 100).toLong, s"bag $b sse")
+    }
+    // the ensemble RMSE column is one shared value, positive, and below
+    // the target's raw scale (predicting beats emitting zero)
+    val rmses = got.map(_.getLong(7)).distinct
+    assert(rmses.length == 1 && rmses.head > 0)
+    // bags are disjoint and exhaustive: per-bag counts sum to the corpus
+    val total = li.count()
+    assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == total)
+  }
 }

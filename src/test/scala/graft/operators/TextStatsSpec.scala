@@ -6,6 +6,45 @@ import graft.SparkTestBase
 
 class TextStatsSpec extends SparkTestBase {
 
+  test("llrTopK: Dunning G2 equals a driver-side replica of the " +
+      "contingency formula, ranks frequent collocations above rare ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "strong tea strong tea strong tea strong tea strong tea"),
+      (2L, "powerful computer powerful computer powerful computer powerful computer powerful computer"),
+      (3L, "strong coffee strong coffee strong coffee strong coffee strong coffee"),
+      (4L, "tea or coffee or tea or coffee or tea"),
+      (5L, "the strong tea and the powerful computer met"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.llrTopK(df, "doc_id", "text", k = 20, minCount = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // driver replica
+    val bigrams = corpus.flatMap { case (_, t) =>
+      val tk = t.split(" "); tk.init.zip(tk.tail) }
+    val bc = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.size.toLong
+    def term(k: Long, row: Long, col: Long): Double =
+      if (k <= 0) 0.0
+      else k.toDouble * math.log((k.toDouble * n.toDouble) /
+        (row.toDouble * col.toDouble))
+    val exp = bc.toSeq.filter(_._2 >= 5).map { case ((w1, w2), k11) =>
+      val r1 = c1(w1); val cc = c2(w2)
+      val raw = 2.0 * (term(k11, r1, cc) + term(r1 - k11, r1, n - cc) +
+        term(cc - k11, n - r1, cc) + term(n - r1 - cc + k11, n - r1, n - cc))
+      val llr = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      (w1, w2) -> (k11, r1, cc, llr)
+    }.sortBy { case ((w1, w2), (_, _, _, llr)) => (-llr, w1, w2) }.take(20)
+    assert(got.toSeq == exp, s"\ngot ${got.toSeq}\nexp $exp")
+    // the 5x collocations must outrank any bigram seen fewer times
+    val top = got.head._1
+    assert(bc(top) >= 5)
+  }
+
   test("kneserNeySurprisal: engine scores equal a driver-side replica, " +
       "and per-context probabilities sum to 1 over the vocabulary") {
     import spark.implicits._

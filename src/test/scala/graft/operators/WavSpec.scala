@@ -186,4 +186,55 @@ class WavSpec extends SparkTestBase {
     }
     assert(gotR.energy == energy && gotR.peak == peak && gotR.n_out == no)
   }
+
+  test("mulaw: exhaustive 16-bit round-trip obeys the G.711 contract — " +
+      "zero fixed point, sign symmetry, monotone decode, bounded error") {
+    // exhaustive over every signed 16-bit input: cheap and total
+    var prev = Integer.MIN_VALUE
+    (-32768 to 32767).foreach { x =>
+      val c = Wav.mulawEncode(x)
+      assert((c & ~0xFF) == 0, s"codeword out of byte range for $x")
+      val y = Wav.mulawDecode(c)
+      // segment step is 8<<seg in the 16-bit domain; clipping adds the
+      // tail above 8158<<2 = 32632 -> error there stays under 512+140
+      val seg = {
+        val v = math.min(math.abs(x) >> 2, 8158) + 33
+        var s = 0; while ((v >> (s + 6)) != 0) s += 1; s
+      }
+      assert(math.abs(y - x) <= (8 << seg) + 132 + (math.abs(x) - 32632).max(0),
+        s"x=$x y=$y seg=$seg")
+      // decode∘encode is monotone non-decreasing in x
+      assert(y >= prev, s"monotonicity broke at $x: $y < $prev")
+      prev = y
+      if (x >= 0 && x != -32768)
+        assert(Wav.mulawDecode(Wav.mulawEncode(-x)) == -y,
+          s"sign symmetry broke at $x")
+    }
+    assert(Wav.mulawDecode(Wav.mulawEncode(0)) == 0, "zero must be a fixed point")
+
+    // fixture parity: wavMulaw over channel-0 closed-form samples
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = spark.range(0, 20).select(col("id").as("doc_id"))
+    val media = Wav.wavMedia(ids, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val got = Wav.wavMulaw(media).collect().map(r => r.doc_id -> r).toMap
+    assert(got.size == 20)
+    (0L until 20L).foreach { seed =>
+      val ch = (1 + seed % 2).toInt
+      val nf = (200 + seed % 50).toInt
+      var energy = 0L; var peak = 0; var maxErr = 0
+      (0 until nf).foreach { t =>
+        val x = (((seed * 13 + (t * ch).toLong * 29) % 65536) - 32768).toInt
+        val y = Wav.mulawDecode(Wav.mulawEncode(x))
+        energy += y.toLong * y
+        peak = math.max(peak, math.abs(y))
+        maxErr = math.max(maxErr, math.abs(y - x))
+      }
+      val r = got(seed)
+      assert((r.n_samples, r.energy, r.peak, r.max_err) ==
+        ((nf.toLong, energy, peak, maxErr)), s"seed $seed")
+    }
+  }
 }
