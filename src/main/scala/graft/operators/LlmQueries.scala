@@ -535,6 +535,16 @@ object LlmQueries {
   def mmPngDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Multimodal.pngMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The ADAM7 leg ([[Multimodal.pngMediaInterlaced]] fixtures through
+    * [[Multimodal.decodePng]]'s 7-pass defilter + scatter): the SAME
+    * pixel field as [[mmPngDecode]], so the oracle row set is identical
+    * — the engine only matches it by walking the reduced-image stream
+    * with correct pass origins/strides and per-pass filter state.
+    */
+  def mmPngInterlaced(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(
+      Multimodal.pngMediaInterlaced(docs(s, dir), "doc_id", "doc_id"))
+
   /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
     * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
     * integer-IDCT path): parsed SOF geometry plus the luminance total over

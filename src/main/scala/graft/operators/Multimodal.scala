@@ -130,13 +130,13 @@ object Multimodal {
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  /** IHDR parse: `(width, height, channels)` for 8-bit non-interlaced
+  /** IHDR parse: `(width, height, channels, interlaced)` for 8-bit
     * grayscale (colorType 0 → 1 channel), truecolor (2 → RGB) and
-    * truecolor+alpha (6 → RGBA) PNGs — geometry without touching the
-    * compressed stream. Anything else (palette, gray+alpha, 16-bit,
-    * interlaced) refuses.
+    * truecolor+alpha (6 → RGBA) PNGs, both sequential (interlace 0) and
+    * Adam7 (interlace 1) — geometry without touching the compressed
+    * stream. Anything else (palette, gray+alpha, 16-bit) refuses.
     */
-  private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int)] = {
+  private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
     if (data.length < 33) return None
     var k = 0
     while (k < 8) { if (data(k) != PngSig(k)) return None; k += 1 }
@@ -151,15 +151,24 @@ object Multimodal {
     val compression = data(26); val filterMethod = data(27)
     val interlace = data(28)
     if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
-        filterMethod != 0 || interlace != 0) return None
+        filterMethod != 0 || interlace > 1) return None
     colorType match {
-      case 0 => Some((w, h, 1)) // grayscale: the luma walks use the
-                                // single sample directly (×1000 weight)
-      case 2 => Some((w, h, 3))
-      case 6 => Some((w, h, 4))
+      case 0 => Some((w, h, 1, interlace == 1)) // grayscale: the luma
+                                // walks use the single sample directly
+      case 2 => Some((w, h, 3, interlace == 1))
+      case 6 => Some((w, h, 4, interlace == 1))
       case _ => None
     }
   }
+
+  /** Adam7 pass geometry: `(xstart, ystart, xstep, ystep)` in PNG spec
+    * pass order — the reduced-image layout an interlaced IDAT stream
+    * serializes, each pass filtered independently against ITS OWN
+    * scanlines.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   /** Full PNG decode — the COMPRESSED leg of the real codec, on public
     * JVM APIs only (`java.util.zip.Inflater`): concatenate the IDAT
@@ -181,7 +190,7 @@ object Multimodal {
     */
   private[operators] def decodePng(
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] = {
-    val (w, h, ch) = pngIhdr(data) match {
+    val (w, h, ch, interlaced) = pngIhdr(data) match {
       case Some(t) => t
       case None => return None
     }
@@ -189,9 +198,19 @@ object Multimodal {
       ((data(off) & 0xFF) << 24) | ((data(off + 1) & 0xFF) << 16) |
         ((data(off + 2) & 0xFF) << 8) | (data(off + 3) & 0xFF)
     // decode-target bound in Long BEFORE allocating (a 31-bit w·h·ch
-    // pair can overflow Int and a hostile header must not OOM the task)
+    // pair can overflow Int and a hostile header must not OOM the task).
+    // Adam7: the stream holds 7 independently-filtered reduced images;
+    // empty passes (too-small dimensions) serialize nothing (PNG spec).
     val stride = w.toLong * ch
-    val rawLen = h.toLong * (1L + stride)
+    val subs: Array[(Int, Int, Int, Int, Int, Int)] =
+      (if (interlaced) Adam7 else Array((0, 0, 1, 1))).flatMap {
+        case (xs, ys, xst, yst) =>
+          val wp = if (w > xs) (w - xs - 1) / xst + 1 else 0
+          val hp = if (h > ys) (h - ys - 1) / yst + 1 else 0
+          if (wp > 0 && hp > 0) Some((xs, ys, xst, yst, wp, hp)) else None
+      }
+    val rawLen = subs.map { case (_, _, _, _, wp, hp) =>
+      hp.toLong * (1L + wp.toLong * ch) }.sum
     if (rawLen > (64L << 20)) return None
     // chunk walk: collect IDAT payloads
     val idat = new java.io.ByteArrayOutputStream()
@@ -226,35 +245,61 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // defilter scanlines into the pixel buffer (bpp = ch at 8-bit depth)
+    // defilter each sub-image's scanlines (bpp = ch at 8-bit depth) and
+    // scatter into the top-down pixel buffer; the sequential case is the
+    // single identity pass (xstep = ystep = 1), written in place
     val istride = stride.toInt
     val px = new Array[Byte](h * istride)
-    var y = 0
-    while (y < h) {
-      val f = out(y * (1 + istride)) & 0xFF
-      if (f > 4) return None
-      val src = y * (1 + istride) + 1
-      val dst = y * istride
-      var x = 0
-      while (x < istride) {
-        val a = if (x >= ch) px(dst + x - ch) & 0xFF else 0
-        val b = if (y > 0) px(dst - istride + x) & 0xFF else 0
-        val c = if (y > 0 && x >= ch) px(dst - istride + x - ch) & 0xFF else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    var off = 0
+    subs.foreach { case (xs, ys, xst, yst, wp, hp) =>
+      val pstride = wp * ch
+      val direct = xst == 1 && yst == 1 && xs == 0 && ys == 0
+      val pbuf = if (direct) px else new Array[Byte](hp * pstride)
+      var y = 0
+      while (y < hp) {
+        val f = out(off + y * (1 + pstride)) & 0xFF
+        if (f > 4) return None
+        val src = off + y * (1 + pstride) + 1
+        val dst = y * pstride
+        var x = 0
+        while (x < pstride) {
+          val a = if (x >= ch) pbuf(dst + x - ch) & 0xFF else 0
+          val b = if (y > 0) pbuf(dst - pstride + x) & 0xFF else 0
+          val c = if (y > 0 && x >= ch) pbuf(dst - pstride + x - ch) & 0xFF
+                  else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 => // Paeth predictor
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          pbuf(dst + x) = (((out(src + x) & 0xFF) + pred) & 0xFF).toByte
+          x += 1
         }
-        px(dst + x) = (((out(src + x) & 0xFF) + pred) & 0xFF).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      if (!direct) {
+        var yp = 0
+        while (yp < hp) {
+          var xp = 0
+          while (xp < wp) {
+            var c = 0
+            while (c < ch) {
+              px((ys + yp * yst) * istride + (xs + xp * xst) * ch + c) =
+                pbuf(yp * pstride + xp * ch + c)
+              c += 1
+            }
+            xp += 1
+          }
+          yp += 1
+        }
+      }
+      off += hp * (1 + pstride)
     }
     Some((ImageInfo(w, h, ch, 0, istride, bottomUp = false, bgr = false), px))
   }
@@ -373,7 +418,8 @@ object Multimodal {
       // one decoder context per partition would be initialized here
       rows.map { r =>
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
-          .orElse(pngIhdr(r.data)).orElse(Jpeg.dims(r.data))
+          .orElse(pngIhdr(r.data).map(t => (t._1, t._2, t._3)))
+          .orElse(Jpeg.dims(r.data))
           .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
@@ -1002,6 +1048,74 @@ object Multimodal {
           |  '89504E470D0A1A0A',
           |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
           |  lpad(hex(hh), 8, '0'), '0802000000', '00000000',
+          |  lpad(hex(rawlen + 11), 8, '0'), '49444154',
+          |  '7801', '01',
+          |  lpad(hex(rawlen % 256), 2, '0'),
+          |  lpad(hex(rawlen div 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) % 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) div 256), 2, '0'),
+          |  sl_hex, '00000000', '00000000',
+          |  '00000000', '49454E44', 'AE426082')""".stripMargin))
+      .select(col("doc_id"), unhex(col("png_hex")).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/png").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Deterministic ADAM7-INTERLACED PNG fixtures — the same pixel field
+    * as [[pngMedia]] (so the decoded image, and therefore the oracle,
+    * is IDENTICAL to the sequential leg's) serialized as the 7 reduced
+    * images of PNG interlace 1, each pass filtered against its OWN
+    * scanlines (even pass-rows Sub(1), odd Up(2) — the [[pngMedia]]
+    * filter discipline, now across pass-strided neighbors): a decoder
+    * that walks the stream sequentially, misplaces a pass origin, or
+    * defilters across pass boundaries changes the luminance total. All
+    * 7 passes are non-empty at the fixture geometry (w, h ≥ 8); one
+    * zlib stored block as before. Pure column expressions; row-local.
+    */
+  def pngMediaInterlaced(ids: DataFrame, idCol: String,
+                         seedCol: String): DataFrame = {
+    def raw(i: String): String =
+      s"pmod(seed * 31 + ($i) * 17 + pmod(seed * ($i), 251)" +
+        s" + 40 * pmod(($i) div (w * 3), 6), 256)"
+    // image byte index of pass-coordinate (xp, yp), channel = x % 3
+    def bidx(xp: String, yp: String): String =
+      s"(((p.ys + ($yp) * p.yst) * w + (p.xs + ($xp) * p.xst)) * 3" +
+        s" + (x % 3))"
+    val cur = bidx("x div 3", "yp")
+    val left = bidx("x div 3 - 1", "yp")
+    val up = bidx("x div 3", "yp - 1")
+    val filtered =
+      s"""IF(yp % 2 = 0,
+         |  IF(x < 3, ${raw(cur)}, pmod(${raw(cur)} - ${raw(left)}, 256)),
+         |  pmod(${raw(cur)} - ${raw(up)}, 256))""".stripMargin
+    val passArr = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      .map { case (xs, ys, xst, yst) =>
+        s"struct($xs AS xs, $ys AS ys, $xst AS xst, $yst AS yst)" }
+      .mkString("array(", ", ", ")")
+    val wp = "((w - p.xs - 1) div p.xst + 1)"
+    val hp = "((hh - p.ys - 1) div p.yst + 1)"
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 13 + 8).cast("int"))
+      .withColumn("hh", (col("seed") % 11 + 8).cast("int"))
+      .withColumn("rawlen", expr(
+        s"aggregate(transform($passArr, p -> $hp * (1 + $wp * 3))," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    base
+      .withColumn("sl_hex", expr(
+        s"""array_join(transform($passArr, p ->
+           |  array_join(transform(sequence(0, $hp - 1), yp ->
+           |    concat(IF(yp % 2 = 0, '01', '02'),
+           |      array_join(transform(sequence(0, $wp * 3 - 1), x ->
+           |        element_at($hexLutSql, CAST($filtered AS INT) + 1)),
+           |        ''))), '')), '')""".stripMargin))
+      .withColumn("png_hex", expr(
+        """concat(
+          |  '89504E470D0A1A0A',
+          |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
+          |  lpad(hex(hh), 8, '0'), '0802000001', '00000000',
           |  lpad(hex(rawlen + 11), 8, '0'), '49444154',
           |  '7801', '01',
           |  lpad(hex(rawlen % 256), 2, '0'),

@@ -24,6 +24,7 @@ object MediaRegistry {
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
+    "mm_png_interlaced"     -> (LlmQueries.mmPngInterlaced _),
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
     "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
@@ -322,6 +323,23 @@ object MediaRegistry {
         |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_png_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Adam7 leg: SAME decoded pixel field as mm_png_decode (the
+    // interlace only permutes the serialization), so the oracle is the
+    // sequential leg's closed form verbatim
+    "mm_png_interlaced" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
         |    CAST(doc_id % 11 + 8 AS BIGINT) AS h

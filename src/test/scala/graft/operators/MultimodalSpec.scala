@@ -220,6 +220,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.length == 1 && st.head.width == 11 && st.head.height == 11)
   }
 
+  test("decodePng Adam7: hand-serialized passes (with EMPTY passes) " +
+      "reassemble exactly; fixture parity with the sequential leg") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length) ++ ctype.getBytes("US-ASCII") ++ body ++ be32(0)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    // 4x2 RGB: passes 2 (xs=4), 3 (ys=4), 5 (ys=2) are EMPTY at this
+    // geometry and serialize nothing (PNG spec) — a decoder that
+    // allocates or reads them desyncs the stream
+    val w = 4; val h = 2
+    val raw = Array.tabulate(h, w * 3)((y, x) => (10 + y * 40 + x * 7) % 256)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val scan = passes.flatMap { case (xs, ys, xst, yst) =>
+      val wp = if (w > xs) (w - xs - 1) / xst + 1 else 0
+      val hp0 = if (h > ys) (h - ys - 1) / yst + 1 else 0
+      val hp = if (wp > 0) hp0 else 0 // zero-width passes serialize NOTHING
+      (0 until hp).flatMap { yp =>
+        0.toByte +: (0 until wp * 3).map { x =>
+          raw(ys + yp * yst)((xs + (x / 3) * xst) * 3 + x % 3).toByte }
+      }
+    }.toArray
+    val d = new java.util.zip.Deflater()
+    d.setInput(scan); d.finish()
+    val buf = new Array[Byte](scan.length + 64)
+    val zn = d.deflate(buf); d.end()
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 1) // interlace 1
+    val payload = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(zn)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val got = Multimodal.decodePng(payload)
+    assert(got.isDefined, "valid Adam7 PNG must decode")
+    for (y <- 0 until h; x <- 0 until w * 3)
+      assert((got.get._2(y * w * 3 + x) & 0xFF) == raw(y)(x),
+        s"interlaced pixel byte ($y, $x)")
+    // fixture parity: the interlaced fixture decodes to the SAME stats
+    // as the sequential fixture over the same pixel field
+    val ids = spark.range(0, 26).select(col("id").as("doc_id"))
+    def stats(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodePixels(m
+        .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow])
+        .collect().map(r => r.doc_id ->
+          (r.width, r.height, r.channels, r.lum_total, r.ph)).toMap
+    val seq0 = stats(Multimodal.pngMedia(ids, "doc_id", "doc_id"))
+    val il = stats(Multimodal.pngMediaInterlaced(ids, "doc_id", "doc_id"))
+    assert(seq0.size == 26 && il == seq0,
+      "Adam7 must reproduce the sequential decode bit-for-bit")
+    // refuse-never-crash over the interlaced payload's truncations
+    (0 until payload.length by 3).foreach(n =>
+      Multimodal.decodePng(payload.take(n)))
+  }
+
   test("decodePng: never throws on arbitrary bytes, truncations, or " +
       "bit flips of a valid payload (refuse-never-crash)") {
     val rnd = new scala.util.Random(1234)
