@@ -88,6 +88,56 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003, "Scaling Personalized Web
+    * Search"): the random walk teleports to a SOURCE SET instead of the
+    * uniform vector — `rank = (1−d)·tp + d·inflow` with `tp = 1/|S|` on
+    * the sources and 0 elsewhere, started from tp itself. The relevance
+    * ranking every "similar to these seeds" feature is built on.
+    *
+    * Same scale shape as [[pageRank]]: the per-iteration cost is one
+    * shares⋈ranks join + one aggregate, shuffled on the edge key; the
+    * teleport frame materializes once. Determinism: the round(…, 6)
+    * per-iteration pin and the shared (1−d) expression tree make every
+    * iterate bit-identical on any engine.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val src = sources.select(col("node")).distinct().localCheckpoint(true)
+    val ns = src.count().toDouble // |S| — includes sources off-graph, the
+                                  // documented normalization (mass on
+                                  // absent seeds is simply never walked)
+    val shares = e
+      .join(e.groupBy("src").agg(sum("w").as("ow")), "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val tp = nodes
+      .join(src.withColumn("is_src", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_src") === 1, lit(1.0 / ns)).otherwise(lit(0.0)).as("tp"))
+      .localCheckpoint(true) // consumed every iteration
+    var ranks = tp.select(col("node"), round(col("tp"), 6).as("rank"))
+    for (it <- 1 to iters) {
+      val inflow = shares
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("share")).as("in_mass"))
+      ranks = tp
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1 - damping) * col("tp") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0)), 6).as("rank"))
+      if (it % CheckpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** The nation-level trade graph: customer nation → supplier nation,
     * weighted by line items shipped. The one genuinely fact-sized step is
     * the lineitem⋈orders join (both sides huge at scale — an unavoidable
@@ -304,6 +354,64 @@ object Graph {
     pr.join(broadcast(names), "node")
       .select(col("node"), col("n_name"), col("rank"))
       .orderBy("node")
+  }
+
+  /** Registered query: personalized PageRank seeded on region-0 nations
+    * over the nation trade graph — "trade relevance to the Americas"
+    * (5 damped iterations, names joined back).
+    */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val sources = nation.filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("node"))
+    val pr = personalizedPageRank(nationTradeEdges(s, dir), sources,
+      iters = 5)
+    val names = nation
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    pr.join(broadcast(names), "node")
+      .select(col("node"), col("n_name"), col("rank"))
+      .orderBy("node")
+  }
+
+  /** The graph_ppr oracle: the same teleport vector and 5 unrolled
+    * update rounds ([[graphPageRank]]'s oracle discipline — identical
+    * `(1 − 0.85)` expression tree, identical ROUND(…, 6) pin).
+    */
+  def pprOracleSql(): String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (SELECT t.node, ROUND((1 - 0.85) * t.tp
+         |         + 0.85 * COALESCE(SUM(r.rank * s.share), 0), 6) AS rank
+         |       FROM tp t
+         |       LEFT JOIN sh s ON s.dst = t.node
+         |       LEFT JOIN r${k - 1} r ON r.node = s.src
+         |       GROUP BY t.node, t.tp)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst,
+       |         CAST(COUNT(*) AS DOUBLE) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT e.src, e.dst, e.w / ow.ow AS share
+       |  FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY src) ow
+       |    ON e.src = ow.src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nsrc AS (SELECT CAST(COUNT(DISTINCT n_nationkey) AS DOUBLE) AS ns
+       |         FROM nation WHERE n_regionkey = 0),
+       |tp AS (SELECT node,
+       |         CASE WHEN node IN (SELECT CAST(n_nationkey AS BIGINT)
+       |                            FROM nation WHERE n_regionkey = 0)
+       |              THEN 1.0 / (SELECT ns FROM nsrc) ELSE 0.0 END AS tp
+       |       FROM nodes),
+       |r0 AS (SELECT node, ROUND(tp, 6) AS rank FROM tp),
+       |${rounds.mkString(",\n")}
+       |SELECT r5.node, n.n_name, r5.rank
+       |FROM r5 JOIN nation n ON r5.node = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY r5.node""".stripMargin
   }
 
   /** Neighborhood Jaccard similarity — the link-prediction / entity-

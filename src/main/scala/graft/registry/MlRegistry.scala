@@ -20,6 +20,7 @@ object MlRegistry {
     "ml_pca_top3"           -> (Pca.mlPcaTop3 _),
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
+    "graph_ppr"             -> (Graph.graphPpr _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
@@ -137,6 +138,7 @@ object MlRegistry {
     // Unrolled 5-iteration damped power iteration (the engine's recurrence
     // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
     // noise, no dangling redistribution — Graph.pageRank's contract).
+    "graph_ppr" -> Graph.pprOracleSql(),
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,

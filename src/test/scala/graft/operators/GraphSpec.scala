@@ -470,6 +470,42 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("personalizedPageRank: driver-replica recurrence on an asymmetric " +
+      "graph; teleport mass stays on the seed set; uniform-seed PPR over " +
+      "ALL nodes equals plain PageRank") {
+    // 1→2, 2→3, 3→1 plus a spur 1→3; seed {1}
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, 3.0), (2L, 3L, 1.0),
+      (3L, 1L, 1.0))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        seeds, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scalar replica of the exact engine recurrence (same round-to-6 pin)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val share = Map((1L, 2L) -> 0.25, (1L, 3L) -> 0.75, (2L, 3L) -> 1.0,
+      (3L, 1L) -> 1.0)
+    val tp = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    var rk = tp.map { case (n, t) => n -> r6(t) }
+    (1 to 6).foreach { _ =>
+      val inflow = Seq(1L, 2L, 3L).map { n =>
+        n -> share.collect { case ((s, d), sh) if d == n => rk(s) * sh }.sum
+      }.toMap
+      rk = tp.map { case (n, t) =>
+        n -> r6((1 - 0.85) * t + 0.85 * inflow(n)) }
+    }
+    assert(got == rk, s"got $got expected $rk")
+    // the seed holds the teleport floor; non-seeds have no floor
+    assert(got(1L) >= 0.15 && got(2L) < 0.15)
+    // seeding EVERY node uniformly recovers plain PageRank exactly
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val uni = Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        all, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = ranksOf(edges, iters = 6)
+    assert(uni == plain, "uniform-seed PPR must equal plain PageRank")
+  }
+
   test("graph_scc query: labels are member minima, sizes consistent") {
     val rows = Graph.graphScc(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
