@@ -1929,6 +1929,46 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A55 — FIXED-WIDTH flat-file export/ingest roundtrip (the copybook
+    * layout mainframe-adjacent ETL still exchanges): orders serialized
+    * as 50-byte records — okey 12 zero-padded, status 1, total-cents 14
+    * zero-padded, date yyyyMMdd 8, priority 15 space-padded (exactly
+    * fitting '4-NOT SPECIFIED', whose INTERNAL space must survive the
+    * rtrim) — written as plain text and re-parsed by column offset.
+    * The gate recomputes every aggregate from the original table, so a
+    * one-byte offset error, a dropped leading zero, or a mangled pad
+    * flips a group checksum. Scale: both legs are full scans with
+    * row-local formatting/parsing — no shuffle beyond the closing
+    * bounded aggregate.
+    */
+  def a55FixedWidthRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_fw").toString + "/orders_fw"
+    Tables.load(s, dir, "orders")
+      .select(concat(
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        col("o_orderstatus"),
+        lpad(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string"), 14, "0"),
+        date_format(col("o_orderdate"), "yyyyMMdd"),
+        rpad(col("o_orderpriority"), 15, " ")).as("value"))
+      .write.mode("overwrite").text(base)
+    s.read.text(base)
+      .select(
+        substring(col("value"), 1, 12).cast("long").as("okey"),
+        substring(col("value"), 13, 1).as("status"),
+        substring(col("value"), 14, 14).cast("long").as("cents"),
+        to_date(substring(col("value"), 28, 8), "yyyyMMdd").as("odate"),
+        rtrim(substring(col("value"), 36, 15)).as("priority"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("total_cents"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(okey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("key_xor"),
+        count_distinct(col("priority")).as("n_priorities"),
+        max("odate").as("max_date"))
+      .orderBy("status")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

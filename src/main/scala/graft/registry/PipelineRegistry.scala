@@ -55,6 +55,7 @@ object PipelineRegistry {
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
     "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
+    "a55_fixed_width"       -> (PipelineQueries.a55FixedWidthRoundtrip _),
     "a50_pgwire_tls"        -> (PipelineQueries.a50PgwireTls _),
     "a51_mssqlwire_pushdown" -> (PipelineQueries.a51MssqlwirePushdown _),
     "a51b_mssqlwire_quirks" -> (PipelineQueries.a51bMssqlwireQuirks _),
@@ -411,6 +412,17 @@ object PipelineRegistry {
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
         |    AS content_xor
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // a55: recomputed from the ORIGINAL orders table — any fixed-width
+    // offset/pad/parse error flips a group checksum
+    "a55_fixed_width" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(bit_xor(('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 15))::BIGINT)
+        |    AS BIGINT) AS key_xor,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+        |  MAX(CAST(o_orderdate AS DATE)) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Recomputed from the ORIGINAL parquet — any JSON escape/unescape
     // mutation of any text flips the group's XOR-folded portable hash.
     "a28_jsonl_roundtrip" ->

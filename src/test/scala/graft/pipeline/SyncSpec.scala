@@ -604,4 +604,43 @@ class SyncSpec extends SparkTestBase {
       assert(readTags(root).contains((Set("v3"), Set("v3"))))
     }
   }
+
+  test("a55 fixed-width roundtrip: record layout is byte-exact, the " +
+      "15-char priority with an INTERNAL space survives, and the " +
+      "re-parsed aggregate matches a direct one") {
+    import spark.implicits._
+    import graft.operators.PipelineQueries
+    // layout replica on one hand row: widths 12|1|14|8|15 = 50 bytes
+    val row = Seq((42L, "P", 1234.56, java.sql.Date.valueOf("1997-03-09"),
+      "4-NOT SPECIFIED")).toDF(
+      "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val line = row.select(concat(
+      lpad(col("o_orderkey").cast("string"), 12, "0"),
+      col("o_orderstatus"),
+      lpad(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .cast("string"), 14, "0"),
+      date_format(col("o_orderdate"), "yyyyMMdd"),
+      rpad(col("o_orderpriority"), 15, " ")).as("v")).head().getString(0)
+    assert(line.length == 50, s"record must be 50 bytes, got ${line.length}")
+    assert(line == "000000000042P0000000012345619970309" +
+      "4-NOT SPECIFIED", line)
+    // end-to-end: the registered query equals the same aggregate taken
+    // directly from the source table (no file hop)
+    val got = PipelineQueries.a55FixedWidthRoundtrip(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val direct = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("total_cents"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT))")
+          .as("key_xor"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("status")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == direct, s"\ngot    $got\ndirect $direct")
+  }
 }
