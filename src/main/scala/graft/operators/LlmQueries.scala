@@ -383,6 +383,9 @@ object LlmQueries {
   def textLlr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.llrTopK(docs(s, dir), "doc_id", "text", k = 20, minCount = 5)
 
+  def textStem(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stemTopK(docs(s, dir), "doc_id", "text", k = 20)
+
   /** Capacity 4096 > the corpus's distinct-bigram count at every test
     * scale, so the sketch is exact here and DuckDB's exact aggregate is
     * the oracle; HeavyHittersSpec pins the lossy small-k bounds.

@@ -426,6 +426,50 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** The Harman S-stemmer rules (Harman 1991, "How Effective Is
+    * Suffixing?") as one portable CASE over a token column `w` — shared
+    * TEXTUALLY with the oracle so both engines run the identical string
+    * algebra (`right`/`substr`/`||` behave the same in Spark SQL and
+    * ANSI engines).
+    */
+  private[graft] val StemCaseSql: String =
+    """CASE
+      | WHEN right(w, 3) = 'ies' THEN
+      |   CASE WHEN length(w) >= 4 AND right(w, 4) NOT IN ('eies', 'aies')
+      |        THEN substr(w, 1, length(w) - 3) || 'y' ELSE w END
+      | WHEN right(w, 2) = 'es' THEN
+      |   CASE WHEN length(w) >= 3 AND right(w, 3) NOT IN ('aes', 'ees', 'oes')
+      |        THEN substr(w, 1, length(w) - 1) ELSE w END
+      | WHEN right(w, 1) = 's' THEN
+      |   CASE WHEN length(w) >= 3 AND right(w, 2) NOT IN ('us', 'ss')
+      |        THEN substr(w, 1, length(w) - 1) ELSE w END
+      | ELSE w END""".stripMargin
+
+  /** Suffix stemming over the corpus — the vocabulary-conflation step
+    * (index compression, matching recall) classic IR normalization
+    * runs before anything statistical: each token stems by the
+    * published S-stemmer rules ([[StemCaseSql]] — plural conflation
+    * only, the deterministic fragment of Porter's family), and the
+    * report ranks stems by token mass with the surface-form and
+    * document-frequency spread that makes conflation visible.
+    *
+    * Scale: one corpus stream into a vocabulary-sized aggregate
+    * (map-side combined on the stem), global top-k by TakeOrdered —
+    * no joins, no shuffle on doc id.
+    */
+  def stemTopK(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 20): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .withColumn("stem", expr(StemCaseSql))
+      .groupBy("stem")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("w")).as("n_forms"),
+        count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(k)
+
   /** Collocation mining by Dunning's log-likelihood ratio (Dunning
     * 1993, "Accurate Methods for the Statistics of Surprise and
     * Coincidence") — the robust sibling of [[pmiTopK]]: PMI explodes on

@@ -45,6 +45,7 @@ object LlmRegistry {
     "text_repetition"       -> (LlmQueries.textRepetition _),
     "text_pmi"              -> (LlmQueries.textPmi _),
     "text_llr"              -> (LlmQueries.textLlr _),
+    "text_stem"             -> (LlmQueries.textStem _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
@@ -724,6 +725,17 @@ object LlmRegistry {
         |  ROUND(ln((bc / n_bi) / ((u1.uc / n_uni) * (u2.uc / n_uni))), 4) AS pmi
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // S-stemmer rules shared TEXTUALLY with the engine (StemCaseSql):
+    // identical CASE, identical right/substr/|| string algebra
+    "text_stem" ->
+      ("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, w, """.stripMargin +
+        graft.operators.TextAnalysis.StemCaseSql + """ AS stem FROM t)
+        |SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM s GROUP BY stem ORDER BY n_tokens DESC, stem LIMIT 20""".stripMargin),
     // Dunning G^2 over the same bigram/margin counts: the four
     // contingency cells from (bc, c1, c2, N), zero cells contribute 0,
     // ROUND(...,4) is the cross-engine float-log seam (pmi precedent),

@@ -6,6 +6,32 @@ import graft.SparkTestBase
 
 class TextStatsSpec extends SparkTestBase {
 
+  test("stemTopK: the Harman S-stemmer rules on hand words — ies→y with " +
+      "the eies/aies guards, es-drop with the aes/ees/oes guards, s-drop " +
+      "with the us/ss guards, short words untouched") {
+    import spark.implicits._
+    val words = Seq(
+      "ponies" -> "pony", "cities" -> "city", // ies → y
+      "eies" -> "eies", "aies" -> "aies",     // ies guards PROTECT
+      "makes" -> "make", "churches" -> "churche", // es → e (drop s)
+      "goes" -> "goes", "trees" -> "trees", "aes" -> "aes", // es guards
+      "cats" -> "cat", "runs" -> "run",       // s-drop
+      "bus" -> "bus", "class" -> "class",     // us/ss guards
+      "is" -> "is", "as" -> "as",             // len < 3 untouched
+      "dog" -> "dog")                         // no suffix
+    val df = words.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.stemTopK(df, "doc_id", "text", k = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(got == words.map(_._2).toSet,
+      s"\ngot $got\nexp ${words.map(_._2).toSet}")
+    // conflation is visible: two surface forms onto one stem
+    val two = Seq((1L, "cat cats")).toDF("doc_id", "text")
+    val r = TextAnalysis.stemTopK(two, "doc_id", "text").collect()
+    assert(r.length == 1 && r.head.getString(0) == "cat" &&
+      r.head.getLong(1) == 2 && r.head.getLong(2) == 2)
+  }
+
   test("llrTopK: Dunning G2 equals a driver-side replica of the " +
       "contingency formula, ranks frequent collocations above rare ones") {
     import spark.implicits._
