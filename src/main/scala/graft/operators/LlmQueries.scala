@@ -548,6 +548,15 @@ object LlmQueries {
     mediaDecodeStats(
       Multimodal.pngMediaInterlaced(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The RUN-LENGTH-ENCODED leg ([[Tga.tgaMedia]] fixtures through
+    * [[Tga.decode]]'s packet walk): raw vs RLE packets alternate per
+    * row, BGR order, top-down descriptor — the oracle replays the
+    * closed-form pixel field, so a packet-kind or channel-order
+    * mistake changes the luminance total.
+    */
+  def mmTgaDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Tga.tgaMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
     * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
     * integer-IDCT path): parsed SOF geometry plus the luminance total over

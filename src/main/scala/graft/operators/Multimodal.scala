@@ -313,7 +313,7 @@ object Multimodal {
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
     decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
       .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
-      .orElse(Tiff.decode(data))
+      .orElse(Tiff.decode(data)).orElse(Tga.decode(data))
 
   /** 90°-clockwise rotation of a decoded pixel buffer — the orientation
     * transform of the media pipeline beside [[resizeDims]]' geometry
@@ -420,7 +420,8 @@ object Multimodal {
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
           .orElse(pngIhdr(r.data).map(t => (t._1, t._2, t._3)))
           .orElse(Jpeg.dims(r.data))
-          .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data)) match {
+          .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data))
+          .orElse(Tga.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)

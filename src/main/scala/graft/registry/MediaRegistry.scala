@@ -42,6 +42,7 @@ object MediaRegistry {
     "mm_bmp_decode"         -> (LlmQueries.mmBmpDecode _),
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
     "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
+    "mm_tga_decode"         -> (LlmQueries.mmTgaDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
   )
@@ -321,6 +322,32 @@ object MediaRegistry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // TGA RLE leg: even rows raw packets (per-pixel closed form), odd
+    // rows one RLE packet repeating the x=0 pixel across the row; BGR
+    // serialization, so lum uses the UNSWAPPED R/G/B formula values
+    "mm_tga_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |cells AS (SELECT doc_id, seed, w, g.y AS y, g2.x AS x
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, h)) AS y) g,
+        |  LATERAL (SELECT unnest(range(0, w)) AS x) g2),
+        |l AS (SELECT doc_id, SUM(
+        |    CASE WHEN y % 2 = 0 THEN
+        |      299 * ((seed * 23 + (y * w + x) * 7 + 0) % 256)
+        |      + 587 * ((seed * 23 + (y * w + x) * 7 + 11) % 256)
+        |      + 114 * ((seed * 23 + (y * w + x) * 7 + 22) % 256)
+        |    ELSE
+        |      299 * ((seed * 23 + (y * w) * 7 + 0) % 256)
+        |      + 587 * ((seed * 23 + (y * w) * 7 + 11) % 256)
+        |      + 114 * ((seed * 23 + (y * w) * 7 + 22) % 256)
+        |    END) AS lum_total
+        |  FROM cells GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_png_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
