@@ -216,6 +216,19 @@ object LlmQueries {
       .orderBy("probe_id", "step")
   }
 
+  /** Metadata-FILTERED retrieval ([[Similarity.filteredCosineTopK]]):
+    * top-3 cosine among candidates sharing the probe's label — the
+    * predicate constrains candidate generation (a label-keyed join),
+    * never a post-filter.
+    */
+  def simFilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.filteredCosineTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
   def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.cosineTopK(

@@ -90,6 +90,37 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** FILTERED vector search — the metadata-constrained retrieval every
+    * vector store ships (tenant isolation, language/source scoping):
+    * candidates must satisfy a per-probe equality predicate (share the
+    * probe's `filterCol`), applied as a CONSTRAINT ON CANDIDATE
+    * GENERATION, not a post-filter — post-filtering a plain top-k
+    * under-fills k whenever the predicate is selective. The brute-force
+    * probe×corpus cross product becomes a filter-keyed equi-join: with
+    * bounded probes the probe side broadcasts and the corpus streams
+    * once; at scale the same join degrades gracefully to a shuffle
+    * keyed on the filter column (the natural partition key for a
+    * predicate-scoped index).
+    */
+  def filteredCosineTopK(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, embCol: String, filterCol: String,
+                         k: Int,
+                         maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        col(filterCol).as("p_filter")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col(idCol))
+    corpus.join(p, col("p_filter") === col(filterCol) &&
+        col("probe_id") =!= col(idCol))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col(embCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        col(filterCol).as("label"), col("rn"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** MMR diversity reranking (Carbonell & Goldstein 1998 — the standard
     * second stage after top-k retrieval when results must not be
     * near-duplicates of each other): greedily select `k` of a bounded

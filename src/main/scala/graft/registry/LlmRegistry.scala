@@ -28,6 +28,7 @@ object LlmRegistry {
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "dedup_semantic"        -> (LlmQueries.dedupSemantic _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
+    "sim_filtered_knn"      -> (LlmQueries.simFilteredKnn _),
     "sim_mmr"               -> (LlmQueries.simMmr _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
@@ -347,6 +348,25 @@ object LlmRegistry {
          |  ROUND(rel, 4) AS rel, ROUND(mmr, 4) AS mmr
          |FROM u4 ORDER BY probe_id, step""".stripMargin
     },
+    // Filtered retrieval: the label equi-join replaces the cross
+    // product; same dot/norm spelling and ROUND(.,4) as sim_knn_topk
+    "sim_filtered_knn" ->
+      """WITH p AS (SELECT vec_id AS probe_id, label AS p_label,
+        |             CAST(embedding AS DOUBLE[]) AS pe
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings WHERE vec_id >= 10),
+        |     sc AS (SELECT probe_id, vec_id, c.label,
+        |              list_dot_product(pe, ce)
+        |                / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |            FROM p JOIN c ON p.p_label = c.label
+        |            WHERE probe_id != vec_id),
+        |     r AS (SELECT probe_id, vec_id, label, cos,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |               ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM sc)
+        |SELECT probe_id, vec_id AS neighbor_id, CAST(label AS INT) AS label,
+        |  rn, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
     "sim_knn_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
         |           FROM embeddings WHERE vec_id < 10),

@@ -450,4 +450,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(again ==
       ann.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
+
+  test("filteredCosineTopK: every neighbor shares the probe's label, and " +
+      "per probe the result equals plain cosineTopK over the " +
+      "label-restricted corpus") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val got = Similarity.filteredCosineTopK(corpus, probes, "vec_id",
+        "embedding", "label", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    val probeLabel = probes.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    got.foreach { case (pid, _, lbl, _, _) =>
+      assert(lbl == probeLabel(pid), s"probe $pid neighbor label $lbl") }
+    // per-probe parity with the unfiltered scorer on the scoped corpus
+    probeLabel.foreach { case (pid, lbl) =>
+      val scoped = Similarity.cosineTopK(
+          corpus.filter(col("label") === lbl),
+          probes.filter(col("vec_id") === pid), "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val mine = got.filter(_._1 == pid)
+        .map(t => (t._1, t._2, t._4, t._5)).toSet
+      assert(mine == scoped, s"probe $pid")
+    }
+  }
 }
