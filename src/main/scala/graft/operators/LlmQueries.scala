@@ -1698,6 +1698,15 @@ object LlmQueries {
         "doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Scaler fit over lineitem cents per return flag
+    * ([[Prep.scaleStats]]): one aggregate, floor-quantized z/min-max
+    * probes.
+    */
+  def prepScale(s: SparkSession, dir: String): DataFrame =
+    Prep.scaleStats(graft.Tables.load(s, dir, "lineitem"), "l_returnflag",
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .orderBy("l_returnflag")
+
   /** Leakage-safe split ([[Prep.leakageSafeSplit]]): duplicate groups
     * (normalized-content keyed) assigned to folds atomically — the
     * oracle replays group formation, the salted group rank, and the

@@ -470,4 +470,52 @@ object Prep {
       .select(col(idCol), col("sk"),
         (col("blk_off") + row_number().over(ww) - 1).as("pos"))
   }
+
+  /** The scaling expressions shared TEXTUALLY with the oracle (the
+    * stumpSseSql discipline): all inputs are exact integer sufficient
+    * statistics, so both engines evaluate the identical IEEE tree.
+    */
+  private[graft] val ScaleMeanSql = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+  private[graft] val ScaleStdSql =
+    "SQRT((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))" +
+      " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+
+  /** Feature scaling — the fit half of the scaler every training
+    * pipeline runs before a linear model (z-score standardization,
+    * min-max normalization, and the two scaled probes that make an
+    * off-by-one in either formula visible): per-group n/Σv/Σv²/min/max
+    * over an integer-quantized feature, then population mean/std and the
+    * scaled positions of the group extremes, all floor-quantized for
+    * the cross-engine gate.
+    *
+    * Scale: ONE map-side-combined aggregate over the fact frame — the
+    * scaler "fit" is a 5-number sketch per group, the transform is a
+    * row-local expression against the broadcast stats (the
+    * [[graft.operators.Regression.mlBagging]] scoring shape); groups
+    * are bounded (dimension cardinality), nothing else shuffles.
+    *
+    * Determinism: v is exact cents, so n/Σv/Σv² are exact 64-bit at any
+    * partial-sum order; mean/std/z/minmax are identical IEEE
+    * expressions over identical integers on any engine
+    * ([[ScaleMeanSql]]/[[ScaleStdSql]] shared textually); emissions
+    * floor-quantize (the ml_stump ROUND-tie lesson).
+    */
+  def scaleStats(df: DataFrame, groupCol: String, v: Column): DataFrame =
+    df.select(col(groupCol), v.as("v"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"),
+        min("v").as("mn"), max("v").as("mx"))
+      .withColumn("mean", expr(ScaleMeanSql))
+      .withColumn("std", expr(ScaleStdSql))
+      .select(col(groupCol), col("n"),
+        floor(col("mean") * 10000).cast("long").as("mean_e4"),
+        floor(col("std") * 10000).cast("long").as("std_e4"),
+        floor((col("mx").cast("double") - col("mean")) / col("std") * 10000)
+          .cast("long").as("z_max_e4"),
+        floor((col("mn").cast("double") - col("mean")) / col("std") * 10000)
+          .cast("long").as("z_min_e4"),
+        floor((col("mean") - col("mn").cast("double")) /
+          (col("mx").cast("double") - col("mn").cast("double")) * 1000000)
+          .cast("long").as("minmax_mean_e6"))
 }

@@ -89,6 +89,7 @@ object LlmRegistry {
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
+    "prep_scale"            -> (LlmQueries.prepScale _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
@@ -968,6 +969,32 @@ object LlmRegistry {
         |LEFT JOIN losers l ON l.doc_id = c.doc_id
         |WHERE l.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
+    // scaler fit: identical sufficient statistics and the SAME
+    // mean/std expression text (ScaleMeanSql/ScaleStdSql), all
+    // emissions floor-quantized
+    "prep_scale" ->
+      ("""WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(v) AS s, SUM(v * v) AS ss, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM (SELECT l_returnflag,
+        |          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, mn, mx, """.stripMargin +
+        graft.operators.Prep.ScaleMeanSql + """ AS mean,
+        |  """.stripMargin + graft.operators.Prep.ScaleStdSql + """ AS std
+        |  FROM a)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(mean * 10000) AS BIGINT) AS mean_e4,
+        |  CAST(FLOOR(std * 10000) AS BIGINT) AS std_e4,
+        |  CAST(FLOOR((CAST(mx AS DOUBLE) - mean) / std * 10000) AS BIGINT)
+        |    AS z_max_e4,
+        |  CAST(FLOOR((CAST(mn AS DOUBLE) - mean) / std * 10000) AS BIGINT)
+        |    AS z_min_e4,
+        |  CAST(FLOOR((mean - CAST(mn AS DOUBLE))
+        |    / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS minmax_mean_e6
+        |FROM m ORDER BY l_returnflag""".stripMargin),
     "prep_split" ->
       """WITH h AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv

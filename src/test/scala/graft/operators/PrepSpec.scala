@@ -289,4 +289,29 @@ class PrepSpec extends SparkTestBase {
     // single-chunk docs carry their full token count
     assert(byDoc(2L).head._3 == 3 && byDoc(3L).head._3 == 32)
   }
+
+  test("scaleStats: exact replica on a hand group; z of the extremes " +
+      "brackets zero; min-max position of the mean is inside (0,1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vals = Seq(100L, 200L, 300L, 400L, 1000L)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val got = Prep.scaleStats(df, "grp", col("v")).collect().head
+    val n = vals.length
+    val mean = vals.sum.toDouble / n
+    val std = math.sqrt((vals.map(v => v.toDouble * v).sum -
+      vals.sum.toDouble * vals.sum / n) / n)
+    assert(got.getLong(1) == n)
+    assert(got.getLong(2) == math.floor(mean * 10000).toLong)
+    assert(got.getLong(3) == math.floor(std * 10000).toLong)
+    assert(got.getLong(4) ==
+      math.floor((vals.max - mean) / std * 10000).toLong)
+    assert(got.getLong(5) ==
+      math.floor((vals.min - mean) / std * 10000).toLong)
+    assert(got.getLong(6) == math.floor(
+      (mean - vals.min) / (vals.max - vals.min).toDouble * 1000000).toLong)
+    // invariants any scaler must satisfy
+    assert(got.getLong(4) > 0 && got.getLong(5) < 0)
+    assert(got.getLong(6) > 0 && got.getLong(6) < 1000000)
+  }
 }
