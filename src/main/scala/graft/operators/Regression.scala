@@ -328,6 +328,49 @@ object Regression {
        |ORDER BY round""".stripMargin
   }
 
+  /** Smoothing pseudo-count for [[mlTargetEncode]] — shared with the
+    * oracle as a literal.
+    */
+  private[graft] val TargetEncodeM: Int = 50
+
+  /** ml_target_encode — smoothed target (mean) encoding of a
+    * categorical feature (Micci-Barreca 2001, "A Preprocessing Scheme
+    * for High-Cardinality Categorical Attributes"): each category's
+    * code is the shrunken mean `(Σy + m·prior) / (n + m)` — small
+    * categories pull toward the global prior, big ones toward their own
+    * mean — the leakage-resistant encoding every gradient-boosting
+    * pipeline feeds high-cardinality categoricals through.
+    *
+    * Scale: ONE map-side-combined aggregate per category plus a 1-row
+    * global prior broadcast back — the fact table streams once; the
+    * encoding table is category-sized and joins back to facts as a
+    * dimension at transform time. Determinism: y is exact cents, so
+    * n/Σy and the prior are exact integers; the shrinkage is one
+    * division of identical integer-valued doubles on any engine;
+    * emissions floor-quantize.
+    */
+  def mlTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = TargetEncodeM
+    val li = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("cat"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val perCat = li.groupBy("cat")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val prior = perCat.agg(
+      (sum("s").cast("double") / sum("n").cast("double")).as("prior"))
+    perCat.crossJoin(broadcast(prior))
+      .withColumn("code", (col("s").cast("double") +
+        lit(m.toDouble) * col("prior")) / (col("n") + lit(m)).cast("double"))
+      .select(col("cat"), col("n"),
+        floor(col("s").cast("double") / col("n").cast("double") * 100)
+          .cast("long").as("raw_mean_e2"),
+        floor(col("code") * 100).cast("long").as("code_e2"),
+        floor(col("prior") * 100).cast("long").as("prior_e2"))
+      .orderBy("cat")
+  }
+
   /** Number of bagging bags — shared with the oracle as a literal. */
   private[graft] val BaggingBags: Int = 4
 

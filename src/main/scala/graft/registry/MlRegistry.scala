@@ -44,6 +44,7 @@ object MlRegistry {
     "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "ml_bagging"            -> (Regression.mlBagging _),
+    "ml_target_encode"      -> (Regression.mlTargetEncode _),
     "graph_hits"            -> (Graph.graphHits _),
     "graph_scc"             -> (Graph.graphScc _),
     "ml_apriori"            -> (Associations.marketBasket _),
@@ -429,6 +430,23 @@ object MlRegistry {
     // every formula shared textually with the engine
     "ml_boosted_stumps" -> Regression.boostedOracleSql(),
     "ml_bagging" -> Regression.baggingOracleSql(),
+    // smoothed target encoding: identical integer n/Σy per category,
+    // identical prior and shrinkage division, floor-quantized
+    "ml_target_encode" ->
+      """WITH f AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS cat,
+        |    CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |pc AS (SELECT cat, COUNT(*) AS n, SUM(y) AS s FROM f GROUP BY cat),
+        |pr AS (SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |         AS prior FROM pc)
+        |SELECT cat, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 100) AS BIGINT)
+        |    AS raw_mean_e2,
+        |  CAST(FLOOR((CAST(s AS DOUBLE) + 50.0 * prior)
+        |    / CAST(n + 50 AS DOUBLE) * 100) AS BIGINT) AS code_e2,
+        |  CAST(FLOOR(prior * 100) AS BIGINT) AS prior_e2
+        |FROM pc, pr ORDER BY cat""".stripMargin,
     // three stump-search chains (root + per-leaf behind the root winner's
     // scalar subquery); leaf stats from shared SSE fragments
     "ml_tree_depth2" -> Regression.treeOracleSql(),

@@ -162,4 +162,22 @@ class RegressionSpec extends SparkTestBase {
     val total = li.count()
     assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == total)
   }
+
+  test("target encoding: every category's code lies BETWEEN its raw mean " +
+      "and the global prior, and shrinkage scales with 1/n") {
+    val got = Regression.mlTargetEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty) // category count scales with the test SF
+    val prior = got.head._5
+    assert(got.forall(_._5 == prior), "prior is global")
+    got.foreach { case (cat, n, raw, code, _) =>
+      val lo = math.min(raw, prior); val hi = math.max(raw, prior)
+      assert(code >= lo - 1 && code <= hi + 1, // floor slack 1 unit
+        s"cat $cat code $code outside [$lo, $hi]")
+      // shrink fraction toward prior is m/(n+m) up to quantization
+      val expected = (raw - prior).toDouble * n / (n + 50.0) + prior
+      assert(math.abs(code - expected) <= 2, s"cat $cat shrink amount")
+    }
+  }
 }
