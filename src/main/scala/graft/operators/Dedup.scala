@@ -426,6 +426,64 @@ object Dedup {
       .filter(col("longest_run") >= minRun)
   }
 
+  /** Duplicate-span REMOVAL — the "onion" step after [[duplicateSpans]]
+    * finds overlap (Lee et al., arXiv:2107.06499 §4: the duplicated
+    * span is REMOVED from all but one occurrence, not the whole doc
+    * dropped): every token covered by an exact n-gram that some EARLIER
+    * doc (min doc id per gram = the kept copy) also contains is marked,
+    * marked tokens are deleted, and each affected doc reports its
+    * before/removed counts plus a fingerprint of the kept text for the
+    * hash gate. Docs whose every token is removed vanish from the
+    * output (nothing kept to fingerprint) — the documented contract.
+    *
+    * Scale shape: postings shuffle ONCE on the gram hash; the dup-gram
+    * frame is vocabulary-bounded and carries the same `maxDf`
+    * boilerplate cap as [[duplicateSpans]] (an over-frequent gram is
+    * boilerplate, not plagiarism — and uncapped it would fan the mark
+    * join corpus-wide); marks are sized by TRUE duplication; the kept
+    * reassembly groups on doc id, bounded by doc length. No pair join
+    * at all — removal needs only gram→keeper, never doc×doc.
+    */
+  def spanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 8, maxDf: Int = 64): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
+    val base = Spread.ifNarrow(docs)
+      .withColumn("tk", split(col(textCol), " "))
+      .localCheckpoint(true) // feeds postings, token explode, and totals
+    val posts = base.filter(size(col("tk")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))")).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"),
+        Hashing.md5Long(col("pg.gram")).as("h"))
+      .localCheckpoint(true) // feeds the gram stats AND the mark join
+    val dup = posts.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"), min(col(idCol)).as("keeper"))
+      .filter(col("nd") > 1 && col("nd") <= maxDf)
+      .select("h", "keeper")
+    val marks = posts.join(dup, "h")
+      .filter(col(idCol) > col("keeper")) // the min-id copy is KEPT
+      .select(col(idCol).as("m_doc"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("t"))
+      .distinct()
+      .localCheckpoint(true) // feeds the anti-join AND the removal count
+    val toks = base
+      .select(col(idCol), posexplode(col("tk")).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1)
+    val kept = toks.join(marks,
+      col(idCol) === col("m_doc") && col("pos") === col("t"), "left_anti")
+    val keptAgg = kept.groupBy(idCol).agg(
+      md5(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")))
+        .as("kept_fp"))
+    val nrem = marks.groupBy("m_doc")
+      .agg(count(lit(1)).as("n_removed"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(nrem, col(idCol) === col("m_doc")).drop("m_doc")
+      .join(keptAgg, idCol)
+      .select(col(idCol), col("n_tokens"), col("n_removed"), col("kept_fp"))
+  }
+
   /** Blocked exact n-gram Jaccard: all-pairs only WITHIN a block key (a
     * shingle-count bucket) — the classic blocking alternative to LSH when a
     * cheap partition key bounds the candidate space. Blocks on the SHINGLE

@@ -1536,6 +1536,16 @@ object LlmQueries {
     * but the span finder must localize. The DuckDB oracle recomputes the
     * ground truth with the same gram hash, cap, and island reduction.
     */
+  /** The onion REMOVAL over the plain corpus ([[Dedup.spanRemoval]]):
+    * tokens covered by cross-doc duplicate 8-grams are stripped from
+    * every doc but the min-id keeper; affected docs report counts + a
+    * kept-text fingerprint the oracle recomputes end to end.
+    */
+  def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanRemoval(docs(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   def dedupSpan(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
     val tk = base.select(col("doc_id"), split(col("text"), " ").as("tk"))

@@ -72,6 +72,7 @@ object LlmRegistry {
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_span"            -> (LlmQueries.dedupSpan _),
+    "dedup_span_removal"    -> (LlmQueries.dedupSpanRemoval _),
     "dedup_linkage"         -> (LlmQueries.dedupLinkage _),
     "dedup_soft"            -> (LlmQueries.dedupSoft _),
     "prep_interleave"       -> (LlmQueries.prepInterleave _),
@@ -1403,6 +1404,36 @@ object LlmRegistry {
         |    / CAST(GREATEST(ng.n_grams, 1) AS DOUBLE), 4) AS density
         |FROM ng LEFT JOIN fp ON ng.doc_id = fp.doc_id
         |ORDER BY ng.doc_id""".stripMargin,
+    // onion removal: same postings/hash/maxDf machinery, per-gram MIN
+    // doc is the keeper, marked token windows strip, kept text
+    // fingerprinted in order
+    "dedup_span_removal" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tk8 AS (SELECT doc_id, tk FROM b WHERE len(tk) >= 8),
+        |posts AS (SELECT doc_id, g.i AS pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(tk, g.i, g.i + 7), ' ')), 1, 15))::BIGINT AS h
+        |  FROM tk8, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) g),
+        |dup AS (SELECT h, keeper FROM (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+        |  FROM posts GROUP BY h) WHERE nd > 1 AND nd <= 64),
+        |marks AS (SELECT DISTINCT p.doc_id, g.t
+        |  FROM posts p JOIN dup d USING (h),
+        |  LATERAL (SELECT unnest(range(p.pos, p.pos + 8)) AS t) g
+        |  WHERE p.doc_id > d.keeper),
+        |toks AS (SELECT doc_id, g.i AS pos, tk[g.i] AS tok
+        |  FROM b, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) g),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN marks m ON t.doc_id = m.doc_id AND t.pos = m.t
+        |  WHERE m.doc_id IS NULL),
+        |ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_fp
+        |       FROM kept GROUP BY doc_id),
+        |nr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+        |       FROM marks GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM b)
+        |SELECT tot.doc_id, n_tokens, n_removed, kept_fp
+        |FROM tot JOIN nr USING (doc_id) JOIN ka USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin,
     "dedup_span" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |corpus AS (

@@ -248,4 +248,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.duplicateSpans(docs, "id", "text", n = 4, minRun = 5,
       maxDf = 2).count() == 0)
   }
+
+  test("spanRemoval: the min-id copy keeps its text, later copies lose " +
+      "exactly the duplicated window, untouched docs emit nothing, a " +
+      "fully-duplicated doc vanishes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma"),        // keeper: kept whole
+      (2L, s"pre1 pre2 $shared post1 post2"),   // loses the 8 dup tokens
+      (3L, shared),                             // fully duplicated: vanishes
+      (4L, "totally unrelated text here"))      // untouched: no row
+      .toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // only docs 2 (partial removal) appear: 1 is the keeper, 3 fully
+    // vanishes, 4 untouched
+    assert(got.keySet == Set(2L), got.toString)
+    val (nTok, nRem, fp) = got(2L)
+    assert(nTok == 12 && nRem == 8)
+    val expectKept = "pre1 pre2 post1 post2"
+    assert(fp == java.security.MessageDigest.getInstance("MD5")
+      .digest(expectKept.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString, "kept fingerprint")
+  }
 }
