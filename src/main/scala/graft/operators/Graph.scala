@@ -373,6 +373,83 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Katz centrality (Katz 1953, "A new status index derived from
+    * sociometric analysis"): `x = Σ_k α^k (Aᵀ)^k 1` — every inbound
+    * walk counts, attenuated by length — computed as the standard fixed
+    * iteration `x ← 1 + α·Aᵀx` from x = 1, over the UNWEIGHTED distinct
+    * edge set (the contrast with [[pageRank]]'s out-strength-normalized
+    * shares: Katz rewards raw reachability, PageRank splits mass).
+    * α = 0.05 keeps α·λmax < 1 on graphs up to in-degree 20 per node
+    * class; the registered query runs a FIXED 4 rounds with the
+    * per-iteration round(…, 6) pin, so the emitted iterate is exact on
+    * any engine regardless of spectral radius.
+    *
+    * Scale: per round one edges⋈scores join + one aggregate, shuffled
+    * on the edge key — the [[pageRank]] loop shape.
+    */
+  def katz(edges: DataFrame, iters: Int, alpha: Double = 0.05): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var x = nodes.select(col("node"), lit(1.0).as("katz"))
+    for (it <- 1 to iters) {
+      val inflow = e
+        .join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("katz")).as("in_sum"))
+      x = nodes
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1.0) + lit(alpha) * coalesce(col("in_sum"), lit(0.0)), 6)
+            .as("katz"))
+      if (it % CheckpointEvery == 0 && it < iters)
+        x = x.localCheckpoint(true)
+    }
+    x
+  }
+
+  /** Registered query: 4 Katz rounds over the unweighted nation trade
+    * graph, names joined back.
+    */
+  def graphKatz(s: SparkSession, dir: String): DataFrame = {
+    val k = katz(nationTradeEdges(s, dir), iters = 4)
+    val names = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    k.join(broadcast(names), "node")
+      .select(col("node"), col("n_name"), col("katz"))
+      .orderBy("node")
+  }
+
+  /** The graph_katz oracle: the same 4 unrolled rounds over the
+    * distinct edge set, identical `1.0 + 0.05 · Σ` tree and ROUND pin.
+    */
+  def katzOracleSql(): String = {
+    val rounds = (1 to 4).map { k =>
+      s"""x$k AS (SELECT nd.node,
+         |    ROUND(1.0 + 0.05 * COALESCE(SUM(r.katz), 0), 6) AS katz
+         |  FROM nodes nd
+         |  LEFT JOIN e ON e.dst = nd.node
+         |  LEFT JOIN x${k - 1} r ON r.node = e.src
+         |  GROUP BY nd.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |x0 AS (SELECT node, 1.0 AS katz FROM nodes),
+       |${rounds.mkString(",\n")}
+       |SELECT x4.node, n.n_name, x4.katz
+       |FROM x4 JOIN nation n ON x4.node = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY x4.node""".stripMargin
+  }
+
   /** The graph_ppr oracle: the same teleport vector and 5 unrolled
     * update rounds ([[graphPageRank]]'s oracle discipline — identical
     * `(1 − 0.85)` expression tree, identical ROUND(…, 6) pin).

@@ -21,6 +21,7 @@ object MlRegistry {
     "ml_naive_bayes"        -> (NaiveBayes.mlNaiveBayes _),
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_ppr"             -> (Graph.graphPpr _),
+    "graph_katz"            -> (Graph.graphKatz _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
@@ -140,6 +141,7 @@ object MlRegistry {
     // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
     // noise, no dangling redistribution — Graph.pageRank's contract).
     "graph_ppr" -> Graph.pprOracleSql(),
+    "graph_katz" -> Graph.katzOracleSql(),
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,

@@ -506,6 +506,27 @@ class GraphSpec extends SparkTestBase {
     assert(uni == plain, "uniform-seed PPR must equal plain PageRank")
   }
 
+  test("katz: driver-replica recurrence; a sink with more inbound walks " +
+      "outranks one with fewer; edge weights are IGNORED (distinct)") {
+    // 1->3, 2->3, 3->4: node 3 has two inbound, node 4 inherits depth-2
+    // walks; a duplicate weighted edge must not double-count
+    val edges = Seq((1L, 3L, 5.0), (1L, 3L, 9.0), (2L, 3L, 1.0),
+      (3L, 4L, 1.0))
+    val got = Graph.katz(edges.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map(3L -> Seq(1L, 2L), 4L -> Seq(3L))
+    var x = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)
+    (1 to 4).foreach { _ =>
+      x = x.map { case (n, _) =>
+        n -> r6(1.0 + 0.05 * adj.getOrElse(n, Nil).map(x).sum) }
+    }
+    assert(got == x, s"got $got expected $x")
+    assert(got(3L) > got(4L) && got(4L) > got(1L))
+    assert(got(1L) == 1.0 && got(2L) == 1.0, "sources have no inbound")
+  }
+
   test("graph_scc query: labels are member minima, sizes consistent") {
     val rows = Graph.graphScc(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
