@@ -380,6 +380,40 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Column-level information profiling — the DQ staple that catches a
+    * constant-valued column (entropy 0), a key-like column (entropy ≈
+    * log n), and silent cardinality collapse after a bad join: Shannon
+    * entropy `−Σ p·ln p` (nats) and Gini impurity `1 − Σ p²` per
+    * profiled categorical column, plus distinct count and mode share.
+    *
+    * Shape: one map-side-combined (col, value) aggregate per profiled
+    * column over ONE fact scan (the columns unpivot inside the scan
+    * stage), then vocabulary-sized math — the corpus never shuffles on
+    * row identity. Exact counts; ln is the [[TextAnalysis.pmiTopK]]
+    * ROUND(…, 4) cross-engine seam.
+    */
+  def dqEntropy(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val unpiv = o.select(explode(map(
+      lit("o_orderstatus"), col("o_orderstatus"),
+      lit("o_orderpriority"), col("o_orderpriority"),
+      lit("order_year"), year(col("o_orderdate")).cast("string")))
+      .as(Seq("col_name", "v")))
+    val counts = unpiv.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("col_name").agg(sum("c").as("n"))
+    counts.join(totals, "col_name")
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        round((-sum((col("c") / col("n")) *
+          log(col("c") / col("n")))), 4).as("entropy_nats"),
+        round(lit(1.0) - sum((col("c") / col("n")) * (col("c") / col("n"))),
+          4).as("gini"),
+        round(max(col("c")) / first(col("n")).cast("double"), 4)
+          .as("mode_share"))
+      .orderBy("col_name")
+  }
+
   def dqChecks(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val ords = t(s, dir, "orders")

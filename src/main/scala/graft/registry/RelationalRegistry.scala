@@ -46,6 +46,7 @@ object RelationalRegistry {
     "q35_array_functions"   -> (Analytics.arrayFunctions _),
     "q36_string_agg"        -> (Analytics.stringAgg _),
     "dq_checks"             -> (Analytics.dqChecks _),
+    "dq_entropy"            -> (Analytics.dqEntropy _),
     "dq_outliers"           -> ((s, d) => Analytics.dqOutliers(s, d)),
     "dq_embeddings"         -> ((s, d) => Analytics.dqEmbeddings(s, d)),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
@@ -673,6 +674,25 @@ object RelationalRegistry {
         |  array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // column information profile: identical (col,value) counts, same
+    // ln seam as text_pmi (ROUND 4), same division spellings
+    "dq_entropy" ->
+      """WITH u AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders),
+        |c AS (SELECT col_name, v, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |t AS (SELECT col_name, SUM(c) AS n FROM c GROUP BY 1)
+        |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  ROUND(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 4)
+        |    AS entropy_nats,
+        |  ROUND(1.0 - SUM((c / CAST(n AS DOUBLE)) * (c / CAST(n AS DOUBLE))), 4)
+        |    AS gini,
+        |  ROUND(MAX(c) / CAST(ANY_VALUE(n) AS DOUBLE), 4) AS mode_share
+        |FROM c JOIN t USING (col_name)
+        |GROUP BY col_name ORDER BY col_name""".stripMargin,
     "dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'customer_name_null' AS rule, COUNT(*) AS violations

@@ -323,4 +323,35 @@ class AnalyticsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("dqEntropy: a constant column scores 0 entropy / 0 gini / mode 1; " +
+      "uniform categories hit ln(k) and (k-1)/k exactly") {
+    val got = Analytics.dqEntropy(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet ==
+      Set("o_orderstatus", "o_orderpriority", "order_year"))
+    got.values.foreach { case (nd, ent, gini, mode) =>
+      assert(nd >= 1 && ent >= 0 && gini >= 0 && gini < 1
+        && mode > 0 && mode <= 1)
+      // entropy is bounded by ln(n_distinct); gini by (nd-1)/nd
+      assert(ent <= math.log(nd.toDouble) + 1e-9, s"entropy bound $ent vs $nd")
+      assert(gini <= (nd - 1).toDouble / nd + 1e-9)
+    }
+    // hand frames through the same math: constant and uniform
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def profile(vals: Seq[String]): (Double, Double, Double) = {
+      val counts = vals.groupBy(identity).values.map(_.size.toDouble)
+      val n = vals.size.toDouble
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r4(-counts.map(c => c / n * math.log(c / n)).sum),
+       r4(1.0 - counts.map(c => (c / n) * (c / n)).sum),
+       r4(counts.max / n))
+    }
+    assert(profile(Seq.fill(10)("x")) == ((0.0, 0.0, 1.0)))
+    val (e4, g4, m4) = profile(Seq("a", "b", "c", "d"))
+    assert(math.abs(e4 - math.log(4.0)) < 1e-4 && g4 == 0.75 && m4 == 0.25)
+  }
 }
