@@ -224,6 +224,88 @@ object Metrics {
        |    AS f1
        |FROM x GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** Exact average precision (the step-integrated area under the
+    * precision-recall curve, sklearn's AP): walking score groups in
+    * DESCENDING score order, `AP = Σ_k (p_k/P) · (TP_k / (TP_k+FP_k))`
+    * — each term an exact integer rational, so both engines divide
+    * identical integers; the ~|distinct scores| term sum rounds at 6.
+    * The metric that actually ranks models under class imbalance,
+    * where ROC-AUC saturates ([[aucByGroup]]'s complement).
+    *
+    * Scale: the same shape as [[aucByGroup]] — one map-side-combined
+    * (group, score) aggregate, one window over the bounded
+    * distinct-score frame, nothing else touches the fact table.
+    */
+  def prAucByGroup(df: DataFrame, gCol: String, scCol: String,
+                   yCol: String): DataFrame = {
+    val perScore = df.groupBy(col(gCol).as("g"), col(scCol).as("sc"))
+      .agg(count(lit(1)).as("n"), sum(yCol).as("p"))
+    val wDesc = Window.partitionBy("g").orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore
+      .withColumn("tp", sum("p").over(wDesc))
+      .withColumn("cn", sum("n").over(wDesc)) // = TP + FP at this cut
+    val tot = perScore.groupBy("g")
+      .agg(sum("p").as("pos"), sum("n").as("ntot"))
+    cum.join(tot, "g")
+      .filter(col("pos") > 0 && col("pos") < col("ntot"))
+      .withColumn("term", (col("p") * col("tp")).cast("double") /
+        (col("pos") * col("cn")).cast("double"))
+      .groupBy("g")
+      .agg(max("pos").as("pos"), (max("ntot") - max("pos")).as("neg"),
+        round(sum("term"), 6).as("pr_auc"),
+        round(max("pos").cast("double") / max("ntot").cast("double"), 6)
+          .as("prevalence"))
+      .select("g", "pos", "neg", "pr_auc", "prevalence")
+  }
+
+  /** Registered query: average precision of the [[mlAuc]] planted-label
+    * fixture — same scores, same label, the PR-curve counterpart row.
+    */
+  def mlPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("sc"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("k"))
+    val planted = li.withColumn("y",
+      (col("sc") * 1000 + pmod(Hashing.md5Long(col("k")), lit(50000L))
+        > 28000).cast("long"))
+    prAucByGroup(planted, "g", "sc", "y").orderBy("g")
+  }
+
+  val mlPrAucOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) AS k
+      |  FROM lineitem),
+      |planted AS (
+      |  SELECT g, sc,
+      |    CAST(sc * 1000 +
+      |      (('0x' || substr(md5(k), 1, 15))::BIGINT % 50000) > 28000
+      |      AS BIGINT) AS y
+      |  FROM li),
+      |pers AS (
+      |  SELECT g, sc, COUNT(*) AS n, SUM(y) AS p
+      |  FROM planted GROUP BY g, sc),
+      |cum AS (
+      |  SELECT g, sc, n, p,
+      |    SUM(p) OVER w AS tp, SUM(n) OVER w AS cn
+      |  FROM pers
+      |  WINDOW w AS (PARTITION BY g ORDER BY sc DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT g, SUM(p) AS pos, SUM(n) AS ntot FROM pers GROUP BY g)
+      |SELECT c.g, CAST(t.pos AS BIGINT) AS pos,
+      |  CAST(t.ntot - t.pos AS BIGINT) AS neg,
+      |  ROUND(SUM(CAST(c.p * c.tp AS DOUBLE)
+      |    / CAST(t.pos * c.cn AS DOUBLE)), 6) AS pr_auc,
+      |  ROUND(CAST(t.pos AS DOUBLE) / CAST(t.ntot AS DOUBLE), 6)
+      |    AS prevalence
+      |FROM cum c JOIN tot t USING (g)
+      |WHERE t.pos > 0 AND t.pos < t.ntot
+      |GROUP BY c.g, t.pos, t.ntot ORDER BY c.g""".stripMargin
+
   val mlAucOracle: String =
     """WITH li AS (
       |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,

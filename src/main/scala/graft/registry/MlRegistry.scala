@@ -41,6 +41,7 @@ object MlRegistry {
     "ml_ndcg"               -> (Metrics.mlNdcg _),
     "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
+    "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
@@ -506,6 +507,7 @@ object MlRegistry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the
     // per-column gaps-and-islands connectivity closed form (exact for
     // the 250-spaced fixture; the engine runs the general 2-D grid)

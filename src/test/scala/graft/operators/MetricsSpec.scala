@@ -98,4 +98,34 @@ class MetricsSpec extends SparkTestBase {
     val h12s = Graph.graphCloseness(spark, sfDir).collect().map(_.getLong(3))
     assert(h12s.sameElements(h12s.sortBy(-_)))
   }
+
+  test("prAucByGroup: hand case equals the exact AP; a perfect ranker " +
+      "scores 1; a label-free score scores the prevalence baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // scores 4>3>2>1 with labels 1,0,1,0: AP = 1/2*(1/1) + 1/2*(2/3)
+    val hand = Seq(("g", 4L, 1L), ("g", 3L, 0L), ("g", 2L, 1L),
+      ("g", 1L, 0L)).toDF("g", "sc", "y")
+    val got = Metrics.prAucByGroup(hand, "g", "sc", "y").collect().head
+    val exp = BigDecimal(0.5 * 1.0 + 0.5 * (2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 2 && got.getLong(2) == 2)
+    assert(got.getDouble(3) == exp, s"${got.getDouble(3)} vs $exp")
+    // perfect ranker: all positives above all negatives -> AP = 1
+    val perfect = Seq(("g", 9L, 1L), ("g", 8L, 1L), ("g", 2L, 0L),
+      ("g", 1L, 0L)).toDF("g", "sc", "y")
+    assert(Metrics.prAucByGroup(perfect, "g", "sc", "y")
+      .collect().head.getDouble(3) == 1.0)
+    // one score for everything (no ranking signal): AP = prevalence
+    val flat = Seq(("g", 5L, 1L), ("g", 5L, 0L), ("g", 5L, 0L),
+      ("g", 5L, 1L)).toDF("g", "sc", "y")
+    val fr = Metrics.prAucByGroup(flat, "g", "sc", "y").collect().head
+    assert(fr.getDouble(3) == fr.getDouble(4), "AP == prevalence baseline")
+    // registered fixture: AP strictly above prevalence (the planted
+    // signal ranks), strictly below 1 (the noise hurts)
+    Metrics.mlPrAuc(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(3) > r.getDouble(4) && r.getDouble(3) < 1.0,
+        r.toString)
+    }
+  }
 }
