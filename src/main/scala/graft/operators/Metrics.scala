@@ -196,6 +196,68 @@ object Metrics {
       .orderBy("cls")
   }
 
+  /** ml_mcc — the single-number confusion summaries the per-class
+    * [[mlPrf]] row can't give: Matthews correlation (the balanced
+    * measure that stays honest under class imbalance, Matthews 1975),
+    * Cohen's kappa (chance-corrected agreement), and balanced accuracy
+    * — all exact integer cells from the SAME kNN classifier fixture,
+    * combined in identical IEEE expressions on both engines. One
+    * bounded aggregate; the fact-scan cost is [[mlKnn]]'s.
+    */
+  def mlMcc(s: SparkSession, dir: String): DataFrame = {
+    val conf = mlKnn(s, dir).groupBy(col("y_true"), col("yhat"))
+      .agg(count(lit(1)).as("n"))
+    val cells = conf.agg(
+      sum(when(col("y_true") === 1 && col("yhat") === 1, col("n"))
+        .otherwise(0L)).as("tp"),
+      sum(when(col("y_true") === 0 && col("yhat") === 1, col("n"))
+        .otherwise(0L)).as("fp"),
+      sum(when(col("y_true") === 1 && col("yhat") === 0, col("n"))
+        .otherwise(0L)).as("fn"),
+      sum(when(col("y_true") === 0 && col("yhat") === 0, col("n"))
+        .otherwise(0L)).as("tn"))
+    def d(c: String) = col(c).cast("double")
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((d("tp") * d("tn") - d("fp") * d("fn")) /
+        sqrt((col("tp") + col("fp")).cast("double") *
+          (col("tp") + col("fn")).cast("double") *
+          (col("tn") + col("fp")).cast("double") *
+          (col("tn") + col("fn")).cast("double")), 6).as("mcc"),
+      round(lit(2.0) * (d("tp") * d("tn") - d("fp") * d("fn")) /
+        ((col("tp") + col("fp")).cast("double") *
+          (col("fp") + col("tn")).cast("double") +
+         (col("tp") + col("fn")).cast("double") *
+          (col("fn") + col("tn")).cast("double")), 6).as("kappa"),
+      round((d("tp") / (col("tp") + col("fn")).cast("double") +
+        d("tn") / (col("tn") + col("fp")).cast("double")) / 2.0, 6)
+        .as("balanced_acc"))
+  }
+
+  def mlMccOracle: String =
+    s"""WITH knn AS ($mlKnnOracle),
+       |c AS (SELECT
+       |  SUM(CASE WHEN y_true = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+       |  SUM(CASE WHEN y_true = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+       |  SUM(CASE WHEN y_true = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn,
+       |  SUM(CASE WHEN y_true = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS tn
+       |  FROM knn)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |  ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |    / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+       |    AS mcc,
+       |  ROUND(2.0 * (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |    / (CAST(tp + fp AS DOUBLE) * CAST(fp + tn AS DOUBLE)
+       |       + CAST(tp + fn AS DOUBLE) * CAST(fn + tn AS DOUBLE)), 6)
+       |    AS kappa,
+       |  ROUND((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+       |       + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0, 6)
+       |    AS balanced_acc
+       |FROM c""".stripMargin
+
   val mlPrfOracle: String =
     s"""WITH knn AS ($mlKnnOracle),
        |conf AS (

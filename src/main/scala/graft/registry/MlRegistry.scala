@@ -44,6 +44,7 @@ object MlRegistry {
     "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
+    "ml_mcc"                -> (Metrics.mlMcc _),
     "ml_boosted_stumps"     -> (Regression.mlBoostedStumps _),
     "ml_bagging"            -> (Regression.mlBagging _),
     "ml_target_encode"      -> (Regression.mlTargetEncode _),
@@ -507,6 +508,7 @@ object MlRegistry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    "ml_mcc" -> Metrics.mlMccOracle,
     "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the
     // per-column gaps-and-islands connectivity closed form (exact for

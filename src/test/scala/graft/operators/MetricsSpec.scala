@@ -128,4 +128,28 @@ class MetricsSpec extends SparkTestBase {
         r.toString)
     }
   }
+
+  test("mlMcc: cells sum to the kNN probe count and cross-check mlPrf; " +
+      "MCC/kappa sit in (-1,1]; balanced accuracy matches the cells") {
+    val r = Metrics.mlMcc(spark, sfDir).collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val probes = Metrics.mlKnn(spark, sfDir).count()
+    assert(tp + fp + fn + tn == probes, "cells partition the probe set")
+    // mlPrf class-1 row carries the SAME tp/fp/fn
+    val prf1 = Metrics.mlPrf(spark, sfDir).collect()
+      .find(_.getLong(0) == 1L).get
+    assert((prf1.getLong(1), prf1.getLong(2), prf1.getLong(3)) ==
+      ((tp, fp, fn)))
+    val (mcc, kappa, bacc) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(mcc > -1 && mcc <= 1 && kappa > -1 && kappa <= 1)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(bacc == r6((tp.toDouble / (tp + fn) + tn.toDouble / (tn + fp))
+      / 2.0))
+    // replica of the MCC formula over the same cells
+    val expMcc = r6((tp.toDouble * tn - fp.toDouble * fn) /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn)))
+    assert(mcc == expMcc, s"$mcc vs $expMcc")
+  }
 }
