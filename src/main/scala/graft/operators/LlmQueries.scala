@@ -399,6 +399,9 @@ object LlmQueries {
   def textStem(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stemTopK(docs(s, dir), "doc_id", "text", k = 20)
 
+  def textHeaps(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heaps(docs(s, dir), "doc_id", "text")
+
   /** Capacity 4096 > the corpus's distinct-bigram count at every test
     * scale, so the sketch is exact here and DuckDB's exact aggregate is
     * the oracle; HeavyHittersSpec pins the lossy small-k bounds.

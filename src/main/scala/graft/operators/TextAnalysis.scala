@@ -426,6 +426,60 @@ object TextAnalysis {
       .select("w1", "w2", "bc", "uc1", "uc2", "pmi")
   }
 
+  /** Vocabulary-growth curve (Heaps' law, `V ≈ K·Tᵝ`): cumulative
+    * token and DISTINCT-type counts at five corpus-prefix checkpoints
+    * (by doc-id threshold), with the between-checkpoint log-log slope
+    * β — the curve that says whether a corpus is still yielding new
+    * vocabulary (β ≈ 0.5 for natural text) or has gone repetitive /
+    * template-bound (β → 0), the scaling diagnostic before committing
+    * to a bigger crawl.
+    *
+    * Scale: a token's contribution to EVERY checkpoint is decided by
+    * its FIRST-occurrence doc id — one vocabulary-sized `min` aggregate
+    * — so cumulative distinct counts never rescan the corpus per
+    * checkpoint; totals come from a |docs|-sized counts frame. The
+    * 5-row checkpoint frame broadcasts; the closing window runs on 5
+    * rows. Thresholds and β use identical double expressions (the
+    * oracle casts its fraction literals to DOUBLE so `floor(f·max)`
+    * agrees bit-for-bit).
+    */
+  def heaps(docsDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("tk"))
+      .localCheckpoint(true) // feeds the type mins AND the token totals
+    val fracs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
+    val thr = base.agg(max("doc_id").as("mx"))
+      .select(explode(array(fracs.map(lit): _*)).as("f"), col("mx"))
+      .select(round(col("f") * 100).cast("int").as("pct"),
+        floor(col("f") * col("mx")).cast("long").as("thr"))
+      .localCheckpoint(true) // 5 rows
+    val tokMin = base.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("t").agg(min("doc_id").as("first_doc"))
+    val vocab = tokMin.crossJoin(broadcast(thr))
+      .groupBy("pct", "thr")
+      .agg(sum(when(col("first_doc") <= col("thr"), 1L).otherwise(0L))
+        .as("vocab"))
+    val totals = base
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(thr))
+      .groupBy("pct", "thr")
+      .agg(sum(when(col("doc_id") <= col("thr"), 1L).otherwise(0L))
+        .as("n_docs"),
+        sum(when(col("doc_id") <= col("thr"), col("n_tok")).otherwise(0L))
+          .as("n_tokens"))
+    val w = Window.orderBy("pct") // 5 rows — bounded by construction
+    vocab.join(totals, Seq("pct", "thr"))
+      .withColumn("beta", round(
+        log(col("vocab").cast("double") /
+          lag("vocab", 1).over(w).cast("double")) /
+        log(col("n_tokens").cast("double") /
+          lag("n_tokens", 1).over(w).cast("double")), 4))
+      .select(col("pct"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("beta"))
+      .orderBy("pct")
+  }
+
   /** The Harman S-stemmer rules (Harman 1991, "How Effective Is
     * Suffixing?") as one portable CASE over a token column `w` — shared
     * TEXTUALLY with the oracle so both engines run the identical string

@@ -47,6 +47,7 @@ object LlmRegistry {
     "text_pmi"              -> (LlmQueries.textPmi _),
     "text_llr"              -> (LlmQueries.textLlr _),
     "text_stem"             -> (LlmQueries.textStem _),
+    "text_heaps"            -> (LlmQueries.textHeaps _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
@@ -747,6 +748,38 @@ object LlmRegistry {
         |  ROUND(ln((bc / n_bi) / ((u1.uc / n_uni) * (u2.uc / n_uni))), 4) AS pmi
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Heaps checkpoints: fraction literals CAST TO DOUBLE so
+    // floor(f*max) takes the same IEEE branch; first-occurrence mins
+    // drive every cumulative distinct count; ln-ratio slope ROUND 4
+    "text_heaps" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM b),
+        |thr AS (SELECT CAST(ROUND(f * 100) AS INT) AS pct,
+        |          CAST(FLOOR(f * mx) AS BIGINT) AS thr
+        |        FROM (SELECT unnest(
+        |            CAST([0.2, 0.4, 0.6, 0.8, 1.0] AS DOUBLE[])) AS f), mx),
+        |tm AS (SELECT t, MIN(doc_id) AS first_doc FROM (
+        |         SELECT doc_id, unnest(tk) AS t FROM b) GROUP BY t),
+        |v AS (SELECT pct, thr,
+        |        SUM(CASE WHEN first_doc <= thr THEN 1 ELSE 0 END) AS vocab
+        |      FROM tm, thr GROUP BY pct, thr),
+        |tt AS (SELECT pct, thr,
+        |        SUM(CASE WHEN doc_id <= thr THEN 1 ELSE 0 END) AS n_docs,
+        |        SUM(CASE WHEN doc_id <= thr THEN len(tk) ELSE 0 END)
+        |          AS n_tokens
+        |      FROM b, thr GROUP BY pct, thr),
+        |j AS (SELECT v.pct, v.thr, vocab, n_docs, n_tokens
+        |      FROM v JOIN tt ON v.pct = tt.pct AND v.thr = tt.thr)
+        |SELECT pct, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  ROUND(ln(CAST(vocab AS DOUBLE)
+        |      / CAST(lag(vocab) OVER (ORDER BY pct) AS DOUBLE))
+        |    / ln(CAST(n_tokens AS DOUBLE)
+        |      / CAST(lag(n_tokens) OVER (ORDER BY pct) AS DOUBLE)), 4)
+        |    AS beta
+        |FROM j ORDER BY pct""".stripMargin,
     // S-stemmer rules shared TEXTUALLY with the engine (StemCaseSql):
     // identical CASE, identical right/substr/|| string algebra
     "text_stem" ->

@@ -528,4 +528,37 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(2L) == (3L, 0L, 3L, "pos"), got(2L).toString)
     assert(got(3L) == (0L, 0L, 0L, "neu"), got(3L).toString)
   }
+
+  test("heaps: cumulative counts are monotone, the final checkpoint is " +
+      "the whole corpus, beta replicates the ln-ratio on a hand corpus") {
+    import spark.implicits._
+    // doc ids 0..4: each doc adds 2 tokens, one new type, one repeat
+    val corpus = (0L to 4L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.heaps(corpus, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(20, 40, 60, 80, 100))
+    // thresholds floor(f*4): 0, 1, 2, 3, 4 -> docs 1, 2, 3, 4, 5
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._3).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    // vocab: 'common' + one new type per doc -> 2, 3, 4, 5, 6
+    assert(got.map(_._4).toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(got.head._5.isNaN, "first checkpoint has no slope")
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 until 5).foreach { k =>
+      val b = r4(math.log(got(k)._4.toDouble / got(k - 1)._4) /
+        math.log(got(k)._3.toDouble / got(k - 1)._3))
+      assert(got(k)._5 == b, s"beta at checkpoint $k")
+    }
+    // corpus-level sanity on the registered fixture: monotone, final =
+    // whole corpus, beta in (0, 1)
+    val reg = LlmQueries.textHeaps(spark, sfDir).collect()
+    assert(reg.length == 5)
+    assert(reg.map(_.getLong(3)).toSeq == reg.map(_.getLong(3)).sorted.toSeq)
+    // the tiny test-SF vocabulary saturates early, so beta may hit 0
+    // exactly; it can never be negative or >= 1 on a growing corpus
+    (1 until 5).foreach { k =>
+      val b = reg(k).getDouble(4); assert(b >= 0 && b < 1, s"beta $b") }
+  }
 }
