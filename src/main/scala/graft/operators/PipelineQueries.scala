@@ -1969,6 +1969,43 @@ object PipelineQueries {
       .orderBy("status")
   }
 
+  /** A56 — CSV with the HARD dialect corners: every row's text is
+    * decorated with an embedded comma, a quoted substring, and a real
+    * newline, then written in the RFC-4180 dialect (quote-doubling via
+    * `escape = "` — NOT Spark's backslash default, which no warehouse
+    * bulk-loader accepts) and read back with `multiLine = true` (a
+    * quoted newline otherwise splits the record and corrupts the
+    * frame). The gate recomputes every group hash from the ORIGINAL
+    * table with the same decoration, so any quoting/escaping/record-
+    * splitting mutation flips a checksum. a07/a29 cover malformed-CSV
+    * repair; this leg pins the WELL-FORMED hard dialect.
+    *
+    * Scale note: multiLine CSV is not splittable per file — real lakes
+    * pay that with many files (partition count survives), which the
+    * write side here produces naturally.
+    */
+  def a56CsvMultiline(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_csvml").toString + "/docs_csv"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(", \"mid\"\ntail-"),
+          col("doc_id").cast("string")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite")
+      .option("header", true).option("escape", "\"")
+      .csv(base)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("header", true).option("multiLine", true)
+      .option("escape", "\"")
+      .csv(base)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

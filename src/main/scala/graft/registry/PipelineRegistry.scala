@@ -56,6 +56,7 @@ object PipelineRegistry {
     "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
     "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
     "a55_fixed_width"       -> (PipelineQueries.a55FixedWidthRoundtrip _),
+    "a56_csv_multiline"     -> (PipelineQueries.a56CsvMultiline _),
     "a50_pgwire_tls"        -> (PipelineQueries.a50PgwireTls _),
     "a51_mssqlwire_pushdown" -> (PipelineQueries.a51MssqlwirePushdown _),
     "a51b_mssqlwire_quirks" -> (PipelineQueries.a51bMssqlwireQuirks _),
@@ -410,6 +411,16 @@ object PipelineRegistry {
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // a56: group hashes recomputed from the ORIGINAL table with the
+    // SAME comma/quote/newline decoration — any dialect mutation flips
+    "a56_csv_multiline" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(
+        |      text || ', "mid"' || chr(10) || 'tail-'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
         |    AS content_xor
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // a55: recomputed from the ORIGINAL orders table — any fixed-width

@@ -643,4 +643,37 @@ class SyncSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got == direct, s"\ngot    $got\ndirect $direct")
   }
+
+  test("a56 csv multiline: a single hand row with comma + quotes + " +
+      "newline survives the RFC dialect write/read byte-exactly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_csvml_spec").toString + "/t"
+    val tricky = "plain, then \"quoted, with comma\" then\na second line"
+    Seq((1L, tricky)).toDF("id", "v")
+      .write.option("header", true).option("escape", "\"").csv(base)
+    val back = spark.read
+      .schema("id BIGINT, v STRING")
+      .option("header", true).option("multiLine", true)
+      .option("escape", "\"").csv(base)
+      .collect()
+    assert(back.length == 1, "the quoted newline must NOT split the record")
+    assert(back.head.getString(1) == tricky, back.head.getString(1))
+    // registered query equals the same aggregate taken directly
+    import graft.operators.PipelineQueries
+    val got = PipelineQueries.a56CsvMultiline(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val direct = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"),
+        concat(col("text"), lit(", \"mid\"\ntail-"),
+          col("doc_id").cast("string")).as("text"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == direct)
+  }
 }
