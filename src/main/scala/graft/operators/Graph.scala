@@ -450,6 +450,80 @@ object Graph {
        |ORDER BY x4.node""".stripMargin
   }
 
+  /** Degree assortativity (Newman 2002, "Assortativity mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * undirected distinct edge set —
+    * `r = (S1/M − (S2/2M)²) / (S3/2M − (S2/2M)²)` with
+    * S1 = Σ_e j·k, S2 = Σ_e (j+k), S3 = Σ_e (j²+k²) — positive when
+    * hubs link hubs, negative for hub-and-spoke. All three sums are
+    * exact integers (degrees are counts), so the closing expression is
+    * one identical IEEE tree on any engine; emitted ROUND 6 with the
+    * raw sums beside it.
+    *
+    * Scale: dedupe + degree count + two degree joins keyed on the edge
+    * endpoints + one bounded aggregate — each step shuffles on a key
+    * the next step reuses; no pair explosion anywhere.
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    // the customer–supplier TRADE graph at entity level (suppliers
+    // offset into their own id space): genuinely varied degrees, unlike
+    // the complete nation-level projection whose constant degree makes
+    // r formally undefined (the NULLIF guard below keeps the query
+    // total either way — the ml_ndcg discipline)
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val und = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("u"),
+        (col("l_suppkey").cast("long") + 1000000L).as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds the degree count AND both joins
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val j = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    j.agg(count(lit(1)).as("m"),
+        sum(col("du") * col("dv")).as("s1"),
+        sum(col("du") + col("dv")).as("s2"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s3"))
+      .withColumn("mu", col("s2").cast("double") /
+        (col("m") * 2).cast("double"))
+      .select(col("m"), col("s1"), col("s2"), col("s3"),
+        round((col("s1").cast("double") / col("m").cast("double") -
+          col("mu") * col("mu")) /
+          nullif(col("s3").cast("double") / (col("m") * 2).cast("double") -
+            col("mu") * col("mu"), lit(0.0)), 6).as("assortativity"))
+  }
+
+  /** The graph_assortativity oracle: identical sums and the identical
+    * closing expression tree.
+    */
+  def assortativityOracleSql(): String =
+    """WITH und AS (
+      |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS u,
+      |         CAST(l.l_suppkey AS BIGINT) + 1000000 AS v
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |deg AS (SELECT n, COUNT(*) AS d FROM (
+      |          SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      |        GROUP BY n),
+      |j AS (SELECT du.d AS du, dv.d AS dv
+      |      FROM und JOIN deg du ON und.u = du.n
+      |      JOIN deg dv ON und.v = dv.n),
+      |a AS (SELECT COUNT(*) AS m, SUM(du * dv) AS s1,
+      |        SUM(du + dv) AS s2, SUM(du * du + dv * dv) AS s3
+      |      FROM j),
+      |b AS (SELECT m, s1, s2, s3,
+      |        CAST(s2 AS DOUBLE) / CAST(m * 2 AS DOUBLE) AS mu
+      |      FROM a)
+      |SELECT CAST(m AS BIGINT) AS m, CAST(s1 AS BIGINT) AS s1,
+      |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+      |  ROUND((CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) - mu * mu)
+      |    / NULLIF(CAST(s3 AS DOUBLE) / CAST(m * 2 AS DOUBLE) - mu * mu,
+      |             0), 6)
+      |    AS assortativity
+      |FROM b""".stripMargin
+
   /** The graph_ppr oracle: the same teleport vector and 5 unrolled
     * update rounds ([[graphPageRank]]'s oracle discipline — identical
     * `(1 − 0.85)` expression tree, identical ROUND(…, 6) pin).

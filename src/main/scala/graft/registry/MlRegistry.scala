@@ -22,6 +22,7 @@ object MlRegistry {
     "graph_pagerank"        -> (Graph.graphPageRank _),
     "graph_ppr"             -> (Graph.graphPpr _),
     "graph_katz"            -> (Graph.graphKatz _),
+    "graph_assortativity"   -> (Graph.graphAssortativity _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
@@ -144,6 +145,7 @@ object MlRegistry {
     // noise, no dangling redistribution — Graph.pageRank's contract).
     "graph_ppr" -> Graph.pprOracleSql(),
     "graph_katz" -> Graph.katzOracleSql(),
+    "graph_assortativity" -> Graph.assortativityOracleSql(),
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,

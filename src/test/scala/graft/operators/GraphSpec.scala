@@ -527,6 +527,41 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) == 1.0 && got(2L) == 1.0, "sources have no inbound")
   }
 
+  test("assortativity: a star is maximally disassortative (r = -1), " +
+      "two disjoint homogeneous cliques-of-different-degree are " +
+      "assortative, the registered row replicates the formula") {
+    def rOf(edges: Seq[(Long, Long)]): Double = {
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val m = und.size
+      val s1 = und.map(e => deg(e._1) * deg(e._2)).sum
+      val s2 = und.map(e => deg(e._1) + deg(e._2)).sum
+      val s3 = und.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+      val mu = s2.toDouble / (2 * m)
+      (s1.toDouble / m - mu * mu) / (s3.toDouble / (2 * m) - mu * mu)
+    }
+    // star K1,4: every edge joins degree-4 to degree-1 -> r = -1
+    assert(math.abs(rOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      - (-1.0)) < 1e-12)
+    // triangle + disjoint edge: degrees 2,2,2 and 1,1 -> like links like
+    assert(rOf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))) > 0.99)
+    // registered row: replicate from the same distinct bipartite edges
+    val got = Graph.graphAssortativity(spark, sfDir).collect().head
+    val und = graft.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("u"),
+        (col("l_suppkey").cast("long") + 1000000L).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = BigDecimal(rOf(und))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == und.size)
+    assert(math.abs(got.getDouble(4) - expect) < 2e-6,
+      s"${got.getDouble(4)} vs $expect")
+  }
+
   test("graph_scc query: labels are member minima, sizes consistent") {
     val rows = Graph.graphScc(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
