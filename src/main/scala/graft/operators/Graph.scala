@@ -524,6 +524,54 @@ object Graph {
       |    AS assortativity
       |FROM b""".stripMargin
 
+  /** Edge reciprocity — the directed-graph mutuality ratio (Newman et
+    * al. 2002): the fraction of directed edges whose reverse edge also
+    * exists, over the distinct non-loop edge set. Near 1 = mutual-trade
+    * structure, near 0 = one-way flow — the first diagnostic before
+    * treating a directed graph as undirected (every *_und projection in
+    * this file implicitly assumes it).
+    *
+    * Scale: one dedupe + ONE self-join keyed on the reversed edge pair
+    * (a LEFT SEMI, so no fan-out) + a bounded aggregate. Exact integer
+    * counts; the ratio is one division, ROUND 6.
+    */
+  def graphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = nationTradeEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+      .localCheckpoint(true) // both sides of the semi-join
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("m_recip"))))
+      .select(col("m"), col("m_recip"),
+        round(col("m_recip").cast("double") / col("m").cast("double"), 6)
+          .as("reciprocity"))
+  }
+
+  /** The graph_reciprocity oracle: identical distinct edge set and
+    * reversed-pair membership.
+    */
+  def reciprocityOracleSql(): String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+      |         CAST(s.s_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |r AS (SELECT COUNT(*) AS m_recip FROM e
+      |      WHERE EXISTS (SELECT 1 FROM e e2
+      |                    WHERE e2.src = e.dst AND e2.dst = e.src)),
+      |t AS (SELECT COUNT(*) AS m FROM e)
+      |SELECT CAST(m AS BIGINT) AS m, CAST(m_recip AS BIGINT) AS m_recip,
+      |  ROUND(CAST(m_recip AS DOUBLE) / CAST(m AS DOUBLE), 6)
+      |    AS reciprocity
+      |FROM t, r""".stripMargin
+
   /** The graph_ppr oracle: the same teleport vector and 5 unrolled
     * update rounds ([[graphPageRank]]'s oracle discipline — identical
     * `(1 − 0.85)` expression tree, identical ROUND(…, 6) pin).

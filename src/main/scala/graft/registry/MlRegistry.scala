@@ -23,6 +23,7 @@ object MlRegistry {
     "graph_ppr"             -> (Graph.graphPpr _),
     "graph_katz"            -> (Graph.graphKatz _),
     "graph_assortativity"   -> (Graph.graphAssortativity _),
+    "graph_reciprocity"     -> (Graph.graphReciprocity _),
     "graph_triangles"       -> (Graph.graphTriangles _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
@@ -146,6 +147,7 @@ object MlRegistry {
     "graph_ppr" -> Graph.pprOracleSql(),
     "graph_katz" -> Graph.katzOracleSql(),
     "graph_assortativity" -> Graph.assortativityOracleSql(),
+    "graph_reciprocity" -> Graph.reciprocityOracleSql(),
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,

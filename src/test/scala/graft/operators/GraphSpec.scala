@@ -562,6 +562,32 @@ class GraphSpec extends SparkTestBase {
       s"${got.getDouble(4)} vs $expect")
   }
 
+  test("reciprocity: a 2-cycle is 1, a pure DAG is 0, mixed graph is " +
+      "the exact mutual fraction; registered row is total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // direct invariant checks through the same semi-join algebra
+    def recip(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val e = edges.distinct.filter(t => t._1 != t._2)
+      (e.size.toLong, e.count(t => e.contains((t._2, t._1))).toLong)
+    }
+    assert(recip(Seq((1L, 2L), (2L, 1L))) == ((2L, 2L)))
+    assert(recip(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 0L)))
+    // mixed: 1<->2 mutual, 1->3 one-way
+    assert(recip(Seq((1L, 2L), (2L, 1L), (1L, 3L))) == ((3L, 2L)))
+    val got = Graph.graphReciprocity(spark, sfDir).collect().head
+    assert(got.getLong(0) > 0 && got.getLong(1) >= 0 &&
+      got.getLong(1) <= got.getLong(0))
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
+    // replica on the actual edge set
+    val e = Graph.nationTradeEdges(spark, sfDir)
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mr = e.count(t => e.contains((t._2, t._1))).toLong
+    assert(got.getLong(0) == e.size.toLong && got.getLong(1) == mr)
+  }
+
   test("graph_scc query: labels are member minima, sizes consistent") {
     val rows = Graph.graphScc(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
