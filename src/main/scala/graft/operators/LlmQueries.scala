@@ -402,6 +402,9 @@ object LlmQueries {
   def textHeaps(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heaps(docs(s, dir), "doc_id", "text")
 
+  def textBurstiness(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.burstiness(docs(s, dir), "doc_id", "text", k = 15)
+
   /** Capacity 4096 > the corpus's distinct-bigram count at every test
     * scale, so the sketch is exact here and DuckDB's exact aggregate is
     * the oracle; HeavyHittersSpec pins the lossy small-k bounds.

@@ -480,6 +480,39 @@ object TextAnalysis {
       .orderBy("pct")
   }
 
+  /** Term burstiness (Church & Gale 1995, "Poisson mixtures"): the
+    * variance-to-mean ratio of a term's per-document counts over ALL
+    * documents (zeros included — that's what the `Σc²`/`T` identity
+    * buys: VMR = (Σc² − T²/N)/T without materializing zero rows).
+    * VMR ≈ 1 is Poisson scatter (function words); VMR ≫ 1 is bursty
+    * content vocabulary — the dispersion signal topic/keyword scoring
+    * corrects for, and a cheap template-detector (a boilerplate line
+    * repeats exactly once per doc → VMR → 0).
+    *
+    * Scale: one (term, doc) map-side-combined aggregate, one
+    * vocabulary-sized rollup, the 1-row corpus count broadcast; top-k
+    * by TakeOrdered. T² is computed in DOUBLE (T can be corpus-sized).
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 15): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("t")
+      .agg(sum("c").as("total"), sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    stats.crossJoin(broadcast(nRow))
+      .withColumn("vmr", round(
+        (col("ss").cast("double") -
+          col("total").cast("double") * col("total").cast("double") /
+            col("n").cast("double")) / col("total").cast("double"), 4))
+      .orderBy(col("total").desc, col("t"))
+      .limit(k)
+      .select(col("t"), col("total"), col("df"), col("vmr"))
+  }
+
   /** The Harman S-stemmer rules (Harman 1991, "How Effective Is
     * Suffixing?") as one portable CASE over a token column `w` — shared
     * TEXTUALLY with the oracle so both engines run the identical string

@@ -48,6 +48,7 @@ object LlmRegistry {
     "text_llr"              -> (LlmQueries.textLlr _),
     "text_stem"             -> (LlmQueries.textStem _),
     "text_heaps"            -> (LlmQueries.textHeaps _),
+    "text_burstiness"       -> (LlmQueries.textBurstiness _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
@@ -748,6 +749,20 @@ object LlmRegistry {
         |  ROUND(ln((bc / n_bi) / ((u1.uc / n_uni) * (u2.uc / n_uni))), 4) AS pmi
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // burstiness: VMR over ALL docs via the sum-of-squares identity
+    // (zeros never materialize); T^2 in DOUBLE; ROUND 4
+    "text_burstiness" ->
+      """WITH pd AS (SELECT t, doc_id, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) GROUP BY t, doc_id),
+        |st AS (SELECT t, SUM(c) AS total, SUM(c * c) AS ss,
+        |         COUNT(*) AS df FROM pd GROUP BY t),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT t, CAST(total AS BIGINT) AS total, CAST(df AS BIGINT) AS df,
+        |  ROUND((CAST(ss AS DOUBLE)
+        |      - CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / CAST(total AS DOUBLE), 4) AS vmr
+        |FROM st, nn ORDER BY total DESC, t LIMIT 15""".stripMargin,
     // Heaps checkpoints: fraction literals CAST TO DOUBLE so
     // floor(f*max) takes the same IEEE branch; first-occurrence mins
     // drive every cumulative distinct count; ln-ratio slope ROUND 4

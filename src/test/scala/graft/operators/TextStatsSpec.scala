@@ -561,4 +561,31 @@ class TextStatsSpec extends SparkTestBase {
     (1 until 5).foreach { k =>
       val b = reg(k).getDouble(4); assert(b >= 0 && b < 1, s"beta $b") }
   }
+
+  test("burstiness: once-per-doc boilerplate -> VMR tends to 0; a term " +
+      "concentrated in one doc -> VMR near its count; replica exact") {
+    import spark.implicits._
+    // 4 docs: 'tmpl' once in every doc; 'burst' 4 times in one doc;
+    // 'half' once in two docs
+    val corpus = Seq(
+      (1L, "tmpl burst burst burst burst half"),
+      (2L, "tmpl half"), (3L, "tmpl x"), (4L, "tmpl y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(corpus, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def vmr(cs: Seq[Long], n: Int): Double = {
+      val t = cs.sum.toDouble; val ss = cs.map(c => c * c).sum.toDouble
+      r4((ss - t * t / n) / t)
+    }
+    assert(got("tmpl") == ((4L, 4L, vmr(Seq(1, 1, 1, 1), 4))))
+    assert(got("tmpl")._3 == 0.0, "exact once-per-doc template is VMR 0")
+    assert(got("burst") == ((4L, 1L, vmr(Seq(4), 4))))
+    assert(got("burst")._3 == 3.0, "all mass in one doc: VMR = c - c^2/n")
+    assert(got("half") == ((2L, 2L, vmr(Seq(1, 1), 4))))
+    assert(got("burst")._3 > got("half")._3 && got("half")._3 > 0.0)
+  }
 }
