@@ -576,6 +576,16 @@ object LlmQueries {
   def mmTgaDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Tga.tgaMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The ASCII-Netpbm (P3) leg ([[Multimodal.ppmAsciiMedia]] fixtures
+    * through [[Multimodal.decodePpmAscii]]'s token walk): the SAME
+    * pixel field as the binary PPM leg, so the closed-form luminance
+    * oracle pins the decimal-token parser — a dropped comment, a
+    * mis-split token, or an offset slip changes the total.
+    */
+  def mmPpmAscii(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(
+      Multimodal.ppmAsciiMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
     * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
     * integer-IDCT path): parsed SOF geometry plus the luminance total over

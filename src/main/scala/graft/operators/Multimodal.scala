@@ -127,6 +127,83 @@ object Multimodal {
       bottomUp = hRaw > 0, bgr = true))
   }
 
+  /** P3 (ASCII PPM) full decode — the plain-text Netpbm variant (the
+    * P6 header parser above covers the binary form): after the magic,
+    * EVERY token — dimensions, maxval, and all w·h·3 samples — is a
+    * whitespace-separated decimal with `#` comments legal anywhere in
+    * the whitespace (Netpbm spec), so the pixel array must be parsed,
+    * not sliced. Returns a packed top-down RGB buffer; refuses on
+    * maxval > 255, short token streams, or out-of-range samples.
+    */
+  private[operators] def decodePpmAscii(
+      data: Array[Byte]): Option[(ImageInfo, Array[Byte])] = {
+    if (data.length < 2 || data(0) != 'P'.toByte || data(1) != '3'.toByte)
+      return None
+    var pos = 2
+    def skipWsAndComments(): Boolean = {
+      var skipped = false
+      var progress = true
+      while (progress && pos < data.length) {
+        progress = false
+        while (pos < data.length && Character.isWhitespace(data(pos).toChar)) {
+          pos += 1; skipped = true; progress = true
+        }
+        if (pos < data.length && data(pos) == '#'.toByte) {
+          while (pos < data.length && data(pos) != '\n'.toByte) pos += 1
+          progress = true
+        }
+      }
+      skipped
+    }
+    def nextInt(): Int = {
+      if (!skipWsAndComments()) return -1
+      val start = pos
+      var v = 0L
+      while (pos < data.length && data(pos) >= '0'.toByte &&
+          data(pos) <= '9'.toByte && v <= Int.MaxValue) {
+        v = v * 10 + (data(pos) - '0'.toByte); pos += 1
+      }
+      if (pos == start || v > Int.MaxValue) -1 else v.toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (w.toLong * h * 3 > (64L << 20)) return None
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      val v = nextInt()
+      if (v < 0 || v > maxv) return None
+      px(i) = v.toByte
+      i += 1
+    }
+    Some((ImageInfo(w, h, 3, 0, w * 3, bottomUp = false, bgr = false), px))
+  }
+
+  /** Deterministic P3 fixtures: the SAME pixel field as [[ppmMedia]]
+    * (so the closed-form luminance oracle is shared verbatim),
+    * serialized as ASCII decimals with a mid-header comment — pure
+    * column expressions, no hex codec needed.
+    */
+  def ppmAsciiMedia(ids: DataFrame, idCol: String,
+                    seedCol: String): DataFrame = {
+    def raw(i: String): String =
+      s"pmod(seed * 31 + ($i) * 17 + pmod(seed * ($i), 251)" +
+        s" + 40 * pmod(($i) div (w * 3), 6), 256)"
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 13 + 8).cast("int"))
+      .withColumn("hh", (col("seed") % 11 + 8).cast("int"))
+    base
+      .withColumn("txt", expr(
+        s"""concat('P3\\n# ascii fixture\\n', w, ' ', hh, '\\n255\\n',
+           |  array_join(transform(sequence(0, w * hh * 3 - 1),
+           |    i -> CAST(${raw("i")} AS STRING)), ' '))""".stripMargin))
+      .select(col("doc_id"), col("txt").cast("binary").as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/x-portable-pixmap").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
@@ -311,7 +388,8 @@ object Multimodal {
     */
   private[operators] def decodeToPixels(
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] =
-    decodeHeader(data).map(i => (i, data)).orElse(decodePng(data))
+    decodeHeader(data).map(i => (i, data)).orElse(decodePpmAscii(data))
+      .orElse(decodePng(data))
       .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
       .orElse(Tiff.decode(data)).orElse(Tga.decode(data))
 
@@ -418,6 +496,8 @@ object Multimodal {
       // one decoder context per partition would be initialized here
       rows.map { r =>
         decodeHeader(r.data).map(i => (i.width, i.height, i.channels))
+          .orElse(decodePpmAscii(r.data).map { case (i, _) =>
+            (i.width, i.height, i.channels) })
           .orElse(pngIhdr(r.data).map(t => (t._1, t._2, t._3)))
           .orElse(Jpeg.dims(r.data))
           .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data))

@@ -43,6 +43,7 @@ object MediaRegistry {
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
     "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
     "mm_tga_decode"         -> (LlmQueries.mmTgaDecode _),
+    "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
   )
@@ -346,6 +347,22 @@ object MediaRegistry {
         |      + 114 * ((seed * 23 + (y * w) * 7 + 22) % 256)
         |    END) AS lum_total
         |  FROM cells GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // P3 ASCII leg: SAME pixel field as the binary PPM/PNG legs -> the
+    // sequential closed-form luminance oracle verbatim
+    "mm_ppm_ascii" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    (CASE g.b % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) *
+        |    ((seed * 31 + g.b * 17 + (seed * g.b) % 251
+        |      + 40 * ((g.b // (w * 3)) % 6)) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h * 3)) AS b) g
+        |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,

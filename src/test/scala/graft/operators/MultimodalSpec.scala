@@ -275,6 +275,45 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodePng(payload.take(n)))
   }
 
+  test("decodePpmAscii: comments and multi-space tokens parse; parity " +
+      "with the binary P6 decode on the same pixels; refusals and fuzz") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ascii = ("P3\n# c1\n2 2 # trailing\n255\n10 20 30  40 50 60\n" +
+      "70 80 90 100 110 120").getBytes("US-ASCII")
+    val got = Multimodal.decodePpmAscii(ascii)
+    assert(got.isDefined)
+    assert(got.get._2.map(_ & 0xFF).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    // parity: the ASCII fixture decodes to the SAME stats as the binary
+    val ids = spark.range(0, 20).select(col("id").as("doc_id"))
+    def stats(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodePixels(m
+        .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow])
+        .collect().map(r => r.doc_id ->
+          (r.width, r.height, r.lum_total, r.ah, r.ph)).toMap
+    val bin = stats(Multimodal.ppmMedia(ids, "doc_id", "doc_id"))
+    val asc = stats(Multimodal.ppmAsciiMedia(ids, "doc_id", "doc_id"))
+    assert(bin.size == 20 && asc == bin,
+      "P3 must reproduce the P6 decode bit-for-bit")
+    // refusals: out-of-range sample, short stream, maxval > 255
+    assert(Multimodal.decodePpmAscii(
+      "P3\n1 1\n255\n300 0 0".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpmAscii(
+      "P3\n2 2\n255\n1 2 3".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpmAscii(
+      "P3\n1 1\n65535\n1 2 3".getBytes("US-ASCII")).isEmpty)
+    // refuse-never-crash
+    (0 until ascii.length by 2).foreach(n =>
+      Multimodal.decodePpmAscii(ascii.take(n)))
+    val rnd = new scala.util.Random(9)
+    (1 to 200).foreach { _ =>
+      Multimodal.decodePpmAscii("P3".getBytes("US-ASCII") ++
+        Array.fill[Byte](rnd.nextInt(100))(rnd.nextInt(256).toByte))
+    }
+  }
+
   test("decodePng: never throws on arbitrary bytes, truncations, or " +
       "bit flips of a valid payload (refuse-never-crash)") {
     val rnd = new scala.util.Random(1234)
