@@ -576,6 +576,15 @@ object LlmQueries {
   def mmTgaDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Tga.tgaMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The CHUNK-OP leg ([[Qoi.qoiMedia]] fixtures through [[Qoi.decode]]'s
+    * running-index state machine): four-pixel groups alternating
+    * QOI_OP_RGB / DIFF / LUMA / RUN, so a decoder that confuses the op
+    * classes, their biases, or the mod-256 wrap changes the luminance
+    * total; INDEX/RGBA ops are spec-pinned on hand vectors.
+    */
+  def mmQoiDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Qoi.qoiMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The ASCII-Netpbm (P3) leg ([[Multimodal.ppmAsciiMedia]] fixtures
     * through [[Multimodal.decodePpmAscii]]'s token walk): the SAME
     * pixel field as the binary PPM leg, so the closed-form luminance

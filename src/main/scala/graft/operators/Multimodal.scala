@@ -391,7 +391,8 @@ object Multimodal {
     decodeHeader(data).map(i => (i, data)).orElse(decodePpmAscii(data))
       .orElse(decodePng(data))
       .orElse(Jpeg.decode(data)).orElse(Gif.decode(data))
-      .orElse(Tiff.decode(data)).orElse(Tga.decode(data))
+      .orElse(Tiff.decode(data)).orElse(Qoi.decode(data))
+      .orElse(Tga.decode(data))
 
   /** 90°-clockwise rotation of a decoded pixel buffer — the orientation
     * transform of the media pipeline beside [[resizeDims]]' geometry
@@ -501,7 +502,7 @@ object Multimodal {
           .orElse(pngIhdr(r.data).map(t => (t._1, t._2, t._3)))
           .orElse(Jpeg.dims(r.data))
           .orElse(Gif.dims(r.data)).orElse(Tiff.dims(r.data))
-          .orElse(Tga.dims(r.data)) match {
+          .orElse(Qoi.dims(r.data)).orElse(Tga.dims(r.data)) match {
           case Some((w, h, ch)) =>
             DecodedRow(r.doc_id, r.mime, r.n_bytes, w, h, ch)
           case None => DecodedRow(r.doc_id, r.mime, r.n_bytes, 0, 0, 0)

@@ -43,6 +43,7 @@ object MediaRegistry {
     "mm_gif_decode"         -> (LlmQueries.mmGifDecode _),
     "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
     "mm_tga_decode"         -> (LlmQueries.mmTgaDecode _),
+    "mm_qoi_decode"         -> (LlmQueries.mmQoiDecode _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -347,6 +348,29 @@ object MediaRegistry {
         |      + 114 * ((seed * 23 + (y * w) * 7 + 22) % 256)
         |    END) AS lum_total
         |  FROM cells GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // QOI chunk-op leg: n/4 four-pixel groups RGB/DIFF/LUMA/RUN with
+    // per-group base v = (seed*29 + k*13 + c*85) % 256 and deltas
+    // (+1,+1,+1) then (+1,+3,+4), run repeating -> per-channel terms
+    // v, v+1, 2*(v + 2/4/5), each mod 256
+    "mm_qoi_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST((doc_id % 5 + 2) * 4 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * (((seed*29 + g.k*13) % 256) + ((seed*29 + g.k*13 + 1) % 256)
+        |         + 2 * ((seed*29 + g.k*13 + 2) % 256))
+        |  + 587 * (((seed*29 + g.k*13 + 85) % 256)
+        |         + ((seed*29 + g.k*13 + 86) % 256)
+        |         + 2 * ((seed*29 + g.k*13 + 89) % 256))
+        |  + 114 * (((seed*29 + g.k*13 + 170) % 256)
+        |         + ((seed*29 + g.k*13 + 171) % 256)
+        |         + 2 * ((seed*29 + g.k*13 + 175) % 256))) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h // 4)) AS k) g
+        |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
