@@ -851,6 +851,23 @@ object LlmQueries {
     Wav.wavMulaw(media).toDF().orderBy("doc_id")
   }
 
+  /** The ADAPTIVE-DIFFERENTIAL audio leg ([[Adpcm.adpcmMedia]] fixtures
+    * through [[Adpcm.adpcmStats]]'s step-table nibble walk): every block
+    * shares one nibble pattern and initial index, so the decoded stream
+    * is predictor + a closed-form offset sequence — the oracle replays
+    * it exactly while the engine must run the real 89-entry step-size
+    * recurrence, index adaptation, nibble ordering, and the
+    * header-sample emission to reproduce the energy.
+    */
+  def mmAudioAdpcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Adpcm.adpcmMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Adpcm.adpcmStats(media).toDF().orderBy("doc_id")
+  }
+
   /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample
     * frames every 32 samples of channel 0 with per-frame energy/peak —
     * the STFT layout over real samples (the raw-byte

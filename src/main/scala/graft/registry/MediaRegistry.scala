@@ -36,6 +36,7 @@ object MediaRegistry {
     "mm_wav_frames"         -> (LlmQueries.mmWavFrames _),
     "mm_audio_resample"     -> (LlmQueries.mmAudioResample _),
     "mm_audio_mulaw"        -> (LlmQueries.mmAudioMulaw _),
+    "mm_audio_adpcm"        -> (LlmQueries.mmAudioAdpcm _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
@@ -573,6 +574,22 @@ object MediaRegistry {
         |  CAST(SUM(o * o) AS BIGINT) AS energy,
         |  CAST(MAX(ABS(o)) AS INT) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // IMA ADPCM with the fixture's constant step walk: block b decodes
+    // to p_b, then 4x(p_b+2) at odd / 4x(p_b+1) at even positions
+    // (index 8 start, nibbles 0,8 alternating -> deltas +2,-1,+1,...)
+    "mm_audio_adpcm" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 7 + 6 AS BIGINT) AS nb
+        |  FROM documents),
+        |s AS (SELECT doc_id, ((seed * 37 + g.b * 101) % 4000) - 2000 AS p
+        |      FROM d, LATERAL (SELECT unnest(range(0, nb)) AS b) g),
+        |l AS (SELECT doc_id,
+        |        SUM(p*p + 4*(p+2)*(p+2) + 4*(p+1)*(p+1)) AS energy,
+        |        MAX(GREATEST(abs(p), abs(p+1), abs(p+2))) AS peak
+        |      FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.nb * 9 AS BIGINT) AS n_samples,
+        |  CAST(l.energy AS BIGINT) AS energy, CAST(l.peak AS INT) AS peak
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // G.711 mu-law companding replayed bit-for-bit: 14-bit magnitude
     // clipped to 8158, +33 bias, segment by leading-bit position above
     // bit 5, 4-bit mantissa, expansion ((m*8+132)<<seg)-132 with the
