@@ -264,6 +264,13 @@ object LlmQueries {
   def textZipf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipf(docs(s, dir), "text")
 
+  /** text_lexdiv — per-doc lexical-diversity profile
+    * ([[TextAnalysis.lexDiversity]]): TTR, Guiraud R, Simpson repeat
+    * rate, Yule's K, all off integer type-frequency statistics.
+    */
+  def textLexDiv(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexDiversity(docs(s, dir), "doc_id", "text")
+
   /** text_normalize — Unicode NFC normalization audit over the corpus
     * ([[graft.functions.NfcNormalize]], the codegen'd JDK normalizer;
     * DuckDB's built-in `nfc_normalize` is the oracle). The synthetic

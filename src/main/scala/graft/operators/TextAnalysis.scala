@@ -1344,6 +1344,43 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Per-document LEXICAL DIVERSITY profile off the type-frequency
+    * spectrum — the corpus-quality signal sibling of [[zipf]] (corpus
+    * rank-frequency) and Heaps (vocabulary growth): type-token ratio,
+    * Guiraud's R = V/√N (the length-corrected TTR), Simpson's repeat
+    * rate Σf(f−1)/(N(N−1)) (the probability two random tokens are the
+    * same type), and Yule's K = 10⁴·(Σf² − N)/N² (Yule 1944's
+    * characteristic constant — the classic repetitiveness score an LLM
+    * data-quality filter thresholds on). All four derive from three
+    * integer sufficient statistics (N, V, Σf²; Σf(f−1) = Σf² − N), so
+    * the only floats are final single divisions of exact integers —
+    * bit-identical on any engine.
+    *
+    * Scale: one explode → (doc, tok) map-side-combined count, then a
+    * map-side-combined per-doc aggregate — two shuffles keyed by doc
+    * (the second vocabulary-sized), nothing corpus-quadratic.
+    */
+  def lexDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+    tf.groupBy("doc_id")
+      .agg(sum("f").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("f") * col("f")).as("s2"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types") / col("n_tok").cast("double"), 6).as("ttr"),
+        round(col("n_types") / sqrt(col("n_tok").cast("double")), 6)
+          .as("guiraud"),
+        when(col("n_tok") < 2, lit(0.0)).otherwise(
+          round((col("s2") - col("n_tok")).cast("double") /
+            (col("n_tok") * (col("n_tok") - 1)), 6)).as("simpson"),
+        round(lit(10000.0) * (col("s2") - col("n_tok")) /
+          (col("n_tok") * col("n_tok")), 6).as("yule_k"))
+      .orderBy("doc_id")
+  }
+
   // -----------------------------------------------------------------------
   // Unigram-LM tokenizer (the SentencePiece family — Kudo 2018), hard-EM
   // variant: the OTHER major subword algorithm beside BPE. Where BPE

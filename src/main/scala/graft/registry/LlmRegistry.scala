@@ -33,6 +33,7 @@ object LlmRegistry {
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
     "text_tokens"           -> (LlmQueries.textTokens _),
     "text_zipf"             -> (LlmQueries.textZipf _),
+    "text_lexdiv"           -> (LlmQueries.textLexDiv _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
     "text_url_canon"        -> (LlmQueries.textUrlCanon _),
@@ -448,6 +449,25 @@ object LlmRegistry {
         |  CAST(rank * n AS BIGINT) AS rank_x_freq,
         |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // lexical diversity: every float is one division (or sqrt) of the
+    // integer sufficient statistics N, V, sum(f^2) -> bit-identical
+    "text_lexdiv" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.tok, COUNT(*) AS f
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0 GROUP BY 1, 2),
+        |s AS (SELECT doc_id, SUM(f) AS n_tok, COUNT(*) AS n_types,
+        |        SUM(f * f) AS s2
+        |      FROM tf GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  ROUND(n_types / CAST(n_tok AS DOUBLE), 6) AS ttr,
+        |  ROUND(n_types / sqrt(CAST(n_tok AS DOUBLE)), 6) AS guiraud,
+        |  CASE WHEN n_tok < 2 THEN 0.0 ELSE
+        |    ROUND(CAST(s2 - n_tok AS DOUBLE) / (n_tok * (n_tok - 1)), 6)
+        |  END AS simpson,
+        |  ROUND(10000.0 * (s2 - n_tok) / (n_tok * n_tok), 6) AS yule_k
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -588,4 +588,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(got("half") == ((2L, 2L, vmr(Seq(1, 1), 4))))
     assert(got("burst")._3 > got("half")._3 && got("half")._3 > 0.0)
   }
+
+  test("lexdiv: all-distinct doc maxes TTR and zeroes Simpson/Yule; " +
+      "all-same doc pins the closed forms; hand spectrum exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d"),          // V=4, N=4, s2=4
+      (2L, "a a a a"),          // V=1, N=4, s2=16
+      (3L, "a a b"),            // V=2, N=3, s2=5
+      (4L, "solo"))             // N=1: simpson guard path
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexDiversity(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 4L, 1.0, 2.0, 0.0, 0.0)))
+    assert(got(2L) == ((4L, 1L, 0.25, 0.5, 1.0, r6(10000.0 * 12 / 16))))
+    assert(got(3L) == ((3L, 2L, r6(2.0 / 3), r6(2.0 / math.sqrt(3.0)),
+      r6(2.0 / 6), r6(10000.0 * 2 / 9))))
+    assert(got(4L)._5 == 0.0, "single-token doc takes the N<2 guard")
+  }
 }
