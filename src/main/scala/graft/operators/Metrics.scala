@@ -82,6 +82,88 @@ object Metrics {
     aucByGroup(planted, "g", "sc", "y").orderBy("g")
   }
 
+  /** ml_lift — decile lift and cumulative gains (the campaign-targeting
+    * view of the same ranking the AUC scores): rows ranked by score
+    * descending (ties broken on the deterministic row key) are cut into
+    * 10 equal NTILE buckets per group; each decile reports its positive
+    * rate relative to the group base rate (lift) and the cumulative
+    * share of all positives captured so far (the gains curve every
+    * top-k-selection budget decision reads off).
+    *
+    * Determinism: NTILE over a total order (score desc, key) is
+    * identical on any engine; lift and gain are single divisions of
+    * exact integer counts, rounded. Scale: the per-group window sorts
+    * group-sized slices (the [[mlAuc]] fixture's groups are few and
+    * fat — at real scale the same cut comes from pre-computed score
+    * quantiles instead of a row-number window; the decile AGGREGATE
+    * shape downstream is unchanged).
+    */
+  def mlLift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("sc"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("k"))
+    val planted = li.withColumn("y",
+      (col("sc") * 1000 + pmod(Hashing.md5Long(col("k")), lit(50000L))
+        > 28000).cast("long"))
+    liftStats(planted)
+  }
+
+  /** The decile cut + lift/gains aggregate over (g, sc, k, y) rows —
+    * [[mlLift]]'s math on any scored frame.
+    */
+  def liftStats(planted: DataFrame, tiles: Int = 10): DataFrame = {
+    val wTile = Window.partitionBy("g").orderBy(col("sc").desc, col("k"))
+    val deciles = planted
+      .withColumn("decile", ntile(tiles).over(wTile))
+      .groupBy("g", "decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val wCum = Window.partitionBy("g").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    deciles
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_pos", sum("n_pos").over(wAll))
+      .select(col("g"), col("decile"), col("n"), col("n_pos"),
+        round((col("n_pos") * col("tot_n")).cast("double") /
+          (col("n") * col("tot_pos")), 6).as("lift"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6)
+          .as("cum_gain"))
+      .orderBy("g", "decile")
+  }
+
+  val mlLiftOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) AS k
+      |  FROM lineitem),
+      |planted AS (
+      |  SELECT g, sc, k,
+      |    CAST(sc * 1000 +
+      |      (('0x' || substr(md5(k), 1, 15))::BIGINT % 50000) > 28000
+      |      AS BIGINT) AS y
+      |  FROM li),
+      |tiled AS (
+      |  SELECT g, y,
+      |    NTILE(10) OVER (PARTITION BY g ORDER BY sc DESC, k) AS decile
+      |  FROM planted),
+      |d AS (SELECT g, decile, COUNT(*) AS n, SUM(y) AS n_pos
+      |      FROM tiled GROUP BY g, decile),
+      |c AS (SELECT g, decile, n, n_pos,
+      |        SUM(n_pos) OVER (PARTITION BY g ORDER BY decile
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+      |        SUM(n) OVER (PARTITION BY g) AS tot_n,
+      |        SUM(n_pos) OVER (PARTITION BY g) AS tot_pos
+      |      FROM d)
+      |SELECT g, CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  ROUND(CAST(n_pos * tot_n AS DOUBLE) / (n * tot_pos), 6) AS lift,
+      |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
+      |FROM c ORDER BY g, decile""".stripMargin
+
   /** ml_knn — k-nearest-neighbor classification (the non-parametric
     * leg beside the generative [[NaiveBayes]] and discriminative
     * [[LogReg]]): each probe takes the majority label of its k = 5

@@ -43,6 +43,7 @@ object MlRegistry {
     "ml_ndcg"               -> (Metrics.mlNdcg _),
     "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
+    "ml_lift"               -> (Metrics.mlLift _),
     "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -512,6 +513,7 @@ object MlRegistry {
     // tie-corrected Mann-Whitney AUC: all-integer doubled-rank algebra,
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
+    "ml_lift" -> Metrics.mlLiftOracle,
     "ml_mcc" -> Metrics.mlMccOracle,
     "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the

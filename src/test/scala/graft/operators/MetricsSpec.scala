@@ -152,4 +152,30 @@ class MetricsSpec extends SparkTestBase {
       math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn)))
     assert(mcc == expMcc, s"$mcc vs $expMcc")
   }
+
+  test("lift: hand deciles pin lift and cumulative gains; a group " +
+      "smaller than the tile count fills tiles one row each") {
+    import spark.implicits._
+    // group A: 20 rows, scores 20..1, positives at ranks 1,2,3,4,10
+    val a = (1 to 20).map(i =>
+      ("A", 21L - i, f"k$i%02d", if (Set(1, 2, 3, 4, 10)(i)) 1L else 0L))
+    // group B: 5 rows, positive only at the top rank
+    val b = (1 to 5).map(i =>
+      ("B", 6L - i, f"k$i%02d", if (i == 1) 1L else 0L))
+    val planted = (a ++ b).toDF("g", "sc", "k", "y")
+    val got = Metrics.liftStats(planted).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // A: base rate 5/20; deciles of 2 rows each
+    assert(got(("A", 1)) == ((2L, 2L, 4.0, 0.4)))
+    assert(got(("A", 2)) == ((2L, 2L, 4.0, 0.8)))
+    assert(got(("A", 3)) == ((2L, 0L, 0.0, 0.8)))
+    assert(got(("A", 5)) == ((2L, 1L, 2.0, 1.0)))
+    assert(got(("A", 10)) == ((2L, 0L, 0.0, 1.0)))
+    // B: 5 rows over 10 tiles -> tiles 1..5 get one row each
+    assert(got(("B", 1)) == ((1L, 1L, 5.0, 1.0)))
+    assert(got(("B", 5)) == ((1L, 0L, 0.0, 1.0)))
+    assert(!got.contains(("B", 6)), "empty tiles emit no row")
+  }
 }
