@@ -1766,6 +1766,16 @@ object LlmQueries {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
       .orderBy("l_returnflag")
 
+  /** Discretization fit ([[Prep.binStats]]): equal-width occupancy +
+    * equal-frequency split points per return-flag group over exact
+    * cent-quantized prices.
+    */
+  def prepBin(s: SparkSession, dir: String): DataFrame =
+    Prep.binStats(graft.Tables.load(s, dir, "lineitem"), "l_returnflag",
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")))
+
   /** Leakage-safe split ([[Prep.leakageSafeSplit]]): duplicate groups
     * (normalized-content keyed) assigned to folds atomically — the
     * oracle replays group formation, the salted group rank, and the

@@ -518,4 +518,49 @@ object Prep {
         floor((col("mean") - col("mn").cast("double")) /
           (col("mx").cast("double") - col("mn").cast("double")) * 1000000)
           .cast("long").as("minmax_mean_e6"))
+
+  /** Feature DISCRETIZATION fit — the binning sibling of [[scaleStats]]
+    * (a tree/GBM/categorical-encoder pipeline bins features; a scaler
+    * standardizes them): per group both classic cuts over the exact
+    * integer value v —
+    *
+    *   - EQUAL-WIDTH: bin = min(bins−1, (v−mn)·bins div (mx−mn)) —
+    *     all-integer arithmetic off the one-pass min/max, so the cut is
+    *     bit-free-of-floats entirely;
+    *   - EQUAL-FREQUENCY: NTILE(bins) over the deterministic total
+    *     order (v, key) — each tile's min/max v ARE the empirical
+    *     quantile split points a production binner persists.
+    *
+    * Output per (group, bin): equal-width occupancy plus the
+    * equal-frequency tile's row count and [lo, hi] value range.
+    *
+    * Scale: equal-width is one broadcast-stats join + a map-side-
+    * combined aggregate (fact-scale safe); the NTILE leg sorts
+    * group-sized slices (at 100 TB the same split points come from a
+    * sampled/sketched quantile pass — q22b's tier — with this exact
+    * output contract).
+    */
+  def binStats(df: DataFrame, groupCol: String, v: Column, key: Column,
+               bins: Int = 10): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), v.as("v"), key.as("k"))
+    val stats = base.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+    val width = base.join(broadcast(stats), "g")
+      .select(col("g"), expr(
+        s"""least(${bins - 1}, CAST(CASE WHEN mx = mn THEN 0
+           |  ELSE ((v - mn) * $bins) DIV (mx - mn) END AS INT))"""
+          .stripMargin).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n_width"))
+    val wTile = Window.partitionBy("g").orderBy(col("v"), col("k"))
+    val freq = base
+      .withColumn("bin", (ntile(bins).over(wTile) - 1))
+      .groupBy("g", "bin")
+      .agg(count(lit(1)).as("n_freq"), min("v").as("freq_lo"),
+        max("v").as("freq_hi"))
+    freq.join(width, Seq("g", "bin"), "full_outer")
+      .select(col("g"), col("bin"),
+        coalesce(col("n_width"), lit(0L)).as("n_width"),
+        coalesce(col("n_freq"), lit(0L)).as("n_freq"),
+        col("freq_lo"), col("freq_hi"))
+      .orderBy("g", "bin")
+  }
 }

@@ -94,6 +94,7 @@ object LlmRegistry {
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_scale"            -> (LlmQueries.prepScale _),
+    "prep_bin"              -> (LlmQueries.prepBin _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
@@ -1038,6 +1039,36 @@ object LlmRegistry {
         |LEFT JOIN losers l ON l.doc_id = c.doc_id
         |WHERE l.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
+    // discretization fit: equal-width is all-integer ((v-mn)*10 // span,
+    // capped), equal-frequency is NTILE over the total order (v, key) --
+    // both replayed exactly
+    "prep_bin" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR) AS k
+        |  FROM lineitem),
+        |st AS (SELECT g, MIN(v) AS mn, MAX(v) AS mx FROM base GROUP BY g),
+        |wdt AS (SELECT base.g,
+        |    CAST(LEAST(9, CASE WHEN mx = mn THEN 0
+        |      ELSE ((v - mn) * 10) // (mx - mn) END) AS INT) AS bin,
+        |    COUNT(*) AS n_width
+        |  FROM base JOIN st USING (g) GROUP BY 1, 2),
+        |frq AS (SELECT g, v,
+        |    CAST(NTILE(10) OVER (PARTITION BY g ORDER BY v, k) - 1 AS INT)
+        |      AS bin
+        |  FROM base),
+        |fa AS (SELECT g, bin, COUNT(*) AS n_freq, MIN(v) AS freq_lo,
+        |         MAX(v) AS freq_hi
+        |       FROM frq GROUP BY 1, 2)
+        |SELECT COALESCE(fa.g, wdt.g) AS g, COALESCE(fa.bin, wdt.bin) AS bin,
+        |  CAST(COALESCE(n_width, 0) AS BIGINT) AS n_width,
+        |  CAST(COALESCE(n_freq, 0) AS BIGINT) AS n_freq,
+        |  CAST(freq_lo AS BIGINT) AS freq_lo,
+        |  CAST(freq_hi AS BIGINT) AS freq_hi
+        |FROM fa FULL OUTER JOIN wdt ON fa.g = wdt.g AND fa.bin = wdt.bin
+        |ORDER BY 1, 2""".stripMargin,
     // scaler fit: identical sufficient statistics and the SAME
     // mean/std expression text (ScaleMeanSql/ScaleStdSql), all
     // emissions floor-quantized

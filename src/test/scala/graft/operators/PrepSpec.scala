@@ -314,4 +314,26 @@ class PrepSpec extends SparkTestBase {
     assert(got.getLong(4) > 0 && got.getLong(5) < 0)
     assert(got.getLong(6) > 0 && got.getLong(6) < 1000000)
   }
+
+  test("binStats: uniform 0..99 pins both cuts; max value caps into the " +
+      "top width bin; a constant group takes the mx=mn guard") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => ("A", i.toLong, f"k$i%03d")) ++
+      (0 until 20).map(i => ("C", 7L, f"k$i%03d"))
+    val got = Prep.binStats(rows.toDF("g", "v", "k"), "g", col("v"),
+        col("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (0 until 10).foreach { b =>
+      // width: v=10b..10b+9 all map to bin b except v=99 capping into 9
+      val expWidth = if (b == 9) 10L else 10L
+      val (nw, nf, lo, hi) = got(("A", b))
+      assert(nw == expWidth && nf == 10L, s"bin $b")
+      assert(lo == 10L * b && hi == 10L * b + 9, s"bin $b range")
+    }
+    // constant group: every row lands in width bin 0; ntile still cuts
+    // 10 tiles of 2 over the identical values
+    assert(got(("C", 0)) == ((20L, 2L, 7L, 7L)))
+    assert(got(("C", 9)) == ((0L, 2L, 7L, 7L)))
+  }
 }
