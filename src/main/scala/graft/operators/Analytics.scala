@@ -1185,4 +1185,26 @@ object Analytics {
             (col("n1") + col("n2")).cast("double"))
       .select("n1", "n2", "d_num", "at_dollars", "ks", "drift")
   }
+
+  /** q58_bitwise_agg — the BITWISE aggregate family (`bit_or` bitmap
+    * construction, `bit_xor` parity folding, `bit_and` common-bits):
+    * per order a line-number bitmap `bit_or(1 << l_linenumber)` (the
+    * roaring-bitmap-style index shape — which line slots exist) and a
+    * partkey parity word, then per bitmap the order count, the XOR fold
+    * of the parities (order-insensitive by XOR's group structure, so
+    * any partial-aggregation tree gives the same word), and the AND
+    * fold. Two map-side-combined aggregates; every value is a 64-bit
+    * integer — no floats anywhere.
+    */
+  def bitwiseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("shiftleft(1L, l_linenumber)").as("slot"),
+        col("l_partkey").cast("long").as("pk"))
+      .groupBy("l_orderkey")
+      .agg(expr("bit_or(slot)").as("mask"), expr("bit_xor(pk)").as("xr"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_orders"), expr("bit_xor(xr)").as("xor_all"),
+        expr("bit_and(xr)").as("and_all"))
+      .orderBy("mask")
 }

@@ -84,6 +84,7 @@ object RelationalRegistry {
     "q55_seq_pattern"       -> (Queries.q55 _),
     "q56_rolling_slope"     -> (Analytics.rollingSlope _),
     "q57_attribution"       -> (Analytics.attribution _),
+    "q58_bitwise_agg"       -> (Analytics.bitwiseAgg _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
@@ -886,6 +887,16 @@ object RelationalRegistry {
         |    AND (o.p_retailprice < p.p_retailprice
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
+    // bitwise folds are order-insensitive (XOR/AND/OR are commutative
+    // monoids), so any partial-aggregation tree agrees bit-for-bit
+    "q58_bitwise_agg" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, bit_or(1::BIGINT << l_linenumber) AS mask,
+        |    bit_xor(CAST(l_partkey AS BIGINT)) AS xr
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  bit_xor(xr) AS xor_all, bit_and(xr) AS and_all
+        |FROM per_order GROUP BY mask ORDER BY mask""".stripMargin,
     // exact mode: integer counts, (n DESC, v ASC) rank, share of total
     // identical strictly-prior first/last IGNORE NULLS windows, identical
     // (ts, event_id) ordering

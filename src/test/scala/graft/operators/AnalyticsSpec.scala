@@ -354,4 +354,23 @@ class AnalyticsSpec extends SparkTestBase {
     val (e4, g4, m4) = profile(Seq("a", "b", "c", "d"))
     assert(math.abs(e4 - math.log(4.0)) < 1e-4 && g4 == 0.75 && m4 == 0.25)
   }
+
+  test("bitwise folds: OR-bitmap, XOR-parity, AND-common are exact and " +
+      "partitioning-invariant (commutative monoids)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, 1, 0xF0L), (1L, 2, 0x0FL), (1L, 3, 0xFFL),
+      (2L, 1, 0x55L), (2L, 2, 0x55L))
+    def fold(parts: Int) = rows.toDF("k", "ln", "pk").repartition(parts)
+      .select(col("k"), expr("shiftleft(1L, ln)").as("slot"), col("pk"))
+      .groupBy("k")
+      .agg(expr("bit_or(slot)").as("mask"), expr("bit_xor(pk)").as("xr"),
+        expr("bit_and(pk)").as("ad"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val one = fold(1)
+    assert(one(1L) == ((0b1110L, 0xF0L ^ 0x0FL ^ 0xFFL, 0xF0L & 0x0F & 0xFF)))
+    assert(one(2L) == ((0b0110L, 0L, 0x55L)))
+    assert(fold(7) == one, "fold must not depend on the partition tree")
+  }
 }
