@@ -592,6 +592,22 @@ object LlmQueries {
   def mmQoiDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Qoi.qoiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The NEIGHBORHOOD-STENCIL leg ([[Multimodal.ppmMediaLinear]] linear
+    * gradients through [[Multimodal.sobelStats]]'s real 3×3
+    * convolution): the oracle predicts every interior response in
+    * closed form (8a/8b per pixel in luminance micro-units) while the
+    * engine must run the actual stencil with correct kernel
+    * orientation, signs, and border exclusion.
+    */
+  def mmSobel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.ppmMediaLinear(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sobelStats(media).toDF().orderBy("doc_id")
+  }
+
   /** The ASCII-Netpbm (P3) leg ([[Multimodal.ppmAsciiMedia]] fixtures
     * through [[Multimodal.decodePpmAscii]]'s token walk): the SAME
     * pixel field as the binary PPM leg, so the closed-form luminance

@@ -473,6 +473,70 @@ object Multimodal {
     }
   }
 
+  case class SobelRow(doc_id: Long, n_interior: Long, gx_total: Long,
+                      gy_total: Long, grad_wsum: Long)
+
+  /** 3×3 SOBEL edge convolution over REAL decoded pixels — the
+    * neighborhood-stencil image op beside the pointwise ([[resizeDims]],
+    * [[rotate90cw]]) and transform ([[frameDct]]) legs; the
+    * edge-density feature a vision data-quality filter thresholds on.
+    * Per interior pixel the standard kernels over the integer luminance
+    * (1000-scaled, the house micro-unit):
+    *
+    *   Gx = Σ [[-1,0,1],[-2,0,2],[-1,0,1]]·lum,  Gy = the transpose
+    *
+    * emitting the signed totals ΣGx / ΣGy (which pin kernel orientation
+    * and sign — a flipped or transposed kernel changes them) and the
+    * position-weighted magnitude sum Σ(|Gx|+|Gy|)·(y·w+x) (which pins
+    * the interior origin — an off-by-one border slip changes the
+    * weights). Layout-aware via the same offset/stride/bottom-up/BGR
+    * routing as [[rotateProbes]].
+    *
+    * Scale: partition-wise — one decode + one stencil pass per payload,
+    * nothing shuffles at any corpus size.
+    */
+  def sobelStats(media: Dataset[MediaRow]): Dataset[SobelRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeToPixels(r.data).map { case (info, buf) =>
+          val w = info.width; val h = info.height; val ch = info.channels
+          def lum(x: Int, y: Int): Long = {
+            val srcRow = if (info.bottomUp) h - 1 - y else y
+            val b = info.pixelOffset + srcRow * info.rowStride + x * ch
+            if (ch >= 3) {
+              if (info.bgr)
+                299L * (buf(b + 2) & 0xFF) + 587L * (buf(b + 1) & 0xFF) +
+                  114L * (buf(b) & 0xFF)
+              else
+                299L * (buf(b) & 0xFF) + 587L * (buf(b + 1) & 0xFF) +
+                  114L * (buf(b + 2) & 0xFF)
+            } else 1000L * (buf(b) & 0xFF)
+          }
+          var gxT = 0L; var gyT = 0L; var wsum = 0L; var n = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = lum(x + 1, y - 1) + 2 * lum(x + 1, y) +
+                lum(x + 1, y + 1) - lum(x - 1, y - 1) -
+                2 * lum(x - 1, y) - lum(x - 1, y + 1)
+              val gy = lum(x - 1, y + 1) + 2 * lum(x, y + 1) +
+                lum(x + 1, y + 1) - lum(x - 1, y - 1) -
+                2 * lum(x, y - 1) - lum(x + 1, y - 1)
+              gxT += gx; gyT += gy
+              wsum += (math.abs(gx) + math.abs(gy)) * (y.toLong * w + x)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          SobelRow(r.doc_id, n, gxT, gyT, wsum)
+        }
+      }
+    }
+  }
+
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
     * real media; the schema is the contract).
@@ -852,6 +916,19 @@ object Multimodal {
       s"""pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
          |     + 40 * pmod(i div (w * 3), 6), 256) * 180 div 256 + 30
          |     + ($deltaSql)""".stripMargin)
+
+  /** LINEAR-GRADIENT generator for the convolution legs: channel value
+    * `v(x, y) = a·x + b·y + c` with a = seed%3+1, b = seed%2+1,
+    * c = seed%20 (max 110 < 256 — never wraps), r = g = b = v. A Sobel
+    * operator over a linear field responds 8a / 8b at EVERY interior
+    * pixel (the kernel's first-moment sums), so the full convolution is
+    * closed-form for the oracle while the engine runs the real 3×3
+    * stencil.
+    */
+  def ppmMediaLinear(ids: DataFrame, idCol: String, seedCol: String): DataFrame =
+    ppmMediaFrom(ids, idCol, seedCol,
+      """(seed % 3 + 1) * ((i div 3) % w)
+        |  + (seed % 2 + 1) * ((i div 3) div w) + seed % 20""".stripMargin)
 
   private def ppmMediaFrom(ids: DataFrame, idCol: String, seedCol: String,
                            pxSql: String): DataFrame = {

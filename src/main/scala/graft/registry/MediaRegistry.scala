@@ -45,6 +45,7 @@ object MediaRegistry {
     "mm_tiff_decode"        -> (LlmQueries.mmTiffDecode _),
     "mm_tga_decode"         -> (LlmQueries.mmTgaDecode _),
     "mm_qoi_decode"         -> (LlmQueries.mmQoiDecode _),
+    "mm_sobel"              -> (LlmQueries.mmSobel _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -375,6 +376,25 @@ object MediaRegistry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Sobel over a linear field responds 8a/8b per interior pixel
+    // (kernel first moments), x1000 for the luminance micro-unit
+    "mm_sobel" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h,
+        |    doc_id % 3 + 1 AS a, doc_id % 2 + 1 AS b
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    SUM((8000 * a + 8000 * b) * (g.y * w + g2.x)) AS wsum,
+        |    COUNT(*) AS n_int
+        |  FROM d, LATERAL (SELECT unnest(range(1, h - 1)) AS y) g,
+        |          LATERAL (SELECT unnest(range(1, w - 1)) AS x) g2
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(s.n_int AS BIGINT) AS n_interior,
+        |  CAST(8000 * d.a * s.n_int AS BIGINT) AS gx_total,
+        |  CAST(8000 * d.b * s.n_int AS BIGINT) AS gy_total,
+        |  CAST(s.wsum AS BIGINT) AS grad_wsum
+        |FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // P3 ASCII leg: SAME pixel field as the binary PPM/PNG legs -> the
     // sequential closed-form luminance oracle verbatim
     "mm_ppm_ascii" ->

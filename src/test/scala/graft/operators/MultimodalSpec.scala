@@ -643,4 +643,46 @@ class MultimodalSpec extends SparkTestBase {
     val (_, rb2) = Multimodal.rotate90cw(bgrInfo, bgrBuf)
     assert(rb2.sameElements(rb), "layout normalization must agree")
   }
+
+  test("sobel: pure-x and pure-y gradients excite exactly one kernel; " +
+      "linear fixtures match the closed form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def p6(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        (0 until h).flatMap(y => (0 until w).flatMap(x =>
+          Seq.fill(3)(v(x, y).toByte))).toArray
+    def run(payload: Array[Byte]) = {
+      val media = Seq((1L, payload)).toDF("doc_id", "data")
+        .select(col("doc_id"), col("data"), lit("image/ppm").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes"))
+        .as[Multimodal.MediaRow]
+      val r = Multimodal.sobelStats(media).collect().head
+      (r.n_interior, r.gx_total, r.gy_total, r.grad_wsum)
+    }
+    // v = x on 4x3: two interior pixels, Gx = 8000 each, Gy = 0
+    assert(run(p6(4, 3, (x, _) => x)) ==
+      ((2L, 16000L, 0L, 8000L * 5 + 8000L * 6)))
+    // v = y on 3x4: the transposed response — a swapped kernel fails here
+    assert(run(p6(3, 4, (_, y) => y)) ==
+      ((2L, 0L, 16000L, 8000L * 4 + 8000L * 7)))
+    // linear fixture parity against the closed form
+    val ids = spark.range(0, 24).select(col("id").as("doc_id"))
+    val media = Multimodal.ppmMediaLinear(ids, "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes")).as[Multimodal.MediaRow]
+    val got = Multimodal.sobelStats(media).collect()
+      .map(r => r.doc_id ->
+        ((r.n_interior, r.gx_total, r.gy_total, r.grad_wsum))).toMap
+    (0L until 24L).foreach { seed =>
+      val w = (seed % 13 + 8).toInt; val h = (seed % 11 + 8).toInt
+      val a = seed % 3 + 1; val b = seed % 2 + 1
+      val n = (w - 2L) * (h - 2)
+      var wsum = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1)
+        wsum += (8000 * a + 8000 * b) * (y.toLong * w + x)
+      assert(got(seed) == ((n, 8000 * a * n, 8000 * b * n, wsum)),
+        s"seed $seed")
+    }
+  }
 }
