@@ -234,6 +234,28 @@ object Graph {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleStats(nationTradeEdges(s, dir))
 
+  /** graph_transitivity — the GLOBAL clustering ratio 3·T/W (closed
+    * triple fraction, Newman's transitivity) over the same sparsified
+    * graph as [[graphTriangles]]: wedges W = Σ d(d−1)/2 and the
+    * triangle incidences Σ n_tri = 3T both fall out of the per-node
+    * frame as one more |V|-sized aggregate — integers end to end, one
+    * final division, rounded.
+    */
+  def graphTransitivity(s: SparkSession, dir: String): DataFrame =
+    transitivityStats(nationTradeEdges(s, dir))
+
+  /** The global aggregate over [[triangleStats]]'s per-node frame. */
+  def transitivityStats(edges: DataFrame): DataFrame =
+    triangleStats(edges)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("degree * (degree - 1)")).as("w2"),
+        sum("n_tri").as("t3"))
+      .select(col("n_nodes"),
+        expr("w2 DIV 2").as("wedges"),
+        expr("t3 DIV 3").as("n_triangles"),
+        when(col("w2") === 0, lit(0.0)).otherwise(
+          round(lit(2.0) * col("t3") / col("w2"), 6)).as("transitivity"))
+
   /** Synchronous min-label propagation, `rounds` rounds: every node
     * starts labeled with its own id; each round every node takes the
     * minimum of its own label and its in-neighbors' labels. On a

@@ -25,6 +25,7 @@ object MlRegistry {
     "graph_assortativity"   -> (Graph.graphAssortativity _),
     "graph_reciprocity"     -> (Graph.graphReciprocity _),
     "graph_triangles"       -> (Graph.graphTriangles _),
+    "graph_transitivity"    -> (Graph.graphTransitivity _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
@@ -142,6 +143,51 @@ object MlRegistry {
         |       ELSE ROUND(2.0 * COALESCE(pn.nt, 0) / (deg.d * (deg.d - 1)), 6)
         |  END AS coef
         |FROM deg LEFT JOIN pn ON deg.n = pn.n ORDER BY node""".stripMargin,
+    // Global transitivity 3T/W off the same oriented-triangle CTEs:
+    // wedges and triangle incidences are one aggregate over the
+    // per-node frame, the ratio a single rounded division
+    "graph_transitivity" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+        |  FROM e0 WHERE src != dst GROUP BY 1, 2),
+        |kept AS MATERIALIZED (
+        |  SELECT u, v FROM und, (SELECT quantile_cont(w, 0.7) AS q FROM und) qs
+        |  WHERE w > q),
+        |deg AS MATERIALIZED (
+        |  SELECT n, COUNT(*) AS d FROM
+        |    (SELECT u AS n FROM kept UNION ALL SELECT v FROM kept) x
+        |  GROUP BY n),
+        |rnk AS MATERIALIZED (SELECT n, d * 1048576 + n AS r FROM deg),
+        |ori AS MATERIALIZED (
+        |  SELECT CASE WHEN ru.r < rv.r THEN k.u ELSE k.v END AS a,
+        |         CASE WHEN ru.r < rv.r THEN k.v ELSE k.u END AS b,
+        |         GREATEST(ru.r, rv.r) AS rb
+        |  FROM kept k JOIN rnk ru ON k.u = ru.n
+        |              JOIN rnk rv ON k.v = rv.n),
+        |w2 AS (SELECT e1.a AS apex, e1.b AS x, e2.b AS y
+        |       FROM ori e1 JOIN ori e2
+        |         ON e1.a = e2.a AND e1.rb < e2.rb),
+        |tri AS MATERIALIZED (
+        |  SELECT apex, x, y FROM w2
+        |  JOIN ori ON w2.x = ori.a AND w2.y = ori.b),
+        |agg AS (SELECT COUNT(*) AS n_nodes,
+        |          SUM(d * (d - 1)) AS wd2,
+        |          (SELECT 3 * COUNT(*) FROM tri) AS t3
+        |        FROM deg)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(wd2 // 2 AS BIGINT) AS wedges,
+        |  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+        |  CASE WHEN wd2 = 0 THEN 0.0
+        |       ELSE ROUND(2.0 * t3 / wd2, 6) END AS transitivity
+        |FROM agg""".stripMargin,
     // Unrolled 5-iteration damped power iteration (the engine's recurrence
     // verbatim: per-iteration ROUND(.,6) re-pins the compounding float
     // noise, no dangling redistribution — Graph.pageRank's contract).

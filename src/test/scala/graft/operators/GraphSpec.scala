@@ -124,6 +124,28 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("transitivity: the global 3T/W ratio agrees with the per-node " +
+      "frame aggregated by hand; a triangle-free kept set yields 0") {
+    val r = Graph.graphTransitivity(spark, sfDir).collect().head
+    val cells = Graph.graphTriangles(spark, sfDir).collect()
+      .map(c => (c.getLong(1), c.getLong(2))) // (degree, n_tri)
+    val w2 = cells.map { case (d, _) => d * (d - 1) }.sum
+    val t3 = cells.map(_._2).sum
+    assert(r.getLong(0) == cells.length.toLong)
+    assert(r.getLong(1) == w2 / 2 && r.getLong(2) == t3 / 3)
+    val exp = BigDecimal(2.0 * t3 / w2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == exp)
+    assert(t3 % 3 == 0, "triangle incidences come in threes")
+    // hand graph whose kept set is two disjoint edges -> no wedges
+    import spark.implicits._
+    val sparse = Seq((1L, 2L, 30.0), (1L, 3L, 40.0), (1L, 4L, 50.0),
+      (2L, 3L, 60.0), (2L, 4L, 70.0), (3L, 4L, 80.0), (5L, 1L, 90.0))
+    val g = Graph.transitivityStats(sparse.toDF("src", "dst", "w"))
+      .collect().head
+    assert(g.getLong(2) == 0L && g.getDouble(3) == 0.0)
+  }
+
   private def lpOf(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
     Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
