@@ -1787,6 +1787,44 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A57 — columnar COMPRESSION-CODEC roundtrip (the storage lever that
+    * matters most at 100 TB: zstd vs uncompressed is a 3–10× footprint
+    * and scan-I/O difference): the same frame exported as
+    * zstd-compressed and uncompressed parquet, with three structural
+    * requirements — the part files actually carry the codec extension,
+    * the compressed export is strictly smaller, and the readback
+    * aggregate (exact integer cents) matches the source bit-for-bit
+    * (codecs must be lossless; the oracle recomputes from the original
+    * table).
+    */
+  def a57ZstdParquet(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_zstd").toString
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    li.write.mode("overwrite").option("compression", "zstd")
+      .parquet(base + "/z")
+    li.write.mode("overwrite").option("compression", "none")
+      .parquet(base + "/u")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def parts(p: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    require(parts(base + "/z")
+      .forall(_.getPath.getName.endsWith(".zstd.parquet")),
+      "zstd export must name its codec in every part")
+    require(parts(base + "/z").map(_.getLen).sum <
+      parts(base + "/u").map(_.getLen).sum,
+      "zstd parts must be strictly smaller than uncompressed")
+    s.read.parquet(base + "/z")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"),
+        sum("cents").as("sum_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** A29 — corrupt-record tolerant ingest (the JSONL sibling of A7's CSV
     * repair): a mixed file of valid JSON lines plus malformed lines is
     * read in PERMISSIVE mode with an explicit `_corrupt_record` capture

@@ -53,6 +53,7 @@ object PipelineRegistry {
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
+    "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
     "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
     "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
     "a55_fixed_width"       -> (PipelineQueries.a55FixedWidthRoundtrip _),
@@ -396,6 +397,14 @@ object PipelineRegistry {
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
         |    AS content_xor
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // a57: the same content truth through the zstd parquet leg — the
+    // codec must be lossless and the readback exact
+    "a57_zstd_parquet" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // a53: same content truth through the Avro container leg — zigzag
     // varints, UTF-8 runs, deflate blocks and sync markers must all be
     // byte-lossless for every group hash to match
