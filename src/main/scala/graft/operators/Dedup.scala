@@ -956,4 +956,40 @@ object Dedup {
     assigned.join(dropped, col(idCol) === col("drop_id"), "left_anti")
       .select(col(idCol), col("cid"))
   }
+
+  /** PREFIX-duplicate detection — the TRUNCATION family beside the
+    * exact/near/span dedup legs (a crawl re-fetch cut off mid-transfer,
+    * a CMS excerpt, a token-limit clip: the duplicate is a strict
+    * PREFIX of the original, which no shingle-set or content-hash leg
+    * treats specially). One sorted pass, no pair join, via the order
+    * property: if p is a prefix of ANY document t in the set, then
+    * every string between p and t also extends p — so p's IMMEDIATE
+    * lexicographic successor extends p, and a single `lead` window
+    * finds every prefix-duplicate source.
+    *
+    * Scale: the window partitions by the first `bucketLen` characters —
+    * a prefix pair shares its bucket whenever the prefix side is at
+    * least `bucketLen` chars (shorter prefixes are below any useful
+    * dedup threshold anyway), so the sort is bucket-local, never a
+    * single global task.
+    *
+    * Output: one row per prefix-duplicate source — its id/length, the
+    * extension document the successor proves exists, and whether the
+    * pair is byte-identical (`is_exact`, the degenerate case).
+    */
+  def prefixDups(docs: DataFrame, idCol: String, textCol: String,
+                 bucketLen: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col(textCol), 1, bucketLen))
+      .orderBy(col(textCol), col(idCol))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("nt", lead("text", 1).over(w))
+      .withColumn("nid", lead("doc_id", 1).over(w))
+      .filter(col("nt").isNotNull &&
+        expr("left(nt, length(text)) = text"))
+      .select(col("doc_id").as("trunc_id"), col("nid").as("ext_id"),
+        length(col("text")).cast("long").as("prefix_chars"),
+        (length(col("nt")) === length(col("text"))).as("is_exact"))
+      .orderBy("trunc_id")
+  }
 }

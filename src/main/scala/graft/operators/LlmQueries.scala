@@ -55,6 +55,22 @@ object LlmQueries {
     * normalization must collapse back onto its original — so every group
     * has n_dups ≥ 2 and the original id survives.
     */
+  /** dedup_prefix — truncation-duplicate detection
+    * ([[Dedup.prefixDups]]) over a corpus with truncated re-fetches
+    * planted by construction: every fourth doc long enough gains a
+    * half-length prefix copy. The oracle replays the plant, the bucket
+    * window, and the successor test row-for-row.
+    */
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = d.unionByName(
+      d.filter(col("doc_id") % 4 === 0 && length(col("text")) >= 16)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, 1, CAST(length(text) DIV 2 AS INT))")
+            .as("text")))
+    Dedup.prefixDups(variants, "doc_id", "text")
+  }
+
   def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val variants = d.unionByName(d.select(

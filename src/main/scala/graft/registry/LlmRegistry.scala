@@ -73,6 +73,7 @@ object LlmRegistry {
     "sim_ivfpq_ann"         -> (LlmQueries.simIvfPqAnn _),
     "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
+    "dedup_prefix"          -> (LlmQueries.dedupPrefix _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_span"            -> (LlmQueries.dedupSpan _),
     "dedup_span_removal"    -> (LlmQueries.dedupSpanRemoval _),
@@ -1624,6 +1625,27 @@ object LlmRegistry {
         |)
         |SELECT id AS c_custkey, MIN(r) AS entity_id
         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
+    // prefix-duplicate detection: the sorted-successor property (any
+    // string between p and an extension of p also extends p) makes one
+    // lead() window sufficient; same bucket key, same total order
+    "dedup_prefix" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) // 2)
+        |  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 16),
+        |l AS (SELECT doc_id, text,
+        |    LEAD(text) OVER (PARTITION BY substr(text, 1, 8)
+        |      ORDER BY text, doc_id) AS nt,
+        |    LEAD(doc_id) OVER (PARTITION BY substr(text, 1, 8)
+        |      ORDER BY text, doc_id) AS nid
+        |  FROM v)
+        |SELECT doc_id AS trunc_id, nid AS ext_id,
+        |  CAST(length(text) AS BIGINT) AS prefix_chars,
+        |  length(nt) = length(text) AS is_exact
+        |FROM l
+        |WHERE nt IS NOT NULL AND left(nt, length(text)) = text
+        |ORDER BY trunc_id""".stripMargin,
     "dedup_normalized" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents

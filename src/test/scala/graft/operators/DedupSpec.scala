@@ -274,4 +274,22 @@ class DedupSpec extends SparkTestBase {
       .digest(expectKept.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString, "kept fingerprint")
   }
+
+  test("prefixDups: chains resolve via the sorted-successor property, " +
+      "exact dups flag is_exact, unrelated texts stay silent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "abcdefgh-full-text"), (2L, "abcdefgh"), (3L, "abcdefgh-full"),
+      (4L, "zzzz-unrelated"),
+      (5L, "qqqqqqqq-same"), (6L, "qqqqqqqq-same")).toDF("doc_id", "text")
+    val got = Dedup.prefixDups(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // 2 ("abcdefgh") precedes 3 ("abcdefgh-full") precedes 1 — each
+    // link in the chain is its own flagged row
+    assert(got(2L) == ((3L, 8L, false)))
+    assert(got(3L) == ((1L, 13L, false)))
+    assert(got(5L) == ((6L, 13L, true)), "byte-identical pair is exact")
+    assert(!got.contains(1L) && !got.contains(4L) && !got.contains(6L))
+  }
 }
