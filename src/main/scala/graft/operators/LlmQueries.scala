@@ -608,6 +608,21 @@ object LlmQueries {
   def mmQoiDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Qoi.qoiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The HISTOGRAM-ANALYSIS leg ([[Multimodal.ppmMedia]] pseudo-random
+    * fixtures through [[Multimodal.otsuStats]]): the oracle rebuilds the
+    * gray histogram from the closed-form byte field and replays the
+    * between-class-variance argmax over observed levels — candidate
+    * set, score expression, and smallest-t tiebreak all pinned.
+    */
+  def mmOtsu(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.ppmMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.otsuStats(media).toDF().orderBy("doc_id")
+  }
+
   /** The NEIGHBORHOOD-STENCIL leg ([[Multimodal.ppmMediaLinear]] linear
     * gradients through [[Multimodal.sobelStats]]'s real 3×3
     * convolution): the oracle predicts every interior response in

@@ -537,6 +537,81 @@ object Multimodal {
     }
   }
 
+  case class OtsuRow(doc_id: Long, threshold: Int, n_below: Long,
+                     sum_below: Long)
+
+  /** OTSU binarization threshold (Otsu 1979) from the decoded-pixel
+    * gray histogram — the classic document-scan / mask-extraction
+    * preprocessing decision, and the HISTOGRAM-ANALYSIS image op beside
+    * the stencil ([[sobelStats]]) and transform legs. Gray =
+    * (299r + 587g + 114b) div 1000 (the luminance micro-unit collapsed
+    * back to 0..255); the threshold maximizes the between-class
+    * variance, evaluated only at OBSERVED gray levels (the score is
+    * constant between them) as
+    *
+    *   score(t) = (s0·c1 − s1·c0)² / (c0·c1)
+    *
+    * — the numerator square is exact in a double below 2⁵³ at any
+    * bounded image size, the single division of exact integers is
+    * bit-identical on any engine, ties resolve to the smallest t.
+    * Candidates require both classes non-empty; an all-one-level image
+    * emits no row (nothing to threshold).
+    *
+    * Scale: partition-wise — one decode + one 256-bin histogram + one
+    * 256-step scan per payload, nothing shuffles.
+    */
+  def otsuStats(media: Dataset[MediaRow]): Dataset[OtsuRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeToPixels(r.data).flatMap { case (info, buf) =>
+          val w = info.width; val h = info.height; val ch = info.channels
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            val srcRow = if (info.bottomUp) h - 1 - y else y
+            val base = info.pixelOffset + srcRow * info.rowStride
+            var x = 0
+            while (x < w) {
+              val b = base + x * ch
+              val g =
+                if (ch >= 3) {
+                  val (rr, gg, bb) =
+                    if (info.bgr) (buf(b + 2) & 0xFF, buf(b + 1) & 0xFF,
+                      buf(b) & 0xFF)
+                    else (buf(b) & 0xFF, buf(b + 1) & 0xFF, buf(b + 2) & 0xFF)
+                  (299 * rr + 587 * gg + 114 * bb) / 1000
+                } else buf(b) & 0xFF
+              hist(g) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var s = 0L
+          var t = 0
+          while (t < 256) { s += t.toLong * hist(t); t += 1 }
+          var c0 = 0L; var s0 = 0L
+          var bestScore = -1.0; var bestT = -1; var bestC0 = 0L; var bestS0 = 0L
+          t = 0
+          while (t < 256) {
+            c0 += hist(t); s0 += t.toLong * hist(t)
+            if (hist(t) > 0 && c0 < n) {
+              val a = s0 * (n - c0) - (s - s0) * c0
+              val score = a.toDouble * a / (c0 * (n - c0)).toDouble
+              if (score > bestScore) {
+                bestScore = score; bestT = t; bestC0 = c0; bestS0 = s0
+              }
+            }
+            t += 1
+          }
+          if (bestT < 0) None
+          else Some(OtsuRow(r.doc_id, bestT, bestC0, bestS0))
+        }
+      }
+    }
+  }
+
   /** Attach a binary payload column + metadata struct to a text corpus —
     * the ingest shape (payload here is the UTF-8 bytes standing in for
     * real media; the schema is the contract).

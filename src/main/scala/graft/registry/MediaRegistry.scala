@@ -46,6 +46,7 @@ object MediaRegistry {
     "mm_tga_decode"         -> (LlmQueries.mmTgaDecode _),
     "mm_qoi_decode"         -> (LlmQueries.mmQoiDecode _),
     "mm_sobel"              -> (LlmQueries.mmSobel _),
+    "mm_otsu"               -> (LlmQueries.mmOtsu _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -376,6 +377,41 @@ object MediaRegistry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Otsu replayed exactly: gray from the closed-form byte triple,
+    // score (s0*c1 - s1*c0)^2 / (c0*c1) at observed levels, min-t ties
+    "mm_otsu" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    (299 * ((seed*31 + (3*g.p)*17 + (seed*(3*g.p)) % 251
+        |       + 40 * ((3*g.p // (w*3)) % 6)) % 256)
+        |   + 587 * ((seed*31 + (3*g.p+1)*17 + (seed*(3*g.p+1)) % 251
+        |       + 40 * (((3*g.p+1) // (w*3)) % 6)) % 256)
+        |   + 114 * ((seed*31 + (3*g.p+2)*17 + (seed*(3*g.p+2)) % 251
+        |       + 40 * (((3*g.p+2) // (w*3)) % 6)) % 256)) // 1000 AS gray
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) g),
+        |hist AS (SELECT doc_id, gray, COUNT(*) AS c
+        |         FROM px GROUP BY doc_id, gray),
+        |cum AS (SELECT doc_id, gray AS t,
+        |    SUM(c) OVER (PARTITION BY doc_id ORDER BY gray) AS c0,
+        |    SUM(gray * c) OVER (PARTITION BY doc_id ORDER BY gray) AS s0,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS n,
+        |    SUM(gray * c) OVER (PARTITION BY doc_id) AS s
+        |  FROM hist),
+        |sc AS (SELECT doc_id, t, c0, s0,
+        |    CAST(s0 * (n - c0) - (s - s0) * c0 AS DOUBLE)
+        |      * (s0 * (n - c0) - (s - s0) * c0)
+        |      / (c0 * (n - c0)) AS score
+        |  FROM cum WHERE c0 > 0 AND c0 < n),
+        |r AS (SELECT doc_id, t, c0, s0,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, t) AS rn
+        |  FROM sc)
+        |SELECT doc_id, CAST(t AS INT) AS threshold,
+        |  CAST(c0 AS BIGINT) AS n_below, CAST(s0 AS BIGINT) AS sum_below
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // Sobel over a linear field responds 8a/8b per interior pixel
     // (kernel first moments), x1000 for the luminance micro-unit
     "mm_sobel" ->

@@ -644,6 +644,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(rb2.sameElements(rb), "layout normalization must agree")
   }
 
+  test("otsu: hand histograms pin the argmax, candidate set, and " +
+      "tiebreak; a constant image emits no row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def p6g(vals: Seq[Int]): Array[Byte] =
+      s"P6\n${vals.length} 1\n255\n".getBytes("US-ASCII") ++
+        vals.flatMap(v => Seq.fill(3)(v.toByte)).toArray
+    def run(payload: Array[Byte]) = {
+      val media = Seq((1L, payload)).toDF("doc_id", "data")
+        .select(col("doc_id"), col("data"), lit("image/ppm").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.otsuStats(media).collect()
+        .map(r => (r.threshold, r.n_below, r.sum_below)).toSeq
+    }
+    // bimodal: the only valid cut is at the lower level
+    assert(run(p6g(Seq(10, 10, 200, 200))) == Seq((10, 2L, 20L)))
+    // trimodal: t=100 scores 565^2/3 > t=0's 455^2/3
+    assert(run(p6g(Seq(0, 100, 100, 255))) == Seq((100, 3L, 200L)))
+    // constant image: both classes can never be non-empty
+    assert(run(p6g(Seq(7, 7, 7, 7))).isEmpty)
+  }
+
   test("sobel: pure-x and pure-y gradients excite exactly one kernel; " +
       "linear fixtures match the closed form") {
     import org.apache.spark.sql.functions._
