@@ -274,6 +274,41 @@ object EventsStream {
       .start()
   }
 
+  /** Pattern 16 — LEFT SEMI stream-stream join: the existence-filter
+    * shape ("clicks that converted", without duplicating the click row
+    * per purchase — the projection a funnel-entry selector wants).
+    * Same keys/time-bound/watermarks as [[clickPurchaseJoin]]; each
+    * click emits AT MOST ONCE however many purchases match, and emits
+    * NOTHING when none do — the dedup-by-construction the inner join
+    * cannot give. Click columns only; the right side never projects.
+    */
+  def clickPurchaseSemiJoin(spark: SparkSession, srcDir: String,
+                            checkpointDir: String, outDir: String): StreamingQuery = {
+    val clicks = source(spark, srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+        "leftSemi")
+      .select("click_id", "user_id", "click_ts")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** Stream-static enrichment: the event stream joined to a BATCH
     * dimension table (customer). No watermark needed on the static side —
     * Spark re-plans the batch side per micro-batch, so a dim refresh is

@@ -73,6 +73,11 @@ class BusPatternsSpec extends SparkTestBase {
           (col("purchase_id").isNotNull && col("click_id").isNotNull) ||
           (col("purchase_id").isNull && col("click_ts") < expr(fenceTs)) ||
           (col("click_id").isNull && col("purchase_ts") < expr(fenceTs)))),
+      // semi: rows emit on match arrival (never by watermark), so the
+      // emitted set is the matched-click set — deterministic under the
+      // same corpus construction the outer patterns' matched rows assume
+      ("semi_join", EventsStream.clickPurchaseSemiJoin(spark, _, _, _),
+        identity),
       ("trending_topk", EventsStream.trendingTopK(spark, _, _, _),
         df => df.filter(expr(s"w + INTERVAL 1 HOUR < $fenceTs"))))
     patterns.foreach { case (tag, run, closed) =>

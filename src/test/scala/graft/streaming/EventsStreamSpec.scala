@@ -225,6 +225,33 @@ class EventsStreamSpec extends SparkTestBase {
       "the corpus must exercise both null paths")
   }
 
+  test("left-semi stream-stream join: exactly the matched clicks, each " +
+      "at most once, equal to the batch semi join") {
+    val out = tmp("es_ssj_out")
+    val q = EventsStream.clickPurchaseSemiJoin(spark, eventsDir,
+      tmp("es_ssj_ckpt"), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val semi = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+        "leftSemi")
+    assert(streamed.count() > 0, "the corpus must exercise the semi path")
+    assert(streamed.exceptAll(semi).isEmpty && semi.exceptAll(streamed).isEmpty,
+      "streamed semi join must equal the batch semi join")
+    assert(streamed.groupBy("click_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "multi-purchase clicks must still emit exactly once")
+  }
+
   test("stateful dedup within watermark keeps event_ids unique") {
     val out = tmp("es_dd_out")
     val q = EventsStream.dedupedEvents(spark, eventsDir,
