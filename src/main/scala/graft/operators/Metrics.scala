@@ -164,6 +164,135 @@ object Metrics {
       |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
       |FROM c ORDER BY g, decile""".stripMargin
 
+  /** ml_roc_points — the full ROC CURVE (one operating point per
+    * distinct score threshold, predicting positive at score ≥ t), the
+    * threshold-selection view the scalar [[mlAuc]] integrates away:
+    * per point the exact TP/FP counts and the rounded TPR/FPR rates.
+    * Same scale shape as the AUC: the fact table collapses to
+    * |distinct scores| rows inside the scan, the curve is a prefix sum
+    * over that bounded frame — no row-level sort at any scale.
+    */
+  def mlRocPoints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("sc"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("k"))
+    val planted = li.withColumn("y",
+      (col("sc") * 1000 + pmod(Hashing.md5Long(col("k")), lit(50000L))
+        > 28000).cast("long"))
+    val pers = planted.groupBy("g", "sc")
+      .agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val wCum = Window.partitionBy("g").orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    pers
+      .withColumn("tp", sum("p").over(wCum))
+      .withColumn("fp", (sum("n").over(wCum) - col("tp")))
+      .withColumn("pos", sum("p").over(wAll))
+      .withColumn("neg", sum(col("n") - col("p")).over(wAll))
+      .filter(col("pos") > 0 && col("neg") > 0)
+      .select(col("g"), col("sc").as("threshold"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("pos"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("neg"), 6).as("fpr"))
+      .orderBy("g", "threshold")
+  }
+
+  val mlRocPointsOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS sc,
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) AS k
+      |  FROM lineitem),
+      |planted AS (
+      |  SELECT g, sc,
+      |    CAST(sc * 1000 +
+      |      (('0x' || substr(md5(k), 1, 15))::BIGINT % 50000) > 28000
+      |      AS BIGINT) AS y
+      |  FROM li),
+      |pers AS (SELECT g, sc, COUNT(*) AS n, SUM(y) AS p
+      |         FROM planted GROUP BY g, sc),
+      |c AS (SELECT g, sc,
+      |    SUM(p) OVER (PARTITION BY g ORDER BY sc DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    SUM(n) OVER (PARTITION BY g ORDER BY sc DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |    SUM(p) OVER (PARTITION BY g) AS pos,
+      |    SUM(n - p) OVER (PARTITION BY g) AS neg
+      |  FROM pers)
+      |SELECT g, CAST(sc AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+      |  CAST(cn - tp AS BIGINT) AS fp,
+      |  ROUND(CAST(tp AS DOUBLE) / pos, 6) AS tpr,
+      |  ROUND(CAST(cn - tp AS DOUBLE) / neg, 6) AS fpr
+      |FROM c WHERE pos > 0 AND neg > 0
+      |ORDER BY g, threshold""".stripMargin
+
+  /** ml_abtest — the TWO-PROPORTION z-test (pooled), the experiment
+    * read-out every A/B rollout decision runs: cohorts split on a
+    * deterministic hash of the unit key (the real assignment mechanism,
+    * not a data column — so the test is valid by construction),
+    * conversion planted from an independent hash band. The statistic
+    *
+    *   z² = (k_a·n_b − k_b·n_a)² · (n_a + n_b)
+    *        / (n_a · n_b · k · (n − k))      with k = k_a+k_b, n = n_a+n_b
+    *
+    * is evaluated as one fixed left-to-right IEEE expression over the
+    * four exact integer sufficient statistics — identical operands,
+    * identical operation order ⇒ identical bits on any engine;
+    * significance is z² against the χ²₁ 95% critical value 3.841459, a
+    * LITERAL both engines compare identically.
+    *
+    * Scale: one map-side-combined aggregate over the unit table —
+    * four integers out, nothing else moves.
+    */
+  def mlAbTest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("k"),
+      (col("o_totalprice") > 150000).cast("long").as("conv"))
+    val assigned = o.select(
+      (pmod(Hashing.md5Long(col("k")), lit(2L)) === 0).as("in_a"), col("conv"))
+    assigned
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a"), col("conv")).otherwise(0L)).as("k_a"),
+        sum(when(!col("in_a"), col("conv")).otherwise(0L)).as("k_b"))
+      .withColumn("z2", round(
+        (col("k_a") * col("n_b") - col("k_b") * col("n_a")).cast("double") *
+          (col("k_a") * col("n_b") - col("k_b") * col("n_a")) *
+          (col("n_a") + col("n_b")) /
+          (col("n_a") * col("n_b") * (col("k_a") + col("k_b"))).cast("double") /
+          ((col("n_a") + col("n_b")) - (col("k_a") + col("k_b"))).cast("double"),
+        6))
+      .withColumn("significant", col("z2") > 3.841459)
+      .select("n_a", "n_b", "k_a", "k_b", "z2", "significant")
+  }
+
+  val mlAbTestOracle: String =
+    """WITH u AS (
+      |  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 = 0 AS in_a,
+      |    CAST(o_totalprice > 150000 AS BIGINT) AS conv
+      |  FROM orders),
+      |agg AS (
+      |  SELECT SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b,
+      |    SUM(CASE WHEN in_a THEN conv ELSE 0 END) AS k_a,
+      |    SUM(CASE WHEN in_a THEN 0 ELSE conv END) AS k_b
+      |  FROM u)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+      |  ROUND(CAST(k_a * n_b - k_b * n_a AS DOUBLE)
+      |    * (k_a * n_b - k_b * n_a) * (n_a + n_b)
+      |    / CAST(n_a * n_b * (k_a + k_b) AS DOUBLE)
+      |    / CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE), 6) AS z2,
+      |  ROUND(CAST(k_a * n_b - k_b * n_a AS DOUBLE)
+      |    * (k_a * n_b - k_b * n_a) * (n_a + n_b)
+      |    / CAST(n_a * n_b * (k_a + k_b) AS DOUBLE)
+      |    / CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE), 6) > 3.841459
+      |    AS significant
+      |FROM agg""".stripMargin
+
   /** ml_knn — k-nearest-neighbor classification (the non-parametric
     * leg beside the generative [[NaiveBayes]] and discriminative
     * [[LogReg]]): each probe takes the majority label of its k = 5

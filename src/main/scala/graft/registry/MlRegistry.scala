@@ -45,6 +45,8 @@ object MlRegistry {
     "graph_ra"              -> (Graph.graphRa _),
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_lift"               -> (Metrics.mlLift _),
+    "ml_abtest"             -> (Metrics.mlAbTest _),
+    "ml_roc_points"         -> (Metrics.mlRocPoints _),
     "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -560,6 +562,8 @@ object MlRegistry {
     // shared verbatim with the engine (operators/Metrics.scala)
     "ml_auc" -> Metrics.mlAucOracle,
     "ml_lift" -> Metrics.mlLiftOracle,
+    "ml_abtest" -> Metrics.mlAbTestOracle,
+    "ml_roc_points" -> Metrics.mlRocPointsOracle,
     "ml_mcc" -> Metrics.mlMccOracle,
     "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the

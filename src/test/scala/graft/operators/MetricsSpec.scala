@@ -153,6 +153,35 @@ class MetricsSpec extends SparkTestBase {
     assert(mcc == expMcc, s"$mcc vs $expMcc")
   }
 
+  test("roc points: monotone staircase with (1,1) at the lowest " +
+      "threshold; abtest statistic replicates the scalar formula") {
+    val roc = Metrics.mlRocPoints(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(roc.nonEmpty)
+    roc.groupBy(_._1).foreach { case (g, pts) =>
+      val sorted = pts.sortBy(_._2) // ascending threshold
+      // the lowest threshold predicts everything positive
+      assert(sorted.head._5 == 1.0 && sorted.head._6 == 1.0, s"group $g")
+      // tp/fp (and so tpr/fpr) are non-increasing in the threshold
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0)._3 >= pair(1)._3 && pair(0)._4 >= pair(1)._4,
+            s"monotone in $g")
+      }
+    }
+    val ab = Metrics.mlAbTest(spark, sfDir).collect().head
+    val (na, nb, ka, kb) = (ab.getLong(0), ab.getLong(1), ab.getLong(2),
+      ab.getLong(3))
+    assert(na > 0 && nb > 0 && ka > 0 && kb > 0)
+    val a = (ka * nb - kb * na).toDouble
+    val exp = BigDecimal(a * (ka * nb - kb * na) * (na + nb) /
+        (na * nb * (ka + kb)).toDouble / ((na + nb) - (ka + kb)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ab.getDouble(4) == exp)
+    assert(ab.getBoolean(5) == (ab.getDouble(4) > 3.841459))
+  }
+
   test("lift: hand deciles pin lift and cumulative gains; a group " +
       "smaller than the tile count fills tiles one row each") {
     import spark.implicits._
