@@ -608,6 +608,22 @@ object LlmQueries {
   def mmQoiDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Qoi.qoiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The INTERPOLATING-RESIZE leg ([[Multimodal.ppmMedia]] fixtures
+    * through [[Multimodal.bilinearStats]]'s fixed-point align-corners
+    * resample): the oracle rebuilds per-pixel luminance from the
+    * closed-form byte field and replays the exact 1/225-unit
+    * interpolation — grid mapping, weights, and corner anchoring all
+    * pinned with no float anywhere.
+    */
+  def mmResizeBilinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.ppmMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.bilinearStats(media).toDF().orderBy("doc_id")
+  }
+
   /** The HISTOGRAM-ANALYSIS leg ([[Multimodal.ppmMedia]] pseudo-random
     * fixtures through [[Multimodal.otsuStats]]): the oracle rebuilds the
     * gray histogram from the closed-form byte field and replays the

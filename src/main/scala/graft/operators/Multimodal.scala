@@ -537,6 +537,72 @@ object Multimodal {
     }
   }
 
+  case class BilinearRow(doc_id: Long, resize_total: Long, tl225: Long,
+                         br225: Long)
+
+  /** REAL bilinear resize to a 16×16 thumbnail over decoded pixels —
+    * the interpolating sibling of [[resizeDims]] (which computes only
+    * the aspect-fit geometry; this produces actual resampled values,
+    * the embedding-prep thumbnail every vision pipeline feeds its
+    * encoder). Align-corners fixed point: output cell (i, j) samples
+    * source position (i·(w−1)/15, j·(h−1)/15); with x0 = num div 15,
+    * fx = num mod 15 the interpolated LUMINANCE is kept in exact
+    * 1/225-of-a-micro-unit integers —
+    *
+    *   out225 = (15−fx)(15−fy)·L₀₀ + fx(15−fy)·L₁₀
+    *          + (15−fx)fy·L₀₁ + fx·fy·L₁₁
+    *
+    * — no division ever happens, so the emitted totals (full-grid sum
+    * plus the two corner probes, which pin the align-corners mapping:
+    * tl225 = 225·L(0,0), br225 = 225·L(w−1,h−1)) are bit-exact on any
+    * engine. Neighbor reads clamp to the edge (only reached when the
+    * weight is zero). Scale: partition-wise, one decode + 256
+    * interpolations per payload, nothing shuffles.
+    */
+  def bilinearStats(media: Dataset[MediaRow]): Dataset[BilinearRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeToPixels(r.data).map { case (info, buf) =>
+          val w = info.width; val h = info.height; val ch = info.channels
+          def lum(x: Int, y: Int): Long = {
+            val srcRow = if (info.bottomUp) h - 1 - y else y
+            val b = info.pixelOffset + srcRow * info.rowStride + x * ch
+            if (ch >= 3) {
+              if (info.bgr)
+                299L * (buf(b + 2) & 0xFF) + 587L * (buf(b + 1) & 0xFF) +
+                  114L * (buf(b) & 0xFF)
+              else
+                299L * (buf(b) & 0xFF) + 587L * (buf(b + 1) & 0xFF) +
+                  114L * (buf(b + 2) & 0xFF)
+            } else 1000L * (buf(b) & 0xFF)
+          }
+          var total = 0L; var tl = 0L; var br = 0L
+          var j = 0
+          while (j < 16) {
+            val ny = j * (h - 1); val y0 = ny / 15; val fy = ny % 15
+            val y1 = math.min(y0 + 1, h - 1)
+            var i = 0
+            while (i < 16) {
+              val nx = i * (w - 1); val x0 = nx / 15; val fx = nx % 15
+              val x1 = math.min(x0 + 1, w - 1)
+              val out = (15L - fx) * (15 - fy) * lum(x0, y0) +
+                fx.toLong * (15 - fy) * lum(x1, y0) +
+                (15L - fx) * fy * lum(x0, y1) +
+                fx.toLong * fy * lum(x1, y1)
+              total += out
+              if (i == 0 && j == 0) tl = out
+              if (i == 15 && j == 15) br = out
+              i += 1
+            }
+            j += 1
+          }
+          BilinearRow(r.doc_id, total, tl, br)
+        }
+      }
+    }
+  }
+
   case class OtsuRow(doc_id: Long, threshold: Int, n_below: Long,
                      sum_below: Long)
 

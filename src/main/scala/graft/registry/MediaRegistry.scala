@@ -47,6 +47,7 @@ object MediaRegistry {
     "mm_qoi_decode"         -> (LlmQueries.mmQoiDecode _),
     "mm_sobel"              -> (LlmQueries.mmSobel _),
     "mm_otsu"               -> (LlmQueries.mmOtsu _),
+    "mm_resize_bilinear"    -> (LlmQueries.mmResizeBilinear _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -377,6 +378,47 @@ object MediaRegistry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // bilinear replayed exactly: per-pixel luminance from the byte
+    // field once, then the 16x16 grid joins its 4 neighbors and sums
+    // the 1/225-unit weights -- integers end to end
+    "mm_resize_bilinear" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |pix AS (SELECT doc_id, g.q % w AS x, g.q // w AS y,
+        |    299 * ((seed*31 + (3*g.q)*17 + (seed*(3*g.q)) % 251
+        |       + 40 * ((3*g.q // (w*3)) % 6)) % 256)
+        |  + 587 * ((seed*31 + (3*g.q+1)*17 + (seed*(3*g.q+1)) % 251
+        |       + 40 * (((3*g.q+1) // (w*3)) % 6)) % 256)
+        |  + 114 * ((seed*31 + (3*g.q+2)*17 + (seed*(3*g.q+2)) % 251
+        |       + 40 * (((3*g.q+2) // (w*3)) % 6)) % 256) AS l
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS q) g),
+        |grid AS (SELECT d.doc_id, gi.i, gj.j,
+        |    (gi.i * (w - 1)) // 15 AS x0, (gi.i * (w - 1)) % 15 AS fx,
+        |    LEAST((gi.i * (w - 1)) // 15 + 1, w - 1) AS x1,
+        |    (gj.j * (h - 1)) // 15 AS y0, (gj.j * (h - 1)) % 15 AS fy,
+        |    LEAST((gj.j * (h - 1)) // 15 + 1, h - 1) AS y1
+        |  FROM d, LATERAL (SELECT unnest(range(0, 16)) AS i) gi,
+        |          LATERAL (SELECT unnest(range(0, 16)) AS j) gj),
+        |v AS (SELECT g.doc_id, g.i, g.j,
+        |    (15 - fx) * (15 - fy) * p00.l + fx * (15 - fy) * p10.l
+        |    + (15 - fx) * fy * p01.l + fx * fy * p11.l AS out225
+        |  FROM grid g
+        |  JOIN pix p00 ON p00.doc_id = g.doc_id
+        |    AND p00.x = g.x0 AND p00.y = g.y0
+        |  JOIN pix p10 ON p10.doc_id = g.doc_id
+        |    AND p10.x = g.x1 AND p10.y = g.y0
+        |  JOIN pix p01 ON p01.doc_id = g.doc_id
+        |    AND p01.x = g.x0 AND p01.y = g.y1
+        |  JOIN pix p11 ON p11.doc_id = g.doc_id
+        |    AND p11.x = g.x1 AND p11.y = g.y1)
+        |SELECT doc_id, CAST(SUM(out225) AS BIGINT) AS resize_total,
+        |  CAST(SUM(CASE WHEN i = 0 AND j = 0 THEN out225 END) AS BIGINT)
+        |    AS tl225,
+        |  CAST(SUM(CASE WHEN i = 15 AND j = 15 THEN out225 END) AS BIGINT)
+        |    AS br225
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Otsu replayed exactly: gray from the closed-form byte triple,
     // score (s0*c1 - s1*c0)^2 / (c0*c1) at observed levels, min-t ties
     "mm_otsu" ->

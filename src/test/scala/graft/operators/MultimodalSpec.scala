@@ -644,6 +644,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(rb2.sameElements(rb), "layout normalization must agree")
   }
 
+  test("bilinear 16x16: corners anchor exactly (align-corners), a " +
+      "constant image sums trivially, a linear ramp interpolates to " +
+      "the closed form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def p6(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        (0 until h).flatMap(y => (0 until w).flatMap(x =>
+          Seq.fill(3)(v(x, y).toByte))).toArray
+    def run(payload: Array[Byte]) = {
+      val media = Seq((1L, payload)).toDF("doc_id", "data")
+        .select(col("doc_id"), col("data"), lit("image/ppm").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes"))
+        .as[Multimodal.MediaRow]
+      val r = Multimodal.bilinearStats(media).collect().head
+      (r.resize_total, r.tl225, r.br225)
+    }
+    // constant 7: every cell is 225 * 7000
+    assert(run(p6(5, 4, (_, _) => 7)) ==
+      ((256L * 225 * 7000, 225L * 7000, 225L * 7000)))
+    // v = x on 4x3: out225(i, j) = 15000 * i * (w-1), summed = 28.8e6*(w-1)
+    assert(run(p6(4, 3, (x, _) => x)) ==
+      ((28800000L * 3, 0L, 225L * 3000)))
+  }
+
   test("otsu: hand histograms pin the argmax, candidate set, and " +
       "tiebreak; a constant image emits no row") {
     import org.apache.spark.sql.functions._
