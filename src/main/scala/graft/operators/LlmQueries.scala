@@ -309,6 +309,13 @@ object LlmQueries {
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** text_script — per-doc Unicode script profile
+    * ([[TextAnalysis.scriptProfile]]): Latin/CJK/digit/space/other
+    * char-class counts and the latin-vs-han dominance call.
+    */
+  def textScript(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(docs(s, dir), "doc_id", "text")
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 

@@ -82,6 +82,39 @@ object TextAnalysis {
       .select(keyCols.map(col) ++ langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
   }
 
+  /** Per-document Unicode SCRIPT profile — the char-class complement of
+    * the stopword [[langId]] (which needs tokenizable text; script
+    * ratios work on ANY string and are the first routing decision a
+    * multilingual pipeline makes: CJK text doesn't even whitespace-
+    * tokenize). Counts per class — Latin letters, CJK ideographs
+    * (U+4E00–U+9FA5), ASCII digits, spaces, and the "other" remainder
+    * (punctuation/symbols/non-Latin alphabets) — all exact integers
+    * from single-char regex extraction, plus the latin/han dominance
+    * call. Row-local scan, codegen'd regex, nothing shuffles.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_latin", expr(
+        "CAST(size(regexp_extract_all(text, '[a-zA-Z]', 0)) AS BIGINT)"))
+      .withColumn("n_han", expr(
+        "CAST(size(regexp_extract_all(text, '[一-龥]', 0)) AS BIGINT)"))
+      .withColumn("n_digit", expr(
+        "CAST(size(regexp_extract_all(text, '[0-9]', 0)) AS BIGINT)"))
+      .withColumn("n_space",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), lit(" "), lit("")))).cast("long"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_han") - col("n_digit") -
+          col("n_space"))
+      .withColumn("dominant", expr(
+        """CASE WHEN n_latin = 0 AND n_han = 0 THEN 'none'
+          |     WHEN n_latin >= n_han THEN 'latin' ELSE 'han' END"""
+          .stripMargin))
+      .select("doc_id", "n_chars", "n_latin", "n_han", "n_digit",
+        "n_space", "n_other", "dominant")
+      .orderBy("doc_id")
+
   /** Doc-level language SEGMENTATION: fixed token windows, language-ID'd
     * independently — the per-segment form of [[langId]] that catches
     * mixed-language documents (a doc-level argmax smears them into one

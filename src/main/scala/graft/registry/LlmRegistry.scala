@@ -34,6 +34,7 @@ object LlmRegistry {
     "text_tokens"           -> (LlmQueries.textTokens _),
     "text_zipf"             -> (LlmQueries.textZipf _),
     "text_lexdiv"           -> (LlmQueries.textLexDiv _),
+    "text_script"           -> (LlmQueries.textScript _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
     "text_url_canon"        -> (LlmQueries.textUrlCanon _),
@@ -451,6 +452,27 @@ object LlmRegistry {
         |  CAST(rank * n AS BIGINT) AS rank_x_freq,
         |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // script profile: exact single-char-class counts; n_space via the
+    // replace-length identity, n_other as the remainder
+    "text_script" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '[一-龥]')) AS BIGINT) AS n_han,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |    AS n_space,
+        |  CAST(length(text)
+        |    - len(regexp_extract_all(text, '[a-zA-Z]'))
+        |    - len(regexp_extract_all(text, '[一-龥]'))
+        |    - len(regexp_extract_all(text, '[0-9]'))
+        |    - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+        |    AS n_other,
+        |  CASE WHEN len(regexp_extract_all(text, '[a-zA-Z]')) = 0
+        |        AND len(regexp_extract_all(text, '[一-龥]')) = 0 THEN 'none'
+        |       WHEN len(regexp_extract_all(text, '[a-zA-Z]'))
+        |         >= len(regexp_extract_all(text, '[一-龥]')) THEN 'latin'
+        |       ELSE 'han' END AS dominant
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // lexical diversity: every float is one division (or sqrt) of the
     // integer sufficient statistics N, V, sum(f^2) -> bit-identical
     "text_lexdiv" ->

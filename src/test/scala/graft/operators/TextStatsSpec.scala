@@ -589,6 +589,22 @@ class TextStatsSpec extends SparkTestBase {
     assert(got("burst")._3 > got("half")._3 && got("half")._3 > 0.0)
   }
 
+  test("script profile: mixed Latin/Han/digit/punct counts are exact " +
+      "and the remainder closes; dominance calls pin") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "abc 12 你好!"),    // 3 latin, 2 han, 2 digit, 2 space, 1 other
+      (2L, "你好世界"),         // pure han
+      (3L, "...!!!"))           // no letters at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got(1L) == ((10L, 3L, 2L, 2L, 2L, 1L, "latin")))
+    assert(got(2L) == ((4L, 0L, 4L, 0L, 0L, 0L, "han")))
+    assert(got(3L) == ((6L, 0L, 0L, 0L, 0L, 6L, "none")))
+  }
+
   test("lexdiv: all-distinct doc maxes TTR and zeroes Simpson/Yule; " +
       "all-same doc pins the closed forms; hand spectrum exact") {
     import spark.implicits._
