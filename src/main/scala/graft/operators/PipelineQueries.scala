@@ -2044,6 +2044,65 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A58 — CSV DIALECT SNIFFING (the ingest step before any schema
+    * work: a foreign flat file announces neither its delimiter nor its
+    * quoting): the fixture exports semicolon-delimited, RFC-quoted
+    * records whose text field CONTAINS commas, pipes and tabs — a
+    * sniffer that counts candidate delimiters without respecting quotes
+    * picks the wrong one. Detection scans a BOUNDED sample (100 lines)
+    * per candidate {`,`, `;`, `\t`, `|`}: count occurrences OUTSIDE
+    * double-quoted spans per line; a candidate is consistent when every
+    * sample line agrees on a count ≥ 1; the winner is the consistent
+    * candidate with the highest per-line count (ties: candidate-list
+    * order). The file is then parsed WITH the detected dialect and the
+    * readback aggregate gated against the source table.
+    *
+    * Scale: the sniff reads 100 lines (driver-bounded by construction);
+    * the parse is the normal distributed CSV scan.
+    */
+  def a58DialectSniff(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_sniff").toString + "/docs_scsv"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("a,\"b\"|c\t"), col("text")).as("text"),
+        col("lang"), col("n_chars"))
+      .write.mode("overwrite")
+      .option("header", true).option("delimiter", ";")
+      .option("escape", "\"")
+      .csv(base)
+    val sample = s.read.text(base).limit(100)
+      .collect().map(_.getString(0))
+    def outsideQuotes(line: String, d: Char): Int = {
+      var inQ = false; var n = 0; var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '"') inQ = !inQ
+        else if (c == d && !inQ) n += 1
+        i += 1
+      }
+      n
+    }
+    val detected = Seq(',', ';', '\t', '|').flatMap { d =>
+      val counts = sample.map(outsideQuotes(_, d))
+      if (counts.nonEmpty && counts.head >= 1 && counts.distinct.length == 1)
+        Some((d, counts.head))
+      else None
+    }.sortBy(-_._2).headOption.map(_._1)
+    require(detected.contains(';'),
+      s"sniffer must detect the semicolon dialect, got $detected")
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+      .option("header", true)
+      .option("delimiter", detected.get.toString)
+      .option("escape", "\"")
+      .csv(base)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

@@ -54,6 +54,7 @@ object PipelineRegistry {
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
+    "a58_dialect_sniff"     -> (PipelineQueries.a58DialectSniff _),
     "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
     "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
     "a55_fixed_width"       -> (PipelineQueries.a55FixedWidthRoundtrip _),
@@ -405,6 +406,14 @@ object PipelineRegistry {
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // a58: the same content truth through the sniffed-dialect parse --
+    // detection must land on ';' or the readback hash diverges
+    "a58_dialect_sniff" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5('a,"b"|c' || chr(9) || text),
+        |    1, 15))::BIGINT) AS BIGINT) AS content_xor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // a53: same content truth through the Avro container leg — zigzag
     // varints, UTF-8 runs, deflate blocks and sync markers must all be
     // byte-lossless for every group hash to match
