@@ -245,6 +245,12 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** sim_reciprocal_nn ([[Similarity.reciprocalNN]]): mutual-top-1
+    * pairs over the embedding corpus — the near-dup clustering seed.
+    */
+  def simReciprocalNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.reciprocalNN(embs(s, dir), "vec_id", "embedding")
+
   def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.cosineTopK(

@@ -90,6 +90,43 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** RECIPROCAL nearest neighbors — the mutual-top-1 pair detector (a
+    * is b's nearest AND b is a's): the standard high-precision seed for
+    * near-duplicate clustering and cross-lingual alignment, strictly
+    * stronger evidence than a one-directional threshold. Each side's
+    * top-1 comes from ONE ranked pass over the pair frame; mutuality is
+    * a self-join of that |V|-sized result on the swapped key — never a
+    * second scoring pass.
+    *
+    * Scale: the exact form guards its input like the other exact tiers
+    * (all-pairs is the scale-killer); at corpus scale the same
+    * nn-then-swap-join runs per LSH/IVF bucket (the dedup_embedding
+    * blocking), with this exact operator as its per-bucket kernel.
+    */
+  def reciprocalNN(vecs: DataFrame, idCol: String, embCol: String,
+                   maxRows: Int = DefaultMaxExactProbes): DataFrame = {
+    val v = guardProbes(vecs, maxRows,
+        tier = "exact reciprocal-NN tier: all-pairs — run per LSH/IVF " +
+          "bucket at corpus scale")
+      .select(col(idCol).as("a"), col(embCol).as("a_emb"))
+    val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+    val nn = v
+      .join(broadcast(v.select(col("a").as("b"), col("a_emb").as("b_emb"))),
+        col("a") =!= col("b"))
+      .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("b"), col("cos"))
+      .localCheckpoint(true) // feeds both sides of the mutuality join
+    nn.as("n1")
+      .join(nn.as("n2"),
+        col("n1.a") === col("n2.b") && col("n1.b") === col("n2.a") &&
+          col("n1.a") < col("n1.b"))
+      .select(col("n1.a").as("a"), col("n1.b").as("b"),
+        round(col("n1.cos"), 4).as("cos"))
+      .orderBy("a")
+  }
+
   /** FILTERED vector search — the metadata-constrained retrieval every
     * vector store ships (tenant isolation, language/source scoping):
     * candidates must satisfy a per-probe equality predicate (share the

@@ -28,6 +28,7 @@ object LlmRegistry {
     "dedup_embedding"       -> (LlmQueries.dedupEmbedding _),
     "dedup_semantic"        -> (LlmQueries.dedupSemantic _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
+    "sim_reciprocal_nn"     -> (LlmQueries.simReciprocalNn _),
     "sim_filtered_knn"      -> (LlmQueries.simFilteredKnn _),
     "sim_mmr"               -> (LlmQueries.simMmr _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -375,6 +376,24 @@ object LlmRegistry {
         |SELECT probe_id, vec_id AS neighbor_id, CAST(label AS INT) AS label,
         |  rn, ROUND(cos, 4) AS cos
         |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    // reciprocal NN: one ranked top-1 pass, mutuality as the swapped
+    // self-join -- same dot/norm spelling and tie order as sim_knn_topk
+    "sim_reciprocal_nn" ->
+      """WITH v AS (SELECT vec_id AS a, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |sc AS (SELECT x.a AS a, y.a AS b,
+        |    list_dot_product(x.e, y.e)
+        |      / (sqrt(list_dot_product(x.e, x.e))
+        |         * sqrt(list_dot_product(y.e, y.e))) AS cos
+        |  FROM v x, v y WHERE x.a != y.a),
+        |nn AS (SELECT a, b, cos FROM (
+        |    SELECT a, b, cos, ROW_NUMBER() OVER (PARTITION BY a
+        |      ORDER BY cos DESC, b) AS rn FROM sc) z
+        |  WHERE rn = 1)
+        |SELECT n1.a AS a, n1.b AS b, ROUND(n1.cos, 4) AS cos
+        |FROM nn n1 JOIN nn n2
+        |  ON n1.a = n2.b AND n1.b = n2.a AND n1.a < n1.b
+        |ORDER BY a""".stripMargin,
     "sim_knn_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
         |           FROM embeddings WHERE vec_id < 10),
