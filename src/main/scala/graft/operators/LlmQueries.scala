@@ -1072,6 +1072,13 @@ object LlmQueries {
     * en/de/es/fr/zh target exactly, survivors picked by portable-hash
     * rank so the oracle reproduces the id set.
     */
+  /** prep_temperature — temperature-scaled (α = 1/2) sampling-weight
+    * fit per language ([[Prep.temperatureWeights]]); the mixing recipe
+    * [[prepMix]] then applies.
+    */
+  def prepTemperature(s: SparkSession, dir: String): DataFrame =
+    Prep.temperatureWeights(docs(s, dir).select(col("lang")), "lang")
+
   def prepMix(s: SparkSession, dir: String): DataFrame =
     Prep.mixStrata(docs(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", "lang",

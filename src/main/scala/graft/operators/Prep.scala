@@ -519,6 +519,39 @@ object Prep {
           (col("mx").cast("double") - col("mn").cast("double")) * 1000000)
           .cast("long").as("minmax_mean_e6"))
 
+  /** TEMPERATURE-SCALED sampling weights (the multilingual mixing
+    * recipe of mT5/XLM-R: sample stratum s proportional to n_s^α, here
+    * α = 1/2 so the transform is the CORRECTLY-ROUNDED sqrt rather
+    * than a libm-varying pow): upweights low-resource strata relative
+    * to proportional sampling without letting the head dominate. Where
+    * [[mixStrata]] APPLIES given weights, this FITS them from corpus
+    * counts.
+    *
+    * Determinism: each sqrt is floor-quantized to integer micro-units
+    * BEFORE summing, so the normalizing total is an exact integer sum
+    * (float partial-sum order never appears); weights and per-budget
+    * target counts are integer divisions. Targets cap at the stratum
+    * size (no upsampling; the shortfall reports as undersupply).
+    *
+    * Scale: one map-side-combined count per stratum — a
+    * vocabulary-sized frame; the window total never sees row-level
+    * data.
+    */
+  def temperatureWeights(docs: DataFrame, stratumCol: String,
+                         budget: Long = 2000): DataFrame = {
+    val w = Window.partitionBy()
+    docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq_e6",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+      .withColumn("tot", sum("sq_e6").over(w))
+      .select(col("stratum"), col("n_docs"), col("sq_e6"),
+        expr("sq_e6 * 1000000 DIV tot").as("weight_e6"),
+        least(col("n_docs"), expr(s"sq_e6 * ${budget}L DIV tot"))
+          .as("target_n"))
+      .orderBy("stratum")
+  }
+
   /** Feature DISCRETIZATION fit — the binning sibling of [[scaleStats]]
     * (a tree/GBM/categorical-encoder pipeline bins features; a scaler
     * standardizes them): per group both classic cuts over the exact

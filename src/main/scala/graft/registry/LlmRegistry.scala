@@ -98,6 +98,7 @@ object LlmRegistry {
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_scale"            -> (LlmQueries.prepScale _),
     "prep_bin"              -> (LlmQueries.prepBin _),
+    "prep_temperature"      -> (LlmQueries.prepTemperature _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
     "prep_kfold"            -> (LlmQueries.prepKfold _),
     "prep_mix"              -> (LlmQueries.prepMix _),
@@ -1081,6 +1082,21 @@ object LlmRegistry {
         |LEFT JOIN losers l ON l.doc_id = c.doc_id
         |WHERE l.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
+    // temperature weights: each sqrt floor-quantized to micro-units
+    // BEFORE the integer normalizing sum -- no float partial-sum order
+    "prep_temperature" ->
+      """WITH c AS (SELECT lang AS stratum, COUNT(*) AS n_docs
+        |           FROM documents GROUP BY lang),
+        |q AS (SELECT stratum, n_docs,
+        |        CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS sq_e6
+        |      FROM c),
+        |t AS (SELECT stratum, n_docs, sq_e6, SUM(sq_e6) OVER () AS tot
+        |      FROM q)
+        |SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, sq_e6,
+        |  CAST(sq_e6 * 1000000 // tot AS BIGINT) AS weight_e6,
+        |  CAST(LEAST(n_docs, sq_e6 * 2000 // tot) AS BIGINT) AS target_n
+        |FROM t ORDER BY stratum""".stripMargin,
     // discretization fit: equal-width is all-integer ((v-mn)*10 // span,
     // capped), equal-frequency is NTILE over the total order (v, key) --
     // both replayed exactly
