@@ -224,7 +224,13 @@ class PlanSpec extends SparkTestBase {
       // dedup_approx_hll tolerance-check pattern)
       "text_overlap_kmv",
       // kept-edge checkpoint (feeds degrees, wedges, and the close join)
-      "graph_triangles",
+      "graph_triangles", "graph_transitivity",
+      // writes + reads back the zstd/uncompressed exports — IO by design
+      "a57_zstd_parquet",
+      // bounded 100-line sniff sample collect + file round-trip by design
+      "a58_dialect_sniff",
+      // eager top-1 checkpoint (feeds both sides of the mutuality join)
+      "sim_reciprocal_nn",
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
       "graph_labelprop", "graph_bfs",
