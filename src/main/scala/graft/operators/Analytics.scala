@@ -506,6 +506,48 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** dq_iqr — Tukey-fence outlier screen (the ROBUST sibling of
+    * [[dqOutliers]]' 3-sigma rule: quartiles don't move when the
+    * outliers themselves inflate the stddev — the failure mode that
+    * makes sigma rules miss exactly what they exist to catch): per
+    * group the exact interpolated quartiles, fences at 1.5·IQR, and
+    * the fence-breaker count. Quartiles use the same exact
+    * `percentile` / `quantile_cont` interpolation rule both engines
+    * share; fences are one fixed float expression over them; all
+    * emissions are integers or floor-quantized e4 (the ml_stump
+    * lesson).
+    *
+    * Scale: one grouped percentile pass (bounded group count) + one
+    * broadcast-stats join + one map-side-combined count — the
+    * [[dqOutliers]] shape, the fact table never windows.
+    */
+  def dqIqr(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25D)").as("q1"),
+        expr("percentile(value, 0.75D)").as("q3"),
+        count(lit(1)).as("n"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n"), col("q1"), col("q3"),
+        col("lo"), col("hi"),
+        when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L).as("is_out"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), sum("is_out").as("n_outliers"),
+        max("q1").as("q1"), max("q3").as("q3"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("event_type"), col("n"), col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 6)
+          .as("outlier_frac"),
+        floor(col("q1") * 10000).cast("long").as("q1_e4"),
+        floor(col("q3") * 10000).cast("long").as("q3_e4"),
+        floor(col("lo") * 10000).cast("long").as("lo_e4"),
+        floor(col("hi") * 10000).cast("long").as("hi_e4"))
+      .orderBy("event_type")
+  }
+
   /** Embedding data-quality checks — the vector-side twin of [[dqChecks]]
     * (corrupt embeddings silently poison every ANN/cluster operator
     * downstream, so a pipeline gates on these before indexing): per

@@ -48,6 +48,7 @@ object RelationalRegistry {
     "dq_checks"             -> (Analytics.dqChecks _),
     "dq_entropy"            -> (Analytics.dqEntropy _),
     "dq_outliers"           -> ((s, d) => Analytics.dqOutliers(s, d)),
+    "dq_iqr"                -> (Analytics.dqIqr _),
     "dq_embeddings"         -> ((s, d) => Analytics.dqEmbeddings(s, d)),
     "q26_unpivot"           -> (Analytics.unpivotCustomer _),
     "q27_sessionize"        -> (Analytics.sessionize _),
@@ -739,6 +740,28 @@ object RelationalRegistry {
         |       THEN 1 ELSE 0 END) / CAST(s.n AS DOUBLE), 6) AS outlier_frac
         |FROM events e JOIN s USING (event_type)
         |GROUP BY e.event_type, s.n ORDER BY e.event_type""".stripMargin,
+    // Tukey fences: same exact interpolated quartiles (percentile ==
+    // quantile_cont), one shared fence expression, e4 floor emissions
+    "dq_iqr" ->
+      """WITH s AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3, COUNT(*) AS n
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT event_type, q1, q3, n,
+        |        q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM s)
+        |SELECT e.event_type, CAST(f.n AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |       THEN 1 ELSE 0 END) / CAST(f.n AS DOUBLE), 6) AS outlier_frac,
+        |  CAST(FLOOR(f.q1 * 10000) AS BIGINT) AS q1_e4,
+        |  CAST(FLOOR(f.q3 * 10000) AS BIGINT) AS q3_e4,
+        |  CAST(FLOOR(f.lo * 10000) AS BIGINT) AS lo_e4,
+        |  CAST(FLOOR(f.hi * 10000) AS BIGINT) AS hi_e4
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, f.n, f.q1, f.q3, f.lo, f.hi
+        |ORDER BY e.event_type""".stripMargin,
     "q34_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice), 2) AS rev
