@@ -315,6 +315,22 @@ object LlmQueries {
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** text_html_strip — markup removal over a corpus HTML-decorated by
+    * construction ([[TextAnalysis.htmlStrip]]): every doc is wrapped in
+    * nested tags with attributes and gains entity-encoded punctuation
+    * derived from its id, so the oracle checks tag regex, entity
+    * decode ORDER (`&amp;` last), and whitespace squeeze exactly.
+    */
+  def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val decorated = docs(s, dir).select(col("doc_id"), expr(
+      """concat('<div class="d', CAST(doc_id AS STRING), '"><p>',
+        |  substring(text, 1, 40), ' &amp;&lt;x&gt; ',
+        |  CASE WHEN doc_id % 3 = 0 THEN '&quot;q&quot;&#39;s<br/>'
+        |       ELSE '' END,
+        |  substring(text, 41), '</p></div>')""".stripMargin).as("text"))
+    TextAnalysis.htmlStrip(decorated, "doc_id", "text")
+  }
+
   /** text_script — per-doc Unicode script profile
     * ([[TextAnalysis.scriptProfile]]): Latin/CJK/digit/space/other
     * char-class counts and the latin-vs-han dominance call.

@@ -82,6 +82,37 @@ object TextAnalysis {
       .select(keyCols.map(col) ++ langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
   }
 
+  /** HTML/markup STRIPPING — the first transform a crawled corpus needs
+    * (tag removal + entity decode) before any tokenizer sees it. Tags
+    * drop via one non-greedy element regex; the five core entities
+    * decode via chained replaces with `&amp;` LAST (decoding it first
+    * would re-expose entity-looking text and double-decode — the
+    * classic ordering bug, spec-pinned); whitespace then squeezes. The
+    * per-doc report carries the cleaned length, an md5 content
+    * fingerprint, and the tag/entity removal counts so the oracle pins
+    * the transform byte-for-byte, not just statistically.
+    *
+    * Row-local codegen'd regex scan; nothing shuffles.
+    */
+  def htmlStrip(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("raw"))
+      .withColumn("n_tags", expr(
+        "CAST(size(regexp_extract_all(raw, '<[^>]*>', 0)) AS BIGINT)"))
+      .withColumn("n_entities", expr(
+        "CAST(size(regexp_extract_all(raw, " +
+          "'&(amp|lt|gt|quot|#39);', 0)) AS BIGINT)"))
+      .withColumn("stripped", expr(
+        """trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(
+          |    regexp_replace(raw, '<[^>]*>', ' '),
+          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |    '&#39;', chr(39)), '&amp;', '&'),
+          |  ' +', ' '))""".stripMargin))
+      .select(col("doc_id"), col("n_tags"), col("n_entities"),
+        length(col("stripped")).cast("long").as("clean_chars"),
+        md5(col("stripped")).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** Per-document Unicode SCRIPT profile — the char-class complement of
     * the stopword [[langId]] (which needs tokenizable text; script
     * ratios work on ANY string and are the first routing decision a

@@ -36,6 +36,7 @@ object LlmRegistry {
     "text_zipf"             -> (LlmQueries.textZipf _),
     "text_lexdiv"           -> (LlmQueries.textLexDiv _),
     "text_script"           -> (LlmQueries.textScript _),
+    "text_html_strip"       -> (LlmQueries.textHtmlStrip _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
     "text_url_canon"        -> (LlmQueries.textUrlCanon _),
@@ -472,6 +473,31 @@ object LlmRegistry {
         |  CAST(rank * n AS BIGINT) AS rank_x_freq,
         |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // html strip: same decoration, same tag regex, same entity decode
+    // ORDER (&amp; last), same squeeze -- md5-pinned byte-for-byte
+    "text_html_strip" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<div class="d' || CAST(doc_id AS VARCHAR) || '"><p>'
+        |    || substr(text, 1, 40) || ' &amp;&lt;x&gt; '
+        |    || CASE WHEN doc_id % 3 = 0 THEN '&quot;q&quot;&#39;s<br/>'
+        |            ELSE '' END
+        |    || substr(text, 41) || '</p></div>' AS raw
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|#39);'))
+        |      AS BIGINT) AS n_entities,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&amp;', '&'),
+        |      ' +', ' ', 'g')) AS stripped
+        |  FROM d)
+        |SELECT doc_id, n_tags, n_entities,
+        |  CAST(length(stripped) AS BIGINT) AS clean_chars,
+        |  md5(stripped) AS clean_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
     // script profile: exact single-char-class counts; n_space via the
     // replace-length identity, n_other as the remainder
     "text_script" ->

@@ -589,6 +589,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(got("burst")._3 > got("half")._3 && got("half")._3 > 0.0)
   }
 
+  test("html strip: tags drop, entities decode with &amp; LAST (no " +
+      "double-decode), whitespace squeezes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "<p>a &amp;lt; b</p>"), // must yield 'a &lt; b', NOT 'a < b'
+      (2L, "<div class=\"x\">hi  <br/> there</div>"),
+      (3L, "no markup at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.htmlStrip(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    def m(sx: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 1L, 8L, m("a &lt; b"))),
+      "decoding &amp; first would double-decode to 'a < b'")
+    assert(got(2L) == ((3L, 0L, 8L, m("hi there"))))
+    assert(got(3L) == ((0L, 0L, 16L, m("no markup at all"))))
+  }
+
   test("script profile: mixed Latin/Han/digit/punct counts are exact " +
       "and the remainder closes; dominance calls pin") {
     import spark.implicits._
