@@ -637,6 +637,22 @@ object LlmQueries {
   def mmQoiDecode(s: SparkSession, dir: String): DataFrame =
     mediaDecodeStats(Qoi.qoiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The MULTI-IMAGE DIRECTORY leg ([[Ico.icoMedia]] two-entry fixtures
+    * through [[Ico.icoStats]]'s directory walk): per contained image
+    * the parsed geometry, the luminance total over the bottom-up BGR
+    * XOR block (row padding skipped), and the AND-mask transparency
+    * count (width-bounded — mask padding bits are deliberately set in
+    * the fixture to catch over-reads).
+    */
+  def mmIcoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Ico.icoMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Ico.icoStats(media).toDF().orderBy("doc_id", "img_idx")
+  }
+
   /** The INTERPOLATING-RESIZE leg ([[Multimodal.ppmMedia]] fixtures
     * through [[Multimodal.bilinearStats]]'s fixed-point align-corners
     * resample): the oracle rebuilds per-pixel luminance from the

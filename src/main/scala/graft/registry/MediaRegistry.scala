@@ -48,6 +48,7 @@ object MediaRegistry {
     "mm_sobel"              -> (LlmQueries.mmSobel _),
     "mm_otsu"               -> (LlmQueries.mmOtsu _),
     "mm_resize_bilinear"    -> (LlmQueries.mmResizeBilinear _),
+    "mm_ico_decode"         -> (LlmQueries.mmIcoDecode _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
@@ -378,6 +379,33 @@ object MediaRegistry {
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // ICO directory: per entry the BMP-family byte formula with BGR
+    // weights by position-in-triple, pad bytes excluded; transparency
+    // is 0 (opaque mask) / w*h (all-FF mask, width-bounded count)
+    "mm_ico_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 6 + 6 AS BIGINT) AS w0,
+        |    CAST(doc_id % 5 + 6 AS BIGINT) AS h0,
+        |    CAST(doc_id % 3 + 4 AS BIGINT) AS w1,
+        |    CAST(doc_id % 2 + 4 AS BIGINT) AS h1
+        |  FROM documents),
+        |e AS (SELECT doc_id, seed, 0 AS img_idx, w0 AS w, h0 AS h,
+        |        CAST(0 AS BIGINT) AS transp FROM d
+        |      UNION ALL
+        |      SELECT doc_id, seed, 1, w1, h1, w1 * h1 FROM d),
+        |l AS (SELECT doc_id, img_idx, w, h, transp,
+        |    SUM(CASE ((g.i % (((3*w+3)//4)*4)) % 3)
+        |          WHEN 0 THEN 114 WHEN 1 THEN 587 ELSE 299 END
+        |        * ((seed*37 + g.i*13 + img_idx*77) % 256)) AS lum
+        |  FROM e, LATERAL (SELECT unnest(range(0, (((3*w+3)//4)*4) * h))
+        |                   AS i) g
+        |  WHERE (g.i % (((3*w+3)//4)*4)) < 3*w
+        |  GROUP BY doc_id, img_idx, w, h, transp)
+        |SELECT doc_id, CAST(img_idx AS INT) AS img_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(lum AS BIGINT) AS lum_total,
+        |  CAST(transp AS BIGINT) AS n_transparent
+        |FROM l ORDER BY doc_id, img_idx""".stripMargin,
     // bilinear replayed exactly: per-pixel luminance from the byte
     // field once, then the 16x16 grid joins its 4 neighbors and sums
     // the 1/225-unit weights -- integers end to end
