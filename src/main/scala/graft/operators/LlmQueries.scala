@@ -710,6 +710,15 @@ object LlmQueries {
     mediaDecodeStats(
       Multimodal.ppmAsciiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The GRAYSCALE-Netpbm (P5) leg ([[Multimodal.pgmMedia]] fixtures
+    * through the 1-channel header/pixel path): completes the Netpbm
+    * family (P6 binary RGB, P3 ASCII RGB, P5 binary gray); the
+    * closed-form 1000·gray luminance oracle pins the single-channel
+    * stride and offset handling.
+    */
+  def mmPgmDecode(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(Multimodal.pgmMedia(docs(s, dir), "doc_id", "doc_id"))
+
   /** The BASELINE-JPEG leg of the real-decode pipeline ([[Jpeg.jpegMedia]]
     * grayscale fixtures through [[Jpeg.decode]]'s huffman + dequant +
     * integer-IDCT path): parsed SOF geometry plus the luminance total over

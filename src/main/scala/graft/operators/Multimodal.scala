@@ -56,14 +56,16 @@ object Multimodal {
     * consumer now sees real parsed geometry or an explicit non-decode).
     */
   private[operators] def decodeHeader(data: Array[Byte]): Option[ImageInfo] = {
-    if (data.length >= 2 && data(0) == 'P'.toByte && data(1) == '6'.toByte)
-      decodePpmHeader(data)
+    if (data.length >= 2 && data(0) == 'P'.toByte &&
+        (data(1) == '6'.toByte || data(1) == '5'.toByte))
+      decodePpmHeader(data) // P6 = binary RGB, P5 = binary grayscale
     else if (data.length >= 54 && data(0) == 'B'.toByte && data(1) == 'M'.toByte)
       decodeBmpHeader(data)
     else None
   }
 
   private def decodePpmHeader(data: Array[Byte]): Option[ImageInfo] = {
+    val ch = if (data(1) == '5'.toByte) 1 else 3
     var pos = 2
     def skipWsAndComments(): Boolean = {
       var skipped = false
@@ -96,8 +98,8 @@ object Multimodal {
       // exactly ONE whitespace byte separates maxval from the pixel array
       if pos < data.length && Character.isWhitespace(data(pos).toChar)
       off = pos + 1
-      if data.length - off >= w.toLong * h * 3
-    } yield ImageInfo(w, h, 3, off, w * 3, bottomUp = false, bgr = false)
+      if data.length - off >= w.toLong * h * ch
+    } yield ImageInfo(w, h, ch, off, w * ch, bottomUp = false, bgr = false)
   }
 
   private def decodeBmpHeader(data: Array[Byte]): Option[ImageInfo] = {
@@ -1057,6 +1059,33 @@ object Multimodal {
       s"""pmod(seed * 31 + i * 17 + pmod(seed * i, 251)
          |     + 40 * pmod(i div (w * 3), 6), 256) * 180 div 256 + 30
          |     + ($deltaSql)""".stripMargin)
+
+  /** Binary-GRAYSCALE (P5) generator — the single-channel Netpbm leg
+    * beside [[ppmMedia]] (P6) and [[ppmAsciiMedia]] (P3): gray byte
+    * i = `(seed·41 + i·19 + (seed·i mod 239)) mod 256`, geometry the
+    * standard w = seed%13+8 × h = seed%11+8 family. The 1-channel
+    * decode path reports luminance as 1000·gray.
+    */
+  def pgmMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 13 + 8).cast("int"))
+      .withColumn("hh", (col("seed") % 11 + 8).cast("int"))
+    base
+      .withColumn("px_hex", expr(
+        s"""array_join(transform(sequence(0, w * hh - 1),
+           |  i -> element_at($hexLutSql,
+           |         CAST(pmod(seed * 41 + i * 19 + pmod(seed * i, 239), 256)
+           |           AS INT) + 1)), '')""".stripMargin))
+      .select(col("doc_id"),
+        concat(
+          concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+            col("hh").cast("string"), lit("\n255\n")).cast("binary"),
+          unhex(col("px_hex"))).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/x-portable-graymap").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
 
   /** LINEAR-GRADIENT generator for the convolution legs: channel value
     * `v(x, y) = a·x + b·y + c` with a = seed%3+1, b = seed%2+1,

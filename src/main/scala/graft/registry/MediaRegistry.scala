@@ -50,6 +50,7 @@ object MediaRegistry {
     "mm_resize_bilinear"    -> (LlmQueries.mmResizeBilinear _),
     "mm_ico_decode"         -> (LlmQueries.mmIcoDecode _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
+    "mm_pgm_decode"         -> (LlmQueries.mmPgmDecode _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
   )
@@ -501,6 +502,19 @@ object MediaRegistry {
         |  CAST(8000 * d.b * s.n_int AS BIGINT) AS gy_total,
         |  CAST(s.wsum AS BIGINT) AS grad_wsum
         |FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // P5 grayscale leg: 1000x gray per the single-channel lum rule
+    "mm_pgm_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 13 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(1000 *
+        |    ((seed * 41 + g.i * 19 + (seed * g.i) % 239) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // P3 ASCII leg: SAME pixel field as the binary PPM/PNG legs -> the
     // sequential closed-form luminance oracle verbatim
     "mm_ppm_ascii" ->
