@@ -2103,6 +2103,42 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** A59 — ENCRYPTED column export/ingest (PII at rest: the text column
+    * ships AES-128-GCM-sealed while join keys stay queryable): encrypt
+    * with Spark's native codegen'd `aes_encrypt` (GCM, per-row IV
+    * derived from the key column — GCM's nonce-uniqueness requirement
+    * by construction), round-trip through parquet, decrypt, and gate
+    * the readback aggregate against the source table. The tamper leg is
+    * oracle-checkable in closed form: every ciphertext with one byte
+    * appended must fail authentication (`try_aes_decrypt` → NULL), so
+    * per group `n_tamper_rejected = n` exactly — a cipher that ignores
+    * its tag fails the gate.
+    *
+    * Scale: row-local encrypt/decrypt expressions inside the scan
+    * (whole-stage codegen, no UDF), one distributed write + read.
+    */
+  def a59EncryptedExport(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_enc").toString + "/docs_enc"
+    val key = "0123456789abcdef" // fixture key; prod wires a KMS secret
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"aes_encrypt(text, '$key', 'GCM', 'NONE', " +
+          "unhex(lpad(hex(doc_id), 24, '0')))").as("ct"))
+      .write.mode("overwrite").parquet(base)
+    val back = s.read.parquet(base)
+      .withColumn("pt",
+        expr(s"CAST(aes_decrypt(ct, '$key', 'GCM', 'NONE') AS STRING)"))
+      .withColumn("tampered",
+        expr(s"try_aes_decrypt(concat(ct, X'00'), '$key', 'GCM', 'NONE')"))
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(pt), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"),
+        count(when(col("tampered").isNull, lit(1)))
+          .as("n_tamper_rejected"))
+      .orderBy("lang")
+  }
+
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_compact").toString
     val fragmented = base + "/fragmented"

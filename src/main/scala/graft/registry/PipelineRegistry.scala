@@ -55,6 +55,7 @@ object PipelineRegistry {
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
     "a58_dialect_sniff"     -> (PipelineQueries.a58DialectSniff _),
+    "a59_encrypted_export"  -> (PipelineQueries.a59EncryptedExport _),
     "a53_avro_roundtrip"    -> (PipelineQueries.a53AvroRoundtrip _),
     "a54_xml_roundtrip"     -> (PipelineQueries.a54XmlRoundtrip _),
     "a55_fixed_width"       -> (PipelineQueries.a55FixedWidthRoundtrip _),
@@ -413,6 +414,15 @@ object PipelineRegistry {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(bit_xor(('0x' || substr(md5('a,"b"|c' || chr(9) || text),
         |    1, 15))::BIGINT) AS BIGINT) AS content_xor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // a59: the same content truth through the AES-GCM seal/unseal leg;
+    // every appended-byte tamper must fail the tag -> rejected == n
+    "a59_encrypted_export" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tamper_rejected
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // a53: same content truth through the Avro container leg — zigzag
     // varints, UTF-8 runs, deflate blocks and sync markers must all be
