@@ -710,6 +710,21 @@ object LlmQueries {
     mediaDecodeStats(
       Multimodal.ppmAsciiMedia(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The ORIENTATION-CORRECTION leg ([[Tiff.exifMedia]] fixtures
+    * carrying tag 274 through [[Tiff.exifRotate]]): all four rotation
+    * orientations exercised; the oracle replays the rotated corner and
+    * first-row probes in closed form, so running the WRONG rotation —
+    * or none — fails even though the luminance total is invariant.
+    */
+  def mmExifRotate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tiff.exifMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Tiff.exifRotate(media).toDF().orderBy("doc_id")
+  }
+
   /** The GRAYSCALE-Netpbm (P5) leg ([[Multimodal.pgmMedia]] fixtures
     * through the 1-channel header/pixel path): completes the Netpbm
     * family (P6 binary RGB, P3 ASCII RGB, P5 binary gray); the

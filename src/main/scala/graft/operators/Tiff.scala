@@ -45,7 +45,8 @@ object Tiff {
   private case class Info(le: Boolean, w: Int, h: Int, compression: Int,
                           predictor: Int, rowsPerStrip: Int,
                           stripOffsets: Array[Long],
-                          stripCounts: Array[Long])
+                          stripCounts: Array[Long],
+                          orientation: Int = 1)
 
   /** Read an IFD entry's integer value list: SHORT(3) or LONG(4),
     * inline when it fits the 4-byte value field, external otherwise.
@@ -83,6 +84,7 @@ object Tiff {
     if (ifd + 2 + 12L * n + 4 > d.length) return None
     var w, h, rps = -1L
     var comp, photo, bits, spp, pred = -1L
+    var orient = 1L
     var offs, cnts: Array[Long] = null
     var i = 0
     while (i < n) {
@@ -96,6 +98,7 @@ object Tiff {
         case 259 => comp = v1.getOrElse(return None)
         case 262 => photo = v1.getOrElse(return None)
         case 273 => offs = values(d, e, le).getOrElse(return None)
+        case 274 => orient = v1.getOrElse(return None)
         case 277 => spp = v1.getOrElse(return None)
         case 278 => rps = v1.getOrElse(return None)
         case 279 => cnts = values(d, e, le).getOrElse(return None)
@@ -111,11 +114,14 @@ object Tiff {
     if (comp >= 0 && comp != 1 && comp != 5) return None
     if (pred >= 0 && pred != 1 && pred != 2) return None
     if (rps <= 0) rps = h // default: one strip
+    // rotation orientations only — the mirrored forms (2/4/5/7) refuse
+    if (orient != 1 && orient != 3 && orient != 6 && orient != 8)
+      return None
     val nStrips = ((h + rps - 1) / rps).toInt
     if (offs.length != nStrips || cnts.length != nStrips) return None
     if (w * h > (64L << 20)) return None
     Some(Info(le, w.toInt, h.toInt, math.max(comp, 1).toInt,
-      math.max(pred, 1).toInt, rps.toInt, offs, cnts))
+      math.max(pred, 1).toInt, rps.toInt, offs, cnts, orient.toInt))
   }
 
   /** Geometry-only parse: (width, height, 1 channel). */
@@ -268,6 +274,101 @@ object Tiff {
     * little-endian, 9 sorted IFD entries. Pure column expressions; one
     * row-local pass, no shuffle.
     */
+  case class ExifRow(doc_id: Long, orientation: Int, out_w: Int,
+                     out_h: Int, lum_total: Long, tl: Long, row0: Long)
+
+  /** EXIF-ORIENTATION auto-rotate — the fix every camera/scanner corpus
+    * needs before any geometry-sensitive op (crop, OCR, patch
+    * embedding): read TIFF tag 274, decode, and apply the correcting
+    * number of 90°-CW rotations (1 → none, 3 → two, 6 → one, 8 →
+    * three; mirrored orientations refuse at parse). Probes are the
+    * [[Multimodal.rotateProbes]] discipline: rotated dims, the
+    * (invariant) luminance total, the top-left corner, and the full
+    * first-row sum — together they pin WHICH rotation ran, not just
+    * that one did. Partition-wise: one parse + decode + ≤3 in-memory
+    * rotations per payload, nothing shuffles.
+    */
+  def exifRotate(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : org.apache.spark.sql.Dataset[ExifRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parse(r.data).flatMap { meta =>
+          decode(r.data).map { case (ii0, buf0) =>
+            val k = meta.orientation match {
+              case 1 => 0; case 3 => 2; case 6 => 1; case _ => 3
+            }
+            var cur = (ii0, buf0)
+            var i = 0
+            while (i < k) {
+              cur = Multimodal.rotate90cw(cur._1, cur._2); i += 1
+            }
+            val (ii, buf) = cur
+            val w = ii.width; val h = ii.height; val ch = ii.channels
+            def lum(x: Int, y: Int): Long = {
+              val row = if (ii.bottomUp) h - 1 - y else y
+              val b = ii.pixelOffset + row * ii.rowStride + x * ch
+              1000L * (buf(b) & 0xFF) // gray TIFF: single channel
+            }
+            var tot = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { tot += lum(x, y); x += 1 }
+              y += 1
+            }
+            var row0 = 0L
+            var x = 0
+            while (x < w) { row0 += lum(x, 0); x += 1 }
+            ExifRow(r.doc_id, meta.orientation, w, h, tot, lum(0, 0), row0)
+          }
+        }
+      }
+    }
+  }
+
+  /** Uncompressed single-strip gray fixtures CARRYING tag 274: pixel
+    * (y, x) = `(seed·23 + (y·w + x)·7) mod 256`, orientation cycling
+    * 1/3/6/8 by seed mod 4 — each value demands a different correcting
+    * rotation, and the corner/row probes differ between all four.
+    * Fixed IFD: 10 sorted entries, pixel data at offset 134.
+    */
+  def exifMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val lut = Multimodal.hexLutSql
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 6 + 6).cast("int"))
+      .withColumn("hh", (col("seed") % 5 + 6).cast("int"))
+      .withColumn("np", expr("w * hh"))
+      .withColumn("ori", expr(
+        "CASE CAST(seed % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 " +
+          "WHEN 2 THEN 6 ELSE 8 END"))
+    val ifd =
+      """concat('49492A00', '08000000', '0A00',
+        |  '0001', '0300', '01000000', lpad(hex(w), 2, '0'), '000000',
+        |  '0101', '0300', '01000000', lpad(hex(hh), 2, '0'), '000000',
+        |  '0201', '0300', '01000000', '08000000',
+        |  '0301', '0300', '01000000', '01000000',
+        |  '0601', '0300', '01000000', '01000000',
+        |  '1101', '0400', '01000000', '86000000',
+        |  '1201', '0300', '01000000', lpad(hex(ori), 2, '0'), '000000',
+        |  '1501', '0300', '01000000', '01000000',
+        |  '1601', '0300', '01000000', lpad(hex(hh), 2, '0'), '000000',
+        |  '1701', '0400', '01000000', lpad(hex(np), 2, '0'), '000000',
+        |  '00000000')""".stripMargin
+    base
+      .withColumn("px_hex", expr(
+        s"""array_join(transform(sequence(0, np - 1),
+           |  i -> element_at($lut,
+           |         CAST((seed * 23 + i * 7) % 256 AS INT) + 1)), '')"""
+          .stripMargin))
+      .withColumn("tiff_hex", expr(s"concat($ifd, px_hex)"))
+      .select(col("doc_id"), unhex(col("tiff_hex")).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/tiff").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   def tiffMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
     val lut = Multimodal.hexLutSql
     // pixel byte stream, shared (as a formula) with the oracle

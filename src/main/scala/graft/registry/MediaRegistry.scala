@@ -51,6 +51,7 @@ object MediaRegistry {
     "mm_ico_decode"         -> (LlmQueries.mmIcoDecode _),
     "mm_ppm_ascii"          -> (LlmQueries.mmPpmAscii _),
     "mm_pgm_decode"         -> (LlmQueries.mmPgmDecode _),
+    "mm_exif_rotate"        -> (LlmQueries.mmExifRotate _),
     "mm_incremental_phash"  -> (LlmQueries.mmIncrementalPhash _),
     "mm_cdc_chunking"       -> (LlmQueries.mmCdcDedup _),
   )
@@ -502,6 +503,39 @@ object MediaRegistry {
         |  CAST(8000 * d.b * s.n_int AS BIGINT) AS gy_total,
         |  CAST(s.wsum AS BIGINT) AS grad_wsum
         |FROM d JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // EXIF auto-rotate: probes replayed via the rotation index maps --
+    // tl and row0 pick different source cells per orientation, so the
+    // wrong (or missing) rotation fails while lum_total stays invariant
+    "mm_exif_rotate" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 6 + 6 AS BIGINT) AS w,
+        |    CAST(doc_id % 5 + 6 AS BIGINT) AS h,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |         WHEN 2 THEN 6 ELSE 8 END AS ori
+        |  FROM documents),
+        |tot AS (SELECT doc_id,
+        |    SUM(1000 * ((seed*23 + g.i*7) % 256)) AS lum
+        |  FROM d, LATERAL (SELECT unnest(range(0, w*h)) AS i) g
+        |  GROUP BY doc_id),
+        |r0 AS (SELECT d.doc_id,
+        |    SUM(1000 * ((seed*23 + (CASE ori
+        |      WHEN 1 THEN g.t
+        |      WHEN 3 THEN (h-1)*w + g.t
+        |      WHEN 6 THEN g.t*w
+        |      ELSE g.t*w + (w-1) END)*7) % 256)) AS row0
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CASE WHEN ori IN (6, 8) THEN h ELSE w END)) AS t) g
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, CAST(d.ori AS INT) AS orientation,
+        |  CAST(CASE WHEN ori IN (6, 8) THEN h ELSE w END AS INT) AS out_w,
+        |  CAST(CASE WHEN ori IN (6, 8) THEN w ELSE h END AS INT) AS out_h,
+        |  CAST(tot.lum AS BIGINT) AS lum_total,
+        |  CAST(1000 * ((seed*23 + (CASE ori
+        |    WHEN 1 THEN 0 WHEN 3 THEN (h-1)*w + (w-1)
+        |    WHEN 6 THEN (h-1)*w ELSE w-1 END)*7) % 256) AS BIGINT) AS tl,
+        |  CAST(r0.row0 AS BIGINT) AS row0
+        |FROM d JOIN tot USING (doc_id) JOIN r0 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // P5 grayscale leg: 1000x gray per the single-channel lum rule
     "mm_pgm_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
