@@ -164,6 +164,54 @@ object Metrics {
       |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
       |FROM c ORDER BY g, decile""".stripMargin
 
+  /** ml_pinball — QUANTILE (pinball) loss at q ∈ {0.1, 0.5, 0.9}
+    * against a per-group exact-median forecast — the evaluation every
+    * probabilistic/forecast model reports (a model that only minimizes
+    * MSE looks fine at q=0.5 and terrible at the tails; the pinball
+    * triple exposes that). Exact-integer discipline: values and the
+    * interpolated median live in DOUBLED cents (interpolation at 0.5
+    * yields halves — ×2 makes them integers), each loss term is
+    * `max(10q·e, (10q−10)·e)` in those units, and the three sums are
+    * 64-bit integers at any aggregation order.
+    *
+    * Scale: one grouped percentile pass + a broadcast-forecast join +
+    * one map-side-combined aggregate — the fact table never windows.
+    */
+  def mlPinball(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val med = li.groupBy("g")
+      .agg(expr("CAST(percentile(cents, 0.5D) * 2 AS BIGINT)").as("med_x2"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(med), "g")
+      .select(col("g"), col("n"), col("med_x2"),
+        (col("cents") * 2 - col("med_x2")).as("e"))
+      .groupBy("g")
+      .agg(max("n").as("n"), max("med_x2").as("med_x2"),
+        sum(greatest(col("e") * 1, col("e") * -9)).as("pin10_x20"),
+        sum(greatest(col("e") * 5, col("e") * -5)).as("pin50_x20"),
+        sum(greatest(col("e") * 9, col("e") * -1)).as("pin90_x20"))
+      .orderBy("g")
+  }
+
+  val mlPinballOracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |m AS (SELECT g, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT)
+      |        AS med_x2, COUNT(*) AS n
+      |      FROM li GROUP BY g),
+      |e AS (SELECT li.g, m.n, m.med_x2, li.cents * 2 - m.med_x2 AS e
+      |      FROM li JOIN m USING (g))
+      |SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(med_x2) AS BIGINT) AS med_x2,
+      |  CAST(SUM(GREATEST(e * 1, e * -9)) AS BIGINT) AS pin10_x20,
+      |  CAST(SUM(GREATEST(e * 5, e * -5)) AS BIGINT) AS pin50_x20,
+      |  CAST(SUM(GREATEST(e * 9, e * -1)) AS BIGINT) AS pin90_x20
+      |FROM e GROUP BY g ORDER BY g""".stripMargin
+
   /** ml_roc_points — the full ROC CURVE (one operating point per
     * distinct score threshold, predicting positive at score ≥ t), the
     * threshold-selection view the scalar [[mlAuc]] integrates away:

@@ -47,6 +47,7 @@ object MlRegistry {
     "ml_lift"               -> (Metrics.mlLift _),
     "ml_abtest"             -> (Metrics.mlAbTest _),
     "ml_roc_points"         -> (Metrics.mlRocPoints _),
+    "ml_pinball"            -> (Metrics.mlPinball _),
     "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -564,6 +565,7 @@ object MlRegistry {
     "ml_lift" -> Metrics.mlLiftOracle,
     "ml_abtest" -> Metrics.mlAbTestOracle,
     "ml_roc_points" -> Metrics.mlRocPointsOracle,
+    "ml_pinball" -> Metrics.mlPinballOracle,
     "ml_mcc" -> Metrics.mlMccOracle,
     "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the
