@@ -1007,6 +1007,19 @@ object LlmQueries {
     Adpcm.adpcmStats(media).toDF().orderBy("doc_id")
   }
 
+  /** mm_audio_downmix ([[Wav.wavDownmix]]): stereo→mono floor-average
+    * with mono passthrough; the fixture corpus alternates 1- and
+    * 2-channel payloads by seed, so both paths are oracle-exercised.
+    */
+  def mmAudioDownmix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavDownmix(media).toDF().orderBy("doc_id")
+  }
+
   /** Audio framing over DECODED PCM ([[Wav.wavFrames]]): 64-sample
     * frames every 32 samples of channel 0 with per-frame energy/peak —
     * the STFT layout over real samples (the raw-byte

@@ -328,6 +328,48 @@ object Wav {
     }
   }
 
+  case class WavDownmixRow(doc_id: Long, channels: Int, n_frames: Long,
+                           energy: Long, peak: Int)
+
+  /** STEREO→MONO downmix — the mono-ization every ASR/audio-embedding
+    * pipeline runs first: per frame the channel average in FLOOR
+    * semantics, `m = ⌊(L + R) / 2⌋` (floor, not truncate — engines
+    * disagree on truncation for negative sums, floor they share), mono
+    * input passes through unchanged. Emits the downmixed energy/peak —
+    * exact integers an external oracle replays from the closed-form
+    * interleaved samples. Row-local: one decode + one pass, nothing
+    * shuffles.
+    */
+  def wavDownmix(media: Dataset[Multimodal.MediaRow]): Dataset[WavDownmixRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).map { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          var energy = 0L
+          var peak = 0
+          var t = 0
+          while (t < n) {
+            val m =
+              if (ch == 1) sample(r.data, info, t)
+              else {
+                var sum = 0
+                var c = 0
+                while (c < ch) { sum += sample(r.data, info, t * ch + c); c += 1 }
+                Math.floorDiv(sum, ch)
+              }
+            energy += m.toLong * m
+            val a = math.abs(m)
+            if (a > peak) peak = a
+            t += 1
+          }
+          WavDownmixRow(r.doc_id, ch, n.toLong, energy, peak)
+        }
+      }
+    }
+  }
+
   /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
     * must actually skip unknown chunks) + data.
     */

@@ -37,6 +37,7 @@ object MediaRegistry {
     "mm_audio_resample"     -> (LlmQueries.mmAudioResample _),
     "mm_audio_mulaw"        -> (LlmQueries.mmAudioMulaw _),
     "mm_audio_adpcm"        -> (LlmQueries.mmAudioAdpcm _),
+    "mm_audio_downmix"      -> (LlmQueries.mmAudioDownmix _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
@@ -748,6 +749,28 @@ object MediaRegistry {
         |  CAST(SUM(o * o) AS BIGINT) AS energy,
         |  CAST(MAX(ABS(o)) AS INT) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // downmix: floor((L+R)/2) per frame -- DuckDB's // TRUNCATES for
+    // negatives (unlike Java floorDiv), so the oracle floors an exact
+    // double division instead; mono passthrough
+    "mm_audio_downmix" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS nf
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN ch = 1
+        |      THEN ((seed*13 + g.t*29) % 65536) - 32768
+        |      ELSE CAST(FLOOR(((((seed*13 + (2*g.t)*29) % 65536) - 32768)
+        |          + (((seed*13 + (2*g.t+1)*29) % 65536) - 32768)) / 2.0)
+        |        AS BIGINT)
+        |    END AS m
+        |  FROM d, LATERAL (SELECT unnest(range(0, nf)) AS t) g),
+        |a AS (SELECT doc_id, SUM(m*m) AS energy, MAX(abs(m)) AS peak
+        |      FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.ch AS INT) AS channels,
+        |  CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(a.energy AS BIGINT) AS energy, CAST(a.peak AS INT) AS peak
+        |FROM d JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // IMA ADPCM with the fixture's constant step walk: block b decodes
     // to p_b, then 4x(p_b+2) at odd / 4x(p_b+1) at even positions
     // (index 8 start, nibbles 0,8 alternating -> deltas +2,-1,+1,...)
