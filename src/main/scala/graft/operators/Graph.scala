@@ -354,6 +354,28 @@ object Graph {
       .orderBy("node")
   }
 
+  /** graph_eccentricity — DOUBLE-SWEEP pseudo-diameter (Magnien et al.
+    * 2009's standard lower-bound heuristic, what igraph/NetworKit run
+    * when the exact diameter is too expensive): BFS from a pivot, hop
+    * to the farthest reached node (ties to the lowest id), BFS again —
+    * the second eccentricity is the pseudo-diameter. Exactly two
+    * bounded-round [[bfsHops]] passes; the 1-row farthest-node pick is
+    * the only driver materialization (the graph_pagerank bounded
+    * class).
+    */
+  def graphEccentricity(s: SparkSession, dir: String): DataFrame = {
+    val edges = nationTradeEdges(s, dir)
+    val d1 = bfsHops(edges, sources = Seq(0L), rounds = 3)
+    val top = d1.orderBy(col("d").desc, col("node")).limit(1).collect()(0)
+    val u = top.getLong(0); val ecc0 = top.getLong(1)
+    bfsHops(edges, sources = Seq(u), rounds = 3)
+      .agg(max("d").as("pseudo_diameter"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(0L).as("pivot"), lit(u).as("far_node"),
+        lit(ecc0).as("ecc_pivot"), col("pseudo_diameter"),
+        col("n_reached"))
+  }
+
   /** Registered query: 5 rounds of min-label propagation over the part
     * attribute-affinity graph — (node, label) plus each community's
     * final size.

@@ -28,6 +28,7 @@ object MlRegistry {
     "graph_transitivity"    -> (Graph.graphTransitivity _),
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
+    "graph_eccentricity"    -> (Graph.graphEccentricity _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "graph_closeness"       -> (Graph.graphCloseness _),
     "graph_wcc"             -> (Graph.graphWcc _),
@@ -386,6 +387,36 @@ object MlRegistry {
          |SELECT d3.node, n.n_name, d3.d AS dist
          |FROM d3 JOIN nation n ON d3.node = n.n_nationkey
          |ORDER BY d3.node""".stripMargin
+    },
+    // Double-sweep replayed: first unrolled BFS from 0, the (d DESC,
+    // node) LIMIT 1 pick, then a second unrolled BFS from that node
+    "graph_eccentricity" -> {
+      def sweep(pfx: String, seed: String) = {
+        val rounds = (1 to 3).map { i =>
+          s"""$pfx$i AS (SELECT COALESCE(p.node, m.node) AS node,
+             |  LEAST(COALESCE(p.d, m.nd), COALESCE(m.nd, p.d)) AS d
+             |  FROM $pfx${i - 1} p FULL OUTER JOIN (
+             |    SELECT e.dst AS node, MIN(l.d) + 1 AS nd
+             |    FROM e JOIN $pfx${i - 1} l ON l.node = e.src
+             |    GROUP BY e.dst) m ON p.node = m.node)""".stripMargin
+        }.mkString(",\n")
+        s"$pfx" + "0 AS (" + seed + "),\n" + rounds
+      }
+      s"""WITH e AS (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |         CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |${sweep("d", "SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d")},
+         |u AS (SELECT node, d FROM d3 ORDER BY d DESC, node LIMIT 1),
+         |${sweep("s", "SELECT node, CAST(0 AS BIGINT) AS d FROM u")}
+         |SELECT CAST(0 AS BIGINT) AS pivot, u.node AS far_node,
+         |  u.d AS ecc_pivot,
+         |  (SELECT MAX(d) FROM s3) AS pseudo_diameter,
+         |  (SELECT COUNT(*) FROM s3) AS n_reached
+         |FROM u""".stripMargin
     },
     // Unrolled 5-round synchronous min-label propagation (generated round
     // CTEs — the engine's recurrence verbatim: each node takes the min of

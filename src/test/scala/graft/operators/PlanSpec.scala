@@ -234,6 +234,8 @@ class PlanSpec extends SparkTestBase {
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
       "graph_labelprop", "graph_bfs",
+      // double-sweep: 1-row farthest-node pick between the two BFS legs
+      "graph_eccentricity",
       // eager sub-vector/norm precompute barrier (encode-once; guards the
       // CollapseProject re-inlining class)
       "sim_maxsim",
