@@ -957,6 +957,28 @@ object Dedup {
       .select(col(idCol), col("cid"))
   }
 
+  /** EDIT-DISTANCE near-duplicate pairs — the typo/OCR-noise family
+    * (one transposition or dropped character defeats every exact-hash
+    * leg, and shingle Jaccard barely moves): candidate pairs come from
+    * a shared-prefix BUCKET join (never all-pairs — edits cluster late
+    * in real typo corpora; a rotating-bucket pass would cover
+    * early-position edits), then the exact Levenshtein DP — a built-in
+    * with identical semantics on both engines — keeps pairs within
+    * `maxDist`. Scale: the bucket join shuffles on the prefix key;
+    * per-bucket pair counts track bucket sizes, not the corpus.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        bucketLen: Int = 8, maxDist: Int = 3): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      substring(col(textCol), 1, bucketLen).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        levenshtein(col("a.t"), col("b.t")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("a", "b")
+  }
+
   /** PREFIX-duplicate detection — the TRUNCATION family beside the
     * exact/near/span dedup legs (a crawl re-fetch cut off mid-transfer,
     * a CMS excerpt, a token-limit clip: the duplicate is a strict

@@ -55,6 +55,23 @@ object LlmQueries {
     * normalization must collapse back onto its original — so every group
     * has n_dups ≥ 2 and the original id survives.
     */
+  /** dedup_edit — typo-noise near-dup pairs
+    * ([[Dedup.editDistancePairs]]) over a corpus with tail-edit copies
+    * planted by construction: every third doc long enough gains a copy
+    * whose last two characters are replaced — distance exactly 2,
+    * sharing the copy's prefix bucket. The oracle replays bucket,
+    * pairing, and the Levenshtein DP with the same built-in.
+    */
+  def dedupEdit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = d.unionByName(
+      d.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 12)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 2)"), lit("xq"))
+            .as("text")))
+    Dedup.editDistancePairs(variants, "doc_id", "text")
+  }
+
   /** dedup_prefix — truncation-duplicate detection
     * ([[Dedup.prefixDups]]) over a corpus with truncated re-fetches
     * planted by construction: every fourth doc long enough gains a

@@ -77,6 +77,7 @@ object LlmRegistry {
     "sim_ivfpq_recall"      -> (LlmQueries.simIvfPqRecall _),
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_prefix"          -> (LlmQueries.dedupPrefix _),
+    "dedup_edit"            -> (LlmQueries.dedupEdit _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_span"            -> (LlmQueries.dedupSpan _),
     "dedup_span_removal"    -> (LlmQueries.dedupSpanRemoval _),
@@ -1708,6 +1709,22 @@ object LlmRegistry {
         |)
         |SELECT id AS c_custkey, MIN(r) AS entity_id
         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
+    // edit-distance pairs: same plant, same prefix bucket, same
+    // built-in Levenshtein DP on both engines
+    "dedup_edit" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, length(text) - 2) || 'xq'
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 12),
+        |k AS (SELECT doc_id AS id, text AS t, substr(text, 1, 8) AS bk
+        |      FROM v)
+        |SELECT a.id AS a, b.id AS b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+        |WHERE levenshtein(a.t, b.t) <= 3
+        |ORDER BY a, b""".stripMargin,
     // prefix-duplicate detection: the sorted-successor property (any
     // string between p and an extension of p also extends p) makes one
     // lead() window sufficient; same bucket key, same total order
