@@ -164,6 +164,50 @@ object Metrics {
       |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
       |FROM c ORDER BY g, decile""".stripMargin
 
+  /** ml_parity — GROUP-FAIRNESS audit (demographic parity gap +
+    * disparate-impact ratio per protected group, the 80%-rule read-out
+    * every model governance review runs): positives planted with a
+    * group-dependent hash band so the gaps are real and deterministic.
+    * All-integer emissions: rates, gaps, and DI ratios are micro-unit
+    * integer divisions of exact counts — no float anywhere.
+    * One map-side-combined aggregate + a 1-row overall broadcast.
+    */
+  def mlParity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("y",
+        (pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(1000L)) <
+          lit(250L) + length(col("lang")) * 40 +
+          pmod(ascii(col("lang")), lit(7L)) * 20).cast("long"))
+    val per = d.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    per
+      .crossJoin(broadcast(per.agg(sum("n").as("tn"), sum("n_pos").as("tp"))))
+      .select(col("lang"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n").as("rate_e6"),
+        expr("tp * 1000000 DIV tn").as("overall_e6"),
+        expr("n_pos * 1000000 DIV n - tp * 1000000 DIV tn").as("gap_e6"),
+        expr("n_pos * tn * 1000000 DIV (tp * n)").as("di_e6"))
+      .orderBy("lang")
+  }
+
+  val mlParityOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 1000 <
+      |      250 + length(lang) * 40 + (ascii(lang) % 7) * 20
+      |      AS BIGINT) AS y
+      |  FROM documents),
+      |per AS (SELECT lang, COUNT(*) AS n, SUM(y) AS n_pos
+      |        FROM d GROUP BY lang),
+      |tot AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM per)
+      |SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_pos * 1000000 // n AS BIGINT) AS rate_e6,
+      |  CAST(tp * 1000000 // tn AS BIGINT) AS overall_e6,
+      |  CAST(n_pos * 1000000 // n - tp * 1000000 // tn AS BIGINT) AS gap_e6,
+      |  CAST(n_pos * tn * 1000000 // (tp * n) AS BIGINT) AS di_e6
+      |FROM per, tot ORDER BY lang""".stripMargin
+
   /** ml_pinball — QUANTILE (pinball) loss at q ∈ {0.1, 0.5, 0.9}
     * against a per-group exact-median forecast — the evaluation every
     * probabilistic/forecast model reports (a model that only minimizes

@@ -49,6 +49,7 @@ object MlRegistry {
     "ml_abtest"             -> (Metrics.mlAbTest _),
     "ml_roc_points"         -> (Metrics.mlRocPoints _),
     "ml_pinball"            -> (Metrics.mlPinball _),
+    "ml_parity"             -> (Metrics.mlParity _),
     "ml_pr_auc"             -> (Metrics.mlPrAuc _),
     "ml_knn"                -> (Metrics.mlKnn _),
     "ml_prf"                -> (Metrics.mlPrf _),
@@ -597,6 +598,7 @@ object MlRegistry {
     "ml_abtest" -> Metrics.mlAbTestOracle,
     "ml_roc_points" -> Metrics.mlRocPointsOracle,
     "ml_pinball" -> Metrics.mlPinballOracle,
+    "ml_parity" -> Metrics.mlParityOracle,
     "ml_mcc" -> Metrics.mlMccOracle,
     "ml_pr_auc" -> Metrics.mlPrAucOracle,
     // density clustering: quadratic definitional neighbor counts + the
