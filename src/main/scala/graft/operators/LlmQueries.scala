@@ -332,6 +332,19 @@ object LlmQueries {
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** text_garbage — OCR-garbage screen ([[TextAnalysis.garbageScreen]])
+    * over a corpus with garbage planted by construction: every fifth
+    * doc gains a consonant smash, digit-letter confusions, and symbol
+    * runs, so both verdict branches are oracle-exercised.
+    */
+  def textGarbage(s: SparkSession, dir: String): DataFrame = {
+    val decorated = docs(s, dir).select(col("doc_id"), expr(
+      """CASE WHEN doc_id % 5 = 0
+        |  THEN concat(text, ' zzzzkrtpbq xk7q9w2 4x2b8 !!!###$$$')
+        |  ELSE text END""".stripMargin).as("text"))
+    TextAnalysis.garbageScreen(decorated, "doc_id", "text")
+  }
+
   /** text_html_strip — markup removal over a corpus HTML-decorated by
     * construction ([[TextAnalysis.htmlStrip]]): every doc is wrapped in
     * nested tags with attributes and gains entity-encoded punctuation

@@ -82,6 +82,40 @@ object TextAnalysis {
       .select(keyCols.map(col) ++ langs.map(l => col(s"s_$l")) :+ col("predicted"): _*)
   }
 
+  /** OCR-GARBAGE screen (the Rawlinson/Taghva "garbage string" family —
+    * scanner output that survives language-ID and length filters but
+    * poisons training): per doc the maximum consonant-run length (real
+    * words break runs with vowels), the count of letter↔digit
+    * transitions inside tokens (the "l0rem1psum" OCR confusion), the
+    * non-alnum-non-space symbol count, and overlong-token count, with
+    * one integer-comparison garbage verdict. Patterns are
+    * deliberately RE2-safe (no lookahead/backreference — the oracle
+    * engine's regex class), so both engines run literally the same
+    * automata. Row-local codegen'd scan.
+    */
+  def garbageScreen(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("max_cons_run", expr(
+        """coalesce(array_max(transform(
+          |  regexp_extract_all(text, '[bcdfghjklmnpqrstvwxz]+', 0),
+          |  x -> length(x))), 0)""".stripMargin).cast("long"))
+      .withColumn("n_transitions", expr(
+        "CAST(size(regexp_extract_all(text, '[a-z][0-9]|[0-9][a-z]', 0)) " +
+          "AS BIGINT)"))
+      .withColumn("n_symbols", expr(
+        "CAST(size(regexp_extract_all(text, '[^a-z0-9 ]', 0)) AS BIGINT)"))
+      .withColumn("n_long_tokens", expr(
+        "CAST(size(filter(split(text, ' '), t -> length(t) > 20)) " +
+          "AS BIGINT)"))
+      .withColumn("garbage",
+        col("max_cons_run") >= 8 || col("n_transitions") >= 3 ||
+          col("n_symbols") * 10 > col("n_chars") * 3 ||
+          col("n_long_tokens") > 0)
+      .select("doc_id", "n_chars", "max_cons_run", "n_transitions",
+        "n_symbols", "n_long_tokens", "garbage")
+      .orderBy("doc_id")
+
   /** HTML/markup STRIPPING — the first transform a crawled corpus needs
     * (tag removal + entity decode) before any tokenizer sees it. Tags
     * drop via one non-greedy element regex; the five core entities

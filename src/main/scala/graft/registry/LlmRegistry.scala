@@ -37,6 +37,7 @@ object LlmRegistry {
     "text_lexdiv"           -> (LlmQueries.textLexDiv _),
     "text_script"           -> (LlmQueries.textScript _),
     "text_html_strip"       -> (LlmQueries.textHtmlStrip _),
+    "text_garbage"          -> (LlmQueries.textGarbage _),
     "text_normalize"        -> (LlmQueries.textNormalize _),
     "text_chi2"             -> (LlmQueries.textChi2 _),
     "text_url_canon"        -> (LlmQueries.textUrlCanon _),
@@ -474,6 +475,30 @@ object LlmRegistry {
         |  CAST(rank * n AS BIGINT) AS rank_x_freq,
         |  ROUND(n / CAST(tot AS DOUBLE), 6) AS share
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // garbage screen: RE2-safe patterns shared verbatim; verdict is
+    // pure integer comparisons
+    "text_garbage" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' zzzzkrtpbq xk7q9w2 4x2b8 !!!###$$$'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(COALESCE(list_max(list_transform(
+        |      regexp_extract_all(text, '[bcdfghjklmnpqrstvwxz]+'),
+        |      x -> length(x))), 0) AS BIGINT) AS max_cons_run,
+        |    CAST(len(regexp_extract_all(text, '[a-z][0-9]|[0-9][a-z]'))
+        |      AS BIGINT) AS n_transitions,
+        |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> length(t) > 20)) AS BIGINT) AS n_long_tokens
+        |  FROM d)
+        |SELECT doc_id, n_chars, max_cons_run, n_transitions, n_symbols,
+        |  n_long_tokens,
+        |  (max_cons_run >= 8 OR n_transitions >= 3
+        |   OR n_symbols * 10 > n_chars * 3 OR n_long_tokens > 0) AS garbage
+        |FROM s ORDER BY doc_id""".stripMargin,
     // html strip: same decoration, same tag regex, same entity decode
     // ORDER (&amp; last), same squeeze -- md5-pinned byte-for-byte
     "text_html_strip" ->
