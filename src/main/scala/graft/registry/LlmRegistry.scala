@@ -1734,20 +1734,23 @@ object LlmRegistry {
         |)
         |SELECT id AS c_custkey, MIN(r) AS entity_id
         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
-    // edit-distance pairs: same plant, same prefix bucket, same
-    // built-in Levenshtein DP on both engines
+    // edit-distance pairs: same plant, same 16-prefix bucket, same
+    // length pre-filter; the oracle's unbanded DP equals the engine's
+    // banded form wherever the band admits (dist <= 3)
     "dedup_edit" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    substr(text, 1, length(text) - 2) || 'xq'
-        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 12),
-        |k AS (SELECT doc_id AS id, text AS t, substr(text, 1, 8) AS bk
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 18),
+        |k AS (SELECT doc_id AS id, text AS t, substr(text, 1, 16) AS bk,
+        |        length(text) AS ln
         |      FROM v)
         |SELECT a.id AS a, b.id AS b,
         |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
         |FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+        |  AND abs(a.ln - b.ln) <= 3
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY a, b""".stripMargin,
     // prefix-duplicate detection: the sorted-successor property (any
