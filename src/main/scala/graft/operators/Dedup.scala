@@ -976,11 +976,20 @@ object Dedup {
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("t"),
       substring(col(textCol), 1, bucketLen).as("bk"),
       length(col(textCol)).as("ln"))
-    keyed.as("a").join(keyed.as("b"),
+    // materialize the CHEAP-filtered candidate pairs before any DP —
+    // without the barrier, PushDownPredicate hoists `dist >= 0` into
+    // the join residual AHEAD of the cheap conjuncts and the Project
+    // re-evaluates it, so the DP would run first and twice per raw
+    // bucket pair (measured 7.7 s vs ~1 s at sf0.1)
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
           abs(col("a.ln") - col("b.ln")) <= maxDist)
       .select(col("a.id").as("a"), col("b.id").as("b"),
-        expr(s"levenshtein(a.t, b.t, $maxDist)").as("dist"))
+        col("a.t").as("ta"), col("b.t").as("tb"))
+      .localCheckpoint(true)
+    cand
+      .select(col("a"), col("b"),
+        expr(s"levenshtein(ta, tb, $maxDist)").as("dist"))
       .filter(col("dist") >= 0) // banded form returns -1 past the cap
       .orderBy("a", "b")
   }

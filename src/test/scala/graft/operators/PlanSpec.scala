@@ -231,6 +231,9 @@ class PlanSpec extends SparkTestBase {
       "a58_dialect_sniff",
       // eager top-1 checkpoint (feeds both sides of the mutuality join)
       "sim_reciprocal_nn",
+      // eager candidate-pair barrier keeps the Levenshtein DP off the
+      // join residual (predicate-pushdown ordering trap)
+      "dedup_edit",
       // edge/node checkpoints + per-round label barrier (multi-consumer
       // iterative frames, the graph_pagerank class)
       "graph_labelprop", "graph_bfs",
