@@ -354,6 +354,37 @@ object Graph {
       .orderBy("node")
   }
 
+  /** graph_degree_hist — the DEGREE DISTRIBUTION (the power-law/hub
+    * diagnostic every graph pipeline inspects before choosing a
+    * partitioning strategy — precisely the skew signal that decides
+    * whether a salted join or an oriented wedge-join is needed): over
+    * the undirected simple graph, one row per occurring degree with
+    * its node count and the cumulative share in micro-units. Two
+    * map-side-combined aggregates, both vocabulary-sized.
+    */
+  def graphDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    // the part-affinity STAR graph: hubs carry group-sized degrees,
+    // leaves degree 1-2 — a genuinely skewed distribution (the dense
+    // nation graph collapses to a single histogram row)
+    val und = partAffinityEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy()
+    hist
+      .withColumn("cum", sum("n_nodes").over(wCum))
+      .withColumn("tot", sum("n_nodes").over(wAll))
+      .select(col("d").as("degree"), col("n_nodes"),
+        expr("cum * 1000000 DIV tot").as("cum_share_e6"))
+      .orderBy("degree")
+  }
+
   /** graph_eccentricity — DOUBLE-SWEEP pseudo-diameter (Magnien et al.
     * 2009's standard lower-bound heuristic, what igraph/NetworKit run
     * when the exact diameter is too expensive): BFS from a pivot, hop

@@ -29,6 +29,7 @@ object MlRegistry {
     "graph_labelprop"       -> (Graph.graphLabelProp _),
     "graph_bfs"             -> (Graph.graphBfs _),
     "graph_eccentricity"    -> (Graph.graphEccentricity _),
+    "graph_degree_hist"     -> (Graph.graphDegreeHist _),
     "graph_jaccard"         -> (Graph.graphJaccard _),
     "graph_closeness"       -> (Graph.graphCloseness _),
     "graph_wcc"             -> (Graph.graphWcc _),
@@ -389,6 +390,36 @@ object MlRegistry {
          |FROM d3 JOIN nation n ON d3.node = n.n_nationkey
          |ORDER BY d3.node""".stripMargin
     },
+    // degree histogram over the undirected simple star graph;
+    // cumulative share in integer micro-units
+    "graph_degree_hist" ->
+      """WITH st AS (
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_brand, p_size)
+        |        AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub
+        |  UNION ALL
+        |  SELECT p, hub FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS p,
+        |      CAST(MIN(p_partkey) OVER (PARTITION BY p_type) AS BIGINT) AS hub
+        |    FROM part) WHERE p <> hub),
+        |e0 AS (SELECT p AS src, hub AS dst FROM st
+        |       UNION ALL SELECT hub, p FROM st),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |        FROM e0 WHERE src != dst),
+        |deg AS (SELECT n, COUNT(*) AS d FROM
+        |    (SELECT u AS n FROM und UNION ALL SELECT v FROM und) x
+        |  GROUP BY n),
+        |h AS (SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+        |c AS (SELECT d, n_nodes,
+        |        SUM(n_nodes) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n_nodes) OVER () AS tot
+        |      FROM h)
+        |SELECT CAST(d AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_e6
+        |FROM c ORDER BY degree""".stripMargin,
     // Double-sweep replayed: first unrolled BFS from 0, the (d DESC,
     // node) LIMIT 1 pick, then a second unrolled BFS from that node
     "graph_eccentricity" -> {
