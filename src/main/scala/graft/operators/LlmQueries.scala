@@ -1037,6 +1037,20 @@ object LlmQueries {
     Adpcm.adpcmStats(media).toDF().orderBy("doc_id")
   }
 
+  /** mm_audio_trim ([[Wav.wavTrim]] over [[Wav.wavMediaPadded]]
+    * silence-padded fixtures): the trimmed span, its length, and the
+    * kept-sample energy/peak — the oracle scans the same closed-form
+    * padded signal for the first/last nonzero.
+    */
+  def mmAudioTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Wav.wavMediaPadded(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    Wav.wavTrim(media).toDF().orderBy("doc_id")
+  }
+
   /** mm_audio_downmix ([[Wav.wavDownmix]]): stereo→mono floor-average
     * with mono passthrough; the fixture corpus alternates 1- and
     * 2-channel payloads by seed, so both paths are oracle-exercised.

@@ -370,6 +370,84 @@ object Wav {
     }
   }
 
+  case class WavTrimRow(doc_id: Long, n_in: Long, trim_start: Long,
+                        trim_len: Long, energy: Long, peak: Int)
+
+  /** SILENCE TRIMMING — the lead-in/lead-out strip every ASR corpus
+    * runs first: the trimmed span is [first, last] over samples with
+    * |s| > threshold (default 0 = exact digital silence; an energy
+    * threshold swaps the comparison, not the scan). An all-silent
+    * payload reports an empty span (trim_start = −1, len 0). Emits the
+    * span plus energy/peak of the kept samples — exact integers the
+    * oracle replays by scanning the same closed-form padded signal.
+    * Row-local: one decode + one pass, nothing shuffles.
+    */
+  def wavTrim(media: Dataset[Multimodal.MediaRow],
+              threshold: Int = 0): Dataset[WavTrimRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeHeader(r.data).map { info =>
+          val n = info.nFrames
+          val ch = info.channels
+          var first = -1L; var last = -1L
+          var energy = 0L; var peak = 0
+          var t = 0
+          while (t < n) {
+            val s = sample(r.data, info, t * ch) // channel 0
+            if (math.abs(s) > threshold) {
+              if (first < 0) first = t
+              last = t
+            }
+            t += 1
+          }
+          if (first >= 0) {
+            var u = first
+            while (u <= last) {
+              val s = sample(r.data, info, u.toInt * ch)
+              energy += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              u += 1
+            }
+          }
+          WavTrimRow(r.doc_id, n.toLong, first,
+            if (first < 0) 0L else last - first + 1, energy, peak)
+        }
+      }
+    }
+  }
+
+  /** Mono fixtures with PLANTED silence pads: `lead = seed%20+4` zero
+    * frames, the [[wavFixture]] core sample stream (`x(i) =
+    * ((seed·13 + i·29) mod 65536) − 32768`, n = 200 + seed%50), then
+    * `tail = seed%15+4` zeros — the oracle scans the same closed-form
+    * padded signal, so it stays exact even if a core edge sample
+    * happens to be zero.
+    */
+  def wavMediaPadded(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    Spread.ifNarrow(ids.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(seedCol).cast("long").as("seed")))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) =>
+        val lead = (seed % 20 + 4).toInt
+        val tail = (seed % 15 + 4).toInt
+        val n = (200 + seed % 50).toInt
+        val core = Array.tabulate[Short](n)(i =>
+          (((seed * 13 + i.toLong * 29) % 65536) - 32768).toShort)
+        val samples = Array.fill[Short](lead)(0) ++ core ++
+          Array.fill[Short](tail)(0)
+        (id, encodePcm16(1, 8000, samples))
+      })
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"),
+        struct(lit("audio/wav").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Encode PCM16: RIFF/WAVE + fmt + an ignorable LIST chunk (so decoders
     * must actually skip unknown chunks) + data.
     */

@@ -38,6 +38,7 @@ object MediaRegistry {
     "mm_audio_mulaw"        -> (LlmQueries.mmAudioMulaw _),
     "mm_audio_adpcm"        -> (LlmQueries.mmAudioAdpcm _),
     "mm_audio_downmix"      -> (LlmQueries.mmAudioDownmix _),
+    "mm_audio_trim"         -> (LlmQueries.mmAudioTrim _),
     "mm_stft_power"         -> (LlmQueries.mmStftPower _),
     "mm_rotate90"           -> (LlmQueries.mmRotate90 _),
     "mm_frame_dct"          -> (LlmQueries.mmFrameDct _),
@@ -749,6 +750,30 @@ object MediaRegistry {
         |  CAST(SUM(o * o) AS BIGINT) AS energy,
         |  CAST(MAX(ABS(o)) AS INT) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // trim: scan the same padded closed-form signal for the first/last
+    // nonzero -- robust even if a core edge sample is coincidentally 0
+    "mm_audio_trim" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 20 + 4 AS BIGINT) AS lead,
+        |    CAST(200 + doc_id % 50 AS BIGINT) AS n,
+        |    CAST(doc_id % 15 + 4 AS BIGINT) AS tail
+        |  FROM documents),
+        |s AS (SELECT doc_id, g.j,
+        |    CASE WHEN g.j < lead OR g.j >= lead + n THEN 0
+        |         ELSE ((seed*13 + (g.j - lead)*29) % 65536) - 32768
+        |    END AS v
+        |  FROM d, LATERAL (SELECT unnest(range(0, lead + n + tail)) AS j) g),
+        |a AS (SELECT doc_id,
+        |    MIN(CASE WHEN v <> 0 THEN j END) AS first,
+        |    MAX(CASE WHEN v <> 0 THEN j END) AS last,
+        |    SUM(v * v) AS energy, MAX(abs(v)) AS peak
+        |  FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.lead + d.n + d.tail AS BIGINT) AS n_in,
+        |  CAST(COALESCE(a.first, -1) AS BIGINT) AS trim_start,
+        |  CAST(CASE WHEN a.first IS NULL THEN 0
+        |       ELSE a.last - a.first + 1 END AS BIGINT) AS trim_len,
+        |  CAST(a.energy AS BIGINT) AS energy, CAST(a.peak AS INT) AS peak
+        |FROM d JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // downmix: floor((L+R)/2) per frame -- DuckDB's // TRUNCATES for
     // negatives (unlike Java floorDiv), so the oracle floors an exact
     // double division instead; mono passthrough
