@@ -1228,6 +1228,31 @@ object Analytics {
       .select("n1", "n2", "d_num", "at_dollars", "ks", "drift")
   }
 
+  /** q59_percentile_disc — the DISCRETE percentile family
+    * (`PERCENTILE_DISC ... WITHIN GROUP`, the ordered-set aggregate
+    * syntax): returns an ACTUAL data value (the smallest whose
+    * cumulative share reaches p), where the continuous form
+    * interpolates — the right choice for quantities that must remain
+    * valid domain values (ids, cents, bucket keys). All emissions are
+    * exact integers straight from the data; the continuous median
+    * rides along in doubled units for the disc-vs-cont contrast.
+    * One grouped sort-aggregate, bounded group count.
+    */
+  def percentileDisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p50_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("p75_disc"),
+        expr("CAST(percentile(cents, 0.5D) * 2 AS BIGINT)").as("p50_cont_x2"))
+      .orderBy("g")
+
   /** q58_bitwise_agg — the BITWISE aggregate family (`bit_or` bitmap
     * construction, `bit_xor` parity folding, `bit_and` common-bits):
     * per order a line-number bitmap `bit_or(1 << l_linenumber)` (the

@@ -86,6 +86,7 @@ object RelationalRegistry {
     "q56_rolling_slope"     -> (Analytics.rollingSlope _),
     "q57_attribution"       -> (Analytics.attribution _),
     "q58_bitwise_agg"       -> (Analytics.bitwiseAgg _),
+    "q59_percentile_disc"   -> (Analytics.percentileDisc _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
@@ -910,6 +911,18 @@ object RelationalRegistry {
         |    AND (o.p_retailprice < p.p_retailprice
         |         OR o.p_size > p.p_size))
         |ORDER BY k""".stripMargin,
+    // discrete percentiles return actual data values (exact integers);
+    // quantile_disc matches PERCENTILE_DISC's smallest-reaching rule
+    "q59_percentile_disc" ->
+      """SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_disc,
+        |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_disc,
+        |  CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_disc,
+        |  CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS p50_cont_x2
+        |FROM (SELECT l_returnflag,
+        |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY g""".stripMargin,
     // bitwise folds are order-insensitive (XOR/AND/OR are commutative
     // monoids), so any partial-aggregation tree agrees bit-for-bit
     "q58_bitwise_agg" ->
