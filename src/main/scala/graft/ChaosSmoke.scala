@@ -155,7 +155,7 @@ object ChaosSmoke {
           .groupBy("key")
           .agg(count(lit(1)).as("n"), sum("len").as("total"))
         val truthFp = fingerprint(truth)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_chaos")
+        val tmp = graft.util.Scratch.dir("graft_chaos")
         val finalPath = s"$tmp/published"
         // small cap → many merge→publish cycles, so the kill lands with
         // plenty of drain still ahead of it

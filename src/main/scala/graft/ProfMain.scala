@@ -632,7 +632,7 @@ object ProfMain {
       spark.stop(); return
     }
     if (names == Seq("streamdemo")) {
-      val tmp = java.nio.file.Files.createTempDirectory("sd").toString
+      val tmp = graft.util.Scratch.dir("sd").toString
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$tmp/events.parquet"))

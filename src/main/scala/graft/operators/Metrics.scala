@@ -350,10 +350,18 @@ object Metrics {
         sum(when(col("in_a"), col("conv")).otherwise(0L)).as("k_a"),
         sum(when(!col("in_a"), col("conv")).otherwise(0L)).as("k_b"))
       .withColumn("z2", round(
-        (col("k_a") * col("n_b") - col("k_b") * col("n_a")).cast("double") *
-          (col("k_a") * col("n_b") - col("k_b") * col("n_a")) *
-          (col("n_a") + col("n_b")) /
-          (col("n_a") * col("n_b") * (col("k_a") + col("k_b"))).cast("double") /
+        // every FACTOR is cast to double BEFORE any multiply (sums of
+        // counts stay integral — addition can't overflow at any sf this
+        // engine targets, but 64-bit products like n_a·n_b·(k_a+k_b)
+        // would wrap at ~sf10): same operand order on the oracle side
+        // keeps IEEE bit-parity while removing the silent-wrap divergence
+        (col("k_a").cast("double") * col("n_b").cast("double") -
+          col("k_b").cast("double") * col("n_a").cast("double")) *
+          (col("k_a").cast("double") * col("n_b").cast("double") -
+            col("k_b").cast("double") * col("n_a").cast("double")) *
+          (col("n_a") + col("n_b")).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("k_a") + col("k_b")).cast("double")) /
           ((col("n_a") + col("n_b")) - (col("k_a") + col("k_b"))).cast("double"),
         6))
       .withColumn("significant", col("z2") > 3.841459)
@@ -374,13 +382,21 @@ object Metrics {
       |  FROM u)
       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
       |  CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
-      |  ROUND(CAST(k_a * n_b - k_b * n_a AS DOUBLE)
-      |    * (k_a * n_b - k_b * n_a) * (n_a + n_b)
-      |    / CAST(n_a * n_b * (k_a + k_b) AS DOUBLE)
+      |  ROUND((CAST(k_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      - CAST(k_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+      |    * (CAST(k_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      - CAST(k_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+      |    * CAST(n_a + n_b AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      * CAST(k_a + k_b AS DOUBLE))
       |    / CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE), 6) AS z2,
-      |  ROUND(CAST(k_a * n_b - k_b * n_a AS DOUBLE)
-      |    * (k_a * n_b - k_b * n_a) * (n_a + n_b)
-      |    / CAST(n_a * n_b * (k_a + k_b) AS DOUBLE)
+      |  ROUND((CAST(k_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      - CAST(k_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+      |    * (CAST(k_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      - CAST(k_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+      |    * CAST(n_a + n_b AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      * CAST(k_a + k_b AS DOUBLE))
       |    / CAST((n_a + n_b) - (k_a + k_b) AS DOUBLE), 6) > 3.841459
       |    AS significant
       |FROM agg""".stripMargin

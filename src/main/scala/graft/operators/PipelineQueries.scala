@@ -348,8 +348,8 @@ object PipelineQueries {
     * new column) plus the regenerated day-2 schema doc, both oracled.
     */
   def a32SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_evo_stg").toString
-    val warehouse = Files.createTempDirectory("graft_evo_wh").toString
+    val staging = graft.util.Scratch.dir("graft_evo_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_evo_wh").toString
     val src = ViewSource(dir)
     val base = TableConfig(exportTable = "customer",
       stageTable = Some("customer_evo"))
@@ -878,7 +878,7 @@ object PipelineQueries {
               id.toString, len.toString)
           } finally cl.close()
         }
-      val out = Files.createTempDirectory("graft_bus_rt").toString + "/t"
+      val out = graft.util.Scratch.dir("graft_bus_rt").toString + "/t"
       s.readStream.format("graft.sources.bus.BusSourceProvider")
         .option("host", busHost).option("port", port.toString)
         .option("maxRecordsPerTrigger", "4096")
@@ -886,7 +886,7 @@ object PipelineQueries {
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          Files.createTempDirectory("graft_bus_rt_ck").toString)
+          graft.util.Scratch.dir("graft_bus_rt_ck").toString)
         .format("parquet").option("path", out)
         .start().awaitTermination()
       s.read.parquet(out)
@@ -925,7 +925,7 @@ object PipelineQueries {
               id.toString, len.toString)
           } finally cl.close()
         }
-      val out = Files.createTempDirectory("graft_kafka_rt").toString + "/t"
+      val out = graft.util.Scratch.dir("graft_kafka_rt").toString + "/t"
       s.readStream.format("graft.sources.bus.BusSourceProvider")
         .option("host", busHost).option("port", port.toString)
         .option("protocol", "kafka")
@@ -934,7 +934,7 @@ object PipelineQueries {
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation",
-          Files.createTempDirectory("graft_kafka_rt_ck").toString)
+          graft.util.Scratch.dir("graft_kafka_rt_ck").toString)
         .format("parquet").option("path", out)
         .start().awaitTermination()
       s.read.parquet(out)
@@ -972,9 +972,9 @@ object PipelineQueries {
               "s" + (id % 10), len.toString)
           } finally cl.close()
         }
-      val finalPath = Files.createTempDirectory("graft_bus_wh").toString + "/t"
+      val finalPath = graft.util.Scratch.dir("graft_bus_wh").toString + "/t"
       graft.sources.bus.BusSync.busIncrementalPublish(s, busHost, port,
-          Files.createTempDirectory("graft_bus_wh_ck").toString, finalPath,
+          graft.util.Scratch.dir("graft_bus_wh_ck").toString, finalPath,
           // small enough that every SF runs >1 merge→publish cycle (the
           // multi-batch accumulation is the point), large enough that the
           // cycle count stays bounded as the corpus grows — per-cycle cost
@@ -1000,7 +1000,7 @@ object PipelineQueries {
     */
   def a39SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    val tmp = Files.createTempDirectory("graft_snapdiff").toString + "/t"
+    val tmp = graft.util.Scratch.dir("graft_snapdiff").toString + "/t"
     Sync.publishOverwrite(
       o.filter(col("o_orderkey") % 2 === 0).select(
         col("o_orderkey").as("k"),
@@ -1028,7 +1028,7 @@ object PipelineQueries {
     val c = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("bal"))
-    val tmp = Files.createTempDirectory("graft_gdpr").toString + "/t"
+    val tmp = graft.util.Scratch.dir("graft_gdpr").toString + "/t"
     Sync.publishOverwrite(c, tmp)
     val nDel = Sync.deleteWhere(s, tmp, col("c_nationkey") === 7,
       purge = true)
@@ -1049,7 +1049,7 @@ object PipelineQueries {
   def a41AtomicMultiPublish(s: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(s, dir, "nation")
     val region = Tables.load(s, dir, "region")
-    val root = Files.createTempDirectory("graft_atomic").toString + "/ds"
+    val root = graft.util.Scratch.dir("graft_atomic").toString + "/ds"
     Sync.publishAtomicAll(Seq(
       "nation" -> nation.filter(col("n_regionkey") < 2),
       "region" -> region.filter(col("r_regionkey") < 2)), root)
@@ -1078,7 +1078,7 @@ object PipelineQueries {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice"), 2).as("p"))
-    val tmp = Files.createTempDirectory("graft_vacuum").toString + "/t"
+    val tmp = graft.util.Scratch.dir("graft_vacuum").toString + "/t"
     (1 to 4).foreach { v =>
       Sync.publishOverwrite(o.filter(col("k") % 10 < v), tmp, retain = 4)
     }
@@ -1116,7 +1116,7 @@ object PipelineQueries {
       round(col("o_totalprice"), 2).as("p"))
     val cust = Tables.load(s, dir, "customer").select(
       col("c_custkey").as("ck"), col("c_nationkey").as("nat"))
-    val root = Files.createTempDirectory("graft_late").toString
+    val root = graft.util.Scratch.dir("graft_late").toString
     val (dimP, enrP, penP) = (root + "/dims", root + "/enr", root + "/pen")
     // day 1: partial dims; enrich, park the unmatched
     Sync.publishOverwrite(cust.filter(col("ck") % 3 =!= 0), dimP)
@@ -1164,7 +1164,7 @@ object PipelineQueries {
   def a44WriteAuditPublish(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer").select(
       col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"))
-    val root = Files.createTempDirectory("graft_wap").toString + "/t"
+    val root = graft.util.Scratch.dir("graft_wap").toString + "/t"
     def audit(batch: DataFrame, id: Long): (DataFrame, Boolean) = {
       val st = batch.agg(
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"),
@@ -1226,7 +1226,7 @@ object PipelineQueries {
     */
   def a07CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val tmp = Files.createTempDirectory("graft_csv").toString
+    val tmp = graft.util.Scratch.dir("graft_csv").toString
     CsvIO.write(d, tmp)
     CsvIO.read(s, tmp, d.schema)
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -1236,7 +1236,7 @@ object PipelineQueries {
   /** A8 — chunked NDJSON export + glob read-back (v2 wire format). */
   def a08ChunkRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
-    val tmp = Files.createTempDirectory("graft_ndjson").toString
+    val tmp = graft.util.Scratch.dir("graft_ndjson").toString
     JsonIO.write(c, tmp, chunks = 4)
     JsonIO.read(s, tmp + "/part-*", c.schema)
       .groupBy("c_nationkey")
@@ -1249,7 +1249,7 @@ object PipelineQueries {
     */
   def a09OverwriteSnapshot(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.load(s, dir, "nation")
-    val tmp = Files.createTempDirectory("graft_pub").toString + "/nation"
+    val tmp = graft.util.Scratch.dir("graft_pub").toString + "/nation"
     Sync.publishOverwrite(n.filter(col("n_regionkey") < 2), tmp)
     Sync.publishOverwrite(n, tmp)
     Sync.readPublished(s, tmp).get.orderBy("n_nationkey")
@@ -1278,8 +1278,8 @@ object PipelineQueries {
     * The returned final table is read back from published storage.
     */
   def a11SyncPipeline(s: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_staging").toString
-    val warehouse = Files.createTempDirectory("graft_warehouse").toString
+    val staging = graft.util.Scratch.dir("graft_staging").toString
+    val warehouse = graft.util.Scratch.dir("graft_warehouse").toString
     val src = ViewSource(dir)
     val run1 = TableConfig(
       exportTable = "orders",
@@ -1304,8 +1304,8 @@ object PipelineQueries {
     * the published row count per table.
     */
   def a12ThrottledSync(s: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_thr_stg").toString
-    val warehouse = Files.createTempDirectory("graft_thr_wh").toString
+    val staging = graft.util.Scratch.dir("graft_thr_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_thr_wh").toString
     val counts = Sync.syncAll(s,
       Seq(TableConfig("region"), TableConfig("nation"), TableConfig("customer")),
       ViewSource(dir), staging, warehouse, LocalDate.of(2020, 1, 1),
@@ -1327,8 +1327,8 @@ object PipelineQueries {
         ViewSource(dir).read(sess, q)
       }
     }
-    val staging = Files.createTempDirectory("graft_rty_stg").toString
-    val warehouse = Files.createTempDirectory("graft_rty_wh").toString
+    val staging = graft.util.Scratch.dir("graft_rty_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_rty_wh").toString
     Sync.syncTable(s, TableConfig("region"), flaky, staging, warehouse,
         LocalDate.of(2020, 1, 1), retries = 2, retryDelayMs = 0L)
       .orderBy("r_regionkey")
@@ -1349,7 +1349,7 @@ object PipelineQueries {
     // directly on the healthy path — the budget prices ONLY the sick
     // attempt.
     Tables.load(s, dir, "region").write.mode("overwrite")
-      .parquet(Files.createTempDirectory("graft_to_warm").toString + "/w")
+      .parquet(graft.util.Scratch.dir("graft_to_warm").toString + "/w")
     val hangingOnce = new SqlSource {
       private var calls = 0
       def read(sess: SparkSession, q: String): DataFrame = {
@@ -1358,8 +1358,8 @@ object PipelineQueries {
         Tables.load(sess, dir, "region")
       }
     }
-    val staging = Files.createTempDirectory("graft_to_stg").toString
-    val warehouse = Files.createTempDirectory("graft_to_wh").toString
+    val staging = graft.util.Scratch.dir("graft_to_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_to_wh").toString
     Sync.syncTable(s, TableConfig("region"), hangingOnce, staging, warehouse,
         LocalDate.of(2020, 1, 1), retries = 1, retryDelayMs = 0L,
         exportTimeoutMs = 1500L)
@@ -1470,7 +1470,7 @@ object PipelineQueries {
     * [[a10MergeHelper]]; PlanSpec pins the exchange-free join.
     */
   def a18BucketedMerge(s: SparkSession, dir: String): DataFrame = {
-    val loc = Files.createTempDirectory("graft_bkt_wh").toString
+    val loc = graft.util.Scratch.dir("graft_bkt_wh").toString
     s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
     val o = Tables.load(s, dir, "orders")
     val existing = o.filter(col("o_orderkey") % 2 === 0).select(
@@ -1503,7 +1503,7 @@ object PipelineQueries {
     * results not at all, cost enormously.
     */
   def a20PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_part_wh").toString + "/events_by_day"
+    val out = graft.util.Scratch.dir("graft_part_wh").toString + "/events_by_day"
     Tables.load(s, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -1552,8 +1552,8 @@ object PipelineQueries {
     * daily full-table copy and a bounded delta export.
     */
   def a17IncrementalSync(s: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_inc_stg").toString
-    val warehouse = Files.createTempDirectory("graft_inc_wh").toString
+    val staging = graft.util.Scratch.dir("graft_inc_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_inc_wh").toString
     val src = ViewSource(dir)
     val base = TableConfig(
       exportTable = "orders",
@@ -1605,8 +1605,8 @@ object PipelineQueries {
     * drop rule over the union corpus.
     */
   def a30IncrementalDedupSync(s: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft_dd_stg").toString
-    val warehouse = Files.createTempDirectory("graft_dd_wh").toString
+    val staging = graft.util.Scratch.dir("graft_dd_stg").toString
+    val warehouse = graft.util.Scratch.dir("graft_dd_wh").toString
     val sigPath = s"$staging/lake_signatures"
     val src = ViewSource(dir)
     // day 1: full snapshot of the lake corpus
@@ -1680,7 +1680,7 @@ object PipelineQueries {
     * equality.
     */
   def a23PartitionBackfill(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_backfill").toString + "/events_by_day"
+    val out = graft.util.Scratch.dir("graft_backfill").toString + "/events_by_day"
     val ev = Tables.load(s, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .select("event_id", "event_type", "value", "event_date")
@@ -1721,7 +1721,7 @@ object PipelineQueries {
     * through the ORC writer/reader pair.
     */
   def a27OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_orc").toString + "/orders_orc"
+    val base = graft.util.Scratch.dir("graft_orc").toString + "/orders_orc"
     Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").orc(base)
@@ -1745,7 +1745,7 @@ object PipelineQueries {
     * (which recomputes it from the ORIGINAL parquet table).
     */
   def a28JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_jsonl").toString + "/docs_jsonl"
+    val base = graft.util.Scratch.dir("graft_jsonl").toString + "/docs_jsonl"
     Tables.load(s, dir, "documents").write.mode("overwrite").json(base)
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -1769,7 +1769,7 @@ object PipelineQueries {
     * formats instead, which is why parquet remains the internal format.
     */
   def a49GzipJsonl(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_gz").toString + "/docs_gz"
+    val base = graft.util.Scratch.dir("graft_gz").toString + "/docs_gz"
     Tables.load(s, dir, "documents").write.mode("overwrite")
       .option("compression", "gzip").json(base)
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -1798,7 +1798,7 @@ object PipelineQueries {
     * table).
     */
   def a57ZstdParquet(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_zstd").toString
+    val base = graft.util.Scratch.dir("graft_zstd").toString
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity").cast("long").as("qty"),
@@ -1836,7 +1836,7 @@ object PipelineQueries {
     * the original table — corrupt-line count is deterministic).
     */
   def a29CorruptRecords(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_badrec").toString + "/mixed"
+    val base = graft.util.Scratch.dir("graft_badrec").toString + "/mixed"
     val docs = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "n_chars")
     import s.implicits._
@@ -1876,7 +1876,7 @@ object PipelineQueries {
     import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     import org.apache.hadoop.fs.Path
-    val base = Files.createTempDirectory("graft_avro").toString + "/docs_avro"
+    val base = graft.util.Scratch.dir("graft_avro").toString + "/docs_avro"
     val schemaJson =
       """{"type":"record","name":"doc","fields":[
         |{"name":"doc_id","type":"long"},{"name":"text","type":"string"},
@@ -1950,7 +1950,7 @@ object PipelineQueries {
     * against the DuckDB recompute from the original table.
     */
   def a54XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_xml").toString + "/docs_xml"
+    val base = graft.util.Scratch.dir("graft_xml").toString + "/docs_xml"
     Tables.load(s, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").format("xml")
@@ -1980,7 +1980,7 @@ object PipelineQueries {
     * bounded aggregate.
     */
   def a55FixedWidthRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_fw").toString + "/orders_fw"
+    val base = graft.util.Scratch.dir("graft_fw").toString + "/orders_fw"
     Tables.load(s, dir, "orders")
       .select(concat(
         lpad(col("o_orderkey").cast("string"), 12, "0"),
@@ -2023,7 +2023,7 @@ object PipelineQueries {
     * write side here produces naturally.
     */
   def a56CsvMultiline(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_csvml").toString + "/docs_csv"
+    val base = graft.util.Scratch.dir("graft_csvml").toString + "/docs_csv"
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         concat(col("text"), lit(", \"mid\"\ntail-"),
@@ -2061,7 +2061,7 @@ object PipelineQueries {
     * the parse is the normal distributed CSV scan.
     */
   def a58DialectSniff(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_sniff").toString + "/docs_scsv"
+    val base = graft.util.Scratch.dir("graft_sniff").toString + "/docs_scsv"
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         concat(lit("a,\"b\"|c\t"), col("text")).as("text"),
@@ -2118,7 +2118,7 @@ object PipelineQueries {
     * (whole-stage codegen, no UDF), one distributed write + read.
     */
   def a59EncryptedExport(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_enc").toString + "/docs_enc"
+    val base = graft.util.Scratch.dir("graft_enc").toString + "/docs_enc"
     val key = "0123456789abcdef" // fixture key; prod wires a KMS secret
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -2140,7 +2140,7 @@ object PipelineQueries {
   }
 
   def a24Compaction(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_compact").toString
+    val base = graft.util.Scratch.dir("graft_compact").toString
     val fragmented = base + "/fragmented"
     val compacted = base + "/compacted"
     Tables.load(s, dir, "orders")
@@ -2167,7 +2167,7 @@ object PipelineQueries {
     * audit pipeline measures what the data actually contains.
     */
   def a25Manifest(s: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_manifest").toString
+    val base = graft.util.Scratch.dir("graft_manifest").toString
     val cust = Tables.load(s, dir, "customer")
     val manifest = cust.agg(
       count(lit(1)).as("n_rows"),

@@ -49,7 +49,11 @@ object Qoi {
     val w = be32(data, 4); val h = be32(data, 8)
     val ch = data(12) & 0xFF
     if (w <= 0 || h <= 0 || (ch != 3 && ch != 4)) return None
-    if (w * h * ch > (64L << 20)) return None // hostile-header bound
+    // hostile-header bound: cap each dimension BEFORE multiplying so a
+    // crafted u32 pair near 2^32 can't overflow the Long product into a
+    // negative that slips past the area check
+    if (w > (1L << 20) || h > (1L << 20)) return None
+    if (w * h * ch > (64L << 20)) return None
     Some((w.toInt, h.toInt, ch))
   }
 

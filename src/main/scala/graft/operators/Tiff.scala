@@ -42,7 +42,7 @@ object Tiff {
     else ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
       ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 
-  private case class Info(le: Boolean, w: Int, h: Int, compression: Int,
+  private[operators] case class Info(le: Boolean, w: Int, h: Int, compression: Int,
                           predictor: Int, rowsPerStrip: Int,
                           stripOffsets: Array[Long],
                           stripCounts: Array[Long],
@@ -71,7 +71,7 @@ object Tiff {
     })
   }
 
-  private def parse(d: Array[Byte]): Option[Info] = {
+  private[operators] def parse(d: Array[Byte]): Option[Info] = {
     if (d.length < 8) return None
     val le =
       if (d(0) == 'I' && d(1) == 'I') true
@@ -114,9 +114,11 @@ object Tiff {
     if (comp >= 0 && comp != 1 && comp != 5) return None
     if (pred >= 0 && pred != 1 && pred != 2) return None
     if (rps <= 0) rps = h // default: one strip
-    // rotation orientations only — the mirrored forms (2/4/5/7) refuse
-    if (orient != 1 && orient != 3 && orient != 6 && orient != 8)
-      return None
+    // any tag-274 value is recorded, never refused here: decode-only
+    // consumers (dims, decodeToPixels, the luminance legs) read mirrored
+    // scans (2/4/5/7) fine with the tag ignored — only exifRotate, which
+    // must APPLY the orientation, refuses the mirrored forms it can't
+    // express as pure rotations
     val nStrips = ((h + rps - 1) / rps).toInt
     if (offs.length != nStrips || cnts.length != nStrips) return None
     if (w * h > (64L << 20)) return None
@@ -294,7 +296,13 @@ object Tiff {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         parse(r.data).flatMap { meta =>
-          decode(r.data).map { case (ii0, buf0) =>
+          // rotation orientations only — the mirrored forms (2/4/5/7)
+          // can't be expressed as 90°-CW turns, so THIS consumer refuses
+          // them; parse itself accepts any tag-274 value for decode legs
+          val ok = meta.orientation == 1 || meta.orientation == 3 ||
+            meta.orientation == 6 || meta.orientation == 8
+          if (!ok) None
+          else decode(r.data).map { case (ii0, buf0) =>
             val k = meta.orientation match {
               case 1 => 0; case 3 => 2; case 6 => 1; case _ => 3
             }

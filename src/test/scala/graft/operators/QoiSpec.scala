@@ -57,6 +57,12 @@ class QoiSpec extends SparkTestBase {
     assert(Qoi.decode(ch2).isEmpty, "channels=2 refuses")
     assert(Qoi.decode(header(0, 1, 3) ++ endMarker).isEmpty,
       "zero width refuses")
+    // hostile u32 dims near 2^32: the per-dimension cap must refuse
+    // BEFORE the area product could wrap Long negative and slip the check
+    assert(Qoi.dims(header(-1, -1, 3) ++ endMarker).isEmpty,
+      "w=h=0xFFFFFFFF refuses at the header, no fabricated geometry")
+    assert(Qoi.dims(header(0x7FFFFFFF, 0x7FFFFFFF, 4) ++ endMarker).isEmpty)
+    assert(Qoi.decode(header(-1, -1, 3) ++ endMarker).isEmpty)
     // a run longer than the remaining pixel count refuses
     val overrun = header(1, 1, 3) ++ Array[Byte](0xC1.toByte) ++ endMarker
     assert(Qoi.decode(overrun).isEmpty)

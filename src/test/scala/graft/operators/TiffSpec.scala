@@ -263,4 +263,48 @@ class TiffSpec extends SparkTestBase {
       }
     }
   }
+
+  test("mirrored orientations (tag 274 = 2/4/5/7) decode for geometry/" +
+      "luminance consumers but refuse in exifRotate, which cannot express " +
+      "a mirror as 90-degree turns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-rolled 4x3 single-strip uncompressed gray TIFF carrying the
+    // requested orientation: same fixed 10-entry IFD as exifMedia
+    def tiffWithOrientation(ori: Int): Array[Byte] = {
+      val w = 4; val h = 3
+      val hex = new StringBuilder
+      hex ++= "49492A00" ++= "08000000" ++= "0A00"
+      def e(tag: String, typ: String, v: Int): Unit = {
+        hex ++= tag ++= typ ++= "01000000"
+        hex ++= f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X0000"
+      }
+      e("0001", "0300", w); e("0101", "0300", h)
+      e("0201", "0300", 8); e("0301", "0300", 1); e("0601", "0300", 1)
+      e("1101", "0400", 134) // strip offset: 8 + 2 + 10*12 + 4
+      e("1201", "0300", ori) // tag 274
+      e("1501", "0300", 1); e("1601", "0300", h)
+      e("1701", "0400", w * h)
+      hex ++= "00000000"
+      (0 until w * h).foreach(i => hex ++= f"${(i * 7) % 256}%02X")
+      hex.toString.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    Seq(2, 4, 5, 7).foreach { ori =>
+      val d = tiffWithOrientation(ori)
+      assert(Tiff.dims(d).contains((4, 3, 1)), s"ori=$ori dims must parse")
+      assert(Tiff.decode(d).isDefined, s"ori=$ori must decode (tag ignored)")
+      assert(Tiff.parse(d).exists(_.orientation == ori))
+      val media = Seq(Multimodal.MediaRow(1L, d, "image/tiff",
+        d.length.toLong)).toDS()
+      assert(Tiff.exifRotate(media).count() == 0L,
+        s"ori=$ori must refuse in exifRotate")
+    }
+    // the rotation form still flows through exifRotate
+    val rot = tiffWithOrientation(6)
+    val media6 = Seq(Multimodal.MediaRow(2L, rot, "image/tiff",
+      rot.length.toLong)).toDS()
+    val rows = Tiff.exifRotate(media6).collect()
+    assert(rows.length == 1 && rows.head.orientation == 6 &&
+      rows.head.out_w == 3 && rows.head.out_h == 4)
+  }
 }
