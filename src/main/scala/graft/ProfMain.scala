@@ -659,6 +659,75 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names == Seq("editprof")) {
+      // stage-level timing of the PassJoin edit-distance pipeline
+      import org.apache.spark.sql.functions._
+      val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = d.unionByName(
+        d.filter(col("doc_id") % 3 === 0 && length(col("text")) >= 18)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(expr("substring(text, 1, length(text) - 2)"), lit("xq"))
+              .as("text")))
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"editprof $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+      val keyed = t("keyed-ckpt") {
+        variants.select(col("doc_id").as("id"), col("text").as("t"),
+          length(col("text")).as("ln")).localCheckpoint(true)
+      }
+      val k = 3; val kk = 4
+      def segLen(lCol: String) =
+        s"$lCol div $kk + IF(i >= $kk - $lCol % $kk, 1, 0)"
+      def segStart(lCol: String) =
+        s"i * ($lCol div $kk) + greatest(0, i - ($kk - $lCol % $kk))"
+      val segs = keyed
+        .select(col("id").as("a_id"), col("ln").as("l"),
+          explode(expr(
+            s"""transform(sequence(0, $k), i -> struct(i AS i,
+               |  substring(t, CAST(${segStart("ln")} AS INT) + 1,
+               |            CAST(${segLen("ln")} AS INT)) AS seg))"""
+              .stripMargin)).as("e"))
+        .select(col("a_id"), col("l"), col("e.i").as("i"), col("e.seg").as("seg"))
+      val probes = keyed
+        .select(col("id").as("b_id"),
+          explode(expr(
+            s"""flatten(transform(sequence(greatest(ln - $k, 0), ln), l ->
+               |  flatten(transform(sequence(0, $k), i ->
+               |    transform(
+               |      filter(sequence(greatest((${segStart("l")}) - $k, 0),
+               |                      (${segStart("l")}) + $k),
+               |             p -> p + (${segLen("l")}) <= ln),
+               |      p -> struct(l AS l, i AS i,
+               |        substring(t, CAST(p AS INT) + 1,
+               |                  CAST(${segLen("l")} AS INT)) AS seg))))))"""
+              .stripMargin)).as("e"))
+        .select(col("b_id"), col("e.l").as("l"), col("e.i").as("i"),
+          col("e.seg").as("seg"))
+      t("segs-count")(println("  segs=" + segs.count()))
+      t("probes-count")(println("  probes=" + probes.count()))
+      val cand = segs.join(probes, Seq("l", "i", "seg"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(least(col("a_id"), col("b_id")).as("a"),
+          greatest(col("a_id"), col("b_id")).as("b"))
+        .distinct()
+      val candC = t("cand-distinct")(cand.localCheckpoint(true))
+      println("  cand=" + candC.count())
+      val withT = t("attach-texts") {
+        candC.join(keyed.select(col("id").as("a"), col("t").as("ta")), Seq("a"))
+          .join(keyed.select(col("id").as("b"), col("t").as("tb")), Seq("b"))
+          .localCheckpoint(true)
+      }
+      t("dp") {
+        withT.select(col("a"), col("b"),
+            expr(s"levenshtein(ta, tb, $k)").as("dist"))
+          .filter(col("dist") >= 0).orderBy("a", "b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
     // construction INSIDE the timed window (iterative queries — CC, sync
     // runs, sketch builds — do real work while the DataFrame is built;
     // timing only the final write under-reports them)

@@ -959,39 +959,105 @@ object Dedup {
 
   /** EDIT-DISTANCE near-duplicate pairs — the typo/OCR-noise family
     * (one transposition or dropped character defeats every exact-hash
-    * leg, and shingle Jaccard barely moves): candidate pairs come from
-    * a shared-prefix BUCKET join (never all-pairs — edits cluster late
-    * in real typo corpora; a rotating-bucket pass would cover
-    * early-position edits), then the exact Levenshtein DP — a built-in
-    * with identical semantics on both engines — keeps pairs within
-    * `maxDist`. Scale: the bucket join shuffles on the prefix key, a
-    * LENGTH pre-filter (|len(a)−len(b)| ≤ maxDist is necessary) kills
-    * most candidate pairs before any DP runs, and the DP itself is the
-    * BANDED threshold form (`levenshtein(a, b, k)` — O(n·k), not
-    * O(n²); an unbanded DP over kilobyte texts measured 140+ s at
-    * sf0.1 vs ~2 s banded).
+    * leg, and shingle Jaccard barely moves). Candidate generation is
+    * the PassJoin segment pigeonhole (Li, Deng, Feng, Wang, VLDB 2011)
+    * and is PROVABLY LOSSLESS: partition each string of length l into
+    * `maxDist + 1` contiguous segments — k edits can damage at most k
+    * of them, so for any pair within edit distance k at least one
+    * segment of one string survives UNTOUCHED and appears verbatim in
+    * the other, displaced by at most k positions (the net
+    * insert/delete drift before it). So the candidate join matches on
+    * (partner length l, segment slot i, segment text), where the probe
+    * side enumerates, for each partner length within ±k (a necessary
+    * condition on its own), the aligned substring at every start in
+    * the ±k window around that length's segment start. Every true pair
+    * is generated — unlike a prefix bucket, early-, mid- and
+    * late-position edits are all covered (pinned by the
+    * `dedup_edit_recall` row against UNBLOCKED ground truth and by the
+    * all-pairs property spec).
+    *
+    * Survivors then run the exact Levenshtein DP — a built-in with
+    * identical semantics on both engines — in its BANDED threshold
+    * form (`levenshtein(a, b, k)` — O(n·k), not O(n²); an unbanded DP
+    * over kilobyte texts measured 140+ s at sf0.1 vs ~2 s banded).
+    *
+    * Scale: per document the probe fan-out is a CONSTANT ≤
+    * (2k+1)·(k+1)·(2k+1) short keys (196 at k=3) — linear in corpus
+    * size, never all-pairs — and the candidate-join shuffle carries
+    * only (l, i, segment, id), not document text. Candidate pairs are
+    * distinct-ed BEFORE texts are re-attached, and the checkpoint
+    * barrier keeps the DP off the join residual (the r11-measured
+    * 7.7 s → ~1 s effect: without it, PushDownPredicate hoists
+    * `dist >= 0` ahead of the cheap conjuncts and evaluates the DP
+    * twice per raw pair).
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        bucketLen: Int = 16, maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3): DataFrame = {
+    val k = maxDist
+    val kk = k + 1
+    // one bounded source frame feeding the index, probe and verify legs
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("t"),
-      substring(col(textCol), 1, bucketLen).as("bk"),
-      length(col(textCol)).as("ln"))
-    // materialize the CHEAP-filtered candidate pairs before any DP —
-    // without the barrier, PushDownPredicate hoists `dist >= 0` into
-    // the join residual AHEAD of the cheap conjuncts and the Project
-    // re-evaluates it, so the DP would run first and twice per raw
-    // bucket pair (measured 7.7 s vs ~1 s at sf0.1)
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
-          abs(col("a.ln") - col("b.ln")) <= maxDist)
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        col("a.t").as("ta"), col("b.t").as("tb"))
-      .localCheckpoint(true)
-    cand
+      length(col(textCol)).as("ln")).localCheckpoint(true)
+    // even partition scheme for length l: the first (k+1 − l mod (k+1))
+    // segments take floor(l/(k+1)) chars, the rest one more — any fixed
+    // scheme works as long as index and probe agree
+    def segLen(lCol: String) =
+      s"$lCol div $kk + IF(i >= $kk - $lCol % $kk, 1, 0)"
+    def segStart(lCol: String) =
+      s"i * ($lCol div $kk) + greatest(0, i - ($kk - $lCol % $kk))"
+    // index: the k+1 segments of each string at their home positions —
+    // ONE generate per row producing only (i, short segment), the
+    // kilobyte text never rides through the explode output
+    val segs = keyed
+      .select(col("id").as("a_id"), col("ln").as("l"),
+        explode(expr(
+          s"""transform(sequence(0, $k), i -> struct(i AS i,
+             |  substring(t, CAST(${segStart("ln")} AS INT) + 1,
+             |            CAST(${segLen("ln")} AS INT)) AS seg))"""
+            .stripMargin)).as("e"))
+      .select(col("a_id"), col("l"), col("e.i").as("i"),
+        // join on a FIXED-WIDTH hash of the segment, not the segment
+        // text: a collision only ADDS a candidate pair (killed by the
+        // exact DP), never drops one, and the candidate shuffle width
+        // falls from segment-sized strings to 8 bytes
+        xxhash64(col("e.seg")).as("seg"))
+    // probe: for each partner length in [ln−k, ln] (probing only the
+    // SHORTER side's segments — lossless, since for any pair a segment
+    // of the shorter string survives in the longer one), each segment
+    // slot, each start in the ±k alignment window, the aligned
+    // substring. Built as one nested-HOF array so a single Generate
+    // emits only the short (l, i, seg) structs.
+    val probes = keyed
+      .select(col("id").as("b_id"),
+        explode(expr(
+          s"""flatten(transform(sequence(greatest(ln - $k, 0), ln), l ->
+             |  flatten(transform(sequence(0, $k), i ->
+             |    transform(
+             |      filter(sequence(greatest((${segStart("l")}) - $k, 0),
+             |                      (${segStart("l")}) + $k),
+             |             p -> p + (${segLen("l")}) <= ln),
+             |      p -> struct(l AS l, i AS i,
+             |        substring(t, CAST(p AS INT) + 1,
+             |                  CAST(${segLen("l")} AS INT)) AS seg))))))"""
+            .stripMargin)).as("e"))
+      .select(col("b_id"), col("e.l").as("l"), col("e.i").as("i"),
+        xxhash64(col("e.seg")).as("seg"))
+    val cand = segs.join(probes, Seq("l", "i", "seg"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .distinct()
+    // verify candidates with the exact banded DP, then BARRIER before
+    // the global sort: without the checkpoint the range-sort sampling
+    // pass re-executes the attach joins and the DP a second time
+    val verified = cand
+      .join(keyed.select(col("id").as("a"), col("t").as("ta")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("t").as("tb")), Seq("b"))
       .select(col("a"), col("b"),
         expr(s"levenshtein(ta, tb, $maxDist)").as("dist"))
       .filter(col("dist") >= 0) // banded form returns -1 past the cap
-      .orderBy("a", "b")
+      .localCheckpoint(true)
+    verified.orderBy("a", "b")
   }
 
   /** PREFIX-duplicate detection — the TRUNCATION family beside the

@@ -56,11 +56,12 @@ object LlmQueries {
     * has n_dups ≥ 2 and the original id survives.
     */
   /** dedup_edit — typo-noise near-dup pairs
-    * ([[Dedup.editDistancePairs]]) over a corpus with tail-edit copies
-    * planted by construction: every third doc long enough gains a copy
-    * whose last two characters are replaced — distance exactly 2,
-    * sharing the copy's prefix bucket. The oracle replays bucket,
-    * pairing, and the Levenshtein DP with the same built-in.
+    * ([[Dedup.editDistancePairs]], PassJoin segment blocking) over a
+    * corpus with tail-edit copies planted by construction: every third
+    * doc long enough gains a copy whose last two characters are
+    * replaced — distance exactly 2. The oracle is UNBLOCKED: all pairs
+    * under only the necessary |Δlen| ≤ 3 condition with the full DP,
+    * so the gate certifies the engine's blocking against ground truth.
     */
   def dedupEdit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -70,6 +71,36 @@ object LlmQueries {
           concat(expr("substring(text, 1, length(text) - 2)"), lit("xq"))
             .as("text")))
     Dedup.editDistancePairs(variants, "doc_id", "text")
+  }
+
+  /** dedup_edit_recall — the measured-recall leg for PassJoin blocking:
+    * a bounded 400-doc fixture (texts clipped to 200 chars so the
+    * oracle's unbanded all-pairs DP stays tractable) planting
+    * distance-2 edits at EARLY (chars 2–3), MID (around len/2) and
+    * LATE (last two chars) positions for every third doc. The early
+    * plant is precisely what a shared-prefix bucket misses; the oracle
+    * computes the UNBLOCKED ground-truth pair set, so row-for-row
+    * equality is a recall ≡ 1.0 AND precision ≡ 1.0 measurement of the
+    * segment pigeonhole — the [[Dedup.editDistancePairs]] scaladoc's
+    * losslessness claim, gated per round instead of asserted.
+    */
+  def dedupEditRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 400)
+      .select(col("doc_id"), expr("substring(text, 1, 200)").as("text"))
+    val eligible = base
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 30)
+    val early = eligible.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(expr("substring(text, 1, 1)"), lit("zq"),
+        expr("substring(text, 4)")).as("text"))
+    val mid = eligible.select((col("doc_id") + 2000000).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) div 2)"), lit("zq"),
+        expr("substring(text, length(text) div 2 + 3)")).as("text"))
+    val late = eligible.select((col("doc_id") + 3000000).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 2)"), lit("zq"))
+        .as("text"))
+    Dedup.editDistancePairs(
+      base.unionByName(early).unionByName(mid).unionByName(late),
+      "doc_id", "text")
   }
 
   /** dedup_prefix — truncation-duplicate detection

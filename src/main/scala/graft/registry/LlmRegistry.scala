@@ -79,6 +79,7 @@ object LlmRegistry {
     "dedup_normalized"      -> (LlmQueries.dedupNormalized _),
     "dedup_prefix"          -> (LlmQueries.dedupPrefix _),
     "dedup_edit"            -> (LlmQueries.dedupEdit _),
+    "dedup_edit_recall"     -> (LlmQueries.dedupEditRecall _),
     "dedup_containment"     -> (LlmQueries.dedupContainment _),
     "dedup_span"            -> (LlmQueries.dedupSpan _),
     "dedup_span_removal"    -> (LlmQueries.dedupSpanRemoval _),
@@ -1734,9 +1735,11 @@ object LlmRegistry {
         |)
         |SELECT id AS c_custkey, MIN(r) AS entity_id
         |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
-    // edit-distance pairs: same plant, same 16-prefix bucket, same
-    // length pre-filter; the oracle's unbanded DP equals the engine's
-    // banded form wherever the band admits (dist <= 3)
+    // edit-distance pairs: same plant, but the oracle is UNBLOCKED —
+    // all pairs under only the |Δlen| <= 3 NECESSARY condition, full
+    // (unbanded) DP. The engine's PassJoin segment blocking must
+    // reproduce this ground truth exactly: the oracle certifies recall
+    // against truth, not the engine's own candidate generation.
     "dedup_edit" ->
       """WITH v AS (
         |  SELECT doc_id, text FROM documents
@@ -1744,13 +1747,39 @@ object LlmRegistry {
         |  SELECT doc_id + 1000000,
         |    substr(text, 1, length(text) - 2) || 'xq'
         |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 18),
-        |k AS (SELECT doc_id AS id, text AS t, substr(text, 1, 16) AS bk,
-        |        length(text) AS ln
-        |      FROM v)
+        |k AS (SELECT doc_id AS id, text AS t, length(text) AS ln FROM v)
         |SELECT a.id AS a, b.id AS b,
         |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
-        |FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
-        |  AND abs(a.ln - b.ln) <= 3
+        |FROM k a JOIN k b ON a.id < b.id AND abs(a.ln - b.ln) <= 3
+        |WHERE levenshtein(a.t, b.t) <= 3
+        |ORDER BY a, b""".stripMargin,
+    // measured-recall leg: a 400-doc fixture planting EARLY-, MID- and
+    // LATE-position distance-2 edits (the early plant is exactly the
+    // blind spot a shared-prefix bucket would miss); the oracle is the
+    // unblocked all-pairs DP, so row-for-row equality IS recall = 1.0
+    // and precision = 1.0 against ground truth
+    "dedup_edit_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+        |  WHERE doc_id < 400),
+        |v AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 1) || 'zq' || substr(text, 4)
+        |  FROM base WHERE doc_id % 3 = 0 AND length(text) >= 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    substr(text, 1, length(text) // 2) || 'zq'
+        |      || substr(text, length(text) // 2 + 3)
+        |  FROM base WHERE doc_id % 3 = 0 AND length(text) >= 30
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substr(text, 1, length(text) - 2) || 'zq'
+        |  FROM base WHERE doc_id % 3 = 0 AND length(text) >= 30),
+        |k AS (SELECT doc_id AS id, text AS t, length(text) AS ln FROM v)
+        |SELECT a.id AS a, b.id AS b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM k a JOIN k b ON a.id < b.id AND abs(a.ln - b.ln) <= 3
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY a, b""".stripMargin,
     // prefix-duplicate detection: the sorted-successor property (any

@@ -128,6 +128,66 @@ class DedupPropertySpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus must contain close pairs")
   }
 
+  test("editDistancePairs (PassJoin segment blocking) equals brute-force " +
+      "all-pairs banded DP on random strings with edits at random positions") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val alpha = "abc"
+    var seed = Seed(41L)
+    for (round <- 1 to 3) {
+      val rnd = new scala.util.Random(round * 997L)
+      // base strings over a tiny alphabet (natural near-pairs) including
+      // SHORT strings (< maxDist+1 chars → zero-length segments in the
+      // partition scheme) and empty-adjacent lengths
+      val base = (0 until 40).map { i =>
+        val n = rnd.nextInt(26) // 0..25
+        (i.toLong, Array.fill(n)(alpha(rnd.nextInt(3))).mkString)
+      }
+      // planted variants: 1..3 random edits at RANDOM positions —
+      // early, mid and late all arise across rounds
+      val variants = base.take(20).map { case (i, t) =>
+        var s = t
+        val nEdits = 1 + rnd.nextInt(3)
+        for (_ <- 0 until nEdits if s.nonEmpty || rnd.nextBoolean()) {
+          val p = if (s.isEmpty) 0 else rnd.nextInt(s.length + 1)
+          rnd.nextInt(3) match {
+            case 0 => s = s.substring(0, p) + alpha(rnd.nextInt(3)) + s.substring(p)
+            case 1 if s.nonEmpty && p < s.length =>
+              s = s.substring(0, p) + s.substring(p + 1)
+            case _ if p < s.length =>
+              s = s.substring(0, p) + alpha(rnd.nextInt(3)) + s.substring(p + 1)
+            case _ => ()
+          }
+        }
+        (i + 100L, s)
+      }
+      val corpus = (base ++ variants).toMap.toSeq // dedupe ids, keep all
+      val brute = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        d = lev(ta, tb) if d <= 3
+      } yield (ia, ib, d)).toSet
+      val got = Dedup.editDistancePairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"round=$round: blocking must be lossless " +
+        s"(missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)})")
+      assert(brute.nonEmpty, "test corpus must contain close pairs")
+      seed = seed.next
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))
