@@ -844,6 +844,108 @@ object PipelineQueries {
       .orderBy("c_custkey")
   }
 
+  /** TLS sibling of [[tdsServer]] — completes the 4/4
+    * encrypted-listener matrix (pgwire a50, mysqlwire a52, tdswire a60,
+    * kafkawire a61), mirroring the reference's tunnel-everything stance
+    * (`yaml/sql_proxy_mysql_deployment.yaml:47-48`): PRELOGIN agrees
+    * ENCRYPT_ON, the handshake rides inside PRELOGIN-typed packets per
+    * MS-TDS §3.3.5.1, then LOGIN7 and every SQL batch travel as raw TLS
+    * records, pinned to the fixture certificate.
+    */
+  private lazy val tdsTlsServer =
+    new graft.sources.tdswire.TdsWireServer(derbyUrl,
+      bindHost = driverHost(org.apache.spark.sql.SparkSession.active),
+      secret = Some(wireSecret), tls = true)
+
+  private def tdsTlsUrl: String = {
+    val h = driverHost(org.apache.spark.sql.SparkSession.active)
+    s"jdbc:grafttds://$h:${tdsTlsServer.port}/graft"
+  }
+
+  private def tdsTlsProps = tdsProps + ("ssl" -> "true")
+
+  /** A60 — the a51 pushdown scan replayed over TLS on the TDS side: the
+    * framed PRELOGIN handshake upgrades the channel before the LOGIN7
+    * credentials cross, then DDL, batched load, server-side WHERE and
+    * binary-typed row tokens all travel inside TLS.
+    */
+  def a60TdswireTls(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.tdswire.TdsWireDriver.ensureRegistered()
+    locally {
+      val p = new java.util.Properties()
+      p.setProperty("password", wireSecret)
+      p.setProperty("ssl", "true")
+      val conn = new graft.sources.tdswire.TdsWireDriver()
+        .connect(tdsTlsUrl, p)
+      try {
+        val st = conn.createStatement()
+        try st.execute(
+          """CREATE TABLE graft.dbo.customer_tdstls (
+            |  [c_custkey] BIGINT, [c_name] VARCHAR(64),
+            |  [c_nationkey] INTEGER, [c_acctbal] DOUBLE,
+            |  [c_mktsegment] VARCHAR(16))""".stripMargin)
+        catch { // X0Y32: table exists (idempotent re-run)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+        st.execute("DELETE FROM graft.dbo.customer_tdstls")
+        st.close()
+      } finally conn.close()
+    }
+    JdbcSource.write(Tables.load(s, dir, "customer"), tdsTlsUrl,
+      "customer_tdstls", org.apache.spark.sql.SaveMode.Append, tdsTlsProps)
+    JdbcSource.readQuery(s, tdsTlsUrl,
+        """SELECT [c_custkey], [c_name], [c_acctbal]
+          |FROM graft.dbo.customer_tdstls WHERE [c_acctbal] > 5000""".stripMargin,
+        tdsTlsProps)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  /** A61 — the a48 Kafka-protocol round trip with the listener in its
+    * from-byte-0 TLS variant (the broker SSL-listener shape; the Kafka
+    * protocol has no in-band upgrade): executor producers and the DSv2
+    * streaming consumer (`tls=true`) both speak the wire protocol
+    * inside pinned-certificate TLS sessions.
+    */
+  def a61KafkawireTls(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.sources.kafkawire.KafkaWireServer(4,
+      bindHost = driverHost(s), tls = true)
+    val port = server.start()
+    val busHost = driverHost(s)
+    try {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .as[(Long, Long)]
+        .foreachPartition { (it: Iterator[(Long, Long)]) =>
+          val cl = new graft.sources.kafkawire.KafkaWireClient(
+            busHost, port, tls = true)
+          try it.foreach { case (id, len) =>
+            cl.append((id % 4).toInt, 1700000000000000L + id * 1000L,
+              id.toString, len.toString)
+          } finally cl.close()
+        }
+      val out = graft.util.Scratch.dir("graft_kafka_tls").toString + "/t"
+      s.readStream.format("graft.sources.bus.BusSourceProvider")
+        .option("host", busHost).option("port", port.toString)
+        .option("protocol", "kafka").option("tls", "true")
+        .option("maxRecordsPerTrigger", "4096")
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.util.Scratch.dir("graft_kafka_tls_ck").toString)
+        .format("parquet").option("path", out)
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .select(col("key").cast("long").as("doc_id"),
+          col("partition").as("bus_partition"),
+          col("value").cast("long").as("text_len"))
+        .orderBy("doc_id")
+    } finally server.close()
+  }
+
   /** A37 — the message-bus ingest leg end-to-end: the corpus is PUBLISHED
     * to a Kafka-shaped TCP log bus ([[graft.sources.bus.BusServer]]) from
     * EXECUTOR tasks (`foreachPartition`, one wire session per task — the

@@ -52,6 +52,8 @@ object PipelineRegistry {
     "a46_mysqlwire_partitioned" -> (PipelineQueries.a46MysqlwirePartitioned _),
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
+    "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
+    "a61_kafkawire_tls"     -> (PipelineQueries.a61KafkawireTls _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
     "a58_dialect_sniff"     -> (PipelineQueries.a58DialectSniff _),
@@ -561,6 +563,17 @@ object PipelineRegistry {
     "a52_mysqlwire_tls" ->
       """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
         |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    // a60: the a51 scan inside TLS (MS-TDS framed handshake, then raw
+    // records) — same parquet truth, encrypted transport
+    "a60_tdswire_tls" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    // a61: the a48 round trip with the listener in its from-byte-0 TLS
+    // variant — same reconciled row set, encrypted produce+fetch hops
+    "a61_kafkawire_tls" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) AS bus_partition,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // a47: the MySQL value quirks over the live socket — tinyint(1) kept
     // integral, DECIMAL(20,0) carries 2^64-1 exactly, zero-date → NULL
     "a47_mysqlwire_quirks" ->

@@ -49,7 +49,9 @@ final class BusSourceProvider extends TableProvider {
       Option(properties.get("port")).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException("graft-bus: port is required")),
       Option(properties.get("maxRecordsPerTrigger")).map(_.toLong),
-      properties.getOrDefault("protocol", "graft"))
+      properties.getOrDefault("protocol", "graft") +
+        (if ("true".equalsIgnoreCase(properties.getOrDefault("tls", "false")))
+           "+tls" else ""))
 }
 
 object BusSourceProvider {
@@ -62,6 +64,10 @@ object BusSourceProvider {
                             port: Int): graft.sources.LogReadClient =
     protocol match {
       case "kafka" => new graft.sources.kafkawire.KafkaWireClient(host, port)
+      case "kafka+tls" =>
+        // `tls=true` option: the same Kafka wire protocol inside a
+        // from-byte-0 TLS session against the broker's SSL listener
+        new graft.sources.kafkawire.KafkaWireClient(host, port, tls = true)
       case "graft" => new BusClient(host, port)
       case other =>
         throw new IllegalArgumentException(s"graft-bus: unknown protocol $other")

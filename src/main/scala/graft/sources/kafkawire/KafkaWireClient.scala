@@ -20,10 +20,17 @@ import graft.sources.bus.BusRecord
   * `EventsStream.publishEventsToBus` JSON convention does exactly this).
   */
 final class KafkaWireClient(host: String, port: Int,
-                            topic: String = "graft")
+                            topic: String = "graft",
+                            tls: Boolean = false)
     extends graft.sources.LogReadClient {
-  private val sock = new Socket(host, port)
-  sock.setTcpNoDelay(true)
+  private val sock = {
+    val s0 = new Socket(host, port)
+    s0.setTcpNoDelay(true)
+    // from-byte-0 TLS against the broker's SSL listener, pinned to the
+    // fixture certificate (see KafkaWireServer: no in-band upgrade
+    // exists in this protocol)
+    if (tls) graft.sources.wire.WireTls.upgradeClient(s0, host, port) else s0
+  }
   private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   private var correlation = 0

@@ -26,14 +26,17 @@ import java.util.zip.CRC32
   *
   * Scope honesty: this is the protocol SUBSET a v0-era consumer/producer
   * exchange — no consumer groups, no compression, no record batches v2,
-  * no SASL/SSL. The paired [[KafkaWireClient]] + the raw-socket spec pin
+  * no SASL; TLS is available as a from-byte-0 listener variant
+  * (`tls = true`, the broker SSL-listener shape — the protocol itself
+  * has no STARTTLS). The paired [[KafkaWireClient]] + the raw-socket spec pin
   * the byte layouts against the documentation, the mysqlwire standard.
   *
   * Concurrency: thread-per-connection (daemon); fetches stream straight
   * from the in-memory log, one bounded response per request.
   */
 final class KafkaWireServer(val partitions: Int, val topic: String = "graft",
-                            bindHost: String = "127.0.0.1") {
+                            bindHost: String = "127.0.0.1",
+                            tls: Boolean = false) {
 
   private final case class Rec(ts: Long, key: Array[Byte], value: Array[Byte])
   private val logs = Array.fill(partitions)(
@@ -97,8 +100,16 @@ final class KafkaWireServer(val partitions: Int, val topic: String = "graft",
     else { val b = new Array[Byte](n); in.readFully(b); b }
   }
 
-  private def serve(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
+  private def serve(sock0: Socket): Unit = {
+    sock0.setTcpNoDelay(true)
+    // TLS from byte 0 — the Kafka protocol has no in-band upgrade (a
+    // broker's SSL listener speaks TLS records before any Kafka frame),
+    // so the encrypted variant is a listener property, not a handshake.
+    // A plaintext client's first size-framed request is not a
+    // ClientHello: the handshake fails and the connection dies — never
+    // a silent downgrade.
+    val sock = if (tls) graft.sources.wire.WireTls.upgradeServer(sock0)
+               else sock0
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {

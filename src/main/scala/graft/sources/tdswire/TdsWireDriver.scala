@@ -44,7 +44,9 @@ final class TdsWireDriver extends Driver {
       // the trust-auth text protocols)
       val password = Option(info)
         .flatMap(p => Option(p.getProperty("password"))).getOrElse("")
-      WireJdbc.connection(new TdsSession(host, port, user, password),
+      val ssl = Option(info)
+        .flatMap(p => Option(p.getProperty("ssl"))).contains("true")
+      WireJdbc.connection(new TdsSession(host, port, user, password, ssl),
         TdsWireDriver.flavor)
     }
   override def getMajorVersion: Int = 1
@@ -111,14 +113,18 @@ private[tdswire] final class TdsMessageIn(in: DataInputStream)
 }
 
 private[tdswire] final class TdsSession(host: String, port: Int,
-                                        user: String, password: String)
+                                        user: String, password: String,
+                                        ssl: Boolean = false)
     extends WireSession {
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-  private val rawOut = new DataOutputStream(
+  // re-pointed at the TLS streams after the framed handshake (MS-TDS
+  // §3.3.5.1) when `ssl` is negotiated; mutation happens only inside
+  // the construction block below, before any cursor exists
+  private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private var rawOut = new DataOutputStream(
     new BufferedOutputStream(sock.getOutputStream))
-  private val io = new TdsIO(in, rawOut)
+  private var io = new TdsIO(in, rawOut)
   @volatile var closed = false
   /** The one cursor allowed in flight (single-outstanding-batch rule). */
   var openCursor: TdsCursor = null
@@ -134,10 +140,45 @@ private[tdswire] final class TdsSession(host: String, port: Int,
     pre.write(0); pre.write(1)
     pre.write(0xFF)
     pre.write(Array[Byte](1, 0, 0, 0, 0, 0), 0, 6)
-    pre.write(2) // ENCRYPT_NOT_SUP
+    pre.write(if (ssl) 1 else 2) // ENCRYPT_ON requested / ENCRYPT_NOT_SUP
     io.writeMessage(0x12, pre.toByteArray)
-    val (pt, _) = io.readMessage()
+    val (pt, preReply) = io.readMessage()
     if (pt != 0x04) throw new SQLException(s"unexpected prelogin reply $pt")
+    // walk the option table for the server's ENCRYPTION verdict
+    val serverEnc: Int = {
+      var i = 0
+      var enc = -1
+      var stop = false
+      while (!stop && i + 5 <= preReply.length) {
+        val tok = preReply(i) & 0xFF
+        if (tok == 0xFF) stop = true
+        else {
+          val off = ((preReply(i + 1) & 0xFF) << 8) | (preReply(i + 2) & 0xFF)
+          val len = ((preReply(i + 3) & 0xFF) << 8) | (preReply(i + 4) & 0xFF)
+          if (tok == 0x01 && len >= 1 && off < preReply.length)
+            enc = preReply(off) & 0xFF
+          i += 5
+        }
+      }
+      enc
+    }
+    if (ssl && serverEnc != 0 && serverEnc != 1 && serverEnc != 3)
+      // 08004: the peer cannot encrypt — abort, NEVER continue plaintext
+      throw new SQLException(
+        "tdswire: TLS requested but server answered ENCRYPT_NOT_SUP",
+        "08004")
+    if (!ssl && (serverEnc == 1 || serverEnc == 3))
+      // the server demands encryption; a plaintext LOGIN7 would only die
+      // inside its handshake — fail with the real reason instead
+      throw new SQLException(
+        "tdswire: server requires TLS (ENCRYPT_ON); set ssl=true", "28000")
+    if (ssl) {
+      val sslSock = TdsTls.upgradeClient(sock, host, port, in, rawOut)
+      in = new DataInputStream(new BufferedInputStream(sslSock.getInputStream))
+      rawOut = new DataOutputStream(
+        new BufferedOutputStream(sslSock.getOutputStream))
+      io = new TdsIO(in, rawOut)
+    }
 
     // LOGIN7: fixed prologue + offset/length block + data
     val varFields: Seq[(String, Boolean)] = Seq(

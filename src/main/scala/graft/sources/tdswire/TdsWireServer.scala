@@ -43,7 +43,8 @@ import java.sql.{DriverManager, SQLException, Types}
   */
 final class TdsWireServer(backendUrl: String,
                           bindHost: String = "127.0.0.1",
-                          secret: Option[String] = None) {
+                          secret: Option[String] = None,
+                          tls: Boolean = false) {
 
   // bind ONE specific address (the pgwire convention): callers pass the
   // spark.driver.host address for cross-host executors
@@ -79,13 +80,25 @@ final class TdsWireServer(backendUrl: String,
 
   private def handle(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
-    val io = new TdsIO(
-      new DataInputStream(new BufferedInputStream(sock.getInputStream)),
-      new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)))
+    val plainIn = new BufferedInputStream(sock.getInputStream)
+    val plainOut = new BufferedOutputStream(sock.getOutputStream)
+    var io = new TdsIO(
+      new DataInputStream(plainIn), new DataOutputStream(plainOut))
     try {
       val (t1, _) = io.readMessage()
       if (t1 != 0x12) return // PRELOGIN is mandatory first
       io.writeMessage(0x04, preloginResponse())
+      if (tls) {
+        // MS-TDS §3.3.5.1: handshake records ride in PRELOGIN-typed
+        // packets, then the channel switches to raw TLS. A client that
+        // ignores ENCRYPT_ON and sends a plaintext LOGIN7 fails this
+        // handshake (its bytes are not a ClientHello) — refused, never
+        // silently downgraded.
+        val ssl = TdsTls.upgradeServer(sock, plainIn, plainOut)
+        io = new TdsIO(
+          new DataInputStream(new BufferedInputStream(ssl.getInputStream)),
+          new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream)))
+      }
       val (t2, p2) = io.readMessage()
       if (t2 != 0x10) return // LOGIN7
       val (userName, password) = TdsCodec.parseLogin7(p2)
@@ -140,7 +153,9 @@ final class TdsWireServer(backendUrl: String,
     }
   }
 
-  /** PRELOGIN response: VERSION + ENCRYPTION=ENCRYPT_NOT_SUP + 0xFF. */
+  /** PRELOGIN response: VERSION + ENCRYPTION (ENCRYPT_ON when this
+    * listener requires TLS, ENCRYPT_NOT_SUP otherwise) + 0xFF.
+    */
   private def preloginResponse(): Array[Byte] = {
     // option table: (token, offset BE, length BE)*, terminator 0xFF
     // offsets are from the start of this payload
@@ -152,7 +167,7 @@ final class TdsWireServer(backendUrl: String,
     b.write(0); b.write(1) // ENCRYPTION: 1 byte
     b.write(0xFF)
     b.write(Array[Byte](12, 0, 0, 0, 0, 0), 0, 6) // version 12.0.0.0
-    b.write(2) // ENCRYPT_NOT_SUP
+    b.write(if (tls) 1 else 2) // ENCRYPT_ON / ENCRYPT_NOT_SUP
     b.toByteArray
   }
 

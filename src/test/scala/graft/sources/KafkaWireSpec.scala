@@ -238,4 +238,48 @@ class KafkaWireSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(got.select("key").distinct().count() == 200)
     } finally s2.close()
   }
+
+  // ---- TLS listener variant (from byte 0 — no in-band upgrade) -----------
+
+  test("TLS listener: produce + fetch round-trip inside TLS; a plaintext " +
+      "client dies at its first frame; a client pinned to a different " +
+      "certificate fails the handshake") {
+    val s3 = new KafkaWireServer(2, tls = true)
+    val p3 = s3.start()
+    try {
+      // happy path: full client surface over the encrypted session
+      val cl = new KafkaWireClient("127.0.0.1", p3, tls = true)
+      try {
+        for (i <- 0 until 10)
+          cl.append(i % 2, 1700000000000000L + i * 1000L, s"k$i", s"v$i")
+        val recs = cl.fetch(0, 0L, Long.MaxValue)
+        assert(recs.nonEmpty && recs.forall(_.key.startsWith("k")))
+        assert(cl.endOffsets.sum == 10L)
+      } finally cl.close()
+      // plaintext client: its size-framed ApiVersions is not a
+      // ClientHello — the server kills the session, the client errors
+      intercept[Exception] {
+        val bad = new KafkaWireClient("127.0.0.1", p3)
+        try bad.endOffsets finally bad.close()
+      }
+      // wrong-cert pin: a trust store holding only the ROGUE cert must
+      // fail the handshake (the fixture trust is a pin, not trust-all)
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val res = getClass.getResourceAsStream("/graft/tls/rogue-trust.p12")
+      try ks.load(res, "graft-tls".toCharArray) finally res.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val raw = new java.net.Socket("127.0.0.1", p3)
+      try {
+        val ssl = ctx.getSocketFactory
+          .createSocket(raw, "127.0.0.1", p3, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        intercept[javax.net.ssl.SSLHandshakeException] { ssl.startHandshake() }
+      } finally raw.close()
+    } finally s3.close()
+  }
 }

@@ -229,4 +229,88 @@ class TdsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!r1.next() && !r2.next())
     } finally { c1.close(); c2.close() }
   }
+
+  // ---- TLS (MS-TDS §3.3.5.1: framed handshake, then raw TLS) -------------
+
+  test("TLS leg: PRELOGIN agrees ENCRYPT_ON, the handshake rides in " +
+      "PRELOGIN-typed packets, LOGIN7 + queries flow inside TLS; a " +
+      "plaintext client is told to use TLS; a TLS client refuses a " +
+      "plain server") {
+    val tlsServer = new TdsWireServer(url, tls = true)
+    try {
+      val u = s"jdbc:grafttds://127.0.0.1:${tlsServer.port}/graft"
+      val p = new java.util.Properties()
+      p.setProperty("ssl", "true")
+      val conn = new TdsWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement(
+          """SELECT [id], [name] FROM t WHERE [id] = 1""").executeQuery()
+        assert(rs.next() && rs.getLong(1) == 1L &&
+          rs.getString(2) == "naïve café")
+        assert(!rs.next())
+      } finally conn.close()
+      // plaintext client against the TLS-required listener: the server's
+      // ENCRYPT_ON verdict aborts the session BEFORE any LOGIN7 creds
+      // would cross in clear — 28000, never a silent downgrade
+      val e = intercept[java.sql.SQLException] {
+        new TdsWireDriver().connect(u, null)
+      }
+      assert(e.getSQLState == "28000" && e.getMessage.contains("TLS"))
+    } finally tlsServer.close()
+    // a TLS-requesting client against the plain (ENCRYPT_NOT_SUP)
+    // server must abort, never continue plaintext
+    val p2 = new java.util.Properties()
+    p2.setProperty("ssl", "true")
+    val e2 = intercept[java.sql.SQLException] {
+      new TdsWireDriver().connect(jdbcUrl, p2)
+    }
+    assert(e2.getSQLState == "08004")
+  }
+
+  test("TLS leg: a client pinned to a DIFFERENT certificate fails the " +
+      "framed handshake — the fixture trust is a pin, not trust-all") {
+    val tlsServer = new TdsWireServer(url, tls = true)
+    try {
+      val sock = new Socket("127.0.0.1", tlsServer.port)
+      try {
+        sock.setTcpNoDelay(true)
+        val out = new DataOutputStream(
+          new BufferedOutputStream(sock.getOutputStream))
+        val in = new DataInputStream(
+          new BufferedInputStream(sock.getInputStream))
+        // PRELOGIN requesting ENCRYPT_ON
+        val payload = Array[Byte](
+          0x00, 0x00, 0x0B, 0x00, 0x06, // VERSION @ 11, 6 bytes
+          0x01, 0x00, 0x11, 0x00, 0x01, // ENCRYPTION @ 17, 1 byte
+          0xFF.toByte,
+          1, 0, 0, 0, 0, 0,
+          0x01) // ENCRYPT_ON
+        out.writeByte(0x12); out.writeByte(0x01)
+        out.writeShort(payload.length + 8)
+        out.writeShort(0); out.writeByte(1); out.writeByte(0)
+        out.write(payload); out.flush()
+        // consume the PRELOGIN reply message
+        in.readUnsignedByte(); in.readUnsignedByte()
+        val len = in.readUnsignedShort()
+        in.skipBytes(4 + (len - 8))
+        // framed handshake with a trust store pinning the ROGUE cert
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val res = getClass.getResourceAsStream("/graft/tls/rogue-trust.p12")
+        try ks.load(res, "graft-tls".toCharArray) finally res.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        val framing = new TdsTlsFramingSocket(sock, in, out)
+        val ssl = ctx.getSocketFactory
+          .createSocket(framing, "127.0.0.1", tlsServer.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        intercept[javax.net.ssl.SSLHandshakeException] {
+          ssl.startHandshake()
+        }
+      } finally sock.close()
+    } finally tlsServer.close()
+  }
 }
