@@ -1165,6 +1165,42 @@ object PipelineQueries {
       .orderBy("r_name")
   }
 
+  /** A62 — TIME TRAVEL over the atomic multi-table manifest layout
+    * (the a41 dataset): each [[Sync.publishAtomicAll]] now also writes
+    * an immutable `_manifests/manifest-N` history entry (full dataset
+    * state + published-at stamp — the Spark spelling of the reference's
+    * date-suffixed history tables, dags/cloudsql_to_bigquery.py:226-227),
+    * so "read the table as of version/date N" resolves through history
+    * instead of only the live pointer. The row publishes the nation
+    * aggregate twice (full, then even-keys-only) with pinned
+    * publish stamps, then reads back FOUR ways — manifest version 1,
+    * manifest version 2, as-of a date between the two stamps (must
+    * resolve to version 1), and the live pointer (must equal version
+    * 2) — and the oracle recomputes each state from the base table.
+    * Bounded retention ([[Sync.vacuumPublished]]: newest-N manifests
+    * kept, unreferenced snapshots deleted, the live version
+    * structurally undeletable) is SyncSpec-pinned.
+    */
+  def a62TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    def agg(df: DataFrame) = df.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        sum("n_nationkey").cast("long").as("key_sum"))
+    val root = graft.util.Scratch.dir("graft_tt").toString + "/ds"
+    Sync.publishAtomicAll(Seq("nat" -> agg(nation)), root,
+      retain = 10, publishedAt = Some(1000L))
+    Sync.publishAtomicAll(
+      Seq("nat" -> agg(nation.filter(col("n_nationkey") % 2 === 0))), root,
+      retain = 10, publishedAt = Some(2000L))
+    def tag(df: DataFrame, t: String) = df.withColumn("read_as", lit(t))
+    tag(Sync.readAtomicTableAt(s, root, "nat", 1L).get, "v1")
+      .unionByName(tag(Sync.readAtomicTableAt(s, root, "nat", 2L).get, "v2"))
+      .unionByName(tag(
+        Sync.readAtomicTableAsOf(s, root, "nat", 1500L).get, "asof_1500"))
+      .unionByName(tag(Sync.readAtomicTable(s, root, "nat").get, "live"))
+      .orderBy("read_as", "n_regionkey")
+  }
+
   /** A42 — retention window + on-demand vacuum: four versioned
     * publishes with `retain = 4` build a bounded time-travel history
     * (each version a different orders slice), [[Sync.vacuumRetain]]

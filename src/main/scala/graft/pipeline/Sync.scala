@@ -581,8 +581,11 @@ object Sync {
     * [[publishStaged]] convention.
     */
   def publishAtomicAll(tables: Seq[(String, DataFrame)], root: String,
-                       boundary: Int => Unit = _ => ()): Map[String, Long] = {
+                       boundary: Int => Unit = _ => (),
+                       retain: Int = 2,
+                       publishedAt: Option[Long] = None): Map[String, Long] = {
     require(tables.nonEmpty)
+    require(retain >= 1, "retain must keep at least the live version")
     val spark = tables.head._2.sparkSession
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -597,10 +600,30 @@ object Sync {
     }.toMap
     boundary(1) // every new snapshot committed; manifest still old
     val merged = old ++ next
+    val body = merged.toSeq.sorted.map { case (t, v) => s"$t=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // history entry FIRST (additive, immutable): a crash between here
+    // and the pointer swap leaves a manifest-N whose content is not yet
+    // live — harmless, since every snapshot it references was committed
+    // at boundary(1) and the LIVE resolution path below stays
+    // pointer-based. This is the time-travel record: the full dataset
+    // state of each publish, the Spark spelling of the reference's
+    // date-suffixed history tables (dags/cloudsql_to_bigquery.py:226-227).
+    val histDir = new Path(rootP, ManifestHistoryDir)
+    if (!fs.exists(histDir)) fs.mkdirs(histDir)
+    val histN = listManifestHistory(fs, rootP).map(_._1)
+      .foldLeft(0L)(math.max) + 1
+    locally {
+      val ts = publishedAt.getOrElse(System.currentTimeMillis())
+      val h = fs.create(new Path(histDir, s"manifest-$histN"), true)
+      h.write((s"$PublishedAtKey=$ts\n" + new String(body,
+        java.nio.charset.StandardCharsets.UTF_8))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h.close()
+    }
     val tmp = new Path(rootP, ManifestTmp)
     val out = fs.create(tmp, true)
-    out.write(merged.toSeq.sorted.map { case (t, v) => s"$t=$v" }
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(body)
     out.close()
     boundary(2) // full manifest staged beside the live one
     val man = new Path(rootP, Manifest)
@@ -608,16 +631,138 @@ object Sync {
     boundary(3) // manifest gone: readers fall back to the staged tmp
     fs.rename(tmp, man)
     boundary(4) // acknowledged; stale snapshots not yet vacuumed
-    // vacuum: keep each table's new and immediately-superseded versions
+    // snapshot retention: keep each table's newest `retain` versions
+    // (default 2 = live + immediately superseded, for readers mid-swap);
+    // a time-travel dataset publishes with a larger retain and prunes
+    // with vacuumPublished, which also trims the manifest history
     merged.foreach { case (t, v) =>
       val tdir = new Path(rootP, t)
       if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
         val n = st.getPath.getName
-        val keep = n == s"snap-$v" || n == s"snap-${v - 1}"
+        val keep = n.startsWith("snap-") &&
+          scala.util.Try(n.stripPrefix("snap-").toLong).toOption
+            .exists(x => x > v - retain)
         if (!keep) fs.delete(st.getPath, true)
       }
     }
     next
+  }
+
+  private[graft] val ManifestHistoryDir = "_manifests"
+  private[graft] val PublishedAtKey = "_published_at"
+
+  /** The publish history, oldest first: (manifest version, published-at
+    * epoch millis, table→snapshot map). Unparsable entries are skipped.
+    */
+  def listPublishHistory(spark: SparkSession,
+                         root: String): Seq[(Long, Long, Map[String, Long])] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listManifestHistory(fs, rootP)
+  }
+
+  private def listManifestHistory(fs: FileSystem, rootP: Path)
+      : Seq[(Long, Long, Map[String, Long])] = {
+    val histDir = new Path(rootP, ManifestHistoryDir)
+    if (!fs.exists(histDir)) return Seq.empty
+    fs.listStatus(histDir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("manifest-")) None
+      else scala.util.Try {
+        val n = name.stripPrefix("manifest-").toLong
+        val in = fs.open(st.getPath)
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r > 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        in.close()
+        val lines = new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).split("\n")
+        val ts = lines.collectFirst {
+          case ln if ln.startsWith(s"$PublishedAtKey=") =>
+            ln.stripPrefix(s"$PublishedAtKey=").trim.toLong
+        }.getOrElse(0L)
+        val tabs = lines.filter(ln =>
+          ln.contains('=') && !ln.startsWith(PublishedAtKey)).map { ln =>
+          val Array(t, v) = ln.trim.split("=", 2)
+          t -> v.toLong
+        }.toMap
+        (n, ts, tabs)
+      }.toOption
+    }.sortBy(_._1)
+  }
+
+  /** TIME TRAVEL: read one table as of a given manifest version — the
+    * dataset state a specific [[publishAtomicAll]] call made live.
+    * None when the version never existed, never covered the table, or
+    * the snapshot it references was vacuumed (the retention boundary is
+    * a read error surfaced honestly, not silently-latest).
+    */
+  def readAtomicTableAt(spark: SparkSession, root: String, table: String,
+                        version: Long): Option[DataFrame] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listManifestHistory(fs, rootP).find(_._1 == version)
+      .flatMap(_._3.get(table)).flatMap { v =>
+        val dir = new Path(rootP, s"$table/snap-$v")
+        if (fs.exists(new Path(dir, CommitMarker)))
+          Some(spark.read.parquet(dir.toString))
+        else None
+      }
+  }
+
+  /** TIME TRAVEL by date: read the table as of the NEWEST publish whose
+    * `publishedAt` is <= `asOfMillis` — the "what did the warehouse say
+    * on date D" audit/backfill read.
+    */
+  def readAtomicTableAsOf(spark: SparkSession, root: String, table: String,
+                          asOfMillis: Long): Option[DataFrame] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listManifestHistory(fs, rootP).filter(_._2 <= asOfMillis)
+      .lastOption.flatMap(m => readAtomicTableAt(spark, root, table, m._1))
+  }
+
+  /** Bounded retention over the manifest history: keep the newest
+    * `keepN` manifests (the LIVE state is always among them — the
+    * newest history entry matches the live pointer by construction, so
+    * the current version CANNOT be deleted), drop older manifest files,
+    * and delete every snapshot directory no kept manifest references.
+    * Returns (manifests kept, snapshot dirs deleted).
+    */
+  def vacuumPublished(spark: SparkSession, root: String,
+                      keepN: Int): (Long, Long) = {
+    require(keepN >= 1, "vacuum must keep at least the live version")
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist = listManifestHistory(fs, rootP)
+    if (hist.isEmpty) return (0L, 0L)
+    val kept = hist.takeRight(keepN)
+    val dropped = hist.dropRight(keepN)
+    dropped.foreach { case (n, _, _) =>
+      fs.delete(new Path(rootP, s"$ManifestHistoryDir/manifest-$n"), false)
+    }
+    // referenced = union over kept manifests PLUS the live pointer (the
+    // can't-delete-current guard holds even if the history was damaged)
+    val live = resolveManifest(fs, rootP)
+    val referenced: Set[(String, Long)] =
+      (kept.flatMap(_._3.toSeq) ++ live.toSeq).toSet
+    var deleted = 0L
+    val tableNames = (referenced.map(_._1) ++ live.keySet).toSeq.distinct
+    tableNames.foreach { t =>
+      val tdir = new Path(rootP, t)
+      if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
+        val n = st.getPath.getName
+        val vOpt = if (n.startsWith("snap-"))
+          scala.util.Try(n.stripPrefix("snap-").toLong).toOption else None
+        vOpt.foreach { v =>
+          if (!referenced.contains((t, v))) {
+            fs.delete(st.getPath, true); deleted += 1
+          }
+        }
+      }
+    }
+    (kept.length.toLong, deleted)
   }
 
   /** Resolve the live manifest: `_MANIFEST` when present and parsable,

@@ -53,6 +53,7 @@ object PipelineRegistry {
     "a47_mysqlwire_quirks"  -> (PipelineQueries.a47MysqlwireQuirks _),
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
+    "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
     "a61_kafkawire_tls"     -> (PipelineQueries.a61KafkawireTls _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
@@ -568,6 +569,26 @@ object PipelineRegistry {
     "a60_tdswire_tls" ->
       """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
         |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    // a62: the manifest-history time-travel contract — four reads of
+    // the twice-published dataset: version 1, version 2, as-of a date
+    // between the two publish stamps (= version 1), and live (= v2)
+    "a62_time_travel" ->
+      """WITH full_agg AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |  FROM nation GROUP BY n_regionkey),
+        |even_agg AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |  FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey)
+        |SELECT n_regionkey, n, key_sum, 'v1' AS read_as FROM full_agg
+        |UNION ALL
+        |SELECT n_regionkey, n, key_sum, 'v2' AS read_as FROM even_agg
+        |UNION ALL
+        |SELECT n_regionkey, n, key_sum, 'asof_1500' AS read_as FROM full_agg
+        |UNION ALL
+        |SELECT n_regionkey, n, key_sum, 'live' AS read_as FROM even_agg
+        |ORDER BY read_as, n_regionkey""".stripMargin,
     // a61: the a48 round trip with the listener in its from-byte-0 TLS
     // variant — same reconciled row set, encrypted produce+fetch hops
     "a61_kafkawire_tls" ->

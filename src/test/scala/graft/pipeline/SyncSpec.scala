@@ -605,6 +605,61 @@ class SyncSpec extends SparkTestBase {
     }
   }
 
+  test("manifest time travel: every publish is readable at its version " +
+      "and by date; vacuum keeps the newest N readable, deletes the " +
+      "rest's snapshots, and can never delete the live version") {
+    import spark.implicits._
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    val root = Files.createTempDirectory("graft_tt_spec").toString + "/ds"
+    for (v <- 1 to 4)
+      Sync.publishAtomicAll(Seq("t" -> ds(s"v$v", v)), root,
+        retain = 10, publishedAt = Some(v * 1000L))
+    // history is complete and ordered
+    val hist = Sync.listPublishHistory(spark, root)
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(hist.map(_._2) == Seq(1000L, 2000L, 3000L, 4000L))
+    // every version reads back its own state
+    for (v <- 1 to 4) {
+      val df = Sync.readAtomicTableAt(spark, root, "t", v.toLong)
+      assert(df.exists(_.count() == v.toLong), s"version $v")
+      assert(df.exists(_.select("tag").distinct().head().getString(0)
+        == s"v$v"))
+    }
+    // as-of-date semantics: newest publish at or before the stamp;
+    // before the first publish there is nothing to read
+    assert(Sync.readAtomicTableAsOf(spark, root, "t", 2500L)
+      .exists(_.count() == 2L))
+    assert(Sync.readAtomicTableAsOf(spark, root, "t", 2000L)
+      .exists(_.count() == 2L))
+    assert(Sync.readAtomicTableAsOf(spark, root, "t", 500L).isEmpty)
+    // vacuum to the newest 2: v1/v2 snapshots deleted, v3/v4 intact
+    val (keptN, deleted) = Sync.vacuumPublished(spark, root, keepN = 2)
+    assert(keptN == 2L && deleted == 2L, s"kept=$keptN deleted=$deleted")
+    assert(Sync.readAtomicTableAt(spark, root, "t", 1L).isEmpty)
+    assert(Sync.readAtomicTableAt(spark, root, "t", 2L).isEmpty)
+    assert(Sync.readAtomicTableAt(spark, root, "t", 3L)
+      .exists(_.count() == 3L), "a kept version must stay readable")
+    assert(Sync.readAtomicTableAt(spark, root, "t", 4L)
+      .exists(_.count() == 4L))
+    // the live pointer always survives vacuum, even keepN = 1
+    val (k1, _) = Sync.vacuumPublished(spark, root, keepN = 1)
+    assert(k1 == 1L)
+    assert(Sync.readAtomicTable(spark, root, "t")
+      .exists(_.count() == 4L), "live read after maximal vacuum")
+    assert(Sync.readAtomicTableAt(spark, root, "t", 4L)
+      .exists(_.count() == 4L))
+    // guard: a vacuum keeping nothing is refused outright
+    intercept[IllegalArgumentException] {
+      Sync.vacuumPublished(spark, root, keepN = 0)
+    }
+    // a publish AFTER vacuum continues the manifest numbering (5), so
+    // vacuumed version ids are never reused for different data
+    Sync.publishAtomicAll(Seq("t" -> ds("v5", 5)), root,
+      retain = 10, publishedAt = Some(5000L))
+    assert(Sync.listPublishHistory(spark, root).map(_._1) == Seq(4L, 5L))
+  }
+
   test("a55 fixed-width roundtrip: record layout is byte-exact, the " +
       "15-char priority with an INTERNAL space survives, and the " +
       "re-parsed aggregate matches a direct one") {
