@@ -156,6 +156,135 @@ object Avi {
       .toDF()
   }
 
+  /** Parsed audio track: PCM16 samples in movi order. */
+  final case class AviAudio(channels: Int, sampleRate: Int,
+                            samples: Array[Int])
+
+  private def le16(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xFF) | ((d(p + 1) & 0xFF) << 8)
+
+  /** AUDIO-track walk — the `##wb` chunks [[decodeFrames]] deliberately
+    * skips: find the `strl` whose `strh` declares fccType `auds`, read
+    * its `strf` (WAVEFORMATEX: wFormatTag, nChannels, nSamplesPerSec,
+    * wBitsPerSample), and concatenate that stream's `NNwb` payloads in
+    * movi order. Stream number NN is the strh ordinal, the AVI stream
+    * numbering rule. Refusal contract: only uncompressed PCM
+    * (wFormatTag 1) at 16 bits, 1–2 channels — MP3-in-AVI (0x55),
+    * ADPCM (2), float (3) refuse rather than fabricating samples; an
+    * odd payload byte count (torn sample) refuses too. Samples decode
+    * with the [[Wav]] LE16 two's-complement math — one codec
+    * convention across both RIFF containers.
+    */
+  def decodeAudio(data: Array[Byte]): Option[AviAudio] = {
+    if (data.length < 24) return None
+    if (fourcc(data, 0) != "RIFF" || fourcc(data, 8) != "AVI ") return None
+    val riffLen = le32(data, 4)
+    if (riffLen < 4 || 8 + riffLen.toLong > data.length) return None
+    var streamCounter = -1
+    var audioIdx = -1
+    var lastWasAuds = false
+    var fmtTag = -1; var channels = -1; var rate = -1; var bits = -1
+    val audio = new ByteArrayOutputStream()
+
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = fourcc(data, p)
+        val len = le32(data, p + 4)
+        if (len < 0 || p + 8 + len.toLong > until) return false
+        id match {
+          case "LIST" =>
+            if (len < 4) return false
+            val listType = fourcc(data, p + 8)
+            if (!walk(p + 12, p + 8 + len,
+              inMovi || listType == "movi" || listType == "rec ")) return false
+          case "strh" =>
+            if (len < 56) return false
+            streamCounter += 1
+            val fccType = fourcc(data, p + 8)
+            lastWasAuds = fccType == "auds"
+            if (lastWasAuds) {
+              if (audioIdx >= 0) return false // one audio track per leg
+              audioIdx = streamCounter
+            }
+          case "strf" if lastWasAuds =>
+            if (len < 16) return false
+            fmtTag = le16(data, p + 8)
+            channels = le16(data, p + 10)
+            rate = le32(data, p + 12)
+            bits = le16(data, p + 22)
+            lastWasAuds = false
+          case wb if inMovi && audioIdx >= 0 && wb.length == 4 &&
+              wb.endsWith("wb") && wb(0).isDigit && wb(1).isDigit &&
+              (wb(0) - '0') * 10 + (wb(1) - '0') == audioIdx =>
+            audio.write(data, p + 8, len)
+          case _ => // video chunks, JUNK, idx1, other streams: skip
+        }
+        p += 8 + len + (len & 1)
+      }
+      true
+    }
+
+    if (!walk(12, 8 + riffLen, inMovi = false)) return None
+    if (audioIdx < 0) return None            // no audio track declared
+    if (fmtTag != 1) return None             // PCM only — never fabricate
+    if (bits != 16) return None
+    if (channels < 1 || channels > 2) return None
+    if (rate <= 0) return None
+    val raw = audio.toByteArray
+    if (raw.length == 0 || (raw.length & 1) == 1) return None
+    val samples = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    Some(AviAudio(channels, rate, samples))
+  }
+
+  final case class VideoAudioRow(doc_id: Long, n_frames: Int, video_ms: Int,
+                                 sample_rate: Int, channels: Int,
+                                 n_samples: Long, audio_ms: Long,
+                                 energy: Long, peak: Int)
+
+  /** BOTH tracks of each clip in one row — per-clip audio features
+    * ([[Wav.wavStats]] math: Σs² energy + peak magnitude) joined with
+    * the video geometry the frame walk yields, plus both durations (the
+    * A/V-sync sanity surface). Undecodable clips — either track — emit
+    * the refusal marker (n_frames −1): a clip with a broken audio
+    * stream must not pass as silent footage. Partition-wise, zero
+    * shuffles before the final sort.
+    */
+  def videoAudio(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (for {
+          v <- decodeFrames(bytes)
+          a <- decodeAudio(bytes)
+        } yield {
+          var energy = 0L
+          var peak = 0
+          var i = 0
+          while (i < a.samples.length) {
+            val x = a.samples(i)
+            energy += x.toLong * x
+            val m = math.abs(x)
+            if (m > peak) peak = m
+            i += 1
+          }
+          VideoAudioRow(id, v.frames.length,
+            v.frames.length * (v.usPerFrame / 1000),
+            a.sampleRate, a.channels, a.samples.length.toLong,
+            a.samples.length.toLong * 1000L / (a.sampleRate.toLong * a.channels),
+            energy, peak)
+        }).getOrElse(VideoAudioRow(id, -1, 0, 0, 0, 0L, 0L, 0L, 0))
+      })
+      .toDF()
+  }
+
   // ---- fixture encoder (the mm_gif_frames precedent) ---------------------
 
   private def cc(out: ByteArrayOutputStream, s: String): Unit =
@@ -178,9 +307,15 @@ object Avi {
     * `((seed·7 + blockIdx·29) mod 96) + f + 128·[f ≥ 2]` — bounded below
     * 256 so frame deltas never wrap), 25 fps. Frames 0→1 and 2→3 drift
     * by exactly +1 per pixel; frame 2 jumps +129 per pixel — the
-    * guaranteed scene cut. The container carries an odd-length JUNK
-    * chunk (word-alignment pin), a fake audio `01wb` chunk and an `idx1`
-    * index, all of which a correct walk skips.
+    * guaranteed scene cut.
+    *
+    * Stream 01 is a REAL interleaved PCM16 mono 8 kHz audio track:
+    * n = seed%50+40 samples, sample k = ((seed·31 + k·17) mod 4001) −
+    * 2000, split across TWO `01wb` chunks (32 samples, then the rest —
+    * the concatenation pin). The container also carries an odd-length
+    * JUNK chunk (word-alignment pin), a `03wb` chunk for a stream no
+    * strh declares (the unknown-stream skip pin) and an `idx1` index
+    * the walks ignore.
     */
   def aviFixture(seed: Long): Array[Byte] = {
     val w = (seed % 13 + 17).toInt
@@ -196,7 +331,7 @@ object Avi {
     le32(avih, 40000) // µs per frame (25 fps)
     le32(avih, 0); le32(avih, 0); le32(avih, 0)
     le32(avih, jpegs.length) // total frames
-    le32(avih, 0); le32(avih, 1) // initial frames, streams
+    le32(avih, 0); le32(avih, 2) // initial frames, streams (vids+auds)
     le32(avih, jpegs.map(_.length).max)
     le32(avih, w); le32(avih, h)
     (0 until 4).foreach(_ => le32(avih, 0)) // reserved
@@ -223,10 +358,47 @@ object Avi {
     chunk(strl, "strh", strh.toByteArray)
     chunk(strl, "strf", strf.toByteArray)
 
+    // stream 01: PCM16 mono 8 kHz audio — strh(auds) + WAVEFORMATEX strf
+    val nSamples = (seed % 50 + 40).toInt
+    def pcmSample(k: Int): Int = ((seed * 31 + k * 17) % 4001).toInt - 2000
+    val strhA = new ByteArrayOutputStream()
+    cc(strhA, "auds"); le32(strhA, 0) // handler 0 for PCM
+    le32(strhA, 0); le32(strhA, 0)
+    le32(strhA, 0)
+    le32(strhA, 1); le32(strhA, 8000) // scale, rate
+    le32(strhA, 0); le32(strhA, nSamples)
+    le32(strhA, nSamples * 2)
+    le32(strhA, -1); le32(strhA, 2) // quality, sample size
+    le32(strhA, 0); le32(strhA, 0)
+    val strfA = new ByteArrayOutputStream() // WAVEFORMATEX
+    strfA.write(1); strfA.write(0)          // wFormatTag = 1 (PCM)
+    strfA.write(1); strfA.write(0)          // nChannels = 1
+    le32(strfA, 8000)                       // nSamplesPerSec
+    le32(strfA, 16000)                      // nAvgBytesPerSec
+    strfA.write(2); strfA.write(0)          // nBlockAlign
+    strfA.write(16); strfA.write(0)         // wBitsPerSample
+    val strlA = new ByteArrayOutputStream()
+    cc(strlA, "strl")
+    chunk(strlA, "strh", strhA.toByteArray)
+    chunk(strlA, "strf", strfA.toByteArray)
+
     val hdrl = new ByteArrayOutputStream()
     cc(hdrl, "hdrl")
     chunk(hdrl, "avih", avih.toByteArray)
     chunk(hdrl, "LIST", strl.toByteArray)
+    chunk(hdrl, "LIST", strlA.toByteArray)
+
+    def pcmBytes(fromS: Int, untilS: Int): Array[Byte] = {
+      val b = new Array[Byte]((untilS - fromS) * 2)
+      var k = fromS
+      while (k < untilS) {
+        val v = pcmSample(k)
+        b(2 * (k - fromS)) = (v & 0xFF).toByte
+        b(2 * (k - fromS) + 1) = ((v >> 8) & 0xFF).toByte
+        k += 1
+      }
+      b
+    }
 
     val movi = new ByteArrayOutputStream()
     cc(movi, "movi")
@@ -235,8 +407,13 @@ object Avi {
     chunk(movi, "JUNK", Array.tabulate(7)(i => (seed + i).toByte))
     jpegs.zipWithIndex.foreach { case (j, i) =>
       chunk(movi, "00dc", j)
-      if (i == 1) // a fake interleaved audio chunk a correct walk skips
-        chunk(movi, "01wb", Array.tabulate(11)(k => (k * 3).toByte))
+      // the real audio track interleaves mid-stream in TWO chunks (the
+      // concatenation pin); a 03wb chunk for an undeclared stream pins
+      // the unknown-stream skip in BOTH walks
+      if (i == 0) chunk(movi, "01wb", pcmBytes(0, math.min(32, nSamples)))
+      if (i == 1) chunk(movi, "03wb", Array.tabulate(11)(k => (k * 3).toByte))
+      if (i == 2 && nSamples > 32)
+        chunk(movi, "01wb", pcmBytes(32, nSamples))
     }
 
     val idx = new ByteArrayOutputStream() // idx1: ignored by the decoder

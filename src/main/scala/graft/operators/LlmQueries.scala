@@ -955,6 +955,21 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** The AUDIO track of the same video container ([[Avi.decodeAudio]]:
+    * the `##wb` chunks the frame walk skips are PCM16 the [[Wav]] leg
+    * already speaks): per-clip audio features (Σs² energy, peak — the
+    * [[Wav.wavStats]] math) joined with the video geometry and both
+    * durations, over clips whose interleaved stream-01 track is split
+    * across two `01wb` chunks and shares the movi LIST with an
+    * undeclared-stream `03wb` chunk both walks must skip. The oracle
+    * replays the closed-form sample stream
+    * `((seed·31 + k·17) mod 4001) − 2000` per clip. Row-local decode,
+    * zero shuffles before the final sort.
+    */
+  def mmVideoAudio(s: SparkSession, dir: String): DataFrame =
+    Avi.videoAudio(Avi.aviMedia(docs(s, dir), "doc_id", "doc_id"))
+      .orderBy("doc_id")
+
   /** The MSB-first / early-change LZW leg ([[Tiff.tiffMedia]] fixtures
     * through [[Tiff.decode]]'s IFD walk + strip decompress): the same
     * dictionary algorithm as GIF with the opposite bit order — a decoder

@@ -30,6 +30,7 @@ object MediaRegistry {
     "mm_jpeg_progressive"   -> (LlmQueries.mmJpegProgressive _),
     "mm_gif_frames"         -> (LlmQueries.mmGifFrames _),
     "mm_video_frames"       -> (LlmQueries.mmVideoFrames _),
+    "mm_video_audio"        -> (LlmQueries.mmVideoAudio _),
     "mm_gif_scene"          -> (LlmQueries.mmGifScene _),
     "mm_wav_decode"         -> (LlmQueries.mmWavDecode _),
     "mm_flac_decode"        -> (LlmQueries.mmFlacDecode _),
@@ -632,6 +633,27 @@ object MediaRegistry {
         |  CAST(lum_diff AS BIGINT) AS lum_diff,
         |  (ABS(lum_diff) > 40000 * w * h) AS is_cut
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    // Audio track of the AVI clips: closed-form PCM16 stream (n =
+    // seed%50+40 samples, s_k = ((seed*31 + k*17) mod 4001) - 2000)
+    // interleaved across two 01wb chunks; energy/peak recomputed
+    // directly, durations from the two stream clocks.
+    "mm_video_audio" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 50 + 40 AS BIGINT) AS n
+        |  FROM documents),
+        |a AS (SELECT doc_id, MAX(n) AS n,
+        |    SUM(CAST(((seed * 31 + g.k * 17) % 4001) - 2000 AS BIGINT)
+        |      * (((seed * 31 + g.k * 17) % 4001) - 2000)) AS energy,
+        |    MAX(ABS(((seed * 31 + g.k * 17) % 4001) - 2000)) AS peak
+        |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS k) g
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(4 AS INT) AS n_frames,
+        |  CAST(160 AS INT) AS video_ms,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS audio_ms,
+        |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
+        |FROM a ORDER BY doc_id""".stripMargin,
     "mm_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,

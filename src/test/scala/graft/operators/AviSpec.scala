@@ -178,6 +178,73 @@ class AviSpec extends SparkTestBase {
       Avi.decodeFrames(b).foreach { v =>
         v.frames.foreach(Jpeg.decode) // frame decodes must not throw either
       }
+      Avi.decodeAudio(b) // audio walk shares the refuse-never-crash bar
     }
+  }
+
+  // ---- audio track -------------------------------------------------------
+
+  test("audio track decodes the closed-form PCM stream across the two " +
+      "interleaved 01wb chunks; the undeclared-stream 03wb chunk " +
+      "contributes nothing") {
+    for (seed <- Seq(0L, 7L, 49L)) {
+      val a = Avi.decodeAudio(Avi.aviFixture(seed)).get
+      assert(a.channels == 1 && a.sampleRate == 8000)
+      val n = (seed % 50 + 40).toInt
+      assert(a.samples.length == n, s"seed=$seed")
+      (0 until n).foreach { k =>
+        val want = ((seed * 31 + k * 17) % 4001).toInt - 2000
+        assert(a.samples(k) == want, s"seed=$seed sample $k")
+      }
+    }
+  }
+
+  test("a non-PCM wFormatTag (MP3 0x55), non-16-bit depth, and a torn " +
+      "(odd-byte) payload each refuse — never fabricated samples") {
+    val base = Avi.aviFixture(11L)
+    // WAVEFORMATEX begins right after the audio strl's strf header; find
+    // it via the auds fourcc: strh body starts at auds, strf chunk
+    // follows 56-byte body + pad
+    val s0 = new String(base, "ISO-8859-1")
+    val at = s0.indexOf("auds")
+    assert(at > 0)
+    val strfBody = at + 56 + 8 // strh body(56) + strf id+len(8)
+    assert(base(strfBody) == 1 && base(strfBody + 1) == 0, "PCM tag")
+    locally { // MP3 tag
+      val b = base.clone(); b(strfBody) = 0x55.toByte
+      assert(Avi.decodeAudio(b).isEmpty)
+      assert(Avi.decodeFrames(b).isDefined, "video leg unaffected")
+    }
+    locally { // 8-bit depth
+      val b = base.clone(); b(strfBody + 14) = 8
+      assert(Avi.decodeAudio(b).isEmpty)
+    }
+    locally { // torn payload: shrink the first 01wb chunk len to odd
+      val wb = s0.indexOf("01wb")
+      assert(wb > 0)
+      val b = base.clone()
+      // keep container consistent: bump len down by 1 making it odd and
+      // leaving one stray byte the walk treats as the alignment pad
+      val len = (b(wb + 4) & 0xFF) | ((b(wb + 5) & 0xFF) << 8)
+      b(wb + 4) = ((len - 1) & 0xFF).toByte
+      assert(Avi.decodeAudio(b).isEmpty)
+    }
+  }
+
+  test("videoAudio joins both tracks per clip and emits the refusal " +
+      "marker when the audio stream is broken") {
+    import spark.implicits._
+    val good = Seq((1L, Avi.aviFixture(5L))).toDF("doc_id", "data")
+    val row = Avi.videoAudio(good).collect().head
+    assert(row.getAs[Int]("n_frames") == 4 &&
+      row.getAs[Int]("video_ms") == 160 &&
+      row.getAs[Int]("sample_rate") == 8000 &&
+      row.getAs[Long]("n_samples") == 45L &&
+      row.getAs[Long]("audio_ms") == 5L)
+    val broken = Avi.aviFixture(5L)
+    val s1 = new String(broken, "ISO-8859-1")
+    broken(s1.indexOf("auds") + 56 + 8) = 0x55.toByte
+    val bad = Seq((2L, broken)).toDF("doc_id", "data")
+    assert(Avi.videoAudio(bad).collect().head.getAs[Int]("n_frames") == -1)
   }
 }
