@@ -299,6 +299,36 @@ object LlmQueries {
   def simReciprocalNn(s: SparkSession, dir: String): DataFrame =
     Similarity.reciprocalNN(embs(s, dir), "vec_id", "embedding")
 
+  /** sim_reciprocal_nn_ivf — the bucketed scale sibling MEASURED
+    * against the exact tier ([[Similarity.reciprocalNNIvf]]): mutual
+    * top-1 within IVF cells (label-trained codebook), full-outer-joined
+    * with the exact mutual pairs so every row carries (in_exact,
+    * in_ivf) — agreement is the fraction of both-true rows, and the
+    * exact-only rows are precisely the cross-cell pairs the SemDeDup
+    * trade gives up (the oracle replays assignment, both pair sets and
+    * the join, so the measured loss is pinned, not asserted).
+    * Embeddings cast to double once so the per-cell cosine agrees with
+    * the exact side bit-for-bit.
+    */
+  def simReciprocalNnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .localCheckpoint(true) // feeds centroids + both pair computations
+    val cents = Similarity.trainCentroids(e, "label", "emb")
+    val exact = Similarity.reciprocalNN(e.drop("label"), "vec_id", "emb")
+      .withColumn("in_exact", lit(true))
+    val ivf = Similarity.reciprocalNNIvf(e.drop("label"), cents,
+        "vec_id", "emb")
+      .withColumnRenamed("cos", "cos_ivf")
+      .withColumn("in_ivf", lit(true))
+    exact.join(ivf, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("cos"), col("cos_ivf")).as("cos"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"),
+        coalesce(col("in_ivf"), lit(false)).as("in_ivf"))
+      .orderBy("a", "b")
+  }
+
   def simKnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.cosineTopK(

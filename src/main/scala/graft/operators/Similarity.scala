@@ -127,6 +127,47 @@ object Similarity {
       .orderBy("a")
   }
 
+  /** The SCALE sibling of [[reciprocalNN]] — mutual-top-1 WITHIN IVF
+    * cells: vectors are first assigned to their nearest centroid (one
+    * row-local argmax, [[ivfAssign]]), then the nn-then-swap-join
+    * kernel runs per cell, exactly the per-bucket deployment the exact
+    * tier's guard message prescribes. The accepted recall loss is a
+    * mutual pair whose members land in different cells (the SemDeDup
+    * trade, [[graft.operators.Dedup.semanticDedup]]); the
+    * `sim_reciprocal_nn_ivf` row MEASURES that agreement against the
+    * exact row instead of asserting it.
+    *
+    * Scale: the only shuffle carries cid — |cell|² pair work bounded by
+    * the codebook sizing rule (k in the tens of thousands at 100 TB,
+    * trained on a sample), never all-pairs.
+    */
+  def reciprocalNNIvf(vecs: DataFrame, centroids: DataFrame,
+                      idCol: String, embCol: String): DataFrame = {
+    // checkpoint barrier: the assignment feeds both join sides (the
+    // semanticDedup rule — without it the interpreted argmax re-inlines
+    // into each consumer)
+    val assigned = ivfAssign(vecs, centroids, idCol, embCol)
+      .localCheckpoint(true)
+    val l = assigned.select(col("cid"), col(idCol).as("a"),
+      col(embCol).as("a_emb"))
+    val r = assigned.select(col("cid"), col(idCol).as("b"),
+      col(embCol).as("b_emb"))
+    val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+    val nn = l.join(r, Seq("cid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("b"), col("cos"))
+      .localCheckpoint(true) // feeds both sides of the mutuality join
+    nn.as("n1")
+      .join(nn.as("n2"),
+        col("n1.a") === col("n2.b") && col("n1.b") === col("n2.a") &&
+          col("n1.a") < col("n1.b"))
+      .select(col("n1.a").as("a"), col("n1.b").as("b"),
+        round(col("n1.cos"), 4).as("cos"))
+  }
+
   /** FILTERED vector search — the metadata-constrained retrieval every
     * vector store ships (tenant isolation, language/source scoping):
     * candidates must satisfy a per-probe equality predicate (share the

@@ -29,6 +29,7 @@ object LlmRegistry {
     "dedup_semantic"        -> (LlmQueries.dedupSemantic _),
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_reciprocal_nn"     -> (LlmQueries.simReciprocalNn _),
+    "sim_reciprocal_nn_ivf" -> (LlmQueries.simReciprocalNnIvf _),
     "sim_filtered_knn"      -> (LlmQueries.simFilteredKnn _),
     "sim_mmr"               -> (LlmQueries.simMmr _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -399,6 +400,51 @@ object LlmRegistry {
         |FROM nn n1 JOIN nn n2
         |  ON n1.a = n2.b AND n1.b = n2.a AND n1.a < n1.b
         |ORDER BY a""".stripMargin,
+    // bucketed reciprocal NN vs exact: IVF assignment replayed (the
+    // sim_ivf_ann spelling), per-cell mutual top-1, full-outer vs the
+    // exact mutual pairs -- the agreement measurement as rows
+    "sim_reciprocal_nn_ivf" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sc AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.e, y.e)
+        |      / (sqrt(list_dot_product(x.e, x.e))
+        |         * sqrt(list_dot_product(y.e, y.e))) AS cos
+        |  FROM v x, v y WHERE x.vec_id != y.vec_id),
+        |nn AS (SELECT a, b, cos FROM (
+        |    SELECT a, b, cos, ROW_NUMBER() OVER (PARTITION BY a
+        |      ORDER BY cos DESC, b) AS rn FROM sc) z WHERE rn = 1),
+        |ex AS (SELECT n1.a AS a, n1.b AS b, n1.cos AS cos FROM nn n1
+        |  JOIN nn n2 ON n1.a = n2.b AND n1.b = n2.a AND n1.a < n1.b),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(e[g.i]) AS av
+        |    FROM v, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |asg AS (SELECT vec_id, e, cid FROM (
+        |  SELECT v.vec_id, v.e, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.e, cent.cemb)
+        |        / (sqrt(list_dot_product(v.e, v.e))
+        |           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM v, cent) WHERE rn = 1),
+        |isc AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.e, y.e)
+        |      / (sqrt(list_dot_product(x.e, x.e))
+        |         * sqrt(list_dot_product(y.e, y.e))) AS cos
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id != y.vec_id),
+        |inn AS (SELECT a, b, cos FROM (
+        |    SELECT a, b, cos, ROW_NUMBER() OVER (PARTITION BY a
+        |      ORDER BY cos DESC, b) AS rn FROM isc) z WHERE rn = 1),
+        |iv AS (SELECT n1.a AS a, n1.b AS b, n1.cos AS cos FROM inn n1
+        |  JOIN inn n2 ON n1.a = n2.b AND n1.b = n2.a AND n1.a < n1.b)
+        |SELECT COALESCE(ex.a, iv.a) AS a, COALESCE(ex.b, iv.b) AS b,
+        |  ROUND(COALESCE(ex.cos, iv.cos), 4) AS cos,
+        |  ex.a IS NOT NULL AS in_exact, iv.a IS NOT NULL AS in_ivf
+        |FROM ex FULL OUTER JOIN iv ON ex.a = iv.a AND ex.b = iv.b
+        |ORDER BY a, b""".stripMargin,
     "sim_knn_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
         |           FROM embeddings WHERE vec_id < 10),
