@@ -844,6 +844,63 @@ object PipelineQueries {
       .orderBy("c_custkey")
   }
 
+  /** A63 — the THREE-DIALECT consistency contract the reference implies
+    * by running one shared type map over every source
+    * (`dags/cloudsql_to_bigquery.py:152-165`): ONE decimal/temporal
+    * fixture (money-scale DECIMAL(19,4) extremes, sub-second
+    * timestamps, dates, non-ASCII text, SMALLINT range edges, NULLs in
+    * every column) created once in the shared backend, then read back
+    * through ALL THREE live wire paths — PostgreSQL text protocol,
+    * MySQL lenenc protocol, MS-TDS binary-typed tokens — and emitted
+    * tagged per leg. The oracle pins the same literal block three
+    * times, so ANY leg whose codec rounds a decimal, drops timestamp
+    * precision, or mis-signs a SMALLINT breaks exactly its rows.
+    */
+  def a63DialectParity(s: SparkSession, dir: String): DataFrame = {
+    locally { // one storage truth, created through the TDS leg
+      val conn = tdsConnect()
+      try {
+        val st = conn.createStatement()
+        try st.execute(
+          """CREATE TABLE graft.dbo.parity_wire (
+            |  [id] BIGINT, [money] DECIMAL(19,4), [tip] DECIMAL(10,4),
+            |  [ts] TIMESTAMP, [d] DATE, [title] VARCHAR(100),
+            |  [sm] SMALLINT)""".stripMargin)
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+        st.execute("DELETE FROM graft.dbo.parity_wire")
+        st.execute("""INSERT INTO parity_wire VALUES
+          |(1, 922337203685477.5807, 214748.3647,
+          | TIMESTAMP('2024-05-01 10:30:00.123456'), DATE('2024-03-15'),
+          | 'naïve café', 255),
+          |(2, -0.0001, NULL, TIMESTAMP('1999-12-31 23:59:59'), NULL,
+          | NULL, -32768),
+          |(3, NULL, 0.5, NULL, DATE('1970-01-01'), 'plain', 32767)"""
+          .stripMargin)
+        st.close()
+      } finally conn.close()
+    }
+    graft.sources.pgwire.PgWireDriver.ensureRegistered()
+    graft.sources.mysqlwire.MySqlWireDriver.ensureRegistered()
+    def canon(df: DataFrame, leg: String): DataFrame = df.select(
+      lit(leg).as("leg"), col("id"),
+      col("money").cast("decimal(19,4)").cast("string").as("money_str"),
+      col("tip").cast("decimal(10,4)").cast("string").as("tip_str"),
+      col("ts").cast("string").as("ts_str"),
+      col("d").cast("string").as("d_str"),
+      col("title"), col("sm").cast("int").as("sm"))
+    val quoted =
+      """SELECT "id", "money", "tip", "ts", "d", "title", "sm"
+        |FROM parity_wire""".stripMargin
+    val pg = canon(JdbcSource.readQuery(s, pgUrl, quoted, pgProps), "pg")
+    val my = canon(JdbcSource.readQuery(s, myUrl, quoted, myProps), "mysql")
+    val td = canon(JdbcSource.readQuery(s, tdsUrl,
+      """SELECT [id], [money], [tip], [ts], [d], [title], [sm]
+        |FROM graft.dbo.parity_wire""".stripMargin, tdsProps), "tds")
+    pg.unionByName(my).unionByName(td).orderBy("leg", "id")
+  }
+
   /** TLS sibling of [[tdsServer]] — completes the 4/4
     * encrypted-listener matrix (pgwire a50, mysqlwire a52, tdswire a60,
     * kafkawire a61), mirroring the reference's tunnel-everything stance

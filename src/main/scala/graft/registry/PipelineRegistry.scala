@@ -54,6 +54,7 @@ object PipelineRegistry {
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
+    "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
     "a61_kafkawire_tls"     -> (PipelineQueries.a61KafkawireTls _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
@@ -589,6 +590,18 @@ object PipelineRegistry {
         |UNION ALL
         |SELECT n_regionkey, n, key_sum, 'live' AS read_as FROM even_agg
         |ORDER BY read_as, n_regionkey""".stripMargin,
+    // a63: one decimal/temporal fixture through all three live wire
+    // dialects -- the same literal block three times; a codec divergence
+    // in any leg breaks exactly its tagged rows
+    "a63_dialect_parity" ->
+      """WITH f(id, money_str, tip_str, ts_str, d_str, title, sm) AS (VALUES
+        |  (CAST(1 AS BIGINT), '922337203685477.5807', '214748.3647',
+        |   '2024-05-01 10:30:00.123456', '2024-03-15', 'naïve café', 255),
+        |  (2, '-0.0001', NULL, '1999-12-31 23:59:59', NULL, NULL, -32768),
+        |  (3, NULL, '0.5000', NULL, '1970-01-01', 'plain', 32767))
+        |SELECT l.leg, f.* FROM f,
+        |  (VALUES ('pg'), ('mysql'), ('tds')) AS l(leg)
+        |ORDER BY l.leg, f.id""".stripMargin,
     // a61: the a48 round trip with the listener in its from-byte-0 TLS
     // variant — same reconciled row set, encrypted produce+fetch hops
     "a61_kafkawire_tls" ->
