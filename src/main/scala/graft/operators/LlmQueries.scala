@@ -710,6 +710,17 @@ object LlmQueries {
     mediaDecodeStats(
       Multimodal.pngMediaInterlaced(docs(s, dir), "doc_id", "doc_id"))
 
+  /** The PALETTE-indexed leg ([[Multimodal.pngMediaPalette]] fixtures
+    * through [[Multimodal.decodePng]]'s packed-row defilter + PLTE
+    * expansion): bit-depth-4 indices, 1-byte filter unit over packed
+    * bytes, tRNS-driven RGB/RGBA split by seed parity — the oracle
+    * replays index field, palette formulas and luminance in closed
+    * form, and the channels column pins the tRNS detection.
+    */
+  def mmPngPalette(s: SparkSession, dir: String): DataFrame =
+    mediaDecodeStats(
+      Multimodal.pngMediaPalette(docs(s, dir), "doc_id", "doc_id"))
+
   /** The RUN-LENGTH-ENCODED leg ([[Tga.tgaMedia]] fixtures through
     * [[Tga.decode]]'s packet walk): raw vs RLE packets alternate per
     * row, BGR order, top-down descriptor — the oracle replays the

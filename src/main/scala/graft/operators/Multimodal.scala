@@ -210,12 +210,50 @@ object Multimodal {
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
   /** IHDR parse: `(width, height, channels, interlaced)` for 8-bit
-    * grayscale (colorType 0 → 1 channel), truecolor (2 → RGB) and
-    * truecolor+alpha (6 → RGBA) PNGs, both sequential (interlace 0) and
-    * Adam7 (interlace 1) — geometry without touching the compressed
-    * stream. Anything else (palette, gray+alpha, 16-bit) refuses.
+    * grayscale (colorType 0 → 1 channel), truecolor (2 → RGB),
+    * truecolor+alpha (6 → RGBA) and PALETTE-indexed (3, bit depth
+    * 1/2/4/8 — reported as 3 channels, the post-expansion RGB floor;
+    * a tRNS chunk upgrades the DECODE to RGBA) PNGs, both sequential
+    * (interlace 0) and Adam7 (interlace 1) — geometry without touching
+    * the compressed stream. Anything else (gray+alpha, 16-bit)
+    * refuses.
     */
-  private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
+  private def pngIhdr(data: Array[Byte]): Option[(Int, Int, Int, Boolean)] =
+    pngIhdrFull(data).map { case (w, h, ct, _, il) =>
+      val ch = ct match {
+        case 0 => 1
+        case 6 => 4
+        // palette geometry must report the DECODE shape, which depends
+        // on a tRNS chunk later in the stream: a header-cheap walk over
+        // chunk FRAMES only (no payload read, no inflate) finds it
+        case 3 if pngHasChunk(data, "tRNS") => 4
+        case _ => 3
+      }
+      (w, h, ch, il)
+    }
+
+  /** Chunk-frame walk: does a chunk of `ctype` appear before IEND?
+    * Reads only the 8-byte chunk headers, never payloads.
+    */
+  private def pngHasChunk(data: Array[Byte], ctype: String): Boolean = {
+    def be32(off: Int): Int =
+      ((data(off) & 0xFF) << 24) | ((data(off + 1) & 0xFF) << 16) |
+        ((data(off + 2) & 0xFF) << 8) | (data(off + 3) & 0xFF)
+    var pos = 33
+    while (pos + 8 <= data.length) {
+      val clen = be32(pos)
+      if (clen < 0 || pos.toLong + 12L + clen > data.length) return false
+      val t = new String(data, pos + 4, 4, "US-ASCII")
+      if (t == ctype) return true
+      if (t == "IEND") return false
+      pos += 12 + clen
+    }
+    false
+  }
+
+  /** Full IHDR: `(w, h, colorType, bitDepth, interlaced)`. */
+  private def pngIhdrFull(
+      data: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] = {
     if (data.length < 33) return None
     var k = 0
     while (k < 8) { if (data(k) != PngSig(k)) return None; k += 1 }
@@ -226,18 +264,19 @@ object Multimodal {
     if (be32(8) != 13 || data(12) != 'I' || data(13) != 'H' ||
         data(14) != 'D' || data(15) != 'R') return None
     val w = be32(16); val h = be32(20)
-    val bitDepth = data(24); val colorType = data(25)
+    val bitDepth = data(24) & 0xFF; val colorType = data(25) & 0xFF
     val compression = data(26); val filterMethod = data(27)
     val interlace = data(28)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+    if (w <= 0 || h <= 0 || compression != 0 ||
         filterMethod != 0 || interlace > 1) return None
-    colorType match {
-      case 0 => Some((w, h, 1, interlace == 1)) // grayscale: the luma
-                                // walks use the single sample directly
-      case 2 => Some((w, h, 3, interlace == 1))
-      case 6 => Some((w, h, 4, interlace == 1))
-      case _ => None
+    val depthOk = colorType match {
+      case 0 | 2 | 6 => bitDepth == 8
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8
+      case _ => false
     }
+    if (!depthOk) return None
+    Some((w, h, colorType, bitDepth, interlace == 1))
   }
 
   /** Adam7 pass geometry: `(xstart, ystart, xstep, ystep)` in PNG spec
@@ -256,9 +295,15 @@ object Multimodal {
     * integrity words are parsed past, not verified, the checksum pass a
     * lake runs at ingest; STRUCTURE is what this decoder guards:
     * signature, IHDR sanity, chunk framing inside the payload, and the
-    * inflated length equaling exactly h·(1 + w·channels)), then reverse
-    * the per-row filter (all five: None/Sub/Up/Average/Paeth) into a
-    * top-down RGB(A) pixel buffer. Malformed payloads — bad framing,
+    * inflated length equaling exactly the serialized scanline total),
+    * then reverse the per-row filter (all five: None/Sub/Up/Average/
+    * Paeth) into a top-down RGB(A) pixel buffer. PALETTE images
+    * (colorType 3, depth 1/2/4/8) additionally unpack MSB-first indices
+    * from the defiltered packed rows (filter unit = 1 byte per spec)
+    * and expand through PLTE — with tRNS present the output is RGBA
+    * (alpha 255 past the tRNS length); chunk ordering (PLTE before
+    * IDAT, tRNS between) is enforced and an index past the palette
+    * refuses. Malformed payloads — bad framing,
     * truncated or corrupt deflate, wrong inflated length — refuse with
     * None, never fabricate (the decoder contract).
     *
@@ -269,18 +314,25 @@ object Multimodal {
     */
   private[operators] def decodePng(
       data: Array[Byte]): Option[(ImageInfo, Array[Byte])] = {
-    val (w, h, ch, interlaced) = pngIhdr(data) match {
+    val (w, h, colorType, depth, interlaced) = pngIhdrFull(data) match {
       case Some(t) => t
       case None => return None
+    }
+    val pal = colorType == 3
+    val sampCh = colorType match { // channels as serialized in IDAT
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => 1 // palette: indices
     }
     def be32(off: Int): Int =
       ((data(off) & 0xFF) << 24) | ((data(off + 1) & 0xFF) << 16) |
         ((data(off + 2) & 0xFF) << 8) | (data(off + 3) & 0xFF)
+    // serialized row width in BYTES for a wp-pixel scanline: sub-byte
+    // palette depths pack MSB-first with zero-padded final byte
+    def rowBytes(wp: Int): Long =
+      if (pal) (wp.toLong * depth + 7) / 8 else wp.toLong * sampCh
     // decode-target bound in Long BEFORE allocating (a 31-bit w·h·ch
     // pair can overflow Int and a hostile header must not OOM the task).
     // Adam7: the stream holds 7 independently-filtered reduced images;
     // empty passes (too-small dimensions) serialize nothing (PNG spec).
-    val stride = w.toLong * ch
     val subs: Array[(Int, Int, Int, Int, Int, Int)] =
       (if (interlaced) Adam7 else Array((0, 0, 1, 1))).flatMap {
         case (xs, ys, xst, yst) =>
@@ -289,20 +341,41 @@ object Multimodal {
           if (wp > 0 && hp > 0) Some((xs, ys, xst, yst, wp, hp)) else None
       }
     val rawLen = subs.map { case (_, _, _, _, wp, hp) =>
-      hp.toLong * (1L + wp.toLong * ch) }.sum
+      hp.toLong * (1L + rowBytes(wp)) }.sum
     if (rawLen > (64L << 20)) return None
-    // chunk walk: collect IDAT payloads
+    if (w.toLong * h * 4 > (64L << 20)) return None // expansion bound
+    // chunk walk: IDAT payloads + (palette) PLTE before IDAT, optional
+    // tRNS between them — the PNG spec's chunk-ordering contract,
+    // enforced rather than assumed
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
+    var sawIdat = false
     var pos = 33 // 8 sig + 25 IHDR chunk
     var ended = false
     while (!ended && pos + 8 <= data.length) {
       val clen = be32(pos)
       if (clen < 0 || pos.toLong + 12L + clen > data.length) return None
       val ctype = new String(data, pos + 4, 4, "US-ASCII")
-      if (ctype == "IDAT") idat.write(data, pos + 8, clen)
-      else if (ctype == "IEND") ended = true
+      ctype match {
+        case "IDAT" => idat.write(data, pos + 8, clen); sawIdat = true
+        case "PLTE" =>
+          if (sawIdat || palette != null) return None // ordering
+          if (clen == 0 || clen % 3 != 0 || clen > 768) return None
+          palette = java.util.Arrays.copyOfRange(data, pos + 8,
+            pos + 8 + clen)
+        case "tRNS" if pal =>
+          if (sawIdat || palette == null) return None // after PLTE
+          if (clen > palette.length / 3) return None
+          trns = java.util.Arrays.copyOfRange(data, pos + 8, pos + 8 + clen)
+        case "IEND" => ended = true
+        case _ => ()
+      }
       pos += 12 + clen
     }
+    if (pal && palette == null) return None
+    val nPal = if (pal) palette.length / 3 else 0
+    val ch = if (!pal) sampCh else if (trns != null) 4 else 3
     val z = idat.toByteArray
     if (!ended || z.length < 3) return None
     // zlib CMF/FLG sanity (deflate method, no preset dictionary)
@@ -324,62 +397,99 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // defilter each sub-image's scanlines (bpp = ch at 8-bit depth) and
-    // scatter into the top-down pixel buffer; the sequential case is the
-    // single identity pass (xstep = ystep = 1), written in place
-    val istride = stride.toInt
+    // defilter each sub-image's scanlines and scatter into the top-down
+    // pixel buffer. Filtering operates on SERIALIZED bytes: the bpp
+    // filter unit is the sample width for direct color types and ONE
+    // BYTE for packed palette rows (PNG spec: bpp rounds up to 1).
+    val istride = w * ch
     val px = new Array[Byte](h * istride)
+    val bpp = if (pal) 1 else sampCh
     var off = 0
+    var failed = false
     subs.foreach { case (xs, ys, xst, yst, wp, hp) =>
-      val pstride = wp * ch
-      val direct = xst == 1 && yst == 1 && xs == 0 && ys == 0
-      val pbuf = if (direct) px else new Array[Byte](hp * pstride)
-      var y = 0
-      while (y < hp) {
-        val f = out(off + y * (1 + pstride)) & 0xFF
-        if (f > 4) return None
-        val src = off + y * (1 + pstride) + 1
-        val dst = y * pstride
-        var x = 0
-        while (x < pstride) {
-          val a = if (x >= ch) pbuf(dst + x - ch) & 0xFF else 0
-          val b = if (y > 0) pbuf(dst - pstride + x) & 0xFF else 0
-          val c = if (y > 0 && x >= ch) pbuf(dst - pstride + x - ch) & 0xFF
-                  else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) >> 1
-            case 4 => // Paeth predictor
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b)
-              val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          pbuf(dst + x) = (((out(src + x) & 0xFF) + pred) & 0xFF).toByte
-          x += 1
-        }
-        y += 1
-      }
-      if (!direct) {
-        var yp = 0
-        while (yp < hp) {
-          var xp = 0
-          while (xp < wp) {
-            var c = 0
-            while (c < ch) {
-              px((ys + yp * yst) * istride + (xs + xp * xst) * ch + c) =
-                pbuf(yp * pstride + xp * ch + c)
-              c += 1
+      if (!failed) {
+        val pstride = rowBytes(wp).toInt
+        // palette rows always defilter into a scratch row buffer (the
+        // packed bytes are not the output layout); direct color types
+        // write the full-image pass in place when the geometry is the
+        // identity pass
+        val direct = !pal && xst == 1 && yst == 1 && xs == 0 && ys == 0
+        val pbuf = if (direct) px else new Array[Byte](hp * pstride)
+        var y = 0
+        while (y < hp && !failed) {
+          val f = out(off + y * (1 + pstride)) & 0xFF
+          if (f > 4) failed = true
+          else {
+            val src = off + y * (1 + pstride) + 1
+            val dst = y * pstride
+            var x = 0
+            while (x < pstride) {
+              val a = if (x >= bpp) pbuf(dst + x - bpp) & 0xFF else 0
+              val b = if (y > 0) pbuf(dst - pstride + x) & 0xFF else 0
+              val c = if (y > 0 && x >= bpp) pbuf(dst - pstride + x - bpp) & 0xFF
+                      else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => a
+                case 2 => b
+                case 3 => (a + b) >> 1
+                case 4 => // Paeth predictor
+                  val p = a + b - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - b)
+                  val pc = math.abs(p - c)
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              }
+              pbuf(dst + x) = (((out(src + x) & 0xFF) + pred) & 0xFF).toByte
+              x += 1
             }
-            xp += 1
           }
-          yp += 1
+          y += 1
         }
+        if (!failed && pal) {
+          // unpack MSB-first indices, expand through the palette (+tRNS
+          // alpha, 255 past its length), scatter at pass geometry
+          var yp = 0
+          while (yp < hp && !failed) {
+            var xp = 0
+            while (xp < wp && !failed) {
+              val bitPos = xp * depth
+              val byteV = pbuf(yp * pstride + (bitPos >> 3)) & 0xFF
+              val shift = 8 - depth - (bitPos & 7)
+              val idx = (byteV >> shift) & ((1 << depth) - 1)
+              if (idx >= nPal) failed = true // index outside the palette
+              else {
+                val base = (ys + yp * yst) * istride + (xs + xp * xst) * ch
+                px(base) = palette(3 * idx)
+                px(base + 1) = palette(3 * idx + 1)
+                px(base + 2) = palette(3 * idx + 2)
+                if (ch == 4)
+                  px(base + 3) =
+                    if (idx < trns.length) trns(idx) else 0xFF.toByte
+              }
+              xp += 1
+            }
+            yp += 1
+          }
+        } else if (!failed && !direct) {
+          var yp = 0
+          while (yp < hp) {
+            var xp = 0
+            while (xp < wp) {
+              var c = 0
+              while (c < ch) {
+                px((ys + yp * yst) * istride + (xs + xp * xst) * ch + c) =
+                  pbuf(yp * pstride + xp * ch + c)
+                c += 1
+              }
+              xp += 1
+            }
+            yp += 1
+          }
+        }
+        off += hp * (1 + pstride)
       }
-      off += hp * (1 + pstride)
     }
+    if (failed) return None
     Some((ImageInfo(w, h, ch, 0, istride, bottomUp = false, bgr = false), px))
   }
 
@@ -1377,6 +1487,75 @@ object Multimodal {
           |  '89504E470D0A1A0A',
           |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
           |  lpad(hex(hh), 8, '0'), '0802000000', '00000000',
+          |  lpad(hex(rawlen + 11), 8, '0'), '49444154',
+          |  '7801', '01',
+          |  lpad(hex(rawlen % 256), 2, '0'),
+          |  lpad(hex(rawlen div 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) % 256), 2, '0'),
+          |  lpad(hex((65535 - rawlen) div 256), 2, '0'),
+          |  sl_hex, '00000000', '00000000',
+          |  '00000000', '49454E44', 'AE426082')""".stripMargin))
+      .select(col("doc_id"), unhex(col("png_hex")).as("data"))
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/png").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Deterministic PALETTE-indexed PNG fixtures — colorType 3 at BIT
+    * DEPTH 4 (two indices per byte, MSB first, zero-padded final nibble
+    * on odd widths): a 16-entry PLTE with closed-form RGB (entry j →
+    * ((j·37+seed·11)%256, (j·59+seed·7)%256, (j·83+seed·3)%256)), index
+    * field `(x + 3y + seed) mod 16`, and REAL row filters over the
+    * PACKED bytes (even rows None, odd rows Sub with the spec's 1-byte
+    * filter unit — a decoder that defilters at pixel width instead of
+    * byte width gets every odd row wrong). Odd seeds also carry an
+    * 8-entry tRNS (`a_j = (j·29+seed·5)%256`), upgrading the decode to
+    * RGBA with alpha 255 past the tRNS length. One zlib stored-block
+    * IDAT as in [[pngMedia]]; pure column expressions, row-local.
+    */
+  def pngMediaPalette(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    def idx(x: String) = s"pmod(($x) + y * 3 + seed, 16)"
+    def packed(k: String) =
+      s"(${idx(s"2 * ($k)")} * 16 + IF(2 * ($k) + 1 < w, " +
+        s"${idx(s"2 * ($k) + 1")}, 0))"
+    val fByte =
+      s"""IF(y % 2 = 0, ${packed("k")},
+         |  IF(k = 0, ${packed("0")},
+         |     pmod(${packed("k")} - ${packed("k - 1")}, 256)))""".stripMargin
+    val base = Spread.ifNarrow(
+        ids.select(col(idCol).as("doc_id"), col(seedCol).as("seed")))
+      .withColumn("w", (col("seed") % 9 + 12).cast("int"))
+      .withColumn("hh", (col("seed") % 7 + 10).cast("int"))
+      .withColumn("rb", expr("(w + 1) div 2"))
+      .withColumn("rawlen", expr("hh * (rb + 1)"))
+    base
+      .withColumn("sl_hex", expr(
+        s"""array_join(transform(sequence(0, hh - 1), y ->
+           |  concat(IF(y % 2 = 0, '00', '01'),
+           |    array_join(transform(sequence(0, rb - 1), k ->
+           |      element_at($hexLutSql, CAST($fByte AS INT) + 1)), ''))),
+           |  '')""".stripMargin))
+      .withColumn("plte_hex", expr(
+        s"""array_join(transform(sequence(0, 15), j -> concat(
+           |  element_at($hexLutSql, CAST(pmod(j * 37 + seed * 11, 256) AS INT) + 1),
+           |  element_at($hexLutSql, CAST(pmod(j * 59 + seed * 7, 256) AS INT) + 1),
+           |  element_at($hexLutSql, CAST(pmod(j * 83 + seed * 3, 256) AS INT) + 1))),
+           |  '')""".stripMargin))
+      .withColumn("trns_hex", expr(
+        s"""IF(seed % 2 = 1,
+           |  concat('00000008', '74524E53',
+           |    array_join(transform(sequence(0, 7), j ->
+           |      element_at($hexLutSql,
+           |        CAST(pmod(j * 29 + seed * 5, 256) AS INT) + 1)), ''),
+           |    '00000000'),
+           |  '')""".stripMargin))
+      .withColumn("png_hex", expr(
+        """concat(
+          |  '89504E470D0A1A0A',
+          |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
+          |  lpad(hex(hh), 8, '0'), '0403000000', '00000000',
+          |  '00000030', '504C5445', plte_hex, '00000000',
+          |  trns_hex,
           |  lpad(hex(rawlen + 11), 8, '0'), '49444154',
           |  '7801', '01',
           |  lpad(hex(rawlen % 256), 2, '0'),

@@ -24,6 +24,7 @@ object MediaRegistry {
     "mm_phash_neardup"      -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
+    "mm_png_palette"        -> (LlmQueries.mmPngPalette _),
     "mm_png_interlaced"     -> (LlmQueries.mmPngInterlaced _),
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
@@ -581,6 +582,29 @@ object MediaRegistry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
         |  CAST(3 AS INT) AS channels, CAST(l.lum_total AS BIGINT) AS lum_total
+        |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Palette leg: depth-4 packed indices expanded through the
+    // closed-form PLTE; luminance over the EXPANDED RGB; channels = 4
+    // exactly when the seed-parity tRNS chunk is present
+    "mm_png_palette" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 9 + 12 AS BIGINT) AS w,
+        |    CAST(doc_id % 7 + 10 AS BIGINT) AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, SUM(
+        |    299 * (((((g.i % w) + (g.i // w) * 3 + seed) % 16) * 37
+        |            + seed * 11) % 256)
+        |    + 587 * (((((g.i % w) + (g.i // w) * 3 + seed) % 16) * 59
+        |              + seed * 7) % 256)
+        |    + 114 * (((((g.i % w) + (g.i // w) * 3 + seed) % 16) * 83
+        |              + seed * 3) % 256)) AS lum_total
+        |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS i) g
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
+        |  CAST(CASE WHEN d.seed % 2 = 1 THEN 4 ELSE 3 END AS INT)
+        |    AS channels,
+        |  CAST(l.lum_total AS BIGINT) AS lum_total
         |FROM d JOIN l USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // Adam7 leg: SAME decoded pixel field as mm_png_decode (the
     // interlace only permutes the serialization), so the oracle is the

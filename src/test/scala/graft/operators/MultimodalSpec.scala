@@ -733,4 +733,115 @@ class MultimodalSpec extends SparkTestBase {
         s"seed $seed")
     }
   }
+
+  test("decodePng palette: PLTE expansion at depths 8/4/2/1 with packed-" +
+      "byte filtering, tRNS alpha (255 past its length), and the " +
+      "ordering/index refusal edges") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length) ++ ctype.getBytes("US-ASCII") ++ body ++ be32(0)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zn = d.deflate(buf); d.end()
+      buf.take(zn)
+    }
+    // indices -> packed filtered scanlines (even rows None, odd Sub@1B)
+    def pack(w: Int, h: Int, depth: Int, idx: (Int, Int) => Int): Array[Byte] = {
+      val rb = (w * depth + 7) / 8
+      (0 until h).flatMap { y =>
+        val packedRow = Array.tabulate(rb) { k =>
+          var v = 0
+          var bit = 0
+          while (bit < 8) {
+            val x = (k * 8 + bit) / depth
+            val inPix = bit % depth == 0 && x < w
+            if (inPix) v |= (idx(x, y) & ((1 << depth) - 1)) << (8 - depth - bit)
+            bit += 1
+          }
+          v.toByte
+        }
+        val f = if (y % 2 == 0) 0 else 1
+        val bytes = if (f == 0) packedRow
+          else Array.tabulate(rb)(k => ((packedRow(k) -
+            (if (k > 0) packedRow(k - 1) else 0)) & 0xFF).toByte)
+        f.toByte +: bytes
+      }.toArray
+    }
+    def pngPal(w: Int, h: Int, depth: Int, plte: Array[Byte],
+               trns: Option[Array[Byte]], idx: (Int, Int) => Int,
+               trnsBeforePlte: Boolean = false): Array[Byte] = {
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](depth.toByte, 3, 0, 0, 0)
+      val tc = trns.map(chunk("tRNS", _)).getOrElse(Array.emptyByteArray)
+      val pc = chunk("PLTE", plte)
+      sig ++ chunk("IHDR", ihdr) ++
+        (if (trnsBeforePlte) tc ++ pc else pc ++ tc) ++
+        chunk("IDAT", deflate(pack(w, h, depth, idx))) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val plte4 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90,
+      100, 110, 120) // 4 entries
+    // depth 8, 5x3, index = (x + y) % 4: exact RGB expansion
+    locally {
+      val got = Multimodal.decodePng(
+        pngPal(5, 3, 8, plte4, None, (x, y) => (x + y) % 4))
+      assert(got.isDefined, "depth-8 palette must decode")
+      val (info, buf) = got.get
+      assert(info.channels == 3 && info.width == 5 && info.height == 3)
+      for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+        assert((buf((y * 5 + x) * 3 + c) & 0xFF) ==
+          plte4(3 * ((x + y) % 4) + c),
+          s"pixel ($x,$y,$c)")
+    }
+    // sub-byte depths: the SAME index field must expand identically
+    for (depth <- Seq(1, 2, 4)) {
+      val m = 1 << math.min(depth, 2) // indices within palette
+      val got = Multimodal.decodePng(
+        pngPal(7, 4, depth, plte4, None, (x, y) => (x + y) % m))
+      assert(got.isDefined, s"depth-$depth palette must decode")
+      val (info, buf) = got.get
+      for (y <- 0 until 4; x <- 0 until 7; c <- 0 until 3)
+        assert((buf((y * 7 + x) * 3 + c) & 0xFF) ==
+          plte4(3 * ((x + y) % m) + c),
+          s"depth=$depth pixel ($x,$y,$c)")
+    }
+    // tRNS: RGBA out, alpha = trns(idx) below its length, 255 past it
+    locally {
+      val trns = Array[Byte](33, 66) // entries 0,1 translucent; 2,3 opaque
+      val got = Multimodal.decodePng(
+        pngPal(5, 3, 8, plte4, Some(trns), (x, y) => (x + y) % 4))
+      assert(got.isDefined)
+      val (info, buf) = got.get
+      assert(info.channels == 4, "tRNS upgrades the decode to RGBA")
+      for (y <- 0 until 3; x <- 0 until 5) {
+        val j = (x + y) % 4
+        val a = buf((y * 5 + x) * 4 + 3) & 0xFF
+        assert(a == (if (j < 2) trns(j) & 0xFF else 255), s"alpha ($x,$y)")
+      }
+    }
+    // refusal edges
+    locally { // no PLTE at all
+      val noPlte = {
+        val ihdr = be32(5) ++ be32(3) ++ Array[Byte](8, 3, 0, 0, 0)
+        sig ++ chunk("IHDR", ihdr) ++
+          chunk("IDAT", deflate(pack(5, 3, 8, (x, y) => (x + y) % 4))) ++
+          chunk("IEND", Array.emptyByteArray)
+      }
+      assert(Multimodal.decodePng(noPlte).isEmpty, "palette without PLTE")
+    }
+    assert(Multimodal.decodePng(
+      pngPal(5, 3, 8, plte4, None, (_, _) => 4)).isEmpty,
+      "index past the palette refuses, never fabricates")
+    assert(Multimodal.decodePng(
+      pngPal(5, 3, 8, plte4, Some(Array[Byte](1, 2)), (x, y) => (x + y) % 4,
+        trnsBeforePlte = true)).isEmpty, "tRNS before PLTE refuses")
+    assert(Multimodal.decodePng(
+      pngPal(5, 3, 8, plte4, Some(new Array[Byte](5)),
+        (x, y) => (x + y) % 4)).isEmpty,
+      "tRNS longer than the palette refuses")
+  }
 }
