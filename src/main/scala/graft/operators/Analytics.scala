@@ -1274,4 +1274,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"), expr("bit_xor(xr)").as("xor_all"),
         expr("bit_and(xr)").as("and_all"))
       .orderBy("mask")
+
+  /** dq_gaps — key-sequence completeness (islands-and-gaps): the ingest
+    * monitor that catches a dropped extract chunk the row-count checks
+    * miss (a chunk loss keeps totals plausible but tears a CONTIGUOUS
+    * hole in the key sequence). Keys are bucketed into fixed 1024-wide
+    * spans, and each bucket reports presence, missing count and the
+    * longest missing RUN — runs computed with a lag window PARTITIONED
+    * BY BUCKET (boundary runs closed against the bucket edges), so
+    * there is no global sort: one shuffle on the bucket key, every
+    * window task bounded by the span width. TPC-H orderkeys are sparse
+    * by construction (3 of every 4 keys absent), so the fixture has
+    * real gap structure at every scale.
+    */
+  def dqGaps(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024L
+    val k = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), (col("o_orderkey") / B)
+        .cast("long").as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy("k")
+    val runs = k
+      .withColumn("prev", lag("k", 1).over(w))
+      .withColumn("run_before",
+        col("k") - coalesce(col("prev"), col("bucket") * B - 1) - 1)
+    runs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_present"),
+        (lit(B) - count(lit(1))).as("n_missing"),
+        sum(when(col("run_before") > 0, 1L).otherwise(0L)).as("n_gaps_interior"),
+        // longest run = max of the before-key runs and the TAIL run
+        // (bucket end minus the last present key)
+        greatest(max("run_before"),
+          max(col("bucket")) * B + B - 1 - max(col("k"))).as("max_run"))
+      .orderBy("bucket")
+  }
 }

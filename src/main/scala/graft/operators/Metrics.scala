@@ -1080,4 +1080,126 @@ object Metrics {
       |SELECT n.k, 'noise', NULL, CAST(n.n_eps AS BIGINT)
       |FROM n WHERE n.k NOT IN (SELECT k FROM assigned)
       |ORDER BY k""".stripMargin
+
+  /** ml_anova — one-way ANOVA F statistic across order-status groups,
+    * the k-group generalization of [[mlAbTest]]'s two-group z test
+    * (the experiment-analysis pair every training-data A/B/n pipeline
+    * needs). All moments are EXACT INTEGER sufficient statistics
+    * (prices in cents): per group n_g, Σx, Σx² — one map-side-combined
+    * aggregate, three LONG columns move. F = (SSB/(k−1))/(SSW/(n−k))
+    * is then one driver-free projection evaluated in a FIXED operation
+    * order from those integers, so the oracle reproduces the double
+    * bit-for-bit; ROUND(6) absorbs the engines' decimal printers.
+    */
+  def mlAnova(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderstatus").as("g"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val grp = o.groupBy("g").agg(
+      count(lit(1)).as("n_g"), sum("cents").as("s_g"),
+      // cents² sums overflow Long past ~sf0.03 — accumulate exactly in
+      // decimal (the oracle mirrors with HUGEINT)
+      sum(col("cents").cast("decimal(20,0)") *
+        col("cents").cast("decimal(20,0)")).as("q_g"))
+    grp.agg(
+        count(lit(1)).as("k_groups"),
+        sum("n_g").as("n_total"),
+        sum("s_g").as("s_all"),
+        // Σ s_g²/n_g in one double pass, fixed order (sorted by group
+        // key via the deterministic sum over a small exact set is NOT
+        // guaranteed — so keep each addend exact-integer-derived and
+        // sum as double of exact ratios; k=3 groups keeps the
+        // accumulation order irrelevant at ROUND(6))
+        sum(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double")).as("ssb_raw"),
+        sum("q_g").as("q_all"))
+      .select(col("k_groups"), col("n_total"),
+        round(
+          ((col("ssb_raw") -
+            col("s_all").cast("double") * col("s_all").cast("double") /
+              col("n_total").cast("double")) /
+            (col("k_groups") - 1).cast("double")) /
+          ((col("q_all").cast("double") - col("ssb_raw")) /
+            (col("n_total") - col("k_groups")).cast("double")),
+          6).as("f_stat"))
+  }
+
+  val mlAnovaOracle: String =
+    """WITH o AS (SELECT o_orderstatus AS g,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |grp AS (SELECT g, COUNT(*) AS n_g, SUM(cents) AS s_g,
+      |    SUM(CAST(cents AS HUGEINT) * cents) AS q_g FROM o GROUP BY g),
+      |agg AS (SELECT COUNT(*) AS k_groups, SUM(n_g) AS n_total,
+      |    SUM(s_g) AS s_all,
+      |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |        / CAST(n_g AS DOUBLE)) AS ssb_raw,
+      |    SUM(q_g) AS q_all FROM grp)
+      |SELECT CAST(k_groups AS BIGINT) AS k_groups,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  ROUND(((ssb_raw - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+      |           / CAST(n_total AS DOUBLE))
+      |         / CAST(k_groups - 1 AS DOUBLE))
+      |        / ((CAST(q_all AS DOUBLE) - ssb_raw)
+      |           / CAST(n_total - k_groups AS DOUBLE)), 6) AS f_stat
+      |FROM agg""".stripMargin
+
+  /** ml_kaplan_meier — the Kaplan–Meier survival estimator over order
+    * lifetimes (duration = days since the TPC-H epoch; status 'F'
+    * events, others right-censored): at each event day t,
+    * S(t) = Π_{s≤t} (1 − d_s / n_s) with n_s the at-risk count — THE
+    * standard time-to-event curve (churn, failure, label-latency
+    * analysis). Shape: one groupBy(day) shrinks the table to ≤ the
+    * calendar-day count (~2.4 k at any sf — bounded by the date
+    * domain, not the data), then the at-risk and survival prefixes run
+    * as windows over that bounded frame; the product is
+    * exp(Σ ln(1−d/n)) — both engines evaluate the same double chain on
+    * the same exact integer (d, n) pairs, ROUND(4) absorbing ULP
+    * drift. Emits only event days (d_t > 0), censoring folded into the
+    * at-risk denominator — the estimator's defining property.
+    */
+  def mlKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"),
+      (col("o_orderstatus") === "F").cast("long").as("event"))
+    val byDay = o.groupBy("day").agg(
+      sum("event").as("d"), count(lit(1)).as("leave"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_at_risk",
+        sum("leave").over(Window.orderBy("day").rowsBetween(
+          Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("surv", exp(sum(
+        log(lit(1.0) - col("d").cast("double") /
+          col("n_at_risk").cast("double"))).over(w)))
+      .filter(col("d") > 0)
+      .select(col("day"), col("d").as("n_events"),
+        (col("leave") - col("d")).as("n_censored"),
+        col("n_at_risk"), round(col("surv"), 4).as("survival"))
+      .orderBy("day")
+  }
+
+  val mlKaplanMeierOracle: String =
+    """WITH o AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+      |        o_orderdate) AS BIGINT) AS day,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS event
+      |  FROM orders),
+      |byday AS (SELECT day, SUM(event) AS d, COUNT(*) AS leave_cnt
+      |  FROM o GROUP BY day),
+      |wd AS (SELECT day, d, leave_cnt,
+      |    SUM(leave_cnt) OVER (ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS n_at_risk FROM byday),
+      |sv AS (SELECT day, d, leave_cnt, n_at_risk,
+      |    EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)))
+      |      OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+      |  FROM wd)
+      |SELECT day, CAST(d AS BIGINT) AS n_events,
+      |  CAST(leave_cnt - d AS BIGINT) AS n_censored,
+      |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  ROUND(surv, 4) AS survival
+      |FROM sv WHERE d > 0 ORDER BY day""".stripMargin
 }

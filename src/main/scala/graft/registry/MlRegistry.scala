@@ -48,6 +48,8 @@ object MlRegistry {
     "ml_auc"                -> (Metrics.mlAuc _),
     "ml_lift"               -> (Metrics.mlLift _),
     "ml_abtest"             -> (Metrics.mlAbTest _),
+    "ml_anova"              -> (Metrics.mlAnova _),
+    "ml_kaplan_meier"       -> (Metrics.mlKaplanMeier _),
     "ml_roc_points"         -> (Metrics.mlRocPoints _),
     "ml_pinball"            -> (Metrics.mlPinball _),
     "ml_parity"             -> (Metrics.mlParity _),
@@ -627,6 +629,8 @@ object MlRegistry {
     "ml_auc" -> Metrics.mlAucOracle,
     "ml_lift" -> Metrics.mlLiftOracle,
     "ml_abtest" -> Metrics.mlAbTestOracle,
+    "ml_anova" -> Metrics.mlAnovaOracle,
+    "ml_kaplan_meier" -> Metrics.mlKaplanMeierOracle,
     "ml_roc_points" -> Metrics.mlRocPointsOracle,
     "ml_pinball" -> Metrics.mlPinballOracle,
     "ml_parity" -> Metrics.mlParityOracle,

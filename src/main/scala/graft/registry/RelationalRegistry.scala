@@ -88,6 +88,7 @@ object RelationalRegistry {
     "q58_bitwise_agg"       -> (Analytics.bitwiseAgg _),
     "q59_percentile_disc"   -> (Analytics.percentileDisc _),
     "dq_benford"            -> (Analytics.dqBenford _),
+    "dq_gaps"               -> (Analytics.dqGaps _),
     "dq_ks"                 -> (Analytics.dqKs _),
     "dq_cusum"              -> ((s, d) => Analytics.dqCusum(s, d)),
     "dq_seasonal"           -> (Analytics.dqSeasonal _),
@@ -1110,6 +1111,22 @@ object RelationalRegistry {
         |    1.8440661112 * CAST(MAX(n1) * MAX(n2) AS DOUBLE)
         |      * CAST(MAX(n1) + MAX(n2) AS DOUBLE) AS drift
         |FROM d WHERE dnum = mx""".stripMargin,
+    // key-sequence completeness: bucket-local islands-and-gaps — the
+    // same lag-within-span and edge-run closure, replayed in SQL
+    "dq_gaps" ->
+      """WITH k AS (SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |runs AS (SELECT bucket, k,
+        |    k - COALESCE(LAG(k) OVER (PARTITION BY bucket ORDER BY k),
+        |                 bucket * 1024 - 1) - 1 AS run_before
+        |  FROM k)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_present,
+        |  CAST(1024 - COUNT(*) AS BIGINT) AS n_missing,
+        |  CAST(SUM(CASE WHEN run_before > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gaps_interior,
+        |  CAST(GREATEST(MAX(run_before),
+        |    MAX(bucket) * 1024 + 1023 - MAX(k)) AS BIGINT) AS max_run
+        |FROM runs GROUP BY bucket ORDER BY bucket""".stripMargin,
     "dq_benford" -> {
       val cases = graft.operators.Analytics.benfordProbs.map { case (i, p) =>
         s"WHEN $i THEN CAST($p AS DOUBLE)" }.mkString(" ")
