@@ -2135,6 +2135,77 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A64 — PROTOBUF ingest/export round trip over the hand-written wire
+    * codec ([[graft.sources.ProtoIO]], written from the public encoding
+    * spec — no protobuf library): executors serialize the corpus as
+    * length-delimited `Doc` messages (varints, ZigZag sint64, UTF-8
+    * length-delimited strings) into per-partition `.pb` shards, each
+    * shard ALSO carrying unknown fields (a fixed64 and a
+    * length-delimited blob under reserved numbers) injected mid-stream
+    * via a raw re-encode — the forward-compatibility half of the
+    * protobuf contract a reader must honor; the read side streams the
+    * shards back through the same codec and reconciles the per-language
+    * aggregate against the source-table truth. Any varint, ZigZag,
+    * framing or skip mistake changes a row.
+    */
+  def a64ProtobufRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = graft.util.Scratch.dir("graft_proto").toString + "/docs_pb"
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new Path(s"$base/part-$pid.pb")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          try it.foreach { r =>
+            val doc = graft.sources.ProtoIO.Doc(r.getLong(0), r.getString(1),
+              r.getString(2), r.getString(3), r.getLong(4))
+            // v2-writer simulation: append unknown fields (99 fixed64,
+            // 98 length-delimited) to every 3rd message's payload — the
+            // reader must skip them by wire type
+            val m0 = graft.sources.ProtoIO.encode(doc)
+            val m =
+              if (doc.doc_id % 3 == 0) {
+                val b = new java.io.ByteArrayOutputStream()
+                b.write(m0, 0, m0.length)
+                graft.sources.ProtoIO.writeVarint(b, (99L << 3) | 1)
+                (0 until 8).foreach(i => b.write((doc.doc_id + i).toInt & 0xFF))
+                graft.sources.ProtoIO.writeVarint(b, (98L << 3) | 2)
+                graft.sources.ProtoIO.writeVarint(b, 3L)
+                b.write(Array[Byte](1, 2, 3), 0, 3)
+                b.toByteArray
+              } else m0
+            graft.sources.ProtoIO.writeVarint(out, m.length.toLong)
+            out.write(m)
+          } finally out.close()
+        }
+      }
+    val fsys = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fsys.listStatus(new Path(base))
+      .count(_.getPath.getName.endsWith(".pb")) >= 2,
+      "expected multiple protobuf shards")
+    import s.implicits._
+    val decoded = s.read.format("binaryFile").load(base + "/*.pb")
+      .select("content").as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          graft.sources.ProtoIO.readDelimited(
+            new java.io.ByteArrayInputStream(bytes))
+        }
+      }
+      .map(d => (d.doc_id, d.text, d.lang, d.source, d.n_chars))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    decoded
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   /** A54 — XML ingest/export roundtrip through Spark 4's built-in XML
     * source (the donated spark-xml lineage): the corpus exported as
     * `<docs><doc>…</doc>…</docs>` documents and read back with an
