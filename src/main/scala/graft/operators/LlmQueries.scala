@@ -144,6 +144,38 @@ object LlmQueries {
     TextAnalysis.piiRedact(injected, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** prep_winsorize ([[Prep.winsorizeStats]]): P1/P99 winsorized price
+    * statistics per order priority — five bounded groups over exact
+    * cents; the oracle replays the interpolated percentiles
+    * (quantile_cont) and the exact clip-total reassembly.
+    */
+  def prepWinsorize(s: SparkSession, dir: String): DataFrame =
+    Prep.winsorizeStats(
+      Tables.load(s, dir, "orders").select(
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
+      "o_orderpriority", col("cents"))
+      .withColumnRenamed("g", "priority")
+      .orderBy("priority")
+
+  /** Luhn card scan ([[TextAnalysis.piiLuhn]]) over a corpus with card
+    * numbers planted by construction: every fifth doc gains one
+    * Luhn-VALID Visa-format number, one INVALID same-length number and
+    * one valid 15-digit Amex-format number — so candidate and valid
+    * counts differ exactly where the checksum matters. The oracle
+    * replays the run extraction and the mod-10 fold per candidate.
+    */
+  def textPiiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val injected = d.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" card 4539578763621486 ref 1234567812345678"),
+          lit(" amex 378282246310005")))
+      .otherwise(col("text")))
+    TextAnalysis.piiLuhn(injected, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Containment dedup ([[Dedup.containmentPairs]]) over a corpus with
     * doc-in-doc duplication by construction: every doc unioned with a copy
     * (id + 1,000,000) wrapped in id-derived boilerplate tokens. The wrap

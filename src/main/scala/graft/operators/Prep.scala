@@ -519,6 +519,45 @@ object Prep {
           (col("mx").cast("double") - col("mn").cast("double")) * 1000000)
           .cast("long").as("minmax_mean_e6"))
 
+  /** WINSORIZED per-group statistics — the outlier-robust scaling prep
+    * every numeric-feature pipeline runs before normalization (a single
+    * corrupt sensor reading or price typo otherwise drags the mean and
+    * detonates the z-scores [[scaleStats]] emits): clip at the exact
+    * P1/P99 group percentiles and report the clip counts plus the
+    * winsorized mean. Two passes over the fact frame (percentiles, then
+    * clip-aggregate with the bounded quantile frame BROADCAST back —
+    * the dq_outliers shape; the fact table is never windowed).
+    *
+    * Determinism: v is exact integer units, so the interpolated
+    * percentiles are fixed IEEE expressions over integers; the
+    * winsorized total is reassembled EXACTLY as
+    * `Σ_mid v + n_low·p1 + n_high·p99` (one fixed-order double
+    * expression — clipped doubles are never stream-summed), and
+    * emissions floor-quantize (the ml_stump ROUND-tie lesson).
+    */
+  def winsorizeStats(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), v.as("v"))
+    val qs = base.groupBy("g").agg(
+      expr("percentile(v, 0.01d)").as("p1"),
+      expr("percentile(v, 0.99d)").as("p99"))
+      .localCheckpoint(true) // bounded: one row per group
+    base.join(broadcast(qs), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("p1"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("v") >= col("p1") && col("v") <= col("p99"), col("v"))
+          .otherwise(0L)).as("s_mid"),
+        first("p1").as("p1"), first("p99").as("p99"))
+      .select(col("g"), col("n"), col("n_low"), col("n_high"),
+        floor(col("p1") * 10000).cast("long").as("p1_e4"),
+        floor(col("p99") * 10000).cast("long").as("p99_e4"),
+        floor((col("s_mid").cast("double") +
+          col("n_low").cast("double") * col("p1") +
+          col("n_high").cast("double") * col("p99")) /
+          col("n").cast("double") * 10000).cast("long").as("wmean_e4"))
+  }
+
   /** TEMPERATURE-SCALED sampling weights (the multilingual mixing
     * recipe of mT5/XLM-R: sample stratum s proportional to n_s^α, here
     * α = 1/2 so the transform is the CORRECTLY-ROUNDED sqrt rather

@@ -33,6 +33,36 @@ object TextAnalysis {
         .as("redacted"))
   }
 
+  /** Luhn-VALIDATED payment-card detection — the precision upgrade over
+    * pattern-only PII scans ([[piiRedact]]'s regex class): a 13–16-digit
+    * run is only a card CANDIDATE; the mod-10 checksum (ISO/IEC 7812 —
+    * double every second digit from the right, fold >9 by −9, total
+    * ≡ 0 mod 10) kills the order-id/timestamp false positives that
+    * plague regex-only scrubbing. Candidates are MAXIMAL digit runs
+    * length-filtered (RE2-safe: no lookarounds), the checksum is a pure
+    * native-HOF aggregate per candidate — row-local, codegen-planned,
+    * one corpus scan, zero shuffles.
+    */
+  def piiLuhn(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val luhn =
+      """aggregate(sequence(1, length(c), 1), 0, (acc, i) ->
+        |  acc + IF(i % 2 = 0,
+        |    IF(2 * (ascii(substring(reverse(c), i, 1)) - 48) > 9,
+        |       2 * (ascii(substring(reverse(c), i, 1)) - 48) - 9,
+        |       2 * (ascii(substring(reverse(c), i, 1)) - 48)),
+        |    ascii(substring(reverse(c), i, 1)) - 48),
+        |  acc -> acc % 10) = 0""".stripMargin
+    docs.select(col(idCol),
+      expr(s"CAST(size(regexp_extract_all($textCol, '[0-9]+', 0)) AS BIGINT)")
+        .as("n_digit_runs"),
+      expr(s"""CAST(size(filter(regexp_extract_all($textCol, '[0-9]+', 0),
+               |  c -> length(c) BETWEEN 13 AND 16)) AS BIGINT)"""
+        .stripMargin).as("n_candidates"),
+      expr(s"""CAST(size(filter(regexp_extract_all($textCol, '[0-9]+', 0),
+               |  c -> length(c) BETWEEN 13 AND 16 AND ($luhn))) AS BIGINT)"""
+        .stripMargin).as("n_valid"))
+  }
+
   /** Token statistics: whitespace tokens, distinct tokens, and a BPE-ish
     * sub-word piece count (letter runs / digit runs / single other chars) —
     * the cheap token-count estimator a data pipeline uses for budgeting.

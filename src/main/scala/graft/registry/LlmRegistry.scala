@@ -98,10 +98,12 @@ object LlmRegistry {
     "prep_weighted_sample"  -> (LlmQueries.prepWeightedSample _),
     "sim_range_search"      -> (LlmQueries.simRangeSearch _),
     "text_pii"              -> (LlmQueries.textPii _),
+    "text_pii_luhn"         -> (LlmQueries.textPiiLuhn _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_scale"            -> (LlmQueries.prepScale _),
+    "prep_winsorize"        -> (LlmQueries.prepWinsorize _),
     "prep_bin"              -> (LlmQueries.prepBin _),
     "prep_temperature"      -> (LlmQueries.prepTemperature _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
@@ -1879,6 +1881,53 @@ object LlmRegistry {
         |    '555-[0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Luhn-validated card scan: candidates are maximal digit runs of
+    // length 13-16; valid = mod-10 checksum holds (double every second
+    // digit from the right, fold >9 by -9)
+    // winsorized per-group price stats: interpolated P1/P99 over exact
+    // cents, clip counts, and the exact-reassembly winsorized mean
+    "prep_winsorize" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |q AS (SELECT g, quantile_cont(v, 0.01) AS p1,
+        |    quantile_cont(v, 0.99) AS p99 FROM o GROUP BY g)
+        |SELECT o.g AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o.v < q.p1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(SUM(CASE WHEN o.v > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  CAST(FLOOR(MAX(q.p1) * 10000) AS BIGINT) AS p1_e4,
+        |  CAST(FLOOR(MAX(q.p99) * 10000) AS BIGINT) AS p99_e4,
+        |  CAST(FLOOR((CAST(SUM(CASE WHEN o.v >= q.p1 AND o.v <= q.p99
+        |        THEN o.v ELSE 0 END) AS DOUBLE)
+        |      + CAST(SUM(CASE WHEN o.v < q.p1 THEN 1 ELSE 0 END)
+        |          AS DOUBLE) * MAX(q.p1)
+        |      + CAST(SUM(CASE WHEN o.v > q.p99 THEN 1 ELSE 0 END)
+        |          AS DOUBLE) * MAX(q.p99))
+        |      / CAST(COUNT(*) AS DOUBLE) * 10000) AS BIGINT) AS wmean_e4
+        |FROM o JOIN q USING (g) GROUP BY o.g ORDER BY priority""".stripMargin,
+    "text_pii_luhn" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text
+        |      || ' card 4539578763621486 ref 1234567812345678'
+        |      || ' amex 378282246310005'
+        |    ELSE text END AS text FROM documents),
+        |r AS (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS runs
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(runs) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(list_filter(runs,
+        |    c -> length(c) BETWEEN 13 AND 16)) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(runs, c -> length(c) BETWEEN 13 AND 16
+        |    AND list_sum(list_transform(range(1, length(c) + 1), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2 * (ascii(substring(reverse(c), i, 1)) - 48) > 9
+        |          THEN 2 * (ascii(substring(reverse(c), i, 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substring(reverse(c), i, 1)) - 48) END
+        |        ELSE ascii(substring(reverse(c), i, 1)) - 48 END))
+        |      % 10 = 0)) AS BIGINT) AS n_valid
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sim_ivfpq_ann" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
