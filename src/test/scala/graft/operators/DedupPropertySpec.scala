@@ -188,6 +188,58 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("editDistancePairs losslessness holds across maxDist 1..4 " +
+      "(the segment count k+1 and the probe window scale with k)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val rnd = new scala.util.Random(4242L)
+    // longer strings than the base law test, edits anywhere
+    val base = (0 until 25).map { i =>
+      (i.toLong, Array.fill(8 + rnd.nextInt(40))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val variants = base.take(12).map { case (i, t) =>
+      var s = t
+      for (_ <- 0 until 1 + rnd.nextInt(4)) {
+        val p = rnd.nextInt(s.length + 1)
+        rnd.nextInt(3) match {
+          case 0 => s = s.substring(0, p) + ('a' + rnd.nextInt(4)).toChar +
+            s.substring(p)
+          case 1 if p < s.length => s = s.substring(0, p) + s.substring(p + 1)
+          case _ if p < s.length =>
+            s = s.substring(0, p) + ('a' + rnd.nextInt(4)).toChar +
+              s.substring(p + 1)
+          case _ => ()
+        }
+      }
+      (i + 100L, s)
+    }
+    val corpus = base ++ variants
+    val df = corpus.toDF("doc_id", "text")
+    for (k <- 1 to 4) {
+      val brute = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        d = lev(ta, tb) if d <= k
+      } yield (ia, ib, d)).toSet
+      val got = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"maxDist=$k: missed=${(brute -- got).take(5)} " +
+        s"extra=${(got -- brute).take(5)}")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))

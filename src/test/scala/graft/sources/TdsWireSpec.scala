@@ -267,6 +267,97 @@ class TdsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getSQLState == "08004")
   }
 
+  test("TLS leg wire form: handshake flights ride in PRELOGIN-typed " +
+      "(0x12) TDS packets, post-handshake traffic is RAW TLS records — " +
+      "pinned through a byte-recording proxy, not our own framing code") {
+    val tlsServer = new TdsWireServer(url, tls = true)
+    val proxy = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    // server->client bytes in arrival order, with a marker index noted
+    // after the cleartext PRELOGIN reply has passed
+    val s2c = new java.io.ByteArrayOutputStream()
+    @volatile var preloginReplyEnd = -1
+    val t = new Thread(() => {
+      val cli = proxy.accept()
+      val srv = new java.net.Socket("127.0.0.1", tlsServer.port)
+      val up = new Thread(() => {
+        try {
+          val buf = new Array[Byte](8192)
+          val in = cli.getInputStream; val out = srv.getOutputStream
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); out.flush(); n = in.read(buf) }
+        } catch { case _: java.io.IOException => () }
+        try srv.shutdownOutput() catch { case _: Exception => () }
+      })
+      up.setDaemon(true); up.start()
+      try {
+        val buf = new Array[Byte](8192)
+        val in = srv.getInputStream; val out = cli.getOutputStream
+        var n = in.read(buf)
+        while (n > 0) {
+          s2c.synchronized { s2c.write(buf, 0, n) }
+          if (preloginReplyEnd < 0) {
+            // first server message is the cleartext PRELOGIN reply: one
+            // complete TDS packet, type 0x04; record where it ends
+            val a = s2c.synchronized(s2c.toByteArray)
+            if (a.length >= 4) {
+              val len = ((a(2) & 0xFF) << 8) | (a(3) & 0xFF)
+              if ((a(0) & 0xFF) == 0x04 && a.length >= len)
+                preloginReplyEnd = len
+            }
+          }
+          out.write(buf, 0, n); out.flush(); n = in.read(buf)
+        }
+      } catch { case _: java.io.IOException => () }
+      try cli.close() catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val u = s"jdbc:grafttds://127.0.0.1:${proxy.getLocalPort}/graft"
+      val p = new java.util.Properties()
+      p.setProperty("ssl", "true")
+      val conn = new TdsWireDriver().connect(u, p)
+      try {
+        val rs = conn.prepareStatement(
+          """SELECT [id] FROM t ORDER BY [id]""").executeQuery()
+        assert(rs.next() && rs.getLong(1) == 1L)
+      } finally conn.close()
+      val bytes = s2c.synchronized(s2c.toByteArray)
+      assert(preloginReplyEnd > 0, "must have seen the PRELOGIN reply")
+      // the very next server byte after the PRELOGIN reply begins the
+      // FRAMED handshake: a PRELOGIN-typed packet header (0x12), never a
+      // bare TLS record (0x16)
+      assert(bytes.length > preloginReplyEnd)
+      assert((bytes(preloginReplyEnd) & 0xFF) == 0x12,
+        f"handshake must be TDS-framed, got 0x${bytes(preloginReplyEnd)}%02x")
+      // and the stream LATER carries raw TLS application records (0x17
+      // content type at a plausible record boundary) — i.e. the channel
+      // switched out of TDS framing after the handshake; walk the framed
+      // packets to find where framing ends
+      var pos = preloginReplyEnd
+      var framedPackets = 0
+      var ok = true
+      while (ok && pos + 8 <= bytes.length &&
+          (bytes(pos) & 0xFF) == 0x12) {
+        val len = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        if (len < 8 || pos + len > bytes.length) ok = false
+        else { framedPackets += 1; pos += len }
+      }
+      assert(framedPackets >= 1, "at least one framed handshake packet")
+      assert(pos < bytes.length, "post-handshake bytes must exist")
+      val first = bytes(pos) & 0xFF
+      // raw TLS 1.2 records: 0x16 (handshake, e.g. NewSessionTicket) or
+      // 0x14 (ChangeCipherSpec) or 0x17 (application data)
+      assert(first == 0x14 || first == 0x16 || first == 0x17,
+        f"post-handshake must be raw TLS, got 0x$first%02x")
+      assert(bytes.indexOfSlice(Seq(0x17.toByte, 0x03.toByte), pos) >= 0,
+        "application-data records must appear raw (0x17 0x03 ...)")
+    } finally {
+      try proxy.close() catch { case _: Exception => () }
+      tlsServer.close()
+    }
+  }
+
   test("TLS leg: a client pinned to a DIFFERENT certificate fails the " +
       "framed handshake — the fixture trust is a pin, not trust-all") {
     val tlsServer = new TdsWireServer(url, tls = true)
