@@ -1458,6 +1458,138 @@ object Jpeg {
     * the JVM — unlike the PNG/BMP fixtures the ORACLE never needs the
     * bytes, only the closed-form DECODED pixels.
     */
+  /** EXIF orientation of a JPEG: walk the marker segments for APP1
+    * (0xFFE1) whose body opens with the "Exif\0\0" identifier, then
+    * read tag 274 from IFD0 of the embedded TIFF blob
+    * ([[Tiff.orientationOnly]] — the EXIF container IS a TIFF, one
+    * parser for both carriers). None when no Exif APP1 exists or the
+    * structure is malformed; a JPEG without the tag reports 1.
+    */
+  def exifOrientation(data: Array[Byte]): Option[Int] = {
+    if (data.length < 4 || (data(0) & 0xFF) != 0xFF ||
+        (data(1) & 0xFF) != 0xD8) return None
+    var p = 2
+    while (p + 4 <= data.length) {
+      if ((data(p) & 0xFF) != 0xFF) return None
+      val marker = data(p + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return None // scan/EOI: no APP1
+      val len = u16(data, p + 2)
+      if (len < 2 || p + 2 + len > data.length) return None
+      val body = p + 4
+      val bodyLen = len - 2
+      if (marker == 0xE1 && bodyLen > 6 &&
+          data(body) == 'E' && data(body + 1) == 'x' &&
+          data(body + 2) == 'i' && data(body + 3) == 'f' &&
+          data(body + 4) == 0 && data(body + 5) == 0)
+        return Tiff.orientationOnly(
+          java.util.Arrays.copyOfRange(data, body + 6, body + bodyLen))
+      p = body + bodyLen
+    }
+    None
+  }
+
+  /** [[encodeGray]] with an EXIF APP1 carrying tag 274 — the form every
+    * camera emits (orientation rides in metadata; the raster stays in
+    * sensor order). The APP1 is a minimal big-endian-free TIFF: `II*\0`,
+    * one IFD0 entry, no next IFD.
+    */
+  def encodeGrayExif(w: Int, h: Int, blockVal: (Int, Int) => Int,
+                     orientation: Int): Array[Byte] = {
+    val base = encodeGray(w, h, blockVal)
+    val tiff = Array[Byte](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // header, IFD at 8
+      1, 0,                        // one entry
+      18, 1,                       // tag 274 (0x0112) LE
+      3, 0,                        // SHORT
+      1, 0, 0, 0,                  // count 1
+      orientation.toByte, 0, 0, 0, // value
+      0, 0, 0, 0)                  // next IFD
+    val app1Body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = app1Body.length + 2
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ app1Body
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** EXIF-ORIENTATION auto-rotate over JPEG payloads — the
+    * [[Tiff.exifRotate]] contract on the dominant carrier: read tag 274
+    * from APP1, decode, apply the correcting 90°-CW rotations (1/3/6/8;
+    * mirrored forms and tag-less payloads refuse), emit the
+    * [[Tiff.ExifRow]] probes that pin WHICH rotation ran. Partition-wise,
+    * nothing shuffles.
+    */
+  def exifRotate(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : org.apache.spark.sql.Dataset[Tiff.ExifRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        exifOrientation(r.data).flatMap { ori =>
+          val k = ori match {
+            case 1 => Some(0); case 3 => Some(2); case 6 => Some(1)
+            case 8 => Some(3); case _ => None // mirrored forms refuse
+          }
+          k.flatMap { turns =>
+            decode(r.data).map { case (ii0, buf0) =>
+              var cur = (ii0, buf0)
+              var i = 0
+              while (i < turns) {
+                cur = Multimodal.rotate90cw(cur._1, cur._2); i += 1
+              }
+              val (ii, buf) = cur
+              val w = ii.width; val h = ii.height
+              def lum(x: Int, y: Int): Long = {
+                val row = if (ii.bottomUp) h - 1 - y else y
+                val b = ii.pixelOffset + row * ii.rowStride + x * ii.channels
+                1000L * (buf(b) & 0xFF) // grayscale leg
+              }
+              var tot = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { tot += lum(x, y); x += 1 }
+                y += 1
+              }
+              var row0 = 0L
+              var x = 0
+              while (x < w) { row0 += lum(x, 0); x += 1 }
+              Tiff.ExifRow(r.doc_id, ori, w, h, tot, lum(0, 0), row0)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Fixture corpus for the EXIF-JPEG leg: per-block-constant grayscale
+    * (`val = (seed·13 + blk·31) mod 256`, w = seed%12+10, h = seed%10+9)
+    * with orientation cycling 1/3/6/8 by seed mod 4 in a real APP1.
+    */
+  def exifJpegMedia(ids: DataFrame, idCol: String, seedCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val base = Spread.ifNarrow(ids.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(seedCol).cast("long").as("seed")))
+    base.as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, seed) =>
+          val w = (seed % 12 + 10).toInt
+          val h = (seed % 10 + 9).toInt
+          val bw = (w + 7) / 8
+          val ori = (seed % 4) match {
+            case 0 => 1; case 1 => 3; case 2 => 6; case _ => 8
+          }
+          (id, encodeGrayExif(w, h,
+            (bx, by) => ((seed * 13 + (by.toLong * bw + bx) * 31) % 256).toInt,
+            ori))
+        }
+      }
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), col("data"),
+        struct(lit("image/jpeg").as("mime"),
+          octet_length(col("data")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   def jpegMedia(ids: DataFrame, idCol: String, seedCol: String,
                 color: Boolean): DataFrame = {
     val spark = ids.sparkSession

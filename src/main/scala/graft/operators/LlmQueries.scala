@@ -742,6 +742,23 @@ object LlmQueries {
     mediaDecodeStats(
       Multimodal.pngMediaInterlaced(docs(s, dir), "doc_id", "doc_id"))
 
+  /** EXIF-in-JPEG auto-rotate ([[Jpeg.exifRotate]]): tag 274 read from
+    * a REAL APP1 segment (the EXIF container is a TIFF — one parser for
+    * both carriers, [[Tiff.orientationOnly]]), then decode + correcting
+    * rotations with the rotation-pinning probes. The dominant
+    * real-world form: cameras emit JPEG with metadata orientation, not
+    * rotated rasters. Oracle replays the block-constant closed form
+    * under the inverse rotation maps (sums are order-invariant, so
+    * row/column reversals drop out).
+    */
+  def mmJpegExif(s: SparkSession, dir: String): DataFrame = {
+    val media = Jpeg.exifJpegMedia(docs(s, dir), "doc_id", "doc_id")
+      .select(col("doc_id"), col("data"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product)
+    Jpeg.exifRotate(media).toDF().orderBy("doc_id")
+  }
+
   /** The PALETTE-indexed leg ([[Multimodal.pngMediaPalette]] fixtures
     * through [[Multimodal.decodePng]]'s packed-row defilter + PLTE
     * expansion): bit-depth-4 indices, 1-byte filter unit over packed

@@ -126,6 +126,32 @@ object Tiff {
       math.max(pred, 1).toInt, rps.toInt, offs, cnts, orient.toInt))
   }
 
+  /** IFD0 tag-274 read for EXIF payloads — the TIFF blob inside a JPEG
+    * APP1 carries NO strip data at IFD0 (the image is the JPEG itself),
+    * so [[parse]]'s raster requirements don't apply: walk the first IFD
+    * for the orientation tag only; absent tag = 1 (the spec default).
+    */
+  private[operators] def orientationOnly(d: Array[Byte]): Option[Int] = {
+    if (d.length < 8) return None
+    val le =
+      if (d(0) == 'I' && d(1) == 'I') true
+      else if (d(0) == 'M' && d(1) == 'M') false
+      else return None
+    if (u16(d, 2, le) != 42) return None
+    val ifd = u32(d, 4, le)
+    if (ifd < 8 || ifd + 2 > d.length) return None
+    val n = u16(d, ifd.toInt, le)
+    if (ifd + 2 + 12L * n > d.length) return None
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      if (u16(d, e, le) == 274)
+        return values(d, e, le).flatMap(_.headOption).map(_.toInt)
+      i += 1
+    }
+    Some(1)
+  }
+
   /** Geometry-only parse: (width, height, 1 channel). */
   def dims(data: Array[Byte]): Option[(Int, Int, Int)] =
     parse(data).map(i => (i.w, i.h, 1))

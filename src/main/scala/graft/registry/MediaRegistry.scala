@@ -25,6 +25,7 @@ object MediaRegistry {
     "mm_phash_recall"       -> (LlmQueries.mmPhashRecall _),
     "mm_png_decode"         -> (LlmQueries.mmPngDecode _),
     "mm_png_palette"        -> (LlmQueries.mmPngPalette _),
+    "mm_jpeg_exif"          -> (LlmQueries.mmJpegExif _),
     "mm_png_interlaced"     -> (LlmQueries.mmPngInterlaced _),
     "mm_jpeg_decode"        -> (LlmQueries.mmJpegDecode _),
     "mm_jpeg_color"         -> (LlmQueries.mmJpegColor _),
@@ -678,6 +679,49 @@ object MediaRegistry {
         |  CAST(n * 1000 // 8000 AS BIGINT) AS audio_ms,
         |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak
         |FROM a ORDER BY doc_id""".stripMargin,
+    // EXIF-in-JPEG rotation probes: block-constant value field under
+    // the inverse maps of 0/2/1/3 CW turns (ori 1/3/6/8 by seed mod 4)
+    "mm_jpeg_exif" ->
+      """WITH d AS (SELECT doc_id, doc_id AS seed,
+        |    CAST(doc_id % 12 + 10 AS BIGINT) AS w,
+        |    CAST(doc_id % 10 + 9 AS BIGINT) AS h,
+        |    CAST((doc_id % 12 + 10 + 7) // 8 AS BIGINT) AS bw,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |         WHEN 2 THEN 6 ELSE 8 END AS ori
+        |  FROM documents),
+        |tot AS (SELECT doc_id,
+        |    SUM(1000 * ((seed*13 + ((g.i // w) // 8 * bw
+        |      + (g.i % w) // 8) * 31) % 256)) AS lum
+        |  FROM d, LATERAL (SELECT unnest(range(0, w*h)) AS i) g
+        |  GROUP BY doc_id),
+        |r0 AS (SELECT d.doc_id,
+        |    SUM(1000 * ((seed*13 + (((CASE ori
+        |      WHEN 1 THEN g.t
+        |      WHEN 3 THEN (h-1)*w + g.t
+        |      WHEN 6 THEN g.t*w
+        |      ELSE g.t*w + (w-1) END) // w) // 8 * bw
+        |      + ((CASE ori
+        |      WHEN 1 THEN g.t
+        |      WHEN 3 THEN (h-1)*w + g.t
+        |      WHEN 6 THEN g.t*w
+        |      ELSE g.t*w + (w-1) END) % w) // 8) * 31) % 256)) AS row0
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CASE WHEN ori IN (6, 8) THEN h ELSE w END)) AS t) g
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, CAST(d.ori AS INT) AS orientation,
+        |  CAST(CASE WHEN ori IN (6, 8) THEN h ELSE w END AS INT) AS out_w,
+        |  CAST(CASE WHEN ori IN (6, 8) THEN w ELSE h END AS INT) AS out_h,
+        |  CAST(tot.lum AS BIGINT) AS lum_total,
+        |  CAST(1000 * ((seed*13 + (((CASE ori
+        |    WHEN 1 THEN 0 WHEN 3 THEN (h-1)*w + (w-1)
+        |    WHEN 6 THEN (h-1)*w ELSE w-1 END) // w) // 8 * bw
+        |    + ((CASE ori
+        |    WHEN 1 THEN 0 WHEN 3 THEN (h-1)*w + (w-1)
+        |    WHEN 6 THEN (h-1)*w ELSE w-1 END) % w) // 8) * 31) % 256)
+        |    AS BIGINT) AS tl,
+        |  CAST(r0.row0 AS BIGINT) AS row0
+        |FROM d JOIN tot USING (doc_id) JOIN r0 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, doc_id AS seed,
         |    CAST(doc_id % 13 + 17 AS BIGINT) AS w,

@@ -334,4 +334,58 @@ class JpegSpec extends SparkTestBase {
     }
     assert(s7.lum_total == lum, "decodePixels luminance must match closed form")
   }
+
+  test("EXIF-in-JPEG: APP1 tag 274 parses (LE and BE TIFF blobs, absent " +
+      "tag defaults to 1, no-APP1 yields None); exifRotate applies the " +
+      "correcting turns and refuses mirrored forms") {
+    import spark.implicits._
+    val w = 18; val h = 11; val bw = (w + 7) / 8
+    def v(bx: Int, by: Int) = ((7 * 13 + (by * bw + bx) * 31) % 256)
+    // orientation parse: all four rotation values round-trip
+    for (ori <- Seq(1, 3, 6, 8))
+      assert(Jpeg.exifOrientation(
+        Jpeg.encodeGrayExif(w, h, v, ori)).contains(ori))
+    // plain JPEG (no APP1): None
+    assert(Jpeg.exifOrientation(Jpeg.encodeGray(w, h, v)).isEmpty)
+    // BE (MM) TIFF blob: hand-assemble APP1 with big-endian layout
+    locally {
+      val base = Jpeg.encodeGray(w, h, v)
+      val tiff = Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8,
+        0, 1, 1, 18, 0, 3, 0, 0, 0, 1, 0, 6, 0, 0, 0, 0, 0, 0)
+      val app1Body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = app1Body.length + 2
+      val jpg = base.take(2) ++ Array[Byte](0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ app1Body ++
+        base.drop(2)
+      assert(Jpeg.exifOrientation(jpg).contains(6), "MM byte order")
+    }
+    // EXIF blob WITHOUT tag 274: spec default orientation 1
+    locally {
+      val base = Jpeg.encodeGray(w, h, v)
+      val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0,
+        1, 0, 0x1A, 1, 3, 0, 1, 0, 0, 0, 72, 0, 0, 0, // XResolution-ish
+        0, 0, 0, 0)
+      val app1Body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = app1Body.length + 2
+      val jpg = base.take(2) ++ Array[Byte](0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ app1Body ++
+        base.drop(2)
+      assert(Jpeg.exifOrientation(jpg).contains(1))
+    }
+    // rotate: ori 6 swaps dims and moves the bottom-left block to tl
+    locally {
+      val media = Seq(Multimodal.MediaRow(1L,
+        Jpeg.encodeGrayExif(w, h, v, 6), "image/jpeg", 0L)).toDS()
+      val row = Jpeg.exifRotate(media).collect().head
+      assert(row.out_w == h && row.out_h == w && row.orientation == 6)
+      assert(row.tl == 1000L * v(0, (h - 1) / 8),
+        "tl after one CW turn = original bottom-left")
+    }
+    // mirrored orientation (2): no row, never a wrong rotation
+    locally {
+      val media = Seq(Multimodal.MediaRow(2L,
+        Jpeg.encodeGrayExif(w, h, v, 2), "image/jpeg", 0L)).toDS()
+      assert(Jpeg.exifRotate(media).count() == 0L)
+    }
+  }
 }
