@@ -81,6 +81,26 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** QUALITY-AWARE keeper selection — the production refinement of
+    * [[exactKeepMin]]: when a duplicate group spans sources of unequal
+    * quality (a clean article and its ad-ridden scrape), min-id keeps a
+    * COIN FLIP; this keeps the argmax-quality member (deterministic
+    * tie-break on id). Same single map-side-combined aggregate — the
+    * keeper rides a max(struct(score, -id)) fold, so the 100 TB shape
+    * is unchanged: one scan, one hash-aggregate shuffle on the dup key,
+    * no window over the fact table.
+    */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    scoreCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"),
+          col(idCol).as("id"))).as("best"),
+        count(lit(1)).as("dup_count"),
+        min(col(idCol)).as("min_id"))
+      .select(col("best.id").as("keep_id"), col("best.s").as("keep_score"),
+        col("dup_count"), (col("best.id") =!= col("min_id")).as("rescued"))
+
   /** Normalization-keyed exact dedup (the CCNet/RefinedWeb prep step):
     * docs collapse on their lower-cased, punctuation-stripped,
     * whitespace-collapsed text, so trivial formatting variants of the

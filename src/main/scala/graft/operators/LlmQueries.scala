@@ -158,6 +158,38 @@ object LlmQueries {
       .withColumnRenamed("g", "priority")
       .orderBy("priority")
 
+  /** dedup_keep_best ([[Dedup.exactKeepBest]]): exact dedup keeping the
+    * HIGHEST-QUALITY duplicate instead of the min id — every third doc
+    * gains a degraded copy (boilerplate prefix, higher id) and every
+    * ninth a BETTER copy (longer id but higher score), so the keeper
+    * must sometimes rescue a high id (`rescued` pins those rows). Score
+    * is a deterministic integer quality proxy (length minus
+    * boilerplate hits); dup key is the normalized-core md5.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val degraded = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("click here ads ads "), col("text")).as("text"))
+    val improved = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" appendix")).as("text"))
+    val corpus = d.unionByName(degraded).unionByName(improved)
+      // dup key: text stripped of the planted decorations; score:
+      // chars minus a 1000-point boilerplate penalty plus the appendix
+      // bonus — integer, deterministic, oracle-replayable
+      .withColumn("core", regexp_replace(regexp_replace(col("text"),
+        lit("^click here ads ads "), lit("")), lit(" appendix$"), lit("")))
+      .withColumn("score",
+        length(col("text")).cast("long") -
+          when(col("text").startsWith("click here ads ads "), 1000L)
+            .otherwise(0L))
+    Dedup.exactKeepBest(
+        corpus.select(md5(col("core")).as("k"), col("doc_id"), col("score")),
+        Seq("k"), "doc_id", "score")
+      .orderBy("keep_id")
+  }
+
   /** Luhn card scan ([[TextAnalysis.piiLuhn]]) over a corpus with card
     * numbers planted by construction: every fifth doc gains one
     * Luhn-VALID Visa-format number, one INVALID same-length number and

@@ -16,6 +16,7 @@ object LlmRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_approx_hll"      -> (LlmQueries.dedupApproxHll _),
     "dedup_exact"           -> (LlmQueries.dedupExact _),
+    "dedup_keep_best"       -> (LlmQueries.dedupKeepBest _),
     "dedup_minhash_lsh"     -> (LlmQueries.dedupMinhashLsh _),
     "dedup_cluster"         -> (LlmQueries.dedupCluster _),
     "pipeline_prep"         -> (LlmQueries.pipelinePrep _),
@@ -1886,6 +1887,36 @@ object LlmRegistry {
     // digit from the right, fold >9 by -9)
     // winsorized per-group price stats: interpolated P1/P99 over exact
     // cents, clip counts, and the exact-reassembly winsorized mean
+    // quality-aware dedup keeper: argmax(score) with id tie-break over
+    // the normalized-core groups; `rescued` marks groups whose keeper
+    // is NOT the min id — exactly where keep-min picks the worse copy
+    "dedup_keep_best" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |v AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'click here ads ads ' || text
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' appendix'
+        |  FROM base WHERE doc_id % 9 = 0),
+        |scored AS (SELECT doc_id,
+        |    md5(regexp_replace(regexp_replace(text,
+        |      '^click here ads ads ', ''), ' appendix$', '')) AS k,
+        |    CAST(length(text) AS BIGINT)
+        |      - CASE WHEN starts_with(text, 'click here ads ads ')
+        |             THEN 1000 ELSE 0 END AS score
+        |  FROM v),
+        |ranked AS (SELECT k, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY k) AS dup_count,
+        |    MIN(doc_id) OVER (PARTITION BY k) AS min_id
+        |  FROM scored)
+        |SELECT doc_id AS keep_id, CAST(score AS BIGINT) AS keep_score,
+        |  CAST(dup_count AS BIGINT) AS dup_count,
+        |  doc_id != min_id AS rescued
+        |FROM ranked WHERE rn = 1 ORDER BY keep_id""".stripMargin,
     "prep_winsorize" ->
       """WITH o AS (SELECT o_orderpriority AS g,
         |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
