@@ -158,6 +158,23 @@ object LlmQueries {
       .withColumnRenamed("g", "priority")
       .orderBy("priority")
 
+  /** prep_decontaminate ([[Prep.decontaminate]]): the GPT-3-style
+    * eval-leakage scrub over a corpus with contamination planted by
+    * construction — every seventh doc gains a shared 8-token phrase, so
+    * whichever of them the hash split lands in TEST contaminates the
+    * TRAIN members, which must be dropped. The oracle replays the md5
+    * split, the distinct 8-gram generation, the test-gram join and the
+    * disposition rule.
+    */
+  def prepDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7"))).otherwise(col("text"))
+        .as("text"))
+    Prep.decontaminate(d, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** dedup_keep_best ([[Dedup.exactKeepBest]]): exact dedup keeping the
     * HIGHEST-QUALITY duplicate instead of the min id — every third doc
     * gains a degraded copy (boilerplate prefix, higher id) and every
@@ -374,6 +391,23 @@ object LlmQueries {
     * Embeddings cast to double once so the per-cell cosine agrees with
     * the exact side bit-for-bit.
     */
+  /** sim_margin_mine ([[Similarity.marginMine]]): Artetxe–Schwenk
+    * ratio-margin bitext mining across the label-parity split of the
+    * embedding corpus (even labels = "source side", odd = "target
+    * side"). The oracle replays scoring, both k-NN density averages,
+    * the two margin-argmax windows and the mutual-above-threshold
+    * filter. Embeddings cast to double for bit-parity.
+    */
+  def simMarginMine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Similarity.marginMine(
+        e.filter(col("label") % 2 === 0).drop("label"),
+        e.filter(col("label") % 2 === 1).drop("label"),
+        "vec_id", "emb")
+      .orderBy("x", "y")
+  }
+
   def simReciprocalNnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))

@@ -519,6 +519,47 @@ object Prep {
           (col("mx").cast("double") - col("mn").cast("double")) * 1000000)
           .cast("long").as("minmax_mean_e6"))
 
+  /** TRAIN/TEST DECONTAMINATION — the GPT-3 appendix-C recipe as one
+    * operator: after the deterministic hash split, any TRAIN document
+    * sharing an n-gram with ANY test document is dropped from the
+    * training set (test must stay untouched — eval integrity beats
+    * train-set size). Emits every document with its split, its
+    * contaminating-gram count, and the final disposition — `dropped`
+    * rows are the leakage that would otherwise inflate eval scores.
+    *
+    * Scale: the gram join keys on the n-gram; only the TEST side's
+    * distinct grams (a fixed fraction of the corpus) land on the build
+    * side. At 100 TB the test grams compress into a bloom filter on the
+    * train scan (the q31 pattern — false positives only over-drop,
+    * never leak); the exact join here keeps the oracle total.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, testMod: Int = 10): DataFrame = {
+    val assigned = docs.select(col(idCol), col(textCol),
+      when(pmod(Hashing.md5Long(col(idCol).cast("string")), lit(testMod))
+        === 0, "test").otherwise("train").as("split"))
+      .localCheckpoint(true) // feeds gram sides and the final report
+    val parts = (0 until n).map(k => s"element_at(tk, i + $k)")
+      .mkString(", ")
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $parts)))")).as("gram"))
+    val testGrams = grams(assigned.filter(col("split") === "test"))
+      .select("gram").distinct()
+    val hits = grams(assigned.filter(col("split") === "train"))
+      .join(testGrams, Seq("gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
+    assigned.join(hits, Seq(idCol.toString), "left")
+      .select(col(idCol), col("split"),
+        coalesce(col("hit_grams"), lit(0L)).as("n_contaminated_grams"),
+        when(col("split") === "test", "test")
+          .when(col("hit_grams").isNotNull, "dropped")
+          .otherwise("train").as("disposition"))
+  }
+
   /** WINSORIZED per-group statistics — the outlier-robust scaling prep
     * every numeric-feature pipeline runs before normalization (a single
     * corrupt sensor reading or price typo otherwise drags the mean and

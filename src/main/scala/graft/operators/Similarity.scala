@@ -168,6 +168,61 @@ object Similarity {
         round(col("n1.cos"), 4).as("cos"))
   }
 
+  /** MARGIN-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER recipe behind most public parallel corpora): a candidate
+    * pair (x, y) across two sides scores
+    * `margin = cos(x,y) / (avgNNk(x)/2 + avgNNk(y)/2)` — the raw
+    * cosine RATIO against both local neighborhood densities, which
+    * kills the hub vectors that sink absolute-threshold mining — and a
+    * pair is MINED when it is the mutual margin-argmax of both sides
+    * above `threshold`. One scored pair frame feeds the two
+    * neighborhood averages, both argmax windows and the mutuality
+    * join (checkpoint barrier, the reciprocalNN discipline).
+    *
+    * Scale: the exact all-pairs tier guards its input like
+    * [[reciprocalNN]]; at corpus scale the same kernel runs per
+    * LSH/IVF bucket with the margin unchanged.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 embCol: String, k: Int = 4, threshold: Double = 1.0,
+                 maxRows: Int = DefaultMaxExactProbes): DataFrame = {
+    val sv = guardProbes(src, maxRows,
+        tier = "exact margin-mining tier: all-pairs — run per LSH/IVF " +
+          "bucket at corpus scale")
+      .select(col(idCol).as("x"), col(embCol).as("x_emb"))
+    val tv = guardProbes(tgt, maxRows)
+      .select(col(idCol).as("y"), col(embCol).as("y_emb"))
+    val scored = sv.join(broadcast(tv), lit(true))
+      .withColumn("cos", VectorOps.cosine(col("x_emb"), col("y_emb")))
+      .select(col("x"), col("y"), col("cos"))
+      .localCheckpoint(true) // feeds 4 consumers below
+    val wx = Window.partitionBy("x").orderBy(col("cos").desc, col("y"))
+    val wy = Window.partitionBy("y").orderBy(col("cos").desc, col("x"))
+    // neighborhood densities: mean of each side's top-k cosines
+    val dx = scored.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k).groupBy("x").agg(avg("cos").as("nx"))
+    val dy = scored.withColumn("rn", row_number().over(wy))
+      .filter(col("rn") <= k).groupBy("y").agg(avg("cos").as("ny"))
+    val margins = scored
+      .join(dx, Seq("x")).join(dy, Seq("y"))
+      .withColumn("margin",
+        col("cos") / (col("nx") / 2.0 + col("ny") / 2.0))
+      .select(col("x"), col("y"), col("cos"), col("margin"))
+      .localCheckpoint(true) // feeds both argmax windows
+    val mx = Window.partitionBy("x").orderBy(col("margin").desc, col("y"))
+    val my = Window.partitionBy("y").orderBy(col("margin").desc, col("x"))
+    val bestX = margins.withColumn("rn", row_number().over(mx))
+      .filter(col("rn") === 1).select(col("x"), col("y"),
+        col("cos"), col("margin"))
+    val bestY = margins.withColumn("rn", row_number().over(my))
+      .filter(col("rn") === 1).select(col("x").as("bx"), col("y").as("by"))
+    bestX
+      .join(bestY, col("x") === col("bx") && col("y") === col("by"))
+      .filter(col("margin") > threshold)
+      .select(col("x"), col("y"), round(col("cos"), 4).as("cos"),
+        round(col("margin"), 4).as("margin"))
+  }
+
   /** FILTERED vector search — the metadata-constrained retrieval every
     * vector store ships (tenant isolation, language/source scoping):
     * candidates must satisfy a per-probe equality predicate (share the

@@ -31,6 +31,7 @@ object LlmRegistry {
     "sim_knn_topk"          -> (LlmQueries.simKnnTopK _),
     "sim_reciprocal_nn"     -> (LlmQueries.simReciprocalNn _),
     "sim_reciprocal_nn_ivf" -> (LlmQueries.simReciprocalNnIvf _),
+    "sim_margin_mine"       -> (LlmQueries.simMarginMine _),
     "sim_filtered_knn"      -> (LlmQueries.simFilteredKnn _),
     "sim_mmr"               -> (LlmQueries.simMmr _),
     "sim_lsh_ann"           -> (LlmQueries.simLshAnn _),
@@ -105,6 +106,7 @@ object LlmRegistry {
     "prep_split"            -> (LlmQueries.prepSplit _),
     "prep_scale"            -> (LlmQueries.prepScale _),
     "prep_winsorize"        -> (LlmQueries.prepWinsorize _),
+    "prep_decontaminate"    -> (LlmQueries.prepDecontaminate _),
     "prep_bin"              -> (LlmQueries.prepBin _),
     "prep_temperature"      -> (LlmQueries.prepTemperature _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
@@ -448,6 +450,40 @@ object LlmRegistry {
         |  ex.a IS NOT NULL AS in_exact, iv.a IS NOT NULL AS in_ivf
         |FROM ex FULL OUTER JOIN iv ON ex.a = iv.a AND ex.b = iv.b
         |ORDER BY a, b""".stripMargin,
+    // ratio-margin bitext mining: cos / (mean top-4 density of each
+    // side / 2), mutual margin-argmax above 1.0 — full replay
+    "sim_margin_mine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id AS x, emb FROM e WHERE label % 2 = 0),
+        |tv AS (SELECT vec_id AS y, emb FROM e WHERE label % 2 = 1),
+        |sc AS (SELECT sv.x, tv.y,
+        |    list_dot_product(sv.emb, tv.emb)
+        |      / (sqrt(list_dot_product(sv.emb, sv.emb))
+        |         * sqrt(list_dot_product(tv.emb, tv.emb))) AS cos
+        |  FROM sv, tv),
+        |dx AS (SELECT x, AVG(cos) AS nx FROM (
+        |    SELECT x, cos, ROW_NUMBER() OVER (PARTITION BY x
+        |      ORDER BY cos DESC, y) AS rn FROM sc) z
+        |  WHERE rn <= 4 GROUP BY x),
+        |dy AS (SELECT y, AVG(cos) AS ny FROM (
+        |    SELECT y, cos, ROW_NUMBER() OVER (PARTITION BY y
+        |      ORDER BY cos DESC, x) AS rn FROM sc) z
+        |  WHERE rn <= 4 GROUP BY y),
+        |m AS (SELECT sc.x, sc.y, sc.cos,
+        |    sc.cos / (dx.nx / 2.0 + dy.ny / 2.0) AS margin
+        |  FROM sc JOIN dx USING (x) JOIN dy USING (y)),
+        |bx AS (SELECT x, y, cos, margin FROM (
+        |    SELECT x, y, cos, margin, ROW_NUMBER() OVER (PARTITION BY x
+        |      ORDER BY margin DESC, y) AS rn FROM m) z WHERE rn = 1),
+        |by AS (SELECT x AS bxx, y AS byy FROM (
+        |    SELECT x, y, ROW_NUMBER() OVER (PARTITION BY y
+        |      ORDER BY margin DESC, x) AS rn FROM m) z WHERE rn = 1)
+        |SELECT bx.x, bx.y, ROUND(bx.cos, 4) AS cos,
+        |  ROUND(bx.margin, 4) AS margin
+        |FROM bx JOIN by ON bx.x = by.bxx AND bx.y = by.byy
+        |WHERE bx.margin > 1.0 ORDER BY x, y""".stripMargin,
     "sim_knn_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
         |           FROM embeddings WHERE vec_id < 10),
@@ -1885,6 +1921,34 @@ object LlmRegistry {
     // Luhn-validated card scan: candidates are maximal digit runs of
     // length 13-16; valid = mod-10 checksum holds (double every second
     // digit from the right, fold >9 by -9)
+    // GPT-3-style decontamination: md5 split, distinct 8-grams, any
+    // train doc sharing a gram with a test doc drops
+    "prep_decontaminate" ->
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        ::BIGINT % 10 = 0 THEN 'test' ELSE 'train' END AS split
+        |  FROM base),
+        |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 6),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))))
+        |    AS gram
+        |  FROM a WHERE len(string_split(text, ' ')) >= 8),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+        |hits AS (SELECT g.doc_id, COUNT(*) AS h
+        |  FROM g JOIN tg USING (gram) WHERE g.split = 'train'
+        |  GROUP BY g.doc_id)
+        |SELECT a.doc_id, a.split,
+        |  CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_contaminated_grams,
+        |  CASE WHEN a.split = 'test' THEN 'test'
+        |       WHEN hits.h IS NOT NULL THEN 'dropped'
+        |       ELSE 'train' END AS disposition
+        |FROM a LEFT JOIN hits ON a.doc_id = hits.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     // winsorized per-group price stats: interpolated P1/P99 over exact
     // cents, clip counts, and the exact-reassembly winsorized mean
     // quality-aware dedup keeper: argmax(score) with id tie-break over
