@@ -158,6 +158,24 @@ object LlmQueries {
       .withColumnRenamed("g", "priority")
       .orderBy("priority")
 
+  /** text_invisible ([[TextAnalysis.invisibleChars]]) over a corpus
+    * with obfuscation planted by construction: every fourth doc gains
+    * zero-width joiners inside a word, a bidi override and a soft
+    * hyphen — invisible in rendering, poison for tokenizers and
+    * dedup. The oracle replays the three counts and the cleaned-text
+    * md5 (so the REMOVAL is pinned too, not just detection).
+    */
+  def textInvisible(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val injected = d.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("he\u200Bllo\u200D "), col("text"),
+          lit(" \u202Ereversed\u202C x\u00ADy")))
+      .otherwise(col("text")))
+    TextAnalysis.invisibleChars(injected, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** prep_decontaminate ([[Prep.decontaminate]]): the GPT-3-style
     * eval-leakage scrub over a corpus with contamination planted by
     * construction — every seventh doc gains a shared 8-token phrase, so

@@ -63,6 +63,32 @@ object TextAnalysis {
         .stripMargin).as("n_valid"))
   }
 
+  /** INVISIBLE-character detection — the anti-obfuscation scrub
+    * (SEO-spam and watermark text hides zero-width joiners, bidi
+    * overrides and soft hyphens that survive every whitespace-keyed
+    * op while changing rendering and tokenization): count the three
+    * classes separately and emit the cleaned text. Row-local codegen'd
+    * regex (fixed RE2-safe classes), one corpus scan, zero shuffles.
+    *
+    *   - zero-width: U+200B/200C/200D ZWSP/ZWNJ/ZWJ, U+FEFF BOM
+    *   - bidi controls: U+202A–202E embeddings/overrides,
+    *     U+2066–2069 isolates
+    *   - soft hyphen U+00AD
+    */
+  def invisibleChars(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val zw = "[\u200B\u200C\u200D\uFEFF]"
+    val bidi = "[\u202A-\u202E\u2066-\u2069]"
+    val shy = "\u00AD"
+    def hits(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol),
+      hits(zw).as("n_zero_width"), hits(bidi).as("n_bidi"),
+      hits(shy).as("n_soft_hyphen"),
+      md5(regexp_replace(col(textCol),
+        lit(s"$zw|$bidi|$shy"), lit(""))).as("clean_md5"))
+  }
+
   /** Token statistics: whitespace tokens, distinct tokens, and a BPE-ish
     * sub-word piece count (letter runs / digit runs / single other chars) —
     * the cheap token-count estimator a data pipeline uses for budgeting.

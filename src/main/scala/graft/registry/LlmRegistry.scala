@@ -101,6 +101,7 @@ object LlmRegistry {
     "sim_range_search"      -> (LlmQueries.simRangeSearch _),
     "text_pii"              -> (LlmQueries.textPii _),
     "text_pii_luhn"         -> (LlmQueries.textPiiLuhn _),
+    "text_invisible"        -> (LlmQueries.textInvisible _),
     "sim_twostage"          -> (LlmQueries.simTwoStage _),
     "sim_twostage_recall"   -> (LlmQueries.simTwoStageRecall _),
     "prep_split"            -> (LlmQueries.prepSplit _),
@@ -1917,6 +1918,26 @@ object LlmRegistry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // invisible-character scrub: three class counts + cleaned-text md5
+    // (U+202C pops the planted U+202E override; both count as bidi)
+    "text_invisible" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'he' || chr(8203) || 'llo'
+        |      || chr(8205) || ' ' || text || ' ' || chr(8238)
+        |      || 'reversed' || chr(8236) || ' x' || chr(173) || 'y'
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]')) AS BIGINT)
+        |    AS n_zero_width,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x{202A}-\x{202E}\x{2066}-\x{2069}]')) AS BIGINT) AS n_bidi,
+        |  CAST(len(regexp_extract_all(text, '\x{00AD}')) AS BIGINT)
+        |    AS n_soft_hyphen,
+        |  md5(regexp_replace(text,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]|[\x{202A}-\x{202E}\x{2066}-\x{2069}]|\x{00AD}',
+        |    '', 'g')) AS clean_md5
         |FROM d ORDER BY doc_id""".stripMargin,
     // Luhn-validated card scan: candidates are maximal digit runs of
     // length 13-16; valid = mod-10 checksum holds (double every second
