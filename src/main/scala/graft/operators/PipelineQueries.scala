@@ -2206,6 +2206,78 @@ object PipelineQueries {
       .orderBy("lang", "source")
   }
 
+  /** A65 — CBOR (RFC 8949) ingest/export round trip over the
+    * hand-written codec ([[graft.sources.CborIO]]): executors write the
+    * corpus as an RFC 8742 CBOR Sequence of definite-length document
+    * maps (self-delimiting — the framing protobuf needs a varint prefix
+    * for is structural here), with UNKNOWN map keys injected into every
+    * third item — a tagged nested array the reader must skip
+    * STRUCTURALLY, the self-describing forward-compat property; the
+    * read side streams the shards back and reconciles the per-language
+    * aggregate against the source-table truth.
+    */
+  def a65CborRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = graft.util.Scratch.dir("graft_cbor").toString + "/docs_cbor"
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new Path(s"$base/part-$pid.cbor")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          try it.foreach { r =>
+            val doc = graft.sources.CborIO.Doc(r.getLong(0), r.getString(1),
+              r.getString(2), r.getString(3), r.getLong(4))
+            if (doc.doc_id % 3 == 0) {
+              // v2-writer simulation: a 6-pair map whose extra key holds
+              // a TAGGED ARRAY of ints — only a structural skip survives
+              val b = new java.io.ByteArrayOutputStream()
+              b.write((5 << 5) | 6) // map(6)
+              def txt(x: String): Unit = {
+                val bs = x.getBytes("UTF-8")
+                b.write((3 << 5) | bs.length); b.write(bs, 0, bs.length)
+              }
+              txt("x_meta")
+              b.write((6 << 5) | 24); b.write(42) // tag 42
+              b.write((4 << 5) | 3)               // array(3)
+              b.write(1); b.write(2); b.write((0 << 5) | 24); b.write(200)
+              val inner = new java.io.ByteArrayOutputStream()
+              graft.sources.CborIO.writeDoc(inner, doc)
+              // splice: replace the map(5) initial byte with map(6) +
+              // the extra pair FIRST, then the five real pairs
+              val body = inner.toByteArray
+              out.write(b.toByteArray, 0, b.size())
+              out.write(body, 1, body.length - 1)
+            } else graft.sources.CborIO.writeDoc(out, doc)
+          } finally out.close()
+        }
+      }
+    val fsys = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fsys.listStatus(new Path(base))
+      .count(_.getPath.getName.endsWith(".cbor")) >= 2,
+      "expected multiple cbor shards")
+    import s.implicits._
+    val decoded = s.read.format("binaryFile").load(base + "/*.cbor")
+      .select("content").as[Array[Byte]]
+      .mapPartitions { files =>
+        files.flatMap { bytes =>
+          graft.sources.CborIO.readSequence(
+            new java.io.ByteArrayInputStream(bytes))
+        }
+      }
+      .map(d => (d.doc_id, d.text, d.lang, d.source, d.n_chars))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    decoded
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_xor"))
+      .orderBy("lang", "source")
+  }
+
   /** A54 — XML ingest/export roundtrip through Spark 4's built-in XML
     * source (the donated spark-xml lineage): the corpus exported as
     * `<docs><doc>…</doc>…</docs>` documents and read back with an

@@ -56,6 +56,7 @@ object PipelineRegistry {
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
     "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
     "a64_protobuf_roundtrip" -> (PipelineQueries.a64ProtobufRoundtrip _),
+    "a65_cbor_roundtrip"    -> (PipelineQueries.a65CborRoundtrip _),
     "a61_kafkawire_tls"     -> (PipelineQueries.a61KafkawireTls _),
     "a49_gzip_jsonl"        -> (PipelineQueries.a49GzipJsonl _),
     "a57_zstd_parquet"      -> (PipelineQueries.a57ZstdParquet _),
@@ -433,6 +434,12 @@ object PipelineRegistry {
     // varints, UTF-8 runs, deflate blocks and sync markers must all be
     // byte-lossless for every group hash to match
     "a64_protobuf_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
+        |    AS content_xor
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "a65_cbor_roundtrip" ->
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT)
