@@ -1258,6 +1258,95 @@ object PipelineQueries {
       .orderBy("read_as", "n_regionkey")
   }
 
+  /** A66 — OPTIMISTIC CONCURRENCY on the atomic publish: two publishes
+    * race one dataset root. Publisher B claims the manifest slot inside
+    * publisher A's race window (the `boundary(0)` hook pins the
+    * interleaving deterministically — the same window two Airflow-less
+    * schedulers would hit), so A's claim MUST fail with
+    * [[Sync.ConcurrentPublishException]]: the loser refuses rather than
+    * silently clobbering a version a live reader or
+    * [[Sync.readAtomicTableAt]] could already have resolved (the
+    * Delta/Iceberg commit contract). The reference dodges this race
+    * only because Airflow serializes its tasks
+    * (dags/cloudsql_to_bigquery.py:284-287). The loser then retries and
+    * lands on the NEXT slot — no version lost, history monotone.
+    * Output = every history version read back (base, winner, retried
+    * loser) + the live pointer + the observed refusal count; the
+    * nondeterministic thread race (latch, N trials) is spec-pinned in
+    * SyncSpec.
+    */
+  def a66ConcurrentPublish(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    def agg(df: DataFrame) = df.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        sum("n_nationkey").cast("long").as("key_sum"))
+    val root = graft.util.Scratch.dir("graft_occ").toString + "/ds"
+    Sync.publishAtomicAll(Seq("nat" -> agg(nation)), root,
+      retain = 10, publishedAt = Some(1000L))
+    var refused = 0L
+    try {
+      Sync.publishAtomicAll(
+        Seq("nat" -> agg(nation.filter(col("n_nationkey") % 2 === 1))),
+        root,
+        boundary = b => if (b == 0)
+          Sync.publishAtomicAll(
+            Seq("nat" -> agg(nation.filter(col("n_nationkey") % 2 === 0))),
+            root, retain = 10, publishedAt = Some(2000L)),
+        retain = 10, publishedAt = Some(3000L))
+    } catch { case _: Sync.ConcurrentPublishException => refused += 1 }
+    require(refused == 1L, "the raced publish must be refused")
+    Sync.publishAtomicAll(
+      Seq("nat" -> agg(nation.filter(col("n_nationkey") % 2 === 1))),
+      root, retain = 10, publishedAt = Some(3000L))
+    def tag(df: DataFrame, t: String) = df.withColumn("read_as", lit(t))
+    tag(Sync.readAtomicTableAt(s, root, "nat", 1L).get, "v1_base")
+      .unionByName(tag(
+        Sync.readAtomicTableAt(s, root, "nat", 2L).get, "v2_winner"))
+      .unionByName(tag(
+        Sync.readAtomicTableAt(s, root, "nat", 3L).get, "v3_retried"))
+      .unionByName(tag(Sync.readAtomicTable(s, root, "nat").get, "live"))
+      .withColumn("n_refused", lit(refused))
+      .orderBy("read_as", "n_regionkey")
+  }
+
+  /** A67 — time travel ACROSS a schema evolution (the audit read users
+    * actually run after an evolution, composing [[a62TimeTravel]] with
+    * the [[a32SchemaEvolution]] contract): version 1 publishes a
+    * 2-column aggregate, version 2 both RENAMES a column (`n` → `cnt`)
+    * and ADDS one (`key_sum`). Each version must read back with ITS OWN
+    * schema — v1 without the added/renamed columns, v2 without the old
+    * name — because every snapshot carries its own parquet footer and
+    * the manifest history resolves to files, never to a merged "latest"
+    * schema. The output unions both reads over the superset schema
+    * (absent columns explicitly NULL) and pins each version's actual
+    * column list as data.
+    */
+  def a67TimeTravelEvolution(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val root = graft.util.Scratch.dir("graft_ttevo").toString + "/ds"
+    val v1 = nation.groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    val v2 = nation.groupBy("n_regionkey").agg(count(lit(1)).as("cnt"),
+      sum("n_nationkey").cast("long").as("key_sum"))
+    Sync.publishAtomicAll(Seq("nat" -> v1), root,
+      retain = 10, publishedAt = Some(1000L))
+    Sync.publishAtomicAll(Seq("nat" -> v2), root,
+      retain = 10, publishedAt = Some(2000L))
+    def shape(df: DataFrame, t: String): DataFrame = {
+      val full = Seq("n", "cnt", "key_sum").foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("long"))
+      }
+      full.select(col("n_regionkey"), col("n").cast("long").as("n"),
+          col("cnt").cast("long").as("cnt"), col("key_sum"))
+        .withColumn("read_as", lit(t))
+        .withColumn("cols", lit(df.columns.sorted.mkString(",")))
+    }
+    shape(Sync.readAtomicTableAt(s, root, "nat", 1L).get, "v1")
+      .unionByName(shape(Sync.readAtomicTableAt(s, root, "nat", 2L).get,
+        "v2"))
+      .orderBy("read_as", "n_regionkey")
+  }
+
   /** A42 — retention window + on-demand vacuum: four versioned
     * publishes with `retain = 4` build a bounded time-travel history
     * (each version a different orders slice), [[Sync.vacuumRetain]]

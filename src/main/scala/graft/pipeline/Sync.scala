@@ -557,6 +557,18 @@ object Sync {
   private[graft] val Manifest = "_MANIFEST"
   private[graft] val ManifestTmp = "_MANIFEST.tmp"
 
+  /** Thrown when a concurrent [[publishAtomicAll]] claimed the next
+    * manifest version first. The loser refuses rather than clobbering a
+    * version a live reader or [[readAtomicTableAt]] could already have
+    * resolved — the optimistic-concurrency contract (Delta/Iceberg
+    * commit semantics). The reference never faces this race only
+    * because Airflow serializes its tasks
+    * (dags/cloudsql_to_bigquery.py:284-287); callers here opt into
+    * retry via the `retries` parameter.
+    */
+  final class ConcurrentPublishException(msg: String)
+    extends RuntimeException(msg)
+
   /** Atomic MULTI-TABLE publish — the all-or-nothing dataset swap the
     * reference's per-table `bq load --replace` loop cannot give (a
     * failure mid-loop leaves tables at mixed versions;
@@ -564,88 +576,240 @@ object Sync {
     * time). Layout:
     *
     *   <root>/<table>/snap-N/ + per-snap commit marker   (data)
-    *   <root>/_MANIFEST                                  (the atomic unit:
+    *   <root>/_manifests/manifest-N                      (publish history)
+    *   <root>/_MANIFEST                                  (the live pointer:
     *                                                      `table=version` lines)
     *
-    * Protocol: write EVERY table's new snapshot + marker first, then
-    * stage the full manifest beside the live one and swap it via
-    * delete+rename — readers resolve all tables through ONE file, so
-    * every kill point leaves a consistent dataset: before the swap all
-    * tables read old, after it all read new, and in the delete–rename
-    * window the staged tmp manifest (complete by construction) is the
-    * fallback. Unreferenced snapshots older than the superseded
-    * manifest are vacuumed; the superseded versions stay for live
-    * readers (the single-table retention rule, dataset-wide).
+    * Protocol (crash-consistent at every kill point AND safe against a
+    * concurrent publisher):
     *
-    * `boundary` is the crash-injection hook (1..4), the
-    * [[publishStaged]] convention.
+    *  1. stage every table's data under a unique dot-directory — final
+    *     `snap-N` names are assigned only by the claim winner, so two
+    *     racing publishes can never interleave writes into one
+    *     directory;
+    *  2. CLAIM the next manifest slot with an atomic create-if-absent
+    *     (`manifest-N.claim`): the commit point of the optimistic-
+    *     concurrency check. The loser deletes its staging and throws
+    *     [[ConcurrentPublishException]] — it never overwrites a version
+    *     anyone could have read;
+    *  3. the winner renames staging into `snap-N` (N = the claimed
+    *     slot, one global counter, so snapshot names are collision-free
+    *     by construction) and writes commit markers;
+    *  4. the immutable history entry is staged at a tmp name and
+    *     RENAMED into place — it is never observable half-written (a
+    *     torn `manifest-N` would otherwise parse as a silently
+    *     incomplete dataset state for time-travel reads);
+    *  5. the live pointer is swapped (stage tmp, delete, rename) to the
+    *     NEWEST fully-committed history state — which is >= this
+    *     publish's own, so a slow publisher that lost a later race can
+    *     never regress the pointer below a state a reader already saw;
+    *     a short convergence loop re-installs if two swaps consumed
+    *     each other's files mid-flight.
+    *
+    * Readers resolve all tables through the ONE pointer file: before
+    * the swap all tables read old, after it all read new, and in the
+    * delete–rename window the staged tmp manifest (complete by
+    * construction) is the fallback. Snapshot retention keeps each
+    * table's newest `retain` snapshots BY ORDER (not by numeric
+    * window — slot numbering is sparse per table when publishes of
+    * disjoint table sets interleave).
+    *
+    * `boundary` is the crash-injection hook (0..4), the
+    * [[publishStaged]] convention: 0 = slot computed + data staged,
+    * claim NOT yet taken (the optimistic-concurrency race window);
+    * 1 = snapshots + history committed, pointer old; 2 = pointer
+    * staged; 3 = pointer deleted (tmp fallback window); 4 = new
+    * pointer live.
     */
   def publishAtomicAll(tables: Seq[(String, DataFrame)], root: String,
                        boundary: Int => Unit = _ => (),
                        retain: Int = 2,
-                       publishedAt: Option[Long] = None): Map[String, Long] = {
+                       publishedAt: Option[Long] = None,
+                       retries: Int = 0): Map[String, Long] = {
     require(tables.nonEmpty)
     require(retain >= 1, "retain must keep at least the live version")
+    var attempt = 0
+    while (attempt < retries) {
+      try return publishAtomicOnce(tables, root, boundary, retain, publishedAt)
+      catch { case _: ConcurrentPublishException => attempt += 1 }
+    }
+    publishAtomicOnce(tables, root, boundary, retain, publishedAt)
+  }
+
+  private def publishAtomicOnce(tables: Seq[(String, DataFrame)],
+                                root: String, boundary: Int => Unit,
+                                retain: Int,
+                                publishedAt: Option[Long]): Map[String, Long] = {
+    val UTF8 = java.nio.charset.StandardCharsets.UTF_8
     val spark = tables.head._2.sparkSession
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = resolveManifest(fs, rootP)
-    val next = tables.map { case (t, df) =>
-      require(!t.contains('=') && !t.contains('/'), s"bad table name $t")
-      val v = old.getOrElse(t, 0L) + 1
-      val dir = new Path(rootP, s"$t/snap-$v")
-      df.write.mode("overwrite").parquet(dir.toString)
-      fs.create(new Path(dir, CommitMarker), true).close()
-      t -> v
-    }.toMap
-    boundary(1) // every new snapshot committed; manifest still old
-    val merged = old ++ next
-    val body = merged.toSeq.sorted.map { case (t, v) => s"$t=$v" }
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    // history entry FIRST (additive, immutable): a crash between here
-    // and the pointer swap leaves a manifest-N whose content is not yet
-    // live — harmless, since every snapshot it references was committed
-    // at boundary(1) and the LIVE resolution path below stays
-    // pointer-based. This is the time-travel record: the full dataset
-    // state of each publish, the Spark spelling of the reference's
-    // date-suffixed history tables (dags/cloudsql_to_bigquery.py:226-227).
+    val hist = listManifestHistory(fs, rootP)
     val histDir = new Path(rootP, ManifestHistoryDir)
     if (!fs.exists(histDir)) fs.mkdirs(histDir)
-    val histN = listManifestHistory(fs, rootP).map(_._1)
+    // the slot this publish will claim: one past every history entry
+    // AND every outstanding claim, so an in-flight (or crashed-after-
+    // claim) publisher's slot is never contested twice and a vacuumed
+    // id is never reused for different data
+    val slot = (hist.map(_._1) ++ listClaims(fs, rootP))
       .foldLeft(0L)(math.max) + 1
+    // snapshot version = the claimed slot (one global counter): two
+    // racing publishes hold different slots by construction, so their
+    // snap-N directories can never collide — a per-table `old+1`
+    // counter would let both compute the same next version and
+    // interleave writes into one directory (a lost-update corruption)
+    val next = tables.map { case (t, _) =>
+      require(!t.contains('=') && !t.contains('/'), s"bad table name $t")
+      t -> slot
+    }.toMap
+    // 1) stage data under dot-dirs (invisible to snapshot listings)
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val staged = tables.map { case (t, df) =>
+      val dir = new Path(rootP, s"$t/.stage-$nonce")
+      df.write.mode("overwrite").parquet(dir.toString)
+      (t, dir)
+    }
+    boundary(0) // race window: slot computed + data staged, claim not taken
+    // 2) claim the slot — the optimistic-concurrency commit point
+    if (!atomicClaim(fs, new Path(histDir, s"manifest-$slot$ClaimSuffix"))) {
+      staged.foreach { case (_, d) => fs.delete(d, true) }
+      throw new ConcurrentPublishException(
+        s"manifest slot $slot at $root was claimed by a concurrent " +
+          "publish; this publish was refused (no version was lost — " +
+          "retry re-reads the advanced state)")
+    }
+    // 3) staging -> final snap homes + commit markers (any pre-existing
+    //    snap-<slot> dir is wreckage of a crash AFTER this same slot's
+    //    claim but before its history rename: unreferenced by any
+    //    manifest, and un-raceable since the claim is ours)
+    staged.foreach { case (t, d) =>
+      val fin = new Path(rootP, s"$t/snap-$slot")
+      if (fs.exists(fin)) fs.delete(fin, true)
+      fs.rename(d, fin)
+      fs.create(new Path(fin, CommitMarker), true).close()
+    }
+    val merged = old ++ next
+    def bodyOf(m: Map[String, Long]): Array[Byte] =
+      m.toSeq.sorted.map { case (t, v) => s"$t=$v" }.mkString("\n")
+        .getBytes(UTF8)
+    // 4) history entry — staged then renamed (never half-written). This
+    //    is the time-travel record: the full dataset state of each
+    //    publish, the Spark spelling of the reference's date-suffixed
+    //    history tables (dags/cloudsql_to_bigquery.py:226-227). Markers
+    //    precede this rename, so a history entry's presence implies its
+    //    snapshots are fully committed.
     locally {
       val ts = publishedAt.getOrElse(System.currentTimeMillis())
-      val h = fs.create(new Path(histDir, s"manifest-$histN"), true)
-      h.write((s"$PublishedAtKey=$ts\n" + new String(body,
-        java.nio.charset.StandardCharsets.UTF_8))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tmpH = new Path(histDir, s".tmp-$nonce")
+      val h = fs.create(tmpH, true)
+      h.write((s"$PublishedAtKey=$ts\n" +
+        new String(bodyOf(merged), UTF8)).getBytes(UTF8))
       h.close()
+      fs.rename(tmpH, new Path(histDir, s"manifest-$slot"))
     }
+    boundary(1) // snapshots + history committed; pointer still old
+    // 5) pointer swap — to the newest committed history state (>= ours)
+    def newestCommitted(): Map[String, Long] =
+      listManifestHistory(fs, rootP).reverseIterator.map(_._3).find(m =>
+        m.forall { case (t, v) =>
+          fs.exists(new Path(rootP, s"$t/snap-$v/$CommitMarker")) })
+        .getOrElse(merged)
     val tmp = new Path(rootP, ManifestTmp)
-    val out = fs.create(tmp, true)
-    out.write(body)
-    out.close()
-    boundary(2) // full manifest staged beside the live one
     val man = new Path(rootP, Manifest)
+    def stage(m: Map[String, Long]): Unit = {
+      val out = fs.create(tmp, true); out.write(bodyOf(m)); out.close()
+    }
+    stage(newestCommitted())
+    boundary(2) // full manifest staged beside the live one
     if (fs.exists(man)) fs.delete(man, false)
-    boundary(3) // manifest gone: readers fall back to the staged tmp
+    boundary(3) // pointer gone: readers fall back to the staged tmp
     fs.rename(tmp, man)
     boundary(4) // acknowledged; stale snapshots not yet vacuumed
-    // snapshot retention: keep each table's newest `retain` versions
-    // (default 2 = live + immediately superseded, for readers mid-swap);
-    // a time-travel dataset publishes with a larger retain and prunes
-    // with vacuumPublished, which also trims the manifest history
+    // convergence guard: two concurrent swaps can consume each other's
+    // tmp/pointer files or install out of order; loop until the live
+    // pointer covers this publish's versions (each retry re-installs
+    // the newest committed state, so racers converge on the max — in
+    // the uncontended case the condition holds immediately and the
+    // loop never runs)
+    var spins = 0
+    while (spins < 64 &&
+        !next.forall { case (t, v) =>
+          resolveManifest(fs, rootP).getOrElse(t, -1L) >= v }) {
+      stage(newestCommitted())
+      if (fs.exists(man)) fs.delete(man, false)
+      fs.rename(tmp, man)
+      spins += 1
+    }
+    // NOTE: the claim file is NOT deleted here — it is the slot's
+    // tombstone. A same-slot loser still holds a reference to slot N;
+    // freeing the claim would let its (slower) atomicClaim succeed and
+    // silently clobber this publish's snap-N. Claims below the newest
+    // retained manifest are reaped by vacuumPublished, where slot
+    // arithmetic can never hand them out again.
+    // snapshot retention: keep each table's newest `retain` committed
+    // snapshots in VERSION ORDER up to this publish (default 2 = live +
+    // immediately superseded, for readers mid-swap) plus anything newer
+    // (a concurrent publish's fresh snapshot is never reaped); staging
+    // dot-dirs of in-flight publishes are left alone (vacuumPublished
+    // reaps orphans). A time-travel dataset publishes with a larger
+    // retain and prunes with vacuumPublished.
     merged.foreach { case (t, v) =>
       val tdir = new Path(rootP, t)
-      if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
-        val n = st.getPath.getName
-        val keep = n.startsWith("snap-") &&
-          scala.util.Try(n.stripPrefix("snap-").toLong).toOption
-            .exists(x => x > v - retain)
-        if (!keep) fs.delete(st.getPath, true)
+      if (fs.exists(tdir)) {
+        val snaps = fs.listStatus(tdir).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("snap-")) None
+          else scala.util.Try(n.stripPrefix("snap-").toLong).toOption
+            .map(_ -> st.getPath)
+        }.sortBy(_._1)
+        val keep = snaps.collect { case (x, _) if x <= v => x }
+          .takeRight(retain).toSet
+        snaps.foreach { case (x, p) =>
+          if (x <= v && !keep.contains(x)) fs.delete(p, true)
+        }
       }
     }
     next
+  }
+
+  private[graft] val ClaimSuffix = ".claim"
+
+  /** Slot claims (`manifest-N.claim`) — every slot ever claimed at this
+    * root (tombstones persist so a same-slot loser can never re-claim a
+    * freed slot; [[vacuumPublished]] reaps old ones). Includes claims
+    * left by a publisher that crashed between its claim and its history
+    * rename — those slots stay permanently skipped (a gap in the
+    * history numbering), never reassigned.
+    */
+  private def listClaims(fs: FileSystem, rootP: Path): Seq[Long] = {
+    val histDir = new Path(rootP, ManifestHistoryDir)
+    if (!fs.exists(histDir)) Seq.empty
+    else fs.listStatus(histDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("manifest-") && n.endsWith(ClaimSuffix))
+        scala.util.Try(
+          n.stripPrefix("manifest-").stripSuffix(ClaimSuffix).toLong).toOption
+      else None
+    }
+  }
+
+  /** Atomic create-if-absent — the claim primitive. Hadoop's local-FS
+    * `create(overwrite = false)` is check-then-create (a TOCTOU
+    * window), so on the local FS this drops to
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL, kernel-atomic);
+    * on HDFS-like stores `create(false)` is atomic at the namenode.
+    * Returns false when the path already exists — the losing racer.
+    */
+  private def atomicClaim(fs: FileSystem, p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    case other =>
+      try { other.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
   }
 
   private[graft] val ManifestHistoryDir = "_manifests"
@@ -742,13 +906,27 @@ object Sync {
     dropped.foreach { case (n, _, _) =>
       fs.delete(new Path(rootP, s"$ManifestHistoryDir/manifest-$n"), false)
     }
+    // claim tombstones strictly below the newest kept slot can never be
+    // handed out again (slot arithmetic is max+1 over content AND
+    // claims), so they are safe to reap; the newest claims stay — a
+    // same-slot loser may still hold a reference to them
+    val keptMax = kept.map(_._1).max
+    listClaims(fs, rootP).filter(_ < keptMax).foreach { n =>
+      fs.delete(
+        new Path(rootP, s"$ManifestHistoryDir/manifest-$n$ClaimSuffix"),
+        false)
+    }
     // referenced = union over kept manifests PLUS the live pointer (the
     // can't-delete-current guard holds even if the history was damaged)
     val live = resolveManifest(fs, rootP)
     val referenced: Set[(String, Long)] =
       (kept.flatMap(_._3.toSeq) ++ live.toSeq).toSet
     var deleted = 0L
-    val tableNames = (referenced.map(_._1) ++ live.keySet).toSeq.distinct
+    // sweep table names from DROPPED manifests too: a table that
+    // appears solely in dropped history would otherwise keep its
+    // now-unreachable snapshots forever (and under-report `deleted`)
+    val tableNames = (referenced.map(_._1) ++ live.keySet ++
+      dropped.flatMap(_._3.keys)).toSeq.distinct
     tableNames.foreach { t =>
       val tdir = new Path(rootP, t)
       if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
@@ -760,6 +938,10 @@ object Sync {
             fs.delete(st.getPath, true); deleted += 1
           }
         }
+        // orphaned staging of a crashed publish (vacuum is an explicit
+        // maintenance op, never run concurrently with a publish — the
+        // Delta VACUUM convention)
+        if (n.startsWith(".stage-")) fs.delete(st.getPath, true)
       }
     }
     (kept.length.toLong, deleted)

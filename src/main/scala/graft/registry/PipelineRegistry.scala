@@ -54,6 +54,8 @@ object PipelineRegistry {
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
+    "a66_concurrent_publish" -> (PipelineQueries.a66ConcurrentPublish _),
+    "a67_time_travel_evolution" -> (PipelineQueries.a67TimeTravelEvolution _),
     "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
     "a64_protobuf_roundtrip" -> (PipelineQueries.a64ProtobufRoundtrip _),
     "a65_cbor_roundtrip"    -> (PipelineQueries.a65CborRoundtrip _),
@@ -603,6 +605,46 @@ object PipelineRegistry {
         |SELECT n_regionkey, n, key_sum, 'asof_1500' AS read_as FROM full_agg
         |UNION ALL
         |SELECT n_regionkey, n, key_sum, 'live' AS read_as FROM even_agg
+        |ORDER BY read_as, n_regionkey""".stripMargin,
+    // a66: the optimistic-concurrency contract — winner's even-keys
+    // aggregate at v2, the refused odd-keys publish retried at v3 (and
+    // live), exactly ONE observed refusal; a silent clobber or a lost
+    // version changes the tagged row set
+    "a66_concurrent_publish" ->
+      """WITH full_agg AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |  FROM nation GROUP BY n_regionkey),
+        |even_agg AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |  FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey),
+        |odd_agg AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |  FROM nation WHERE n_nationkey % 2 = 1 GROUP BY n_regionkey)
+        |SELECT n_regionkey, n, key_sum, 'v1_base' AS read_as,
+        |  CAST(1 AS BIGINT) AS n_refused FROM full_agg
+        |UNION ALL SELECT n_regionkey, n, key_sum, 'v2_winner', 1
+        |FROM even_agg
+        |UNION ALL SELECT n_regionkey, n, key_sum, 'v3_retried', 1
+        |FROM odd_agg
+        |UNION ALL SELECT n_regionkey, n, key_sum, 'live', 1 FROM odd_agg
+        |ORDER BY read_as, n_regionkey""".stripMargin,
+    // a67: time travel across a schema evolution — each version reads
+    // back with ITS OWN schema (v1 has only n; v2 renamed it to cnt and
+    // added key_sum), pinned via the per-version column list
+    "a67_time_travel_evolution" ->
+      """WITH b AS (
+        |  SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(n_nationkey) AS BIGINT) AS ks
+        |  FROM nation GROUP BY n_regionkey)
+        |SELECT n_regionkey, c AS n, CAST(NULL AS BIGINT) AS cnt,
+        |  CAST(NULL AS BIGINT) AS key_sum, 'v1' AS read_as,
+        |  'n,n_regionkey' AS cols FROM b
+        |UNION ALL
+        |SELECT n_regionkey, CAST(NULL AS BIGINT), c, ks, 'v2',
+        |  'cnt,key_sum,n_regionkey' FROM b
         |ORDER BY read_as, n_regionkey""".stripMargin,
     // a63: one decimal/temporal fixture through all three live wire
     // dialects -- the same literal block three times; a codec divergence

@@ -605,6 +605,91 @@ class SyncSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent publishAtomicAll: racing publishes never lose a " +
+      "version — each success is readable at its own slot, history " +
+      "stays strictly monotone, the live pointer never regresses " +
+      "below the newest committed state, and a same-slot loser " +
+      "refuses with ConcurrentPublishException (or lands cleanly on " +
+      "the next slot)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    for (trial <- 1 to 6) {
+      val root = Files.createTempDirectory(s"graft_race_$trial")
+        .toString + "/ds"
+      Sync.publishAtomicAll(Seq("t" -> ds("base", 1)), root, retain = 10)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outs = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Map[String, Long]]]()
+      val threads = Seq("pub_a", "pub_b").map { tag =>
+        val th = new Thread(() => {
+          gate.await()
+          try outs.add(Right(Sync.publishAtomicAll(
+            Seq("t" -> ds(tag, 2)), root, retain = 10)))
+          catch { case e: Throwable => outs.add(Left(e)) }
+        })
+        th.start(); th
+      }
+      gate.countDown()
+      threads.foreach(_.join(120000))
+      val (losses, wins) = outs.asScala.toSeq.partition(_.isLeft)
+      assert(wins.nonEmpty, s"trial $trial: at least one publish must land")
+      // a loser is ONLY ever the optimistic-concurrency refusal
+      losses.foreach { l =>
+        assert(l.left.exists(_.isInstanceOf[Sync.ConcurrentPublishException]),
+          s"trial $trial: unexpected failure ${l.left}")
+      }
+      // no lost version: every success reads back its own data at its slot
+      wins.foreach { w =>
+        val v = w.toOption.get("t")
+        val df = Sync.readAtomicTableAt(spark, root, "t", v)
+        assert(df.exists(_.count() == 2L),
+          s"trial $trial: version $v must be readable")
+      }
+      // history strictly monotone, no duplicate slots
+      val slots = Sync.listPublishHistory(spark, root).map(_._1)
+      assert(slots == slots.sorted && slots.distinct == slots,
+        s"trial $trial: history not monotone: $slots")
+      // pointer = the newest committed state (no regression possible)
+      val live = Sync.readAtomicTable(spark, root, "t").get
+      val maxV = wins.map(_.toOption.get("t")).max
+      assert(Sync.listPublishHistory(spark, root).last._3("t") == maxV)
+      assert(live.count() == 2L)
+    }
+    // deterministic same-slot contention via the boundary(0) race
+    // window: publisher B claims the slot INSIDE A's window, so A's
+    // claim must fail with the refusal — and `retries` then lands A
+    // on the next slot
+    val root = Files.createTempDirectory("graft_race_det").toString + "/ds"
+    Sync.publishAtomicAll(Seq("t" -> ds("base", 1)), root, retain = 10)
+    intercept[Sync.ConcurrentPublishException] {
+      Sync.publishAtomicAll(Seq("t" -> ds("loser", 2)), root,
+        boundary = b => if (b == 0)
+          Sync.publishAtomicAll(Seq("t" -> ds("winner", 3)), root,
+            retain = 10),
+        retain = 10)
+    }
+    // winner's data is live; the refused publish left no trace
+    assert(Sync.readAtomicTable(spark, root, "t").get
+      .select("tag").distinct().head().getString(0) == "winner")
+    assert(Sync.listPublishHistory(spark, root).map(_._1) == Seq(1L, 2L))
+    // retry path: one conflict then success on the advanced slot
+    var first = true
+    val got = Sync.publishAtomicAll(Seq("t" -> ds("retried", 4)), root,
+      boundary = b => if (b == 0 && first) {
+        first = false
+        Sync.publishAtomicAll(Seq("t" -> ds("squeeze", 5)), root,
+          retain = 10)
+      },
+      retain = 10, retries = 2)
+    assert(got("t") == 4L, s"retried publish must land on slot 4: $got")
+    assert(Sync.readAtomicTable(spark, root, "t").get
+      .select("tag").distinct().head().getString(0) == "retried")
+    assert(Sync.listPublishHistory(spark, root).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("manifest time travel: every publish is readable at its version " +
       "and by date; vacuum keeps the newest N readable, deletes the " +
       "rest's snapshots, and can never delete the live version") {
