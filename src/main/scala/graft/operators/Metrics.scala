@@ -1105,14 +1105,19 @@ object Metrics {
         count(lit(1)).as("k_groups"),
         sum("n_g").as("n_total"),
         sum("s_g").as("s_all"),
-        // Σ s_g²/n_g in one double pass, fixed order (sorted by group
-        // key via the deterministic sum over a small exact set is NOT
-        // guaranteed — so keep each addend exact-integer-derived and
-        // sum as double of exact ratios; k=3 groups keeps the
-        // accumulation order irrelevant at ROUND(6))
-        sum(col("s_g").cast("double") * col("s_g").cast("double") /
-          col("n_g").cast("double")).as("ssb_raw"),
+        // Σ s_g²/n_g must be ORDER-FIXED, not a float SUM whose
+        // accumulation order varies by partitioning: collect the k
+        // per-group exact integers (k = #groups, tiny by construction),
+        // sort by group key, and fold left-to-right — bit-identical on
+        // every run and mirrored by the oracle's
+        // list_reduce(list_sort(...)) fold
+        sort_array(collect_list(struct(col("g"), col("n_g"), col("s_g"))))
+          .as("gs"),
         sum("q_g").as("q_all"))
+      .withColumn("ssb_raw", aggregate(col("gs"), lit(0.0),
+        (acc, x) => acc + x.getField("s_g").cast("double") *
+          x.getField("s_g").cast("double") /
+          x.getField("n_g").cast("double")))
       .select(col("k_groups"), col("n_total"),
         round(
           ((col("ssb_raw") -
@@ -1132,8 +1137,15 @@ object Metrics {
       |    SUM(CAST(cents AS HUGEINT) * cents) AS q_g FROM o GROUP BY g),
       |agg AS (SELECT COUNT(*) AS k_groups, SUM(n_g) AS n_total,
       |    SUM(s_g) AS s_all,
-      |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-      |        / CAST(n_g AS DOUBLE)) AS ssb_raw,
+      |    -- order-FIXED fold mirroring the engine's
+      |    -- aggregate(sort_array(...)): never a float SUM whose
+      |    -- accumulation order could drift between runs
+      |    list_reduce(
+      |      list_transform(
+      |        list_sort(LIST({'g': g, 'n_g': n_g, 's_g': s_g})),
+      |        x -> CAST(x.s_g AS DOUBLE) * CAST(x.s_g AS DOUBLE)
+      |             / CAST(x.n_g AS DOUBLE)),
+      |      (a, b) -> a + b) AS ssb_raw,
       |    SUM(q_g) AS q_all FROM grp)
       |SELECT CAST(k_groups AS BIGINT) AS k_groups,
       |  CAST(n_total AS BIGINT) AS n_total,

@@ -131,8 +131,16 @@ object CborIO {
   private def readLong(in: InputStream): Long = {
     val ib = rd(in)
     val major = ib >> 5
-    val a = arg(in, ib & 0x1F)
-    if (a < 0) throw new EOFException("cbor: indefinite length refused")
+    val ai = ib & 0x1F
+    val a = arg(in, ai)
+    if (a < 0 && ai == 31)
+      throw new EOFException("cbor: indefinite length refused")
+    // an 8-byte argument with the top bit set (uint64 > Long.MaxValue,
+    // or a negint below Long.MinValue) has no Long representation —
+    // refuse rather than silently wrap (18446744073709551615 would
+    // otherwise decode as -1), the decoder's refuse-never-guess rule
+    if (a < 0)
+      throw new EOFException("cbor: 64-bit integer outside Long range")
     major match {
       case 0 => a
       case 1 => -1L - a

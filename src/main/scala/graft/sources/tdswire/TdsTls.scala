@@ -37,13 +37,28 @@ private[tdswire] final class TdsTlsFramingSocket(
   private val framedIn = new InputStream {
     private var remaining = 0
     private def header(): Boolean = {
-      // 8-byte TDS header: type, status, BE length, spid, id, window
+      // 8-byte TDS header: type, status, BE length, spid, id, window.
+      // EOF on the FIRST byte is a clean end-of-stream; anywhere later
+      // in the header it is a truncation and must fail loudly (a -1
+      // folded into the length would fabricate a garbage `remaining`).
       val first = base_in.read()
       if (first < 0) return false
-      base_in.read() // status (EOM per flight; framing is stream-shaped)
-      val l1 = base_in.read(); val l2 = base_in.read()
-      base_in.read(); base_in.read(); base_in.read(); base_in.read()
-      remaining = ((l1 & 0xFF) << 8 | (l2 & 0xFF)) - 8
+      if (first != 0x12)
+        throw new java.io.IOException(
+          f"tds-tls: expected PRELOGIN (0x12) framing packet, got 0x$first%02x")
+      val rest = new Array[Byte](7)
+      var got = 0
+      while (got < 7) {
+        val k = base_in.read(rest, got, 7 - got)
+        if (k < 0)
+          throw new java.io.EOFException("tds-tls: packet header truncated")
+        got += k
+      }
+      val len = ((rest(1) & 0xFF) << 8) | (rest(2) & 0xFF)
+      if (len < 9)
+        throw new java.io.IOException(
+          s"tds-tls: framing packet length $len below the 8-byte header + payload")
+      remaining = len - 8
       true
     }
     override def read(): Int =

@@ -116,5 +116,28 @@ class CborIOSpec extends AnyFunSuite {
     intercept[EOFException] { // top-level array is not a document map
       readDoc(new ByteArrayInputStream(Array(((4 << 5) | 0).toByte)))
     }
+    // a uint64 above Long.MaxValue must refuse, never wrap: doc_id =
+    // 18446744073709551615 would otherwise silently decode as -1
+    val big = {
+      val b = new ByteArrayOutputStream()
+      b.write((5 << 5) | 1)                    // map(1)
+      b.write((3 << 5) | 6)                    // text(6)
+      b.write("doc_id".getBytes("UTF-8"))
+      b.write((0 << 5) | 27)                   // uint64
+      (0 until 8).foreach(_ => b.write(0xFF))  // 2^64 - 1
+      b.toByteArray
+    }
+    intercept[EOFException] { readDoc(new ByteArrayInputStream(big)) }
+    // same refusal on the negint side: -1 - 2^63 is below Long.MinValue
+    val bigNeg = {
+      val b = new ByteArrayOutputStream()
+      b.write((5 << 5) | 1)
+      b.write((3 << 5) | 6)
+      b.write("doc_id".getBytes("UTF-8"))
+      b.write((1 << 5) | 27)                   // negint, 8-byte arg
+      b.write(0x80); (0 until 7).foreach(_ => b.write(0x00)) // arg = 2^63
+      b.toByteArray
+    }
+    intercept[EOFException] { readDoc(new ByteArrayInputStream(bigNeg)) }
   }
 }
