@@ -97,4 +97,30 @@ class UnigramSpec extends SparkTestBase {
     assert(got == expect,
       s"diff: ${got.zip(expect).filter(t => t._1 != t._2).take(3)}")
   }
+
+  test("persisted-model encode ≡ train-then-encode: the parquet-reloaded " +
+      "model produces byte-identical per-doc statistics, for unigram and " +
+      "BPE both, and the memo never retrains on a second call") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // unigram: direct training vs the persisted model frame
+    val direct = rows(
+      TextAnalysis.unigramEncodeStats(docs, "doc_id", "text"))
+    val key = s"spec:$sfDir"
+    val m1 = TextAnalysis.unigramModelPersisted(docs, "doc_id", "text", key)
+    val persisted = rows(
+      TextAnalysis.unigramEncodeWithModel(docs, "doc_id", "text", m1))
+    assert(persisted == direct, "persisted unigram model must be " +
+      "indistinguishable from in-row training")
+    // second call reloads the SAME persisted artifact (memo, no retrain)
+    val m2 = TextAnalysis.unigramModelPersisted(docs, "doc_id", "text", key)
+    assert(m2.inputFiles.sorted.sameElements(m1.inputFiles.sorted),
+      "the memo must reload the same parquet, not train a new model")
+    // BPE: the persisted merge list equals the directly-trained one
+    val direct6 = TextAnalysis.bpeTrain(docs, "doc_id", "text", rounds = 6)
+    val persisted6 = TextAnalysis.bpeModelPersisted(docs, "doc_id", "text",
+      rounds = 6, key = key)
+    assert(persisted6 == direct6)
+  }
 }
