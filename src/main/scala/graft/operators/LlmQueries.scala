@@ -2079,6 +2079,35 @@ object LlmQueries {
       TextAnalysis.unigramModelPersisted(docs(s, dir), "doc_id", "text",
         dir))
 
+  /** Deterministic multi-byte UTF-8 fixture appended to the corpus for
+    * the byte-level BPE row (the synthetic documents table is pure
+    * ASCII): 2-byte Latin accents, 3-byte CJK, 4-byte emoji — with
+    * repetition so their byte pairs carry learnable corpus weight.
+    * Mirrored literally in the oracle's VALUES list.
+    */
+  val ByteBpeFixture: Seq[String] =
+    Seq.fill(3)("naïve café déjà vu") ++
+      Seq.fill(2)("東京タワー 東京") ++
+      Seq.fill(2)("🚀 déjà 🚀") :+ "Ünïcödé tëst"
+
+  /** Byte-level BPE training (text_bpe_bytes —
+    * [[TextAnalysis.bpeTrainBytes]]): the GPT-2 scheme the char-level
+    * trainer cannot express — regex pre-tokenization, a 256-byte base
+    * alphabet (NO UNK: any script tokenizes), merges learned over
+    * byte pairs so multi-byte UTF-8 sequences re-assemble when
+    * frequent. The corpus is documents plus the multi-byte fixture;
+    * the oracle replays the identical recurrence over the identical
+    * corpus in DuckDB.
+    */
+  def textBpeBytes(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("text"))
+      .unionByName(
+        s.createDataFrame(ByteBpeFixture.map(Tuple1.apply)).toDF("text"))
+    val merges = TextAnalysis.bpeTrainBytes(corpus, "text", rounds = 8)
+    s.createDataFrame(merges).toDF("round", "merge", "weight")
+      .orderBy("round")
+  }
+
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
       rounds = 6)

@@ -433,12 +433,21 @@ object TextAnalysis {
   }
 
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-               rounds: Int = 6): Seq[(Long, String, Long)] = {
-    var cur = docs.select(explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("tc"))
-      .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("sp"),
-        col("tc"))
-      .localCheckpoint(true)
+               rounds: Int = 6): Seq[(Long, String, Long)] =
+    bpeTrainVocab(
+      docs.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tc"))
+        .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("sp"),
+          col("tc")),
+      rounds)
+
+  /** The merge loop over an arbitrary pre-spaced symbol vocabulary
+    * `(sp, tc)` — alphabet-agnostic: [[bpeTrain]] feeds it characters,
+    * [[bpeTrainBytes]] fixed-width byte symbols.
+    */
+  private[operators] def bpeTrainVocab(vocab: DataFrame,
+               rounds: Int): Seq[(Long, String, Long)] = {
+    var cur = vocab.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var r = 1
     var exhausted = false
@@ -462,6 +471,49 @@ object TextAnalysis {
     }
     merges.toSeq
   }
+
+  /** The GPT-2-style pre-tokenizer category regex: letters / digits /
+    * other-punctuation runs, each with an optional leading space, plus
+    * bare whitespace runs — the published GPT-2 pattern MINUS its
+    * English-contraction specials ('s, 't, …) and the trailing-space
+    * lookahead `\s+(?!\S)`, neither of which an RE2-class engine (the
+    * oracle's) can replay. Both Java regex and RE2 read `\p{L}`/`\p{N}`
+    * as the Unicode categories, so engine and oracle pre-tokenize
+    * identically.
+    */
+  val BytePretokenRegex: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-symbol vocabulary: each pre-token maps to its UTF-8 bytes
+    * (the codegen'd `byte_values` expression over `encode(tok,
+    * 'UTF-8')`), every byte spelled as a FIXED-WIDTH 3-digit decimal so
+    * merged symbols concatenate unambiguously ("104101" parses only as
+    * bytes 104, 101 — the same trick lets [[mergeGuarded]] run
+    * unchanged over byte symbols).
+    */
+  private def byteVocab(texts: DataFrame, textCol: String): DataFrame =
+    texts
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenRegex), lit(0))).as("ptok"))
+      .groupBy("ptok").agg(count(lit(1)).as("tc"))
+      .select(array_join(
+        transform(expr("byte_values(encode(ptok, 'UTF-8'))"),
+          b => lpad(b.cast("string"), 3, "0")), " ").as("sp"),
+        col("tc"))
+
+  /** BYTE-LEVEL BPE training (Radford et al. 2019's GPT-2 scheme: the
+    * Sennrich merge recurrence of [[bpeTrain]] run over a BYTE
+    * alphabet after regex pre-tokenization). The base vocabulary is
+    * the 256 byte values, so there is NO UNK — any string in any
+    * script tokenizes; multi-byte UTF-8 contributes multiple byte
+    * symbols whose learned merges re-assemble frequent sequences
+    * (a 2-byte é merges back together exactly when it is frequent).
+    * Same vocabulary-not-corpus scale shape as [[bpeTrain]]: the merge
+    * loop runs over distinct pre-tokens with corpus weights.
+    */
+  def bpeTrainBytes(texts: DataFrame, textCol: String,
+                    rounds: Int = 8): Seq[(Long, String, Long)] =
+    bpeTrainVocab(byteVocab(texts, textCol), rounds)
 
   /** BPE tokenizer APPLICATION (the other half of [[bpePairStats]] —
     * Sennrich et al. 2016's apply step): a learned merge list is applied

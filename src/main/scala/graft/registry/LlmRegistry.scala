@@ -65,6 +65,7 @@ object LlmRegistry {
     "dedup_linkage_entities" -> (LlmQueries.dedupLinkageEntities _),
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
+    "text_bpe_bytes"        -> (LlmQueries.textBpeBytes _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
@@ -1661,6 +1662,11 @@ object LlmRegistry {
     "text_bpe_apply" -> bpeApplyOracleSql(rounds = 6),
     // The learned merge list itself, one row per training round.
     "text_bpe_train" -> bpeTrainOracleSql(rounds = 6),
+    // Byte-level (GPT-2-style) merges over documents + the multi-byte
+    // fixture, replayed in DuckDB from the same pre-tokenizer regex and
+    // UTF-8 byte mapping.
+    "text_bpe_bytes" -> bpeBytesTrainOracleSql(rounds = 8,
+      LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
     // unigram-LM tokenizer: the two-round lattice recurrence unrolled as
     // 10-step DP CTE chains per round (TextAnalysis.unigramOracleSql)
     "text_unigram_lm" -> graft.operators.TextAnalysis.unigramOracleSql(),

@@ -169,7 +169,15 @@ private[registry] object OracleSql {
         |  SELECT tok, trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS sp,
         |    CAST(COUNT(*) AS BIGINT) AS tc
         |  FROM toks GROUP BY 1, 2)""".stripMargin
-    val rs = (1 to rounds).map { r =>
+    (v0 +: bpeRoundCtes(rounds)).mkString(",\n")
+  }
+
+  /** One merge round as CTEs (pair counts → argmax → guarded replace),
+    * alphabet-agnostic: shared by the char-level and byte-level
+    * recurrences — only `v0` differs.
+    */
+  private def bpeRoundCtes(rounds: Int): Seq[String] =
+    (1 to rounds).map { r =>
       s"""p$r AS (SELECT t.sl[g.i] || ' ' || t.sl[g.i + 1] AS pair,
          |    SUM(tc) AS w
          |  FROM v${r - 1} v,
@@ -186,7 +194,38 @@ private[registry] object OracleSql {
          |    '  ', ' ') AS sp, tc
          |  FROM v${r - 1})""".stripMargin
     }
-    (v0 +: rs).mkString(",\n")
+
+  /** Oracle for text_bpe_bytes: the byte-level recurrence — GPT-2-style
+    * regex pre-tokenization (the engine's exact pattern; both Java
+    * regex and RE2 read \p{L}/\p{N} as Unicode categories), each
+    * pre-token to its UTF-8 bytes via the hex(encode(...)) spelling,
+    * fixed-width 3-digit byte symbols, then the SAME merge-round CTEs
+    * as the char recurrence. `fixtureValues` is the multi-byte UTF-8
+    * fixture appended to the corpus on both sides.
+    */
+  def bpeBytesTrainOracleSql(rounds: Int, fixtureValues: String): String = {
+    val re = graft.operators.TextAnalysis.BytePretokenRegex
+    val v0 =
+      s"""corpus AS (SELECT text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $fixtureValues) f(text)),
+         |ptoks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS ptok
+         |  FROM corpus),
+         |v0 AS MATERIALIZED (
+         |  SELECT ptok AS tok,
+         |    array_to_string(list_transform(
+         |      range(1, CAST(octet_length(encode(ptok)) AS BIGINT) + 1),
+         |      p -> lpad(CAST(CAST(('0x' || substr(hex(encode(ptok)),
+         |        CAST(2 * p - 1 AS INT), 2)) AS INT) AS VARCHAR), 3, '0')),
+         |      ' ') AS sp,
+         |    CAST(COUNT(*) AS BIGINT) AS tc
+         |  FROM ptoks GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${(v0 +: bpeRoundCtes(rounds)).mkString(",\n")}
+       |SELECT * FROM (
+       |  ${(1 to rounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, pair AS merge, " +
+              s"CAST(w AS BIGINT) AS weight FROM m$r")
+            .mkString("\n  UNION ALL ")}
+       |) ORDER BY round""".stripMargin
   }
 
   /** Oracle for text_bpe_train: the learned `(round, merge, weight)` list

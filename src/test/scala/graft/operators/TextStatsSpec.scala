@@ -389,6 +389,39 @@ class TextStatsSpec extends SparkTestBase {
       "x" -> 1L, "y" -> 1L))
   }
 
+  test("bpeTrainBytes: GPT-2-style byte-level merges — multi-byte UTF-8 " +
+      "re-assembles from its byte pair, the leading-space convention " +
+      "survives pre-tokenization, and no symbol is ever UNK") {
+    import spark.implicits._
+    // é is C3 A9 (195 169); 'café' appears 4×, so the é byte pair must
+    // be learnable; ' c' (032 099) leads each space-prefixed pretoken
+    val docs = Seq((1L, "café café"), (2L, "café café x")).toDF(
+      "doc_id", "text")
+    val merges = TextAnalysis.bpeTrainBytes(
+      docs.select(col("text")), "text", rounds = 5)
+    assert(merges.nonEmpty)
+    // every learned merge is a pair of well-formed byte symbols
+    // (fixed-width 3-digit decimals, possibly already concatenated)
+    merges.foreach { case (_, m, w) =>
+      val Array(l, r) = m.split(" ")
+      assert(l.length % 3 == 0 && r.length % 3 == 0, s"symbol widths: $m")
+      assert((l + r).grouped(3).forall(d => d.toInt >= 0 && d.toInt < 256),
+        s"all symbols must be byte values: $m")
+      assert(w > 0)
+    }
+    // the é bytes (195 169) must end up merged into ONE symbol — either
+    // as a standalone pair or inside a larger learned token (here the
+    // lexicographic tie-break grows 'caf' left-to-right, so é lands as
+    // the tail of the composed symbol)
+    assert(merges.exists(m => m._2.replace(" ", "").contains("195169")),
+      s"multi-byte é must re-assemble inside a merged symbol: $merges")
+    // pre-tokenization keeps the GPT-2 leading-space convention: the
+    // second 'café' pretokenizes as ' café' (byte 032 first)
+    assert(merges.exists(m => m._2.startsWith("032") ||
+      m._2.replace(" ", "").startsWith("032")),
+      s"space-leading pretokens must appear in the learned pairs: $merges")
+  }
+
   test("bpeTrain: learned merges are invariant to corpus row order and " +
       "partitioning (the determinism the oracle replay relies on)") {
     import spark.implicits._
