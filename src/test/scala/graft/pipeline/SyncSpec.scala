@@ -745,6 +745,62 @@ class SyncSpec extends SparkTestBase {
     assert(Sync.listPublishHistory(spark, root).map(_._1) == Seq(4L, 5L))
   }
 
+  test("vacuumPublished reaps crashed-publish wreckage: orphaned staging " +
+      "dirs, stale claim tombstones below the kept window, and snapshots " +
+      "of tables only dropped manifests reference") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    val root = Files.createTempDirectory("graft_vac_wreck").toString + "/ds"
+    for (v <- 1 to 3)
+      Sync.publishAtomicAll(Seq("t" -> ds(s"v$v", v)), root, retain = 10)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a publish that dies in the race window leaves its staging behind
+    final class Kill extends RuntimeException("crash")
+    intercept[Kill] {
+      Sync.publishAtomicAll(Seq("t" -> ds("dead", 9)), root,
+        boundary = b => if (b == 0) throw new Kill, retain = 10)
+    }
+    assert(fs.listStatus(new Path(root, "t"))
+      .exists(_.getPath.getName.startsWith(".stage-")),
+      "the crashed publish must have left a staging dir to reap")
+    // a table that ONLY dropped manifests reference (damaged-history
+    // defensive path): hand-plant a ghost snapshot + reference in the
+    // oldest manifest
+    val m1 = new Path(root, "_manifests/manifest-1")
+    val body = new String(
+      {
+        val in = fs.open(m1)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+        in.close(); out.toByteArray
+      }, "UTF-8")
+    val w = fs.create(m1, true)
+    w.write((body + "\nghost=7").getBytes("UTF-8")); w.close()
+    ds("ghost", 1).write.parquet(s"$root/ghost/snap-7")
+    fs.create(new Path(root, "ghost/snap-7/_GRAFT_COMMITTED"), true).close()
+    // vacuum to the newest manifest only
+    val (kept, deleted) = Sync.vacuumPublished(spark, root, keepN = 1)
+    assert(kept == 1L)
+    // deleted: t snap-1, t snap-2, ghost snap-7 (live t snap-3 survives)
+    assert(deleted == 3L, s"deleted=$deleted")
+    assert(!fs.exists(new Path(root, "ghost/snap-7")),
+      "a snapshot only dropped manifests reference must be reaped")
+    assert(!fs.listStatus(new Path(root, "t"))
+      .exists(_.getPath.getName.startsWith(".stage-")),
+      "orphaned staging must be reaped")
+    // claim tombstones below the kept window are gone; the newest stays
+    val claims = fs.listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".claim")).sorted
+    assert(claims.toSeq == Seq("manifest-3.claim"), claims.mkString(","))
+    // live read is untouched
+    assert(Sync.readAtomicTable(spark, root, "t").get.count() == 3L)
+  }
+
   test("a55 fixed-width roundtrip: record layout is byte-exact, the " +
       "15-char priority with an INTERNAL space survives, and the " +
       "re-parsed aggregate matches a direct one") {
