@@ -2108,6 +2108,25 @@ object LlmQueries {
       .orderBy("round")
   }
 
+  /** Byte-level encode (text_bpe_bytes_encode —
+    * [[TextAnalysis.bpeBytesEncodeStats]]): per-document pre-token /
+    * piece / byte statistics under the trained byte merges — the
+    * text_bpe_encode sibling for the byte alphabet, consuming the
+    * PERSISTED model (train-once memo; training is the text_bpe_bytes
+    * row). Merges are trained over documents + the multi-byte fixture
+    * (identically to the train row); the encoded stream is the
+    * documents table itself.
+    */
+  def textBpeBytesEncode(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("text"))
+      .unionByName(
+        s.createDataFrame(ByteBpeFixture.map(Tuple1.apply)).toDF("text"))
+    val merges = TextAnalysis.bpeBytesModelPersisted(corpus, "text",
+      rounds = 8, key = dir).map(_._2)
+    TextAnalysis.bpeBytesEncodeStats(docs(s, dir), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text",
       rounds = 6)

@@ -515,6 +515,34 @@ object TextAnalysis {
                     rounds: Int = 8): Seq[(Long, String, Long)] =
     bpeTrainVocab(byteVocab(texts, textCol), rounds)
 
+  /** Per-document encode statistics under a TRAINED byte-level merge
+    * list — the [[bpeEncodeStats]] sibling for the byte alphabet:
+    * pre-token / piece / byte counts and the bytes-per-piece
+    * compression (the fertility signal tokenizer evaluations report;
+    * multi-byte UTF-8 inflates n_bytes, not n_pretokens). Same
+    * vocabulary-not-corpus shape: the merge chain applies over DISTINCT
+    * pre-tokens and joins back onto the doc stream.
+    */
+  def bpeBytesEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[String]): DataFrame = {
+    val ptoks = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenRegex), lit(0))).as("ptok"))
+    val spaced: Column = array_join(
+      transform(expr("byte_values(encode(ptok, 'UTF-8'))"),
+        b => lpad(b.cast("string"), 3, "0")), " ")
+    val applied = mergeGuarded(spaced, merges)
+    val vocab = ptoks.select("ptok").distinct()
+      .select(col("ptok"), size(split(applied, " ")).as("np"),
+        octet_length(col("ptok")).as("nb"))
+    ptoks.join(vocab, "ptok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum("np").cast("long").as("n_pieces"),
+        sum("nb").cast("long").as("n_bytes"),
+        round(sum("nb") / sum("np").cast("double"), 4).as("compression"))
+  }
+
   /** BPE tokenizer APPLICATION (the other half of [[bpePairStats]] —
     * Sennrich et al. 2016's apply step): a learned merge list is applied
     * to every token IN ORDER, each merge exhaustively (leftmost,
@@ -1779,6 +1807,22 @@ object TextAnalysis {
     val path = modelMemo.getOrElseUpdate(s"bpe:$rounds:$key", {
       val p = graft.util.Scratch.dir("graft_bpe_model").toString + "/model"
       spark.createDataFrame(bpeTrain(docs, idCol, textCol, rounds))
+        .toDF("round", "merge", "weight").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  /** Byte-level sibling of [[bpeModelPersisted]]. */
+  def bpeBytesModelPersisted(texts: DataFrame, textCol: String,
+                             rounds: Int,
+                             key: String): Seq[(Long, String, Long)] = {
+    val spark = texts.sparkSession
+    val path = modelMemo.getOrElseUpdate(s"bpebytes:$rounds:$key", {
+      val p = graft.util.Scratch.dir("graft_bpeb_model").toString + "/model"
+      spark.createDataFrame(bpeTrainBytes(texts, textCol, rounds))
         .toDF("round", "merge", "weight").coalesce(1)
         .write.mode("overwrite").parquet(p)
       p

@@ -66,6 +66,7 @@ object LlmRegistry {
     "text_bpe_pairs"        -> (LlmQueries.textBpePairs _),
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
     "text_bpe_bytes"        -> (LlmQueries.textBpeBytes _),
+    "text_bpe_bytes_encode" -> (LlmQueries.textBpeBytesEncode _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
@@ -1666,6 +1667,11 @@ object LlmRegistry {
     // fixture, replayed in DuckDB from the same pre-tokenizer regex and
     // UTF-8 byte mapping.
     "text_bpe_bytes" -> bpeBytesTrainOracleSql(rounds = 8,
+      LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
+    // Per-doc byte-level tokenization statistics under the trained
+    // merges: the recurrence's final vocabulary joined to each doc's
+    // pre-token stream.
+    "text_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(rounds = 8,
       LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
     // unigram-LM tokenizer: the two-round lattice recurrence unrolled as
     // 10-step DP CTE chains per round (TextAnalysis.unigramOracleSql)

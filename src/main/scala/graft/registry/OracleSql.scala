@@ -203,29 +203,55 @@ private[registry] object OracleSql {
     * as the char recurrence. `fixtureValues` is the multi-byte UTF-8
     * fixture appended to the corpus on both sides.
     */
-  def bpeBytesTrainOracleSql(rounds: Int, fixtureValues: String): String = {
+  private def bpeBytesV0(fixtureValues: String): String = {
     val re = graft.operators.TextAnalysis.BytePretokenRegex
-    val v0 =
-      s"""corpus AS (SELECT text FROM documents
-         |  UNION ALL SELECT * FROM (VALUES $fixtureValues) f(text)),
-         |ptoks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS ptok
-         |  FROM corpus),
-         |v0 AS MATERIALIZED (
-         |  SELECT ptok AS tok,
-         |    array_to_string(list_transform(
-         |      range(1, CAST(octet_length(encode(ptok)) AS BIGINT) + 1),
-         |      p -> lpad(CAST(CAST(('0x' || substr(hex(encode(ptok)),
-         |        CAST(2 * p - 1 AS INT), 2)) AS INT) AS VARCHAR), 3, '0')),
-         |      ' ') AS sp,
-         |    CAST(COUNT(*) AS BIGINT) AS tc
-         |  FROM ptoks GROUP BY 1, 2)""".stripMargin
-    s"""WITH ${(v0 +: bpeRoundCtes(rounds)).mkString(",\n")}
+    s"""corpus AS (SELECT text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $fixtureValues) f(text)),
+       |ptoks AS (SELECT unnest(regexp_extract_all(text, '$re')) AS ptok
+       |  FROM corpus),
+       |v0 AS MATERIALIZED (
+       |  SELECT ptok AS tok,
+       |    array_to_string(list_transform(
+       |      range(1, CAST(octet_length(encode(ptok)) AS BIGINT) + 1),
+       |      p -> lpad(CAST(CAST(('0x' || substr(hex(encode(ptok)),
+       |        CAST(2 * p - 1 AS INT), 2)) AS INT) AS VARCHAR), 3, '0')),
+       |      ' ') AS sp,
+       |    CAST(COUNT(*) AS BIGINT) AS tc
+       |  FROM ptoks GROUP BY 1, 2)""".stripMargin
+  }
+
+  def bpeBytesTrainOracleSql(rounds: Int, fixtureValues: String): String =
+    s"""WITH ${(bpeBytesV0(fixtureValues) +: bpeRoundCtes(rounds))
+          .mkString(",\n")}
        |SELECT * FROM (
        |  ${(1 to rounds).map(r =>
             s"SELECT CAST($r AS BIGINT) AS round, pair AS merge, " +
               s"CAST(w AS BIGINT) AS weight FROM m$r")
             .mkString("\n  UNION ALL ")}
        |) ORDER BY round""".stripMargin
+
+  /** Oracle for text_bpe_bytes_encode: the byte recurrence's final
+    * vocabulary state (pre-token kept through every round) joined back
+    * onto each document's pre-token stream — per-doc piece statistics.
+    * Trainer and encoder share exhaustive guarded leftmost-replace
+    * semantics, so a document pre-token's applied form equals its
+    * v_rounds state (the char-level text_bpe_encode precedent; the
+    * fixture rows train the merges but join to no document).
+    */
+  def bpeBytesEncodeOracleSql(rounds: Int, fixtureValues: String): String = {
+    val re = graft.operators.TextAnalysis.BytePretokenRegex
+    s"""WITH ${(bpeBytesV0(fixtureValues) +: bpeRoundCtes(rounds))
+          .mkString(",\n")},
+       |vf AS (SELECT tok, len(string_split(sp, ' ')) AS np,
+       |  octet_length(encode(tok)) AS nb FROM v$rounds),
+       |dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '$re'))
+       |  AS ptok FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       |  ROUND(SUM(nb) / CAST(SUM(np) AS DOUBLE), 4) AS compression
+       |FROM dt JOIN vf ON vf.tok = dt.ptok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle for text_bpe_train: the learned `(round, merge, weight)` list
