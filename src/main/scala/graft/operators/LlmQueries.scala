@@ -2090,6 +2090,62 @@ object LlmQueries {
       Seq.fill(2)("東京タワー 東京") ++
       Seq.fill(2)("🚀 déjà 🚀") :+ "Ünïcödé tëst"
 
+  /** UTF-8 validation fixture: (id, hex bytes), one row per
+    * well-formedness class of Unicode 15 Table 3-7 — valid ASCII/NUL/
+    * BOM/2-3-4-byte forms, the surrogate-range boundaries from both
+    * sides, U+10FFFF from both sides, every overlong family, bad
+    * leads, bare continuations, truncations. Mirrored literally in the
+    * oracle's VALUES.
+    */
+  val Utf8Fixture: Seq[(Long, String)] = Seq(
+    1L  -> "48656C6C6F", // ASCII
+    2L  -> "00",         // interior NUL is VALID UTF-8
+    3L  -> "C3A9",       // 2-byte é
+    4L  -> "EFBBBF41",   // BOM + 'A'
+    5L  -> "E282AC",     // 3-byte €
+    6L  -> "F09F9A80",   // 4-byte emoji
+    7L  -> "ED9FBF",     // U+D7FF — last before surrogates, valid
+    8L  -> "EE8080",     // U+E000 — first after surrogates, valid
+    9L  -> "F48FBFBF",   // U+10FFFF — the maximum, valid
+    10L -> "C0AF",       // overlong '/' (2-byte form)
+    11L -> "E080AF",     // overlong (3-byte form)
+    12L -> "F0808080",   // overlong (4-byte form)
+    13L -> "EDA080",     // surrogate U+D800
+    14L -> "EDBFBF",     // surrogate U+DFFF
+    15L -> "F4908080",   // first code point past U+10FFFF
+    16L -> "F5808080",   // F5 lead — never valid
+    17L -> "FF",         // FF — never valid
+    18L -> "80",         // bare continuation
+    19L -> "E282",       // truncated 3-byte
+    20L -> "C2",         // truncated 2-byte
+    21L -> "41C3",       // valid prefix, truncated tail
+    22L -> "C1BF",       // overlong (C1 lead)
+    23L -> "")           // empty: vacuously valid
+
+  /** UTF-8 structural validation (text_utf8_validate —
+    * [[TextAnalysis.utf8Stats]]): the Table 3-7 DFA over the fixture's
+    * hex byte sequences (every invalidity class pinned at its exact
+    * first-bad offset) PLUS one summary row folding the whole
+    * documents corpus byte stream — the ingest gate a crawled-text
+    * pipeline runs before trusting tokenizers on the bytes.
+    */
+  def textUtf8Validate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = s.createDataFrame(Utf8Fixture).toDF("id", "hx")
+    val corpus = docs(s, dir).select(
+      (col("doc_id") + 1000000L).as("id"),
+      hex(encode(col("text"), "UTF-8")).as("hx"))
+    val per = TextAnalysis.utf8Stats(fixture.unionByName(corpus), "id", "hx")
+    val fixOut = per.filter(col("id") < 1000000L)
+    val corpOut = per.filter(col("id") >= 1000000L)
+      .agg(sum("n_bytes").as("n_bytes"),
+        sum("n_codepoints").as("n_codepoints"),
+        max("first_invalid").as("first_invalid"))
+      .select(lit(999999L).as("id"), col("n_bytes"), col("n_codepoints"),
+        col("first_invalid"),
+        (col("first_invalid") === -1L).as("is_valid"))
+    fixOut.unionByName(corpOut).orderBy("id")
+  }
+
   /** Byte-level BPE training (text_bpe_bytes —
     * [[TextAnalysis.bpeTrainBytes]]): the GPT-2 scheme the char-level
     * trainer cannot express — regex pre-tokenization, a 256-byte base

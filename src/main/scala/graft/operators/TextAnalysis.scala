@@ -1815,6 +1815,66 @@ object TextAnalysis {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
   }
 
+  /** UTF-8 STRUCTURAL VALIDATION — the Unicode 15 Table 3-7
+    * well-formed-sequence DFA as a codegen'd fold over a hex-spelled
+    * byte sequence: per-lead continuation ranges reject overlongs
+    * (C0/C1 leads; E0 followed by 80–9F; F0 by 80–8F), UTF-16
+    * surrogates (ED followed by A0–BF), and code points past U+10FFFF
+    * (F4 followed by 90+; F5–FF leads) EXACTLY, not just the
+    * bare continuation-count check. Returns per row: byte count, fully
+    * decoded code points before the first error, the first invalid
+    * byte offset (n_bytes for a truncated tail, −1 when well-formed).
+    * The ingest gate every 100 TB text pipeline needs before trusting
+    * `length()`/tokenizers on crawled bytes; one row-local fold, no
+    * shuffle, no UDF.
+    */
+  def utf8Stats(rows: DataFrame, idCol: String,
+                hexCol: String): DataFrame = {
+    val hx = upper(col(hexCol))
+    val bytes = when(length(hx) === 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(1), (length(hx) / 2).cast("int")),
+        i => conv(substring(hx, i * 2 - 1, lit(2)), 16, 10).cast("int")))
+    val init = struct(lit(0).as("pos"), lit(0).as("cps"),
+      lit(0).as("exp"), lit(0).as("lo"), lit(0).as("hi"), lit(-1).as("bad"))
+    def mk(s: Column, cps: Column, exp: Column, lo: Column, hi: Column,
+           bad: Column) =
+      struct((s.getField("pos") + 1).as("pos"), cps.as("cps"),
+        exp.as("exp"), lo.as("lo"), hi.as("hi"), bad.as("bad"))
+    val fin = aggregate(bytes, init, (s, b) => {
+      val cps = s.getField("cps")
+      when(s.getField("bad") >= 0, // frozen after the first error
+        mk(s, cps, s.getField("exp"), s.getField("lo"), s.getField("hi"),
+          s.getField("bad")))
+      .when(s.getField("exp") > 0,
+        when(b.between(s.getField("lo"), s.getField("hi")),
+          mk(s, cps + when(s.getField("exp") === 1, 1).otherwise(0),
+            s.getField("exp") - 1, lit(128), lit(191), lit(-1)))
+        .otherwise(mk(s, cps, s.getField("exp"), s.getField("lo"),
+          s.getField("hi"), s.getField("pos"))))
+      .when(b < 128, mk(s, cps + 1, lit(0), lit(0), lit(0), lit(-1)))
+      .when(b.between(194, 223), mk(s, cps, lit(1), lit(128), lit(191),
+        lit(-1)))
+      .when(b === 224, mk(s, cps, lit(2), lit(160), lit(191), lit(-1)))
+      .when(b.between(225, 236) || b.between(238, 239),
+        mk(s, cps, lit(2), lit(128), lit(191), lit(-1)))
+      .when(b === 237, mk(s, cps, lit(2), lit(128), lit(159), lit(-1)))
+      .when(b === 240, mk(s, cps, lit(3), lit(144), lit(191), lit(-1)))
+      .when(b.between(241, 243), mk(s, cps, lit(3), lit(128), lit(191),
+        lit(-1)))
+      .when(b === 244, mk(s, cps, lit(3), lit(128), lit(143), lit(-1)))
+      .otherwise(mk(s, cps, lit(0), lit(0), lit(0), s.getField("pos")))
+    })
+    rows.select(col(idCol),
+        (length(hx) / 2).cast("long").as("n_bytes"), fin.as("fin"))
+      .select(col(idCol), col("n_bytes"),
+        col("fin").getField("cps").cast("long").as("n_codepoints"),
+        when(col("fin").getField("bad") >= 0,
+            col("fin").getField("bad").cast("long"))
+          .when(col("fin").getField("exp") > 0, col("n_bytes"))
+          .otherwise(lit(-1L)).as("first_invalid"))
+      .withColumn("is_valid", col("first_invalid") === -1L)
+  }
+
   /** Byte-level sibling of [[bpeModelPersisted]]. */
   def bpeBytesModelPersisted(texts: DataFrame, textCol: String,
                              rounds: Int,

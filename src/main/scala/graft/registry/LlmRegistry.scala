@@ -67,6 +67,7 @@ object LlmRegistry {
     "text_bpe_train"        -> (LlmQueries.textBpeTrain _),
     "text_bpe_bytes"        -> (LlmQueries.textBpeBytes _),
     "text_bpe_bytes_encode" -> (LlmQueries.textBpeBytesEncode _),
+    "text_utf8_validate"    -> (LlmQueries.textUtf8Validate _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
@@ -1673,6 +1674,10 @@ object LlmRegistry {
     // pre-token stream.
     "text_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(rounds = 8,
       LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
+    // UTF-8 Table 3-7 DFA, fixture classes + the whole-corpus fold.
+    "text_utf8_validate" -> utf8ValidateOracleSql(
+      LlmQueries.Utf8Fixture.map { case (i, h) =>
+        s"(CAST($i AS BIGINT), '$h')" }.mkString(", ")),
     // unigram-LM tokenizer: the two-round lattice recurrence unrolled as
     // 10-step DP CTE chains per round (TextAnalysis.unigramOracleSql)
     "text_unigram_lm" -> graft.operators.TextAnalysis.unigramOracleSql(),

@@ -296,6 +296,68 @@ private[registry] object OracleSql {
        |FROM dt JOIN vf USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for text_utf8_validate: the identical Table 3-7 DFA as a
+    * `list_reduce` fold. State and element must share one struct type
+    * (list_reduce has no separate init parameter, so the init state is
+    * list_prepend'ed): an ELEMENT carries its byte value in field `p`,
+    * the STATE carries the byte position counter in `p`.
+    */
+  def utf8ValidateOracleSql(fixtureValues: String): String = {
+    def nx(cps: String, exp: String, lo: String, hi: String, bad: String) =
+      s"{'p': s.p + 1, 'cps': $cps, 'exp': $exp, 'lo': $lo, 'hi': $hi, " +
+        s"'bad': $bad}"
+    s"""WITH f(id, hx) AS (VALUES $fixtureValues),
+       |dhx AS (SELECT doc_id + 1000000 AS id,
+       |  upper(hex(encode(text))) AS hx FROM documents),
+       |allr AS (SELECT id, upper(hx) AS hx FROM f
+       |  UNION ALL SELECT id, hx FROM dhx),
+       |b AS (SELECT id, length(hx) // 2 AS n_bytes,
+       |    list_transform(range(1, length(hx) // 2 + 1),
+       |      p -> CAST(('0x' || substr(hx, CAST(2 * p - 1 AS INT), 2))
+       |        AS INT)) AS bl
+       |  FROM allr),
+       |st AS (SELECT id, n_bytes, list_reduce(list_prepend(
+       |    {'p': 0, 'cps': 0, 'exp': 0, 'lo': 0, 'hi': 0, 'bad': -1}
+       |      ::STRUCT(p INT, cps INT, exp INT, lo INT, hi INT, bad INT),
+       |    list_transform(bl, x ->
+       |      {'p': x, 'cps': 0, 'exp': 0, 'lo': 0, 'hi': 0, 'bad': 0}
+       |      ::STRUCT(p INT, cps INT, exp INT, lo INT, hi INT, bad INT))),
+       |  (s, e) -> CASE
+       |    WHEN s.bad >= 0 THEN ${nx("s.cps", "s.exp", "s.lo", "s.hi",
+              "s.bad")}
+       |    WHEN s.exp > 0 THEN CASE WHEN e.p BETWEEN s.lo AND s.hi
+       |      THEN ${nx("s.cps + CASE WHEN s.exp = 1 THEN 1 ELSE 0 END",
+              "s.exp - 1", "128", "191", "-1")}
+       |      ELSE ${nx("s.cps", "s.exp", "s.lo", "s.hi", "s.p")} END
+       |    WHEN e.p < 128 THEN ${nx("s.cps + 1", "0", "0", "0", "-1")}
+       |    WHEN e.p BETWEEN 194 AND 223
+       |      THEN ${nx("s.cps", "1", "128", "191", "-1")}
+       |    WHEN e.p = 224 THEN ${nx("s.cps", "2", "160", "191", "-1")}
+       |    WHEN (e.p BETWEEN 225 AND 236) OR (e.p BETWEEN 238 AND 239)
+       |      THEN ${nx("s.cps", "2", "128", "191", "-1")}
+       |    WHEN e.p = 237 THEN ${nx("s.cps", "2", "128", "159", "-1")}
+       |    WHEN e.p = 240 THEN ${nx("s.cps", "3", "144", "191", "-1")}
+       |    WHEN e.p BETWEEN 241 AND 243
+       |      THEN ${nx("s.cps", "3", "128", "191", "-1")}
+       |    WHEN e.p = 244 THEN ${nx("s.cps", "3", "128", "143", "-1")}
+       |    ELSE ${nx("s.cps", "0", "0", "0", "s.p")} END) AS fin
+       |  FROM b),
+       |per AS (SELECT id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |    CAST(fin.cps AS BIGINT) AS n_codepoints,
+       |    CAST(CASE WHEN fin.bad >= 0 THEN fin.bad
+       |      WHEN fin.exp > 0 THEN n_bytes ELSE -1 END AS BIGINT)
+       |      AS first_invalid
+       |  FROM st)
+       |SELECT id, n_bytes, n_codepoints, first_invalid,
+       |  first_invalid = -1 AS is_valid FROM per WHERE id < 1000000
+       |UNION ALL
+       |SELECT CAST(999999 AS BIGINT), CAST(SUM(n_bytes) AS BIGINT),
+       |  CAST(SUM(n_codepoints) AS BIGINT),
+       |  MAX(first_invalid), MAX(first_invalid) = -1
+       |FROM per WHERE id >= 1000000
+       |ORDER BY id""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (SURVEY §2.B; DuckDB spellings per its
     * footnotes: json_extract_string, list_dot_product with a DOUBLE[] cast
     * so float math matches Spark's double-precision HOF bit-for-bit).

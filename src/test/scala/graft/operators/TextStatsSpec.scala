@@ -422,6 +422,80 @@ class TextStatsSpec extends SparkTestBase {
       s"space-leading pretokens must appear in the learned pairs: $merges")
   }
 
+  test("utf8Stats: differential test against the JDK's strict UTF-8 " +
+      "decoder — validity verdict identical on 2000 random byte strings, " +
+      "code-point counts exact on the valid ones, and every fixture " +
+      "class pins its first-invalid offset") {
+    import spark.implicits._
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    def javaVerdict(bytes: Array[Byte]): (Boolean, Long) = {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      try {
+        val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        (true, s.codePointCount(0, s.length).toLong)
+      } catch { case _: java.nio.charset.CharacterCodingException =>
+        (false, -1L)
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 2000).map { i =>
+      val n = rnd.nextInt(12)
+      val bytes = Array.fill(n)((rnd.nextInt(256) - 128).toByte)
+      // bias half the cases toward near-valid shapes (pure random bytes
+      // are almost always invalid, which would under-test the valid DFA
+      // paths): random VALID strings re-encoded, with one byte flipped
+      // in a quarter of them
+      if (i % 2 == 0) bytes
+      else {
+        val s = (1 to rnd.nextInt(5)).map(_ =>
+          new String(Character.toChars {
+            var cp = 0
+            do cp = rnd.nextInt(0x110000)
+            while (cp >= 0xD800 && cp <= 0xDFFF)
+            cp
+          })).mkString
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        if (i % 4 == 1 && b.nonEmpty)
+          b.updated(rnd.nextInt(b.length), (rnd.nextInt(256) - 128).toByte)
+        else b
+      }
+    }
+    val hx = cases.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.map("%02X".format(_)).mkString) }
+    val got = TextAnalysis.utf8Stats(hx.toDF("id", "hx"), "id", "hx")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getLong(2))).toMap
+    cases.zipWithIndex.foreach { case (b, i) =>
+      val (jv, jc) = javaVerdict(b)
+      val (gv, gc) = got(i.toLong)
+      assert(gv == jv,
+        s"case $i ${b.map("%02X".format(_)).mkString}: engine $gv vs JDK $jv")
+      if (jv) assert(gc == jc,
+        s"case $i: codepoints $gc vs JDK $jc")
+    }
+    // fixture classes pin their exact first-invalid offsets
+    val fx = TextAnalysis.utf8Stats(
+      LlmQueries.Utf8Fixture.toDF("id", "hx"), "id", "hx")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = Map(1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L,
+      5L -> -1L, 6L -> -1L, 7L -> -1L, 8L -> -1L, 9L -> -1L,
+      10L -> 0L,  // C0 lead is invalid immediately
+      11L -> 1L,  // E0 then 80 violates the A0..BF window
+      12L -> 1L,  // F0 then 80 violates the 90..BF window
+      13L -> 1L, 14L -> 1L,  // ED then A0/BF: surrogates
+      15L -> 1L,  // F4 then 90: past U+10FFFF
+      16L -> 0L, 17L -> 0L, 18L -> 0L, // bad leads / bare continuation
+      19L -> 2L, 20L -> 1L,  // truncations report at n_bytes
+      21L -> 2L,  // valid 'A' then truncated C3
+      22L -> 0L,  // C1 lead
+      23L -> -1L) // empty
+    expected.foreach { case (id, fi) =>
+      assert(fx(id) == fi, s"fixture $id: first_invalid ${fx(id)} vs $fi")
+    }
+  }
+
   test("bpeTrain: learned merges are invariant to corpus row order and " +
       "partitioning (the determinism the oracle replay relies on)") {
     import spark.implicits._
