@@ -2090,6 +2090,66 @@ object LlmQueries {
       Seq.fill(2)("東京タワー 東京") ++
       Seq.fill(2)("🚀 déjà 🚀") :+ "Ünïcödé tëst"
 
+  /** GPT-3-STYLE QUALITY-CLASSIFIER FILTERING with Pareto importance
+    * sampling (Brown et al. 2020, Appendix A — the model-based filter
+    * every frontier-scale corpus build runs after dedup): train a
+    * logistic quality classifier, score every document, keep a
+    * document iff its Pareto draw clears the score. The paper's rule
+    * `pareto(α=9) > 1 − score` is spelled deterministically:
+    * u = md5-hash(doc_id) on a 1e-6 grid, keep iff
+    * (1−u)·(2−s)⁹ < 1 — algebraically the same keep set, with the ⁹
+    * expanded into an explicit multiply chain so both engines evaluate
+    * the identical IEEE tree (pow() differs in ULPs across libms).
+    * Features are exactly-replayable text statistics (mean word
+    * length, stopword fraction); the label is planted with hash noise
+    * (the ml_logreg fixture discipline — the synthetic corpus carries
+    * no human quality signal); training is [[LogReg.train]]'s
+    * bit-exact integer-gradient recurrence, which the oracle replays.
+    * Output: per-source doc/kept counts + mean score, the monitoring
+    * view a filtering run ships. Scale shape: one feature scan, the
+    * rounds-bounded training aggregate over the quantized frame, one
+    * row-local keep decision — no extra shuffle beyond the closing
+    * per-source aggregate.
+    */
+  def prepQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val words = split(col("text"), " ")
+    val nW = size(words).cast("double")
+    val stop = Seq("the", "of", "and", "to", "a", "in", "is", "it",
+      "for", "on")
+    // centered to the corpus's stable operating point (mean word
+    // length ~4.5 chars, stopword fraction ~0.06) so the planted
+    // signal and the hash noise are comparable — the ml_logreg
+    // irreducible-noise discipline
+    val feats = d.select(col("doc_id"), col("source"),
+      (((length(col("text")) - size(words) + 1) / nW - 4.5) / 0.8)
+        .as("x1"),
+      ((size(filter(words, w => w.isin(stop: _*))) / nW - 0.06) / 0.16)
+        .as("x2"))
+    val planted = feats.withColumn("y",
+      (col("x1") + lit(2.0) * col("x2") +
+        (pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(1000))
+          / 1000.0 - 0.5) > 0.0).cast("long"))
+    val scored = LogReg.train(planted, "doc_id", "y", "x1", "x2",
+      xScale = 1000, iters = 10, lr = 4.0)
+    scored
+      .withColumn("u",
+        pmod(Hashing.md5Long(concat(col("doc_id").cast("string"),
+          lit("|u"))), lit(1000000)) / 1000000.0)
+      .withColumn("t", lit(2.0) - col("p"))
+      .withColumn("t2", col("t") * col("t"))
+      .withColumn("t4", col("t2") * col("t2"))
+      .withColumn("t9", col("t4") * col("t4") * col("t"))
+      .withColumn("keep", (lit(1.0) - col("u")) * col("t9") < 1.0)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .withColumn("p4", floor(col("p") * 10000 + 0.5).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(sum("p4") / (count(lit(1)) * 10000.0), 4).as("mean_score"))
+      .orderBy("source")
+  }
+
   /** UTF-8 validation fixture: (id, hex bytes), one row per
     * well-formedness class of Unicode 15 Table 3-7 — valid ASCII/NUL/
     * BOM/2-3-4-byte forms, the surrogate-range boundaries from both

@@ -148,12 +148,25 @@ object LogReg {
     * sums (exact at any order), same 12-decimal weight re-sync — so
     * every probability and weight reproduces bit-for-bit.
     */
-  def oracleSql(xScale: Int = 1000, iters: Int = 8,
-                lr: Double = 2.0): String = {
-    def sig(z: String) = s"0.5 + ($z) / (2.0 * (1.0 + abs($z)))"
-    def zExpr(p: String) =
-      s"((SELECT w0 FROM $p) + (SELECT w1 FROM $p) * (xq1 / $xScale.0) " +
-        s"+ (SELECT w2 FROM $p) * (xq2 / $xScale.0))"
+  /** The oracle's sigmoid spelling (same algebra as [[sigmaSql]]). */
+  def oracleSig(z: String): String = s"0.5 + ($z) / (2.0 * (1.0 + abs($z)))"
+
+  /** The oracle's z at the weights of CTE `p` (requires a `q(id, y,
+    * xq1, xq2)` CTE upstream).
+    */
+  def oracleZ(p: String, xScale: Int): String =
+    s"((SELECT w0 FROM $p) + (SELECT w1 FROM $p) * (xq1 / $xScale.0) " +
+      s"+ (SELECT w2 FROM $p) * (xq2 / $xScale.0))"
+
+  /** The shared training-recurrence CTE chain (`nn`, `w0`, then
+    * g/w pairs through `w_iters`) — the caller's WITH must already
+    * define `q(id, y, xq1, xq2)`. Reused by [[oracleSql]] (the planted
+    * ml_logreg fixture) and the quality-filter oracle, so there is ONE
+    * spelling of the bit-exact recurrence.
+    */
+  def oracleRecurrence(xScale: Int, iters: Int, lr: Double): String = {
+    def sig(z: String) = oracleSig(z)
+    def zExpr(p: String) = oracleZ(p, xScale)
     val steps = (1 to iters).map { t =>
       val p = s"w${t - 1}"
       val r = s"(CAST(floor((${sig(zExpr(p))}) * 1000000.0 + 0.5) " +
@@ -170,6 +183,15 @@ object LogReg {
          |    - $lr * g2 / ((SELECT n FROM nn) * 1e6 * $xScale.0), 12) AS w2
          |  FROM g$t)""".stripMargin
     }.mkString(",\n")
+    s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+       |$steps""".stripMargin
+  }
+
+  def oracleSql(xScale: Int = 1000, iters: Int = 8,
+                lr: Double = 2.0): String = {
+    def sig(z: String) = oracleSig(z)
+    def zExpr(p: String) = oracleZ(p, xScale)
     s"""WITH lc AS (
        |  SELECT l_orderkey AS o_orderkey, COUNT(*) / 4.0 - 0.7 AS x1,
        |    SUM(l_extendedprice) / COUNT(*) / 50000.0 - 0.6 AS x2
@@ -183,9 +205,7 @@ object LogReg {
        |q AS MATERIALIZED (SELECT o_orderkey, y,
        |  CAST(floor(x1 * $xScale + 0.5) AS BIGINT) AS xq1,
        |  CAST(floor(x2 * $xScale + 0.5) AS BIGINT) AS xq2 FROM base),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q),
-       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-       |$steps
+       |${oracleRecurrence(xScale, iters, lr)}
        |SELECT o_orderkey,
        |  ROUND(${sig(zExpr(s"w$iters"))}, 4) + 0.0 AS p,
        |  CAST(${sig(zExpr(s"w$iters"))} > 0.5 AS BIGINT) AS yhat, y,

@@ -111,6 +111,7 @@ object LlmRegistry {
     "prep_scale"            -> (LlmQueries.prepScale _),
     "prep_winsorize"        -> (LlmQueries.prepWinsorize _),
     "prep_decontaminate"    -> (LlmQueries.prepDecontaminate _),
+    "prep_quality_filter"   -> (LlmQueries.prepQualityFilter _),
     "prep_bin"              -> (LlmQueries.prepBin _),
     "prep_temperature"      -> (LlmQueries.prepTemperature _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
@@ -1674,6 +1675,51 @@ object LlmRegistry {
     // pre-token stream.
     "text_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(rounds = 8,
       LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
+    // GPT-3-style quality filter: the oracle replays the exact
+    // feature SQL, the planted label, LogReg's bit-exact recurrence,
+    // and the deterministic Pareto keep rule with the same multiply
+    // chain.
+    "prep_quality_filter" -> {
+      val rec = graft.operators.LogReg.oracleRecurrence(
+        xScale = 1000, iters = 10, lr = 4.0)
+      val sig = graft.operators.LogReg.oracleSig(
+        graft.operators.LogReg.oracleZ("w10", 1000))
+      s"""WITH feats AS (
+         |  SELECT doc_id, source,
+         |    ((length(text) - len(string_split(text, ' ')) + 1)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) - 4.5)
+         |      / 0.8 AS x1,
+         |    (len(list_filter(string_split(text, ' '),
+         |      w -> w IN ('the','of','and','to','a','in','is','it',
+         |                 'for','on')))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.06)
+         |      / 0.16 AS x2
+         |  FROM documents),
+         |base AS (SELECT doc_id, source, x1, x2,
+         |    CAST(x1 + 2.0 * x2 +
+         |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |        ::BIGINT % 1000) / 1000.0 - 0.5) > 0.0 AS BIGINT) AS y
+         |  FROM feats),
+         |q AS MATERIALIZED (SELECT doc_id, source, y,
+         |  CAST(floor(x1 * 1000 + 0.5) AS BIGINT) AS xq1,
+         |  CAST(floor(x2 * 1000 + 0.5) AS BIGINT) AS xq2 FROM base),
+         |$rec,
+         |scored AS (SELECT doc_id, source,
+         |    ROUND($sig, 4) + 0.0 AS p FROM q),
+         |k1 AS (SELECT source, p,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|u'),
+         |      1, 15))::BIGINT % 1000000) / 1000000.0 AS u,
+         |    2.0 - p AS t FROM scored),
+         |k2 AS (SELECT source, p, u, t, t * t AS t2 FROM k1),
+         |k3 AS (SELECT source, p, u, t, t2 * t2 AS t4 FROM k2),
+         |k4 AS (SELECT source, p,
+         |    (1.0 - u) * (t4 * t4 * t) < 1.0 AS keep FROM k3)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+         |  ROUND(SUM(CAST(floor(p * 10000 + 0.5) AS BIGINT))
+         |    / (COUNT(*) * 10000.0), 4) AS mean_score
+         |FROM k4 GROUP BY source ORDER BY source""".stripMargin
+    },
     // UTF-8 Table 3-7 DFA, fixture classes + the whole-corpus fold.
     "text_utf8_validate" -> utf8ValidateOracleSql(
       LlmQueries.Utf8Fixture.map { case (i, h) =>
