@@ -2150,6 +2150,43 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020: per-language
+    * head/middle/tail terciles by LM perplexity — the OTHER canonical
+    * model-based corpus filter beside [[prepQualityFilter]]'s
+    * classifier; CCNet keeps "head", mixes "middle", drops "tail").
+    * Surprisal is the corpus-unigram LM of text_lm_score (the KenLM
+    * stand-in this engine trains in one aggregate); docs rank per
+    * language on the ROUNDED score with doc_id tie-break, so the
+    * tercile assignment is deterministic in both engines. Output: per
+    * (lang, bucket) doc counts and min/max/mean surprisal — the
+    * monitoring view of a filtering run. Scale: the LM is one
+    * vocabulary aggregate; ranking is one per-language window; no
+    * all-pairs anything.
+    */
+  def prepPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sc = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("avg_surprisal"), col("doc_id"))
+    val per = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    sc.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(per))
+      .withColumn("bucket",
+        when(col("r") * 3 <= col("n"), "head")
+          .when(col("r") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("s4",
+        floor(col("avg_surprisal") * 10000 + 0.5).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_surprisal").as("min_surprisal"),
+        max("avg_surprisal").as("max_surprisal"),
+        round(sum("s4") / (count(lit(1)) * 10000.0), 4)
+          .as("mean_surprisal"))
+      .orderBy("lang", "bucket")
+  }
+
   /** UTF-8 validation fixture: (id, hex bytes), one row per
     * well-formedness class of Unicode 15 Table 3-7 — valid ASCII/NUL/
     * BOM/2-3-4-byte forms, the surrogate-range boundaries from both

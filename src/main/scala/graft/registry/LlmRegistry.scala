@@ -112,6 +112,7 @@ object LlmRegistry {
     "prep_winsorize"        -> (LlmQueries.prepWinsorize _),
     "prep_decontaminate"    -> (LlmQueries.prepDecontaminate _),
     "prep_quality_filter"   -> (LlmQueries.prepQualityFilter _),
+    "prep_perplexity_buckets" -> (LlmQueries.prepPerplexityBuckets _),
     "prep_bin"              -> (LlmQueries.prepBin _),
     "prep_temperature"      -> (LlmQueries.prepTemperature _),
     "prep_leakage_split"    -> (LlmQueries.prepLeakageSplit _),
@@ -1675,6 +1676,30 @@ object LlmRegistry {
     // pre-token stream.
     "text_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(rounds = 8,
       LlmQueries.ByteBpeFixture.map(t => s"('$t')").mkString(", ")),
+    // CCNet head/middle/tail: the text_lm_score surprisal ranked per
+    // language on the rounded score (doc_id tie-break) into terciles.
+    "prep_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |f AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM f),
+        |sc AS (SELECT doc_id,
+        |    ROUND(AVG(-ln(f.c / tot.n_total)), 4) AS s
+        |  FROM tok JOIN f USING (t) CROSS JOIN tot GROUP BY doc_id),
+        |j AS (SELECT d.lang, sc.doc_id, sc.s
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |rk AS (SELECT lang, doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n FROM j),
+        |b AS (SELECT lang, s,
+        |    CASE WHEN r * 3 <= n THEN 'head'
+        |         WHEN r * 3 <= n * 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket FROM rk)
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(s) AS min_surprisal, MAX(s) AS max_surprisal,
+        |  ROUND(SUM(CAST(floor(s * 10000 + 0.5) AS BIGINT))
+        |    / (COUNT(*) * 10000.0), 4) AS mean_surprisal
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     // GPT-3-style quality filter: the oracle replays the exact
     // feature SQL, the planted label, LogReg's bit-exact recurrence,
     // and the deterministic Pareto keep rule with the same multiply
