@@ -1864,14 +1864,26 @@ object TextAnalysis {
       .when(b === 244, mk(s, cps, lit(3), lit(128), lit(143), lit(-1)))
       .otherwise(mk(s, cps, lit(0), lit(0), lit(0), s.getField("pos")))
     })
-    rows.select(col(idCol),
-        (length(hx) / 2).cast("long").as("n_bytes"), fin.as("fin"))
-      .select(col(idCol), col("n_bytes"),
-        col("fin").getField("cps").cast("long").as("n_codepoints"),
-        when(col("fin").getField("bad") >= 0,
-            col("fin").getField("bad").cast("long"))
-          .when(col("fin").getField("exp") > 0, col("n_bytes"))
-          .otherwise(lit(-1L)).as("first_invalid"))
+    // ASCII fast path (the simdjson stage-1 trick): every byte < 0x80
+    // ⇔ every hex pair's first nibble is 0–7, checkable with one regex —
+    // and the DFA on such input provably yields cps = n_bytes, bad = −1,
+    // so the branch is semantics-identical (the differential spec and
+    // the corpus hash gate both cross it). Spark's higher-order
+    // `aggregate` lambda is interpreted per element; on a
+    // mostly-ASCII corpus this turns a per-byte struct fold into one
+    // codegen'd regex scan, and the fold runs only where multi-byte or
+    // broken sequences actually occur. CaseWhen is lazy, so the
+    // ascii-true branch never evaluates the fold.
+    val ascii = hx.rlike("^(?:[0-7][0-9A-F])*$")
+    val nBytes = (length(hx) / 2).cast("long")
+    rows.select(col(idCol), nBytes.as("n_bytes"),
+        when(ascii, nBytes)
+          .otherwise(fin.getField("cps").cast("long")).as("n_codepoints"),
+        when(ascii, lit(-1L))
+          .otherwise(
+            when(fin.getField("bad") >= 0, fin.getField("bad").cast("long"))
+              .when(fin.getField("exp") > 0, nBytes)
+              .otherwise(lit(-1L))).as("first_invalid"))
       .withColumn("is_valid", col("first_invalid") === -1L)
   }
 
