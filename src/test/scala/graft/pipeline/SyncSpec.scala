@@ -631,8 +631,36 @@ class SyncSpec extends SparkTestBase {
         })
         th.start(); th
       }
+      // a reader hammering the root DURING the race must always resolve
+      // a complete, committed state — base or either publisher's table,
+      // never a torn manifest or a half-written snapshot
+      val readerBad = new java.util.concurrent.atomic.AtomicReference[
+        String](null)
+      val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        gate.await()
+        while (!stopReader.get()) {
+          try {
+            Sync.readAtomicTable(spark, root, "t").foreach { df =>
+              val tags = df.select("tag").distinct().collect()
+                .map(_.getString(0)).toSet
+              val n = df.count()
+              val ok = (tags == Set("base") && n == 1L) ||
+                (n == 2L && (tags == Set("pub_a") || tags == Set("pub_b")))
+              if (!ok) readerBad.compareAndSet(null, s"tags=$tags n=$n")
+            }
+          } catch { case e: Throwable =>
+            readerBad.compareAndSet(null, s"reader threw: ${e.getMessage}")
+          }
+        }
+      })
+      reader.start()
       gate.countDown()
       threads.foreach(_.join(120000))
+      stopReader.set(true)
+      reader.join(120000)
+      assert(readerBad.get() == null,
+        s"trial $trial: mid-race reader saw a torn state: ${readerBad.get()}")
       val (losses, wins) = outs.asScala.toSeq.partition(_.isLeft)
       assert(wins.nonEmpty, s"trial $trial: at least one publish must land")
       // a loser is ONLY ever the optimistic-concurrency refusal
