@@ -114,6 +114,68 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r14scale")) {
+      // Scaling evidence for the round-14 text tier on 1x..8x id-shifted
+      // corpora with per-copy token prefixes (the round-4 dedup
+      // scalecheck rule: disjoint vocabularies, so true vocabulary work
+      // grows with n instead of collapsing onto one copy). Byte-BPE
+      // training is vocabulary-sized per bounded round; the UTF-8
+      // validator is a row-local fold behind the ASCII fast path; the
+      // quality filter is one feature scan + the rounds-bounded
+      // integer-gradient trainer. Wall-clock should track n
+      // near-linearly with flat per-row marginal cost.
+      import org.apache.spark.sql.functions._
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "source", "lang")
+      for (n <- if (names.length > 1) names.tail.map(_.toInt)
+                else Seq(1, 2, 4, 8)) {
+        val corpus = (0 until n).map(k =>
+          base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(^| )", "$1c" + k).as("text"),
+            col("source"), col("lang")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        locally {
+          val t0 = System.nanoTime()
+          val m = graft.operators.TextAnalysis.bpeTrainBytes(
+            corpus.select("text"), "text", rounds = 4)
+          println(f"r14scale bpe_bytes n=$n ${m.length} merges " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally {
+          val hx = corpus.select(col("doc_id"),
+            hex(encode(col("text"), "UTF-8")).as("hx"))
+          val mk = () => graft.operators.TextAnalysis
+            .utf8Stats(hx, "doc_id", "hx")
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r14scale utf8 n=$n " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally {
+          val words = split(col("text"), " ")
+          val nW = size(words).cast("double")
+          val stop = Seq("the", "of", "and", "to", "a", "in", "is", "it",
+            "for", "on")
+          val feats = corpus.select(col("doc_id"),
+            (((length(col("text")) - size(words) + 1) / nW - 4.5) / 0.8)
+              .as("x1"),
+            ((size(filter(words, w => w.isin(stop: _*))) / nW - 0.06)
+              / 0.16).as("x2"))
+            .withColumn("y", (col("x1") + lit(2.0) * col("x2") +
+              (pmod(graft.operators.Hashing.md5Long(
+                col("doc_id").cast("string")), lit(1000))
+                / 1000.0 - 0.5) > 0.0).cast("long"))
+          val t0 = System.nanoTime()
+          graft.operators.LogReg.train(feats, "doc_id", "y", "x1", "x2",
+              xScale = 1000, iters = 10, lr = 4.0)
+            .write.format("noop").mode("overwrite").save()
+          println(f"r14scale quality_filter n=$n " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("r10scale")) {
       // Scaling evidence for the round-10 codecs + bus on 1x..8x
       // id-shifted corpora: every stage is row-local (fixture map,
