@@ -2187,6 +2187,64 @@ object LlmQueries {
       .orderBy("lang", "bucket")
   }
 
+  /** Gopher-rules fixture: one document per rule, violating EXACTLY
+    * that rule (plus one passing control) — mirrored literally in the
+    * oracle's VALUES so each heuristic's firing is pinned
+    * independently of the synthetic corpus's distribution.
+    */
+  val GopherFixture: Seq[(Long, String)] = {
+    val pass60 = (1 to 52).map(i => s"word$i").mkString(" ") +
+      " the of and that have with be to"
+    Seq(
+      1L -> "the of and short",                              // word count
+      2L -> ((1 to 52).map(_ => "ab").mkString(" ") +
+        " be to of the and that have with"),                 // word length
+      3L -> ((1 to 44).map(i => s"word$i").mkString(" ") +
+        " # # # # # # # # the of and that have with be to"), // symbols
+      4L -> ((1 to 44).map(i => s"word$i").mkString(" ") +
+        " the of and that have with be to" +
+        "\n- first bullet item\n- second bullet item" +
+        "\nplain closing line\nanother plain line"),         // bullets
+      5L -> ((1 to 44).map(i => s"word$i").mkString(" ") +
+        " the of and that have with be to" +
+        "\ntrailing thought one...\ntrailing thought two..." +
+        "\nplain closing line\nanother plain line"),         // ellipses
+      6L -> ((1 to 37).map(i => s"word$i").mkString(" ") + " " +
+        (1 to 15).map(i => s"${10000 + i}").mkString(" ") +
+        " the of and that have with be to"),                 // alpha words
+      7L -> (1 to 60).map(i => s"word$i").mkString(" "),     // stop words
+      8L -> pass60)                                          // all pass
+  }
+
+  /** GOPHER/MassiveText rule filter (text_gopher_rules —
+    * [[TextAnalysis.gopherRules]]): the seven published heuristics of
+    * Rae et al. 2021 Appendix A, evaluated per document with
+    * integer-exact thresholds, aggregated per group — the rule-based
+    * pre-filter that runs BEFORE the model-based
+    * [[prepQualityFilter]]/[[prepPerplexityBuckets]] stages in a real
+    * corpus build. Groups = one per fixture document (each pinning one
+    * rule's firing) + one per corpus source (violation counts + pass
+    * counts).
+    */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val fixture = s.createDataFrame(GopherFixture).toDF("fid", "text")
+      .select((col("fid") + 9000000L).as("doc_id"), col("text"),
+        concat(lit("fx"), col("fid")).as("grp"))
+    val corpus = docs(s, dir).select(col("doc_id"), col("text"),
+      col("source").as("grp"))
+    val all = fixture.unionByName(corpus)
+    val rules = Seq("r_wordcount", "r_wordlen", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stopword")
+    TextAnalysis.gopherRules(all, "doc_id", "text")
+      .join(all.select("doc_id", "grp"), "doc_id")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        rules.map(r => sum((!col(r)).cast("long"))
+          .as(r.replace("r_", "viol_"))) :+
+          sum(col("pass").cast("long")).as("n_pass"): _*)
+      .orderBy("grp")
+  }
+
   /** UTF-8 validation fixture: (id, hex bytes), one row per
     * well-formedness class of Unicode 15 Table 3-7 — valid ASCII/NUL/
     * BOM/2-3-4-byte forms, the surrogate-range boundaries from both

@@ -1887,6 +1887,56 @@ object TextAnalysis {
       .withColumn("is_valid", col("first_invalid") === -1L)
   }
 
+  /** GOPHER/MassiveText QUALITY RULES (Rae et al. 2021, Appendix A —
+    * the rule-based pre-filter run before any model-based scoring):
+    * per document, the seven published heuristics as booleans —
+    * word count in [50, 100 000]; mean word length in [3, 10];
+    * symbol-to-word ratio (# and …) below 0.1; at most 10% of lines
+    * bullet-started; at most 30% ellipsis-ended; at least 80% of words
+    * containing an alphabetic character; at least two distinct core
+    * stop words present. Every threshold is spelled in INTEGER
+    * arithmetic (10·symbols < words, 5·alpha ≥ 4·words, …) so the
+    * verdicts are hash-exact cross-engine, no float ratios anywhere.
+    * One row-local pass; no shuffle.
+    */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nw = size(words).cast("long")
+    val chars = (length(t) - size(words) + 1).cast("long") // non-separator
+    def occurrences(needle: String): Column =
+      ((length(t) - length(call_function("replace", t, lit(needle),
+        lit("")))) / needle.length).cast("long")
+    val lines = split(t, "\n")
+    val nl = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("long")
+    val coreStops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val stopsPresent = size(array_intersect(array_distinct(words),
+      array(coreStops.map(lit): _*))).cast("long")
+    val symbols = occurrences("#") + occurrences("...") +
+      occurrences("…")
+    docs.select(col(idCol),
+      nw.between(50L, 100000L).as("r_wordcount"),
+      (chars >= nw * 3 && chars <= nw * 10).as("r_wordlen"),
+      (symbols * 10 < nw).as("r_symbol"),
+      (bulletLines * 10 <= nl).as("r_bullet"),
+      (ellipsisLines * 10 <= nl * 3).as("r_ellipsis"),
+      (alphaWords * 5 >= nw * 4).as("r_alpha"),
+      (stopsPresent >= 2L).as("r_stopword"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopword"))
+  }
+
   /** Byte-level sibling of [[bpeModelPersisted]]. */
   def bpeBytesModelPersisted(texts: DataFrame, textCol: String,
                              rounds: Int,

@@ -68,6 +68,7 @@ object LlmRegistry {
     "text_bpe_bytes"        -> (LlmQueries.textBpeBytes _),
     "text_bpe_bytes_encode" -> (LlmQueries.textBpeBytesEncode _),
     "text_utf8_validate"    -> (LlmQueries.textUtf8Validate _),
+    "text_gopher_rules"     -> (LlmQueries.textGopherRules _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
@@ -1744,6 +1745,62 @@ object LlmRegistry {
          |  ROUND(SUM(CAST(floor(p * 10000 + 0.5) AS BIGINT))
          |    / (COUNT(*) * 10000.0), 4) AS mean_score
          |FROM k4 GROUP BY source ORDER BY source""".stripMargin
+    },
+    // Gopher/MassiveText heuristics, integer-exact thresholds; the
+    // fixture VALUES mirror LlmQueries.GopherFixture literally.
+    "text_gopher_rules" -> {
+      val fx = LlmQueries.GopherFixture.map { case (i, t) =>
+        s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n  ")
+      s"""WITH fx(fid, text) AS (VALUES
+         |  $fx),
+         |allr AS (
+         |  SELECT fid + 9000000 AS doc_id, text, 'fx' || fid AS grp FROM fx
+         |  UNION ALL SELECT doc_id, text, source AS grp FROM documents),
+         |m AS (SELECT grp,
+         |    len(string_split(text, ' ')) AS nw,
+         |    length(text) - len(string_split(text, ' ')) + 1 AS chars,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3
+         |      + (length(text) - length(replace(text, '…', ''))) AS sym,
+         |    len(string_split(text, chr(10))) AS nl,
+         |    len(list_filter(string_split(text, chr(10)), l ->
+         |      starts_with(l, '- ') OR starts_with(l, '* ')
+         |      OR starts_with(l, '•'))) AS bl,
+         |    len(list_filter(string_split(text, chr(10)), l ->
+         |      ends_with(l, '...') OR ends_with(l, '…'))) AS el,
+         |    len(list_filter(string_split(text, ' '), w ->
+         |      regexp_matches(w, '[A-Za-z]'))) AS aw,
+         |    len(list_intersect(list_distinct(string_split(text, ' ')),
+         |      ['the','be','to','of','and','that','have','with'])) AS sp
+         |  FROM allr),
+         |r AS (SELECT grp,
+         |    nw BETWEEN 50 AND 100000 AS r_wordcount,
+         |    chars >= nw * 3 AND chars <= nw * 10 AS r_wordlen,
+         |    sym * 10 < nw AS r_symbol,
+         |    bl * 10 <= nl AS r_bullet,
+         |    el * 10 <= nl * 3 AS r_ellipsis,
+         |    aw * 5 >= nw * 4 AS r_alpha,
+         |    sp >= 2 AS r_stopword
+         |  FROM m)
+         |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(NOT r_wordcount AS BIGINT)) AS BIGINT)
+         |    AS viol_wordcount,
+         |  CAST(SUM(CAST(NOT r_wordlen AS BIGINT)) AS BIGINT)
+         |    AS viol_wordlen,
+         |  CAST(SUM(CAST(NOT r_symbol AS BIGINT)) AS BIGINT)
+         |    AS viol_symbol,
+         |  CAST(SUM(CAST(NOT r_bullet AS BIGINT)) AS BIGINT)
+         |    AS viol_bullet,
+         |  CAST(SUM(CAST(NOT r_ellipsis AS BIGINT)) AS BIGINT)
+         |    AS viol_ellipsis,
+         |  CAST(SUM(CAST(NOT r_alpha AS BIGINT)) AS BIGINT) AS viol_alpha,
+         |  CAST(SUM(CAST(NOT r_stopword AS BIGINT)) AS BIGINT)
+         |    AS viol_stopword,
+         |  CAST(SUM(CAST(r_wordcount AND r_wordlen AND r_symbol
+         |    AND r_bullet AND r_ellipsis AND r_alpha AND r_stopword
+         |    AS BIGINT)) AS BIGINT) AS n_pass
+         |FROM r GROUP BY grp ORDER BY grp""".stripMargin
     },
     // UTF-8 Table 3-7 DFA, fixture classes + the whole-corpus fold.
     "text_utf8_validate" -> utf8ValidateOracleSql(
