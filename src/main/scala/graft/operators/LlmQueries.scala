@@ -2245,6 +2245,74 @@ object LlmQueries {
       .orderBy("grp")
   }
 
+  /** C4-filter fixture: each document exercises one line- or page-level
+    * rule (plus a passing control); mirrored literally in the oracle.
+    */
+  val C4Fixture: Seq[(Long, String)] = Seq(
+    1L -> ("A good opening sentence stands here today.\n" +
+      "this line has no terminal punctuation at all\n" +
+      "And a proper closing sentence follows right here. Indeed."), // line: punct
+    2L -> ("A good opening sentence stands here today.\n" +
+      "Too short line.\n" +
+      "And a proper closing sentence follows right here."), // line: <5 words
+    3L -> ("A good opening sentence stands here today.\n" +
+      "Please enable javascript to view this content properly.\n" +
+      "And a proper closing sentence follows right here."), // line: js
+    4L -> ("A good opening sentence stands here today.\n" +
+      "Classic filler lorem ipsum dolor sit amet appears here.\n" +
+      "And a proper closing sentence follows right here."), // page: lorem
+    5L -> ("A good opening sentence stands here today.\n" +
+      "An object literal { appears inside this line sadly.\n" +
+      "And a proper closing sentence follows right here."), // page: brace
+    6L -> "Only two sentences live here. That is all folks!", // page: <3
+    7L -> ("A good opening sentence stands here today.\n" +
+      "The middle line carries plenty of useful words too.\n" +
+      "And a proper closing sentence follows right here."))  // all pass
+
+  /** C4 FILTERS (text_c4_filters — Raffel et al. 2020 §2.2, the
+    * cleaning rules behind the C4 corpus, expressible without the
+    * bad-words list): LINE level — keep a line iff it ends in terminal
+    * punctuation, has at least 5 words, and does not mention
+    * "javascript"; PAGE level — keep a page iff it has at least 3
+    * sentences, no "lorem ipsum", and no curly brace. All verdicts are
+    * integer/boolean (counts and substring tests), hash-exact
+    * cross-engine. Output: per-group page/line retention counts over
+    * the corpus plus the per-rule fixture documents. One row-local
+    * pass over the lines array, no explode, no shuffle beyond the
+    * closing aggregate.
+    */
+  def textC4Filters(s: SparkSession, dir: String): DataFrame = {
+    val fixture = s.createDataFrame(C4Fixture).toDF("fid", "text")
+      .select((col("fid") + 9100000L).as("doc_id"), col("text"),
+        concat(lit("fx"), col("fid")).as("grp"))
+    val corpus = docs(s, dir).select(col("doc_id"), col("text"),
+      col("source").as("grp"))
+    val all = fixture.unionByName(corpus)
+    val lines = split(col("text"), "\n")
+    def lineKeep(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= 5 &&
+        !lower(l).contains("javascript")
+    def occurrences(needle: String): org.apache.spark.sql.Column =
+      length(col("text")) -
+        length(call_function("replace", col("text"), lit(needle), lit("")))
+    val sentences = occurrences(".") + occurrences("!") + occurrences("?")
+    val pageKeep = sentences >= 3 &&
+      !lower(col("text")).contains("lorem ipsum") &&
+      !col("text").contains("{")
+    all.select(col("grp"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => lineKeep(l))).cast("long").as("n_lines_kept"),
+        pageKeep.cast("long").as("page_kept"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("page_kept").as("n_docs_kept"),
+        sum("n_lines").as("n_lines"),
+        sum("n_lines_kept").as("n_lines_kept"))
+      .orderBy("grp")
+  }
+
   /** UTF-8 validation fixture: (id, hex bytes), one row per
     * well-formedness class of Unicode 15 Table 3-7 — valid ASCII/NUL/
     * BOM/2-3-4-byte forms, the surrogate-range boundaries from both

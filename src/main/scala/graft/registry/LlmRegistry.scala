@@ -69,6 +69,7 @@ object LlmRegistry {
     "text_bpe_bytes_encode" -> (LlmQueries.textBpeBytesEncode _),
     "text_utf8_validate"    -> (LlmQueries.textUtf8Validate _),
     "text_gopher_rules"     -> (LlmQueries.textGopherRules _),
+    "text_c4_filters"       -> (LlmQueries.textC4Filters _),
     "text_unigram_lm"       -> (LlmQueries.textUnigramLm _),
     "text_unigram_encode"   -> (LlmQueries.textUnigramEncode _),
     "text_bpe_encode"       -> (LlmQueries.textBpeEncode _),
@@ -1745,6 +1746,36 @@ object LlmRegistry {
          |  ROUND(SUM(CAST(floor(p * 10000 + 0.5) AS BIGINT))
          |    / (COUNT(*) * 10000.0), 4) AS mean_score
          |FROM k4 GROUP BY source ORDER BY source""".stripMargin
+    },
+    // C4 line/page cleaning rules; the fixture VALUES mirror
+    // LlmQueries.C4Fixture literally.
+    "text_c4_filters" -> {
+      val fx = LlmQueries.C4Fixture.map { case (i, t) =>
+        s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n  ")
+      s"""WITH fx(fid, text) AS (VALUES
+         |  $fx),
+         |allr AS (
+         |  SELECT fid + 9100000 AS doc_id, text, 'fx' || fid AS grp FROM fx
+         |  UNION ALL SELECT doc_id, text, source AS grp FROM documents),
+         |m AS (SELECT grp,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(list_filter(string_split(text, chr(10)), l ->
+         |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+         |        OR ends_with(l, '"'))
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT contains(lower(l), 'javascript'))) AS n_lines_kept,
+         |    CAST((length(text) - length(replace(text, '.', '')))
+         |      + (length(text) - length(replace(text, '!', '')))
+         |      + (length(text) - length(replace(text, '?', ''))) >= 3
+         |      AND NOT contains(lower(text), 'lorem ipsum')
+         |      AND NOT contains(text, '{') AS BIGINT) AS page_kept
+         |  FROM allr)
+         |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(page_kept) AS BIGINT) AS n_docs_kept,
+         |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+         |  CAST(SUM(n_lines_kept) AS BIGINT) AS n_lines_kept
+         |FROM m GROUP BY grp ORDER BY grp""".stripMargin
     },
     // Gopher/MassiveText heuristics, integer-exact thresholds; the
     // fixture VALUES mirror LlmQueries.GopherFixture literally.
