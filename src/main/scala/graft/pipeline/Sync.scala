@@ -487,10 +487,19 @@ object Sync {
     * never poison the checkpoint.
     */
   def idempotentDeltaPublish(delta: DataFrame, batchId: Long,
-                             finalPath: String, keyCol: String): Unit = {
+                             finalPath: String, keyCol: String): Unit =
+    idempotentDeltaPublish(delta, batchId, finalPath, Seq(keyCol))
+
+  /** Composite-key form: the additive merge joins on ALL `keyCols`
+    * (e.g. the streaming tumbling-window publish keys on
+    * (user_id, window-start)); every non-key column must be additive.
+    */
+  def idempotentDeltaPublish(delta: DataFrame, batchId: Long,
+                             finalPath: String,
+                             keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     val s = delta.sparkSession
-    val valueCols = delta.columns.filterNot(_ == keyCol).toSeq
+    val valueCols = delta.columns.filterNot(keyCols.contains).toSeq
     val existing = readPublished(s, finalPath)
     val lastBatch = existing.map { e =>
       val r = e.agg(max("last_batch")).head()
@@ -500,9 +509,9 @@ object Sync {
       val merged = existing match {
         case None => delta.withColumn("last_batch", lit(batchId))
         case Some(e) =>
-          e.select(keyCol, valueCols: _*).as("e")
-            .join(delta.as("d"), Seq(keyCol), "full_outer")
-            .select(col(keyCol) +:
+          e.select((keyCols ++ valueCols).map(col): _*).as("e")
+            .join(delta.as("d"), keyCols, "full_outer")
+            .select(keyCols.map(col) ++
               valueCols.map(c => (coalesce(col(s"e.$c"), lit(0)) +
                 coalesce(col(s"d.$c"), lit(0))).as(c)) :+
               lit(batchId).as("last_batch"): _*)
@@ -608,8 +617,11 @@ object Sync {
     *
     * Readers resolve all tables through the ONE pointer file: before
     * the swap all tables read old, after it all read new, and in the
-    * delete–rename window the staged tmp manifest (complete by
-    * construction) is the fallback. Snapshot retention keeps each
+    * delete–rename window the newest fully-committed history entry
+    * (rename-installed, never half-written) is the fallback — staged
+    * pointer tmps are per-publisher scratch and never read, so a
+    * concurrent publisher's mid-write bytes can never be parsed as a
+    * manifest. Snapshot retention keeps each
     * table's newest `retain` snapshots BY ORDER (not by numeric
     * window — slot numbering is sparse per table when publishes of
     * disjoint table sets interleave).
@@ -715,7 +727,15 @@ object Sync {
         m.forall { case (t, v) =>
           fs.exists(new Path(rootP, s"$t/snap-$v/$CommitMarker")) })
         .getOrElse(merged)
-    val tmp = new Path(rootP, ManifestTmp)
+    // the pointer is staged under a PER-PUBLISHER nonce name: a shared
+    // tmp would let racer A's swap consume/truncate racer B's staged
+    // bytes mid-write, and a reader falling back to that shared file
+    // could parse a torn trailing line as a valid (stale) map. With a
+    // nonce name every rename installs a file exactly one publisher
+    // wrote in full; the mid-swap reader fallback is the newest
+    // fully-committed history entry (see [[resolveManifest]]), which is
+    // rename-installed and therefore never observable half-written.
+    val tmp = new Path(rootP, s"$ManifestTmp-$nonce")
     val man = new Path(rootP, Manifest)
     def stage(m: Map[String, Long]): Unit = {
       val out = fs.create(tmp, true); out.write(bodyOf(m)); out.close()
@@ -723,11 +743,11 @@ object Sync {
     stage(newestCommitted())
     boundary(2) // full manifest staged beside the live one
     if (fs.exists(man)) fs.delete(man, false)
-    boundary(3) // pointer gone: readers fall back to the staged tmp
+    boundary(3) // pointer gone: readers fall back to committed history
     fs.rename(tmp, man)
     boundary(4) // acknowledged; stale snapshots not yet vacuumed
     // convergence guard: two concurrent swaps can consume each other's
-    // tmp/pointer files or install out of order; loop until the live
+    // pointer file or install out of order; loop until the live
     // pointer covers this publish's versions (each retry re-installs
     // the newest committed state, so racers converge on the max — in
     // the uncontended case the condition holds immediately and the
@@ -741,6 +761,18 @@ object Sync {
       fs.rename(tmp, man)
       spins += 1
     }
+    if (fs.exists(tmp)) fs.delete(tmp, false) // lost-rename leftover
+    if (!next.forall { case (t, v) =>
+        resolveManifest(fs, rootP).getOrElse(t, -1L) >= v })
+      // the snapshots and history entry ARE committed (time travel can
+      // read them), but the live pointer never covered this publish —
+      // returning a success map here would advertise liveness the root
+      // does not have. 64 re-installs of a monotone max cannot lose to
+      // a finite set of racers on a real FS, so this is corruption or
+      // an FS without atomic rename — fail loudly, never silently.
+      throw new IllegalStateException(
+        s"publish at $root: live pointer failed to converge to " +
+          s"$next after $spins swap attempts")
     // NOTE: the claim file is NOT deleted here — it is the slot's
     // tombstone. A same-slot loser still holds a reference to slot N;
     // freeing the claim would let its (slower) atomicClaim succeed and
@@ -749,13 +781,21 @@ object Sync {
     // arithmetic can never hand them out again.
     // snapshot retention: keep each table's newest `retain` committed
     // snapshots in VERSION ORDER up to this publish (default 2 = live +
-    // immediately superseded, for readers mid-swap) plus anything newer
-    // (a concurrent publish's fresh snapshot is never reaped); staging
-    // dot-dirs of in-flight publishes are left alone (vacuumPublished
-    // reaps orphans). A time-travel dataset publishes with a larger
-    // retain and prunes with vacuumPublished.
+    // immediately superseded, for readers mid-swap). Reaping is further
+    // bounded to versions AT OR BELOW the live version this publish
+    // started from (`old`): a slot NEWER than that can only belong to a
+    // concurrent publish still in flight — reaping it would delete a
+    // snapshot whose publish has not yet returned (retain=1, racer B at
+    // slot 3 reaping racer A's just-committed snap-2), breaking "every
+    // success is readable at its own slot". Anything above `old` is
+    // left for a LATER publish (whose `old` has advanced past it) or
+    // for [[vacuumPublished]]. Staging dot-dirs of in-flight publishes
+    // are likewise left alone (vacuumPublished reaps orphans). A
+    // time-travel dataset publishes with a larger retain and prunes
+    // with vacuumPublished.
     merged.foreach { case (t, v) =>
       val tdir = new Path(rootP, t)
+      val oldV = old.getOrElse(t, Long.MinValue)
       if (fs.exists(tdir)) {
         val snaps = fs.listStatus(tdir).toSeq.flatMap { st =>
           val n = st.getPath.getName
@@ -766,7 +806,7 @@ object Sync {
         val keep = snaps.collect { case (x, _) if x <= v => x }
           .takeRight(retain).toSet
         snaps.foreach { case (x, p) =>
-          if (x <= v && !keep.contains(x)) fs.delete(p, true)
+          if (x <= oldV && !keep.contains(x)) fs.delete(p, true)
         }
       }
     }
@@ -944,12 +984,23 @@ object Sync {
         if (n.startsWith(".stage-")) fs.delete(st.getPath, true)
       }
     }
+    // pointer tmps a crashed publisher never got to rename (same
+    // explicit-maintenance contract as the staging dirs above)
+    fs.listStatus(rootP).foreach { st =>
+      if (st.getPath.getName.startsWith(s"$ManifestTmp-"))
+        fs.delete(st.getPath, false)
+    }
     (kept.length.toLong, deleted)
   }
 
   /** Resolve the live manifest: `_MANIFEST` when present and parsable,
-    * else the staged `_MANIFEST.tmp` (complete by construction — the
-    * mid-swap window), else empty (never published).
+    * else the NEWEST fully-committed history entry (the mid-swap
+    * window: the pointer is momentarily deleted between stage and
+    * rename, but the history entry — rename-installed, so never
+    * half-written — already records a state >= the one being swapped
+    * in), else empty (never published). A staged pointer tmp is NEVER
+    * read: tmps are per-publisher in-flight scratch whose bytes may
+    * still be mid-write.
     */
   private[graft] def resolveManifest(fs: FileSystem,
                                      root: Path): Map[String, Long] = {
@@ -969,8 +1020,14 @@ object Sync {
             t -> v.toLong
           }.toMap
       }.toOption.filter(_.nonEmpty)
+    def newestCommittedHistory(): Option[Map[String, Long]] =
+      scala.util.Try {
+        listManifestHistory(fs, root).reverseIterator.map(_._3).find(m =>
+          m.nonEmpty && m.forall { case (t, v) =>
+            fs.exists(new Path(root, s"$t/snap-$v/$CommitMarker")) })
+      }.toOption.flatten
     parse(new Path(root, Manifest))
-      .orElse(parse(new Path(root, ManifestTmp)))
+      .orElse(newestCommittedHistory())
       .getOrElse(Map.empty)
   }
 

@@ -900,4 +900,71 @@ class SyncSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got == direct)
   }
+
+  test("in-publish retention under concurrency: a faster higher-slot " +
+      "publish with retain=1 never reaps a slower concurrent publish's " +
+      "just-committed snapshot — every success stays readable at its " +
+      "own slot") {
+    import spark.implicits._
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    val root = Files.createTempDirectory("graft_ret_race").toString + "/ds"
+    Sync.publishAtomicAll(Seq("t" -> ds("base", 1)), root, retain = 1)
+    // A commits its snapshot + history (boundary 1) and PAUSES before
+    // its pointer swap; B publishes fully — slot 3, retain=1 — inside
+    // that pause. B's in-publish retention must only reap versions at
+    // or below the live version B started from (slot 1), never A's
+    // committed-but-not-yet-live snap-2.
+    var fired = false
+    val gotA = Sync.publishAtomicAll(Seq("t" -> ds("slow_a", 2)), root,
+      boundary = b => if (b == 1 && !fired) {
+        fired = true
+        Sync.publishAtomicAll(Seq("t" -> ds("fast_b", 3)), root, retain = 1)
+      }, retain = 1)
+    assert(gotA("t") == 2L, s"A must land on slot 2: $gotA")
+    val atA = Sync.readAtomicTableAt(spark, root, "t", 2L)
+    assert(atA.exists(_.count() == 2L),
+      "A's snapshot was reaped by B's concurrent retention")
+    assert(atA.get.select("tag").distinct().head().getString(0) == "slow_a")
+    // live converged on the newest committed state (B's slot 3)
+    assert(Sync.readAtomicTable(spark, root, "t").get
+      .select("tag").distinct().head().getString(0) == "fast_b")
+    // the superseded base (slot 1, below B's starting live) WAS reaped
+    assert(Sync.readAtomicTableAt(spark, root, "t", 1L).isEmpty,
+      "retain=1 must still reap the superseded base snapshot")
+  }
+
+  test("mid-swap reader fallback is the newest COMMITTED history entry, " +
+      "never a staged pointer tmp — a torn concurrent tmp cannot " +
+      "resolve a stale state") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    val root = Files.createTempDirectory("graft_tmp_torn").toString + "/ds"
+    Sync.publishAtomicAll(Seq("t" -> ds("v1", 1)), root, retain = 10)
+    Sync.publishAtomicAll(Seq("t" -> ds("v2", 2)), root, retain = 10)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the delete–rename window with torn/stale tmps beside it:
+    // "t=1" is exactly the torn prefix of a half-written "t=12"-style
+    // line — parsable, and WRONG
+    fs.delete(new Path(root, "_MANIFEST"), false)
+    for (tmpName <- Seq("_MANIFEST.tmp", "_MANIFEST.tmp-deadbeef")) {
+      val out = fs.create(new Path(root, tmpName), true)
+      out.write("t=1".getBytes("UTF-8")); out.close()
+    }
+    val seen = Sync.readAtomicTable(spark, root, "t").get
+    assert(seen.count() == 2L &&
+      seen.select("tag").distinct().head().getString(0) == "v2",
+      "mid-swap fallback must resolve the newest committed history " +
+        "entry, not a (possibly torn) staged tmp")
+    // vacuum reaps the orphaned pointer tmps; the next publish then
+    // restores the live pointer file
+    Sync.vacuumPublished(spark, root, keepN = 10)
+    assert(!fs.exists(new Path(root, "_MANIFEST.tmp-deadbeef")))
+    Sync.publishAtomicAll(Seq("t" -> ds("v3", 3)), root, retain = 10)
+    assert(fs.exists(new Path(root, "_MANIFEST")))
+    assert(Sync.readAtomicTable(spark, root, "t").get.count() == 3L)
+  }
 }
