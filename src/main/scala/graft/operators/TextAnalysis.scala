@@ -478,11 +478,13 @@ object TextAnalysis {
     * English-contraction specials ('s, 't, …) and the trailing-space
     * lookahead `\s+(?!\S)`, neither of which an RE2-class engine (the
     * oracle's) can replay. Both Java regex and RE2 read `\p{L}`/`\p{N}`
-    * as the Unicode categories, so engine and oracle pre-tokenize
-    * identically.
+    * as the Unicode categories — but their `\s` classes DISAGREE on
+    * U+000B vertical tab (Java includes it, RE2 does not), so the
+    * whitespace class is spelled out explicitly; a VT therefore falls
+    * into the punctuation-run class identically in both engines.
     */
   val BytePretokenRegex: String =
-    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Byte-symbol vocabulary: each pre-token maps to its UTF-8 bytes
     * (the codegen'd `byte_values` expression over `encode(tok,
@@ -683,11 +685,15 @@ object TextAnalysis {
         split(col(textCol), " ").as("tk"))
       .localCheckpoint(true) // feeds the type mins AND the token totals
     val fracs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
-    val thr = base.agg(max("doc_id").as("mx"))
-      .select(explode(array(fracs.map(lit): _*)).as("f"), col("mx"))
-      .select(round(col("f") * 100).cast("int").as("pct"),
-        floor(col("f") * col("mx")).cast("long").as("thr"))
-      .localCheckpoint(true) // 5 rows
+    // 5 rows; the checkpoint hides the 1-row-agg provenance behind an
+    // opaque RDD scan, so the guard re-states the bound for the plan gate
+    val thr = graft.util.RowBound.guard(
+      base.agg(max("doc_id").as("mx"))
+        .select(explode(array(fracs.map(lit): _*)).as("f"), col("mx"))
+        .select(round(col("f") * 100).cast("int").as("pct"),
+          floor(col("f") * col("mx")).cast("long").as("thr"))
+        .localCheckpoint(true),
+      fracs.size.toLong, "heaps-law thresholds")
     val tokMin = base.select(col("doc_id"), explode(col("tk")).as("t"))
       .groupBy("t").agg(min("doc_id").as("first_doc"))
     val vocab = tokMin.crossJoin(broadcast(thr))

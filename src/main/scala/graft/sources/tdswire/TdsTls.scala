@@ -43,9 +43,14 @@ private[tdswire] final class TdsTlsFramingSocket(
       // folded into the length would fabricate a garbage `remaining`).
       val first = base_in.read()
       if (first < 0) return false
-      if (first != 0x12)
+      // outbound flights are PRELOGIN-typed (0x12); a real SQL Server
+      // wraps ITS handshake payload in tabular-response packets (0x04,
+      // MS-TDS §2.2.3.1.1) — accept both inbound so the client-side
+      // upgrade works against a genuine server, not only the in-repo
+      // loopback pair (which frames both directions as 0x12)
+      if (first != 0x12 && first != 0x04)
         throw new java.io.IOException(
-          f"tds-tls: expected PRELOGIN (0x12) framing packet, got 0x$first%02x")
+          f"tds-tls: expected PRELOGIN (0x12) or response (0x04) framing packet, got 0x$first%02x")
       val rest = new Array[Byte](7)
       var got = 0
       while (got < 7) {
