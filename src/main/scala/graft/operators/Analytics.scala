@@ -1253,6 +1253,48 @@ object Analytics {
         expr("CAST(percentile(cents, 0.5D) * 2 AS BIGINT)").as("p50_cont_x2"))
       .orderBy("g")
 
+  /** q59b_approx_percentile_disc — the SKETCH sibling of
+    * [[percentileDisc]] (the exact→sketch convention, SURVEY §2.E): the
+    * exact ordered-set aggregate buffers every group value
+    * (ObjectHashAggregate state ∝ group size — memstress-gated but
+    * state-heavy), where `approx_percentile`'s GK sketch holds O(1/ε)
+    * samples per group regardless of scale — the 100 TB path. Because
+    * GK retains ACTUAL observed values, the estimate stays a legal
+    * domain value, preserving the discrete family's defining property.
+    *
+    * Tolerance oracle, the q22b shape: the row emits the EXACT discrete
+    * percentiles (hash-stable cross-engine) plus `approx_ok` = every
+    * sketch estimate landed within the exact discrete q ± 0.002 value
+    * band (GK rank error at accuracy 2000 is ε = 5e-4 ≪ 0.002, and
+    * discrete percentiles are monotone in q, so a correct sketch can
+    * never leave the band). DuckDB recomputes the exact values and
+    * asserts TRUE — a drifting sketch flips the flag and fails the
+    * hash compare.
+    */
+  def approxPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    def disc(q: Double, as: String) =
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as(as)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        disc(0.25, "p25_disc"), disc(0.5, "p50_disc"), disc(0.75, "p75_disc"),
+        disc(0.248, "b1l"), disc(0.252, "b1h"),
+        disc(0.498, "b2l"), disc(0.502, "b2h"),
+        disc(0.748, "b3l"), disc(0.752, "b3h"),
+        expr("approx_percentile(cents, array(0.25D, 0.5D, 0.75D), 2000)")
+          .as("ps"))
+      .select(col("g"), col("n"),
+        col("p25_disc"), col("p50_disc"), col("p75_disc"),
+        (element_at(col("ps"), 1).between(col("b1l"), col("b1h")) &&
+         element_at(col("ps"), 2).between(col("b2l"), col("b2h")) &&
+         element_at(col("ps"), 3).between(col("b3l"), col("b3h")))
+          .as("approx_ok"))
+      .orderBy("g")
+  }
+
   /** q58_bitwise_agg — the BITWISE aggregate family (`bit_or` bitmap
     * construction, `bit_xor` parity folding, `bit_and` common-bits):
     * per order a line-number bitmap `bit_or(1 << l_linenumber)` (the

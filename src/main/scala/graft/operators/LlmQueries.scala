@@ -2622,6 +2622,21 @@ object LlmQueries {
     * all seven fixed rounds) in generated CTE chains, so any edge-set,
     * entry-point, round-order or tie-break mistake flips a row.
     */
+  /** The GRAPH-index ANN tier, production row ([[Similarity.hnswLiteTopK]]
+    * standalone): per-probe nearest neighbor by the HNSW-lite greedy
+    * beam walk — the benchable entry whose cost IS the tier's query
+    * cost (construction + fixed-round search, no brute-force leg).
+    * Certification lives in the [[simHnswRecall]] measurement row.
+    */
+  def simHnswAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    Similarity.hnswLiteTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "emb")
+      .orderBy("probe_id")
+  }
+
   def simHnswRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))

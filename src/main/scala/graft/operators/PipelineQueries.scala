@@ -2621,6 +2621,32 @@ object PipelineQueries {
     * JDBC batch inserts parallelize per partition, connections bounded by
     * partition count (same dial as the A2 read side).
     */
+  /** stream_tumbling_publish — §2.C under the per-round DuckDB oracle
+    * gate: drain the events table through Structured Streaming
+    * ([[graft.streaming.EventsStream.tumblingPublish]]:
+    * Trigger.AvailableNow, per-batch (user, hour) deltas, idempotent
+    * additive merge into an atomically-published table) and return the
+    * published state — which must hash-match batch Q20's answer (the
+    * row shares Q20's oracle SQL verbatim). Until this row, streaming
+    * equivalence was spec-pinned and chaos-gated but never oracled.
+    */
+  def streamTumblingPublish(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.util.Scratch.dir("graft_stream_pub").toString
+    // stage events as FOUR round-robin files: the file source's
+    // maxFilesPerTrigger=1 then drains them as four micro-batches whose
+    // (user, hour) keys overlap, so the additive merge path (not just a
+    // single-batch overwrite) is what the oracle certifies
+    Tables.load(s, dir, "events").repartition(4)
+      .write.mode("overwrite").parquet(s"$work/src")
+    graft.streaming.EventsStream
+      .tumblingPublish(s, s"$work/src", s"$work/ck", s"$work/final")
+      .awaitTermination()
+    Sync.readPublished(s, s"$work/final").get
+      .select(col("user_id"), col("w"), col("c").cast("long").as("c"),
+        round(col("v"), 2).as("v"))
+      .orderBy("user_id", "w")
+  }
+
   def a21JdbcPublish(s: SparkSession, dir: String): DataFrame = {
     val agg = Tables.load(s, dir, "orders")
       .groupBy("o_orderstatus")

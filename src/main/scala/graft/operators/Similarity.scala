@@ -1052,10 +1052,13 @@ object Similarity {
   /** DuckDB replay of [[hnswLiteTopK]] over the embeddings fixture —
     * the full construction (derandomized levels, bucketed bounded-degree
     * adjacencies) and the full fixed-round search, as generated CTE
-    * chains (the text_unigram_lm precedent), joined against the
-    * brute-force truth for the per-probe hit table.
+    * chains (the text_unigram_lm precedent). `withTruth = true` (the
+    * recall measurement row) additionally computes the brute-force
+    * truth and emits the per-probe hit table; `withTruth = false` (the
+    * standalone production row) emits the search result alone, so the
+    * oracle cost and the bench row both reflect the HNSW walk itself.
     */
-  val hnswRecallOracle: String = {
+  private def hnswOracle(withTruth: Boolean): String = {
     def cos(p: String, n: String): String =
       s"list_dot_product($p.emb, $n.emb) / (sqrt(list_dot_product($p.emb, $p.emb)) * sqrt(list_dot_product($n.emb, $n.emb)))"
     def knn(rel: String, bcol: String, deg: Int): String =
@@ -1095,11 +1098,13 @@ object Similarity {
       |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END
       |     + CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END) AS b2
       |  FROM c0),
-      |troot AS (SELECT probe_id, node AS true_nn FROM (
+      |${if (withTruth)
+           s"""troot AS (SELECT probe_id, node AS true_nn FROM (
       |    SELECT p.probe_id, c.node,
       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
       |        ORDER BY ${cos("p", "c")} DESC, c.node) AS rn
-      |    FROM p0 p, c0 c) WHERE rn = 1),
+      |    FROM p0 p, c0 c) WHERE rn = 1),""".stripMargin
+         else ""}
       |adj0 AS (
       |  ${knn("cb", "b4", 8)}
       |  UNION
@@ -1124,9 +1129,23 @@ object Similarity {
       |        ORDER BY ${cos("p", "c")} DESC, c.node) AS rn
       |    FROM pb p JOIN cb c ON c.b4 = p.b4) WHERE rn = 1),
       |$roundCtes
-      |SELECT t.probe_id, t.true_nn, f4.node AS hnsw_nn,
+      |${if (withTruth)
+           """SELECT t.probe_id, t.true_nn, f4.node AS hnsw_nn,
       |  CAST(CASE WHEN f4.node = t.true_nn THEN 1 ELSE 0 END AS INT) AS hit
       |FROM troot t JOIN f4 ON f4.probe_id = t.probe_id
       |ORDER BY t.probe_id""".stripMargin
+         else
+           """SELECT probe_id, node AS neighbor_id FROM f4
+      |ORDER BY probe_id""".stripMargin}""".stripMargin
   }
+
+  /** Measurement-row oracle (`sim_hnsw_recall`†): full replay + truth. */
+  val hnswRecallOracle: String = hnswOracle(withTruth = true)
+
+  /** Production-row oracle (`sim_hnsw_ann`): full replay, search result
+    * alone — the benchable entry for the HNSW tier (SURVEY §2.E's
+    * certified-tier convention: every tier carries a standalone row
+    * whose bench time is the operator's real cost).
+    */
+  val hnswAnnOracle: String = hnswOracle(withTruth = false)
 }

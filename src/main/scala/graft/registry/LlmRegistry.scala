@@ -79,6 +79,7 @@ object LlmRegistry {
     "sim_ivf_ann"           -> (LlmQueries.simIvfAnn _),
     "sim_ivf_nprobe"        -> (LlmQueries.simIvfNprobe _),
     "sim_recall"            -> (LlmQueries.simRecall _),
+    "sim_hnsw_ann"          -> (LlmQueries.simHnswAnn _),
     "sim_hnsw_recall"       -> (LlmQueries.simHnswRecall _),
     "sim_pq_ann"            -> (LlmQueries.simPqAnn _),
     "sim_pq_recall"         -> (LlmQueries.simPqRecall _),
@@ -2510,6 +2511,7 @@ object LlmRegistry {
         |FROM tr LEFT JOIN ann ON tr.probe_id = ann.probe_id""".stripMargin,
     // HNSW-lite: the oracle replays levels, bucketed adjacencies, and
     // all seven search rounds as generated CTEs (Similarity object).
+    "sim_hnsw_ann" -> graft.operators.Similarity.hnswAnnOracle,
     "sim_hnsw_recall" -> graft.operators.Similarity.hnswRecallOracle,
     "sim_recall" ->
       """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -54,6 +54,7 @@ object PipelineRegistry {
     "a48_kafka_roundtrip"   -> (PipelineQueries.a48KafkaRoundtrip _),
     "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
+    "stream_tumbling_publish" -> (PipelineQueries.streamTumblingPublish _),
     "a66_concurrent_publish" -> (PipelineQueries.a66ConcurrentPublish _),
     "a67_time_travel_evolution" -> (PipelineQueries.a67TimeTravelEvolution _),
     "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
@@ -586,6 +587,15 @@ object PipelineRegistry {
     "a60_tdswire_tls" ->
       """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
         |WHERE c_acctbal > 5000 ORDER BY c_custkey""".stripMargin,
+    // §2.C batch-equivalence: the streaming tumbling-window publish
+    // (AvailableNow drain → per-batch deltas → idempotent additive
+    // merge → atomic publish) must equal batch Q20 — the oracle IS
+    // Q20's SQL
+    "stream_tumbling_publish" ->
+      """SELECT user_id, date_trunc('hour', ts) AS w,
+        |  COUNT(*) AS c, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY user_id, date_trunc('hour', ts)
+        |ORDER BY user_id, w""".stripMargin,
     // a62: the manifest-history time-travel contract — four reads of
     // the twice-published dataset: version 1, version 2, as-of a date
     // between the two publish stamps (= version 1), and live (= v2)

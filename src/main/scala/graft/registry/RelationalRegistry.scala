@@ -87,6 +87,7 @@ object RelationalRegistry {
     "q57_attribution"       -> (Analytics.attribution _),
     "q58_bitwise_agg"       -> (Analytics.bitwiseAgg _),
     "q59_percentile_disc"   -> (Analytics.percentileDisc _),
+    "q59b_approx_percentile_disc" -> (Analytics.approxPercentileDisc _),
     "dq_benford"            -> (Analytics.dqBenford _),
     "dq_gaps"               -> (Analytics.dqGaps _),
     "dq_ks"                 -> (Analytics.dqKs _),
@@ -920,6 +921,21 @@ object RelationalRegistry {
         |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_disc,
         |  CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_disc,
         |  CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS p50_cont_x2
+        |FROM (SELECT l_returnflag,
+        |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY g""".stripMargin,
+    // Tolerance oracle (the q22b shape): the engine emits the exact
+    // discrete percentiles plus approx_ok = the GK sketch estimate
+    // landed in the exact q±0.002 discrete-value band. DuckDB
+    // recomputes the exact values and asserts TRUE — a drifting
+    // sketch flips the flag and fails the hash compare.
+    "q59b_approx_percentile_disc" ->
+      """SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_disc,
+        |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_disc,
+        |  CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_disc,
+        |  TRUE AS approx_ok
         |FROM (SELECT l_returnflag,
         |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM lineitem)

@@ -457,6 +457,33 @@ object EventsStream {
       }
       .start()
 
+  /** Tumbling-window publish — the §2.C batch-equivalence row
+    * (`stream_tumbling_publish`): per (user, hour) counts/sums computed
+    * INCREMENTALLY per micro-batch and additively merged into the
+    * published table through the idempotent stage-then-swap path — so
+    * the drained published state must equal batch Q20's answer exactly,
+    * and the row shares Q20's DuckDB oracle. No watermark and no
+    * streaming state: tumbling buckets are batch-local aggregable (a
+    * row's bucket never depends on other rows), so the merge is the
+    * whole state story — the same shape [[incrementalPublish]] uses,
+    * keyed on the composite (user_id, window-start).
+    */
+  def tumblingPublish(spark: SparkSession, srcDir: String,
+                      checkpointDir: String,
+                      finalPath: String): StreamingQuery =
+    source(spark, srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+          .agg(count(lit(1)).as("c"), sum("value").as("v"))
+        graft.pipeline.Sync.idempotentDeltaPublish(
+          delta, batchId, finalPath, Seq("user_id", "w"))
+      }
+      .start()
+
   /** Stream-vs-lake dedup — the crawl-ingest shape: rows whose content
     * fingerprint already exists in the static lake are dropped AS THE
     * STREAM LANDS. [[graft.operators.Dedup.incrementalNew]] composes onto
