@@ -113,8 +113,17 @@ object Bench {
       case (acc, _) => acc
     }.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // † rows tagged out-of-band so calm-total comparisons can subtract
+    // verification-harness seconds from engine seconds (round-14
+    // verdict item 7); measured as ordinary rows above, flagged here
+    val measJson = results.collect {
+      case (n, _) if SparkEntry.measurementRows.contains(n) => jstr(n)
+    }.mkString("[", ",", "]")
+    val measTotal = results.collect {
+      case (n, v) if v >= 0 && SparkEntry.measurementRows.contains(n) => v
+    }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"measurement":$measJson,"measurement_sec":$measTotal,"sf":${jstr(sfDir)}}"""
     println(line)
     // the stdout tail the driver records truncates past ~4 KB, cutting
     // the per-query map (round-7 verdict item 7) — persist the full line

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.Sync
+
 /** Executor-loss chaos evidence (not part of the driver contract) — the
   * fault-tolerance sibling of [[ClusterSmoke]]: on `local-cluster[2,4,2048]`
   * (two REAL executor JVMs), an executor is killed MID-QUERY over a
@@ -26,6 +28,13 @@ import org.apache.spark.sql.functions._
   * idempotence guard. An executor dies after the second progress event;
   * the final published table must equal the one-shot batch aggregate
   * row-for-row — no lost batch, no double-applied retry.
+  *
+  * Leg 3 (concurrent publish): three [[graft.pipeline.Sync.publishAtomicAll]]
+  * racers on one root (retain=2, conflict retries) while an executor dies
+  * and a reader hammers the pointer — no torn read, no pointer
+  * regression, every returned success readable at its own slot (the
+  * optimistic-concurrency + in-publish-retention contract under fault
+  * injection, not just under SyncSpec's single-JVM race).
   *
   * Usage: `SPARK_SCALA_VERSION=2.13 SPARK_HOME=/opt/spark
   * tools/run_one.sh graft.ChaosSmoke [sfDir]` (the launcher needs both
@@ -192,6 +201,144 @@ object ChaosSmoke {
             s"published == batch truth (${truthFp._1} keys)")
         }
         server.close()
+      } finally {
+        spark.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+
+    // ---- leg 3: concurrent atomic publishers + executor loss -------------
+    // a66's optimistic-concurrency race under REAL fault injection: three
+    // publishers race on one root (retain=2, retries so conflicts retry
+    // onto the next slot) while an executor JVM dies mid-race and a
+    // reader hammers the live pointer. Invariants: the reader never
+    // resolves a torn/mixed state (a successful read is exactly one
+    // publisher's complete data), the history slot sequence only grows,
+    // every publish that returned success is readable AT ITS OWN SLOT
+    // afterwards (the in-publish retention bound: a concurrent
+    // publisher's fresh snapshot is never reaped — the r15 Sync fix),
+    // and the final live state is the newest committed slot.
+    locally {
+      val spark = Engine.session("chaos-race", "8")
+      try {
+        val tmp = graft.util.Scratch.dir("graft_chaos_race")
+        val root = s"$tmp/ds"
+        def frame(tag: String) = {
+          val l = Tables.load(spark, sfDir, "lineitem")
+            .select(col("l_orderkey"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          (1 to 4).map(_ => l).reduce(_ unionAll _)
+            .groupBy("l_orderkey")
+            .agg(sum("cents").as("c"), count(lit(1)).as("n"))
+            .withColumn("tag", lit(tag))
+        }
+        val base = Tables.load(spark, sfDir, "nation")
+          .select(col("n_nationkey").as("l_orderkey"),
+            col("n_regionkey").cast("long").as("c"), lit(1L).as("n"))
+          .withColumn("tag", lit("base"))
+        val baseN = base.count()
+        val orderN = frame("x").count()
+        Sync.publishAtomicAll(Seq("t" -> base), root, retain = 2)
+        val tags = Seq("pub_a", "pub_b", "pub_c")
+        val outs = new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, Map[String, Long]]]()
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val pubs = tags.map { tag =>
+          val th = new Thread(() => {
+            gate.await()
+            try outs.add(Right(Sync.publishAtomicAll(
+              Seq("t" -> frame(tag)), root, retain = 2, retries = 5)))
+            catch { case e: Throwable => outs.add(Left(e)) }
+          }, s"chaos-pub-$tag")
+          th.start(); th
+        }
+        val readerBad =
+          new java.util.concurrent.atomic.AtomicReference[String](null)
+        val readErrs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val lastSlot = new java.util.concurrent.atomic.AtomicLong(0L)
+        val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          gate.await()
+          while (!stopReader.get()) {
+            try {
+              val hist = Sync.listPublishHistory(spark, root)
+              if (hist.nonEmpty) {
+                val s0 = hist.last._1
+                val prev = lastSlot.getAndUpdate(p => math.max(p, s0))
+                if (s0 < prev) readerBad.compareAndSet(null,
+                  s"history regressed: $s0 after $prev")
+              }
+              Sync.readAtomicTable(spark, root, "t").fold[Unit] {
+                readerBad.compareAndSet(null,
+                  "published root resolved to NOTHING mid-race"); ()
+              } { df =>
+                val ts = df.select("tag").distinct().collect()
+                  .map(_.getString(0)).toSet
+                val k = df.count()
+                val ok = ts.size == 1 && (
+                  (ts.head == "base" && k == baseN) ||
+                  (tags.contains(ts.head) && k == orderN))
+                if (!ok) readerBad.compareAndSet(null,
+                  s"torn read: tags=$ts rows=$k")
+              }
+            } catch {
+              // a data-file read racing a snapshot reap (retain=2 with
+              // three racers reaps the base) is a transient, counted —
+              // torn CONTENT or a regressing pointer is what fails
+              case _: Throwable => readErrs.incrementAndGet()
+            }
+          }
+        }, "chaos-race-reader")
+        reader.start()
+        val killedAt = new java.util.concurrent.atomic.AtomicLong(0L)
+        val chaos = new Thread(() => {
+          val sc = spark.sparkContext
+          while (sc.statusTracker.getActiveJobIds().isEmpty) Thread.sleep(20)
+          Thread.sleep(300)
+          killOne(spark).foreach(_ => killedAt.set(System.nanoTime()))
+        }, "chaos-race-killer")
+        chaos.setDaemon(true)
+        gate.countDown()
+        chaos.start()
+        pubs.foreach(_.join(180000))
+        val endAt = System.nanoTime()
+        stopReader.set(true)
+        reader.join(60000)
+        chaos.join(10000)
+        import scala.jdk.CollectionConverters._
+        val (losses, wins) = outs.asScala.toSeq.partition(_.isLeft)
+        val winSlots = wins.flatMap(_.toOption).map(_("t"))
+        def fail(msg: String): Unit = { println(s"[chaos] FAIL race: $msg"); failures += 1 }
+        if (killedAt.get() == 0L) fail("no executor was killed")
+        else if (killedAt.get() >= endAt)
+          fail("kill landed after every publish finished (vacuous)")
+        else if (readerBad.get() != null) fail(readerBad.get())
+        else if (wins.isEmpty) fail(s"no publish landed: $losses")
+        else if (!losses.forall(_.left.exists(
+            _.isInstanceOf[Sync.ConcurrentPublishException])))
+          fail(s"non-refusal failure: $losses")
+        else {
+          val unreadable = winSlots.filterNot { v =>
+            Sync.readAtomicTableAt(spark, root, "t", v)
+              .exists(_.count() == orderN)
+          }
+          val hist = Sync.listPublishHistory(spark, root).map(_._1)
+          val live = Sync.readAtomicTable(spark, root, "t").get
+            .select("tag").distinct().collect().map(_.getString(0)).toSet
+          if (unreadable.nonEmpty)
+            fail(s"success slots $unreadable not readable at their own " +
+              "version (concurrent retention reaped a live publish)")
+          else if (hist != hist.sorted || hist.distinct != hist)
+            fail(s"history not strictly monotone: $hist")
+          else if (live.size != 1 || !tags.contains(live.head))
+            fail(s"final live state is not a single racer's data: $live")
+          else
+            println(s"[chaos] race leg OK: ${wins.size}/3 publishes landed " +
+              s"at slots ${winSlots.sorted.mkString(",")} " +
+              s"(${losses.size} clean refusals) through an executor loss; " +
+              s"reader: 0 torn states, ${readErrs.get()} transient " +
+              "read-vs-reap retries; every success readable at its slot")
+        }
       } finally {
         spark.stop()
         org.apache.spark.sql.SparkSession.clearActiveSession()

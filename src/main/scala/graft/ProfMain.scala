@@ -12,19 +12,93 @@ object ProfMain {
       // pipeline sync runs, driver collects) execute like they do under
       // Verify; a query whose construction fails still leaves a marker
       // line instead of killing the dump.
+      //
+      // The dump is also a mechanical PLAN GATE (round-14 verdict item
+      // 5): 0 CartesianProduct, 0 ScalaUDF, and every
+      // BroadcastNestedLoopJoin BUILD side must statically trace to a
+      // bounded frame — a global (empty-grouping) aggregate's 1 row, an
+      // explicit limit, a driver-built LocalTableScan literal, or the
+      // raise_error count-guard (guardProbes: ≤ maxProbes rows or the
+      // query FAILS — runtime-bounded by construction), composed
+      // through row-preserving/reducing operators (project / filter /
+      // sort / exchange / window / grouped agg over a bounded input;
+      // a join of two bounded inputs is bounded by their product). A
+      // build side whose lineage reaches a data-sized leaf with none of
+      // these on the path is a data-sized broadcast — the exact
+      // anti-pattern the prose audits adjudicated by hand until now.
+      // Violations print PLAN-GATE-FAIL lines and exit 2.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.catalyst.expressions.{RaiseError, ScalaUDF}
+      import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+      def boundedBuild(p: SparkPlan): Boolean = p match {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.isEmpty || a.children.forall(boundedBuild)
+        case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec =>
+          true
+        case _: LocalTableScanExec => true
+        case r: ReusedExchangeExec => boundedBuild(r.child)
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(_.isInstanceOf[RaiseError]) => true
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(boundedBuild)
+      }
+      def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+
+      var nBnlj = 0
+      var nBnljUnbounded = 0
+      var nCartesian = 0
+      var nUdf = 0
+      val gateFails = scala.collection.mutable.ListBuffer.empty[String]
       val targets = SparkEntry.queries.keys.toSeq.sorted
       for (n <- targets) {
         println(s"\n===== $n =====")
         try {
-          println(SparkEntry.queries(n)(spark, dir).queryExecution
+          val df = SparkEntry.queries(n)(spark, dir)
+          println(df.queryExecution
             .explainString(org.apache.spark.sql.execution.SimpleMode))
+          physical(df).foreach {
+            case j: BroadcastNestedLoopJoinExec =>
+              nBnlj += 1
+              val build =
+                if (j.buildSide == BuildLeft) j.left else j.right
+              if (!boundedBuild(build)) {
+                nBnljUnbounded += 1
+                gateFails += s"PLAN-GATE-FAIL: $n has a " +
+                  "BroadcastNestedLoopJoin whose build side does not " +
+                  "trace to a bounded frame:\n" + build.treeString
+              }
+            case c: CartesianProductExec =>
+              nCartesian += 1
+              gateFails += s"PLAN-GATE-FAIL: $n has a CartesianProduct"
+            case p =>
+              if (p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))) {
+                nUdf += 1
+                gateFails += s"PLAN-GATE-FAIL: $n has a ScalaUDF in " +
+                  s"${p.nodeName}"
+              }
+          }
         } catch {
           case e: Throwable =>
             println(s"PLAN-DUMP-ERROR: ${e.getClass.getName}: " +
               s"${Option(e.getMessage).getOrElse("").take(200)}")
         }
       }
-      spark.stop(); return
+      println(s"\nPLAN-GATE: bnlj=$nBnlj bnlj_unbounded=$nBnljUnbounded " +
+        s"cartesian=$nCartesian scala_udf=$nUdf")
+      gateFails.foreach(println)
+      spark.stop()
+      if (gateFails.nonEmpty) sys.exit(2)
+      return
     }
     if (names == Seq("plans_legacy")) {
       // the historical hand-curated scale-critical subset
@@ -111,6 +185,54 @@ object ProfMain {
           mk().write.format("noop").mode("overwrite").save()
           println(f"r8scale $label n=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
+      }
+      spark.stop(); return
+    }
+    if (names.headOption.contains("r15scale")) {
+      // Lakehouse time-travel scalecheck (round-14 verdict item 8): one
+      // root per history depth 8/16/32/64, `depth` sequential publishes
+      // (retain = all, the time-travel configuration), then timed reads
+      // of (a) a mid-history version, (b) the live pointer, (c) an
+      // as-of-date resolve, plus one more publish. The DATA is constant
+      // (a 5-row nation aggregate) so wall-clock isolates the METADATA
+      // cost: the claim to check is that per-read cost stays flat /
+      // milliseconds-scale as the live version count grows 8× — history
+      // resolution is one directory listing + small-file reads, never a
+      // scan of the snapshots themselves.
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.Sync
+      val nation = Tables.load(spark, dir, "nation")
+      def agg(k: Int) = nation.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n")).withColumn("v", lit(k.toLong))
+      for (depth <- Seq(8, 16, 32, 64)) {
+        val root = graft.util.Scratch.dir("graft_r15scale").toString + "/ds"
+        val tPub0 = System.nanoTime()
+        for (v <- 1 to depth)
+          Sync.publishAtomicAll(Seq("t" -> agg(v)), root,
+            retain = depth + 2, publishedAt = Some(v * 1000L))
+        val pubAvg = (System.nanoTime() - tPub0) / 1e9 / depth
+        def timed(f: => Unit): Double = {
+          f // warm (plan + listing caches, JIT)
+          val t0 = System.nanoTime()
+          f
+          (System.nanoTime() - t0) / 1e9
+        }
+        val mid = (depth / 2).toLong
+        val tTravel = timed(
+          Sync.readAtomicTableAt(spark, root, "t", mid).get
+            .write.format("noop").mode("overwrite").save())
+        val tLive = timed(
+          Sync.readAtomicTable(spark, root, "t").get
+            .write.format("noop").mode("overwrite").save())
+        val tAsOf = timed(
+          Sync.readAtomicTableAsOf(spark, root, "t", mid * 1000L).get
+            .write.format("noop").mode("overwrite").save())
+        val tNext = timed(
+          Sync.publishAtomicAll(Seq("t" -> agg(depth + 7)), root,
+            retain = depth + 2, publishedAt = Some((depth + 7) * 1000L)))
+        println(f"r15scale depth=$depth pub_avg=$pubAvg%.3fs " +
+          f"timetravel=$tTravel%.3fs live=$tLive%.3fs asof=$tAsOf%.3fs " +
+          f"next_pub=$tNext%.3fs")
       }
       spark.stop(); return
     }

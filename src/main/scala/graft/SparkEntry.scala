@@ -34,4 +34,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalRegistry.oracleSql ++ PipelineRegistry.oracleSql ++
       LlmRegistry.oracleSql ++ MediaRegistry.oracleSql ++ MlRegistry.oracleSql
+
+  /** MEASUREMENT rows (SURVEY §2.E's † marker): the verification
+    * harness as a registry row — each recomputes exact/unblocked truth
+    * (or runs multiple legs) IN-ROW to certify a production tier, so
+    * its bench time is harness cost, not the operator's production
+    * cost. [[Bench]] tags them in its JSON so calm-total comparisons
+    * can split harness seconds from engine seconds.
+    */
+  val measurementRows: Set[String] = Set(
+    "sim_recall", "sim_pq_recall", "sim_ivfpq_recall", "sim_sq_recall",
+    "sim_twostage_recall", "sim_hnsw_recall", "mm_phash_recall",
+    "dedup_edit_recall", "sim_reciprocal_nn_ivf", "a63_dialect_parity")
 }

@@ -428,9 +428,14 @@ object Metrics {
       (col("x1") + lit(2.0) * col("x2") +
         (pmod(Hashing.md5Long(col("k").cast("string")), lit(1000))
           / 1000.0 - 0.5) > 1.3).cast("long").as("y"))
-    val probes = broadcast(q.filter(col("k") <= 600)
-      .select(col("k").as("pid"), col("xq1").as("p1"),
-        col("xq2").as("p2"), col("y").as("y_true")))
+    // the ≤600 key-range filter bounds the fixture by data semantics;
+    // the RowBound guard turns that into an enforced broadcast-class
+    // contract the plan gate can verify statically
+    val probes = broadcast(graft.util.RowBound.guard(
+      q.filter(col("k") <= 600)
+        .select(col("k").as("pid"), col("xq1").as("p1"),
+          col("xq2").as("p2"), col("y").as("y_true")),
+      1024, "ml_knn probe fixture"))
     // the probe fan-out multiplies per-row work ~|probes|x, and AQE
     // coalesces the small aggregated candidate frame to ONE partition —
     // spread it back across the cluster before the explosion

@@ -50,9 +50,14 @@ object NaiveBayes {
     val model = ct.join(classTot, "cls").crossJoin(broadcast(vocab))
       .select(col("cls"), col("t"),
         log((col("c") + 1) / (col("ctot") + col("v")).cast("double")).as("ll"))
-    // per-class fallback for unseen tokens
-    val fallback = classTot.crossJoin(broadcast(vocab))
-      .select(col("cls"), log(lit(1) / (col("ctot") + col("v")).cast("double")).as("fb"))
+    // per-class fallback for unseen tokens — class-domain-sized; the
+    // guard re-states the bound over the checkpoint-opaque class totals
+    // for the plan gate (this frame broadcasts into the scoring BNLJ)
+    val fallback = graft.util.RowBound.guard(
+      classTot.crossJoin(broadcast(vocab))
+        .select(col("cls"),
+          log(lit(1) / (col("ctot") + col("v")).cast("double")).as("fb")),
+      64, "naive-bayes per-class fallback")
     val ptoks = probes.select(col(idCol), col(classCol).as("true_cls"),
       explode(split(col(textCol), " ")).as("t"))
     // every probe token scores against EVERY class: join the token to the

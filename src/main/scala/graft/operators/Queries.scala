@@ -297,8 +297,13 @@ object Queries {
     */
   def q19(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val probe = broadcast(
-      emb.filter(col("vec_id") === 0).select(col("embedding").as("p_emb")))
+    // vec_id is unique so the equality filter is 1 row by data
+    // semantics; the guard makes that an enforced bound the plan gate
+    // verifies (a duplicate-id regression would fail loudly, not
+    // silently broadcast a fat frame)
+    val probe = broadcast(graft.util.RowBound.guard(
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("p_emb")),
+      4, "q19 probe vector"))
     val corpus = emb.filter(col("vec_id") =!= 0)
     corpus.crossJoin(probe)
       .select(col("vec_id"),

@@ -2,9 +2,11 @@
 # Standing chaos gate, two scripted legs per run:
 #
 #  1. Executor loss (graft.ChaosSmoke on local-cluster[2,4,2048]): an
-#     executor JVM is killed mid-query in a 3-shuffle batch chain and
-#     mid-drain in the streaming incremental publish; results must be
-#     bit-identical to the undisturbed truth.
+#     executor JVM is killed mid-query in a 3-shuffle batch chain,
+#     mid-drain in the streaming incremental publish, and mid-race under
+#     three concurrent atomic publishers (torn-read / pointer-regression /
+#     reaped-success invariants); results must be bit-identical to the
+#     undisturbed truth.
 #  2. DRIVER restart (graft.ChaosDriverRestart): the whole streaming
 #     driver JVM is SIGKILLed mid-drain (committed and uncommitted
 #     micro-batches outstanding), a fresh JVM resumes from the
