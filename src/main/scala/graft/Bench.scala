@@ -56,7 +56,13 @@ object Bench {
 
     val errs = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val failed = scala.collection.mutable.Set.empty[String]
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the sweep to the
+    // named rows (focused quiet-host re-measurement); the driver never
+    // sets it, so the contract run always sweeps the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def timedRun(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
