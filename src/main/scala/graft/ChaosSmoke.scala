@@ -243,12 +243,28 @@ object ChaosSmoke {
         val outs = new java.util.concurrent.ConcurrentLinkedQueue[
           Either[Throwable, Map[String, Long]]]()
         val gate = new java.util.concurrent.CountDownLatch(1)
+        // the own-slot read-back runs INSIDE the publisher thread,
+        // immediately after the publish returns — the exact moment the
+        // "every success is readable at its own slot" contract speaks
+        // (later, a successor's in-publish retention may legitimately
+        // reap versions that fall out of the retain window)
+        val readbackBad =
+          new java.util.concurrent.atomic.AtomicReference[String](null)
         val pubs = tags.map { tag =>
           val th = new Thread(() => {
             gate.await()
-            try outs.add(Right(Sync.publishAtomicAll(
-              Seq("t" -> frame(tag)), root, retain = 2, retries = 5)))
-            catch { case e: Throwable => outs.add(Left(e)) }
+            try {
+              val got = Sync.publishAtomicAll(
+                Seq("t" -> frame(tag)), root, retain = 2, retries = 5)
+              val v = got("t")
+              val ok = Sync.readAtomicTableAt(spark, root, "t", v)
+                .exists(_.count() == orderN)
+              if (!ok) readbackBad.compareAndSet(null,
+                s"$tag: slot $v unreadable at the moment its publish " +
+                  "returned (a concurrent retention reaped an in-flight " +
+                  "publish)")
+              outs.add(Right(got))
+            } catch { case e: Throwable => outs.add(Left(e)) }
           }, s"chaos-pub-$tag")
           th.start(); th
         }
@@ -318,16 +334,20 @@ object ChaosSmoke {
             _.isInstanceOf[Sync.ConcurrentPublishException])))
           fail(s"non-refusal failure: $losses")
         else {
-          val unreadable = winSlots.filterNot { v =>
+          // post-hoc, only the newest `retain` success slots must still
+          // be readable — older ones may have fallen out of the window
+          val unreadable = winSlots.sorted.takeRight(2).filterNot { v =>
             Sync.readAtomicTableAt(spark, root, "t", v)
               .exists(_.count() == orderN)
           }
           val hist = Sync.listPublishHistory(spark, root).map(_._1)
           val live = Sync.readAtomicTable(spark, root, "t").get
             .select("tag").distinct().collect().map(_.getString(0)).toSet
-          if (unreadable.nonEmpty)
-            fail(s"success slots $unreadable not readable at their own " +
-              "version (concurrent retention reaped a live publish)")
+          if (readbackBad.get() != null)
+            fail(readbackBad.get())
+          else if (unreadable.nonEmpty)
+            fail(s"newest success slots $unreadable not readable " +
+              "(inside the retain window)")
           else if (hist != hist.sorted || hist.distinct != hist)
             fail(s"history not strictly monotone: $hist")
           else if (live.size != 1 || !tags.contains(live.head))

@@ -773,6 +773,16 @@ object Sync {
       throw new IllegalStateException(
         s"publish at $root: live pointer failed to converge to " +
           s"$next after $spins swap attempts")
+    // completion marker: this publish is about to RETURN success — only
+    // now may a concurrent publisher's in-publish retention reap this
+    // slot's snapshots. Without it, a racer that retried past an
+    // already-advanced live pointer sees oldV >= this slot and reaps a
+    // snapshot whose publish has not returned yet (caught by the chaos
+    // race leg: retried publisher C at slot 4, live 3, reaping slot 2
+    // while A was still mid-publish). A crashed publisher never writes
+    // its marker, so its wreckage is only ever reaped by the explicit
+    // vacuumPublished.
+    fs.create(new Path(histDir, s"manifest-$slot$DoneSuffix"), true).close()
     // NOTE: the claim file is NOT deleted here — it is the slot's
     // tombstone. A same-slot loser still holds a reference to slot N;
     // freeing the claim would let its (slower) atomicClaim succeed and
@@ -806,7 +816,14 @@ object Sync {
         val keep = snaps.collect { case (x, _) if x <= v => x }
           .takeRight(retain).toSet
         snaps.foreach { case (x, p) =>
-          if (x <= oldV && !keep.contains(x)) fs.delete(p, true)
+          // three independent safety conditions: superseded before this
+          // publish began (x <= oldV), outside the retain window, and
+          // its OWN publish has returned (completion marker — a racer
+          // below the current live but not yet returned is in flight
+          // and must keep its snapshot until it acknowledges success)
+          if (x <= oldV && !keep.contains(x) &&
+              fs.exists(new Path(histDir, s"manifest-$x$DoneSuffix")))
+            fs.delete(p, true)
         }
       }
     }
@@ -814,6 +831,15 @@ object Sync {
   }
 
   private[graft] val ClaimSuffix = ".claim"
+
+  /** Publish-completion marker (`manifest-N.done`): written as the LAST
+    * step before [[publishAtomicAll]] returns success. In-publish
+    * retention only reaps snapshots whose slot carries one — the
+    * guarantee "every success is readable at its own slot at the moment
+    * the publish returns" under arbitrary concurrency. Unmarked slots
+    * (in-flight or crashed publishers) are left to [[vacuumPublished]].
+    */
+  private[graft] val DoneSuffix = ".done"
 
   /** Slot claims (`manifest-N.claim`) — every slot ever claimed at this
     * root (tombstones persist so a same-slot loser can never re-claim a
@@ -954,6 +980,9 @@ object Sync {
     listClaims(fs, rootP).filter(_ < keptMax).foreach { n =>
       fs.delete(
         new Path(rootP, s"$ManifestHistoryDir/manifest-$n$ClaimSuffix"),
+        false)
+      fs.delete(
+        new Path(rootP, s"$ManifestHistoryDir/manifest-$n$DoneSuffix"),
         false)
     }
     // referenced = union over kept manifests PLUS the live pointer (the

@@ -934,6 +934,44 @@ class SyncSpec extends SparkTestBase {
       "retain=1 must still reap the superseded base snapshot")
   }
 
+  test("in-publish retention never reaps an UNRETURNED publish even when " +
+      "the live pointer has advanced past its slot: completion markers " +
+      "gate the reap (the chaos-race scenario: A paused pre-return at " +
+      "slot 2, B lands slot 3, C lands slot 4 with retain=1 — snap-2 " +
+      "must survive until A acknowledges)") {
+    import spark.implicits._
+    def ds(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("k", "tag")
+    val root = Files.createTempDirectory("graft_done_race").toString + "/ds"
+    Sync.publishAtomicAll(Seq("t" -> ds("base", 1)), root, retain = 1)
+    var fired = false
+    val gotA = Sync.publishAtomicAll(Seq("t" -> ds("slow_a", 2)), root,
+      boundary = b => if (b == 1 && !fired) {
+        fired = true
+        // B then C land fully inside A's pause; C's publish-time live
+        // is already B's slot 3 — past A's slot 2 — so without the
+        // completion-marker gate C's retention would reap snap-2
+        Sync.publishAtomicAll(Seq("t" -> ds("fast_b", 3)), root, retain = 1)
+        Sync.publishAtomicAll(Seq("t" -> ds("fast_c", 4)), root, retain = 1)
+      }, retain = 1)
+    assert(gotA("t") == 2L, s"A must land on slot 2: $gotA")
+    val atA = Sync.readAtomicTableAt(spark, root, "t", 2L)
+    assert(atA.exists(_.count() == 2L),
+      "A's snapshot was reaped while its publish was still in flight")
+    assert(atA.get.select("tag").distinct().head().getString(0) == "slow_a")
+    // base (slot 1, returned long ago, below everyone's window) IS reaped
+    assert(Sync.readAtomicTableAt(spark, root, "t", 1L).isEmpty)
+    // live converged on the newest committed state (C's slot 4)
+    assert(Sync.readAtomicTable(spark, root, "t").get
+      .select("tag").distinct().head().getString(0) == "fast_c")
+    // and once A HAS returned, a later publish may reap its slot — the
+    // retain window applies normally to acknowledged versions
+    Sync.publishAtomicAll(Seq("t" -> ds("after", 5)), root, retain = 1)
+    assert(Sync.readAtomicTableAt(spark, root, "t", 2L).isEmpty,
+      "an acknowledged superseded version must still fall out of the " +
+        "retain window")
+  }
+
   test("mid-swap reader fallback is the newest COMMITTED history entry, " +
       "never a staged pointer tmp — a torn concurrent tmp cannot " +
       "resolve a stale state") {
