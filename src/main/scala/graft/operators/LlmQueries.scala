@@ -595,6 +595,15 @@ object LlmQueries {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(10)
 
+  /** DSIR importance-resampled top-100 ([[TextAnalysis.dsirTopK]]):
+    * target = English documents, features = 256-bucket hashed
+    * uni+bigrams, derandomized Gumbel noise — the data-selection tilt
+    * toward a target domain, oracle-replayed end to end.
+    */
+  def textDsir(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirTopK(docs(s, dir), "doc_id", "text",
+      targetPred = col("lang") === "en", buckets = 256, k = 100)
+
   /** Kneser–Ney-smoothed bigram surprisal
     * ([[TextAnalysis.kneserNeySurprisal]]) — the production LM-quality
     * filter form.

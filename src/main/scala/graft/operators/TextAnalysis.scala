@@ -2077,4 +2077,83 @@ object TextAnalysis {
        |  CAST(FLOOR(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(n_pieces) AS DOUBLE)
        |    * 10000) AS BIGINT) AS compression_e4
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** text_dsir — Data Selection via Importance Resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how much more likely its
+    * hashed-n-gram bag is under a TARGET distribution than under the
+    * raw distribution, then resample the top-k under deterministic
+    * Gumbel noise — the published recipe for tilting a web-scale crawl
+    * toward a curated target domain without training a classifier.
+    *
+    *   - FEATURES: unigrams + bigrams of whitespace tokens, hashed into
+    *     `buckets` ids (the paper's hashed generative model — fixed
+    *     dimensionality regardless of vocabulary, the property that
+    *     makes the model frame broadcast-class at any corpus size).
+    *     Bigrams stream from the native [[graft.functions.NGrams]]
+    *     generator; the hash is the house 60-bit md5 (replayed verbatim
+    *     by the oracle).
+    *   - MODELS: add-one-smoothed bucket unigram models for target (p)
+    *     and raw (q), fit in ONE aggregate over the per-(doc, bucket)
+    *     counts; per-bucket Δ[b] = ln p[b] − ln q[b] folds both totals
+    *     in, so scoring needs just one broadcast-joined frame.
+    *   - WEIGHT: log w(doc) = Σ_b n_doc[b]·Δ[b] — a per-doc sum.
+    *   - RESAMPLE: Gumbel-top-k with the noise derandomized from the
+    *     doc id's md5 (u = (h mod 1e6 + 0.5)/1e6, g = −ln(−ln u)), so
+    *     the "random" sample is replayable bit-for-bit by the oracle —
+    *     sampling WITH the Gumbel trick rather than plain top-w is what
+    *     keeps selection diverse near the threshold (the paper's §3).
+    *
+    * Scale shape: one gram pass (map-side combined into per-(doc,
+    * bucket) counts — the only fact-sized shuffle), one bucket-count
+    * aggregate (`buckets` rows), one broadcast join back, one per-doc
+    * sum, one distributed top-k (TakeOrdered). No all-pairs, no
+    * driver-side loop; the model frame is KB-sized forever.
+    */
+  def dsirTopK(docsDf: DataFrame, idCol: String, textCol: String,
+               targetPred: Column, buckets: Int = 256,
+               k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Spread.ifNarrow(docsDf)
+      .select(col(idCol).cast("long").as("doc_id"),
+        targetPred.cast("long").as("tgt"),
+        split(col(textCol), " ").as("tk"))
+    val uni = toks.select(col("doc_id"), col("tgt"),
+      explode(col("tk")).as("gram"))
+    val bi = toks.select(col("doc_id"), col("tgt"), expr("ngrams(tk, 2)"))
+      .select(col("doc_id"), col("tgt"), col("gram"))
+    val perDocBucket = uni.unionByName(bi)
+      .select(col("doc_id"), col("tgt"),
+        pmod(graft.operators.Hashing.md5Long(col("gram")),
+          lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the model fit AND the scoring pass
+    val model = perDocBucket.groupBy("b")
+      .agg(sum(when(col("tgt") === 1, col("n")).otherwise(0L)).as("pc"),
+        sum("n").as("qc"))
+    val totals = model.agg(sum("pc").as("ptot"), sum("qc").as("qtot"))
+    // every bucket a doc touches is present in `model` (raw includes all
+    // docs), so folding the smoothed log-ratio into one broadcast frame
+    // covers every join key; absent buckets would score 0 anyway
+    val delta = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("pc") + 1).cast("double") /
+             (col("ptot") + buckets).cast("double")) -
+         log((col("qc") + 1).cast("double") /
+             (col("qtot") + buckets).cast("double"))).as("d"))
+    val u = (pmod(graft.operators.Hashing.md5Long(
+        col("doc_id").cast("string")), lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1000000.0)
+    val scored = perDocBucket.join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"),
+        sum(col("n").cast("double") * col("d")).as("logw"))
+      .withColumn("rk", round(col("logw") - log(-log(u)), 4))
+    val w = Window.orderBy(col("rk").desc, col("doc_id"))
+    scored.orderBy(col("rk").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_grams"), round(col("logw"), 4).as("logw"),
+        col("rk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy("rn")
+  }
 }

@@ -59,6 +59,7 @@ object LlmRegistry {
     "text_burstiness"       -> (LlmQueries.textBurstiness _),
     "text_hashtf"           -> (LlmQueries.textHashTf _),
     "text_bigram_lm"        -> (LlmQueries.textBigramLm _),
+    "text_dsir"             -> (LlmQueries.textDsir _),
     "text_kneser_ney"       -> (LlmQueries.textKneserNey _),
     "text_kneser_ney3"      -> (LlmQueries.textKneserNey3 _),
     "text_ngrams_native"    -> (LlmQueries.textNgramsNative _),
@@ -744,6 +745,44 @@ object LlmRegistry {
         |      WHERE length(tok) >= 2)
         |SELECT pair, CAST(SUM(tc) AS BIGINT) AS weight FROM p GROUP BY pair
         |ORDER BY weight DESC, pair LIMIT 10""".stripMargin,
+    // DSIR importance resampling: the full pipeline — hashed uni+bigram
+    // bucket counts, add-one-smoothed target/raw models, per-doc
+    // log-weight, md5-derandomized Gumbel top-100 — replayed in SQL.
+    // The log-ratio sums cross engines at ~1e-13 (the q40/text_lm
+    // precedent); ROUND(.,4) absorbs it.
+    "text_dsir" ->
+      """WITH toks AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS tgt,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(tk) AS gram FROM toks),
+        |bi AS (SELECT doc_id, tgt, tk[gi.i] || ' ' || tk[gi.i + 1] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) gi
+        |  WHERE len(tk) >= 2),
+        |pdb AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS b,
+        |    COUNT(*) AS n
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY 1, 2, 3),
+        |model AS (SELECT b,
+        |    SUM(CASE WHEN tgt = 1 THEN n ELSE 0 END) AS pc,
+        |    SUM(n) AS qc
+        |  FROM pdb GROUP BY b),
+        |tot AS (SELECT SUM(pc) AS ptot, SUM(qc) AS qtot FROM model),
+        |delta AS (SELECT b,
+        |    ln(CAST(pc + 1 AS DOUBLE) / CAST(ptot + 256 AS DOUBLE))
+        |  - ln(CAST(qc + 1 AS DOUBLE) / CAST(qtot + 256 AS DOUBLE)) AS d
+        |  FROM model, tot),
+        |scored AS (SELECT p.doc_id,
+        |    CAST(SUM(p.n) AS BIGINT) AS n_grams,
+        |    SUM(CAST(p.n AS DOUBLE) * d.d) AS logw
+        |  FROM pdb p JOIN delta d USING (b) GROUP BY p.doc_id),
+        |gk AS (SELECT doc_id, n_grams, logw,
+        |    ROUND(logw - ln(-ln(
+        |      (((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 1000000) + 0.5) / 1000000.0))), 4) AS rk
+        |  FROM scored)
+        |SELECT doc_id, n_grams, ROUND(logw, 4) AS logw, rk,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rk DESC, doc_id) AS BIGINT) AS rn
+        |FROM gk ORDER BY rk DESC, doc_id LIMIT 100""".stripMargin,
     "text_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (

@@ -751,4 +751,80 @@ class TextStatsSpec extends SparkTestBase {
       r6(2.0 / 6), r6(10000.0 * 2 / 9))))
     assert(got(4L)._5 == 0.0, "single-token doc takes the N<2 guard")
   }
+
+  test("dsirTopK: documents sharing the target domain's vocabulary " +
+      "out-rank off-domain documents; weights replicate a driver-side " +
+      "model fit; the Gumbel key is deterministic") {
+    import spark.implicits._
+    // target = docs 1-4 (tgt language of 'code'); probe docs 10/11 share
+    // the target vocabulary, 12/13 are off-domain — DSIR must tilt
+    // toward 10/11 regardless of the derandomized noise, so the planted
+    // margin is made large (every gram of 10/11 is target-only
+    // vocabulary; every gram of 12/13 is raw-only)
+    val corpus = Seq(
+      (1L, 1, "def fn return val"), (2L, 1, "class def fn return"),
+      (3L, 1, "val class def fn"), (4L, 1, "return val class def"),
+      (10L, 0, "def fn return class"), (11L, 0, "val def fn return"),
+      (12L, 0, "cat sat mat hat"), (13L, 0, "rain wet cold gray"))
+      .toDF("doc_id", "tgt", "text")
+    val got = TextAnalysis.dsirTopK(corpus, "doc_id", "text",
+        targetPred = col("tgt") === 1, buckets = 64, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.size == 8)
+    // n_grams = tokens + bigrams = 4 + 3 for every doc
+    got.values.foreach { case (n, _, _, _) => assert(n == 7L) }
+    // every on-domain doc outweighs every off-domain doc (logw margin)
+    val onW = Seq(10L, 11L).map(got(_)._2).min
+    val offW = Seq(12L, 13L).map(got(_)._2).max
+    assert(onW > offW,
+      s"on-domain min logw $onW must exceed off-domain max $offW")
+    // driver-side model replica for one doc: rebuild bucket counts and
+    // the smoothed log-ratio sum exactly as the operator defines them
+    val toks = Seq("def", "fn", "return", "class")
+    val grams = toks ++ toks.sliding(2).map(_.mkString(" ")).toSeq
+    def md5l(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val all = Seq(
+      (1L, 1, "def fn return val"), (2L, 1, "class def fn return"),
+      (3L, 1, "val class def fn"), (4L, 1, "return val class def"),
+      (10L, 0, "def fn return class"), (11L, 0, "val def fn return"),
+      (12L, 0, "cat sat mat hat"), (13L, 0, "rain wet cold gray"))
+    val bucketCounts = scala.collection.mutable.Map
+      .empty[(Long, Int, Long), Long].withDefaultValue(0L)
+    all.foreach { case (id, tgt, text) =>
+      val tk = text.split(" ").toSeq
+      (tk ++ tk.sliding(2).map(_.mkString(" "))).foreach { g =>
+        val b = md5l(g) % 64
+        bucketCounts((id, tgt, b)) += 1
+      }
+    }
+    val pc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val qc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    bucketCounts.foreach { case ((_, tgt, b), n) =>
+      if (tgt == 1) pc(b) += n
+      qc(b) += n
+    }
+    val ptot = pc.values.sum; val qtot = qc.values.sum
+    def delta(b: Long): Double =
+      math.log((pc(b) + 1).toDouble / (ptot + 64)) -
+        math.log((qc(b) + 1).toDouble / (qtot + 64))
+    val logw10 = bucketCounts.collect {
+      case ((10L, _, b), n) => n * delta(b) }.sum
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L)._2 == r4(logw10),
+      s"doc 10 logw ${got(10L)._2} != replica ${r4(logw10)}")
+    // Gumbel key replica: rk = logw + g with g from the doc-id md5
+    val u = ((md5l("10") % 1000000L) + 0.5) / 1000000.0
+    assert(got(10L)._3 == r4(logw10 - math.log(-math.log(u))))
+    // determinism: a second run is bit-identical
+    val again = TextAnalysis.dsirTopK(corpus, "doc_id", "text",
+        targetPred = col("tgt") === 1, buckets = 64, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(again == got.map { case (id, (_, _, _, rn)) => id -> rn })
+  }
 }
