@@ -1272,14 +1272,27 @@ object Analytics {
     * hash compare.
     */
   def approxPercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    def disc(q: Double, as: String) =
-      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY cents)")
-        .cast("long").as(as)
-    t(s, dir, "lineitem")
+    import org.apache.spark.sql.expressions.Window
+    // ONE ranked pass serves all nine exact discrete anchors (the q22b
+    // technique): percentile_disc(q) = the value at rank ceil(q·n) in
+    // the per-group cents order, read with a conditional min — nine
+    // `percentile_disc` aggregates would otherwise each buffer the
+    // whole group's values (9× ObjectHashAggregate state, measured
+    // 10 s vs ~2 s for this form at sf0.1). 0.25/0.5/0.75 are exact
+    // binary fractions, so their rank products are FP-exact; the band
+    // fractions only position a ±0.002·n-rank window and tolerate the
+    // last-ulp ceil.
+    val w = Window.partitionBy("g").orderBy("cents")
+    val wg = Window.partitionBy("g")
+    val ranked = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"),
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wg))
+    def disc(q: Double, as: String) =
+      min(when(col("rn") >= ceil(lit(q) * col("n")), col("cents"))).as(as)
+    ranked.groupBy("g")
+      .agg(max("n").as("n"),
         disc(0.25, "p25_disc"), disc(0.5, "p50_disc"), disc(0.75, "p75_disc"),
         disc(0.248, "b1l"), disc(0.252, "b1h"),
         disc(0.498, "b2l"), disc(0.502, "b2h"),
