@@ -466,6 +466,19 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** Binary-quantization ANN ([[Similarity.bqTopK]]): 1-bit sign codes
+    * vs the per-dimension corpus midrange, Hamming-distance shortlist,
+    * exact-dot rerank — the extreme end of the quantization family
+    * (SQ8's 4x becomes ~16x; candidate scoring is xor + popcount).
+    */
+  def simBqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bqTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
   def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(
@@ -1762,6 +1775,26 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_probes"),
         sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
       .select(lit("sq8").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+  }
+
+  /** Measured recall@1 of the binary-quantization rerank tier
+    * ([[Similarity.bqTopK]]) against the exact inner-product truth —
+    * the [[simSqRecall]] pattern, certifying [[simBqAnn]].
+    */
+  def simBqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val exact = Similarity.mipsTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val bq = Similarity.bqTopK(corpus, probes, "vec_id", "emb", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(bq, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("bq1bit").as("method"), col("n_probes"), col("hits"),
         round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
   }
 

@@ -2647,6 +2647,36 @@ object PipelineQueries {
       .orderBy("user_id", "w")
   }
 
+  def streamSessionPublish(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val work = graft.util.Scratch.dir("graft_stream_sess").toString
+    // stage events as four TIME-RANGED files written oldest-range first
+    // (ascending mtime AND ascending name): the file source then drains
+    // them as four event-time-ordered micro-batches — sessions spanning
+    // range boundaries exercise cross-batch state merge, and no event
+    // arrives behind the watermark (batch k+1's min ts >= batch k's max
+    // > its watermark by the full delay)
+    val ranged = Tables.load(s, dir, "events")
+      .withColumn("qr", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val fs = new Path(work).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$work/src"))
+    for (r <- 1 to 4) {
+      ranged.filter(col("qr") === r).drop("qr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
+      val part = fs.globStatus(new Path(s"$work/stage/part-*"))(0).getPath
+      fs.rename(part, new Path(f"$work/src/part-$r%02d.parquet"))
+    }
+    graft.streaming.EventsStream
+      .sessionPublish(s, s"$work/src", s"$work/ck", s"$work/final")
+      .awaitTermination()
+    s.read.parquet(s"$work/final")
+      .select(col("user_id"), col("w_start"), col("w_end"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("v"), 2).as("v"))
+      .orderBy("user_id", "w_start")
+  }
+
   def a21JdbcPublish(s: SparkSession, dir: String): DataFrame = {
     val agg = Tables.load(s, dir, "orders")
       .groupBy("o_orderstatus")

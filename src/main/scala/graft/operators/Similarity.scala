@@ -913,6 +913,76 @@ object Similarity {
         col("qdot"))
   }
 
+  /** Binary quantization + exact rerank — the 1-bit/dimension memory
+    * tier (the BBQ / RaBitQ family's Hamming stage with the simplest
+    * sound codebook): each vector becomes its sign bits against the
+    * corpus PER-DIMENSION MIDRANGE `(min+max)/2`, packed 32 dimensions
+    * per 64-bit word. Candidate ranking is Hamming distance — `xor` +
+    * `bit_count` over the word arrays, integer-exact — keeping a
+    * `cand`-deep shortlist per probe; only the shortlist is reranked by
+    * the exact double dot product.
+    *
+    * Determinism contract (the [[sqTopK]] discipline): the midrange is
+    * min/max-only — order-independent, so engine and oracle derive
+    * bit-identical thresholds no matter how partial aggregation splits
+    * the corpus (a MEAN would not survive reassociation); the strict
+    * `>` sign test, the shifts, the xor and the popcounts are integer
+    * ops; and the rerank dot is the same left-to-right HOF summation
+    * [[mipsTopK]]'s oracle already hash-matches. Shortlist and final
+    * ranks tie-break on candidate id.
+    *
+    * Scale shape: 64 float dims compress to TWO longs (16 bytes,
+    * ~16×), so the scan side of the candidate stage streams codes
+    * through codegen'd popcounts; the float vectors are touched only
+    * `cand` times per probe in the rerank. The threshold frame is one
+    * dim-sized row (the codebook pattern) broadcast to both encode
+    * passes. Words stay at 32 used bits so no engine's `1 << 63`
+    * overflow spelling can diverge.
+    */
+  def bqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             embCol: String, k: Int, cand: Int = 32,
+             maxProbes: Int = DefaultMaxExactProbes): DataFrame = {
+    val asD = expr(s"transform($embCol, x -> CAST(x AS DOUBLE))")
+    val cd = corpus.select(col(idCol), asD.as("emb"))
+    // per-dimension midrange: a dim-sized 1-row frame (codebook class)
+    val mid = cd.select(posexplode(col("emb")).as(Seq("d", "v")))
+      .groupBy("d").agg(((min("v") + max("v")) / 2.0).as("mv"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mv")))).as("dm"))
+      .select(expr("transform(dm, s -> s.mv)").as("mid"))
+    // sign bits vs mid, 32 per word; the size guard keeps a short tail
+    // word correct for dims not divisible by 32 (AND short-circuits, so
+    // the guarded element_at never evaluates out of bounds)
+    val codeExpr = expr(
+      """transform(sequence(0, CAST(ceil(size(emb) / 32.0) AS INT) - 1), w ->
+        |  aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+        |    acc | shiftleft(IF(w * 32 + j < size(emb)
+        |        AND element_at(emb, w * 32 + j + 1)
+        |            > element_at(mid, w * 32 + j + 1), CAST(1 AS BIGINT),
+        |      CAST(0 AS BIGINT)), j)))""".stripMargin)
+    val c = cd.crossJoin(broadcast(mid))
+      .select(col(idCol).as("cand_id"), col("emb").as("c_emb"),
+        codeExpr.as("cw"))
+    val p = broadcast(guardProbes(probes, maxProbes)
+      .select(col(idCol), asD.as("emb")).crossJoin(broadcast(mid))
+      .select(col(idCol).as("probe_id"), col("emb").as("p_emb"),
+        codeExpr.as("pw")))
+    val w1 = Window.partitionBy("probe_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("ip").desc, col("cand_id"))
+    c.join(p, col("probe_id") =!= col("cand_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(pw, cw, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v)"))
+      .withColumn("hrn", row_number().over(w1))
+      .filter(col("hrn") <= cand)
+      .withColumn("ip", VectorOps.dotHof(col("p_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("rn"),
+        col("hamming").cast("long").as("hamming"),
+        round(col("ip"), 4).as("ip"))
+  }
+
   /** Bucketed ANN: probes join only the corpus rows in their sign bucket.
     * Returns each probe's best in-bucket neighbor plus the bucket's
     * candidate count (the recall/cost dial made visible).

@@ -101,6 +101,8 @@ object LlmRegistry {
     "sim_mips_topk"         -> (LlmQueries.simMipsTopK _),
     "sim_scalar_quant"      -> (LlmQueries.simScalarQuant _),
     "sim_sq_recall"         -> (LlmQueries.simSqRecall _),
+    "sim_bq_ann"            -> (LlmQueries.simBqAnn _),
+    "sim_bq_recall"         -> (LlmQueries.simBqRecall _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
@@ -1574,6 +1576,94 @@ object LlmRegistry {
         |      AS BIGINT) AS hits
         |  FROM tr LEFT JOIN ann USING (probe_id))
         |SELECT 'sq8' AS method, n_probes, hits,
+        |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
+        |FROM m""".stripMargin,
+    // BQ: sign bits vs the per-dimension corpus MIDRANGE ((min+max)/2 —
+    // order-independent, so both engines derive bit-identical
+    // thresholds; a mean would not survive partial-agg reassociation),
+    // packed 32 dims per word (no engine hits its 1<<63 overflow
+    // spelling), Hamming shortlist of 32, exact-double-dot rerank (the
+    // same in-order list summation the mips oracle hash-matches).
+    "sim_bq_ann" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |mm AS (SELECT g.d AS d,
+        |    (MIN(emb[g.d]) + MAX(emb[g.d])) / 2.0 AS mid
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
+        |  GROUP BY 1),
+        |cw AS (SELECT c0.vec_id, (g.d - 1) // 32 AS w,
+        |    CAST(SUM(CASE WHEN emb[g.d] > mm.mid
+        |      THEN 1::BIGINT << ((g.d - 1) % 32) ELSE 0 END) AS BIGINT) AS word
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, mm
+        |  WHERE mm.d = g.d GROUP BY 1, 2),
+        |pw AS (SELECT p0.vec_id, (g.d - 1) // 32 AS w,
+        |    CAST(SUM(CASE WHEN emb[g.d] > mm.mid
+        |      THEN 1::BIGINT << ((g.d - 1) % 32) ELSE 0 END) AS BIGINT) AS word
+        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, mm
+        |  WHERE mm.d = g.d GROUP BY 1, 2),
+        |hm AS (SELECT pw.vec_id AS probe_id, cw.vec_id AS cand_id,
+        |    CAST(SUM(bit_count(xor(pw.word, cw.word))) AS BIGINT) AS hamming
+        |  FROM pw JOIN cw ON pw.w = cw.w AND pw.vec_id <> cw.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, cand_id) AS hrn FROM hm),
+        |rr AS (SELECT sl.probe_id, sl.cand_id, sl.hamming,
+        |    list_dot_product(p.emb, c.emb) AS ip
+        |  FROM sl JOIN p0 p ON p.vec_id = sl.probe_id
+        |          JOIN c0 c ON c.vec_id = sl.cand_id
+        |  WHERE sl.hrn <= 32),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY ip DESC, cand_id) AS rn FROM rr)
+        |SELECT probe_id, cand_id AS neighbor_id, CAST(rn AS BIGINT) AS rn,
+        |  hamming, ROUND(ip, 4) AS ip
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    "sim_bq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_dot_product(p.emb, c.emb) DESC, c.vec_id) AS rn
+        |    FROM p0 p, c0 c WHERE c.vec_id <> p.vec_id) WHERE rn = 1),
+        |mm AS (SELECT g.d AS d,
+        |    (MIN(emb[g.d]) + MAX(emb[g.d])) / 2.0 AS mid
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g
+        |  GROUP BY 1),
+        |cw AS (SELECT c0.vec_id, (g.d - 1) // 32 AS w,
+        |    CAST(SUM(CASE WHEN emb[g.d] > mm.mid
+        |      THEN 1::BIGINT << ((g.d - 1) % 32) ELSE 0 END) AS BIGINT) AS word
+        |  FROM c0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, mm
+        |  WHERE mm.d = g.d GROUP BY 1, 2),
+        |pw AS (SELECT p0.vec_id, (g.d - 1) // 32 AS w,
+        |    CAST(SUM(CASE WHEN emb[g.d] > mm.mid
+        |      THEN 1::BIGINT << ((g.d - 1) % 32) ELSE 0 END) AS BIGINT) AS word
+        |  FROM p0, LATERAL (SELECT unnest(range(1, len(emb) + 1)) AS d) g, mm
+        |  WHERE mm.d = g.d GROUP BY 1, 2),
+        |hm AS (SELECT pw.vec_id AS probe_id, cw.vec_id AS cand_id,
+        |    CAST(SUM(bit_count(xor(pw.word, cw.word))) AS BIGINT) AS hamming
+        |  FROM pw JOIN cw ON pw.w = cw.w AND pw.vec_id <> cw.vec_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, cand_id) AS hrn FROM hm),
+        |rr AS (SELECT sl.probe_id, sl.cand_id,
+        |    list_dot_product(p.emb, c.emb) AS ip
+        |  FROM sl JOIN p0 p ON p.vec_id = sl.probe_id
+        |          JOIN c0 c ON c.vec_id = sl.cand_id
+        |  WHERE sl.hrn <= 32),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT probe_id, cand_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY ip DESC, cand_id) AS rn FROM rr) WHERE rn = 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM tr LEFT JOIN ann USING (probe_id))
+        |SELECT 'bq1bit' AS method, n_probes, hits,
         |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
         |FROM m""".stripMargin,
     // SQ8: symmetric single-scale int8 codes against the corpus max-abs

@@ -55,6 +55,7 @@ object PipelineRegistry {
     "a60_tdswire_tls"       -> (PipelineQueries.a60TdswireTls _),
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
     "stream_tumbling_publish" -> (PipelineQueries.streamTumblingPublish _),
+    "stream_session_publish"  -> (PipelineQueries.streamSessionPublish _),
     "a66_concurrent_publish" -> (PipelineQueries.a66ConcurrentPublish _),
     "a67_time_travel_evolution" -> (PipelineQueries.a67TimeTravelEvolution _),
     "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
@@ -596,6 +597,33 @@ object PipelineRegistry {
         |  COUNT(*) AS c, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY user_id, date_trunc('hour', ts)
         |ORDER BY user_id, w""".stripMargin,
+    // stream_session: gap sessions at session_window's MICROSECOND
+    // semantics (break at diff >= gap — not q27's floored-second
+    // spelling), closed-session filter = the watermark contract
+    // (session_end <= max_ts - 1s delay; sessions still open when the
+    // source drains have no final row, in the engine or here)
+    "stream_session_publish" ->
+      """WITH e AS (SELECT user_id, ts, value, event_id,
+        |    epoch_us(ts) AS t FROM events),
+        |mx AS (SELECT MAX(t) AS mt FROM e),
+        |b AS (SELECT user_id, ts, value, t, event_id,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |           IS NULL
+        |         OR t - lag(t) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id) >= 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |sq AS (SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM b),
+        |sess AS (SELECT user_id, seq, MIN(ts) AS w_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    ROUND(SUM(value), 2) AS v
+        |  FROM sq GROUP BY 1, 2)
+        |SELECT user_id, w_start, w_end, n_events, v
+        |FROM sess, mx WHERE epoch_us(w_end) <= mx.mt - 1000000
+        |ORDER BY user_id, w_start""".stripMargin,
     // a62: the manifest-history time-travel contract — four reads of
     // the twice-published dataset: version 1, version 2, as-of a date
     // between the two publish stamps (= version 1), and live (= v2)

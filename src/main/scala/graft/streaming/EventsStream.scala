@@ -484,6 +484,44 @@ object EventsStream {
       }
       .start()
 
+  /** Gap-sessionization as a stream — the STATEFUL face of the q27
+    * batch sessionizer: the built-in `session_window` aggregation under
+    * a watermark. Each user's events merge into [first, last+gap)
+    * windows inside the state store — including sessions that SPAN
+    * micro-batches (the capability foreachBatch's stateless per-batch
+    * aggregate cannot express) — and a session is emitted exactly once,
+    * in append mode, when the watermark passes its end. Sessions still
+    * open when the source drains never emit: that is the streaming
+    * contract (an open session has no final row), and the batch oracle
+    * applies the same closure predicate `session_end <= max_ts - delay`.
+    *
+    * Semantics pinned to the microsecond: `session_window` merges an
+    * event iff it lands strictly inside the current window
+    * (`ts - last < gap`), so the oracle's break condition is
+    * `epoch_us diff >= gap_us` — NOT q27's floored-second spelling.
+    *
+    * At 100 TB the state is bounded by the watermark (closed sessions
+    * leave the store), keyed state shuffles once on user_id, and the
+    * source must be event-time-ordered across batches (the registry
+    * wrapper stages time-ranged files; a kafka source with bounded
+    * disorder inside the delay behaves identically).
+    */
+  def sessionPublish(spark: SparkSession, srcDir: String,
+                     checkpointDir: String, outDir: String): StreamingQuery =
+    source(spark, srcDir)
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("v"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"), col("v"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Stream-vs-lake dedup — the crawl-ingest shape: rows whose content
     * fingerprint already exists in the static lake are dropped AS THE
     * STREAM LANDS. [[graft.operators.Dedup.incrementalNew]] composes onto

@@ -480,4 +480,69 @@ class SimilaritySpec extends SparkTestBase {
       assert(mine == scoped, s"probe $pid")
     }
   }
+
+  test("bqTopK: midrange sign codes + hamming shortlist + exact rerank " +
+      "equals the driver-side brute force; an unpruned shortlist reduces " +
+      "to exact MIPS; guard present") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 5)
+    val got = Similarity.bqTopK(corpus, probes, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // driver-side brute force: same midrange thresholds, same packing,
+    // same (hamming, id) shortlist of 32, same (dot desc, id) rerank
+    val cRows = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val pRows = probes.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dims = cRows.head._2.length
+    val mid = (0 until dims).map { d =>
+      val vs = cRows.map(_._2(d)); (vs.min + vs.max) / 2.0
+    }
+    def words(v: Array[Double]): Array[Long] =
+      (0 until (dims + 31) / 32).map { w =>
+        (0 until 32).foldLeft(0L) { (acc, j) =>
+          val i = w * 32 + j
+          if (i < dims && v(i) > mid(i)) acc | (1L << j) else acc
+        }
+      }.toArray
+    val cw = cRows.map { case (id, v) => (id, v, words(v)) }
+    val expected = pRows.flatMap { case (pid, pv) =>
+      val pwds = words(pv)
+      cw.filter(_._1 != pid)
+        .map { case (cid, cv, cwd) =>
+          (cid, cv, cwd.zip(pwds)
+            .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum) }
+        .sortBy { case (cid, _, h) => (h, cid) }.take(32)
+        .map { case (cid, cv, h) =>
+          (cid, h, cv.zip(pv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, _, ip) => (-ip, cid) }
+        .take(3).zipWithIndex
+        .map { case ((cid, h, _), i) => (pid, cid, (i + 1).toLong, h.toLong) }
+    }.toSet
+    assert(got.toSet == expected,
+      "distributed BQ ranking must equal the driver-side brute force")
+    // shortlist >= |corpus| → hamming prunes nothing → exact MIPS order
+    val un = Similarity.bqTopK(corpus, probes, "vec_id", "embedding",
+        k = 3, cand = 1000000)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    val mips = Similarity.mipsTopK(corpus, probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    assert(un.toSeq == mips.toSeq,
+      "an unpruned hamming stage must reduce to exact MIPS")
+    // exact-tier guard applies
+    val ex = intercept[Exception](
+      Similarity.bqTopK(corpus, probes, "vec_id", "embedding", k = 3,
+        maxProbes = 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxProbes")))
+  }
 }

@@ -621,6 +621,61 @@ class EventsStreamSpec extends SparkTestBase {
     assert(overlaps.count() == 0)
   }
 
+  test("sessionPublish over time-ranged batches EQUALS the batch gap-" +
+      "sessionizer at microsecond semantics on the watermark-closed set") {
+    import org.apache.spark.sql.expressions.Window
+    // the registry wrapper's staging, in miniature: four time-ranged
+    // files drained as four ordered micro-batches, so sessions spanning
+    // a range boundary exercise cross-batch state merge
+    val src = tmp("es_sp_src")
+    val ev = Tables.load(spark, sfDir, "events")
+    val ranged = ev.withColumn("qr",
+      ntile(4).over(Window.orderBy("ts", "event_id")))
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (r <- 1 to 4) {
+      val stage = tmp(s"es_sp_stage$r")
+      ranged.filter(col("qr") === r).drop("qr")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$stage/part-*"))(0).getPath
+      fs.rename(part,
+        new org.apache.hadoop.fs.Path(f"$src/part-$r%02d.parquet"))
+    }
+    val out = tmp("es_sp_out")
+    EventsStream.sessionPublish(spark, src, tmp("es_sp_ck"), out)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("w_start"), col("w_end"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("v"), 2).as("v"))
+      .orderBy("user_id", "w_start").collect().map(_.toSeq)
+    // batch truth: session_window's exact microsecond break (diff >=
+    // gap), closure = session_end <= max_ts - delay
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("tus", "event_id")
+    val sess = ev
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev", lag("tus", 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tus") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(min("ts").as("w_start"),
+        (max("tus") + 1800000000L).as("end_us"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("v"))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val want = sess.filter(col("end_us") <= maxTs - 1000000L)
+      .select(col("user_id"), col("w_start"),
+        timestamp_micros(col("end_us")).as("w_end"),
+        col("n_events"), col("v"))
+      .orderBy("user_id", "w_start").collect().map(_.toSeq)
+    assert(want.nonEmpty && got.length == want.length,
+      s"closed-session counts differ: got ${got.length}, want ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming CUSUM alerts: single-run final state equals the batch " +
       "recursion in (ts, event_id) order; forced restart continues the " +
       "recursion instead of resetting") {
