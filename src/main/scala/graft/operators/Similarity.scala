@@ -105,15 +105,26 @@ object Similarity {
     */
   def reciprocalNN(vecs: DataFrame, idCol: String, embCol: String,
                    maxRows: Int = DefaultMaxExactProbes): DataFrame = {
+    // Hoisted per-row work: the float→double array cast and the norm
+    // both move into the pre-join projection, so the per-pair cost is
+    // ONE dot + a divide — cosine() under the join would recompute both
+    // self-dots (3 dots/pair) and re-cast both arrays (two 64-slot
+    // allocations/pair). Same expression trees per value (cast is
+    // exact, norm = sqrt(dot(x,x))), so every cos is bit-identical to
+    // the fused form.
     val v = guardProbes(vecs, maxRows,
         tier = "exact reciprocal-NN tier: all-pairs — run per LSH/IVF " +
           "bucket at corpus scale")
-      .select(col(idCol).as("a"), col(embCol).as("a_emb"))
+      .select(col(idCol).as("a"),
+        col(embCol).cast("array<double>").as("a_emb"))
+      .withColumn("a_n", VectorOps.norm(col("a_emb")))
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
     val nn = v
-      .join(broadcast(v.select(col("a").as("b"), col("a_emb").as("b_emb"))),
+      .join(broadcast(v.select(col("a").as("b"), col("a_emb").as("b_emb"),
+          col("a_n").as("b_n"))),
         col("a") =!= col("b"))
-      .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos",
+        VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("a"), col("b"), col("cos"))
@@ -148,14 +159,19 @@ object Similarity {
     // into each consumer)
     val assigned = ivfAssign(vecs, centroids, idCol, embCol)
       .localCheckpoint(true)
+    // per-row norm precompute — the reciprocalNN optimization (one dot
+    // per pair instead of three, bit-identical cos)
     val l = assigned.select(col("cid"), col(idCol).as("a"),
       col(embCol).as("a_emb"))
+      .withColumn("a_n", VectorOps.norm(col("a_emb")))
     val r = assigned.select(col("cid"), col(idCol).as("b"),
       col(embCol).as("b_emb"))
+      .withColumn("b_n", VectorOps.norm(col("b_emb")))
     val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
     val nn = l.join(r, Seq("cid"))
       .filter(col("a") =!= col("b"))
-      .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos",
+        VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("a"), col("b"), col("cos"))
