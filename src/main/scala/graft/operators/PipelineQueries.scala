@@ -2647,6 +2647,48 @@ object PipelineQueries {
       .orderBy("user_id", "w")
   }
 
+  /** a68 — deletion-vector deletes with merge-on-read
+    * ([[graft.pipeline.DeletionVectors]]): two O(deleted) delete
+    * batches over a published base (1/97th then 1/101st of orders by
+    * key), each merge-on-read aggregate certified against the filtered
+    * truth, then a compaction whose plain-scan read must equal the last
+    * MOR read. The in-row `require`s pin the PHYSICAL contract the
+    * oracle can't see: base files byte-stable across both delete
+    * batches, two sidecars before compaction, zero after.
+    */
+  def a68DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.DeletionVectors
+    val work = graft.util.Scratch.dir("graft_dv").toString
+    val orders = Tables.load(s, dir, "orders")
+    DeletionVectors.publishBase(orders, work)
+    val fp0 = DeletionVectors.baseFingerprint(s, work)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("read_as", lit(tag))
+    DeletionVectors.addDeletes(s, work,
+      orders.filter(col("o_orderkey") % 97 === 0), "o_orderkey")
+    val mor1 = agg(DeletionVectors.readMor(s, work, "o_orderkey"), "mor_v1")
+    DeletionVectors.addDeletes(s, work,
+      orders.filter(col("o_orderkey") % 101 === 0), "o_orderkey")
+    val mor2 = agg(DeletionVectors.readMor(s, work, "o_orderkey"), "mor_v2")
+    // materialize the MOR reads BEFORE compaction rewrites the base
+    val pre = mor1.unionByName(mor2).localCheckpoint(true)
+    require(DeletionVectors.baseFingerprint(s, work) == fp0,
+      "deletion vectors must not rewrite base files")
+    val fsys = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fsys.listStatus(new org.apache.hadoop.fs.Path(s"$work/_deletes"))
+      .count(_.getPath.getName.startsWith("dv-")) == 2,
+      "two delete batches must leave two sidecars")
+    DeletionVectors.compact(s, work, "o_orderkey")
+    require(!fsys.exists(new org.apache.hadoop.fs.Path(s"$work/_deletes")),
+      "compaction must retire the sidecars")
+    val compacted = agg(DeletionVectors.readMor(s, work, "o_orderkey"),
+      "compacted")
+    pre.unionByName(compacted).orderBy("read_as", "o_orderstatus")
+  }
+
   def streamSessionPublish(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val work = graft.util.Scratch.dir("graft_stream_sess").toString

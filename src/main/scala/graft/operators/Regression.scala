@@ -118,6 +118,79 @@ object Regression {
       round(col("l_extendedprice")).cast("long"))
       .orderBy("l_returnflag")
 
+  /** The shared conformity score: |y − ŷ| under the ROUNDED OLS betas
+    * ([[fitSql]] emits 6-dp betas, so both engines predict from the
+    * same doubles) — one IEEE expression tree, reused verbatim by the
+    * oracle.
+    */
+  private[graft] val conformalScoreSql: String =
+    "abs(CAST(y AS DOUBLE) - (beta0 + beta1 * CAST(x1 AS DOUBLE)" +
+      " + beta2 * CAST(x2 AS DOUBLE)))"
+
+  /** ml_conformal — split-conformal prediction intervals (Vovk's
+    * inductive conformal regression; Lei et al. 2018): the
+    * distribution-free coverage guarantee for ANY point predictor.
+    * The portable-hash fold (the [[Prep]] split convention: md5 of the
+    * row key, engine-reproducible, no RNG state) carves
+    * train (60%) / calibration (20%) / test (20%); the [[mlLinReg]]
+    * closed-form OLS fits per group on train only; the conformal
+    * radius q̂ is the ⌈(1−α)(n+1)⌉-th smallest calibration score at
+    * α = 0.1 — computed with the INTEGER rank (9(n+1)+9) div 10, so no
+    * engine's 0.9·(n+1) float spelling can straddle a ceil boundary —
+    * and the row reports the guaranteed-≥90% empirical coverage on the
+    * held-out test fold.
+    *
+    * Determinism: folds are md5-exact; betas are 6-dp-rounded doubles
+    * from exact integer sufficient statistics; scores are one shared
+    * expression over identical inputs; the quantile is a rank-selected
+    * ORDER STATISTIC (the k-th smallest VALUE is multiset-determined —
+    * ties cannot move it); coverage counts compare identical doubles.
+    *
+    * Scale: fit is one map-side-combined aggregate; calibration
+    * ranking is a per-group sort (3 groups — the q59 ordered-statistic
+    * class, spill-backed; the sketch path for a wide-group corpus is
+    * approx_percentile on the scores, the q22b convention); the test
+    * pass is a broadcast join + one aggregate.
+    */
+  def mlConformal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice")).cast("long").as("y"),
+      (Hashing.md5Long(concat_ws("-", col("l_orderkey"),
+        col("l_linenumber"))) % 10).as("fold"))
+    val fit = fitFromStats(
+      suffStats(base.filter(col("fold") < 6), "l_returnflag",
+        col("x1"), col("x2"), col("y")), "l_returnflag")
+      .select(col("l_returnflag"), col("beta0"), col("beta1"), col("beta2"))
+    val cal = base.filter(col("fold") >= 6 && col("fold") < 8)
+      .join(broadcast(fit), Seq("l_returnflag"))
+      .withColumn("score", expr(conformalScoreSql))
+    val wq = Window.partitionBy("l_returnflag")
+      .orderBy(col("score"), col("x1"), col("x2"), col("y"))
+    val wc = Window.partitionBy("l_returnflag")
+    val qhat = cal
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("n_cal", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) DIV 10"))
+      .select(col("l_returnflag"), col("n_cal"), col("score").as("qh"))
+    base.filter(col("fold") >= 8)
+      .join(broadcast(fit), Seq("l_returnflag"))
+      .withColumn("score", expr(conformalScoreSql))
+      .join(broadcast(qhat), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max("n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        round(max("qh"), 4).as("q_hat"),
+        sum(when(col("score") <= col("qh"), 1L).otherwise(0L)).as("covered"))
+      .select(col("l_returnflag"), col("n_cal"), col("n_test"), col("q_hat"),
+        col("covered"),
+        round(col("covered") / col("n_test"), 4).as("coverage"))
+      .orderBy("l_returnflag")
+  }
+
   /** The two-sided SSE of a split, evaluated in DOUBLE over EXACT
     * integer sufficient statistics — shared verbatim with the oracle so
     * both engines run the identical IEEE expression tree.

@@ -14,6 +14,7 @@ object MlRegistry {
     "graph_kcore"           -> (Graph.graphKCore _),
     "ml_kmeans"             -> (LlmQueries.mlKmeans _),
     "ml_linreg"             -> (Regression.mlLinReg _),
+    "ml_conformal"          -> (Regression.mlConformal _),
     "ml_logreg"             -> (LogReg.mlLogReg _),
     "ml_calibration"        -> (LogReg.mlCalibration _),
     "ml_pca_power"          -> (Pca.mlPcaPower _),
@@ -333,6 +334,58 @@ object MlRegistry {
          |SELECT l_returnflag,
          |  $fit
          |FROM st ORDER BY l_returnflag""".stripMargin
+    },
+    // split-conformal: md5 folds, train-only OLS (rounded betas), the
+    // k-th-smallest calibration score at the INTEGER rank
+    // (9(n+1)+9)//10, coverage on test — every stage engine-portable
+    "ml_conformal" -> {
+      val fit = Regression.fitSql.take(3)
+        .map { case (name, sql) => s"$sql AS $name" }.mkString(",\n  ")
+      val score = Regression.conformalScoreSql
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(ROUND(l_extendedprice) AS BIGINT) AS y,
+         |    ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))
+         |      ::BIGINT % 10 AS fold
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+         |    CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         |    CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         |    CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         |    CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         |    CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+         |    CAST(SUM(y * y) AS DOUBLE) AS syy
+         |  FROM v WHERE fold < 6 GROUP BY l_returnflag),
+         |ft AS (SELECT l_returnflag, $fit FROM st),
+         |calsc AS (
+         |  SELECT v.l_returnflag, x1, x2, y, $score AS score
+         |  FROM v JOIN ft USING (l_returnflag)
+         |  WHERE fold >= 6 AND fold < 8),
+         |q AS (SELECT l_returnflag, n_cal, score AS qh FROM (
+         |    SELECT l_returnflag, score,
+         |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+         |        ORDER BY score, x1, x2, y) AS rn,
+         |      CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+         |        AS n_cal
+         |    FROM calsc)
+         |  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+         |tst AS (
+         |  SELECT v.l_returnflag, $score AS score
+         |  FROM v JOIN ft USING (l_returnflag) WHERE fold >= 8)
+         |SELECT t.l_returnflag, MAX(q.n_cal) AS n_cal,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  ROUND(MAX(q.qh), 4) AS q_hat,
+         |  CAST(SUM(CASE WHEN t.score <= q.qh THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS covered,
+         |  ROUND(SUM(CASE WHEN t.score <= q.qh THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 4) AS coverage
+         |FROM tst t JOIN q USING (l_returnflag)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // same stats CTE; lambda added to the slope diagonal before the
     // identical Cramer solve (Regression.RidgeLambda, intercept free)

@@ -56,6 +56,7 @@ object PipelineRegistry {
     "a62_time_travel"       -> (PipelineQueries.a62TimeTravel _),
     "stream_tumbling_publish" -> (PipelineQueries.streamTumblingPublish _),
     "stream_session_publish"  -> (PipelineQueries.streamSessionPublish _),
+    "a68_deletion_vectors"    -> (PipelineQueries.a68DeletionVectors _),
     "a66_concurrent_publish" -> (PipelineQueries.a66ConcurrentPublish _),
     "a67_time_travel_evolution" -> (PipelineQueries.a67TimeTravelEvolution _),
     "a63_dialect_parity"    -> (PipelineQueries.a63DialectParity _),
@@ -597,6 +598,25 @@ object PipelineRegistry {
         |  COUNT(*) AS c, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY user_id, date_trunc('hour', ts)
         |ORDER BY user_id, w""".stripMargin,
+    // a68: two O(deleted) sidecar batches then a compaction — the three
+    // tagged reads are the filtered truths (mor_v2 ≡ compacted: the
+    // rewrite changes bytes, never answers); the physical no-base-
+    // rewrite / sidecar-count contract is require()d in-row
+    "a68_deletion_vectors" ->
+      """WITH m1 AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+        |m2 AS (SELECT * FROM m1 WHERE o_orderkey % 101 <> 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev, 'compacted' AS read_as
+        |FROM m2 GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev, 'mor_v1' AS read_as
+        |FROM m1 GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS rev, 'mor_v2' AS read_as
+        |FROM m2 GROUP BY 1
+        |ORDER BY read_as, o_orderstatus""".stripMargin,
     // stream_session: gap sessions at session_window's MICROSECOND
     // semantics (break at diff >= gap — not q27's floored-second
     // spelling), closed-session filter = the watermark contract

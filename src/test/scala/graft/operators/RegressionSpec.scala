@@ -163,6 +163,46 @@ class RegressionSpec extends SparkTestBase {
     assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == total)
   }
 
+  test("mlConformal: empirical coverage sits at the 90% guarantee and " +
+      "q_hat is the k-th order statistic of the calibration scores") {
+    val out = Regression.mlConformal(spark, sfDir)
+      .orderBy("l_returnflag").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val cov = r.getDouble(5)
+      assert(cov >= 0.82 && cov <= 0.97,
+        s"coverage $cov escaped the finite-sample band")
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    // driver-side re-derivation of q_hat: same folds/fit/scores, but the
+    // rank comes from an in-memory sort, not the window machinery
+    val base = graft.Tables.load(spark, sfDir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice")).cast("long").as("y"),
+      (Hashing.md5Long(concat_ws("-", col("l_orderkey"),
+        col("l_linenumber"))) % 10).as("fold"))
+    val fit = Regression.fitFromStats(
+      Regression.suffStats(base.filter(col("fold") < 6), "l_returnflag",
+        col("x1"), col("x2"), col("y")), "l_returnflag")
+    val calScores = base.filter(col("fold") >= 6 && col("fold") < 8)
+      .join(broadcast(fit), Seq("l_returnflag"))
+      .withColumn("score", expr(Regression.conformalScoreSql))
+      .select("l_returnflag", "score").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val scores = calScores(flag)
+      assert(r.getLong(1) == scores.length, s"$flag n_cal")
+      val k = (9 * (scores.length + 1) + 9) / 10
+      val want = BigDecimal(scores(k - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"$flag q_hat ${r.getDouble(3)} != $want")
+    }
+  }
+
   test("target encoding: every category's code lies BETWEEN its raw mean " +
       "and the global prior, and shrinkage scales with 1/n") {
     val got = Regression.mlTargetEncode(spark, sfDir).collect()

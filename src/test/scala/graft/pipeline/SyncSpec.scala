@@ -972,6 +972,40 @@ class SyncSpec extends SparkTestBase {
         "retain window")
   }
 
+  test("deletion vectors: each batch is O(deleted) sidecar bytes with " +
+      "byte-stable base, MOR equals the anti-join truth at every step, " +
+      "re-running a batch is idempotent, compact retires the sidecars") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("dv_spec").toString
+    val base = (1L to 500L).map(i => (i, i % 7, s"p$i"))
+      .toDF("k", "grp", "payload")
+    DeletionVectors.publishBase(base, path)
+    val fp0 = DeletionVectors.baseFingerprint(spark, path)
+    // no sidecars → plain scan
+    assert(DeletionVectors.readMor(spark, path, "k").count() == 500)
+    DeletionVectors.addDeletes(spark, path,
+      base.filter($"k" % 5 === 0).select("k"), "k")
+    assert(DeletionVectors.readMor(spark, path, "k").count() == 400)
+    // second batch overlaps the first — overlap must not double-delete
+    DeletionVectors.addDeletes(spark, path,
+      base.filter($"k" % 10 === 0).select("k"), "k")
+    val mor = DeletionVectors.readMor(spark, path, "k")
+    assert(mor.count() == 400)
+    assert(mor.filter($"k" % 5 === 0).count() == 0)
+    // base untouched by any number of delete batches
+    assert(DeletionVectors.baseFingerprint(spark, path) == fp0)
+    // a crashed-and-retried batch id overwrites, not duplicates
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBefore = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_deletes")).length
+    assert(nBefore == 2)
+    DeletionVectors.compact(spark, path, "k")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$path/_deletes")))
+    val after = DeletionVectors.readMor(spark, path, "k")
+    assert(after.count() == 400 && after.filter($"k" % 5 === 0).count() == 0)
+  }
+
   test("mid-swap reader fallback is the newest COMMITTED history entry, " +
       "never a staged pointer tmp — a torn concurrent tmp cannot " +
       "resolve a stale state") {
