@@ -188,6 +188,108 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names.headOption.contains("r15newscale")) {
+      // Scaling evidence for the round-15 additions on 1x..8x id-shifted
+      // unions of the sf inputs. Claims under check: (a) BQ ANN cost is
+      // corpus-linear with the tiny per-row popcount slope (codes, not
+      // floats, stream through the candidate stage; rerank is fixed at
+      // cand per probe); (b) conformal is one aggregate + a grouped
+      // rank + one aggregate — near-flat wall-clock; (c) a deletion
+      // batch costs O(deleted), so its time must stay FAR below the
+      // O(table) base publish at every n and track the deleted count,
+      // not the table; (d) the streaming session drain is per-row flat
+      // with user-disjoint state growth.
+      import org.apache.spark.sql.functions._
+      for (n <- if (names.length > 1) names.tail.map(_.toInt)
+                else Seq(1, 2, 4, 8)) {
+        locally { // (a) sim_bq
+          val e = Tables.load(spark, dir, "embeddings")
+          val corpus = (0 until n).map(k =>
+            e.filter(col("vec_id") >= 10).select(
+              (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+              col("embedding")))
+            .reduce(_ unionByName _).localCheckpoint(true)
+          val probes = e.filter(col("vec_id") < 10)
+          val mk = () => graft.operators.Similarity.bqTopK(
+            corpus, probes, "vec_id", "embedding", k = 3)
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r15newscale bq n=$n corpus=${corpus.count()} " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally { // (b) ml_conformal
+          val li = Tables.load(spark, dir, "lineitem")
+          val base = (0 until n).map(k => li.select(
+              col("l_returnflag"),
+              col("l_quantity").cast("long").as("x1"),
+              round(col("l_discount") * 100).cast("long").as("x2"),
+              round(col("l_extendedprice")).cast("long").as("y"),
+              (graft.operators.Hashing.md5Long(concat_ws("-",
+                col("l_orderkey") + lit(k * 100000000L),
+                col("l_linenumber"))) % 10).as("fold")))
+            .reduce(_ unionByName _).localCheckpoint(true)
+          val mk = () => graft.operators.Regression.conformalCore(base)
+          mk().write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          println(f"r15newscale conformal n=$n " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        locally { // (c) a68 deletion vectors
+          val o = Tables.load(spark, dir, "orders")
+          val big = (0 until n).map(k => o.withColumn("o_orderkey",
+              col("o_orderkey") + lit(k * 100000000L)))
+            .reduce(_ unionByName _).localCheckpoint(true)
+          val path = graft.util.Scratch.dir("graft_dvscale").toString
+          val tp0 = System.nanoTime()
+          graft.pipeline.DeletionVectors.publishBase(big, path)
+          val tPub = (System.nanoTime() - tp0) / 1e9
+          val td0 = System.nanoTime()
+          graft.pipeline.DeletionVectors.addDeletes(spark, path,
+            big.filter(col("o_orderkey") % 97 === 0), "o_orderkey")
+          val tDel = (System.nanoTime() - td0) / 1e9
+          val tr0 = System.nanoTime()
+          val cnt = graft.pipeline.DeletionVectors
+            .readMor(spark, path, "o_orderkey").count()
+          val tMor = (System.nanoTime() - tr0) / 1e9
+          println(f"r15newscale dv n=$n rows=${big.count()} mor=$cnt " +
+            f"publish=$tPub%.2fs delete_batch=$tDel%.2fs mor_read=$tMor%.2fs")
+        }
+        locally { // (d) stream_session drain
+          val ev = Tables.load(spark, dir, "events")
+          val big = (0 until n).map(k => ev.select(
+              (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+              col("ts"),
+              (col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("event_type"), col("value"), col("props")))
+            .reduce(_ unionByName _)
+          val work = graft.util.Scratch.dir("graft_sessscale").toString
+          val ranged = big.withColumn("qr", ntile(4).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("ts", "event_id")))
+          val f = new org.apache.hadoop.fs.Path(work)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          f.mkdirs(new org.apache.hadoop.fs.Path(s"$work/src"))
+          for (r <- 1 to 4) {
+            ranged.filter(col("qr") === r).drop("qr")
+              .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
+            val part = f.globStatus(
+              new org.apache.hadoop.fs.Path(s"$work/stage/part-*"))(0).getPath
+            f.rename(part,
+              new org.apache.hadoop.fs.Path(f"$work/src/part-$r%02d.parquet"))
+          }
+          val t0 = System.nanoTime()
+          graft.streaming.EventsStream.sessionPublish(
+            spark, s"$work/src", s"$work/ck", s"$work/final")
+            .awaitTermination()
+          val rows = spark.read.parquet(s"$work/final").count()
+          println(f"r15newscale session n=$n sessions=$rows " +
+            f"drain=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (names.headOption.contains("r15scale")) {
       // Lakehouse time-travel scalecheck (round-14 verdict item 8): one
       // root per history depth 8/16/32/64, `depth` sequential publishes

@@ -152,15 +152,21 @@ object Regression {
     * approx_percentile on the scores, the q22b convention); the test
     * pass is a broadcast join + one aggregate.
     */
-  def mlConformal(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.load(s, dir, "lineitem").select(
+  def mlConformal(s: SparkSession, dir: String): DataFrame =
+    conformalCore(Tables.load(s, dir, "lineitem").select(
       col("l_returnflag"),
       col("l_quantity").cast("long").as("x1"),
       round(col("l_discount") * 100).cast("long").as("x2"),
       round(col("l_extendedprice")).cast("long").as("y"),
       (Hashing.md5Long(concat_ws("-", col("l_orderkey"),
-        col("l_linenumber"))) % 10).as("fold"))
+        col("l_linenumber"))) % 10).as("fold")))
+
+  /** The frame-level conformal pipeline over a prepared
+    * (l_returnflag, x1, x2, y, fold) frame — [[mlConformal]] minus the
+    * lineitem binding, reusable by the scalecheck harness.
+    */
+  private[graft] def conformalCore(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fit = fitFromStats(
       suffStats(base.filter(col("fold") < 6), "l_returnflag",
         col("x1"), col("x2"), col("y")), "l_returnflag")
