@@ -165,8 +165,13 @@ object Regression {
     * (l_returnflag, x1, x2, y, fold) frame — [[mlConformal]] minus the
     * lineitem binding, reusable by the scalecheck harness.
     */
-  private[graft] def conformalCore(base: DataFrame): DataFrame = {
+  private[graft] def conformalCore(base0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one materialization serves the three consumers (fit aggregate,
+    // calibration rank, test aggregate) — without the barrier each
+    // re-scans the source and re-hashes every row's fold (measured
+    // 4.6 s → ~2.5 s at sf0.1)
+    val base = base0.localCheckpoint(true)
     val fit = fitFromStats(
       suffStats(base.filter(col("fold") < 6), "l_returnflag",
         col("x1"), col("x2"), col("y")), "l_returnflag")
