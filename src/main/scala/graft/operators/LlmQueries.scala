@@ -392,6 +392,45 @@ object LlmQueries {
       .orderBy("probe_id", "rn")
   }
 
+  /** sim_filtered_ivf ([[Similarity.filteredIvfTopK]]): the bucketed
+    * scale sibling of [[simFilteredKnn]] — metadata-filtered ANN where
+    * the probe scans its IVF cell ∩ its label instead of the corpus.
+    */
+  def simFilteredIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    Similarity.filteredIvfTopK(corpus, probes, cents,
+        "vec_id", "emb", "label", k = 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Measured recall@1 of the filtered-IVF tier against the exact
+    * filtered top-1 ([[Similarity.filteredCosineTopK]]) — certifies
+    * [[simFilteredIvf]]; a probe whose cell is label-empty counts as a
+    * miss, so both loss sources are in the number.
+    */
+  def simFilteredIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    val exact = Similarity.filteredCosineTopK(corpus, probes,
+        "vec_id", "emb", "label", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_nn"))
+    val ann = Similarity.filteredIvfTopK(corpus, probes, cents,
+        "vec_id", "emb", "label", k = 1)
+      .select(col("probe_id"), col("neighbor_id").as("ann_nn"))
+    exact.join(ann, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("ann_nn") === col("true_nn"), 1L).otherwise(0L)).as("hits"))
+      .select(lit("filtered_ivf").as("method"), col("n_probes"), col("hits"),
+        round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
+  }
+
   /** sim_reciprocal_nn ([[Similarity.reciprocalNN]]): mutual-top-1
     * pairs over the embedding corpus — the near-dup clustering seed.
     */

@@ -482,6 +482,40 @@ object Similarity {
         col("cid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Filtered ANN at scale — the bucketed sibling of
+    * [[filteredCosineTopK]] (the §2.E exact→scale convention): IVF cell
+    * probing with the metadata predicate applied inside the candidate
+    * join, so a probe scans `its cell ∩ its label` and the corpus only
+    * streams. Recall loss has TWO sources — the cell boundary (the
+    * sim_ivf trade) and label-sparse cells (a probe whose cell holds no
+    * same-label candidate returns nothing) — both folded into the
+    * measured recall row that certifies this tier.
+    */
+  def filteredIvfTopK(corpus: DataFrame, probes: DataFrame,
+                      centroids: DataFrame, idCol: String, embCol: String,
+                      filterCol: String, k: Int,
+                      maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
+    val centArr = centroidLiteral(centroids)
+    def assign(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(embCol), col(filterCol),
+        coalesce(assignBest(col(embCol), centArr).getField("cid"), lit(-1))
+          .as("cid"))
+    val c = assign(corpus).select(col(idCol).as("cand_id"),
+      col(embCol).as("c_emb"), col(filterCol).as("c_filter"), col("cid"))
+    val p = assign(guardBroadcastProbes(probes, maxProbes)).select(
+      col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      col(filterCol).as("label"), col("cid"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("cid"))
+      .filter(col("c_filter") === col("label"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"),
+        col("label"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF ANN with multi-list probing (nprobe > 1): each probe searches the
     * inverted lists of its `nprobe` nearest centroids — the standard
     * recall-vs-cost dial (recall lost to a probe landing just outside its

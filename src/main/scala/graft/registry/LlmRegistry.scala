@@ -103,6 +103,8 @@ object LlmRegistry {
     "sim_sq_recall"         -> (LlmQueries.simSqRecall _),
     "sim_bq_ann"            -> (LlmQueries.simBqAnn _),
     "sim_bq_recall"         -> (LlmQueries.simBqRecall _),
+    "sim_filtered_ivf"      -> (LlmQueries.simFilteredIvf _),
+    "sim_filtered_ivf_recall" -> (LlmQueries.simFilteredIvfRecall _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
@@ -1576,6 +1578,90 @@ object LlmRegistry {
         |      AS BIGINT) AS hits
         |  FROM tr LEFT JOIN ann USING (probe_id))
         |SELECT 'sq8' AS method, n_probes, hits,
+        |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
+        |FROM m""".stripMargin,
+    // filtered IVF: the sim_ivf_ann oracle with the label predicate in
+    // the candidate join (cell AND label must match); the recall row
+    // replays the exact filtered truth beside it
+    "sim_filtered_ivf" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, label, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.label, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, label, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.label, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1),
+        |j AS (SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+        |        p.label AS label, p.cid,
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+        |      FROM pasg p JOIN casg a USING (cid) WHERE a.label = p.label),
+        |r AS (SELECT probe_id, cand_id, label, cid, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn FROM j)
+        |SELECT probe_id, cand_id AS neighbor_id, label, cid,
+        |  CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos
+        |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    "sim_filtered_ivf_recall" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |tr AS (SELECT probe_id, cand_id AS true_nn FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_dot_product(p.emb, c.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |        c.vec_id) AS rn
+        |    FROM p0 p, c0 c
+        |    WHERE c.label = p.label AND c.vec_id <> p.vec_id) WHERE rn = 1),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, label, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.label, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, label, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.label, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1),
+        |ann AS (SELECT probe_id, cand_id AS ann_nn FROM (
+        |    SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.emb, a.emb)
+        |          / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) DESC,
+        |        a.vec_id) AS rn
+        |    FROM pasg p JOIN casg a USING (cid)
+        |    WHERE a.label = p.label) WHERE rn = 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |    CAST(SUM(CASE WHEN ann.ann_nn = tr.true_nn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM tr LEFT JOIN ann USING (probe_id))
+        |SELECT 'filtered_ivf' AS method, n_probes, hits,
         |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
         |FROM m""".stripMargin,
     // BQ: sign bits vs the per-dimension corpus MIDRANGE ((min+max)/2 —

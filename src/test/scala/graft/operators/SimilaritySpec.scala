@@ -481,6 +481,37 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("filteredIvfTopK: every neighbor shares the probe's label, and a " +
+      "single-cell codebook reduces it to the exact filtered ranking") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    val got = Similarity.filteredIvfTopK(corpus, probes, cents,
+      "vec_id", "emb", "label", k = 3).collect()
+    assert(got.nonEmpty)
+    val probeLabel = probes.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(r.getInt(2) == probeLabel(r.getLong(0)),
+        s"probe ${r.getLong(0)} neighbor label ${r.getInt(2)}")
+    }
+    // one cell → the cell prunes nothing → exact filtered ranking
+    val oneCell = cents.filter(col("cid") === 0)
+    val reduced = Similarity.filteredIvfTopK(corpus, probes, oneCell,
+        "vec_id", "emb", "label", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    val exact = Similarity.filteredCosineTopK(corpus, probes,
+        "vec_id", "emb", "label", k = 3)
+      .select("probe_id", "neighbor_id", "rn")
+      .orderBy("probe_id", "rn").collect().map(_.toSeq)
+    assert(reduced.toSeq == exact.toSeq,
+      "an unpruning single-cell codebook must reduce to exact filtered")
+  }
+
   test("bqTopK: midrange sign codes + hamming shortlist + exact rerank " +
       "equals the driver-side brute force; an unpruned shortlist reduces " +
       "to exact MIPS; guard present") {
