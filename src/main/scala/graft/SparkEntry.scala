@@ -45,6 +45,6 @@ object SparkEntry {
   val measurementRows: Set[String] = Set(
     "sim_recall", "sim_pq_recall", "sim_ivfpq_recall", "sim_sq_recall",
     "sim_bq_recall", "sim_twostage_recall", "sim_hnsw_recall",
-    "sim_filtered_ivf_recall", "mm_phash_recall", "dedup_edit_recall",
-    "sim_reciprocal_nn_ivf", "a63_dialect_parity")
+    "sim_filtered_ivf_recall", "sim_range_ivf_recall", "mm_phash_recall",
+    "dedup_edit_recall", "sim_reciprocal_nn_ivf", "a63_dialect_parity")
 }

@@ -431,6 +431,45 @@ object LlmQueries {
         round(col("hits") / col("n_probes"), 4).as("recall_at_1"))
   }
 
+  /** sim_range_ivf ([[Similarity.rangeSearchIvf]]): the bucketed scale
+    * sibling of [[simRangeSearch]] — the radius filter runs inside the
+    * probe's IVF cell.
+    */
+  def simRangeIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    Similarity.rangeSearchIvf(corpus.drop("label"), probes, cents,
+        "vec_id", "emb", minCos = 0.25)
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  /** Measured PAIR-LEVEL recall of the cell-bucketed radius search vs
+    * the exact [[Similarity.rangeSearch]] truth (a radius query answers
+    * a SET, so the number is found-pairs over true-pairs) — certifies
+    * [[simRangeIvf]].
+    */
+  def simRangeIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    val exact = Similarity.rangeSearch(corpus.drop("label"), probes,
+        "vec_id", "emb", minCos = 0.25)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ann = Similarity.rangeSearchIvf(corpus.drop("label"), probes, cents,
+        "vec_id", "emb", minCos = 0.25)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("found"))
+    exact.join(ann, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("hits"))
+      .select(lit("range_ivf").as("method"), col("n_pairs"), col("hits"),
+        round(col("hits") / col("n_pairs"), 4).as("pair_recall"))
+  }
+
   /** sim_reciprocal_nn ([[Similarity.reciprocalNN]]): mutual-top-1
     * pairs over the embedding corpus — the near-dup clustering seed.
     */

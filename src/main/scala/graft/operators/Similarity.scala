@@ -516,6 +516,32 @@ object Similarity {
         col("label"), col("cid"), col("rn"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Radius search at scale — the bucketed sibling of [[rangeSearch]]
+    * (the last exact tier of the family to get one): the threshold
+    * filter runs inside the probe's IVF cell, so the corpus streams
+    * once through the cell join instead of all-pairs. Pairs whose
+    * cosine clears the radius but whose endpoints landed in different
+    * cells are the measured loss — pair-level recall, not top-1, since
+    * a radius query's answer is a SET.
+    */
+  def rangeSearchIvf(corpus: DataFrame, probes: DataFrame,
+                     centroids: DataFrame, idCol: String, embCol: String,
+                     minCos: Double,
+                     maxProbes: Int = DefaultMaxBroadcastProbes): DataFrame = {
+    val centArr = centroidLiteral(centroids)
+    val c = ivfAssignLit(corpus, centArr, idCol, embCol)
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("cid"))
+    val p = ivfAssignLit(guardBroadcastProbes(probes, maxProbes),
+        centArr, idCol, embCol)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("cid"))
+    c.join(broadcast(p), Seq("cid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", VectorOps.cosine(col("p_emb"), col("c_emb")))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"), col("cid"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF ANN with multi-list probing (nprobe > 1): each probe searches the
     * inverted lists of its `nprobe` nearest centroids — the standard
     * recall-vs-cost dial (recall lost to a probe landing just outside its

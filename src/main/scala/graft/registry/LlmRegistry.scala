@@ -105,6 +105,8 @@ object LlmRegistry {
     "sim_bq_recall"         -> (LlmQueries.simBqRecall _),
     "sim_filtered_ivf"      -> (LlmQueries.simFilteredIvf _),
     "sim_filtered_ivf_recall" -> (LlmQueries.simFilteredIvfRecall _),
+    "sim_range_ivf"         -> (LlmQueries.simRangeIvf _),
+    "sim_range_ivf_recall"  -> (LlmQueries.simRangeIvfRecall _),
     "sim_maxsim"            -> (LlmQueries.simMaxsim _),
     "sim_hybrid_rrf"        -> (LlmQueries.simHybridRrf _),
     "dedup_incremental_lsh" -> (LlmQueries.dedupIncrementalLsh _),
@@ -1579,6 +1581,82 @@ object LlmRegistry {
         |  FROM tr LEFT JOIN ann USING (probe_id))
         |SELECT 'sq8' AS method, n_probes, hits,
         |  ROUND(hits / CAST(n_probes AS DOUBLE), 4) AS recall_at_1
+        |FROM m""".stripMargin,
+    // range IVF: the sim_ivf_ann assignment replay with the radius
+    // filter in the cell join; the recall row is PAIR-level (a radius
+    // answer is a set) vs the unbucketed truth
+    "sim_range_ivf" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1)
+        |SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id, p.cid,
+        |  ROUND(list_dot_product(p.emb, a.emb)
+        |    / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))), 4) AS cos
+        |FROM pasg p JOIN casg a USING (cid)
+        |WHERE p.vec_id <> a.vec_id
+        |  AND list_dot_product(p.emb, a.emb)
+        |    / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) >= 0.25
+        |ORDER BY probe_id, neighbor_id""".stripMargin,
+    "sim_range_ivf_recall" ->
+      """WITH c0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |            FROM embeddings WHERE vec_id >= 10),
+        |p0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |       FROM embeddings WHERE vec_id < 10),
+        |tr AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        |  FROM p0 p, c0 c
+        |  WHERE c.vec_id <> p.vec_id
+        |    AND list_dot_product(p.emb, c.emb)
+        |      / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(c.emb, c.emb))) >= 0.25),
+        |cent AS (
+        |  SELECT label AS cid, list(av ORDER BY i) AS cemb FROM (
+        |    SELECT label, g.i AS i, AVG(emb[g.i]) AS av
+        |    FROM c0, (SELECT unnest(range(1, 65)) AS i) g
+        |    GROUP BY label, g.i) GROUP BY label),
+        |casg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT c0.vec_id, c0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c0.vec_id ORDER BY
+        |      list_dot_product(c0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(c0.emb, c0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |pasg AS (SELECT vec_id, emb, cid FROM (
+        |  SELECT p0.vec_id, p0.emb, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY
+        |      list_dot_product(p0.emb, cent.cemb)
+        |        / (sqrt(list_dot_product(p0.emb, p0.emb)) * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+        |      cent.cid) AS rn
+        |  FROM p0, cent) WHERE rn = 1),
+        |ann AS (SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id
+        |  FROM pasg p JOIN casg a USING (cid)
+        |  WHERE p.vec_id <> a.vec_id
+        |    AND list_dot_product(p.emb, a.emb)
+        |      / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(a.emb, a.emb))) >= 0.25),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN ann.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM tr LEFT JOIN ann USING (probe_id, neighbor_id))
+        |SELECT 'range_ivf' AS method, n_pairs, hits,
+        |  ROUND(hits / CAST(n_pairs AS DOUBLE), 4) AS pair_recall
         |FROM m""".stripMargin,
     // filtered IVF: the sim_ivf_ann oracle with the label predicate in
     // the candidate join (cell AND label must match); the recall row

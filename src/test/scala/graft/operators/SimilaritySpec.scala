@@ -512,6 +512,30 @@ class SimilaritySpec extends SparkTestBase {
       "an unpruning single-cell codebook must reduce to exact filtered")
   }
 
+  test("rangeSearchIvf: in-cell pairs are a SUBSET of the exact radius " +
+      "set, and a single-cell codebook recovers it exactly") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val probes = e.filter(col("vec_id") < 10).drop("label")
+    val cents = Similarity.trainCentroids(corpus, "label", "emb")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.rangeSearch(corpus.drop("label"), probes,
+      "vec_id", "emb", minCos = 0.25))
+    val bucketed = pairs(Similarity.rangeSearchIvf(corpus.drop("label"),
+      probes, cents, "vec_id", "emb", minCos = 0.25))
+    assert(bucketed.nonEmpty && bucketed.subsetOf(exact),
+      "cell bucketing may only REMOVE pairs, never invent them")
+    val oneCell = pairs(Similarity.rangeSearchIvf(corpus.drop("label"),
+      probes, cents.filter(col("cid") === 0), "vec_id", "emb",
+      minCos = 0.25))
+    assert(oneCell == exact,
+      "an unpruning single-cell codebook must equal the exact radius set")
+  }
+
   test("bqTopK: midrange sign codes + hamming shortlist + exact rerank " +
       "equals the driver-side brute force; an unpruned shortlist reduces " +
       "to exact MIPS; guard present") {
