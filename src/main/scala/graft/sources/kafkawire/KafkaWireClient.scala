@@ -26,6 +26,7 @@ final class KafkaWireClient(host: String, port: Int,
   private val sock = {
     val s0 = new Socket(host, port)
     s0.setTcpNoDelay(true)
+    s0.setSoTimeout(120000) // stalled read fails the query, never hangs the JVM
     // from-byte-0 TLS against the broker's SSL listener, pinned to the
     // fixture certificate (see KafkaWireServer: no in-band upgrade
     // exists in this protocol)

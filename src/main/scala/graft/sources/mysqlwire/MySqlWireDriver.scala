@@ -72,6 +72,10 @@ private[mysqlwire] final class MySession(host: String, port: Int,
     extends WireSession {
   private var sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
+  // a stalled read fails the one query instead of hanging the whole JVM
+  // (a handshake race once froze a full bench run); 120 s is far above
+  // any legitimate local pause and the server streams rows continuously
+  sock.setSoTimeout(120000)
   private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   @volatile var closed = false

@@ -173,8 +173,18 @@ final class MySqlWireServer(backendUrl: String,
   private def handle(sock0: Socket): Unit = {
     sock0.setTcpNoDelay(true)
     var sock: Socket = sock0
-    val wire = new Wire(
-      new DataInputStream(new BufferedInputStream(sock.getInputStream)),
+    // TLS listener: the prologue MUST read unbuffered. The protocol has no
+    // server ack between the client's SSL Connection Request and its TLS
+    // ClientHello, so both can be in flight together; a BufferedInputStream
+    // fill() here could slurp ClientHello bytes that are then lost when the
+    // raw socket is handed to JSSE — both sides block in startHandshake
+    // forever (observed as a bench hang). readPacket is exact-read
+    // (readUnsignedByte/readFully), so the unbuffered prologue over-reads
+    // nothing; handshake() rebinds buffered streams once TLS is up.
+    val in0 =
+      if (tls) new DataInputStream(sock.getInputStream)
+      else new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val wire = new Wire(in0,
       new DataOutputStream(new BufferedOutputStream(sock.getOutputStream)))
     try {
       sock = handshake(wire, sock)

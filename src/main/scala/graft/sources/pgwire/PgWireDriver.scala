@@ -84,6 +84,7 @@ private[pgwire] final class PgSession(host: String, port: Int,
     extends graft.sources.wire.WireJdbc.WireSession {
   private var sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
+  sock.setSoTimeout(120000) // stalled read fails the query, never hangs the JVM
   private var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
   private var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
   @volatile var closed = false

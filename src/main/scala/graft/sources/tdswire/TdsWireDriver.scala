@@ -118,6 +118,7 @@ private[tdswire] final class TdsSession(host: String, port: Int,
     extends WireSession {
   private val sock = new Socket(host, port)
   sock.setTcpNoDelay(true)
+  sock.setSoTimeout(120000) // stalled read fails the query, never hangs the JVM
   // re-pointed at the TLS streams after the framed handshake (MS-TDS
   // §3.3.5.1) when `ssl` is negotiated; mutation happens only inside
   // the construction block below, before any cursor exists
