@@ -2,7 +2,8 @@ package graft
 // Scratch profiling main (not part of the driver contract).
 object ProfMain {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session("prof", "8")
+    val spark = Engine.session("prof",
+      sys.env.getOrElse("SPARK_GRAFT_PROF_CPUS", "8"))
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("dedup_ngram_jaccard")
     if (names == Seq("plans")) {
@@ -1011,6 +1012,54 @@ object ProfMain {
             expr(s"levenshtein(ta, tb, $k)").as("dist"))
           .filter(col("dist") >= 0).orderBy("a", "b")
           .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+    if (names == Seq("sessprof")) {
+      // stage-level timing of the streaming session-publish registry row
+      import org.apache.spark.sql.functions._
+      import org.apache.hadoop.fs.Path
+      for (i <- 1 to 2) {
+        val work = graft.util.Scratch.dir("graft_sessprof").toString
+        def t[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"sessprof run$i $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+        val ev = Tables.load(spark, dir, "events")
+        val bounds = t("bounds") {
+          ev.select(expr(
+            "percentile(unix_micros(ts), array(0.25D, 0.5D, 0.75D))").as("b"))
+            .head().getSeq[Double](0)
+        }
+        val tsUs = expr("unix_micros(ts)")
+        val ranges = Seq(tsUs <= bounds(0),
+          tsUs > bounds(0) && tsUs <= bounds(1),
+          tsUs > bounds(1) && tsUs <= bounds(2), tsUs > bounds(2))
+        val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new Path(s"$work/src"))
+        t("stage-4-files") {
+          for (r <- 1 to 4) {
+            ev.filter(ranges(r - 1))
+              .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
+            val part = fs.globStatus(new Path(s"$work/stage/part-*"))(0).getPath
+            fs.rename(part, new Path(f"$work/src/part-$r%02d.parquet"))
+          }
+        }
+        t("drain") {
+          graft.streaming.EventsStream
+            .sessionPublish(spark, s"$work/src", s"$work/ck", s"$work/final")
+            .awaitTermination()
+        }
+        t("readback") {
+          spark.read.parquet(s"$work/final")
+            .select(col("user_id"), col("w_start"), col("w_end"),
+              col("n_events").cast("long").as("n_events"),
+              round(col("v"), 2).as("v"))
+            .orderBy("user_id", "w_start")
+            .write.format("noop").mode("overwrite").save()
+        }
       }
       spark.stop(); return
     }

@@ -1238,20 +1238,45 @@ object Analytics {
     * rides along in doubled units for the disc-vs-cont contrast.
     * One grouped sort-aggregate, bounded group count.
     */
-  def percentileDisc(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  def percentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE ranked pass serves all four ordered-set aggregates (the q59b
+    // technique, guide §2.3 "aggregate before you shuffle" applied to
+    // ordered-set aggregates): four `percentile_disc`/`percentile`
+    // aggregates each buffer EVERY group value in ObjectHashAggregate
+    // state (no map-side reduction — 4× buffered; measured 5.9 s at
+    // sf0.1). Ranked instead: one exchange on g, one sort,
+    //   percentile_disc(q) = the value at rank ⌈q·n⌉ = min cents with
+    //   rn ≥ ⌈q·n⌉
+    // read with a conditional min (0.25/0.5/0.75 are exact binary
+    // fractions so q·n is FP-exact). The continuous median rides along
+    // rank-wise: position (n+1)/2 interpolates as
+    //   p50_cont_x2 = v[(n+1) div 2] + v[n div 2 + 1]
+    // (odd n: both ranks hit the middle value, = 2·v; even n: the two
+    // straddling values — exactly CAST(percentile(cents,0.5)·2 AS BIGINT)
+    // since the sum of two cents values is integer-exact in a double).
+    // A per-(g, cents) count + cumulative-sum form was tried and is
+    // SLOWER (2.6 s vs 1.5 s): cents is near-unique per row here, so
+    // domain-counting compresses nothing and pays a second exchange.
+    // The oracle still runs the ordered-set aggregates verbatim, so the
+    // hash gate proves the rewrite, not this comment.
+    val w = Window.partitionBy("g").orderBy("cents")
+    val wg = Window.partitionBy("g")
+    val ranked = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
-          .cast("long").as("p25_disc"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-          .cast("long").as("p50_disc"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
-          .cast("long").as("p75_disc"),
-        expr("CAST(percentile(cents, 0.5D) * 2 AS BIGINT)").as("p50_cont_x2"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wg))
+    def disc(q: Double, as: String) =
+      min(when(col("rn") >= ceil(lit(q) * col("n")), col("cents"))).as(as)
+    ranked.groupBy("g")
+      .agg(max("n").as("n"),
+        disc(0.25, "p25_disc"), disc(0.5, "p50_disc"), disc(0.75, "p75_disc"),
+        (min(when(col("rn") >= expr("(n + 1) div 2"), col("cents"))) +
+          min(when(col("rn") >= expr("n div 2 + 1"), col("cents"))))
+          .as("p50_cont_x2"))
       .orderBy("g")
+  }
 
   /** q59b_approx_percentile_disc — the SKETCH sibling of
     * [[percentileDisc]] (the exact→sketch convention, SURVEY §2.E): the
@@ -1278,10 +1303,15 @@ object Analytics {
     // the per-group cents order, read with a conditional min — nine
     // `percentile_disc` aggregates would otherwise each buffer the
     // whole group's values (9× ObjectHashAggregate state, measured
-    // 10 s vs ~2 s for this form at sf0.1). 0.25/0.5/0.75 are exact
+    // 10 s vs ~1.7 s for this form at sf0.1). 0.25/0.5/0.75 are exact
     // binary fractions, so their rank products are FP-exact; the band
     // fractions only position a ±0.002·n-rank window and tolerate the
-    // last-ulp ceil.
+    // last-ulp ceil. The GK sketch shares the same aggregate (it needs
+    // every occurrence; partial aggregation ships sketches, not rows).
+    // A per-(g, cents) count + cumulative-sum variant with a separate
+    // sketch aggregate was tried and is SLOWER (2.3 s vs 1.7 s): cents
+    // is near-unique per row here, so domain-counting compresses
+    // nothing and pays a second exchange plus a join.
     val w = Window.partitionBy("g").orderBy("cents")
     val wg = Window.partitionBy("g")
     val ranked = t(s, dir, "lineitem")

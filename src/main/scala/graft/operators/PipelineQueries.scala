@@ -2696,15 +2696,33 @@ object PipelineQueries {
     // (ascending mtime AND ascending name): the file source then drains
     // them as four event-time-ordered micro-batches — sessions spanning
     // range boundaries exercise cross-batch state merge, and no event
-    // arrives behind the watermark (batch k+1's min ts >= batch k's max
-    // > its watermark by the full delay)
-    val ranged = Tables.load(s, dir, "events")
-      .withColumn("qr", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    // arrives behind the watermark (batch k+1's min ts > batch k's max,
+    // so it clears the watermark by more than the full delay).
+    //
+    // Range boundaries come from ONE exact-percentile aggregate over the
+    // event-time microseconds (a 3-value collect) instead of the former
+    // ntile(4) global window, which was a full single-partition sort of
+    // the corpus RE-RUN once per range filter (4 sorts; guide §2.4 —
+    // an orderBy used only to make staging deterministic). A ts-VALUE
+    // split preserves everything the drain certifies: files stay
+    // event-time ordered, equal-ts rows can never straddle a boundary,
+    // and the published result is split-independent (measured 8.5 s →
+    // see OPTIMIZATION_r15.md).
+    val ev = Tables.load(s, dir, "events")
+    val bounds = ev
+      .select(expr(
+        "percentile(unix_micros(ts), array(0.25D, 0.5D, 0.75D))").as("b"))
+      .head().getSeq[Double](0)
+    val tsUs = expr("unix_micros(ts)")
+    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
+      tsUs <= bounds(0),
+      tsUs > bounds(0) && tsUs <= bounds(1),
+      tsUs > bounds(1) && tsUs <= bounds(2),
+      tsUs > bounds(2))
     val fs = new Path(work).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$work/src"))
     for (r <- 1 to 4) {
-      ranged.filter(col("qr") === r).drop("qr")
+      ev.filter(ranges(r - 1))
         .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
       val part = fs.globStatus(new Path(s"$work/stage/part-*"))(0).getPath
       fs.rename(part, new Path(f"$work/src/part-$r%02d.parquet"))

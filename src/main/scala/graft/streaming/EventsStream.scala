@@ -507,8 +507,27 @@ object EventsStream {
     * disorder inside the delay behaves identically).
     */
   def sessionPublish(spark: SparkSession, srcDir: String,
-                     checkpointDir: String, outDir: String): StreamingQuery =
-    source(spark, srcDir)
+                     checkpointDir: String, outDir: String): StreamingQuery = {
+    // State-partition sizing (guide §2.2, fewer/larger partitions): a
+    // stateful query's shuffle-partition count is pinned into the
+    // checkpoint at batch 0 and every micro-batch pays per-partition
+    // state-store commit cost (delta + snapshot files) — so it must be
+    // sized to STATE VOLUME, deliberately, not inherited from the batch
+    // engine's core-count default. Here the state is one entry per open
+    // session (KB-scale), so the local default is 8. Controlled 3×
+    // matrix at sf0.1 (OPTIMIZATION_r15.md): the warm drain floors at
+    // ~4.2–5.3 s at BOTH 2 and 8 partitions — per-micro-batch
+    // planning/commit cost dominates locally — so this setting is about
+    // the SCALE shape (per-partition commit fan-out), not a local win.
+    // A deployment with large session state raises
+    // SPARK_GRAFT_STREAM_STATE_PARTS; resume-from-checkpoint always
+    // reuses the pinned value, whatever the env says (Spark contract).
+    // The override lives in an isolated child session so the batch
+    // engine's conf is untouched (no global mutation to restore).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    source(ss, srcDir)
       .withWatermark("ts", "1 second")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("v"))
@@ -521,6 +540,7 @@ object EventsStream {
       .format("parquet")
       .option("path", outDir)
       .start()
+  }
 
   /** Stream-vs-lake dedup — the crawl-ingest shape: rows whose content
     * fingerprint already exists in the static lake are dropped AS THE
