@@ -341,14 +341,25 @@ object Dedup {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val sets = withShingles(docs.repartition(n), idCol, textCol, shingleN)
       .localCheckpoint(true)
+    // The key join runs on the 64-BIT SHINGLE HASH, not the shingle
+    // string (the dedup_span md5Long-posting convention; guide §2.3
+    // narrower types): the `all` side is the corpus's full exploded
+    // shingle table and this is the operator's one big shuffle — an
+    // 8-byte key in place of a multi-word string cuts its shuffle bytes
+    // several-fold and the join comparisons to one long each. The
+    // bottom-k side already computed xxhash64(s) to RANK the keys, so
+    // candidate selection is unchanged; the distinct-key floor below
+    // counts hashes instead of strings (identical modulo a 64-bit
+    // collision — the same caveat every hash-keyed blocking tier here
+    // carries, and a collision can only add a candidate the exact
+    // verify stage re-checks or merge two shared keys of one pair).
     val keys = sets.select(col(idCol).as("a"),
         least(lit(k), size(col("shingles"))).as("nka"),
         explode(expr(
-          s"slice(array_sort(transform(shingles, s -> struct(xxhash64(s) AS h, s AS sg))), 1, $k)")).as("ks"))
-      .select(col("a"), col("nka"), col("ks.sg").as("sg"))
+          s"slice(array_sort(transform(shingles, s -> xxhash64(s))), 1, $k)")).as("h"))
     val all = sets.select(col(idCol).as("b"),
       least(lit(k), size(col("shingles"))).as("nkb"),
-      explode(col("shingles")).as("sg"))
+      explode(expr("transform(shingles, s -> xxhash64(s))")).as("h"))
     // count DISTINCT shared keys: a shingle in both docs' bottom-k shows
     // up once per join direction, and row counts would let one such
     // shingle fake the minKeys floor. The floor itself is capped at the
@@ -357,13 +368,13 @@ object Dedup {
     // minKeys distinct shingles can never share minKeys keys, and a flat
     // minKeys floor would silently drop its containment-1.0 pair with a
     // wrapping doc.
-    val cands = keys.join(all, Seq("sg"))
+    val cands = keys.join(all, Seq("h"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"), col("sg"),
+        greatest(col("a"), col("b")).as("b"), col("h"),
         least(col("nka"), col("nkb")).as("fk"))
       .groupBy("a", "b")
-      .agg(countDistinct(col("sg")).as("nk"), min(col("fk")).as("fk"))
+      .agg(countDistinct(col("h")).as("nk"), min(col("fk")).as("fk"))
       .filter(col("nk") >= least(lit(minKeys), col("fk")))
       .select("a", "b")
     cands

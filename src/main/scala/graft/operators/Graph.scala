@@ -1254,21 +1254,34 @@ object Graph {
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(1000000L))
+    // Truncate lineage once per half-round (guide §3.3 / §5
+    // localCheckpoint): auth is referenced by hRaw AND aMax AND the next
+    // round's joins — without the checkpoint every reference re-plans and
+    // re-computes the whole prior subtree, and the 2-round plan explodes
+    // to 314 Exchanges / 134 SortMergeJoins (plans/r15/
+    // graph_hits_before.txt) with most of the row's cost in
+    // planning + duplicated aggregates (measured 3.98 s warm, 15.7 s
+    // first-plan; 1.5 s after). The checkpoint is eager, so each
+    // half-round's scores materialize exactly once.
     for (_ <- 1 to rounds) {
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(expr("wn * h")).as("araw"))
+        .localCheckpoint(true)
       val aMax = aRaw.agg(max("araw").as("am"))
       auth = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("node"),
           expr("CAST(CAST(coalesce(araw, 0L) AS DECIMAL(38,0)) * 1000000 DIV am AS BIGINT)").as("a"))
+        .localCheckpoint(true)
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(expr("wn * a")).as("hraw"))
+        .localCheckpoint(true)
       val hMax = hRaw.agg(max("hraw").as("hm"))
       hub = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hMax))
         .select(col("node"),
           expr("CAST(CAST(coalesce(hraw, 0L) AS DECIMAL(38,0)) * 1000000 DIV hm AS BIGINT)").as("h"))
+        .localCheckpoint(true)
     }
     auth.join(hub, "node")
   }

@@ -242,11 +242,20 @@ object Regression {
     * [[mlStump]] and [[mlBoostedStumps]].
     */
   private[graft] def stumpSplits(df: DataFrame, fCol: String,
-                                 tCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perQ = df.groupBy(col(fCol).as("q")).agg(
+                                 tCol: String): DataFrame =
+    stumpSplitsFromStats(df.groupBy(col(fCol).as("q")).agg(
       count(lit(1)).as("n"), sum(tCol).as("s"),
-      sum(col(tCol) * col(tCol)).as("ss"))
+      sum(col(tCol) * col(tCol)).as("ss")))
+
+  /** [[stumpSplits]] over PRE-AGGREGATED per-value sufficient statistics
+    * (q, n, Σy, Σy²) — the building block that lets a caller share ONE
+    * fact-scan aggregate across several related searches (ml_cv's three
+    * leave-one-fold-out trains re-sum the same per-(q, fold) integer
+    * stats — integer sums compose exactly, so the result is
+    * bit-identical to aggregating each fold's raw rows).
+    */
+  private[graft] def stumpSplitsFromStats(perQ: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wPre = Window.orderBy("q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -639,34 +648,95 @@ object Regression {
     * are a driver loop of 3, each a fact-scan-bounded job.
     */
   def mlCv(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select(
+    // ONE fact-scan aggregate serves all six per-fold jobs (guide §2.3
+    // aggregate-before-shuffle, applied across the fold loop): the
+    // former shape checkpointed the RAW (q, v, fold) projection — a
+    // fact-sized frame — and re-scanned it six times (3 trains + 3
+    // holdouts, measured 2.97 s at sf0.1). Per-(q, fold) integer
+    // sufficient statistics (n, Σy, Σy²) are |q|×3 ≈ 150 rows and
+    // compose EXACTLY: summing them over fold ≠ f equals aggregating
+    // fold ≠ f's raw rows integer-for-integer, so every train argmin
+    // and holdout SSE below is bit-identical to the raw-frame form
+    // (the only doubles — means and SSE — divide/multiply the same
+    // integers in the same expression order).
+    val perQF = Tables.load(s, dir, "lineitem").select(
       col("l_quantity").cast("long").as("q"),
       floor(col("l_extendedprice") + 0.5).cast("long").as("v"),
       pmod(Hashing.md5Long(concat(col("l_orderkey").cast("string"),
         lit("#"), col("l_linenumber").cast("string"))), lit(3L))
         .as("fold"))
-      .localCheckpoint(true) // feeds all six per-fold aggregates
-    val outs = (0L to 2L).map { f =>
-      val best = stumpSplits(li.filter(col("fold") =!= f), "q", "v")
-        .orderBy(col("sse"), col("q")).limit(1).head()
-      val thr = best.getAs[Long]("q")
-      val (ml, mr) = (best.getAs[Double]("ml"), best.getAs[Double]("mr"))
-      val ho = li.filter(col("fold") === f)
-        .groupBy((col("q") <= thr).as("left"))
-        .agg(count(lit(1)).as("n"), sum("v").as("sy"),
-          sum(col("v") * col("v")).as("syy"))
-        .withColumn("m", when(col("left"), lit(ml)).otherwise(lit(mr)))
-        .agg(sum("n").as("n_test"),
-          sum(expr("CAST(syy AS DOUBLE) - 2.0D * m * CAST(sy AS DOUBLE)" +
-            " + CAST(n AS DOUBLE) * m * m")).as("sse"))
-        .head()
-      // floor-quantized 1e-4 units, NOT round: HALF_UP on a double can
-      // split from DuckDB's round at an exact decimal tie (the ml_stump
-      // …551.625 incident); floor of the identical double is identical.
-      (f, thr, best.getAs[Long]("nl") + best.getAs[Long]("nr"),
-        ho.getLong(0),
-        math.floor(math.sqrt(ho.getDouble(1) / ho.getLong(0)) * 10000)
-          .toLong)
+      .groupBy("q", "fold")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .localCheckpoint(true) // ~|q|×3 rows; feeds all six derivations
+    // ONE job trains all three folds (each a driver .head() before — a
+    // job latency apiece): the three leave-one-out stats frames union
+    // with an `xf` held-out tag and the stumpSplits windows partition by
+    // it; the per-fold argmin is a min_by over (sse, q). Same rows, same
+    // integers, same double expressions per partition — bit-identical
+    // winners.
+    import org.apache.spark.sql.expressions.Window
+    val folds = 0L to 2L
+    val trainAll = folds.map { f =>
+      perQF.filter(col("fold") =!= f)
+        .groupBy("q").agg(sum("n").as("n"), sum("s").as("s"),
+          sum("ss").as("ss"))
+        .withColumn("xf", lit(f))
+    }.reduce(_ unionByName _)
+    val wPre = Window.partitionBy("xf").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("xf")
+    val winners = trainAll.select(col("xf"), col("q"),
+        sum("n").over(wPre).as("nl"), sum("s").over(wPre).as("sl"),
+        sum("ss").over(wPre).as("ssl"),
+        sum("n").over(wAll).as("nt"), sum("s").over(wAll).as("st"),
+        sum("ss").over(wAll).as("sst"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("ssr", col("sst") - col("ssl"))
+      .filter(col("nr") > 0)
+      .withColumn("ml", expr("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"))
+      .withColumn("mr", expr("CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)"))
+      .withColumn("sse", expr(stumpSseSql))
+      .groupBy("xf")
+      .agg(min_by(struct(col("q"), col("nl"), col("nr"),
+        col("ml"), col("mr")), struct(col("sse"), col("q"))).as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val thrOf = folds.map(f => f -> winners(f).getAs[Long]("q")).toMap
+    val mOf = folds.map(f => f ->
+      (winners(f).getAs[Double]("ml"), winners(f).getAs[Double]("mr"))).toMap
+    // ONE job evaluates all three holdouts: per (fold, side) integer
+    // sums are exact whatever the grouping, the per-row double SSE
+    // expression is unchanged, and the final 2-row sum per fold is a
+    // commutative single addition — identical doubles to the per-fold
+    // form.
+    def caseOver(f: Long => Double): org.apache.spark.sql.Column =
+      when(col("fold") === 0L, lit(f(0L)))
+        .when(col("fold") === 1L, lit(f(1L))).otherwise(lit(f(2L)))
+    val thrCase = when(col("fold") === 0L, lit(thrOf(0L)))
+      .when(col("fold") === 1L, lit(thrOf(1L))).otherwise(lit(thrOf(2L)))
+    val ho = perQF
+      .withColumn("left", col("q") <= thrCase)
+      .groupBy("fold", "left")
+      .agg(sum("n").as("n"), sum("s").as("sy"), sum("ss").as("syy"))
+      .withColumn("m", when(col("left"), caseOver(mOf(_)._1))
+        .otherwise(caseOver(mOf(_)._2)))
+      .groupBy("fold")
+      .agg(sum("n").as("n_test"),
+        sum(expr("CAST(syy AS DOUBLE) - 2.0D * m * CAST(sy AS DOUBLE)" +
+          " + CAST(n AS DOUBLE) * m * m")).as("sse"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // floor-quantized 1e-4 units, NOT round: HALF_UP on a double can
+    // split from DuckDB's round at an exact decimal tie (the ml_stump
+    // …551.625 incident); floor of the identical double is identical.
+    val outs = folds.map { f =>
+      val (nTest, sse) = ho(f)
+      (f, thrOf(f),
+        winners(f).getAs[Long]("nl") + winners(f).getAs[Long]("nr"),
+        nTest,
+        math.floor(math.sqrt(sse / nTest) * 10000).toLong)
     }
     import s.implicits._
     outs.toDF("fold", "threshold", "n_train", "n_test", "rmse_test_e4")

@@ -118,16 +118,25 @@ object Similarity {
       .select(col(idCol).as("a"),
         col(embCol).cast("array<double>").as("a_emb"))
       .withColumn("a_n", VectorOps.norm(col("a_emb")))
-    val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+    // top-1 per a as a MAX_BY aggregate, not a rank window (guide §2.3
+    // aggregate-before-shuffle): the pair frame is |V|² rows, and the
+    // former row_number form exchanged and sorted ALL of it on `a` just
+    // to keep rank 1 — max_by over the ordering key (cos, -b) partial-
+    // aggregates map-side to one row per a per partition, so the shuffle
+    // carries |V| rows and the sort disappears. (cos DESC, b ASC) ≡
+    // argmax of (cos, -b): same row selected, bit-identical output; both
+    // forms put NaN above +Inf (Spark's one total order), so a
+    // degenerate zero-norm vector cannot flip the pick either.
     val nn = v
       .join(broadcast(v.select(col("a").as("b"), col("a_emb").as("b_emb"),
           col("a_n").as("b_n"))),
         col("a") =!= col("b"))
       .withColumn("cos",
         VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a"), col("b"), col("cos"))
+      .groupBy("a")
+      .agg(max_by(struct(col("b"), col("cos")),
+        struct(col("cos"), (-col("b")).as("nb"))).as("top"))
+      .select(col("a"), col("top.b").as("b"), col("top.cos").as("cos"))
       .localCheckpoint(true) // feeds both sides of the mutuality join
     nn.as("n1")
       .join(nn.as("n2"),
@@ -167,14 +176,17 @@ object Similarity {
     val r = assigned.select(col("cid"), col(idCol).as("b"),
       col(embCol).as("b_emb"))
       .withColumn("b_n", VectorOps.norm(col("b_emb")))
-    val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+    // top-1 per a as a MAX_BY aggregate (the reciprocalNN rewrite): the
+    // per-cell pair frame partial-aggregates map-side to one row per a,
+    // so the |cell|²-sized frame never crosses an exchange
     val nn = l.join(r, Seq("cid"))
       .filter(col("a") =!= col("b"))
       .withColumn("cos",
         VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a"), col("b"), col("cos"))
+      .groupBy("a")
+      .agg(max_by(struct(col("b"), col("cos")),
+        struct(col("cos"), (-col("b")).as("nb"))).as("top"))
+      .select(col("a"), col("top.b").as("b"), col("top.cos").as("cos"))
       .localCheckpoint(true) // feeds both sides of the mutuality join
     nn.as("n1")
       .join(nn.as("n2"),
@@ -202,14 +214,20 @@ object Similarity {
   def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
                  embCol: String, k: Int = 4, threshold: Double = 1.0,
                  maxRows: Int = DefaultMaxExactProbes): DataFrame = {
+    // per-row norm precompute — the reciprocalNN optimization (one dot
+    // per pair instead of three; norm = sqrt(dot(v,v)) is the identical
+    // expression tree per value, so every cos is bit-identical)
     val sv = guardProbes(src, maxRows,
         tier = "exact margin-mining tier: all-pairs — run per LSH/IVF " +
           "bucket at corpus scale")
-      .select(col(idCol).as("x"), col(embCol).as("x_emb"))
+      .select(col(idCol).as("x"), col(embCol).cast("array<double>").as("x_emb"))
+      .withColumn("x_n", VectorOps.norm(col("x_emb")))
     val tv = guardProbes(tgt, maxRows)
-      .select(col(idCol).as("y"), col(embCol).as("y_emb"))
+      .select(col(idCol).as("y"), col(embCol).cast("array<double>").as("y_emb"))
+      .withColumn("y_n", VectorOps.norm(col("y_emb")))
     val scored = sv.join(broadcast(tv), lit(true))
-      .withColumn("cos", VectorOps.cosine(col("x_emb"), col("y_emb")))
+      .withColumn("cos",
+        VectorOps.dot(col("x_emb"), col("y_emb")) / (col("x_n") * col("y_n")))
       .select(col("x"), col("y"), col("cos"))
       .localCheckpoint(true) // feeds 4 consumers below
     val wx = Window.partitionBy("x").orderBy(col("cos").desc, col("y"))
@@ -224,14 +242,20 @@ object Similarity {
       .withColumn("margin",
         col("cos") / (col("nx") / 2.0 + col("ny") / 2.0))
       .select(col("x"), col("y"), col("cos"), col("margin"))
-      .localCheckpoint(true) // feeds both argmax windows
-    val mx = Window.partitionBy("x").orderBy(col("margin").desc, col("y"))
-    val my = Window.partitionBy("y").orderBy(col("margin").desc, col("x"))
-    val bestX = margins.withColumn("rn", row_number().over(mx))
-      .filter(col("rn") === 1).select(col("x"), col("y"),
-        col("cos"), col("margin"))
-    val bestY = margins.withColumn("rn", row_number().over(my))
-      .filter(col("rn") === 1).select(col("x").as("bx"), col("y").as("by"))
+      .localCheckpoint(true) // feeds both argmax sides
+    // per-side argmax as MAX_BY aggregates, not rank windows (the
+    // reciprocalNN rewrite): map-side partial aggregation shrinks each
+    // side to one row per key before any exchange; (margin DESC, other
+    // ASC) ≡ argmax of (margin, -other), same row, bit-identical output
+    val bestX = margins.groupBy("x")
+      .agg(max_by(struct(col("y"), col("cos"), col("margin")),
+        struct(col("margin"), (-col("y")).as("ny"))).as("t"))
+      .select(col("x"), col("t.y").as("y"),
+        col("t.cos").as("cos"), col("t.margin").as("margin"))
+    val bestY = margins.groupBy("y")
+      .agg(max_by(col("x"), struct(col("margin"), (-col("x")).as("nx")))
+        .as("bx"))
+      .select(col("bx"), col("y").as("by"))
     bestX
       .join(bestY, col("x") === col("bx") && col("y") === col("by"))
       .filter(col("margin") > threshold)

@@ -203,6 +203,31 @@ class RegressionSpec extends SparkTestBase {
     }
   }
 
+  test("stumpSplitsFromStats over composed per-fold stats is row-identical " +
+      "to stumpSplits over the matching raw rows (the ml_cv rewrite)") {
+    // deterministic fixture with folds, duplicate q values and ties
+    val rows = (1 to 400).map { i =>
+      (i.toLong % 7, (i.toLong * 13) % 101 + (i % 3), i.toLong % 3)
+    }
+    val df = rows.toDF("q", "v", "fold")
+    val perQF = df.groupBy("q", "fold")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    for (f <- 0L to 2L) {
+      val direct = Regression.stumpSplits(
+          df.filter(col("fold") =!= f), "q", "v")
+        .orderBy("q").collect()
+      val composed = Regression.stumpSplitsFromStats(
+          perQF.filter(col("fold") =!= f)
+            .groupBy("q").agg(sum("n").as("n"), sum("s").as("s"),
+              sum("ss").as("ss")))
+        .orderBy("q").collect()
+      assert(direct.toSeq == composed.toSeq,
+        s"fold $f: composed integer stats must reproduce the raw-row " +
+          "split table bit-for-bit")
+    }
+  }
+
   test("target encoding: every category's code lies BETWEEN its raw mean " +
       "and the global prior, and shrinkage scales with 1/n") {
     val got = Regression.mlTargetEncode(spark, sfDir).collect()
