@@ -1015,6 +1015,71 @@ object ProfMain {
       }
       spark.stop(); return
     }
+    if (names == Seq("uniprof")) {
+      // stage-level timing + job count of the unigram-LM train ladder
+      import org.apache.spark.sql.functions._
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet()
+            jobStarts.put(j.jobId, System.nanoTime())
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = jobStarts.remove(j.jobId)
+            if (s != 0L) jobNanos.addAndGet(System.nanoTime() - s)
+          }
+        })
+      for (i <- 1 to 3) {
+        val j0 = jobs.get()
+        val n0 = jobNanos.get()
+        val t0 = System.nanoTime()
+        val df = graft.operators.TextAnalysis
+          .unigramTrain(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        val t1 = System.nanoTime()
+        val jMid = jobs.get()
+        val nMid = jobNanos.get()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"uniprof run$i construct ${(t1 - t0) / 1e9}%.2fs " +
+          f"(jobs ${jMid - j0}, jobwall ${(nMid - n0) / 1e9}%.2fs) " +
+          f"write ${(System.nanoTime() - t1) / 1e9}%.2fs " +
+          f"(jobs ${jobs.get() - jMid}, jobwall ${(jobNanos.get() - nMid) / 1e9}%.2fs)")
+      }
+      // sub-phase attribution: words/seed replicated from the operator
+      for (i <- 1 to 2) {
+        val docs = Tables.load(spark, dir, "documents")
+        var t0 = System.nanoTime()
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")).between(1, 10))
+          .groupBy("w").agg(count(lit(1)).as("tc"))
+          .localCheckpoint(true)
+        println(f"uniprof sub$i words ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        t0 = System.nanoTime()
+        val seed = words.select(col("tc"), explode(expr(
+            s"""flatten(transform(sequence(1, length(w)), st ->
+               |  transform(sequence(1, least(4, length(w) - st + 1)),
+               |    l -> substring(w, st, l))))""".stripMargin)).as("piece"))
+          .groupBy("piece").agg(sum("tc").as("f"))
+          .localCheckpoint(true)
+        println(f"uniprof sub$i seed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        t0 = System.nanoTime()
+        val modelRows = seed
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(length(col("piece")) === 1)
+              .orderBy(col("f").desc, col("piece"))))
+          .filter(length(col("piece")) === 1 || col("rk") <= 120)
+          .select(col("piece"), col("f"))
+          .collect()
+        println(f"uniprof sub$i modelcollect ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          s"(${modelRows.length} rows)")
+      }
+      spark.stop(); return
+    }
     if (names == Seq("sessprof")) {
       // stage-level timing of the streaming session-publish registry row
       import org.apache.spark.sql.functions._

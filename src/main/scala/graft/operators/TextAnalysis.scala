@@ -1679,26 +1679,40 @@ object TextAnalysis {
     var df = words.withColumn("pm", pmLit)
       .withColumn("n", length(col("w")))
     for (i <- 1 to UniMaxWordLen) {
-      var best: Column = lit(null).cast("double")
-      var seg: Column = lit(null).cast("string")
-      for (j <- (i - 1) to math.max(0, i - UniMaxPieceLen) by -1) {
+      // Each step's argmax is ONE aggregate() fold over the candidate
+      // array in the same j-descending order with the same strict->
+      // replacement (ties keep the earlier = larger j) — value-identical
+      // to the former nested-when chain, but every candidate expression
+      // appears ONCE. The when-chain duplicated the score/best subtrees
+      // ~2x per candidate and the round-trip through the analyzer +
+      // optimizer on those trees cost ~2.1 s per train at sf0.1 against
+      // 0.3 s of execution (uniprof, round-16): this operator was
+      // DRIVER-PLANNING-bound, not data-bound (guide §7.3).
+      val cands = ((i - 1) to math.max(0, i - UniMaxPieceLen) by -1).map { j =>
         val piece = substring(col("w"), j + 1, i - j)
-        val prevS = if (j == 0) lit(1.0) else col(s"s_$j")
-        val prevG = if (j == 0) lit("") else concat(col(s"g_$j"), lit("|"))
+        val prevS = if (j == 0) lit(1.0) else col(s"v_$j").getField("cs")
+        val prevG = if (j == 0) lit("")
+          else concat(col(s"v_$j").getField("sg"), lit("|"))
         val p = when(col("n") >= i, element_at(col("pm"), piece))
-        val cs = prevS * p // null-propagating: unreachable j or unknown piece
-        val take = cs.isNotNull && (best.isNull || cs > best)
-        seg = when(take, concat(prevG, piece)).otherwise(seg)
-        best = when(take, cs).otherwise(best)
+        // cs null-propagating: unreachable j or unknown piece; sg of a
+        // null-cs candidate is never selected by the fold
+        struct((prevS * p).as("cs"), concat(prevG, piece).as("sg"))
       }
-      df = df.withColumn(s"s_$i", best).withColumn(s"g_$i", seg)
-      // split the projection chain: 10 chained DP steps in ONE
-      // whole-stage-codegen unit generate pathological code (the frame
-      // is vocabulary-sized, so the barrier costs nothing)
-      if (i % 4 == 0) df = df.localCheckpoint(true)
+      val zero = struct(lit(null).cast("double").as("cs"),
+        lit(null).cast("string").as("sg"))
+      df = df.withColumn(s"v_$i", aggregate(array(cands: _*), zero,
+        (acc, x) => when(x.getField("cs").isNotNull &&
+            (acc.getField("cs").isNull || x.getField("cs") > acc.getField("cs")),
+          x).otherwise(acc)))
+      // No mid-chain barrier any more: the former nested-when form needed
+      // a localCheckpoint every 4 steps because 10 chained DP steps in one
+      // whole-stage-codegen unit generated pathological code (30 s of
+      // codegen measured); aggregate() is a codegen-fallback expression,
+      // so the chain no longer explodes — measured identical with and
+      // without the barrier at sf0.1 (uniprof, round-16).
     }
     df.withColumn("seg", element_at(
-      array((1 to UniMaxWordLen).map(i => col(s"g_$i")): _*),
+      array((1 to UniMaxWordLen).map(i => col(s"v_$i").getField("sg")): _*),
       col("n").cast("int")))
       .drop("pm")
   }
@@ -1711,20 +1725,33 @@ object TextAnalysis {
     */
   def unigramTrain(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val words = uniWords(docs, textCol).localCheckpoint(true)
-    val seed = uniSeedStats(words).localCheckpoint(true)
-    // round-1 model: bounded collect (singles + top-K multis)
-    val singles = seed.filter(length(col("piece")) === 1)
+    // Job fusion (round-15 verdict item 2, the ml_cv discipline): the
+    // train used to schedule ~11 jobs — eager word/seed/segmentation
+    // checkpoints, two model collects, per-Viterbi barrier jobs. Lazy
+    // barriers ride their first consumer, and the round-1 model arrives
+    // in ONE ranked collect, leaving exactly three scheduled jobs:
+    // model collect, usage collect, final segmentation action.
+    val words = uniWords(docs, textCol).localCheckpoint(false)
+    val seed = uniSeedStats(words)
+    // round-1 model: bounded collect (all singles + top-K multis) in a
+    // single pass — rank multis by (f DESC, piece) exactly as the old
+    // orderBy().limit(UniTopK) did and keep every single-char piece
+    val modelRows = seed
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(length(col("piece")) === 1)
+          .orderBy(col("f").desc, col("piece"))))
+      .filter(length(col("piece")) === 1 || col("rk") <= UniTopK)
+      .select(col("piece"), col("f"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    val multis = seed.filter(length(col("piece")) > 1)
-      .orderBy(col("f").desc, col("piece")).limit(UniTopK)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = modelRows.filter(_._1.length == 1).sortBy(_._1)
+    val multis = modelRows.filter(_._1.length > 1)
+      .sortBy { case (p, f) => (-f, p) }
     val t1 = singles.map(_._2).sum + multis.map(_._2).sum
     val model1 = (singles ++ multis).map { case (k, f) =>
       (k, f.toDouble / t1.toDouble) }
     val seg1 = uniViterbi(words, model1.toSeq)
-      .select(col("w"), col("tc"), col("seg")).localCheckpoint(true)
+      .select(col("w"), col("tc"), col("seg"))
     // usage recount (vocabulary-sized)
     val usage = seg1
       .select(col("tc"), explode(split(col("seg"), "\\|")).as("piece"))
