@@ -41,6 +41,18 @@ import graft.Tables
   */
 object Graph {
 
+  // Barrier convention (round 16, guide §5): every localCheckpoint in this
+  // file is LAZY (eager = false). The barrier's two jobs — truncating
+  // lineage so multi-consumer frames plan small, and splitting codegen —
+  // are properties of the PLAN CUT, which lazy and eager share; eagerness
+  // only adds one scheduled job per barrier (~130 ms fixed cost on
+  // local[32]), which dominated these bounded-frame iterative operators
+  // (graph_wcc ran ~19 jobs for milliseconds of data work). Value safety:
+  // every consumer of a barriered frame here is a key join / semi join /
+  // min / exact-integer sum / deterministic-keyed window — all immune to
+  // the partition-row-order differences a lazily cached partition can see
+  // when two concurrent stages race to materialize it.
+
   /** Weighted directed edges (src, dst, w) with w = Σ weight, one row per
     * distinct pair.
     */
@@ -54,11 +66,11 @@ object Graph {
   private val CheckpointEvery = 10
 
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val e = edges.repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count().toDouble
     // share = w / out-strength of src: exact-integer-valued doubles divided
     // identically in any engine, so the per-edge factor is bit-stable.
@@ -66,7 +78,7 @@ object Graph {
       .join(e.groupBy("src").agg(sum("w").as("ow")), "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var ranks = nodes.select(col("node"), round(lit(1.0 / n), 6).as("rank"))
     for (it <- 1 to iters) {
       val inflow = shares
@@ -83,7 +95,7 @@ object Graph {
       // barrier changes the PLAN (bounded depth at deep budgets), never
       // the numbers
       if (it % CheckpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -102,12 +114,12 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame,
                            iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val e = edges.repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
-      .localCheckpoint(true)
-    val src = sources.select(col("node")).distinct().localCheckpoint(true)
+      .localCheckpoint(false)
+    val src = sources.select(col("node")).distinct().localCheckpoint(false)
     val ns = src.count().toDouble // |S| — includes sources off-graph, the
                                   // documented normalization (mass on
                                   // absent seeds is simply never walked)
@@ -115,12 +127,12 @@ object Graph {
       .join(e.groupBy("src").agg(sum("w").as("ow")), "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tp = nodes
       .join(src.withColumn("is_src", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("is_src") === 1, lit(1.0 / ns)).otherwise(lit(0.0)).as("tp"))
-      .localCheckpoint(true) // consumed every iteration
+      .localCheckpoint(false) // consumed every iteration
     var ranks = tp.select(col("node"), round(col("tp"), 6).as("rank"))
     for (it <- 1 to iters) {
       val inflow = shares
@@ -133,7 +145,7 @@ object Graph {
           round(lit(1 - damping) * col("tp") +
             lit(damping) * coalesce(col("in_mass"), lit(0.0)), 6).as("rank"))
       if (it % CheckpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -197,7 +209,7 @@ object Graph {
         expr("percentile(w, 0.7)").as("q"))))
       .filter(col("w") > col("q"))
       .select("u", "v")
-      .localCheckpoint(true) // feeds degrees, wedges, and the close join
+      .localCheckpoint(false) // feeds degrees, wedges, and the close join
     val deg = kept.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // total order: rank = degree * 2^20 + id (ids are far below 2^20)
@@ -276,9 +288,9 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val nbrMin = e
@@ -288,7 +300,7 @@ object Graph {
       labels = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }
@@ -328,7 +340,7 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     var dist = sources.toDF("node").withColumn("d", lit(0L))
     for (_ <- 1 to rounds) {
       val nd = e.join(dist.withColumnRenamed("node", "src"), "src")
@@ -336,7 +348,7 @@ object Graph {
       dist = dist.join(nd, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d"))).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }
@@ -464,11 +476,11 @@ object Graph {
     */
   def katz(edges: DataFrame, iters: Int, alpha: Double = 0.05): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var x = nodes.select(col("node"), lit(1.0).as("katz"))
     for (it <- 1 to iters) {
       val inflow = e
@@ -481,7 +493,7 @@ object Graph {
           round(lit(1.0) + lit(alpha) * coalesce(col("in_sum"), lit(0.0)), 6)
             .as("katz"))
       if (it % CheckpointEvery == 0 && it < iters)
-        x = x.localCheckpoint(true)
+        x = x.localCheckpoint(false)
     }
     x
   }
@@ -551,7 +563,7 @@ object Graph {
       .select(col("o_custkey").cast("long").as("u"),
         (col("l_suppkey").cast("long") + 1000000L).as("v"))
       .distinct()
-      .localCheckpoint(true) // feeds the degree count AND both joins
+      .localCheckpoint(false) // feeds the degree count AND both joins
     val deg = und.select(col("u").as("n")).union(und.select(col("v")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val j = und
@@ -615,7 +627,7 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
-      .localCheckpoint(true) // both sides of the semi-join
+      .localCheckpoint(false) // both sides of the semi-join
     val mutual = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
@@ -717,14 +729,14 @@ object Graph {
     // e feeds deg + ef, ef feeds both sides of the pair join: eager
     // barriers or the edge derivation (windowed) re-runs per consumer
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val lowDeg = deg.filter(col("d") <= maxHubDegree)
       .select(col("src").as("n"))
     val ef = e.select(col("src").as("u"), col("dst").as("n"))
       .join(lowDeg, Seq("n"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pairs = ef
       .join(ef.select(col("u").as("v"), col("n")), "n")
       .filter(col("u") < col("v"))
@@ -753,15 +765,15 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("n"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       e = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }
@@ -799,9 +811,9 @@ object Graph {
   def multiSourceHops(edges: DataFrame, sources: DataFrame,
                       rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     var dist = sources.select(col("s"), col("s").as("node"),
-      lit(0L).as("d")).localCheckpoint(true)
+      lit(0L).as("d")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val nd = e.join(dist.withColumnRenamed("node", "src"), "src")
         .groupBy(col("s"), col("dst").as("node"))
@@ -810,7 +822,7 @@ object Graph {
         .select(col("s"), col("node"),
           least(coalesce(col("d"), col("nd")),
             coalesce(col("nd"), col("d"))).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist
   }
@@ -864,11 +876,11 @@ object Graph {
     val s = edgesU.sparkSession
     import s.implicits._
     val e = edgesU.select(col("u"), col("v"), col("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var comp = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct()
       .select(col("node"), col("node").as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var mstEdges = List.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val e2 = e
@@ -886,7 +898,7 @@ object Graph {
         .filter(col("rk") === 1)
         .select(col("u"), col("v"), col("w"), col("cu"), col("cv"))
         .distinct() // both sides may pick the same edge
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       mstEdges ::= chosen.select("u", "v", "w")
       // Contract the component graph. The chosen COMPONENT edges are
       // one row per surviving component (the frame Borůvka just
@@ -921,7 +933,7 @@ object Graph {
           val m = broadcast(remap.toDF("c0", "cnew"))
           comp = comp.join(m, col("c") === col("c0"), "left_outer")
             .select(col("node"), coalesce(col("cnew"), col("c")).as("c"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
       } else if (nChosen > 0) {
         // distributed contraction: min-label components of the chosen
@@ -937,7 +949,7 @@ object Graph {
         // bounded by construction — AQE promotes small ones at runtime
         comp = comp.join(labels, col("c") === col("c0"), "left_outer")
           .select(col("node"), coalesce(col("cnew"), col("c")).as("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     mstEdges.reduce(_ unionByName _)
@@ -980,10 +992,14 @@ object Graph {
     */
   def shortestPathCounts(edges: DataFrame, sources: DataFrame,
                          rounds: Int): DataFrame = {
+    // lazy barriers (round-15 verdict item 6): lineage still truncates
+    // per round, but the per-round materialization jobs collapse into the
+    // consuming action — every consumer is a key join / anti join / sum
+    // aggregate, all order-insensitive
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     var state = sources.select(col("s"), col("s").as("node"),
-      lit(0L).as("d"), lit(1L).as("sig")).localCheckpoint(true)
+      lit(0L).as("d"), lit(1L).as("sig")).localCheckpoint(false)
     for (r <- 1 to rounds) {
       val frontier = state.filter(col("d") === (r - 1))
         .select(col("s"), col("node").as("src"), col("sig"))
@@ -993,7 +1009,7 @@ object Graph {
       val fresh = cand.join(state.select("s", "node"),
           Seq("s", "node"), "left_anti")
         .select(col("s"), col("node"), lit(r.toLong).as("d"), col("sig"))
-      state = state.unionByName(fresh).localCheckpoint(true)
+      state = state.unionByName(fresh).localCheckpoint(false)
     }
     state
   }
@@ -1032,13 +1048,16 @@ object Graph {
     */
   def betweenness(edges: DataFrame, sources: DataFrame,
                   rounds: Int): DataFrame = {
+    // lazy barriers (round-15 verdict item 6): the dependency sweep is
+    // integer-sum arithmetic end to end, so the only thing eagerness
+    // bought was one scheduled job per level — ride the final action
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
-    val st = shortestPathCounts(e, sources, rounds).localCheckpoint(true)
+      .localCheckpoint(false)
+    val st = shortestPathCounts(e, sources, rounds).localCheckpoint(false)
     var delta = st.filter(col("d") === rounds)
       .select(col("s"), col("node"), lit(0L).as("del"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var acc = delta
     for (t <- rounds - 1 to 0 by -1) {
       val vs = st.filter(col("d") === t)
@@ -1056,7 +1075,7 @@ object Graph {
         .join(contrib, Seq("s", "node"), "left_outer")
         .select(col("s"), col("node"),
           coalesce(col("cdel"), lit(0L)).as("del"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       acc = acc.unionByName(delta)
     }
     acc.filter(col("node") =!= col("s"))
@@ -1103,26 +1122,35 @@ object Graph {
     * components; they'd only dilute every round's joins here).
     */
   def wcc(edges: DataFrame, rounds: Int): DataFrame = {
+    // LAZY barriers throughout (round-15 verdict item 6): each
+    // localCheckpoint(false) still truncates lineage and pins the frame
+    // (the multi-consumer / ambiguous-self-join role is unchanged), but
+    // materialization rides the consuming job — the eager form scheduled
+    // 2 jobs per doubling round (~19 jobs of ~130 ms fixed cost for an
+    // 8-round run whose data work is milliseconds; guide §5). Value
+    // safety: every consumer below is an order-insensitive min/count
+    // aggregate or key join, so a lazily cached partition racing two
+    // concurrent stages cannot change any result.
     val e = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(false)
     var p = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("p")).localCheckpoint(true)
+      .select(col("node"), col("node").as("p")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val nb = e.join(p.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("p").as("np"))
-      // materialized: feeds both sides of the jump self-join (also keeps
+      // barriered: feeds both sides of the jump self-join (also keeps
       // the analyzer's ambiguous-self-join check out of the plan)
       val merged = p.join(nb, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("p"), coalesce(col("np"), col("p"))).as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       p = merged
         .join(merged.select(col("node").as("p"), col("p").as("pp")),
           Seq("p"), "left_outer")
         .select(col("node"), coalesce(col("pp"), col("p")).as("p"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     p
   }
@@ -1171,11 +1199,11 @@ object Graph {
       .select(least(col("p"), col("hub")).as("u"),
         greatest(col("p"), col("hub")).as("v"))
       .distinct()
-      .localCheckpoint(true) // feeds m, the label joins, and degrees
+      .localCheckpoint(false) // feeds m, the label joins, and degrees
     val labels = labelPropagation(
       und.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(und.select(col("v").as("src"), col("u").as("dst"))),
-      rounds = 5).localCheckpoint(true)
+      rounds = 5).localCheckpoint(false)
     val m = und.count()
     val lu = labels.select(col("node").as("u"), col("label").as("cu"))
     val lv = labels.select(col("node").as("v"), col("label").as("cv"))
@@ -1249,9 +1277,9 @@ object Graph {
     val e = e0.crossJoin(broadcast(maxW))
       .select(col("src"), col("dst"),
         expr("CAST(w * 1000000L DIV mw AS BIGINT)").as("wn"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst"))).distinct().localCheckpoint(false)
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(1000000L))
     // Truncate lineage once per half-round (guide §3.3 / §5
@@ -1261,27 +1289,30 @@ object Graph {
     // to 314 Exchanges / 134 SortMergeJoins (plans/r15/
     // graph_hits_before.txt) with most of the row's cost in
     // planning + duplicated aggregates (measured 3.98 s warm, 15.7 s
-    // first-plan; 1.5 s after). The checkpoint is eager, so each
-    // half-round's scores materialize exactly once.
+    // first-plan; 1.5 s after). The barriers are LAZY since round 16
+    // (round-15 verdict item 6): the plan cut is identical, but each
+    // half-round's materialization rides its first consumer (usually the
+    // max-normalizer's broadcast build) instead of a dedicated job —
+    // every consumer is an integer sum/max or key join, order-immune.
     for (_ <- 1 to rounds) {
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(expr("wn * h")).as("araw"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val aMax = aRaw.agg(max("araw").as("am"))
       auth = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("node"),
           expr("CAST(CAST(coalesce(araw, 0L) AS DECIMAL(38,0)) * 1000000 DIV am AS BIGINT)").as("a"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(expr("wn * a")).as("hraw"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hMax = hRaw.agg(max("hraw").as("hm"))
       hub = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hMax))
         .select(col("node"),
           expr("CAST(CAST(coalesce(hraw, 0L) AS DECIMAL(38,0)) * 1000000 DIV hm AS BIGINT)").as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     auth.join(hub, "node")
   }
@@ -1307,7 +1338,10 @@ object Graph {
                    maxClosure: Long = 10000000L): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    var r = e0.localCheckpoint(true)
+    // lazy barrier + the convergence count: one job per doubling where
+    // the eager form paid two (checkpoint job + count job) — the count
+    // is the materializing action (guide §5; round-15 verdict item 6)
+    var r = e0.localCheckpoint(false)
     // fixed-point early exit: squaring is monotone, so a doubling that
     // adds no pair means R∘R ⊆ R — already transitively closed
     var prev = r.count()
@@ -1319,7 +1353,7 @@ object Graph {
             .join(r.select(col("src").as("mid"), col("dst")), "mid")
             .select(col("src"), col("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n = r.count()
       require(n <= maxClosure,
         s"transitive closure reached $n rows (> $maxClosure): this graph " +
@@ -1386,15 +1420,15 @@ object Graph {
 
   def graphRa(s: SparkSession, dir: String): DataFrame = {
     val e = partAffinityEdges(s, dir).select(col("src"), col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val lowDeg = deg.filter(col("d") <= 64)
       .select(col("src").as("n"), col("d").as("dn"))
     val ef = e.select(col("src").as("u"), col("dst").as("n"))
       .join(lowDeg, "n")
       .withColumn("w", expr("CAST(1000000 DIV dn AS BIGINT)"))
-      .localCheckpoint(true) // feeds both sides of the pair join
+      .localCheckpoint(false) // feeds both sides of the pair join
     ef.join(ef.select(col("u").as("v"), col("n")), "n")
       .filter(col("u") < col("v"))
       .groupBy("u", "v")
