@@ -2672,7 +2672,10 @@ object PipelineQueries {
     DeletionVectors.addDeletes(s, work,
       orders.filter(col("o_orderkey") % 101 === 0), "o_orderkey")
     val mor2 = agg(DeletionVectors.readMor(s, work, "o_orderkey"), "mor_v2")
-    // materialize the MOR reads BEFORE compaction rewrites the base
+    // materialize the MOR reads BEFORE compaction rewrites the base —
+    // EAGER by necessity (the repo-wide lazy-barrier convention does not
+    // apply): a lazy barrier would first read these files after compact()
+    // has rewritten them
     val pre = mor1.unionByName(mor2).localCheckpoint(true)
     require(DeletionVectors.baseFingerprint(s, work) == fp0,
       "deletion vectors must not rewrite base files")
@@ -2714,18 +2717,37 @@ object PipelineQueries {
         "percentile(unix_micros(ts), array(0.25D, 0.5D, 0.75D))").as("b"))
       .head().getSeq[Double](0)
     val tsUs = expr("unix_micros(ts)")
-    val ranges: Seq[org.apache.spark.sql.Column] = Seq(
-      tsUs <= bounds(0),
-      tsUs > bounds(0) && tsUs <= bounds(1),
-      tsUs > bounds(1) && tsUs <= bounds(2),
-      tsUs > bounds(2))
+    // ONE staging pass (round 16, guide §2.4): the former loop ran four
+    // filtered scans + coalesce(1) writes — four jobs re-reading the
+    // corpus. A range-id column + repartition(4, qr) + partitionBy stages
+    // all four files in a single scan+shuffle+write; each qr lands wholly
+    // in one task, so each range directory holds exactly one part file.
+    // Within-file row order changes (shuffle fetch order), which the
+    // drain is immune to: session state is an order-insensitive merge
+    // and the per-batch watermark is max(ts), both batch-content facts.
+    val qr = when(tsUs <= bounds(0), 1)
+      .when(tsUs <= bounds(1), 2)
+      .when(tsUs <= bounds(2), 3)
+      .otherwise(4)
+    ev.withColumn("qr", qr)
+      .repartition(4, col("qr"))
+      .write.partitionBy("qr").mode("overwrite").parquet(s"$work/stage")
     val fs = new Path(work).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$work/src"))
+    // Rename in range order with explicitly pinned ascending mtimes (the
+    // file source drains in (mtime, path) order; rename preserves the
+    // write-time mtime, so pin it). A COLLAPSED percentile range under
+    // heavy event-time ties (round-15 advice item 1) stages no directory
+    // at all and is skipped — the drain then sees fewer, still-ordered
+    // batches instead of an empty one.
+    val t0 = System.currentTimeMillis()
     for (r <- 1 to 4) {
-      ev.filter(ranges(r - 1))
-        .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
-      val part = fs.globStatus(new Path(s"$work/stage/part-*"))(0).getPath
-      fs.rename(part, new Path(f"$work/src/part-$r%02d.parquet"))
+      val parts = fs.globStatus(new Path(s"$work/stage/qr=$r/part-*"))
+      if (parts != null && parts.nonEmpty) {
+        val target = new Path(f"$work/src/part-$r%02d.parquet")
+        fs.rename(parts(0).getPath, target)
+        fs.setTimes(target, t0 + r * 1000L, -1)
+      }
     }
     graft.streaming.EventsStream
       .sessionPublish(s, s"$work/src", s"$work/ck", s"$work/final")

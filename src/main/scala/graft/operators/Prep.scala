@@ -538,7 +538,7 @@ object Prep {
     val assigned = docs.select(col(idCol), col(textCol),
       when(pmod(Hashing.md5Long(col(idCol).cast("string")), lit(testMod))
         === 0, "test").otherwise("train").as("split"))
-      .localCheckpoint(true) // feeds gram sides and the final report
+      .localCheckpoint(false) // feeds gram sides and the final report
     val parts = (0 until n).map(k => s"element_at(tk, i + $k)")
       .mkString(", ")
     def grams(df: DataFrame): DataFrame = df
@@ -581,7 +581,7 @@ object Prep {
     val qs = base.groupBy("g").agg(
       expr("percentile(v, 0.01d)").as("p1"),
       expr("percentile(v, 0.99d)").as("p99"))
-      .localCheckpoint(true) // bounded: one row per group
+      .localCheckpoint(false) // bounded: one row per group
     base.join(broadcast(qs), Seq("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"),

@@ -102,6 +102,14 @@ object Similarity {
     * (all-pairs is the scale-killer); at corpus scale the same
     * nn-then-swap-join runs per LSH/IVF bucket (the dedup_embedding
     * blocking), with this exact operator as its per-bucket kernel.
+    *
+    * ID-TYPE CONTRACT (round-15 advice): this operator (and
+    * [[reciprocalNNIvf]] / [[marginMine]]) requires a NUMERIC id column —
+    * the deterministic argmax tiebreak is `max_by(..., struct(score,
+    * -id))`, and the arithmetic negation narrows the accepted id types.
+    * String ids would fail under ANSI; re-key them (e.g. xxhash64) or
+    * swap the tiebreak for `min_by(struct(-score, id))` before lifting
+    * the restriction.
     */
   def reciprocalNN(vecs: DataFrame, idCol: String, embCol: String,
                    maxRows: Int = DefaultMaxExactProbes): DataFrame = {

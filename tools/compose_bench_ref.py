@@ -29,16 +29,26 @@ def main() -> None:
             if v >= 0:
                 queries[k] = min(queries[k], v) if queries[k] >= 0 else v
     meas = sorted(base.get("measurement", []))
+    # Self-description (round-15 advice item 5): a composed reference is a
+    # per-row MIN across sweeps — a total no single run achieved — so it
+    # records its inputs, and any error row present in ANY input survives
+    # into the composite instead of silently vanishing.
+    input_errors = {}
+    for path in sys.argv[2:]:
+        for k, v in json.load(open(path)).get("errors", {}).items():
+            input_errors.setdefault(k, f"{path}: {v}")
     result = {
         "metric": "total",
         "value": sum(v for v in queries.values() if v >= 0),
         "unit": "sec",
         "queries": dict(sorted(queries.items())),
-        "errors": {},
+        "errors": dict(sorted(input_errors.items())),
         "measurement": meas,
         "measurement_sec": sum(
             queries[k] for k in meas if queries.get(k, -1) >= 0),
         "sf": base["sf"],
+        "composed_from": sys.argv[2:],
+        "composition": "per-row minimum across the composed_from runs",
     }
     with open(out, "w") as f:
         json.dump(result, f, separators=(",", ":"))
