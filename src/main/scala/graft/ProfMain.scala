@@ -1082,6 +1082,10 @@ object ProfMain {
     }
     if (names == Seq("sessprof")) {
       // stage-level timing of the streaming session-publish registry row
+      // (staging replicates the registry wrapper's ONE-PASS form, round
+      // 16) plus the per-micro-batch duration breakdown the round-15
+      // verdict asked for: queryPlanning vs addBatch (sink) vs walCommit/
+      // stateStore commit, straight from StreamingQueryProgress.
       import org.apache.spark.sql.functions._
       import org.apache.hadoop.fs.Path
       for (i <- 1 to 2) {
@@ -1099,23 +1103,40 @@ object ProfMain {
             .head().getSeq[Double](0)
         }
         val tsUs = expr("unix_micros(ts)")
-        val ranges = Seq(tsUs <= bounds(0),
-          tsUs > bounds(0) && tsUs <= bounds(1),
-          tsUs > bounds(1) && tsUs <= bounds(2), tsUs > bounds(2))
         val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.mkdirs(new Path(s"$work/src"))
-        t("stage-4-files") {
+        t("stage-one-pass") {
+          val qr = when(tsUs <= bounds(0), 1)
+            .when(tsUs <= bounds(1), 2)
+            .when(tsUs <= bounds(2), 3)
+            .otherwise(4)
+          ev.withColumn("qr", qr)
+            .repartition(4, col("qr"))
+            .write.partitionBy("qr").mode("overwrite").parquet(s"$work/stage")
+          val t0m = System.currentTimeMillis()
           for (r <- 1 to 4) {
-            ev.filter(ranges(r - 1))
-              .coalesce(1).write.mode("overwrite").parquet(s"$work/stage")
-            val part = fs.globStatus(new Path(s"$work/stage/part-*"))(0).getPath
-            fs.rename(part, new Path(f"$work/src/part-$r%02d.parquet"))
+            val parts = fs.globStatus(new Path(s"$work/stage/qr=$r/part-*"))
+            if (parts != null && parts.nonEmpty) {
+              val target = new Path(f"$work/src/part-$r%02d.parquet")
+              fs.rename(parts(0).getPath, target)
+              fs.setTimes(target, t0m + r * 1000L, -1)
+            }
           }
         }
         t("drain") {
-          graft.streaming.EventsStream
+          val q = graft.streaming.EventsStream
             .sessionPublish(spark, s"$work/src", s"$work/ck", s"$work/final")
-            .awaitTermination()
+          q.awaitTermination()
+          q.recentProgress.foreach { p =>
+            val d = p.durationMs
+            println(s"sessprof   batch=${p.batchId} rows=${p.numInputRows} " +
+              s"trigger=${d.get("triggerExecution")}ms " +
+              s"planning=${d.get("queryPlanning")}ms " +
+              s"addBatch=${d.get("addBatch")}ms " +
+              s"getBatch=${d.get("getBatch")}ms " +
+              s"walCommit=${d.get("walCommit")}ms " +
+              s"commitOffsets=${d.get("commitOffsets")}ms")
+          }
         }
         t("readback") {
           spark.read.parquet(s"$work/final")
