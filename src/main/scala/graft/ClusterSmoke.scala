@@ -34,8 +34,14 @@ object ClusterSmoke {
   private val derbyBacked = Set("a01_jdbc_pushdown", "a02_jdbc_partitioned",
     "a04_catalog_scan", "a04b_mysql_catalog", "a21_jdbc_publish")
 
-  private def slice: Seq[String] =
+  private def slice: Seq[String] = {
+    // dev bisect hook (never set by the driver): restrict the parity
+    // slice to named queries, the SPARK_GRAFT_BENCH_ONLY convention
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries.keys.toSeq.sorted.filterNot(derbyBacked)
+      .filter(n => only.forall(_.contains(n)))
+  }
 
   private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val cols = df.columns.sorted.map(c => col(c).cast("string"))
@@ -49,6 +55,7 @@ object ClusterSmoke {
   private def runSlice(sfDir: String): Map[String, (Long, Long)] = {
     val spark = Engine.session("cluster-smoke", "8")
     try slice.map { name =>
+      System.err.println(s"[cluster-smoke] running $name")
       name -> fingerprint(SparkEntry.queries(name)(spark, sfDir))
     }.toMap
     finally { spark.stop(); org.apache.spark.sql.SparkSession.clearActiveSession() }
